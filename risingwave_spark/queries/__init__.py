@@ -1,0 +1,17 @@
+"""Query registry: every implemented operator from SURVEY.md §2 is declared
+here as a named query (Spark impl) with, where SQL-expressible, a DuckDB
+oracle SQL string the driver diff-tests against at sf0.01.
+"""
+
+from risingwave_spark.queries.registry import ORACLES, QUERIES, register
+
+# Importing these modules populates the registry.
+from risingwave_spark.queries import tpch  # noqa: E402,F401
+from risingwave_spark.queries import relational  # noqa: E402,F401
+from risingwave_spark.queries import window_funcs  # noqa: E402,F401
+from risingwave_spark.queries import aggregates  # noqa: E402,F401
+from risingwave_spark.queries import scalar_funcs  # noqa: E402,F401
+from risingwave_spark.queries import events_stream  # noqa: E402,F401
+from risingwave_spark.queries import llm_pipeline  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

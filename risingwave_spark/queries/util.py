@@ -1,0 +1,60 @@
+"""Shared helpers for the query inventory.
+
+Cross-engine determinism notes (Spark vs DuckDB oracle):
+
+- Per-row IEEE double arithmetic (a*b, a+b with fixed operand order) is
+  bit-identical across engines. Only *aggregation order* varies.
+- Therefore big double sums use the "exact cents" pattern: round each row's
+  value to a fixed scale, cast to BIGINT, sum exactly, divide once:
+      sum(cast(round(x*100, 0) as bigint)) / 100.0
+  This is bit-identical in both engines regardless of partitioning /
+  summation order — crucial because hash-compare has zero float tolerance.
+- Averages = exact-cents sum / count (single deterministic division).
+- `events.ts` is stored as ns; Spark truncates to µs on read, DuckDB keeps
+  ns — oracle SQL must CAST(ts AS TIMESTAMP) (µs) before use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_spark.catalog import load_tables
+
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = load_tables(spark, sf_dir)
+    else:
+        # re-register temp views in case another sf_dir overwrote them
+        for name, df in _CACHE[key].items():
+            df.createOrReplaceTempView(name)
+    return _CACHE[key]
+
+
+def msum(col: Column | str, scale: int = 100) -> Column:
+    """Order-independent exact sum of a double column at fixed decimal scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * scale, 0).cast("long")) / float(scale)
+
+
+def mavg(col: Column | str, scale: int = 10000) -> Column:
+    """Order-independent average: exact scaled sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return msum(c, scale) / F.count(c)
+
+
+def o_msum(expr: str, scale: int = 100) -> str:
+    """DuckDB SQL equivalent of msum (sum(BIGINT) is HUGEINT there → cast)."""
+    return f"(CAST(sum(CAST(round(({expr})*{scale},0) AS BIGINT)) AS BIGINT)/{scale}.0)"
+
+
+def o_mavg(expr: str, scale: int = 10000) -> str:
+    return f"({o_msum(expr, scale)}/count({expr}))"
+
+
+# DuckDB view over events with Spark-equivalent µs timestamps.
+EVENTS_US = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
