@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane sign) variant as the scale path — at 100 TB you bucket
+first (map-side signature, shuffle only within buckets), brute-force only
+within candidate buckets.
+
+Everything is JVM-side higher-order functions (zip_with/aggregate) — no
+Python in the hot path. A Pandas-UDF/numpy batch variant is provided for
+when vectors are wide enough that Arrow+BLAS beats codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    """Sequential left-to-right float64 dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+_SCALE = 1 << 20
+
+
+def _scaled(a):
+    """Vector elements as exact scaled integers (deterministic rounding)."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * _SCALE, 0).cast("long"))
+
+
+def cosine_exact(a, b):
+    """Bit-deterministic cosine: dot and squared norms are exact integer
+    sums of 2^20-scaled elements (order-independent), then one double
+    division — identical across engines/partitionings. Used where results
+    are hash-compared; `cosine` (pure float) is the production fast path."""
+    ai, bi = _scaled(a), _scaled(b)
+    isum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)  # noqa: E731
+    d = isum(F.zip_with(ai, bi, lambda x, y: x * y)).cast("double")
+    na = isum(F.transform(ai, lambda x: x * x)).cast("double")
+    nb = isum(F.transform(bi, lambda x: x * x)).cast("double")
+    return d / F.sqrt(na * nb)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    other vectors. Queries are broadcast (small side); candidates stream.
+
+    Output: (query_id, neighbor_id, cos) with rank ties broken by id.
+    Cosine is rounded before ranking so ordering is stable cross-engine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits))
+        .drop("__qvec", "__cvec")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]):
+    """Random-hyperplane LSH signature: one sign bit per plane, packed into
+    a long. Planes are literals (driver-generated, seeded) — they compile
+    into the plan, no broadcast needed."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed ANN: compare only vectors whose hyperplane signature
+    matches the query's (same bucket). Recall < 1.0 by construction; at
+    scale you'd probe multiple tables / neighboring buckets."""
+    sig = lambda df, idn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(f"__{idn}_vec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = sig(queries, "query_id")
+    c = sig(vectors, "neighbor_id")
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec")), round_digits)
+        )
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def cosine_topk_numpy(
+    vectors: DataFrame,
+    queries_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Arrow/numpy batch variant: queries collected to a small matrix,
+    scored per partition with one GEMM per Arrow batch (mapInPandas).
+    The per-partition top-k then reduces to a tiny global top-k — this is
+    the shape that wins when dims are high and candidates are billions."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.array([r[0] for r in queries_rows])
+    qmat = np.array([r[1] for r in queries_rows], dtype="float64")
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(it):
+        for pdf in it:
+            cmat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if len(cmat) == 0:
+                continue
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(pdf)),
+                    "neighbor_id": np.tile(pdf[id_col].values, len(qids)),
+                    "cos": sims.T.ravel(),
+                }
+            )
+            out = out[out.query_id != out.neighbor_id]
+            yield out.sort_values(["query_id", "cos"], ascending=[True, False]).groupby(
+                "query_id", as_index=False
+            ).head(k)
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+    )

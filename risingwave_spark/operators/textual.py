@@ -1,0 +1,74 @@
+"""Text-analysis operators for document pipelines: token counting, quality
+scoring, language-ID heuristic, rolling-hash fingerprints.
+
+All pure `pyspark.sql.functions` compositions — vectorized JVM-side,
+whole-stage codegen, no UDFs. Each has a direct SQL rendering so the
+driver's DuckDB oracle can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from risingwave_spark.operators.dedup import normalize_text
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col):
+    """Non-empty whitespace tokens of the normalized text."""
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
+
+
+def token_count(col):
+    return F.size(tokens(col))
+
+
+def alpha_ratio(col):
+    """Fraction of characters that are ASCII letters."""
+    return F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) / F.length(col)
+
+
+def avg_token_len(col):
+    t = tokens(col)
+    return F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(t)
+
+
+def quality_score(col):
+    """Composite quality score in [0,1]: alpha ratio, token-length sanity,
+    repetition penalty (distinct/total tokens). Same shape as the
+    heuristic filters used in large-scale web-corpus cleaning."""
+    t = tokens(col)
+    distinct_ratio = F.size(F.array_distinct(t)) / F.size(t)
+    len_score = F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0))
+    return F.round((alpha_ratio(col) + distinct_ratio + len_score) / 3.0, 6)
+
+
+def lang_score(col, markers: list[str]):
+    """Count of marker-word hits among tokens (exact token match)."""
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(marker_arr, x)))
+
+
+def lang_id(col):
+    """Argmax over per-language marker scores; 'und' when all zero."""
+    scores = [(lang, lang_score(col, m)) for lang, m in LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reverse order → earlier languages win ties (deterministic)
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(col):
+    """Content fingerprint of normalized text (md5 — engine-portable)."""
+    return F.md5(normalize_text(col))

@@ -1,1 +1,380 @@
-"""Populated incrementally; see queries/__init__.py."""
+"""LLM-data-pipeline operators over `documents` and `embeddings`
+(the north-star extensions: dedup, similarity search, text analysis,
+multimodal plumbing).
+
+Everything is oracle-checked: the hashes are md5 (engine-portable), the
+cosine is the exact scaled-integer variant (order-independent), the LSH
+banding is replicated in DuckDB SQL via list comprehensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from risingwave_spark.operators import textual
+from risingwave_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_cols,
+    simhash,
+)
+from risingwave_spark.operators.similarity import cosine_exact, cosine_topk_lsh
+from risingwave_spark.queries.registry import register
+from risingwave_spark.queries.util import tables
+
+# DuckDB renderings of the operator library's canonical expressions
+_O_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_O_TOKS = f"list_filter(string_split({_O_NORM}, ' '), x -> x != '')"
+
+
+def _o_shingles(k: int) -> str:
+    return (
+        f"[substr({_O_NORM}, i, {k}) "
+        f"for i in range(1, greatest(length({_O_NORM}) - {k - 1}, 1) + 1)]"
+    )
+
+
+def _o_minhash(i: int, k: int = 5) -> str:
+    return f"list_min(list_transform({_o_shingles(k)}, s -> md5('{i}|' || s)))"
+
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len({_O_TOKS})) AS BIGINT) AS total_tokens,
+       round(CAST(sum(len({_O_TOKS})) AS BIGINT) / count(*), 4) AS avg_tokens,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def llm_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) per language."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("n_tokens", textual.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+SELECT source,
+       count(*) FILTER (WHERE q >= 0.6) AS n_good,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(round(q*1000000,0) AS BIGINT)) AS BIGINT)/1000000.0 / count(*), 4) AS avg_q
+FROM (
+  SELECT source,
+         round((
+           (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+           + (len(list_distinct({_O_TOKS})) / len({_O_TOKS}))
+           + least(
+               (list_aggregate(list_transform({_O_TOKS}, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                / len({_O_TOKS})) / 8.0, 1.0)
+         ) / 3.0, 6) AS q
+  FROM documents
+) s
+GROUP BY source ORDER BY source
+""",
+)
+def llm_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (alpha ratio + repetition + token length),
+    the web-corpus-cleaning filter family."""
+    t = tables(spark, sf_dir)
+    scored = t["documents"].withColumn("q", textual.quality_score(F.col("text")))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("q") >= 0.6, 1)).alias("n_good"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (F.sum(F.round(F.col("q") * 1000000, 0).cast("long")) / 1000000.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_q"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+SELECT lang, pred, count(*) AS n FROM (
+  SELECT lang,
+         CASE
+           WHEN s_en = best AND best > 0 THEN 'en'
+           WHEN s_de = best AND best > 0 THEN 'de'
+           WHEN s_es = best AND best > 0 THEN 'es'
+           WHEN s_fr = best AND best > 0 THEN 'fr'
+           ELSE 'und' END AS pred
+  FROM (
+    SELECT lang,
+           len(list_filter({_O_TOKS}, x -> list_contains(['the','and','of','to','in'], x))) AS s_en,
+           len(list_filter({_O_TOKS}, x -> list_contains(['der','die','und','nicht','das'], x))) AS s_de,
+           len(list_filter({_O_TOKS}, x -> list_contains(['el','la','de','que','y'], x))) AS s_es,
+           len(list_filter({_O_TOKS}, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+           greatest(
+             len(list_filter({_O_TOKS}, x -> list_contains(['the','and','of','to','in'], x))),
+             len(list_filter({_O_TOKS}, x -> list_contains(['der','die','und','nicht','das'], x))),
+             len(list_filter({_O_TOKS}, x -> list_contains(['el','la','de','que','y'], x))),
+             len(list_filter({_O_TOKS}, x -> list_contains(['le','la','et','les','des'], x)))
+           ) AS best
+    FROM documents
+  ) sc
+) p
+GROUP BY lang, pred ORDER BY lang, pred
+""",
+)
+def llm_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword-marker argmax) confusion counts."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("pred", textual.lang_id(F.col("text")))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+@register(
+    "llm_exact_dedup",
+    oracle=f"""
+SELECT count(*) AS n_groups,
+       CAST(sum(dup_count) AS BIGINT) AS n_docs,
+       count(*) FILTER (WHERE dup_count > 1) AS n_dup_groups
+FROM (
+  SELECT md5({_O_NORM}) AS fp, min(doc_id) AS doc_id, count(*) AS dup_count
+  FROM documents GROUP BY 1
+) g
+""",
+)
+def llm_exact_dedup(spark, sf_dir):
+    """Exact dedup via normalized-text fingerprint (hash-groupBy)."""
+    t = tables(spark, sf_dir)
+    groups = exact_dedup(t["documents"], "text", "doc_id")
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("dup_count").alias("n_docs"),
+        F.count(F.when(F.col("dup_count") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+def _o_band(b: int, rows_per_band: int) -> str:
+    parts = " || '|' || ".join(_o_minhash(b * rows_per_band + r) for r in range(rows_per_band))
+    return f"md5({parts})"
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id AS doc,
+         {_o_band(0, 2)} AS band0, {_o_band(1, 2)} AS band1,
+         {_o_band(2, 2)} AS band2, {_o_band(3, 2)} AS band3
+  FROM documents
+),
+stacked AS (
+  SELECT doc, 0 AS band_idx, band0 AS band_hash FROM sig
+  UNION ALL SELECT doc, 1, band1 FROM sig
+  UNION ALL SELECT doc, 2, band2 FROM sig
+  UNION ALL SELECT doc, 3, band3 FROM sig
+)
+SELECT DISTINCT x.doc AS a, y.doc AS b
+FROM stacked x JOIN stacked y
+  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc < y.doc
+ORDER BY a, b
+""",
+)
+def llm_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (8 hashes, 4 bands × 2 rows):
+    shingle → minhash → band → bucket self-join (operators/dedup.py)."""
+    t = tables(spark, sf_dir)
+    return lsh_candidate_pairs(
+        t["documents"], "doc_id", "text", num_hashes=8, bands=4, k=5
+    ).orderBy("a", "b")
+
+
+@register(
+    "llm_jaccard_neardup",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id AS doc,
+         {_o_band(0, 2)} AS band0, {_o_band(1, 2)} AS band1,
+         {_o_band(2, 2)} AS band2, {_o_band(3, 2)} AS band3
+  FROM documents
+),
+stacked AS (
+  SELECT doc, 0 AS band_idx, band0 AS band_hash FROM sig
+  UNION ALL SELECT doc, 1, band1 FROM sig
+  UNION ALL SELECT doc, 2, band2 FROM sig
+  UNION ALL SELECT doc, 3, band3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM stacked x JOIN stacked y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc < y.doc
+),
+grams AS (SELECT doc_id, list_distinct({_o_shingles(3)}) AS g FROM documents)
+SELECT a, b,
+       CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS inter,
+       round(len(list_intersect(ga.g, gb.g)) /
+             (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 6) AS jaccard
+FROM cand JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id
+WHERE len(list_intersect(ga.g, gb.g)) /
+      (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.3
+ORDER BY a, b
+""",
+)
+def llm_jaccard_neardup(spark, sf_dir):
+    """n-gram Jaccard verification of LSH candidates (≥ 0.3)."""
+    t = tables(spark, sf_dir)
+    cand = lsh_candidate_pairs(t["documents"], "doc_id", "text", num_hashes=8, bands=4, k=5)
+    scored = jaccard_pairs(cand, t["documents"], "doc_id", "text", n=3)
+    return (
+        scored.filter(F.col("jaccard") >= 0.3)
+        .select("a", "b", F.col("inter").cast("long").alias("inter"), F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def _o_simhash(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    recon = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM documents, unnest({_O_TOKS}) t(tok)
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+@register("llm_simhash", oracle=_o_simhash(16))
+def llm_simhash(spark, sf_dir):
+    """SimHash document fingerprints (16-bit, md5-derived token bits)."""
+    t = tables(spark, sf_dir)
+    return simhash(t["documents"], "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+def _o_cos(a: str, b: str) -> str:
+    scale = 1 << 20
+    si = lambda v: f"list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))"  # noqa: E731
+    return (
+        f"(CAST(list_aggregate(list_transform(range(1, 65), i -> {si(a)}[i] * {si(b)}[i]), 'sum') AS DOUBLE)"
+        f" / sqrt(CAST(list_aggregate(list_transform({si(a)}, x -> x*x), 'sum') AS DOUBLE)"
+        f" * CAST(list_aggregate(list_transform({si(b)}, x -> x*x), 'sum') AS DOUBLE)))"
+    )
+
+
+@register(
+    "llm_cosine_topk",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_o_cos('q.embedding', 'c.embedding')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({_o_cos('q.embedding', 'c.embedding')}, 6) DESC, c.vec_id
+         ) AS rk
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+) t WHERE rk <= 3 ORDER BY query_id, neighbor_id
+""",
+)
+def llm_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (exact baseline).
+
+    Cosine uses 2^20-scaled integer sums → bit-identical cross-engine.
+    The LSH-bucketed ANN scale path is tested in tests/test_operators.py.
+    """
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_exact(F.col("qv"), F.col("cv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "llm_embedding_stats",
+    oracle=f"""
+SELECT label, count(*) AS n,
+       round(CAST(sum(CAST(round(sqrt(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum') AS DOUBLE))*1000000,0) AS BIGINT)) AS BIGINT)/1000000.0 / count(*), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def llm_embedding_stats(spark, sf_dir):
+    """Per-label embedding norms (array HOFs; float32→float64 exact)."""
+    t = tables(spark, sf_dir)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm_micro = F.round(F.sqrt(sq) * 1000000, 0).cast("long")
+    return (
+        t["embeddings"]
+        .withColumn("nm", norm_micro)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round((F.sum("nm") / 1000000.0) / F.count(F.lit(1)), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+SELECT source,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_distinct
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat payloads as opaque binary columns with
+    typed metadata (here text→bytes stands in for image/audio blobs; the
+    decode UDFs are stubbed in operators/multimodal.py)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("payload", F.col("text").cast("binary"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
