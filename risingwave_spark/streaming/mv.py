@@ -1,0 +1,193 @@
+"""Materialized-view runtime: incrementally-maintained query results over
+changelog streams — the reference's core product, re-expressed on Spark.
+
+Reference semantics being reproduced (SURVEY.md §1.2, §2.2):
+- StreamChunk ops: every row carries Op ∈ {Insert, Delete, ...}
+  (`src/common/src/array/stream_chunk.rs:45-50`). Here: an `__op` column
+  (+1 insert / -1 delete). UpdateDelete/UpdateInsert = a -1/+1 pair.
+- Materialize executor (`src/stream/src/executor/mview/materialize.rs:45`):
+  the MV table is upserted per epoch. Here: per micro-batch, a new parquet
+  snapshot version with an atomic pointer swap (Delta MERGE stand-in; the
+  container has no Delta jars).
+- HashAgg with retraction (`src/stream/src/executor/hash_agg.rs:64`):
+  value-state aggs (count/sum) fold deltas directly; MaterializedInput
+  aggs (min/max) need the input rows of affected groups
+  (`aggregation/minput.rs`) — we keep a values-state table and re-aggregate
+  ONLY the groups touched by the batch.
+
+Scale posture: all per-batch work is bounded by the touched groups
+(semi-join on affected keys), state tables are key-partitioned parquet,
+and every operation is a DataFrame plan — no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OP_COL = "__op"
+
+
+def with_ops(df: DataFrame, op: int = 1) -> DataFrame:
+    """Tag a DataFrame as a changelog chunk (op=+1 insert, -1 delete)."""
+    return df.withColumn(OP_COL, F.lit(op))
+
+
+class _VersionedTable:
+    """Parquet-backed state table with atomic version swap.
+
+    Stand-in for a Delta table: writes go to `<dir>/v{n}`, the `CURRENT`
+    pointer file flips only after a successful write (crash → previous
+    version stays live, matching the reference's epoch-commit semantics,
+    `docs/dev/src/design/checkpoint.md`).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._version = self._read_pointer()
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _read_pointer(self) -> int:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def exists(self) -> bool:
+        return self._version >= 0
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, f"v{self._version}"))
+
+    def write(self, df: DataFrame, partition_by: list[str] | None = None):
+        nxt = self._version + 1
+        out = os.path.join(self.path, f"v{nxt}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._pointer())
+        old = self._version
+        self._version = nxt
+        if old >= 0:
+            shutil.rmtree(os.path.join(self.path, f"v{old}"), ignore_errors=True)
+
+
+class MaterializedGroupAgg:
+    """Incrementally-maintained `GROUP BY keys` aggregate MV with full
+    retraction support (insert AND delete inputs).
+
+    agg spec: count per group plus, per value column: sum / min / max / avg.
+    Strategy per batch (the reference's HashAgg + minput pattern):
+      1. fold the batch into the values-state table (append inserts,
+         anti-join out deletes by row id);
+      2. affected = distinct keys in the batch;
+      3. re-aggregate values-state ⋉ affected;
+      4. new MV = old MV minus affected ∪ recomputed (groups whose count
+         drops to 0 disappear — the reference emits a Delete for those).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        row_id: str,
+        value_col: str,
+    ):
+        self.spark = spark
+        self.keys = keys
+        self.row_id = row_id
+        self.value_col = value_col
+        self.values = _VersionedTable(spark, os.path.join(state_dir, "values"))
+        self.mv = _VersionedTable(spark, os.path.join(state_dir, "mv"))
+
+    def _aggregate(self, rows: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return rows.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.round(v * 10000, 0).cast("long")) / 10000.0).alias("total"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        """Fold one changelog chunk (needs an __op column) into the MV."""
+        cols = [c for c in batch.columns if c != OP_COL]
+        inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
+        deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+
+        if self.values.exists():
+            state = self.values.read()
+            new_state = state.join(
+                deletes.select(self.row_id), on=self.row_id, how="left_anti"
+            ).unionByName(inserts)
+        else:
+            new_state = inserts
+        # localCheckpoint: cut the lineage so state doesn't re-read every
+        # prior version; on a cluster this is the Delta-table write point.
+        self.values.write(new_state)
+
+        affected = batch.select(*self.keys).distinct()
+        recomputed = self._aggregate(
+            self.values.read().join(affected, on=self.keys, how="left_semi")
+        )
+        if self.mv.exists():
+            untouched = self.mv.read().join(affected, on=self.keys, how="left_anti")
+            new_mv = untouched.unionByName(recomputed)
+        else:
+            new_mv = recomputed
+        self.mv.write(new_mv)
+
+    def result(self) -> DataFrame:
+        return self.mv.read()
+
+
+def run_changelog(
+    spark: SparkSession,
+    state_dir: str,
+    batches: list[DataFrame],
+    keys: list[str],
+    row_id: str,
+    value_col: str,
+) -> DataFrame:
+    """Drive a MaterializedGroupAgg over a sequence of changelog chunks
+    (the test/driver entry for snapshot-equivalence checks)."""
+    mv = MaterializedGroupAgg(spark, state_dir, keys, row_id, value_col)
+    for b in batches:
+        mv.apply_batch(b)
+    return mv.result()
+
+
+def stream_to_mv(
+    source: DataFrame,
+    mv: MaterializedGroupAgg,
+    checkpoint_dir: str,
+    query_name: str = "mv_stream",
+):
+    """Attach the MV to a streaming source: each micro-batch becomes an
+    insert-only changelog chunk (retractions arrive via CDC-style sources
+    that carry their own op column — pass them through unchanged)."""
+
+    def sink(batch_df: DataFrame, _batch_id: int):
+        if OP_COL not in batch_df.columns:
+            batch_df = with_ops(batch_df, 1)
+        mv.apply_batch(batch_df)
+
+    return (
+        source.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

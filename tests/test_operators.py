@@ -1,0 +1,83 @@
+"""Unit tests for the custom operator library (as-of strategies agree,
+LSH recall vs brute force, multimodal plumbing, numpy ANN variant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from risingwave_spark.operators.asof import asof_join_backward, asof_join_merge
+from risingwave_spark.operators.multimodal import decode_meta, frame_sample_stub, resize_stub
+from risingwave_spark.operators.similarity import cosine_topk, cosine_topk_numpy
+from risingwave_spark.queries.util import tables
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def t(spark):
+    return tables(spark, SF_DIR)
+
+
+def test_asof_strategies_agree(spark, t):
+    """union-window and merge_asof strategies must produce identical
+    matches (same keys, ts, payload)."""
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    a = asof_join_backward(purchases, clicks, "user_id", "c_user", "ts", "c_ts", ["click_id"])
+    b = asof_join_merge(purchases, clicks, "user_id", "c_user", "ts", "c_ts", ["click_id"])
+    assert _rows(a) == _rows(b)
+
+
+def test_asof_left_keeps_unmatched(spark, t):
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    # clicks restricted to a few users → other purchases must survive with null payload
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 5))
+        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    left = asof_join_backward(
+        purchases, clicks, "user_id", "c_user", "ts", "c_ts", ["click_id"], how="left"
+    )
+    assert left.count() == purchases.count()
+    assert left.filter(F.col("click_id").isNull()).count() > 0
+
+
+def test_numpy_topk_matches_hof(spark, t):
+    """The GEMM (mapInPandas) ANN path must agree with the JVM HOF path on
+    float cosine ranking (modulo float rounding → compare id sets)."""
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 3)
+    hof = cosine_topk(e, q, k=3, round_digits=4)
+    qrows = [(r.vec_id, r.embedding) for r in q.collect()]
+    gemm = cosine_topk_numpy(e, qrows, k=3)
+    assert sorted((r.query_id, r.neighbor_id) for r in hof.collect()) == sorted(
+        (r.query_id, r.neighbor_id) for r in gemm.collect()
+    )
+
+
+def test_multimodal_plumbing(spark, t):
+    docs = t["documents"].limit(50).withColumn("payload", F.col("text").cast("binary"))
+    meta = decode_meta(docs)
+    assert meta.count() == 50
+    r = meta.select("meta.n_bytes", "meta.checksum", "meta.width").first()
+    assert r["n_bytes"] > 0 and len(r["checksum"]) == 32 and 0 <= r["width"] < 4096
+
+    rs = resize_stub(docs, "doc_id", "payload", 224, 224)
+    assert rs.filter((F.col("target_w") == 224) & (F.col("target_h") == 224)).count() == 50
+
+    fr = frame_sample_stub(docs, "doc_id", "payload", max_frames=3)
+    per = fr.groupBy("doc_id").count()
+    assert per.agg(F.max("count")).first()[0] <= 3
+    assert fr.select(F.octet_length("frame").alias("n")).distinct().first().n == 16

@@ -1,0 +1,203 @@
+"""Streaming runtime tests: MV incremental maintenance (snapshot
+equivalence, the reference's `nexmark_snapshot.slt` pattern), retractions,
+and real Structured Streaming (tumble window, dedup, session window,
+watermark append mode)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from risingwave_spark.queries.util import tables
+from risingwave_spark.streaming.mv import MaterializedGroupAgg, run_changelog, with_ops
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events(spark):
+    return tables(spark, SF_DIR)["events"]
+
+
+def _batch_expected(ev):
+    v = F.col("value")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(F.round(v * 10000, 0).cast("long")) / 10000.0).alias("total"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_mv_snapshot_equivalence(spark, events):
+    """Incremental (3 chunks) == one-shot batch (reference
+    e2e_test/streaming/nexmark_snapshot.slt pattern)."""
+    chunks = [
+        with_ops(events.filter(F.col("event_id") % 3 == i), 1) for i in range(3)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        got = run_changelog(spark, d, chunks, ["user_id"], "event_id", "value")
+        assert _rows(got) == _rows(_batch_expected(events))
+
+
+def test_mv_retraction(spark, events):
+    """Deletes retract correctly, including min/max (MaterializedInput
+    aggs) and group disappearance on count→0."""
+    ins = with_ops(events, 1)
+    # delete all 'error' events and ALL rows of user 7 (group must vanish)
+    to_delete = events.filter((F.col("event_type") == "error") | (F.col("user_id") == 7))
+    dels = with_ops(to_delete, -1)
+    remaining = events.join(
+        to_delete.select("event_id"), on="event_id", how="left_anti"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        got = run_changelog(spark, d, [ins, dels], ["user_id"], "event_id", "value")
+        assert _rows(got) == _rows(_batch_expected(remaining))
+        assert got.filter(F.col("user_id") == 7).count() == 0
+
+
+def test_mv_update_pair(spark, events):
+    """UpdateDelete/UpdateInsert pair: moving a row between groups."""
+    row = events.filter(F.col("event_id") == 1)
+    upd_del = with_ops(row, -1)
+    upd_ins = with_ops(row.withColumn("user_id", F.lit(999).cast("long")), 1)
+    with tempfile.TemporaryDirectory() as d:
+        got = run_changelog(
+            spark, d,
+            [with_ops(events, 1), upd_del.unionByName(upd_ins)],
+            ["user_id"], "event_id", "value",
+        )
+        moved = events.withColumn(
+            "user_id",
+            F.when(F.col("event_id") == 1, F.lit(999).cast("long")).otherwise(F.col("user_id")),
+        )
+        assert _rows(got) == _rows(_batch_expected(moved))
+        assert got.filter(F.col("user_id") == 999).count() == 1
+
+
+def _event_stream(spark):
+    """events as a bounded streaming source (schema from the batch read;
+    ts arrives as ns-longs per the catalog convention)."""
+    path = os.path.join(SF_DIR, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # file streaming source wants a directory: point at sf_dir, glob one file
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_stream_tumble_complete(spark, events):
+    """Structured Streaming hourly tumble agg (complete mode) == batch."""
+    sdf = _event_stream(spark)
+    agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_tumble")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT w.start AS ws, event_type, n FROM t_tumble")
+    exp = events.groupBy(
+        F.date_trunc("hour", "ts").alias("ws"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_dedup(spark, events):
+    """Streaming dropDuplicates (reference AppendOnlyDedup)."""
+    sdf = _event_stream(spark)
+    q = (
+        sdf.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_type, n FROM t_dedup")
+    exp = events.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_eowc_append(spark, events):
+    """Emit-on-window-close: append mode + watermark emits only closed
+    windows (reference EOWC, `over_window/eowc.rs:88`, sort.rs). With a
+    bounded source the final windows stay open → append emits a strict
+    subset of the complete-mode result."""
+    sdf = _event_stream(spark)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_eowc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT w.start AS ws, n FROM t_eowc")
+    full = events.groupBy(F.date_trunc("hour", "ts").alias("ws")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    em = {r.ws: r.n for r in emitted.collect()}
+    fl = {r.ws: r.n for r in full.collect()}
+    # every emitted window is final and matches the batch count
+    assert all(fl[k] == v for k, v in em.items())
+    # the last (unclosed) window must NOT have been emitted
+    assert len(em) < len(fl)
+
+
+def test_stream_session_window(spark, events):
+    """session_window grouping (reference SESSION frames, session.rs:42)."""
+    sdf = _event_stream(spark)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events FROM t_sess GROUP BY user_id")
+    # cross-check session count against the batch lag/gap sessionization
+    from risingwave_spark.queries import QUERIES
+
+    exp = QUERIES["ev_session_agg"](spark, SF_DIR)
+    assert _rows(got.select("user_id", "n_sessions", "n_events")) == _rows(
+        exp.select("user_id", "n_sessions", F.col("n_events").cast("long"))
+    )
