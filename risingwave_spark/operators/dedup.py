@@ -42,84 +42,147 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# MinHash universe: h_i(s) = (A_i * (base(s) mod P) + B_i) mod P over the
+# 60-bit md5-prefix integer base(s). One md5 per shingle; the i-th hash is
+# derived arithmetically (classic affine MinHash), so adding hash functions
+# is ~free. Constants are fixed so the DuckDB oracle can replicate exactly.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_a(i: int) -> int:
+    return (i * 2654435761 + 12345) % MINHASH_P | 1
+
+
+def minhash_b(i: int) -> int:
+    return (i * 40503 + 17) % MINHASH_P
+
+
 def shingles(col, k: int = 5):
-    """Character k-shingle array of the normalized text (map-side HOF)."""
-    norm = normalize_text(col)
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    """Character k-shingle array of the normalized text (map-side HOF).
 
-
-def minhash_cols(col, num_hashes: int = 8, k: int = 5):
-    """MinHash signature as `num_hashes` columns.
-
-    h_i(doc) = min over shingles s of md5(i || s) — the min is taken
-    lexicographically over hex strings, which is deterministic and
-    engine-portable (no integer conversion needed).
+    NB: `col` should be an already-materialized normalized-text COLUMN,
+    not an inline expression — Catalyst substitutes single-use aliases
+    into the transform lambda, re-evaluating them once per array element
+    (measured 8x slowdown with an inline regexp). Use `with_shingles`.
     """
-    sh = shingles(col, k)
+    n = F.greatest(F.length(col) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k)))
 
-    def hasher(seed: int):
-        # NB: keep the lambda single-arg — F.transform treats a 2-arg
-        # lambda as (element, index) and would clobber a default arg.
-        prefix = f"{seed}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    return [
-        F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}") for i in range(num_hashes)
+def with_shingles(df: DataFrame, text_col: str, k: int, out: str = "__sh") -> DataFrame:
+    """Stage normalize → shingle as separate projections.
+
+    The `__norm` alias is referenced twice downstream (length bound +
+    lambda body), which stops CollapseProject from inlining the regexp
+    back into the per-element lambda — it is evaluated once per row.
+    """
+    d = df.withColumn("__norm", normalize_text(F.col(text_col)))
+    return d.withColumn(out, shingles(F.col("__norm"), k)).drop("__norm")
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """(doc, mh0..mhN-1) MinHash signature table.
+
+    Plan shape: project(norm) → project(shingle array) → project(one md5
+    base per shingle) → N array_min affine transforms. Each stage's alias
+    is multi-referenced so it stays a materialized column (one evaluation
+    per row, whole-stage-codegen'd, zero shuffles).
+    """
+    d = with_shingles(df.select(F.col(id_col).alias("doc"), text_col), text_col, k)
+    base = F.transform(
+        "__sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+    d = d.withColumn("__base", base)
+    def affine(a: int, b: int):
+        # single-arg lambda only: F.transform treats a 2-arg lambda as
+        # (element, index) and would clobber a bound default arg
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    mh = [
+        F.array_min(F.transform("__base", affine(minhash_a(i), minhash_b(i)))).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
+    return d.select("doc", *mh)
 
 
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     k: int = 5,
+    max_bucket: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: docs sharing any band of the signature become a
     candidate pair (a < b). Returns distinct (a, b).
 
-    Reference analog: the dedup family the training-data north star asks
-    for; in RisingWave terms this is a groupBy-join pipeline, no special
-    executor. rows-per-band = num_hashes/bands.
+    Scale design (the part that must survive 100 TB):
+    - signatures are map-side only; `num_partitions` repartitions the raw
+      docs first so hashing parallelizes even from a single input file;
+    - ONE shuffle: groupBy (band_idx, band_hash) buckets; pairs are
+      generated per bucket with array HOFs (no self-join, no broadcast,
+      no second signature evaluation);
+    - degenerate buckets are the skew risk — `max_bucket` drops buckets
+      with more than that many docs (standard LSH practice: a bucket
+      that big is a stop-phrase collision, not near-duplication).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("doc"), *minhash_cols(F.col(text_col), num_hashes, k))
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
+    sig = minhash_signature(df, id_col, text_col, num_hashes, k)
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-            f"band{b}"
-        )
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select("doc", *band_cols)
-    # long-form: (band_idx, band_hash, doc)
     stacked = banded.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
-                    )
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
                     for b in range(bands)
                 ]
             )
         ).alias("z"),
     ).select("doc", F.col("z.band_idx").alias("band_idx"), F.col("z.band_hash").alias("band_hash"))
-    a = stacked.select(F.col("band_idx"), F.col("band_hash"), F.col("doc").alias("a"))
-    b = stacked.select(F.col("band_idx"), F.col("band_hash"), F.col("doc").alias("b"))
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    buckets = stacked.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
     )
+    buckets = buckets.filter(F.size("docs") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    # all ordered pairs within a bucket: for i<j emit (docs[i], docs[j])
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice("docs", i + 2, F.size("docs")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.distinct()
 
 
 def ngram_set(col, n: int = 3):
-    """Distinct character n-gram array (for Jaccard)."""
-    return F.array_distinct(shingles(col, n))
+    """Distinct character n-gram array (for Jaccard).
+
+    Convenience single-expression form; in hot paths prefer
+    `with_shingles` + `array_distinct` so the normalization isn't
+    re-evaluated per element (see `shingles` docstring).
+    """
+    return F.array_distinct(shingles(normalize_text(col), n))
 
 
 def jaccard_pairs(
@@ -130,7 +193,9 @@ def jaccard_pairs(
     Joins the (small) candidate set against doc texts twice; the heavy
     set-intersection runs as JVM HOFs on the joined rows.
     """
-    g = docs.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("__grams"))
+    g = with_shingles(docs.select(F.col(id_col), text_col), text_col, n).select(
+        F.col(id_col), F.array_distinct("__sh").alias("__grams")
+    )
     out = (
         pairs.join(g.select(F.col(id_col).alias("a"), F.col("__grams").alias("ga")), "a")
         .join(g.select(F.col(id_col).alias("b"), F.col("__grams").alias("gb")), "b")

@@ -17,8 +17,10 @@ from risingwave_spark.operators.dedup import (
     fingerprint,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_cols,
+    minhash_a,
+    minhash_b,
     simhash,
+    MINHASH_P,
 )
 from risingwave_spark.operators.similarity import cosine_exact, cosine_topk_lsh
 from risingwave_spark.queries.registry import register
@@ -37,7 +39,13 @@ def _o_shingles(k: int) -> str:
 
 
 def _o_minhash(i: int, k: int = 5) -> str:
-    return f"list_min(list_transform({_o_shingles(k)}, s -> md5('{i}|' || s)))"
+    # mirrors operators/dedup.py minhash_signature: one md5 base per
+    # shingle, i-th hash derived affinely mod 2^31-1
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
+    return (
+        f"list_min(list_transform({_o_shingles(k)}, "
+        f"s -> ({minhash_a(i)} * {base} + {minhash_b(i)}) % {MINHASH_P}))"
+    )
 
 
 @register(
@@ -174,7 +182,9 @@ def llm_exact_dedup(spark, sf_dir):
 
 
 def _o_band(b: int, rows_per_band: int) -> str:
-    parts = " || '|' || ".join(_o_minhash(b * rows_per_band + r) for r in range(rows_per_band))
+    parts = " || '|' || ".join(
+        f"CAST({_o_minhash(b * rows_per_band + r)} AS VARCHAR)" for r in range(rows_per_band)
+    )
     return f"md5({parts})"
 
 
@@ -183,8 +193,8 @@ def _o_band(b: int, rows_per_band: int) -> str:
     oracle=f"""
 WITH sig AS (
   SELECT doc_id AS doc,
-         {_o_band(0, 2)} AS band0, {_o_band(1, 2)} AS band1,
-         {_o_band(2, 2)} AS band2, {_o_band(3, 2)} AS band3
+         {_o_band(0, 4)} AS band0, {_o_band(1, 4)} AS band1,
+         {_o_band(2, 4)} AS band2, {_o_band(3, 4)} AS band3
   FROM documents
 ),
 stacked AS (
@@ -200,11 +210,14 @@ ORDER BY a, b
 """,
 )
 def llm_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (8 hashes, 4 bands × 2 rows):
-    shingle → minhash → band → bucket self-join (operators/dedup.py)."""
+    """MinHash+LSH near-dup candidate pairs (16 hashes, 4 bands × 4 rows,
+    similarity threshold ≈ (1/4)^(1/4) ≈ 0.71): shingle → affine minhash →
+    band → bucket-combination pairs (operators/dedup.py — single shuffle,
+    no self-join, skew-cappable via max_bucket)."""
     t = tables(spark, sf_dir)
     return lsh_candidate_pairs(
-        t["documents"], "doc_id", "text", num_hashes=8, bands=4, k=5
+        t["documents"], "doc_id", "text", num_hashes=16, bands=4, k=5,
+        num_partitions=spark.sparkContext.defaultParallelism,
     ).orderBy("a", "b")
 
 
@@ -213,8 +226,8 @@ def llm_minhash_lsh(spark, sf_dir):
     oracle=f"""
 WITH sig AS (
   SELECT doc_id AS doc,
-         {_o_band(0, 2)} AS band0, {_o_band(1, 2)} AS band1,
-         {_o_band(2, 2)} AS band2, {_o_band(3, 2)} AS band3
+         {_o_band(0, 4)} AS band0, {_o_band(1, 4)} AS band1,
+         {_o_band(2, 4)} AS band2, {_o_band(3, 4)} AS band3
   FROM documents
 ),
 stacked AS (
@@ -242,7 +255,10 @@ ORDER BY a, b
 def llm_jaccard_neardup(spark, sf_dir):
     """n-gram Jaccard verification of LSH candidates (≥ 0.3)."""
     t = tables(spark, sf_dir)
-    cand = lsh_candidate_pairs(t["documents"], "doc_id", "text", num_hashes=8, bands=4, k=5)
+    cand = lsh_candidate_pairs(
+        t["documents"], "doc_id", "text", num_hashes=16, bands=4, k=5,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     scored = jaccard_pairs(cand, t["documents"], "doc_id", "text", n=3)
     return (
         scored.filter(F.col("jaccard") >= 0.3)
