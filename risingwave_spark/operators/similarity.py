@@ -47,17 +47,43 @@ def _scaled(a):
     return F.transform(a, lambda x: F.round(x.cast("double") * _SCALE, 0).cast("long"))
 
 
+def _isum(arr):
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def cosine_exact(a, b):
     """Bit-deterministic cosine: dot and squared norms are exact integer
     sums of 2^20-scaled elements (order-independent), then one double
     division — identical across engines/partitionings. Used where results
-    are hash-compared; `cosine` (pure float) is the production fast path."""
+    are hash-compared; `cosine` (pure float) is the production fast path.
+
+    NB: inline form — evaluates scaling + BOTH norms per invocation. In
+    join hot paths use `scaled_with_sqnorm` + `cosine_prescaled` so each
+    side's scaling/norm is computed once per VECTOR, not once per PAIR.
+    """
     ai, bi = _scaled(a), _scaled(b)
-    isum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)  # noqa: E731
-    d = isum(F.zip_with(ai, bi, lambda x, y: x * y)).cast("double")
-    na = isum(F.transform(ai, lambda x: x * x)).cast("double")
-    nb = isum(F.transform(bi, lambda x: x * x)).cast("double")
+    d = _isum(F.zip_with(ai, bi, lambda x, y: x * y)).cast("double")
+    na = _isum(F.transform(ai, lambda x: x * x)).cast("double")
+    nb = _isum(F.transform(bi, lambda x: x * x)).cast("double")
     return d / F.sqrt(na * nb)
+
+
+def scaled_with_sqnorm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, scaled vector, squared norm) — the map-side prep for pairwise
+    cosine. At 100 TB this runs once per vector before any join/shuffle,
+    leaving only the O(dims) dot product as per-pair work."""
+    d = df.select(
+        F.col(id_col).alias(f"{prefix}_id"), _scaled(F.col(vec_col)).alias(f"{prefix}_vec")
+    )
+    return d.withColumn(
+        f"{prefix}_sq", _isum(F.transform(f"{prefix}_vec", lambda x: x * x))
+    )
+
+
+def cosine_prescaled(avec, bvec, asq, bsq):
+    """Cosine from pre-scaled vectors + precomputed squared norms."""
+    d = _isum(F.zip_with(avec, bvec, lambda x, y: x * y)).cast("double")
+    return d / F.sqrt(asq.cast("double") * bsq.cast("double"))
 
 
 def cosine_topk(

@@ -318,19 +318,27 @@ def llm_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search (exact baseline).
 
     Cosine uses 2^20-scaled integer sums → bit-identical cross-engine.
-    The LSH-bucketed ANN scale path is tested in tests/test_operators.py.
+    Scaling + squared norms are computed once per VECTOR map-side
+    (scaled_with_sqnorm); the broadcast non-equi join leaves only the dot
+    product as per-pair work. The LSH-bucketed ANN scale path is tested in
+    tests/test_operators.py.
     """
     t = tables(spark, sf_dir)
     from pyspark.sql import Window as W
 
+    from risingwave_spark.operators.similarity import cosine_prescaled, scaled_with_sqnorm
+
     e = t["embeddings"]
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_exact(F.col("qv"), F.col("cv")), 6))
+    q = scaled_with_sqnorm(e.filter(F.col("vec_id") < 5), "vec_id", "embedding", "query")
+    c = scaled_with_sqnorm(e, "vec_id", "embedding", "neighbor")
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos",
+        F.round(
+            cosine_prescaled(
+                F.col("query_vec"), F.col("neighbor_vec"), F.col("query_sq"), F.col("neighbor_sq")
+            ),
+            6,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
