@@ -638,3 +638,257 @@ def tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS ps_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT ps.l_partkey AS partkey, ps.ps_cost, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON ps.l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part JOIN eu ON p_partkey = eu.partkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+  AND ps_cost = (SELECT min(e2.ps_cost) FROM eu e2 WHERE e2.partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (adapted: unit price over lineitem stands in
+    for partsupp.ps_supplycost — the driver schema has no partsupp).
+
+    Plan shape parity with reference q2: multi-way join + correlated
+    scalar-subquery-on-aggregate (MaxOneRow, `max_one_row.rs:23`),
+    realized as a per-part min re-join. region/nation are broadcast.
+    """
+    t = tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost"))
+    )
+    eu = (
+        ps.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("l_partkey").alias("partkey"), "ps_cost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eu.groupBy("partkey").agg(F.min("ps_cost").alias("min_cost"))
+    return (
+        t["part"]
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .join(eu, F.col("p_partkey") == F.col("partkey"))
+        .join(min_cost, "partkey")
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+SELECT o_year,
+       round({o_msum("CASE WHEN sup_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {o_msum('volume')}, 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS sup_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) v
+GROUP BY o_year ORDER BY o_year
+""",
+)
+def tpch_q8(spark, sf_dir):
+    """National market share: 8-way join, conditional-agg ratio per year.
+
+    Parity: the deepest join tree in the reference suite (join-order
+    rules `merge_multijoin_rule.rs`); here Catalyst/AQE order it.
+    Both msum legs are exact-cents, so the ratio is deterministic.
+    """
+    t = tables(spark, sf_dir)
+    v = (
+        t["part"]
+        .filter(F.col("p_type") == "ECONOMY")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("sup_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (_rev()).alias("volume"),
+            "sup_nation",
+        )
+    )
+    return (
+        v.groupBy("o_year")
+        .agg(
+            F.round(
+                msum(F.when(F.col("sup_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / msum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+WITH natps AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey AS ps_partkey, {o_msum('val')} AS part_value
+FROM natps
+GROUP BY l_partkey
+HAVING {o_msum('val')} > (SELECT {o_msum('val')} * 0.0001 FROM natps)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def tpch_q11(spark, sf_dir):
+    """Important stock (adapted: l_extendedprice*l_quantity stands in for
+    ps_supplycost*ps_availqty): group agg filtered against a global scalar
+    aggregate — the reference plans this as a DynamicFilter
+    (`dynamic_filter.rs:39`); here a broadcast 1-row crossJoin.
+    """
+    t = tables(spark, sf_dir)
+    natps = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    per_part = natps.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        msum("val").alias("part_value")
+    )
+    total = natps.agg((msum("val") * 0.0001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping-mode priority (adapted: l_returnflag stands in for
+    l_shipmode; the driver schema has no shipmode/commitdate).
+    Join + conditional counts — map-side partial agg keeps the shuffle at
+    group-key cardinality.
+    """
+    t = tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(
+                (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark, sf_dir):
+    """Supplier counts by part attributes (adapted: negative account
+    balance stands in for the 'Customer Complaints' supplier exclusion).
+
+    Parity: NOT IN → anti join (`join/mod.rs:38-54` left anti) + distinct
+    aggregation (`aggregation/distinct.rs:31`).
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
