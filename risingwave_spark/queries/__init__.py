@@ -11,6 +11,7 @@ from risingwave_spark.queries import relational  # noqa: E402,F401
 from risingwave_spark.queries import window_funcs  # noqa: E402,F401
 from risingwave_spark.queries import aggregates  # noqa: E402,F401
 from risingwave_spark.queries import scalar_funcs  # noqa: E402,F401
+from risingwave_spark.queries import scalar_funcs2  # noqa: E402,F401
 from risingwave_spark.queries import events_stream  # noqa: E402,F401
 from risingwave_spark.queries import llm_pipeline  # noqa: E402,F401
 from risingwave_spark.queries import streaming_queries  # noqa: E402,F401

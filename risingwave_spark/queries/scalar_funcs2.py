@@ -1,0 +1,267 @@
+"""Scalar-function coverage, part 2 — SURVEY.md §2.7 rows not exercised by
+scalar_funcs.py: map functions (reference `scalar/` map files), struct/row
+construct + field access (`field.rs`), interval arithmetic
+(`arithmetic_op.rs` interval impls), encode/decode (`encdec.rs`,
+`string.rs` to_hex), format/pad/translate (`format.rs`, `trim.rs`,
+`translate.rs`), JSON construction (`jsonb_build_array/object`), and the
+`regexp_matches` table function (`table_function/regexp_matches`).
+
+Where DuckDB lacks the constructor (maps, structs are Spark-side
+plumbing), the oracle computes the expected scalar results directly from
+the base columns — the check is still exact value equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from risingwave_spark.queries.registry import register
+from risingwave_spark.queries.util import EVENTS_US, tables
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+SELECT doc_id,
+       lang AS v_lang,
+       CAST(n_chars AS VARCHAR) AS v_chars,
+       3 AS m_len,
+       true AS has_source,
+       'chars,lang,source' AS keys_sorted,
+       source AS v_filtered
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+)
+def fn_map_ops(spark, sf_dir):
+    """Map functions: construct, concat, access, contains, length, keys,
+    filter (reference map_access/map_cat/map_contains/map_length)."""
+    t = tables(spark, sf_dir)
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    m2 = F.map_concat(m, F.create_map(F.lit("chars"), F.col("n_chars").cast("string")))
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.element_at(m2, "lang").alias("v_lang"),
+            F.element_at(m2, "chars").alias("v_chars"),
+            F.size(m2).alias("m_len"),
+            F.map_contains_key(m2, "source").alias("has_source"),
+            F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_sorted"),
+            F.element_at(
+                F.map_filter(m2, lambda k, _v: k == "source"), "source"
+            ).alias("v_filtered"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_struct_ops",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice AS price_field,
+       o_orderstatus AS nested_field,
+       o_orderkey AS arr_elem_key,
+       o_orderpriority AS renamed
+FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey
+""",
+)
+def fn_struct_ops(spark, sf_dir):
+    """Row/struct construct + field access (reference `row` constructor +
+    `field.rs`), incl. nested structs and array-of-struct element access."""
+    t = tables(spark, sf_dir)
+    s = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.struct(F.col("o_orderstatus").alias("st")).alias("nest"),
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 60)
+        .withColumn("s", s)
+        .select(
+            "o_orderkey",
+            F.col("s.price").alias("price_field"),
+            F.col("s.nest.st").alias("nested_field"),
+            F.element_at(F.array(F.col("s")), 1).getField("k").alias("arr_elem_key"),
+            F.col("o_orderpriority").alias("renamed"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_interval",
+    oracle=f"""
+SELECT event_id,
+       ts + INTERVAL 1 DAY AS plus_day,
+       ts - INTERVAL 2 HOUR AS minus_2h,
+       ts + INTERVAL 3 MONTH AS plus_3mo,
+       ts + INTERVAL 90 MINUTE AS plus_90m,
+       CAST(datediff('day', TIMESTAMP '2024-01-01', ts) AS INT) AS days_since
+FROM {EVENTS_US} e WHERE event_id < 100 ORDER BY event_id
+""",
+)
+def fn_interval(spark, sf_dir):
+    """Interval arithmetic on timestamps (reference interval type,
+    `types/interval.rs` + arithmetic): day/hour/month/minute offsets and
+    day difference. Month addition clamps to month end in both engines."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("plus_day"),
+            (F.col("ts") - F.expr("INTERVAL 2 HOUR")).alias("minus_2h"),
+            (F.col("ts") + F.expr("INTERVAL 3 MONTH")).alias("plus_3mo"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+                "days_since"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "fn_encode",
+    oracle="""
+SELECT doc_id,
+       base64(encode(substr(text, 1, 16))) AS b64,
+       substr(text, 1, 24) AS roundtrip,
+       hex(doc_id + 1) AS hx,
+       upper(printf('%x', n_chars)) AS conv16,
+       octet_length(encode(text)) AS n_bytes
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+)
+def fn_encode(spark, sf_dir):
+    """encode/decode family (reference encdec.rs, to_hex): base64 encode,
+    base64 round-trip, integer→hex, decimal→hex conversion, byte length."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.base64(F.substring("text", 1, 16).cast("binary")).alias("b64"),
+            F.decode(
+                F.unbase64(F.base64(F.substring("text", 1, 24).cast("binary"))), "UTF-8"
+            ).alias("roundtrip"),
+            F.hex(F.col("doc_id") + 1).alias("hx"),
+            F.conv(F.col("n_chars").cast("string"), 10, 16).alias("conv16"),
+            F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_format_pad",
+    oracle="""
+SELECT c_custkey,
+       printf('%s#%04d', c_mktsegment, c_custkey % 1000) AS fmt,
+       lpad(c_name, 22, '*') AS lp,
+       rpad(c_name, 22, '.') AS rp,
+       translate(c_name, 'Cu', 'XY') AS tr,
+       repeat('ab', 3) AS rep,
+       reverse(c_name) AS rev,
+       left(c_name, 5) AS l5,
+       right(c_name, 4) AS r4,
+       ascii(substr(c_name, 1, 1)) AS asc_first,
+       chr(65 + CAST(c_custkey % 26 AS INT)) AS chr_k,
+       substr(c_name, 1, 2) || 'ZZ' || substr(c_name, 5) AS ovl,
+       upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS icap
+FROM customer WHERE c_custkey < 40 ORDER BY c_custkey
+""",
+)
+def fn_format_pad(spark, sf_dir):
+    """format/lpad/rpad/translate/repeat/reverse/left/right/ascii/chr/
+    overlay/initcap (reference format.rs, trim.rs, translate.rs,
+    string.rs). DuckDB lacks overlay/initcap → oracle emulates via
+    substr concat, which is their definition."""
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 40)
+        .select(
+            "c_custkey",
+            F.format_string("%s#%04d", F.col("c_mktsegment"), F.col("c_custkey") % 1000).alias(
+                "fmt"
+            ),
+            F.lpad("c_name", 22, "*").alias("lp"),
+            F.rpad("c_name", 22, ".").alias("rp"),
+            F.translate("c_name", "Cu", "XY").alias("tr"),
+            F.repeat(F.lit("ab"), 3).alias("rep"),
+            F.reverse("c_name").alias("rev"),
+            F.substring("c_name", 1, 5).alias("l5"),
+            F.substring(F.col("c_name"), -4, 4).alias("r4"),
+            F.ascii(F.substring("c_name", 1, 1)).alias("asc_first"),
+            F.chr(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias("chr_k"),
+            F.overlay("c_name", F.lit("ZZ"), F.lit(3)).alias("ovl"),
+            F.initcap(F.lower("c_mktsegment")).alias("icap"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "fn_json_build",
+    oracle=f"""
+SELECT event_id,
+       to_json(struct_pack(id := event_id, k := k)) AS j,
+       CAST(k AS VARCHAR) AS k_back,
+       to_json([k, k * 2, k * 3]) AS jarr,
+       3 AS arr_len,
+       CAST(k * 2 AS VARCHAR) AS second_elem
+FROM (
+  SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM {EVENTS_US} e
+  WHERE event_id < 100
+) s ORDER BY event_id
+""",
+)
+def fn_json_build(spark, sf_dir):
+    """JSON construction + re-access (reference jsonb_build_array/object,
+    to_jsonb): build object and array JSON, extract back, array length."""
+    t = tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    d = t["events"].filter(F.col("event_id") < 100).withColumn("k", k)
+    jarr = F.to_json(F.array(F.col("k"), F.col("k") * 2, F.col("k") * 3))
+    return d.select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_id").alias("id"), F.col("k").alias("k"))).alias("j"),
+        F.get_json_object(
+            F.to_json(F.struct(F.col("event_id").alias("id"), F.col("k").alias("k"))), "$.k"
+        ).alias("k_back"),
+        jarr.alias("jarr"),
+        F.json_array_length(jarr).alias("arr_len"),
+        F.get_json_object(jarr, "$[1]").alias("second_elem"),
+    ).orderBy("event_id")
+
+
+@register(
+    "tf_regexp_matches",
+    oracle="""
+SELECT w AS word, count(*) AS n
+FROM documents, unnest(regexp_extract_all(text, '[a-z]{4,}')) AS t(w)
+GROUP BY w
+ORDER BY n DESC, word
+LIMIT 25
+""",
+)
+def tf_regexp_matches(spark, sf_dir):
+    """regexp_matches as a set-returning table function (reference
+    `table_function/regexp_matches`, ProjectSet executor): explode all
+    matches per row, then aggregate — Spark's explode(regexp_extract_all)
+    is the same row-expansion plan shape."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.regexp_extract_all("text", F.lit("[a-z]{4,}"), 0)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )
