@@ -104,3 +104,165 @@ def stream_mv_incremental(spark, sf_dir):
     chunks = [with_ops(ev.filter(F.col("event_id") % 4 == i), 1) for i in range(4)]
     state_dir = tempfile.mkdtemp(prefix="rw_mv_")
     return run_changelog(spark, state_dir, chunks, ["user_id"], "event_id", "value")
+
+
+@register(
+    "stream_hop_agg",
+    oracle=f"""
+SELECT ws, event_type, count(*) AS n
+FROM (
+  SELECT e.*, w.ws
+  FROM {EVENTS_US} e,
+       unnest([time_bucket(INTERVAL '5 minutes', e.ts),
+               time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL '5 minutes']) w(ws)
+  WHERE e.ts >= w.ws AND e.ts < w.ws + INTERVAL '10 minutes'
+) h
+GROUP BY ws, event_type ORDER BY ws, event_type
+""",
+)
+def stream_hop_agg(spark, sf_dir):
+    """Streaming hopping-window agg (reference streaming HopWindow,
+    `hop_window.rs:25`): window(10m, 5m) on a live stream, complete mode,
+    hash-compared with the batch hop expansion."""
+    sdf = _event_stream(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = _run_to_memory(agg, "complete")
+    return spark.sql(
+        f"SELECT w.start AS ws, event_type, n FROM {name} ORDER BY ws, event_type"
+    )
+
+
+@register(
+    "stream_session_agg",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM {EVENTS_US} e
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id ORDER BY user_id
+""",
+)
+def stream_session_agg(spark, sf_dir):
+    """Streaming session windows (reference SESSION frames `session.rs:42`
+    → Spark session_window()): gap = 30 min; sessions merge while the gap
+    to the previous event is < 30 min (next window start < previous window
+    end), so the batch oracle opens a new session at gap >= 30 min."""
+    sdf = _event_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _run_to_memory(agg, "complete")
+    return spark.sql(
+        f"""SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events
+            FROM {name} GROUP BY user_id ORDER BY user_id"""
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+SELECT a.user_id, count(*) AS n_pairs
+FROM {EVENTS_US} a JOIN {EVENTS_US} b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes'
+GROUP BY a.user_id ORDER BY a.user_id
+""",
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (reference streaming HashJoin,
+    `hash_join.rs:129`, append-only fast path): clicks ⋈ purchases within
+    10 minutes, both sides watermarked — Spark's native stream-stream
+    inner join with event-time bounds (state pruned by watermark)."""
+    a = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+        )
+        .withWatermark("a_ts", "1 hour")
+    )
+    b = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    j = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    name = _run_to_memory(j, "append")
+    return spark.sql(
+        f"SELECT a_user AS user_id, count(*) AS n_pairs FROM {name} GROUP BY a_user ORDER BY a_user"
+    )
+
+
+@register(
+    "stream_group_topn",
+    oracle=f"""
+SELECT event_type, rk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM {EVENTS_US} e
+) t WHERE rk <= 3 ORDER BY event_type, rk
+""",
+)
+def stream_group_topn(spark, sf_dir):
+    """Incremental per-group top-k over an append-only changelog
+    (reference AppendOnlyGroupTopN, `top_n/group_top_n.rs:64`): events
+    arrive in 4 chunks; state stays bounded at k rows per group; the final
+    top-3 per event_type must equal the one-shot batch rank."""
+    from risingwave_spark.streaming.mv import AppendOnlyGroupTopN
+
+    ev = tables(spark, sf_dir)["events"]
+    topn = AppendOnlyGroupTopN(
+        spark, tempfile.mkdtemp(prefix="rw_topn_"), ["event_type"], "value", "event_id", 3
+    )
+    for i in range(4):
+        topn.apply_batch(ev.filter(F.col("event_id") % 4 == i))
+    return (
+        topn.result()
+        .select("event_type", "rk", "event_id", "value")
+        .orderBy("event_type", "rk")
+    )
+
+
+@register(
+    "stream_changelog_agg",
+    oracle=f"""
+SELECT user_id, count(*) AS cnt,
+       {o_msum('value', 10000)} AS total,
+       min(value) AS vmin, max(value) AS vmax
+FROM {EVENTS_US} e
+WHERE event_id % 10 <> 0
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def stream_changelog_agg(spark, sf_dir):
+    """Retraction end-to-end (reference changelog Ops, StreamChunk
+    `stream_chunk.rs:45-50`): two insert chunks load all events, a third
+    chunk DELETES every 10th event; the MV must converge to the aggregate
+    over the surviving rows — exercises the delete path of
+    MaterializedGroupAgg (values-state anti-join + group re-agg)."""
+    ev = tables(spark, sf_dir)["events"]
+    chunks = [
+        with_ops(ev.filter(F.col("event_id") % 2 == 0), 1),
+        with_ops(ev.filter(F.col("event_id") % 2 == 1), 1),
+        with_ops(ev.filter(F.col("event_id") % 10 == 0), -1),
+    ]
+    state_dir = tempfile.mkdtemp(prefix="rw_mv_")
+    return run_changelog(spark, state_dir, chunks, ["user_id"], "event_id", "value")

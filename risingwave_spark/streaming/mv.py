@@ -170,6 +170,57 @@ def run_changelog(
     return mv.result()
 
 
+class AppendOnlyGroupTopN:
+    """Incrementally-maintained per-group top-k over an append-only stream
+    (reference AppendOnlyGroupTopN, `top_n/group_top_n.rs:64` +
+    `top_n_appendonly.rs`): state is BOUNDED at k rows per group — each
+    batch ranks (previous top-k ∪ new rows) and keeps k.
+
+    At scale this is the exact pattern that survives 100 TB: per-batch
+    work is |batch| + k·|touched groups|, state never grows past
+    k·|groups|, and the rank is a keyed window over that bounded set.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        order_col: str,
+        tiebreak: str,
+        k: int,
+    ):
+        self.keys = keys
+        self.order_col = order_col
+        self.tiebreak = tiebreak
+        self.k = k
+        self.state = _VersionedTable(spark, os.path.join(state_dir, "topn"))
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        from pyspark.sql import Window as W
+
+        cand = batch.select(*self.keys, self.order_col, self.tiebreak)
+        if self.state.exists():
+            cand = self.state.read().unionByName(cand)
+        w = W.partitionBy(*self.keys).orderBy(
+            F.desc(self.order_col), F.asc(self.tiebreak)
+        )
+        topk = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn")
+        )
+        self.state.write(topk)
+
+    def result(self) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*self.keys).orderBy(
+            F.desc(self.order_col), F.asc(self.tiebreak)
+        )
+        return self.state.read().withColumn("rk", F.row_number().over(w))
+
+
 def stream_to_mv(
     source: DataFrame,
     mv: MaterializedGroupAgg,
