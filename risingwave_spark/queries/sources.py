@@ -1,0 +1,164 @@
+"""Source/format decode layer — SURVEY.md §2.8 (`src/connector/src/parser/`
+in the reference): JSON, CSV, Debezium-envelope, and upsert-envelope
+decoding, re-expressed as Spark's from_json / from_csv / JSON field
+access over payload columns. Avro/Protobuf need the spark-avro/protobuf
+jars (not in this container) — gated behind import-try in
+`risingwave_spark/sources/` and exercised here only via their JSON
+equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from risingwave_spark.queries.registry import register
+from risingwave_spark.queries.util import EVENTS_US, tables
+
+
+@register(
+    "src_json_decode",
+    oracle=f"""
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       CAST(props->>'k' AS BIGINT) * 2 AS k2,
+       CAST(props->>'missing' AS BIGINT) AS absent
+FROM {EVENTS_US} e WHERE event_id < 200 ORDER BY event_id
+""",
+)
+def src_json_decode(spark, sf_dir):
+    """JSON payload decode (reference `parser/json_parser.rs` + plain
+    encoding): from_json with a declared schema — the typed-schema source
+    decode path; missing fields become NULL, matching the reference's
+    permissive JSON parser."""
+    t = tables(spark, sf_dir)
+    parsed = F.from_json("props", "k LONG, missing LONG")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .withColumn("p", parsed)
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") * 2).alias("k2"),
+            F.col("p.missing").alias("absent"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "src_csv_decode",
+    oracle=f"""
+SELECT event_id, event_type AS etype, round(value, 4) AS val
+FROM {EVENTS_US} e WHERE event_id < 200 ORDER BY event_id
+""",
+)
+def src_csv_decode(spark, sf_dir):
+    """CSV encode→decode round-trip (reference `parser/csv_parser.rs`):
+    rows serialized to a CSV line, then from_csv with a declared schema
+    recovers the typed values exactly."""
+    t = tables(spark, sf_dir)
+    line = F.concat_ws(
+        ",",
+        F.col("event_id"),
+        F.col("event_type"),
+        F.round("value", 4),
+    )
+    parsed = F.from_csv(line, F.lit("id LONG, etype STRING, val DOUBLE"))
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .withColumn("c", parsed)
+        .select(
+            F.col("c.id").alias("event_id"),
+            F.col("c.etype").alias("etype"),
+            F.col("c.val").alias("val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "src_debezium_unwrap",
+    oracle=f"""
+SELECT event_id,
+       CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'c' END AS op,
+       CASE WHEN event_id % 10 = 0 THEN -1 ELSE 1 END AS op_delta,
+       user_id, value
+FROM {EVENTS_US} e WHERE event_id < 500 ORDER BY event_id
+""",
+)
+def src_debezium_unwrap(spark, sf_dir):
+    """Debezium envelope decode (reference `parser/debezium/
+    debezium_parser.rs`): every 10th event becomes a DELETE envelope
+    (payload in `before`, op='d'), others CREATE (payload in `after`,
+    op='c'); the unwrap extracts op + the live payload side and maps to
+    changelog deltas — the reference's StreamChunk Op mapping."""
+    t = tables(spark, sf_dir)
+    payload = F.to_json(F.struct("event_id", "user_id", "value"))
+    env = F.when(
+        F.col("event_id") % 10 == 0,
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("after"),
+                payload.alias("before"),
+                F.lit("d").alias("op"),
+            )
+        ),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                payload.alias("after"),
+                F.lit(None).cast("string").alias("before"),
+                F.lit("c").alias("op"),
+            )
+        )
+    )
+    d = t["events"].filter(F.col("event_id") < 500).withColumn("env", env)
+    op = F.get_json_object("env", "$.op")
+    live = F.coalesce(
+        F.get_json_object("env", "$.after"), F.get_json_object("env", "$.before")
+    )
+    return d.select(
+        F.get_json_object(live, "$.event_id").cast("long").alias("event_id"),
+        op.alias("op"),
+        F.when(op == "d", -1).otherwise(1).alias("op_delta"),
+        F.get_json_object(live, "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object(live, "$.value").cast("double").alias("value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "src_upsert_latest",
+    oracle=f"""
+SELECT user_id, value AS last_value, ts AS last_ts, n_versions
+FROM (
+  SELECT user_id, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM {EVENTS_US} e
+) v WHERE rk = 1 ORDER BY user_id
+""",
+)
+def src_upsert_latest(spark, sf_dir):
+    """Upsert-envelope source semantics (reference
+    `parser/upsert_parser.rs` + UPSERT format sinks): the stream is a
+    keyed changelog where the latest version per key wins — materialized
+    as last-value-by-(ts, event_id) per user."""
+    t = tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = W.partitionBy("user_id")
+    return (
+        t["events"]
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_versions",
+        )
+        .orderBy("user_id")
+    )
