@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from risingwave_spark.queries.registry import register
-from risingwave_spark.queries.util import msum, o_msum, tables
+from risingwave_spark.queries.util import EVENTS_US, msum, o_msum, tables
 
 
 @register(
@@ -319,3 +319,70 @@ def agg_sum0_coalesce(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.coalesce(msum(huge), F.lit(0.0)).alias("sum0_huge"))
     )
+
+
+@register(
+    "agg_first_last",
+    oracle=f"""
+SELECT event_type,
+       first(value ORDER BY ts, event_id) AS first_val,
+       last(value ORDER BY ts, event_id) AS last_val,
+       count(*) AS n
+FROM {EVENTS_US} e GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_first_last(spark, sf_dir):
+    """first_value/last_value with ORDER BY (reference
+    `aggregate/first_last_value.rs:1`): realized as min_by/max_by over a
+    (ts, event_id) ordering struct — single-pass, partial-agg friendly,
+    no window/sort needed."""
+    t = tables(spark, sf_dir)
+    ordk = F.struct("ts", "event_id")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.min_by("value", ordk).alias("first_val"),
+            F.max_by("value", ordk).alias("last_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_json_agg",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id, event_type, CAST(props->>'k' AS BIGINT) AS kv
+  FROM {EVENTS_US} e WHERE event_id < 400
+),
+per_type AS (
+  SELECT user_id, event_type, count(*) AS n FROM k GROUP BY user_id, event_type
+)
+SELECT p.user_id,
+       (SELECT to_json(list_sort(list(kv))) FROM k WHERE k.user_id = p.user_id) AS j_arr,
+       '{{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}}' AS j_obj
+FROM per_type p GROUP BY p.user_id ORDER BY p.user_id
+""",
+)
+def agg_json_agg(spark, sf_dir):
+    """jsonb_agg / jsonb_object_agg (reference `aggregate/jsonb_agg.rs:1`):
+    array agg → sorted JSON array; object agg → JSON object keyed by
+    event_type (entries sorted so serialization is deterministic)."""
+    t = tables(spark, sf_dir)
+    k = (
+        t["events"]
+        .filter(F.col("event_id") < 400)
+        .select("user_id", "event_type", F.get_json_object("props", "$.k").cast("long").alias("kv"))
+    )
+    arrs = k.groupBy("user_id").agg(
+        F.to_json(F.sort_array(F.collect_list("kv"))).alias("j_arr")
+    )
+    per_type = k.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    objs = per_type.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("event_type", "n"))))
+        ).alias("j_obj")
+    )
+    return arrs.join(objs, "user_id").orderBy("user_id")
