@@ -67,10 +67,14 @@ class _VersionedTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, f"v{self._version}"))
 
-    def write(self, df: DataFrame, partition_by: list[str] | None = None):
+    def write(self, df: DataFrame, partition_by: list[str] | None = None, n_files: int = 8):
+        """Write the next version. `n_files` caps output files — state
+        tables are re-read every batch, so many tiny files cost more in
+        listing/open overhead than they buy in parallelism (at cluster
+        scale you'd size this to state-bytes / 128 MB instead)."""
         nxt = self._version + 1
         out = os.path.join(self.path, f"v{nxt}")
-        w = df.write.mode("overwrite")
+        w = df.coalesce(n_files).write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(out)
