@@ -402,3 +402,72 @@ def mm_binary_meta(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_decode_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'fake/raw' AS format,
+       ('0x' || substr(md5(text), 1, 4))::INT % 4096 AS width,
+       ('0x' || substr(md5(text), 5, 4))::INT % 4096 AS height,
+       md5(text) AS checksum
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+""",
+)
+def mm_decode_meta(spark, sf_dir):
+    """Multimodal decode via mapInPandas (operators/multimodal.py): binary
+    payloads → typed metadata struct on Arrow batches. The decode kernel
+    is the documented md5-fake stub, so the whole pipeline — binary
+    column, Arrow transfer, struct schema — is oracle-checked end to end.
+    """
+    from risingwave_spark.operators.multimodal import decode_meta
+
+    t = tables(spark, sf_dir)
+    d = (
+        t["documents"]
+        .filter(F.col("doc_id") < 300)
+        .withColumn("payload", F.col("text").cast("binary"))
+    )
+    out = decode_meta(d, "doc_id", "payload")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(greatest(1, least(4, octet_length(encode(text)) // 64)) AS BIGINT) AS n_frames,
+       CAST(greatest(1, least(4, octet_length(encode(text)) // 64)) - 1 AS INT) AS max_idx
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing (bounded explode via mapInPandas,
+    operators/multimodal.py frame_sample_stub): ≤4 deterministic frames
+    per payload; the oracle checks the emitted row shape per asset."""
+    from risingwave_spark.operators.multimodal import frame_sample_stub
+
+    t = tables(spark, sf_dir)
+    d = (
+        t["documents"]
+        .filter(F.col("doc_id") < 300)
+        .withColumn("payload", F.col("text").cast("binary"))
+    )
+    frames = frame_sample_stub(d, "doc_id", "payload", max_frames=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_idx").alias("max_idx"),
+        )
+        .orderBy("doc_id")
+    )
