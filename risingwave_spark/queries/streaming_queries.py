@@ -266,3 +266,38 @@ def stream_changelog_agg(spark, sf_dir):
     ]
     state_dir = tempfile.mkdtemp(prefix="rw_mv_")
     return run_changelog(spark, state_dir, chunks, ["user_id"], "event_id", "value")
+
+
+@register(
+    "stream_eowc_tumble",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n
+FROM {EVENTS_US} e
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+      <= (SELECT max(ts) - INTERVAL '10 minutes' FROM {EVENTS_US} e2)
+GROUP BY ws ORDER BY ws
+""",
+)
+def stream_eowc_tumble(spark, sf_dir):
+    """Emit-on-window-close tumbling agg (reference EMIT ON WINDOW CLOSE,
+    EOWC sort buffer `sort.rs:20`): events arrive in 4 event-time-ordered
+    chunks plus a LATE 5th chunk (a replay of early rows) that must be
+    dropped by the watermark filter; output contains exactly the windows
+    closed by the final watermark (max ts − 10 min), emitted once each."""
+    import datetime
+
+    from risingwave_spark.streaming.mv import EowcTumbleAgg
+
+    ev = tables(spark, sf_dir)["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    eowc = EowcTumbleAgg(
+        spark, tempfile.mkdtemp(prefix="rw_eowc_"), "ts", "1 hour", delay_seconds=600
+    )
+    for i in range(4):
+        a = lo + i * span
+        b = (lo + (i + 1) * span) if i < 3 else (hi + datetime.timedelta(seconds=1))
+        eowc.feed(ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))))
+    # late replay: first-quartile rows behind the watermark → dropped
+    eowc.feed(ev.filter(F.col("ts") < F.lit(lo + span)).limit(500))
+    return eowc.result().orderBy("ws")

@@ -225,6 +225,76 @@ class AppendOnlyGroupTopN:
         return self.state.read().withColumn("rk", F.row_number().over(w))
 
 
+class EowcTumbleAgg:
+    """Emit-on-window-close tumbling-window aggregate (reference EOWC:
+    `sort.rs:20` buffer + `over_window/eowc.rs:88`, EMIT ON WINDOW CLOSE
+    MVs): rows buffer until the watermark (max event time − delay) passes
+    the window end, then the window's aggregate is emitted exactly once
+    (append-only output) and its rows leave the buffer. Rows arriving for
+    an already-closed window are LATE and dropped — the reference's
+    WatermarkFilter policy (`watermark_filter.rs:34-36`).
+
+    State = open-window rows only (bounded by delay × arrival rate, the
+    same bound the reference's sort buffer has).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        ts_col: str,
+        window_duration: str,
+        delay_seconds: int,
+    ):
+        self.spark = spark
+        self.ts_col = ts_col
+        self.window_duration = window_duration
+        self.delay_seconds = delay_seconds
+        self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
+        self.out = _VersionedTable(spark, os.path.join(state_dir, "out"))
+        self._watermark = None  # monotonic
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        import datetime
+
+        buf = batch
+        if self.buffer.exists():
+            buf = self.buffer.read().unionByName(batch)
+        # watermark: a 1-row driver-side scalar, exactly what Spark's own
+        # watermark tracker computes per micro-batch
+        mx = buf.agg(F.max(self.ts_col)).first()[0]
+        wm = mx - datetime.timedelta(seconds=self.delay_seconds)
+        if self._watermark is not None and wm < self._watermark:
+            wm = self._watermark
+        self._watermark = wm
+
+        win = F.window(self.ts_col, self.window_duration)
+        we = win.getField("end")
+        annotated = buf.withColumn("__we", we)
+        closed = annotated.filter(F.col("__we") <= F.lit(wm))
+        still_open = annotated.filter(F.col("__we") > F.lit(wm)).drop("__we")
+
+        emitted = (
+            closed.groupBy(win.getField("start").alias("ws"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if self.out.exists():
+            # late rows for already-emitted windows were never re-buffered
+            # (dropped below), so emitted windows here are always new
+            emitted = self.out.read().unionByName(emitted)
+        self.out.write(emitted)
+        self.buffer.write(still_open)
+
+    def feed(self, batch: DataFrame) -> None:
+        """Drop late rows (event time behind the watermark), then fold."""
+        if self._watermark is not None:
+            batch = batch.filter(F.col(self.ts_col) >= F.lit(self._watermark))
+        self.apply_batch(batch)
+
+    def result(self) -> DataFrame:
+        return self.out.read()
+
+
 def stream_to_mv(
     source: DataFrame,
     mv: MaterializedGroupAgg,
