@@ -33,6 +33,11 @@ HEADLINE = [
     "llm_cosine_topk",
     "llm_token_stats",
     "stream_mv_incremental",
+    "nexmark_q5_hot_items",
+    "stream_stream_join",
+    "stream_eowc_tumble",
+    "udf_grouped_agg",
+    "mm_decode_meta",
 ]
 
 

@@ -251,7 +251,10 @@ class EowcTumbleAgg:
         self.window_duration = window_duration
         self.delay_seconds = delay_seconds
         self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
-        self.out = _VersionedTable(spark, os.path.join(state_dir, "out"))
+        # EOWC output is append-only by construction (each window emitted
+        # exactly once) → plain append-mode parquet, never rewritten
+        self.out_path = os.path.join(state_dir, "out")
+        self._emitted_any = False
         self._watermark = None  # monotonic
 
     def apply_batch(self, batch: DataFrame) -> None:
@@ -274,15 +277,15 @@ class EowcTumbleAgg:
         closed = annotated.filter(F.col("__we") <= F.lit(wm))
         still_open = annotated.filter(F.col("__we") > F.lit(wm)).drop("__we")
 
+        # late rows for already-emitted windows are never re-buffered
+        # (dropped in feed), so emitted windows here are always new —
+        # append, don't rewrite
         emitted = (
             closed.groupBy(win.getField("start").alias("ws"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        if self.out.exists():
-            # late rows for already-emitted windows were never re-buffered
-            # (dropped below), so emitted windows here are always new
-            emitted = self.out.read().unionByName(emitted)
-        self.out.write(emitted)
+        emitted.coalesce(1).write.mode("append").parquet(self.out_path)
+        self._emitted_any = True
         self.buffer.write(still_open)
 
     def feed(self, batch: DataFrame) -> None:
@@ -292,7 +295,7 @@ class EowcTumbleAgg:
         self.apply_batch(batch)
 
     def result(self) -> DataFrame:
-        return self.out.read()
+        return self.spark.read.parquet(self.out_path)
 
 
 def stream_to_mv(
