@@ -114,7 +114,26 @@ class MaterializedGroupAgg:
         self.keys = keys
         self.row_id = row_id
         self.value_col = value_col
-        self.values = _VersionedTable(spark, os.path.join(state_dir, "values"))
+        # values-state = append-only insert chunks + delete tombstones
+        # (the Delta data-files/deletion-vectors pattern): per-batch write
+        # cost is O(batch), NOT O(state) — the property that survives
+        # 100 TB. Reads anti-join the tombstones; a real deployment
+        # compacts chunks+tombstones periodically (Delta OPTIMIZE).
+        # Chunks and tombstones carry batch sequence numbers: a delete in
+        # batch n masks inserts from batches < n only, so an
+        # UpdateDelete/UpdateInsert pair (delete old version + re-insert
+        # same row id) within one batch works. Insert-then-delete of a
+        # NEW row inside a single chunk is not supported (split the
+        # chunk); compaction would rewrite chunks minus tombstones.
+        self.values_dir = os.path.join(state_dir, "values")
+        self.tombs_dir = os.path.join(state_dir, "tombstones")
+        self._has_values = bool(os.path.isdir(self.values_dir) and os.listdir(self.values_dir))
+        self._has_tombs = bool(os.path.isdir(self.tombs_dir) and os.listdir(self.tombs_dir))
+        self._seq = 0
+        if self._has_values:
+            self._seq = (
+                spark.read.parquet(self.values_dir).agg(F.max("__seq")).first()[0] or 0
+            ) + 1
         self.mv = _VersionedTable(spark, os.path.join(state_dir, "mv"))
 
     def _aggregate(self, rows: DataFrame) -> DataFrame:
@@ -126,26 +145,34 @@ class MaterializedGroupAgg:
             F.max(v).alias("vmax"),
         )
 
+    def _read_values(self) -> DataFrame:
+        v = self.spark.read.parquet(self.values_dir)
+        if self._has_tombs:
+            t = self.spark.read.parquet(self.tombs_dir)
+            cond = (v[self.row_id] == t[self.row_id]) & (v["__seq"] < t["__del_seq"])
+            v = v.join(t, on=cond, how="left_anti")
+        return v.drop("__seq")
+
     def apply_batch(self, batch: DataFrame) -> None:
         """Fold one changelog chunk (needs an __op column) into the MV."""
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
-        deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+        deletes = batch.filter(F.col(OP_COL) < 0).select(
+            self.row_id, F.lit(self._seq).alias("__del_seq")
+        )
 
-        if self.values.exists():
-            state = self.values.read()
-            new_state = state.join(
-                deletes.select(self.row_id), on=self.row_id, how="left_anti"
-            ).unionByName(inserts)
-        else:
-            new_state = inserts
-        # localCheckpoint: cut the lineage so state doesn't re-read every
-        # prior version; on a cluster this is the Delta-table write point.
-        self.values.write(new_state)
+        inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4).write.mode(
+            "append"
+        ).parquet(self.values_dir)
+        self._has_values = True
+        if not deletes.isEmpty():
+            deletes.coalesce(1).write.mode("append").parquet(self.tombs_dir)
+            self._has_tombs = True
+        self._seq += 1
 
         affected = batch.select(*self.keys).distinct()
         recomputed = self._aggregate(
-            self.values.read().join(affected, on=self.keys, how="left_semi")
+            self._read_values().join(affected, on=self.keys, how="left_semi")
         )
         if self.mv.exists():
             untouched = self.mv.read().join(affected, on=self.keys, how="left_anti")
