@@ -1,0 +1,101 @@
+"""Scale-posture tests: assert the PLANS are the ones that survive 100 TB
+— pushdown/pruning reach the scan, dims broadcast, bucketed joins avoid
+the shuffle, salting preserves results. These encode the design rules the
+engine relies on (README "Scale posture")."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from risingwave_spark.operators.skew import salted_join, salted_sum
+from risingwave_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(QUERIES["tpch_q6"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    # only the 4 needed lineitem columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_dims_broadcast_in_join_heavy_plan(spark):
+    plan = _plan(QUERIES["tpch_q5"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_two_phase_aggregation(spark):
+    plan = _plan(QUERIES["tpch_q1"](spark, SF_DIR))
+    # partial + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates both sides: the join plan must contain no
+    Exchange (the 100 TB fact-fact join strategy)."""
+    wh = str(tmp_path / "wh")
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    for name, df, key in [("b_orders", orders, "o_orderkey"), ("b_lineitem", lineitem, "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(wh, name))
+            .saveAsTable(name)
+        )
+    # small inputs would broadcast (also correct, also shuffle-free);
+    # force the sort-merge path to show bucketing removes the shuffle —
+    # at 100 TB neither fact side is broadcastable and THIS is the plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result matches the plain join
+        assert j.count() == orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain(spark):
+    customer = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = customer.join(nation, "c_nationkey").groupBy("n_name").count()
+    salted = (
+        salted_join(customer, nation, "c_nationkey", n_salts=8, spread_col="c_custkey")
+        .groupBy("n_name")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_sum_matches_plain(spark):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    plain = li.groupBy("l_returnflag").agg(
+        (F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")) / 100.0).alias(
+            "sum_l_quantity"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    salted = salted_sum(li, ["l_returnflag"], "l_quantity", n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
