@@ -14,9 +14,23 @@ sampling emits ≤ max_frames rows per video (bounded explode).
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Worker closures below reference module-level kernels (_fake_decode);
+# cloudpickle would serialize those BY REFERENCE and Python workers can't
+# import this package unless it's shipped to every executor. Registering
+# the module for by-value pickling makes the closures self-contained —
+# the same thing `spark-submit --py-files` solves on a real cluster.
+try:  # pragma: no cover - depends on pyspark internals staying public
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
 
 # metadata struct every decoded asset carries
 MEDIA_META = T.StructType(
