@@ -301,3 +301,123 @@ def stream_eowc_tumble(spark, sf_dir):
     # late replay: first-quartile rows behind the watermark → dropped
     eowc.feed(ev.filter(F.col("ts") < F.lit(lo + span)).limit(500))
     return eowc.result().orderBy("ws")
+
+
+@register(
+    "stream_over_window",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM {EVENTS_US} e
+WHERE event_id % 7 <> 0
+ORDER BY user_id, rn
+""",
+)
+def stream_over_window(spark, sf_dir):
+    """Retractable over-window MV (reference OverWindow general executor,
+    `over_window/general.rs:48`): events arrive in 4 insert chunks, then a
+    chunk DELETES every 7th event; row_number/lag must be recomputed for
+    the affected partitions so the final MV equals the batch window over
+    the surviving rows."""
+    from risingwave_spark.streaming.mv import MaterializedOverWindow
+
+    ev = tables(spark, sf_dir)["events"]
+
+    def project(rows, w):
+        return rows.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.lag("value").over(w).alias("prev_value"),
+        )
+
+    mvw = MaterializedOverWindow(
+        spark,
+        tempfile.mkdtemp(prefix="rw_ow_"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_id",
+        project,
+    )
+    for i in range(4):
+        mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 4 == i), 1))
+    mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
+    return mvw.result().orderBy("user_id", "rn")
+
+
+@register(
+    "stream_group_topn_retract",
+    oracle=f"""
+SELECT event_type, rk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM {EVENTS_US} e WHERE event_id % 5 <> 0
+) t WHERE rk <= 3 ORDER BY event_type, rk
+""",
+)
+def stream_group_topn_retract(spark, sf_dir):
+    """Retractable group top-n (reference TopN with deletes,
+    `top_n/top_n_plain.rs:79`): after loading all events, a delete chunk
+    retracts every 5th event — including current top rows — and the MV
+    must surface the next-best rows from state (exactly why the
+    non-append-only TopN keeps all rows, not just k)."""
+    from pyspark.sql import Window as W
+
+    from risingwave_spark.streaming.mv import MaterializedOverWindow
+
+    ev = tables(spark, sf_dir)["events"]
+
+    def project(rows, _w):
+        # rank is value-DESC — build the spec here (the `_w` default is
+        # ascending order_cols; project may use any spec over `keys`)
+        w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            rows.select(
+                "event_type", "event_id", "value", F.row_number().over(w).alias("rk")
+            )
+            .filter(F.col("rk") <= 3)
+        )
+
+    mvw = MaterializedOverWindow(
+        spark,
+        tempfile.mkdtemp(prefix="rw_tn_"),
+        ["event_type"],
+        [],
+        "event_id",
+        project,
+    )
+    for i in range(2):
+        mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 2 == i), 1))
+    mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 5 == 0), -1))
+    return mvw.result().select("event_type", "rk", "event_id", "value").orderBy(
+        "event_type", "rk"
+    )
+
+
+@register(
+    "stream_temporal_join",
+    oracle=f"""
+SELECT e.event_type, count(*) AS n, count(c.c_custkey) AS n_matched
+FROM {EVENTS_US} e
+LEFT JOIN customer c ON e.user_id + 1 = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def stream_temporal_join(spark, sf_dir):
+    """Stream ⋈ latest table snapshot (reference TemporalJoin
+    `temporal_join.rs:44`, `FOR SYSTEM_TIME AS OF PROCTIME()`): Spark's
+    native stream-static join re-reads the static side per micro-batch —
+    the same 'join the current version' semantics. Left outer, so
+    unmatched stream rows pass through (append-only output)."""
+    sdf = _event_stream(spark, sf_dir)
+    cust = tables(spark, sf_dir)["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    j = sdf.join(
+        cust, sdf["user_id"] + 1 == cust["c_custkey"], "left_outer"
+    ).select("event_type", "c_custkey")
+    name = _run_to_memory(j, "append")
+    return spark.sql(
+        f"""SELECT event_type, count(*) AS n, count(c_custkey) AS n_matched
+            FROM {name} GROUP BY event_type ORDER BY event_type"""
+    )

@@ -88,45 +88,25 @@ class _VersionedTable:
             shutil.rmtree(os.path.join(self.path, f"v{old}"), ignore_errors=True)
 
 
-class MaterializedGroupAgg:
-    """Incrementally-maintained `GROUP BY keys` aggregate MV with full
-    retraction support (insert AND delete inputs).
+class ChunkedState:
+    """Row-level operator state as append-only insert chunks + sequenced
+    delete tombstones (the Delta data-files/deletion-vectors pattern):
+    per-batch write cost is O(batch), NOT O(state) — the property that
+    survives 100 TB. Reads anti-join the tombstones; a real deployment
+    compacts chunks+tombstones periodically (Delta OPTIMIZE).
 
-    agg spec: count per group plus, per value column: sum / min / max / avg.
-    Strategy per batch (the reference's HashAgg + minput pattern):
-      1. fold the batch into the values-state table (append inserts,
-         anti-join out deletes by row id);
-      2. affected = distinct keys in the batch;
-      3. re-aggregate values-state ⋉ affected;
-      4. new MV = old MV minus affected ∪ recomputed (groups whose count
-         drops to 0 disappear — the reference emits a Delete for those).
+    Chunks and tombstones carry batch sequence numbers: a delete in batch
+    n masks inserts from batches < n only, so an UpdateDelete/UpdateInsert
+    pair (delete old version + re-insert same row id) within one batch
+    works. Insert-then-delete of a NEW row inside a single chunk is not
+    supported (split the chunk).
     """
 
-    def __init__(
-        self,
-        spark: SparkSession,
-        state_dir: str,
-        keys: list[str],
-        row_id: str,
-        value_col: str,
-    ):
+    def __init__(self, spark: SparkSession, path: str, row_id: str):
         self.spark = spark
-        self.keys = keys
         self.row_id = row_id
-        self.value_col = value_col
-        # values-state = append-only insert chunks + delete tombstones
-        # (the Delta data-files/deletion-vectors pattern): per-batch write
-        # cost is O(batch), NOT O(state) — the property that survives
-        # 100 TB. Reads anti-join the tombstones; a real deployment
-        # compacts chunks+tombstones periodically (Delta OPTIMIZE).
-        # Chunks and tombstones carry batch sequence numbers: a delete in
-        # batch n masks inserts from batches < n only, so an
-        # UpdateDelete/UpdateInsert pair (delete old version + re-insert
-        # same row id) within one batch works. Insert-then-delete of a
-        # NEW row inside a single chunk is not supported (split the
-        # chunk); compaction would rewrite chunks minus tombstones.
-        self.values_dir = os.path.join(state_dir, "values")
-        self.tombs_dir = os.path.join(state_dir, "tombstones")
+        self.values_dir = os.path.join(path, "values")
+        self.tombs_dir = os.path.join(path, "tombstones")
         self._has_values = bool(os.path.isdir(self.values_dir) and os.listdir(self.values_dir))
         self._has_tombs = bool(os.path.isdir(self.tombs_dir) and os.listdir(self.tombs_dir))
         self._seq = 0
@@ -134,18 +114,20 @@ class MaterializedGroupAgg:
             self._seq = (
                 spark.read.parquet(self.values_dir).agg(F.max("__seq")).first()[0] or 0
             ) + 1
-        self.mv = _VersionedTable(spark, os.path.join(state_dir, "mv"))
 
-    def _aggregate(self, rows: DataFrame) -> DataFrame:
-        v = F.col(self.value_col)
-        return rows.groupBy(*self.keys).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            (F.sum(F.round(v * 10000, 0).cast("long")) / 10000.0).alias("total"),
-            F.min(v).alias("vmin"),
-            F.max(v).alias("vmax"),
-        )
+    def fold(self, inserts: DataFrame, deletes: DataFrame) -> None:
+        """Append one batch's inserts and delete tombstones (row ids)."""
+        inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4).write.mode(
+            "append"
+        ).parquet(self.values_dir)
+        self._has_values = True
+        dl = deletes.select(self.row_id, F.lit(self._seq).alias("__del_seq"))
+        if not dl.isEmpty():
+            dl.coalesce(1).write.mode("append").parquet(self.tombs_dir)
+            self._has_tombs = True
+        self._seq += 1
 
-    def _read_values(self) -> DataFrame:
+    def read(self) -> DataFrame:
         v = self.spark.read.parquet(self.values_dir)
         if self._has_tombs:
             t = self.spark.read.parquet(self.tombs_dir)
@@ -153,26 +135,33 @@ class MaterializedGroupAgg:
             v = v.join(t, on=cond, how="left_anti")
         return v.drop("__seq")
 
+
+class _RetractableView:
+    """Shared per-batch maintenance loop (the reference's HashAgg +
+    MaterializedInput pattern): fold the chunk into ChunkedState, then
+    recompute ONLY the partitions/groups the batch touched and splice
+    them into the MV (untouched ∪ recomputed)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, keys: list[str], row_id: str):
+        self.spark = spark
+        self.keys = keys
+        self.row_id = row_id
+        self.state = ChunkedState(spark, os.path.join(state_dir, "state"), row_id)
+        self.mv = _VersionedTable(spark, os.path.join(state_dir, "mv"))
+
+    def _recompute(self, rows: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
     def apply_batch(self, batch: DataFrame) -> None:
         """Fold one changelog chunk (needs an __op column) into the MV."""
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
-        deletes = batch.filter(F.col(OP_COL) < 0).select(
-            self.row_id, F.lit(self._seq).alias("__del_seq")
-        )
-
-        inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4).write.mode(
-            "append"
-        ).parquet(self.values_dir)
-        self._has_values = True
-        if not deletes.isEmpty():
-            deletes.coalesce(1).write.mode("append").parquet(self.tombs_dir)
-            self._has_tombs = True
-        self._seq += 1
+        deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+        self.state.fold(inserts, deletes)
 
         affected = batch.select(*self.keys).distinct()
-        recomputed = self._aggregate(
-            self._read_values().join(affected, on=self.keys, how="left_semi")
+        recomputed = self._recompute(
+            self.state.read().join(affected, on=self.keys, how="left_semi")
         )
         if self.mv.exists():
             untouched = self.mv.read().join(affected, on=self.keys, how="left_anti")
@@ -183,6 +172,66 @@ class MaterializedGroupAgg:
 
     def result(self) -> DataFrame:
         return self.mv.read()
+
+
+class MaterializedGroupAgg(_RetractableView):
+    """Incrementally-maintained `GROUP BY keys` aggregate MV with full
+    retraction support (insert AND delete inputs): count / exact-cents sum
+    / min / max / avg per group. Groups whose count drops to 0 disappear
+    (the reference emits a Delete for those)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        row_id: str,
+        value_col: str,
+    ):
+        super().__init__(spark, state_dir, keys, row_id)
+        self.value_col = value_col
+
+    def _recompute(self, rows: DataFrame) -> DataFrame:
+        v = F.col(self.value_col)
+        return rows.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.round(v * 10000, 0).cast("long")) / 10000.0).alias("total"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+
+
+class MaterializedOverWindow(_RetractableView):
+    """Incrementally-maintained window-function MV with retraction
+    (reference OverWindow general executor, `over_window/general.rs:48` +
+    `over_partition.rs`): on every batch, the window functions are
+    recomputed for exactly the PARTITIONS the batch touched (the
+    reference's delta-based affected-range recompute, here at partition
+    granularity) and spliced into the MV.
+
+    `project(rows, w)` receives the affected partitions' rows and the
+    partition-ordered WindowSpec and returns the output rows (must
+    include the partition keys).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        order_cols: list[str],
+        row_id: str,
+        project,
+    ):
+        super().__init__(spark, state_dir, keys, row_id)
+        self.order_cols = order_cols
+        self.project = project
+
+    def _recompute(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*self.keys).orderBy(*[F.asc(c) for c in self.order_cols])
+        return self.project(rows, w)
 
 
 def run_changelog(
