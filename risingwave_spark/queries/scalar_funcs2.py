@@ -265,3 +265,56 @@ def tf_regexp_matches(spark, sf_dir):
         .orderBy(F.desc("n"), "word")
         .limit(25)
     )
+
+
+@register(
+    "tf_generate_subscripts",
+    oracle="""
+SELECT doc_id, i AS idx, toks[i] AS tok
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS toks
+  FROM documents WHERE doc_id < 30
+), unnest(range(1, len(toks) + 1)) AS t(i)
+ORDER BY doc_id, idx
+""",
+)
+def tf_generate_subscripts(spark, sf_dir):
+    """generate_subscripts / unnest WITH ORDINALITY (reference
+    `table_function/`, ProjectSet's projected row index): posexplode
+    yields (1-based index, element) per array element."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.posexplode(toks).alias("idx0", "tok"))
+        .select("doc_id", (F.col("idx0") + 1).cast("long").alias("idx"), "tok")
+        .orderBy("doc_id", "idx")
+    )
+
+
+@register(
+    "tf_jsonb_each",
+    oracle=f"""
+SELECT event_id, k AS key, CAST(props->>'k' AS VARCHAR) AS val
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM {EVENTS_US} e
+      WHERE event_id < 200)
+ORDER BY event_id, key
+""",
+)
+def tf_jsonb_each(spark, sf_dir):
+    """jsonb_each (reference `table_function/jsonb.rs`): explode a JSON
+    object into (key, value) rows — from_json to a map, then explode."""
+    t = tables(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .select("event_id", F.explode(m).alias("key", "val"))
+        .orderBy("event_id", "key")
+    )

@@ -421,3 +421,38 @@ def stream_temporal_join(spark, sf_dir):
         f"""SELECT event_type, count(*) AS n, count(c_custkey) AS n_matched
             FROM {name} GROUP BY event_type ORDER BY event_type"""
     )
+
+
+@register(
+    "stream_distinct_retract",
+    oracle=f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n
+FROM {EVENTS_US} e WHERE event_id % 3 <> 0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_distinct_retract(spark, sf_dir):
+    """Updatable distinct-count (reference approx_count_distinct with
+    deletes, `aggregate/approx_count_distinct/mod.rs:36-44` — the
+    registers-based sketch supports retraction; here the EXACT updatable
+    variant over ChunkedState): a delete chunk retracts every 3rd event
+    and the per-type distinct user count must adjust."""
+    from risingwave_spark.streaming.mv import MaterializedView, with_ops as _wo
+
+    ev = tables(spark, sf_dir)["events"]
+
+    def recompute(rows):
+        return rows.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    mv = MaterializedView(
+        spark, tempfile.mkdtemp(prefix="rw_dc_"), ["event_type"], "event_id", recompute
+    )
+    for i in range(2):
+        mv.apply_batch(_wo(ev.filter(F.col("event_id") % 2 == i), 1))
+    mv.apply_batch(_wo(ev.filter(F.col("event_id") % 3 == 0), -1))
+    return mv.result().orderBy("event_type")

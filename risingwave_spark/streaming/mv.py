@@ -174,6 +174,21 @@ class _RetractableView:
         return self.mv.read()
 
 
+class MaterializedView(_RetractableView):
+    """Generic retractable MV: `recompute(rows)` is any DataFrame
+    transform of the affected groups' state rows (its output must include
+    the group keys). The CREATE MATERIALIZED VIEW surface: arbitrary
+    per-group query shapes get incremental maintenance + retraction from
+    the shared fold/splice loop."""
+
+    def __init__(self, spark, state_dir, keys, row_id, recompute):
+        super().__init__(spark, state_dir, keys, row_id)
+        self._fn = recompute
+
+    def _recompute(self, rows: DataFrame) -> DataFrame:
+        return self._fn(rows)
+
+
 class MaterializedGroupAgg(_RetractableView):
     """Incrementally-maintained `GROUP BY keys` aggregate MV with full
     retraction support (insert AND delete inputs): count / exact-cents sum
