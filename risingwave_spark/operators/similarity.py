@@ -117,6 +117,30 @@ def cosine_topk(
     )
 
 
+def ann_planes(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
+    """Deterministic small-integer hyperplanes (values in [-3, 3]) — a
+    seeded stand-in for random Gaussian planes. Integer coefficients ×
+    scaled-integer vectors give EXACT dot products, so the bucket
+    assignment is bit-identical across engines (oracle-able)."""
+    return [
+        [((i * dims + d) * 2654435761 % 7) - 3 for d in range(dims)]
+        for i in range(n_planes)
+    ]
+
+
+def int_hyperplane_bucket(scaled_vec_col, planes: list[list[int]]):
+    """LSH bucket id from a PRE-SCALED integer vector column (see
+    `scaled_with_sqnorm`): bit i = sign of the exact integer dot with
+    plane i. Stage the scaled vector as a real column first — passing an
+    inline `_scaled(...)` expression re-evaluates it once per plane."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(int(x)) for x in p])
+        d = _isum(F.zip_with(scaled_vec_col, arr, lambda x, y: x * y))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]):
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a long. Planes are literals (driver-generated, seeded) — they compile

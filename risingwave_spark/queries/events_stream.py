@@ -302,3 +302,37 @@ def ev_temporal_join(spark, sf_dir):
         .join(F.broadcast(t["customer"]), F.col("user_id") == F.col("c_custkey"))
         .select("event_id", "c_name", "c_mktsegment")
     )
+
+
+@register(
+    "ev_asof_left",
+    oracle=f"""
+SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
+FROM (SELECT * FROM {EVENTS_US} e WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM {EVENTS_US} e WHERE event_type = 'click' GROUP BY user_id, ts) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def ev_asof_left(spark, sf_dir):
+    """As-of LEFT OUTER join (reference asof left outer,
+    `proto/plan_common.proto:134-148` + `asof_join.rs:110`): purchases
+    with no earlier click keep a NULL match."""
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join_backward(
+        purchases, clicks,
+        key="user_id", right_key="c_user",
+        left_ts="ts", right_ts="c_ts",
+        payload_cols=["click_id"],
+        how="left",
+    )

@@ -471,3 +471,90 @@ def mm_frame_sample(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _o_ann_bucket() -> str:
+    """DuckDB rendering of int_hyperplane_bucket over `embedding`."""
+    from risingwave_spark.operators.similarity import ann_planes
+
+    scale = 1 << 20
+    terms = []
+    for i, p in enumerate(ann_planes(8, 64)):
+        lit = "[" + ",".join(str(x) for x in p) + "]"
+        dot = (
+            f"list_aggregate(list_transform(range(1, 65), d -> "
+            f"CAST(round(CAST(embedding[d] AS DOUBLE) * {scale}, 0) AS BIGINT)"
+            f" * ({lit})[d]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "llm_ann_lsh",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, {_o_ann_bucket()} AS bucket FROM embeddings)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_o_cos('q.embedding', 'c.embedding')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({_o_cos('q.embedding', 'c.embedding')}, 6) DESC, c.vec_id
+         ) AS rk
+  FROM (SELECT * FROM b WHERE vec_id < 20) q
+  JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+) t WHERE rk <= 3 ORDER BY query_id, neighbor_id
+""",
+)
+def llm_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors — the similarity-search
+    SCALE path (operators/similarity.py): random-hyperplane signatures
+    bucket the vectors map-side; cosine is brute-forced only WITHIN the
+    query's bucket (1/2^8 of candidates in expectation). Integer-exact
+    signatures + scaled-int cosine make the whole ANN pipeline
+    oracle-checkable; recall < 1 by construction vs llm_cosine_topk."""
+    from pyspark.sql import Window as W
+
+    from risingwave_spark.operators.similarity import (
+        ann_planes,
+        cosine_prescaled,
+        int_hyperplane_bucket,
+        scaled_with_sqnorm,
+    )
+
+    t = tables(spark, sf_dir)
+    planes = ann_planes(8, 64)
+    base = scaled_with_sqnorm(t["embeddings"], "vec_id", "embedding", "v")
+    base = base.withColumn("bucket", int_hyperplane_bucket(F.col("v_vec"), planes))
+    q = base.filter(F.col("v_id") < 20).select(
+        F.col("v_id").alias("query_id"),
+        F.col("v_vec").alias("q_vec"),
+        F.col("v_sq").alias("q_sq"),
+        "bucket",
+    )
+    c = base.select(
+        F.col("v_id").alias("neighbor_id"),
+        F.col("v_vec").alias("c_vec"),
+        F.col("v_sq").alias("c_sq"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prescaled(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_sq"), F.col("c_sq")
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cos")
+        .orderBy("query_id", "neighbor_id")
+    )

@@ -135,6 +135,22 @@ class ChunkedState:
             v = v.join(t, on=cond, how="left_anti")
         return v.drop("__seq")
 
+    def compact(self) -> None:
+        """Rewrite chunks minus tombstones into one generation and drop
+        the tombstone set (the Delta OPTIMIZE / LSM-compaction analog —
+        the reference's Hummock compactor role). Read cost returns to a
+        plain scan; sequence numbering restarts above the survivors."""
+        survivors = self.read()
+        tmp = self.values_dir + ".compact"
+        survivors.withColumn("__seq", F.lit(0)).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(self.values_dir, ignore_errors=True)
+        os.replace(tmp, self.values_dir)
+        shutil.rmtree(self.tombs_dir, ignore_errors=True)
+        self._has_tombs = False
+        self._seq = 1
+
 
 class _RetractableView:
     """Shared per-batch maintenance loop (the reference's HashAgg +

@@ -201,3 +201,30 @@ def test_stream_session_window(spark, events):
     assert _rows(got.select("user_id", "n_sessions", "n_events")) == _rows(
         exp.select("user_id", "n_sessions", F.col("n_events").cast("long"))
     )
+
+
+def test_chunked_state_compaction(spark, events):
+    """Compaction rewrites chunks minus tombstones; reads are identical
+    before/after and the tombstone set resets (Hummock-compactor role)."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import ChunkedState
+
+    with tempfile.TemporaryDirectory() as d:
+        st = ChunkedState(spark, d, "event_id")
+        ev = events.select("event_id", "user_id", "value")
+        st.fold(ev.filter(F.col("event_id") % 2 == 0), ev.limit(0))
+        st.fold(
+            ev.filter(F.col("event_id") % 2 == 1),
+            ev.filter(F.col("event_id") % 5 == 0),
+        )
+        before = sorted(r.event_id for r in st.read().collect())
+        assert st._has_tombs
+        st.compact()
+        after = sorted(r.event_id for r in st.read().collect())
+        assert before == after
+        assert not st._has_tombs
+        # folds keep working after compaction (delete an old survivor)
+        st.fold(ev.limit(0), ev.filter(F.col("event_id") == before[0]))
+        remaining = sorted(r.event_id for r in st.read().collect())
+        assert remaining == before[1:]
