@@ -1,0 +1,123 @@
+"""User-facing engine surface mirroring the reference's SQL DDL/DML:
+CREATE TABLE / INSERT / DELETE / CREATE MATERIALIZED VIEW / ad-hoc SQL
+(reference handlers: `src/frontend/src/handler/create_table.rs`,
+`create_mv.rs:87`, batch DML executors `insert.rs:39` / `delete.rs:35`).
+
+Semantics reproduced:
+- a TABLE is a changelog-backed store (ChunkedState keyed by pk); its
+  current snapshot is registered in the Spark catalog under the table
+  name, so `engine.sql("SELECT ...")` works against it (§3.1).
+- DML doesn't mutate in place: INSERT/DELETE become +1/−1 changelog
+  chunks folded into the table state AND pushed to every MV defined over
+  the table (§3.3 — "DML is just another stream input").
+- CREATE MATERIALIZED VIEW backfills from the current table snapshot
+  (reference Backfill executor) then stays incrementally maintained on
+  every subsequent DML batch; the MV's current result is also registered
+  in the catalog (MV-on-MV reads compose the same way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_spark.streaming.mv import ChunkedState, MaterializedView, OP_COL, with_ops
+
+
+class Table:
+    def __init__(self, spark: SparkSession, path: str, name: str, pk: str):
+        self.spark = spark
+        self.name = name
+        self.pk = pk
+        self.state = ChunkedState(spark, path, pk)
+        self.mvs: list["MaterializedViewHandle"] = []
+
+    def snapshot(self) -> DataFrame:
+        return self.state.read()
+
+    def _register(self) -> None:
+        self.snapshot().createOrReplaceTempView(self.name)
+
+
+class MaterializedViewHandle:
+    def __init__(self, name: str, view: MaterializedView):
+        self.name = name
+        self.view = view
+
+    def _register(self) -> None:
+        self.view.result().createOrReplaceTempView(self.name)
+
+
+class Engine:
+    """The session object a reference user would hold (their `psql`
+    connection analog)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.tables: dict[str, Table] = {}
+        self.mv_handles: dict[str, MaterializedViewHandle] = {}
+
+    # ---- DDL -------------------------------------------------------
+    def create_table(self, name: str, rows: DataFrame, pk: str) -> Table:
+        """CREATE TABLE ... ; initial rows are the first insert chunk."""
+        t = Table(self.spark, os.path.join(self.warehouse, f"t_{name}"), name, pk)
+        t.state.fold(rows, rows.limit(0))
+        t._register()
+        self.tables[name] = t
+        return t
+
+    def create_materialized_view(
+        self, name: str, table: str, keys: list[str], recompute
+    ) -> MaterializedViewHandle:
+        """CREATE MATERIALIZED VIEW over a table: `recompute(rows)` is the
+        per-affected-group query body (any DataFrame transform emitting
+        the group keys). Backfills from the current snapshot, then stays
+        maintained by DML."""
+        t = self.tables[table]
+        mv = MaterializedView(
+            self.spark,
+            os.path.join(self.warehouse, f"mv_{name}"),
+            keys,
+            t.pk,
+            recompute,
+        )
+        # Backfill: current snapshot as one insert batch (the reference's
+        # snapshot-then-switchover bootstrap).
+        mv.apply_batch(with_ops(t.snapshot(), 1))
+        h = MaterializedViewHandle(name, mv)
+        h._register()
+        t.mvs.append(h)
+        self.mv_handles[name] = h
+        return h
+
+    # ---- DML -------------------------------------------------------
+    def insert(self, table: str, rows: DataFrame) -> None:
+        self._apply_dml(table, with_ops(rows, 1))
+
+    def delete(self, table: str, predicate) -> None:
+        """DELETE FROM table WHERE predicate — the matching rows of the
+        current snapshot become a −1 chunk."""
+        t = self.tables[table]
+        doomed = t.snapshot().filter(predicate)
+        self._apply_dml(table, with_ops(doomed, -1))
+
+    def _apply_dml(self, table: str, batch: DataFrame) -> None:
+        t = self.tables[table]
+        cols = [c for c in batch.columns if c != OP_COL]
+        t.state.fold(
+            batch.filter(F.col(OP_COL) > 0).select(*cols),
+            batch.filter(F.col(OP_COL) < 0).select(*cols),
+        )
+        t._register()
+        for h in t.mvs:
+            h.view.apply_batch(batch)
+            h._register()
+
+    # ---- queries ---------------------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        """Ad-hoc batch SQL over tables and MVs (§3.1 — parse/plan/execute
+        all delegated to Catalyst)."""
+        return self.spark.sql(text)
