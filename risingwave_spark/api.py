@@ -70,26 +70,44 @@ class Engine:
         return t
 
     def create_materialized_view(
-        self, name: str, table: str, keys: list[str], recompute
+        self, name: str, base: str, keys: list[str], recompute, key_of=None
     ) -> MaterializedViewHandle:
-        """CREATE MATERIALIZED VIEW over a table: `recompute(rows)` is the
-        per-affected-group query body (any DataFrame transform emitting
-        the group keys). Backfills from the current snapshot, then stays
-        maintained by DML."""
-        t = self.tables[table]
+        """CREATE MATERIALIZED VIEW over a TABLE or another MV:
+        `recompute(rows)` is the per-affected-group query body (any
+        DataFrame transform emitting the group keys). For DERIVED group
+        keys (GROUP BY k % 2), pass `key_of(rows)` annotating rows with
+        the key columns. Backfills from the base's current state, then
+        stays maintained: DML batches flow table → MV → downstream MVs
+        as changelogs (mv-on-mv.md)."""
+        if base in self.tables:
+            t = self.tables[base]
+            row_id, backfill, subscribe = t.pk, t.snapshot(), t.mvs
+        else:
+            up = self.mv_handles[base]
+            if len(up.view.keys) != 1:
+                raise ValueError("MV-on-MV requires a single-column upstream key (its pk)")
+            row_id, backfill, subscribe = (
+                up.view.keys[0],
+                up.view.result(),
+                None,
+            )
         mv = MaterializedView(
             self.spark,
             os.path.join(self.warehouse, f"mv_{name}"),
             keys,
-            t.pk,
+            row_id,
             recompute,
         )
-        # Backfill: current snapshot as one insert batch (the reference's
-        # snapshot-then-switchover bootstrap).
-        mv.apply_batch(with_ops(t.snapshot(), 1))
+        mv.key_of = key_of
+        # Backfill: current base state as one insert batch (the
+        # reference's snapshot-then-switchover bootstrap).
+        mv.apply_batch(with_ops(backfill, 1))
         h = MaterializedViewHandle(name, mv)
         h._register()
-        t.mvs.append(h)
+        if subscribe is not None:
+            subscribe.append(h)
+        else:
+            self.mv_handles[base].view.downstream.append(mv)
         self.mv_handles[name] = h
         return h
 
@@ -114,6 +132,8 @@ class Engine:
         t._register()
         for h in t.mvs:
             h.view.apply_batch(batch)
+        # propagation may have advanced downstream MVs too — refresh all
+        for h in self.mv_handles.values():
             h._register()
 
     # ---- queries ---------------------------------------------------

@@ -82,10 +82,12 @@ class _VersionedTable:
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, self._pointer())
-        old = self._version
         self._version = nxt
-        if old >= 0:
-            shutil.rmtree(os.path.join(self.path, f"v{old}"), ignore_errors=True)
+        # retain ONE prior version: un-evaluated DataFrames handed to
+        # downstream MVs (the MV-on-MV changelog) may still read it
+        stale = nxt - 2
+        if stale >= 0:
+            shutil.rmtree(os.path.join(self.path, f"v{stale}"), ignore_errors=True)
 
 
 class ChunkedState:
@@ -164,6 +166,16 @@ class _RetractableView:
         self.row_id = row_id
         self.state = ChunkedState(spark, os.path.join(state_dir, "state"), row_id)
         self.mv = _VersionedTable(spark, os.path.join(state_dir, "mv"))
+        # MV-on-MV (reference `docs/dev/src/design/mv-on-mv.md`): this
+        # view's per-batch diff (−1 old affected rows, +1 recomputed
+        # rows — the Update pair) is itself a changelog, forwarded to
+        # subscribed downstream views.
+        self.downstream: list["_RetractableView"] = []
+        # group keys DERIVED from input columns (e.g. GROUP BY k % 2):
+        # key_of(rows) ANNOTATES rows with this view's key columns (the
+        # reference's dispatch-key derivation). Default: identity — the
+        # keys are already input columns.
+        self.key_of = None
 
     def _recompute(self, rows: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
@@ -175,16 +187,29 @@ class _RetractableView:
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
         self.state.fold(inserts, deletes)
 
-        affected = batch.select(*self.keys).distinct()
+        annotate = self.key_of or (lambda d: d)
+        affected = annotate(batch).select(*self.keys).distinct()
         recomputed = self._recompute(
-            self.state.read().join(affected, on=self.keys, how="left_semi")
+            annotate(self.state.read()).join(affected, on=self.keys, how="left_semi")
         )
+        out_changelog = None
         if self.mv.exists():
-            untouched = self.mv.read().join(affected, on=self.keys, how="left_anti")
+            prev = self.mv.read()
+            if self.downstream:
+                old_affected = prev.join(affected, on=self.keys, how="left_semi")
+                out_changelog = with_ops(old_affected, -1).unionByName(
+                    with_ops(recomputed, 1)
+                )
+            untouched = prev.join(affected, on=self.keys, how="left_anti")
             new_mv = untouched.unionByName(recomputed)
         else:
+            if self.downstream:
+                out_changelog = with_ops(recomputed, 1)
             new_mv = recomputed
         self.mv.write(new_mv)
+        if out_changelog is not None:
+            for d in self.downstream:
+                d.apply_batch(out_changelog)
 
     def result(self) -> DataFrame:
         return self.mv.read()

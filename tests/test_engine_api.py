@@ -65,3 +65,51 @@ def test_engine_table_mv_dml_roundtrip(spark):
         )
         for r in j.collect():
             assert r.rows_in_table == r.mv_n
+
+
+def test_engine_mv_on_mv(spark):
+    """MV over MV (reference mv-on-mv.md): the upstream MV's per-batch
+    diff (update pairs) maintains the downstream; both must equal
+    from-scratch recomputation after inserts AND deletes."""
+    data = [(i, i % 10, float(i % 13)) for i in range(300)]
+    df = spark.createDataFrame(data, "id long, k long, v double")
+
+    def mv1_q(rows):
+        return rows.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v") * 100, 0).cast("long")).alias("cents"),
+        )
+
+    def mv2_key(rows):
+        return rows.withColumn("parity", F.col("k") % 2)
+
+    def mv2_q(rows):
+        # rows arrive key-annotated (parity) by mv2_key
+        return rows.groupBy("parity").agg(
+            F.sum("n").alias("total_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    def expected2(base):
+        return mv2_q(mv2_key(mv1_q(base)))
+
+    with tempfile.TemporaryDirectory() as wh:
+        eng = Engine(spark, wh)
+        eng.create_table("m", df, pk="id")
+        eng.create_materialized_view("m1", "m", ["k"], mv1_q)
+        eng.create_materialized_view("m2", "m1", ["parity"], mv2_q, key_of=mv2_key)
+
+        assert _rows(eng.sql("SELECT * FROM m2")) == _rows(expected2(df))
+
+        more = spark.createDataFrame(
+            [(i, i % 10, float(i % 13)) for i in range(300, 380)], "id long, k long, v double"
+        )
+        eng.insert("m", more)
+        both = df.unionByName(more)
+        assert _rows(eng.sql("SELECT * FROM m1")) == _rows(mv1_q(both))
+        assert _rows(eng.sql("SELECT * FROM m2")) == _rows(expected2(both))
+
+        eng.delete("m", F.col("k") == 4)
+        left = both.filter(F.col("k") != 4)
+        assert _rows(eng.sql("SELECT * FROM m1")) == _rows(mv1_q(left))
+        assert _rows(eng.sql("SELECT * FROM m2")) == _rows(expected2(left))
