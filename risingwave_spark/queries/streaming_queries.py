@@ -456,3 +456,39 @@ def stream_distinct_retract(spark, sf_dir):
         mv.apply_batch(_wo(ev.filter(F.col("event_id") % 2 == i), 1))
     mv.apply_batch(_wo(ev.filter(F.col("event_id") % 3 == 0), -1))
     return mv.result().orderBy("event_type")
+
+
+@register(
+    "engine_dml_mv",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {o_msum('o_totalprice')} AS total
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_dml_mv(spark, sf_dir):
+    """The full DDL/DML surface end-to-end (reference §3.1-3.3 handlers:
+    CREATE TABLE, CREATE MATERIALIZED VIEW, INSERT, DELETE): a table is
+    created from half of `orders`, an MV per status defined on it, the
+    other half INSERTed, every 7th order DELETEd — the MV read through
+    ad-hoc SQL must equal the one-shot batch aggregate."""
+    from risingwave_spark.api import Engine
+
+    orders = tables(spark, sf_dir)["orders"]
+
+    def recompute(rows):
+        return rows.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+                "total"
+            ),
+        )
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_eng_"))
+    eng.create_table("rw_orders_t", orders.filter(F.col("o_orderkey") % 2 == 0), pk="o_orderkey")
+    eng.create_materialized_view("rw_orders_mv", "rw_orders_t", ["o_orderstatus"], recompute)
+    eng.insert("rw_orders_t", orders.filter(F.col("o_orderkey") % 2 == 1))
+    eng.delete("rw_orders_t", F.col("o_orderkey") % 7 == 0)
+    return eng.sql("SELECT * FROM rw_orders_mv ORDER BY o_orderstatus")

@@ -228,3 +228,31 @@ def test_chunked_state_compaction(spark, events):
         st.fold(ev.limit(0), ev.filter(F.col("event_id") == before[0]))
         remaining = sorted(r.event_id for r in st.read().collect())
         assert remaining == before[1:]
+
+
+def test_stream_to_mv_foreachbatch(spark, events):
+    """readStream → foreachBatch → MaterializedGroupAgg: the Structured
+    Streaming attachment path of the MV runtime (reference §3.2 — the MV
+    as a continuously-maintained streaming job)."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import MaterializedGroupAgg, stream_to_mv
+
+    sdf = _event_stream(spark)
+    with tempfile.TemporaryDirectory() as d:
+        mv = MaterializedGroupAgg(
+            spark, d + "/state", ["event_type"], "event_id", "value"
+        )
+        q = stream_to_mv(sdf, mv, d + "/ckpt", "t_mv_stream")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.event_type: (r.cnt,) for r in mv.result().collect()}
+        exp = {
+            r.event_type: (r.cnt,)
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == exp
