@@ -30,13 +30,27 @@ def _event_stream(spark, sf_dir):
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(stream_df, mode: str):
+def _run_to_memory(stream_df, mode: str, state_partitions: int = 8):
+    """Run a bounded stream to completion into a memory sink.
+
+    State-store instances = shuffle partitions, and each one pays a
+    per-commit file-write cost — at bench scale (≤1M rows) 32 of them is
+    pure overhead (measured 3×). On a real cluster you size this to
+    sustained throughput per core, not to a constant; it binds at query
+    start, so set it here and restore after.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = "q" + uuid.uuid4().hex[:12]
-    q = stream_df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
-        q.processAllAvailable()
+        q = stream_df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
