@@ -558,3 +558,79 @@ def llm_ann_lsh(spark, sf_dir):
         .select("query_id", "neighbor_id", "cos")
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@register(
+    "llm_embed_neardup",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, {_o_ann_bucket()} AS bucket FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b, round({_o_cos('x.embedding', 'y.embedding')}, 6) AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({_o_cos('x.embedding', 'y.embedding')}, 6) >= 0.30
+ORDER BY a, b
+""",
+)
+def llm_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup family's semantic
+    variant): LSH buckets prune the candidate space map-side, then exact
+    scaled-int cosine keeps pairs ≥ 0.30 (threshold fits the synthetic data's similarity range) — the standard semantic-dedup
+    pipeline for training corpora at 100 TB (bucket → within-bucket
+    verify; never the full O(n²) cross join)."""
+    from risingwave_spark.operators.similarity import (
+        ann_planes,
+        cosine_prescaled,
+        int_hyperplane_bucket,
+        scaled_with_sqnorm,
+    )
+
+    t = tables(spark, sf_dir)
+    base = scaled_with_sqnorm(t["embeddings"], "vec_id", "embedding", "v")
+    base = base.withColumn("bucket", int_hyperplane_bucket(F.col("v_vec"), ann_planes(8, 64)))
+    x = base.select(
+        F.col("v_id").alias("a"), F.col("v_vec").alias("a_vec"),
+        F.col("v_sq").alias("a_sq"), "bucket",
+    )
+    y = base.select(
+        F.col("v_id").alias("b"), F.col("v_vec").alias("b_vec"),
+        F.col("v_sq").alias("b_sq"), "bucket",
+    )
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prescaled(F.col("a_vec"), F.col("b_vec"), F.col("a_sq"), F.col("b_sq")), 6
+            ),
+        )
+        .filter(F.col("cos") >= 0.30)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+SELECT substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 2) AS fp_prefix,
+       count(*) AS n,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY fp_prefix HAVING count(*) > 1 ORDER BY fp_prefix
+""",
+)
+def llm_fingerprint(spark, sf_dir):
+    """Document fingerprinting (operators/textual.py doc_fingerprint):
+    content-hash prefix buckets surfacing collision groups — the cheap
+    first pass of a dedup cascade."""
+    from risingwave_spark.operators.textual import doc_fingerprint
+
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("fp_prefix", F.substring(doc_fingerprint(F.col("text")), 1, 2))
+        .groupBy("fp_prefix")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n") > 1)
+        .orderBy("fp_prefix")
+    )
