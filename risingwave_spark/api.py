@@ -122,6 +122,19 @@ class Engine:
         doomed = t.snapshot().filter(predicate)
         self._apply_dml(table, with_ops(doomed, -1))
 
+    def update(self, table: str, predicate, assignments: dict) -> None:
+        """UPDATE table SET col=expr WHERE predicate — becomes the
+        reference's UpdateDelete/UpdateInsert pair in ONE chunk (§1.2):
+        −1 the old row versions, +1 the reassigned ones; same-batch
+        delete+reinsert of a pk is exactly what ChunkedState's sequence
+        numbering supports."""
+        t = self.tables[table]
+        old = t.snapshot().filter(predicate)
+        new = old
+        for col, expr in assignments.items():
+            new = new.withColumn(col, expr)
+        self._apply_dml(table, with_ops(old, -1).unionByName(with_ops(new, 1)))
+
     def _apply_dml(self, table: str, batch: DataFrame) -> None:
         t = self.tables[table]
         cols = [c for c in batch.columns if c != OP_COL]

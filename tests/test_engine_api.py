@@ -113,3 +113,27 @@ def test_engine_mv_on_mv(spark):
         left = both.filter(F.col("k") != 4)
         assert _rows(eng.sql("SELECT * FROM m1")) == _rows(mv1_q(left))
         assert _rows(eng.sql("SELECT * FROM m2")) == _rows(expected2(left))
+
+
+def test_engine_update(spark):
+    """UPDATE = UpdateDelete/UpdateInsert pair in one chunk: rows move
+    between groups and the MV follows."""
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(100)], "id long, k long, v double"
+    )
+
+    def q(rows):
+        return rows.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    with tempfile.TemporaryDirectory() as wh:
+        eng = Engine(spark, wh)
+        eng.create_table("u", df, pk="id")
+        eng.create_materialized_view("u_by_k", "u", ["k"], q)
+        # move every k=1 row to k=9
+        eng.update("u", F.col("k") == 1, {"k": F.lit(9).cast("long")})
+        moved = df.withColumn(
+            "k", F.when(F.col("k") == 1, F.lit(9).cast("long")).otherwise(F.col("k"))
+        )
+        assert _rows(eng.sql("SELECT * FROM u_by_k")) == _rows(q(moved))
+        assert eng.sql("SELECT count(*) AS n FROM u WHERE k = 1").first().n == 0
+        assert eng.sql("SELECT count(*) AS n FROM u WHERE k = 9").first().n == 25
