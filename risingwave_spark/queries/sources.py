@@ -162,3 +162,51 @@ def src_upsert_latest(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "sink_debezium_encode",
+    oracle=f"""
+SELECT event_id,
+       '{{"before":null,"after":{{"event_id":' || event_id || ',"user_id":' || user_id
+        || '}},"op":"c"}}' AS envelope
+FROM {EVENTS_US} e WHERE event_id < 200 ORDER BY event_id
+""",
+)
+def sink_debezium_encode(spark, sf_dir):
+    """Debezium-JSON sink formatter (reference
+    `sink/formatter/debezium_json.rs` + encoder `sink/encoder/json.rs`):
+    changelog rows encoded into create-op envelopes — the payload a Kafka
+    sink would emit via writeStream; here the encode is the query output
+    so it hash-checks byte-for-byte."""
+    t = tables(spark, sf_dir)
+    payload = F.to_json(F.struct("event_id", "user_id"))
+    env = F.concat(
+        F.lit('{"before":null,"after":'), payload, F.lit(',"op":"c"}')
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .select("event_id", env.alias("envelope"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "sink_upsert_encode",
+    oracle=f"""
+SELECT user_id AS key,
+       CASE WHEN n > 0 THEN '{{"user_id":' || user_id || ',"n":' || n || '}}' END AS value
+FROM (SELECT user_id, count(*) AS n FROM {EVENTS_US} e GROUP BY user_id) g
+ORDER BY key
+""",
+)
+def sink_upsert_encode(spark, sf_dir):
+    """Upsert-format sink (reference `sink/formatter/upsert.rs`): each
+    output row becomes (key, value-or-null-tombstone) — the Kafka compacted
+    -topic contract. Value is null only for retracted keys (none in this
+    bounded run, encoded via the CASE guard)."""
+    t = tables(spark, sf_dir)
+    agg = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    value = F.when(F.col("n") > 0, F.to_json(F.struct("user_id", "n")))
+    return agg.select(F.col("user_id").alias("key"), value.alias("value")).orderBy("key")
