@@ -318,3 +318,38 @@ def tf_jsonb_each(spark, sf_dir):
         .select("event_id", F.explode(m).alias("key", "val"))
         .orderBy("event_id", "key")
     )
+
+
+@register(
+    "fn_trig_degrees",
+    oracle="""
+SELECT n_chars,
+       (round(sin(radians(n_chars % 360)), 6) + 0.0) AS sind,
+       (round(cos(radians(n_chars % 360)), 6) + 0.0) AS cosd,
+       (round(tan(radians(n_chars % 89)), 6) + 0.0) AS tand,
+       (round(degrees(atan(n_chars / 100.0)), 6) + 0.0) AS atand,
+       (round(cot(radians(n_chars % 89 + 1)), 6) + 0.0) AS cotd
+FROM (SELECT DISTINCT n_chars FROM documents) d
+ORDER BY n_chars
+""",
+)
+def fn_trig_degrees(spark, sf_dir):
+    """Degree-variant trig (reference sind/cosd/tand/cotd/atand,
+    `trigonometric.rs`): composed as radians()/degrees() wrappers over
+    the radian functions — rounded to 6 digits (JVM vs libm ulp) and +0.0-normalized (negative zero)."""
+    t = tables(spark, sf_dir)
+    n = F.col("n_chars")
+    return (
+        t["documents"]
+        .select("n_chars")
+        .distinct()
+        .select(
+            "n_chars",
+            (F.round(F.sin(F.radians(n % 360)), 6) + 0.0).alias("sind"),
+            (F.round(F.cos(F.radians(n % 360)), 6) + 0.0).alias("cosd"),
+            (F.round(F.tan(F.radians(n % 89)), 6) + 0.0).alias("tand"),
+            (F.round(F.degrees(F.atan(n / 100.0)), 6) + 0.0).alias("atand"),
+            (F.round(F.cot(F.radians(n % 89 + 1)), 6) + 0.0).alias("cotd"),
+        )
+        .orderBy("n_chars")
+    )

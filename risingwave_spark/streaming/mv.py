@@ -111,11 +111,15 @@ class ChunkedState:
         self.tombs_dir = os.path.join(path, "tombstones")
         self._has_values = bool(os.path.isdir(self.values_dir) and os.listdir(self.values_dir))
         self._has_tombs = bool(os.path.isdir(self.tombs_dir) and os.listdir(self.tombs_dir))
+        # recovery: resume numbering past BOTH chunk and tombstone seqs —
+        # a delete-only batch leaves no insert rows, only tombstones
         self._seq = 0
         if self._has_values:
-            self._seq = (
-                spark.read.parquet(self.values_dir).agg(F.max("__seq")).first()[0] or 0
-            ) + 1
+            vmax = spark.read.parquet(self.values_dir).agg(F.max("__seq")).first()[0]
+            self._seq = (vmax if vmax is not None else -1) + 1
+        if self._has_tombs:
+            tmax = spark.read.parquet(self.tombs_dir).agg(F.max("__del_seq")).first()[0]
+            self._seq = max(self._seq, (tmax if tmax is not None else -1) + 1)
 
     def fold(self, inserts: DataFrame, deletes: DataFrame) -> None:
         """Append one batch's inserts and delete tombstones (row ids)."""

@@ -256,3 +256,38 @@ def test_stream_to_mv_foreachbatch(spark, events):
             .collect()
         }
         assert got == exp
+
+
+def test_mv_state_recovery(spark, events):
+    """Failover semantics (reference epoch-consistent checkpoints,
+    `docs checkpoint.md`): a NEW MaterializedGroupAgg instance opened on
+    the same state dir resumes — sequence numbers continue, tombstones
+    persist, and folding more batches yields the same result as one
+    uninterrupted run."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import MaterializedGroupAgg, with_ops
+
+    ev = events.select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        mv1 = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
+        mv1.apply_batch(with_ops(ev.filter(F.col("event_id") % 2 == 0), 1))
+        mv1.apply_batch(with_ops(ev.filter(F.col("event_id") % 10 == 0), -1))
+        del mv1
+
+        # "crash" + reopen: state dirs drive full recovery
+        mv2 = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
+        assert mv2.state._seq == 2  # resumed past both folded batches
+        mv2.apply_batch(with_ops(ev.filter(F.col("event_id") % 2 == 1), 1))
+
+        surviving = ev.filter(
+            (F.col("event_id") % 10 != 0) | (F.col("event_id") % 2 == 1)
+        )
+        exp = {
+            r.user_id: r.cnt
+            for r in surviving.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        got = {r.user_id: r.cnt for r in mv2.result().collect()}
+        assert got == exp
