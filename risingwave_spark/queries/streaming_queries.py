@@ -506,3 +506,45 @@ def engine_dml_mv(spark, sf_dir):
     eng.insert("rw_orders_t", orders.filter(F.col("o_orderkey") % 2 == 1))
     eng.delete("rw_orders_t", F.col("o_orderkey") % 7 == 0)
     return eng.sql("SELECT * FROM rw_orders_mv ORDER BY o_orderstatus")
+
+
+@register(
+    "stream_dynamic_filter",
+    oracle=f"""
+SELECT user_id, count(*) AS n_above
+FROM {EVENTS_US} e
+WHERE value > (SELECT CAST(sum(CAST(round(value*10000,0) AS BIGINT)) AS BIGINT)/10000.0
+                      / count(*) FROM {EVENTS_US} e2)
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def stream_dynamic_filter(spark, sf_dir):
+    """DynamicFilter (reference `dynamic_filter.rs:39`): `value > (scalar
+    subquery)` where the RHS is a 1-row stream — every batch the global
+    exact-cents average moves, and the retained LHS state is RE-FILTERED
+    against the new threshold (the reference re-scans state on RHS
+    movement; here the refilter is a full declarative pass over
+    ChunkedState). Final MV == one-shot batch with the scalar subquery."""
+    import tempfile as _tf
+
+    from risingwave_spark.streaming.mv import ChunkedState
+
+    ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "value")
+    state = ChunkedState(spark, _tf.mkdtemp(prefix="rw_dyn_"), "event_id")
+    result = None
+    for i in range(3):
+        state.fold(ev.filter(F.col("event_id") % 3 == i), ev.limit(0))
+        rows = state.read()
+        thr = rows.agg(
+            (
+                (F.sum(F.round(F.col("value") * 10000, 0).cast("long")) / 10000.0)
+                / F.count(F.lit(1))
+            ).alias("thr")
+        )
+        result = (
+            rows.join(F.broadcast(thr))
+            .filter(F.col("value") > F.col("thr"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_above"))
+        )
+    return result.orderBy("user_id")
