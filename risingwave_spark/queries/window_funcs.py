@@ -270,3 +270,69 @@ def win_agg_over_partition(spark, sf_dir):
             F.min("c_acctbal").over(w).alias("nation_min"),
         )
     )
+
+
+@register(
+    "topn_with_ties",
+    oracle="""
+SELECT o_orderstatus, o_totalprice FROM (
+  SELECT o_orderstatus, o_totalprice,
+         rank() OVER (ORDER BY round(o_totalprice / 1000, 0) DESC) AS rk
+  FROM orders
+) t WHERE rk <= 5 ORDER BY o_totalprice DESC, o_orderstatus
+""",
+)
+def topn_with_ties(spark, sf_dir):
+    """TopN WITH TIES (reference `top_n` WITH TIES support,
+    `top_n/top_n_plain.rs:79`): rank() (not row_number) keeps every row
+    tied with the k-th — coarsened to 1k buckets so ties actually occur."""
+    t = tables(spark, sf_dir)
+    w = W.orderBy(F.desc(F.round(F.col("o_totalprice") / 1000, 0)))
+    return (
+        t["orders"]
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("o_orderstatus", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderstatus")
+    )
+
+
+@register(
+    "win_frame_exclude",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                  EXCLUDE CURRENT ROW) AS BIGINT) AS others_cents
+FROM lineitem WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def win_frame_exclude(spark, sf_dir):
+    """Frame EXCLUDE CURRENT ROW (reference FrameExclusion,
+    `window_function/call.rs:151`): Spark has no EXCLUDE clause — the
+    identity `frame_sum − current_row` re-expresses it exactly (DuckDB
+    oracle uses the native EXCLUDE)."""
+    t = tables(spark, sf_dir)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    cents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    # an excluded frame with no other rows is EMPTY → sum is NULL (PG and
+    # DuckDB semantics), not 0 — guard on the partition row count
+    others = F.when(
+        F.count(F.lit(1)).over(w) > 1, F.sum(cents).over(w) - cents
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 400)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            others.alias("others_cents"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
