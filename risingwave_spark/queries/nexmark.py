@@ -156,3 +156,73 @@ def nexmark_q7_highest_bid(spark, sf_dir):
         .select("ws", F.col("value").alias("price"), "user_id")
         .orderBy("ws")
     )
+
+
+@register(
+    "nexmark_q1_currency",
+    oracle=f"""
+SELECT event_id, user_id, round(value * 0.908, 4) AS price_eur, ts
+FROM {EVENTS_US} e WHERE event_id < 2000 ORDER BY event_id
+""",
+)
+def nexmark_q1_currency(spark, sf_dir):
+    """Nexmark q1 (currency conversion): stateless project on the bid
+    stream — the reference's simplest streaming Project executor."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 0.908, 4).alias("price_eur"),
+            "ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "nexmark_q2_filter",
+    oracle=f"""
+SELECT event_id, user_id, value
+FROM {EVENTS_US} e
+WHERE user_id % 123 = 0 OR user_id % 97 = 0
+ORDER BY event_id
+""",
+)
+def nexmark_q2_filter(spark, sf_dir):
+    """Nexmark q2 (selection): stateless filter on auction/bidder ids —
+    the streaming Filter executor; predicate pushes to the parquet scan."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter((F.col("user_id") % 123 == 0) | (F.col("user_id") % 97 == 0))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "nexmark_q3_local_join",
+    oracle=f"""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM {EVENTS_US} e
+JOIN customer c ON e.user_id + 1 = c.c_custkey
+WHERE e.event_type = 'signup' AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+ORDER BY e.event_id
+""",
+)
+def nexmark_q3_local_join(spark, sf_dir):
+    """Nexmark q3 (local item suggestion): filtered stream ⋈ filtered
+    dimension — an incremental join both of whose sides are selective
+    filters; the dimension side broadcasts."""
+    t = tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "signup")
+        .join(F.broadcast(cust), F.col("user_id") + 1 == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+        .orderBy("event_id")
+    )
