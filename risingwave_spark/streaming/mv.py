@@ -164,6 +164,13 @@ class _RetractableView:
     recompute ONLY the partitions/groups the batch touched and splice
     them into the MV (untouched ∪ recomputed)."""
 
+    #: compact the chunked state every N folded batches (None = never).
+    #: Amortizes the O(state) rewrite over N O(batch) folds — the same
+    #: schedule trade-off as the reference's Hummock compaction / Delta
+    #: OPTIMIZE cadence. 16 keeps read amplification (chunk count +
+    #: tombstone anti-join size) bounded without noticeable write cost.
+    compact_every: int | None = 16
+
     def __init__(self, spark: SparkSession, state_dir: str, keys: list[str], row_id: str):
         self.spark = spark
         self.keys = keys
@@ -190,6 +197,8 @@ class _RetractableView:
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
         self.state.fold(inserts, deletes)
+        if self.compact_every and self.state._seq % self.compact_every == 0:
+            self.state.compact()
 
         annotate = self.key_of or (lambda d: d)
         affected = annotate(batch).select(*self.keys).distinct()

@@ -291,3 +291,28 @@ def test_mv_state_recovery(spark, events):
         }
         got = {r.user_id: r.cnt for r in mv2.result().collect()}
         assert got == exp
+
+
+def test_mv_auto_compaction_preserves_results(spark, events):
+    """With compact_every=2, many alternating insert/delete batches keep
+    the MV correct while state chunks get periodically rewritten."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import MaterializedGroupAgg, with_ops
+
+    ev = events.select("event_id", "user_id", "value").filter(F.col("event_id") < 400)
+    with tempfile.TemporaryDirectory() as d:
+        mv = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
+        mv.compact_every = 2
+        for i in range(4):
+            mv.apply_batch(with_ops(ev.filter(F.col("event_id") % 4 == i), 1))
+            mv.apply_batch(
+                with_ops(ev.filter((F.col("event_id") % 4 == i) & (F.col("event_id") % 3 == 0)), -1)
+            )
+        surviving = ev.filter(F.col("event_id") % 3 != 0)
+        exp = {
+            r.user_id: r.cnt
+            for r in surviving.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        got = {r.user_id: r.cnt for r in mv.result().collect()}
+        assert got == exp
