@@ -152,5 +152,9 @@ class Engine:
     # ---- queries ---------------------------------------------------
     def sql(self, text: str) -> DataFrame:
         """Ad-hoc batch SQL over tables and MVs (§3.1 — parse/plan/execute
-        all delegated to Catalyst)."""
-        return self.spark.sql(text)
+        all delegated to Catalyst). PG-flavored spellings (:: casts, ~,
+        now(), string_agg, ...) are rewritten first so reference query
+        text runs unchanged (functions/pgsql.py)."""
+        from risingwave_spark.functions.pgsql import pg_to_spark_sql
+
+        return self.spark.sql(pg_to_spark_sql(text))

@@ -1,0 +1,104 @@
+"""PG-flavored SQL → Spark SQL translation shim.
+
+The reference speaks PostgreSQL (`src/sqlparser/`); Spark SQL covers most
+of the same surface but differs in spelling. This shim rewrites the
+high-frequency PG-isms so a reference user's query text runs unchanged
+through `Engine.sql` / `spark.sql`:
+
+- `expr::type`          → CAST(expr AS type)  (incl. chained casts)
+- `expr ~ 'pat'`        → expr RLIKE 'pat'   (and `!~` → NOT ... RLIKE)
+- `now()`               → current_timestamp()
+- `string_agg(x, d)`    → array_join(collect_list(x), d)
+- `bool_and/bool_or`    → every / any
+- `strpos(s, sub)`      → instr(s, sub)
+- type names            → text→STRING, int4/int8→INT/BIGINT,
+                          float4/float8→FLOAT/DOUBLE, bytea→BINARY,
+                          timestamptz→TIMESTAMP
+
+It is deliberately token-level (regex on string literals masked out) —
+a full PG parser is out of scope; anything untranslated passes through
+to Spark's own parser, which already accepts `ILIKE`, `||`,
+`IS [NOT] DISTINCT FROM`, lateral views, etc.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TYPE_MAP = {
+    "text": "STRING",
+    "varchar": "STRING",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "bytea": "BINARY",
+    "timestamptz": "TIMESTAMP",
+    "jsonb": "STRING",
+}
+
+# operand alternatives, most specific first: function call (one nesting
+# level; NO space before the paren, so `SELECT (expr)` isn't mistaken
+# for a call), parenthesized expression, bare identifier/column path
+_CAST_RE = re.compile(
+    r"(\b[\w.]+\((?:[^()]|\([^()]*\))*\)"
+    r"|\((?:[^()]|\([^()]*\))*\)"
+    r"|\b[\w.]+)"
+    r"\s*::\s*([a-zA-Z_][\w]*(?:\(\d+(?:,\s*\d+)?\))?)"
+)
+
+
+def _mask_strings(sql: str):
+    """Replace single-quoted literals with placeholders so rewrites never
+    touch string contents; returns (masked_sql, literals)."""
+    lits: list[str] = []
+
+    def repl(m):
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return re.sub(r"'(?:[^']|'')*'", repl, sql), lits
+
+
+def _unmask(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+
+
+def _map_type(t: str) -> str:
+    base = t.split("(")[0].lower()
+    mapped = _TYPE_MAP.get(base)
+    if mapped is None:
+        return t
+    return mapped + t[len(base):]
+
+
+def pg_to_spark_sql(sql: str) -> str:
+    """Rewrite PG-isms; see module docstring for the covered set."""
+    masked, lits = _mask_strings(sql)
+
+    # :: casts — innermost first; loop to handle chained casts
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _CAST_RE.sub(
+            lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})", masked
+        )
+
+    # regex match operators (avoid touching `!~~` / `~~` which are LIKE)
+    masked = re.sub(r"(\S+)\s+!~\s+", r"\1 NOT RLIKE ", masked)
+    masked = re.sub(r"(\S+)\s+~\s+(?=\x00)", r"\1 RLIKE ", masked)
+
+    # functions
+    masked = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", masked, flags=re.I)
+    masked = re.sub(
+        r"\bstring_agg\s*\(\s*([^,()]+)\s*,\s*(\x00\d+\x00)\s*\)",
+        r"array_join(collect_list(\1), \2)",
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(r"\bbool_and\s*\(", "every(", masked, flags=re.I)
+    masked = re.sub(r"\bbool_or\s*\(", "any(", masked, flags=re.I)
+    masked = re.sub(r"\bstrpos\s*\(", "instr(", masked, flags=re.I)
+
+    return _unmask(masked, lits)

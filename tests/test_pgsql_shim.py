@@ -1,0 +1,56 @@
+"""PG-SQL → Spark SQL shim tests: reference-flavored query text runs
+unchanged through Engine.sql (functions/pgsql.py)."""
+
+from __future__ import annotations
+
+from risingwave_spark.functions.pgsql import pg_to_spark_sql
+
+
+def test_cast_rewrites():
+    assert pg_to_spark_sql("SELECT a::int8 FROM t") == "SELECT CAST(a AS BIGINT) FROM t"
+    assert (
+        pg_to_spark_sql("SELECT (a + b)::float8 FROM t")
+        == "SELECT CAST((a + b) AS DOUBLE) FROM t"
+    )
+    assert (
+        pg_to_spark_sql("SELECT f(x)::text::int4 FROM t")
+        == "SELECT CAST(CAST(f(x) AS STRING) AS INT) FROM t"
+    )
+    assert (
+        pg_to_spark_sql("SELECT a::decimal(10,2) FROM t")
+        == "SELECT CAST(a AS decimal(10,2)) FROM t"
+    )
+
+
+def test_string_literals_untouched():
+    q = "SELECT 'a::b' || x::text, 'don''t ~ match' FROM t"
+    out = pg_to_spark_sql(q)
+    assert "'a::b'" in out and "'don''t ~ match'" in out
+    assert "CAST(x AS STRING)" in out
+
+
+def test_operator_and_function_rewrites():
+    assert pg_to_spark_sql("SELECT * FROM t WHERE s ~ '^ab'") == (
+        "SELECT * FROM t WHERE s RLIKE '^ab'"
+    )
+    assert "NOT RLIKE" in pg_to_spark_sql("SELECT * FROM t WHERE s !~ 'x'")
+    assert "current_timestamp()" in pg_to_spark_sql("SELECT now()")
+    assert (
+        pg_to_spark_sql("SELECT string_agg(name, ',') FROM t")
+        == "SELECT array_join(collect_list(name), ',') FROM t"
+    )
+    assert "every(" in pg_to_spark_sql("SELECT bool_and(f) FROM t")
+    assert "instr(" in pg_to_spark_sql("SELECT strpos(s, x) FROM t")
+
+
+def test_executes_on_spark(spark):
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id int, s string")
+    df.createOrReplaceTempView("pg_t")
+    from risingwave_spark.functions.pgsql import pg_to_spark_sql as tr
+
+    got = spark.sql(
+        tr("SELECT id::int8 AS i, s FROM pg_t WHERE s ~ '^a' AND now() > TIMESTAMP '2000-01-01'")
+    ).collect()
+    assert [(r.i, r.s) for r in got] == [(1, "alpha")]
+    agg = spark.sql(tr("SELECT string_agg(s, '|') AS j FROM pg_t")).first().j
+    assert set(agg.split("|")) == {"alpha", "beta"}
