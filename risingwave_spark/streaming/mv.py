@@ -115,28 +115,72 @@ class ChunkedState:
         # a delete-only batch leaves no insert rows, only tombstones
         self._seq = 0
         if self._has_values:
-            vmax = spark.read.parquet(self.values_dir).agg(F.max("__seq")).first()[0]
+            vmax = self._read_dir(self.values_dir).agg(F.max("__seq")).first()[0]
             self._seq = (vmax if vmax is not None else -1) + 1
         if self._has_tombs:
-            tmax = spark.read.parquet(self.tombs_dir).agg(F.max("__del_seq")).first()[0]
+            tmax = self._read_dir(self.tombs_dir).agg(F.max("__del_seq")).first()[0]
             self._seq = max(self._seq, (tmax if tmax is not None else -1) + 1)
+        # batch-id pointer overrides data-derived seq: files written by a
+        # batch that CRASHED before its pointer flip must be overwritten
+        # on redelivery, not sequenced past
+        ptr = self._read_last_batch()
+        if ptr is not None:
+            self._seq = ptr[1] + 1
 
-    def fold(self, inserts: DataFrame, deletes: DataFrame) -> None:
-        """Append one batch's inserts and delete tombstones (row ids)."""
+    def _read_dir(self, path: str) -> DataFrame:
+        # chunks live in per-batch subdirs (idempotent overwrite target)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+    def _batch_pointer(self) -> str:
+        return os.path.join(os.path.dirname(self.values_dir), "LAST_BATCH")
+
+    def _read_last_batch(self):
+        """(last committed batch_id, seq it used) or None."""
+        try:
+            with open(self._batch_pointer()) as f:
+                bid, seq = f.read().strip().split(":")
+                return int(bid), int(seq)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def fold(self, inserts: DataFrame, deletes: DataFrame, batch_id: int | None = None) -> bool:
+        """Append one batch's inserts and delete tombstones (row ids).
+
+        Exactly-once under redelivery (§2.9, the reference's epoch-commit
+        contract; Spark foreachBatch re-runs a batch after failure):
+        pass the sink's `batch_id` — an id ≤ the committed LAST_BATCH
+        pointer is skipped; a batch that crashed before its pointer flip
+        is re-run under the SAME seq (recovery resumes from the pointer)
+        into seq-named subdirs with overwrite, replacing its own partial
+        files instead of duplicating them. The pointer (batch_id:seq)
+        flips last. Returns False if skipped as already applied.
+        """
+        if batch_id is not None:
+            last = self._read_last_batch()
+            if last is not None and batch_id <= last[0]:
+                return False
         inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4).write.mode(
-            "append"
-        ).parquet(self.values_dir)
+            "overwrite"
+        ).parquet(os.path.join(self.values_dir, f"b{self._seq}"))
         self._has_values = True
         dl = deletes.select(self.row_id, F.lit(self._seq).alias("__del_seq"))
         if not dl.isEmpty():
-            dl.coalesce(1).write.mode("append").parquet(self.tombs_dir)
+            dl.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.tombs_dir, f"b{self._seq}")
+            )
             self._has_tombs = True
         self._seq += 1
+        if batch_id is not None:
+            tmp = self._batch_pointer() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(f"{batch_id}:{self._seq - 1}")
+            os.replace(tmp, self._batch_pointer())
+        return True
 
     def read(self) -> DataFrame:
-        v = self.spark.read.parquet(self.values_dir)
+        v = self._read_dir(self.values_dir)
         if self._has_tombs:
-            t = self.spark.read.parquet(self.tombs_dir)
+            t = self._read_dir(self.tombs_dir)
             cond = (v[self.row_id] == t[self.row_id]) & (v["__seq"] < t["__del_seq"])
             v = v.join(t, on=cond, how="left_anti")
         return v.drop("__seq")
@@ -191,12 +235,19 @@ class _RetractableView:
     def _recompute(self, rows: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
-    def apply_batch(self, batch: DataFrame) -> None:
-        """Fold one changelog chunk (needs an __op column) into the MV."""
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one changelog chunk (needs an __op column) into the MV.
+
+        With `batch_id` (foreachBatch redelivery protection): a replayed
+        batch skips the state fold, but the affected-group recompute +
+        MV write still run — they are idempotent (full recompute from
+        state, not a delta), which closes the crash window between the
+        state commit and the MV version flip.
+        """
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
-        self.state.fold(inserts, deletes)
+        self.state.fold(inserts, deletes, batch_id=batch_id)
         if self.compact_every and self.state._seq % self.compact_every == 0:
             self.state.compact()
 
@@ -453,10 +504,10 @@ def stream_to_mv(
     insert-only changelog chunk (retractions arrive via CDC-style sources
     that carry their own op column — pass them through unchanged)."""
 
-    def sink(batch_df: DataFrame, _batch_id: int):
+    def sink(batch_df: DataFrame, batch_id: int):
         if OP_COL not in batch_df.columns:
             batch_df = with_ops(batch_df, 1)
-        mv.apply_batch(batch_df)
+        mv.apply_batch(batch_df, batch_id=batch_id)
 
     return (
         source.writeStream.foreachBatch(sink)

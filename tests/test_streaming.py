@@ -316,3 +316,28 @@ def test_mv_auto_compaction_preserves_results(spark, events):
         }
         got = {r.user_id: r.cnt for r in mv.result().collect()}
         assert got == exp
+
+
+def test_mv_batch_redelivery_is_exactly_once(spark, events):
+    """foreachBatch redelivery (same batch_id twice) must not double-count
+    — the LAST_BATCH pointer skips the state fold and the idempotent
+    recompute leaves the MV unchanged."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import MaterializedGroupAgg, with_ops
+
+    ev = events.select("event_id", "user_id", "value").filter(F.col("event_id") < 300)
+    with tempfile.TemporaryDirectory() as d:
+        mv = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
+        b0 = with_ops(ev.filter(F.col("event_id") % 2 == 0), 1)
+        b1 = with_ops(ev.filter(F.col("event_id") % 2 == 1), 1)
+        mv.apply_batch(b0, batch_id=0)
+        mv.apply_batch(b1, batch_id=1)
+        once = sorted(map(tuple, mv.result().collect()))
+        # redeliver batch 1 (the foreachBatch crash-recovery path)
+        mv.apply_batch(b1, batch_id=1)
+        assert sorted(map(tuple, mv.result().collect())) == once
+        # a recovered instance also refuses the replay
+        mv2 = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
+        mv2.apply_batch(b1, batch_id=1)
+        assert sorted(map(tuple, mv2.result().collect())) == once
