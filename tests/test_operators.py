@@ -81,3 +81,19 @@ def test_multimodal_plumbing(spark, t):
     per = fr.groupBy("doc_id").count()
     assert per.agg(F.max("count")).first()[0] <= 3
     assert fr.select(F.octet_length("frame").alias("n")).distinct().first().n == 16
+
+
+def test_connector_builders_construct(spark):
+    """Connector builders (risingwave_spark/sources) construct readers/
+    writers without contacting anything; jar-gated parts raise cleanly."""
+    import pytest as _pytest
+
+    from risingwave_spark import sources as S
+
+    r = S.kafka_source(spark, "broker:9092", "t")
+    assert r is not None  # configured DataStreamReader
+    rate = S.rate_source(spark, 10)
+    assert rate.isStreaming
+    sink = S.jdbc_upsert_sink("jdbc:postgresql://h/db", "t", ["id"])
+    with _pytest.raises(NotImplementedError):
+        sink(rate, 0)
