@@ -634,3 +634,21 @@ def llm_fingerprint(spark, sf_dir):
         .filter(F.col("n") > 1)
         .orderBy("fp_prefix")
     )
+
+
+@register("llm_ann_gemm")  # rows-only: GEMM float sums are order-dependent
+def llm_ann_gemm(spark, sf_dir):
+    """Arrow/numpy batch ANN (operators/similarity.py cosine_topk_numpy):
+    queries collected to a small matrix, candidates scored per partition
+    with one GEMM per Arrow batch — the shape that wins at high dims ×
+    billions of candidates. No SQL oracle (float reduction order), so the
+    driver records the weaker rows-only check; exactness of the HOF paths
+    is covered by llm_cosine_topk/llm_ann_lsh."""
+    from risingwave_spark.operators.similarity import cosine_topk_numpy
+
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    qrows = [(r.vec_id, list(r.embedding)) for r in e.filter(F.col("vec_id") < 5).collect()]
+    return cosine_topk_numpy(e, qrows, "vec_id", "embedding", k=3).orderBy(
+        "query_id", "neighbor_id"
+    )
