@@ -336,3 +336,64 @@ def ev_asof_left(spark, sf_dir):
         payload_cols=["click_id"],
         how="left",
     )
+
+
+@register(
+    "rowid_gen",
+    oracle=f"""
+SELECT row_number() OVER (ORDER BY ts, event_id) AS _row_id,
+       event_id, user_id
+FROM {EVENTS_US} e WHERE event_id < 500 ORDER BY _row_id
+""",
+)
+def rowid_gen(spark, sf_dir):
+    """RowIdGen (reference `row_id_gen.rs:25`, Serial row ids for tables
+    without pk): ids must be unique AND stable across restarts, so the
+    generator is offset-based (dense rank over arrival order), not
+    monotonically_increasing_id (partition-dependent, restart-unstable —
+    the documented caveat)."""
+    from pyspark.sql import Window as W
+
+    t = tables(spark, sf_dir)
+    w = W.orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select(F.row_number().over(w).alias("_row_id"), "event_id", "user_id")
+        .orderBy("_row_id")
+    )
+
+
+@register(
+    "ev_temporal_nonequi",
+    oracle=f"""
+SELECT b.band, count(*) AS n, min(e.value) AS vmin, max(e.value) AS vmax
+FROM {EVENTS_US} e
+JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 500.0), ('high', 500.0, 1e18))
+     AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band ORDER BY b.band
+""",
+)
+def ev_temporal_nonequi(spark, sf_dir):
+    """Nested-loop temporal join (reference NestedLoopTemporalJoin,
+    `nested_loop_temporal_join.rs:39`): stream rows matched to a tiny
+    banding table on a RANGE condition — stream-static crossJoin+filter,
+    broadcast nested loop in the plan (the only correct strategy for a
+    non-equi dimension lookup)."""
+    t = tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        t["events"]
+        .join(F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("band")
+    )
