@@ -38,6 +38,11 @@ HEADLINE = [
     "stream_eowc_tumble",
     "udf_grouped_agg",
     "mm_decode_meta",
+    "tpch_q8",
+    "tpch_q11",
+    "llm_ann_lsh",
+    "llm_jaccard_neardup",
+    "stream_over_window",
 ]
 
 
