@@ -341,3 +341,66 @@ def test_mv_batch_redelivery_is_exactly_once(spark, events):
         mv2 = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
         mv2.apply_batch(b1, batch_id=1)
         assert sorted(map(tuple, mv2.result().collect())) == once
+
+
+def test_native_watermark_advances_across_batches(spark, events):
+    """Native append-mode EOWC with a REAL multi-batch run: events are
+    split into 4 ts-ordered files streamed one per micro-batch
+    (maxFilesPerTrigger=1), so the watermark advances between batches and
+    append mode emits exactly the windows closed by the final watermark."""
+    import os as _os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        src = _os.path.join(d, "src")
+        ev = events.select("event_id", "ts", "user_id", "value")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 4
+        # sequential writes → file mod-time order == event-time order
+        for i in range(4):
+            a = lo + i * span
+            import datetime
+
+            b = (lo + (i + 1) * span) if i < 3 else (hi + datetime.timedelta(seconds=1))
+            (
+                ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_multibatch")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted = {
+            r.ws: r.n
+            for r in spark.sql("SELECT w.start AS ws, n FROM t_multibatch").collect()
+        }
+        assert emitted, "multi-batch run must emit closed windows"
+        full = {
+            r.ws: r.n
+            for r in ev.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # every emitted window is final (exactly the batch count) and the
+        # tail window (still open at end-of-stream) is never emitted
+        assert all(full[ws] == n for ws, n in emitted.items())
+        assert len(emitted) < len(full)
