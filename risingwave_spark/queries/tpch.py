@@ -686,12 +686,17 @@ def tpch_q2(spark, sf_dir):
         )
         .select(F.col("l_partkey").alias("partkey"), "ps_cost", "s_acctbal", "s_name", "n_name")
     )
-    min_cost = eu.groupBy("partkey").agg(F.min("ps_cost").alias("min_cost"))
+    # per-part min via a window over the (already filtered-down) joined
+    # rows — ONE pass over eu instead of aggregate + re-join, which would
+    # evaluate the whole lineitem aggregation subtree twice
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("partkey")
     return (
         t["part"]
         .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
         .join(eu, F.col("p_partkey") == F.col("partkey"))
-        .join(min_cost, "partkey")
+        .withColumn("min_cost", F.min("ps_cost").over(w))
         .filter(F.col("ps_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
