@@ -98,3 +98,59 @@ def _render(preds, keys, vcol):
 def test_random_filter_agg_matches_duckdb(spark, ddb, preds, keys, vcol):
     build, sql = _render(preds, keys, vcol)
     assert_matches_oracle(build(spark), ddb, sql, name=sql[:120])
+
+
+join_filter = st.tuples(
+    st.sampled_from(["o_totalprice", "o_orderkey"]),
+    st.sampled_from(OPS),
+    st.integers(min_value=0, max_value=40),
+)
+join_group = st.sampled_from([["o_orderstatus"], ["o_orderpriority"], ["l_returnflag"]])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(jf=join_filter, keys=join_group, how=st.sampled_from(["inner", "left_semi", "left_anti"]))
+def test_random_join_matches_duckdb(spark, ddb, jf, keys, how):
+    """Random equi-join shapes (inner / semi / anti) with a filtered build
+    side — the join-planning analog of the reference's SqlSmith runs."""
+    col, op, k = jf
+    c = float(k * 5000) if col == "o_totalprice" else k * 100
+    sqlop = {"inner": "JOIN", "left_semi": "SEMI JOIN", "left_anti": "ANTI JOIN"}[how]
+    key = keys[0]
+    if key == "l_returnflag":
+        sel, grp = "l.l_returnflag", "l.l_returnflag"
+    else:
+        sel, grp = f"o.{key}", f"o.{key}"
+    sql = (
+        f"SELECT {sel} AS g, count(*) AS n FROM lineitem l "
+        f"{sqlop} (SELECT * FROM orders WHERE {col} {op} {c!r}) o "
+        f"ON l.l_orderkey = o.o_orderkey "
+        + ("" if how != "inner" else "")
+        + f"GROUP BY {grp} ORDER BY g"
+    )
+    if how != "inner" and key != "l_returnflag":
+        # semi/anti joins expose only the left side's columns
+        sql = (
+            f"SELECT l.l_returnflag AS g, count(*) AS n FROM lineitem l "
+            f"{sqlop} (SELECT * FROM orders WHERE {col} {op} {c!r}) o "
+            f"ON l.l_orderkey = o.o_orderkey GROUP BY l.l_returnflag ORDER BY g"
+        )
+        key = "l_returnflag"
+
+    import pyspark.sql.functions as SF
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cond = {
+        "<": SF.col(col) < c, "<=": SF.col(col) <= c,
+        ">": SF.col(col) > c, ">=": SF.col(col) >= c,
+    }[op]
+    o = orders.filter(cond)
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"], how)
+    gcol = j[key] if key == "l_returnflag" or how == "inner" else li[key]
+    out = j.groupBy(gcol.alias("g")).agg(SF.count(SF.lit(1)).alias("n"))
+    assert_matches_oracle(out, ddb, sql, name=sql[:110])

@@ -404,3 +404,34 @@ def test_native_watermark_advances_across_batches(spark, events):
         # tail window (still open at end-of-stream) is never emitted
         assert all(full[ws] == n for ws, n in emitted.items())
         assert len(emitted) < len(full)
+
+
+def test_mv_soak_many_batches(spark, events):
+    """Soak: 20 alternating insert/delete batches through the MV runtime
+    (compaction cadence crossing twice) stays correct — the sustained
+    continuous-operation property the reference's MVs guarantee."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import MaterializedGroupAgg, with_ops
+
+    ev = events.select("event_id", "user_id", "value").filter(F.col("event_id") < 600)
+    with tempfile.TemporaryDirectory() as d:
+        mv = MaterializedGroupAgg(spark, d, ["user_id"], "event_id", "value")
+        mv.compact_every = 6
+        for i in range(10):
+            mv.apply_batch(with_ops(ev.filter(F.col("event_id") % 10 == i), 1), batch_id=2 * i)
+            mv.apply_batch(
+                with_ops(
+                    ev.filter((F.col("event_id") % 10 == i) & (F.col("event_id") % 4 == 1)), -1
+                ),
+                batch_id=2 * i + 1,
+            )
+        surviving = ev.filter(F.col("event_id") % 4 != 1)
+        exp = {
+            (r.user_id): (r.cnt, r.vmin, r.vmax)
+            for r in surviving.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+            .collect()
+        }
+        got = {r.user_id: (r.cnt, r.vmin, r.vmax) for r in mv.result().collect()}
+        assert got == exp
