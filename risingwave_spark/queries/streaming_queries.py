@@ -197,17 +197,16 @@ def stream_stream_join(spark, sf_dir):
     `hash_join.rs:129`, append-only fast path): clicks ⋈ purchases within
     10 minutes, both sides watermarked — Spark's native stream-stream
     inner join with event-time bounds (state pruned by watermark)."""
+    sdf = _event_stream(spark, sf_dir)  # ONE source; both sides filter it
     a = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        sdf.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
         )
         .withWatermark("a_ts", "1 hour")
     )
     b = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        sdf.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
         )
