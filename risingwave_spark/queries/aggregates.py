@@ -386,3 +386,50 @@ def agg_json_agg(spark, sf_dir):
         ).alias("j_obj")
     )
     return arrs.join(objs, "user_id").orderBy("user_id")
+
+
+@register(
+    "agg_regr_manual",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*1000,0) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(value*1000,0) AS BIGINT) * CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(value*1000,0) AS BIGINT) * CAST(round(value*1000,0) AS BIGINT)) AS BIGINT) AS sxx
+  FROM {EVENTS_US} e GROUP BY event_type
+)
+SELECT event_type,
+       round((n*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 8) AS slope_scaled,
+       round((sy - ((n*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * sx) / n, 6) AS intercept
+FROM s ORDER BY event_type
+""",
+)
+def agg_regr_manual(spark, sf_dir):
+    """Linear-regression aggregates (regr_slope / regr_intercept family):
+    assembled from EXACT integer moment sums (x scaled to int thousandths,
+    y integral) so the result is order-independent — native regr_* over
+    doubles would differ across engines by summation order."""
+    t = tables(spark, sf_dir)
+    x = F.round(F.col("value") * 1000, 0).cast("long")
+    y = F.get_json_object("props", "$.k").cast("long")
+    s = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.round(slope, 8).alias("slope_scaled"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    ).orderBy("event_type")
