@@ -102,3 +102,29 @@ def pg_to_spark_sql(sql: str) -> str:
     masked = re.sub(r"\bstrpos\s*\(", "instr(", masked, flags=re.I)
 
     return _unmask(masked, lits)
+
+
+def similar_to_regex(pattern: str) -> str:
+    """SQL `SIMILAR TO` pattern → anchored Java regex (reference
+    `similar_to_escape.rs`): `%` → `.*`, `_` → `.`; the regex-like
+    operators SIMILAR TO shares with POSIX (`|`, `*`, `+`, `()`, `[]`)
+    pass through unchanged. Covers the standard's core; PG's `{m,n}`
+    bounds also pass through verbatim."""
+    out = []
+    in_class = False
+    for ch in pattern:
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+        elif ch == "]":
+            in_class = False
+            out.append(ch)
+        elif not in_class and ch == "%":
+            out.append(".*")
+        elif not in_class and ch == "_":
+            out.append(".")
+        elif ch in ".^$\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"

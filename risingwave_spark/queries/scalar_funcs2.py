@@ -353,3 +353,31 @@ def fn_trig_degrees(spark, sf_dir):
         )
         .orderBy("n_chars")
     )
+
+
+@register(
+    "fn_similar_to",
+    oracle="""
+SELECT lang, count(*) AS n
+FROM documents
+WHERE regexp_full_match(text, '^.*(fast|slow) table.*$')
+GROUP BY lang ORDER BY lang
+""",
+)
+def fn_similar_to(spark, sf_dir):
+    """SQL SIMILAR TO (reference `similar_to_escape.rs`): translated to
+    an anchored rlike via functions/pgsql.similar_to_regex. NB: DuckDB's
+    SIMILAR TO is plain RE2 full-match (no % wildcard — documented
+    deviation), so the oracle applies the SAME translated regex via
+    regexp_full_match."""
+    from risingwave_spark.functions.pgsql import similar_to_regex
+
+    t = tables(spark, sf_dir)
+    rx = similar_to_regex("%(fast|slow) table%")
+    return (
+        t["documents"]
+        .filter(F.col("text").rlike(rx))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
