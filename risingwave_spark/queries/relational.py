@@ -506,3 +506,76 @@ def in_subquery(spark, sf_dir):
         .join(mach, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT c_nationkey FROM (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+  INTERSECT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) t ORDER BY c_nationkey
+""",
+)
+def setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (multiset semantics — the reference plans INTERSECT
+    via semi-join + dedup, ALL keeps multiplicities min(l,r))."""
+    t = tables(spark, sf_dir)
+    a = t["customer"].filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    b = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.intersectAll(b).orderBy("c_nationkey")
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT c_nationkey FROM (
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) t ORDER BY c_nationkey
+""",
+)
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset difference — reference except→anti-join rule,
+    ALL keeps max(l−r, 0) copies)."""
+    t = tables(spark, sf_dir)
+    a = t["customer"].filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    b = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.exceptAll(b).orderBy("c_nationkey")
+
+
+@register(
+    "join_right_semi_anti",
+    oracle="""
+SELECT 'semi' AS kind, count(*) AS n
+FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000) o
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT 'anti', count(*)
+FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000) o
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+ORDER BY kind
+""",
+)
+def join_right_semi_anti(spark, sf_dir):
+    """Right semi / right anti joins (reference join types
+    `proto/plan_common.proto:134-148`): Spark spells them by swapping the
+    sides of leftsemi/leftanti — the probe/build roles the reference's
+    right-variants encode physically."""
+    t = tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        t["orders"].filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    )
+    # right semi of (cust ⋈ big) == left semi with sides swapped
+    semi = big.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    anti = big.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        semi.agg(F.count(F.lit(1)).alias("n")).select(F.lit("semi").alias("kind"), "n")
+        .unionByName(
+            anti.agg(F.count(F.lit(1)).alias("n")).select(F.lit("anti").alias("kind"), "n")
+        )
+        .orderBy("kind")
+    )

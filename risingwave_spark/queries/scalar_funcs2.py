@@ -381,3 +381,43 @@ def fn_similar_to(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang")
     )
+
+
+@register(
+    "fn_array_more",
+    oracle="""
+SELECT doc_id,
+       list_position(toks, 'table') AS pos_table,
+       len(list_filter(toks, x -> x = 'value')) AS n_value,
+       CAST(len(toks) - len(list_filter(toks, x -> x != 'a')) AS INT) AS n_removed,
+       array_to_string(toks[2:4], '|') AS mid,
+       'r,r,r' AS repeated,
+       toks[1] || '+' || toks[len(toks)] AS ends
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS toks
+  FROM documents WHERE doc_id < 40
+) d ORDER BY doc_id
+""",
+)
+def fn_array_more(spark, sf_dir):
+    """Array functions part 2 (reference array_position/array_remove/
+    trim_array/array_repeat/slice/access): positions, removal counts,
+    slices, repeats, first/last element access."""
+    from risingwave_spark.operators.dedup import normalize_text
+
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
+    d = t["documents"].filter(F.col("doc_id") < 40).withColumn("toks", toks)
+    return d.select(
+        "doc_id",
+        F.array_position("toks", "table").alias("pos_table"),
+        F.size(F.filter("toks", lambda x: x == "value")).alias("n_value"),
+        (F.size("toks") - F.size(F.array_remove("toks", "a"))).alias("n_removed"),
+        F.array_join(F.slice("toks", 2, 3), "|").alias("mid"),
+        F.array_join(F.array_repeat(F.lit("r"), 3), ",").alias("repeated"),
+        F.concat(
+            F.element_at("toks", 1), F.lit("+"), F.element_at("toks", -1)
+        ).alias("ends"),
+    ).orderBy("doc_id")
