@@ -17,6 +17,7 @@ from risingwave_spark.queries import llm_pipeline  # noqa: E402,F401
 from risingwave_spark.queries import streaming_queries  # noqa: E402,F401
 from risingwave_spark.queries import sources  # noqa: E402,F401
 from risingwave_spark.queries import nexmark  # noqa: E402,F401
+from risingwave_spark.queries import nexmark2  # noqa: E402,F401
 from risingwave_spark.queries import udfs  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
