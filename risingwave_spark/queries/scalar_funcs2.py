@@ -421,3 +421,93 @@ def fn_array_more(spark, sf_dir):
             F.element_at("toks", 1), F.lit("+"), F.element_at("toks", -1)
         ).alias("ends"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_json_mutate",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(
+         json_merge_patch(props, '{"v2": ' || (CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) || '}'),
+         '$.v2') AS BIGINT) AS v2,
+       json_extract_string(json_merge_patch(props, '{"k": null}'), '$.k') AS k_deleted,
+       CAST(json_array_length('[' || json_extract_string(props, '$.k') || ','
+                                  || json_extract_string(props, '$.k') || ']') AS BIGINT) AS arr_len,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events ORDER BY event_id
+""",
+)
+def fn_json_mutate(spark, sf_dir):
+    """JSONB mutators (reference `jsonb_set`/`||` concat/`-` delete/
+    `jsonb_array_length`, `src/expr/impl/src/scalar/jsonb_*.rs`): Spark has
+    no in-place JSON mutators, so the idiomatic mapping is
+    from_json → map ops (map_concat to set, map_filter to delete) → to_json;
+    results are compared via value extraction, which is serialization-stable
+    across engines. All JVM-side higher-order functions — no UDFs."""
+    e = tables(spark, sf_dir)["events"]
+    m = F.from_json("props", "map<string,bigint>")
+    merged = F.to_json(
+        F.map_concat(m, F.create_map(F.lit("v2"), F.element_at(m, "k") * 2))
+    )
+    deleted = F.to_json(F.map_filter(m, lambda k, v: k != F.lit("k")))
+    arr = F.to_json(F.array(F.element_at(m, "k"), F.element_at(m, "k")))
+    return e.select(
+        "event_id",
+        F.get_json_object(merged, "$.v2").cast("bigint").alias("v2"),
+        F.get_json_object(deleted, "$.k").alias("k_deleted"),
+        F.json_array_length(arr).cast("bigint").alias("arr_len"),
+        F.element_at(m, "k").alias("k"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_inet",
+    oracle="""
+SELECT user_id,
+       ip,
+       CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+         + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+         + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+         + CAST(split_part(ip, '.', 4) AS BIGINT) AS aton,
+       CAST((CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+         + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+         + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+         + CAST(split_part(ip, '.', 4) AS BIGINT)) >> 24 AS VARCHAR) || '.'
+         || CAST(((CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+         + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+         + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+         + CAST(split_part(ip, '.', 4) AS BIGINT)) >> 16) & 255 AS VARCHAR) AS ntoa_hi
+FROM (
+  SELECT DISTINCT user_id,
+         CAST(user_id % 256 AS VARCHAR) || '.' || CAST((user_id * 7) % 256 AS VARCHAR)
+           || '.' || CAST((user_id * 13) % 256 AS VARCHAR) || '.'
+           || CAST((user_id * 29) % 256 AS VARCHAR) AS ip
+  FROM events)
+ORDER BY user_id
+""",
+)
+def fn_inet(spark, sf_dir):
+    """inet_aton / inet_ntoa (reference `scalar/inet.rs`): dotted-quad →
+    uint32 and back, expressed as split_part + bitwise shifts — all
+    whole-stage-codegen expressions (`shiftright`/`&`), no UDF."""
+    e = tables(spark, sf_dir)["events"]
+    ip = F.concat_ws(
+        ".",
+        (F.col("user_id") % 256),
+        (F.col("user_id") * 7) % 256,
+        (F.col("user_id") * 13) % 256,
+        (F.col("user_id") * 29) % 256,
+    )
+    d = e.select("user_id", ip.alias("ip")).distinct()
+    part = lambda i: F.expr(f"CAST(split_part(ip, '.', {i}) AS BIGINT)")  # noqa: E731
+    aton = part(1) * 16777216 + part(2) * 65536 + part(3) * 256 + part(4)
+    return d.select(
+        "user_id",
+        "ip",
+        aton.alias("aton"),
+        F.concat_ws(
+            ".",
+            F.shiftrightunsigned(aton, 24).cast("string"),
+            (F.shiftrightunsigned(aton, 16).bitwiseAND(255)).cast("string"),
+        ).alias("ntoa_hi"),
+    ).orderBy("user_id")
