@@ -511,3 +511,67 @@ def fn_inet(spark, sf_dir):
             (F.shiftrightunsigned(aton, 16).bitwiseAND(255)).cast("string"),
         ).alias("ntoa_hi"),
     ).orderBy("user_id")
+
+
+@register(
+    "tf_jsonb_array_elements",
+    oracle=f"""
+SELECT event_id, CAST(elem AS BIGINT) AS elem
+FROM (SELECT event_id,
+             unnest(CAST(json_extract('[' || (props->>'k') || ','
+                                          || CAST(event_id % 7 AS VARCHAR) || ']',
+                         '$[*]') AS BIGINT[])) AS elem
+      FROM {EVENTS_US} WHERE event_id < 500)
+ORDER BY event_id, elem
+""",
+)
+def tf_jsonb_array_elements(spark, sf_dir):
+    """jsonb_array_elements (reference `table_function/jsonb.rs`): explode a
+    JSON array into one row per element — from_json to array<bigint>, then
+    explode. The array here is built from the row's own values so every
+    engine sees identical input."""
+    t = tables(spark, sf_dir)
+    arr = F.from_json(
+        F.concat(
+            F.lit("["),
+            F.get_json_object("props", "$.k"),
+            F.lit(","),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit("]"),
+        ),
+        "array<bigint>",
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select("event_id", F.explode(arr).alias("elem"))
+        .orderBy("event_id", "elem")
+    )
+
+
+@register(
+    "tf_pg_expandarray",
+    oracle="""
+SELECT doc_id, tok AS x, CAST(idx0 + 1 AS BIGINT) AS n
+FROM (SELECT doc_id,
+             unnest(string_split(text, ' ')[1:5]) AS tok,
+             generate_subscripts(string_split(text, ' ')[1:5], 1) - 1 AS idx0
+      FROM documents WHERE doc_id < 100)
+WHERE tok IS NOT NULL
+ORDER BY doc_id, n
+""",
+)
+def tf_pg_expandarray(spark, sf_dir):
+    """_pg_expandarray (reference `table_function/` pg compat): unnest an
+    array WITH its 1-based subscript as a (x, n) record — posexplode with the
+    index shifted to 1-based."""
+    t = tables(spark, sf_dir)
+    toks = F.slice(F.split("text", " "), 1, 5)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.posexplode(toks).alias("idx0", "x"))
+        .filter(F.col("x").isNotNull())
+        .select("doc_id", "x", (F.col("idx0") + 1).cast("long").alias("n"))
+        .orderBy("doc_id", "n")
+    )
