@@ -575,3 +575,30 @@ def tf_pg_expandarray(spark, sf_dir):
         .select("doc_id", "x", (F.col("idx0") + 1).cast("long").alias("n"))
         .orderBy("doc_id", "n")
     )
+
+
+@register(
+    "sys_catalog_scan",
+    oracle="""
+SELECT table_name FROM information_schema.tables
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY table_name
+""",
+)
+def sys_catalog_scan(spark, sf_dir):
+    """SysRowSeqScan (reference `sys_row_seq_scan.rs:26`, the pg_catalog /
+    rw_catalog scan): the engine's registered relations read back from the
+    session catalog — Spark's catalog API is the information_schema
+    equivalent. The catalog listing itself is driver-side metadata (exactly
+    as in the reference, where catalog tables live on the frontend)."""
+    tables(spark, sf_dir)  # ensure the ten driver tables are registered
+    names = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    listed = [v.name for v in spark.catalog.listTables() if v.name in names]
+    return (
+        spark.createDataFrame([(n,) for n in sorted(listed)], "table_name string")
+        .orderBy("table_name")
+    )
