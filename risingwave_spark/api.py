@@ -117,9 +117,13 @@ class Engine:
 
     def delete(self, table: str, predicate) -> None:
         """DELETE FROM table WHERE predicate — the matching rows of the
-        current snapshot become a −1 chunk."""
+        current snapshot become a −1 chunk. The chunk is materialized
+        (localCheckpoint) BEFORE the fold: each MV re-evaluates it after
+        the table state has already been mutated, and a lazy plan over
+        the snapshot would silently resolve against the post-delete
+        file listing in a streaming-aware source."""
         t = self.tables[table]
-        doomed = t.snapshot().filter(predicate)
+        doomed = t.snapshot().filter(predicate).localCheckpoint(eager=True)
         self._apply_dml(table, with_ops(doomed, -1))
 
     def update(self, table: str, predicate, assignments: dict) -> None:
@@ -129,7 +133,7 @@ class Engine:
         delete+reinsert of a pk is exactly what ChunkedState's sequence
         numbering supports."""
         t = self.tables[table]
-        old = t.snapshot().filter(predicate)
+        old = t.snapshot().filter(predicate).localCheckpoint(eager=True)
         new = old
         for col, expr in assignments.items():
             new = new.withColumn(col, expr)

@@ -40,10 +40,13 @@ _TYPE_MAP = {
 
 # operand alternatives, most specific first: function call (one nesting
 # level; NO space before the paren, so `SELECT (expr)` isn't mistaken
-# for a call), parenthesized expression, bare identifier/column path
+# for a call), parenthesized expression, masked string literal (the
+# \x00N\x00 placeholder _mask_strings leaves — `'1'::int8` is a very
+# common PG idiom), bare identifier/column path
 _CAST_RE = re.compile(
     r"(\b[\w.]+\((?:[^()]|\([^()]*\))*\)"
     r"|\((?:[^()]|\([^()]*\))*\)"
+    r"|\x00\d+\x00"
     r"|\b[\w.]+)"
     r"\s*::\s*([a-zA-Z_][\w]*(?:\(\d+(?:,\s*\d+)?\))?)"
 )
@@ -70,7 +73,35 @@ def _map_type(t: str) -> str:
     mapped = _TYPE_MAP.get(base)
     if mapped is None:
         return t
-    return mapped + t[len(base):]
+    if len(t) > len(base):
+        # parameterized: Spark parses varchar(n)/char(n) natively, so
+        # leave them alone; other mapped targets (STRING, DOUBLE, ...)
+        # take no parameter — keeping the suffix would produce invalid
+        # SQL like STRING(10), so drop it
+        if base in ("varchar", "char"):
+            return t
+        return mapped
+    return mapped
+
+
+def _string_agg_repl(m: re.Match) -> str:
+    """string_agg(x, d [ORDER BY k [ASC|DESC]]) → deterministic Spark
+    concat. PG leaves the order unspecified without ORDER BY, but
+    `collect_list` order is partition-dependent — this repo's convention
+    is deterministic output everywhere, so the no-ORDER-BY form sorts by
+    the value itself (matching queries/aggregates.py's agg_string_agg)."""
+    x, d, ob, direction = m.group(1), m.group(2), m.group(3), m.group(4)
+    desc = direction is not None and direction.upper() == "DESC"
+    if ob is None or ob.strip() == x.strip():
+        arr = f"sort_array(collect_list({x}), {'false' if desc else 'true'})"
+    else:
+        # ORDER BY a different key: sort (key, value) structs — struct
+        # arrays sort by fields in declaration order — then project v
+        arr = f"array_sort(collect_list(struct({ob} AS k, {x} AS v)))"
+        if desc:
+            arr = f"reverse({arr})"
+        arr = f"transform({arr}, e -> e.v)"
+    return f"array_join({arr}, {d})"
 
 
 def pg_to_spark_sql(sql: str) -> str:
@@ -92,8 +123,9 @@ def pg_to_spark_sql(sql: str) -> str:
     # functions
     masked = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", masked, flags=re.I)
     masked = re.sub(
-        r"\bstring_agg\s*\(\s*([^,()]+)\s*,\s*(\x00\d+\x00)\s*\)",
-        r"array_join(collect_list(\1), \2)",
+        r"\bstring_agg\s*\(\s*([^,()]+?)\s*,\s*(\x00\d+\x00)\s*"
+        r"(?:ORDER\s+BY\s+([^,()]+?)\s*(ASC|DESC)?\s*)?\)",
+        _string_agg_repl,
         masked,
         flags=re.I,
     )

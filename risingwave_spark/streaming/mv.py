@@ -107,8 +107,15 @@ class ChunkedState:
     def __init__(self, spark: SparkSession, path: str, row_id: str):
         self.spark = spark
         self.row_id = row_id
-        self.values_dir = os.path.join(path, "values")
-        self.tombs_dir = os.path.join(path, "tombstones")
+        self.base = path
+        os.makedirs(path, exist_ok=True)
+        # generation pointer: compaction writes a NEW generation directory
+        # and flips this pointer last (same epoch-commit discipline as
+        # _VersionedTable) — a crash mid-compaction leaves the old
+        # generation live and the half-written new one ignored.
+        self._gen = self._read_gen()
+        self.values_dir = os.path.join(path, f"values_g{self._gen}")
+        self.tombs_dir = os.path.join(path, f"tombs_g{self._gen}")
         self._has_values = bool(os.path.isdir(self.values_dir) and os.listdir(self.values_dir))
         self._has_tombs = bool(os.path.isdir(self.tombs_dir) and os.listdir(self.tombs_dir))
         # recovery: resume numbering past BOTH chunk and tombstone seqs —
@@ -126,6 +133,16 @@ class ChunkedState:
         ptr = self._read_last_batch()
         if ptr is not None:
             self._seq = ptr[1] + 1
+
+    def _gen_pointer(self) -> str:
+        return os.path.join(self.base, "GEN")
+
+    def _read_gen(self) -> int:
+        try:
+            with open(self._gen_pointer()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
 
     def _read_dir(self, path: str) -> DataFrame:
         # chunks live in per-batch subdirs (idempotent overwrite target)
@@ -189,15 +206,31 @@ class ChunkedState:
         """Rewrite chunks minus tombstones into one generation and drop
         the tombstone set (the Delta OPTIMIZE / LSM-compaction analog —
         the reference's Hummock compactor role). Read cost returns to a
-        plain scan; sequence numbering restarts above the survivors."""
+        plain scan; sequence numbering restarts above the survivors.
+
+        Crash-atomic: survivors are written into generation g+1, the GEN
+        pointer flips last (os.replace), and only then is generation g
+        garbage-collected. A crash before the flip leaves g intact (the
+        orphan g+1 dir is overwritten by the next compaction); a crash
+        after the flip merely delays GC — the old tombstones can never
+        apply to the new generation's rows.
+        """
         survivors = self.read()
-        tmp = self.values_dir + ".compact"
+        nxt = self._gen + 1
+        new_values = os.path.join(self.base, f"values_g{nxt}")
         survivors.withColumn("__seq", F.lit(0)).coalesce(4).write.mode(
             "overwrite"
-        ).parquet(tmp)
-        shutil.rmtree(self.values_dir, ignore_errors=True)
-        os.replace(tmp, self.values_dir)
-        shutil.rmtree(self.tombs_dir, ignore_errors=True)
+        ).parquet(os.path.join(new_values, "b0"))
+        tmp = self._gen_pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._gen_pointer())
+        old_values, old_tombs = self.values_dir, self.tombs_dir
+        self._gen = nxt
+        self.values_dir = new_values
+        self.tombs_dir = os.path.join(self.base, f"tombs_g{nxt}")
+        shutil.rmtree(old_values, ignore_errors=True)
+        shutil.rmtree(old_tombs, ignore_errors=True)
         self._has_tombs = False
         self._seq = 1
 
@@ -450,7 +483,7 @@ class EowcTumbleAgg:
         # EOWC output is append-only by construction (each window emitted
         # exactly once) → plain append-mode parquet, never rewritten
         self.out_path = os.path.join(state_dir, "out")
-        self._emitted_any = False
+        self._emitted_any = os.path.isdir(self.out_path)
         self._watermark = None  # monotonic
 
     def apply_batch(self, batch: DataFrame) -> None:
@@ -480,8 +513,11 @@ class EowcTumbleAgg:
             closed.groupBy(win.getField("start").alias("ws"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        emitted.coalesce(1).write.mode("append").parquet(self.out_path)
-        self._emitted_any = True
+        # skip the append when no window closed this batch — a long-running
+        # soak would otherwise accumulate one empty parquet file per batch
+        if not emitted.isEmpty():
+            emitted.coalesce(1).write.mode("append").parquet(self.out_path)
+            self._emitted_any = True
         self.buffer.write(still_open)
 
     def feed(self, batch: DataFrame) -> None:
@@ -491,6 +527,10 @@ class EowcTumbleAgg:
         self.apply_batch(batch)
 
     def result(self) -> DataFrame:
+        if not self._emitted_any:
+            # nothing emitted yet (or only empty batches so far): return an
+            # empty, correctly-typed frame instead of a path-not-found error
+            return self.spark.createDataFrame([], "ws timestamp, n bigint")
         return self.spark.read.parquet(self.out_path)
 
 

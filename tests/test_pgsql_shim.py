@@ -22,6 +22,26 @@ def test_cast_rewrites():
     )
 
 
+def test_literal_casts_and_parameterized_types():
+    # string-literal operands (masked during rewrite) must still cast
+    assert (
+        pg_to_spark_sql("SELECT '1'::int8 AS x")
+        == "SELECT CAST('1' AS BIGINT) AS x"
+    )
+    assert (
+        pg_to_spark_sql("SELECT '2021-01-01'::timestamptz AS t")
+        == "SELECT CAST('2021-01-01' AS TIMESTAMP) AS t"
+    )
+    # varchar(n) parses natively in Spark — left unmapped
+    assert pg_to_spark_sql("SELECT a::varchar(10) FROM t") == (
+        "SELECT CAST(a AS varchar(10)) FROM t"
+    )
+    # unparameterized varchar still maps to STRING
+    assert pg_to_spark_sql("SELECT a::varchar FROM t") == (
+        "SELECT CAST(a AS STRING) FROM t"
+    )
+
+
 def test_string_literals_untouched():
     q = "SELECT 'a::b' || x::text, 'don''t ~ match' FROM t"
     out = pg_to_spark_sql(q)
@@ -37,7 +57,15 @@ def test_operator_and_function_rewrites():
     assert "current_timestamp()" in pg_to_spark_sql("SELECT now()")
     assert (
         pg_to_spark_sql("SELECT string_agg(name, ',') FROM t")
-        == "SELECT array_join(collect_list(name), ',') FROM t"
+        == "SELECT array_join(sort_array(collect_list(name), true), ',') FROM t"
+    )
+    assert (
+        pg_to_spark_sql("SELECT string_agg(name, ',' ORDER BY name DESC) FROM t")
+        == "SELECT array_join(sort_array(collect_list(name), false), ',') FROM t"
+    )
+    assert pg_to_spark_sql("SELECT string_agg(name, ',' ORDER BY id) FROM t") == (
+        "SELECT array_join(transform(array_sort(collect_list("
+        "struct(id AS k, name AS v))), e -> e.v), ',') FROM t"
     )
     assert "every(" in pg_to_spark_sql("SELECT bool_and(f) FROM t")
     assert "instr(" in pg_to_spark_sql("SELECT strpos(s, x) FROM t")
