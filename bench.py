@@ -63,11 +63,12 @@ def main() -> None:
     # warm the JVM + file listing once (excluded from timings)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-    # min of 2 runs per query: steady-state throughput, not first-call
-    # codegen/JIT compilation (which a long-lived engine pays once)
+    # min of 3 runs per query: steady-state throughput, not first-call
+    # codegen/JIT compilation (which a long-lived engine pays once);
+    # n=2 proved too noisy to separate regression from variance (round 2)
     for name in HEADLINE:
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()

@@ -74,14 +74,29 @@ def _map_type(t: str) -> str:
     if mapped is None:
         return t
     if len(t) > len(base):
-        # parameterized: Spark parses varchar(n)/char(n) natively, so
-        # leave them alone; other mapped targets (STRING, DOUBLE, ...)
-        # take no parameter — keeping the suffix would produce invalid
-        # SQL like STRING(10), so drop it
-        if base in ("varchar", "char"):
-            return t
+        # other mapped targets (STRING, DOUBLE, ...) take no parameter —
+        # keeping the suffix would produce invalid SQL like STRING(10)
         return mapped
     return mapped
+
+
+_VARCHAR_N = re.compile(r"(?:var)?char\s*\(\s*(\d+)\s*\)", re.I)
+
+
+def _cast_repl(m: re.Match) -> str:
+    """expr::type → CAST(expr AS mapped_type), except length-typed
+    strings: Spark's CAST ignores char/varchar length ('simply treats
+    them as string type'), while PG TRUNCATES to n (and blank-pads
+    char(n)) — so spell the PG semantics out explicitly."""
+    expr, t = m.group(1), m.group(2)
+    ln = _VARCHAR_N.fullmatch(t.strip())
+    if ln:
+        n = int(ln.group(1))
+        truncated = f"left(CAST({expr} AS STRING), {n})"
+        if t.strip().lower().startswith("char"):
+            return f"rpad({truncated}, {n}, ' ')"
+        return truncated
+    return f"CAST({expr} AS {_map_type(t)})"
 
 
 def _string_agg_repl(m: re.Match) -> str:
@@ -112,9 +127,7 @@ def pg_to_spark_sql(sql: str) -> str:
     prev = None
     while prev != masked:
         prev = masked
-        masked = _CAST_RE.sub(
-            lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})", masked
-        )
+        masked = _CAST_RE.sub(_cast_repl, masked)
 
     # regex match operators (avoid touching `!~~` / `~~` which are LIKE)
     masked = re.sub(r"(\S+)\s+!~\s+", r"\1 NOT RLIKE ", masked)
@@ -122,13 +135,24 @@ def pg_to_spark_sql(sql: str) -> str:
 
     # functions
     masked = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", masked, flags=re.I)
+    # operands may be function calls (one paren nesting level, matching
+    # _CAST_RE's depth) — lower(name), coalesce(a, b), expr(x) ORDER BY keys
+    _sa_arg = r"((?:[^,()]|\((?:[^()]|\([^()]*\))*\))+?)"
     masked = re.sub(
-        r"\bstring_agg\s*\(\s*([^,()]+?)\s*,\s*(\x00\d+\x00)\s*"
-        r"(?:ORDER\s+BY\s+([^,()]+?)\s*(ASC|DESC)?\s*)?\)",
+        r"\bstring_agg\s*\(\s*" + _sa_arg + r"\s*,\s*(\x00\d+\x00)\s*"
+        r"(?:ORDER\s+BY\s+" + _sa_arg + r"\s*(ASC|DESC)?\s*)?\)",
         _string_agg_repl,
         masked,
         flags=re.I,
     )
+    if re.search(r"\bstring_agg\s*\(", masked, flags=re.I):
+        # Spark 4's native string_agg aggregates in partition-dependent
+        # order — silently nondeterministic; refuse rather than pass through
+        raise ValueError(
+            "string_agg call too complex for the deterministic rewrite "
+            "(nested parens > 1 level?); use array_join(collect_list(...)) "
+            "with an explicit sort instead"
+        )
     masked = re.sub(r"\bbool_and\s*\(", "every(", masked, flags=re.I)
     masked = re.sub(r"\bbool_or\s*\(", "any(", masked, flags=re.I)
     masked = re.sub(r"\bstrpos\s*\(", "instr(", masked, flags=re.I)

@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 OP_COL = "__op"
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a just-written local parquet dir from file footers —
+    a driver-side metadata read, NOT a Spark job (state dirs are local;
+    on a cluster this would be the sink's commit-message row count)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def with_ops(df: DataFrame, op: int = 1) -> DataFrame:
     """Tag a DataFrame as a changelog chunk (op=+1 insert, -1 delete)."""
     return df.withColumn(OP_COL, F.lit(op))
@@ -114,6 +128,20 @@ class ChunkedState:
         # _VersionedTable) — a crash mid-compaction leaves the old
         # generation live and the half-written new one ignored.
         self._gen = self._read_gen()
+        # legacy layout (pre-generation dirs): adopt as generation 0
+        if self._gen == 0:
+            for old, new in (("values", "values_g0"), ("tombstones", "tombs_g0")):
+                op, np_ = os.path.join(path, old), os.path.join(path, new)
+                if os.path.isdir(op) and not os.path.exists(np_):
+                    os.rename(op, np_)
+        # GC generations orphaned by a crash between the GEN flip and the
+        # old-generation rmtree in compact() (they are never read again)
+        import re as _re
+
+        for d in os.listdir(path):
+            m = _re.fullmatch(r"(?:values|tombs)_g(\d+)", d)
+            if m and int(m.group(1)) != self._gen:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         self.values_dir = os.path.join(path, f"values_g{self._gen}")
         self.tombs_dir = os.path.join(path, f"tombs_g{self._gen}")
         self._has_values = bool(os.path.isdir(self.values_dir) and os.listdir(self.values_dir))
@@ -180,12 +208,16 @@ class ChunkedState:
             "overwrite"
         ).parquet(os.path.join(self.values_dir, f"b{self._seq}"))
         self._has_values = True
+        # write tombstones unconditionally, then decide emptiness from the
+        # written footers (driver-side, free) — an isEmpty() probe here
+        # would cost an extra Spark job per batch for the same information
         dl = deletes.select(self.row_id, F.lit(self._seq).alias("__del_seq"))
-        if not dl.isEmpty():
-            dl.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.tombs_dir, f"b{self._seq}")
-            )
+        tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
+        dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
+        if _parquet_rows(tomb_chunk) > 0:
             self._has_tombs = True
+        else:
+            shutil.rmtree(tomb_chunk, ignore_errors=True)
         self._seq += 1
         if batch_id is not None:
             tmp = self._batch_pointer() + ".tmp"
@@ -492,30 +524,33 @@ class EowcTumbleAgg:
         buf = batch
         if self.buffer.exists():
             buf = self.buffer.read().unionByName(batch)
-        # watermark: a 1-row driver-side scalar, exactly what Spark's own
-        # watermark tracker computes per micro-batch
-        mx = buf.agg(F.max(self.ts_col)).first()[0]
+        win = F.window(self.ts_col, self.window_duration)
+        annotated = buf.withColumn("__we", win.getField("end"))
+        # ONE scalar job per batch: the watermark source (max event time —
+        # exactly what Spark's watermark tracker computes) plus the
+        # earliest buffered window-end, which decides "did any window
+        # close?" without a separate isEmpty() probe of the aggregate
+        mx, min_we = annotated.agg(F.max(self.ts_col), F.min("__we")).first()
+        if mx is None:  # empty batch on empty buffer: nothing to do
+            return
         wm = mx - datetime.timedelta(seconds=self.delay_seconds)
         if self._watermark is not None and wm < self._watermark:
             wm = self._watermark
         self._watermark = wm
 
-        win = F.window(self.ts_col, self.window_duration)
-        we = win.getField("end")
-        annotated = buf.withColumn("__we", we)
         closed = annotated.filter(F.col("__we") <= F.lit(wm))
         still_open = annotated.filter(F.col("__we") > F.lit(wm)).drop("__we")
 
         # late rows for already-emitted windows are never re-buffered
         # (dropped in feed), so emitted windows here are always new —
-        # append, don't rewrite
-        emitted = (
-            closed.groupBy(win.getField("start").alias("ws"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # skip the append when no window closed this batch — a long-running
-        # soak would otherwise accumulate one empty parquet file per batch
-        if not emitted.isEmpty():
+        # append, don't rewrite. Skip the append when no window closed
+        # (min buffered window-end is still ahead of the watermark) so a
+        # long soak doesn't accumulate one empty parquet file per batch.
+        if min_we <= wm:
+            emitted = (
+                closed.groupBy(win.getField("start").alias("ws"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
             emitted.coalesce(1).write.mode("append").parquet(self.out_path)
             self._emitted_any = True
         self.buffer.write(still_open)

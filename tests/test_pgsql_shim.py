@@ -32,9 +32,14 @@ def test_literal_casts_and_parameterized_types():
         pg_to_spark_sql("SELECT '2021-01-01'::timestamptz AS t")
         == "SELECT CAST('2021-01-01' AS TIMESTAMP) AS t"
     )
-    # varchar(n) parses natively in Spark — left unmapped
+    # varchar(n): Spark CAST ignores the length, PG truncates — the shim
+    # spells the PG semantics out explicitly
     assert pg_to_spark_sql("SELECT a::varchar(10) FROM t") == (
-        "SELECT CAST(a AS varchar(10)) FROM t"
+        "SELECT left(CAST(a AS STRING), 10) FROM t"
+    )
+    # char(n): PG truncates AND blank-pads
+    assert pg_to_spark_sql("SELECT a::char(5) FROM t") == (
+        "SELECT rpad(left(CAST(a AS STRING), 5), 5, ' ') FROM t"
     )
     # unparameterized varchar still maps to STRING
     assert pg_to_spark_sql("SELECT a::varchar FROM t") == (
@@ -69,6 +74,25 @@ def test_operator_and_function_rewrites():
     )
     assert "every(" in pg_to_spark_sql("SELECT bool_and(f) FROM t")
     assert "instr(" in pg_to_spark_sql("SELECT strpos(s, x) FROM t")
+
+
+def test_string_agg_paren_args():
+    # function-call operands (one paren nesting level) now rewrite too
+    assert pg_to_spark_sql("SELECT string_agg(lower(name), ',') FROM t") == (
+        "SELECT array_join(sort_array(collect_list(lower(name)), true), ',') FROM t"
+    )
+    assert pg_to_spark_sql(
+        "SELECT string_agg(coalesce(a, b), '|' ORDER BY f(id)) FROM t"
+    ) == (
+        "SELECT array_join(transform(array_sort(collect_list("
+        "struct(f(id) AS k, coalesce(a, b) AS v))), e -> e.v), '|') FROM t"
+    )
+    # a form too deep for the rewrite must raise, never silently fall
+    # through to Spark's partition-order-dependent native string_agg
+    import pytest
+
+    with pytest.raises(ValueError):
+        pg_to_spark_sql("SELECT string_agg(f(g(h(x, ','))), ',') FROM t")
 
 
 def test_executes_on_spark(spark):
