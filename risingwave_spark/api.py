@@ -155,10 +155,13 @@ class Engine:
 
     # ---- queries ---------------------------------------------------
     def sql(self, text: str) -> DataFrame:
-        """Ad-hoc batch SQL over tables and MVs (§3.1 — parse/plan/execute
-        all delegated to Catalyst). PG-flavored spellings (:: casts, ~,
-        now(), string_agg, ...) are rewritten first so reference query
-        text runs unchanged (functions/pgsql.py)."""
-        from risingwave_spark.functions.pgsql import pg_to_spark_sql
+        """The reference's front door, as SQL text (handler dispatch
+        `src/frontend/src/handler/mod.rs:248-260`): CREATE TABLE /
+        CREATE MATERIALIZED VIEW ... AS SELECT / DROP / INSERT / UPDATE /
+        DELETE route into this engine's runtime (frontend.py); everything
+        else is ad-hoc batch SQL delegated to Catalyst, with PG-flavored
+        spellings (:: casts, ~, now(), string_agg, ...) rewritten first
+        so reference query text runs unchanged (functions/pgsql.py)."""
+        from risingwave_spark import frontend
 
-        return self.spark.sql(pg_to_spark_sql(text))
+        return frontend.execute(self, text)

@@ -1,0 +1,480 @@
+"""SQL-text front door: DDL/DML statement dispatch for `Engine.sql`.
+
+The reference's entire user workflow is SQL text — `CREATE TABLE`,
+`CREATE MATERIALIZED VIEW ... AS SELECT`, `INSERT/UPDATE/DELETE`, `DROP`
+— routed by statement kind in `src/frontend/src/handler/mod.rs:248-260`
+(`create_table.rs`, `create_mv.rs:87`, DML executors `insert.rs:39` /
+`delete.rs:35` / `update.rs`). This module is the Spark-first analog:
+statements are recognized at text level (same philosophy as
+`functions/pgsql.py` — a full PG parser is out of scope), DDL/DML is
+routed into the `api.Engine` runtime (ChunkedState tables + retractable
+MV maintenance), and everything else falls through to Catalyst via the
+PG→Spark rewrite shim.
+
+MV maintenance contract (see `streaming/mv.py`): a `CREATE MATERIALIZED
+VIEW v AS SELECT ... FROM t [WHERE ...] [GROUP BY ...]` becomes a
+`MaterializedView` whose recompute runs the SELECT body over the
+affected groups' state rows. Constraints this v1 enforces loudly:
+
+- single-table FROM (the reference maintains MVs over joins with
+  multi-way delta joins; here dimension joins belong inside the
+  recompute body of the Python API, not the SQL surface yet);
+- every GROUP BY key must be visible in the output (bare column, alias,
+  or ordinal) so the splice (untouched ∪ recomputed) can match on it;
+- with no GROUP BY the view is row-grain: the base table's pk must be
+  selected (or `*`), and each row is its own "group".
+
+Scale posture: all statement bodies execute as DataFrame plans; the only
+driver-side work is text parsing. Row-id generation for pk-less tables
+uses a single-partition row_number — fine at DML-chunk size; a cluster
+deployment would use the epoch-offset scheme of `rowid_gen`
+(`queries/events_stream.py`, reference `row_id_gen.rs:25`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_spark.functions.pgsql import (
+    _map_type,
+    _mask_strings,
+    _unmask,
+    pg_to_spark_sql,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from risingwave_spark.api import Engine
+
+ROW_ID = "_row_id"
+
+
+# ---------------------------------------------------------------- helpers
+def split_statements(text: str) -> list[str]:
+    """Split a script on top-level semicolons (string literals masked)."""
+    masked, lits = _mask_strings(text)
+    parts = [p for p in masked.split(";")]
+    return [s for s in (_unmask(p, lits).strip() for p in parts) if s]
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth 0 (caller has masked strings)."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(text[start:i])
+            start = i + 1
+    items.append(text[start:])
+    return [s.strip() for s in items if s.strip()]
+
+
+def _status(spark: SparkSession, tag: str) -> DataFrame:
+    """Command-tag result (the reference returns e.g. `CREATE_TABLE`)."""
+    return spark.createDataFrame([(tag,)], "status string")
+
+
+# ---------------------------------------------------------------- regexes
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
+    r"(?:APPEND\s+ONLY\s*)?$",
+    re.I | re.S,
+)
+_CREATE_TABLE_AS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(\(?\s*(?:SELECT|WITH|VALUES)\b.*)$",
+    re.I | re.S,
+)
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
+    re.I | re.S,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(CASCADE)?\s*$",
+    re.I,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT|WITH)\b.*)$",
+    re.I | re.S,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
+)
+_SHOW = re.compile(r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS)\s*$", re.I)
+_SELECT_SHAPE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE|GROUP|HAVING|ORDER|LIMIT)\w+))?"
+    r"(?P<rest>(?:\s+.*)?)$",
+    re.I | re.S,
+)
+_IDENT = re.compile(r"^[A-Za-z_]\w*$")
+
+
+# ---------------------------------------------------------------- handlers
+def _parse_coldefs(spark: SparkSession, body: str):
+    """Column definitions → (empty DataFrame, pk cols, defaults).
+
+    Supports `name type [PRIMARY KEY] [NOT NULL] [DEFAULT expr]` items and
+    a table-level `PRIMARY KEY (a, b)` constraint (reference
+    `create_table.rs` bind_sql_columns / bind_pk_on_relation).
+    """
+    masked, lits = _mask_strings(body)
+    pk: list[str] = []
+    defaults: dict[str, str] = {}
+    fields: list[str] = []
+    for item in _split_top_level(masked):
+        m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", item, re.I)
+        if m:
+            pk.extend(c.strip() for c in m.group(1).split(","))
+            continue
+        if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", item, re.I):
+            continue  # constraints Spark-side state doesn't enforce
+        m = re.match(
+            r"^(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"  # name type
+            r"(?:\s+(.*))?$",
+            item,
+            re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse column definition: {_unmask(item, lits)!r}")
+        name, typ, tail = m.group(1), m.group(2), (m.group(3) or "")
+        if re.search(r"\bPRIMARY\s+KEY\b", tail, re.I):
+            pk.append(name)
+        dm = re.search(r"\bDEFAULT\s+(.+)$", tail, re.I | re.S)
+        if dm:
+            expr = re.sub(r"\s+(NOT\s+NULL|PRIMARY\s+KEY)\s*$", "", dm.group(1), flags=re.I)
+            defaults[name] = pg_to_spark_sql(_unmask(expr.strip(), lits))
+        base = typ.split("(")[0].lower()
+        # varchar(n)/char(n) column TYPES collapse to STRING (Spark state
+        # tables don't enforce length; the CAST shim handles value-level
+        # truncation) — decimal(p,s) etc. pass through _map_type unchanged
+        if base in ("varchar", "char", "character"):
+            spark_t = "STRING"
+        else:
+            spark_t = _map_type(typ)
+        fields.append(f"{name} {spark_t}")
+    empty = spark.createDataFrame([], ", ".join(fields))
+    return empty, pk, defaults
+
+
+def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
+    name, body = m.group(1), m.group(2)
+    empty, pk, defaults = _parse_coldefs(engine.spark, body)
+    if not pk:
+        empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
+        pk = [ROW_ID]
+    t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
+    t.defaults = defaults
+    return _status(engine.spark, "CREATE_TABLE")
+
+
+def _handle_create_table_as(engine: "Engine", m: re.Match) -> DataFrame:
+    name, select = m.group(1), m.group(2)
+    rows = engine.spark.sql(pg_to_spark_sql(select))
+    # CTAS has no pk clause → hidden row id (reference row_id_gen.rs:25)
+    rows = _assign_row_ids(rows, 0).localCheckpoint(eager=True)
+    t = engine.create_table(name, rows, pk=ROW_ID)
+    t._rowid_next = rows.count() + 1
+    t.defaults = {}
+    return _status(engine.spark, "CREATE_TABLE")
+
+
+def _assign_row_ids(rows: DataFrame, offset: int) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.lit(1))
+    return rows.withColumn(ROW_ID, F.row_number().over(w) + F.lit(offset))
+
+
+def _aligned_insert_rows(engine: "Engine", t, cols: list[str] | None, rows: DataFrame) -> DataFrame:
+    """Align an INSERT source to the table schema: explicit column list or
+    positional; missing columns take their DEFAULT (else NULL); everything
+    is cast to the declared type (reference insert.rs fix-up casts)."""
+    snap_schema = {f.name: f.dataType.simpleString() for f in t.snapshot().schema.fields}
+    target = [c for c in snap_schema if c != ROW_ID]
+    defaults = getattr(t, "defaults", {})
+    if cols is None:
+        src = rows.columns
+        if len(src) > len(target):
+            raise ValueError(f"INSERT has more expressions than target columns ({len(src)} > {len(target)})")
+        sel = []
+        for i, c in enumerate(target):
+            if i < len(src):
+                sel.append(F.col(src[i]).cast(snap_schema[c]).alias(c))
+            elif c in defaults:
+                sel.append(F.expr(defaults[c]).cast(snap_schema[c]).alias(c))
+            else:
+                sel.append(F.lit(None).cast(snap_schema[c]).alias(c))
+        out = rows.select(*sel)
+    else:
+        cols = [c.strip() for c in cols]
+        unknown = [c for c in cols if c not in target]
+        if unknown:
+            raise ValueError(f"unknown INSERT columns {unknown}; table has {target}")
+        src = rows.columns
+        if len(src) != len(cols):
+            raise ValueError("INSERT column list and source arity differ")
+        renamed = rows.select(*[F.col(s).alias(c) for s, c in zip(src, cols)])
+        sel = []
+        for c in target:
+            if c in cols:
+                sel.append(F.col(c).cast(snap_schema[c]).alias(c))
+            elif c in defaults:
+                sel.append(F.expr(defaults[c]).cast(snap_schema[c]).alias(c))
+            else:
+                sel.append(F.lit(None).cast(snap_schema[c]).alias(c))
+        out = renamed.select(*sel)
+    return out
+
+
+def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
+    name, collist, body = m.group(1), m.group(2), m.group(3)
+    if name not in engine.tables:
+        raise ValueError(f"INSERT target {name!r} is not a table")
+    t = engine.tables[name]
+    body = pg_to_spark_sql(body)
+    if re.match(r"^\s*VALUES\b", body, re.I):
+        # Spark accepts `SELECT * FROM VALUES (...), (...)`; name the
+        # columns so alignment is positional and stable
+        masked, lits = _mask_strings(body)
+        first_tuple = re.search(r"\(((?:[^()]|\([^()]*\))*)\)", masked)
+        arity = len(_split_top_level(first_tuple.group(1)))
+        alias = ", ".join(f"c{i}" for i in range(arity))
+        rows = engine.spark.sql(f"SELECT * FROM ({body}) AS __v({alias})")
+    else:
+        rows = engine.spark.sql(body)
+    aligned = _aligned_insert_rows(engine, t, _split_top_level(collist) if collist else None, rows)
+    has_rowid = ROW_ID in t.snapshot().columns
+    if has_rowid:
+        aligned = _assign_row_ids(aligned, getattr(t, "_rowid_next", 1) - 1)
+    # materialize BEFORE the fold: an INSERT ... SELECT reading the target
+    # table itself must see the pre-insert snapshot (same discipline as
+    # Engine.delete's localCheckpoint)
+    aligned = aligned.localCheckpoint(eager=True)
+    n = aligned.count()
+    if has_rowid:
+        t._rowid_next = getattr(t, "_rowid_next", 1) + n
+    engine.insert(name, aligned)
+    return _status(engine.spark, f"INSERT 0 {n}")
+
+
+def _handle_update(engine: "Engine", m: re.Match) -> DataFrame:
+    name, setlist, where = m.group(1), m.group(2), m.group(3)
+    if name not in engine.tables:
+        raise ValueError(f"UPDATE target {name!r} is not a table")
+    masked, lits = _mask_strings(setlist)
+    assignments = {}
+    for item in _split_top_level(masked):
+        am = re.match(r"^(\w+)\s*=\s*(.+)$", item, re.S)
+        if not am:
+            raise ValueError(f"cannot parse SET item: {_unmask(item, lits)!r}")
+        assignments[am.group(1)] = F.expr(
+            pg_to_spark_sql(_unmask(am.group(2).strip(), lits))
+        )
+    pred = F.expr(pg_to_spark_sql(where)) if where else F.lit(True)
+    engine.update(name, pred, assignments)
+    return _status(engine.spark, "UPDATE")
+
+
+def _handle_delete(engine: "Engine", m: re.Match) -> DataFrame:
+    name, where = m.group(1), m.group(2)
+    if name not in engine.tables:
+        raise ValueError(f"DELETE target {name!r} is not a table")
+    pred = F.expr(pg_to_spark_sql(where)) if where else F.lit(True)
+    engine.delete(name, pred)
+    return _status(engine.spark, "DELETE")
+
+
+def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
+    kind, name, cascade = m.group(1).upper(), m.group(2), m.group(3)
+    spark = engine.spark
+    if kind == "TABLE":
+        if name not in engine.tables:
+            return _status(spark, "DROP_TABLE")  # IF EXISTS semantics
+        t = engine.tables[name]
+        if t.mvs and not cascade:
+            raise ValueError(
+                f"table {name!r} has dependent materialized views "
+                f"{[h.name for h in t.mvs]}; use DROP TABLE ... CASCADE"
+            )
+        for h in list(t.mvs):
+            engine.mv_handles.pop(h.name, None)
+            spark.catalog.dropTempView(h.name)
+        del engine.tables[name]
+        spark.catalog.dropTempView(name)
+        return _status(spark, "DROP_TABLE")
+    if name not in engine.mv_handles:
+        return _status(spark, "DROP_MATERIALIZED_VIEW")
+    h = engine.mv_handles.pop(name)
+    for t in engine.tables.values():
+        if h in t.mvs:
+            t.mvs.remove(h)
+    for other in engine.mv_handles.values():
+        if h.view in other.view.downstream:
+            other.view.downstream.remove(h.view)
+    spark.catalog.dropTempView(name)
+    return _status(spark, "DROP_MATERIALIZED_VIEW")
+
+
+# ------------------------------------------------------- CREATE MV parsing
+def _parse_select_item(item: str):
+    m = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    return item.strip(), (item.strip() if _IDENT.match(item.strip()) else None)
+
+
+def _norm(expr: str) -> str:
+    return re.sub(r"\s+", "", expr).lower()
+
+
+def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
+    name, select = m.group(1), m.group(2).strip().rstrip(";")
+    masked, lits = _mask_strings(select)
+    sm = _SELECT_SHAPE.match(masked)
+    if not sm:
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW supports single-table "
+            "`SELECT ... FROM t [WHERE] [GROUP BY] [HAVING]` bodies; "
+            "use Engine.create_materialized_view for other shapes"
+        )
+    base = sm.group("from")
+    if base not in engine.tables and base not in engine.mv_handles:
+        raise ValueError(f"MV base {base!r} is not a known table or MV")
+    alias = sm.group("alias")
+    rest = sm.group("rest") or ""
+    if re.search(r"\b(JOIN|UNION|INTERSECT|EXCEPT)\b", masked, re.I):
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW over joins/set-ops is not supported "
+            "in the SQL surface; use Engine.create_materialized_view"
+        )
+    select_items = [
+        _parse_select_item(_unmask(i, lits))
+        for i in _split_top_level(sm.group("select"))
+    ]
+    gb = re.search(r"\bGROUP\s+BY\s+(.*?)(\s+HAVING\b.*)?$", rest, re.I | re.S)
+    base_cols = (
+        engine.tables[base].snapshot().columns
+        if base in engine.tables
+        else engine.mv_handles[base].view.result().columns
+    )
+
+    keys: list[str] = []
+    derived: dict[str, str] = {}  # alias -> expr (needs key_of annotation)
+    if gb:
+        for item in _split_top_level(gb.group(1)):
+            item = _unmask(item, lits).strip()
+            if item.isdigit():  # GROUP BY ordinal
+                expr, al = select_items[int(item) - 1]
+                if al is None:
+                    raise ValueError(f"GROUP BY {item}: select item needs an alias")
+                item = al if _norm(expr) != _norm(al) else expr
+                if _norm(item) != _norm(expr):
+                    derived[al] = expr
+                    keys.append(al)
+                    continue
+            if _IDENT.match(item):
+                if item in base_cols:
+                    keys.append(item)
+                    continue
+                hit = [(e, a) for e, a in select_items if a == item]
+                if hit:
+                    derived[item] = hit[0][0]
+                    keys.append(item)
+                    continue
+                raise ValueError(f"GROUP BY key {item!r} not found")
+            hit = [(e, a) for e, a in select_items if _norm(e) == _norm(item)]
+            if not hit or hit[0][1] is None:
+                raise ValueError(
+                    f"GROUP BY expression {item!r} must appear aliased in the "
+                    "select list so the MV can splice on it"
+                )
+            derived[hit[0][1]] = hit[0][0]
+            keys.append(hit[0][1])
+        out_names = {a for _, a in select_items if a} | {
+            e for e, a in select_items if a is None
+        }
+        missing = [k for k in keys if k not in out_names and "*" not in out_names]
+        if missing:
+            raise ValueError(f"GROUP BY keys {missing} must be selected for MV splice")
+    else:
+        t = engine.tables.get(base)
+        pk = t.pk if t is not None else engine.mv_handles[base].view.keys[0]
+        pks = [pk] if isinstance(pk, str) else list(pk)
+        sel_names = {a for _, a in select_items} | {e for e, _ in select_items}
+        if "*" not in sel_names and any(p not in sel_names for p in pks):
+            raise ValueError(
+                f"row-grain MV must select the base pk {pks} (or *) for splice"
+            )
+        keys = pks
+
+    tmp = f"__mv_src_{name}"
+    # reconstruct the SELECT with the base swapped for the affected-rows
+    # temp view; GROUP BY expressions keep working because key_of has
+    # already annotated derived key columns onto the rows
+    body = "SELECT {} FROM {}{}{}".format(
+        sm.group("select"), tmp, f" {alias}" if alias else "", rest
+    )
+    body = pg_to_spark_sql(_unmask(body, lits))
+    spark = engine.spark
+
+    def recompute(rows: DataFrame) -> DataFrame:
+        rows.createOrReplaceTempView(tmp)
+        return spark.sql(body)
+
+    key_of = None
+    if derived:
+        exprs = [f"({pg_to_spark_sql(e)}) AS {a}" for a, e in derived.items()]
+
+        def key_of(rows: DataFrame) -> DataFrame:
+            keep = [c for c in rows.columns if c not in derived]
+            return rows.select(*keep).selectExpr("*", *exprs)
+
+    engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
+    return _status(spark, "CREATE_MATERIALIZED_VIEW")
+
+
+# ---------------------------------------------------------------- dispatch
+def execute(engine: "Engine", text: str) -> DataFrame:
+    """Run one or more SQL statements; returns the last statement's result
+    (SELECTs return their rows; DDL/DML return a command-tag frame)."""
+    result: DataFrame | None = None
+    for stmt in split_statements(text):
+        result = _execute_one(engine, stmt)
+    if result is None:
+        raise ValueError("empty SQL text")
+    return result
+
+
+def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
+    for rx, handler in (
+        (_CREATE_TABLE_AS, _handle_create_table_as),
+        (_CREATE_TABLE, _handle_create_table),
+        (_CREATE_MV, _handle_create_mv),
+        (_DROP, _handle_drop),
+        (_INSERT, _handle_insert),
+        (_UPDATE, _handle_update),
+        (_DELETE, _handle_delete),
+    ):
+        m = rx.match(stmt)
+        if m:
+            return handler(engine, m)
+    m = _SHOW.match(stmt)
+    if m:
+        kind = m.group(1).upper()
+        names = (
+            sorted(engine.tables)
+            if kind == "TABLES"
+            else sorted(engine.mv_handles)
+        )
+        return engine.spark.createDataFrame([(n,) for n in names] or [], "name string")
+    # ad-hoc query path: PG-isms rewritten, then Catalyst
+    return engine.spark.sql(pg_to_spark_sql(stmt))

@@ -508,6 +508,54 @@ def engine_dml_mv(spark, sf_dir):
 
 
 @register(
+    "engine_sql_ddl_mv",
+    oracle=f"""
+SELECT o_orderstatus, count(*) AS n,
+       (CAST(sum(CAST(round((o_totalprice
+              + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)*100,0)
+            AS BIGINT)) AS BIGINT)/100.0) AS total
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_ddl_mv(spark, sf_dir):
+    """The reference's front-door workflow as pure SQL TEXT (handler
+    dispatch `src/frontend/src/handler/mod.rs:248-260`, `create_table.rs`,
+    `create_mv.rs:87`): CREATE TABLE, CREATE MATERIALIZED VIEW ... AS
+    SELECT (created BEFORE any data so every row arrives incrementally),
+    INSERT ... SELECT ×2, DELETE, UPDATE — the MV read back through SQL
+    must equal the one-shot batch aggregate over the surviving rows."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)  # registers `orders` as a temp view
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_sqleng_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_sql_orders (
+            o_orderkey int8 PRIMARY KEY,
+            o_orderstatus text,
+            o_totalprice float8
+        );
+        CREATE MATERIALIZED VIEW rw_sql_mv AS
+        SELECT o_orderstatus, count(*) AS n,
+               sum(CAST(round(o_totalprice*100, 0) AS BIGINT))/100.0D AS total
+        FROM rw_sql_orders GROUP BY o_orderstatus
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_sql_orders SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_sql_orders SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM rw_sql_orders WHERE o_orderkey % 7 = 0")
+    eng.sql("UPDATE rw_sql_orders SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 11 = 0")
+    return eng.sql("SELECT o_orderstatus, n, total FROM rw_sql_mv ORDER BY o_orderstatus")
+
+
+@register(
     "stream_dynamic_filter",
     oracle=f"""
 SELECT user_id, count(*) AS n_above

@@ -118,9 +118,12 @@ class ChunkedState:
     supported (split the chunk).
     """
 
-    def __init__(self, spark: SparkSession, path: str, row_id: str):
+    def __init__(self, spark: SparkSession, path: str, row_id: str | list[str]):
         self.spark = spark
-        self.row_id = row_id
+        # single- or composite-key row identity (reference tables support
+        # multi-column PRIMARY KEY; tombstones then match on all pk cols)
+        self.row_ids = [row_id] if isinstance(row_id, str) else list(row_id)
+        self.row_id = self.row_ids[0]
         self.base = path
         os.makedirs(path, exist_ok=True)
         # generation pointer: compaction writes a NEW generation directory
@@ -211,7 +214,7 @@ class ChunkedState:
         # write tombstones unconditionally, then decide emptiness from the
         # written footers (driver-side, free) — an isEmpty() probe here
         # would cost an extra Spark job per batch for the same information
-        dl = deletes.select(self.row_id, F.lit(self._seq).alias("__del_seq"))
+        dl = deletes.select(*self.row_ids, F.lit(self._seq).alias("__del_seq"))
         tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
         dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
         if _parquet_rows(tomb_chunk) > 0:
@@ -230,7 +233,9 @@ class ChunkedState:
         v = self._read_dir(self.values_dir)
         if self._has_tombs:
             t = self._read_dir(self.tombs_dir)
-            cond = (v[self.row_id] == t[self.row_id]) & (v["__seq"] < t["__del_seq"])
+            cond = v["__seq"] < t["__del_seq"]
+            for c in self.row_ids:
+                cond = cond & (v[c] == t[c])
             v = v.join(t, on=cond, how="left_anti")
         return v.drop("__seq")
 
