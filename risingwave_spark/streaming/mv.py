@@ -104,6 +104,137 @@ class _VersionedTable:
             shutil.rmtree(os.path.join(self.path, f"v{stale}"), ignore_errors=True)
 
 
+class _BucketedMvTable:
+    """MV storage hash-partitioned into key buckets so a batch's write
+    cost is O(touched buckets), not O(MV) — the keyed-MERGE / dynamic
+    partition-overwrite pattern (reference Materialize executor upserts
+    by key, `mview/materialize.rs:45`; Delta MERGE is the cluster-scale
+    analog, not available in this sandbox).
+
+    Layout: `<dir>/e{n}/__bucket={b}/*.parquet` epoch directories plus a
+    MANIFEST json mapping bucket → the epoch holding its current rows.
+    A write materializes ONLY the touched buckets into a new epoch and
+    flips the manifest last (os.replace — crash-safe: a partial epoch
+    dir is simply overwritten on retry). Untouched buckets' files are
+    never rewritten or rewritten-as-copies; at 100 TB an MV batch that
+    touches 1% of keys rewrites ~1% of files.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str], n_buckets: int = 16):
+        import json
+
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+        self._json = json
+        self._manifest = self._read_manifest()
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return self._json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {"epoch": -1, "buckets": {}, "schema": None, "retired": []}
+
+    def _flip_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            self._json.dump(self._manifest, f)
+        os.replace(tmp, self._manifest_path())
+
+    def exists(self) -> bool:
+        return self._manifest["epoch"] >= 0
+
+    def bucket_expr(self):
+        return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+
+    def touched_buckets(self, affected_keys: DataFrame) -> list[int]:
+        """Distinct buckets of an affected-keys frame — ≤ n_buckets values,
+        the one small driver-side collect of the write path."""
+        rows = (
+            affected_keys.select(self.bucket_expr().alias("__bucket"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r[0] for r in rows)
+
+    def _leaf(self, bucket: int, epoch: int) -> str:
+        return os.path.join(self.path, f"e{epoch}", f"__bucket={bucket}")
+
+    def _read_paths(self, paths: list[str]) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(self._json.loads(self._manifest["schema"]))
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read(self) -> DataFrame:
+        return self._read_paths(
+            [self._leaf(int(b), ep) for b, ep in self._manifest["buckets"].items()]
+        )
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        want = set(buckets)
+        return self._read_paths(
+            [
+                self._leaf(int(b), ep)
+                for b, ep in self._manifest["buckets"].items()
+                if int(b) in want
+            ]
+        )
+
+    def overwrite_buckets(self, df: DataFrame, touched: list[int] | None) -> None:
+        """Write `df` (the complete new content of `touched` buckets; pass
+        None on first materialization to mean "all buckets observed") as a
+        new epoch, then flip the manifest. ONE Spark job: rows shuffle to
+        ≈1 file per bucket (at cluster scale you'd size files to 128 MB
+        instead of one-per-bucket)."""
+        epoch = self._manifest["epoch"] + 1
+        out = os.path.join(self.path, f"e{epoch}")
+        n_parts = max(1, min(len(touched) if touched is not None else self.n_buckets, 8))
+        (
+            df.withColumn("__bucket", self.bucket_expr())
+            .repartition(n_parts, F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("__bucket=")
+        }
+        buckets = {int(b): ep for b, ep in self._manifest["buckets"].items()}
+        prev_referenced = set(buckets.values())
+        for b in written if touched is None else set(touched):
+            if b in written:
+                buckets[b] = epoch
+            else:
+                buckets.pop(b, None)  # bucket emptied (all its groups gone)
+        if self._manifest["schema"] is None:
+            self._manifest["schema"] = self._json.dumps(df.schema.jsonValue())
+        now_referenced = set(buckets.values()) | {epoch}
+        # GC: epochs retired by the PREVIOUS write (grace period for lazy
+        # DataFrames handed downstream) that are still unreferenced now
+        for ep in self._manifest.get("retired", []):
+            if ep not in now_referenced:
+                shutil.rmtree(os.path.join(self.path, f"e{ep}"), ignore_errors=True)
+        self._manifest["retired"] = sorted(prev_referenced - now_referenced)
+        self._manifest["buckets"] = {str(b): ep for b, ep in buckets.items()}
+        self._manifest["epoch"] = epoch
+        self._flip_manifest()
+
+    def write(self, df: DataFrame) -> None:
+        """Full materialization (first backfill)."""
+        self.overwrite_buckets(df, None)
+
+
 class ChunkedState:
     """Row-level operator state as append-only insert chunks + sequenced
     delete tombstones (the Delta data-files/deletion-vectors pattern):
@@ -290,7 +421,7 @@ class _RetractableView:
         self.keys = keys
         self.row_id = row_id
         self.state = ChunkedState(spark, os.path.join(state_dir, "state"), row_id)
-        self.mv = _VersionedTable(spark, os.path.join(state_dir, "mv"))
+        self.mv = _BucketedMvTable(spark, os.path.join(state_dir, "mv"), keys)
         # MV-on-MV (reference `docs/dev/src/design/mv-on-mv.md`): this
         # view's per-batch diff (−1 old affected rows, +1 recomputed
         # rows — the Update pair) is itself a changelog, forwarded to
@@ -328,19 +459,21 @@ class _RetractableView:
         )
         out_changelog = None
         if self.mv.exists():
-            prev = self.mv.read()
+            # O(touched buckets), not O(MV): only the affected keys'
+            # hash-buckets are read back, spliced, and rewritten
+            touched = self.mv.touched_buckets(affected)
+            prev_t = self.mv.read_buckets(touched)
             if self.downstream:
-                old_affected = prev.join(affected, on=self.keys, how="left_semi")
+                old_affected = prev_t.join(affected, on=self.keys, how="left_semi")
                 out_changelog = with_ops(old_affected, -1).unionByName(
                     with_ops(recomputed, 1)
                 )
-            untouched = prev.join(affected, on=self.keys, how="left_anti")
-            new_mv = untouched.unionByName(recomputed)
+            untouched_t = prev_t.join(affected, on=self.keys, how="left_anti")
+            self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
         else:
             if self.downstream:
                 out_changelog = with_ops(recomputed, 1)
-            new_mv = recomputed
-        self.mv.write(new_mv)
+            self.mv.write(recomputed)
         if out_changelog is not None:
             for d in self.downstream:
                 d.apply_batch(out_changelog)
