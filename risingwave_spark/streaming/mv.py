@@ -139,7 +139,13 @@ class _BucketedMvTable:
             with open(self._manifest_path()) as f:
                 return self._json.load(f)
         except (FileNotFoundError, ValueError):
-            return {"epoch": -1, "buckets": {}, "schema": None, "retired": []}
+            return {
+                "epoch": -1,
+                "buckets": {},
+                "schema": None,
+                "retired": [],
+                "flat": [],
+            }
 
     def _flip_manifest(self) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -151,7 +157,14 @@ class _BucketedMvTable:
         return self._manifest["epoch"] >= 0
 
     def bucket_expr(self):
-        return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets))
+        """Bucket = crc32(concat_ws(keys)) % n. crc32 (not Murmur3) so the
+        SAME bucket is computable driver-side in Python (zlib.crc32) from a
+        batch's already-written chunk files — the per-batch touched-bucket
+        set then costs zero extra Spark jobs (see _touched_buckets_fast).
+        Collisions are harmless (buckets only co-locate); what matters is
+        that the two computations agree per key."""
+        joined = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.keys])
+        return F.pmod(F.crc32(joined.cast("binary")), F.lit(self.n_buckets))
 
     def touched_buckets(self, affected_keys: DataFrame) -> list[int]:
         """Distinct buckets of an affected-keys frame — ≤ n_buckets values,
@@ -175,48 +188,77 @@ class _BucketedMvTable:
         return self.spark.read.schema(schema).parquet(*paths)
 
     def read(self) -> DataFrame:
-        return self._read_paths(
-            [self._leaf(int(b), ep) for b, ep in self._manifest["buckets"].items()]
+        return self.read_buckets(
+            [int(b) for b in self._manifest["buckets"]]
         )
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Rows of exactly these buckets. Partitioned epochs contribute
+        leaf dirs (file-level pruning); flat epochs are scanned with a
+        bucket-expr filter — they may physically retain rows of buckets
+        whose current version has since moved to a newer epoch."""
         want = set(buckets)
-        return self._read_paths(
-            [
-                self._leaf(int(b), ep)
-                for b, ep in self._manifest["buckets"].items()
-                if int(b) in want
-            ]
-        )
+        flat_eps = set(self._manifest.get("flat", []))
+        leaf_paths: list[str] = []
+        per_flat: dict[int, list[int]] = {}
+        for b, ep in self._manifest["buckets"].items():
+            b = int(b)
+            if b not in want:
+                continue
+            if ep in flat_eps:
+                per_flat.setdefault(ep, []).append(b)
+            else:
+                leaf_paths.append(self._leaf(b, ep))
+        out = self._read_paths(leaf_paths) if leaf_paths or not per_flat else None
+        for ep, bs in per_flat.items():
+            flat = self._read_paths([os.path.join(self.path, f"e{ep}")]).filter(
+                self.bucket_expr().isin(bs)
+            )
+            out = flat if out is None else out.unionByName(flat)
+        return out
 
     def overwrite_buckets(self, df: DataFrame, touched: list[int] | None) -> None:
         """Write `df` (the complete new content of `touched` buckets; pass
-        None on first materialization to mean "all buckets observed") as a
-        new epoch, then flip the manifest. ONE Spark job: rows shuffle to
-        ≈1 file per bucket (at cluster scale you'd size files to 128 MB
-        instead of one-per-bucket)."""
+        None on first materialization to mean "all") as a new epoch, then
+        flip the manifest — ONE Spark job either way.
+
+        Adaptive layout (measured): a batch touching most of the MV writes
+        a FLAT epoch (plain coalesced parquet — no per-bucket small files,
+        no shuffle; readers filter by bucket expr), while a narrow batch
+        writes a PARTITIONED epoch (__bucket=N dirs, so later reads prune
+        at file level and the write volume is O(touched)). At 100 TB the
+        narrow path is the steady state; flat epochs come from backfills
+        and full-table churn, where a full rewrite is optimal anyway."""
         epoch = self._manifest["epoch"] + 1
         out = os.path.join(self.path, f"e{epoch}")
-        n_parts = max(1, min(len(touched) if touched is not None else self.n_buckets, 8))
-        (
-            df.withColumn("__bucket", self.bucket_expr())
-            .repartition(n_parts, F.col("__bucket"))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(out)
-        )
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out)
-            if d.startswith("__bucket=")
-        }
         buckets = {int(b): ep for b, ep in self._manifest["buckets"].items()}
         prev_referenced = set(buckets.values())
-        for b in written if touched is None else set(touched):
-            if b in written:
-                buckets[b] = epoch
-            else:
-                buckets.pop(b, None)  # bucket emptied (all its groups gone)
+        covered = max(len(set(buckets) | set(touched or [])), 1)
+        flat = touched is None or len(touched) >= 0.5 * covered
+        if flat:
+            df.coalesce(8).write.mode("overwrite").parquet(out)
+            self._manifest.setdefault("flat", []).append(epoch)
+            for b in range(self.n_buckets) if touched is None else touched:
+                buckets[b] = epoch  # empty buckets are harmless: the
+                # bucket-expr filter just finds no rows for them
+        else:
+            (
+                df.withColumn("__bucket", self.bucket_expr())
+                .repartition(max(1, min(len(touched), 8)), F.col("__bucket"))
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(out)
+            )
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out)
+                if d.startswith("__bucket=")
+            }
+            for b in touched:
+                if b in written:
+                    buckets[b] = epoch
+                else:
+                    buckets.pop(b, None)  # bucket emptied (all groups gone)
         if self._manifest["schema"] is None:
             self._manifest["schema"] = self._json.dumps(df.schema.jsonValue())
         now_referenced = set(buckets.values()) | {epoch}
@@ -226,6 +268,9 @@ class _BucketedMvTable:
             if ep not in now_referenced:
                 shutil.rmtree(os.path.join(self.path, f"e{ep}"), ignore_errors=True)
         self._manifest["retired"] = sorted(prev_referenced - now_referenced)
+        self._manifest["flat"] = sorted(
+            ep for ep in self._manifest.get("flat", []) if ep in now_referenced
+        )
         self._manifest["buckets"] = {str(b): ep for b, ep in buckets.items()}
         self._manifest["epoch"] = epoch
         self._flip_manifest()
@@ -322,7 +367,13 @@ class ChunkedState:
         except (FileNotFoundError, ValueError):
             return None
 
-    def fold(self, inserts: DataFrame, deletes: DataFrame, batch_id: int | None = None) -> bool:
+    def fold(
+        self,
+        inserts: DataFrame,
+        deletes: DataFrame,
+        batch_id: int | None = None,
+        tomb_extra_cols: list[str] | None = None,
+    ) -> bool:
         """Append one batch's inserts and delete tombstones (row ids).
 
         Exactly-once under redelivery (§2.9, the reference's epoch-commit
@@ -345,7 +396,16 @@ class ChunkedState:
         # write tombstones unconditionally, then decide emptiness from the
         # written footers (driver-side, free) — an isEmpty() probe here
         # would cost an extra Spark job per batch for the same information
-        dl = deletes.select(*self.row_ids, F.lit(self._seq).alias("__del_seq"))
+        # tomb_extra_cols (e.g. the MV's group keys) ride along in the
+        # tombstone files so the driver can derive a delete batch's
+        # affected groups from local footers without a Spark job
+        keep = list(
+            dict.fromkeys(
+                self.row_ids
+                + [c for c in (tomb_extra_cols or []) if c in deletes.columns]
+            )
+        )
+        dl = deletes.select(*keep, F.lit(self._seq).alias("__del_seq"))
         tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
         dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
         if _parquet_rows(tomb_chunk) > 0:
@@ -436,6 +496,55 @@ class _RetractableView:
     def _recompute(self, rows: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
+    def _touched_buckets_fast(self) -> list[int] | None:
+        """Derive the batch's touched buckets driver-side from the chunk
+        files `fold` just wrote (local parquet footer + column read via
+        pyarrow — no Spark job). Must agree row-for-row with
+        `_BucketedMvTable.bucket_expr` (crc32 over \\x1f-joined keys,
+        concat_ws null-skipping), so it only runs for identity keys of
+        int/string type; anything else returns None → Spark fallback."""
+        import glob as _glob
+        import zlib
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        if self.key_of is not None:
+            return None
+        seq = self.state._seq - 1
+        paths = _glob.glob(
+            os.path.join(self.state.values_dir, f"b{seq}", "*.parquet")
+        ) + _glob.glob(os.path.join(self.state.tombs_dir, f"b{seq}", "*.parquet"))
+        frames = []
+        for f in paths:
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            names = set(pf.schema_arrow.names)
+            if any(k not in names for k in self.keys):
+                return None
+            frames.append(pf.read(columns=self.keys).to_pandas())
+        if not frames:
+            return []
+        df = pd.concat(frames, ignore_index=True)
+        encoded = []
+        for k in self.keys:
+            s = df[k]
+            if s.dtype.kind in "iu":
+                col = s.map(lambda v: str(int(v)).encode())
+            elif s.dtype == object:
+                if not all(isinstance(v, str) or v is None for v in s[:100]):
+                    return None
+                col = s.map(lambda v: None if v is None else v.encode())
+            else:
+                return None  # float/timestamp/bool formatting may diverge
+            encoded.append(col)
+        buckets = set()
+        for parts in zip(*encoded):
+            joined = b"\x1f".join(p for p in parts if p is not None)
+            buckets.add(zlib.crc32(joined) % self.mv.n_buckets)
+        return sorted(buckets)
+
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         """Fold one changelog chunk (needs an __op column) into the MV.
 
@@ -448,7 +557,12 @@ class _RetractableView:
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
-        self.state.fold(inserts, deletes, batch_id=batch_id)
+        self.state.fold(
+            inserts,
+            deletes,
+            batch_id=batch_id,
+            tomb_extra_cols=self.keys if self.key_of is None else None,
+        )
         if self.compact_every and self.state._seq % self.compact_every == 0:
             self.state.compact()
 
@@ -460,8 +574,12 @@ class _RetractableView:
         out_changelog = None
         if self.mv.exists():
             # O(touched buckets), not O(MV): only the affected keys'
-            # hash-buckets are read back, spliced, and rewritten
-            touched = self.mv.touched_buckets(affected)
+            # hash-buckets are read back, spliced, and rewritten. The
+            # bucket set comes from the batch's just-written local chunk
+            # files when possible (zero extra jobs), else a tiny collect.
+            touched = self._touched_buckets_fast()
+            if touched is None:
+                touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
             if self.downstream:
                 old_affected = prev_t.join(affected, on=self.keys, how="left_semi")

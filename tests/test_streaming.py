@@ -435,3 +435,30 @@ def test_mv_soak_many_batches(spark, events):
         }
         got = {r.user_id: (r.cnt, r.vmin, r.vmax) for r in mv.result().collect()}
         assert got == exp
+
+
+def test_bucket_hash_agrees_spark_vs_python(spark):
+    """_touched_buckets_fast (zlib.crc32 driver-side) must assign every key
+    the SAME bucket as _BucketedMvTable.bucket_expr (Spark crc32) — a
+    disagreement silently leaves stale MV rows in un-rewritten buckets."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from risingwave_spark.streaming.mv import _BucketedMvTable
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "x"), (-5, "héllo"), (2**40, ""), (None, None)],
+        "k1 long, k2 string",
+    )
+    t = _BucketedMvTable.__new__(_BucketedMvTable)
+    t.keys, t.n_buckets = ["k1", "k2"], 16
+    got = df.withColumn("b", t.bucket_expr()).collect()
+    for r in got:
+        parts = []
+        if r.k1 is not None:
+            parts.append(str(int(r.k1)).encode())
+        if r.k2 is not None:
+            parts.append(r.k2.encode())
+        expect = zlib.crc32(b"\x1f".join(parts)) % 16
+        assert r.b == expect, f"key=({r.k1},{r.k2}): spark={r.b} python={expect}"
