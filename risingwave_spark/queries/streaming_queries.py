@@ -508,6 +508,99 @@ def engine_dml_mv(spark, sf_dir):
 
 
 @register(
+    "stream_join_retract",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 5 <> 0 AND c.c_custkey % 3 <> 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def stream_join_retract(spark, sf_dir):
+    """General retractable stream-stream join (reference streaming
+    HashJoin with deletes on BOTH sides, `hash_join.rs:129`): orders and
+    customers each arrive in two insert chunks, then one chunk DELETES
+    every 5th order while another DELETES every 3rd customer — the join
+    MV must converge to the batch join of the survivors."""
+    from risingwave_spark.streaming.join import RetractableStreamJoin
+
+    t = tables(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    jv = RetractableStreamJoin(
+        spark,
+        tempfile.mkdtemp(prefix="rw_join_"),
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        row_id_l="o_orderkey",
+        row_id_r="c_custkey",
+        how="inner",
+    )
+    jv.apply(with_ops(o.filter(F.col("o_orderkey") % 2 == 0), 1),
+             with_ops(c.filter(F.col("c_custkey") % 2 == 0), 1))
+    jv.apply(with_ops(o.filter(F.col("o_orderkey") % 2 == 1), 1),
+             with_ops(c.filter(F.col("c_custkey") % 2 == 1), 1))
+    jv.apply(with_ops(o.filter(F.col("o_orderkey") % 5 == 0), -1),
+             with_ops(c.filter(F.col("c_custkey") % 3 == 0), -1))
+    return (
+        jv.result()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "stream_join_retract_outer",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, count(c.c_custkey) AS n_matched
+FROM orders o
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0
+             AND c_mktsegment = 'BUILDING') c
+  ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 5 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def stream_join_retract_outer(spark, sf_dir):
+    """Left-outer retractable join (reference hash_join.rs degree-table
+    bookkeeping for outer types): deleting a customer must FLIP its
+    orders' rows back to null-padded, deleting orders must drop rows —
+    final MV equals the batch left join of the survivors."""
+    from risingwave_spark.streaming.join import RetractableStreamJoin
+
+    t = tables(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
+    c = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    jv = RetractableStreamJoin(
+        spark,
+        tempfile.mkdtemp(prefix="rw_joinl_"),
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        row_id_l="o_orderkey",
+        row_id_r="c_custkey",
+        how="left",
+    )
+    jv.apply(with_ops(o, 1), with_ops(c, 1))
+    jv.apply(with_ops(o.filter(F.col("o_orderkey") % 5 == 0), -1), None)
+    jv.apply(None, with_ops(c.filter(F.col("c_custkey") % 3 == 0), -1))
+    return (
+        jv.result()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("c_custkey").alias("n_matched"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "engine_sql_ddl_mv",
     oracle=f"""
 SELECT o_orderstatus, count(*) AS n,

@@ -1,0 +1,184 @@
+"""Retractable stream-stream join MV — the reference's general streaming
+HashJoin (`src/stream/src/executor/hash_join.rs:129`): both inputs are
+changelogs (inserts AND deletes on either side), the join result is kept
+incrementally correct.
+
+Design (Spark-first, NOT a row-at-a-time port): the reference probes the
+opposite side's state per input row and maintains per-row match-degree
+counters to decide when outer-join null-padded rows appear/disappear
+(`hash_join.rs` degree tables). Here both sides' current rows live in
+ChunkedState; a batch marks its distinct JOIN KEYS affected, the join is
+re-run declaratively for exactly those keys' state rows (Catalyst picks
+the physical join), and the result splices into the bucketed MV by key.
+Degree bookkeeping falls out for free: null-padded outer rows are
+whatever the per-key recompute emits. Deletes on either side are handled
+by construction — state reflects them before the recompute.
+
+Scale posture: per-batch work is O(state rows of touched keys) on both
+sides (semi-join pushdown to the state scan) + O(touched buckets) MV
+write. The reference's per-row delta is finer-grained for huge key
+groups; this trades that for whole-plan declarativity — at 1000
+executors every step here is a keyed shuffle Catalyst can plan. The
+splice key `__jk*` is coalesce(left key, right key), never null for
+matched/padded rows of inner/left/right/full joins, so the bucket splice
+(null-safe anyway) stays exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_spark.streaming.mv import (
+    ChunkedState,
+    OP_COL,
+    _BucketedMvTable,
+    buckets_from_chunks,
+    nullsafe_cond,
+)
+
+_HOW = {"inner", "left", "left_outer", "right", "right_outer", "full", "full_outer", "left_semi", "left_anti"}
+
+
+class RetractableStreamJoin:
+    """Two-sided retractable equi-join MV.
+
+    `left_on` / `right_on`: equi-key column names per side (column names
+    of the two sides must be disjoint — pre-alias like any Spark join).
+    `cond`: optional residual non-equi predicate (SQL text over the
+    joined columns, e.g. ``"r_ts >= l_ts"``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        left_on: list[str],
+        right_on: list[str],
+        row_id_l: str,
+        row_id_r: str,
+        how: str = "inner",
+        cond: str | None = None,
+    ):
+        if how not in _HOW:
+            raise ValueError(f"unsupported join type {how!r}")
+        self.spark = spark
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+        self.cond = cond
+        self.state_l = ChunkedState(spark, os.path.join(state_dir, "left"), row_id_l)
+        self.state_r = ChunkedState(spark, os.path.join(state_dir, "right"), row_id_r)
+        self.jk = [f"__jk{i}" for i in range(len(left_on))]
+        self.mv = _BucketedMvTable(spark, os.path.join(state_dir, "mv"), self.jk)
+
+    def _fold_side(self, state: ChunkedState, batch: DataFrame | None, keys: list[str]):
+        if batch is None:
+            return None
+        cols = [c for c in batch.columns if c != OP_COL]
+        state.fold(
+            batch.filter(F.col(OP_COL) > 0).select(*cols),
+            batch.filter(F.col(OP_COL) < 0).select(*cols),
+            tomb_extra_cols=keys,
+        )
+        return batch.select(*keys).distinct()
+
+    def apply(self, left: DataFrame | None = None, right: DataFrame | None = None) -> None:
+        """Fold one changelog chunk per side (either may be None; both
+        need an __op column) and re-join the affected keys."""
+        aff_l = self._fold_side(self.state_l, left, self.left_on)
+        aff_r = self._fold_side(self.state_r, right, self.right_on)
+
+        # affected join-key values from both sides, normalized to __jk*
+        parts = []
+        if aff_l is not None:
+            parts.append(aff_l.select(*[F.col(c).alias(j) for c, j in zip(self.left_on, self.jk)]))
+        if aff_r is not None:
+            parts.append(aff_r.select(*[F.col(c).alias(j) for c, j in zip(self.right_on, self.jk)]))
+        if not parts:
+            return
+        affected = parts[0]
+        for p in parts[1:]:
+            affected = affected.unionByName(p)
+        affected = affected.distinct()
+
+        touched = self._touched_buckets(aff_l is not None, aff_r is not None)
+        recomputed = self._join_affected(affected)
+
+        if self.mv.exists():
+            if touched is None:
+                touched = self.mv.touched_buckets(affected)
+            prev_t = self.mv.read_buckets(touched)
+            untouched_t = prev_t.join(
+                affected, nullsafe_cond(prev_t, affected, self.jk), "left_anti"
+            )
+            self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
+        else:
+            self.mv.write(recomputed)
+
+    def _touched_buckets(self, folded_l: bool, folded_r: bool) -> list[int] | None:
+        """Union of the folded sides' batch key-buckets, from local chunk
+        files (no Spark jobs; key VALUES bucket identically on either side)."""
+        out: set[int] = set()
+        for folded, state, keys in (
+            (folded_l, self.state_l, self.left_on),
+            (folded_r, self.state_r, self.right_on),
+        ):
+            if not folded:
+                continue
+            b = buckets_from_chunks(state, keys, self.mv.n_buckets)
+            if b is None:
+                return None
+            out.update(b)
+        return sorted(out)
+
+    def _join_affected(self, affected: DataFrame) -> DataFrame:
+        L = self.state_l.read()
+        L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
+        R = self.state_r.read()
+        R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
+        on = None
+        for lc, rc in zip(self.left_on, self.right_on):
+            c = L[lc] == R[rc]
+            on = c if on is None else (on & c)
+        if self.cond is not None:
+            # residual non-equi predicate belongs IN the join condition so
+            # outer joins null-pad rows whose match fails it (reference
+            # `cond: Option<NonStrictExpression>` at hash_join.rs)
+            on = on & F.expr(self.cond)
+        j = L.join(R, on, self.how)
+        if self.how in ("left_semi", "left_anti"):
+            jk_cols = [F.col(lc).alias(k) for lc, k in zip(self.left_on, self.jk)]
+            return j.select(*jk_cols, *j.columns)
+        jk_cols = [
+            F.coalesce(L[lc], R[rc]).alias(k)
+            for lc, rc, k in zip(self.left_on, self.right_on, self.jk)
+        ]
+        return j.select(*jk_cols, *[F.col(c) for c in j.columns])
+
+    def result(self) -> DataFrame:
+        """Current join MV (without the internal __jk splice columns)."""
+        out = self.mv.read()
+        return out.drop(*self.jk)
+
+
+def join_changelogs(
+    spark: SparkSession,
+    state_dir: str,
+    batches: list[tuple[DataFrame | None, DataFrame | None]],
+    left_on: list[str],
+    right_on: list[str],
+    row_id_l: str,
+    row_id_r: str,
+    how: str = "inner",
+    cond: str | None = None,
+) -> DataFrame:
+    """Drive a RetractableStreamJoin over (left chunk, right chunk) pairs."""
+    jv = RetractableStreamJoin(
+        spark, state_dir, left_on, right_on, row_id_l, row_id_r, how=how, cond=cond
+    )
+    for lb, rb in batches:
+        jv.apply(lb, rb)
+    return jv.result()

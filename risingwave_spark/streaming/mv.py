@@ -50,6 +50,66 @@ def with_ops(df: DataFrame, op: int = 1) -> DataFrame:
     return df.withColumn(OP_COL, F.lit(op))
 
 
+def nullsafe_cond(a: DataFrame, b: DataFrame, cols_a: list[str], cols_b: list[str] | None = None):
+    """Conjunction of null-safe equalities (SQL `<=>`): group/join keys can
+    legitimately be NULL (GROUP BY groups nulls together), and a plain `=`
+    in the splice joins would silently strand null-key rows."""
+    cols_b = cols_b or cols_a
+    cond = None
+    for ca, cb in zip(cols_a, cols_b):
+        c = a[ca].eqNullSafe(b[cb])
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def buckets_from_chunks(state: "ChunkedState", keys: list[str], n_buckets: int) -> list[int] | None:
+    """Touched buckets of the batch `state` last folded, computed
+    driver-side from the just-written local chunk files (pyarrow column
+    read + zlib.crc32 — no Spark job). Must agree row-for-row with
+    `_BucketedMvTable.bucket_expr` (crc32 over \\x1f-joined keys,
+    concat_ws null-skipping), so it only handles int/string keys;
+    anything else returns None → caller falls back to a Spark collect."""
+    import glob as _glob
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    seq = state._seq - 1
+    paths = _glob.glob(os.path.join(state.values_dir, f"b{seq}", "*.parquet")) + _glob.glob(
+        os.path.join(state.tombs_dir, f"b{seq}", "*.parquet")
+    )
+    frames = []
+    for f in paths:
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        names = set(pf.schema_arrow.names)
+        if any(k not in names for k in keys):
+            return None
+        frames.append(pf.read(columns=keys).to_pandas())
+    if not frames:
+        return []
+    df = pd.concat(frames, ignore_index=True)
+    encoded = []
+    for k in keys:
+        s = df[k]
+        if s.dtype.kind in "iu":
+            col = s.map(lambda v: str(int(v)).encode())
+        elif s.dtype == object:
+            if not all(isinstance(v, str) or v is None for v in s[:100]):
+                return None
+            col = s.map(lambda v: None if v is None else v.encode())
+        else:
+            return None  # float/timestamp/bool formatting may diverge
+        encoded.append(col)
+    buckets = set()
+    for parts in zip(*encoded):
+        joined = b"\x1f".join(p for p in parts if p is not None)
+        buckets.add(zlib.crc32(joined) % n_buckets)
+    return sorted(buckets)
+
+
 class _VersionedTable:
     """Parquet-backed state table with atomic version swap.
 
@@ -497,53 +557,11 @@ class _RetractableView:
         raise NotImplementedError
 
     def _touched_buckets_fast(self) -> list[int] | None:
-        """Derive the batch's touched buckets driver-side from the chunk
-        files `fold` just wrote (local parquet footer + column read via
-        pyarrow — no Spark job). Must agree row-for-row with
-        `_BucketedMvTable.bucket_expr` (crc32 over \\x1f-joined keys,
-        concat_ws null-skipping), so it only runs for identity keys of
-        int/string type; anything else returns None → Spark fallback."""
-        import glob as _glob
-        import zlib
-
-        import pandas as pd
-        import pyarrow.parquet as pq
-
+        """Touched buckets from the just-folded chunk files — zero Spark
+        jobs; identity keys only (derived keys need the annotate expr)."""
         if self.key_of is not None:
             return None
-        seq = self.state._seq - 1
-        paths = _glob.glob(
-            os.path.join(self.state.values_dir, f"b{seq}", "*.parquet")
-        ) + _glob.glob(os.path.join(self.state.tombs_dir, f"b{seq}", "*.parquet"))
-        frames = []
-        for f in paths:
-            pf = pq.ParquetFile(f)
-            if pf.metadata.num_rows == 0:
-                continue
-            names = set(pf.schema_arrow.names)
-            if any(k not in names for k in self.keys):
-                return None
-            frames.append(pf.read(columns=self.keys).to_pandas())
-        if not frames:
-            return []
-        df = pd.concat(frames, ignore_index=True)
-        encoded = []
-        for k in self.keys:
-            s = df[k]
-            if s.dtype.kind in "iu":
-                col = s.map(lambda v: str(int(v)).encode())
-            elif s.dtype == object:
-                if not all(isinstance(v, str) or v is None for v in s[:100]):
-                    return None
-                col = s.map(lambda v: None if v is None else v.encode())
-            else:
-                return None  # float/timestamp/bool formatting may diverge
-            encoded.append(col)
-        buckets = set()
-        for parts in zip(*encoded):
-            joined = b"\x1f".join(p for p in parts if p is not None)
-            buckets.add(zlib.crc32(joined) % self.mv.n_buckets)
-        return sorted(buckets)
+        return buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         """Fold one changelog chunk (needs an __op column) into the MV.
@@ -568,8 +586,9 @@ class _RetractableView:
 
         annotate = self.key_of or (lambda d: d)
         affected = annotate(batch).select(*self.keys).distinct()
+        st = annotate(self.state.read())
         recomputed = self._recompute(
-            annotate(self.state.read()).join(affected, on=self.keys, how="left_semi")
+            st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
         )
         out_changelog = None
         if self.mv.exists():
@@ -582,11 +601,15 @@ class _RetractableView:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
             if self.downstream:
-                old_affected = prev_t.join(affected, on=self.keys, how="left_semi")
+                old_affected = prev_t.join(
+                    affected, nullsafe_cond(prev_t, affected, self.keys), "left_semi"
+                )
                 out_changelog = with_ops(old_affected, -1).unionByName(
                     with_ops(recomputed, 1)
                 )
-            untouched_t = prev_t.join(affected, on=self.keys, how="left_anti")
+            untouched_t = prev_t.join(
+                affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
+            )
             self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
         else:
             if self.downstream:

@@ -462,3 +462,58 @@ def test_bucket_hash_agrees_spark_vs_python(spark):
             parts.append(r.k2.encode())
         expect = zlib.crc32(b"\x1f".join(parts)) % 16
         assert r.b == expect, f"key=({r.k1},{r.k2}): spark={r.b} python={expect}"
+
+
+def test_retractable_join_types_and_cond(spark, tmp_path):
+    """Full-outer / semi / anti + residual non-equi condition, with
+    deletes on both sides, vs the equivalent batch join each step."""
+    from risingwave_spark.streaming.join import RetractableStreamJoin
+    from risingwave_spark.streaming.mv import with_ops
+
+    L = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 1.0), (3, 20, 2.0), (4, 30, 9.0), (5, None, 1.0)],
+        "lid int, lk int, lv double",
+    )
+    R = spark.createDataFrame(
+        [(101, 10, 2.0), (102, 20, 8.0), (103, 40, 3.0), (104, None, 4.0)],
+        "rid int, rk int, rv double",
+    )
+
+    def batch_equiv(l_df, r_df, how, cond):
+        on = l_df["lk"] == r_df["rk"]
+        if cond:
+            on = on & F.expr(cond)
+        return l_df.join(r_df, on, how)
+
+    for how, cond in [
+        ("full", None),
+        ("inner", "lv <= rv"),
+        ("left_semi", None),
+        ("left_anti", None),
+    ]:
+        jv = RetractableStreamJoin(
+            spark,
+            str(tmp_path / f"j_{how}_{bool(cond)}"),
+            ["lk"],
+            ["rk"],
+            "lid",
+            "rid",
+            how=how,
+            cond=cond,
+        )
+        jv.apply(with_ops(L.filter(F.col("lid") <= 3), 1), with_ops(R, 1))
+        jv.apply(with_ops(L.filter(F.col("lid") > 3), 1), None)
+        # delete: one left row and one right row
+        jv.apply(
+            with_ops(L.filter(F.col("lid") == 2), -1),
+            with_ops(R.filter(F.col("rid") == 102), -1),
+        )
+        surv_l = L.filter(F.col("lid") != 2)
+        surv_r = R.filter(F.col("rid") != 102)
+        proj = ["lid", "lv"] if how in ("left_semi", "left_anti") else ["lid", "rid"]
+        got = sorted(repr(tuple(r)) for r in jv.result().select(*proj).collect())
+        want = sorted(
+            repr(tuple(r))
+            for r in batch_equiv(surv_l, surv_r, how, cond).select(*proj).collect()
+        )
+        assert got == want, f"{how} cond={cond}: {got} != {want}"
