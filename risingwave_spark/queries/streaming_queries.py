@@ -601,6 +601,62 @@ def stream_join_retract_outer(spark, sf_dir):
 
 
 @register(
+    "stream_asof_join",
+    oracle=f"""
+SELECT p.event_id, p.user_id, p.ts, c.click_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts,
+                  max(event_id) AS click_id
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)
+           HAVING max(event_id) % 2 = 1) c
+  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+ORDER BY p.event_id
+""",
+)
+def stream_asof_join(spark, sf_dir):
+    """Streaming as-of join (reference `asof_join.rs:110`): ALL purchases
+    arrive before any click (maximal out-of-order — every match forms
+    late), clicks then arrive in two shuffled chunks, and a final chunk
+    DELETES every even click — purchases must re-resolve to the latest
+    surviving click at-or-before them. Final MV equals DuckDB's batch
+    ASOF JOIN over the survivors."""
+    from risingwave_spark.streaming.join import RetractableAsOfJoin
+
+    ev = tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    jv = RetractableAsOfJoin(
+        spark,
+        tempfile.mkdtemp(prefix="rw_asof_"),
+        key_l="user_id",
+        key_r="c_user",
+        ts_l="ts",
+        ts_r="c_ts",
+        payload_cols=["click_id"],
+        row_id_l="event_id",
+        row_id_r="click_id",
+        how="inner",
+    )
+    # right side starts EMPTY (its first chunk establishes the schema);
+    # every purchase therefore arrives before any click it will match
+    jv.apply(with_ops(purchases, 1), with_ops(clicks.limit(0), 1))
+    jv.apply(None, with_ops(clicks.filter(F.col("click_id") % 3 == 0), 1))
+    jv.apply(None, with_ops(clicks.filter(F.col("click_id") % 3 != 0), 1))
+    jv.apply(None, with_ops(clicks.filter(F.col("click_id") % 2 == 0), -1))
+    return jv.result().select("event_id", "user_id", "ts", "click_id").orderBy(
+        "event_id"
+    )
+
+
+@register(
     "engine_sql_ddl_mv",
     oracle=f"""
 SELECT o_orderstatus, count(*) AS n,

@@ -164,6 +164,59 @@ class RetractableStreamJoin:
         return out.drop(*self.jk)
 
 
+class RetractableAsOfJoin(RetractableStreamJoin):
+    """Streaming as-of join (reference `asof_join.rs:110`): each left row
+    matches the latest right row with right_ts <= left_ts per key, kept
+    correct as EITHER side receives out-of-order inserts or deletes.
+
+    The reference maintains a per-key ordered right-state and patches
+    matches row-by-row; here the affected keys' state simply re-runs the
+    batch as-of operator (union + last(ignorenulls) over one keyed
+    window, `operators/asof.py`) — a late-arriving right row or a right
+    delete re-resolves every left row of that key in one declarative
+    pass, O(state of touched keys) per batch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_l: str,
+        key_r: str,
+        ts_l: str,
+        ts_r: str,
+        payload_cols: list[str],
+        row_id_l: str,
+        row_id_r: str,
+        how: str = "inner",
+    ):
+        super().__init__(
+            spark, state_dir, [key_l], [key_r], row_id_l, row_id_r, how="inner"
+        )
+        self.ts_l = ts_l
+        self.ts_r = ts_r
+        self.payload_cols = payload_cols
+        self.asof_how = how
+
+    def _join_affected(self, affected: DataFrame) -> DataFrame:
+        from risingwave_spark.operators.asof import asof_join_backward
+
+        L = self.state_l.read()
+        L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
+        R = self.state_r.read()
+        R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
+        out = asof_join_backward(
+            L,
+            R,
+            key=self.left_on[0],
+            right_key=self.right_on[0],
+            left_ts=self.ts_l,
+            right_ts=self.ts_r,
+            payload_cols=self.payload_cols,
+            how=self.asof_how,
+        )
+        return out.select(F.col(self.left_on[0]).alias(self.jk[0]), *out.columns)
+
+
 def join_changelogs(
     spark: SparkSession,
     state_dir: str,

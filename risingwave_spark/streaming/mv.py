@@ -453,6 +453,14 @@ class ChunkedState:
             "overwrite"
         ).parquet(os.path.join(self.values_dir, f"b{self._seq}"))
         self._has_values = True
+        schema_file = os.path.join(self.base, "SCHEMA")
+        if not os.path.exists(schema_file):
+            import json as _json
+
+            tmp = schema_file + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(inserts.schema.jsonValue(), f)
+            os.replace(tmp, schema_file)
         # write tombstones unconditionally, then decide emptiness from the
         # written footers (driver-side, free) — an isEmpty() probe here
         # would cost an extra Spark job per batch for the same information
@@ -481,6 +489,22 @@ class ChunkedState:
         return True
 
     def read(self) -> DataFrame:
+        if not self._has_values:
+            # never folded (e.g. one side of a join before its first
+            # chunk): empty frame with the recorded schema if any
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            try:
+                with open(os.path.join(self.base, "SCHEMA")) as f:
+                    schema = StructType.fromJson(_json.load(f))
+            except FileNotFoundError:
+                raise ValueError(
+                    f"state at {self.base} has never been folded and has no "
+                    "recorded schema"
+                ) from None
+            return self.spark.createDataFrame([], schema)
         v = self._read_dir(self.values_dir)
         if self._has_tombs:
             t = self._read_dir(self.tombs_dir)
