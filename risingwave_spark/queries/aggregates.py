@@ -288,18 +288,32 @@ def agg_mode_manual(spark, sf_dir):
     )
 
 
-@register("agg_approx_count_distinct")  # no oracle: approximate result
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag, true AS within_2pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """approx_count_distinct (HLL) — reference has a registers-based
     implementation (`approx_count_distinct/mod.rs:36-44`); Spark's
-    HyperLogLog++ gives a different estimate → rows-only check."""
+    HyperLogLog++ estimate differs from any other engine's, so the
+    oracle-checkable claim is the SKETCH CONTRACT itself: per group,
+    |estimate − exact| / exact ≤ 2% (rsd is set to 1%, so 2% is ≥2σ)."""
     t = tables(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
-        .orderBy("l_returnflag")
+    got = t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return got.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.02
+        ).alias("within_2pct"),
+    ).orderBy("l_returnflag")
 
 
 @register(

@@ -657,6 +657,49 @@ def stream_asof_join(spark, sf_dir):
 
 
 @register(
+    "stream_approx_distinct_retract",
+    oracle=f"""
+SELECT event_type, true AS within_2pct
+FROM {EVENTS_US} e WHERE event_id % 3 <> 0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_approx_distinct_retract(spark, sf_dir):
+    """Sketch-based RETRACTABLE approx_count_distinct (reference
+    updatable register bank, `approx_count_distinct/mod.rs:36-44`):
+    events arrive in two insert chunks, a third chunk DELETES every 3rd
+    event, and the per-type estimate must land within 2% of the exact
+    distinct user count over the SURVIVORS — state is O(registers) per
+    group, not O(distinct values)."""
+    from risingwave_spark.streaming.approx_distinct import ApproxDistinctRetractable
+
+    ev = tables(spark, sf_dir)["events"]
+    acd = ApproxDistinctRetractable(
+        spark, tempfile.mkdtemp(prefix="rw_acd_"), ["event_type"], "user_id"
+    )
+    for i in range(2):
+        acd.apply_batch(with_ops(ev.filter(F.col("event_id") % 2 == i), 1))
+    acd.apply_batch(with_ops(ev.filter(F.col("event_id") % 3 == 0), -1))
+    exact = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_cnt"))
+    )
+    return (
+        acd.result()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_cnt") - F.col("exact_cnt")) / F.col("exact_cnt")
+                <= 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "engine_sql_ddl_mv",
     oracle=f"""
 SELECT o_orderstatus, count(*) AS n,

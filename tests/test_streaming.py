@@ -517,3 +517,33 @@ def test_retractable_join_types_and_cond(spark, tmp_path):
             for r in batch_equiv(surv_l, surv_r, how, cond).select(*proj).collect()
         )
         assert got == want, f"{how} cond={cond}: {got} != {want}"
+
+
+def test_approx_distinct_registers_state_bound(spark, tmp_path):
+    """Retractable ACD: deletes decrement rank counters (estimate recovers
+    the pre-insert value), and state is O(registers) per group — far below
+    the number of distinct values for large groups."""
+    from risingwave_spark.streaming.approx_distinct import ApproxDistinctRetractable
+    from risingwave_spark.streaming.mv import with_ops
+
+    m = 1024
+    acd = ApproxDistinctRetractable(spark, str(tmp_path / "acd"), ["g"], "v", m=m)
+    a = spark.range(0, 30000).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    b = spark.range(30000, 60000).select(F.lit("x").alias("g"), F.col("id").alias("v"))
+    acd.apply_batch(with_ops(a, 1))
+    est_a = acd.result().first().approx_cnt
+    acd.apply_batch(with_ops(b, 1))
+    est_ab = acd.result().first().approx_cnt
+    acd.apply_batch(with_ops(b, -1))  # retract ALL of b
+    est_after = acd.result().first().approx_cnt
+    # counting registers make retraction exact: state returns to the
+    # post-a sketch, so the estimate is IDENTICAL, not merely close
+    assert est_after == est_a, (est_a, est_ab, est_after)
+    assert abs(est_ab - 60000) / 60000 < 0.10
+    assert abs(est_a - 30000) / 30000 < 0.10
+    # O(registers): state rows are (register, live rank) pairs — hard
+    # bound m × rank-levels, independent of distinct count; with 60k
+    # distinct inserted it must sit far below exact-distinct state
+    n_state = acd.state_rows()
+    assert n_state < m * 50
+    assert n_state < 60000 / 4, n_state
