@@ -602,3 +602,52 @@ def sys_catalog_scan(spark, sf_dir):
         spark.createDataFrame([(n,) for n in sorted(listed)], "table_name string")
         .orderBy("table_name")
     )
+
+
+@register(
+    "fn_json_path",
+    oracle=f"""
+WITH j AS (
+  SELECT event_id,
+         '{{"u":' || user_id || ',"p":' || props ||
+         ',"arr":[' || (user_id % 5) || ',' || (user_id % 3) || ']}}' AS doc
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       CAST(json_extract(doc, '$.p.k') AS VARCHAR) AS pk,
+       json_extract(doc, '$.arr[1]') IS NOT NULL AS has_second,
+       CAST(json_extract(doc, '$.arr') AS VARCHAR) AS arr_all,
+       CAST(json_extract(doc, '$.u') AS BIGINT) > 500 AS big_user,
+       CAST(json_extract(doc, '$.missing') AS VARCHAR) AS missing
+FROM j ORDER BY event_id
+""",
+)
+def fn_json_path(spark, sf_dir):
+    """SQL/JSON path functions (reference jsonb_path_exists /
+    query_first / query_array / match, `scalar/jsonb_path.rs`): a nested
+    document is built from table columns identically in both engines,
+    then member / subscript / wildcard paths and a match predicate are
+    evaluated (functions/jsonpath.py over get_json_object)."""
+    from risingwave_spark.functions.jsonpath import (
+        jsonb_path_exists,
+        jsonb_path_match,
+        jsonb_path_query_array,
+        jsonb_path_query_first,
+    )
+
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") < 2000)
+    doc = F.concat(
+        F.lit('{"u":'), F.col("user_id"),
+        F.lit(',"p":'), F.col("props"),
+        F.lit(',"arr":['), F.col("user_id") % 5, F.lit(","), F.col("user_id") % 3,
+        F.lit("]}"),
+    )
+    d = ev.select("event_id", doc.alias("doc"))
+    return d.select(
+        "event_id",
+        jsonb_path_query_first("doc", "$.p.k").alias("pk"),
+        jsonb_path_exists("doc", "$.arr[1]").alias("has_second"),
+        jsonb_path_query_array("doc", "$.arr[*]").alias("arr_all"),
+        jsonb_path_match("doc", "$.u > 500").alias("big_user"),
+        jsonb_path_query_first("doc", "$.missing").alias("missing"),
+    ).orderBy("event_id")

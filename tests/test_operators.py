@@ -97,3 +97,20 @@ def test_connector_builders_construct(spark):
     sink = S.jdbc_upsert_sink("jdbc:postgresql://h/db", "t", ["id"])
     with _pytest.raises(NotImplementedError):
         sink(rate, 0)
+
+
+def test_jsonb_path_guards():
+    """Unsupported JSONPath features must raise, not silently misread."""
+    import pytest
+
+    from risingwave_spark.functions.jsonpath import (
+        jsonb_path_exists,
+        jsonb_path_match,
+    )
+
+    with pytest.raises(ValueError, match="unsupported"):
+        jsonb_path_exists("j", "$.a[*] ? (@ > 2)")
+    with pytest.raises(ValueError, match="unsupported"):
+        jsonb_path_exists("j", "$.a.size()")
+    with pytest.raises(ValueError, match="cannot parse"):
+        jsonb_path_match("j", "not a predicate")
