@@ -39,18 +39,21 @@ def _col(j) -> Column:
 
 def jsonb_path_query_first(j, path: str) -> Column:
     """First match of the path, as text (NULL when no match)."""
-    return F.get_json_object(_col(j), _check(path))
+    path = _check(path)  # validate before any column construction
+    return F.get_json_object(_col(j), path)
 
 
 def jsonb_path_exists(j, path: str) -> Column:
     """Does the path yield any item?"""
-    return F.get_json_object(_col(j), _check(path)).isNotNull()
+    path = _check(path)
+    return F.get_json_object(_col(j), path).isNotNull()
 
 
 def jsonb_path_query_array(j, path: str) -> Column:
     """All matches as a JSON array string. A wildcard path already yields
     an array from the engine; a single-item path is wrapped in [...]."""
-    raw = F.get_json_object(_col(j), _check(path))
+    path = _check(path)
+    raw = F.get_json_object(_col(j), path)
     if "[*]" in path:
         return raw
     return F.when(raw.isNotNull(), F.concat(F.lit("["), raw, F.lit("]")))
@@ -68,7 +71,8 @@ def jsonb_path_match(j, predicate: str) -> Column:
     m = _MATCH.match(predicate)
     if not m:
         raise ValueError(f"jsonb_path_match: cannot parse predicate {predicate!r}")
-    val = F.get_json_object(_col(j), _check(m.group("path")))
+    path = _check(m.group("path"))
+    val = F.get_json_object(_col(j), path)
     lit = m.group("lit")
     if re.fullmatch(r"-?\d+(\.\d+)?", lit):
         val = val.cast("double")
