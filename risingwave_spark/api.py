@@ -153,6 +153,19 @@ class Engine:
         for h in self.mv_handles.values():
             h._register()
 
+    def create_subscription(self, name: str, mv_name: str, from_beginning: bool = False):
+        """CREATE SUBSCRIPTION ... FROM mv (reference
+        `create_subscription.rs`): turns on the MV's changelog log and
+        returns a durable named cursor over it. `Subscription.fetch()` →
+        (pending diff chunks, ack token); `ack(token)` commits — the
+        cursor survives restarts (re-calling this with the same name
+        resumes, it does not rewind)."""
+        from risingwave_spark.streaming.subscription import Subscription
+
+        h = self.mv_handles[mv_name]
+        h.view.emit_changelog = True
+        return Subscription(self.spark, h.view.changelog_dir, name, from_beginning)
+
     # ---- queries ---------------------------------------------------
     def sql(self, text: str) -> DataFrame:
         """The reference's front door, as SQL text (handler dispatch

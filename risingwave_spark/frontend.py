@@ -109,6 +109,11 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
 )
 _SHOW = re.compile(r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS)\s*$", re.I)
+_CREATE_SUB = re.compile(
+    r"^\s*CREATE\s+SUBSCRIPTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FROM\s+(\w+)"
+    r"(?:\s+WITH\s*\(.*\))?\s*$",
+    re.I | re.S,
+)
 _SELECT_SHAPE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>\w+)"
     r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE|GROUP|HAVING|ORDER|LIMIT)\w+))?"
@@ -467,6 +472,12 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         m = rx.match(stmt)
         if m:
             return handler(engine, m)
+    m = _CREATE_SUB.match(stmt)
+    if m:
+        name, mv_name = m.group(1), m.group(2)
+        engine.subscriptions = getattr(engine, "subscriptions", {})
+        engine.subscriptions[name] = engine.create_subscription(name, mv_name)
+        return _status(engine.spark, "CREATE_SUBSCRIPTION")
     m = _SHOW.match(stmt)
     if m:
         kind = m.group(1).upper()

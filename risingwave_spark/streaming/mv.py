@@ -571,6 +571,14 @@ class _RetractableView:
         # rows — the Update pair) is itself a changelog, forwarded to
         # subscribed downstream views.
         self.downstream: list["_RetractableView"] = []
+        # subscription changelog log (reference CREATE SUBSCRIPTION,
+        # `create_subscription.rs`): when enabled, every batch's diff
+        # (−1 old affected rows / +1 recomputed — the Update pair) is
+        # persisted as a chunk that durable named cursors consume
+        # (streaming/subscription.py). Off by default: one extra write
+        # per batch is only paid when someone subscribes.
+        self.changelog_dir = os.path.join(state_dir, "changelog")
+        self.emit_changelog = False
         # group keys DERIVED from input columns (e.g. GROUP BY k % 2):
         # key_of(rows) ANNOTATES rows with this view's key columns (the
         # reference's dispatch-key derivation). Default: identity — the
@@ -615,6 +623,7 @@ class _RetractableView:
             st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
         )
         out_changelog = None
+        want_changelog = bool(self.downstream) or self.emit_changelog
         if self.mv.exists():
             # O(touched buckets), not O(MV): only the affected keys'
             # hash-buckets are read back, spliced, and rewritten. The
@@ -624,24 +633,35 @@ class _RetractableView:
             if touched is None:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
-            if self.downstream:
+            if want_changelog:
                 old_affected = prev_t.join(
                     affected, nullsafe_cond(prev_t, affected, self.keys), "left_semi"
                 )
                 out_changelog = with_ops(old_affected, -1).unionByName(
                     with_ops(recomputed, 1)
                 )
+            if self.emit_changelog:
+                # persist BEFORE the MV flip: on a crash in between, the
+                # redelivered batch overwrites the same chunk (idempotent)
+                self._log_changelog(out_changelog)
             untouched_t = prev_t.join(
                 affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
             )
             self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
         else:
-            if self.downstream:
+            if want_changelog:
                 out_changelog = with_ops(recomputed, 1)
+            if self.emit_changelog:
+                self._log_changelog(out_changelog)
             self.mv.write(recomputed)
         if out_changelog is not None:
             for d in self.downstream:
                 d.apply_batch(out_changelog)
+
+    def _log_changelog(self, chunk: DataFrame) -> None:
+        chunk.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(self.changelog_dir, f"c{self.state._seq - 1}")
+        )
 
     def result(self) -> DataFrame:
         return self.mv.read()

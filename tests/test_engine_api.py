@@ -137,3 +137,72 @@ def test_engine_update(spark):
         assert _rows(eng.sql("SELECT * FROM u_by_k")) == _rows(q(moved))
         assert eng.sql("SELECT count(*) AS n FROM u WHERE k = 1").first().n == 0
         assert eng.sql("SELECT count(*) AS n FROM u WHERE k = 9").first().n == 25
+
+
+def test_subscription_cursor_exactly_once_across_restart(spark, tmp_path):
+    """Subscription cursor (reference create_subscription.rs): two DML
+    rounds' diffs arrive once each; an unacked fetch REDELIVERS after a
+    simulated restart; an acked fetch never redelivers."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.streaming.subscription import Subscription
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE st (k int4 PRIMARY KEY, grp text, v int4)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW smv AS "
+        "SELECT grp, count(*) AS n, sum(v) AS total FROM st GROUP BY grp"
+    )
+    sub = eng.create_subscription("c1", "smv")
+
+    eng.sql("INSERT INTO st VALUES (1,'a',10),(2,'a',20),(3,'b',5)")   # round 1
+    eng.sql("DELETE FROM st WHERE k = 2")                               # round 2
+
+    got = sub.fetch()
+    assert got is not None
+    df, token = got
+    rows = {(r.grp, r["__op"], r.n, r.total) for r in df.collect()}
+    # round 1: +1 (a,2,30) and +1 (b,1,5); round 2: -1 (a,2,30), +1 (a,1,10)
+    assert ("a", 1, 2, 30) in rows and ("b", 1, 1, 5) in rows
+    assert ("a", -1, 2, 30) in rows and ("a", 1, 1, 10) in rows
+    n_chunks = df.select("__chunk").distinct().count()
+    assert n_chunks == 2
+
+    # crash before ack → a NEW cursor object (restart) redelivers the same
+    sub2 = Subscription(spark, eng.mv_handles["smv"].view.changelog_dir, "c1")
+    df2, token2 = sub2.fetch()
+    assert token2 == token and df2.count() == df.count()
+    sub2.ack(token2)
+
+    # caught up: nothing pending, even after another restart
+    assert sub2.fetch() is None
+    sub3 = Subscription(spark, eng.mv_handles["smv"].view.changelog_dir, "c1")
+    assert sub3.fetch() is None
+
+    # round 3 arrives exactly once
+    eng.sql("INSERT INTO st VALUES (4,'b',7)")
+    df3, token3 = sub3.fetch()
+    rows3 = {(r.grp, r["__op"], r.n, r.total) for r in df3.collect()}
+    assert rows3 == {("b", -1, 1, 5), ("b", 1, 2, 12)}
+    sub3.ack(token3)
+    assert sub3.fetch() is None
+
+
+def test_subscription_via_sql(spark, tmp_path):
+    """CREATE SUBSCRIPTION as SQL text."""
+    from risingwave_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.sql(
+        """
+        CREATE TABLE t2 (k int4 PRIMARY KEY, v int4);
+        CREATE MATERIALIZED VIEW m2 AS SELECT k, v FROM t2;
+        CREATE SUBSCRIPTION s2 FROM m2
+        """
+    )
+    eng.sql("INSERT INTO t2 VALUES (1, 5)")
+    df, token = eng.subscriptions["s2"].fetch()
+    assert [(r.k, r.v, r["__op"]) for r in df.collect()] == [(1, 5, 1)]
