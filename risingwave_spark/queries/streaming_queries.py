@@ -328,36 +328,32 @@ ORDER BY user_id, rn
 """,
 )
 def stream_over_window(spark, sf_dir):
-    """Retractable over-window MV (reference OverWindow general executor,
-    `over_window/general.rs:48`): events arrive in 4 insert chunks, then a
-    chunk DELETES every 7th event; row_number/lag must be recomputed for
-    the affected partitions so the final MV equals the batch window over
-    the surviving rows."""
-    from risingwave_spark.streaming.mv import MaterializedOverWindow
+    """Retractable over-window MV with FRAME-DELTA recompute (reference
+    OverWindow general executor + frame_finder, `over_window/
+    general.rs:48`): events arrive in 4 insert chunks, then a chunk
+    DELETES every 7th event; only rows at/after each partition's earliest
+    touched order position recompute (seeded from the MV's stored prefix)
+    and the final MV equals the batch window over the survivors."""
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
 
     ev = tables(spark, sf_dir)["events"]
-
-    def project(rows, w):
-        return rows.select(
-            "user_id",
-            "event_id",
-            "value",
-            F.row_number().over(w).alias("rn"),
-            F.lag("value").over(w).alias("prev_value"),
-        )
-
-    mvw = MaterializedOverWindow(
+    mvw = MaterializedOverWindowDelta(
         spark,
         tempfile.mkdtemp(prefix="rw_ow_"),
         ["user_id"],
         ["ts", "event_id"],
         "event_id",
-        project,
+        funcs={"rn": ("row_number",), "prev_value": ("lag", "value")},
+        payload_cols=["value"],
     )
     for i in range(4):
         mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 4 == i), 1))
     mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
-    return mvw.result().orderBy("user_id", "rn")
+    return (
+        mvw.result()
+        .select("user_id", "event_id", "value", "rn", "prev_value")
+        .orderBy("user_id", "rn")
+    )
 
 
 @register(

@@ -1,0 +1,220 @@
+"""Frame-delta over-window MV — the reference's OverWindow general
+executor with delta-based affected-range recompute
+(`src/stream/src/executor/over_window/general.rs:48` +
+`over_window/frame_finder.rs`): a change at order-position p in a
+partition only dirties the rows whose frames can SEE p. For
+backward-looking functions (row_number, lag, running aggregates —
+frames ending at CURRENT ROW), that is exactly the rows at positions
+>= p, and their new values are computable from the suffix alone plus a
+per-partition SEED carried out of the untouched prefix (the MV already
+stores the prefix's outputs — no state scan needed).
+
+Per-batch cost: O(suffix rows of touched partitions), not O(partition).
+A batch appending recent-timestamp rows — the realistic streaming shape
+— recomputes only the new tail of each partition, even when every
+partition is touched.
+
+Functions are declared, not arbitrary (the reference's frame_finder is
+equally per-function-kind):
+
+    funcs={"rn": ("row_number",),
+           "prev": ("lag", "value"),
+           "cum": ("sum", "value")}
+
+Forward-looking functions (lead, following frames) would need the
+affected range extended BACKWARD by the frame reach; not supported here
+— constructing one raises.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from risingwave_spark.streaming.mv import (
+    ChunkedState,
+    OP_COL,
+    _BucketedMvTable,
+    buckets_from_chunks,
+    nullsafe_cond,
+)
+
+_KINDS = {"row_number", "lag", "sum"}
+
+
+def _lex_lt(left: DataFrame, right: DataFrame, cols: list[str], rcols: list[str]):
+    """left.(cols) < right.(rcols), lexicographically."""
+    cond = None
+    for i in range(len(cols)):
+        eq_prefix = None
+        for j in range(i):
+            e = left[cols[j]] == right[rcols[j]]
+            eq_prefix = e if eq_prefix is None else (eq_prefix & e)
+        lt = left[cols[i]] < right[rcols[i]]
+        term = lt if eq_prefix is None else (eq_prefix & lt)
+        cond = term if cond is None else (cond | term)
+    return cond
+
+
+class MaterializedOverWindowDelta:
+    """Incrementally-maintained window-function MV with retraction and
+    FRAME-DELTA recompute. Output = payload columns + one column per
+    declared function."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        order_cols: list[str],
+        row_id: str,
+        funcs: dict[str, tuple],
+        payload_cols: list[str],
+    ):
+        for name, spec in funcs.items():
+            if spec[0] not in _KINDS:
+                raise ValueError(
+                    f"unsupported window function {spec[0]!r} for frame-delta "
+                    "maintenance (backward-looking only: row_number/lag/sum)"
+                )
+        self.spark = spark
+        self.keys = keys
+        self.order_cols = order_cols
+        self.funcs = funcs
+        self.payload_cols = payload_cols
+        self.state = ChunkedState(spark, os.path.join(state_dir, "state"), row_id)
+        self.mv = _BucketedMvTable(spark, os.path.join(state_dir, "mv"), keys)
+        #: set track_recompute=True to record how many rows entered each
+        #: window recompute (the frame-delta efficiency claim, asserted in
+        #: tests; costs one count job per batch, so off by default)
+        self.track_recompute = False
+        self.last_recompute_rows: int | None = None
+
+    # ------------------------------------------------------------ internals
+    def _window_outputs(self, rows: DataFrame, seeds: DataFrame | None) -> DataFrame:
+        """Window functions over `rows` (a per-partition ORDER SUFFIX),
+        seeded with the prefix's carried-out state when present."""
+        w = W.partitionBy(*self.keys).orderBy(*[F.asc(c) for c in self.order_cols])
+        if seeds is not None:
+            rows = rows.join(seeds, on=self.keys, how="left")
+        local_rn = F.row_number().over(w)
+        out_cols = [*self.keys, *self.order_cols]
+        out_cols = list(dict.fromkeys(out_cols + self.payload_cols))
+        proj = [F.col(c) for c in out_cols]
+        for name, spec in self.funcs.items():
+            kind = spec[0]
+            if kind == "row_number":
+                seed = F.coalesce(F.col(f"__seed_{name}"), F.lit(0)) if seeds is not None else F.lit(0)
+                proj.append((local_rn + seed).alias(name))
+            elif kind == "lag":
+                src = F.col(spec[1])
+                lag_local = F.lag(src).over(w)
+                if seeds is not None:
+                    # only the FIRST suffix row takes the seed — a null
+                    # from lag() further in may be a genuine null value
+                    proj.append(
+                        F.when(local_rn == 1, F.col(f"__seed_{name}"))
+                        .otherwise(lag_local)
+                        .alias(name)
+                    )
+                else:
+                    proj.append(lag_local.alias(name))
+            elif kind == "sum":
+                src = F.col(spec[1])
+                run = F.sum(src).over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                seed = F.coalesce(F.col(f"__seed_{name}"), F.lit(0)) if seeds is not None else F.lit(0)
+                proj.append((run + seed).alias(name))
+        return rows.select(*proj)
+
+    def _seeds(self, prefix: DataFrame) -> DataFrame:
+        """Per-partition carried-out state = the prefix's LAST row's
+        outputs (rn → offset, lag source → next row's lag, sum → base)."""
+        wlast = W.partitionBy(*self.keys).orderBy(
+            *[F.desc(c) for c in self.order_cols]
+        )
+        last = (
+            prefix.withColumn("__last_rn", F.row_number().over(wlast))
+            .filter(F.col("__last_rn") == 1)
+        )
+        sel = [F.col(k) for k in self.keys]
+        for name, spec in self.funcs.items():
+            kind = spec[0]
+            if kind == "row_number":
+                sel.append(F.col(name).alias(f"__seed_{name}"))
+            elif kind == "lag":
+                sel.append(F.col(spec[1]).alias(f"__seed_{name}"))
+            elif kind == "sum":
+                sel.append(F.col(name).alias(f"__seed_{name}"))
+        return last.select(*sel)
+
+    # ------------------------------------------------------------ main loop
+    def apply_batch(self, batch: DataFrame) -> None:
+        cols = [c for c in batch.columns if c != OP_COL]
+        inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
+        deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+        self.state.fold(inserts, deletes, tomb_extra_cols=self.keys)
+
+        # per-partition frame boundary: the EARLIEST order position the
+        # batch touches (insert or delete) — frames at positions before it
+        # cannot see the change (frame_finder's affected-range start)
+        bcols = [f"__b{i}" for i in range(len(self.order_cols))]
+        boundaries = batch.groupBy(*self.keys).agg(
+            F.min(F.struct(*self.order_cols)).alias("__b")
+        )
+        boundaries = boundaries.select(
+            *self.keys,
+            *[F.col(f"__b.{c}").alias(b) for c, b in zip(self.order_cols, bcols)],
+        )
+        # independent lineage from `boundaries` (joining a frame with its
+        # own derivation trips Spark's ambiguous-column detection)
+        affected = batch.select(*self.keys).distinct()
+
+        st = self.state.read()
+        st_aff = st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
+
+        if not self.mv.exists():
+            out = self._window_outputs(st_aff, None)
+            if self.track_recompute:
+                self.last_recompute_rows = st_aff.count()
+            self.mv.write(out)
+            return
+
+        touched = buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
+        if touched is None:
+            touched = self.mv.touched_buckets(affected)
+        prev_t = self.mv.read_buckets(touched)
+        prev_aff = prev_t.join(
+            affected, nullsafe_cond(prev_t, affected, self.keys), "left_semi"
+        )
+        other_parts = prev_t.join(
+            affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
+        )
+        # split the affected partitions' OLD rows at the boundary
+        jb = prev_aff.join(
+            boundaries, nullsafe_cond(prev_aff, boundaries, self.keys), "inner"
+        )
+        is_prefix = _lex_lt(prev_aff, boundaries, self.order_cols, bcols)
+        keep_cols = [c for c in prev_t.columns]
+        prefix_rows = jb.filter(is_prefix).select(*[prev_aff[c] for c in keep_cols])
+        seeds = self._seeds(prefix_rows)
+
+        # suffix of the CURRENT state: rows at/after the boundary
+        jsuf = st_aff.join(
+            boundaries, nullsafe_cond(st_aff, boundaries, self.keys), "inner"
+        )
+        suffix_rows = jsuf.filter(
+            ~_lex_lt(st_aff, boundaries, self.order_cols, bcols)
+        ).select(*[st_aff[c] for c in st_aff.columns])
+        if self.track_recompute:
+            self.last_recompute_rows = suffix_rows.count()
+        suffix_out = self._window_outputs(suffix_rows, seeds)
+
+        new_content = other_parts.unionByName(prefix_rows).unionByName(suffix_out)
+        self.mv.overwrite_buckets(new_content, touched)
+
+    def result(self) -> DataFrame:
+        return self.mv.read()
