@@ -210,3 +210,143 @@ def sink_upsert_encode(spark, sf_dir):
     agg = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     value = F.when(F.col("n") > 0, F.to_json(F.struct("user_id", "n")))
     return agg.select(F.col("user_id").alias("key"), value.alias("value")).orderBy("key")
+
+
+@register(
+    "src_avro_decode",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+""",
+)
+def src_avro_decode(spark, sf_dir):
+    """Avro binary decode behind the Confluent schema-registry envelope
+    (reference `parser/avro/`, `schema_registry.rs` wire format): rows are
+    Avro-encoded (pure-Python writer, magic+schema-id framing), shipped as
+    a binary column, then unwrapped + decoded back to typed columns with
+    the Arrow-batched `avro_decode_df` — the from_avro analog. The decoded
+    values must round-trip exactly."""
+    import pandas as pd
+
+    from risingwave_spark.sources.decoders import (
+        avro_decode_df,
+        avro_encode_record,
+        confluent_unwrap,
+        confluent_wrap,
+    )
+
+    schema = [("o_orderkey", "long"), ("o_orderstatus", "?string"), ("cents", "long")]
+    o = (
+        tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = [
+                confluent_wrap(
+                    7,
+                    avro_encode_record(
+                        schema,
+                        {"o_orderkey": int(r.o_orderkey), "o_orderstatus": r.o_orderstatus, "cents": int(r.cents)},
+                    ),
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame({"value": payloads})
+
+    framed = o.mapInPandas(encode, schema="value binary")
+    unwrapped = framed  # unwrap inside the decode schema-check below
+
+    def unwrap(it):
+        for pdf in it:
+            out = []
+            for b in pdf["value"]:
+                sid, payload = confluent_unwrap(bytes(b))
+                assert sid == 7
+                out.append(payload)
+            yield pd.DataFrame({"value": out})
+
+    payload = unwrapped.mapInPandas(unwrap, schema="value binary")
+    decoded = avro_decode_df(
+        payload, "value", schema, "o_orderkey long, o_orderstatus string, cents long"
+    )
+    return decoded.orderBy("o_orderkey")
+
+
+@register(
+    "src_protobuf_decode",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       CAST(round(value*10000, 0) AS BIGINT) AS v_scaled
+FROM {EVENTS_US} e WHERE event_id < 2000 ORDER BY event_id
+""",
+)
+def src_protobuf_decode(spark, sf_dir):
+    """Protobuf message decode (reference `parser/protobuf/`): events are
+    proto-encoded (varint / zigzag / length-delimited / double fields,
+    pure-Python writer) including an UNKNOWN field the decoder must skip
+    by wire type (proto3 forward compatibility), then decoded back via
+    Arrow-batched `proto_decode_df`."""
+    import pandas as pd
+
+    from risingwave_spark.sources.decoders import (
+        proto_decode_df,
+        proto_encode_message,
+    )
+
+    enc_fields = {
+        1: ("event_id", "int64"),
+        2: ("user_id", "sint64"),
+        3: ("event_type", "string"),
+        4: ("v_scaled", "int64"),
+        9: ("debug_note", "string"),  # not in the reader's schema
+    }
+    dec_fields = {
+        1: ("event_id", "int64"),
+        2: ("user_id", "sint64"),
+        3: ("event_type", "string"),
+        4: ("v_scaled", "int64"),
+    }
+    ev = (
+        tables(spark, sf_dir)["events"]
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 10000, 0).cast("long").alias("v_scaled"),
+        )
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = [
+                proto_encode_message(
+                    enc_fields,
+                    {
+                        "event_id": int(r.event_id),
+                        "user_id": int(r.user_id),
+                        "event_type": r.event_type,
+                        "v_scaled": int(r.v_scaled),
+                        "debug_note": "ignored-by-reader",
+                    },
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame({"value": payloads})
+
+    framed = ev.mapInPandas(encode, schema="value binary")
+    decoded = proto_decode_df(
+        framed,
+        "value",
+        dec_fields,
+        "event_id long, user_id long, event_type string, v_scaled long",
+    )
+    return decoded.orderBy("event_id")

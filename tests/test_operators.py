@@ -114,3 +114,42 @@ def test_jsonb_path_guards():
         jsonb_path_exists("j", "$.a.size()")
     with pytest.raises(ValueError, match="cannot parse"):
         jsonb_path_match("j", "not a predicate")
+
+
+def test_wire_format_decoders_edge_cases():
+    """Pure-Python Avro/Protobuf decoders: negative ints (zigzag +
+    two's-complement), nullable unions, unknown-field skipping, doubles,
+    and the Confluent envelope guard."""
+    import math
+
+    import pytest
+
+    from risingwave_spark.sources.decoders import (
+        avro_decode_record,
+        avro_encode_record,
+        confluent_unwrap,
+        confluent_wrap,
+        proto_decode_message,
+        proto_encode_message,
+    )
+
+    schema = [
+        ("a", "long"), ("b", "?string"), ("c", "double"),
+        ("d", "boolean"), ("e", "bytes"), ("f", "?long"),
+    ]
+    row = {"a": -12345678901, "b": None, "c": -0.125, "d": True, "e": b"\x00\xff", "f": 42}
+    assert avro_decode_record(schema, avro_encode_record(schema, row)) == row
+
+    fields = {1: ("x", "int64"), 2: ("y", "sint64"), 3: ("s", "string"),
+              4: ("d", "double"), 5: ("b", "bool")}
+    msg = {"x": -7, "y": -99999, "s": "héllo", "d": math.pi, "b": False}
+    enc = proto_encode_message({**fields, 9: ("junk", "string")}, {**msg, "b": True, "junk": "zzz"})
+    got = proto_decode_message(fields, enc)
+    assert got["x"] == -7 and got["y"] == -99999 and got["s"] == "héllo"
+    assert got["d"] == math.pi and got["b"] is True
+    assert "junk" not in got  # unknown field skipped by wire type
+
+    sid, payload = confluent_unwrap(confluent_wrap(123456, b"data"))
+    assert sid == 123456 and payload == b"data"
+    with pytest.raises(ValueError, match="magic"):
+        confluent_unwrap(b"\x01xxxx")
