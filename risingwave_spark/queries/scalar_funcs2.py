@@ -651,3 +651,50 @@ def fn_json_path(spark, sf_dir):
         jsonb_path_match("doc", "$.u > 500").alias("big_user"),
         jsonb_path_query_first("doc", "$.missing").alias("missing"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_int256_agg",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(user_id AS HUGEINT) * CAST('10000000000000000000000000000' AS HUGEINT)
+                + event_id) AS VARCHAR) AS big_sum,
+       CAST(min(CAST(user_id AS HUGEINT) * CAST('10000000000000000000000000000' AS HUGEINT)
+                + event_id) AS VARCHAR) AS big_min,
+       CAST(max(CAST(user_id AS HUGEINT) * CAST('10000000000000000000000000000' AS HUGEINT)
+                + event_id) AS VARCHAR) AS big_max
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def fn_int256_agg(spark, sf_dir):
+    """int256 arithmetic + aggregation (reference `src/common/src/types/
+    int256.rs`, rw_int256 sum/min/max): values beyond BIGINT range are
+    carried as decimal STRINGS and aggregated with Python arbitrary-
+    precision ints inside one applyInPandas pass per group — Spark has no
+    256-bit type, so the column representation is the documented
+    divergence while sums/compares stay exact (DuckDB's 128-bit HUGEINT
+    suffices for the oracle because the test values fit well inside it)."""
+    import pandas as pd
+
+    ev = tables(spark, sf_dir)["events"].select("event_type", "user_id", "event_id")
+    scale = 10**28
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = [int(u) * scale + int(e) for u, e in zip(pdf.user_id, pdf.event_id)]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf.event_type.iloc[0]],
+                "big_sum": [str(sum(vals))],
+                "big_min": [str(min(vals))],
+                "big_max": [str(max(vals))],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(
+            agg,
+            schema="event_type string, big_sum string, big_min string, big_max string",
+        )
+        .orderBy("event_type")
+    )
