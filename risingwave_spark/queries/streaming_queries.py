@@ -328,26 +328,81 @@ ORDER BY user_id, rn
 """,
 )
 def stream_over_window(spark, sf_dir):
-    """Retractable over-window MV with FRAME-DELTA recompute (reference
-    OverWindow general executor + frame_finder, `over_window/
-    general.rs:48`): events arrive in 4 insert chunks, then a chunk
-    DELETES every 7th event; only rows at/after each partition's earliest
-    touched order position recompute (seeded from the MV's stored prefix)
-    and the final MV equals the batch window over the survivors."""
+    """Retractable over-window MV (reference OverWindow general executor,
+    `over_window/general.rs:48`): events arrive in 4 INTERLEAVED insert
+    chunks (every batch dirties every order position — the recompute-all
+    worst case, where partition-grain recompute is optimal), then a chunk
+    DELETES every 7th event; the final MV equals the batch window over
+    the survivors. The frame-delta variant for ordered arrival is
+    `stream_over_window_delta`."""
+    from risingwave_spark.streaming.mv import MaterializedOverWindow
+
+    ev = tables(spark, sf_dir)["events"]
+
+    def project(rows, w):
+        return rows.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.lag("value").over(w).alias("prev_value"),
+        )
+
+    mvw = MaterializedOverWindow(
+        spark,
+        tempfile.mkdtemp(prefix="rw_ow_"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_id",
+        project,
+    )
+    for i in range(4):
+        mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 4 == i), 1))
+    mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
+    return mvw.result().orderBy("user_id", "rn")
+
+
+@register(
+    "stream_over_window_delta",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM {EVENTS_US} e
+WHERE event_id % 7 <> 0
+ORDER BY user_id, rn
+""",
+)
+def stream_over_window_delta(spark, sf_dir):
+    """FRAME-DELTA over-window MV (reference over_window/general.rs:48 +
+    frame_finder.rs): events arrive in EVENT-TIME ORDER (4 quartile
+    chunks — the realistic streaming shape), so each batch recomputes
+    only the per-partition suffix from its earliest touched position,
+    seeded from the MV's stored prefix; a final chunk DELETES every 7th
+    event (mid-stream boundaries → partial recompute). Equals the batch
+    window over the survivors."""
     from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
 
     ev = tables(spark, sf_dir)["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
     mvw = MaterializedOverWindowDelta(
         spark,
-        tempfile.mkdtemp(prefix="rw_ow_"),
+        tempfile.mkdtemp(prefix="rw_owd_"),
         ["user_id"],
         ["ts", "event_id"],
         "event_id",
         funcs={"rn": ("row_number",), "prev_value": ("lag", "value")},
         payload_cols=["value"],
     )
+    import datetime
+
     for i in range(4):
-        mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 4 == i), 1))
+        a = lo + i * span
+        b = (lo + (i + 1) * span) if i < 3 else (hi + datetime.timedelta(seconds=1))
+        mvw.apply_batch(
+            with_ops(ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))), 1)
+        )
     mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
     return (
         mvw.result()

@@ -160,18 +160,33 @@ class MaterializedOverWindowDelta:
 
         # per-partition frame boundary: the EARLIEST order position the
         # batch touches (insert or delete) — frames at positions before it
-        # cannot see the change (frame_finder's affected-range start)
+        # cannot see the change (frame_finder's affected-range start).
+        # Checkpointed eagerly: it is tiny (one row per touched partition),
+        # is reused by three plan branches, and a materialized copy breaks
+        # the self-join lineage that trips ambiguous-column detection.
         bcols = [f"__b{i}" for i in range(len(self.order_cols))]
-        boundaries = batch.groupBy(*self.keys).agg(
-            F.min(F.struct(*self.order_cols)).alias("__b")
+        kcols = [f"__bk{i}" for i in range(len(self.keys))]
+        boundaries = (
+            batch.groupBy(*self.keys)
+            .agg(F.min(F.struct(*self.order_cols)).alias("__b"))
+            .select(
+                # fresh names (and expr-ids) so joining boundaries against
+                # frames that also descend from `batch` stays unambiguous
+                *[F.col(k).alias(bk) for k, bk in zip(self.keys, kcols)],
+                *[F.col(f"__b.{c}").alias(b) for c, b in zip(self.order_cols, bcols)],
+            )
+            .withColumn("__aff", F.lit(1))
+            .localCheckpoint(eager=True)
         )
-        boundaries = boundaries.select(
-            *self.keys,
-            *[F.col(f"__b.{c}").alias(b) for c, b in zip(self.order_cols, bcols)],
+        affected = boundaries.select(
+            *[F.col(bk).alias(k) for bk, k in zip(kcols, self.keys)]
         )
-        # independent lineage from `boundaries` (joining a frame with its
-        # own derivation trips Spark's ambiguous-column detection)
-        affected = batch.select(*self.keys).distinct()
+
+        def fresh(df: DataFrame) -> DataFrame:
+            # per-join-site copy with new expression ids — the prefix and
+            # suffix branches each join `boundaries` and later meet in one
+            # plan (suffix ⋈ seeds); shared ids would be flagged ambiguous
+            return df.select(*[F.col(c).alias(c) for c in df.columns])
 
         st = self.state.read()
         st_aff = st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
@@ -187,34 +202,37 @@ class MaterializedOverWindowDelta:
         if touched is None:
             touched = self.mv.touched_buckets(affected)
         prev_t = self.mv.read_buckets(touched)
-        prev_aff = prev_t.join(
-            affected, nullsafe_cond(prev_t, affected, self.keys), "left_semi"
+        # ONE left-join splits the previous rows three ways: untouched
+        # partition (no boundary), prefix (before boundary), suffix
+        # (dropped — replaced by the recompute). Untouched ∪ prefix keep
+        # their stored values and share one scan/filter branch.
+        b_prev = fresh(boundaries)
+        jprev = prev_t.join(
+            b_prev, nullsafe_cond(prev_t, b_prev, self.keys, kcols), "left"
         )
-        other_parts = prev_t.join(
-            affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
-        )
-        # split the affected partitions' OLD rows at the boundary
-        jb = prev_aff.join(
-            boundaries, nullsafe_cond(prev_aff, boundaries, self.keys), "inner"
-        )
-        is_prefix = _lex_lt(prev_aff, boundaries, self.order_cols, bcols)
-        keep_cols = [c for c in prev_t.columns]
-        prefix_rows = jb.filter(is_prefix).select(*[prev_aff[c] for c in keep_cols])
+        keep_cols = list(prev_t.columns)
+        is_prefix = _lex_lt(prev_t, b_prev, self.order_cols, bcols)
+        kept_rows = jprev.filter(
+            b_prev["__aff"].isNull() | is_prefix
+        ).select(*[prev_t[c] for c in keep_cols])
+        prefix_rows = jprev.filter(
+            (b_prev["__aff"] == 1) & is_prefix
+        ).select(*[prev_t[c] for c in keep_cols])
         seeds = self._seeds(prefix_rows)
 
         # suffix of the CURRENT state: rows at/after the boundary
+        b_suf = fresh(boundaries)
         jsuf = st_aff.join(
-            boundaries, nullsafe_cond(st_aff, boundaries, self.keys), "inner"
+            b_suf, nullsafe_cond(st_aff, b_suf, self.keys, kcols), "inner"
         )
         suffix_rows = jsuf.filter(
-            ~_lex_lt(st_aff, boundaries, self.order_cols, bcols)
+            ~_lex_lt(st_aff, b_suf, self.order_cols, bcols)
         ).select(*[st_aff[c] for c in st_aff.columns])
         if self.track_recompute:
             self.last_recompute_rows = suffix_rows.count()
         suffix_out = self._window_outputs(suffix_rows, seeds)
 
-        new_content = other_parts.unionByName(prefix_rows).unionByName(suffix_out)
-        self.mv.overwrite_buckets(new_content, touched)
+        self.mv.overwrite_buckets(kept_rows.unionByName(suffix_out), touched)
 
     def result(self) -> DataFrame:
         return self.mv.read()
