@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 OP_COL = "__op"
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True when Catalyst folds the plan to an empty LocalRelation —
+    e.g. `with_ops(df, 1).filter(op < 0)` on an insert-only chunk. A
+    driver-side optimizer pass (milliseconds), NOT a Spark job; lets
+    fold() skip the tombstone write entirely for insert-only batches."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return "LocalRelation <empty>" in plan.toString().splitlines()[0] or (
+            plan.getClass().getSimpleName() == "LocalRelation" and plan.data().isEmpty()
+        )
+    except Exception:
+        return False
+
+
 def _parquet_rows(path: str) -> int:
     """Row count of a just-written local parquet dir from file footers —
     a driver-side metadata read, NOT a Spark job (state dirs are local;
@@ -90,7 +104,9 @@ def buckets_from_chunks(state: "ChunkedState", keys: list[str], n_buckets: int) 
         frames.append(pf.read(columns=keys).to_pandas())
     if not frames:
         return []
-    df = pd.concat(frames, ignore_index=True)
+    # dedup BEFORE hashing: the python crc32 loop runs per distinct key,
+    # not per batch row (150k rows / 1.5k keys → 100× less work)
+    df = pd.concat(frames, ignore_index=True).drop_duplicates()
     encoded = []
     for k in keys:
         s = df[k]
@@ -461,25 +477,28 @@ class ChunkedState:
             with open(tmp, "w") as f:
                 _json.dump(inserts.schema.jsonValue(), f)
             os.replace(tmp, schema_file)
-        # write tombstones unconditionally, then decide emptiness from the
-        # written footers (driver-side, free) — an isEmpty() probe here
-        # would cost an extra Spark job per batch for the same information
         # tomb_extra_cols (e.g. the MV's group keys) ride along in the
         # tombstone files so the driver can derive a delete batch's
-        # affected groups from local footers without a Spark job
-        keep = list(
-            dict.fromkeys(
-                self.row_ids
-                + [c for c in (tomb_extra_cols or []) if c in deletes.columns]
+        # affected groups from local footers without a Spark job.
+        # Insert-only batches fold the delete branch to an empty
+        # LocalRelation — skip the write with NO job at all; otherwise
+        # write and decide emptiness from the written footers (also
+        # job-free) — an isEmpty() probe either way would cost an extra
+        # Spark job per batch for the same information.
+        if not _statically_empty(deletes):
+            keep = list(
+                dict.fromkeys(
+                    self.row_ids
+                    + [c for c in (tomb_extra_cols or []) if c in deletes.columns]
+                )
             )
-        )
-        dl = deletes.select(*keep, F.lit(self._seq).alias("__del_seq"))
-        tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
-        dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
-        if _parquet_rows(tomb_chunk) > 0:
-            self._has_tombs = True
-        else:
-            shutil.rmtree(tomb_chunk, ignore_errors=True)
+            dl = deletes.select(*keep, F.lit(self._seq).alias("__del_seq"))
+            tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
+            dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
+            if _parquet_rows(tomb_chunk) > 0:
+                self._has_tombs = True
+            else:
+                shutil.rmtree(tomb_chunk, ignore_errors=True)
         self._seq += 1
         if batch_id is not None:
             tmp = self._batch_pointer() + ".tmp"
