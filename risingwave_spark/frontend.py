@@ -114,6 +114,11 @@ _CREATE_SUB = re.compile(
     r"(?:\s+WITH\s*\(.*\))?\s*$",
     re.I | re.S,
 )
+_DECLARE = re.compile(
+    r"^\s*DECLARE\s+(\w+)\s+(SUBSCRIPTION\s+)?CURSOR\s+FOR\s+(.*)$", re.I | re.S
+)
+_FETCH = re.compile(r"^\s*FETCH\s+(?:NEXT|(\d+))\s+FROM\s+(\w+)\s*$", re.I)
+_CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
 _SELECT_SHAPE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>\w+)"
     r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE|GROUP|HAVING|ORDER|LIMIT)\w+))?"
@@ -447,6 +452,85 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
+# ------------------------------------------------------------------ cursors
+class _BatchCursor:
+    """DECLARE ... CURSOR FOR <select> (reference `declare_cursor.rs`,
+    `fetch_cursor.rs`): rows stream to the driver partition-by-partition
+    via toLocalIterator — FETCH n materializes only n rows at a time."""
+
+    def __init__(self, df: DataFrame):
+        self.schema = df.schema
+        self._it = df.toLocalIterator()
+
+    def fetch(self, spark: SparkSession, n: int) -> DataFrame:
+        rows = []
+        for _ in range(n):
+            try:
+                rows.append(next(self._it))
+            except StopIteration:
+                break
+        return spark.createDataFrame(rows, self.schema)
+
+
+class _SubscriptionCursor:
+    """DECLARE ... SUBSCRIPTION CURSOR FOR <subscription|mv>: serves the
+    changelog in FETCH-n slices; the underlying ack happens when a fetched
+    chunk set is fully drained (at-least-once at chunk granularity, the
+    reference's cursor redelivery contract)."""
+
+    def __init__(self, sub):
+        self.sub = sub
+        self._buffer: list = []
+        self._schema = None
+        self._token = None
+
+    def fetch(self, spark: SparkSession, n: int) -> DataFrame:
+        if not self._buffer:
+            if self._token is not None:
+                self.sub.ack(self._token)
+                self._token = None
+            got = self.sub.fetch()
+            if got is not None:
+                df, token = got
+                self._schema = df.schema
+                self._buffer = df.collect()
+                self._token = token
+        if self._schema is None:
+            return spark.createDataFrame([], "noop string").limit(0)
+        out, self._buffer = self._buffer[:n], self._buffer[n:]
+        if not self._buffer and self._token is not None:
+            self.sub.ack(self._token)
+            self._token = None
+        return spark.createDataFrame(out, self._schema)
+
+
+def _handle_declare(engine: "Engine", m: re.Match) -> DataFrame:
+    name, is_sub, body = m.group(1), m.group(2), m.group(3).strip().rstrip(";")
+    engine.cursors = getattr(engine, "cursors", {})
+    if is_sub:
+        engine.subscriptions = getattr(engine, "subscriptions", {})
+        if body in engine.subscriptions:
+            sub = engine.subscriptions[body]
+        elif body in engine.mv_handles:
+            # implicit subscription over the MV's full retained log
+            sub = engine.create_subscription(f"__cursor_{name}", body, from_beginning=True)
+        else:
+            raise ValueError(f"unknown subscription or MV {body!r}")
+        engine.cursors[name] = _SubscriptionCursor(sub)
+    else:
+        engine.cursors[name] = _BatchCursor(engine.spark.sql(pg_to_spark_sql(body)))
+    return _status(engine.spark, "DECLARE_CURSOR")
+
+
+def _handle_fetch(engine: "Engine", m: re.Match) -> DataFrame:
+    n = int(m.group(1)) if m.group(1) else 1
+    name = m.group(2)
+    cursors = getattr(engine, "cursors", {})
+    if name not in cursors:
+        raise ValueError(f"cursor {name!r} does not exist")
+    return cursors[name].fetch(engine.spark, n)
+
+
 # ---------------------------------------------------------------- dispatch
 def execute(engine: "Engine", text: str) -> DataFrame:
     """Run one or more SQL statements; returns the last statement's result
@@ -478,6 +562,16 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         engine.subscriptions = getattr(engine, "subscriptions", {})
         engine.subscriptions[name] = engine.create_subscription(name, mv_name)
         return _status(engine.spark, "CREATE_SUBSCRIPTION")
+    m = _DECLARE.match(stmt)
+    if m:
+        return _handle_declare(engine, m)
+    m = _FETCH.match(stmt)
+    if m:
+        return _handle_fetch(engine, m)
+    m = _CLOSE.match(stmt)
+    if m:
+        getattr(engine, "cursors", {}).pop(m.group(1), None)
+        return _status(engine.spark, "CLOSE_CURSOR")
     m = _SHOW.match(stmt)
     if m:
         kind = m.group(1).upper()

@@ -173,3 +173,40 @@ def test_unsupported_mv_shapes_raise(eng):
             "CREATE MATERIALIZED VIEW bad2 AS "
             "SELECT count(*) AS n FROM j1 GROUP BY k % 2"
         )
+
+
+def test_declare_fetch_batch_cursor(eng):
+    eng.sql("CREATE TABLE ct (k int4 PRIMARY KEY, v text)")
+    eng.sql("INSERT INTO ct VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e')")
+    eng.sql("DECLARE cur1 CURSOR FOR SELECT k, v FROM ct ORDER BY k")
+    assert _rows(eng.sql("FETCH 2 FROM cur1")) == [(1, "a"), (2, "b")]
+    assert _rows(eng.sql("FETCH NEXT FROM cur1")) == [(3, "c")]
+    assert _rows(eng.sql("FETCH 10 FROM cur1")) == [(4, "d"), (5, "e")]
+    assert _rows(eng.sql("FETCH 10 FROM cur1")) == []
+    eng.sql("CLOSE cur1")
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("FETCH 1 FROM cur1")
+
+
+def test_declare_fetch_subscription_cursor(eng):
+    eng.sql(
+        """
+        CREATE TABLE cs (k int4 PRIMARY KEY, v int4);
+        CREATE MATERIALIZED VIEW csm AS SELECT k, v FROM cs;
+        DECLARE sc SUBSCRIPTION CURSOR FOR csm
+        """
+    )
+    eng.sql("INSERT INTO cs VALUES (1, 5), (2, 6)")
+    got = sorted(
+        (r.k, r.v, r["__op"]) for r in eng.sql("FETCH 10 FROM sc").collect()
+    )
+    assert got == [(1, 5, 1), (2, 6, 1)]
+    eng.sql("DELETE FROM cs WHERE k = 1")
+    got2 = sorted(
+        (r.k, r.v, r["__op"]) for r in eng.sql("FETCH 10 FROM sc").collect()
+    )
+    assert got2 == [(1, 5, -1)]
+    # drained: empty fetch
+    assert eng.sql("FETCH 10 FROM sc").count() == 0
