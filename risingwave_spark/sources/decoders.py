@@ -22,8 +22,22 @@ Supported:
 
 from __future__ import annotations
 
+import os
 import struct
+import sys
 from typing import Any, Iterator
+
+# Worker closures capture this module's functions; Python workers launched
+# outside the repo directory cannot import `risingwave_spark`, so register
+# the module for pickle-BY-VALUE — the functions travel inside the task
+# payload instead of as (module, name) references. This is the same
+# mechanism Spark uses for __main__-defined functions, made explicit.
+try:  # pragma: no cover - depends on the vendored cloudpickle version
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
 
 
 # --------------------------------------------------------------- varints
