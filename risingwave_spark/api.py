@@ -59,12 +59,74 @@ class Engine:
         self.warehouse = warehouse
         self.tables: dict[str, Table] = {}
         self.mv_handles: dict[str, MaterializedViewHandle] = {}
+        self._replaying = False
+
+    # ---- durability ------------------------------------------------
+    def _catalog_path(self) -> str:
+        return os.path.join(self.warehouse, "CATALOG.json")
+
+    def _record_ddl(self, name: str, stmt: str) -> None:
+        """Persist a DDL statement (SQL text) so Engine.open can replay it
+        (the reference's catalog is durable the same way — definitions,
+        not data; data lives in the state tables). Python-API definitions
+        (lambda recomputes) are not recordable — only the SQL surface is."""
+        if self._replaying:
+            return
+        import json
+
+        entries = self._read_catalog()
+        entries = [e for e in entries if e["name"] != name] + [
+            {"name": name, "stmt": stmt}
+        ]
+        os.makedirs(self.warehouse, exist_ok=True)
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, self._catalog_path())
+
+    def _unrecord_ddl(self, names: list[str]) -> None:
+        import json
+
+        if self._replaying:
+            return
+        entries = [e for e in self._read_catalog() if e["name"] not in names]
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, self._catalog_path())
+
+    def _read_catalog(self) -> list:
+        import json
+
+        try:
+            with open(self._catalog_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return []
+
+    @classmethod
+    def open(cls, spark: SparkSession, warehouse: str) -> "Engine":
+        """Re-open an existing warehouse after a restart: replay the
+        recorded DDL (definitions only — tables re-attach their on-disk
+        ChunkedState, MVs their bucketed epochs and changelog; no
+        backfill re-runs, no data is rewritten)."""
+        eng = cls(spark, warehouse)
+        eng._replaying = True
+        try:
+            for entry in eng._read_catalog():
+                eng.sql(entry["stmt"])
+        finally:
+            eng._replaying = False
+        return eng
 
     # ---- DDL -------------------------------------------------------
     def create_table(self, name: str, rows: DataFrame, pk: str) -> Table:
-        """CREATE TABLE ... ; initial rows are the first insert chunk."""
+        """CREATE TABLE ... ; initial rows are the first insert chunk.
+        Re-opening an existing warehouse re-attaches the on-disk state
+        instead (no fold — the data is already there)."""
         t = Table(self.spark, os.path.join(self.warehouse, f"t_{name}"), name, pk)
-        t.state.fold(rows, rows.limit(0))
+        if not t.state._has_values:
+            t.state.fold(rows, rows.limit(0))
         t._register()
         self.tables[name] = t
         return t
@@ -100,8 +162,10 @@ class Engine:
         )
         mv.key_of = key_of
         # Backfill: current base state as one insert batch (the
-        # reference's snapshot-then-switchover bootstrap).
-        mv.apply_batch(with_ops(backfill, 1))
+        # reference's snapshot-then-switchover bootstrap). A re-opened
+        # MV already holds its materialization — re-attach, don't re-run.
+        if not mv.mv.exists():
+            mv.apply_batch(with_ops(backfill, 1))
         h = MaterializedViewHandle(name, mv)
         h._register()
         if subscribe is not None:

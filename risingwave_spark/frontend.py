@@ -183,6 +183,7 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
         pk = [ROW_ID]
     t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
     t.defaults = defaults
+    engine._record_ddl(name, m.string)
     return _status(engine.spark, "CREATE_TABLE")
 
 
@@ -194,6 +195,9 @@ def _handle_create_table_as(engine: "Engine", m: re.Match) -> DataFrame:
     t = engine.create_table(name, rows, pk=ROW_ID)
     t._rowid_next = rows.count() + 1
     t.defaults = {}
+    # CTAS data is folded at create; replaying the statement on reopen
+    # would re-evaluate the SELECT, so record a plain re-attach DDL
+    engine._record_ddl(name, f"CREATE TABLE {name} (__reattach__ int4)")
     return _status(engine.spark, "CREATE_TABLE")
 
 
@@ -264,14 +268,20 @@ def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
     aligned = _aligned_insert_rows(engine, t, _split_top_level(collist) if collist else None, rows)
     has_rowid = ROW_ID in t.snapshot().columns
     if has_rowid:
-        aligned = _assign_row_ids(aligned, getattr(t, "_rowid_next", 1) - 1)
+        nxt = getattr(t, "_rowid_next", None)
+        if nxt is None:
+            # re-opened table: resume past the largest persisted row id
+            mx = t.snapshot().agg(F.max(ROW_ID)).first()[0]
+            nxt = (mx or 0) + 1
+        t._rowid_next = nxt
+        aligned = _assign_row_ids(aligned, nxt - 1)
     # materialize BEFORE the fold: an INSERT ... SELECT reading the target
     # table itself must see the pre-insert snapshot (same discipline as
     # Engine.delete's localCheckpoint)
     aligned = aligned.localCheckpoint(eager=True)
     n = aligned.count()
     if has_rowid:
-        t._rowid_next = getattr(t, "_rowid_next", 1) + n
+        t._rowid_next = t._rowid_next + n
     engine.insert(name, aligned)
     return _status(engine.spark, f"INSERT 0 {n}")
 
@@ -315,6 +325,7 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
                 f"table {name!r} has dependent materialized views "
                 f"{[h.name for h in t.mvs]}; use DROP TABLE ... CASCADE"
             )
+        engine._unrecord_ddl([name] + [h.name for h in t.mvs])
         for h in list(t.mvs):
             engine.mv_handles.pop(h.name, None)
             spark.catalog.dropTempView(h.name)
@@ -323,6 +334,7 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
         return _status(spark, "DROP_TABLE")
     if name not in engine.mv_handles:
         return _status(spark, "DROP_MATERIALIZED_VIEW")
+    engine._unrecord_ddl([name])
     h = engine.mv_handles.pop(name)
     for t in engine.tables.values():
         if h in t.mvs:
@@ -449,6 +461,7 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
             return rows.select(*keep).selectExpr("*", *exprs)
 
     engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
+    engine._record_ddl(name, m.string)
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
@@ -561,6 +574,7 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         name, mv_name = m.group(1), m.group(2)
         engine.subscriptions = getattr(engine, "subscriptions", {})
         engine.subscriptions[name] = engine.create_subscription(name, mv_name)
+        engine._record_ddl(name, m.string)
         return _status(engine.spark, "CREATE_SUBSCRIPTION")
     m = _DECLARE.match(stmt)
     if m:

@@ -210,3 +210,45 @@ def test_declare_fetch_subscription_cursor(eng):
     assert got2 == [(1, 5, -1)]
     # drained: empty fetch
     assert eng.sql("FETCH 10 FROM sc").count() == 0
+
+
+def test_engine_reopen_after_restart(spark, tmp_path):
+    """Durability (reference: definitions live in the catalog, data in
+    state tables): a new Engine over the same warehouse replays the
+    recorded DDL, re-attaches table/MV/subscription state WITHOUT
+    re-running backfills, and DML keeps working — including hidden
+    row-id continuation."""
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark, wh)
+    e1.sql(
+        """
+        CREATE TABLE rt (k int4 PRIMARY KEY, grp text, v int4);
+        CREATE MATERIALIZED VIEW rmv AS
+          SELECT grp, count(*) AS n, sum(v) AS total FROM rt GROUP BY grp;
+        CREATE SUBSCRIPTION rsub FROM rmv;
+        CREATE TABLE nk (x int4)
+        """
+    )
+    e1.sql("INSERT INTO rt VALUES (1,'a',10),(2,'b',20)")
+    e1.sql("INSERT INTO nk VALUES (7), (8)")
+    df, tok = e1.subscriptions["rsub"].fetch()
+    e1.subscriptions["rsub"].ack(tok)
+
+    # simulate restart: drop session temp views, new Engine from disk
+    for v in ("rt", "rmv", "nk"):
+        spark.catalog.dropTempView(v)
+    e2 = Engine.open(spark, wh)
+    assert _rows(e2.sql("SELECT grp, n, total FROM rmv")) == [("a", 1, 10), ("b", 1, 20)]
+    # DML continues to maintain the re-attached MV
+    e2.sql("INSERT INTO rt VALUES (3,'a',5)")
+    e2.sql("DELETE FROM rt WHERE k = 2")
+    assert _rows(e2.sql("SELECT grp, n, total FROM rmv")) == [("a", 2, 15)]
+    # subscription cursor resumed (acked chunks are NOT redelivered)
+    got = e2.subscriptions["rsub"].fetch()
+    assert got is not None
+    chunks = {r["__chunk"] for r in got[0].collect()}
+    assert len(chunks) == 2  # exactly the two post-restart DML rounds
+    # hidden row ids continue past the persisted maximum
+    e2.sql("INSERT INTO nk VALUES (9)")
+    ids = [r._row_id for r in e2.tables["nk"].snapshot().collect()]
+    assert len(ids) == 3 and len(set(ids)) == 3
