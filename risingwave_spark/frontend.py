@@ -121,7 +121,8 @@ _FETCH = re.compile(r"^\s*FETCH\s+(?:NEXT|(\d+))\s+FROM\s+(\w+)\s*$", re.I)
 _CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
 _SELECT_SHAPE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>\w+)"
-    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE|GROUP|HAVING|ORDER|LIMIT)\w+))?"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b"
+    r"|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|ON\b)\w+))?"
     r"(?P<rest>(?:\s+.*)?)$",
     re.I | re.S,
 )
@@ -351,7 +352,13 @@ def _parse_select_item(item: str):
     m = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
     if m:
         return m.group(1).strip(), m.group(2)
-    return item.strip(), (item.strip() if _IDENT.match(item.strip()) else None)
+    item = item.strip()
+    if _IDENT.match(item):
+        return item, item
+    # unaliased qualified ref (a.col) projects under its last segment
+    if re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+", item):
+        return item, item.split(".")[-1]
+    return item, None
 
 
 def _norm(expr: str) -> str:
@@ -373,11 +380,20 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
         raise ValueError(f"MV base {base!r} is not a known table or MV")
     alias = sm.group("alias")
     rest = sm.group("rest") or ""
-    if re.search(r"\b(JOIN|UNION|INTERSECT|EXCEPT)\b", masked, re.I):
+    if re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", masked, re.I):
         raise ValueError(
-            "CREATE MATERIALIZED VIEW over joins/set-ops is not supported "
+            "CREATE MATERIALIZED VIEW over set-ops is not supported "
             "in the SQL surface; use Engine.create_materialized_view"
         )
+    # Joins: the MV is maintained with respect to the FIRST table (its
+    # changelog drives recompute); the other sides are dimension tables
+    # read fresh at each recompute — the reference TemporalJoin
+    # ('join the current version') semantics, a documented divergence
+    # from its full multi-way delta-join MV maintenance. Group keys must
+    # therefore come from the maintained table.
+    has_join = re.search(r"\bJOIN\b", masked, re.I) is not None
+    if has_join and base not in engine.tables:
+        raise ValueError("MV over a join must be driven by a TABLE as its first input")
     select_items = [
         _parse_select_item(_unmask(i, lits))
         for i in _split_top_level(sm.group("select"))
@@ -391,9 +407,17 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
 
     keys: list[str] = []
     derived: dict[str, str] = {}  # alias -> expr (needs key_of annotation)
+    base_prefixes = tuple(
+        f"{p}." for p in ([base] + ([alias] if alias else []))
+    )
     if gb:
         for item in _split_top_level(gb.group(1)):
             item = _unmask(item, lits).strip()
+            # strip a base-table qualifier (GROUP BY a.col / base.col)
+            for p in base_prefixes:
+                if item.lower().startswith(p.lower()) and _IDENT.match(item[len(p):]):
+                    item = item[len(p):]
+                    break
             if item.isdigit():  # GROUP BY ordinal
                 expr, al = select_items[int(item) - 1]
                 if al is None:
@@ -408,10 +432,20 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
                     keys.append(item)
                     continue
                 hit = [(e, a) for e, a in select_items if a == item]
-                if hit:
+                if hit and not (
+                    has_join
+                    and _IDENT.match(hit[0][0])
+                    and hit[0][0] not in base_cols
+                ):
                     derived[item] = hit[0][0]
                     keys.append(item)
                     continue
+                if has_join:
+                    raise ValueError(
+                        f"GROUP BY key {item!r} must come from the maintained "
+                        f"(first) table {base!r} — dimension-side group keys "
+                        "are not incrementally maintainable in this surface"
+                    )
                 raise ValueError(f"GROUP BY key {item!r} not found")
             hit = [(e, a) for e, a in select_items if _norm(e) == _norm(item)]
             if not hit or hit[0][1] is None:

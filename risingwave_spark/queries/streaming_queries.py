@@ -799,6 +799,51 @@ def engine_sql_ddl_mv(spark, sf_dir):
 
 
 @register(
+    "engine_sql_mv_join",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, count(c_name) AS n_matched
+FROM (SELECT * FROM orders WHERE o_orderkey % 3 <> 0) o
+LEFT JOIN customer c
+  ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_mv_join(spark, sf_dir):
+    """MV over a dimension join as SQL text (reference create_mv.rs over
+    joins; here with TemporalJoin 'current version' semantics — the MV is
+    maintained w.r.t. the fact table's changelog, the dimension read
+    fresh per recompute): inserts in two rounds then a DELETE; the MV
+    equals the batch left join over the survivors."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)  # registers `orders` + `customer` temp views
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_mvj_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_mvj_orders (
+            o_orderkey int8 PRIMARY KEY, o_custkey int8, o_orderstatus text
+        );
+        CREATE MATERIALIZED VIEW rw_mvj AS
+        SELECT o_orderstatus, count(*) AS n, count(c_name) AS n_matched
+        FROM rw_mvj_orders o
+        LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        GROUP BY o_orderstatus
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_mvj_orders SELECT o_orderkey, o_custkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_mvj_orders SELECT o_orderkey, o_custkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM rw_mvj_orders WHERE o_orderkey % 3 = 0")
+    return eng.sql("SELECT o_orderstatus, n, n_matched FROM rw_mvj ORDER BY o_orderstatus")
+
+
+@register(
     "stream_dynamic_filter",
     oracle=f"""
 SELECT user_id, count(*) AS n_above

@@ -163,10 +163,10 @@ def test_pg_spellings_in_dml(eng):
 def test_unsupported_mv_shapes_raise(eng):
     eng.sql("CREATE TABLE j1 (k int4 PRIMARY KEY)")
     eng.sql("CREATE TABLE j2 (k int4 PRIMARY KEY)")
-    with pytest.raises(ValueError, match="join"):
+    with pytest.raises(ValueError, match="set-ops"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT j1.k FROM j1 JOIN j2 ON j1.k = j2.k"
+            "SELECT k FROM j1 UNION SELECT k FROM j2"
         )
     with pytest.raises(ValueError, match="spliced?|selected"):
         eng.sql(
@@ -252,3 +252,30 @@ def test_engine_reopen_after_restart(spark, tmp_path):
     e2.sql("INSERT INTO nk VALUES (9)")
     ids = [r._row_id for r in e2.tables["nk"].snapshot().collect()]
     assert len(ids) == 3 and len(set(ids)) == 3
+
+
+def test_create_mv_over_dimension_join(eng, spark):
+    """MV over base ⋈ dimension (temporal-join semantics: dims read fresh
+    per recompute; maintenance driven by the base changelog)."""
+    eng.sql("CREATE TABLE fact (id int8 PRIMARY KEY, rid int4, amt int8)")
+    eng.sql("CREATE TABLE dims (rid int4 PRIMARY KEY, rname text)")
+    eng.sql("INSERT INTO dims VALUES (1,'north'),(2,'south')")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW fm AS "
+        "SELECT f.rid, count(*) AS n, sum(amt) AS total, max(rname) AS rname "
+        "FROM fact f JOIN dims ON f.rid = dims.rid "
+        "GROUP BY f.rid"
+    )
+    eng.sql("INSERT INTO fact VALUES (1,1,10),(2,1,20),(3,2,5)")
+    eng.sql("DELETE FROM fact WHERE id = 2")
+    assert _rows(eng.sql("SELECT rid, n, total, rname FROM fm ORDER BY rid")) == [
+        (1, 1, 10, "north"),
+        (2, 1, 5, "south"),
+    ]
+    # dimension-side group keys are rejected loudly
+    with pytest.raises(ValueError, match="maintained"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad3 AS "
+            "SELECT rname, count(*) AS n FROM fact f JOIN dims ON f.rid = dims.rid "
+            "GROUP BY rname"
+        )
