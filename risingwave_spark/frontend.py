@@ -119,6 +119,8 @@ _DECLARE = re.compile(
 )
 _FETCH = re.compile(r"^\s*FETCH\s+(?:NEXT|(\d+))\s+FROM\s+(\w+)\s*$", re.I)
 _CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
+_EXPLAIN = re.compile(r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?:\(.*?\)\s+)?(.*)$", re.I | re.S)
+_DESCRIBE = re.compile(r"^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM)\s+(\w+)\s*$", re.I)
 _SELECT_SHAPE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>\w+)"
     r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b"
@@ -620,6 +622,33 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     if m:
         getattr(engine, "cursors", {}).pop(m.group(1), None)
         return _status(engine.spark, "CLOSE_CURSOR")
+    m = _DESCRIBE.match(stmt)
+    if m:
+        # reference handler/describe.rs: name + type rows
+        name = m.group(1)
+        if name in engine.tables:
+            schema = engine.tables[name].snapshot().schema
+        elif name in engine.mv_handles:
+            schema = engine.mv_handles[name].view.result().schema
+        else:
+            raise ValueError(f"unknown relation {name!r}")
+        return engine.spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in schema.fields],
+            "name string, type string",
+        )
+    m = _EXPLAIN.match(stmt)
+    if m and not re.match(r"^\s*EXPLAIN\s*$", stmt, re.I):
+        # reference handler/explain.rs: the plan as rows of text — here
+        # Catalyst's formatted physical plan (the honest answer to "what
+        # will actually run")
+        df = _execute_one(engine, m.group(1).strip())
+        jmode = engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        text = df._jdf.queryExecution().explainString(jmode)
+        return engine.spark.createDataFrame(
+            [(ln,) for ln in text.splitlines()], "plan string"
+        )
     m = _SHOW.match(stmt)
     if m:
         kind = m.group(1).upper()

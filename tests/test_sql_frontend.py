@@ -279,3 +279,11 @@ def test_create_mv_over_dimension_join(eng, spark):
             "SELECT rname, count(*) AS n FROM fact f JOIN dims ON f.rid = dims.rid "
             "GROUP BY rname"
         )
+
+
+def test_explain_and_describe(eng):
+    eng.sql("CREATE TABLE ed (k int4 PRIMARY KEY, v text)")
+    desc = {(r.name, r.type) for r in eng.sql("DESCRIBE ed").collect()}
+    assert ("k", "int") in desc and ("v", "string") in desc
+    plan = "\n".join(r.plan for r in eng.sql("EXPLAIN SELECT k FROM ed WHERE k > 1").collect())
+    assert "Physical Plan" in plan or "Scan" in plan
