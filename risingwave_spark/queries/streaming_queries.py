@@ -751,6 +751,55 @@ def stream_approx_distinct_retract(spark, sf_dir):
 
 
 @register(
+    "stream_eowc_over_window",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM {EVENTS_US} e
+WHERE ts <= (SELECT max(ts) - INTERVAL '10 minutes' FROM {EVENTS_US} e2)
+ORDER BY user_id, rn
+""",
+)
+def stream_eowc_over_window(spark, sf_dir):
+    """EOWC over-window (reference EowcOverWindowExecutor,
+    `over_window/eowc.rs:88`): rows buffer until the watermark passes
+    them, then emit exactly once with row_number/lag attached,
+    per-partition functions continuing from carried seeds; a late replay
+    chunk is dropped. Output = the batch window over every row at/before
+    the final watermark."""
+    import datetime
+
+    from risingwave_spark.streaming.over_window import EowcOverWindow
+
+    ev = tables(spark, sf_dir)["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    eowc = EowcOverWindow(
+        spark,
+        tempfile.mkdtemp(prefix="rw_eowcw_"),
+        ["user_id"],
+        "ts",
+        ["ts", "event_id"],
+        "event_id",
+        funcs={"rn": ("row_number",), "prev_value": ("lag", "value")},
+        payload_cols=["value", "event_id"],
+        delay_seconds=600,
+    )
+    for i in range(4):
+        a = lo + i * span
+        b = (lo + (i + 1) * span) if i < 3 else (hi + datetime.timedelta(seconds=1))
+        eowc.feed(ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))))
+    # late replay of early rows: already emitted -> dropped, never duplicated
+    eowc.feed(ev.filter(F.col("ts") < F.lit(lo + span)).limit(500))
+    return (
+        eowc.result()
+        .select("user_id", "event_id", "value", "rn", "prev_value")
+        .orderBy("user_id", "rn")
+    )
+
+
+@register(
     "engine_sql_ddl_mv",
     oracle=f"""
 SELECT o_orderstatus, count(*) AS n,

@@ -236,3 +236,102 @@ class MaterializedOverWindowDelta:
 
     def result(self) -> DataFrame:
         return self.mv.read()
+
+
+class EowcOverWindow:
+    """Emit-on-window-close over-window (reference EowcOverWindowExecutor,
+    `src/stream/src/executor/over_window/eowc.rs:88`): rows buffer until
+    the event-time watermark passes them, then leave the buffer exactly
+    once with their window-function outputs attached (append-only
+    downstream). Because emission happens in event-time order, each
+    partition's functions continue from a carried SEED (the last emitted
+    row's outputs) — per-partition O(1) state plus the bounded buffer,
+    the same state shape as the reference's sort buffer + partition
+    states.
+
+    Same declared-function set as MaterializedOverWindowDelta
+    (backward-looking: row_number / lag / running sum)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        ts_col: str,
+        order_cols: list[str],
+        row_id: str,
+        funcs: dict[str, tuple],
+        payload_cols: list[str],
+        delay_seconds: int,
+    ):
+        from risingwave_spark.streaming.mv import _VersionedTable
+
+        for name, spec in funcs.items():
+            if spec[0] not in _KINDS:
+                raise ValueError(f"unsupported EOWC window function {spec[0]!r}")
+        self.spark = spark
+        self.keys = keys
+        self.ts_col = ts_col
+        self.order_cols = order_cols
+        self.funcs = funcs
+        self.payload_cols = payload_cols
+        self.delay_seconds = delay_seconds
+        self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
+        self.seeds = _VersionedTable(spark, os.path.join(state_dir, "seeds"))
+        self.out_path = os.path.join(state_dir, "out")
+        self._emitted_any = os.path.isdir(self.out_path)
+        self._watermark = None
+        self._out_schema = None
+
+    def _delta(self):  # shares the seeded window-output machinery
+        d = MaterializedOverWindowDelta.__new__(MaterializedOverWindowDelta)
+        d.keys, d.order_cols = self.keys, self.order_cols
+        d.funcs, d.payload_cols = self.funcs, self.payload_cols
+        return d
+
+    def feed(self, batch: DataFrame) -> None:
+        import datetime
+
+        if self._watermark is not None:
+            # late rows at/behind the watermark are dropped (WatermarkFilter;
+            # strictly `>` — everything <= wm has already been emitted, and
+            # re-emitting a ts==wm row would break the seed continuation)
+            batch = batch.filter(F.col(self.ts_col) > F.lit(self._watermark))
+        buf = batch
+        if self.buffer.exists():
+            buf = self.buffer.read().unionByName(batch)
+        mx = buf.agg(F.max(self.ts_col)).first()[0]
+        if mx is None:
+            return
+        wm = mx - datetime.timedelta(seconds=self.delay_seconds)
+        if self._watermark is not None and wm < self._watermark:
+            wm = self._watermark
+        self._watermark = wm
+
+        closed = buf.filter(F.col(self.ts_col) <= F.lit(wm))
+        still_open = buf.filter(F.col(self.ts_col) > F.lit(wm))
+        seeds = self.seeds.read() if self.seeds.exists() else None
+        delta = self._delta()
+        out = delta._window_outputs(closed, seeds)
+        # the write below evaluates `out`; persist so the seed update
+        # doesn't recompute the closed-window functions a second time
+        out = out.localCheckpoint(eager=True)
+        if self._out_schema is None:
+            self._out_schema = out.schema
+        out.coalesce(2).write.mode("append").parquet(self.out_path)
+        self._emitted_any = True
+        # carry-out: last emitted row's outputs per partition become the
+        # next emission's seeds (merged over previous seeds)
+        new_seeds = delta._seeds(out)
+        if seeds is not None:
+            stale = seeds.join(
+                new_seeds.select(*self.keys), on=self.keys, how="left_anti"
+            )
+            new_seeds = stale.unionByName(new_seeds)
+        self.seeds.write(new_seeds)
+        self.buffer.write(still_open)
+
+    def result(self) -> DataFrame:
+        if not self._emitted_any:
+            raise ValueError("nothing emitted yet")
+        return self.spark.read.parquet(self.out_path)
