@@ -120,6 +120,8 @@ _DECLARE = re.compile(
 _FETCH = re.compile(r"^\s*FETCH\s+(?:NEXT|(\d+))\s+FROM\s+(\w+)\s*$", re.I)
 _CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
 _EXPLAIN = re.compile(r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?:\(.*?\)\s+)?(.*)$", re.I | re.S)
+_SET_VAR = re.compile(r"^\s*SET\s+([\w.]+)\s*(?:=|\s+TO)\s+(.+?)\s*$", re.I)
+_SHOW_VAR = re.compile(r"^\s*SHOW\s+([\w.]+)\s*$", re.I)
 _DESCRIBE = re.compile(r"^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM)\s+(\w+)\s*$", re.I)
 _SELECT_SHAPE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>\w+)"
@@ -658,5 +660,20 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             else sorted(engine.mv_handles)
         )
         return engine.spark.createDataFrame([(n,) for n in names] or [], "name string")
+    m = _SET_VAR.match(stmt)
+    if m:
+        # session parameters (reference handler/variable.rs) → Spark conf
+        val = m.group(2).strip().strip("'\"")
+        engine.spark.conf.set(m.group(1), val)
+        return _status(engine.spark, "SET_VARIABLE")
+    m = _SHOW_VAR.match(stmt)
+    if m and "." in m.group(1):  # dotted = a conf key, not SHOW TABLES-ish
+        try:
+            val = engine.spark.conf.get(m.group(1))
+        except Exception:
+            val = None
+        return engine.spark.createDataFrame(
+            [(m.group(1), val)], "name string, setting string"
+        )
     # ad-hoc query path: PG-isms rewritten, then Catalyst
     return engine.spark.sql(pg_to_spark_sql(stmt))

@@ -287,3 +287,12 @@ def test_explain_and_describe(eng):
     assert ("k", "int") in desc and ("v", "string") in desc
     plan = "\n".join(r.plan for r in eng.sql("EXPLAIN SELECT k FROM ed WHERE k > 1").collect())
     assert "Physical Plan" in plan or "Scan" in plan
+
+
+def test_set_and_show_variable(eng, spark):
+    eng.sql("SET spark.sql.shuffle.partitions = 12")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+    row = eng.sql("SHOW spark.sql.shuffle.partitions").first()
+    assert (row.name, row.setting) == ("spark.sql.shuffle.partitions", "12")
+    eng.sql("SET spark.sql.shuffle.partitions TO 8")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
