@@ -154,3 +154,34 @@ def test_random_join_matches_duckdb(spark, ddb, jf, keys, how):
     gcol = j[key] if key == "l_returnflag" or how == "inner" else li[key]
     out = j.groupBy(gcol.alias("g")).agg(SF.count(SF.lit(1)).alias("n"))
     assert_matches_oracle(out, ddb, sql, name=sql[:110])
+
+
+# ---- pgsql-shim differential fuzz (cast/operator rewrites) -------------
+_CAST_TYPES = {
+    # pg spelling → duckdb spelling (values chosen to round-trip exactly)
+    "int8": "BIGINT",
+    "int4": "INTEGER",
+    "float8": "DOUBLE",
+    "text": "VARCHAR",
+}
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=-999999, max_value=999999),
+    t=st.sampled_from(sorted(_CAST_TYPES)),
+    vn=st.integers(min_value=1, max_value=8),
+)
+def test_pgsql_cast_shim_matches_duckdb(spark, ddb, n, t, vn):
+    """Random `literal::type` casts (incl. varchar(n) truncation) through
+    the shim must scalar-match DuckDB evaluating the PG spelling."""
+    from risingwave_spark.functions.pgsql import pg_to_spark_sql
+
+    pg = f"SELECT ({n})::{t} AS a, ('v' || {abs(n)}::text)::varchar({vn}) AS b"
+    got = spark.sql(pg_to_spark_sql(pg)).first()
+    want = ddb.execute(
+        f"SELECT CAST(({n}) AS {_CAST_TYPES[t]}) AS a, "
+        f"substr('v' || CAST({abs(n)} AS VARCHAR), 1, {vn}) AS b"
+    ).fetchone()
+    assert str(got.a) == str(want[0]), (pg, got, want)
+    assert got.b == want[1], (pg, got, want)
