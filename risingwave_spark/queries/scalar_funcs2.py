@@ -698,3 +698,50 @@ def fn_int256_agg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_secure_compare",
+    oracle=f"""
+SELECT event_id,
+       (md5(CAST(user_id AS VARCHAR)) = md5(CAST(event_id % 1000 AS VARCHAR)))
+         AS tokens_equal
+FROM {EVENTS_US} e WHERE event_id < 2000 ORDER BY event_id
+""",
+)
+def fn_secure_compare(spark, sf_dir):
+    """secure_compare (reference `src/expr/impl/src/scalar/` pgcrypto
+    surface): constant-time digest equality via hmac.compare_digest in a
+    vectorized pandas UDF — the security property (no early-exit timing
+    leak) lives in the comparison, the RESULT equals plain equality,
+    which is what the oracle checks. The UDF is defined inside the query
+    (self-contained closure → pickles by value, no worker import).
+    Symmetric encrypt/decrypt stays honestly gated: the container has no
+    AES implementation and hand-rolled ciphers would be worse than
+    absent."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no inline type hints — this module uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf inference
+    def _secure_eq(a, b):
+        import hmac
+
+        return pd.Series(
+            [
+                None if x is None or y is None else hmac.compare_digest(x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    _secure_eq.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    secure_eq = pandas_udf(_secure_eq, "boolean")
+
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        secure_eq(
+            F.md5(F.col("user_id").cast("string")),
+            F.md5((F.col("event_id") % 1000).cast("string")),
+        ).alias("tokens_equal"),
+    ).orderBy("event_id")
