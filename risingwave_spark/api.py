@@ -50,6 +50,106 @@ class MaterializedViewHandle:
         self.view.result().createOrReplaceTempView(self.name)
 
 
+class StreamJoinMv:
+    """MV over a two-sided stream-stream join (reference
+    `create_mv.rs:87` planning onto `stream_hash_join.rs`): a
+    `RetractableStreamJoin` keeps the join itself incrementally correct
+    under inserts AND deletes on either side; a GROUP BY on top becomes a
+    downstream `MaterializedView` fed by the join's per-batch changelog
+    (−1 old affected rows / +1 recomputed — mv-on-mv.md); a plain
+    projection is applied over the maintained join result at read (the
+    join IS the materialized state; projection is stateless).
+
+    Scale posture: both levels are O(touched keys/buckets) per batch —
+    the join recomputes only affected join keys, the agg recomputes only
+    affected group keys, and each splices into its own bucketed MV."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        left_on: list[str],
+        right_on: list[str],
+        row_id_l,
+        row_id_r,
+        how: str,
+        cond: str | None,
+        keys: list[str] | None = None,
+        recompute=None,
+        project=None,
+        key_of=None,
+    ):
+        from risingwave_spark.streaming.join import RetractableStreamJoin
+
+        self.spark = spark
+        self.join = RetractableStreamJoin(
+            spark,
+            os.path.join(state_dir, "join"),
+            left_on,
+            right_on,
+            row_id_l,
+            row_id_r,
+            how=how,
+            cond=cond,
+        )
+        self.project = project
+        self.keys = keys or []
+        self.agg: MaterializedView | None = None
+        if keys is not None and recompute is not None:
+            ids_l = [row_id_l] if isinstance(row_id_l, str) else list(row_id_l)
+            ids_r = [row_id_r] if isinstance(row_id_r, str) else list(row_id_r)
+            # join-output row identity: both sides' pks (left-only for
+            # semi/anti, whose output has no right columns); outer-join
+            # null-padded ids are fine — ChunkedState tombstones match
+            # null-safe
+            row_ids = ids_l if how in ("left_semi", "left_anti") else ids_l + ids_r
+            self.agg = MaterializedView(
+                spark, os.path.join(state_dir, "agg"), keys, row_ids, recompute
+            )
+            self.agg.key_of = key_of
+            self.join.downstream.append(self.agg)
+
+    @property
+    def downstream(self) -> list:
+        """MV-on-MV over a join MV hangs off the deepest maintained level
+        (the agg if present, else the join itself) — its changelog is the
+        one that reflects this view's visible rows."""
+        return self.agg.downstream if self.agg is not None else self.join.downstream
+
+    def apply_left(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        self.join.apply(left=batch, batch_id=batch_id)
+
+    def apply_right(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        self.join.apply(right=batch, batch_id=batch_id)
+
+    def result(self) -> DataFrame:
+        if self.agg is not None:
+            return self.agg.result()
+        out = self.join.result()
+        return self.project(out) if self.project is not None else out
+
+
+class _JoinSideHandle:
+    """Internal per-side subscription of a StreamJoinMv to a base table
+    (the join MV appears in BOTH tables' `mvs` lists; DML on either side
+    routes into the matching input of RetractableStreamJoin.apply)."""
+
+    def __init__(self, name: str, jmv: StreamJoinMv, side: str):
+        self.name = name
+        self._jmv = jmv
+        self._side = side
+        self.view = self  # duck-type MaterializedViewHandle for _apply_dml
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if self._side == "left":
+            self._jmv.apply_left(batch, batch_id=batch_id)
+        else:
+            self._jmv.apply_right(batch, batch_id=batch_id)
+
+    def _register(self) -> None:  # the real handle registers the MV name
+        pass
+
+
 class Engine:
     """The session object a reference user would hold (their `psql`
     connection analog)."""
@@ -59,7 +159,21 @@ class Engine:
         self.warehouse = warehouse
         self.tables: dict[str, Table] = {}
         self.mv_handles: dict[str, MaterializedViewHandle] = {}
+        # SQL-surface catalog objects (reference handler/create_view.rs,
+        # create_source.rs, create_sink.rs): views are late-bound SQL
+        # bodies re-registered after every DML; sources are connector
+        # descriptors (file ones batch-readable); sinks drain MV
+        # changelogs after every DML batch.
+        self.views: dict[str, str] = {}
+        self.sources: dict[str, dict] = {}
+        self.sinks: dict[str, object] = {}
         self._replaying = False
+
+    def _register_views(self) -> None:
+        from risingwave_spark.functions.pgsql import pg_to_spark_sql
+
+        for name, body in self.views.items():
+            self.spark.sql(pg_to_spark_sql(body)).createOrReplaceTempView(name)
 
     # ---- durability ------------------------------------------------
     def _catalog_path(self) -> str:
@@ -175,6 +289,58 @@ class Engine:
         self.mv_handles[name] = h
         return h
 
+    def create_stream_join_mv(
+        self,
+        name: str,
+        left: str,
+        right: str,
+        left_on: list[str],
+        right_on: list[str],
+        how: str = "inner",
+        cond: str | None = None,
+        keys: list[str] | None = None,
+        recompute=None,
+        project=None,
+        key_of=None,
+    ) -> MaterializedViewHandle:
+        """CREATE MATERIALIZED VIEW over a stream-stream join of two
+        engine TABLES (reference `create_mv.rs:87` planning onto
+        `stream_hash_join.rs` — both inputs are changelogs): DML on
+        EITHER table — including deletes — flows into the matching input
+        of a `RetractableStreamJoin`; `keys`+`recompute` hang a
+        downstream group-agg MV off the join's changelog (mv-on-mv.md),
+        `project` is a stateless read-time transform of the maintained
+        join result. Backfills from both tables' current snapshots."""
+        tl, tr = self.tables[left], self.tables[right]
+        jmv = StreamJoinMv(
+            self.spark,
+            os.path.join(self.warehouse, f"jmv_{name}"),
+            left_on,
+            right_on,
+            tl.pk,
+            tr.pk,
+            how,
+            cond,
+            keys=keys,
+            recompute=recompute,
+            project=project,
+            key_of=key_of,
+        )
+        if not jmv.join.mv.exists():
+            # Backfill: both snapshots fold in ONE apply (each side's
+            # state must exist before the first affected-key recompute
+            # reads it). A re-opened MV re-attaches its state instead.
+            jmv.join.apply(
+                left=with_ops(tl.snapshot(), 1),
+                right=with_ops(tr.snapshot(), 1),
+            )
+        h = MaterializedViewHandle(name, jmv)
+        h._register()
+        tl.mvs.append(_JoinSideHandle(name, jmv, "left"))
+        tr.mvs.append(_JoinSideHandle(name, jmv, "right"))
+        self.mv_handles[name] = h
+        return h
+
     # ---- DML -------------------------------------------------------
     def insert(self, table: str, rows: DataFrame) -> None:
         self._apply_dml(table, with_ops(rows, 1))
@@ -216,6 +382,11 @@ class Engine:
         # propagation may have advanced downstream MVs too — refresh all
         for h in self.mv_handles.values():
             h._register()
+        # late-bound views re-resolve against the new snapshots; sinks
+        # drain whatever changelog chunks this batch produced
+        self._register_views()
+        for s in self.sinks.values():
+            s.drain()
 
     def create_subscription(self, name: str, mv_name: str, from_beginning: bool = False):
         """CREATE SUBSCRIPTION ... FROM mv (reference

@@ -39,10 +39,11 @@ BROADCAST_DIMS = {"region", "nation"}
 def load_tables(spark: SparkSession, sf_dir: str, register: bool = True) -> dict[str, DataFrame]:
     """Load every parquet table under `sf_dir`; register temp views.
 
-    `events.ts` is stored as TIMESTAMP(NANOS) parquet, which Spark's reader
-    rejects; we read it as raw ns-since-epoch longs and truncate to µs
-    timestamps (same truncation DuckDB applies on CAST(ts AS TIMESTAMP),
-    keeping the oracle comparison exact).
+    `events.ts` has shipped as either TIMESTAMP(MICROS) (read natively)
+    or TIMESTAMP(NANOS) parquet, which Spark's reader rejects; for the
+    latter we read it as raw ns-since-epoch longs (nanosAsLong) and
+    truncate to µs timestamps (same truncation DuckDB applies on
+    CAST(ts AS TIMESTAMP), keeping the oracle comparison exact).
     """
     tune_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,7 +53,13 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True) -> dict
         if os.path.exists(path):
             df = spark.read.parquet(path)
             if name == "events":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                ts_t = dict(df.dtypes).get("ts")
+                if ts_t == "bigint":
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif ts_t == "timestamp_ntz":
+                    # session tz is UTC → identical instants, but watermarks
+                    # and unix_micros() demand the LTZ TIMESTAMP type
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             dfs[name] = df
             if register:
                 df.createOrReplaceTempView(name)

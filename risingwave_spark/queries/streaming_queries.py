@@ -27,7 +27,15 @@ def _event_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # legacy TIMESTAMP(NANOS) testdata arrives as ns-since-epoch longs;
+    # current testdata is TIMESTAMP(MICROS) → NTZ, cast to LTZ (UTC
+    # session: same instants; watermarks demand the TIMESTAMP type)
+    ts_t = dict(sdf.dtypes).get("ts")
+    if ts_t == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_t == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def _run_to_memory(stream_df, mode: str, state_partitions: int = 8):
@@ -800,6 +808,141 @@ def stream_eowc_over_window(spark, sf_dir):
 
 
 @register(
+    "stream_over_window_delta2",
+    oracle=f"""
+SELECT user_id, event_id,
+       rank()       OVER w AS rk,
+       dense_rank() OVER w AS drk,
+       min(vc)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmin,
+       max(vc)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax,
+       CAST(sum(vc) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(vc) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vavg,
+       count(vc) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vcnt,
+       lead(vc)    OVER w AS nxt,
+       lead(vc, 3) OVER w AS nxt3
+FROM (SELECT user_id, event_id, ts,
+             CAST(round(value*10000,0) AS BIGINT) AS vc
+      FROM {EVENTS_US} WHERE event_id % 7 <> 0) e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rk
+""",
+)
+def stream_over_window_delta2(spark, sf_dir):
+    """Frame-delta over-window MV with the WIDENED function set (VERDICT
+    r3 ask #5; reference frame_finder.rs computes affected ranges in both
+    directions): rank / dense_rank / running min-max-avg-count continue
+    across the prefix boundary via carried seeds (+ hidden cumulative
+    __aux columns for rank/avg), and the forward-looking lead() functions
+    extend the recompute range BACKWARD by their frame reach. Event-time
+    ordered batches then a mid-stream DELETE; equals the batch window
+    over the survivors. Values use the exact-scaled-int pattern so the
+    running avg's single division is bit-identical cross-engine."""
+    import datetime
+
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000, 0).cast("long").alias("vc"),
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    mvw = MaterializedOverWindowDelta(
+        spark,
+        tempfile.mkdtemp(prefix="rw_owd2_"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_id",
+        funcs={
+            "rk": ("rank",),
+            "drk": ("dense_rank",),
+            "vmin": ("min", "vc"),
+            "vmax": ("max", "vc"),
+            "vavg": ("avg", "vc"),
+            "vcnt": ("count", "vc"),
+            "nxt": ("lead", "vc"),
+            "nxt3": ("lead", "vc", 3),
+        },
+        payload_cols=["vc"],
+    )
+    for i in range(4):
+        a = lo + i * span
+        b = (lo + (i + 1) * span) if i < 3 else (hi + datetime.timedelta(seconds=1))
+        mvw.apply_batch(
+            with_ops(ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))), 1)
+        )
+    mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
+    return (
+        mvw.result()
+        .select("user_id", "event_id", "rk", "drk", "vmin", "vmax", "vavg", "vcnt", "nxt", "nxt3")
+        .orderBy("user_id", "rk")
+    )
+
+
+@register(
+    "stream_eowc_over_window_lead",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, CAST(round(value*10000,0) AS BIGINT) AS vc
+  FROM {EVENTS_US}
+), wm AS (SELECT max(ts) - INTERVAL 600 SECOND AS w FROM base),
+wo AS (
+  SELECT user_id, event_id, ts, vc,
+         rank()   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+         lead(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM base
+), closed AS (
+  SELECT wo.*,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS dr
+  FROM wo, wm WHERE wo.ts <= wm.w
+)
+SELECT user_id, event_id, vc, rk, nxt FROM closed WHERE dr > 1
+ORDER BY user_id, rk
+""",
+)
+def stream_eowc_over_window_lead(spark, sf_dir):
+    """EOWC over-window with a FORWARD-looking function (VERDICT r3 ask
+    #5): lead() delays emission by its frame reach — a closed row emits
+    only once `reach` closed rows exist behind it (the reference's
+    frame-reach emission delay in eowc.rs), so every emitted lead value
+    is final. Equals the batch window restricted to the emittable set."""
+    import datetime
+
+    from risingwave_spark.streaming.over_window import EowcOverWindow
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000, 0).cast("long").alias("vc"),
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    eowc = EowcOverWindow(
+        spark,
+        tempfile.mkdtemp(prefix="rw_eowcl_"),
+        ["user_id"],
+        "ts",
+        ["ts", "event_id"],
+        "event_id",
+        funcs={"rk": ("rank",), "nxt": ("lead", "vc")},
+        payload_cols=["vc"],
+        delay_seconds=600,
+    )
+    for i in range(4):
+        a = lo + i * span
+        b = (lo + (i + 1) * span) if i < 3 else (hi + datetime.timedelta(seconds=1))
+        eowc.feed(ev.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b))))
+    return (
+        eowc.result()
+        .select("user_id", "event_id", "vc", "rk", "nxt")
+        .orderBy("user_id", "rk")
+    )
+
+
+@register(
     "engine_sql_ddl_mv",
     oracle=f"""
 SELECT o_orderstatus, count(*) AS n,
@@ -890,6 +1033,135 @@ def engine_sql_mv_join(spark, sf_dir):
     )
     eng.sql("DELETE FROM rw_mvj_orders WHERE o_orderkey % 3 = 0")
     return eng.sql("SELECT o_orderstatus, n, n_matched FROM rw_mvj ORDER BY o_orderstatus")
+
+
+@register(
+    "engine_sql_view",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n
+FROM (SELECT * FROM orders WHERE o_orderkey % 4 <> 0) o
+WHERE o_totalprice > 1000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_view(spark, sf_dir):
+    """CREATE VIEW through the SQL front door (reference
+    `handler/create_view.rs`): late-bound — the view body re-resolves
+    against the table's CURRENT snapshot after every DML batch, so the
+    final read reflects inserts and deletes issued after creation."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_vw_"))
+    eng.sql(
+        """
+        CREATE TABLE vw_orders (
+            o_orderkey int8 PRIMARY KEY, o_orderstatus text, o_totalprice float8
+        );
+        CREATE VIEW vw_big AS
+        SELECT o_orderkey, o_orderstatus FROM vw_orders WHERE o_totalprice > 1000
+        """
+    )
+    eng.sql(
+        "INSERT INTO vw_orders SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    )
+    eng.sql("DELETE FROM vw_orders WHERE o_orderkey % 4 = 0")
+    return eng.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM vw_big "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@register(
+    "engine_sql_mv_join2",
+    oracle="""
+SELECT c_name, count(*) AS n,
+       CAST(sum(CAST(round((o_totalprice
+              + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END)*100,0)
+            AS BIGINT)) AS BIGINT) AS cents
+FROM (SELECT * FROM orders WHERE o_orderkey % 7 <> 0) o
+JOIN (SELECT * FROM customer WHERE c_custkey % 5 <> 0) c
+  ON o.o_custkey = c.c_custkey
+GROUP BY c_name ORDER BY c_name
+""",
+)
+def engine_sql_mv_join2(spark, sf_dir):
+    """Stream-STREAM join MV through the SQL front door (reference
+    `create_mv.rs:87` planning a `stream_hash_join.rs` node — both FROM
+    inputs are engine tables, i.e. changelogs; every
+    `e2e_test/streaming/tpch/` MV has this shape): CREATE MV over
+    `a JOIN b`, then inserts in two rounds per side, DELETEs on BOTH
+    sides, and an UPDATE — the incrementally-maintained aggregate must
+    equal the batch join over the surviving rows."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)  # registers `orders` + `customer` temp views
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_ssj_"))
+    eng.sql(
+        """
+        CREATE TABLE ssj_o (
+            o_orderkey int8 PRIMARY KEY, o_custkey int8, o_totalprice float8
+        );
+        CREATE TABLE ssj_c (c_custkey int8 PRIMARY KEY, c_name text);
+        CREATE MATERIALIZED VIEW ssj_mv AS
+        SELECT c.c_name, count(*) AS n,
+               sum(CAST(round(o.o_totalprice*100,0) AS BIGINT)) AS cents
+        FROM ssj_o o JOIN ssj_c c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name
+        """
+    )
+    eng.sql(
+        "INSERT INTO ssj_o SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql("INSERT INTO ssj_c SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0")
+    eng.sql(
+        "INSERT INTO ssj_o SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    eng.sql("INSERT INTO ssj_c SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1")
+    eng.sql("DELETE FROM ssj_o WHERE o_orderkey % 7 = 0")
+    eng.sql("DELETE FROM ssj_c WHERE c_custkey % 5 = 0")
+    eng.sql("UPDATE ssj_o SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 11 = 0")
+    return eng.sql("SELECT c_name, n, cents FROM ssj_mv ORDER BY c_name")
+
+
+@register(
+    "engine_sql_mv_join_outer",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name
+FROM (SELECT * FROM orders WHERE o_orderkey % 13 <> 0) o
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 <> 0 AND c_custkey % 3 = 0) c
+  ON o.o_custkey = c.c_custkey
+ORDER BY o_orderkey
+""",
+)
+def engine_sql_mv_join_outer(spark, sf_dir):
+    """Row-grain OUTER stream-stream join MV via SQL: deletes on the
+    RIGHT side must flip matched rows back to null-padded (the
+    reference's degree-table bookkeeping, `hash_join.rs`; here the
+    affected keys' recompute re-derives padding declaratively)."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_ssjo_"))
+    eng.sql(
+        """
+        CREATE TABLE ssjo_o (
+            o_orderkey int8 PRIMARY KEY, o_custkey int8, o_totalprice float8
+        );
+        CREATE TABLE ssjo_c (c_custkey int8 PRIMARY KEY, c_name text);
+        CREATE MATERIALIZED VIEW ssjo_mv AS
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name
+        FROM ssjo_o o LEFT JOIN ssjo_c c ON o.o_custkey = c.c_custkey
+        """
+    )
+    eng.sql("INSERT INTO ssjo_o SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+    eng.sql("INSERT INTO ssjo_c SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0")
+    # right-side deletes: previously-matched orders fall back to NULL pad
+    eng.sql("DELETE FROM ssjo_c WHERE c_custkey % 2 = 0")
+    eng.sql("DELETE FROM ssjo_o WHERE o_orderkey % 13 = 0")
+    return eng.sql("SELECT o_orderkey, o_totalprice, c_name FROM ssjo_mv ORDER BY o_orderkey")
 
 
 @register(

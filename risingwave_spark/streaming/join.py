@@ -37,6 +37,7 @@ from risingwave_spark.streaming.mv import (
     _BucketedMvTable,
     buckets_from_chunks,
     nullsafe_cond,
+    with_ops,
 )
 
 _HOW = {"inner", "left", "left_outer", "right", "right_outer", "full", "full_outer", "left_semi", "left_anti"}
@@ -69,27 +70,66 @@ class RetractableStreamJoin:
         self.right_on = right_on
         self.how = how
         self.cond = cond
-        self.state_l = ChunkedState(spark, os.path.join(state_dir, "left"), row_id_l)
-        self.state_r = ChunkedState(spark, os.path.join(state_dir, "right"), row_id_r)
         self.jk = [f"__jk{i}" for i in range(len(left_on))]
         self.mv = _BucketedMvTable(spark, os.path.join(state_dir, "mv"), self.jk)
+        # both sides' state bucketed by their join keys with the SAME
+        # crc32/modulus as the MV: equal key values land in equal bucket
+        # ids on either side, so one touched-bucket set prunes the state
+        # READS of both sides AND the MV splice (O(touched buckets) per
+        # batch on every path, read and write)
+        self.state_l = ChunkedState(
+            spark,
+            os.path.join(state_dir, "left"),
+            row_id_l,
+            bucket_cols=left_on,
+            n_buckets=self.mv.n_buckets,
+        )
+        self.state_r = ChunkedState(
+            spark,
+            os.path.join(state_dir, "right"),
+            row_id_r,
+            bucket_cols=right_on,
+            n_buckets=self.mv.n_buckets,
+        )
+        # MV-on-MV over the join (reference mv-on-mv.md): each apply's
+        # diff (−1 old affected join rows / +1 recomputed) is a changelog
+        # forwarded to subscribed downstream views — the SQL surface
+        # hangs a group-agg MV here (frontend CREATE MV ... FROM a JOIN b)
+        self.downstream: list = []
 
-    def _fold_side(self, state: ChunkedState, batch: DataFrame | None, keys: list[str]):
+    def _fold_side(
+        self,
+        state: ChunkedState,
+        batch: DataFrame | None,
+        keys: list[str],
+        batch_id: int | None,
+    ):
         if batch is None:
             return None
         cols = [c for c in batch.columns if c != OP_COL]
         state.fold(
             batch.filter(F.col(OP_COL) > 0).select(*cols),
             batch.filter(F.col(OP_COL) < 0).select(*cols),
+            batch_id=batch_id,
             tomb_extra_cols=keys,
         )
         return batch.select(*keys).distinct()
 
-    def apply(self, left: DataFrame | None = None, right: DataFrame | None = None) -> None:
+    def apply(
+        self,
+        left: DataFrame | None = None,
+        right: DataFrame | None = None,
+        batch_id: int | None = None,
+    ) -> None:
         """Fold one changelog chunk per side (either may be None; both
-        need an __op column) and re-join the affected keys."""
-        aff_l = self._fold_side(self.state_l, left, self.left_on)
-        aff_r = self._fold_side(self.state_r, right, self.right_on)
+        need an __op column) and re-join the affected keys.
+
+        `batch_id` gives foreachBatch-redelivery protection (same
+        contract as `_RetractableView.apply_batch`): a replayed id skips
+        the state folds, while the affected-key recompute + MV splice
+        still run — they are idempotent full recomputes from state."""
+        aff_l = self._fold_side(self.state_l, left, self.left_on, batch_id)
+        aff_r = self._fold_side(self.state_r, right, self.right_on, batch_id)
 
         # affected join-key values from both sides, normalized to __jk*
         parts = []
@@ -105,18 +145,31 @@ class RetractableStreamJoin:
         affected = affected.distinct()
 
         touched = self._touched_buckets(aff_l is not None, aff_r is not None)
-        recomputed = self._join_affected(affected)
+        recomputed = self._join_affected(affected, buckets=touched)
 
+        out_changelog = None
         if self.mv.exists():
             if touched is None:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
+            if self.downstream:
+                old_affected = prev_t.join(
+                    affected, nullsafe_cond(prev_t, affected, self.jk), "left_semi"
+                )
+                out_changelog = with_ops(old_affected, -1).unionByName(
+                    with_ops(recomputed, 1)
+                )
             untouched_t = prev_t.join(
                 affected, nullsafe_cond(prev_t, affected, self.jk), "left_anti"
             )
             self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
         else:
+            if self.downstream:
+                out_changelog = with_ops(recomputed, 1)
             self.mv.write(recomputed)
+        if out_changelog is not None:
+            for d in self.downstream:
+                d.apply_batch(out_changelog, batch_id=batch_id)
 
     def _touched_buckets(self, folded_l: bool, folded_r: bool) -> list[int] | None:
         """Union of the folded sides' batch key-buckets, from local chunk
@@ -134,10 +187,12 @@ class RetractableStreamJoin:
             out.update(b)
         return sorted(out)
 
-    def _join_affected(self, affected: DataFrame) -> DataFrame:
-        L = self.state_l.read()
+    def _join_affected(self, affected: DataFrame, buckets: list[int] | None = None) -> DataFrame:
+        # bucket-pruned state reads (file-level superset of the affected
+        # keys' rows); the exact semi-joins below stay as the key filter
+        L = self.state_l.read(buckets=buckets)
         L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
-        R = self.state_r.read()
+        R = self.state_r.read(buckets=buckets)
         R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
         on = None
         for lc, rc in zip(self.left_on, self.right_on):
@@ -197,12 +252,12 @@ class RetractableAsOfJoin(RetractableStreamJoin):
         self.payload_cols = payload_cols
         self.asof_how = how
 
-    def _join_affected(self, affected: DataFrame) -> DataFrame:
+    def _join_affected(self, affected: DataFrame, buckets: list[int] | None = None) -> DataFrame:
         from risingwave_spark.operators.asof import asof_join_backward
 
-        L = self.state_l.read()
+        L = self.state_l.read(buckets=buckets)
         L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
-        R = self.state_r.read()
+        R = self.state_r.read(buckets=buckets)
         R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
         out = asof_join_backward(
             L,

@@ -54,7 +54,10 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for f in _glob.glob(os.path.join(path, "*.parquet")):
+    # bucketed chunks nest files under __bucket=N/ — glob both levels
+    for f in _glob.glob(os.path.join(path, "*.parquet")) + _glob.glob(
+        os.path.join(path, "*", "*.parquet")
+    ):
         total += pq.ParquetFile(f).metadata.num_rows
     return total
 
@@ -62,6 +65,16 @@ def _parquet_rows(path: str) -> int:
 def with_ops(df: DataFrame, op: int = 1) -> DataFrame:
     """Tag a DataFrame as a changelog chunk (op=+1 insert, -1 delete)."""
     return df.withColumn(OP_COL, F.lit(op))
+
+
+def key_bucket_expr(keys: list[str], n_buckets: int):
+    """Bucket = crc32(concat_ws(keys)) % n. crc32 (not Murmur3) so the
+    SAME bucket is computable driver-side in Python (zlib.crc32) from a
+    batch's already-written chunk files — see
+    `_BucketedMvTable.bucket_expr` / `buckets_from_chunks`, which must
+    agree row-for-row with this expression."""
+    joined = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return F.pmod(F.crc32(joined.cast("binary")), F.lit(n_buckets))
 
 
 def nullsafe_cond(a: DataFrame, b: DataFrame, cols_a: list[str], cols_b: list[str] | None = None):
@@ -90,9 +103,33 @@ def buckets_from_chunks(state: "ChunkedState", keys: list[str], n_buckets: int) 
     import pyarrow.parquet as pq
 
     seq = state._seq - 1
-    paths = _glob.glob(os.path.join(state.values_dir, f"b{seq}", "*.parquet")) + _glob.glob(
-        os.path.join(state.tombs_dir, f"b{seq}", "*.parquet")
-    )
+    chunk_dirs = [
+        os.path.join(state.values_dir, f"b{seq}"),
+        os.path.join(state.tombs_dir, f"b{seq}"),
+    ]
+    # bucketed chunk layout: the __bucket=N dir names ARE the touched
+    # buckets — no column reads, no hashing (requires the state to be
+    # bucketed by the same keys/modulus this caller asks about)
+    if state.bucket_cols == keys and state.n_buckets == n_buckets:
+        found: set[int] = set()
+        flat = False
+        for d in chunk_dirs:
+            if not os.path.isdir(d):
+                continue
+            subs = [s for s in os.listdir(d) if s.startswith("__bucket=")]
+            if subs:
+                found.update(int(s.split("=", 1)[1]) for s in subs)
+            elif any(
+                pq.ParquetFile(f).metadata.num_rows > 0
+                for f in _glob.glob(os.path.join(d, "*.parquet"))
+            ):
+                flat = True  # non-empty unbucketed chunk → hash its keys
+        if not flat:
+            return sorted(found)
+    paths = []
+    for d in chunk_dirs:
+        paths += _glob.glob(os.path.join(d, "*.parquet"))
+        paths += _glob.glob(os.path.join(d, "*", "*.parquet"))
     frames = []
     for f in paths:
         pf = pq.ParquetFile(f)
@@ -233,14 +270,11 @@ class _BucketedMvTable:
         return self._manifest["epoch"] >= 0
 
     def bucket_expr(self):
-        """Bucket = crc32(concat_ws(keys)) % n. crc32 (not Murmur3) so the
-        SAME bucket is computable driver-side in Python (zlib.crc32) from a
-        batch's already-written chunk files — the per-batch touched-bucket
-        set then costs zero extra Spark jobs (see _touched_buckets_fast).
+        """See `key_bucket_expr`: crc32 so the same bucket is computable
+        driver-side with zero extra Spark jobs (_touched_buckets_fast).
         Collisions are harmless (buckets only co-locate); what matters is
         that the two computations agree per key."""
-        joined = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.keys])
-        return F.pmod(F.crc32(joined.cast("binary")), F.lit(self.n_buckets))
+        return key_bucket_expr(self.keys, self.n_buckets)
 
     def touched_buckets(self, affected_keys: DataFrame) -> list[int]:
         """Distinct buckets of an affected-keys frame — ≤ n_buckets values,
@@ -370,12 +404,32 @@ class ChunkedState:
     supported (split the chunk).
     """
 
-    def __init__(self, spark: SparkSession, path: str, row_id: str | list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        row_id: str | list[str],
+        bucket_cols: list[str] | None = None,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         # single- or composite-key row identity (reference tables support
         # multi-column PRIMARY KEY; tombstones then match on all pk cols)
         self.row_ids = [row_id] if isinstance(row_id, str) else list(row_id)
         self.row_id = self.row_ids[0]
+        # Optional read-path bucketing (the state analog of
+        # _BucketedMvTable): chunks whose rows carry all `bucket_cols`
+        # are written under `b{seq}/__bucket=N/` using the SAME crc32
+        # key-bucket as the MV, so a recompute that knows its touched
+        # buckets can prune the state SCAN to those leaf dirs —
+        # per-batch read cost O(state of touched buckets), not O(state).
+        # Chunks missing a bucket col (derived keys) write flat and are
+        # always read; pruning is a file-level superset filter either way.
+        self.bucket_cols = list(bucket_cols) if bucket_cols else None
+        self.n_buckets = n_buckets
+        #: leaf dirs of the last pruned read (None = full scan) — scale
+        #: tests assert bytes-read proportionality from this
+        self.last_read_paths: list[str] | None = None
         self.base = path
         os.makedirs(path, exist_ok=True)
         # generation pointer: compaction writes a NEW generation directory
@@ -465,9 +519,21 @@ class ChunkedState:
             last = self._read_last_batch()
             if last is not None and batch_id <= last[0]:
                 return False
-        inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.values_dir, f"b{self._seq}"))
+        vw = inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4)
+        vchunk = os.path.join(self.values_dir, f"b{self._seq}")
+        if self.bucket_cols and set(self.bucket_cols) <= set(inserts.columns):
+            vw.withColumn(
+                "__bucket", key_bucket_expr(self.bucket_cols, self.n_buckets)
+            ).write.mode("overwrite").partitionBy("__bucket").parquet(vchunk)
+            if not any(
+                s.startswith("__bucket=") for s in os.listdir(vchunk)
+            ):
+                # empty inserts (delete-only batch): partitionBy wrote no
+                # data files — drop in a flat empty chunk so later schema
+                # inference over the values dir keeps working
+                vw.coalesce(1).write.mode("overwrite").parquet(vchunk)
+        else:
+            vw.write.mode("overwrite").parquet(vchunk)
         self._has_values = True
         schema_file = os.path.join(self.base, "SCHEMA")
         if not os.path.exists(schema_file):
@@ -494,7 +560,13 @@ class ChunkedState:
             )
             dl = deletes.select(*keep, F.lit(self._seq).alias("__del_seq"))
             tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
-            dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
+            dlw = dl.coalesce(1)
+            if self.bucket_cols and set(self.bucket_cols) <= set(keep):
+                dlw.withColumn(
+                    "__bucket", key_bucket_expr(self.bucket_cols, self.n_buckets)
+                ).write.mode("overwrite").partitionBy("__bucket").parquet(tomb_chunk)
+            else:
+                dlw.write.mode("overwrite").parquet(tomb_chunk)
             if _parquet_rows(tomb_chunk) > 0:
                 self._has_tombs = True
             else:
@@ -507,29 +579,76 @@ class ChunkedState:
             os.replace(tmp, self._batch_pointer())
         return True
 
-    def read(self) -> DataFrame:
+    def _pruned_paths(self, root: str, buckets: list[int]) -> list[str]:
+        """Leaf dirs of `root` covering exactly `buckets`: bucketed chunk
+        dirs contribute only the wanted `__bucket=N` leaves; flat chunks
+        (pre-bucketing or missing-key batches) contribute whole dirs.
+        Driver-side local listing — on an object store this would be the
+        commit manifest, same as _BucketedMvTable."""
+        want = {f"__bucket={b}" for b in buckets}
+        out: list[str] = []
+        for chunk in sorted(os.listdir(root)):
+            cdir = os.path.join(root, chunk)
+            if not os.path.isdir(cdir):
+                continue
+            subs = [d for d in os.listdir(cdir) if d.startswith("__bucket=")]
+            if subs:
+                out.extend(os.path.join(cdir, s) for s in subs if s in want)
+            else:
+                out.append(cdir)
+        return out
+
+    def _empty(self) -> DataFrame:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        try:
+            with open(os.path.join(self.base, "SCHEMA")) as f:
+                schema = StructType.fromJson(_json.load(f))
+        except FileNotFoundError:
+            raise ValueError(
+                f"state at {self.base} has never been folded and has no "
+                "recorded schema"
+            ) from None
+        return self.spark.createDataFrame([], schema)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current state (chunks minus tombstones). With `buckets`, the
+        scan is pruned at FILE level to those key-buckets' leaf dirs — a
+        superset of the wanted keys' rows (callers still apply their
+        exact key filter); per-batch read cost becomes O(state of
+        touched buckets) instead of O(state)."""
         if not self._has_values:
             # never folded (e.g. one side of a join before its first
             # chunk): empty frame with the recorded schema if any
-            import json as _json
-
-            from pyspark.sql.types import StructType
-
-            try:
-                with open(os.path.join(self.base, "SCHEMA")) as f:
-                    schema = StructType.fromJson(_json.load(f))
-            except FileNotFoundError:
-                raise ValueError(
-                    f"state at {self.base} has never been folded and has no "
-                    "recorded schema"
-                ) from None
-            return self.spark.createDataFrame([], schema)
+            return self._empty()
+        self.last_read_paths = None
+        if buckets is not None and self.bucket_cols:
+            vpaths = self._pruned_paths(self.values_dir, buckets)
+            self.last_read_paths = vpaths
+            if not vpaths:
+                return self._empty()
+            v = self.spark.read.option("recursiveFileLookup", "true").parquet(*vpaths)
+            if self._has_tombs:
+                tpaths = self._pruned_paths(self.tombs_dir, buckets)
+                self.last_read_paths = vpaths + tpaths
+                if tpaths:
+                    t = self.spark.read.option("recursiveFileLookup", "true").parquet(*tpaths)
+                    cond = v["__seq"] < t["__del_seq"]
+                    for c in self.row_ids:
+                        cond = cond & (v[c].eqNullSafe(t[c]))
+                    v = v.join(t, on=cond, how="left_anti")
+            return v.drop("__seq")
         v = self._read_dir(self.values_dir)
         if self._has_tombs:
             t = self._read_dir(self.tombs_dir)
             cond = v["__seq"] < t["__del_seq"]
             for c in self.row_ids:
-                cond = cond & (v[c] == t[c])
+                # null-safe: composite row ids may carry NULL components
+                # (e.g. the null-padded side of an outer-join changelog
+                # feeding a downstream MV) and must still be deletable
+                cond = cond & (v[c].eqNullSafe(t[c]))
             v = v.join(t, on=cond, how="left_anti")
         return v.drop("__seq")
 
@@ -549,9 +668,15 @@ class ChunkedState:
         survivors = self.read()
         nxt = self._gen + 1
         new_values = os.path.join(self.base, f"values_g{nxt}")
-        survivors.withColumn("__seq", F.lit(0)).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(new_values, "b0"))
+        sw = survivors.withColumn("__seq", F.lit(0)).coalesce(4)
+        if self.bucket_cols and set(self.bucket_cols) <= set(survivors.columns):
+            sw.withColumn(
+                "__bucket", key_bucket_expr(self.bucket_cols, self.n_buckets)
+            ).write.mode("overwrite").partitionBy("__bucket").parquet(
+                os.path.join(new_values, "b0")
+            )
+        else:
+            sw.write.mode("overwrite").parquet(os.path.join(new_values, "b0"))
         tmp = self._gen_pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
@@ -583,8 +708,17 @@ class _RetractableView:
         self.spark = spark
         self.keys = keys
         self.row_id = row_id
-        self.state = ChunkedState(spark, os.path.join(state_dir, "state"), row_id)
         self.mv = _BucketedMvTable(spark, os.path.join(state_dir, "mv"), keys)
+        # state bucketed by the same crc32 key-buckets as the MV: the
+        # per-batch recompute then prunes its state READ to the touched
+        # buckets, the read-side analog of the O(touched-buckets) write
+        self.state = ChunkedState(
+            spark,
+            os.path.join(state_dir, "state"),
+            row_id,
+            bucket_cols=keys,
+            n_buckets=self.mv.n_buckets,
+        )
         # MV-on-MV (reference `docs/dev/src/design/mv-on-mv.md`): this
         # view's per-batch diff (−1 old affected rows, +1 recomputed
         # rows — the Update pair) is itself a changelog, forwarded to
@@ -632,23 +766,25 @@ class _RetractableView:
             batch_id=batch_id,
             tomb_extra_cols=self.keys if self.key_of is None else None,
         )
+        # O(touched buckets) on BOTH sides of the recompute: the bucket
+        # set comes from the batch's just-written local chunk files when
+        # possible (zero extra jobs), else a tiny collect; the state
+        # scan AND the MV splice then prune to exactly those buckets.
+        # Computed BEFORE compaction — the compacted generation's single
+        # chunk spans every bucket, the batch itself does not.
+        touched = self._touched_buckets_fast()
         if self.compact_every and self.state._seq % self.compact_every == 0:
             self.state.compact()
 
         annotate = self.key_of or (lambda d: d)
         affected = annotate(batch).select(*self.keys).distinct()
-        st = annotate(self.state.read())
+        st = annotate(self.state.read(buckets=touched))
         recomputed = self._recompute(
             st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
         )
         out_changelog = None
         want_changelog = bool(self.downstream) or self.emit_changelog
         if self.mv.exists():
-            # O(touched buckets), not O(MV): only the affected keys'
-            # hash-buckets are read back, spliced, and rewritten. The
-            # bucket set comes from the batch's just-written local chunk
-            # files when possible (zero extra jobs), else a tiny collect.
-            touched = self._touched_buckets_fast()
             if touched is None:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
@@ -674,8 +810,12 @@ class _RetractableView:
                 self._log_changelog(out_changelog)
             self.mv.write(recomputed)
         if out_changelog is not None:
+            # batch_id rides along so the whole MV chain shares one
+            # redelivery horizon: a replayed parent batch re-forwards the
+            # (identical, state-derived) changelog and each child skips
+            # its own already-committed fold.
             for d in self.downstream:
-                d.apply_batch(out_changelog)
+                d.apply_batch(out_changelog, batch_id=batch_id)
 
     def _log_changelog(self, chunk: DataFrame) -> None:
         chunk.coalesce(4).write.mode("overwrite").parquet(

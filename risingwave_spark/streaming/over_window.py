@@ -17,13 +17,20 @@ partition is touched.
 Functions are declared, not arbitrary (the reference's frame_finder is
 equally per-function-kind):
 
-    funcs={"rn": ("row_number",),
-           "prev": ("lag", "value"),
-           "cum": ("sum", "value")}
+    funcs={"rn": ("row_number",),          "prev": ("lag", "value"),
+           "cum": ("sum", "value"),        "rk": ("rank",),
+           "drk": ("dense_rank",),         "mn": ("min", "value"),
+           "mx": ("max", "value"),         "av": ("avg", "value"),
+           "cnt": ("count", "value"),      "nxt": ("lead", "value"),
+           "nxt3": ("lead", "value", 3)}
 
-Forward-looking functions (lead, following frames) would need the
-affected range extended BACKWARD by the frame reach; not supported here
-— constructing one raises.
+Backward-looking functions carry a per-partition SEED out of the prefix
+(rank/avg via hidden cumulative `__aux_*` columns stored in the MV and
+dropped at result()). Forward-looking `lead` extends the affected range
+BACKWARD by its frame reach (frame_finder computes both directions,
+`frame_finder.rs`): the `reach` rows before the earliest touched
+position recompute too — their lead frames see the change — and need no
+seed because the suffix always runs to the partition end.
 """
 
 from __future__ import annotations
@@ -41,7 +48,28 @@ from risingwave_spark.streaming.mv import (
     nullsafe_cond,
 )
 
-_KINDS = {"row_number", "lag", "sum"}
+_KINDS = {
+    "row_number",
+    "lag",
+    "sum",
+    "rank",
+    "dense_rank",
+    "min",
+    "max",
+    "avg",
+    "count",
+    "lead",
+}
+
+
+def _forward_reach(funcs: dict[str, tuple]) -> int:
+    """Rows the affected range must extend BACKWARD per partition: the
+    max forward frame reach of the declared functions (lead offset)."""
+    reach = 0
+    for spec in funcs.values():
+        if spec[0] == "lead":
+            reach = max(reach, spec[2] if len(spec) > 2 else 1)
+    return reach
 
 
 def _lex_lt(left: DataFrame, right: DataFrame, cols: list[str], rcols: list[str]):
@@ -77,15 +105,23 @@ class MaterializedOverWindowDelta:
             if spec[0] not in _KINDS:
                 raise ValueError(
                     f"unsupported window function {spec[0]!r} for frame-delta "
-                    "maintenance (backward-looking only: row_number/lag/sum)"
+                    f"maintenance (supported: {sorted(_KINDS)})"
                 )
         self.spark = spark
         self.keys = keys
         self.order_cols = order_cols
         self.funcs = funcs
         self.payload_cols = payload_cols
-        self.state = ChunkedState(spark, os.path.join(state_dir, "state"), row_id)
         self.mv = _BucketedMvTable(spark, os.path.join(state_dir, "mv"), keys)
+        # state bucketed like the MV → per-batch state reads prune to
+        # the touched partitions' buckets (see ChunkedState.read)
+        self.state = ChunkedState(
+            spark,
+            os.path.join(state_dir, "state"),
+            row_id,
+            bucket_cols=keys,
+            n_buckets=self.mv.n_buckets,
+        )
         #: set track_recompute=True to record how many rows entered each
         #: window recompute (the frame-delta efficiency claim, asserted in
         #: tests; costs one count job per batch, so off by default)
@@ -100,16 +136,23 @@ class MaterializedOverWindowDelta:
         if seeds is not None:
             rows = rows.join(seeds, on=self.keys, how="left")
         local_rn = F.row_number().over(w)
+        run_frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
         out_cols = [*self.keys, *self.order_cols]
         out_cols = list(dict.fromkeys(out_cols + self.payload_cols))
         proj = [F.col(c) for c in out_cols]
+
+        def seed_of(col: str, default=None):
+            if seeds is None:
+                return F.lit(default)
+            base = F.col(col)
+            return base if default is None else F.coalesce(base, F.lit(default))
+
         for name, spec in self.funcs.items():
             kind = spec[0]
+            src = F.col(spec[1]) if len(spec) > 1 else None
             if kind == "row_number":
-                seed = F.coalesce(F.col(f"__seed_{name}"), F.lit(0)) if seeds is not None else F.lit(0)
-                proj.append((local_rn + seed).alias(name))
+                proj.append((local_rn + seed_of(f"__seed_{name}", 0)).alias(name))
             elif kind == "lag":
-                src = F.col(spec[1])
                 lag_local = F.lag(src).over(w)
                 if seeds is not None:
                     # only the FIRST suffix row takes the seed — a null
@@ -122,12 +165,51 @@ class MaterializedOverWindowDelta:
                 else:
                     proj.append(lag_local.alias(name))
             elif kind == "sum":
-                src = F.col(spec[1])
-                run = F.sum(src).over(
-                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                run = F.sum(src).over(run_frame)
+                proj.append((run + seed_of(f"__seed_{name}", 0)).alias(name))
+            elif kind == "rank":
+                # the prefix/suffix boundary is strict (< on order cols),
+                # so no suffix row ever TIES the seed row: global rank =
+                # local rank shifted by the prefix row COUNT, carried as
+                # a hidden cumulative counter (__aux)
+                cnt_seed = seed_of(f"__seed_{name}_cnt", 0)
+                proj.append((F.rank().over(w) + cnt_seed).alias(name))
+                proj.append((local_rn + cnt_seed).alias(f"__aux_{name}_cnt"))
+            elif kind == "dense_rank":
+                proj.append(
+                    (F.dense_rank().over(w) + seed_of(f"__seed_{name}", 0)).alias(name)
                 )
-                seed = F.coalesce(F.col(f"__seed_{name}"), F.lit(0)) if seeds is not None else F.lit(0)
-                proj.append((run + seed).alias(name))
+            elif kind == "min":
+                run = F.min(src).over(run_frame)
+                proj.append(
+                    (F.least(run, seed_of(f"__seed_{name}")) if seeds is not None else run).alias(name)
+                )
+            elif kind == "max":
+                run = F.max(src).over(run_frame)
+                proj.append(
+                    (F.greatest(run, seed_of(f"__seed_{name}")) if seeds is not None else run).alias(name)
+                )
+            elif kind == "count":
+                run = F.count(src).over(run_frame)
+                proj.append((run + seed_of(f"__seed_{name}", 0)).alias(name))
+            elif kind == "avg":
+                # running avg = cumulative sum / cumulative non-null
+                # count, both carried as hidden __aux columns — the avg
+                # value alone cannot be continued across the boundary
+                tot_s = seed_of(f"__seed_{name}_sum", 0.0) + F.coalesce(
+                    F.sum(src).over(run_frame), F.lit(0.0)
+                )
+                tot_c = seed_of(f"__seed_{name}_cnt", 0) + F.count(src).over(run_frame)
+                proj.append(F.when(tot_c > 0, tot_s / tot_c).alias(name))
+                proj.append(tot_s.alias(f"__aux_{name}_sum"))
+                proj.append(tot_c.alias(f"__aux_{name}_cnt"))
+            elif kind == "lead":
+                off = spec[2] if len(spec) > 2 else 1
+                # forward-looking: the suffix always runs to the
+                # partition end, so lead is complete locally — no seed;
+                # the BACKWARD range extension (apply_batch) guarantees
+                # rows whose frames see the change are in the suffix
+                proj.append(F.lead(src, off).over(w).alias(name))
         return rows.select(*proj)
 
     def _seeds(self, prefix: DataFrame) -> DataFrame:
@@ -143,20 +225,29 @@ class MaterializedOverWindowDelta:
         sel = [F.col(k) for k in self.keys]
         for name, spec in self.funcs.items():
             kind = spec[0]
-            if kind == "row_number":
-                sel.append(F.col(name).alias(f"__seed_{name}"))
-            elif kind == "lag":
+            if kind == "lag":
                 sel.append(F.col(spec[1]).alias(f"__seed_{name}"))
-            elif kind == "sum":
+            elif kind in ("row_number", "sum", "dense_rank", "min", "max", "count"):
                 sel.append(F.col(name).alias(f"__seed_{name}"))
+            elif kind == "rank":
+                sel.append(F.col(f"__aux_{name}_cnt").alias(f"__seed_{name}_cnt"))
+            elif kind == "avg":
+                sel.append(F.col(f"__aux_{name}_sum").alias(f"__seed_{name}_sum"))
+                sel.append(F.col(f"__aux_{name}_cnt").alias(f"__seed_{name}_cnt"))
+            # lead: forward-looking, no carried state
         return last.select(*sel)
 
     # ------------------------------------------------------------ main loop
-    def apply_batch(self, batch: DataFrame) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        """`batch_id` gives foreachBatch-redelivery protection (same
+        contract as `_RetractableView.apply_batch`): a replayed id skips
+        the state fold; the suffix recompute + MV splice still run — they
+        are idempotent full recomputes from committed state, closing the
+        crash window between state commit and MV flip."""
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
-        self.state.fold(inserts, deletes, tomb_extra_cols=self.keys)
+        self.state.fold(inserts, deletes, batch_id=batch_id, tomb_extra_cols=self.keys)
 
         # per-partition frame boundary: the EARLIEST order position the
         # batch touches (insert or delete) — frames at positions before it
@@ -188,7 +279,59 @@ class MaterializedOverWindowDelta:
             # plan (suffix ⋈ seeds); shared ids would be flagged ambiguous
             return df.select(*[F.col(c).alias(c) for c in df.columns])
 
-        st = self.state.read()
+        touched = buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
+
+        reach = _forward_reach(self.funcs)
+        if reach and self.mv.exists():
+            # forward-looking functions (lead): extend each touched
+            # partition's boundary BACKWARD by `reach` rows — the stored
+            # rows just before the change have frames that SEE it
+            # (frame_finder.rs computes both directions). Same key →
+            # same bucket, so the pruned reads below are unaffected.
+            if touched is None:
+                touched = self.mv.touched_buckets(affected)
+            prev_ext = self.mv.read_buckets(touched)
+            je = prev_ext.join(
+                boundaries,
+                nullsafe_cond(prev_ext, boundaries, self.keys, kcols),
+                "inner",
+            )
+            pre = je.filter(
+                _lex_lt(prev_ext, boundaries, self.order_cols, bcols)
+            ).select(*[prev_ext[c] for c in prev_ext.columns])
+            wdesc = W.partitionBy(*self.keys).orderBy(
+                *[F.desc(c) for c in self.order_cols]
+            )
+            lastk = pre.withColumn("__dr", F.row_number().over(wdesc)).filter(
+                F.col("__dr") <= reach
+            )
+            nkcols = [f"__nk{i}" for i in range(len(self.keys))]
+            newb = (
+                lastk.groupBy(*self.keys)
+                .agg(F.min(F.struct(*self.order_cols)).alias("__nb"))
+                .select(
+                    *[F.col(k).alias(nk) for k, nk in zip(self.keys, nkcols)],
+                    *[
+                        F.col(f"__nb.{c}").alias(f"__nb{i}")
+                        for i, c in enumerate(self.order_cols)
+                    ],
+                )
+            )
+            jb = boundaries.join(
+                newb, nullsafe_cond(boundaries, newb, kcols, nkcols), "left"
+            )
+            # extension rows sort strictly before the old boundary, so
+            # coalesce(extended, old) is the per-partition minimum
+            boundaries = jb.select(
+                *[boundaries[k] for k in kcols],
+                *[
+                    F.coalesce(newb[f"__nb{i}"], boundaries[b]).alias(b)
+                    for i, b in enumerate(bcols)
+                ],
+                boundaries["__aff"],
+            ).localCheckpoint(eager=True)
+
+        st = self.state.read(buckets=touched)
         st_aff = st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
 
         if not self.mv.exists():
@@ -198,7 +341,6 @@ class MaterializedOverWindowDelta:
             self.mv.write(out)
             return
 
-        touched = buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
         if touched is None:
             touched = self.mv.touched_buckets(affected)
         prev_t = self.mv.read_buckets(touched)
@@ -235,7 +377,9 @@ class MaterializedOverWindowDelta:
         self.mv.overwrite_buckets(kept_rows.unionByName(suffix_out), touched)
 
     def result(self) -> DataFrame:
-        return self.mv.read()
+        out = self.mv.read()
+        # hidden cumulative carriers (rank/avg continuation state)
+        return out.drop(*[c for c in out.columns if c.startswith("__aux_")])
 
 
 class EowcOverWindow:
@@ -273,6 +417,7 @@ class EowcOverWindow:
         self.keys = keys
         self.ts_col = ts_col
         self.order_cols = order_cols
+        self.row_id = row_id
         self.funcs = funcs
         self.payload_cols = payload_cols
         self.delay_seconds = delay_seconds
@@ -312,7 +457,27 @@ class EowcOverWindow:
         still_open = buf.filter(F.col(self.ts_col) > F.lit(wm))
         seeds = self.seeds.read() if self.seeds.exists() else None
         delta = self._delta()
-        out = delta._window_outputs(closed, seeds)
+        reach = _forward_reach(self.funcs)
+        if reach:
+            # lead(): a closed row's frame reaches `reach` rows FORWARD —
+            # emit only closed rows with that many closed rows behind
+            # them; the rest stay buffered (the reference delays emission
+            # by the frame reach the same way). Outputs are computed over
+            # the WHOLE buffer so emitted rows see their held/open
+            # successors, then filtered to the emittable set by row id.
+            wdesc = W.partitionBy(*self.keys).orderBy(
+                *[F.desc(c) for c in self.order_cols]
+            )
+            c2 = closed.withColumn("__dr", F.row_number().over(wdesc))
+            idc = list(dict.fromkeys([*self.keys, *self.order_cols]))
+            emit_ids = c2.filter(F.col("__dr") > reach).select(*idc)
+            held = c2.filter(F.col("__dr") <= reach).drop("__dr")
+            still_open = still_open.unionByName(held)
+            out = delta._window_outputs(buf, seeds).join(
+                emit_ids, on=idc, how="left_semi"
+            )
+        else:
+            out = delta._window_outputs(closed, seeds)
         # the write below evaluates `out`; persist so the seed update
         # doesn't recompute the closed-window functions a second time
         out = out.localCheckpoint(eager=True)
@@ -334,4 +499,5 @@ class EowcOverWindow:
     def result(self) -> DataFrame:
         if not self._emitted_any:
             raise ValueError("nothing emitted yet")
-        return self.spark.read.parquet(self.out_path)
+        out = self.spark.read.parquet(self.out_path)
+        return out.drop(*[c for c in out.columns if c.startswith("__aux_")])

@@ -296,3 +296,185 @@ def test_set_and_show_variable(eng, spark):
     assert (row.name, row.setting) == ("spark.sql.shuffle.partitions", "12")
     eng.sql("SET spark.sql.shuffle.partitions TO 8")
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+def test_create_mv_stream_stream_join(eng):
+    """Both join inputs are engine tables → TRUE stream-stream join MV
+    (reference create_mv.rs planning stream_hash_join.rs): deletes on
+    EITHER side retract; group keys may come from either side."""
+    eng.sql("CREATE TABLE sj_o (oid int8 PRIMARY KEY, cid int8, amt int8)")
+    eng.sql("CREATE TABLE sj_c (cid2 int8 PRIMARY KEY, cname text)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sj_mv AS "
+        "SELECT c.cname, count(*) AS n, sum(o.amt) AS total "
+        "FROM sj_o o JOIN sj_c c ON o.cid = c.cid2 "
+        "GROUP BY c.cname"
+    )
+    eng.sql("INSERT INTO sj_o VALUES (1,1,10),(2,1,20),(3,2,5),(4,3,7)")
+    eng.sql("INSERT INTO sj_c VALUES (1,'a'),(2,'b')")
+    assert _rows(eng.sql("SELECT cname, n, total FROM sj_mv")) == [
+        ("a", 2, 30),
+        ("b", 1, 5),
+    ]
+    # late right row matches existing left rows; right DELETE retracts
+    eng.sql("INSERT INTO sj_c VALUES (3,'c')")
+    eng.sql("DELETE FROM sj_c WHERE cid2 = 1")
+    eng.sql("DELETE FROM sj_o WHERE oid = 3")
+    assert _rows(eng.sql("SELECT cname, n, total FROM sj_mv")) == [("c", 1, 7)]
+
+
+def test_create_mv_stream_join_outer_and_residual(eng):
+    eng.sql("CREATE TABLE sr_l (lk int8 PRIMARY KEY, lv int8)")
+    eng.sql("CREATE TABLE sr_r (rk int8 PRIMARY KEY, rv int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sr_mv AS "
+        "SELECT l.lk, l.lv, r.rv FROM sr_l l "
+        "LEFT JOIN sr_r r ON l.lk = r.rk AND r.rv > 100"
+    )
+    eng.sql("INSERT INTO sr_l VALUES (1,10),(2,20)")
+    eng.sql("INSERT INTO sr_r VALUES (1,500),(2,50)")
+    # rk=2 fails the residual → left row 2 stays null-padded
+    assert _rows(eng.sql("SELECT lk, lv, rv FROM sr_mv")) == [
+        (1, 10, 500),
+        (2, 20, None),
+    ]
+    # deleting the matching right row flips row 1 back to null-padded
+    eng.sql("DELETE FROM sr_r WHERE rk = 1")
+    assert _rows(eng.sql("SELECT lk, lv, rv FROM sr_mv")) == [
+        (1, 10, None),
+        (2, 20, None),
+    ]
+
+
+def test_stream_join_mv_restart_and_drop(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE rj_a (ak int8 PRIMARY KEY, av int8)")
+    eng.sql("CREATE TABLE rj_b (bk int8 PRIMARY KEY, bv int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW rj_mv AS SELECT a.ak, a.av, b.bv "
+        "FROM rj_a a JOIN rj_b b ON a.ak = b.bk"
+    )
+    eng.sql("INSERT INTO rj_a VALUES (1,1),(2,2)")
+    eng.sql("INSERT INTO rj_b VALUES (1,100),(3,300)")
+    before = _rows(eng.sql("SELECT ak, av, bv FROM rj_mv"))
+    assert before == [(1, 1, 100)]
+    # restart: DDL replays, state re-attaches, DML keeps flowing
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("SELECT ak, av, bv FROM rj_mv")) == before
+    eng2.sql("INSERT INTO rj_b VALUES (2,200)")
+    assert _rows(eng2.sql("SELECT ak, av, bv FROM rj_mv")) == [
+        (1, 1, 100),
+        (2, 2, 200),
+    ]
+    # drop unhooks BOTH side subscriptions
+    eng2.sql("DROP MATERIALIZED VIEW rj_mv")
+    assert "rj_mv" not in eng2.mv_handles
+    assert all(not t.mvs for t in eng2.tables.values())
+    eng2.sql("INSERT INTO rj_a VALUES (9,9)")  # must not feed a dropped MV
+
+
+def test_row_id_assignment_is_distributed(spark):
+    """_assign_row_ids must not funnel the batch through a global no-key
+    window (one task): the rank window partitions by input partition id,
+    and ids still come out contiguous and unique."""
+    from risingwave_spark.frontend import ROW_ID, _assign_row_ids
+
+    rows = spark.range(0, 10000, 1, 8).select(F.col("id").alias("v"))
+    out = _assign_row_ids(rows, 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    ids = [r[0] for r in out.select(ROW_ID).collect()]
+    assert sorted(ids) == list(range(101, 10101))
+
+
+def test_subscription_cursor_fetch_streams_without_full_collect(eng, spark, monkeypatch):
+    """FETCH from a subscription cursor must not collect() the whole
+    changelog chunk driver-side (VERDICT r3 #3): rows arrive through
+    toLocalIterator. Proven by making DataFrame.collect raise during the
+    fetch — the fetch must still succeed."""
+    from pyspark.sql import DataFrame as _DF
+
+    eng.sql("CREATE TABLE big (k int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW bigmv AS SELECT k, v FROM big")
+    eng.sql("CREATE SUBSCRIPTION bigsub FROM bigmv")
+    spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).createOrReplaceTempView("src20k")
+    eng.sql("INSERT INTO big SELECT k, v FROM src20k")
+    eng.sql("DECLARE bc SUBSCRIPTION CURSOR FOR bigsub")
+
+    real_collect = _DF.collect
+
+    def no_collect(self):
+        raise AssertionError("full-chunk collect() during cursor FETCH")
+
+    monkeypatch.setattr(_DF, "collect", no_collect)
+    try:
+        out = eng.sql("FETCH 7 FROM bc")
+    finally:
+        monkeypatch.setattr(_DF, "collect", real_collect)
+    rows = out.collect()
+    assert len(rows) == 7
+    # successive fetches keep streaming distinct rows
+    more = eng.sql("FETCH 5 FROM bc").collect()
+    seen = {r.k for r in rows} | {r.k for r in more}
+    assert len(seen) == 12
+
+
+def test_create_view_is_late_bound(eng):
+    """CREATE VIEW (reference create_view.rs): the view re-resolves
+    against table snapshots after every DML — not frozen at creation."""
+    eng.sql("CREATE TABLE vt (k int4 PRIMARY KEY, v int4)")
+    eng.sql("INSERT INTO vt VALUES (1, 10)")
+    eng.sql("CREATE VIEW vv AS SELECT k, v * 2 AS v2 FROM vt")
+    assert _rows(eng.sql("SELECT k, v2 FROM vv")) == [(1, 20)]
+    eng.sql("INSERT INTO vt VALUES (2, 15)")
+    eng.sql("DELETE FROM vt WHERE k = 1")
+    assert _rows(eng.sql("SELECT k, v2 FROM vv")) == [(2, 30)]
+    assert _rows(eng.sql("SHOW VIEWS")) == [("vv",)]
+    eng.sql("DROP VIEW vv")
+    assert _rows(eng.sql("SHOW VIEWS")) == []
+
+
+def test_create_source_filesystem_and_gated(eng, tmp_path, spark):
+    spark.range(5).select(F.col("id").alias("x")).write.parquet(str(tmp_path / "src"))
+    eng.sql(
+        f"CREATE SOURCE fsrc (x int8) WITH (connector='posix_fs', "
+        f"posix.fs.root='{tmp_path}/src', format='parquet')"
+    )
+    assert _rows(eng.sql("SELECT count(*) AS n FROM fsrc")) == [(5,)]
+    assert _rows(eng.sql("SHOW SOURCES")) == [("fsrc",)]
+    # broker-backed source: statement accepted, descriptor recorded
+    eng.sql(
+        "CREATE SOURCE ksrc (a int4) WITH (connector='kafka', "
+        "topic='t1', properties.bootstrap.server='b:9092')"
+    )
+    assert eng.sources["ksrc"]["readable"] is False
+    with pytest.raises(ValueError, match="connector"):
+        eng.sql("CREATE SOURCE bad (a int4) WITH (connector='carrierpigeon')")
+
+
+def test_create_sink_filesystem_streams_changelog(eng, tmp_path, spark):
+    eng.sql("CREATE TABLE st (k int4 PRIMARY KEY, v int4)")
+    eng.sql("CREATE MATERIALIZED VIEW smv AS SELECT k, v FROM st")
+    eng.sql("INSERT INTO st VALUES (1, 10), (2, 20)")
+    out = str(tmp_path / "sinkout")
+    eng.sql(
+        f"CREATE SINK snk FROM smv WITH (connector='posix_fs', path='{out}')"
+    )
+    # snapshot chunk exported at creation
+    snap = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert sorted((r.k, r.v, r["__op"]) for r in snap.collect()) == [(1, 10, 1), (2, 20, 1)]
+    # subsequent DML appends diff chunks
+    eng.sql("INSERT INTO st VALUES (3, 30)")
+    eng.sql("DELETE FROM st WHERE k = 1")
+    all_ops = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    net = {}
+    for r in all_ops.collect():
+        net[(r.k, r.v)] = net.get((r.k, r.v), 0) + r["__op"]
+    assert {kv for kv, n in net.items() if n > 0} == {(2, 20), (3, 30)}
+    # gated sink connector fails loudly AT CREATION
+    with pytest.raises(NotImplementedError, match="jar"):
+        eng.sql("CREATE SINK ksnk FROM smv WITH (connector='kafka', topic='t')")
+    assert _rows(eng.sql("SHOW SINKS")) == [("snk",)]

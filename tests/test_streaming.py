@@ -93,7 +93,12 @@ def _event_stream(spark):
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_t = dict(sdf.dtypes).get("ts")
+    if ts_t == "bigint":  # legacy TIMESTAMP(NANOS) data
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_t == "timestamp_ntz":  # current µs data; watermarks need LTZ
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def test_stream_tumble_complete(spark, events):
@@ -547,3 +552,51 @@ def test_approx_distinct_registers_state_bound(spark, tmp_path):
     n_state = acd.state_rows()
     assert n_state < m * 50
     assert n_state < 60000 / 4, n_state
+
+
+def test_retractable_join_redelivery_is_exactly_once(spark):
+    """VERDICT r3 #4/#3: RetractableStreamJoin.apply threads batch_id —
+    a replayed foreachBatch chunk must not double-fold either side."""
+    import tempfile
+
+    from risingwave_spark.streaming.join import RetractableStreamJoin
+    from risingwave_spark.streaming.mv import with_ops
+
+    L = spark.createDataFrame([(1, 1, "l1"), (2, 1, "l2"), (3, 2, "l3")], "lid int, k int, lv string")
+    R = spark.createDataFrame([(10, 1, "r1"), (11, 2, "r2")], "rid int, k2 int, rv string")
+    with tempfile.TemporaryDirectory() as d:
+        j = RetractableStreamJoin(spark, d, ["k"], ["k2"], "lid", "rid", how="inner")
+        j.apply(left=with_ops(L, 1), right=with_ops(R, 1), batch_id=0)
+        j.apply(left=with_ops(L.filter("lid = 3"), -1), batch_id=1)
+        once = sorted(map(tuple, j.result().collect()))
+        # redeliver batch 1 → the -1 fold must be skipped, result stable
+        j.apply(left=with_ops(L.filter("lid = 3"), -1), batch_id=1)
+        assert sorted(map(tuple, j.result().collect())) == once
+        # recovered instance also refuses the replay
+        j2 = RetractableStreamJoin(spark, d, ["k"], ["k2"], "lid", "rid", how="inner")
+        j2.apply(left=with_ops(L.filter("lid = 3"), -1), batch_id=1)
+        assert sorted(map(tuple, j2.result().collect())) == once
+
+
+def test_over_window_delta_redelivery_is_exactly_once(spark, events):
+    """MaterializedOverWindowDelta.apply_batch threads batch_id (same
+    exactly-once contract as the group-agg MV path)."""
+    import tempfile
+
+    from risingwave_spark.streaming.mv import with_ops
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    ev = events.select("event_id", "user_id", "value").filter(F.col("event_id") < 400)
+    with tempfile.TemporaryDirectory() as d:
+        ow = MaterializedOverWindowDelta(
+            spark, d, ["user_id"], ["event_id"], "event_id",
+            {"rn": ("row_number",), "rsum": ("sum", "value")},
+            ["value"],
+        )
+        b0 = with_ops(ev.filter(F.col("event_id") % 2 == 0), 1)
+        b1 = with_ops(ev.filter(F.col("event_id") % 2 == 1), 1)
+        ow.apply_batch(b0, batch_id=0)
+        ow.apply_batch(b1, batch_id=1)
+        once = sorted(map(tuple, ow.result().collect()))
+        ow.apply_batch(b1, batch_id=1)  # redelivery
+        assert sorted(map(tuple, ow.result().collect())) == once
