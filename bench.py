@@ -95,6 +95,28 @@ def main() -> None:
     )
     spark.stop()
 
+    # Regression guardrail (VERDICT r3 ask #10): fail loudly if any query
+    # regressed >1.5x vs the recorded round-3 sf0.1 numbers. Only applied
+    # at the canonical bench config so sf0.01 dev runs don't false-alarm.
+    if sf == 0.1:
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r03.json"
+        )
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f)["parsed"]["queries"]
+        except (FileNotFoundError, KeyError, ValueError):
+            return
+        regressed = {
+            q: (timings[q], base[q])
+            for q in timings
+            if q in base and base[q] >= 0.3 and timings[q] > base[q] * 1.5
+        }
+        if regressed:
+            for q, (now, was) in regressed.items():
+                print(f"# REGRESSION {q}: {now:.3f}s vs r3 {was:.3f}s", file=sys.stderr)
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

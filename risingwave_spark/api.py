@@ -116,6 +116,29 @@ class StreamJoinMv:
         one that reflects this view's visible rows."""
         return self.agg.downstream if self.agg is not None else self.join.downstream
 
+    # subscriptions/sinks (CREATE SUBSCRIPTION / CREATE SINK FROM mv)
+    # attach to the agg level's persisted changelog; a row-grain join MV
+    # has no persisted changelog yet — refuse loudly instead of silently
+    # never emitting.
+    @property
+    def emit_changelog(self) -> bool:
+        return self.agg.emit_changelog if self.agg is not None else False
+
+    @emit_changelog.setter
+    def emit_changelog(self, v: bool) -> None:
+        if self.agg is None:
+            raise ValueError(
+                "subscriptions/sinks on a row-grain stream-join MV are not "
+                "supported yet — add a GROUP BY level or subscribe upstream"
+            )
+        self.agg.emit_changelog = v
+
+    @property
+    def changelog_dir(self) -> str:
+        if self.agg is None:
+            raise ValueError("row-grain stream-join MV has no changelog log")
+        return self.agg.changelog_dir
+
     def apply_left(self, batch: DataFrame, batch_id: int | None = None) -> None:
         self.join.apply(left=batch, batch_id=batch_id)
 
@@ -127,6 +150,123 @@ class StreamJoinMv:
             return self.agg.result()
         out = self.join.result()
         return self.project(out) if self.project is not None else out
+
+
+class StreamJoinChainMv:
+    """Left-deep cascade of retractable stream-stream joins — the
+    reference's multi-way streaming join plan (`create_mv.rs:87` →
+    a tree of `stream_hash_join.rs` nodes; every
+    `e2e_test/streaming/tpch/` MV joins 3-6 tables this way): step i
+    joins the maintained result of steps <i with table i+1, each step's
+    changelog (−1 old affected rows / +1 recomputed) feeds the next
+    step's LEFT input, and an optional GROUP BY hangs a MaterializedView
+    off the last step (mv-on-mv.md). DML — including deletes — on ANY
+    participating table keeps the whole chain exact.
+
+    Scale posture: every level is O(touched join keys/buckets) per batch
+    (each step recomputes only affected keys against bucket-pruned
+    state); a change deep in the chain touches downstream steps only
+    through the affected rows' changelog, never a full recompute."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        steps: list[dict],
+        row_ids: list,
+        keys: list[str] | None = None,
+        recompute=None,
+        project=None,
+        key_of=None,
+    ):
+        from risingwave_spark.streaming.join import RetractableStreamJoin
+
+        self.spark = spark
+        self.project = project
+        self.keys = keys or []
+        self.joins: list[RetractableStreamJoin] = []
+        ids_acc = [row_ids[0]] if isinstance(row_ids[0], str) else list(row_ids[0])
+        for i, s in enumerate(steps):
+            ids_r = [row_ids[i + 1]] if isinstance(row_ids[i + 1], str) else list(row_ids[i + 1])
+            j = RetractableStreamJoin(
+                spark,
+                os.path.join(state_dir, f"s{i}"),
+                s["left_on"],
+                s["right_on"],
+                ids_acc if i > 0 else row_ids[0],
+                row_ids[i + 1],
+                how=s.get("how", "inner"),
+                cond=s.get("cond"),
+            )
+            self.joins.append(j)
+            ids_acc = ids_acc + ids_r
+        self.agg: MaterializedView | None = None
+        if keys is not None and recompute is not None:
+            self.agg = MaterializedView(
+                spark, os.path.join(state_dir, "agg"), keys, ids_acc, recompute
+            )
+            self.agg.key_of = key_of
+
+    @property
+    def downstream(self) -> list:
+        return self.agg.downstream if self.agg is not None else self.joins[-1].downstream
+
+    @property
+    def emit_changelog(self) -> bool:
+        return self.agg.emit_changelog if self.agg is not None else False
+
+    @emit_changelog.setter
+    def emit_changelog(self, v: bool) -> None:
+        if self.agg is None:
+            raise ValueError(
+                "subscriptions/sinks on a row-grain stream-join MV are not "
+                "supported yet — add a GROUP BY level or subscribe upstream"
+            )
+        self.agg.emit_changelog = v
+
+    @property
+    def changelog_dir(self) -> str:
+        if self.agg is None:
+            raise ValueError("row-grain stream-join MV has no changelog log")
+        return self.agg.changelog_dir
+
+    def result(self) -> DataFrame:
+        if self.agg is not None:
+            return self.agg.result()
+        out = self.joins[-1].result()
+        return self.project(out) if self.project is not None else out
+
+
+class _JoinChainFeed:
+    """Upstream join's changelog chunk → the next join's LEFT input
+    (strips the upstream's internal __jk splice columns first)."""
+
+    def __init__(self, downstream_join):
+        self._j = downstream_join
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        drop = [c for c in batch.columns if c.startswith("__jk")]
+        self._j.apply(left=batch.drop(*drop), batch_id=batch_id)
+
+
+class _ChainSideHandle:
+    """Per-table subscription of a StreamJoinChainMv: table 0 feeds the
+    first join's left input, table i>=1 feeds join i-1's right input."""
+
+    def __init__(self, name: str, join, side: str):
+        self.name = name
+        self._join = join
+        self._side = side
+        self.view = self  # duck-type MaterializedViewHandle for _apply_dml
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if self._side == "left":
+            self._join.apply(left=batch, batch_id=batch_id)
+        else:
+            self._join.apply(right=batch, batch_id=batch_id)
+
+    def _register(self) -> None:
+        pass
 
 
 class _JoinSideHandle:
@@ -338,6 +478,56 @@ class Engine:
         h._register()
         tl.mvs.append(_JoinSideHandle(name, jmv, "left"))
         tr.mvs.append(_JoinSideHandle(name, jmv, "right"))
+        self.mv_handles[name] = h
+        return h
+
+    def create_stream_join_chain_mv(
+        self,
+        name: str,
+        tbls: list[str],
+        steps: list[dict],
+        keys: list[str] | None = None,
+        recompute=None,
+        project=None,
+        key_of=None,
+    ) -> MaterializedViewHandle:
+        """CREATE MATERIALIZED VIEW over an N-way stream-stream join of
+        engine tables (left-deep; see StreamJoinChainMv). `steps[i]` =
+        {left_on, right_on, how, cond} joining the running result with
+        `tbls[i+1]`. Backfills each level from current snapshots, then
+        wires the changelog cascade + per-table DML feeds."""
+        ts = [self.tables[t] for t in tbls]
+        chain = StreamJoinChainMv(
+            self.spark,
+            os.path.join(self.warehouse, f"jmv_{name}"),
+            steps,
+            [t.pk for t in ts],
+            keys=keys,
+            recompute=recompute,
+            project=project,
+            key_of=key_of,
+        )
+        # Backfill LEVEL BY LEVEL (each level's snapshot feeds the next)
+        # BEFORE hooking the cascade — the hooks would double-feed the
+        # backfill chunks. A re-opened chain re-attaches instead.
+        for i, j in enumerate(chain.joins):
+            if not j.mv.exists():
+                left = ts[0].snapshot() if i == 0 else chain.joins[i - 1].result()
+                j.apply(
+                    left=with_ops(left, 1),
+                    right=with_ops(ts[i + 1].snapshot(), 1),
+                )
+        if chain.agg is not None and not chain.agg.mv.exists():
+            chain.agg.apply_batch(with_ops(chain.joins[-1].result(), 1))
+        for i in range(len(chain.joins) - 1):
+            chain.joins[i].downstream.append(_JoinChainFeed(chain.joins[i + 1]))
+        if chain.agg is not None:
+            chain.joins[-1].downstream.append(chain.agg)
+        h = MaterializedViewHandle(name, chain)
+        h._register()
+        ts[0].mvs.append(_ChainSideHandle(name, chain.joins[0], "left"))
+        for i, t in enumerate(ts[1:]):
+            t.mvs.append(_ChainSideHandle(name, chain.joins[i], "right"))
         self.mv_handles[name] = h
         return h
 

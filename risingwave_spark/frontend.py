@@ -11,18 +11,23 @@ routed into the `api.Engine` runtime (ChunkedState tables + retractable
 MV maintenance), and everything else falls through to Catalyst via the
 PG→Spark rewrite shim.
 
-MV maintenance contract (see `streaming/mv.py`): a `CREATE MATERIALIZED
-VIEW v AS SELECT ... FROM t [WHERE ...] [GROUP BY ...]` becomes a
-`MaterializedView` whose recompute runs the SELECT body over the
-affected groups' state rows. Constraints this v1 enforces loudly:
+MV maintenance contract (see `streaming/mv.py`, `streaming/join.py`): a
+`CREATE MATERIALIZED VIEW v AS SELECT ... FROM ... [WHERE] [GROUP BY]`
+compiles by FROM shape:
 
-- single-table FROM (the reference maintains MVs over joins with
-  multi-way delta joins; here dimension joins belong inside the
-  recompute body of the Python API, not the SQL surface yet);
-- every GROUP BY key must be visible in the output (bare column, alias,
-  or ordinal) so the splice (untouched ∪ recomputed) can match on it;
-- with no GROUP BY the view is row-grain: the base table's pk must be
-  selected (or `*`), and each row is its own "group".
+- single table → `MaterializedView` (recompute over affected groups);
+- N engine tables joined (disjoint column names) → a TRUE stream-stream
+  join MV: 2 tables onto `RetractableStreamJoin`, 3+ onto a left-deep
+  `StreamJoinChainMv` cascade (reference multi-way delta join,
+  `create_mv.rs:87` → `stream_hash_join.rs` tree) — deletes on ANY side
+  retract; optional GROUP BY = downstream agg MV on the changelog;
+- join with a non-engine relation (or shared column names) → dimension
+  path: maintained w.r.t. the FIRST table, dimensions read fresh per
+  recompute (TemporalJoin "current version" semantics).
+
+Constraints enforced loudly: every GROUP BY key must be visible in the
+output (bare column, alias, or ordinal) so the splice can match on it;
+with no GROUP BY the view is row-grain (single-table: base pk selected).
 
 Scale posture: all statement bodies execute as DataFrame plans; the only
 driver-side work is text parsing. Row-id generation for pk-less tables
@@ -150,16 +155,6 @@ _SELECT_SHAPE = re.compile(
 )
 _IDENT = re.compile(r"^[A-Za-z_]\w*$")
 _KW_ALIAS = r"(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|JOIN\b|ON\b|WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b)"
-_JOIN_SHAPE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<l>\w+)"
-    rf"(?:\s+(?:AS\s+)?(?P<la>{_KW_ALIAS}\w+))?"
-    r"\s+(?:(?P<how>INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\s+"
-    r"(?P<r>\w+)"
-    rf"(?:\s+(?:AS\s+)?(?P<ra>{_KW_ALIAS}\w+))?"
-    r"\s+ON\s+(?P<on>.*?)"
-    r"(?P<rest>(?:\s+(?:WHERE|GROUP|HAVING)\b.*)?)$",
-    re.I | re.S,
-)
 
 
 # ---------------------------------------------------------------- handlers
@@ -471,24 +466,82 @@ def _split_top_level_and(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _top_level_kw_pos(text: str) -> int | None:
+    """Index of the first top-level WHERE/GROUP BY/HAVING keyword."""
+    depth = 0
+    for m in re.finditer(r"[()]|\b(?:WHERE|GROUP\s+BY|HAVING)\b", text, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return m.start()
+    return None
+
+
+def _parse_join_tree(masked: str):
+    """``SELECT ... FROM t0 [a0] {[how] JOIN ti [ai] ON condi}+ [rest]``
+    → dict(select, tables, aliases, hows, ons, rest), or None when the
+    FROM clause is not a plain left-deep join chain of named tables."""
+    m = re.match(r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<tail>.*)$", masked, re.I | re.S)
+    if not m:
+        return None
+    tail = m.group("tail")
+    pos = _top_level_kw_pos(tail)
+    join_txt, rest = (tail[:pos], tail[pos:]) if pos is not None else (tail, "")
+    if re.search(r"\bCROSS\s+JOIN\b|,", join_txt, re.I):
+        return None
+    parts = re.split(
+        r"\b(?:(INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\b",
+        join_txt,
+        flags=re.I,
+    )
+    if len(parts) < 3:
+        return None
+    m0 = re.match(rf"^\s*(\w+)(?:\s+(?:AS\s+)?({_KW_ALIAS}\w+))?\s*$", parts[0])
+    if not m0:
+        return None
+    tables, aliases, hows, ons = [m0.group(1)], [m0.group(2)], [], []
+    for i in range(1, len(parts), 2):
+        howtxt = (parts[i] or "INNER").upper().split()[0]
+        seg = parts[i + 1]
+        ms = re.match(
+            rf"^\s*(\w+)(?:\s+(?:AS\s+)?((?!ON\b){_KW_ALIAS}\w+))?\s+ON\s+(.*)$",
+            seg,
+            re.I | re.S,
+        )
+        if not ms:
+            return None
+        tables.append(ms.group(1))
+        aliases.append(ms.group(2))
+        hows.append({"INNER": "inner", "LEFT": "left", "RIGHT": "right", "FULL": "full"}[howtxt])
+        ons.append(ms.group(3))
+    return {
+        "select": m.group("select"),
+        "tables": tables,
+        "aliases": aliases,
+        "hows": hows,
+        "ons": ons,
+        "rest": rest,
+    }
+
+
 def _handle_create_stream_join_mv(
-    engine: "Engine", name: str, stmt: str, jm: re.Match, lits: list[str]
+    engine: "Engine", name: str, stmt: str, pj: dict, lits: list[str]
 ) -> DataFrame:
-    """CREATE MV over a stream-stream join of two engine tables
-    (reference `create_mv.rs:87` planning a `stream_hash_join.rs` node
-    when both FROM inputs are streaming relations; every
-    `e2e_test/streaming/tpch/` MV has this shape): compiles onto
-    `Engine.create_stream_join_mv` → `RetractableStreamJoin`, with an
-    optional GROUP BY as a downstream agg MV fed by the join's changelog.
-    DML — including DELETEs — on EITHER table keeps the MV exact."""
+    """CREATE MV over a stream-stream join of N engine tables
+    (reference `create_mv.rs:87` planning a tree of
+    `stream_hash_join.rs` nodes — every `e2e_test/streaming/tpch/` MV
+    has this shape): 2 tables compile onto `Engine.create_stream_join_mv`
+    → `RetractableStreamJoin`; 3+ onto `create_stream_join_chain_mv`
+    (left-deep cascade, each level's changelog feeding the next), with
+    an optional GROUP BY as a downstream agg MV. DML — including
+    DELETEs — on ANY table keeps the MV exact."""
     spark = engine.spark
-    l, r = jm.group("l"), jm.group("r")
-    la, ra = jm.group("la"), jm.group("ra")
-    howtxt = (jm.group("how") or "INNER").upper().split()[0]
-    how = {"INNER": "inner", "LEFT": "left", "RIGHT": "right", "FULL": "full"}[howtxt]
-    tl, tr = engine.tables[l], engine.tables[r]
-    lcols, rcols = tl.snapshot().columns, tr.snapshot().columns
-    prefixes = [p for p in (l, la, r, ra) if p]
+    tables, aliases = pj["tables"], pj["aliases"]
+    colsets = [engine.tables[t].snapshot().columns for t in tables]
+    prefixes = [p for p in tables + [a for a in aliases if a] if p]
     unq_rx = re.compile(
         r"\b(?:%s)\s*\.\s*" % "|".join(re.escape(p) for p in prefixes), re.I
     )
@@ -496,42 +549,56 @@ def _handle_create_stream_join_mv(
     def unq(text: str) -> str:
         return unq_rx.sub("", text)
 
-    # ON: top-level AND conjuncts split into equi keys vs residual cond
-    left_on: list[str] = []
-    right_on: list[str] = []
-    residual: list[str] = []
-    for conj in _split_top_level_and(jm.group("on")):
-        conj = unq(_unmask(conj, lits))
-        cm = re.match(r"^\s*\(?\s*(\w+)\s*=\s*(\w+)\s*\)?\s*$", conj)
-        if cm:
-            a, b = cm.group(1), cm.group(2)
-            if a in lcols and b in rcols:
-                left_on.append(a)
-                right_on.append(b)
-                continue
-            if a in rcols and b in lcols:
-                left_on.append(b)
-                right_on.append(a)
-                continue
-        residual.append(f"({pg_to_spark_sql(conj.strip())})")
-    if not left_on:
-        raise ValueError(
-            "stream-stream join MV needs at least one equi-join conjunct "
-            "(col_of_left = col_of_right) in ON"
+    # per step: ON's top-level AND conjuncts → equi keys vs residual.
+    # The equi left side may come from ANY earlier table (left-deep
+    # accumulated columns), the right side from the newly joined table.
+    steps: list[dict] = []
+    acc_cols = list(colsets[0])
+    for i, on_txt in enumerate(pj["ons"]):
+        new_cols = colsets[i + 1]
+        left_on: list[str] = []
+        right_on: list[str] = []
+        residual: list[str] = []
+        for conj in _split_top_level_and(on_txt):
+            conj = unq(_unmask(conj, lits))
+            cm = re.match(r"^\s*\(?\s*(\w+)\s*=\s*(\w+)\s*\)?\s*$", conj)
+            if cm:
+                a, b = cm.group(1), cm.group(2)
+                if a in acc_cols and b in new_cols:
+                    left_on.append(a)
+                    right_on.append(b)
+                    continue
+                if a in new_cols and b in acc_cols:
+                    left_on.append(b)
+                    right_on.append(a)
+                    continue
+            residual.append(f"({pg_to_spark_sql(conj.strip())})")
+        if not left_on:
+            raise ValueError(
+                f"stream-stream join MV: JOIN {tables[i + 1]} needs at least "
+                "one equi conjunct against an earlier table's column"
+            )
+        steps.append(
+            {
+                "left_on": left_on,
+                "right_on": right_on,
+                "how": pj["hows"][i],
+                "cond": " AND ".join(residual) if residual else None,
+            }
         )
-    cond = " AND ".join(residual) if residual else None
+        acc_cols = acc_cols + new_cols
 
-    rest = jm.group("rest") or ""
+    rest = pj["rest"] or ""
     gbm = re.search(
         r"\bGROUP\s+BY\s+(?P<gb>.*?)(?P<having>\s+HAVING\b.*)?$", rest, re.I | re.S
     )
     whm = re.search(r"\bWHERE\s+(?P<w>.*?)(?=\s+GROUP\s+BY\b|$)", rest, re.I | re.S)
     where = unq(_unmask(whm.group("w"), lits)).strip() if whm else None
-    out_cols = lcols + rcols
+    out_cols = acc_cols
 
     select_items = [
         _parse_select_item(unq(_unmask(i, lits)))
-        for i in _split_top_level(jm.group("select"))
+        for i in _split_top_level(pj["select"])
     ]
     sel_txt = ", ".join(
         (e if a is None or _norm(e) == _norm(a) else f"{e} AS {a}")
@@ -596,10 +663,17 @@ def _handle_create_stream_join_mv(
                 keep = [c for c in rows.columns if c not in derived]
                 return rows.select(*keep).selectExpr("*", *exprs)
 
-        engine.create_stream_join_mv(
-            name, l, r, left_on, right_on, how=how, cond=cond,
-            keys=keys, recompute=recompute, key_of=key_of,
-        )
+        if len(tables) == 2:
+            engine.create_stream_join_mv(
+                name, tables[0], tables[1],
+                steps[0]["left_on"], steps[0]["right_on"],
+                how=steps[0]["how"], cond=steps[0]["cond"],
+                keys=keys, recompute=recompute, key_of=key_of,
+            )
+        else:
+            engine.create_stream_join_chain_mv(
+                name, tables, steps, keys=keys, recompute=recompute, key_of=key_of
+            )
     else:
         project = None
         sel_is_star = sel_txt.strip() == "*"
@@ -610,9 +684,16 @@ def _handle_create_stream_join_mv(
                 df.createOrReplaceTempView(tmp)
                 return spark.sql(body)
 
-        engine.create_stream_join_mv(
-            name, l, r, left_on, right_on, how=how, cond=cond, project=project
-        )
+        if len(tables) == 2:
+            engine.create_stream_join_mv(
+                name, tables[0], tables[1],
+                steps[0]["left_on"], steps[0]["right_on"],
+                how=steps[0]["how"], cond=steps[0]["cond"], project=project,
+            )
+        else:
+            engine.create_stream_join_chain_mv(
+                name, tables, steps, project=project
+            )
     engine._record_ddl(name, stmt)
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
@@ -620,17 +701,18 @@ def _handle_create_stream_join_mv(
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     masked, lits = _mask_strings(select)
-    jm = _JOIN_SHAPE.match(masked)
-    if jm and jm.group("l") in engine.tables and jm.group("r") in engine.tables:
-        # BOTH join inputs are engine tables → true stream-stream join MV
-        # (retractable on both sides); a non-engine right side falls
-        # through to the dimension-join path below. Overlapping column
-        # names (splice keys would be ambiguous) also fall through —
+    pj = _parse_join_tree(masked)
+    if pj and all(t in engine.tables for t in pj["tables"]):
+        # EVERY join input is an engine table → true stream-stream join
+        # MV (retractable on all sides; 3+ tables become a left-deep
+        # cascade). A non-engine table anywhere falls through to the
+        # dimension-join path below. Overlapping column names across
+        # tables (splice keys would be ambiguous) also fall through —
         # dimension semantics there, documented divergence.
-        lc = engine.tables[jm.group("l")].snapshot().columns
-        rc = engine.tables[jm.group("r")].snapshot().columns
-        if not (set(lc) & set(rc)):
-            return _handle_create_stream_join_mv(engine, name, m.string, jm, lits)
+        colsets = [engine.tables[t].snapshot().columns for t in pj["tables"]]
+        flat = [c for cs in colsets for c in cs]
+        if len(set(flat)) == len(flat):
+            return _handle_create_stream_join_mv(engine, name, m.string, pj, lits)
     sm = _SELECT_SHAPE.match(masked)
     if not sm:
         raise ValueError(

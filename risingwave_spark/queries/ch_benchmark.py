@@ -208,3 +208,330 @@ def ch_q18(spark, sf_dir):
         .filter(F.col("amount") > 400000.0)
         .orderBy(F.desc("amount"), "o_orderkey")
     )
+
+
+@register(
+    "ch_q3",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate,
+       round((CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)/100.0), 0) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate > DATE '{_CUT}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate
+""",
+)
+def ch_q3(spark, sf_dir):
+    """CH-benCHmark Q3 (`ch_benchmark/batch/q3.slt.part`): unshipped-order
+    revenue per ORDER (group key = the join key itself, unlike TPC-H q3's
+    top-10) — the per-order aggregate reuses the join's hash partitioning,
+    so Catalyst plans ONE exchange for join + group."""
+    t = tables(spark, sf_dir)
+    rev = F.round(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 0
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate") > F.lit(_CUT))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate")
+    )
+
+
+@register(
+    "ch_q7",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def ch_q7(spark, sf_dir):
+    """CH-benCHmark Q7 (`batch/q7.slt.part`): supplier-nation ×
+    customer-nation × year volume — TWO aliases of the nation dim in one
+    plan (both broadcast); unlike TPC-H q7 there is no nation-pair filter,
+    the full matrix aggregates."""
+    t = tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "ch_q9",
+    oracle="""
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS amount_cents
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%re%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, l_year
+ORDER BY n_name, l_year DESC
+""",
+)
+def ch_q9(spark, sf_dir):
+    """CH-benCHmark Q9 (`batch/q9.slt.part`): product-profit rollup by
+    nation × year with an item-name LIKE filter — same shape as the
+    reference's i_data LIKE; no partsupp in the CH schema so the cost
+    term drops, making the name-filtered part join the selective edge."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_name").like("%re%")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "amount_cents"
+            )
+        )
+        .orderBy("n_name", F.desc("l_year"))
+    )
+
+
+@register(
+    "ch_q14",
+    oracle=f"""
+SELECT round(
+  100.0 * (CAST(sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(round(l_extendedprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT))
+  / (CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate > DATE '{_CUT}'
+""",
+)
+def ch_q14(spark, sf_dir):
+    """CH-benCHmark Q14 (`batch/q14.slt.part`): promo revenue share — a
+    conditional aggregate pair over one join, one output row (the
+    reference's i_data LIKE 'PR%' maps to the PROMO p_type); both sums
+    exact-cents so the single division is bit-identical cross-engine."""
+    t = tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit(_CUT))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * promo / F.sum(cents), 4).alias("promo_revenue"))
+    )
+
+
+@register(
+    "ch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem WHERE l_shipdate >= DATE '{_CUT}' GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def ch_q15(spark, sf_dir):
+    """CH-benCHmark Q15 (`batch/q15.slt.part`): top supplier via the
+    revenue view + scalar-subquery max (MaxOneRow) — the view is shared
+    between the join input and the subquery, the plan-reuse case."""
+    t = tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= F.lit(_CUT))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_cents").alias("m"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_cents") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "ch_q21",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name ORDER BY numwait DESC, s_name
+""",
+)
+def ch_q21(spark, sf_dir):
+    """CH-benCHmark Q21 (`batch/q21.slt.part`): suppliers who shipped
+    after the order entry date on multi-supplier orders — a correlated
+    EXISTS against the same fact table (left-semi self-join keyed on the
+    order, with the supplier-inequality residual)."""
+    t = tables(spark, sf_dir)
+    l1 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l1_ok"),
+        F.col("l_suppkey").alias("l1_sk"),
+        F.col("l_shipdate").alias("l1_ship"),
+    )
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    )
+    late = (
+        l1.join(t["orders"], F.col("l1_ok") == F.col("o_orderkey"))
+        .filter(F.col("l1_ship") > F.col("o_orderdate"))
+        .join(
+            l2,
+            (F.col("l2_ok") == F.col("l1_ok")) & (F.col("l2_sk") != F.col("l1_sk")),
+            "left_semi",
+        )
+    )
+    return (
+        late.join(t["supplier"], F.col("l1_sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "ch_q22",
+    oracle="""
+SELECT CAST(c_custkey % 10 AS BIGINT) AS country_code,
+       count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer
+WHERE c_acctbal > (
+        SELECT (CAST(sum(CAST(round(c_acctbal*10000,0) AS BIGINT)) AS BIGINT)/10000.0)
+               / count(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY country_code ORDER BY country_code
+""",
+)
+def ch_q22(spark, sf_dir):
+    """CH-benCHmark Q22 (`batch/q22.slt.part`): dormant high-balance
+    customers per country code (the phone-prefix maps to c_custkey % 10
+    under this synthetic schema) — scalar-subquery average (exact
+    scaled-sum / count), anti-join against orders, then group."""
+    t = tables(spark, sf_dir)
+    pos = t["customer"].filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (
+            (F.sum(F.round(F.col("c_acctbal") * 10000, 0).cast("long")) / 10000.0)
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("long").alias("country_code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+                "totacctbal_cents"
+            ),
+        )
+        .orderBy("country_code")
+    )
+
+
+@register(
+    "ch_q12_mv",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_late
+FROM (SELECT * FROM orders WHERE o_orderkey % 5 <> 0) o
+JOIN (SELECT * FROM lineitem WHERE l_linenumber <> 3) l
+  ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > DATE '{_CUT}'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ch_q12_mv(spark, sf_dir):
+    """CH-benCHmark Q12 as a STREAMING MV (reference
+    `ch_benchmark/streaming/q12.slt.part` — every CH streaming query is a
+    CREATE MATERIALIZED VIEW over multi-way stream joins): orders ⋈
+    lineitem with BOTH sides engine tables (true stream-stream join,
+    compiled onto RetractableStreamJoin through the SQL front door),
+    group key from the dimension side, composite lineitem pk, deletes on
+    both sides. The maintained MV equals the batch query over the
+    survivors."""
+    import tempfile
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_ch12mv_"))
+    eng.sql(
+        f"""
+        CREATE TABLE ch12_o (o_orderkey int8 PRIMARY KEY, o_orderpriority text);
+        CREATE TABLE ch12_l (
+            l_orderkey int8, l_linenumber int4, l_shipdate date,
+            PRIMARY KEY (l_orderkey, l_linenumber)
+        );
+        CREATE MATERIALIZED VIEW ch12mv AS
+        SELECT o.o_orderpriority, count(*) AS n_late
+        FROM ch12_l l JOIN ch12_o o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > DATE '{_CUT}'
+        GROUP BY o.o_orderpriority
+        """
+    )
+    eng.sql("INSERT INTO ch12_o SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0")
+    eng.sql("INSERT INTO ch12_l SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_orderkey % 2 = 0")
+    eng.sql("INSERT INTO ch12_o SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1")
+    eng.sql("INSERT INTO ch12_l SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_orderkey % 2 = 1")
+    eng.sql("DELETE FROM ch12_o WHERE o_orderkey % 5 = 0")
+    eng.sql("DELETE FROM ch12_l WHERE l_linenumber = 3")
+    return eng.sql(
+        "SELECT o_orderpriority, n_late FROM ch12mv ORDER BY o_orderpriority"
+    )

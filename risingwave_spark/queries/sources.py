@@ -350,3 +350,87 @@ def src_protobuf_decode(spark, sf_dir):
         "event_id long, user_id long, event_type string, v_scaled long",
     )
     return decoded.orderBy("event_id")
+
+
+@register(
+    "src_avro_registry",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 1
+            THEN CAST(round(o_totalprice*100, 0) AS BIGINT) END AS cents
+FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey
+""",
+)
+def src_avro_registry(spark, sf_dir):
+    """Schema-registry-resolved Avro decode with TWO interleaved schema
+    versions (reference `schema_registry.rs` resolves each payload's
+    4-byte id over HTTP; here the same contract against a file-backed
+    registry — sandbox has no network): even orders are written with
+    schema v1 (no cents field), odd with v2 (adds cents). The reader
+    resolves each row's writer schema BY ID and fills fields absent from
+    v1 with NULL — the registry-driven schema-evolution path."""
+    import pandas as pd
+    import tempfile
+
+    from risingwave_spark.sources.decoders import avro_encode_record, confluent_wrap
+    from risingwave_spark.sources.schema_registry import (
+        FileSchemaRegistry,
+        avro_registry_decode_df,
+    )
+
+    reg_root = tempfile.mkdtemp(prefix="rw_sreg_")
+    reg = FileSchemaRegistry(reg_root)
+    v1 = [("o_orderkey", "long"), ("o_orderstatus", "?string")]
+    v2 = [("o_orderkey", "long"), ("o_orderstatus", "?string"), ("cents", "long")]
+    id1 = reg.register("orders-value", v1)
+    id2 = reg.register("orders-value", v2)
+    assert id1 != id2 and reg.latest("orders-value")[0] == id2
+
+    o = (
+        tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for r in pdf.itertuples():
+                if int(r.o_orderkey) % 2 == 1:
+                    payloads.append(
+                        confluent_wrap(
+                            id2,
+                            avro_encode_record(
+                                v2,
+                                {
+                                    "o_orderkey": int(r.o_orderkey),
+                                    "o_orderstatus": r.o_orderstatus,
+                                    "cents": int(r.cents),
+                                },
+                            ),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        confluent_wrap(
+                            id1,
+                            avro_encode_record(
+                                v1,
+                                {
+                                    "o_orderkey": int(r.o_orderkey),
+                                    "o_orderstatus": r.o_orderstatus,
+                                },
+                            ),
+                        )
+                    )
+            yield pd.DataFrame({"value": payloads})
+
+    framed = o.mapInPandas(encode, schema="value binary")
+    decoded = avro_registry_decode_df(
+        framed, "value", reg_root, "o_orderkey long, o_orderstatus string, cents long"
+    )
+    return decoded.orderBy("o_orderkey")

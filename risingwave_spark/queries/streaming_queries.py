@@ -1127,6 +1127,62 @@ def engine_sql_mv_join2(spark, sf_dir):
 
 
 @register(
+    "engine_sql_mv_join3",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+FROM (SELECT * FROM customer WHERE c_custkey % 5 <> 0) c
+JOIN (SELECT * FROM orders WHERE o_orderkey % 7 <> 0) o ON c.c_custkey = o.o_custkey
+JOIN (SELECT * FROM lineitem WHERE l_linenumber <> 2) l ON o.o_orderkey = l.l_orderkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def engine_sql_mv_join3(spark, sf_dir):
+    """THREE-way stream-stream join MV through SQL (reference
+    `create_mv.rs:87` planning a TREE of `stream_hash_join.rs` nodes —
+    the `e2e_test/streaming/tpch/q3`-class shape, customer ⋈ orders ⋈
+    lineitem): compiled onto a left-deep RetractableStreamJoin cascade
+    whose per-level changelogs feed the next level; deletes on ALL THREE
+    tables (including the middle one) keep the aggregate exact."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_ssj3_"))
+    eng.sql(
+        """
+        CREATE TABLE sj3_c (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE TABLE sj3_o (o_orderkey int8 PRIMARY KEY, o_custkey int8);
+        CREATE TABLE sj3_l (
+            l_orderkey int8, l_linenumber int4, l_extendedprice float8,
+            PRIMARY KEY (l_orderkey, l_linenumber)
+        );
+        CREATE MATERIALIZED VIEW sj3_mv AS
+        SELECT c.c_mktsegment, count(*) AS n,
+               sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)) AS cents
+        FROM sj3_c c JOIN sj3_o o ON c.c_custkey = o.o_custkey
+                     JOIN sj3_l l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+    eng.sql("INSERT INTO sj3_c SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0")
+    eng.sql("INSERT INTO sj3_o SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0")
+    eng.sql(
+        "INSERT INTO sj3_l SELECT l_orderkey, l_linenumber, l_extendedprice "
+        "FROM lineitem WHERE l_orderkey % 2 = 0"
+    )
+    eng.sql("INSERT INTO sj3_c SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1")
+    eng.sql("INSERT INTO sj3_o SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1")
+    eng.sql(
+        "INSERT INTO sj3_l SELECT l_orderkey, l_linenumber, l_extendedprice "
+        "FROM lineitem WHERE l_orderkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM sj3_l WHERE l_linenumber = 2")
+    eng.sql("DELETE FROM sj3_o WHERE o_orderkey % 7 = 0")
+    eng.sql("DELETE FROM sj3_c WHERE c_custkey % 5 = 0")
+    return eng.sql("SELECT c_mktsegment, n, cents FROM sj3_mv ORDER BY c_mktsegment")
+
+
+@register(
     "engine_sql_mv_join_outer",
     oracle="""
 SELECT o_orderkey, o_totalprice, c_name

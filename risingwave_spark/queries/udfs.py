@@ -66,3 +66,44 @@ def udf_grouped_agg(spark, sf_dir):
     return grouped_weighted_avg(d, ["event_type"], "value", "k", "event_type string").orderBy(
         "event_type"
     )
+
+
+@register(
+    "udf_external_server",
+    oracle="""
+SELECT o_orderkey,
+       upper(o_orderstatus) || ':' || CAST(length(o_orderstatus) AS VARCHAR) AS tagged
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+""",
+)
+def udf_external_server(spark, sf_dir):
+    """EXTERNAL UDF runtime (reference `expr/impl/src/udf/external.rs` —
+    Arrow Flight to a user-owned UDF server; here the same per-Arrow-batch
+    contract over a subprocess pipe, Flight being a transport swap): the
+    server is a STANDALONE process with no engine imports, evaluation
+    round-trips each pandas_udf batch as Arrow IPC frames. Must equal
+    the equivalent built-in expression."""
+    import os
+    import sys
+    import tempfile
+
+    from risingwave_spark.functions.udf_external import (
+        external_pandas_udf,
+        write_server_script,
+    )
+
+    script = os.path.join(tempfile.mkdtemp(prefix="rw_extudf_"), "server.py")
+    write_server_script(
+        script,
+        """
+def handle(tbl):
+    import pyarrow as pa
+    s = tbl.column(0).to_pandas()
+    return pa.table({"r": pa.Array.from_pandas(s.str.upper() + ":" + s.str.len().astype(str))})
+""",
+    )
+    tag = external_pandas_udf(f"{sys.executable} {script}", "string")
+    o = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey", tag(F.col("o_orderstatus")).alias("tagged")
+    ).orderBy("o_orderkey")

@@ -52,6 +52,10 @@ class RetractableStreamJoin:
     joined columns, e.g. ``"r_ts >= l_ts"``).
     """
 
+    #: compact each side's chunked state every N folds (None = never) —
+    #: the rewrite lands the bucketed base layer pruned reads depend on
+    compact_every: int | None = 16
+
     def __init__(
         self,
         spark: SparkSession,
@@ -145,6 +149,14 @@ class RetractableStreamJoin:
         affected = affected.distinct()
 
         touched = self._touched_buckets(aff_l is not None, aff_r is not None)
+        # compaction cadence (same trade as _RetractableView): every N
+        # folds a side's chunks rewrite into the BUCKETED base layer, so
+        # the pruned state reads below stay O(touched buckets + recent
+        # flat chunks). Runs after the touched-bucket computation — the
+        # compacted single chunk spans every bucket, the batch does not.
+        for st in (self.state_l, self.state_r):
+            if self.compact_every and st._seq and st._seq % self.compact_every == 0:
+                st.compact()
         recomputed = self._join_affected(affected, buckets=touched)
 
         out_changelog = None

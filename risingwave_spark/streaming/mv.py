@@ -519,21 +519,15 @@ class ChunkedState:
             last = self._read_last_batch()
             if last is not None and batch_id <= last[0]:
                 return False
+        # Per-batch chunks write FLAT (one cheap parallel write, no
+        # partitionBy fan-out): the LSM shape — compaction periodically
+        # rewrites the accumulated state into __bucket=N leaf dirs, so a
+        # pruned read costs O(touched buckets of the compacted base) +
+        # O(recent flat chunks), and the per-batch write cost stays the
+        # round-3 cost exactly.
         vw = inserts.withColumn("__seq", F.lit(self._seq)).coalesce(4)
         vchunk = os.path.join(self.values_dir, f"b{self._seq}")
-        if self.bucket_cols and set(self.bucket_cols) <= set(inserts.columns):
-            vw.withColumn(
-                "__bucket", key_bucket_expr(self.bucket_cols, self.n_buckets)
-            ).write.mode("overwrite").partitionBy("__bucket").parquet(vchunk)
-            if not any(
-                s.startswith("__bucket=") for s in os.listdir(vchunk)
-            ):
-                # empty inserts (delete-only batch): partitionBy wrote no
-                # data files — drop in a flat empty chunk so later schema
-                # inference over the values dir keeps working
-                vw.coalesce(1).write.mode("overwrite").parquet(vchunk)
-        else:
-            vw.write.mode("overwrite").parquet(vchunk)
+        vw.write.mode("overwrite").parquet(vchunk)
         self._has_values = True
         schema_file = os.path.join(self.base, "SCHEMA")
         if not os.path.exists(schema_file):
@@ -560,13 +554,7 @@ class ChunkedState:
             )
             dl = deletes.select(*keep, F.lit(self._seq).alias("__del_seq"))
             tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
-            dlw = dl.coalesce(1)
-            if self.bucket_cols and set(self.bucket_cols) <= set(keep):
-                dlw.withColumn(
-                    "__bucket", key_bucket_expr(self.bucket_cols, self.n_buckets)
-                ).write.mode("overwrite").partitionBy("__bucket").parquet(tomb_chunk)
-            else:
-                dlw.write.mode("overwrite").parquet(tomb_chunk)
+            dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
             if _parquet_rows(tomb_chunk) > 0:
                 self._has_tombs = True
             else:
@@ -624,6 +612,10 @@ class ChunkedState:
             # chunk): empty frame with the recorded schema if any
             return self._empty()
         self.last_read_paths = None
+        # pruning a full bucket set is a no-op — take the plain recursive
+        # scan (one listing) instead of assembling every leaf path
+        if buckets is not None and len(set(buckets)) >= self.n_buckets:
+            buckets = None
         if buckets is not None and self.bucket_cols:
             vpaths = self._pruned_paths(self.values_dir, buckets)
             self.last_read_paths = vpaths
@@ -669,14 +661,20 @@ class ChunkedState:
         nxt = self._gen + 1
         new_values = os.path.join(self.base, f"values_g{nxt}")
         sw = survivors.withColumn("__seq", F.lit(0)).coalesce(4)
+        base_chunk = os.path.join(new_values, "b0")
         if self.bucket_cols and set(self.bucket_cols) <= set(survivors.columns):
+            # the compacted base is the BUCKETED layer (LSM L1): pruned
+            # reads skip untouched buckets at file level; per-batch flat
+            # chunks on top stay cheap to write and small to scan
             sw.withColumn(
                 "__bucket", key_bucket_expr(self.bucket_cols, self.n_buckets)
-            ).write.mode("overwrite").partitionBy("__bucket").parquet(
-                os.path.join(new_values, "b0")
-            )
+            ).write.mode("overwrite").partitionBy("__bucket").parquet(base_chunk)
+            if not any(s.startswith("__bucket=") for s in os.listdir(base_chunk)):
+                # zero survivors: partitionBy wrote no data files — keep a
+                # flat empty chunk so schema inference stays alive
+                sw.coalesce(1).write.mode("overwrite").parquet(base_chunk)
         else:
-            sw.write.mode("overwrite").parquet(os.path.join(new_values, "b0"))
+            sw.write.mode("overwrite").parquet(base_chunk)
         tmp = self._gen_pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))

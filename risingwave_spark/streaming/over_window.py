@@ -122,6 +122,9 @@ class MaterializedOverWindowDelta:
             bucket_cols=keys,
             n_buckets=self.mv.n_buckets,
         )
+        #: compact the chunked state every N folded batches (None=never);
+        #: compaction writes the bucketed base layer for pruned reads
+        self.compact_every: int | None = 16
         #: set track_recompute=True to record how many rows entered each
         #: window recompute (the frame-delta efficiency claim, asserted in
         #: tests; costs one count job per batch, so off by default)
@@ -280,6 +283,11 @@ class MaterializedOverWindowDelta:
             return df.select(*[F.col(c).alias(c) for c in df.columns])
 
         touched = buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
+        # compaction cadence (see _RetractableView): lands the bucketed
+        # base layer the pruned state read depends on; after the
+        # touched-bucket computation, which must see the batch's chunk
+        if self.compact_every and self.state._seq % self.compact_every == 0:
+            self.state.compact()
 
         reach = _forward_reach(self.funcs)
         if reach and self.mv.exists():

@@ -153,3 +153,25 @@ def test_wire_format_decoders_edge_cases():
     assert sid == 123456 and payload == b"data"
     with pytest.raises(ValueError, match="magic"):
         confluent_unwrap(b"\x01xxxx")
+
+
+def test_file_schema_registry_contract(tmp_path):
+    """File-backed Confluent registry (reference schema_registry.rs):
+    version assignment, idempotent re-register, id fetch, loud miss."""
+    import pytest as _pytest
+
+    from risingwave_spark.sources.schema_registry import FileSchemaRegistry
+
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    v1 = [("a", "long")]
+    v2 = [("a", "long"), ("b", "?string")]
+    id1 = reg.register("t-value", v1)
+    assert reg.register("t-value", v1) == id1  # idempotent
+    id2 = reg.register("t-value", v2)
+    assert id2 != id1
+    assert reg.latest("t-value") == (id2, [("a", "long"), ("b", "?string")])
+    # a fresh client (new executor) resolves ids from disk
+    reg2 = FileSchemaRegistry(str(tmp_path / "reg"))
+    assert reg2.get(id1) == [("a", "long")]
+    with _pytest.raises(KeyError, match="not found"):
+        reg2.get(999)

@@ -206,6 +206,9 @@ def test_state_read_cost_scales_with_touched_buckets(spark, tmp_path):
     )
     mv = MaterializedGroupAgg(spark, str(tmp_path / "mv"), ["k"], "rid", "v")
     mv.apply_batch(with_ops(rows, 1))  # all 500 groups → all 16 buckets
+    # compaction lands the bucketed base layer (auto every compact_every
+    # folds; forced here so the narrow batch that follows reads it)
+    mv.state.compact()
     one = spark.createDataFrame([(99990001, 3, 5.0)], "rid long, k long, v double")
     mv.apply_batch(with_ops(one, 1))
     # the narrow batch's state read must have been pruned to leaf dirs
@@ -216,8 +219,11 @@ def test_state_read_cost_scales_with_touched_buckets(spark, tmp_path):
     assert read_bytes < total_bytes / 4, (
         f"narrow batch read {read_bytes}B of {total_bytes}B state"
     )
-    # only bucket dirs of the touched key were read
-    assert all("__bucket=" in p for p in read_paths)
+    # the compacted base contributed only the touched key's bucket dirs
+    assert any("__bucket=" in p for p in read_paths)
+    # ... and the flat tail is just the narrow batch's own chunk
+    flat = [p for p in read_paths if "__bucket=" not in p]
+    assert len(flat) <= 2
     got = {r.k: r.cnt for r in mv.result().collect()}
     assert got[3] == 41 and got[4] == 40
 
@@ -238,6 +244,8 @@ def test_stream_join_state_read_pruned(spark, tmp_path):
         spark, str(tmp_path / "j"), ["k"], ["k2"], "lid", "rid", how="inner"
     )
     j.apply(left=with_ops(L, 1), right=with_ops(R, 1))
+    j.state_l.compact()
+    j.state_r.compact()
     one = spark.createDataFrame([(99991, 7, 123)], "lid long, k long, lv long")
     j.apply(left=with_ops(one, 1))
     for st in (j.state_l, j.state_r):

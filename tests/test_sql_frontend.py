@@ -478,3 +478,61 @@ def test_create_sink_filesystem_streams_changelog(eng, tmp_path, spark):
     with pytest.raises(NotImplementedError, match="jar"):
         eng.sql("CREATE SINK ksnk FROM smv WITH (connector='kafka', topic='t')")
     assert _rows(eng.sql("SHOW SINKS")) == [("snk",)]
+
+
+def test_create_mv_three_way_stream_join(eng):
+    """N-way stream-stream join MV: left-deep RetractableStreamJoin
+    cascade; deletes on the MIDDLE table propagate through the chain."""
+    eng.sql("CREATE TABLE w3_a (ak int8 PRIMARY KEY, av int8)")
+    eng.sql("CREATE TABLE w3_b (bk int8 PRIMARY KEY, ak2 int8, bv int8)")
+    eng.sql("CREATE TABLE w3_c (ck int8 PRIMARY KEY, bk2 int8, cv int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW w3_mv AS "
+        "SELECT a.ak, sum(c.cv) AS total "
+        "FROM w3_a a JOIN w3_b b ON a.ak = b.ak2 "
+        "JOIN w3_c c ON b.bk = c.bk2 "
+        "GROUP BY a.ak"
+    )
+    eng.sql("INSERT INTO w3_a VALUES (1,10),(2,20)")
+    eng.sql("INSERT INTO w3_b VALUES (100,1,0),(101,1,0),(102,2,0)")
+    eng.sql("INSERT INTO w3_c VALUES (1000,100,5),(1001,100,6),(1002,101,7),(1003,102,9)")
+    assert _rows(eng.sql("SELECT ak, total FROM w3_mv")) == [(1, 18), (2, 9)]
+    # delete in the MIDDLE table: its join rows vanish on both levels
+    eng.sql("DELETE FROM w3_b WHERE bk = 100")
+    assert _rows(eng.sql("SELECT ak, total FROM w3_mv")) == [(1, 7), (2, 9)]
+    # late insert on the first table has no matches yet -> no group
+    eng.sql("INSERT INTO w3_a VALUES (3,30)")
+    assert _rows(eng.sql("SELECT ak, total FROM w3_mv")) == [(1, 7), (2, 9)]
+    eng.sql("INSERT INTO w3_b VALUES (103,3,0)")
+    eng.sql("INSERT INTO w3_c VALUES (1004,103,42)")
+    assert _rows(eng.sql("SELECT ak, total FROM w3_mv")) == [(1, 7), (2, 9), (3, 42)]
+    eng.sql("DROP MATERIALIZED VIEW w3_mv")
+    assert all(not t.mvs for t in eng.tables.values())
+
+
+def test_sink_from_stream_join_mv(eng, tmp_path, spark):
+    """CREATE SINK / SUBSCRIPTION on a stream-join MV attaches to its agg
+    level's changelog (and refuses loudly on row-grain join MVs)."""
+    eng.sql("CREATE TABLE sk_a (ak int8 PRIMARY KEY, av int8)")
+    eng.sql("CREATE TABLE sk_b (bk int8 PRIMARY KEY, bv int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sk_agg AS SELECT a.ak, sum(b.bv) AS total "
+        "FROM sk_a a JOIN sk_b b ON a.ak = b.bk GROUP BY a.ak"
+    )
+    eng.sql("INSERT INTO sk_a VALUES (1,1)")
+    eng.sql("INSERT INTO sk_b VALUES (1,10)")
+    out = str(tmp_path / "jsink")
+    eng.sql(f"CREATE SINK jsnk FROM sk_agg WITH (connector='posix_fs', path='{out}')")
+    eng.sql("INSERT INTO sk_a VALUES (2,2)")
+    eng.sql("INSERT INTO sk_b VALUES (2,7)")
+    net = {}
+    for r in spark.read.option("recursiveFileLookup", "true").parquet(out).collect():
+        net[(r.ak, r.total)] = net.get((r.ak, r.total), 0) + r["__op"]
+    assert {kv for kv, n in net.items() if n > 0} == {(1, 10), (2, 7)}
+    # row-grain join MV: loud refusal
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sk_raw AS SELECT a.ak, b.bv "
+        "FROM sk_a a JOIN sk_b b ON a.ak = b.bk"
+    )
+    with pytest.raises(ValueError, match="row-grain"):
+        eng.sql(f"CREATE SINK bad FROM sk_raw WITH (connector='posix_fs', path='{tmp_path}/x')")
