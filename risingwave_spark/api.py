@@ -313,7 +313,15 @@ class Engine:
         from risingwave_spark.functions.pgsql import pg_to_spark_sql
 
         for name, body in self.views.items():
-            self.spark.sql(pg_to_spark_sql(body)).createOrReplaceTempView(name)
+            try:
+                self.spark.sql(pg_to_spark_sql(body)).createOrReplaceTempView(name)
+            except Exception:
+                # a view over a dropped relation must not poison every
+                # later DML batch's re-registration pass: unregister it
+                # (reads then raise TABLE_OR_VIEW_NOT_FOUND, not a stale
+                # snapshot) and let it re-bind if its base reappears
+                self.spark.catalog.dropTempView(name)
+                continue
 
     # ---- durability ------------------------------------------------
     def _catalog_path(self) -> str:

@@ -536,3 +536,57 @@ def test_sink_from_stream_join_mv(eng, tmp_path, spark):
     )
     with pytest.raises(ValueError, match="row-grain"):
         eng.sql(f"CREATE SINK bad FROM sk_raw WITH (connector='posix_fs', path='{tmp_path}/x')")
+
+
+def test_reopen_replays_view_source_sink(spark, tmp_path):
+    """Engine.open replays the whole SQL-surface catalog: views re-bind,
+    file sources re-register, sinks re-attach (no snapshot rewrite) and
+    keep draining post-restart DML."""
+    src_dir = str(tmp_path / "srcdata")
+    spark.range(4).select(F.col("id").alias("x")).write.parquet(src_dir)
+    sink_dir = str(tmp_path / "sinkout")
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE rt (k int4 PRIMARY KEY, v int4)")
+    eng.sql("CREATE MATERIALIZED VIEW rmv AS SELECT k, v FROM rt")
+    eng.sql("CREATE VIEW rv AS SELECT k, v + 1 AS v1 FROM rt")
+    eng.sql(
+        f"CREATE SOURCE rsrc (x int8) WITH (connector='posix_fs', posix.fs.root='{src_dir}')"
+    )
+    eng.sql("INSERT INTO rt VALUES (1, 10)")
+    eng.sql(f"CREATE SINK rsnk FROM rmv WITH (connector='posix_fs', path='{sink_dir}')")
+    chunks_before = len(
+        [d for d in __import__("os").listdir(sink_dir) if d.startswith("c")]
+    )
+    eng2 = Engine.open(spark, wh)
+    assert sorted(eng2.views) == ["rv"]
+    assert sorted(eng2.sources) == ["rsrc"]
+    assert sorted(eng2.sinks) == ["rsnk"]
+    # no duplicate snapshot chunk on re-attach
+    import os as _os
+
+    assert (
+        len([d for d in _os.listdir(sink_dir) if d.startswith("c")]) == chunks_before
+    )
+    # everything still works post-restart
+    assert _rows(eng2.sql("SELECT k, v1 FROM rv")) == [(1, 11)]
+    assert _rows(eng2.sql("SELECT count(*) AS n FROM rsrc")) == [(4,)]
+    eng2.sql("INSERT INTO rt VALUES (2, 20)")
+    net = {}
+    for r in spark.read.option("recursiveFileLookup", "true").parquet(sink_dir).collect():
+        net[(r.k, r.v)] = net.get((r.k, r.v), 0) + r["__op"]
+    assert {kv for kv, n in net.items() if n > 0} == {(1, 10), (2, 20)}
+
+
+def test_view_over_dropped_table_does_not_poison_dml(eng):
+    eng.sql("CREATE TABLE vp_a (k int4 PRIMARY KEY, v int4)")
+    eng.sql("CREATE TABLE vp_b (k2 int4 PRIMARY KEY, w int4)")
+    eng.sql("CREATE VIEW vp_v AS SELECT k, v FROM vp_a")
+    eng.sql("INSERT INTO vp_a VALUES (1, 1)")
+    eng.sql("DROP TABLE vp_a")
+    # DML on the OTHER table must still work (the broken view is skipped)
+    eng.sql("INSERT INTO vp_b VALUES (5, 50)")
+    assert _rows(eng.sql("SELECT k2, w FROM vp_b")) == [(5, 50)]
+    # the broken view reads as not-found, not as a stale snapshot
+    with pytest.raises(Exception, match="(?i)cannot be found|not found"):
+        eng.sql("SELECT * FROM vp_v").collect()
