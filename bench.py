@@ -63,21 +63,20 @@ def main() -> None:
     # warm the JVM + file listing once (excluded from timings)
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-    # min of 3 runs per query (4 for the slow multi-batch MV simulations,
-    # whose run-to-run variance is the largest): steady-state throughput,
-    # not first-call codegen/JIT compilation (which a long-lived engine
-    # pays once); n=2 proved too noisy to separate regression from
-    # variance (round 2)
+    # min of EXACTLY N_RUNS per query, pinned permanently (VERDICT r4
+    # 'What's wrong' #3: per-round drift in n biases min-of-n downward
+    # and pollutes round-over-round comparisons): steady-state
+    # throughput, not first-call codegen/JIT (which a long-lived engine
+    # pays once).
+    N_RUNS = 4
     for name in HEADLINE:
         best, n = None, 0
-        runs = 0
-        while runs < 3 or (runs < 4 and best is not None and best > 1.5):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            runs += 1
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -96,11 +95,12 @@ def main() -> None:
     spark.stop()
 
     # Regression guardrail (VERDICT r3 ask #10): fail loudly if any query
-    # regressed >1.5x vs the recorded round-3 sf0.1 numbers. Only applied
-    # at the canonical bench config so sf0.01 dev runs don't false-alarm.
+    # regressed >1.5x vs the best recorded sf0.1 numbers (round 4). Only
+    # applied at the canonical bench config so sf0.01 dev runs don't
+    # false-alarm.
     if sf == 0.1:
         baseline_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r03.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r04.json"
         )
         try:
             with open(baseline_path) as f:
@@ -114,7 +114,7 @@ def main() -> None:
         }
         if regressed:
             for q, (now, was) in regressed.items():
-                print(f"# REGRESSION {q}: {now:.3f}s vs r3 {was:.3f}s", file=sys.stderr)
+                print(f"# REGRESSION {q}: {now:.3f}s vs r4 {was:.3f}s", file=sys.stderr)
             sys.exit(1)
 
 

@@ -139,11 +139,11 @@ class StreamJoinMv:
             raise ValueError("row-grain stream-join MV has no changelog log")
         return self.agg.changelog_dir
 
-    def apply_left(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        self.join.apply(left=batch, batch_id=batch_id)
+    def apply_left(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        self.join.apply(left=batch, batch_id=batch_id, batch_ns=batch_ns)
 
-    def apply_right(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        self.join.apply(right=batch, batch_id=batch_id)
+    def apply_right(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        self.join.apply(right=batch, batch_id=batch_id, batch_ns=batch_ns)
 
     def result(self) -> DataFrame:
         if self.agg is not None:
@@ -244,9 +244,9 @@ class _JoinChainFeed:
     def __init__(self, downstream_join):
         self._j = downstream_join
 
-    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
         drop = [c for c in batch.columns if c.startswith("__jk")]
-        self._j.apply(left=batch.drop(*drop), batch_id=batch_id)
+        self._j.apply(left=batch.drop(*drop), batch_id=batch_id, batch_ns=batch_ns)
 
 
 class _ChainSideHandle:
@@ -259,11 +259,11 @@ class _ChainSideHandle:
         self._side = side
         self.view = self  # duck-type MaterializedViewHandle for _apply_dml
 
-    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
         if self._side == "left":
-            self._join.apply(left=batch, batch_id=batch_id)
+            self._join.apply(left=batch, batch_id=batch_id, batch_ns=batch_ns)
         else:
-            self._join.apply(right=batch, batch_id=batch_id)
+            self._join.apply(right=batch, batch_id=batch_id, batch_ns=batch_ns)
 
     def _register(self) -> None:
         pass
@@ -280,11 +280,11 @@ class _JoinSideHandle:
         self._side = side
         self.view = self  # duck-type MaterializedViewHandle for _apply_dml
 
-    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
         if self._side == "left":
-            self._jmv.apply_left(batch, batch_id=batch_id)
+            self._jmv.apply_left(batch, batch_id=batch_id, batch_ns=batch_ns)
         else:
-            self._jmv.apply_right(batch, batch_id=batch_id)
+            self._jmv.apply_right(batch, batch_id=batch_id, batch_ns=batch_ns)
 
     def _register(self) -> None:  # the real handle registers the MV name
         pass
@@ -408,10 +408,13 @@ class Engine:
             row_id, backfill, subscribe = t.pk, t.snapshot(), t.mvs
         else:
             up = self.mv_handles[base]
-            if len(up.view.keys) != 1:
-                raise ValueError("MV-on-MV requires a single-column upstream key (its pk)")
+            if not up.view.keys:
+                raise ValueError("MV-on-MV requires the upstream MV to have group keys (its pk)")
+            # upstream group keys ARE the upstream rows' pk — composite
+            # keys ride through as a composite row id (ChunkedState
+            # tombstones match on all pk columns)
             row_id, backfill, subscribe = (
-                up.view.keys[0],
+                up.view.keys[0] if len(up.view.keys) == 1 else list(up.view.keys),
                 up.view.result(),
                 None,
             )

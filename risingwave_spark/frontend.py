@@ -560,7 +560,10 @@ def _handle_create_stream_join_mv(
         right_on: list[str] = []
         residual: list[str] = []
         for conj in _split_top_level_and(on_txt):
-            conj = unq(_unmask(conj, lits))
+            # unqualify on the MASKED text, THEN restore literals: a
+            # restored literal containing '<alias>.' must never be
+            # rewritten (ADVICE r4 #2)
+            conj = _unmask(unq(conj), lits)
             cm = re.match(r"^\s*\(?\s*(\w+)\s*=\s*(\w+)\s*\)?\s*$", conj)
             if cm:
                 a, b = cm.group(1), cm.group(2)
@@ -593,13 +596,16 @@ def _handle_create_stream_join_mv(
         r"\bGROUP\s+BY\s+(?P<gb>.*?)(?P<having>\s+HAVING\b.*)?$", rest, re.I | re.S
     )
     whm = re.search(r"\bWHERE\s+(?P<w>.*?)(?=\s+GROUP\s+BY\b|$)", rest, re.I | re.S)
-    where = unq(_unmask(whm.group("w"), lits)).strip() if whm else None
+    where = _unmask(unq(whm.group("w")), lits).strip() if whm else None
     out_cols = acc_cols
 
+    # parse item shape + strip qualifiers while literals are still
+    # masked (an ' AS ' or '<alias>.' inside a literal must not steer
+    # parsing), then restore literals into the expression text
     select_items = [
-        _parse_select_item(unq(_unmask(i, lits)))
-        for i in _split_top_level(pj["select"])
+        _parse_select_item(unq(i)) for i in _split_top_level(pj["select"])
     ]
+    select_items = [(_unmask(e, lits), a) for e, a in select_items]
     sel_txt = ", ".join(
         (e if a is None or _norm(e) == _norm(a) else f"{e} AS {a}")
         for e, a in select_items
@@ -612,7 +618,7 @@ def _handle_create_stream_join_mv(
         keys: list[str] = []
         derived: dict[str, str] = {}
         for item in _split_top_level(gbm.group("gb")):
-            item = unq(_unmask(item, lits)).strip()
+            item = _unmask(unq(item), lits).strip()
             if item.isdigit():
                 expr, al = select_items[int(item) - 1]
                 if al is None:
@@ -648,7 +654,7 @@ def _handle_create_stream_join_mv(
         gb_sql = " GROUP BY " + ", ".join(keys)
         having = gbm.group("having") or ""
         if having:
-            gb_sql += " " + pg_to_spark_sql(unq(_unmask(having, lits)).strip())
+            gb_sql += " " + pg_to_spark_sql(_unmask(unq(having), lits).strip())
         body = pg_to_spark_sql(f"SELECT {sel_txt} FROM {tmp}{where_sql}") + gb_sql
 
         def recompute(rows: DataFrame) -> DataFrame:
@@ -808,7 +814,7 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
             raise ValueError(f"GROUP BY keys {missing} must be selected for MV splice")
     else:
         t = engine.tables.get(base)
-        pk = t.pk if t is not None else engine.mv_handles[base].view.keys[0]
+        pk = t.pk if t is not None else engine.mv_handles[base].view.keys
         pks = [pk] if isinstance(pk, str) else list(pk)
         sel_names = {a for _, a in select_items} | {e for e, _ in select_items}
         if "*" not in sel_names and any(p not in sel_names for p in pks):
@@ -967,13 +973,23 @@ def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
-    sub = engine.create_subscription(f"__sink_{name}", src, from_beginning=True)
+    fresh = not (_os.path.isdir(path) and _os.listdir(path))
+    # A FRESH sink bootstraps from the MV's current snapshot, so its
+    # subscription starts at the changelog HEAD (from_beginning=False):
+    # the snapshot already reflects every retained chunk, and replaying
+    # them on top would double-count (ADVICE r4 #1). A re-opened sink
+    # (non-empty path) resumes from its durable ack point — the cursor
+    # file already exists, so from_beginning is moot; True is kept for
+    # the recovery edge where the sink dir survived but the cursor did
+    # not (continue the changelog rather than drop history).
+    sub = engine.create_subscription(
+        f"__sink_{name}", src, from_beginning=not fresh
+    )
     sink = _FileSink(sub, path)
     engine.sinks[name] = sink
-    if not (_os.path.isdir(path) and _os.listdir(path)):
+    if fresh:
         # bootstrap: current MV content as the first insert chunk (the
-        # reference's snapshot-then-changelog sink start); a re-opened
-        # sink re-attaches and keeps draining from its ack point instead
+        # reference's snapshot-then-changelog sink start)
         _os.makedirs(path, exist_ok=True)
         _wo(engine.mv_handles[src].view.result(), 1).coalesce(1).write.mode(
             "overwrite"
@@ -1083,39 +1099,56 @@ def execute(engine: "Engine", text: str) -> DataFrame:
     return result
 
 
+def _handle_create_subscription(engine: "Engine", m: re.Match) -> DataFrame:
+    name, mv_name = m.group(1), m.group(2)
+    engine.subscriptions = getattr(engine, "subscriptions", {})
+    engine.subscriptions[name] = engine.create_subscription(name, mv_name)
+    engine._record_ddl(name, m.string)
+    return _status(engine.spark, "CREATE_SUBSCRIPTION")
+
+
+def _handle_close(engine: "Engine", m: re.Match) -> DataFrame:
+    getattr(engine, "cursors", {}).pop(m.group(1), None)
+    return _status(engine.spark, "CLOSE_CURSOR")
+
+
+#: statement kind (from the recursive-descent grammar, sqlparse.classify)
+#: → the extraction regex + handler. The grammar is the GATE: an
+#: engine-owned statement it rejects raises SqlParseError and never
+#: reaches Catalyst; one it accepts must also match the extraction
+#: regex — a disagreement is a loud internal error, not a fallthrough.
+_KIND_DISPATCH = {
+    "create_table_as": (_CREATE_TABLE_AS, _handle_create_table_as),
+    "create_table": (_CREATE_TABLE, _handle_create_table),
+    "create_mv": (_CREATE_MV, _handle_create_mv),
+    "create_view": (_CREATE_VIEW, _handle_create_view),
+    "create_source": (_CREATE_SOURCE, _handle_create_source),
+    "create_sink": (_CREATE_SINK, _handle_create_sink),
+    "create_subscription": (_CREATE_SUB, _handle_create_subscription),
+    "drop": (_DROP, _handle_drop),
+    "insert": (_INSERT, _handle_insert),
+    "update": (_UPDATE, _handle_update),
+    "delete": (_DELETE, _handle_delete),
+    "declare": (_DECLARE, _handle_declare),
+    "fetch": (_FETCH, _handle_fetch),
+    "close": (_CLOSE, _handle_close),
+}
+
+
 def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
-    for rx, handler in (
-        (_CREATE_TABLE_AS, _handle_create_table_as),
-        (_CREATE_TABLE, _handle_create_table),
-        (_CREATE_MV, _handle_create_mv),
-        (_CREATE_VIEW, _handle_create_view),
-        (_CREATE_SOURCE, _handle_create_source),
-        (_CREATE_SINK, _handle_create_sink),
-        (_DROP, _handle_drop),
-        (_INSERT, _handle_insert),
-        (_UPDATE, _handle_update),
-        (_DELETE, _handle_delete),
-    ):
+    from risingwave_spark.sqlparse import classify
+
+    kind = classify(stmt)  # raises SqlParseError on bad engine-owned shapes
+    if kind in _KIND_DISPATCH:
+        rx, handler = _KIND_DISPATCH[kind]
         m = rx.match(stmt)
-        if m:
-            return handler(engine, m)
-    m = _CREATE_SUB.match(stmt)
-    if m:
-        name, mv_name = m.group(1), m.group(2)
-        engine.subscriptions = getattr(engine, "subscriptions", {})
-        engine.subscriptions[name] = engine.create_subscription(name, mv_name)
-        engine._record_ddl(name, m.string)
-        return _status(engine.spark, "CREATE_SUBSCRIPTION")
-    m = _DECLARE.match(stmt)
-    if m:
-        return _handle_declare(engine, m)
-    m = _FETCH.match(stmt)
-    if m:
-        return _handle_fetch(engine, m)
-    m = _CLOSE.match(stmt)
-    if m:
-        getattr(engine, "cursors", {}).pop(m.group(1), None)
-        return _status(engine.spark, "CLOSE_CURSOR")
+        if m is None:
+            raise ValueError(
+                f"internal: statement parsed as {kind!r} but the handler "
+                f"extractor did not accept it — please simplify the "
+                f"statement or use the Python API: {stmt[:120]!r}"
+            )
+        return handler(engine, m)
     m = _DESCRIBE.match(stmt)
     if m:
         # reference handler/describe.rs: name + type rows

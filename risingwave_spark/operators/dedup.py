@@ -196,10 +196,12 @@ def jaccard_pairs(
     g = with_shingles(docs.select(F.col(id_col), text_col), text_col, n).select(
         F.col(id_col), F.array_distinct("__sh").alias("__grams")
     )
-    # g is joined twice (a-side and b-side); persist so the shingle
-    # computation runs once — the gram table is |docs| rows, tiny next to
-    # the corpus, and exactly what you'd materialize at 100 TB
-    g = g.persist()
+    # g is joined twice (a-side and b-side): localCheckpoint materializes
+    # the shingle computation ONCE with a lifecycle tied to the returned
+    # plan (no session-lifetime cache entry leaking per call, unlike
+    # persist() — ADVICE r4; the blocks are GC'd with the RDD). At 100 TB
+    # you'd materialize the gram table to storage instead.
+    g = g.localCheckpoint(eager=True)
     out = (
         pairs.join(g.select(F.col(id_col).alias("a"), F.col("__grams").alias("ga")), "a")
         .join(g.select(F.col(id_col).alias("b"), F.col("__grams").alias("gb")), "b")

@@ -1,0 +1,637 @@
+"""Tokenizer + recursive-descent statement grammar for the SQL front
+door — the loud-rejection layer in front of `frontend.py`'s handlers.
+
+The reference routes every statement through a hand-written
+recursive-descent parser (`src/sqlparser/src/parser.rs:209`) and an
+unsupported shape fails AT PARSE TIME. Round-4 review flagged that this
+engine's regex dispatch instead let unanticipated shapes fall through to
+plain `spark.sql` — losing MV semantics SILENTLY, the worst failure mode
+for a SQL surface. This module closes that: every statement is first
+tokenized and classified; engine-owned statement kinds (CREATE / DROP /
+INSERT / UPDATE / DELETE / DECLARE / FETCH / CLOSE) must be FULLY
+consumed by the grammar below or raise `SqlParseError` naming the
+offending token — nothing engine-owned ever reaches Catalyst by
+accident. Ad-hoc queries (SELECT / VALUES / WITH / TABLE / SHOW / SET /
+EXPLAIN-of-those) still flow to Catalyst — that is their correct
+destination, not a fallback.
+
+Materialized-view bodies get the strictest grammar, because their text
+is REPLANNED per batch against affected-rows temp views: constructs
+whose incremental recompute would be silently wrong — subqueries
+(global state), window functions (cross-group frames), LIMIT (global
+top-N), set operations, subquery-FROM, USING / comma joins — are
+rejected with a pointer to the supported spelling. Expressions
+themselves are validated structurally (balanced parens, clause keywords
+only at depth 0, forbidden keywords nowhere) and left to Catalyst to
+type-check — the same division of labor as the reference's
+parser-then-binder split.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["SqlParseError", "classify", "tokenize"]
+
+
+class SqlParseError(ValueError):
+    """Statement recognized as engine-owned but not accepted by the
+    grammar — the loud alternative to silent misinterpretation."""
+
+
+_TOKEN_RX = re.compile(
+    r"""
+    (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<qid>"(?:[^"]|"")*")
+  | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*)
+  | (?P<op><=|>=|<>|!=|::|=|<|>|\+|-|\*|/|%|\|\||->>|->|\#>>|\#>
+         |@>|<@|\?\||\?&|\?|!~\*|!~|~\*|~|!|&|\||\^|@|\#|:|[(),;.\[\]])
+    """,
+    re.X | re.S,
+)
+
+
+class Tok:
+    __slots__ = ("kind", "val", "pos")
+
+    def __init__(self, kind: str, val: str, pos: int):
+        self.kind = kind  # 'str' | 'qid' | 'num' | 'ident' | 'op'
+        self.val = val
+        self.pos = pos
+
+    @property
+    def up(self) -> str:
+        return self.val.upper() if self.kind == "ident" else self.val
+
+    def __repr__(self):  # pragma: no cover
+        return f"Tok({self.kind},{self.val!r})"
+
+
+def tokenize(text: str) -> list[Tok]:
+    out: list[Tok] = []
+    i, n = 0, len(text)
+    while i < n:
+        m = _TOKEN_RX.match(text, i)
+        if not m:
+            raise SqlParseError(
+                f"cannot tokenize SQL at position {i}: {text[i:i+20]!r}"
+            )
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group(0), m.start()))
+    return out
+
+
+class _P:
+    """Token-stream cursor for the recursive-descent rules."""
+
+    def __init__(self, toks: list[Tok], text: str):
+        self.toks = toks
+        self.text = text
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "ident" and t.up in kws
+
+    def at_seq(self, *kws: str) -> bool:
+        for k, kw in enumerate(kws):
+            t = self.peek(k)
+            if t is None or t.kind != "ident" or t.up != kw:
+                return False
+        return True
+
+    def eat(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat_kw(self, *kws: str) -> Tok:
+        if not self.at(*kws):
+            self.fail(f"expected {'/'.join(kws)}")
+        return self.eat()
+
+    def eat_op(self, op: str) -> Tok:
+        t = self.peek()
+        if t is None or t.kind != "op" or t.val != op:
+            self.fail(f"expected {op!r}")
+        return self.eat()
+
+    def try_op(self, op: str) -> bool:
+        t = self.peek()
+        if t is not None and t.kind == "op" and t.val == op:
+            self.i += 1
+            return True
+        return False
+
+    def ident(self, what: str = "identifier") -> str:
+        t = self.peek()
+        if t is None or t.kind not in ("ident", "qid"):
+            self.fail(f"expected {what}")
+        return self.eat().val
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks) or (
+            self.peek().kind == "op" and self.peek().val == ";" and self.i == len(self.toks) - 1
+        )
+
+    def expect_done(self, ctx: str) -> None:
+        if self.peek() is not None and not (
+            self.peek().kind == "op" and self.peek().val == ";" and self.i == len(self.toks) - 1
+        ):
+            self.fail(f"unexpected trailing input after {ctx}")
+
+    def fail(self, msg: str):
+        t = self.peek()
+        where = f" near {t.val!r}" if t is not None else " at end of statement"
+        raise SqlParseError(f"{msg}{where}")
+
+
+# ------------------------------------------------------------ expressions
+_CLAUSE_STOPPERS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "USING",
+    "UNION", "INTERSECT", "EXCEPT", "AS", "EMIT",
+}
+
+
+def _scan_expr(p: _P, stop: set[str], *, forbid: dict[str, str] | None = None,
+               allow_empty: bool = False) -> int:
+    """Consume one expression: tokens up to a depth-0 stopper keyword or
+    a depth-0 comma. Parens/brackets must balance; `forbid` maps keyword
+    → error message, enforced at ANY depth (e.g. SELECT inside an MV
+    body). Returns the number of tokens consumed."""
+    depth = 0
+    n0 = p.i
+    while True:
+        t = p.peek()
+        if t is None:
+            break
+        if t.kind == "op":
+            if t.val in ("(", "["):
+                depth += 1
+            elif t.val in (")", "]"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif t.val in (",", ";") and depth == 0:
+                break
+            p.eat()
+            continue
+        if t.kind == "ident":
+            if forbid and t.up in forbid:
+                raise SqlParseError(forbid[t.up] + f" (near {t.val!r})")
+            if depth == 0 and t.up in stop:
+                break
+        p.eat()
+    if depth != 0:
+        p.fail("unbalanced parentheses in expression")
+    if p.i == n0 and not allow_empty:
+        p.fail("expected expression")
+    return p.i - n0
+
+
+_MV_FORBID = {
+    "SELECT": "subqueries inside a materialized-view body are not "
+              "supported — incremental recompute over affected groups "
+              "cannot see global state; use Engine.create_materialized_view",
+    "OVER": "window functions inside a materialized-view body are not "
+            "supported — their frames cross group boundaries; use "
+            "MaterializedOverWindowDelta (Python API)",
+}
+
+
+# ------------------------------------------------------------- statements
+def _parse_select_core(p: _P, *, mv: bool) -> None:
+    """SELECT list FROM table [alias] {join}* [WHERE] [GROUP BY [HAVING]]
+    [ORDER BY] — the MV grammar (`mv=True` also forbids subqueries,
+    OVER, set-ops, LIMIT). Used for CREATE MATERIALIZED VIEW bodies."""
+    forbid = _MV_FORBID if mv else None
+    p.eat_kw("SELECT")
+    if p.at("DISTINCT") and mv:
+        raise SqlParseError(
+            "SELECT DISTINCT in a materialized-view body is not supported; "
+            "GROUP BY the distinct columns instead"
+        )
+    # select list
+    while True:
+        if p.try_op("*"):
+            pass
+        else:
+            _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+            if p.at("AS"):
+                p.eat()
+                p.ident("select-item alias")
+            elif p.peek() is not None and p.peek().kind in ("ident", "qid") and not p.at(
+                *_CLAUSE_STOPPERS
+            ):
+                p.eat()  # bare alias
+        if not p.try_op(","):
+            break
+    p.eat_kw("FROM")
+    t = p.peek()
+    if t is not None and t.kind == "op" and t.val == "(":
+        raise SqlParseError(
+            "subquery in FROM of a materialized view is not supported — "
+            "materialize the inner query as its own MV first (MV-on-MV)"
+        )
+    p.ident("table name")
+    if p.at("AS"):
+        p.eat()
+        p.ident("table alias")
+    elif (
+        p.peek() is not None
+        and p.peek().kind in ("ident", "qid")
+        and not p.at(*_CLAUSE_STOPPERS)
+    ):
+        p.eat()  # bare alias
+    # join chain
+    while True:
+        t = p.peek()
+        if t is None:
+            break
+        if t.kind == "op" and t.val == ",":
+            raise SqlParseError(
+                "comma (cross) joins in a materialized-view body are not "
+                "supported; spell the join with JOIN ... ON"
+            )
+        if p.at("CROSS"):
+            raise SqlParseError(
+                "CROSS JOIN in a materialized-view body is not supported"
+            )
+        if p.at("INNER", "LEFT", "RIGHT", "FULL") or p.at("JOIN"):
+            if not p.at("JOIN"):
+                p.eat()
+                if p.at("OUTER"):
+                    p.eat()
+            p.eat_kw("JOIN")
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val == "(":
+                raise SqlParseError(
+                    "subquery as a JOIN input of a materialized view is not "
+                    "supported — materialize it as its own MV first"
+                )
+            p.ident("join table name")
+            if p.at("AS"):
+                p.eat()
+                p.ident("join alias")
+            elif (
+                p.peek() is not None
+                and p.peek().kind in ("ident", "qid")
+                and not p.at("ON", "USING", *_CLAUSE_STOPPERS)
+            ):
+                p.eat()
+            if p.at("USING"):
+                raise SqlParseError(
+                    "JOIN ... USING is not supported in materialized-view "
+                    "bodies; spell the condition with ON a.col = b.col"
+                )
+            p.eat_kw("ON")
+            _scan_expr(p, _CLAUSE_STOPPERS - {"ON"}, forbid=forbid)
+            continue
+        break
+    if p.at("WHERE"):
+        p.eat()
+        _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+    if p.at("GROUP"):
+        p.eat()
+        p.eat_kw("BY")
+        while True:
+            _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+            if not p.try_op(","):
+                break
+        if p.at("HAVING"):
+            p.eat()
+            _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+    if p.at("ORDER"):
+        p.eat()
+        p.eat_kw("BY")
+        while True:
+            _scan_expr(p, _CLAUSE_STOPPERS | {"ASC", "DESC", "NULLS"}, forbid=forbid)
+            while p.at("ASC", "DESC", "NULLS", "FIRST", "LAST"):
+                p.eat()
+            if not p.try_op(","):
+                break
+    if p.at("LIMIT", "OFFSET", "FETCH"):
+        raise SqlParseError(
+            "LIMIT/OFFSET in a materialized-view body is not supported — a "
+            "global top-N cannot be maintained by per-group recompute; "
+            "keep the MV unbounded and LIMIT at read time"
+        )
+    if p.at("UNION", "INTERSECT", "EXCEPT"):
+        raise SqlParseError(
+            "set-ops (UNION/INTERSECT/EXCEPT) in a materialized-view body are "
+            "not supported; use Engine.create_materialized_view"
+        )
+    if p.at("EMIT"):  # EMIT ON WINDOW CLOSE — validated by the caller
+        return
+    p.expect_done("materialized-view body")
+
+
+def _parse_coldef_list(p: _P) -> None:
+    """'(' coldef (',' coldef)* ')' — names+types validated, constraint
+    items recognized; DEFAULT expressions scanned structurally."""
+    p.eat_op("(")
+    while True:
+        if p.at("PRIMARY"):
+            p.eat()
+            p.eat_kw("KEY")
+            p.eat_op("(")
+            p.ident("pk column")
+            while p.try_op(","):
+                p.ident("pk column")
+            p.eat_op(")")
+        elif p.at("UNIQUE", "CHECK", "FOREIGN"):
+            _scan_expr(p, set(), allow_empty=True)  # to the next depth-0 comma
+        elif p.at("WATERMARK"):
+            # WATERMARK FOR col AS expr (reference binder/relation/watermark.rs)
+            p.eat()
+            p.eat_kw("FOR")
+            p.ident("watermark column")
+            p.eat_kw("AS")
+            _scan_expr(p, set())
+        else:
+            p.ident("column name")
+            p.ident("column type")
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val == "(":  # varchar(n)
+                p.eat()
+                while not (p.peek() and p.peek().kind == "op" and p.peek().val == ")"):
+                    if p.peek() is None:
+                        p.fail("unterminated type parameter list")
+                    p.eat()
+                p.eat_op(")")
+            # qualifiers: PRIMARY KEY / NOT NULL / DEFAULT expr
+            while True:
+                if p.at("PRIMARY"):
+                    p.eat()
+                    p.eat_kw("KEY")
+                elif p.at("NOT"):
+                    p.eat()
+                    p.eat_kw("NULL")
+                elif p.at("DEFAULT"):
+                    p.eat()
+                    _scan_expr(p, {"PRIMARY", "NOT"})
+                else:
+                    break
+        if p.try_op(","):
+            continue
+        p.eat_op(")")
+        return
+
+
+def _parse_with_options(p: _P) -> None:
+    p.eat_kw("WITH")
+    p.eat_op("(")
+    while True:
+        p.ident("option name")
+        while p.try_op("."):
+            p.ident("option name part")
+        p.eat_op("=")
+        t = p.peek()
+        if t is None or t.kind not in ("str", "num", "ident"):
+            p.fail("expected option value literal")
+        p.eat()
+        if p.try_op(","):
+            continue
+        p.eat_op(")")
+        return
+
+
+def _rest_is_query(p: _P, ctx: str) -> None:
+    """Body that re-runs as one-shot Catalyst SQL (CTAS, CREATE VIEW,
+    cursors): must LOOK like a query; contents are Catalyst's problem."""
+    if not (p.at("SELECT", "WITH", "VALUES", "TABLE") or (
+        p.peek() is not None and p.peek().kind == "op" and p.peek().val == "("
+    )):
+        p.fail(f"expected a query body after {ctx}")
+    # structural paren check over the remainder
+    depth = 0
+    while p.peek() is not None:
+        t = p.eat()
+        if t.kind == "op":
+            if t.val in ("(", "["):
+                depth += 1
+            elif t.val in (")", "]"):
+                depth -= 1
+                if depth < 0:
+                    p.fail("unbalanced ')'")
+    if depth != 0:
+        p.fail(f"unbalanced '(' in {ctx} body")
+
+
+def _parse_create(p: _P) -> str:
+    p.eat_kw("CREATE")
+    if p.at("OR"):
+        p.eat()
+        p.eat_kw("REPLACE")
+        if not p.at("VIEW"):
+            p.fail("OR REPLACE is only supported for CREATE VIEW")
+    if p.at("TABLE"):
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("table name")
+        if p.at("AS"):
+            p.eat()
+            _rest_is_query(p, "CREATE TABLE ... AS")
+            return "create_table_as"
+        _parse_coldef_list(p)
+        if p.at("APPEND"):
+            p.eat()
+            p.eat_kw("ONLY")
+        if p.at("WITH"):
+            _parse_with_options(p)
+        p.expect_done("CREATE TABLE")
+        return "create_table"
+    if p.at_seq("MATERIALIZED", "VIEW"):
+        p.eat()
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("view name")
+        p.eat_kw("AS")
+        _parse_select_core(p, mv=True)
+        if p.at("EMIT"):
+            p.eat()
+            p.eat_kw("ON")
+            p.eat_kw("WINDOW")
+            p.eat_kw("CLOSE")
+            p.expect_done("EMIT ON WINDOW CLOSE")
+        return "create_mv"
+    if p.at("VIEW"):
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("view name")
+        p.eat_kw("AS")
+        _rest_is_query(p, "CREATE VIEW ... AS")
+        return "create_view"
+    if p.at("SOURCE"):
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("source name")
+        t = p.peek()
+        if t is not None and t.kind == "op" and t.val == "(":
+            _parse_coldef_list(p)
+        _parse_with_options(p)
+        if p.at("FORMAT"):
+            while p.peek() is not None and not (
+                p.peek().kind == "op" and p.peek().val == ";"
+            ):
+                p.eat()
+        p.expect_done("CREATE SOURCE")
+        return "create_source"
+    if p.at("SINK"):
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("sink name")
+        if p.at("FROM"):
+            p.eat()
+            p.ident("sink source relation")
+        elif p.at("AS"):
+            raise SqlParseError(
+                "CREATE SINK ... AS <query> is not supported; create a "
+                "materialized view first and CREATE SINK ... FROM it"
+            )
+        else:
+            p.fail("expected FROM <mv> in CREATE SINK")
+        _parse_with_options(p)
+        p.expect_done("CREATE SINK")
+        return "create_sink"
+    if p.at("SUBSCRIPTION"):
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("subscription name")
+        p.eat_kw("FROM")
+        p.ident("subscription source")
+        if p.at("WITH"):
+            _parse_with_options(p)
+        p.expect_done("CREATE SUBSCRIPTION")
+        return "create_subscription"
+    if p.at("INDEX"):
+        raise SqlParseError(
+            "CREATE INDEX is not supported (no secondary indexes in this "
+            "engine; Spark scans prune via predicate pushdown instead)"
+        )
+    p.fail("unsupported CREATE statement")
+
+
+def _skip_if_not_exists(p: _P) -> None:
+    if p.at_seq("IF", "NOT", "EXISTS"):
+        p.eat()
+        p.eat()
+        p.eat()
+
+
+def classify(stmt: str) -> str:
+    """Classify one statement and validate engine-owned kinds.
+
+    Returns a kind tag; raises SqlParseError for an engine-owned
+    statement the grammar does not fully accept. 'adhoc' statements
+    (queries, SHOW/SET variants the dispatcher maps directly) flow to
+    Catalyst by design."""
+    toks = tokenize(stmt)
+    if not toks:
+        raise SqlParseError("empty statement")
+    p = _P(toks, stmt)
+    head = toks[0]
+    if head.kind != "ident":
+        if head.kind == "op" and head.val == "(":
+            return "adhoc"  # parenthesized query
+        raise SqlParseError(f"cannot parse statement starting with {head.val!r}")
+    h = head.up
+    if h == "CREATE":
+        return _parse_create(p)
+    if h == "DROP":
+        p.eat()
+        if p.at("TABLE"):
+            p.eat()
+        elif p.at_seq("MATERIALIZED", "VIEW"):
+            p.eat()
+            p.eat()
+        elif p.at("VIEW", "SOURCE", "SINK", "SUBSCRIPTION"):
+            p.eat()
+        else:
+            p.fail("unsupported DROP object kind")
+        if p.at_seq("IF", "EXISTS"):
+            p.eat()
+            p.eat()
+        p.ident("object name")
+        if p.at("CASCADE", "RESTRICT"):
+            p.eat()
+        p.expect_done("DROP")
+        return "drop"
+    if h == "INSERT":
+        p.eat()
+        p.eat_kw("INTO")
+        p.ident("table name")
+        t = p.peek()
+        if t is not None and t.kind == "op" and t.val == "(":
+            p.eat()
+            p.ident("column name")
+            while p.try_op(","):
+                p.ident("column name")
+            p.eat_op(")")
+        _rest_is_query(p, "INSERT INTO")
+        return "insert"
+    if h == "UPDATE":
+        p.eat()
+        p.ident("table name")
+        p.eat_kw("SET")
+        while True:
+            p.ident("column name")
+            p.eat_op("=")
+            _scan_expr(p, {"WHERE"})
+            if not p.try_op(","):
+                break
+        if p.at("WHERE"):
+            p.eat()
+            _scan_expr(p, set())
+        p.expect_done("UPDATE")
+        return "update"
+    if h == "DELETE":
+        p.eat()
+        p.eat_kw("FROM")
+        p.ident("table name")
+        if p.at("WHERE"):
+            p.eat()
+            _scan_expr(p, set())
+        p.expect_done("DELETE")
+        return "delete"
+    if h == "DECLARE":
+        p.eat()
+        p.ident("cursor name")
+        if p.at("SUBSCRIPTION"):
+            p.eat()
+        p.eat_kw("CURSOR")
+        p.eat_kw("FOR")
+        if p.peek() is None:
+            p.fail("expected a query or subscription name after CURSOR FOR")
+        return "declare"
+    if h == "FETCH":
+        p.eat()
+        if p.at("NEXT"):
+            p.eat()
+        else:
+            t = p.peek()
+            if t is None or t.kind != "num":
+                p.fail("expected NEXT or a row count in FETCH")
+            p.eat()
+        p.eat_kw("FROM")
+        p.ident("cursor name")
+        p.expect_done("FETCH")
+        return "fetch"
+    if h == "CLOSE":
+        p.eat()
+        p.ident("cursor name")
+        p.expect_done("CLOSE")
+        return "close"
+    # queries, SHOW/SET/DESCRIBE/EXPLAIN and everything else: the
+    # dispatcher's direct mappings or Catalyst — by design, not fallback
+    return "adhoc"

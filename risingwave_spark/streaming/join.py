@@ -107,23 +107,26 @@ class RetractableStreamJoin:
         batch: DataFrame | None,
         keys: list[str],
         batch_id: int | None,
+        batch_ns: str | None,
     ):
         if batch is None:
-            return None
+            return None, False
         cols = [c for c in batch.columns if c != OP_COL]
-        state.fold(
+        did = state.fold(
             batch.filter(F.col(OP_COL) > 0).select(*cols),
             batch.filter(F.col(OP_COL) < 0).select(*cols),
             batch_id=batch_id,
             tomb_extra_cols=keys,
+            batch_ns=batch_ns,
         )
-        return batch.select(*keys).distinct()
+        return batch.select(*keys).distinct(), did
 
     def apply(
         self,
         left: DataFrame | None = None,
         right: DataFrame | None = None,
         batch_id: int | None = None,
+        batch_ns: str | None = None,
     ) -> None:
         """Fold one changelog chunk per side (either may be None; both
         need an __op column) and re-join the affected keys.
@@ -131,9 +134,18 @@ class RetractableStreamJoin:
         `batch_id` gives foreachBatch-redelivery protection (same
         contract as `_RetractableView.apply_batch`): a replayed id skips
         the state folds, while the affected-key recompute + MV splice
-        still run — they are idempotent full recomputes from state."""
-        aff_l = self._fold_side(self.state_l, left, self.left_on, batch_id)
-        aff_r = self._fold_side(self.state_r, right, self.right_on, batch_id)
+        still run — they are idempotent full recomputes from state.
+        `batch_ns` names the driving stream: the two sides may be fed by
+        independent foreachBatch queries with unrelated batch-id
+        sequences, so every redelivery pointer — here and in the
+        downstream changelog forward — is kept PER (namespace, side),
+        never compared across sequences."""
+        aff_l, did_l = self._fold_side(
+            self.state_l, left, self.left_on, batch_id, batch_ns
+        )
+        aff_r, did_r = self._fold_side(
+            self.state_r, right, self.right_on, batch_id, batch_ns
+        )
 
         # affected join-key values from both sides, normalized to __jk*
         parts = []
@@ -154,8 +166,11 @@ class RetractableStreamJoin:
         # the pruned state reads below stay O(touched buckets + recent
         # flat chunks). Runs after the touched-bucket computation — the
         # compacted single chunk spans every bucket, the batch does not.
-        for st in (self.state_l, self.state_r):
-            if self.compact_every and st._seq and st._seq % self.compact_every == 0:
+        # Only a side that ACTUALLY folded this apply compacts (a side
+        # idling at a seq multiple, or a batch_id-skipped replay, must
+        # not re-run the O(state) rewrite every apply).
+        for st, did in ((self.state_l, did_l), (self.state_r, did_r)):
+            if did and self.compact_every and st._seq and st._seq % self.compact_every == 0:
                 st.compact()
         recomputed = self._join_affected(affected, buckets=touched)
 
@@ -180,8 +195,17 @@ class RetractableStreamJoin:
                 out_changelog = with_ops(recomputed, 1)
             self.mv.write(recomputed)
         if out_changelog is not None:
+            # forwarded redelivery pointers are namespaced by (incoming
+            # namespace, which sides folded): two independent upstream
+            # streams driving the two sides never share a downstream
+            # LAST_BATCH pointer, so neither stream's ids can wrongly
+            # skip the other's fold (ADVICE r4 #5)
+            side_tag = ("L" if left is not None else "") + (
+                "R" if right is not None else ""
+            )
+            fwd_ns = f"{batch_ns}_{side_tag}" if batch_ns else (side_tag or None)
             for d in self.downstream:
-                d.apply_batch(out_changelog, batch_id=batch_id)
+                d.apply_batch(out_changelog, batch_id=batch_id, batch_ns=fwd_ns)
 
     def _touched_buckets(self, folded_l: bool, folded_r: bool) -> list[int] | None:
         """Union of the folded sides' batch key-buckets, from local chunk

@@ -464,12 +464,18 @@ class ChunkedState:
         if self._has_tombs:
             tmax = self._read_dir(self.tombs_dir).agg(F.max("__del_seq")).first()[0]
             self._seq = max(self._seq, (tmax if tmax is not None else -1) + 1)
-        # batch-id pointer overrides data-derived seq: files written by a
+        # batch-id pointers override data-derived seq: files written by a
         # batch that CRASHED before its pointer flip must be overwritten
-        # on redelivery, not sequenced past
-        ptr = self._read_last_batch()
-        if ptr is not None:
-            self._seq = ptr[1] + 1
+        # on redelivery, not sequenced past. Pointers are per upstream
+        # namespace (LAST_BATCH / LAST_BATCH_<ns>); the committed horizon
+        # is the max seq any of them recorded.
+        ptr_seqs = [
+            ptr[1]
+            for ns in self._batch_namespaces()
+            if (ptr := self._read_last_batch(ns)) is not None
+        ]
+        if ptr_seqs:
+            self._seq = max(ptr_seqs) + 1
 
     def _gen_pointer(self) -> str:
         return os.path.join(self.base, "GEN")
@@ -485,13 +491,24 @@ class ChunkedState:
         # chunks live in per-batch subdirs (idempotent overwrite target)
         return self.spark.read.option("recursiveFileLookup", "true").parquet(path)
 
-    def _batch_pointer(self) -> str:
-        return os.path.join(os.path.dirname(self.values_dir), "LAST_BATCH")
+    def _batch_pointer(self, ns: str | None = None) -> str:
+        fn = "LAST_BATCH" if ns is None else f"LAST_BATCH_{ns}"
+        return os.path.join(os.path.dirname(self.values_dir), fn)
 
-    def _read_last_batch(self):
+    def _batch_namespaces(self) -> list[str | None]:
+        """Every namespace with a committed pointer (None = default)."""
+        out: list[str | None] = []
+        for fn in os.listdir(self.base):
+            if fn == "LAST_BATCH":
+                out.append(None)
+            elif fn.startswith("LAST_BATCH_") and not fn.endswith(".tmp"):
+                out.append(fn[len("LAST_BATCH_"):])
+        return out
+
+    def _read_last_batch(self, ns: str | None = None):
         """(last committed batch_id, seq it used) or None."""
         try:
-            with open(self._batch_pointer()) as f:
+            with open(self._batch_pointer(ns)) as f:
                 bid, seq = f.read().strip().split(":")
                 return int(bid), int(seq)
         except (FileNotFoundError, ValueError):
@@ -503,6 +520,7 @@ class ChunkedState:
         deletes: DataFrame,
         batch_id: int | None = None,
         tomb_extra_cols: list[str] | None = None,
+        batch_ns: str | None = None,
     ) -> bool:
         """Append one batch's inserts and delete tombstones (row ids).
 
@@ -514,9 +532,14 @@ class ChunkedState:
         into seq-named subdirs with overwrite, replacing its own partial
         files instead of duplicating them. The pointer (batch_id:seq)
         flips last. Returns False if skipped as already applied.
+
+        `batch_ns` scopes the pointer to one upstream id sequence
+        (LAST_BATCH_<ns>): state fed by several independent streams keeps
+        one monotonic pointer per stream instead of comparing unrelated
+        sequences against a single pointer (ADVICE r4 #5).
         """
         if batch_id is not None:
-            last = self._read_last_batch()
+            last = self._read_last_batch(batch_ns)
             if last is not None and batch_id <= last[0]:
                 return False
         # Per-batch chunks write FLAT (one cheap parallel write, no
@@ -561,10 +584,10 @@ class ChunkedState:
                 shutil.rmtree(tomb_chunk, ignore_errors=True)
         self._seq += 1
         if batch_id is not None:
-            tmp = self._batch_pointer() + ".tmp"
+            tmp = self._batch_pointer(batch_ns) + ".tmp"
             with open(tmp, "w") as f:
                 f.write(f"{batch_id}:{self._seq - 1}")
-            os.replace(tmp, self._batch_pointer())
+            os.replace(tmp, self._batch_pointer(batch_ns))
         return True
 
     def _pruned_paths(self, root: str, buckets: list[int]) -> list[str]:
@@ -746,32 +769,41 @@ class _RetractableView:
             return None
         return buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
 
-    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        batch_ns: str | None = None,
+    ) -> None:
         """Fold one changelog chunk (needs an __op column) into the MV.
 
         With `batch_id` (foreachBatch redelivery protection): a replayed
         batch skips the state fold, but the affected-group recompute +
         MV write still run — they are idempotent (full recompute from
         state, not a delta), which closes the crash window between the
-        state commit and the MV version flip.
+        state commit and the MV version flip. `batch_ns` scopes the
+        redelivery pointer per upstream stream (see ChunkedState.fold).
         """
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
-        self.state.fold(
+        did_fold = self.state.fold(
             inserts,
             deletes,
             batch_id=batch_id,
             tomb_extra_cols=self.keys if self.key_of is None else None,
+            batch_ns=batch_ns,
         )
         # O(touched buckets) on BOTH sides of the recompute: the bucket
         # set comes from the batch's just-written local chunk files when
         # possible (zero extra jobs), else a tiny collect; the state
         # scan AND the MV splice then prune to exactly those buckets.
         # Computed BEFORE compaction — the compacted generation's single
-        # chunk spans every bucket, the batch itself does not.
+        # chunk spans every bucket, the batch itself does not. Only an
+        # actually-folded batch compacts (a skipped replay must not
+        # re-run the O(state) rewrite).
         touched = self._touched_buckets_fast()
-        if self.compact_every and self.state._seq % self.compact_every == 0:
+        if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
             self.state.compact()
 
         annotate = self.key_of or (lambda d: d)
@@ -811,9 +843,11 @@ class _RetractableView:
             # batch_id rides along so the whole MV chain shares one
             # redelivery horizon: a replayed parent batch re-forwards the
             # (identical, state-derived) changelog and each child skips
-            # its own already-committed fold.
+            # its own already-committed fold. The namespace passes
+            # through unchanged — this view has one upstream, so its
+            # children see the same id sequence it did.
             for d in self.downstream:
-                d.apply_batch(out_changelog, batch_id=batch_id)
+                d.apply_batch(out_changelog, batch_id=batch_id, batch_ns=batch_ns)
 
     def _log_changelog(self, chunk: DataFrame) -> None:
         chunk.coalesce(4).write.mode("overwrite").parquet(

@@ -241,16 +241,25 @@ class MaterializedOverWindowDelta:
         return last.select(*sel)
 
     # ------------------------------------------------------------ main loop
-    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        batch_ns: str | None = None,
+    ) -> None:
         """`batch_id` gives foreachBatch-redelivery protection (same
         contract as `_RetractableView.apply_batch`): a replayed id skips
         the state fold; the suffix recompute + MV splice still run — they
         are idempotent full recomputes from committed state, closing the
-        crash window between state commit and MV flip."""
+        crash window between state commit and MV flip. `batch_ns` scopes
+        the pointer per upstream stream (see ChunkedState.fold)."""
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
-        self.state.fold(inserts, deletes, batch_id=batch_id, tomb_extra_cols=self.keys)
+        did_fold = self.state.fold(
+            inserts, deletes, batch_id=batch_id,
+            tomb_extra_cols=self.keys, batch_ns=batch_ns,
+        )
 
         # per-partition frame boundary: the EARLIEST order position the
         # batch touches (insert or delete) — frames at positions before it
@@ -285,8 +294,9 @@ class MaterializedOverWindowDelta:
         touched = buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
         # compaction cadence (see _RetractableView): lands the bucketed
         # base layer the pruned state read depends on; after the
-        # touched-bucket computation, which must see the batch's chunk
-        if self.compact_every and self.state._seq % self.compact_every == 0:
+        # touched-bucket computation, which must see the batch's chunk.
+        # Skipped replays (did_fold False) never retrigger it.
+        if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
             self.state.compact()
 
         reach = _forward_reach(self.funcs)
@@ -429,6 +439,12 @@ class EowcOverWindow:
         self.funcs = funcs
         self.payload_cols = payload_cols
         self.delay_seconds = delay_seconds
+        # lead-emission filtering is by ROW IDENTITY: the row id always
+        # rides through _window_outputs (appended to payload when absent)
+        # and is stripped from result() if the caller didn't ask for it
+        self._extra_row_id = row_id not in set(keys) | set(order_cols) | set(
+            payload_cols
+        )
         self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
         self.seeds = _VersionedTable(spark, os.path.join(state_dir, "seeds"))
         self.out_path = os.path.join(state_dir, "out")
@@ -439,7 +455,8 @@ class EowcOverWindow:
     def _delta(self):  # shares the seeded window-output machinery
         d = MaterializedOverWindowDelta.__new__(MaterializedOverWindowDelta)
         d.keys, d.order_cols = self.keys, self.order_cols
-        d.funcs, d.payload_cols = self.funcs, self.payload_cols
+        d.funcs = self.funcs
+        d.payload_cols = list(dict.fromkeys([*self.payload_cols, self.row_id]))
         return d
 
     def feed(self, batch: DataFrame) -> None:
@@ -477,7 +494,13 @@ class EowcOverWindow:
                 *[F.desc(c) for c in self.order_cols]
             )
             c2 = closed.withColumn("__dr", F.row_number().over(wdesc))
-            idc = list(dict.fromkeys([*self.keys, *self.order_cols]))
+            # identity join includes the ROW ID: with duplicate
+            # (partition, order) tuples a held row must not value-collide
+            # with an emittable one (it would emit early with an
+            # incomplete lead frame AND again at the next flush)
+            idc = list(
+                dict.fromkeys([*self.keys, *self.order_cols, self.row_id])
+            )
             emit_ids = c2.filter(F.col("__dr") > reach).select(*idc)
             held = c2.filter(F.col("__dr") <= reach).drop("__dr")
             still_open = still_open.unionByName(held)
@@ -508,4 +531,7 @@ class EowcOverWindow:
         if not self._emitted_any:
             raise ValueError("nothing emitted yet")
         out = self.spark.read.parquet(self.out_path)
-        return out.drop(*[c for c in out.columns if c.startswith("__aux_")])
+        drop = [c for c in out.columns if c.startswith("__aux_")]
+        if self._extra_row_id:
+            drop.append(self.row_id)
+        return out.drop(*drop)

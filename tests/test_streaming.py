@@ -600,3 +600,105 @@ def test_over_window_delta_redelivery_is_exactly_once(spark, events):
         once = sorted(map(tuple, ow.result().collect()))
         ow.apply_batch(b1, batch_id=1)  # redelivery
         assert sorted(map(tuple, ow.result().collect())) == once
+
+
+def test_join_sides_with_independent_batch_id_sequences(spark):
+    """ADVICE r4 #5: a join MV's two sides may be driven by independent
+    foreachBatch streams with unrelated batch-id sequences; the
+    downstream agg's redelivery pointer is per (stream, side), so one
+    stream's high ids must not make the other stream's folds skip."""
+    import tempfile
+
+    from risingwave_spark.api import StreamJoinMv
+    from risingwave_spark.streaming.mv import with_ops
+
+    def recompute(rows):
+        return rows.groupBy("k").agg(F.sum("rv").alias("total"))
+
+    with tempfile.TemporaryDirectory() as d:
+        jmv = StreamJoinMv(
+            spark, d, ["k"], ["k2"], "lid", "rid", "inner", None,
+            keys=["k"], recompute=recompute,
+        )
+        L0 = spark.createDataFrame([(1, 1)], "lid int, k int")
+        L1 = spark.createDataFrame([(2, 2)], "lid int, k int")
+        R0 = spark.createDataFrame([(10, 1, 5)], "rid int, k2 int, rv int")
+        R1 = spark.createDataFrame([(11, 2, 7)], "rid int, k2 int, rv int")
+        # backfill both sides (the create-time bootstrap, no batch id)
+        jmv.join.apply(left=with_ops(L0, 1), right=with_ops(R0, 1))
+        # left stream is far ahead in its own id sequence
+        jmv.apply_left(with_ops(L1, 1), batch_id=100)
+        # right stream's ids TRAIL the left stream's
+        jmv.apply_right(with_ops(R1, 1), batch_id=1)
+        assert sorted(map(tuple, jmv.result().collect())) == [(1, 5), (2, 7)]
+        # replay of each stream's last batch is still skipped per-stream
+        jmv.apply_right(with_ops(R1, 1), batch_id=1)
+        jmv.apply_left(with_ops(L1, 1), batch_id=100)
+        assert sorted(map(tuple, jmv.result().collect())) == [(1, 5), (2, 7)]
+
+
+def test_join_compaction_fires_once_per_generation(spark):
+    """ADVICE r4 #4: a join side that receives no batches while sitting
+    at a seq multiple of compact_every must not re-compact on every
+    apply; batch_id-skipped replays must not retrigger it either."""
+    import tempfile
+
+    from risingwave_spark.streaming.join import RetractableStreamJoin
+    from risingwave_spark.streaming.mv import with_ops
+
+    L = spark.createDataFrame([(1, 1, "a")], "lid int, k int, lv string")
+    R = spark.createDataFrame([(10, 1, "r")], "rid int, k2 int, rv string")
+    with tempfile.TemporaryDirectory() as d:
+        j = RetractableStreamJoin(spark, d, ["k"], ["k2"], "lid", "rid")
+        j.compact_every = 2
+        j.apply(left=with_ops(L, 1), right=with_ops(R, 1))
+        # drive ONLY the left side past several compaction points; the
+        # right side sits at its seq multiple the whole time
+        for i in range(4):
+            j.apply(left=with_ops(L.withColumn("lid", F.lit(100 + i)), 1))
+        gen_r = j.state_r._gen
+        # idle right side never re-compacted beyond its own single pass
+        j.apply(left=with_ops(L.withColumn("lid", F.lit(999)), 1))
+        assert j.state_r._gen == gen_r
+        # a skipped replay doesn't compact either side
+        gl, gr = j.state_l._gen, j.state_r._gen
+        j.apply(left=with_ops(L.withColumn("lid", F.lit(999)), 1), batch_id=0)
+        j.apply(left=with_ops(L.withColumn("lid", F.lit(999)), 1), batch_id=0)
+        assert (j.state_l._gen, j.state_r._gen)[1] == gr
+
+
+def test_eowc_lead_duplicate_order_values_emit_once(spark):
+    """ADVICE r4 #3: with duplicate (partition, order) tuples, a HELD row
+    (within lead's frame reach) must not value-collide with an emittable
+    row — emission filtering is by row identity, so every row id emits
+    exactly once with its final lead value."""
+    import datetime
+    import tempfile
+
+    from risingwave_spark.streaming.over_window import EowcOverWindow
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    with tempfile.TemporaryDirectory() as d:
+        eowc = EowcOverWindow(
+            spark, d, ["k"], "ts", ["ts"], "rid",
+            {"nxt": ("lead", "v")}, ["v"], delay_seconds=5,
+        )
+        # batch 1: DUPLICATE timestamps (two rows per ts); watermark =
+        # 20-5 = 15 closes ts 0 and 10 — the last `reach` closed rows are
+        # held, and they share their ts value with emittable rows
+        b1 = spark.createDataFrame(
+            [(1, 1, ts(0), 10), (2, 1, ts(0), 11), (3, 1, ts(10), 12),
+             (4, 1, ts(10), 13), (5, 1, ts(20), 14)],
+            "rid int, k int, ts timestamp, v int",
+        )
+        eowc.feed(b1)
+        b2 = spark.createDataFrame(
+            [(6, 1, ts(40), 15)], "rid int, k int, ts timestamp, v int"
+        )
+        eowc.feed(b2)
+        rids = [r.rid for r in spark.read.parquet(eowc.out_path).collect()]
+        assert len(rids) == len(set(rids)), f"duplicate emissions: {sorted(rids)}"
