@@ -589,6 +589,18 @@ class Engine:
         for s in self.sinks.values():
             s.drain()
 
+    def poll_sources(self) -> None:
+        """Fold NEW connector files into connector-backed tables (the
+        reference's continuous source ingestion loop, here on-demand —
+        `CREATE TABLE ... WITH (connector='posix_fs') FORMAT DEBEZIUM`
+        tables pick up files that appeared since the last poll; MVs
+        downstream advance incrementally as with any DML)."""
+        from risingwave_spark.frontend import _ingest_table_files
+
+        for t in self.tables.values():
+            if getattr(t, "connector", None):
+                _ingest_table_files(self, t)
+
     def create_subscription(self, name: str, mv_name: str, from_beginning: bool = False):
         """CREATE SUBSCRIPTION ... FROM mv (reference
         `create_subscription.rs`): turns on the MV's changelog log and

@@ -38,6 +38,7 @@ global window.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import TYPE_CHECKING
 
@@ -50,6 +51,7 @@ from risingwave_spark.functions.pgsql import (
     _unmask,
     pg_to_spark_sql,
 )
+from risingwave_spark.streaming.mv import with_ops
 
 if TYPE_CHECKING:  # pragma: no cover
     from risingwave_spark.api import Engine
@@ -87,8 +89,9 @@ def _status(spark: SparkSession, tag: str) -> DataFrame:
 
 # ---------------------------------------------------------------- regexes
 _CREATE_TABLE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
-    r"(?:APPEND\s+ONLY\s*)?$",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
+    r"(?P<append>APPEND\s+ONLY\s*)?(?:WITH\s*\((?P<with>.*?)\)\s*)?"
+    r"(?:FORMAT\s+(?P<format>[\w ]+?)\s*)?$",
     re.I | re.S,
 )
 _CREATE_TABLE_AS = re.compile(
@@ -157,22 +160,70 @@ _IDENT = re.compile(r"^[A-Za-z_]\w*$")
 _KW_ALIAS = r"(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|JOIN\b|ON\b|WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b)"
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(text: str) -> float:
+    """`INTERVAL '10 minutes'` / `INTERVAL '10' MINUTE` / `'1 hour'` →
+    seconds (the two public spellings the reference accepts for
+    watermark-delay and tumble-size intervals)."""
+    m = re.match(
+        r"^\s*(?:INTERVAL\s+)?'([^']+)'\s*(\w+)?\s*$", text.strip(), re.I
+    )
+    if not m:
+        raise ValueError(f"cannot parse interval: {text!r}")
+    body, unit = m.group(1).strip(), m.group(2)
+    if unit:  # INTERVAL '10' MINUTE
+        u = unit.lower()
+        if u not in _UNIT_SECONDS:
+            raise ValueError(f"unsupported interval unit {unit!r}")
+        return float(body) * _UNIT_SECONDS[u]
+    im = re.match(r"^([\d.]+)\s+(\w+)$", body)
+    if not im or im.group(2).lower() not in _UNIT_SECONDS:
+        raise ValueError(f"cannot parse interval body {body!r}")
+    return float(im.group(1)) * _UNIT_SECONDS[im.group(2).lower()]
+
+
+def _interval_spark(text: str) -> str:
+    """Interval text → Spark window-duration string ('3600 seconds')."""
+    secs = _interval_seconds(text)
+    return f"{int(secs)} seconds" if secs == int(secs) else f"{secs} seconds"
+
+
 # ---------------------------------------------------------------- handlers
 def _parse_coldefs(spark: SparkSession, body: str):
-    """Column definitions → (empty DataFrame, pk cols, defaults).
+    """Column definitions → (empty DataFrame, pk cols, defaults,
+    watermark spec).
 
-    Supports `name type [PRIMARY KEY] [NOT NULL] [DEFAULT expr]` items and
-    a table-level `PRIMARY KEY (a, b)` constraint (reference
-    `create_table.rs` bind_sql_columns / bind_pk_on_relation).
+    Supports `name type [PRIMARY KEY] [NOT NULL] [DEFAULT expr]` items, a
+    table-level `PRIMARY KEY (a, b)` constraint (reference
+    `create_table.rs` bind_sql_columns / bind_pk_on_relation), and
+    `WATERMARK FOR col AS col - INTERVAL ...` (reference
+    `binder/relation/watermark.rs`) → (col, delay_seconds).
     """
     masked, lits = _mask_strings(body)
     pk: list[str] = []
     defaults: dict[str, str] = {}
     fields: list[str] = []
+    watermark: tuple[str, float] | None = None
     for item in _split_top_level(masked):
         m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", item, re.I)
         if m:
             pk.extend(c.strip() for c in m.group(1).split(","))
+            continue
+        m = re.match(r"^WATERMARK\s+FOR\s+(\w+)\s+AS\s+(.*)$", item, re.I | re.S)
+        if m:
+            col, expr = m.group(1), _unmask(m.group(2).strip(), lits)
+            em = re.match(rf"^{re.escape(col)}\s*-\s*(INTERVAL\s+.*)$", expr, re.I | re.S)
+            if not em:
+                raise ValueError(
+                    f"WATERMARK FOR {col}: only `{col} - INTERVAL '...'` "
+                    "delay expressions are supported"
+                )
+            watermark = (col, _interval_seconds(em.group(1)))
             continue
         if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", item, re.I):
             continue  # constraints Spark-side state doesn't enforce
@@ -201,19 +252,126 @@ def _parse_coldefs(spark: SparkSession, body: str):
             spark_t = _map_type(typ)
         fields.append(f"{name} {spark_t}")
     empty = spark.createDataFrame([], ", ".join(fields))
-    return empty, pk, defaults
+    return empty, pk, defaults, watermark
 
 
 def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     name, body = m.group(1), m.group(2)
-    empty, pk, defaults = _parse_coldefs(engine.spark, body)
+    empty, pk, defaults, watermark = _parse_coldefs(engine.spark, body)
     if not pk:
         empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
         pk = [ROW_ID]
     t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
     t.defaults = defaults
+    t.watermark = watermark
+    t.append_only = bool(m.group("append"))
     engine._record_ddl(name, m.string)
+    opts = _parse_with_options(m.group("with")) if m.group("with") else {}
+    if opts.get("connector"):
+        # connector-backed table (CREATE TABLE ... WITH (...) FORMAT ...):
+        # ingest the current file set now; Engine.poll_sources() folds
+        # files that appear later (reference create_table.rs with a
+        # connector = source + table in one object)
+        _attach_table_connector(engine, t, opts, m.group("format"))
     return _status(engine.spark, "CREATE_TABLE")
+
+
+def _attach_table_connector(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+    """Connector-backed TABLE (reference `create_table.rs` with a WITH
+    clause — source + table in one object, `src/connector/src/source/`):
+    the posix_fs/filesystem connector ingests a DIRECTORY of event files
+    into the table's changelog — `FORMAT DEBEZIUM` folds
+    insert/update/delete envelopes (reference
+    `parser/debezium/debezium_parser.rs`: op c/r → +after, u → −before
+    +after, d → −before), `FORMAT PLAIN` appends rows. Files already
+    ingested are recorded durably (CDC_FILES) so restart replay and
+    `Engine.poll_sources()` fold only NEW files — the reference's source
+    offset tracking. Broker connectors raise loudly (no jars/brokers in
+    this sandbox; the statement shape is the same on a cluster)."""
+    conn = opts.get("connector", "").lower()
+    if conn in ("kafka", "kinesis", "pulsar", "mysql-cdc", "postgres-cdc"):
+        raise NotImplementedError(
+            f"table connector {conn!r} needs its connector jar and a "
+            "reachable broker/database; neither exists in this container. "
+            "File-based ingestion (connector='posix_fs') is fully functional."
+        )
+    if conn not in ("posix_fs", "filesystem"):
+        raise ValueError(f"unknown table connector {conn!r}")
+    path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
+    if not path:
+        raise ValueError("file connector needs a path/posix.fs.root option")
+    fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
+    if fmt not in ("debezium", "debezium_json", "plain", "json"):
+        raise ValueError(f"unsupported table ingest format {fmt!r}")
+    t.connector = {"path": path, "format": fmt}
+    _ingest_table_files(engine, t)
+
+
+def _ingest_table_files(engine: "Engine", t) -> None:
+    """Fold connector files that are not yet in the durable ingested set,
+    ONE FILE = ONE CHANGELOG BATCH, in name order (the reference's
+    per-split offset ordering). Within a file, an UPDATE's −before/+after
+    pair works (ChunkedState same-batch sequencing); an insert and its
+    delete must be in different files — Debezium segment files roll that
+    way."""
+    import glob as _glob
+    import json as _json
+
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "CDC_FILES")
+    try:
+        with open(meta) as f:
+            done = set(_json.load(f))
+    except (FileNotFoundError, ValueError):
+        done = set()
+    files = sorted(
+        f for f in _glob.glob(os.path.join(t.connector["path"], "*"))
+        if os.path.isfile(f)
+        and not os.path.basename(f).startswith(("_", "."))  # _SUCCESS etc.
+        and os.path.basename(f) not in done
+    )
+    if not files:
+        return
+    spark = engine.spark
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    fmt = t.connector["format"]
+    for path in files:
+        if fmt in ("debezium", "debezium_json"):
+            env_schema = StructType(
+                [
+                    StructField("before", row_schema),
+                    StructField("after", row_schema),
+                    StructField("op", StringType()),
+                    StructField("ts_ms", LongType()),
+                ]
+            )
+            env = spark.read.schema(env_schema).json(path)
+            cols = [f.name for f in row_schema.fields]
+            ins = env.filter(F.col("op").isin("c", "r", "u")).select(
+                *[F.col(f"after.{c}").alias(c) for c in cols]
+            )
+            dels = env.filter(F.col("op").isin("d", "u")).select(
+                *[F.col(f"before.{c}").alias(c) for c in cols]
+            )
+            batch = with_ops(ins, 1).unionByName(with_ops(dels, -1))
+        else:  # plain/json append
+            rows = spark.read.schema(row_schema).json(path)
+            batch = with_ops(rows, 1)
+        batch = batch.localCheckpoint(eager=True)
+        engine._apply_dml(t.name, batch)
+        done.add(os.path.basename(path))
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(done), f)
+        os.replace(tmp, meta)
 
 
 def _handle_create_table_as(engine: "Engine", m: re.Match) -> DataFrame:
@@ -704,10 +862,116 @@ def _handle_create_stream_join_mv(
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
+_TUMBLE_FROM = re.compile(
+    r"\bFROM\s+TUMBLE\s*\(\s*(?P<tbl>\w+)\s*,\s*(?P<ts>\w+)\s*,\s*"
+    r"(?P<iv>INTERVAL\s+[^),]+(?:\s+\w+)?)\s*\)",
+    re.I | re.S,
+)
+
+
+def _handle_create_eowc_mv(
+    engine: "Engine", name: str, stmt: str, select: str, masked: str, lits: list[str]
+) -> DataFrame:
+    """CREATE MV ... FROM TUMBLE(t, ts, INTERVAL ...) GROUP BY
+    window_start ... EMIT ON WINDOW CLOSE (reference: EOWC enforcement
+    `src/frontend/src/optimizer/mod.rs:474-630` requires a watermark on
+    the window's time column — declared via `WATERMARK FOR ts AS ts -
+    INTERVAL ...` on the base table, `binder/relation/watermark.rs`).
+    Compiles onto `EowcAggMv`: rows buffer until the durable watermark
+    passes their window's end, each closed window's aggregate is emitted
+    exactly once, late rows are dropped."""
+    from risingwave_spark.streaming.mv import EowcAggMv
+
+    from risingwave_spark.api import MaterializedViewHandle
+
+    tm = _TUMBLE_FROM.search(masked)
+    if not tm:
+        raise ValueError(
+            "EMIT ON WINDOW CLOSE requires a TUMBLE window source: "
+            "CREATE MATERIALIZED VIEW ... AS SELECT ... FROM "
+            "TUMBLE(table, ts_col, INTERVAL '...') GROUP BY window_start "
+            "... EMIT ON WINDOW CLOSE"
+        )
+    base, ts_col = tm.group("tbl"), tm.group("ts")
+    if base not in engine.tables:
+        raise ValueError(f"TUMBLE source {base!r} is not a table")
+    t = engine.tables[base]
+    wm = getattr(t, "watermark", None)
+    if wm is None or wm[0] != ts_col:
+        raise ValueError(
+            f"EMIT ON WINDOW CLOSE needs a watermark on {ts_col!r}: declare "
+            f"`WATERMARK FOR {ts_col} AS {ts_col} - INTERVAL '...'` on "
+            f"table {base!r} (the reference optimizer enforces the same)"
+        )
+    if not re.search(r"\bwindow_start\b", masked, re.I):
+        raise ValueError(
+            "EMIT ON WINDOW CLOSE output must include window_start (select "
+            "and GROUP BY it) — emission happens per closed window"
+        )
+    duration = _interval_spark(_unmask(tm.group("iv"), lits))
+    tmp = f"__eowc_src_{name}"
+    body = masked[: tm.start()] + f"FROM {tmp}" + masked[tm.end():]
+    body = pg_to_spark_sql(_unmask(body, lits))
+    spark = engine.spark
+
+    def recompute(rows: DataFrame) -> DataFrame:
+        rows.createOrReplaceTempView(tmp)
+        return spark.sql(body)
+
+    mv = EowcAggMv(
+        engine.spark,
+        os.path.join(engine.warehouse, f"eowc_{name}"),
+        ts_col,
+        duration,
+        wm[1],
+        recompute,
+        empty_input=lambda: engine.tables[base].snapshot().limit(0),
+    )
+    fresh = not mv.exists()
+    h = MaterializedViewHandle(name, mv)
+    if fresh:
+        snap = t.snapshot()
+        mv.feed(snap)
+    h._register()
+    t.mvs.append(h)
+    engine.mv_handles[name] = h
+    engine._record_ddl(name, stmt)
+    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
+    em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
+    if em:
+        select = select[: em.start()]
     masked, lits = _mask_strings(select)
-    pj = _parse_join_tree(masked)
+    if em:
+        return _handle_create_eowc_mv(engine, name, m.string, select, masked, lits)
+    if _TUMBLE_FROM.search(masked):
+        raise ValueError(
+            "FROM TUMBLE(...) without EMIT ON WINDOW CLOSE is not supported "
+            "in the SQL surface; GROUP BY an aliased time_bucket()/"
+            "date_trunc() expression for an eagerly-maintained windowed MV"
+        )
+    # Temporal join (reference `stream_temporal_join.rs`, syntax
+    # `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
+    # joins the dimension's CURRENT version at its processing time —
+    # exactly the dimension-path MV below (maintained w.r.t. the first
+    # table, dimensions read fresh per recompute). The clause therefore
+    # FORCES the dimension path even when both sides are engine tables
+    # (without it, two engine tables compile to a retractable
+    # stream-stream join instead).
+    temporal = re.search(
+        r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", masked, re.I
+    )
+    if temporal:
+        masked = re.sub(
+            r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)",
+            " ",
+            masked,
+            flags=re.I,
+        )
+    pj = _parse_join_tree(masked) if not temporal else None
     if pj and all(t in engine.tables for t in pj["tables"]):
         # EVERY join input is an engine table → true stream-stream join
         # MV (retractable on all sides; 3+ tables become a left-deep

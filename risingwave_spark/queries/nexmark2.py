@@ -686,3 +686,86 @@ def nexmark_q106_min_final(spark, sf_dir):
         .agg(F.max("price").alias("final"))
         .agg(F.min("final").alias("min_final"))
     )
+
+
+@register(
+    "nexmark_q11_bid_sessions",
+    oracle=f"""
+WITH g AS (
+  SELECT bidder, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY bidder ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY bidder ORDER BY ts)
+                      > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS ns
+  FROM {BIDS_US} b
+), s AS (
+  SELECT bidder, ts,
+         CAST(sum(ns) OVER (PARTITION BY bidder ORDER BY ts
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g
+)
+SELECT bidder, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS bid_count
+FROM s GROUP BY bidder, sid ORDER BY bidder, session_start
+""",
+)
+def nexmark_q11_bid_sessions(spark, sf_dir):
+    """Nexmark q11 (bids per bidder per SESSION window — the classic
+    session-window query; reference session frames
+    `src/frontend/src/optimizer/plan_node/generic/over_window.rs` session
+    support + `sort_buffer.rs`): gap-detection sessionization, 30-minute
+    gap. Cumulative session ids use the RANGE (peer-inclusive) frame so
+    tied timestamps land in the same session deterministically in both
+    engines. Streaming twin: `session_window()` grouping
+    (tests/test_streaming.py)."""
+    b = _bids(spark, sf_dir)
+    w = W.partitionBy("bidder").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = b.withColumn(
+        "ns",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0),
+    )
+    # default window frame for an ordered sum IS RANGE-to-current-row
+    # (peers included) — same determinism argument as the oracle
+    s = g.withColumn("sid", F.sum("ns").over(w))
+    return (
+        s.groupBy("bidder", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("bid_count"),
+        )
+        .drop("sid")
+        .orderBy("bidder", "session_start")
+    )
+
+
+@register(
+    "nexmark_q20_bid_expand",
+    oracle=f"""
+SELECT auction, bidder, price, channel, ts, item_name, category
+FROM {BIDS_US} b
+JOIN (SELECT i AS auction_id, 'item-' || i AS item_name, i % 12 AS category
+      FROM range(1200) t(i)) a
+  ON b.auction = a.auction_id
+WHERE a.category = 10
+ORDER BY auction, bidder, ts, price
+""",
+)
+def nexmark_q20_bid_expand(spark, sf_dir):
+    """Nexmark q20 (expand bids with the auction they belong to,
+    category-filtered — `ci/scripts/sql/nexmark/q20.sql`): bid ⋈ auction
+    dimension WHERE category = 10. The category filter reaches the
+    dimension BEFORE the join and the 100-row surviving dimension
+    broadcasts — no shuffle of the bid stream at any scale."""
+    a = _auctions(spark).withColumn("category", F.col("auction_id") % 12)
+    return (
+        _bids(spark, sf_dir)
+        .join(
+            F.broadcast(a.filter(F.col("category") == 10)),
+            F.col("auction") == F.col("auction_id"),
+        )
+        .select("auction", "bidder", "price", "channel", "ts", "item_name", "category")
+        .orderBy("auction", "bidder", "ts", "price")
+    )

@@ -1260,3 +1260,192 @@ def stream_dynamic_filter(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_above"))
         )
     return result.orderBy("user_id")
+
+
+@register(
+    "engine_sql_eowc",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n,
+       {o_msum('value', 10000)} AS total
+FROM {EVENTS_US} e
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+      <= (SELECT max(ts) - INTERVAL '10 minutes' FROM {EVENTS_US} e2)
+GROUP BY ws ORDER BY ws
+""",
+)
+def engine_sql_eowc(spark, sf_dir):
+    """EMIT ON WINDOW CLOSE through the SQL front door (reference:
+    `WATERMARK FOR` binding `binder/relation/watermark.rs`, EOWC plan
+    enforcement `optimizer/mod.rs:474-630`, sort buffer `sort.rs:20`):
+    CREATE TABLE declares the watermark, CREATE MV declares
+    TUMBLE + EMIT ON WINDOW CLOSE; events arrive as 4 event-time-ordered
+    INSERT batches plus a LATE 5th batch (fresh ids, first-quartile
+    timestamps — all behind the final watermark) that must be dropped;
+    the MV holds exactly the windows closed by max(ts) − 10 min, each
+    emitted once."""
+    from risingwave_spark.api import Engine
+
+    ev = tables(spark, sf_dir)["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_eowc_sql_"))
+    eng.sql(
+        """
+        CREATE TABLE eowc_ev (
+            event_id int8 PRIMARY KEY, user_id int8, value float8,
+            ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '10 minutes'
+        ) APPEND ONLY;
+        CREATE MATERIALIZED VIEW eowc_mv AS
+        SELECT window_start AS ws, count(*) AS n,
+               sum(CAST(round(value*10000, 0) AS BIGINT))/10000.0D AS total
+        FROM TUMBLE(eowc_ev, ts, INTERVAL '1 hour')
+        GROUP BY window_start
+        EMIT ON WINDOW CLOSE
+        """
+    )
+    bounds = [lo + i * span for i in range(4)] + [None]
+    for i in range(4):
+        a, b = bounds[i], bounds[i + 1]
+        pred = f"ts >= TIMESTAMP '{a}'" + (f" AND ts < TIMESTAMP '{b}'" if b else "")
+        eng.sql(
+            "INSERT INTO eowc_ev SELECT event_id, user_id, value, ts "
+            f"FROM events WHERE {pred}"
+        )
+    # late batch: NEW ids, OLD timestamps (entirely behind the watermark)
+    eng.sql(
+        "INSERT INTO eowc_ev SELECT event_id + 10000000, user_id, value, ts "
+        f"FROM events WHERE ts < TIMESTAMP '{lo + span}' LIMIT 500"
+    )
+    return eng.sql("SELECT ws, n, total FROM eowc_mv ORDER BY ws")
+
+
+@register(
+    "engine_sql_temporal_join",
+    oracle="""
+SELECT o_orderkey AS fid, o_totalprice AS price,
+       CASE WHEN o_orderkey % 2 = 1 AND c_custkey % 3 = 0
+            THEN 'X_' || c_mktsegment ELSE c_mktsegment END AS seg
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 4 = 0 OR o_orderkey % 2 = 1
+ORDER BY fid
+""",
+)
+def engine_sql_temporal_join(spark, sf_dir):
+    """Temporal join in SQL (reference `stream_temporal_join.rs`,
+    `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
+    joins the dimension version current AT ITS ARRIVAL — facts inserted
+    before the dimension UPDATE keep the old attribute, facts inserted
+    after see the new one; a dimension-side change alone never rewrites
+    existing MV rows. The oracle reconstructs both versions by batch
+    membership."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_tjsql_"))
+    eng.sql(
+        """
+        CREATE TABLE ttj_dim (k int8 PRIMARY KEY, seg text);
+        CREATE TABLE ttj_fact (fid int8 PRIMARY KEY, k int8, price float8);
+        CREATE MATERIALIZED VIEW ttj_mv AS
+        SELECT fid, price, seg
+        FROM ttj_fact f
+        JOIN ttj_dim FOR SYSTEM_TIME AS OF PROCTIME() d ON f.k = d.k
+        """
+    )
+    eng.sql("INSERT INTO ttj_dim SELECT c_custkey, c_mktsegment FROM customer")
+    eng.sql(
+        "INSERT INTO ttj_fact SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 4 = 0"
+    )
+    eng.sql("UPDATE ttj_dim SET seg = 'X_' || seg WHERE k % 3 = 0")
+    eng.sql(
+        "INSERT INTO ttj_fact SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    return eng.sql("SELECT fid, price, seg FROM ttj_mv ORDER BY fid")
+
+
+@register(
+    "engine_sql_cdc_source",
+    oracle=f"""
+SELECT o_orderstatus AS status, count(*) AS n,
+       {o_msum("o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END")} AS total
+FROM orders
+WHERE o_orderkey % 2 = 0
+  AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+GROUP BY status ORDER BY status
+""",
+)
+def engine_sql_cdc_source(spark, sf_dir):
+    """File-based CDC ingestion end-to-end (reference
+    `src/connector/src/source/cdc/` + Debezium parser
+    `parser/debezium/debezium_parser.rs`): a directory of Debezium-JSON
+    segment files — inserts, then an update segment (−before/+after
+    pairs), then a delete segment — feeds `CREATE TABLE ... WITH
+    (connector='posix_fs') FORMAT DEBEZIUM`; the third segment arrives
+    AFTER creation and is folded by `Engine.poll_sources()`. A
+    downstream group-agg MV stays exact across all three envelope ops."""
+    import shutil as _sh
+
+    from risingwave_spark.api import Engine
+
+    t = tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderkey") % 2 == 0)
+    cdc_dir = tempfile.mkdtemp(prefix="rw_cdcdir_")
+
+    def write_seg(name: str, env_df) -> None:
+        tmp = os.path.join(cdc_dir, "__stage")
+        env_df.select(F.to_json(F.struct(*env_df.columns)).alias("v")).coalesce(
+            1
+        ).write.mode("overwrite").text(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".txt")
+        )
+        _sh.move(os.path.join(tmp, part), os.path.join(cdc_dir, name))
+        _sh.rmtree(tmp, ignore_errors=True)
+
+    payload = F.struct(
+        F.col("o_orderkey").alias("fid"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    write_seg(
+        "seg000.json",
+        orders.select(payload.alias("after"), F.lit("c").alias("op")),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0)
+    write_seg(
+        "seg001.json",
+        upd.select(
+            payload.alias("before"),
+            F.struct(
+                F.col("o_orderkey").alias("fid"),
+                F.col("o_orderstatus").alias("status"),
+                (F.col("o_totalprice") + 1).alias("price"),
+            ).alias("after"),
+            F.lit("u").alias("op"),
+        ),
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_cdcsql_"))
+    eng.sql(
+        f"""
+        CREATE TABLE cdc_orders (
+            fid int8 PRIMARY KEY, status text, price float8
+        ) WITH (connector = 'posix_fs', path = '{cdc_dir}') FORMAT DEBEZIUM;
+        CREATE MATERIALIZED VIEW cdc_mv AS
+        SELECT status, count(*) AS n,
+               sum(CAST(round(price*100, 0) AS BIGINT))/100.0D AS total
+        FROM cdc_orders GROUP BY status
+        """
+    )
+    # a delete segment lands AFTER table creation → poll picks it up
+    dele = orders.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+    )
+    write_seg(
+        "seg002.json",
+        dele.select(payload.alias("before"), F.lit("d").alias("op")),
+    )
+    eng.poll_sources()
+    return eng.sql("SELECT status, n, total FROM cdc_mv ORDER BY status")

@@ -199,6 +199,10 @@ def _scan_expr(p: _P, stop: set[str], *, forbid: dict[str, str] | None = None,
     return p.i - n0
 
 
+_INTERVAL_UNITS = {
+    "SECOND", "SECONDS", "MINUTE", "MINUTES", "HOUR", "HOURS", "DAY", "DAYS",
+}
+
 _MV_FORBID = {
     "SELECT": "subqueries inside a materialized-view body are not "
               "supported — incremental recompute over affected groups "
@@ -243,7 +247,32 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             "subquery in FROM of a materialized view is not supported — "
             "materialize the inner query as its own MV first (MV-on-MV)"
         )
-    p.ident("table name")
+    if p.at("HOP", "SESSION") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
+        raise SqlParseError(
+            "HOP/SESSION window TVFs are not supported in the SQL surface; "
+            "use the Python streaming API (queries/events_stream.py)"
+        )
+    if p.at("TUMBLE") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
+        # TUMBLE(table, ts_col, INTERVAL '...') — the reference's window
+        # TVF (binder/relation/window_table_function.rs); valid only with
+        # EMIT ON WINDOW CLOSE, which the frontend handler enforces
+        p.eat()
+        p.eat_op("(")
+        p.ident("table name")
+        p.eat_op(",")
+        p.ident("time column")
+        p.eat_op(",")
+        p.eat_kw("INTERVAL")
+        t = p.peek()
+        if t is None or t.kind != "str":
+            p.fail("expected an interval string literal")
+        p.eat()
+        t = p.peek()
+        if t is not None and t.kind == "ident" and t.up in _INTERVAL_UNITS:
+            p.eat()
+        p.eat_op(")")
+    else:
+        p.ident("table name")
     if p.at("AS"):
         p.eat()
         p.ident("table alias")
@@ -280,6 +309,22 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
                     "supported — materialize it as its own MV first"
                 )
             p.ident("join table name")
+
+            def _try_system_time() -> None:
+                # FOR SYSTEM_TIME AS OF PROCTIME() — temporal join
+                # (reference stream_temporal_join.rs); PROCTIME is the
+                # only supported version selector
+                if not p.at("FOR"):
+                    return
+                p.eat()
+                p.eat_kw("SYSTEM_TIME")
+                p.eat_kw("AS")
+                p.eat_kw("OF")
+                p.eat_kw("PROCTIME")
+                p.eat_op("(")
+                p.eat_op(")")
+
+            _try_system_time()
             if p.at("AS"):
                 p.eat()
                 p.ident("join alias")
@@ -289,6 +334,7 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
                 and not p.at("ON", "USING", *_CLAUSE_STOPPERS)
             ):
                 p.eat()
+            _try_system_time()
             if p.at("USING"):
                 raise SqlParseError(
                     "JOIN ... USING is not supported in materialized-view "
@@ -449,6 +495,14 @@ def _parse_create(p: _P) -> str:
             p.eat_kw("ONLY")
         if p.at("WITH"):
             _parse_with_options(p)
+        if p.at("FORMAT"):
+            # FORMAT DEBEZIUM/PLAIN [ENCODE JSON] (reference
+            # handler/create_table.rs connector-backed tables)
+            p.eat()
+            p.ident("format name")
+            if p.at("ENCODE"):
+                p.eat()
+                p.ident("encode name")
         p.expect_done("CREATE TABLE")
         return "create_table"
     if p.at_seq("MATERIALIZED", "VIEW"):

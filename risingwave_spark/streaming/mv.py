@@ -1083,6 +1083,123 @@ class EowcTumbleAgg:
         return self.spark.read.parquet(self.out_path)
 
 
+class EowcAggMv:
+    """EMIT ON WINDOW CLOSE aggregate MV — the SQL-surface runtime behind
+    `CREATE MATERIALIZED VIEW ... FROM TUMBLE(t, ts, INTERVAL ...) GROUP
+    BY window_start ... EMIT ON WINDOW CLOSE` over a table declaring
+    `WATERMARK FOR ts AS ts - INTERVAL ...` (reference: watermark binding
+    `src/frontend/src/binder/relation/watermark.rs`, EOWC plan
+    enforcement `src/frontend/src/optimizer/mod.rs:474-630`, runtime
+    sort buffer `src/stream/src/executor/sort.rs:20`).
+
+    Semantics: rows buffer until the event-time watermark (max ts seen −
+    delay, monotonic, DURABLE) passes their tumble window's end; each
+    closed window's rows then run through `recompute` (the MV body over
+    the closed rows, with window_start/window_end attached) and the
+    result is APPENDED exactly once — closed rows leave the buffer, and
+    late rows at/behind the watermark are dropped at the door
+    (WatermarkFilter, `watermark_filter.rs:34-36`). Output is
+    append-only by construction; deletes on the base table are rejected
+    loudly (the reference requires an append-only input for EOWC).
+
+    State = open-window rows only (bounded by delay × arrival rate) plus
+    one durable watermark timestamp — the reference's sort-buffer state
+    shape. Per-batch work is O(batch + closed rows), never O(history).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        ts_col: str,
+        window_duration: str,
+        delay_seconds: float,
+        recompute,
+        empty_input,
+    ):
+        self.spark = spark
+        self.ts_col = ts_col
+        self.window_duration = window_duration
+        self.delay_seconds = delay_seconds
+        self.recompute = recompute
+        self.empty_input = empty_input  # () -> empty typed input frame
+        self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
+        self.out_path = os.path.join(state_dir, "out")
+        self._emitted_any = os.path.isdir(self.out_path)
+        self._wm_path = os.path.join(state_dir, "WM")
+        self._watermark = self._read_wm()
+        self.downstream: list = []  # EOWC MVs have no retraction changelog
+
+    def exists(self) -> bool:
+        return self._emitted_any or self.buffer.exists() or self._watermark is not None
+
+    def _read_wm(self):
+        import datetime
+
+        try:
+            with open(self._wm_path) as f:
+                return datetime.datetime.fromisoformat(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_wm(self) -> None:
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self._watermark.isoformat())
+        os.replace(tmp, self._wm_path)
+
+    def _annotate(self, df: DataFrame) -> DataFrame:
+        win = F.window(self.ts_col, self.window_duration)
+        return df.withColumn("window_start", win.getField("start")).withColumn(
+            "window_end", win.getField("end")
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        deletes = batch.filter(F.col(OP_COL) < 0)
+        if not _statically_empty(deletes) and deletes.limit(1).count() > 0:
+            raise ValueError(
+                "EMIT ON WINDOW CLOSE requires an append-only input: "
+                "DELETE/UPDATE on the base table cannot retract an "
+                "already-emitted window (reference EOWC constraint)"
+            )
+        cols = [c for c in batch.columns if c != OP_COL]
+        self.feed(batch.filter(F.col(OP_COL) > 0).select(*cols))
+
+    def feed(self, batch: DataFrame) -> None:
+        import datetime
+
+        if self._watermark is not None:
+            # WatermarkFilter: late rows at/behind the watermark dropped
+            batch = batch.filter(F.col(self.ts_col) > F.lit(self._watermark))
+        buf = batch
+        if self.buffer.exists():
+            buf = self.buffer.read().unionByName(batch)
+        annotated = self._annotate(buf)
+        mx, min_we = annotated.agg(F.max(self.ts_col), F.min("window_end")).first()
+        if mx is None:
+            return
+        wm = mx - datetime.timedelta(seconds=self.delay_seconds)
+        if self._watermark is not None and wm < self._watermark:
+            wm = self._watermark
+        self._watermark = wm
+        self._write_wm()
+        closed = annotated.filter(F.col("window_end") <= F.lit(wm))
+        still_open = annotated.filter(F.col("window_end") > F.lit(wm)).drop(
+            "window_start", "window_end"
+        )
+        if min_we is not None and min_we <= wm:
+            out = self.recompute(closed)
+            out.coalesce(2).write.mode("append").parquet(self.out_path)
+            self._emitted_any = True
+        self.buffer.write(still_open)
+
+    def result(self) -> DataFrame:
+        if not self._emitted_any:
+            # typed empty frame: the MV body over zero input rows
+            return self.recompute(self._annotate(self.empty_input())).limit(0)
+        return self.spark.read.parquet(self.out_path)
+
+
 def stream_to_mv(
     source: DataFrame,
     mv: MaterializedGroupAgg,

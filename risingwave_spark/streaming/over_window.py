@@ -59,17 +59,60 @@ _KINDS = {
     "avg",
     "count",
     "lead",
+    "first_value",
+    "last_value",
+    "percent_rank",
+    "cume_dist",
+    "ntile",
 }
 
+#: kinds whose value depends on the WHOLE partition (total row count):
+#: an insert anywhere dirties every row, so the affected range is the
+#: full touched partition (frame_finder's whole-partition case)
+_FULL_KINDS = {"percent_rank", "cume_dist", "ntile"}
 
-def _forward_reach(funcs: dict[str, tuple]) -> int:
-    """Rows the affected range must extend BACKWARD per partition: the
-    max forward frame reach of the declared functions (lead offset)."""
-    reach = 0
+#: aggregate kinds that accept a bounded frame spec
+_FRAMEABLE = {"sum", "min", "max", "avg", "count"}
+
+
+def _frame_of(spec: tuple) -> dict | None:
+    """Optional trailing frame spec: ("sum", "v", {"rows": (3, 0)}) =
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW; {"rows": (2, 1)} includes
+    1 FOLLOWING; {"range": (10.0, 0.0)} = RANGE over a single NUMERIC
+    order column (reference frame_finder.rs handles ROWS and RANGE
+    frames in both directions the same way)."""
+    if spec and isinstance(spec[-1], dict):
+        return spec[-1]
+    return None
+
+
+def _reaches(funcs: dict[str, tuple]):
+    """(emit_rows, input_rows, emit_range, input_range):
+
+    - emit_rows / emit_range — how far BACKWARD (row count / order-value
+      delta) of the earliest touched position a stored row's frame can
+      still SEE the change (lead offsets, FOLLOWING frame ends): those
+      rows must be re-emitted.
+    - input_rows / input_range — how much further back the recompute
+      needs INPUT rows so re-emitted rows' backward-bounded frames are
+      complete: those rows feed the computation but keep their stored
+      values (frame_finder.rs computes the same two extents)."""
+    e_rows = i_rows = 0
+    e_range = i_range = 0.0
     for spec in funcs.values():
         if spec[0] == "lead":
-            reach = max(reach, spec[2] if len(spec) > 2 else 1)
-    return reach
+            off = spec[2] if len(spec) > 2 and not isinstance(spec[2], dict) else 1
+            e_rows = max(e_rows, off)
+        f = _frame_of(spec)
+        if f and "rows" in f:
+            lo, hi = f["rows"]
+            e_rows = max(e_rows, hi)
+            i_rows = max(i_rows, lo)
+        if f and "range" in f:
+            lo, hi = f["range"]
+            e_range = max(e_range, float(hi))
+            i_range = max(i_range, float(lo))
+    return e_rows, i_rows, e_range, i_range
 
 
 def _lex_lt(left: DataFrame, right: DataFrame, cols: list[str], rcols: list[str]):
@@ -107,6 +150,26 @@ class MaterializedOverWindowDelta:
                     f"unsupported window function {spec[0]!r} for frame-delta "
                     f"maintenance (supported: {sorted(_KINDS)})"
                 )
+            f = _frame_of(spec)
+            if f and spec[0] not in _FRAMEABLE:
+                raise ValueError(
+                    f"{spec[0]!r} does not accept a frame spec (frames apply "
+                    f"to {sorted(_FRAMEABLE)})"
+                )
+            if f and "range" in f:
+                if len(order_cols) != 1:
+                    raise ValueError(
+                        "RANGE frames need exactly one (numeric) ORDER BY column"
+                    )
+                if not all(float(x).is_integer() for x in f["range"]):
+                    raise ValueError(
+                        "RANGE frame bounds must be integral (scale the "
+                        "order column for fractional ranges)"
+                    )
+        #: whole-partition kinds (percent_rank/cume_dist/ntile) make the
+        #: affected range the FULL touched partition — every row's value
+        #: depends on the partition's total row count
+        self._full = any(s[0] in _FULL_KINDS for s in funcs.values())
         self.spark = spark
         self.keys = keys
         self.order_cols = order_cols
@@ -152,8 +215,56 @@ class MaterializedOverWindowDelta:
 
         for name, spec in self.funcs.items():
             kind = spec[0]
-            src = F.col(spec[1]) if len(spec) > 1 else None
-            if kind == "row_number":
+            frame = _frame_of(spec)
+            src = (
+                F.col(spec[1])
+                if len(spec) > 1 and isinstance(spec[1], str)
+                else None
+            )
+            if frame is not None and kind in _FRAMEABLE:
+                # bounded ROWS/RANGE frame: computed LOCALLY — the input
+                # extension (apply_batch) guarantees every re-emitted
+                # row's frame is fully inside the recompute input, so no
+                # seed continuation is needed (frame_finder.rs)
+                if "rows" in frame:
+                    lo, hi = frame["rows"]
+                    fw = w.rowsBetween(-int(lo), int(hi))
+                else:
+                    lo, hi = frame["range"]
+                    fw = W.partitionBy(*self.keys).orderBy(
+                        F.col(self.order_cols[0])
+                    ).rangeBetween(-int(lo), int(hi))
+                fn = {"sum": F.sum, "min": F.min, "max": F.max,
+                      "avg": F.avg, "count": F.count}[kind]
+                proj.append(fn(src).over(fw).alias(name))
+                continue
+            if kind == "first_value":
+                # partition's first value: carried out of the prefix via
+                # an explicit set-marker (the value itself may be NULL)
+                local = F.first(src).over(run_frame)
+                if seeds is not None:
+                    proj.append(
+                        F.when(
+                            F.col(f"__seed_{name}_set") == 1,
+                            F.col(f"__seed_{name}"),
+                        )
+                        .otherwise(local)
+                        .alias(name)
+                    )
+                else:
+                    proj.append(local.alias(name))
+            elif kind == "last_value":
+                # default frame (unbounded preceding → current row):
+                # last_value(x) IS the current row's x — purely local
+                proj.append(src.alias(name))
+            elif kind == "percent_rank":
+                proj.append(F.percent_rank().over(w).alias(name))
+            elif kind == "cume_dist":
+                proj.append(F.cume_dist().over(w).alias(name))
+            elif kind == "ntile":
+                n = spec[1] if len(spec) > 1 else 4
+                proj.append(F.ntile(int(n)).over(w).alias(name))
+            elif kind == "row_number":
                 proj.append((local_rn + seed_of(f"__seed_{name}", 0)).alias(name))
             elif kind == "lag":
                 lag_local = F.lag(src).over(w)
@@ -228,16 +339,21 @@ class MaterializedOverWindowDelta:
         sel = [F.col(k) for k in self.keys]
         for name, spec in self.funcs.items():
             kind = spec[0]
+            if _frame_of(spec) is not None:
+                continue  # bounded frames recompute locally (input reach)
             if kind == "lag":
                 sel.append(F.col(spec[1]).alias(f"__seed_{name}"))
             elif kind in ("row_number", "sum", "dense_rank", "min", "max", "count"):
                 sel.append(F.col(name).alias(f"__seed_{name}"))
+            elif kind == "first_value":
+                sel.append(F.col(name).alias(f"__seed_{name}"))
+                sel.append(F.lit(1).alias(f"__seed_{name}_set"))
             elif kind == "rank":
                 sel.append(F.col(f"__aux_{name}_cnt").alias(f"__seed_{name}_cnt"))
             elif kind == "avg":
                 sel.append(F.col(f"__aux_{name}_sum").alias(f"__seed_{name}_sum"))
                 sel.append(F.col(f"__aux_{name}_cnt").alias(f"__seed_{name}_cnt"))
-            # lead: forward-looking, no carried state
+            # lead/last_value: forward-looking / purely local, no state
         return last.select(*sel)
 
     # ------------------------------------------------------------ main loop
@@ -299,55 +415,55 @@ class MaterializedOverWindowDelta:
         if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
             self.state.compact()
 
-        reach = _forward_reach(self.funcs)
-        if reach and self.mv.exists():
-            # forward-looking functions (lead): extend each touched
-            # partition's boundary BACKWARD by `reach` rows — the stored
-            # rows just before the change have frames that SEE it
-            # (frame_finder.rs computes both directions). Same key →
-            # same bucket, so the pruned reads below are unaffected.
+        if self._full:
+            # whole-partition kinds (percent_rank/cume_dist/ntile): an
+            # insert anywhere moves every row's value, so the affected
+            # range is the FULL touched partition — partition-grain
+            # recompute, no seeds, no boundary arithmetic
+            st = self.state.read(buckets=touched)
+            st_aff = st.join(
+                affected, nullsafe_cond(st, affected, self.keys), "left_semi"
+            )
+            if self.track_recompute:
+                self.last_recompute_rows = st_aff.count()
+            out = self._window_outputs(st_aff, None)
+            if not self.mv.exists():
+                self.mv.write(out)
+                return
             if touched is None:
                 touched = self.mv.touched_buckets(affected)
-            prev_ext = self.mv.read_buckets(touched)
-            je = prev_ext.join(
-                boundaries,
-                nullsafe_cond(prev_ext, boundaries, self.keys, kcols),
-                "inner",
+            prev_t = self.mv.read_buckets(touched)
+            kept = prev_t.join(
+                affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
             )
-            pre = je.filter(
-                _lex_lt(prev_ext, boundaries, self.order_cols, bcols)
-            ).select(*[prev_ext[c] for c in prev_ext.columns])
-            wdesc = W.partitionBy(*self.keys).orderBy(
-                *[F.desc(c) for c in self.order_cols]
-            )
-            lastk = pre.withColumn("__dr", F.row_number().over(wdesc)).filter(
-                F.col("__dr") <= reach
-            )
-            nkcols = [f"__nk{i}" for i in range(len(self.keys))]
-            newb = (
-                lastk.groupBy(*self.keys)
-                .agg(F.min(F.struct(*self.order_cols)).alias("__nb"))
-                .select(
-                    *[F.col(k).alias(nk) for k, nk in zip(self.keys, nkcols)],
-                    *[
-                        F.col(f"__nb.{c}").alias(f"__nb{i}")
-                        for i, c in enumerate(self.order_cols)
-                    ],
+            self.mv.overwrite_buckets(kept.unionByName(out), touched)
+            return
+
+        # two extents per frame_finder.rs: the EMIT boundary (rows whose
+        # frames SEE the change — lead offsets / FOLLOWING frame ends
+        # extend it backward) and the INPUT boundary (further back, so
+        # backward-bounded frames of re-emitted rows are complete; those
+        # extra rows feed the compute but keep their stored values)
+        e_rows, i_rows, e_range, i_range = _reaches(self.funcs)
+        if (e_rows or e_range) and self.mv.exists():
+            if touched is None:
+                touched = self.mv.touched_buckets(affected)
+            if e_rows:
+                boundaries = self._extend_rows(boundaries, touched, e_rows, kcols, bcols)
+            if e_range:
+                boundaries = self._shift_range(boundaries, e_range, kcols, bcols)
+        boundaries_in = boundaries
+        if (i_rows or i_range) and self.mv.exists():
+            if touched is None:
+                touched = self.mv.touched_buckets(affected)
+            if i_rows:
+                boundaries_in = self._extend_rows(
+                    boundaries_in, touched, i_rows, kcols, bcols
                 )
-            )
-            jb = boundaries.join(
-                newb, nullsafe_cond(boundaries, newb, kcols, nkcols), "left"
-            )
-            # extension rows sort strictly before the old boundary, so
-            # coalesce(extended, old) is the per-partition minimum
-            boundaries = jb.select(
-                *[boundaries[k] for k in kcols],
-                *[
-                    F.coalesce(newb[f"__nb{i}"], boundaries[b]).alias(b)
-                    for i, b in enumerate(bcols)
-                ],
-                boundaries["__aff"],
-            ).localCheckpoint(eager=True)
+            if i_range:
+                boundaries_in = self._shift_range(
+                    boundaries_in, i_range, kcols, bcols
+                )
 
         st = self.state.read(buckets=touched)
         st_aff = st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
@@ -362,10 +478,10 @@ class MaterializedOverWindowDelta:
         if touched is None:
             touched = self.mv.touched_buckets(affected)
         prev_t = self.mv.read_buckets(touched)
-        # ONE left-join splits the previous rows three ways: untouched
-        # partition (no boundary), prefix (before boundary), suffix
-        # (dropped — replaced by the recompute). Untouched ∪ prefix keep
-        # their stored values and share one scan/filter branch.
+        # ONE left-join splits the previous rows by the EMIT boundary:
+        # untouched partition (no boundary) ∪ prefix (before boundary)
+        # keep their stored values; at/after it they are replaced by the
+        # recompute.
         b_prev = fresh(boundaries)
         jprev = prev_t.join(
             b_prev, nullsafe_cond(prev_t, b_prev, self.keys, kcols), "left"
@@ -375,13 +491,20 @@ class MaterializedOverWindowDelta:
         kept_rows = jprev.filter(
             b_prev["__aff"].isNull() | is_prefix
         ).select(*[prev_t[c] for c in keep_cols])
-        prefix_rows = jprev.filter(
-            (b_prev["__aff"] == 1) & is_prefix
+        # seeds continue from the INPUT boundary (strictly before every
+        # row entering the recompute)
+        b_seed = fresh(boundaries_in)
+        jseed = prev_t.join(
+            b_seed, nullsafe_cond(prev_t, b_seed, self.keys, kcols), "left"
+        )
+        prefix_rows = jseed.filter(
+            (b_seed["__aff"] == 1)
+            & _lex_lt(prev_t, b_seed, self.order_cols, bcols)
         ).select(*[prev_t[c] for c in keep_cols])
         seeds = self._seeds(prefix_rows)
 
-        # suffix of the CURRENT state: rows at/after the boundary
-        b_suf = fresh(boundaries)
+        # recompute INPUT: state rows at/after the INPUT boundary
+        b_suf = fresh(boundaries_in)
         jsuf = st_aff.join(
             b_suf, nullsafe_cond(st_aff, b_suf, self.keys, kcols), "inner"
         )
@@ -391,8 +514,84 @@ class MaterializedOverWindowDelta:
         if self.track_recompute:
             self.last_recompute_rows = suffix_rows.count()
         suffix_out = self._window_outputs(suffix_rows, seeds)
+        if i_rows or i_range:
+            # input-extension rows ([input boundary, emit boundary)) fed
+            # the compute but their own frames don't see the change —
+            # drop their recomputed outputs; their stored values stay
+            b_out = fresh(boundaries)
+            jout = suffix_out.join(
+                b_out, nullsafe_cond(suffix_out, b_out, self.keys, kcols), "inner"
+            )
+            suffix_out = jout.filter(
+                ~_lex_lt(suffix_out, b_out, self.order_cols, bcols)
+            ).select(*[suffix_out[c] for c in suffix_out.columns])
 
         self.mv.overwrite_buckets(kept_rows.unionByName(suffix_out), touched)
+
+    # ------------------------------------------------- boundary extension
+    def _extend_rows(
+        self,
+        boundaries: DataFrame,
+        touched: list[int] | None,
+        n: int,
+        kcols: list[str],
+        bcols: list[str],
+    ) -> DataFrame:
+        """Extend each touched partition's boundary BACKWARD by `n`
+        STORED rows (lead offsets / ROWS-frame reach): the rows just
+        before the boundary whose frames can reach across it."""
+        prev_ext = self.mv.read_buckets(touched)
+        je = prev_ext.join(
+            boundaries,
+            nullsafe_cond(prev_ext, boundaries, self.keys, kcols),
+            "inner",
+        )
+        pre = je.filter(
+            _lex_lt(prev_ext, boundaries, self.order_cols, bcols)
+        ).select(*[prev_ext[c] for c in prev_ext.columns])
+        wdesc = W.partitionBy(*self.keys).orderBy(
+            *[F.desc(c) for c in self.order_cols]
+        )
+        lastk = pre.withColumn("__dr", F.row_number().over(wdesc)).filter(
+            F.col("__dr") <= n
+        )
+        nkcols = [f"__nk{i}" for i in range(len(self.keys))]
+        newb = (
+            lastk.groupBy(*self.keys)
+            .agg(F.min(F.struct(*self.order_cols)).alias("__nb"))
+            .select(
+                *[F.col(k).alias(nk) for k, nk in zip(self.keys, nkcols)],
+                *[
+                    F.col(f"__nb.{c}").alias(f"__nb{i}")
+                    for i, c in enumerate(self.order_cols)
+                ],
+            )
+        )
+        jb = boundaries.join(
+            newb, nullsafe_cond(boundaries, newb, kcols, nkcols), "left"
+        )
+        # extension rows sort strictly before the old boundary, so
+        # coalesce(extended, old) is the per-partition minimum
+        return jb.select(
+            *[boundaries[k] for k in kcols],
+            *[
+                F.coalesce(newb[f"__nb{i}"], boundaries[b]).alias(b)
+                for i, b in enumerate(bcols)
+            ],
+            boundaries["__aff"],
+        ).localCheckpoint(eager=True)
+
+    def _shift_range(
+        self, boundaries: DataFrame, delta: float, kcols: list[str], bcols: list[str]
+    ) -> DataFrame:
+        """Extend the boundary BACKWARD by an ORDER-VALUE delta (RANGE
+        frames: reach is measured in order-column units, not rows)."""
+        return boundaries.select(
+            *[boundaries[k] for k in kcols],
+            (boundaries[bcols[0]] - F.lit(delta)).alias(bcols[0]),
+            *[boundaries[b] for b in bcols[1:]],
+            boundaries["__aff"],
+        ).localCheckpoint(eager=True)
 
     def result(self) -> DataFrame:
         out = self.mv.read()
@@ -431,6 +630,18 @@ class EowcOverWindow:
         for name, spec in funcs.items():
             if spec[0] not in _KINDS:
                 raise ValueError(f"unsupported EOWC window function {spec[0]!r}")
+            if spec[0] in _FULL_KINDS:
+                raise ValueError(
+                    f"{spec[0]!r} cannot emit on window close: its value "
+                    "depends on the partition's final row count, which is "
+                    "never final in a stream"
+                )
+            if _frame_of(spec) is not None:
+                raise ValueError(
+                    "bounded frames are not supported in the EOWC path: a "
+                    "backward frame of a closing row may reach rows already "
+                    "emitted and discarded; use MaterializedOverWindowDelta"
+                )
         self.spark = spark
         self.keys = keys
         self.ts_col = ts_col
@@ -482,7 +693,7 @@ class EowcOverWindow:
         still_open = buf.filter(F.col(self.ts_col) > F.lit(wm))
         seeds = self.seeds.read() if self.seeds.exists() else None
         delta = self._delta()
-        reach = _forward_reach(self.funcs)
+        reach = _reaches(self.funcs)[0]  # emit reach rows (lead offsets)
         if reach:
             # lead(): a closed row's frame reaches `reach` rows FORWARD —
             # emit only closed rows with that many closed rows behind

@@ -688,3 +688,201 @@ def test_parser_rejects_unsupported_shapes_loudly(eng):
     assert "bad" not in eng.mv_handles
     # ad-hoc queries still flow to Catalyst by design
     assert eng.sql("SELECT 1 AS one").first().one == 1
+
+
+def test_watermark_eowc_mv_sql(eng, spark):
+    """WATERMARK FOR + EMIT ON WINDOW CLOSE DDL (reference
+    binder/relation/watermark.rs, optimizer/mod.rs:474-630): ordered
+    batches emit closed windows exactly once; late rows are dropped."""
+    eng.sql(
+        """
+        CREATE TABLE wt (
+            id int8 PRIMARY KEY, v float8, ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '10 minutes'
+        ) APPEND ONLY;
+        CREATE MATERIALIZED VIEW wmv AS
+        SELECT window_start AS ws, count(*) AS n
+        FROM TUMBLE(wt, ts, INTERVAL '1 hour')
+        GROUP BY window_start
+        EMIT ON WINDOW CLOSE
+        """
+    )
+    eng.sql(
+        "INSERT INTO wt VALUES "
+        "(1, 1.0, TIMESTAMP '2024-01-01 00:05:00'),"
+        "(2, 1.0, TIMESTAMP '2024-01-01 00:55:00'),"
+        "(3, 1.0, TIMESTAMP '2024-01-01 01:30:00')"
+    )
+    # watermark = 01:20 → window [00:00,01:00) closed with 2 rows
+    assert _rows(eng.sql("SELECT n FROM wmv")) == [(2,)]
+    # late row for the closed window (ts 00:10 <= wm) → dropped
+    eng.sql(
+        "INSERT INTO wt VALUES (4, 1.0, TIMESTAMP '2024-01-01 00:10:00'),"
+        "(5, 1.0, TIMESTAMP '2024-01-01 02:15:00')"
+    )
+    # wm = 02:05 → [01:00,02:00) closes with ONLY row 3
+    assert _rows(eng.sql("SELECT n FROM wmv ORDER BY ws")) == [(1,), (2,)]
+
+
+def test_eowc_mv_rejects_deletes_and_requires_watermark(eng):
+    eng.sql(
+        """
+        CREATE TABLE wt2 (
+            id int8 PRIMARY KEY, ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '1 minutes'
+        )
+        """
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW wmv2 AS SELECT window_start AS ws, "
+        "count(*) AS n FROM TUMBLE(wt2, ts, INTERVAL '1 hour') "
+        "GROUP BY window_start EMIT ON WINDOW CLOSE"
+    )
+    eng.sql("INSERT INTO wt2 VALUES (1, TIMESTAMP '2024-01-01 03:00:00')")
+    with pytest.raises(Exception, match="append-only"):
+        eng.sql("DELETE FROM wt2 WHERE id = 1")
+    # no watermark on the tumble column → loud error
+    eng.sql("CREATE TABLE nowm (id int8 PRIMARY KEY, ts timestamp)")
+    with pytest.raises(Exception, match="WATERMARK"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT window_start AS ws, "
+            "count(*) AS n FROM TUMBLE(nowm, ts, INTERVAL '1 hour') "
+            "GROUP BY window_start EMIT ON WINDOW CLOSE"
+        )
+    # TUMBLE without EOWC → loud error
+    with pytest.raises(Exception, match="EMIT ON WINDOW CLOSE"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT window_start AS ws, "
+            "count(*) AS n FROM TUMBLE(wt2, ts, INTERVAL '1 hour') "
+            "GROUP BY window_start"
+        )
+
+
+def test_eowc_mv_restart_replay(spark, tmp_path):
+    wh = str(tmp_path / "wh_eowc")
+    eng = Engine(spark, wh)
+    eng.sql(
+        """
+        CREATE TABLE rt (
+            id int8 PRIMARY KEY, ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '5 minutes'
+        ) APPEND ONLY;
+        CREATE MATERIALIZED VIEW rmv AS
+        SELECT window_start AS ws, count(*) AS n
+        FROM TUMBLE(rt, ts, INTERVAL '1 hour')
+        GROUP BY window_start EMIT ON WINDOW CLOSE
+        """
+    )
+    eng.sql(
+        "INSERT INTO rt VALUES (1, TIMESTAMP '2024-01-01 00:30:00'),"
+        "(2, TIMESTAMP '2024-01-01 01:10:00')"
+    )
+    before = _rows(eng.sql("SELECT ws, n FROM rmv"))
+    assert before == [(__import__("datetime").datetime(2024, 1, 1, 0, 0), 1)]
+    eng2 = Engine.open(spark, wh)
+    # no re-emission on replay; watermark is durable (late row dropped)
+    assert _rows(eng2.sql("SELECT ws, n FROM rmv")) == before
+    eng2.sql("INSERT INTO rt VALUES (3, TIMESTAMP '2024-01-01 00:40:00')")
+    assert _rows(eng2.sql("SELECT ws, n FROM rmv")) == before
+    eng2.sql("INSERT INTO rt VALUES (4, TIMESTAMP '2024-01-01 02:30:00')")
+    assert _rows(eng2.sql("SELECT n FROM rmv ORDER BY ws")) == [(1,), (1,)]
+
+
+def test_temporal_join_sql(eng):
+    eng.sql(
+        """
+        CREATE TABLE tjf (fid int8 PRIMARY KEY, k int8, qty float8);
+        CREATE TABLE tjd (k int8 PRIMARY KEY, rate float8);
+        INSERT INTO tjd VALUES (1, 10.0), (2, 20.0);
+        CREATE MATERIALIZED VIEW tjm AS
+        SELECT fid, qty, rate, qty * rate AS amount
+        FROM tjf f
+        JOIN tjd FOR SYSTEM_TIME AS OF PROCTIME() d ON f.k = d.k
+        """
+    )
+    eng.sql("INSERT INTO tjf VALUES (100, 1, 2.0), (101, 2, 3.0)")
+    eng.sql("UPDATE tjd SET rate = 99.0 WHERE k = 1")
+    eng.sql("INSERT INTO tjf VALUES (102, 1, 4.0)")
+    assert _rows(eng.sql("SELECT fid, rate, amount FROM tjm")) == [
+        (100, 10.0, 20.0),  # joined dim version at its arrival
+        (101, 20.0, 60.0),
+        (102, 99.0, 396.0),  # sees the updated version
+    ]
+
+
+def test_cdc_table_ingests_and_polls(spark, tmp_path):
+    import json
+
+    cdc = tmp_path / "cdc"
+    cdc.mkdir()
+
+    def seg(name, events):
+        (cdc / name).write_text("\n".join(json.dumps(e) for e in events))
+
+    seg(
+        "s0.json",
+        [
+            {"after": {"id": 1, "v": 10.0}, "op": "c"},
+            {"after": {"id": 2, "v": 20.0}, "op": "c"},
+        ],
+    )
+    seg(
+        "s1.json",
+        [
+            {"before": {"id": 2, "v": 20.0}, "after": {"id": 2, "v": 25.0}, "op": "u"},
+            {"before": {"id": 1, "v": 10.0}, "op": "d"},
+        ],
+    )
+    wh = str(tmp_path / "wh_cdc")
+    eng = Engine(spark, wh)
+    eng.sql(
+        f"""
+        CREATE TABLE ct (id int8 PRIMARY KEY, v float8)
+        WITH (connector = 'posix_fs', path = '{cdc}') FORMAT DEBEZIUM;
+        CREATE MATERIALIZED VIEW cmv AS
+        SELECT v, count(*) AS n FROM ct GROUP BY v
+        """
+    )
+    assert _rows(eng.sql("SELECT id, v FROM ct")) == [(2, 25.0)]
+    seg("s2.json", [{"after": {"id": 3, "v": 30.0}, "op": "c"}])
+    eng.poll_sources()
+    assert _rows(eng.sql("SELECT id, v FROM ct")) == [(2, 25.0), (3, 30.0)]
+    # restart: CDC_FILES is durable — no double ingestion, new files fold
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("SELECT id, v FROM ct")) == [(2, 25.0), (3, 30.0)]
+    seg("s3.json", [{"before": {"id": 3, "v": 30.0}, "op": "d"}])
+    eng2.poll_sources()
+    assert _rows(eng2.sql("SELECT id, v FROM ct")) == [(2, 25.0)]
+
+
+def test_grammar_accepts_new_clauses_and_rejects_bad(eng):
+    from risingwave_spark.sqlparse import SqlParseError, classify
+
+    assert classify(
+        "CREATE TABLE t (id int8 PRIMARY KEY, ts timestamp, "
+        "WATERMARK FOR ts AS ts - INTERVAL '5 minutes') APPEND ONLY"
+    ) == "create_table"
+    assert classify(
+        "CREATE TABLE t (id int8 PRIMARY KEY) "
+        "WITH (connector = 'posix_fs', path = '/x') FORMAT DEBEZIUM ENCODE JSON"
+    ) == "create_table"
+    assert classify(
+        "CREATE MATERIALIZED VIEW m AS SELECT window_start AS ws, count(*) AS n "
+        "FROM TUMBLE(t, ts, INTERVAL '1 hour') GROUP BY window_start "
+        "EMIT ON WINDOW CLOSE"
+    ) == "create_mv"
+    assert classify(
+        "CREATE MATERIALIZED VIEW m AS SELECT a FROM f "
+        "JOIN d FOR SYSTEM_TIME AS OF PROCTIME() x ON f.k = x.k"
+    ) == "create_mv"
+    with pytest.raises(SqlParseError):  # bad version selector
+        classify(
+            "CREATE MATERIALIZED VIEW m AS SELECT a FROM f "
+            "JOIN d FOR SYSTEM_TIME AS OF NOW() ON f.k = d.k"
+        )
+    with pytest.raises(SqlParseError):  # HOP TVF unsupported
+        classify(
+            "CREATE MATERIALIZED VIEW m AS SELECT count(*) AS n "
+            "FROM HOP(t, ts, INTERVAL '1 hour', INTERVAL '10 minutes') "
+            "GROUP BY window_start"
+        )

@@ -702,3 +702,158 @@ def test_eowc_lead_duplicate_order_values_emit_once(spark):
         eowc.feed(b2)
         rids = [r.rid for r in spark.read.parquet(eowc.out_path).collect()]
         assert len(rids) == len(set(rids)), f"duplicate emissions: {sorted(rids)}"
+
+
+def _drive_ow_delta(spark, d, base, funcs):
+    """Ordered thirds (minus %5 rows) → delete %7 → late mid-stream
+    insert of the %5 rows: exercises suffix recompute, mid-partition
+    boundaries, and the input/emit reach extensions."""
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    ow = MaterializedOverWindowDelta(
+        spark, d, ["user_id"], ["event_id"], "event_id", funcs, ["iv"]
+    )
+    first = base.filter(F.col("event_id") % 5 != 0)
+    for i in range(3):
+        ow.apply_batch(
+            with_ops(
+                first.filter(
+                    (F.col("event_id") >= i * 200) & (F.col("event_id") < (i + 1) * 200)
+                ),
+                1,
+            )
+        )
+    ow.apply_batch(with_ops(first.filter(F.col("event_id") % 7 == 0), -1))
+    # mid-stream inserts dirty interior order positions of every partition
+    ow.apply_batch(with_ops(base.filter(F.col("event_id") % 5 == 0), 1))
+    return ow
+
+
+def _ow_survivors(base):
+    return base.filter(
+        ~((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0))
+    )
+
+
+def test_over_window_new_seeded_kinds_and_frames_match_batch(spark, events):
+    """first_value / last_value and bounded ROWS/RANGE frames in the
+    frame-delta path (reference frame_finder.rs both-direction extents):
+    integer values so seeded continuation vs one-shot is exact."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    base = (
+        events.filter(F.col("event_id") < 600)
+        .select("user_id", "event_id", (F.col("event_id") % 97).cast("long").alias("iv"))
+    )
+    funcs = {
+        "fv": ("first_value", "iv"),
+        "lv": ("last_value", "iv"),
+        "s3": ("sum", "iv", {"rows": (3, 0)}),
+        "c21": ("count", "iv", {"rows": (2, 1)}),
+        "m40": ("max", "iv", {"range": (40.0, 0.0)}),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        ow = _drive_ow_delta(spark, d, base, funcs)
+        got = sorted(map(tuple, ow.result().select(
+            "user_id", "event_id", "iv", "fv", "lv", "s3", "c21", "m40"
+        ).collect()))
+    surv = _ow_survivors(base)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    wr = W.partitionBy("user_id").orderBy(F.col("event_id"))
+    exp = sorted(map(tuple, surv.select(
+        "user_id", "event_id", "iv",
+        F.first("iv").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("fv"),
+        F.col("iv").alias("lv"),
+        F.sum("iv").over(w.rowsBetween(-3, 0)).alias("s3"),
+        F.count("iv").over(w.rowsBetween(-2, 1)).alias("c21"),
+        F.max("iv").over(wr.rangeBetween(-40, 0)).alias("m40"),
+    ).collect()))
+    assert got == exp
+
+
+def test_over_window_full_partition_kinds_match_batch(spark, events):
+    """percent_rank / cume_dist / ntile: whole-partition kinds — the
+    affected range is the full touched partition (an insert moves every
+    row's value), recomputed per batch and spliced."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    base = (
+        events.filter(F.col("event_id") < 600)
+        .select("user_id", "event_id", (F.col("event_id") % 97).cast("long").alias("iv"))
+    )
+    funcs = {"pr": ("percent_rank",), "cd": ("cume_dist",), "nt": ("ntile", 4)}
+    with tempfile.TemporaryDirectory() as d:
+        ow = _drive_ow_delta(spark, d, base, funcs)
+        got = sorted(map(tuple, ow.result().select(
+            "user_id", "event_id", "pr", "cd", "nt"
+        ).collect()))
+    surv = _ow_survivors(base)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    exp = sorted(map(tuple, surv.select(
+        "user_id", "event_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("nt"),
+    ).collect()))
+    assert got == exp
+
+
+def test_eowc_over_window_first_last_value(spark):
+    """first_value carries across EOWC emissions via its seed marker;
+    last_value is the row's own value (default frame)."""
+    import datetime
+    import tempfile
+
+    from risingwave_spark.streaming.over_window import EowcOverWindow
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, 10 + i, t0 + datetime.timedelta(minutes=10 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "rid long, k long, v long, ts timestamp")
+    with tempfile.TemporaryDirectory() as d:
+        ew = EowcOverWindow(
+            spark, d, ["k"], "ts", ["ts"], "rid",
+            {"fv": ("first_value", "v"), "lv": ("last_value", "v")},
+            ["v", "rid"], delay_seconds=600,
+        )
+        ew.feed(df.filter("rid < 6"))
+        ew.feed(df.filter("rid >= 6"))
+        got = sorted(map(tuple, ew.result().select("rid", "fv", "lv").collect()))
+    # watermark after 2nd feed = 110min - 10min = 100min => ts<=wm: rows 0..10
+    assert got == [(i, 10, 10 + i) for i in range(11)]
+
+
+def test_over_window_rejects_bad_frame_specs(spark):
+    import tempfile
+
+    import pytest as _pt
+
+    from risingwave_spark.streaming.over_window import (
+        EowcOverWindow,
+        MaterializedOverWindowDelta,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        with _pt.raises(ValueError, match="does not accept a frame"):
+            MaterializedOverWindowDelta(
+                spark, d, ["k"], ["o"], "rid",
+                {"x": ("row_number", {"rows": (1, 0)})}, [],
+            )
+        with _pt.raises(ValueError, match="exactly one"):
+            MaterializedOverWindowDelta(
+                spark, d, ["k"], ["o1", "o2"], "rid",
+                {"x": ("sum", "v", {"range": (1.0, 0.0)})}, ["v"],
+            )
+        with _pt.raises(ValueError, match="window close"):
+            EowcOverWindow(
+                spark, d, ["k"], "ts", ["ts"], "rid",
+                {"x": ("percent_rank",)}, [], 60,
+            )
+        with _pt.raises(ValueError, match="bounded frames"):
+            EowcOverWindow(
+                spark, d, ["k"], "ts", ["ts"], "rid",
+                {"x": ("sum", "v", {"rows": (3, 0)})}, ["v"], 60,
+            )
