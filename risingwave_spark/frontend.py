@@ -120,6 +120,10 @@ _DELETE = re.compile(
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS)\s*$", re.I
 )
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+(\w+)\s*$",
+    re.I,
+)
 _CREATE_VIEW = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
     re.I | re.S,
@@ -530,6 +534,82 @@ def _handle_delete(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(engine.spark, "DELETE")
 
 
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+"
+    r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)(?:\s+DEFAULT\s+(.+?))?\s*$",
+    re.I | re.S,
+)
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$", re.I
+)
+
+
+def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
+    """ALTER TABLE ADD/DROP COLUMN (reference
+    `handler/alter_table_column.rs` — a versioned-schema table rewrite):
+    the state compacts ONCE through a transform that appends the new
+    column (existing rows take the DEFAULT, else NULL) or drops it.
+    Tables with dependent MVs reject the ALTER (the reference holds the
+    same restriction for incremental-plan consistency); pk columns are
+    not droppable. Replay-idempotent: an ADD of an existing column /
+    DROP of a missing one during catalog replay is a no-op."""
+    stmt = m_unused.string
+    spark = engine.spark
+    am = _ALTER_ADD.match(stmt)
+    dm = _ALTER_DROP.match(stmt) if am is None else None
+    m = am or dm
+    name = m.group(1)
+    if name not in engine.tables:
+        raise ValueError(f"ALTER TABLE target {name!r} is not a table")
+    t = engine.tables[name]
+    if t.mvs:
+        raise ValueError(
+            f"cannot ALTER table {name!r}: it has dependent materialized "
+            "views (drop them first — the reference enforces the same)"
+        )
+    cols = t.snapshot().columns
+    if am is not None:
+        col, typ, default = am.group(2), am.group(3), am.group(4)
+        if col in cols:
+            if engine._replaying:
+                return _status(spark, "ALTER_TABLE")  # idempotent replay
+            raise ValueError(f"column {col!r} already exists in {name!r}")
+        base = typ.split("(")[0].lower()
+        spark_t = (
+            "STRING" if base in ("varchar", "char", "character") else _map_type(typ)
+        )
+        dsql = pg_to_spark_sql(default.strip()) if default else None
+
+        def transform(df: DataFrame) -> DataFrame:
+            fill = F.expr(dsql) if dsql else F.lit(None)
+            return df.withColumn(col, fill.cast(spark_t))
+
+        if dsql:
+            t.defaults = {**getattr(t, "defaults", {}), col: dsql}
+    else:
+        col = dm.group(2)
+        if col not in cols:
+            if engine._replaying:
+                return _status(spark, "ALTER_TABLE")
+            raise ValueError(f"column {col!r} does not exist in {name!r}")
+        pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        if col in pks:
+            raise ValueError(f"cannot drop primary-key column {col!r}")
+
+        def transform(df: DataFrame) -> DataFrame:
+            return df.drop(col)
+
+        getattr(t, "defaults", {}).pop(col, None)
+    t.state.compact(transform=transform)
+    t._register()
+    # replayable: recorded under a unique key AFTER the CREATE TABLE
+    # entry so Engine.open re-applies in order (idempotently)
+    import uuid as _uuid
+
+    engine._record_ddl(f"{name}#alter#{_uuid.uuid4().hex[:8]}", stmt)
+    return _status(spark, "ALTER_TABLE")
+
+
 def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
     kind, name, cascade = m.group(1).upper(), m.group(2), m.group(3)
     spark = engine.spark
@@ -556,7 +636,12 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
                 f"table {name!r} has dependent materialized views "
                 f"{[h.name for h in t.mvs]}; use DROP TABLE ... CASCADE"
             )
-        engine._unrecord_ddl([name] + [h.name for h in t.mvs])
+        alters = [
+            e["name"]
+            for e in engine._read_catalog()
+            if e["name"].startswith(f"{name}#alter#")
+        ]
+        engine._unrecord_ddl([name] + [h.name for h in t.mvs] + alters)
         dep_names = {h.name for h in t.mvs}
         for h in list(t.mvs):
             engine.mv_handles.pop(h.name, None)
@@ -1389,6 +1474,7 @@ _KIND_DISPATCH = {
     "create_source": (_CREATE_SOURCE, _handle_create_source),
     "create_sink": (_CREATE_SINK, _handle_create_sink),
     "create_subscription": (_CREATE_SUB, _handle_create_subscription),
+    "alter_table": (re.compile(r"^\s*ALTER\s+TABLE\b.*$", re.I | re.S), _handle_alter_table),
     "drop": (_DROP, _handle_drop),
     "insert": (_INSERT, _handle_insert),
     "update": (_UPDATE, _handle_update),
@@ -1439,6 +1525,20 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         text = df._jdf.queryExecution().explainString(jmode)
         return engine.spark.createDataFrame(
             [(ln,) for ln in text.splitlines()], "plan string"
+        )
+    m = _SHOW_CREATE.match(stmt)
+    if m:
+        # reference handler/show.rs handle_show_create_object: the
+        # recorded catalog DDL text (Name | Create Sql)
+        name = m.group(2)
+        hit = [e for e in engine._read_catalog() if e["name"] == name]
+        if not hit:
+            raise ValueError(
+                f"no recorded DDL for {name!r} (Python-API definitions are "
+                "not SQL-recordable)"
+            )
+        return engine.spark.createDataFrame(
+            [(name, hit[0]["stmt"].strip())], "name string, create_sql string"
         )
     m = _SHOW.match(stmt)
     if m:

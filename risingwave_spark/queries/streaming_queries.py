@@ -1449,3 +1449,109 @@ def engine_sql_cdc_source(spark, sf_dir):
     )
     eng.poll_sources()
     return eng.sql("SELECT status, n, total FROM cdc_mv ORDER BY status")
+
+
+@register(
+    "stream_over_window_frames",
+    oracle=f"""
+SELECT user_id, event_id, iv, fv, lv, s3, c21, m40 FROM (
+  SELECT user_id, event_id, event_id % 97 AS iv,
+         first_value(event_id % 97) OVER w AS fv,
+         event_id % 97 AS lv,
+         CAST(sum(event_id % 97) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+         count(*) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS c21,
+         max(event_id % 97) OVER (PARTITION BY user_id ORDER BY event_id
+             RANGE BETWEEN 40 PRECEDING AND CURRENT ROW) AS m40
+  FROM events WHERE event_id % 7 <> 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+) t ORDER BY user_id, event_id
+""",
+)
+def stream_over_window_frames(spark, sf_dir):
+    """Incrementally-maintained BOUNDED-FRAME over-window MV (reference
+    `over_window/frame_finder.rs` — ROWS and RANGE frames, both
+    directions): first_value/last_value plus sum over ROWS 3 PRECEDING,
+    count over ROWS 2 PRECEDING..1 FOLLOWING (emit reach extends the
+    recompute BACKWARD one stored row), max over RANGE 40 PRECEDING
+    (input reach measured in order-value units). Ordered arrival then a
+    delete chunk; equals the batch window over survivors."""
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    ev = (
+        tables(spark, sf_dir)["events"]
+        .select("user_id", "event_id", (F.col("event_id") % 97).cast("long").alias("iv"))
+    )
+    mvw = MaterializedOverWindowDelta(
+        spark,
+        tempfile.mkdtemp(prefix="rw_owf_"),
+        ["user_id"],
+        ["event_id"],
+        "event_id",
+        funcs={
+            "fv": ("first_value", "iv"),
+            "lv": ("last_value", "iv"),
+            "s3": ("sum", "iv", {"rows": (3, 0)}),
+            "c21": ("count", "iv", {"rows": (2, 1)}),
+            "m40": ("max", "iv", {"range": (40, 0)}),
+        },
+        payload_cols=["iv"],
+    )
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    for i in range(4):
+        mvw.apply_batch(
+            with_ops(
+                ev.filter(
+                    (F.col("event_id") >= i * n / 4) & (F.col("event_id") < (i + 1) * n / 4)
+                ),
+                1,
+            )
+        )
+    mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
+    return (
+        mvw.result()
+        .select("user_id", "event_id", "iv", "fv", "lv", "s3", "c21", "m40")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "stream_over_window_ranked",
+    oracle=f"""
+SELECT user_id, event_id,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       ntile(4) OVER w AS nt
+FROM events WHERE event_id % 7 <> 0
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY user_id, event_id
+""",
+)
+def stream_over_window_ranked(spark, sf_dir):
+    """Whole-partition over-window kinds under incremental maintenance
+    (reference `over_window/general.rs` — percent_rank/cume_dist/ntile
+    depend on the partition's TOTAL row count, so frame-delta recompute
+    degenerates to full-touched-partition recompute, still O(touched
+    partitions) per batch): interleaved arrival + deletes; equals the
+    batch window over survivors."""
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    ev = tables(spark, sf_dir)["events"].select("user_id", "event_id")
+    mvw = MaterializedOverWindowDelta(
+        spark,
+        tempfile.mkdtemp(prefix="rw_owr_"),
+        ["user_id"],
+        ["event_id"],
+        "event_id",
+        funcs={"pr": ("percent_rank",), "cd": ("cume_dist",), "nt": ("ntile", 4)},
+        payload_cols=[],
+    )
+    for i in range(3):
+        mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 3 == i), 1))
+    mvw.apply_batch(with_ops(ev.filter(F.col("event_id") % 7 == 0), -1))
+    return (
+        mvw.result()
+        .select("user_id", "event_id", "pr", "cd", "nt")
+        .orderBy("user_id", "event_id")
+    )

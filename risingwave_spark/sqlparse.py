@@ -602,6 +602,39 @@ def classify(stmt: str) -> str:
     h = head.up
     if h == "CREATE":
         return _parse_create(p)
+    if h == "ALTER":
+        p.eat()
+        if not p.at("TABLE"):
+            p.fail("only ALTER TABLE is supported")
+        p.eat()
+        p.ident("table name")
+        if p.at("ADD"):
+            p.eat()
+            if p.at("COLUMN"):
+                p.eat()
+            p.ident("column name")
+            p.ident("column type")
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val == "(":  # varchar(n)
+                p.eat()
+                while not (p.peek() and p.peek().kind == "op" and p.peek().val == ")"):
+                    if p.peek() is None:
+                        p.fail("unterminated type parameter list")
+                    p.eat()
+                p.eat_op(")")
+            if p.at("DEFAULT"):
+                p.eat()
+                _scan_expr(p, set())
+            p.expect_done("ALTER TABLE ADD COLUMN")
+            return "alter_table"
+        if p.at("DROP"):
+            p.eat()
+            if p.at("COLUMN"):
+                p.eat()
+            p.ident("column name")
+            p.expect_done("ALTER TABLE DROP COLUMN")
+            return "alter_table"
+        p.fail("expected ADD COLUMN or DROP COLUMN")
     if h == "DROP":
         p.eat()
         if p.at("TABLE"):

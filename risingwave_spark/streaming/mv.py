@@ -667,11 +667,17 @@ class ChunkedState:
             v = v.join(t, on=cond, how="left_anti")
         return v.drop("__seq")
 
-    def compact(self) -> None:
+    def compact(self, transform=None) -> None:
         """Rewrite chunks minus tombstones into one generation and drop
         the tombstone set (the Delta OPTIMIZE / LSM-compaction analog —
         the reference's Hummock compactor role). Read cost returns to a
         plain scan; sequence numbering restarts above the survivors.
+
+        `transform(survivors) -> DataFrame` rewrites the rows during the
+        compaction pass — the schema-evolution hook (ALTER TABLE
+        ADD/DROP COLUMN rewrites the table exactly once, reference
+        `handler/alter_table_column.rs` versioned-schema rewrite); the
+        recorded SCHEMA file is refreshed to the transformed schema.
 
         Crash-atomic: survivors are written into generation g+1, the GEN
         pointer flips last (os.replace), and only then is generation g
@@ -681,6 +687,14 @@ class ChunkedState:
         apply to the new generation's rows.
         """
         survivors = self.read()
+        if transform is not None:
+            survivors = transform(survivors)
+            import json as _json
+
+            tmp = os.path.join(self.base, "SCHEMA") + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(survivors.schema.jsonValue(), f)
+            os.replace(tmp, os.path.join(self.base, "SCHEMA"))
         nxt = self._gen + 1
         new_values = os.path.join(self.base, f"values_g{nxt}")
         sw = survivors.withColumn("__seq", F.lit(0)).coalesce(4)

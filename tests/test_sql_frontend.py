@@ -886,3 +886,53 @@ def test_grammar_accepts_new_clauses_and_rejects_bad(eng):
             "FROM HOP(t, ts, INTERVAL '1 hour', INTERVAL '10 minutes') "
             "GROUP BY window_start"
         )
+
+
+def test_alter_table_add_drop_column(spark, tmp_path):
+    """ALTER TABLE ADD/DROP COLUMN (reference
+    `handler/alter_table_column.rs`): one compaction pass rewrites the
+    state; existing rows take the DEFAULT (else NULL); replay after
+    restart is idempotent; pk and MV-dependent restrictions are loud."""
+    wh = str(tmp_path / "wh_alter")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE at (id int8 PRIMARY KEY, v int4)")
+    eng.sql("INSERT INTO at VALUES (1, 10), (2, 20)")
+    eng.sql("ALTER TABLE at ADD COLUMN w int4 DEFAULT 5")
+    eng.sql("INSERT INTO at VALUES (3, 30, 7)")
+    assert _rows(eng.sql("SELECT id, v, w FROM at")) == [
+        (1, 10, 5), (2, 20, 5), (3, 30, 7),
+    ]
+    # INSERT without the new column takes its DEFAULT
+    eng.sql("INSERT INTO at (id, v) VALUES (4, 40)")
+    assert _rows(eng.sql("SELECT w FROM at WHERE id = 4")) == [(5,)]
+    eng.sql("ALTER TABLE at DROP COLUMN v")
+    assert _rows(eng.sql("SELECT id, w FROM at")) == [
+        (1, 5), (2, 5), (3, 7), (4, 5),
+    ]
+    with pytest.raises(Exception, match="primary-key"):
+        eng.sql("ALTER TABLE at DROP COLUMN id")
+    # restart: CREATE (old coldefs) + replayed ALTERs reproduce the shape
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("SELECT id, w FROM at")) == [
+        (1, 5), (2, 5), (3, 7), (4, 5),
+    ]
+    eng2.sql("CREATE MATERIALIZED VIEW atv AS SELECT w, count(*) AS n FROM at GROUP BY w")
+    with pytest.raises(Exception, match="dependent materialized"):
+        eng2.sql("ALTER TABLE at ADD COLUMN z int4")
+
+
+def test_show_create_and_alter_grammar(eng):
+    from risingwave_spark.sqlparse import SqlParseError, classify
+
+    eng.sql("CREATE TABLE sc (id int8 PRIMARY KEY, v text)")
+    out = _rows(eng.sql("SHOW CREATE TABLE sc"))
+    assert out[0][0] == "sc" and "CREATE TABLE sc" in out[0][1]
+    eng.sql("CREATE MATERIALIZED VIEW scv AS SELECT v, count(*) AS n FROM sc GROUP BY v")
+    out = _rows(eng.sql("SHOW CREATE MATERIALIZED VIEW scv"))
+    assert "MATERIALIZED VIEW scv" in out[0][1]
+    assert classify("ALTER TABLE t ADD COLUMN x int8 DEFAULT 3") == "alter_table"
+    assert classify("ALTER TABLE t DROP COLUMN x") == "alter_table"
+    with pytest.raises(SqlParseError):
+        classify("ALTER TABLE t RENAME TO u")
+    with pytest.raises(SqlParseError):
+        classify("ALTER SYSTEM SET x = 1")
