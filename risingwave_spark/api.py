@@ -546,6 +546,18 @@ class Engine:
     def insert(self, table: str, rows: DataFrame) -> None:
         self._apply_dml(table, with_ops(rows, 1))
 
+    def _reject_retraction(self, t) -> None:
+        """APPEND ONLY tables reject DELETE/UPDATE BEFORE any state
+        mutation (reference create_table.rs append-only binding): the
+        check must precede the fold so a rejected statement leaves the
+        table AND its MVs untouched — EOWC MVs downstream rely on it."""
+        if getattr(t, "append_only", False):
+            raise ValueError(
+                f"table {t.name!r} is APPEND ONLY: DELETE/UPDATE are not "
+                "allowed (watermark/EOWC semantics require an append-only "
+                "changelog)"
+            )
+
     def delete(self, table: str, predicate) -> None:
         """DELETE FROM table WHERE predicate — the matching rows of the
         current snapshot become a −1 chunk. The chunk is materialized
@@ -554,6 +566,7 @@ class Engine:
         the snapshot would silently resolve against the post-delete
         file listing in a streaming-aware source."""
         t = self.tables[table]
+        self._reject_retraction(t)
         doomed = t.snapshot().filter(predicate).localCheckpoint(eager=True)
         self._apply_dml(table, with_ops(doomed, -1))
 
@@ -564,6 +577,7 @@ class Engine:
         delete+reinsert of a pk is exactly what ChunkedState's sequence
         numbering supports."""
         t = self.tables[table]
+        self._reject_retraction(t)
         old = t.snapshot().filter(predicate).localCheckpoint(eager=True)
         new = old
         for col, expr in assignments.items():

@@ -265,6 +265,13 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     if not pk:
         empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
         pk = [ROW_ID]
+    if watermark is not None and not m.group("append"):
+        # reference create_table.rs:828: "Defining watermarks on table
+        # requires the table to be append only."
+        raise ValueError(
+            "defining a WATERMARK on a table requires APPEND ONLY "
+            "(late-row dropping cannot coexist with retraction)"
+        )
     t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
     t.defaults = defaults
     t.watermark = watermark
@@ -952,6 +959,124 @@ _TUMBLE_FROM = re.compile(
     r"(?P<iv>INTERVAL\s+[^),]+(?:\s+\w+)?)\s*\)",
     re.I | re.S,
 )
+_HOP_FROM = re.compile(
+    r"\bFROM\s+HOP\s*\(\s*(?P<tbl>\w+)\s*,\s*(?P<ts>\w+)\s*,\s*"
+    r"(?P<slide>INTERVAL\s+[^),]+(?:\s+\w+)?)\s*,\s*"
+    r"(?P<size>INTERVAL\s+[^),]+(?:\s+\w+)?)\s*\)",
+    re.I | re.S,
+)
+
+
+def _handle_create_windowed_mv(
+    engine: "Engine", name: str, stmt: str, masked: str, lits: list[str], tm, hm
+) -> DataFrame:
+    """Eagerly-maintained windowed MV over the TUMBLE/HOP TVFs without
+    EMIT ON WINDOW CLOSE (reference
+    `binder/relation/window_table_function.rs` + `hop_window.rs:25` row
+    expansion): each row is annotated with every covering window via a
+    key_of explode — TUMBLE is the n=1 case — and the generic
+    affected-group recompute keeps every open window eagerly up to date
+    under inserts AND deletes (no watermark, no late-row drop; the EOWC
+    variant is the emit-once path)."""
+    from risingwave_spark.api import MaterializedViewHandle  # noqa: F401
+
+    m = tm or hm
+    base, ts_col = m.group("tbl"), m.group("ts")
+    if base not in engine.tables:
+        raise ValueError(f"window TVF source {base!r} is not a table")
+    if tm is not None:
+        size_s = _interval_seconds(_unmask(tm.group("iv"), lits))
+        slide_s = size_s
+    else:
+        slide_s = _interval_seconds(_unmask(hm.group("slide"), lits))
+        size_s = _interval_seconds(_unmask(hm.group("size"), lits))
+    if size_s <= 0 or slide_s <= 0 or size_s % slide_s != 0:
+        raise ValueError(
+            "HOP window size must be a positive integer multiple of the "
+            "slide (the reference enforces the same)"
+        )
+    nwin = int(size_s // slide_s)
+    slide_us = int(slide_s * 1_000_000)
+    size_us = int(size_s * 1_000_000)
+
+    sm = re.match(r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+", masked, re.I | re.S)
+    select_items = [
+        _parse_select_item(_unmask(i, lits))
+        for i in _split_top_level(sm.group("select"))
+    ]
+    win_alias = {"window_start": "window_start", "window_end": "window_end"}
+    for expr, alias in select_items:
+        nx = _norm(expr)
+        if nx in ("window_start", "window_end") and alias:
+            win_alias[nx] = alias
+
+    gbm = re.search(
+        r"\bGROUP\s+BY\s+(?P<gb>.*?)(?P<having>\s+HAVING\b.*)?$", masked, re.I | re.S
+    )
+    if not gbm:
+        raise ValueError(
+            "a TUMBLE/HOP MV must GROUP BY window_start (row-grain windowed "
+            "MVs are not maintainable: a row appears once per covering window)"
+        )
+    base_cols = engine.tables[base].snapshot().columns
+    keys: list[str] = []
+    saw_ws = False
+    for item in _split_top_level(gbm.group("gb")):
+        item = _unmask(item, lits).strip()
+        ni = _norm(item)
+        if ni in ("window_start", "window_end"):
+            keys.append(win_alias[ni])
+            saw_ws = saw_ws or ni == "window_start"
+            continue
+        if _IDENT.match(item) and item in base_cols:
+            keys.append(item)
+            continue
+        raise ValueError(
+            f"TUMBLE/HOP MV GROUP BY item {item!r} must be window_start/"
+            "window_end or a plain (unaliased) base column"
+        )
+    if not saw_ws:
+        raise ValueError("a TUMBLE/HOP MV must include window_start in GROUP BY")
+    out_names = {a for _, a in select_items if a} | {
+        e for e, a in select_items if a is None
+    }
+    missing = [k for k in keys if k not in out_names and "*" not in out_names]
+    if missing:
+        raise ValueError(f"GROUP BY keys {missing} must be selected for MV splice")
+
+    tmp = f"__wmv_src_{name}"
+    body = masked[: m.start()] + f"FROM {tmp}" + masked[m.end():]
+    body = pg_to_spark_sql(_unmask(body, lits))
+    spark = engine.spark
+
+    def recompute(rows: DataFrame) -> DataFrame:
+        rows.createOrReplaceTempView(tmp)
+        return spark.sql(body)
+
+    def key_of(rows: DataFrame) -> DataFrame:
+        # every covering hop window: ws_j = trunc(ts, slide) − j·slide,
+        # j ∈ [0, size/slide) (reference hop_window.rs row expansion);
+        # epoch-aligned like Spark's window() and DuckDB's time_bucket
+        r = rows.withColumn(
+            "__j", F.explode(F.sequence(F.lit(0), F.lit(nwin - 1)))
+        )
+        base_us = (
+            F.floor(F.unix_micros(F.col(ts_col)) / slide_us).cast("long") * slide_us
+        )
+        ws_us = base_us - F.col("__j").cast("long") * slide_us
+        r = (
+            r.withColumn("window_start", F.timestamp_micros(ws_us))
+            .withColumn("window_end", F.timestamp_micros(ws_us + size_us))
+            .drop("__j")
+        )
+        for orig, alias in win_alias.items():
+            if alias != orig:
+                r = r.withColumn(alias, F.col(orig))
+        return r
+
+    engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
+    engine._record_ddl(name, stmt)
+    return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
 def _handle_create_eowc_mv(
@@ -1032,12 +1157,11 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     masked, lits = _mask_strings(select)
     if em:
         return _handle_create_eowc_mv(engine, name, m.string, select, masked, lits)
-    if _TUMBLE_FROM.search(masked):
-        raise ValueError(
-            "FROM TUMBLE(...) without EMIT ON WINDOW CLOSE is not supported "
-            "in the SQL surface; GROUP BY an aliased time_bucket()/"
-            "date_trunc() expression for an eagerly-maintained windowed MV"
-        )
+    tm2, hm2 = _TUMBLE_FROM.search(masked), _HOP_FROM.search(masked)
+    if tm2 or hm2:
+        # TUMBLE/HOP without EMIT ON WINDOW CLOSE: eagerly-maintained
+        # windowed MV (every open window up to date, deletes retract)
+        return _handle_create_windowed_mv(engine, name, m.string, masked, lits, tm2, hm2)
     # Temporal join (reference `stream_temporal_join.rs`, syntax
     # `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
     # joins the dimension's CURRENT version at its processing time —

@@ -133,6 +133,64 @@ def pg_to_spark_sql(sql: str) -> str:
     masked = re.sub(r"(\S+)\s+!~\s+", r"\1 NOT RLIKE ", masked)
     masked = re.sub(r"(\S+)\s+~\s+(?=\x00)", r"\1 RLIKE ", masked)
 
+    # TUMBLE/HOP window TVFs in ad-hoc batch queries (reference
+    # binder/relation/window_table_function.rs; hop_window.rs row
+    # expansion): rewritten to a derived-table subquery that attaches
+    # window_start/window_end — TUMBLE via epoch-aligned truncation, HOP
+    # via an explode over the size/slide covering windows (each row
+    # appears once per window, the reference's expansion semantics).
+    def _iv_us(tok: str, unit: str | None) -> int:
+        units = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                 "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+        body = lits[int(tok)].strip("'")
+        if unit:
+            return int(float(body) * units[unit.lower()] * 1_000_000)
+        m = re.match(r"^([\d.]+)\s+(\w+)$", body.strip())
+        if not m or m.group(2).lower() not in units:
+            raise ValueError(f"cannot parse interval {body!r} in window TVF")
+        return int(float(m.group(1)) * units[m.group(2).lower()] * 1_000_000)
+
+    def _tumble_repl(m: re.Match) -> str:
+        tbl, col = m.group("tbl"), m.group("ts")
+        size = _iv_us(m.group("iv"), m.group("ivu"))
+        ws = f"timestamp_micros(CAST(floor(unix_micros({col}) / {size}) AS BIGINT) * {size})"
+        return (
+            f"(SELECT *, {ws} AS window_start, "
+            f"{ws} + INTERVAL {size} MICROSECOND AS window_end FROM {tbl})"
+        )
+
+    def _hop_repl(m: re.Match) -> str:
+        tbl, col = m.group("tbl"), m.group("ts")
+        slide = _iv_us(m.group("slide"), m.group("slu"))
+        size = _iv_us(m.group("size"), m.group("szu"))
+        if size <= 0 or slide <= 0 or size % slide != 0:
+            raise ValueError("HOP size must be a positive multiple of the slide")
+        n = size // slide
+        base = f"CAST(floor(unix_micros({col}) / {slide}) AS BIGINT) * {slide}"
+        ws = f"timestamp_micros({base} - __hop_j * {slide})"
+        return (
+            f"(SELECT *, {ws} AS window_start, "
+            f"{ws} + INTERVAL {size} MICROSECOND AS window_end "
+            f"FROM (SELECT *, explode(sequence(0, {n - 1})) AS __hop_j FROM {tbl}))"
+        )
+
+    _iv_rx = r"INTERVAL\s+\x00(?P<{t}>\d+)\x00(?:\s+(?P<{u}>\w+))?"
+    masked = re.sub(
+        r"\bTUMBLE\s*\(\s*(?P<tbl>\w+)\s*,\s*(?P<ts>\w+)\s*,\s*"
+        + _iv_rx.format(t="iv", u="ivu") + r"\s*\)",
+        _tumble_repl,
+        masked,
+        flags=re.I,
+    )
+    masked = re.sub(
+        r"\bHOP\s*\(\s*(?P<tbl>\w+)\s*,\s*(?P<ts>\w+)\s*,\s*"
+        + _iv_rx.format(t="slide", u="slu") + r"\s*,\s*"
+        + _iv_rx.format(t="size", u="szu") + r"\s*\)",
+        _hop_repl,
+        masked,
+        flags=re.I,
+    )
+
     # functions
     masked = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", masked, flags=re.I)
     # operands may be function calls (one paren nesting level, matching

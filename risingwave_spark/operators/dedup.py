@@ -193,22 +193,52 @@ def jaccard_pairs(
     Joins the (small) candidate set against doc texts twice; the heavy
     set-intersection runs as JVM HOFs on the joined rows.
     """
-    g = with_shingles(docs.select(F.col(id_col), text_col), text_col, n).select(
-        F.col(id_col), F.array_distinct("__sh").alias("__grams")
+    # Materialize the candidate set ONCE (it is small — the LSH output),
+    # then prune the gram table to docs that appear in a pair: after LSH
+    # candidate generation that is a small fraction of the corpus, so
+    # the expensive normalize+shingle pass runs for exactly the docs the
+    # verify stage will read — the 100 TB shape. Without the checkpoint
+    # the (expensive) candidate-generation plan would evaluate twice:
+    # once for the id pruning, once in the output join.
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
     )
+    cand_docs = docs.select(F.col(id_col), text_col).join(
+        cand_ids, id_col, "left_semi"
+    )
+    # grams carried as xxhash64 longs, not strings: set-intersection on
+    # fixed-width longs is ~2× cheaper than on short strings and the
+    # distinct-set SIZES are identical modulo 64-bit collisions
+    # (~|set|²/2⁶⁴ ≈ 1e-13 for 10³-gram docs — far below the oracle's
+    # exactness bar in practice)
+    g = with_shingles(cand_docs, text_col, n).select(
+        F.col(id_col),
+        F.array_distinct(F.expr("transform(__sh, x -> xxhash64(x))")).alias("__grams"),
+    ).withColumn("__n", F.size("__grams"))
     # g is joined twice (a-side and b-side): localCheckpoint materializes
     # the shingle computation ONCE with a lifecycle tied to the returned
     # plan (no session-lifetime cache entry leaking per call, unlike
-    # persist() — ADVICE r4; the blocks are GC'd with the RDD). At 100 TB
-    # you'd materialize the gram table to storage instead.
+    # persist() — ADVICE r4; the blocks are GC'd with the RDD).
     g = g.localCheckpoint(eager=True)
+    # |A ∪ B| = |A| + |B| − |A ∩ B| with pre-computed set sizes: one
+    # array pass per pair instead of two (array_union over ~10³-element
+    # arrays costs as much as the intersection it duplicates)
     out = (
-        pairs.join(g.select(F.col(id_col).alias("a"), F.col("__grams").alias("ga")), "a")
-        .join(g.select(F.col(id_col).alias("b"), F.col("__grams").alias("gb")), "b")
+        pairs.join(
+            g.select(F.col(id_col).alias("a"), F.col("__grams").alias("ga"),
+                     F.col("__n").alias("__na")), "a"
+        )
+        .join(
+            g.select(F.col(id_col).alias("b"), F.col("__grams").alias("gb"),
+                     F.col("__n").alias("__nb")), "b"
+        )
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
-        .withColumn("uni", F.size(F.array_union("ga", "gb")))
+        .withColumn("uni", F.col("__na") + F.col("__nb") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
-        .drop("ga", "gb")
+        .drop("ga", "gb", "__na", "__nb")
     )
     return out
 

@@ -1555,3 +1555,51 @@ def stream_over_window_ranked(spark, sf_dir):
         .select("user_id", "event_id", "pr", "cd", "nt")
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "engine_sql_hop_mv",
+    oracle=f"""
+SELECT ws, event_type, count(*) AS n FROM (
+  SELECT e.*, w.ws
+  FROM (SELECT * FROM {EVENTS_US} e0 WHERE event_id % 6 <> 0) e,
+       unnest([time_bucket(INTERVAL '5 minutes', e.ts),
+               time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL '5 minutes']) w(ws)
+  WHERE e.ts >= w.ws AND e.ts < w.ws + INTERVAL '10 minutes'
+) h
+GROUP BY ws, event_type ORDER BY ws, event_type
+""",
+)
+def engine_sql_hop_mv(spark, sf_dir):
+    """HOP TVF MV through the SQL front door (reference
+    `binder/relation/window_table_function.rs` + `hop_window.rs:25`):
+    CREATE MV ... FROM HOP(t, ts, INTERVAL '5 minutes', INTERVAL
+    '10 minutes') GROUP BY window_start, event_type — each row feeds
+    every covering window; two insert batches then a DELETE retract
+    exercise the per-window splice; equals the batch hop expansion over
+    survivors."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_hopmv_"))
+    eng.sql(
+        """
+        CREATE TABLE hop_ev (
+            event_id int8 PRIMARY KEY, event_type text, ts timestamp
+        );
+        CREATE MATERIALIZED VIEW hop_mv AS
+        SELECT window_start AS ws, event_type, count(*) AS n
+        FROM HOP(hop_ev, ts, INTERVAL '5 minutes', INTERVAL '10 minutes')
+        GROUP BY window_start, event_type
+        """
+    )
+    eng.sql(
+        "INSERT INTO hop_ev SELECT event_id, event_type, ts FROM events "
+        "WHERE event_id % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO hop_ev SELECT event_id, event_type, ts FROM events "
+        "WHERE event_id % 2 = 1"
+    )
+    eng.sql("DELETE FROM hop_ev WHERE event_id % 6 = 0")
+    return eng.sql("SELECT ws, event_type, n FROM hop_mv ORDER BY ws, event_type")

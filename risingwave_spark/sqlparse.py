@@ -247,29 +247,33 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             "subquery in FROM of a materialized view is not supported — "
             "materialize the inner query as its own MV first (MV-on-MV)"
         )
-    if p.at("HOP", "SESSION") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
+    if p.at("SESSION") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
         raise SqlParseError(
-            "HOP/SESSION window TVFs are not supported in the SQL surface; "
+            "the SESSION window TVF is not supported in the SQL surface; "
             "use the Python streaming API (queries/events_stream.py)"
         )
-    if p.at("TUMBLE") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
-        # TUMBLE(table, ts_col, INTERVAL '...') — the reference's window
-        # TVF (binder/relation/window_table_function.rs); valid only with
-        # EMIT ON WINDOW CLOSE, which the frontend handler enforces
+    if p.at("TUMBLE", "HOP") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
+        # TUMBLE(table, ts, INTERVAL '...') / HOP(table, ts, INTERVAL
+        # slide, INTERVAL size) — the reference's window TVFs
+        # (binder/relation/window_table_function.rs). TUMBLE+EMIT ON
+        # WINDOW CLOSE → EOWC; otherwise the eagerly-maintained
+        # windowed-MV path (frontend handler routes).
+        is_hop = p.peek().up == "HOP"
         p.eat()
         p.eat_op("(")
         p.ident("table name")
         p.eat_op(",")
         p.ident("time column")
-        p.eat_op(",")
-        p.eat_kw("INTERVAL")
-        t = p.peek()
-        if t is None or t.kind != "str":
-            p.fail("expected an interval string literal")
-        p.eat()
-        t = p.peek()
-        if t is not None and t.kind == "ident" and t.up in _INTERVAL_UNITS:
+        for _ in range(2 if is_hop else 1):
+            p.eat_op(",")
+            p.eat_kw("INTERVAL")
+            t = p.peek()
+            if t is None or t.kind != "str":
+                p.fail("expected an interval string literal")
             p.eat()
+            t = p.peek()
+            if t is not None and t.kind == "ident" and t.up in _INTERVAL_UNITS:
+                p.eat()
         p.eat_op(")")
     else:
         p.ident("table name")

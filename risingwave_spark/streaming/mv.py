@@ -1144,6 +1144,18 @@ class EowcAggMv:
         self._watermark = self._read_wm()
         self.downstream: list = []  # EOWC MVs have no retraction changelog
 
+    @property
+    def emit_changelog(self) -> bool:
+        return False
+
+    @emit_changelog.setter
+    def emit_changelog(self, v: bool) -> None:
+        raise ValueError(
+            "subscriptions/sinks on an EMIT ON WINDOW CLOSE MV are not "
+            "supported yet — its output is append-only parquet; tail the "
+            "MV result directly or subscribe to an eager windowed MV"
+        )
+
     def exists(self) -> bool:
         return self._emitted_any or self.buffer.exists() or self._watermark is not None
 

@@ -106,3 +106,29 @@ def test_executes_on_spark(spark):
     assert [(r.i, r.s) for r in got] == [(1, "alpha")]
     agg = spark.sql(tr("SELECT string_agg(s, '|') AS j FROM pg_t")).first().j
     assert set(agg.split("|")) == {"alpha", "beta"}
+
+
+def test_tumble_hop_tvf_batch_rewrite(spark):
+    """Ad-hoc batch TUMBLE/HOP TVFs (reference window_table_function.rs)
+    rewrite to derived tables attaching window_start/window_end."""
+    import datetime
+
+    from risingwave_spark.functions.pgsql import pg_to_spark_sql
+
+    rows = [(i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=20 * i)) for i in range(6)]
+    spark.createDataFrame(rows, "id long, ts timestamp").createOrReplaceTempView("tvf_t")
+    out = spark.sql(pg_to_spark_sql(
+        "SELECT window_start, count(*) AS n "
+        "FROM TUMBLE(tvf_t, ts, INTERVAL '1 hour') GROUP BY window_start "
+        "ORDER BY window_start"
+    )).collect()
+    assert [(r.window_start.hour, r.n) for r in out] == [(0, 3), (1, 3)]
+    out = spark.sql(pg_to_spark_sql(
+        "SELECT window_start, count(*) AS n "
+        "FROM HOP(tvf_t, ts, INTERVAL '30 minutes', INTERVAL '1 hour') "
+        "GROUP BY window_start ORDER BY window_start"
+    )).collect()
+    # each row covers 2 windows; 6 rows over [0:00, 1:40] → windows at
+    # 23:30, 0:00, 0:30, 1:00, 1:30
+    assert sum(r.n for r in out) == 12
+    assert len(out) == 5

@@ -725,12 +725,19 @@ def test_watermark_eowc_mv_sql(eng, spark):
 
 
 def test_eowc_mv_rejects_deletes_and_requires_watermark(eng):
+    # watermark without APPEND ONLY is rejected at CREATE TABLE
+    # (reference create_table.rs:828)
+    with pytest.raises(Exception, match="APPEND ONLY"):
+        eng.sql(
+            "CREATE TABLE wtx (id int8 PRIMARY KEY, ts timestamp, "
+            "WATERMARK FOR ts AS ts - INTERVAL '1 minutes')"
+        )
     eng.sql(
         """
         CREATE TABLE wt2 (
             id int8 PRIMARY KEY, ts timestamp,
             WATERMARK FOR ts AS ts - INTERVAL '1 minutes'
-        )
+        ) APPEND ONLY
         """
     )
     eng.sql(
@@ -739,8 +746,12 @@ def test_eowc_mv_rejects_deletes_and_requires_watermark(eng):
         "GROUP BY window_start EMIT ON WINDOW CLOSE"
     )
     eng.sql("INSERT INTO wt2 VALUES (1, TIMESTAMP '2024-01-01 03:00:00')")
-    with pytest.raises(Exception, match="append-only"):
+    # rejected BEFORE any state mutation — the table keeps its row
+    with pytest.raises(Exception, match="APPEND ONLY"):
         eng.sql("DELETE FROM wt2 WHERE id = 1")
+    with pytest.raises(Exception, match="APPEND ONLY"):
+        eng.sql("UPDATE wt2 SET id = 2 WHERE id = 1")
+    assert _rows(eng.sql("SELECT id FROM wt2")) == [(1,)]
     # no watermark on the tumble column → loud error
     eng.sql("CREATE TABLE nowm (id int8 PRIMARY KEY, ts timestamp)")
     with pytest.raises(Exception, match="WATERMARK"):
@@ -749,13 +760,14 @@ def test_eowc_mv_rejects_deletes_and_requires_watermark(eng):
             "count(*) AS n FROM TUMBLE(nowm, ts, INTERVAL '1 hour') "
             "GROUP BY window_start EMIT ON WINDOW CLOSE"
         )
-    # TUMBLE without EOWC → loud error
-    with pytest.raises(Exception, match="EMIT ON WINDOW CLOSE"):
-        eng.sql(
-            "CREATE MATERIALIZED VIEW bad2 AS SELECT window_start AS ws, "
-            "count(*) AS n FROM TUMBLE(wt2, ts, INTERVAL '1 hour') "
-            "GROUP BY window_start"
-        )
+    # TUMBLE without EOWC = eagerly-maintained windowed MV (no watermark
+    # needed; every open window stays current)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW wt2_eager AS SELECT window_start AS ws, "
+        "count(*) AS n FROM TUMBLE(wt2, ts, INTERVAL '1 hour') "
+        "GROUP BY window_start"
+    )
+    assert _rows(eng.sql("SELECT n FROM wt2_eager")) == [(1,)]
 
 
 def test_eowc_mv_restart_replay(spark, tmp_path):
@@ -880,11 +892,15 @@ def test_grammar_accepts_new_clauses_and_rejects_bad(eng):
             "CREATE MATERIALIZED VIEW m AS SELECT a FROM f "
             "JOIN d FOR SYSTEM_TIME AS OF NOW() ON f.k = d.k"
         )
-    with pytest.raises(SqlParseError):  # HOP TVF unsupported
+    assert classify(
+        "CREATE MATERIALIZED VIEW m AS SELECT window_start AS ws, count(*) AS n "
+        "FROM HOP(t, ts, INTERVAL '10 minutes', INTERVAL '1 hour') "
+        "GROUP BY window_start"
+    ) == "create_mv"
+    with pytest.raises(SqlParseError):  # SESSION TVF unsupported
         classify(
             "CREATE MATERIALIZED VIEW m AS SELECT count(*) AS n "
-            "FROM HOP(t, ts, INTERVAL '1 hour', INTERVAL '10 minutes') "
-            "GROUP BY window_start"
+            "FROM SESSION(t, ts, INTERVAL '10 minutes') GROUP BY 1"
         )
 
 
@@ -936,3 +952,64 @@ def test_show_create_and_alter_grammar(eng):
         classify("ALTER TABLE t RENAME TO u")
     with pytest.raises(SqlParseError):
         classify("ALTER SYSTEM SET x = 1")
+
+
+def test_tumble_hop_eager_mv_sql(eng):
+    """Eager TUMBLE/HOP windowed MVs (reference hop_window.rs row
+    expansion): every covering window maintained under inserts AND
+    deletes, no watermark."""
+    eng.sql(
+        """
+        CREATE TABLE wev (id int8 PRIMARY KEY, v int8, ts timestamp);
+        CREATE MATERIALIZED VIEW tmv AS
+        SELECT window_start AS ws, count(*) AS n, sum(v) AS total
+        FROM TUMBLE(wev, ts, INTERVAL '1 hour')
+        GROUP BY window_start;
+        CREATE MATERIALIZED VIEW hmv AS
+        SELECT window_start AS ws, count(*) AS n
+        FROM HOP(wev, ts, INTERVAL '30 minutes', INTERVAL '1 hour')
+        GROUP BY window_start
+        """
+    )
+    eng.sql(
+        "INSERT INTO wev VALUES "
+        "(1, 10, TIMESTAMP '2024-01-01 00:10:00'),"
+        "(2, 20, TIMESTAMP '2024-01-01 00:40:00'),"
+        "(3, 30, TIMESTAMP '2024-01-01 01:10:00')"
+    )
+    assert _rows(eng.sql("SELECT ws, n, total FROM tmv ORDER BY ws")) == [
+        (__import__("datetime").datetime(2024, 1, 1, 0, 0), 2, 30),
+        (__import__("datetime").datetime(2024, 1, 1, 1, 0), 1, 30),
+    ]
+    # hop: each row covers 2 windows (size/slide = 2)
+    import datetime as _dt
+
+    assert _rows(eng.sql("SELECT ws, n FROM hmv ORDER BY ws")) == [
+        (_dt.datetime(2023, 12, 31, 23, 30), 1),
+        (_dt.datetime(2024, 1, 1, 0, 0), 2),
+        (_dt.datetime(2024, 1, 1, 0, 30), 2),
+        (_dt.datetime(2024, 1, 1, 1, 0), 1),
+    ]
+    # retraction: deleting row 2 updates every window it covered
+    eng.sql("DELETE FROM wev WHERE id = 2")
+    assert _rows(eng.sql("SELECT ws, n FROM hmv ORDER BY ws")) == [
+        (_dt.datetime(2023, 12, 31, 23, 30), 1),
+        (_dt.datetime(2024, 1, 1, 0, 0), 1),
+        (_dt.datetime(2024, 1, 1, 0, 30), 1),
+        (_dt.datetime(2024, 1, 1, 1, 0), 1),
+    ]
+    assert _rows(eng.sql("SELECT ws, total FROM tmv ORDER BY ws")) == [
+        (_dt.datetime(2024, 1, 1, 0, 0), 10),
+        (_dt.datetime(2024, 1, 1, 1, 0), 30),
+    ]
+    with pytest.raises(Exception, match="window_start in GROUP BY"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT v, count(*) AS n "
+            "FROM TUMBLE(wev, ts, INTERVAL '1 hour') GROUP BY v"
+        )
+    with pytest.raises(Exception, match="multiple"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT window_start AS ws, "
+            "count(*) AS n FROM HOP(wev, ts, INTERVAL '7 minutes', "
+            "INTERVAL '10 minutes') GROUP BY window_start"
+        )
