@@ -1643,3 +1643,51 @@ def engine_sql_alter_table(spark, sf_dir):
         "sum(CAST(round(price*100, 0) AS BIGINT))/100.0D AS total "
         "FROM alt_orders GROUP BY k, status, tier ORDER BY k"
     )
+
+
+@register(
+    "engine_sql_mv_on_windowed_mv",
+    oracle=f"""
+WITH hop AS (
+  SELECT e.user_id, w.ws
+  FROM (SELECT * FROM {EVENTS_US} e0 WHERE event_id % 5 <> 0) e,
+       unnest([time_bucket(INTERVAL '5 minutes', e.ts),
+               time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL '5 minutes']) w(ws)
+  WHERE e.ts >= w.ws AND e.ts < w.ws + INTERVAL '10 minutes'
+),
+counts AS (SELECT ws, user_id, count(*) AS n FROM hop GROUP BY ws, user_id)
+SELECT ws, max(n) AS max_bids, count(*) AS n_bidders
+FROM counts GROUP BY ws ORDER BY ws
+""",
+)
+def engine_sql_mv_on_windowed_mv(spark, sf_dir):
+    """Nexmark-q5-shaped MV-on-MV pipeline entirely in SQL (reference
+    `e2e_test/streaming/nexmark/views/q5.slt.part` stacks MVs the same
+    way): level 1 = HOP-windowed per-bidder counts, level 2 = an MV OVER
+    that MV (per-window max + bidder count) fed by level 1's changelog.
+    Two insert batches then a DELETE retract — both levels stay exact
+    through the cascade (mv-on-mv.md)."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_mvmv_"))
+    eng.sql(
+        """
+        CREATE TABLE wb (event_id int8 PRIMARY KEY, user_id int8, ts timestamp);
+        CREATE MATERIALIZED VIEW wb_counts AS
+        SELECT window_start AS ws, user_id, count(*) AS n
+        FROM HOP(wb, ts, INTERVAL '5 minutes', INTERVAL '10 minutes')
+        GROUP BY window_start, user_id;
+        CREATE MATERIALIZED VIEW wb_hot AS
+        SELECT ws, max(n) AS max_bids, count(*) AS n_bidders
+        FROM wb_counts GROUP BY ws
+        """
+    )
+    eng.sql(
+        "INSERT INTO wb SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO wb SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1"
+    )
+    eng.sql("DELETE FROM wb WHERE event_id % 5 = 0")
+    return eng.sql("SELECT ws, max_bids, n_bidders FROM wb_hot ORDER BY ws")

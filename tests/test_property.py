@@ -185,3 +185,97 @@ def test_pgsql_cast_shim_matches_duckdb(spark, ddb, n, t, vn):
     ).fetchone()
     assert str(got.a) == str(want[0]), (pg, got, want)
     assert got.b == want[1], (pg, got, want)
+
+
+# ---------------------------------------------------------------- grammar
+_IDENTS = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+_TYPES = st.sampled_from(["int4", "int8", "float8", "text", "varchar(12)", "timestamp"])
+_LITS = st.sampled_from(
+    ["'x'", "'a;b'", "'it''s'", "'WHERE'", "'CREATE TABLE t'", "42", "1.5", "NULL"]
+)
+_WS = st.sampled_from([" ", "  ", "\n", "\t "])
+
+
+@st.composite
+def _create_table_stmt(draw):
+    name = draw(_IDENTS)
+    ncols = draw(st.integers(1, 4))
+    cols = []
+    for i in range(ncols):
+        c = f"{draw(_IDENTS)}_{i}"
+        t = draw(_TYPES)
+        extra = draw(st.sampled_from(["", " PRIMARY KEY", " NOT NULL", f" DEFAULT {draw(_LITS)}"]))
+        cols.append(f"{c} {t}{extra}")
+    ws = draw(_WS)
+    return f"CREATE{ws}TABLE {name}{ws}({', '.join(cols)})"
+
+
+@st.composite
+def _insert_stmt(draw):
+    name = draw(_IDENTS)
+    vals = ", ".join(draw(_LITS) for _ in range(draw(st.integers(1, 3))))
+    return f"INSERT INTO {name} VALUES ({vals})"
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(stmt=st.one_of(_create_table_stmt(), _insert_stmt()))
+def test_grammar_classifies_generated_engine_statements(stmt):
+    """Generated engine-owned statements — with keyword-bearing string
+    literals, odd whitespace, quoted apostrophes — must classify to their
+    kind AND be accepted by the matching dispatch extractor: the grammar
+    never silently routes an engine-owned statement to Catalyst, and
+    never accepts a shape its handler can't extract (the 'internal
+    error' path in frontend._execute_one stays unreachable)."""
+    from risingwave_spark import frontend
+    from risingwave_spark.sqlparse import classify
+
+    kind = classify(stmt)
+    assert kind in ("create_table", "insert")
+    rx, _handler = frontend._KIND_DISPATCH[kind]
+    assert rx.match(stmt) is not None, f"{kind} extractor rejected: {stmt!r}"
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    body=st.sampled_from(
+        [
+            "SELECT k, count(*) AS n FROM {t} GROUP BY k",
+            "SELECT k FROM {t} WHERE s = 'GROUP BY'",
+            "SELECT a.k, b.v FROM {t} a JOIN u b ON a.k = b.k",
+            "SELECT k, sum(v) AS s FROM {t} WHERE v > 0 GROUP BY k HAVING count(*) > 1",
+        ]
+    ),
+    name=_IDENTS,
+    ws=_WS,
+)
+def test_grammar_accepts_supported_mv_bodies(body, name, ws):
+    from risingwave_spark.sqlparse import classify
+
+    stmt = f"CREATE{ws}MATERIALIZED{ws}VIEW {name} AS {body.format(t=name + '_src')}"
+    assert classify(stmt) == "create_mv"
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bad=st.sampled_from(
+        [
+            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM (SELECT k FROM t) s",
+            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t LIMIT 5",
+            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t UNION SELECT k FROM u",
+            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t JOIN u USING (k)",
+            "CREATE MATERIALIZED VIEW {n} AS SELECT row_number() OVER (ORDER BY k) FROM t",
+            "CREATE TABLE {n} (k int4 PRIMARY KEY,)",
+            "INSERT INTO {n} SET k = 1",
+            "ALTER TABLE {n} RENAME TO x",
+            "DELETE {n} WHERE k = 1",
+        ]
+    ),
+    name=_IDENTS,
+)
+def test_grammar_rejects_unsupported_shapes(bad, name):
+    import pytest as _pt
+
+    from risingwave_spark.sqlparse import SqlParseError, classify
+
+    with _pt.raises(SqlParseError):
+        classify(bad.format(n=name))
