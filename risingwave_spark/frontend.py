@@ -1376,6 +1376,7 @@ def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
         df.createOrReplaceTempView(name)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
     elif conn == "datagen":
+        _register_datagen_source(engine, name, m.group("cols"), opts)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
     elif conn in ("kafka", "kinesis", "pulsar"):
         engine.sources[name] = {"connector": conn, "options": opts, "readable": False}
@@ -1386,6 +1387,63 @@ def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
         )
     engine._record_ddl(name, m.string)
     return _status(spark, "CREATE_SOURCE")
+
+
+def _register_datagen_source(engine: "Engine", name: str, cols: str | None, opts: dict) -> None:
+    """Datagen source (reference `src/connector/src/source/datagen/` —
+    seeded DETERMINISTIC generators per column: `fields.<col>.kind` =
+    'sequence' (start/end) or 'random' (min/max, seed); here batch-read
+    as a spark.range plan, so a SELECT over the source regenerates the
+    same rows every time, exactly the reference's replayable-split
+    contract). Row count = the sequence extent or
+    `datagen.rows.per.second` (one emulated second)."""
+    if not cols:
+        raise ValueError(f"datagen source {name!r} needs a column list")
+    empty, _pk, _defaults, _wm = _parse_coldefs(engine.spark, cols)
+    fields = [(f.name, f.dataType.simpleString()) for f in empty.schema.fields]
+    n = None
+    for cname, _t in fields:
+        if opts.get(f"fields.{cname}.kind", "random").lower() == "sequence":
+            start = int(opts.get(f"fields.{cname}.start", "0"))
+            end = int(opts.get(f"fields.{cname}.end", "999"))
+            n = (end - start + 1) if n is None else min(n, end - start + 1)
+    if n is None:
+        n = int(opts.get("datagen.rows.per.second", "1000"))
+    df = engine.spark.range(n)
+    sel = []
+    for cname, typ in fields:
+        kind = opts.get(f"fields.{cname}.kind", "random").lower()
+        if kind == "sequence":
+            start = int(opts.get(f"fields.{cname}.start", "0"))
+            sel.append((F.col("id") + start).cast(typ).alias(cname))
+        elif kind == "random":
+            lo = float(opts.get(f"fields.{cname}.min", "0"))
+            hi = float(opts.get(f"fields.{cname}.max", "100"))
+            seed = int(opts.get(f"fields.{cname}.seed", "0"))
+            # deterministic per (row id, seed): xxhash64 → [0, 1) → range
+            u = (
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_003))
+                / 1_000_003.0
+            )
+            if typ in ("string",):
+                sel.append(
+                    F.concat(F.lit(f"{cname}_"), (u * 1000).cast("long").cast("string")).alias(cname)
+                )
+            elif typ.startswith("timestamp"):
+                base = opts.get(f"fields.{cname}.base", "2024-01-01 00:00:00")
+                sel.append(
+                    (F.to_timestamp(F.lit(base)) + F.make_dt_interval(
+                        secs=(u * (hi - lo) + lo)
+                    )).alias(cname)
+                )
+            else:
+                sel.append((u * (hi - lo) + lo).cast(typ).alias(cname))
+        else:
+            raise ValueError(
+                f"datagen field kind {kind!r} for {cname!r} not supported "
+                "(sequence/random)"
+            )
+    df.select(*sel).createOrReplaceTempView(name)
 
 
 class _FileSink:

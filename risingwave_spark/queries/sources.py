@@ -434,3 +434,42 @@ def src_avro_registry(spark, sf_dir):
         framed, "value", reg_root, "o_orderkey long, o_orderstatus string, cents long"
     )
     return decoded.orderBy("o_orderkey")
+
+
+@register(
+    "src_datagen",
+    oracle="""
+SELECT i + 100 AS id, CAST(i % 7 AS BIGINT) AS bucket
+FROM range(500) t(i) ORDER BY id
+""",
+)
+def src_datagen(spark, sf_dir):
+    """Datagen source through the SQL front door (reference
+    `src/connector/src/source/datagen/` — per-column seeded generators,
+    `fields.<col>.kind/start/end` options): a sequence column determines
+    the row count; a derived deterministic column checks the rows are
+    the declared extent in order. Random-kind columns exist too but are
+    checked by bounds in unit tests, not by the oracle (their values
+    are engine-seeded)."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_dg_"))
+    eng.sql(
+        """
+        CREATE SOURCE dg_src (id int8, score float8) WITH (
+            connector = 'datagen',
+            fields.id.kind = 'sequence',
+            fields.id.start = '100',
+            fields.id.end = '599',
+            fields.score.kind = 'random',
+            fields.score.min = '0',
+            fields.score.max = '10',
+            fields.score.seed = '42'
+        )
+        """
+    )
+    return eng.sql(
+        "SELECT id, CAST((id - 100) % 7 AS BIGINT) AS bucket FROM dg_src ORDER BY id"
+    )

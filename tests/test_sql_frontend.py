@@ -1062,3 +1062,64 @@ def test_sink_from_eowc_mv(eng, tmp_path, spark):
         .selectExpr("ws", "n", "__op").collect()
     )
     assert got == [(0, 1, 1), (1, 2, 1)]
+
+
+def test_windowed_mv_restart_replay(spark, tmp_path):
+    """TUMBLE/HOP eager MVs re-attach their bucketed state on replay (no
+    re-backfill) and keep maintaining after the restart."""
+    wh = str(tmp_path / "wh_wmv")
+    eng = Engine(spark, wh)
+    eng.sql(
+        """
+        CREATE TABLE rw (id int8 PRIMARY KEY, ts timestamp);
+        CREATE MATERIALIZED VIEW rwmv AS
+        SELECT window_start AS ws, count(*) AS n
+        FROM HOP(rw, ts, INTERVAL '30 minutes', INTERVAL '1 hour')
+        GROUP BY window_start
+        """
+    )
+    eng.sql("INSERT INTO rw VALUES (1, TIMESTAMP '2024-01-01 00:10:00')")
+    before = _rows(eng.sql("SELECT ws, n FROM rwmv"))
+    assert len(before) == 2  # one row covers size/slide = 2 windows
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("SELECT ws, n FROM rwmv")) == before
+    eng2.sql("INSERT INTO rw VALUES (2, TIMESTAMP '2024-01-01 00:20:00')")
+    assert _rows(eng2.sql("SELECT n FROM rwmv")) == [(2,), (2,)]
+    eng2.sql("DELETE FROM rw WHERE id = 1")
+    assert _rows(eng2.sql("SELECT n FROM rwmv")) == [(1,), (1,)]
+
+
+def test_datagen_source_deterministic_and_bounded(eng):
+    """Datagen connector (reference src/connector/src/source/datagen/):
+    sequence extent fixes row count; random fields are deterministic
+    per (row, seed) and bounded; timestamp kind offsets from a base."""
+    eng.sql(
+        """
+        CREATE SOURCE dgt (id int8, score float8, label text, ts timestamp)
+        WITH (
+            connector = 'datagen',
+            fields.id.kind = 'sequence',
+            fields.id.start = '1', fields.id.end = '50',
+            fields.score.kind = 'random',
+            fields.score.min = '5', fields.score.max = '9',
+            fields.score.seed = '7',
+            fields.label.kind = 'random',
+            fields.ts.kind = 'random',
+            fields.ts.min = '0', fields.ts.max = '3600',
+            fields.ts.base = '2024-06-01 00:00:00'
+        )
+        """
+    )
+    rows = eng.sql("SELECT * FROM dgt ORDER BY id").collect()
+    assert len(rows) == 50 and rows[0]["id"] == 1 and rows[-1]["id"] == 50
+    assert all(5 <= r["score"] <= 9 for r in rows)
+    assert all(r["label"].startswith("label_") for r in rows)
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1)
+    assert all(
+        base <= r["ts"] <= base + datetime.timedelta(hours=1) for r in rows
+    )
+    # deterministic: a second read regenerates identical rows
+    again = eng.sql("SELECT * FROM dgt ORDER BY id").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
