@@ -1149,6 +1149,225 @@ def _handle_create_eowc_mv(
     return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
 
 
+_OVER_FN = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^()]*?)\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<pb>.+?)\s+ORDER\s+BY\s+(?P<ob>.+?)"
+    r"(?:\s+(?P<fkind>ROWS|RANGE)\s+BETWEEN\s+(?P<flo>.+?)\s+AND\s+(?P<fhi>.+?))?"
+    r"\s*\)$",
+    re.I | re.S,
+)
+
+_OW_FN_MAP = {
+    "row_number": ("row_number", 0),
+    "rank": ("rank", 0),
+    "dense_rank": ("dense_rank", 0),
+    "percent_rank": ("percent_rank", 0),
+    "cume_dist": ("cume_dist", 0),
+    "ntile": ("ntile", -1),  # int arg
+    "lag": ("lag", 1),
+    "lead": ("lead", 1),  # optional offset
+    "sum": ("sum", 1),
+    "min": ("min", 1),
+    "max": ("max", 1),
+    "avg": ("avg", 1),
+    "count": ("count", 1),
+    "first_value": ("first_value", 1),
+    "last_value": ("last_value", 1),
+}
+
+
+def _parse_frame_bound(txt: str, side: str) -> int | None:
+    """'n PRECEDING' / 'CURRENT ROW' / 'n FOLLOWING' / 'UNBOUNDED
+    PRECEDING' → signed reach (None = unbounded preceding)."""
+    t = txt.strip().upper()
+    if t == "CURRENT ROW":
+        return 0
+    m = re.match(r"^(\d+)\s+(PRECEDING|FOLLOWING)$", t)
+    if m:
+        return int(m.group(1)) if m.group(2) == "PRECEDING" else -int(m.group(1))
+    if t == "UNBOUNDED PRECEDING" and side == "lo":
+        return None
+    raise ValueError(f"unsupported window frame bound: {txt!r}")
+
+
+def _handle_create_over_window_mv(
+    engine: "Engine", name: str, stmt: str, masked: str, lits: list[str]
+) -> DataFrame:
+    """Over-window MV in SQL (reference OverWindow executor planning,
+    `src/frontend/src/optimizer/plan_node/stream_over_window.rs` —
+    `SELECT ..., fn(...) OVER (PARTITION BY p ORDER BY o [frame]) FROM
+    t`): compiles onto `MaterializedOverWindowDelta` (frame-delta
+    suffix recompute with retraction). Constraints enforced loudly:
+    single engine table, every OVER shares one PARTITION BY + ORDER BY
+    (ascending), declared function kinds only, bounded ROWS/RANGE
+    frames on aggregates; payload items must be bare base columns, and
+    the partition/order columns must be selected (the MV's identity)."""
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    sm = re.match(
+        r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<tbl>\w+)\s*$",
+        masked,
+        re.I | re.S,
+    )
+    if not sm:
+        raise ValueError(
+            "over-window MV bodies support `SELECT items FROM table` only "
+            "(no WHERE/GROUP BY/joins — the window state is the whole "
+            "partition; filter downstream or pre-filter into a table)"
+        )
+    base = sm.group("tbl")
+    if base not in engine.tables:
+        raise ValueError(f"over-window MV base {base!r} is not a table")
+    t = engine.tables[base]
+    base_cols = t.snapshot().columns
+    pk = t.pk
+    if not isinstance(pk, str):
+        raise ValueError("over-window MVs need a single-column PRIMARY KEY base")
+
+    payload: list[str] = []
+    funcs: dict[str, tuple] = {}
+    spec: tuple | None = None
+    out_cols: list[str] = []
+    for item in _split_top_level(sm.group("select")):
+        expr, alias = _parse_select_item(_unmask(item, lits))
+        om = _OVER_FN.match(expr.strip())
+        if om is None:
+            if not (_IDENT.match(expr.strip()) and expr.strip() in base_cols):
+                raise ValueError(
+                    f"over-window MV select item {expr!r} must be a bare "
+                    "base column or fn(...) OVER (...)"
+                )
+            payload.append(expr.strip())
+            out_cols.append(expr.strip())
+            continue
+        if alias is None:
+            raise ValueError(f"window function item needs an alias: {expr!r}")
+        fn = om.group("fn").lower()
+        if fn not in _OW_FN_MAP:
+            raise ValueError(
+                f"window function {fn!r} is not incrementally maintainable "
+                f"here (supported: {sorted(_OW_FN_MAP)})"
+            )
+        pb = [c.strip() for c in om.group("pb").split(",")]
+        ob = []
+        for o in om.group("ob").split(","):
+            o = o.strip()
+            if re.search(r"\bDESC\b", o, re.I):
+                raise ValueError(
+                    "DESC window order is not supported in the frame-delta "
+                    "path (state is maintained in ascending order)"
+                )
+            ob.append(re.sub(r"\s+ASC$", "", o, flags=re.I).strip())
+        this_spec = (tuple(pb), tuple(ob))
+        if spec is None:
+            spec = this_spec
+        elif spec != this_spec:
+            raise ValueError(
+                "every OVER clause in one MV must share the same "
+                "PARTITION BY and ORDER BY (one over-window executor per "
+                "MV — create separate MVs for different specs)"
+            )
+        args = [a.strip() for a in om.group("args").split(",") if a.strip()]
+        kind, nargs = _OW_FN_MAP[fn]
+        if kind == "count" and args == ["*"]:
+            args = []
+        f_spec: list = [kind]
+        if kind == "ntile":
+            if len(args) != 1 or not args[0].isdigit():
+                raise ValueError("ntile needs one integer argument")
+            f_spec.append(int(args[0]))
+        elif nargs >= 1 and args:
+            if not (_IDENT.match(args[0]) and args[0] in base_cols):
+                raise ValueError(
+                    f"window function argument {args[0]!r} must be a bare "
+                    "base column"
+                )
+            f_spec.append(args[0])
+            if kind in ("lead", "lag") and len(args) > 1:
+                f_spec.append(int(args[1]))
+        elif nargs >= 1 and kind != "count":
+            raise ValueError(f"{fn} needs a column argument")
+        elif kind == "count" and not args:
+            # count(*) over a running frame == row_number equivalent but
+            # kind 'count' needs a source col; use any base col (non-null
+            # pk counts every row, matching count(*))
+            f_spec.append(pk)
+        if om.group("fkind"):
+            lo = _parse_frame_bound(om.group("flo"), "lo")
+            hi = _parse_frame_bound(om.group("fhi"), "hi")
+            if not (lo is None and hi == 0):
+                if kind not in ("sum", "min", "max", "avg", "count"):
+                    raise ValueError(
+                        f"{fn!r} does not accept a bounded frame"
+                    )
+                if lo is None:
+                    raise ValueError(
+                        "UNBOUNDED PRECEDING with a FOLLOWING end is not "
+                        "supported; use the default running frame"
+                    )
+                # bound signs: lo = n PRECEDING (n ≥ 0); hi = 0 for
+                # CURRENT ROW, −m for m FOLLOWING → frame dict (n, m)
+                f_spec.append(
+                    {
+                        "rows" if om.group("fkind").upper() == "ROWS" else "range": (
+                            lo,
+                            -hi if hi < 0 else 0,
+                        )
+                    }
+                )
+        funcs[alias] = tuple(f_spec)
+        out_cols.append(alias)
+    if spec is None:
+        raise ValueError("over-window MV needs at least one OVER item")
+    keys, order_cols = list(spec[0]), list(spec[1])
+    for c in keys + order_cols:
+        if c not in base_cols:
+            raise ValueError(f"PARTITION/ORDER column {c!r} is not a base column")
+        if c not in payload and c not in out_cols:
+            raise ValueError(
+                f"PARTITION/ORDER column {c!r} must be selected (the MV's "
+                "row identity)"
+            )
+
+    mvd = MaterializedOverWindowDelta(
+        engine.spark,
+        os.path.join(engine.warehouse, f"owmv_{name}"),
+        keys,
+        order_cols,
+        pk,
+        funcs,
+        payload_cols=[c for c in payload if c not in keys and c not in order_cols],
+    )
+    from risingwave_spark.api import MaterializedViewHandle
+
+    class _Proj:
+        """Read-time projection to the SELECT's column order; attribute
+        access (incl. emit_changelog assignment — which the inner MV
+        rejects loudly) delegates to the wrapped delta MV."""
+
+        def __init__(self, inner):
+            object.__setattr__(self, "_i", inner)
+
+        def __getattr__(self, a):
+            return getattr(self._i, a)
+
+        def __setattr__(self, a, v):
+            setattr(self._i, a, v)
+
+        def result(self):
+            return self._i.result().select(*out_cols)
+
+    view = _Proj(mvd)
+    if not mvd.mv.exists():
+        view.apply_batch(with_ops(t.snapshot(), 1))
+    h = MaterializedViewHandle(name, view)
+    h._register()
+    t.mvs.append(h)
+    engine.mv_handles[name] = h
+    engine._record_ddl(name, stmt)
+    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
@@ -1162,6 +1381,9 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
         # TUMBLE/HOP without EMIT ON WINDOW CLOSE: eagerly-maintained
         # windowed MV (every open window up to date, deletes retract)
         return _handle_create_windowed_mv(engine, name, m.string, masked, lits, tm2, hm2)
+    if re.search(r"\bOVER\s*\(", masked, re.I):
+        # window functions in the body → frame-delta over-window MV
+        return _handle_create_over_window_mv(engine, name, m.string, masked, lits)
     # Temporal join (reference `stream_temporal_join.rs`, syntax
     # `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
     # joins the dimension's CURRENT version at its processing time —

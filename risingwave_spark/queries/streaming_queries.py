@@ -1691,3 +1691,54 @@ def engine_sql_mv_on_windowed_mv(spark, sf_dir):
     )
     eng.sql("DELETE FROM wb WHERE event_id % 5 = 0")
     return eng.sql("SELECT ws, max_bids, n_bidders FROM wb_hot ORDER BY ws")
+
+
+@register(
+    "engine_sql_over_window_mv",
+    oracle=f"""
+SELECT user_id, event_id, iv, rn, rsum, prev, m2 FROM (
+  SELECT user_id, event_id, event_id % 83 AS iv,
+         row_number() OVER w AS rn,
+         CAST(sum(event_id % 83) OVER w AS BIGINT) AS rsum,
+         lag(event_id % 83) OVER w AS prev,
+         max(event_id % 83) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m2
+  FROM events WHERE event_id % 6 <> 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+) t ORDER BY user_id, event_id
+""",
+)
+def engine_sql_over_window_mv(spark, sf_dir):
+    """Over-window MV through the SQL front door (reference
+    `stream_over_window.rs` planning `SELECT ..., fn() OVER (...)` MVs):
+    four window kinds — row_number, running sum, lag, bounded-frame max
+    — share one PARTITION BY/ORDER BY spec and compile onto
+    MaterializedOverWindowDelta; three insert batches then a DELETE
+    retract; equals the batch window over survivors."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_owsql_"))
+    eng.sql(
+        """
+        CREATE TABLE ow_ev (event_id int8 PRIMARY KEY, user_id int8, iv int8);
+        CREATE MATERIALIZED VIEW ow_mv AS
+        SELECT user_id, event_id, iv,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+               sum(iv) OVER (PARTITION BY user_id ORDER BY event_id) AS rsum,
+               lag(iv) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+               max(iv) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m2
+        FROM ow_ev
+        """
+    )
+    for i in range(3):
+        eng.sql(
+            "INSERT INTO ow_ev SELECT event_id, user_id, event_id % 83 "
+            f"FROM events WHERE event_id % 3 = {i}"
+        )
+    eng.sql("DELETE FROM ow_ev WHERE event_id % 6 = 0")
+    return eng.sql(
+        "SELECT user_id, event_id, iv, rn, rsum, prev, m2 FROM ow_mv "
+        "ORDER BY user_id, event_id"
+    )

@@ -207,10 +207,11 @@ _MV_FORBID = {
     "SELECT": "subqueries inside a materialized-view body are not "
               "supported — incremental recompute over affected groups "
               "cannot see global state; use Engine.create_materialized_view",
-    "OVER": "window functions inside a materialized-view body are not "
-            "supported — their frames cross group boundaries; use "
-            "MaterializedOverWindowDelta (Python API)",
 }
+# window functions (OVER) are allowed structurally: the frontend compiles
+# single-table over-window MV bodies onto MaterializedOverWindowDelta and
+# rejects the unsupported shapes (mixed specs, DESC order, GROUP BY+OVER)
+# with targeted errors of its own
 
 
 # ------------------------------------------------------------- statements

@@ -193,6 +193,19 @@ class MaterializedOverWindowDelta:
         #: tests; costs one count job per batch, so off by default)
         self.track_recompute = False
         self.last_recompute_rows: int | None = None
+        #: SQL-surface registration hooks (catalog drop-path duck typing)
+        self.downstream: list = []
+
+    @property
+    def emit_changelog(self) -> bool:
+        return False
+
+    @emit_changelog.setter
+    def emit_changelog(self, v: bool) -> None:
+        raise ValueError(
+            "subscriptions/sinks on an over-window MV are not supported "
+            "yet — subscribe to an aggregate MV or read the MV directly"
+        )
 
     # ------------------------------------------------------------ internals
     def _window_outputs(self, rows: DataFrame, seeds: DataFrame | None) -> DataFrame:

@@ -263,7 +263,6 @@ def test_grammar_accepts_supported_mv_bodies(body, name, ws):
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t LIMIT 5",
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t UNION SELECT k FROM u",
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t JOIN u USING (k)",
-            "CREATE MATERIALIZED VIEW {n} AS SELECT row_number() OVER (ORDER BY k) FROM t",
             "CREATE TABLE {n} (k int4 PRIMARY KEY,)",
             "INSERT INTO {n} SET k = 1",
             "ALTER TABLE {n} RENAME TO x",

@@ -1123,3 +1123,74 @@ def test_datagen_source_deterministic_and_bounded(eng):
     # deterministic: a second read regenerates identical rows
     again = eng.sql("SELECT * FROM dgt ORDER BY id").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_over_window_mv_sql(eng):
+    """Over-window MV in SQL (reference stream_over_window.rs planning):
+    fn(...) OVER (PARTITION BY ... ORDER BY ...) compiles onto
+    MaterializedOverWindowDelta — suffix recompute + retraction."""
+    eng.sql(
+        """
+        CREATE TABLE owt (id int8 PRIMARY KEY, grp int8, v int8);
+        CREATE MATERIALIZED VIEW owmv AS
+        SELECT grp, id, v,
+               row_number() OVER (PARTITION BY grp ORDER BY id) AS rn,
+               sum(v) OVER (PARTITION BY grp ORDER BY id) AS rsum,
+               lag(v) OVER (PARTITION BY grp ORDER BY id) AS prev,
+               max(v) OVER (PARTITION BY grp ORDER BY id
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m2
+        FROM owt
+        """
+    )
+    eng.sql(
+        "INSERT INTO owt VALUES (1,1,10),(2,1,5),(4,2,7)"
+    )
+    eng.sql("INSERT INTO owt VALUES (3,1,20),(5,2,1)")
+    assert _rows(eng.sql("SELECT grp, id, rn, rsum, prev, m2 FROM owmv")) == [
+        (1, 1, 1, 10, None, 10),
+        (1, 2, 2, 15, 10, 10),
+        (1, 3, 3, 35, 5, 20),
+        (2, 4, 1, 7, None, 7),
+        (2, 5, 2, 8, 7, 7),
+    ]
+    # retraction: delete a mid-partition row — suffix renumbers
+    eng.sql("DELETE FROM owt WHERE id = 2")
+    assert _rows(eng.sql("SELECT grp, id, rn, rsum, prev FROM owmv")) == [
+        (1, 1, 1, 10, None),
+        (1, 3, 2, 30, 10),
+        (2, 4, 1, 7, None),
+        (2, 5, 2, 8, 7),
+    ]
+    # unsupported shapes stay loud
+    with pytest.raises(Exception, match="share the same"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT grp, id, "
+            "row_number() OVER (PARTITION BY grp ORDER BY id) AS a, "
+            "row_number() OVER (PARTITION BY v ORDER BY id) AS b FROM owt"
+        )
+    with pytest.raises(Exception, match="DESC"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT grp, id, "
+            "row_number() OVER (PARTITION BY grp ORDER BY id DESC) AS a FROM owt"
+        )
+    with pytest.raises(Exception, match="not supported|subscriptions"):
+        eng.sql("CREATE SUBSCRIPTION s1 FROM owmv")
+
+
+def test_over_window_mv_sql_restart(spark, tmp_path):
+    wh = str(tmp_path / "wh_ow")
+    eng = Engine(spark, wh)
+    eng.sql(
+        """
+        CREATE TABLE owr (id int8 PRIMARY KEY, g int8, v int8);
+        CREATE MATERIALIZED VIEW owrmv AS
+        SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY id) AS rn
+        FROM owr
+        """
+    )
+    eng.sql("INSERT INTO owr VALUES (1,1,5),(2,1,6)")
+    before = _rows(eng.sql("SELECT g, id, rn FROM owrmv"))
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("SELECT g, id, rn FROM owrmv")) == before
+    eng2.sql("INSERT INTO owr VALUES (3,1,7)")
+    assert _rows(eng2.sql("SELECT rn FROM owrmv")) == [(1,), (2,), (3,)]
