@@ -569,6 +569,7 @@ class Engine:
         self._reject_retraction(t)
         doomed = t.snapshot().filter(predicate).localCheckpoint(eager=True)
         self._apply_dml(table, with_ops(doomed, -1))
+        return doomed  # the deleted rows (DELETE ... RETURNING)
 
     def update(self, table: str, predicate, assignments: dict) -> None:
         """UPDATE table SET col=expr WHERE predicate — becomes the
@@ -582,7 +583,9 @@ class Engine:
         new = old
         for col, expr in assignments.items():
             new = new.withColumn(col, expr)
+        new = new.localCheckpoint(eager=True)
         self._apply_dml(table, with_ops(old, -1).unionByName(with_ops(new, 1)))
+        return new  # the post-assignment rows (UPDATE ... RETURNING)
 
     def _apply_dml(self, table: str, batch: DataFrame) -> None:
         t = self.tables[table]

@@ -115,7 +115,7 @@ _UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(?P<tail>\S.*))?\s*$", re.I | re.S
 )
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS)\s*$", re.I
@@ -477,8 +477,41 @@ def _aligned_insert_rows(engine: "Engine", t, cols: list[str] | None, rows: Data
     return out
 
 
+def _split_returning(text: str) -> tuple[str, str | None]:
+    """Split a DML tail at a top-level RETURNING keyword (reference
+    binder returning_list, `binder/delete.rs:44-49`): literals masked,
+    parens respected, so a 'RETURNING' inside a string or subquery never
+    splits."""
+    masked, lits = _mask_strings(text)
+    depth = 0
+    for mm in re.finditer(r"[()]|\bRETURNING\b", masked, re.I):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return (
+                _unmask(masked[: mm.start()], lits).strip(),
+                _unmask(masked[mm.end():], lits).strip(),
+            )
+    return text, None
+
+
+def _project_returning(engine: "Engine", rows: DataFrame, ret: str) -> DataFrame:
+    """RETURNING item list over the affected rows (hidden row id never
+    leaks through `*`)."""
+    if ROW_ID in rows.columns:
+        rows = rows.drop(ROW_ID)
+    rows.createOrReplaceTempView("__returning_src")
+    return engine.spark.sql(
+        f"SELECT {pg_to_spark_sql(ret)} FROM __returning_src"
+    )
+
+
 def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
     name, collist, body = m.group(1), m.group(2), m.group(3)
+    body, returning = _split_returning(body)
     if name not in engine.tables:
         raise ValueError(f"INSERT target {name!r} is not a table")
     t = engine.tables[name]
@@ -511,6 +544,8 @@ def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
     if has_rowid:
         t._rowid_next = t._rowid_next + n
     engine.insert(name, aligned)
+    if returning is not None:
+        return _project_returning(engine, aligned, returning)
     return _status(engine.spark, f"INSERT 0 {n}")
 
 
@@ -518,6 +553,12 @@ def _handle_update(engine: "Engine", m: re.Match) -> DataFrame:
     name, setlist, where = m.group(1), m.group(2), m.group(3)
     if name not in engine.tables:
         raise ValueError(f"UPDATE target {name!r} is not a table")
+    # RETURNING rides at the end of whichever clause the regex captured
+    # last (WHERE when present, else the SET list)
+    if where is not None:
+        where, returning = _split_returning(where)
+    else:
+        setlist, returning = _split_returning(setlist)
     masked, lits = _mask_strings(setlist)
     assignments = {}
     for item in _split_top_level(masked):
@@ -528,16 +569,28 @@ def _handle_update(engine: "Engine", m: re.Match) -> DataFrame:
             pg_to_spark_sql(_unmask(am.group(2).strip(), lits))
         )
     pred = F.expr(pg_to_spark_sql(where)) if where else F.lit(True)
-    engine.update(name, pred, assignments)
+    new_rows = engine.update(name, pred, assignments)
+    if returning is not None:
+        return _project_returning(engine, new_rows, returning)
     return _status(engine.spark, "UPDATE")
 
 
 def _handle_delete(engine: "Engine", m: re.Match) -> DataFrame:
-    name, where = m.group(1), m.group(2)
+    name, tail = m.group(1), m.group("tail")
     if name not in engine.tables:
         raise ValueError(f"DELETE target {name!r} is not a table")
+    where = returning = None
+    if tail:
+        rest, returning = _split_returning(tail)
+        wm = re.match(r"^WHERE\s+(.*)$", rest, re.I | re.S)
+        if wm:
+            where = wm.group(1)
+        elif rest:
+            raise ValueError(f"cannot parse DELETE tail: {rest!r}")
     pred = F.expr(pg_to_spark_sql(where)) if where else F.lit(True)
-    engine.delete(name, pred)
+    doomed = engine.delete(name, pred)
+    if returning is not None:
+        return _project_returning(engine, doomed, returning)
     return _status(engine.spark, "DELETE")
 
 
@@ -1232,6 +1285,14 @@ def _handle_create_over_window_mv(
         expr, alias = _parse_select_item(_unmask(item, lits))
         om = _OVER_FN.match(expr.strip())
         if om is None:
+            if re.search(r"\bOVER\b", expr, re.I):
+                raise ValueError(
+                    f"window item {expr!r}: over-window MVs need the full "
+                    "`fn(args) OVER (PARTITION BY ... ORDER BY ... [frame])` "
+                    "shape — a whole-table window (no PARTITION BY) is a "
+                    "single unbounded partition and is not incrementally "
+                    "maintainable here"
+                )
             if not (_IDENT.match(expr.strip()) and expr.strip() in base_cols):
                 raise ValueError(
                     f"over-window MV select item {expr!r} must be a bare "

@@ -588,6 +588,22 @@ def _skip_if_not_exists(p: _P) -> None:
         p.eat()
 
 
+def _parse_returning(p: _P) -> None:
+    """Optional `RETURNING item [, ...]` tail on DML (reference binder
+    returning_list, binder/delete.rs:44-49)."""
+    if not p.at("RETURNING"):
+        return
+    p.eat()
+    while True:
+        if not p.try_op("*"):
+            _scan_expr(p, {"AS"})
+            if p.at("AS"):
+                p.eat()
+                p.ident("returning alias")
+        if not p.try_op(","):
+            return
+
+
 def classify(stmt: str) -> str:
     """Classify one statement and validate engine-owned kinds.
 
@@ -679,12 +695,13 @@ def classify(stmt: str) -> str:
         while True:
             p.ident("column name")
             p.eat_op("=")
-            _scan_expr(p, {"WHERE"})
+            _scan_expr(p, {"WHERE", "RETURNING"})
             if not p.try_op(","):
                 break
         if p.at("WHERE"):
             p.eat()
-            _scan_expr(p, set())
+            _scan_expr(p, {"RETURNING"})
+        _parse_returning(p)
         p.expect_done("UPDATE")
         return "update"
     if h == "DELETE":
@@ -693,7 +710,8 @@ def classify(stmt: str) -> str:
         p.ident("table name")
         if p.at("WHERE"):
             p.eat()
-            _scan_expr(p, set())
+            _scan_expr(p, {"RETURNING"})
+        _parse_returning(p)
         p.expect_done("DELETE")
         return "delete"
     if h == "DECLARE":

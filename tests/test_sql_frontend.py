@@ -665,8 +665,10 @@ def test_parser_rejects_unsupported_shapes_loudly(eng):
             "CREATE MATERIALIZED VIEW bad AS "
             "SELECT k, v FROM pt WHERE v > (SELECT avg(v) FROM pt)"
         )
-    # window function inside the body
-    with pytest.raises(SqlParseError, match="window"):
+    # whole-table window (no PARTITION BY): not incrementally
+    # maintainable — loud handler error (partitioned OVER now compiles,
+    # see test_over_window_mv_sql)
+    with pytest.raises(ValueError, match="PARTITION BY"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS "
             "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM pt"
@@ -1194,3 +1196,28 @@ def test_over_window_mv_sql_restart(spark, tmp_path):
     assert _rows(eng2.sql("SELECT g, id, rn FROM owrmv")) == before
     eng2.sql("INSERT INTO owr VALUES (3,1,7)")
     assert _rows(eng2.sql("SELECT rn FROM owrmv")) == [(1,), (2,), (3,)]
+
+
+def test_dml_returning(eng):
+    """INSERT/UPDATE/DELETE ... RETURNING (reference binder
+    returning_list, binder/delete.rs:44): affected rows projected
+    through the item list; literals containing 'RETURNING' never split;
+    the hidden row id never leaks through *."""
+    eng.sql("CREATE TABLE rt (k int8 PRIMARY KEY, v int8, s text)")
+    out = _rows(eng.sql("INSERT INTO rt VALUES (1, 10, 'a'), (2, 20, 'b') RETURNING k, v * 2 AS dbl"))
+    assert out == [(1, 20), (2, 40)]
+    out = _rows(eng.sql("UPDATE rt SET v = v + 1 WHERE k = 2 RETURNING *"))
+    assert out == [(2, 21, "b")]
+    out = _rows(eng.sql("UPDATE rt SET v = 0 RETURNING k"))
+    assert out == [(1,), (2,)]
+    out = _rows(eng.sql("DELETE FROM rt WHERE s = 'a RETURNING b' RETURNING k"))
+    assert out == []
+    out = _rows(eng.sql("DELETE FROM rt WHERE k = 1 RETURNING k, s"))
+    assert out == [(1, "a")]
+    out = _rows(eng.sql("DELETE FROM rt RETURNING *"))
+    assert out == [(2, 0, "b")]
+    assert _rows(eng.sql("SELECT * FROM rt")) == []
+    # rowid table: * excludes the hidden id
+    eng.sql("CREATE TABLE rt2 (x int4)")
+    out = eng.sql("INSERT INTO rt2 VALUES (5) RETURNING *")
+    assert out.columns == ["x"] and _rows(out) == [(5,)]
