@@ -1982,8 +1982,29 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     if m and not re.match(r"^\s*EXPLAIN\s*$", stmt, re.I):
         # reference handler/explain.rs: the plan as rows of text — here
         # Catalyst's formatted physical plan (the honest answer to "what
-        # will actually run")
-        df = _execute_one(engine, m.group(1).strip())
+        # will actually run"). EXPLAIN must never EXECUTE DDL/DML: a
+        # CREATE MV explains its body's batch-twin plan; other
+        # engine-owned statements are refused (the reference prints its
+        # stream plan; executing the statement would be the one thing an
+        # EXPLAIN must not do).
+        from risingwave_spark.sqlparse import classify as _classify
+
+        inner = m.group(1).strip()
+        kind = _classify(inner)
+        if kind == "create_mv":
+            mm = _CREATE_MV.match(inner)
+            body = re.sub(
+                r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", "", mm.group(2), flags=re.I
+            )
+            df = engine.spark.sql(pg_to_spark_sql(body))
+        elif kind != "adhoc":
+            raise ValueError(
+                f"EXPLAIN of a {kind!r} statement is not supported — it "
+                "would have to execute the DDL/DML; EXPLAIN queries or "
+                "CREATE MATERIALIZED VIEW bodies instead"
+            )
+        else:
+            df = _execute_one(engine, inner)
         jmode = engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )

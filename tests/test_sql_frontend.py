@@ -1221,3 +1221,19 @@ def test_dml_returning(eng):
     eng.sql("CREATE TABLE rt2 (x int4)")
     out = eng.sql("INSERT INTO rt2 VALUES (5) RETURNING *")
     assert out.columns == ["x"] and _rows(out) == [(5,)]
+
+
+def test_explain_never_executes_ddl(eng):
+    """EXPLAIN CREATE MV explains the body's batch-twin plan WITHOUT
+    creating the MV; EXPLAIN of other DDL/DML refuses loudly instead of
+    executing it (reference handler/explain.rs prints, never runs)."""
+    eng.sql("CREATE TABLE ex (k int8 PRIMARY KEY, v int8)")
+    plan = eng.sql(
+        "EXPLAIN CREATE MATERIALIZED VIEW exmv AS "
+        "SELECT k, count(*) AS n FROM ex GROUP BY k"
+    )
+    assert any("HashAggregate" in r.plan for r in plan.collect())
+    assert "exmv" not in eng.mv_handles  # NOT created
+    with pytest.raises(ValueError, match="would have to execute"):
+        eng.sql("EXPLAIN INSERT INTO ex VALUES (1, 2)")
+    assert _rows(eng.sql("SELECT * FROM ex")) == []  # NOT executed
