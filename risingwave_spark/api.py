@@ -408,6 +408,12 @@ class Engine:
             row_id, backfill, subscribe = t.pk, t.snapshot(), t.mvs
         else:
             up = self.mv_handles[base]
+            if hasattr(up.view, "funcs") and hasattr(up.view, "order_cols"):
+                raise ValueError(
+                    "MV-on-MV over an over-window MV is not supported: its "
+                    "rows are row-grain (identified by the base row id), not "
+                    "group-grain — subscribe to its changelog instead"
+                )
             if not up.view.keys:
                 raise ValueError("MV-on-MV requires the upstream MV to have group keys (its pk)")
             # upstream group keys ARE the upstream rows' pk — composite

@@ -1742,3 +1742,49 @@ def engine_sql_over_window_mv(spark, sf_dir):
         "SELECT user_id, event_id, iv, rn, rsum, prev, m2 FROM ow_mv "
         "ORDER BY user_id, event_id"
     )
+
+
+@register(
+    "engine_sql_eowc_keyed",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id, count(*) AS n
+FROM {EVENTS_US} e
+WHERE user_id % 7 = 0
+  AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+      <= (SELECT max(ts) - INTERVAL '10 minutes' FROM {EVENTS_US} e2)
+GROUP BY ws, user_id ORDER BY ws, user_id
+""",
+)
+def engine_sql_eowc_keyed(spark, sf_dir):
+    """EMIT ON WINDOW CLOSE with a COMPOSITE group key (window_start +
+    user_id — the reference's common q4/q6 EOWC shape): all groups of a
+    window emit together when the watermark passes the window end, each
+    exactly once; WHERE pre-filters the stream before buffering."""
+    from risingwave_spark.api import Engine
+
+    ev = tables(spark, sf_dir)["events"]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_eowck_"))
+    eng.sql(
+        """
+        CREATE TABLE eowck_ev (
+            event_id int8 PRIMARY KEY, user_id int8, ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '10 minutes'
+        ) APPEND ONLY;
+        CREATE MATERIALIZED VIEW eowck_mv AS
+        SELECT window_start AS ws, user_id, count(*) AS n
+        FROM TUMBLE(eowck_ev, ts, INTERVAL '1 hour')
+        WHERE user_id % 7 = 0
+        GROUP BY window_start, user_id
+        EMIT ON WINDOW CLOSE
+        """
+    )
+    bounds = [lo + i * span for i in range(3)] + [None]
+    for i in range(3):
+        a, b = bounds[i], bounds[i + 1]
+        pred = f"ts >= TIMESTAMP '{a}'" + (f" AND ts < TIMESTAMP '{b}'" if b else "")
+        eng.sql(
+            f"INSERT INTO eowck_ev SELECT event_id, user_id, ts FROM events WHERE {pred}"
+        )
+    return eng.sql("SELECT ws, user_id, n FROM eowck_mv ORDER BY ws, user_id")

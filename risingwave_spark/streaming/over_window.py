@@ -195,16 +195,24 @@ class MaterializedOverWindowDelta:
         self.last_recompute_rows: int | None = None
         #: SQL-surface registration hooks (catalog drop-path duck typing)
         self.downstream: list = []
+        #: per-batch changelog (reference CREATE SUBSCRIPTION over an
+        #: over-window MV): −1 the replaced suffix rows / +1 the
+        #: recomputed ones, hidden __aux carriers stripped — the same
+        #: Update-pair contract as the agg MVs. Off by default.
+        self.changelog_dir = os.path.join(state_dir, "changelog")
+        self.emit_changelog = False
 
-    @property
-    def emit_changelog(self) -> bool:
-        return False
+    def _log_changelog(self, old_rows: DataFrame, new_rows: DataFrame) -> None:
+        from risingwave_spark.streaming.mv import OP_COL, with_ops
 
-    @emit_changelog.setter
-    def emit_changelog(self, v: bool) -> None:
-        raise ValueError(
-            "subscriptions/sinks on an over-window MV are not supported "
-            "yet — subscribe to an aggregate MV or read the MV directly"
+        def strip(df: DataFrame) -> DataFrame:
+            return df.drop(*[c for c in df.columns if c.startswith("__aux_")])
+
+        chunk = with_ops(strip(old_rows), -1).unionByName(
+            with_ops(strip(new_rows), 1)
+        )
+        chunk.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(self.changelog_dir, f"c{self.state._seq - 1}")
         )
 
     # ------------------------------------------------------------ internals
@@ -441,11 +449,18 @@ class MaterializedOverWindowDelta:
                 self.last_recompute_rows = st_aff.count()
             out = self._window_outputs(st_aff, None)
             if not self.mv.exists():
+                if self.emit_changelog:
+                    self._log_changelog(out.limit(0), out)
                 self.mv.write(out)
                 return
             if touched is None:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
+            if self.emit_changelog:
+                old_aff = prev_t.join(
+                    affected, nullsafe_cond(prev_t, affected, self.keys), "left_semi"
+                )
+                self._log_changelog(old_aff, out)
             kept = prev_t.join(
                 affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
             )
@@ -485,6 +500,8 @@ class MaterializedOverWindowDelta:
             out = self._window_outputs(st_aff, None)
             if self.track_recompute:
                 self.last_recompute_rows = st_aff.count()
+            if self.emit_changelog:
+                self._log_changelog(out.limit(0), out)
             self.mv.write(out)
             return
 
@@ -538,6 +555,18 @@ class MaterializedOverWindowDelta:
             suffix_out = jout.filter(
                 ~_lex_lt(suffix_out, b_out, self.order_cols, bcols)
             ).select(*[suffix_out[c] for c in suffix_out.columns])
+
+        if self.emit_changelog:
+            # replaced rows: stored rows at/after the EMIT boundary in
+            # touched partitions (exactly what the splice drops)
+            b_old = fresh(boundaries)
+            jold = prev_t.join(
+                b_old, nullsafe_cond(prev_t, b_old, self.keys, kcols), "inner"
+            )
+            old_suffix = jold.filter(
+                ~_lex_lt(prev_t, b_old, self.order_cols, bcols)
+            ).select(*[prev_t[c] for c in keep_cols])
+            self._log_changelog(old_suffix, suffix_out)
 
         self.mv.overwrite_buckets(kept_rows.unionByName(suffix_out), touched)
 

@@ -1175,8 +1175,18 @@ def test_over_window_mv_sql(eng):
             "CREATE MATERIALIZED VIEW bad2 AS SELECT grp, id, "
             "row_number() OVER (PARTITION BY grp ORDER BY id DESC) AS a FROM owt"
         )
-    with pytest.raises(Exception, match="not supported|subscriptions"):
-        eng.sql("CREATE SUBSCRIPTION s1 FROM owmv")
+    # subscriptions deliver the over-window MV's Update pairs
+    eng.sql("CREATE SUBSCRIPTION s1 FROM owmv")
+    eng.sql("INSERT INTO owt VALUES (6, 2, 9)")
+    got = eng.subscriptions["s1"].fetch()
+    assert got is not None
+    chunk, token = got
+    ops = sorted(
+        (r["grp"], r["id"], r["rn"], r["__op"]) for r in chunk.collect()
+    )
+    # partition 2's suffix replaced: old rows retracted, new emitted
+    assert (2, 6, 3, 1) in ops and all(g == 2 for g, *_ in ops)
+    eng.subscriptions["s1"].ack(token)
 
 
 def test_over_window_mv_sql_restart(spark, tmp_path):
