@@ -634,3 +634,106 @@ def ch_mv_q3(spark, sf_dir):
     eng.sql("DELETE FROM ch3_o WHERE o_orderkey % 7 = 0")
     eng.sql("DELETE FROM ch3_l WHERE l_linenumber = 2")
     return eng.sql("SELECT o_orderkey, revenue_cents FROM ch3mv ORDER BY o_orderkey")
+
+
+@register(
+    "ch_mv_q14",
+    oracle="""
+SELECT 1 AS g,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(round(l_extendedprice*100,0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey % 7 <> 0
+""",
+)
+def ch_mv_q14(spark, sf_dir):
+    """CH-benCHmark Q14 (promo revenue share,
+    `ch_benchmark/streaming/q14.slt.part`) as a TWO-SIDED stream-stream
+    JOIN MV through the SQL surface: orderline and item are both engine
+    tables (deletes on the fact side retract through the join's
+    changelog into the global agg); the promo share's two sums are
+    exact-cents so the MV hash-matches its batch twin."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_chmv14_"))
+    eng.sql(
+        """
+        CREATE TABLE ch14_i (p_id int8 PRIMARY KEY, p_kind text);
+        CREATE TABLE ch14_l (
+            ol_okey int8, ol_ln int4, ol_item int8, ol_price float8,
+            PRIMARY KEY (ol_okey, ol_ln)
+        );
+        CREATE MATERIALIZED VIEW ch14mv AS
+        SELECT 1 AS g,
+               sum(CASE WHEN p_kind LIKE 'PROMO%'
+                   THEN CAST(round(ol_price*100,0) AS BIGINT)
+                   ELSE 0 END) AS promo_cents,
+               sum(CAST(round(ol_price*100,0) AS BIGINT)) AS total_cents
+        FROM ch14_l JOIN ch14_i ON ol_item = p_id
+        GROUP BY g
+        """
+    )
+    eng.sql("INSERT INTO ch14_i SELECT p_partkey, p_type FROM part")
+    sel = "SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM lineitem"
+    eng.sql(f"INSERT INTO ch14_l {sel} WHERE l_orderkey % 2 = 0")
+    eng.sql(f"INSERT INTO ch14_l {sel} WHERE l_orderkey % 2 = 1")
+    eng.sql("DELETE FROM ch14_l WHERE ol_okey % 7 = 0")
+    return eng.sql("SELECT g, promo_cents, total_cents FROM ch14mv")
+
+
+@register(
+    "ch_mv_q18",
+    oracle="""
+SELECT c_name, o_orderkey, count(*) AS n_lines,
+       CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey % 5 <> 0
+GROUP BY c_name, o_orderkey
+HAVING sum(CAST(round(l_quantity,0) AS BIGINT)) > 120
+ORDER BY c_name, o_orderkey
+""",
+)
+def ch_mv_q18(spark, sf_dir):
+    """CH-benCHmark Q18 (large orders,
+    `ch_benchmark/streaming/q18.slt.part`) as a THREE-WAY stream-stream
+    join MV with GROUP BY + HAVING through the SQL surface: the
+    left-deep changelog cascade (orders → customer → orderline) feeds a
+    group-agg level whose HAVING threshold groups appear/disappear as
+    order lines arrive and retract."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_chmv18_"))
+    eng.sql(
+        """
+        CREATE TABLE ch18_o (o_id int8 PRIMARY KEY, o_cid int8);
+        CREATE TABLE ch18_c (c_id int8 PRIMARY KEY, c_nm text);
+        CREATE TABLE ch18_l (
+            l_okey int8, l_ln int4, l_qty float8,
+            PRIMARY KEY (l_okey, l_ln)
+        );
+        CREATE MATERIALIZED VIEW ch18mv AS
+        SELECT c_nm, o_id, count(*) AS n_lines,
+               sum(CAST(round(l_qty,0) AS BIGINT)) AS total_qty
+        FROM ch18_o
+        JOIN ch18_c ON o_cid = c_id
+        JOIN ch18_l ON l_okey = o_id
+        GROUP BY c_nm, o_id
+        HAVING sum(CAST(round(l_qty,0) AS BIGINT)) > 120
+        """
+    )
+    eng.sql("INSERT INTO ch18_c SELECT c_custkey, c_name FROM customer")
+    eng.sql("INSERT INTO ch18_o SELECT o_orderkey, o_custkey FROM orders")
+    sel = "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+    eng.sql(f"INSERT INTO ch18_l {sel} WHERE l_orderkey % 2 = 0")
+    eng.sql(f"INSERT INTO ch18_l {sel} WHERE l_orderkey % 2 = 1")
+    eng.sql("DELETE FROM ch18_o WHERE o_id % 5 = 0")
+    return eng.sql(
+        "SELECT c_nm AS c_name, o_id AS o_orderkey, n_lines, total_qty "
+        "FROM ch18mv ORDER BY c_name, o_orderkey"
+    )
