@@ -1445,6 +1445,23 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     if re.search(r"\bOVER\s*\(", masked, re.I):
         # window functions in the body → frame-delta over-window MV
         return _handle_create_over_window_mv(engine, name, m.string, masked, lits)
+    dm2 = re.match(r"^(\s*SELECT)\s+DISTINCT\s+(?P<items>.*?)\s+(?P<rest>FROM\b.*)$", masked, re.I | re.S)
+    if dm2:
+        # SELECT DISTINCT a, b FROM t ≡ GROUP BY a, b (reference binds
+        # DISTINCT the same way); plain-column lists only — the group
+        # keys must be spliceable
+        items = [_unmask(i, lits).strip() for i in _split_top_level(dm2.group("items"))]
+        if not all(_IDENT.match(i) for i in items):
+            raise ValueError(
+                "SELECT DISTINCT in an MV body supports plain column lists "
+                "only (alias expressions and GROUP BY them instead)"
+            )
+        if re.search(r"\bGROUP\s+BY\b", masked, re.I):
+            raise ValueError("SELECT DISTINCT cannot combine with GROUP BY in an MV body")
+        masked = (
+            f"{dm2.group(1)} {dm2.group('items')} {dm2.group('rest')}"
+            f" GROUP BY {dm2.group('items')}"
+        )
     # Temporal join (reference `stream_temporal_join.rs`, syntax
     # `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
     # joins the dimension's CURRENT version at its processing time —
@@ -2056,6 +2073,14 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             h._register()
         engine._register_views()
         return _status(engine.spark, "RECOVER")
+    m = re.match(r"^\s*SET\s+TIME\s+ZONE\s+(?:TO\s+)?(.+?)\s*$", stmt, re.I)
+    if m:
+        # SET TIME ZONE 'UTC' (reference handler/variable.rs timezone) →
+        # Spark's session timezone conf
+        engine.spark.conf.set(
+            "spark.sql.session.timeZone", m.group(1).strip().strip("'\"")
+        )
+        return _status(engine.spark, "SET_VARIABLE")
     m = _SET_VAR.match(stmt)
     if m:
         # session parameters (reference handler/variable.rs) → Spark conf

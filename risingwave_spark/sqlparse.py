@@ -221,11 +221,10 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
     OVER, set-ops, LIMIT). Used for CREATE MATERIALIZED VIEW bodies."""
     forbid = _MV_FORBID if mv else None
     p.eat_kw("SELECT")
-    if p.at("DISTINCT") and mv:
-        raise SqlParseError(
-            "SELECT DISTINCT in a materialized-view body is not supported; "
-            "GROUP BY the distinct columns instead"
-        )
+    if p.at("DISTINCT"):
+        # SELECT DISTINCT a, b ≡ GROUP BY a, b — the frontend rewrites
+        # it onto the group-agg MV path (plain-column lists only there)
+        p.eat()
     # select list
     while True:
         if p.try_op("*"):

@@ -1247,3 +1247,26 @@ def test_explain_never_executes_ddl(eng):
     with pytest.raises(ValueError, match="would have to execute"):
         eng.sql("EXPLAIN INSERT INTO ex VALUES (1, 2)")
     assert _rows(eng.sql("SELECT * FROM ex")) == []  # NOT executed
+
+
+def test_distinct_mv_and_set_timezone(eng, spark):
+    """SELECT DISTINCT MVs compile onto the group-agg path (DISTINCT ≡
+    GROUP BY all columns); SET TIME ZONE maps to the Spark session tz."""
+    eng.sql("CREATE TABLE dt (id int8 PRIMARY KEY, a text, b int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW dmv AS SELECT DISTINCT a, b FROM dt"
+    )
+    eng.sql("INSERT INTO dt VALUES (1,'x',1),(2,'x',1),(3,'y',2)")
+    assert _rows(eng.sql("SELECT a, b FROM dmv")) == [("x", 1), ("y", 2)]
+    eng.sql("DELETE FROM dt WHERE id IN (1, 2)")
+    assert _rows(eng.sql("SELECT a, b FROM dmv")) == [("y", 2)]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        eng.sql("SET TIME ZONE 'America/New_York'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT DISTINCT a || 'x' FROM dt"
+        )
