@@ -290,6 +290,106 @@ class _JoinSideHandle:
         pass
 
 
+class StreamUnionMv:
+    """MV over `UNION [ALL]` of N single-table arms (reference stream
+    Union executor `src/stream/src/executor/union.rs` merging its
+    inputs' changelogs; `e2e_test/streaming/union.slt`): each arm is an
+    independently-maintained select-project-filter of one engine
+    table's changelog. The union-all level is a ROW-GRAIN MV keyed by
+    (arm index, source pk) — a delete retracts exactly its own arm's
+    row even when another arm holds an identical-valued row. UNION
+    (distinct) hangs a value-keyed MV off that level's changelog: a
+    value-tuple's group disappears only when its multiplicity across
+    ALL arms drops to zero (the reference plans this as union-all +
+    distinct agg, `binder/set_expr.rs`).
+
+    Scale posture: each arm's per-batch work is O(batch) (stateless SPF
+    + bucketed fold); the distinct level recomputes only the
+    value-tuples the batch touched. No arm ever rescans another arm's
+    state."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, out_cols: list[str], distinct: bool):
+        inner = ["__ubranch", "__urid"]
+        self.out_cols = list(out_cols)
+        self.rows = MaterializedView(
+            spark, os.path.join(state_dir, "rows"), inner, inner, lambda r: r
+        )
+        self.distinct: MaterializedView | None = None
+        if distinct:
+            self.distinct = MaterializedView(
+                spark,
+                os.path.join(state_dir, "distinct"),
+                self.out_cols,
+                inner,
+                lambda r, cols=tuple(self.out_cols): r.select(*cols).distinct(),
+            )
+            self.rows.downstream.append(self.distinct)
+
+    @property
+    def keys(self) -> list[str]:
+        if self.distinct is not None:
+            return self.distinct.keys
+        raise ValueError(
+            "MV-on-MV over a UNION ALL MV is not supported: its rows are "
+            "row-grain (identified by arm + source pk); use UNION "
+            "(distinct) or build the downstream MV on the arm tables"
+        )
+
+    @property
+    def downstream(self) -> list:
+        return (self.distinct if self.distinct is not None else self.rows).downstream
+
+    @property
+    def emit_changelog(self) -> bool:
+        if self.distinct is None:
+            return False
+        return self.distinct.emit_changelog
+
+    @emit_changelog.setter
+    def emit_changelog(self, v: bool) -> None:
+        if self.distinct is None:
+            raise ValueError(
+                "subscriptions/sinks on a UNION ALL MV are not supported "
+                "(its changelog carries internal arm/row-id columns); "
+                "subscribe to the arm tables or use UNION (distinct)"
+            )
+        self.distinct.emit_changelog = v
+
+    @property
+    def changelog_dir(self) -> str:
+        if self.distinct is None:
+            raise ValueError("UNION ALL MV has no consumable changelog log")
+        return self.distinct.changelog_dir
+
+    def result(self) -> DataFrame:
+        if self.distinct is not None:
+            return self.distinct.result()
+        return self.rows.result().drop("__ubranch", "__urid")
+
+
+class _UnionBranchHandle:
+    """Per-arm subscription of a StreamUnionMv to its source table: DML
+    batches run through the arm's select-project-filter transform (op
+    column preserved) and fold into the union's row-grain MV under the
+    arm's own batch namespace (independent upstream id sequences)."""
+
+    def __init__(self, name: str, umv: StreamUnionMv, idx: int, transform):
+        self.name = name
+        self._umv = umv
+        self._idx = idx
+        self._transform = transform
+        self.view = self  # duck-type MaterializedViewHandle for _apply_dml
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        ns = f"u{self._idx}" if batch_ns is None else f"u{self._idx}_{batch_ns}"
+        self._umv.rows.apply_batch(
+            self._transform(batch), batch_id=batch_id, batch_ns=ns
+        )
+
+    def _register(self) -> None:
+        pass
+
+
 class Engine:
     """The session object a reference user would hold (their `psql`
     connection analog)."""
@@ -548,9 +648,145 @@ class Engine:
         self.mv_handles[name] = h
         return h
 
+    def create_union_mv(
+        self,
+        name: str,
+        branches: list,
+        out_cols: list[str],
+        distinct: bool,
+    ) -> MaterializedViewHandle:
+        """CREATE MATERIALIZED VIEW over UNION [ALL] of single-table
+        arms (see StreamUnionMv). `branches` = [(table_name, transform)]
+        where transform maps a changelog batch (op column included) of
+        the arm's table to the arm's output rows plus (__ubranch,
+        __urid, op). Backfills each arm from its table's
+        current snapshot; a re-opened MV re-attaches instead."""
+        umv = StreamUnionMv(
+            self.spark, os.path.join(self.warehouse, f"umv_{name}"), out_cols, distinct
+        )
+        if not umv.rows.mv.exists():
+            for i, (tbl, transform) in enumerate(branches):
+                umv.rows.apply_batch(
+                    transform(with_ops(self.tables[tbl].snapshot(), 1)),
+                    batch_ns=f"u{i}",
+                )
+        h = MaterializedViewHandle(name, umv)
+        h._register()
+        for i, (tbl, transform) in enumerate(branches):
+            self.tables[tbl].mvs.append(_UnionBranchHandle(name, umv, i, transform))
+        self.mv_handles[name] = h
+        return h
+
     # ---- DML -------------------------------------------------------
     def insert(self, table: str, rows: DataFrame) -> None:
-        self._apply_dml(table, with_ops(rows, 1))
+        t = self.tables[table]
+        if getattr(t, "on_conflict", None):
+            batch = self._resolve_conflicts(t, rows).localCheckpoint(eager=True)
+            self._apply_dml(table, batch)
+        else:
+            self._apply_dml(table, with_ops(rows, 1))
+
+    def _resolve_conflicts(self, t, rows: DataFrame) -> DataFrame:
+        """pk-conflict handling on INSERT (reference Materialize
+        executor, `src/stream/src/executor/mview/materialize.rs:193-290`
+        + `should_handle_conflict` at :822; SQL surface
+        `parser.rs parse_on_conflict`): the incoming batch is folded
+        per pk IN ROW ORDER against the table's pre-insert snapshot and
+        becomes a changelog chunk (−1 replaced old versions, +1
+        winners). Behaviors:
+
+        - `ignore` (DO NOTHING): first batch row of a NEW pk wins; pks
+          already stored drop entirely.
+        - `overwrite` (DO UPDATE FULL): last handled batch row wins and
+          replaces the stored row.
+        - `update_if_not_null`: per column, the last handled non-null
+          value wins, seeded from the stored row (nulls never clobber).
+
+        WITH VERSION COLUMN(v): a row is handled only while its version
+        is ≥ the running maximum (seeded from the stored row's version;
+        a null new version loses to any non-null current one —
+        `should_handle_conflict`'s exact truth table). Within-batch
+        order comes from monotonically_increasing_id, which preserves
+        construction order for VALUES batches; across shuffled
+        multi-partition inserts the order is undefined, exactly as the
+        reference's parallel-chunk arrival order is.
+
+        Scale posture: one broadcast-sized join of the batch against
+        the snapshot on pk + windows OVER THE BATCH (never the table);
+        cost is O(batch + matching pks), not O(state)."""
+        from pyspark.sql import Window as W
+
+        oc = t.on_conflict
+        vcol = getattr(t, "version_col", None)
+        pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        cols = list(rows.columns)
+        snap = t.snapshot()
+        old = snap.select(
+            *[F.col(c).alias(f"__old_{c}") for c in cols],
+            F.lit(True).alias("__old_exists"),
+        )
+        seqd = rows.withColumn("__iseq", F.monotonically_increasing_id())
+        cond = None
+        for p in pks:
+            c = seqd[p].eqNullSafe(F.col(f"__old_{p}"))
+            cond = c if cond is None else (cond & c)
+        # the old side's columns are all renamed __old_*, so plain pk
+        # names stay unambiguous after the join
+        j = seqd.join(old, cond, "left")
+        asc = W.partitionBy(*pks).orderBy("__iseq")
+        exists = F.coalesce(F.col("__old_exists"), F.lit(False))
+
+        if oc == "ignore":
+            keep = (
+                j.filter(~exists)
+                .withColumn("__rn", F.row_number().over(asc))
+                .filter(F.col("__rn") == 1)
+            )
+            return with_ops(keep.select(*cols), 1)
+
+        if vcol is not None:
+            # running max version over preceding batch rows, seeded from
+            # the stored row's version (greatest skips nulls)
+            prev = asc.rowsBetween(W.unboundedPreceding, -1)
+            mx = F.greatest(
+                F.max(F.col(vcol)).over(prev), F.col(f"__old_{vcol}")
+            )
+            handled = (
+                F.col(vcol).isNotNull() & (mx.isNull() | (F.col(vcol) >= mx))
+            ) | (F.col(vcol).isNull() & mx.isNull())
+            j = j.withColumn("__handled", handled).filter(F.col("__handled"))
+
+        if oc == "overwrite":
+            winner = j.withColumn(
+                "__rn",
+                F.row_number().over(W.partitionBy(*pks).orderBy(F.desc("__iseq"))),
+            ).filter(F.col("__rn") == 1)
+        else:  # update_if_not_null: per-column last non-null, old-seeded
+            full = asc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            winner = (
+                j.select(
+                    *pks,
+                    *[
+                        F.coalesce(
+                            F.last(F.col(c), ignorenulls=True).over(full),
+                            F.col(f"__old_{c}"),
+                        ).alias(c)
+                        for c in cols
+                        if c not in pks
+                    ],
+                    F.row_number().over(asc).alias("__rn"),
+                    F.col("__old_exists"),
+                    *[F.col(f"__old_{c}") for c in cols],
+                )
+                .filter(F.col("__rn") == 1)
+                .select(*cols, "__old_exists", *[f"__old_{c}" for c in cols])
+            )
+
+        out = with_ops(winner.select(*cols), 1)
+        olds = winner.filter(exists).select(
+            *[F.col(f"__old_{c}").alias(c) for c in cols]
+        )
+        return out.unionByName(with_ops(olds, -1))
 
     def _reject_retraction(self, t) -> None:
         """APPEND ONLY tables reject DELETE/UPDATE BEFORE any state

@@ -90,7 +90,11 @@ def _status(spark: SparkSession, tag: str) -> DataFrame:
 # ---------------------------------------------------------------- regexes
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
-    r"(?P<append>APPEND\s+ONLY\s*)?(?:WITH\s*\((?P<with>.*?)\)\s*)?"
+    r"(?P<append>APPEND\s+ONLY\s*)?"
+    r"(?:ON\s+CONFLICT\s+(?P<conflict>OVERWRITE|IGNORE|DO\s+NOTHING"
+    r"|DO\s+UPDATE\s+FULL|DO\s+UPDATE\s+IF\s+NOT\s+NULL)\s*)?"
+    r"(?:WITH\s+VERSION\s+COLUMN\s*\(\s*(?P<version>\w+)\s*\)\s*)?"
+    r"(?:WITH\s*\((?P<with>.*?)\)\s*)?"
     r"(?:FORMAT\s+(?P<format>[\w ]+?)\s*)?$",
     re.I | re.S,
 )
@@ -262,6 +266,7 @@ def _parse_coldefs(spark: SparkSession, body: str):
 def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     name, body = m.group(1), m.group(2)
     empty, pk, defaults, watermark = _parse_coldefs(engine.spark, body)
+    user_pk = bool(pk)
     if not pk:
         empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
         pk = [ROW_ID]
@@ -272,10 +277,51 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
             "defining a WATERMARK on a table requires APPEND ONLY "
             "(late-row dropping cannot coexist with retraction)"
         )
+    # ON CONFLICT behavior (reference parser.rs parse_on_conflict /
+    # handler create_table.rs → ConflictBehavior; pk-conflict semantics
+    # applied on the insert path, materialize.rs:193-290)
+    conflict = None
+    if m.group("conflict"):
+        conflict = {
+            "OVERWRITE": "overwrite",
+            "DO UPDATE FULL": "overwrite",
+            "IGNORE": "ignore",
+            "DO NOTHING": "ignore",
+            "DO UPDATE IF NOT NULL": "update_if_not_null",
+        }[re.sub(r"\s+", " ", m.group("conflict").upper().strip())]
+    version_col = m.group("version")
+    if conflict and not user_pk:
+        raise ValueError(
+            "ON CONFLICT requires the table to declare a PRIMARY KEY "
+            "(conflicts are defined by pk equality)"
+        )
+    if m.group("append") and conflict in ("overwrite", "update_if_not_null"):
+        # reference on_conflict.slt: APPEND ONLY + overwrite is an error
+        # (overwrite emits retractions); APPEND ONLY + DO NOTHING is fine
+        raise ValueError(
+            "APPEND ONLY tables only support ON CONFLICT DO NOTHING "
+            "(overwrite/update emit retractions)"
+        )
+    if version_col is not None:
+        if conflict not in ("overwrite", "update_if_not_null"):
+            raise ValueError(
+                "WITH VERSION COLUMN requires ON CONFLICT OVERWRITE or "
+                "DO UPDATE IF NOT NULL (reference with_version_column.slt)"
+            )
+        vf = [f for f in empty.schema.fields if f.name == version_col]
+        if not vf:
+            raise ValueError(f"version column {version_col!r} is not a table column")
+        if vf[0].dataType.simpleString() == "boolean":
+            raise ValueError(
+                f"version column {version_col!r} must have an ordered "
+                "comparable type (boolean is not)"
+            )
     t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
     t.defaults = defaults
     t.watermark = watermark
     t.append_only = bool(m.group("append"))
+    t.on_conflict = conflict
+    t.version_col = version_col
     engine._record_ddl(name, m.string)
     opts = _parse_with_options(m.group("with")) if m.group("with") else {}
     if opts.get("connector"):
@@ -1429,6 +1475,149 @@ def _handle_create_over_window_mv(
     return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
 
 
+def _split_top_level_union(masked: str):
+    """Split a masked MV body on top-level UNION [ALL]; returns
+    (arm_texts, separators) with separators in {'ALL', 'DISTINCT'}."""
+    parts: list[str] = []
+    seps: list[str] = []
+    depth, start = 0, 0
+    for mm in re.finditer(r"[()]|\bUNION(?:\s+ALL)?\b", masked, re.I):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(masked[start : mm.start()])
+            seps.append("ALL" if re.search(r"\bALL\b", tok, re.I) else "DISTINCT")
+            start = mm.end()
+    parts.append(masked[start:])
+    return parts, seps
+
+
+_UNION_ARM = re.compile(
+    r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<tbl>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b)[A-Za-z_]\w*))?"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*$",
+    re.I | re.S,
+)
+
+
+def _handle_create_union_mv(
+    engine: "Engine", name: str, stmt: str, parts: list[str], seps: list[str], lits
+) -> DataFrame:
+    """CREATE MV over UNION [ALL] (reference stream Union executor
+    `src/stream/src/executor/union.rs`, planned in `binder/set_expr.rs`;
+    `e2e_test/streaming/union.slt`): each arm must be a single-engine-
+    table `SELECT items FROM t [WHERE ...]` — its changelog is
+    transformed independently and merged; UNION (distinct) adds a
+    value-keyed dedup MV downstream (see api.StreamUnionMv)."""
+    from risingwave_spark.streaming.mv import OP_COL
+
+    if len(set(seps)) > 1:
+        raise ValueError(
+            "mixing UNION and UNION ALL in one MV body is not supported; "
+            "use one kind throughout (PG left-associative mixed set-ops "
+            "are not incrementally plannable in this surface)"
+        )
+    distinct = seps[0] == "DISTINCT"
+    arms: list[tuple[str, str | None, list[str], str | None]] = []
+    for part in parts:
+        for kw, msg in (
+            (r"GROUP\s+BY", "GROUP BY"),
+            (r"HAVING", "HAVING"),
+            (r"ORDER\s+BY", "ORDER BY"),
+            (r"\bJOIN\b", "JOIN"),
+            (r"\bLIMIT\b", "LIMIT"),
+            (r"\bDISTINCT\b", "DISTINCT"),
+            # an aggregate in an arm would silently compute per-batch
+            # instead of per-view — reject loudly (the identity
+            # recompute is row-grain by construction)
+            (
+                r"\b(?:COUNT|SUM|AVG|MIN|MAX|STRING_AGG|ARRAY_AGG|BOOL_AND|BOOL_OR|STDDEV\w*|VAR\w*)\s*\(",
+                "aggregate functions",
+            ),
+        ):
+            if re.search(kw, part, re.I):
+                raise ValueError(
+                    f"a UNION arm of a materialized view cannot contain {msg}; "
+                    "each arm must be `SELECT items FROM engine_table [WHERE ...]` "
+                    "(materialize more complex arms as their own MVs first)"
+                )
+        am = _UNION_ARM.match(part)
+        if not am:
+            raise ValueError(
+                "cannot parse UNION arm of the MV body: expected "
+                "`SELECT items FROM engine_table [WHERE ...]`"
+            )
+        tbl = am.group("tbl")
+        if tbl not in engine.tables:
+            raise ValueError(
+                f"UNION MV arm table {tbl!r} is not an engine table — every "
+                "arm of a union MV must read a changelog-backed table"
+            )
+        items = [i.strip() for i in _split_top_level(am.group("items"))]
+        arms.append((tbl, am.group("alias"), items, am.group("where")))
+
+    # arm 0 fixes the output column names (PG semantics); every arm must
+    # produce the same arity. `*` expands to the arm table's columns.
+    def expand(tbl: str, items: list[str]) -> list[tuple[str, str | None]]:
+        out: list[tuple[str, str | None]] = []
+        for it in items:
+            if it == "*":
+                out.extend((c, c) for c in engine.tables[tbl].snapshot().columns)
+            else:
+                out.append(_parse_select_item(_unmask(it, lits)))
+        return out
+
+    expanded = [expand(tbl, items) for tbl, _, items, _ in arms]
+    out_names: list[str] = []
+    for expr, alias in expanded[0]:
+        if alias is None:
+            raise ValueError(
+                f"UNION MV select item {expr!r} needs an alias (AS name) — "
+                "the first arm names the MV's output columns"
+            )
+        out_names.append(alias)
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate output column names in UNION MV: {out_names}")
+    for idx, cols in enumerate(expanded):
+        if len(cols) != len(out_names):
+            raise ValueError(
+                f"UNION arm {idx + 1} has {len(cols)} columns, expected "
+                f"{len(out_names)} (arms must align positionally)"
+            )
+
+    spark = engine.spark
+    branches = []
+    for i, ((tbl, alias, _items, where), cols) in enumerate(zip(arms, expanded)):
+        t = engine.tables[tbl]
+        pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        tmp = f"__umv_{name}_b{i}"
+        sel = ", ".join(
+            f"({pg_to_spark_sql(expr)}) AS {out}"
+            for (expr, _a), out in zip(cols, out_names)
+        )
+        rid = "concat_ws('|', {})".format(
+            ", ".join(f"cast({p} AS string)" for p in pks)
+        )
+        body = f"SELECT {sel}, {OP_COL}, {rid} AS __urid FROM {tmp}"
+        if alias:
+            body = f"SELECT {sel}, {OP_COL}, {rid} AS __urid FROM {tmp} {alias}"
+        if where:
+            body += f" WHERE {pg_to_spark_sql(_unmask(where, lits))}"
+
+        def transform(batch: DataFrame, i=i, tmp=tmp, body=body) -> DataFrame:
+            batch.createOrReplaceTempView(tmp)
+            return spark.sql(body).withColumn("__ubranch", F.lit(i))
+
+        branches.append((tbl, transform))
+
+    engine.create_union_mv(name, branches, out_names, distinct)
+    engine._record_ddl(name, stmt)
+    return _status(spark, "CREATE_MATERIALIZED_VIEW")
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
@@ -1445,6 +1634,9 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     if re.search(r"\bOVER\s*\(", masked, re.I):
         # window functions in the body → frame-delta over-window MV
         return _handle_create_over_window_mv(engine, name, m.string, masked, lits)
+    uparts, useps = _split_top_level_union(masked)
+    if useps:
+        return _handle_create_union_mv(engine, name, m.string, uparts, useps, lits)
     dm2 = re.match(r"^(\s*SELECT)\s+DISTINCT\s+(?P<items>.*?)\s+(?P<rest>FROM\b.*)$", masked, re.I | re.S)
     if dm2:
         # SELECT DISTINCT a, b FROM t ≡ GROUP BY a, b (reference binds

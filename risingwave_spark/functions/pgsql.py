@@ -28,6 +28,7 @@ import re
 _TYPE_MAP = {
     "text": "STRING",
     "varchar": "STRING",
+    "bool": "BOOLEAN",
     "int2": "SMALLINT",
     "int4": "INT",
     "int8": "BIGINT",
@@ -99,6 +100,20 @@ def _cast_repl(m: re.Match) -> str:
     return f"CAST({expr} AS {_map_type(t)})"
 
 
+# `AS <pg_type> )` — the ANSI CAST spelling of the same type names.
+# Only unparameterized names are rewritten (use ::varchar(n) for PG
+# truncation semantics); the trailing ')' anchors the match to a CAST
+# argument rather than a select-item alias.
+_CAST_AS_RE = re.compile(
+    r"(\bAS\s+)(" + "|".join(_TYPE_MAP) + r")(\s*\))",
+    re.I,
+)
+
+
+def _cast_as_repl(m: re.Match) -> str:
+    return m.group(1) + _map_type(m.group(2)) + m.group(3)
+
+
 def _string_agg_repl(m: re.Match) -> str:
     """string_agg(x, d [ORDER BY k [ASC|DESC]]) → deterministic Spark
     concat. PG leaves the order unspecified without ORDER BY, but
@@ -128,6 +143,12 @@ def pg_to_spark_sql(sql: str) -> str:
     while prev != masked:
         prev = masked
         masked = _CAST_RE.sub(_cast_repl, masked)
+
+    # CAST(expr AS pg_type) — same mapping for the ANSI spelling
+    # (PG-only names like varchar/text/int8 fail Spark's parser; the
+    # `AS <type>)` context inside CAST is unambiguous enough to rewrite
+    # textually, incl. varchar(n)/char(n) truncation semantics)
+    masked = _CAST_AS_RE.sub(_cast_as_repl, masked)
 
     # regex match operators (avoid touching `!~~` / `~~` which are LIKE)
     masked = re.sub(r"(\S+)\s+!~\s+", r"\1 NOT RLIKE ", masked)

@@ -1788,3 +1788,153 @@ def engine_sql_eowc_keyed(spark, sf_dir):
             f"INSERT INTO eowck_ev SELECT event_id, user_id, ts FROM events WHERE {pred}"
         )
     return eng.sql("SELECT ws, user_id, n FROM eowck_mv ORDER BY ws, user_id")
+
+
+@register(
+    "engine_sql_mv_union",
+    oracle="""
+SELECT k, status FROM (
+  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0 AND o_totalprice > 1000
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM orders
+  WHERE o_orderkey % 2 = 1
+    AND (o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END)
+        > 150000
+) u ORDER BY k
+""",
+)
+def engine_sql_mv_union(spark, sf_dir):
+    """CREATE MV over UNION ALL through the SQL surface (reference
+    stream Union executor `src/stream/src/executor/union.rs`,
+    `e2e_test/streaming/union.slt`): two changelog tables merged with
+    per-arm WHERE filters; a DELETE on one arm and an UPDATE that moves
+    rows ACROSS the other arm's filter boundary both keep the merged
+    view exact."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_umv_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_u_even (
+            o_orderkey int8 PRIMARY KEY, o_orderstatus text, o_totalprice float8
+        );
+        CREATE TABLE rw_u_odd (
+            o_orderkey int8 PRIMARY KEY, o_orderstatus text, o_totalprice float8
+        );
+        CREATE MATERIALIZED VIEW rw_umv AS
+        SELECT o_orderkey AS k, o_orderstatus AS status
+        FROM rw_u_even WHERE o_totalprice > 1000
+        UNION ALL
+        SELECT o_orderkey AS k, o_orderstatus AS status
+        FROM rw_u_odd WHERE o_totalprice > 150000
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_u_even SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_u_odd SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM rw_u_even WHERE o_orderkey % 6 = 0")
+    # moves some odd rows ACROSS the arm's 150000 filter boundary
+    eng.sql(
+        "UPDATE rw_u_odd SET o_totalprice = o_totalprice + 10000 "
+        "WHERE o_orderkey % 5 = 0"
+    )
+    return eng.sql("SELECT k, status FROM rw_umv ORDER BY k")
+
+
+@register(
+    "engine_sql_mv_union_distinct",
+    oracle="""
+SELECT seg FROM (
+  SELECT c_mktsegment || '#' || CAST(c_custkey % 50 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 <> 0
+  UNION
+  SELECT c_mktsegment || '#' || CAST(c_custkey % 50 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 11 <> 0
+) u ORDER BY seg
+""",
+)
+def engine_sql_mv_union_distinct(spark, sf_dir):
+    """UNION (distinct) MV: a value survives while ANY arm still holds
+    it, disappears when its multiplicity across all arms hits zero
+    (reference plans union-distinct as union-all + distinct agg,
+    `binder/set_expr.rs`). Deletes on both arms exercise the
+    cross-arm multiplicity accounting."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_udmv_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_ud_a (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE TABLE rw_ud_b (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE MATERIALIZED VIEW rw_udmv AS
+        SELECT c_mktsegment || '#' || CAST(c_custkey % 50 AS varchar) AS seg
+        FROM rw_ud_a
+        UNION
+        SELECT c_mktsegment || '#' || CAST(c_custkey % 50 AS varchar) AS seg
+        FROM rw_ud_b
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_ud_a SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_ud_b SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 3 = 0"
+    )
+    eng.sql("DELETE FROM rw_ud_a WHERE c_custkey % 7 = 0")
+    eng.sql("DELETE FROM rw_ud_b WHERE c_custkey % 11 = 0")
+    return eng.sql("SELECT seg FROM rw_udmv ORDER BY seg")
+
+
+@register(
+    "engine_sql_on_conflict",
+    oracle="""
+WITH upserted AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT status, count(*) AS n,
+       (CAST(sum(CAST(round(price*100, 0) AS BIGINT)) AS BIGINT)/100.0) AS total
+FROM upserted GROUP BY status ORDER BY status
+""",
+)
+def engine_sql_on_conflict(spark, sf_dir):
+    """CREATE TABLE ... ON CONFLICT OVERWRITE (reference
+    `parser.rs parse_on_conflict` + `materialize.rs:193-290` conflict
+    handling; e2e_test/streaming/on_conflict.slt): the second INSERT
+    UPSERTS a third of the rows — the conflict changelog (−1 old / +1
+    new) keeps the downstream agg MV exact without any DELETE issued."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_oc_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_oc (
+            k int8 PRIMARY KEY, status text, price float8
+        ) ON CONFLICT OVERWRITE;
+        CREATE MATERIALIZED VIEW rw_oc_mv AS
+        SELECT status, count(*) AS n,
+               sum(CAST(round(price*100, 0) AS BIGINT))/100.0D AS total
+        FROM rw_oc GROUP BY status
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_oc SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    )
+    eng.sql(
+        "INSERT INTO rw_oc SELECT o_orderkey, o_orderstatus, o_totalprice + 5 "
+        "FROM orders WHERE o_orderkey % 3 = 0"
+    )
+    return eng.sql("SELECT status, n, total FROM rw_oc_mv ORDER BY status")

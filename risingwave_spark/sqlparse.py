@@ -377,10 +377,10 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             "keep the MV unbounded and LIMIT at read time"
         )
     if p.at("UNION", "INTERSECT", "EXCEPT"):
-        raise SqlParseError(
-            "set-ops (UNION/INTERSECT/EXCEPT) in a materialized-view body are "
-            "not supported; use Engine.create_materialized_view"
-        )
+        # UNION [ALL] chains are handled by the caller (_parse_create's
+        # MV rule); INTERSECT/EXCEPT are rejected there with a targeted
+        # message. Return so the caller sees the set-op keyword.
+        return
     if p.at("EMIT"):  # EMIT ON WINDOW CLOSE — validated by the caller
         return
     p.expect_done("materialized-view body")
@@ -497,6 +497,38 @@ def _parse_create(p: _P) -> str:
         if p.at("APPEND"):
             p.eat()
             p.eat_kw("ONLY")
+        if p.at("ON"):
+            # ON CONFLICT behavior (reference parser.rs
+            # parse_on_conflict / parse_handle_conflict_behavior)
+            p.eat()
+            p.eat_kw("CONFLICT")
+            if p.at("OVERWRITE", "IGNORE"):
+                p.eat()
+            elif p.at("DO"):
+                p.eat()
+                if p.at("NOTHING"):
+                    p.eat()
+                elif p.at("UPDATE"):
+                    p.eat()
+                    if p.at("FULL"):
+                        p.eat()
+                    elif p.at("IF"):
+                        p.eat()
+                        p.eat_kw("NOT")
+                        p.eat_kw("NULL")
+                    else:
+                        p.fail("expected FULL or IF NOT NULL after DO UPDATE")
+                else:
+                    p.fail("expected NOTHING or UPDATE after ON CONFLICT DO")
+            else:
+                p.fail("expected a conflict behavior after ON CONFLICT")
+        if p.at_seq("WITH", "VERSION"):
+            p.eat()
+            p.eat()
+            p.eat_kw("COLUMN")
+            p.eat_op("(")
+            p.ident("version column")
+            p.eat_op(")")
         if p.at("WITH"):
             _parse_with_options(p)
         if p.at("FORMAT"):
@@ -516,6 +548,25 @@ def _parse_create(p: _P) -> str:
         p.ident("view name")
         p.eat_kw("AS")
         _parse_select_core(p, mv=True)
+        # UNION [ALL] chain (reference e2e_test/streaming/union.slt —
+        # stream union of N changelogs): each arm re-enters the same
+        # core grammar; the frontend handler enforces the arm shape
+        # (single engine table, no GROUP BY/joins) with targeted errors.
+        while p.at("UNION", "INTERSECT", "EXCEPT"):
+            if not p.at("UNION"):
+                raise SqlParseError(
+                    "INTERSECT/EXCEPT in a materialized-view body are not "
+                    "supported; only UNION [ALL] is"
+                )
+            p.eat()
+            if p.at("ALL"):
+                p.eat()
+            if p.at("CORRESPONDING"):
+                raise SqlParseError(
+                    "UNION CORRESPONDING is not supported; list matching "
+                    "columns explicitly in each arm"
+                )
+            _parse_select_core(p, mv=True)
         if p.at("EMIT"):
             p.eat()
             p.eat_kw("ON")

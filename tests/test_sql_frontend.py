@@ -1270,3 +1270,237 @@ def test_distinct_mv_and_set_timezone(eng, spark):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS SELECT DISTINCT a || 'x' FROM dt"
         )
+
+
+# ---------------------------------------------------------------- UNION MVs
+def test_union_all_mv_sql(eng):
+    """CREATE MV over UNION ALL of two tables (reference stream Union
+    executor `src/stream/src/executor/union.rs`,
+    `e2e_test/streaming/union.slt`): inserts/deletes/updates on EITHER
+    arm's table keep the merged view exact; identical-valued rows from
+    different arms retract independently."""
+    eng.sql("CREATE TABLE ua (id int8 PRIMARY KEY, v int8, tag text)")
+    eng.sql("CREATE TABLE ub (id int8 PRIMARY KEY, w int8, tag text)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW umv AS "
+        "SELECT id AS k, v AS val, tag AS tag FROM ua WHERE v > 10 "
+        "UNION ALL "
+        "SELECT id AS k, w AS val, tag AS tag FROM ub"
+    )
+    eng.sql("INSERT INTO ua VALUES (1, 5, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    eng.sql("INSERT INTO ub VALUES (1, 7, 'a'), (4, 40, 'd')")
+    # (1,5,'a') filtered by WHERE v > 10; ub arm is unfiltered
+    assert _rows(eng.sql("SELECT k, val, tag FROM umv")) == [
+        (1, 7, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d"),
+    ]
+    eng.sql("DELETE FROM ua WHERE id = 2")
+    eng.sql("UPDATE ub SET w = 99 WHERE id = 4")
+    eng.sql("DELETE FROM ub WHERE id = 1")
+    assert _rows(eng.sql("SELECT k, val, tag FROM umv")) == [
+        (3, 30, "c"), (4, 99, "d"),
+    ]
+    # both arms can emit the SAME row value: deleting one arm's source
+    # row must retract only that arm's copy
+    eng.sql("INSERT INTO ua VALUES (7, 70, 'z')")
+    eng.sql("INSERT INTO ub VALUES (7, 70, 'z')")
+    assert _rows(eng.sql("SELECT k, val, tag FROM umv WHERE k = 7")) == [
+        (7, 70, "z"), (7, 70, "z"),
+    ]
+    eng.sql("DELETE FROM ua WHERE id = 7")
+    assert _rows(eng.sql("SELECT k, val, tag FROM umv WHERE k = 7")) == [
+        (7, 70, "z"),
+    ]
+
+
+def test_union_distinct_mv_sql(eng):
+    """UNION (distinct): a value-tuple survives while ANY arm still
+    holds it and disappears when its multiplicity across all arms drops
+    to zero (reference plans union-distinct as union-all + distinct
+    agg, `binder/set_expr.rs`)."""
+    eng.sql("CREATE TABLE da (id int8 PRIMARY KEY, tag text)")
+    eng.sql("CREATE TABLE db (id int8 PRIMARY KEY, tag text)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW dumv AS "
+        "SELECT tag AS tag FROM da UNION SELECT tag AS tag FROM db"
+    )
+    eng.sql("INSERT INTO da VALUES (1, 'x'), (2, 'x'), (3, 'y')")
+    eng.sql("INSERT INTO db VALUES (1, 'x'), (4, 'z')")
+    assert _rows(eng.sql("SELECT tag FROM dumv")) == [("x",), ("y",), ("z",)]
+    eng.sql("DELETE FROM da WHERE id IN (1, 2)")
+    # 'x' still present via db id 1
+    assert _rows(eng.sql("SELECT tag FROM dumv")) == [("x",), ("y",), ("z",)]
+    eng.sql("DELETE FROM db WHERE id = 1")
+    assert _rows(eng.sql("SELECT tag FROM dumv")) == [("y",), ("z",)]
+
+
+def test_union_mv_restart_and_drop(spark, tmp_path):
+    """Union MVs replay from the recorded DDL on Engine.open (state
+    re-attached, no re-backfill) and DROP detaches every arm handle."""
+    wh = str(tmp_path / "wh_union")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE ra (id int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE TABLE rb (id int8 PRIMARY KEY, v int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW rmv AS "
+        "SELECT id AS k, v AS val FROM ra UNION ALL "
+        "SELECT id AS k, v AS val FROM rb"
+    )
+    eng.sql("INSERT INTO ra VALUES (1, 10)")
+    eng.sql("INSERT INTO rb VALUES (2, 20)")
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("SELECT k, val FROM rmv")) == [(1, 10), (2, 20)]
+    eng2.sql("DELETE FROM ra WHERE id = 1")
+    eng2.sql("INSERT INTO rb VALUES (3, 30)")
+    assert _rows(eng2.sql("SELECT k, val FROM rmv")) == [(2, 20), (3, 30)]
+    eng2.sql("DROP MATERIALIZED VIEW rmv")
+    assert all(not t.mvs for t in eng2.tables.values())
+    eng2.sql("INSERT INTO ra VALUES (9, 90)")  # no dangling arm handle
+
+
+def test_union_mv_rejects_unsupported_shapes(eng):
+    eng.sql("CREATE TABLE sa (id int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE TABLE sb (id int8 PRIMARY KEY, v int8)")
+    with pytest.raises(Exception, match="INTERSECT/EXCEPT"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad1 AS "
+            "SELECT v FROM sa INTERSECT SELECT v FROM sb"
+        )
+    with pytest.raises(ValueError, match="mixing UNION and UNION ALL"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad2 AS "
+            "SELECT v AS v FROM sa UNION ALL SELECT v AS v FROM sb "
+            "UNION SELECT v AS v FROM sa"
+        )
+    with pytest.raises(ValueError, match="aggregate functions"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad3 AS "
+            "SELECT v AS v FROM sa UNION ALL SELECT sum(v) AS v FROM sb"
+        )
+    with pytest.raises(ValueError, match="not an engine table"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad4 AS "
+            "SELECT v AS v FROM sa UNION ALL SELECT v AS v FROM nowhere"
+        )
+    with pytest.raises(ValueError, match="needs an alias"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad5 AS "
+            "SELECT v + 1 FROM sa UNION ALL SELECT v AS v FROM sb"
+        )
+    with pytest.raises(ValueError, match="columns, expected"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad6 AS "
+            "SELECT v AS v FROM sa UNION ALL SELECT v AS v, id AS k FROM sb"
+        )
+
+
+# ------------------------------------------------------------- ON CONFLICT
+def test_on_conflict_do_nothing_and_update_full(eng):
+    """Reference e2e_test/streaming/on_conflict.slt scenarios: DO
+    NOTHING keeps the first row per pk (within batch AND vs stored);
+    DO UPDATE FULL (= OVERWRITE) keeps the last."""
+    eng.sql(
+        "CREATE TABLE oc1 (v1 int PRIMARY KEY, v2 int, v3 int) "
+        "APPEND ONLY ON CONFLICT DO NOTHING"
+    )
+    eng.sql("INSERT INTO oc1 VALUES (1,4,2), (2,3,3)")
+    eng.sql("INSERT INTO oc1 VALUES (3,4,5), (3,6,7)")
+    eng.sql("INSERT INTO oc1 VALUES (1,5,3)")
+    assert _rows(eng.sql("SELECT v1, v2, v3 FROM oc1")) == [
+        (1, 4, 2), (2, 3, 3), (3, 4, 5),
+    ]
+    eng.sql(
+        "CREATE TABLE oc2 (v1 int PRIMARY KEY, v2 int, v3 int) "
+        "ON CONFLICT DO UPDATE FULL"
+    )
+    eng.sql("INSERT INTO oc2 VALUES (1,4,2), (2,3,3)")
+    eng.sql("INSERT INTO oc2 VALUES (3,4,5), (3,6,7)")
+    eng.sql("INSERT INTO oc2 VALUES (1,5,3)")
+    assert _rows(eng.sql("SELECT v1, v2, v3 FROM oc2")) == [
+        (1, 5, 3), (2, 3, 3), (3, 6, 7),
+    ]
+
+
+def test_on_conflict_update_if_not_null_with_mv(eng):
+    """DO UPDATE IF NOT NULL merges non-null fields over the stored row
+    (on_conflict.slt t3), the conflict changelog keeps downstream MVs
+    exact, and a plain UPDATE still applies assignments verbatim."""
+    eng.sql(
+        "CREATE TABLE oc3 (v1 int PRIMARY KEY, v2 int, v3 int) "
+        "ON CONFLICT DO UPDATE IF NOT NULL"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW oc3_mv AS SELECT v1, v2, v3 FROM oc3 WHERE v1 > 0"
+    )
+    eng.sql("INSERT INTO oc3 VALUES (1,NULL,2), (2,3,NULL)")
+    eng.sql("INSERT INTO oc3 VALUES (3,NULL,5), (3,6,NULL)")
+    eng.sql("INSERT INTO oc3 VALUES (1,5,NULL), (2,NULL,NULL)")
+    assert _rows(eng.sql("SELECT v1, v2, v3 FROM oc3_mv")) == [
+        (1, 5, 2), (2, 3, None), (3, 6, 5),
+    ]
+    eng.sql("UPDATE oc3 SET v2 = 2 WHERE v1 > 1")
+    assert _rows(eng.sql("SELECT v1, v2, v3 FROM oc3_mv")) == [
+        (1, 5, 2), (2, 2, None), (3, 2, 5),
+    ]
+
+
+def test_on_conflict_version_column(eng):
+    """WITH VERSION COLUMN (with_version_column.slt +
+    materialize.rs should_handle_conflict): a new row is applied only
+    while its version is >= the running maximum; null new versions lose
+    to any stored non-null one."""
+    eng.sql(
+        "CREATE TABLE ocv (v1 int PRIMARY KEY, v2 int, v3 int, v4 int) "
+        "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v4)"
+    )
+    eng.sql("INSERT INTO ocv VALUES (1,NULL,2,4), (2,3,NULL,1)")
+    eng.sql("INSERT INTO ocv VALUES (3,NULL,5,2), (3,6,NULL,1)")
+    eng.sql("INSERT INTO ocv VALUES (1,5,NULL,5), (2,NULL,6,1)")
+    assert _rows(eng.sql("SELECT v1, v2, v3, v4 FROM ocv")) == [
+        (1, 5, 2, 5), (2, 3, 6, 1), (3, None, 5, 2),
+    ]
+    eng.sql(
+        "CREATE TABLE ocw (k int PRIMARY KEY, v text, ver int8) "
+        "ON CONFLICT OVERWRITE WITH VERSION COLUMN(ver)"
+    )
+    eng.sql("INSERT INTO ocw VALUES (1,'a',10)")
+    eng.sql("INSERT INTO ocw VALUES (1,'stale',5)")
+    eng.sql("INSERT INTO ocw VALUES (1,'new',10)")  # tie applies
+    eng.sql("INSERT INTO ocw VALUES (1,NULL,NULL)")  # null version loses
+    assert _rows(eng.sql("SELECT k, v, ver FROM ocw")) == [(1, "new", 10)]
+
+
+def test_on_conflict_rejects_bad_shapes(eng):
+    with pytest.raises(ValueError, match="APPEND ONLY"):
+        eng.sql(
+            "CREATE TABLE boc1 (v1 int PRIMARY KEY, v2 int) "
+            "APPEND ONLY ON CONFLICT OVERWRITE"
+        )
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.sql("CREATE TABLE boc2 (v1 int, v2 int) ON CONFLICT OVERWRITE")
+    with pytest.raises(ValueError, match="comparable type"):
+        eng.sql(
+            "CREATE TABLE boc3 (v1 int PRIMARY KEY, v2 bool) "
+            "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v2)"
+        )
+    with pytest.raises(ValueError, match="VERSION COLUMN requires"):
+        eng.sql(
+            "CREATE TABLE boc4 (v1 int PRIMARY KEY, v2 int) "
+            "ON CONFLICT DO NOTHING WITH VERSION COLUMN(v2)"
+        )
+    with pytest.raises(ValueError, match="not a table column"):
+        eng.sql(
+            "CREATE TABLE boc5 (v1 int PRIMARY KEY, v2 int) "
+            "ON CONFLICT OVERWRITE WITH VERSION COLUMN(v9)"
+        )
+
+
+def test_on_conflict_restart_replay(spark, tmp_path):
+    wh = str(tmp_path / "wh_oc")
+    eng = Engine(spark, wh)
+    eng.sql(
+        "CREATE TABLE rc (k int PRIMARY KEY, v int) ON CONFLICT OVERWRITE"
+    )
+    eng.sql("INSERT INTO rc VALUES (1, 10)")
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("INSERT INTO rc VALUES (1, 20)")  # conflict survives restart
+    assert _rows(eng2.sql("SELECT k, v FROM rc")) == [(1, 20)]
