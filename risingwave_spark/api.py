@@ -290,6 +290,28 @@ class _JoinSideHandle:
         pass
 
 
+class ProjectedMaterializedView(MaterializedView):
+    """MaterializedView whose VISIBLE result drops hidden carrier
+    columns — e.g. `SELECT DISTINCT ON (k) v FROM t` is keyed by k but
+    does not select it (reference `binder/select.rs` DistinctOn: the ON
+    expressions are bound like ORDER BY keys, not output columns). The
+    hidden keys live in the materialization for splice identity and are
+    stripped at read and from the subscription changelog."""
+
+    def __init__(self, spark, state_dir, keys, row_id, recompute, hidden):
+        super().__init__(spark, state_dir, keys, row_id, recompute)
+        self._hidden = list(hidden)
+
+    def result(self) -> DataFrame:
+        out = super().result()
+        return out.drop(*[c for c in self._hidden if c in out.columns])
+
+    def _log_changelog(self, chunk: DataFrame) -> None:
+        super()._log_changelog(
+            chunk.drop(*[c for c in self._hidden if c in chunk.columns])
+        )
+
+
 class StreamUnionMv:
     """MV over `UNION [ALL]` of N single-table arms (reference stream
     Union executor `src/stream/src/executor/union.rs` merging its
@@ -494,7 +516,8 @@ class Engine:
         return t
 
     def create_materialized_view(
-        self, name: str, base: str, keys: list[str], recompute, key_of=None
+        self, name: str, base: str, keys: list[str], recompute, key_of=None,
+        hidden: list[str] | None = None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over a TABLE or another MV:
         `recompute(rows)` is the per-affected-group query body (any
@@ -516,6 +539,12 @@ class Engine:
                 )
             if not up.view.keys:
                 raise ValueError("MV-on-MV requires the upstream MV to have group keys (its pk)")
+            if getattr(up.view, "_hidden", None):
+                raise ValueError(
+                    "MV-on-MV over a DISTINCT ON MV is not supported: its "
+                    "visible rows lack the splice keys (the ON columns); "
+                    "select the ON columns in the upstream MV instead"
+                )
             # upstream group keys ARE the upstream rows' pk — composite
             # keys ride through as a composite row id (ChunkedState
             # tombstones match on all pk columns)
@@ -524,13 +553,23 @@ class Engine:
                 up.view.result(),
                 None,
             )
-        mv = MaterializedView(
-            self.spark,
-            os.path.join(self.warehouse, f"mv_{name}"),
-            keys,
-            row_id,
-            recompute,
-        )
+        if hidden:
+            mv = ProjectedMaterializedView(
+                self.spark,
+                os.path.join(self.warehouse, f"mv_{name}"),
+                keys,
+                row_id,
+                recompute,
+                hidden,
+            )
+        else:
+            mv = MaterializedView(
+                self.spark,
+                os.path.join(self.warehouse, f"mv_{name}"),
+                keys,
+                row_id,
+                recompute,
+            )
         mv.key_of = key_of
         # Backfill: current base state as one insert batch (the
         # reference's snapshot-then-switchover bootstrap). A re-opened

@@ -1618,6 +1618,89 @@ def _handle_create_union_mv(
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
+_DISTINCT_ON_BODY = re.compile(
+    r"^(?P<items>.*?)\s+FROM\s+(?P<tbl>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|ORDER\b)[A-Za-z_]\w*))?"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?\s*$",
+    re.I | re.S,
+)
+
+
+def _handle_create_distinct_on_mv(
+    engine: "Engine", name: str, stmt: str, dom: re.Match, lits
+) -> DataFrame:
+    """CREATE MV with `SELECT DISTINCT ON (keys) items FROM t [WHERE]
+    [ORDER BY ...]` (reference `binder/select.rs` BoundDistinct::
+    DistinctOn, `e2e_test/streaming/distinct_on.slt`): one surviving
+    row per ON-key tuple — the FIRST under the ORDER BY, whose leading
+    expressions must match the ON keys (the reference's binder rule).
+    Compiles onto the group-agg MV path keyed by the ON columns: the
+    per-key recompute ranks the key's state rows and keeps row 1, so
+    deletes re-elect the next-best row; ON keys absent from the select
+    list ride as hidden carriers stripped at read (and from the
+    subscription changelog)."""
+    keys = [_unmask(k, lits).strip() for k in _split_top_level(dom.group("keys"))]
+    if not all(_IDENT.match(k) for k in keys):
+        raise ValueError(
+            "DISTINCT ON in an MV body supports plain column keys only "
+            "(alias the expression in a base MV first)"
+        )
+    bm = _DISTINCT_ON_BODY.match(dom.group("rest"))
+    if not bm or re.search(r"\b(GROUP\s+BY|JOIN|UNION|LIMIT|HAVING)\b", dom.group("rest"), re.I):
+        raise ValueError(
+            "DISTINCT ON MV bodies support single-table "
+            "`SELECT DISTINCT ON (keys) items FROM t [WHERE] [ORDER BY]` only"
+        )
+    tbl = bm.group("tbl")
+    if tbl not in engine.tables:
+        raise ValueError(f"DISTINCT ON MV base {tbl!r} is not an engine table")
+    order = bm.group("order")
+    order_items = (
+        [_unmask(o, lits).strip() for o in _split_top_level(order)]
+        if order
+        else list(keys)
+    )
+    # reference binder: "SELECT DISTINCT ON expressions must match
+    # initial ORDER BY expressions"
+    lead = [re.sub(r"\s+(ASC|DESC)\s*$", "", o, flags=re.I).strip() for o in order_items]
+    if [_norm(c) for c in lead[: len(keys)]] != [_norm(k) for k in keys]:
+        raise ValueError(
+            "SELECT DISTINCT ON expressions must match the initial "
+            "ORDER BY expressions (reference binder/select.rs)"
+        )
+    items = [
+        _parse_select_item(_unmask(i, lits))
+        for i in _split_top_level(bm.group("items"))
+    ]
+    out_names = []
+    for expr, alias in items:
+        if alias is None:
+            raise ValueError(f"DISTINCT ON select item {expr!r} needs an alias")
+        out_names.append(alias)
+    hidden = [k for k in keys if k not in out_names]
+    sel = ", ".join(
+        [*hidden]
+        + [f"({pg_to_spark_sql(e)}) AS {a}" for e, a in items]
+    )
+    tmp = f"__don_src_{name}"
+    inner = f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} ORDER BY {', '.join(pg_to_spark_sql(o) for o in order_items)}) AS __don_rn FROM {tmp}"
+    if bm.group("alias"):
+        inner = inner.replace(f"FROM {tmp}", f"FROM {tmp} {bm.group('alias')}")
+    if bm.group("where"):
+        inner += f" WHERE {pg_to_spark_sql(_unmask(bm.group('where'), lits))}"
+    body = f"SELECT {sel} FROM ({inner}) __don WHERE __don_rn = 1"
+    spark = engine.spark
+
+    def recompute(rows: DataFrame) -> DataFrame:
+        rows.createOrReplaceTempView(tmp)
+        return spark.sql(body)
+
+    engine.create_materialized_view(name, tbl, keys, recompute, hidden=hidden)
+    engine._record_ddl(name, stmt)
+    return _status(spark, "CREATE_MATERIALIZED_VIEW")
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
@@ -1637,6 +1720,13 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     uparts, useps = _split_top_level_union(masked)
     if useps:
         return _handle_create_union_mv(engine, name, m.string, uparts, useps, lits)
+    dom = re.match(
+        r"^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<keys>[^)]*)\)\s+(?P<rest>.*)$",
+        masked,
+        re.I | re.S,
+    )
+    if dom:
+        return _handle_create_distinct_on_mv(engine, name, m.string, dom, lits)
     dm2 = re.match(r"^(\s*SELECT)\s+DISTINCT\s+(?P<items>.*?)\s+(?P<rest>FROM\b.*)$", masked, re.I | re.S)
     if dm2:
         # SELECT DISTINCT a, b FROM t ≡ GROUP BY a, b (reference binds

@@ -114,6 +114,64 @@ def _cast_as_repl(m: re.Match) -> str:
     return m.group(1) + _map_type(m.group(2)) + m.group(3)
 
 
+def _find_top_kw(text: str, kw_rx: str):
+    """First match of kw_rx at paren depth 0 (text already masked)."""
+    depth = 0
+    for mm in re.finditer(r"[()]|" + kw_rx, text, re.I):
+        t = mm.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return mm
+    return None
+
+
+def _rewrite_distinct_on(masked: str) -> str:
+    """Top-level `SELECT DISTINCT ON (keys) items FROM ... [ORDER BY o]
+    [LIMIT n]` → row_number window + rn=1 filter (reference
+    `binder/select.rs` BoundDistinct::DistinctOn — first row per key
+    tuple under the ORDER BY; Spark has no DISTINCT ON). Only the
+    top-level query shape is rewritten; DISTINCT ON inside subqueries
+    or CTEs is out of scope and reaches Spark's parser, which rejects
+    it loudly."""
+    m = re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", masked, re.I)
+    if not m:
+        return masked
+    i, depth, n = m.end() - 1, 0, len(masked)
+    j = i
+    while j < n:
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    keys = masked[i + 1 : j].strip()
+    rest = masked[j + 1 :]
+    fm = _find_top_kw(rest, r"\bFROM\b")
+    if fm is None:
+        return masked
+    items = rest[: fm.start()].strip()
+    tail = rest[fm.start() :]
+    om = _find_top_kw(tail, r"\bORDER\s+BY\b")
+    lm = _find_top_kw(tail, r"\bLIMIT\b|\bOFFSET\b")
+    cuts = [x.start() for x in (om, lm) if x is not None]
+    cut = min(cuts) if cuts else len(tail)
+    body, suffix = tail[:cut].rstrip(), tail[cut:]
+    order = keys
+    if om is not None:
+        oend = lm.start() if (lm is not None and lm.start() > om.start()) else len(tail)
+        order = tail[om.end() : oend].strip()
+    return (
+        f"SELECT {items} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {order}) AS __don_rn {body}) __don "
+        f"WHERE __don_rn = 1 {suffix}"
+    )
+
+
 def _string_agg_repl(m: re.Match) -> str:
     """string_agg(x, d [ORDER BY k [ASC|DESC]]) → deterministic Spark
     concat. PG leaves the order unspecified without ORDER BY, but
@@ -149,6 +207,9 @@ def pg_to_spark_sql(sql: str) -> str:
     # `AS <type>)` context inside CAST is unambiguous enough to rewrite
     # textually, incl. varchar(n)/char(n) truncation semantics)
     masked = _CAST_AS_RE.sub(_cast_as_repl, masked)
+
+    # SELECT DISTINCT ON (keys) → row_number window + rn=1
+    masked = _rewrite_distinct_on(masked)
 
     # regex match operators (avoid touching `!~~` / `~~` which are LIKE)
     masked = re.sub(r"(\S+)\s+!~\s+", r"\1 NOT RLIKE ", masked)

@@ -1938,3 +1938,47 @@ def engine_sql_on_conflict(spark, sf_dir):
         "FROM orders WHERE o_orderkey % 3 = 0"
     )
     return eng.sql("SELECT status, n, total FROM rw_oc_mv ORDER BY status")
+
+
+@register(
+    "engine_sql_distinct_on",
+    oracle="""
+SELECT o_custkey AS cust, o_orderkey AS k, price FROM (
+  SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+         CAST(round(o_totalprice*100, 0) AS BIGINT) AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+  ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+) d ORDER BY cust
+""",
+)
+def engine_sql_distinct_on(spark, sf_dir):
+    """SELECT DISTINCT ON as a maintained MV (reference
+    `binder/select.rs` DistinctOn, `e2e_test/streaming/distinct_on.slt`):
+    each customer's highest-price order, re-elected when a DELETE
+    removes the current winner; DuckDB's native DISTINCT ON is the
+    oracle."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_don_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_don (
+            o_orderkey int8 PRIMARY KEY, o_custkey int8, o_totalprice float8
+        )
+        """
+    )
+    eng.sql(
+        """
+        CREATE MATERIALIZED VIEW rw_don_mv AS
+        SELECT DISTINCT ON (o_custkey) o_custkey AS cust, o_orderkey AS k,
+               CAST(round(o_totalprice*100, 0) AS int8) AS price
+        FROM rw_don
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_don SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    )
+    eng.sql("DELETE FROM rw_don WHERE o_orderkey % 5 = 0")
+    return eng.sql("SELECT cust, k, price FROM rw_don_mv ORDER BY cust")

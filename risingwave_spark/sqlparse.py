@@ -223,8 +223,18 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
     p.eat_kw("SELECT")
     if p.at("DISTINCT"):
         # SELECT DISTINCT a, b ≡ GROUP BY a, b — the frontend rewrites
-        # it onto the group-agg MV path (plain-column lists only there)
+        # it onto the group-agg MV path (plain-column lists only there);
+        # DISTINCT ON (keys) keeps the first row per key tuple
+        # (reference binder/select.rs DistinctOn)
         p.eat()
+        if p.at("ON"):
+            p.eat()
+            p.eat_op("(")
+            while True:
+                _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+                if not p.try_op(","):
+                    break
+            p.eat_op(")")
     # select list
     while True:
         if p.try_op("*"):

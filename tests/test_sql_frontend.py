@@ -1504,3 +1504,47 @@ def test_on_conflict_restart_replay(spark, tmp_path):
     eng2 = Engine.open(spark, wh)
     eng2.sql("INSERT INTO rc VALUES (1, 20)")  # conflict survives restart
     assert _rows(eng2.sql("SELECT k, v FROM rc")) == [(1, 20)]
+
+
+# -------------------------------------------------------------- DISTINCT ON
+def test_distinct_on_mv(eng):
+    """Reference e2e_test/streaming/distinct_on.slt (retractable t2
+    scenario): first row per ON-key under the ORDER BY; deleting the
+    winner re-elects the next-best row; the ON key is NOT in the
+    output (hidden carrier stripped at read)."""
+    eng.sql("CREATE TABLE dot (id int PRIMARY KEY, k int, v int)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW dot_mv AS "
+        "SELECT DISTINCT ON (k) k + v AS sum FROM dot ORDER BY k, v"
+    )
+    eng.sql("INSERT INTO dot VALUES (1,1,11), (2,2,22), (3,3,33), (4,1,111)")
+    assert eng.sql("SELECT * FROM dot_mv").columns == ["sum"]
+    assert _rows(eng.sql("SELECT sum FROM dot_mv")) == [(12,), (24,), (36,)]
+    eng.sql("DELETE FROM dot WHERE v = 11")
+    assert _rows(eng.sql("SELECT sum FROM dot_mv")) == [(24,), (36,), (112,)]
+    with pytest.raises(ValueError, match="must match"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW dot_bad AS "
+            "SELECT DISTINCT ON (k) v AS v FROM dot ORDER BY v"
+        )
+    with pytest.raises(ValueError, match="DISTINCT ON MV"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW dot_bad2 AS "
+            "SELECT DISTINCT ON (k) v AS v FROM dot GROUP BY k"
+        )
+
+
+def test_distinct_on_adhoc(eng):
+    """Ad-hoc SELECT DISTINCT ON through the PG shim: rewritten to a
+    row_number window; DESC order and LIMIT ride along."""
+    eng.sql("CREATE TABLE doa (id int PRIMARY KEY, k int, v int)")
+    eng.sql("INSERT INTO doa VALUES (1,1,11), (2,2,22), (3,3,33), (4,1,111)")
+    assert _rows(
+        eng.sql("SELECT DISTINCT ON (k) k AS k, v AS v FROM doa ORDER BY k, v DESC")
+    ) == [(1, 111), (2, 22), (3, 33)]
+    assert (
+        len(eng.sql(
+            "SELECT DISTINCT ON (k) k AS k, v FROM doa ORDER BY k, v LIMIT 2"
+        ).collect())
+        == 2
+    )
