@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 from risingwave_spark.streaming.mv import ChunkedState, MaterializedView, OP_COL, with_ops
 
 
+def sub_now(sql: str, ts) -> str:
+    """Replace now()/current_timestamp() with a pinned timestamp
+    literal — the engine's barrier time (reference now.rs: now() in a
+    streaming plan is bound to the epoch's barrier timestamp, not
+    re-evaluated per row)."""
+    import re as _re
+
+    return _re.sub(
+        r"\b(?:now|current_timestamp)\s*\(\s*\)",
+        f"timestamp'{ts.isoformat(sep=' ')}'",
+        sql,
+        flags=_re.I,
+    )
+
+
 class Table:
     def __init__(self, spark: SparkSession, path: str, name: str, pk: str):
         self.spark = spark
@@ -429,6 +444,14 @@ class Engine:
         self.views: dict[str, str] = {}
         self.sources: dict[str, dict] = {}
         self.sinks: dict[str, object] = {}
+        # temporal-filter MVs (reference Now executor, now.rs): name →
+        # Spark-SQL predicate template containing now() references.
+        # tick() re-splices keys whose predicate truth changed since the
+        # last tick (see tick()).
+        self.temporal_mvs: dict[str, str] = {}
+        #: test hook — force the engine's notion of "now" (the reference
+        #: achieves the same by driving barrier timestamps in tests)
+        self.now_override = None
         self._replaying = False
 
     def _register_views(self) -> None:
@@ -886,6 +909,77 @@ class Engine:
         self._register_views()
         for s in self.sinks.values():
             s.drain()
+
+    # ---- temporal-filter MVs (Now executor) ------------------------
+    def _current_now(self):
+        """The engine's barrier timestamp: session-tz now(), evaluated
+        ONCE per use so a batch's recompute and the tick comparison see
+        the same instant (the reference pins now() to the epoch's
+        barrier time, `binder NOW handling` + now.rs)."""
+        if self.now_override is not None:
+            return self.now_override
+        return self.spark.sql("SELECT now() AS n").first()[0]
+
+    def _now_tick_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, f"mv_{name}", "NOW_TICK")
+
+    def _register_temporal_mv(self, name: str, pred_sql: str) -> None:
+        self.temporal_mvs[name] = pred_sql
+        if not os.path.exists(self._now_tick_path(name)):
+            self._write_now_tick(name, self._current_now())
+
+    def _write_now_tick(self, name: str, ts) -> None:
+        p = self._now_tick_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p + ".tmp", "w") as f:
+            f.write(ts.isoformat(sep=" "))
+        os.replace(p + ".tmp", p)
+
+    def tick(self) -> None:
+        """Advance temporal-filter MVs to the current time (reference
+        `src/stream/src/executor/now.rs`: the Now executor makes TIME an
+        input — every barrier carries a new timestamp and rows whose
+        `now()`-predicate truth flips are retracted/activated without
+        any DML). Here the barrier is explicit: FLUSH (or this call)
+        re-splices exactly the keys owning rows whose predicate value
+        changed between the last tick and now.
+
+        Scale posture: the changed-row scan is a two-predicate column
+        comparison over state with no shuffle (predicate pushdown
+        applies); a production deployment orders temporal-MV state by
+        the time column so the scan prunes to the moved boundary range,
+        exactly the reference's ts-ordered state table."""
+        import datetime as _dt
+
+        for name, pred in self.temporal_mvs.items():
+            h = self.mv_handles.get(name)
+            if h is None:
+                continue
+            mv = h.view
+            cur = self._current_now()
+            try:
+                with open(self._now_tick_path(name)) as f:
+                    prev = _dt.datetime.fromisoformat(f.read().strip())
+            except (FileNotFoundError, ValueError):
+                prev = None
+            if prev is not None and prev != cur:
+                annotate = mv.key_of or (lambda d: d)
+                st = annotate(mv.state.read())
+                changed = st.filter(
+                    ~F.expr(sub_now(pred, prev)).eqNullSafe(
+                        F.expr(sub_now(pred, cur))
+                    )
+                )
+                affected = changed.select(*mv.keys).distinct()
+                if not affected.isEmpty():
+                    mv.retouch(affected)
+            self._write_now_tick(name, cur)
+        if self.temporal_mvs:
+            for h in self.mv_handles.values():
+                h._register()
+            self._register_views()
+            for s in self.sinks.values():
+                s.drain()
 
     def poll_sources(self) -> None:
         """Fold NEW connector files into connector-backed tables (the

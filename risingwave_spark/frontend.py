@@ -1800,6 +1800,33 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     has_join = re.search(r"\bJOIN\b", masked, re.I) is not None
     if has_join and base not in engine.tables:
         raise ValueError("MV over a join must be driven by a TABLE as its first input")
+    # temporal filter (reference Now executor `now.rs` + dynamic-filter
+    # planning of now()-bounds): a WHERE referencing now() makes TIME an
+    # input — the recompute pins now() to the engine's barrier
+    # timestamp, and Engine.tick()/FLUSH re-splices keys whose
+    # predicate truth changed as time advanced.
+    has_now = re.search(r"\bNOW\s*\(\s*\)", masked, re.I) is not None
+    pred_sql = None
+    if has_now:
+        whm = re.search(
+            r"\bWHERE\s+(.*?)(?=\s+GROUP\s+BY\b|\s+HAVING\b|\s*$)",
+            rest,
+            re.I | re.S,
+        )
+        others = sm.group("select") + (
+            rest[: whm.start()] + rest[whm.end():] if whm else rest
+        )
+        if whm is None or re.search(r"\bNOW\s*\(\s*\)", others, re.I):
+            raise ValueError(
+                "now() in an MV body is only supported in the WHERE "
+                "clause (temporal filter, reference now.rs)"
+            )
+        if has_join or base not in engine.tables:
+            raise ValueError(
+                "temporal-filter MVs (now() in WHERE) must read a "
+                "single TABLE directly"
+            )
+        pred_sql = pg_to_spark_sql(_unmask(whm.group(1), lits))
     select_items = [
         _parse_select_item(_unmask(i, lits))
         for i in _split_top_level(sm.group("select"))
@@ -1888,9 +1915,19 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     body = pg_to_spark_sql(_unmask(body, lits))
     spark = engine.spark
 
-    def recompute(rows: DataFrame) -> DataFrame:
-        rows.createOrReplaceTempView(tmp)
-        return spark.sql(body)
+    if has_now:
+
+        def recompute(rows: DataFrame) -> DataFrame:
+            from risingwave_spark.api import sub_now
+
+            rows.createOrReplaceTempView(tmp)
+            return spark.sql(sub_now(body, engine._current_now()))
+
+    else:
+
+        def recompute(rows: DataFrame) -> DataFrame:
+            rows.createOrReplaceTempView(tmp)
+            return spark.sql(body)
 
     key_of = None
     if derived:
@@ -1901,6 +1938,8 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
             return rows.select(*keep).selectExpr("*", *exprs)
 
     engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
+    if has_now:
+        engine._register_temporal_mv(name, pred_sql)
     engine._record_ddl(name, m.string)
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
@@ -2343,7 +2382,10 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         # barrier commits. This engine is synchronous — every statement's
         # state (ChunkedState chunk, MV epoch, changelog) is durable
         # BEFORE its call returns — so the barrier has, by construction,
-        # already committed: an honest no-op, not a stub.
+        # already committed. The one barrier-carried input that does NOT
+        # flow through DML is TIME (the Now executor): FLUSH advances
+        # temporal-filter MVs to the current timestamp.
+        engine.tick()
         return _status(engine.spark, stmt.strip().upper())
     if re.match(r"^\s*RECOVER\s*$", stmt, re.I):
         # reference handler/recover.rs (ad-hoc recovery trigger): re-pin

@@ -1982,3 +1982,45 @@ def engine_sql_distinct_on(spark, sf_dir):
     )
     eng.sql("DELETE FROM rw_don WHERE o_orderkey % 5 = 0")
     return eng.sql("SELECT cust, k, price FROM rw_don_mv ORDER BY cust")
+
+
+@register(
+    "engine_sql_temporal_filter",
+    oracle="""
+SELECT o_orderstatus AS status, count(*) AS n FROM (
+  SELECT o_orderstatus,
+         now()::timestamp - INTERVAL 1 HOUR * (o_orderkey % 200) AS ts
+  FROM orders WHERE o_orderkey % 3 <> 0
+) t WHERE ts > now()::timestamp - INTERVAL 100 HOUR
+GROUP BY status ORDER BY status
+""",
+)
+def engine_sql_temporal_filter(spark, sf_dir):
+    """Temporal-filter MV (reference Now executor
+    `src/stream/src/executor/now.rs`,
+    e2e_test/streaming/temporal_filter.slt): rows timestamped relative
+    to now() at INSERT; the MV keeps a moving 100-hour window, a DELETE
+    retracts inside it, and a tick() advances the barrier (hour-wide
+    margins keep the oracle deterministic — DuckDB evaluates the same
+    offsets against its own now())."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_tfq_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_tf (k int8 PRIMARY KEY, status text, ts timestamp);
+        CREATE MATERIALIZED VIEW rw_tf_mv AS
+        SELECT status, count(*) AS n FROM rw_tf
+        WHERE ts > now() - INTERVAL '100' HOUR GROUP BY status
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_tf SELECT o_orderkey, o_orderstatus, "
+        "now() - INTERVAL '1' HOUR * CAST(o_orderkey % 200 AS int) "
+        "FROM orders"
+    )
+    eng.sql("DELETE FROM rw_tf WHERE k % 3 = 0")
+    eng.tick()  # time barrier advances by the test's runtime — no
+    # hour boundary moves, the splice is exercised
+    return eng.sql("SELECT status, n FROM rw_tf_mv ORDER BY status")

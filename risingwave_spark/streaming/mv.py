@@ -822,6 +822,27 @@ class _RetractableView:
 
         annotate = self.key_of or (lambda d: d)
         affected = annotate(batch).select(*self.keys).distinct()
+        self._splice(affected, touched, batch_id=batch_id, batch_ns=batch_ns)
+
+    def retouch(self, affected: DataFrame) -> None:
+        """Recompute + splice the given key tuples from CURRENT state
+        without any new input rows — the Now-executor tick path
+        (reference `src/stream/src/executor/now.rs`: time moving is an
+        input too). State gets an empty fold first so changelog chunk
+        numbering stays unique for subscriptions."""
+        self.state.fold(
+            self.state.read().limit(0), self.state.read().limit(0)
+        )
+        self._splice(affected, None)
+
+    def _splice(
+        self,
+        affected: DataFrame,
+        touched: list[int] | None,
+        batch_id: int | None = None,
+        batch_ns: str | None = None,
+    ) -> None:
+        annotate = self.key_of or (lambda d: d)
         st = annotate(self.state.read(buckets=touched))
         recomputed = self._recompute(
             st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")

@@ -1548,3 +1548,68 @@ def test_distinct_on_adhoc(eng):
         ).collect())
         == 2
     )
+
+
+# ---------------------------------------------------------- temporal filter
+def test_temporal_filter_mv(eng):
+    """now() in an MV WHERE (reference Now executor `now.rs`,
+    e2e_test/streaming/temporal_filter.slt): rows outside
+    [now(), now()+2h] are invisible; deletes work on visible AND
+    filtered rows; tick()/FLUSH advances time — rows expire past the
+    lower bound and ACTIVATE when the upper bound reaches them."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 8, 14, 12, 0, 0)
+    eng.now_override = t0
+    eng.sql("CREATE TABLE tft (id int PRIMARY KEY, v1 timestamp)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW tf_mv AS SELECT id AS id, v1 AS v1 FROM tft "
+        "WHERE v1 BETWEEN now() AND now() + INTERVAL '2' HOUR"
+    )
+    eng.sql(
+        "INSERT INTO tft VALUES "
+        "(1, timestamp'2026-08-14 12:30:00'),"
+        "(2, timestamp'2026-08-14 13:30:00'),"
+        "(3, timestamp'2026-08-14 15:00:00'),"
+        "(4, timestamp'2026-08-14 11:00:00')"
+    )
+    assert [r[0] for r in _rows(eng.sql("SELECT id FROM tf_mv"))] == [1, 2]
+    eng.sql("DELETE FROM tft WHERE id = 1")
+    assert [r[0] for r in _rows(eng.sql("SELECT id FROM tf_mv"))] == [2]
+    # window moves to [13:45, 15:45]: 2 expires, 3 activates
+    eng.now_override = t0 + datetime.timedelta(hours=1, minutes=45)
+    eng.tick()
+    assert [r[0] for r in _rows(eng.sql("SELECT id FROM tf_mv"))] == [3]
+    eng.now_override = t0 + datetime.timedelta(hours=5)
+    eng.sql("FLUSH")  # FLUSH carries the time barrier
+    assert _rows(eng.sql("SELECT id FROM tf_mv")) == []
+    with pytest.raises(ValueError, match="WHERE"):
+        eng.sql("CREATE MATERIALIZED VIEW tf_bad AS SELECT now() AS t, id FROM tft")
+
+
+def test_temporal_filter_agg_mv_and_restart(spark, tmp_path):
+    """Temporal filter under a GROUP BY MV: expiry retracts from the
+    aggregate; the tick pointer survives restart replay."""
+    import datetime
+
+    wh = str(tmp_path / "wh_tf")
+    eng = Engine(spark, wh)
+    t0 = datetime.datetime(2026, 8, 14, 12, 0, 0)
+    eng.now_override = t0
+    eng.sql("CREATE TABLE tfa (id int PRIMARY KEY, tag text, ts timestamp)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW tfa_mv AS SELECT tag, count(*) AS n FROM tfa "
+        "WHERE ts > now() - INTERVAL '1' HOUR GROUP BY tag"
+    )
+    eng.sql(
+        "INSERT INTO tfa VALUES "
+        "(1, 'a', timestamp'2026-08-14 11:30:00'),"
+        "(2, 'a', timestamp'2026-08-14 11:50:00'),"
+        "(3, 'b', timestamp'2026-08-14 11:10:00')"
+    )
+    assert _rows(eng.sql("SELECT tag, n FROM tfa_mv")) == [("a", 2), ("b", 1)]
+    eng2 = Engine.open(spark, wh)
+    eng2.now_override = t0 + datetime.timedelta(minutes=25)  # 12:25
+    eng2.tick()
+    # cutoff 11:25: id 3 (11:10) expired, group b disappears
+    assert _rows(eng2.sql("SELECT tag, n FROM tfa_mv")) == [("a", 2)]
