@@ -2024,3 +2024,54 @@ def engine_sql_temporal_filter(spark, sf_dir):
     eng.tick()  # time barrier advances by the test's runtime — no
     # hour boundary moves, the splice is exercised
     return eng.sql("SELECT status, n FROM rw_tf_mv ORDER BY status")
+
+
+@register(
+    "stream_approx_percentile_retract",
+    oracle=f"""
+SELECT event_type, true AS within_1pct
+FROM {EVENTS_US} e WHERE event_id % 3 <> 0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_approx_percentile_retract(spark, sf_dir):
+    """Retractable approx_percentile (reference two-stage log-bucket
+    histogram, `approx_percentile/local.rs` + `global_state.rs`):
+    events arrive in two insert chunks, a third chunk DELETES every 3rd
+    event, and the per-type p90 estimate must land within the declared
+    1% relative error of the exact percentile over the SURVIVORS —
+    state is O(buckets) per group, not O(rows)."""
+    from risingwave_spark.streaming.approx_percentile import (
+        ApproxPercentileRetractable,
+    )
+
+    ev = tables(spark, sf_dir)["events"]
+    ap = ApproxPercentileRetractable(
+        spark,
+        tempfile.mkdtemp(prefix="rw_apr_"),
+        ["event_type"],
+        "value",
+        quantile=0.9,
+        relative_error=0.01,
+    )
+    for i in range(2):
+        ap.apply_batch(with_ops(ev.filter(F.col("event_id") % 2 == i), 1))
+    ap.apply_batch(with_ops(ev.filter(F.col("event_id") % 3 == 0), -1))
+    exact = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .groupBy("event_type")
+        .agg(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").alias("exact_p"))
+    )
+    return (
+        ap.result()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_percentile") - F.col("exact_p"))
+                / F.greatest(F.abs(F.col("exact_p")), F.lit(1e-9))
+                <= 0.011
+            ).alias("within_1pct"),
+        )
+        .orderBy("event_type")
+    )

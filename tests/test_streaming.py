@@ -857,3 +857,48 @@ def test_over_window_rejects_bad_frame_specs(spark):
                 spark, d, ["k"], "ts", ["ts"], "rid",
                 {"x": ("sum", "v", {"rows": (3, 0)})}, ["v"], 60,
             )
+
+
+def test_approx_percentile_bucket_state_bound(spark, tmp_path):
+    """Retractable approx_percentile (reference log-bucket histogram,
+    approx_percentile/local.rs + global_state.rs): deletes decrement
+    bucket counts so retraction is EXACT (estimate returns to the
+    pre-insert value); estimates stay within the declared relative
+    error; state is O(buckets), far below row count; negative values
+    and zeros take the sign-separated path."""
+    from risingwave_spark.streaming.approx_percentile import (
+        ApproxPercentileRetractable,
+    )
+    from risingwave_spark.streaming.mv import with_ops
+
+    ap = ApproxPercentileRetractable(
+        spark, str(tmp_path / "ap"), ["g"], "v", quantile=0.5, relative_error=0.01
+    )
+    a = spark.range(1, 20001).select(F.lit("x").alias("g"), F.col("id").cast("double").alias("v"))
+    b = spark.range(1, 20001).select(
+        F.lit("x").alias("g"), (F.col("id") + 100000).cast("double").alias("v")
+    )
+    ap.apply_batch(with_ops(a, 1))
+    est_a = ap.result().first().approx_percentile
+    assert abs(est_a - 10000) / 10000 < 0.011, est_a
+    ap.apply_batch(with_ops(b, 1))
+    est_ab = ap.result().first().approx_percentile
+    ap.apply_batch(with_ops(b, -1))  # retract ALL of b
+    est_after = ap.result().first().approx_percentile
+    assert est_after == est_a, (est_a, est_ab, est_after)
+    # state is O(buckets): 20k rows collapse to ~ log-many buckets
+    assert ap.state_rows() < 1200, ap.state_rows()
+    # negative + zero values: median of {-100..-1, 0, 1..100} is 0
+    mix = spark.range(-100, 101).select(
+        F.lit("y").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    ap.apply_batch(with_ops(mix, 1))
+    est_mix = ap.result().filter(F.col("g") == "y").first().approx_percentile
+    assert est_mix == 0.0, est_mix
+    # p10 of group y lands in the negative range within 1%
+    ap2 = ApproxPercentileRetractable(
+        spark, str(tmp_path / "ap2"), ["g"], "v", quantile=0.1, relative_error=0.01
+    )
+    ap2.apply_batch(with_ops(mix, 1))
+    est_p10 = ap2.result().first().approx_percentile
+    assert abs(est_p10 - (-80)) / 80 < 0.03, est_p10
