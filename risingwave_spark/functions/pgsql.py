@@ -211,6 +211,20 @@ def pg_to_spark_sql(sql: str) -> str:
     # SELECT DISTINCT ON (keys) → row_number window + rn=1
     masked = _rewrite_distinct_on(masked)
 
+    # approx_percentile(q[, e]) WITHIN GROUP (ORDER BY col) →
+    # percentile_approx(col, q) (reference agg spelling,
+    # `approx_percentile` in binder/expr; Spark's t-digest plays the
+    # same bounded-error role — the retractable streaming sketch lives
+    # in streaming/approx_percentile.py). percentile_cont/_disc pass
+    # through: Spark accepts WITHIN GROUP for those natively.
+    masked = re.sub(
+        r"\bapprox_percentile\s*\(\s*([^(),]+?)\s*(?:,\s*[^(),]+?\s*)?\)\s*"
+        r"WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)\s*\)",
+        r"percentile_approx(\2, \1)",
+        masked,
+        flags=re.I,
+    )
+
     # regex match operators (avoid touching `!~~` / `~~` which are LIKE)
     masked = re.sub(r"(\S+)\s+!~\s+", r"\1 NOT RLIKE ", masked)
     masked = re.sub(r"(\S+)\s+~\s+(?=\x00)", r"\1 RLIKE ", masked)

@@ -240,7 +240,21 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
         if p.try_op("*"):
             pass
         else:
-            _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+            _scan_expr(p, _CLAUSE_STOPPERS | {"WITHIN"}, forbid=forbid)
+            if p.at("WITHIN"):
+                # ordered-set aggregate tail: WITHIN GROUP (ORDER BY ...)
+                p.eat()
+                p.eat_kw("GROUP")
+                p.eat_op("(")
+                p.eat_kw("ORDER")
+                p.eat_kw("BY")
+                while True:
+                    _scan_expr(p, {"ASC", "DESC"}, forbid=forbid)
+                    while p.at("ASC", "DESC"):
+                        p.eat()
+                    if not p.try_op(","):
+                        break
+                p.eat_op(")")
             if p.at("AS"):
                 p.eat()
                 p.ident("select-item alias")

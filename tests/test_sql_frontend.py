@@ -1613,3 +1613,23 @@ def test_temporal_filter_agg_mv_and_restart(spark, tmp_path):
     eng2.tick()
     # cutoff 11:25: id 3 (11:10) expired, group b disappears
     assert _rows(eng2.sql("SELECT tag, n FROM tfa_mv")) == [("a", 2)]
+
+
+def test_approx_percentile_within_group_mv(eng):
+    """approx_percentile(q, e) WITHIN GROUP (ORDER BY v) — the
+    reference agg spelling — in MV bodies and ad-hoc queries (mapped to
+    percentile_approx; the retractable streaming sketch is
+    streaming/approx_percentile.py)."""
+    eng.sql("CREATE TABLE apg (id int PRIMARY KEY, g text, v float8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW apg_mv AS SELECT g, "
+        "approx_percentile(0.9, 0.01) WITHIN GROUP (ORDER BY v) AS p90 "
+        "FROM apg GROUP BY g"
+    )
+    rows = ", ".join(f"({i}, '{'ab'[i % 2]}', {float(i)})" for i in range(1, 101))
+    eng.sql(f"INSERT INTO apg VALUES {rows}")
+    r = {g: p for g, p in _rows(eng.sql("SELECT g, p90 FROM apg_mv"))}
+    assert abs(r["a"] - 90) <= 2 and abs(r["b"] - 90) <= 2, r
+    eng.sql("DELETE FROM apg WHERE id > 50")
+    r = {g: p for g, p in _rows(eng.sql("SELECT g, p90 FROM apg_mv"))}
+    assert abs(r["a"] - 45) <= 2 and abs(r["b"] - 45) <= 2, r
