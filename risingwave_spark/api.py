@@ -887,6 +887,12 @@ class Engine:
         new = old
         for col, expr in assignments.items():
             new = new.withColumn(col, expr)
+        # generated columns recompute from the reassigned stored columns
+        # (reference generated_columns.slt: UPDATE of a referenced
+        # column refreshes the generated one)
+        types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+        for col, gexpr in (getattr(t, "generated", {}) or {}).items():
+            new = new.withColumn(col, F.expr(gexpr).cast(types[col]))
         new = new.localCheckpoint(eager=True)
         self._apply_dml(table, with_ops(old, -1).unionByName(with_ops(new, 1)))
         return new  # the post-assignment rows (UPDATE ... RETURNING)

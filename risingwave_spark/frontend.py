@@ -204,17 +204,21 @@ def _interval_spark(text: str) -> str:
 # ---------------------------------------------------------------- handlers
 def _parse_coldefs(spark: SparkSession, body: str):
     """Column definitions → (empty DataFrame, pk cols, defaults,
-    watermark spec).
+    watermark spec, generated cols).
 
     Supports `name type [PRIMARY KEY] [NOT NULL] [DEFAULT expr]` items, a
     table-level `PRIMARY KEY (a, b)` constraint (reference
-    `create_table.rs` bind_sql_columns / bind_pk_on_relation), and
+    `create_table.rs` bind_sql_columns / bind_pk_on_relation),
     `WATERMARK FOR col AS col - INTERVAL ...` (reference
-    `binder/relation/watermark.rs`) → (col, delay_seconds).
+    `binder/relation/watermark.rs`) → (col, delay_seconds), and
+    GENERATED columns `name type AS expr` (reference
+    `bind_sql_columns` generated-column binding,
+    e2e_test/ddl/table/generated_columns.slt.part) → {name: spark_expr}.
     """
     masked, lits = _mask_strings(body)
     pk: list[str] = []
     defaults: dict[str, str] = {}
+    generated: dict[str, str] = {}
     fields: list[str] = []
     watermark: tuple[str, float] | None = None
     for item in _split_top_level(masked):
@@ -244,6 +248,10 @@ def _parse_coldefs(spark: SparkSession, body: str):
         if not m:
             raise ValueError(f"cannot parse column definition: {_unmask(item, lits)!r}")
         name, typ, tail = m.group(1), m.group(2), (m.group(3) or "")
+        gm = re.match(r"^AS\s+(.+)$", tail.strip(), re.I | re.S)
+        if gm:
+            generated[name] = pg_to_spark_sql(_unmask(gm.group(1).strip(), lits))
+            tail = ""
         if re.search(r"\bPRIMARY\s+KEY\b", tail, re.I):
             pk.append(name)
         dm = re.search(r"\bDEFAULT\s+(.+)$", tail, re.I | re.S)
@@ -260,12 +268,21 @@ def _parse_coldefs(spark: SparkSession, body: str):
             spark_t = _map_type(typ)
         fields.append(f"{name} {spark_t}")
     empty = spark.createDataFrame([], ", ".join(fields))
-    return empty, pk, defaults, watermark
+    # generated column referencing another generated column is an error
+    # (same restriction as the reference binder)
+    for gname, gexpr in generated.items():
+        for other in generated:
+            if other != gname and re.search(rf"\b{re.escape(other)}\b", gexpr):
+                raise ValueError(
+                    f"generated column {gname!r} cannot reference another "
+                    f"generated column {other!r}"
+                )
+    return empty, pk, defaults, watermark, generated
 
 
 def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     name, body = m.group(1), m.group(2)
-    empty, pk, defaults, watermark = _parse_coldefs(engine.spark, body)
+    empty, pk, defaults, watermark, generated = _parse_coldefs(engine.spark, body)
     user_pk = bool(pk)
     if not pk:
         empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
@@ -322,9 +339,15 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     t.append_only = bool(m.group("append"))
     t.on_conflict = conflict
     t.version_col = version_col
+    t.generated = generated
     engine._record_ddl(name, m.string)
     opts = _parse_with_options(m.group("with")) if m.group("with") else {}
     if opts.get("connector"):
+        if generated:
+            raise ValueError(
+                "generated columns on connector-backed tables are not "
+                "supported (ingest envelopes carry only stored columns)"
+            )
         # connector-backed table (CREATE TABLE ... WITH (...) FORMAT ...):
         # ingest the current file set now; Engine.poll_sources() folds
         # files that appear later (reference create_table.rs with a
@@ -487,8 +510,19 @@ def _aligned_insert_rows(engine: "Engine", t, cols: list[str] | None, rows: Data
     positional; missing columns take their DEFAULT (else NULL); everything
     is cast to the declared type (reference insert.rs fix-up casts)."""
     snap_schema = {f.name: f.dataType.simpleString() for f in t.snapshot().schema.fields}
-    target = [c for c in snap_schema if c != ROW_ID]
+    gen = getattr(t, "generated", {}) or {}
+    # generated columns are never insert targets: positional inserts
+    # cover only the stored columns (reference generated_columns.slt
+    # `insert into t2 values (1), (2)` with t2(v1 int, v2 int as v1+1))
+    target = [c for c in snap_schema if c != ROW_ID and c not in gen]
     defaults = getattr(t, "defaults", {})
+    if cols is not None:
+        bad = [c for c in (x.strip() for x in cols) if c in gen]
+        if bad:
+            raise ValueError(
+                f"cannot INSERT into generated column(s) {bad} — their "
+                "values are computed from the expression"
+            )
     if cols is None:
         src = rows.columns
         if len(src) > len(target):
@@ -520,6 +554,18 @@ def _aligned_insert_rows(engine: "Engine", t, cols: list[str] | None, rows: Data
             else:
                 sel.append(F.lit(None).cast(snap_schema[c]).alias(c))
         out = renamed.select(*sel)
+    if gen:
+        # compute generated columns from the stored ones, in declared
+        # column order, cast to the declared type
+        out = out.select(
+            *[
+                (F.expr(gen[c]) if c in gen else F.col(c))
+                .cast(snap_schema[c])
+                .alias(c)
+                for c in snap_schema
+                if c != ROW_ID
+            ]
+        )
     return out
 
 
@@ -606,11 +652,20 @@ def _handle_update(engine: "Engine", m: re.Match) -> DataFrame:
     else:
         setlist, returning = _split_returning(setlist)
     masked, lits = _mask_strings(setlist)
+    t = engine.tables[name]
+    gen = getattr(t, "generated", {}) or {}
     assignments = {}
     for item in _split_top_level(masked):
         am = re.match(r"^(\w+)\s*=\s*(.+)$", item, re.S)
         if not am:
             raise ValueError(f"cannot parse SET item: {_unmask(item, lits)!r}")
+        if am.group(1) in gen:
+            # reference generated_columns.slt: "update modifying the
+            # generated column is unsupported"
+            raise ValueError(
+                f"update modifying the generated column {am.group(1)!r} "
+                "is unsupported"
+            )
         assignments[am.group(1)] = F.expr(
             pg_to_spark_sql(_unmask(am.group(2).strip(), lits))
         )
@@ -701,11 +756,24 @@ def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
         pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
         if col in pks:
             raise ValueError(f"cannot drop primary-key column {col!r}")
+        gen = getattr(t, "generated", {}) or {}
+        refs = [
+            g for g, e in gen.items()
+            if g != col and re.search(rf"\b{re.escape(col)}\b", e)
+        ]
+        if refs:
+            # reference generated_columns.slt: dropping a referenced
+            # column fails; drop the generated column first
+            raise ValueError(
+                f"failed to drop column {col!r} because it's referenced "
+                f"by a generated column {refs[0]!r}"
+            )
 
         def transform(df: DataFrame) -> DataFrame:
             return df.drop(col)
 
         getattr(t, "defaults", {}).pop(col, None)
+        gen.pop(col, None)
     t.state.compact(transform=transform)
     t._register()
     # replayable: recorded under a unique key AFTER the CREATE TABLE
@@ -2020,7 +2088,7 @@ def _register_datagen_source(engine: "Engine", name: str, cols: str | None, opts
     `datagen.rows.per.second` (one emulated second)."""
     if not cols:
         raise ValueError(f"datagen source {name!r} needs a column list")
-    empty, _pk, _defaults, _wm = _parse_coldefs(engine.spark, cols)
+    empty, _pk, _defaults, _wm, _gen = _parse_coldefs(engine.spark, cols)
     fields = [(f.name, f.dataType.simpleString()) for f in empty.schema.fields]
     n = None
     for cname, _t in fields:

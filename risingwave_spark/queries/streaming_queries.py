@@ -2075,3 +2075,44 @@ def stream_approx_percentile_retract(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "engine_sql_generated_cols",
+    oracle="""
+SELECT bucket, count(*) AS n,
+       (CAST(sum(CAST(round(price_tax*100, 0) AS BIGINT)) AS BIGINT)/100.0) AS taxed
+FROM (
+  SELECT o_orderkey % 10 AS bucket, o_totalprice * 1.1 AS price_tax
+  FROM orders WHERE o_orderkey % 4 <> 0
+) g GROUP BY bucket ORDER BY bucket
+""",
+)
+def engine_sql_generated_cols(spark, sf_dir):
+    """Generated columns (reference `bind_sql_columns` generated-column
+    binding, e2e_test/ddl/table/generated_columns.slt.part): `AS expr`
+    columns compute on ingest and flow through DML — inserts, a DELETE,
+    and a downstream agg MV grouped BY a generated column stay exact."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_gc_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_gc (
+            o_orderkey int8 PRIMARY KEY,
+            o_totalprice float8,
+            bucket int8 AS o_orderkey % 10,
+            price_tax float8 AS o_totalprice * 1.1
+        );
+        CREATE MATERIALIZED VIEW rw_gc_mv AS
+        SELECT bucket, count(*) AS n,
+               sum(CAST(round(price_tax*100, 0) AS int8))/100.0D AS taxed
+        FROM rw_gc GROUP BY bucket
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_gc SELECT o_orderkey, o_totalprice FROM orders"
+    )
+    eng.sql("DELETE FROM rw_gc WHERE o_orderkey % 4 = 0")
+    return eng.sql("SELECT bucket, n, taxed FROM rw_gc_mv ORDER BY bucket")

@@ -443,6 +443,11 @@ def _parse_coldef_list(p: _P) -> None:
                         p.fail("unterminated type parameter list")
                     p.eat()
                 p.eat_op(")")
+            if p.at("AS"):
+                # generated column: name type AS expr (reference
+                # bind_sql_columns generated-column binding)
+                p.eat()
+                _scan_expr(p, {"PRIMARY", "NOT", "DEFAULT"})
             # qualifiers: PRIMARY KEY / NOT NULL / DEFAULT expr
             while True:
                 if p.at("PRIMARY"):

@@ -1633,3 +1633,54 @@ def test_approx_percentile_within_group_mv(eng):
     eng.sql("DELETE FROM apg WHERE id > 50")
     r = {g: p for g, p in _rows(eng.sql("SELECT g, p90 FROM apg_mv"))}
     assert abs(r["a"] - 45) <= 2 and abs(r["b"] - 45) <= 2, r
+
+
+# -------------------------------------------------------- generated columns
+def test_generated_columns(eng):
+    """Reference e2e_test/ddl/table/generated_columns.slt.part: `name
+    type AS expr` columns compute on INSERT (positional inserts cover
+    stored columns only), refresh on UPDATE of referenced columns,
+    reject direct UPDATE/INSERT, and guard ALTER DROP of referenced
+    columns."""
+    eng.sql(
+        "CREATE TABLE gct (v1 int AS v2-1, v2 int, v3 int AS v2+1.02, "
+        "v4 float8 AS v2 + 1.02)"
+    )
+    eng.sql("INSERT INTO gct (v2) VALUES (1), (2)")
+    assert _rows(eng.sql("SELECT v1, v2, v3, v4 FROM gct")) == [
+        (0, 1, 2, 2.02), (1, 2, 3, 3.02),
+    ]
+    with pytest.raises(ValueError, match="generated"):
+        eng.sql("UPDATE gct SET v1 = 1")
+    eng.sql("UPDATE gct SET v2 = 1")
+    assert _rows(eng.sql("SELECT v1, v2, v3, v4 FROM gct")) == [
+        (0, 1, 2, 2.02), (0, 1, 2, 2.02),
+    ]
+    eng.sql("CREATE TABLE gc2 (v1 int, v2 int AS v1+1)")
+    eng.sql("INSERT INTO gc2 VALUES (1), (2)")  # positional = stored only
+    assert _rows(eng.sql("SELECT v1, v2 FROM gc2")) == [(1, 2), (2, 3)]
+    with pytest.raises(ValueError, match="referenced by a generated column"):
+        eng.sql("ALTER TABLE gc2 DROP COLUMN v1")
+    eng.sql("ALTER TABLE gc2 DROP COLUMN v2")
+    eng.sql("ALTER TABLE gc2 DROP COLUMN v1")
+    with pytest.raises(ValueError, match="another"):
+        eng.sql("CREATE TABLE gc3 (a int, b int AS a+1, c int AS b+1)")
+    with pytest.raises(ValueError, match="generated"):
+        eng.sql("INSERT INTO gct (v1) VALUES (5)")
+
+
+def test_generated_columns_mv_and_restart(spark, tmp_path):
+    """MVs over generated columns stay exact under DML, and the
+    generated spec survives restart replay."""
+    wh = str(tmp_path / "wh_gen")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE gcr (id int PRIMARY KEY, v int, dbl int AS v*2)")
+    eng.sql("CREATE MATERIALIZED VIEW gcr_mv AS SELECT dbl, count(*) AS n FROM gcr GROUP BY dbl")
+    eng.sql("INSERT INTO gcr VALUES (1, 5), (2, 5), (3, 7)")
+    assert _rows(eng.sql("SELECT dbl, n FROM gcr_mv")) == [(10, 2), (14, 1)]
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("INSERT INTO gcr VALUES (4, 7)")
+    eng2.sql("DELETE FROM gcr WHERE id = 1")
+    assert _rows(eng2.sql("SELECT dbl, n FROM gcr_mv")) == [(10, 1), (14, 2)]
+    with pytest.raises(ValueError, match="generated"):
+        eng2.sql("UPDATE gcr SET dbl = 3")
