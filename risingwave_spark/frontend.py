@@ -800,6 +800,10 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
     if kind == "SINK":
         engine.sinks.pop(name, None)
         engine._unrecord_ddl([name])
+        inner = f"__sinkq_{name}"
+        if inner in engine.mv_handles:
+            # sink-from-query owns its internal MV — drop it with the sink
+            _execute_one(engine, f"DROP MATERIALIZED VIEW {inner}")
         return _status(spark, "DROP_SINK")
     if kind == "TABLE":
         if name not in engine.tables:
@@ -2182,8 +2186,28 @@ def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
     path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
     if not path:
         raise ValueError(f"sink {name!r}: file connector needs a path option")
-    if m.group("as") or src is None:
-        raise ValueError("CREATE SINK supports FROM <materialized view> only")
+    if m.group("as"):
+        # CREATE SINK ... AS <select> (reference `create_sink.rs`
+        # sink-from-query: the query gets its own streaming plan owned
+        # by the sink): materialize the query as an internal MV through
+        # the full CREATE MV path — same grammar, same incremental
+        # maintenance — and attach the changelog sink to it. Only the
+        # sink statement is recorded; replay recreates both through
+        # this same handler, and DROP SINK drops the internal MV.
+        inner = f"__sinkq_{name}"
+        if inner not in engine.mv_handles:
+            was = engine._replaying
+            engine._replaying = True
+            try:
+                _execute_one(
+                    engine,
+                    f"CREATE MATERIALIZED VIEW {inner} AS {m.group('as').strip()}",
+                )
+            finally:
+                engine._replaying = was
+        src = inner
+    elif src is None:
+        raise ValueError("CREATE SINK needs FROM <mv> or AS <select>")
     if src not in engine.mv_handles:
         raise ValueError(
             f"sink {name!r}: FROM relation {src!r} must be a materialized "

@@ -633,12 +633,29 @@ def _parse_create(p: _P) -> str:
             p.eat()
             p.ident("sink source relation")
         elif p.at("AS"):
-            raise SqlParseError(
-                "CREATE SINK ... AS <query> is not supported; create a "
-                "materialized view first and CREATE SINK ... FROM it"
-            )
+            # CREATE SINK ... AS <select> WITH (...) — sink-from-query
+            # (reference create_sink.rs). The body is re-validated by
+            # the full MV grammar when the handler creates the internal
+            # MV; here consume it structurally up to the trailing
+            # connector WITH ( ... ).
+            p.eat()
+            if not p.at("SELECT"):
+                p.fail("expected a SELECT body after CREATE SINK ... AS")
+            depth = 0
+            while p.peek() is not None:
+                t = p.peek()
+                if t.kind == "op":
+                    if t.val in ("(", "["):
+                        depth += 1
+                    elif t.val in (")", "]"):
+                        depth -= 1
+                elif t.kind == "ident" and t.up == "WITH" and depth == 0:
+                    nxt = p.peek(1)
+                    if nxt is not None and nxt.kind == "op" and nxt.val == "(":
+                        break
+                p.eat()
         else:
-            p.fail("expected FROM <mv> in CREATE SINK")
+            p.fail("expected FROM <mv> or AS <select> in CREATE SINK")
         _parse_with_options(p)
         p.expect_done("CREATE SINK")
         return "create_sink"

@@ -1684,3 +1684,46 @@ def test_generated_columns_mv_and_restart(spark, tmp_path):
     assert _rows(eng2.sql("SELECT dbl, n FROM gcr_mv")) == [(10, 1), (14, 2)]
     with pytest.raises(ValueError, match="generated"):
         eng2.sql("UPDATE gcr SET dbl = 3")
+
+
+def test_create_sink_as_query(spark, tmp_path):
+    """CREATE SINK ... AS <select> (reference `create_sink.rs`
+    sink-from-query): the query becomes an internal MV owned by the
+    sink, the changelog streams to the filesystem sink, restart resumes
+    without duplicating the snapshot, and DROP SINK removes the
+    internal MV and its table subscriptions."""
+    import glob
+
+    wh = str(tmp_path / "wh_sq")
+    sinkdir = str(tmp_path / "out")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE sqt (id int PRIMARY KEY, g text, v int)")
+    eng.sql(
+        f"CREATE SINK sq AS SELECT g, count(*) AS n, sum(v) AS total "
+        f"FROM sqt GROUP BY g WITH (connector='filesystem', path='{sinkdir}')"
+    )
+    eng.sql("INSERT INTO sqt VALUES (1,'a',10),(2,'a',20),(3,'b',5)")
+    eng.sql("DELETE FROM sqt WHERE id = 2")
+
+    def net_rows():
+        df = spark.read.option("recursiveFileLookup", "true").parquet(sinkdir)
+        return sorted(
+            tuple(r)
+            for r in (
+                df.groupBy("g", "n", "total")
+                .agg(F.sum("__op").alias("m"))
+                .filter("m > 0")
+                .select("g", "n", "total")
+            ).collect()
+        )
+
+    assert len(glob.glob(sinkdir + "/c*")) >= 2
+    assert net_rows() == [("a", 1, 10), ("b", 1, 5)]
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("INSERT INTO sqt VALUES (4,'b',7)")
+    assert net_rows() == [("a", 1, 10), ("b", 2, 12)]
+    eng2.sql("DROP SINK sq")
+    assert "__sinkq_sq" not in eng2.mv_handles
+    assert all(
+        all(h.name != "__sinkq_sq" for h in t.mvs) for t in eng2.tables.values()
+    )
