@@ -703,6 +703,144 @@ _ALTER_ADD = re.compile(
 _ALTER_DROP = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$", re.I
 )
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+(?P<kind>TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+"
+    r"(?P<old>\w+)\s+RENAME\s+TO\s+(?P<new>\w+)\s*$",
+    re.I,
+)
+
+
+def _handle_alter_rename(engine: "Engine", m: re.Match) -> DataFrame:
+    """ALTER {TABLE|MATERIALIZED VIEW|VIEW|SOURCE} x RENAME TO y
+    (reference `handler/alter_rename.rs`, e2e_test/ddl/alter_rename.slt).
+
+    Mechanics: the recorded catalog DDL is rewritten head-name-only
+    (replay then creates directly under the new name), the on-disk
+    state directory moves, and the in-memory object is rebuilt by
+    replaying the rewritten statement against the moved state (the
+    same re-attach path Engine.open uses — no data rewrite). Dependent
+    objects are NOT definition-rewritten (the reference does rewrite
+    them): renames of tables/MVs with dependents are rejected loudly —
+    a documented divergence. SINK rename is rejected (its durable
+    subscription cursor is keyed by the sink name)."""
+    kind = re.sub(r"\s+", " ", m.group("kind").upper())
+    old, new = m.group("old"), m.group("new")
+    spark = engine.spark
+    for ns in (engine.tables, engine.mv_handles, engine.views, engine.sources, engine.sinks):
+        if new in ns:
+            raise ValueError(f"cannot rename {old!r}: {new!r} already exists")
+
+    def rewrite_catalog(head_rx: str, extra_prefix: bool = False) -> list:
+        entries = engine._read_catalog()
+        renamed_stmts = []
+        for e in entries:
+            if e["name"] == old or (extra_prefix and e["name"].startswith(f"{old}#")):
+                e["stmt"] = re.sub(head_rx, rf"\g<1>{new}", e["stmt"], count=1, flags=re.I | re.S)
+                e["name"] = new + e["name"][len(old):]
+                renamed_stmts.append(e["stmt"])
+        import json as _json
+
+        tmp = engine._catalog_path() + ".tmp"
+        os.makedirs(engine.warehouse, exist_ok=True)
+        with open(tmp, "w") as f:
+            _json.dump(entries, f, indent=1)
+        os.replace(tmp, engine._catalog_path())
+        return renamed_stmts
+
+    if kind == "TABLE":
+        if old not in engine.tables:
+            raise ValueError(f"ALTER TABLE target {old!r} is not a table")
+        t = engine.tables[old]
+        if t.mvs:
+            raise ValueError(
+                f"cannot rename table {old!r}: dependent materialized views "
+                f"{[h.name for h in t.mvs]} reference it (drop them first; "
+                "the reference rewrites their definitions — this engine "
+                "does not)"
+            )
+        stmts = rewrite_catalog(
+            rf"^(\s*(?:CREATE|ALTER)\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b",
+            extra_prefix=True,
+        )
+        del engine.tables[old]
+        spark.catalog.dropTempView(old)
+        os.rename(
+            os.path.join(engine.warehouse, f"t_{old}"),
+            os.path.join(engine.warehouse, f"t_{new}"),
+        )
+        engine._replaying = True
+        try:
+            for s in stmts:
+                _execute_one(engine, s)
+        finally:
+            engine._replaying = False
+        return _status(spark, "ALTER_TABLE")
+    if kind == "MATERIALIZED VIEW":
+        if old not in engine.mv_handles:
+            raise ValueError(f"ALTER MATERIALIZED VIEW target {old!r} is not an MV")
+        h = engine.mv_handles[old]
+        v = h.view
+        deps = bool(getattr(v, "downstream", []))
+        if deps or (getattr(v, "emit_changelog", False)):
+            raise ValueError(
+                f"cannot rename MV {old!r}: downstream MVs, sinks or "
+                "subscriptions hold references to it (drop them first)"
+            )
+        stmts = rewrite_catalog(
+            rf"^(\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b"
+        )
+        if not stmts:
+            raise ValueError(
+                f"MV {old!r} was not created through the SQL surface — "
+                "rename is only supported for recorded DDL"
+            )
+        del engine.mv_handles[old]
+        for t in engine.tables.values():
+            t.mvs[:] = [x for x in t.mvs if x is not h and x.name != old]
+        for other in engine.mv_handles.values():
+            if v in getattr(other.view, "downstream", []):
+                other.view.downstream.remove(v)
+        if old in engine.temporal_mvs:
+            engine.temporal_mvs[new] = engine.temporal_mvs.pop(old)
+        spark.catalog.dropTempView(old)
+        for prefix in ("mv_", "jmv_", "umv_"):
+            src_dir = os.path.join(engine.warehouse, prefix + old)
+            if os.path.isdir(src_dir):
+                os.rename(src_dir, os.path.join(engine.warehouse, prefix + new))
+        engine._replaying = True
+        try:
+            for s in stmts:
+                _execute_one(engine, s)
+        finally:
+            engine._replaying = False
+        return _status(spark, "ALTER_MATERIALIZED_VIEW")
+    if kind == "VIEW":
+        if old not in engine.views:
+            raise ValueError(f"ALTER VIEW target {old!r} is not a view")
+        rewrite_catalog(rf"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b")
+        engine.views[new] = engine.views.pop(old)
+        spark.catalog.dropTempView(old)
+        engine._register_views()
+        return _status(spark, "ALTER_VIEW")
+    if kind == "SOURCE":
+        if old not in engine.sources:
+            raise ValueError(f"ALTER SOURCE target {old!r} is not a source")
+        stmts = rewrite_catalog(
+            rf"^(\s*CREATE\s+SOURCE\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b"
+        )
+        engine.sources.pop(old)
+        spark.catalog.dropTempView(old)
+        engine._replaying = True
+        try:
+            for s in stmts:
+                _execute_one(engine, s)
+        finally:
+            engine._replaying = False
+        return _status(spark, "ALTER_SOURCE")
+    raise ValueError(
+        "ALTER SINK ... RENAME is not supported: the sink's durable "
+        "subscription cursor is keyed by its name (drop and recreate)"
+    )
 
 
 def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
@@ -2370,6 +2508,7 @@ _KIND_DISPATCH = {
     "create_sink": (_CREATE_SINK, _handle_create_sink),
     "create_subscription": (_CREATE_SUB, _handle_create_subscription),
     "alter_table": (re.compile(r"^\s*ALTER\s+TABLE\b.*$", re.I | re.S), _handle_alter_table),
+    "alter_rename": (_ALTER_RENAME, _handle_alter_rename),
     "drop": (_DROP, _handle_drop),
     "insert": (_INSERT, _handle_insert),
     "update": (_UPDATE, _handle_update),

@@ -721,10 +721,29 @@ def classify(stmt: str) -> str:
         return _parse_create(p)
     if h == "ALTER":
         p.eat()
+        if p.at("MATERIALIZED") or p.at("VIEW", "SOURCE", "SINK"):
+            # ALTER <kind> x RENAME TO y (reference alter_rename.slt)
+            if p.at("MATERIALIZED"):
+                p.eat()
+                p.eat_kw("VIEW")
+            else:
+                p.eat()
+            p.ident("object name")
+            p.eat_kw("RENAME")
+            p.eat_kw("TO")
+            p.ident("new name")
+            p.expect_done("ALTER ... RENAME")
+            return "alter_rename"
         if not p.at("TABLE"):
-            p.fail("only ALTER TABLE is supported")
+            p.fail("only ALTER TABLE/MATERIALIZED VIEW/VIEW/SOURCE/SINK are supported")
         p.eat()
         p.ident("table name")
+        if p.at("RENAME"):
+            p.eat()
+            p.eat_kw("TO")
+            p.ident("new name")
+            p.expect_done("ALTER TABLE ... RENAME")
+            return "alter_rename"
         if p.at("ADD"):
             p.eat()
             if p.at("COLUMN"):

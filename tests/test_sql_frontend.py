@@ -1727,3 +1727,37 @@ def test_create_sink_as_query(spark, tmp_path):
     assert all(
         all(h.name != "__sinkq_sq" for h in t.mvs) for t in eng2.tables.values()
     )
+
+
+# ------------------------------------------------------------ ALTER RENAME
+def test_alter_rename_family(spark, tmp_path):
+    """ALTER TABLE/MATERIALIZED VIEW/VIEW ... RENAME TO (reference
+    `handler/alter_rename.rs`, e2e_test/ddl/alter_rename.slt): the
+    recorded DDL is head-renamed and replayed against the moved state
+    dir — data, conflict behavior, and incremental maintenance survive;
+    renames with dependents and SINK renames are rejected."""
+    wh = str(tmp_path / "wh_ren")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE ren (k int PRIMARY KEY, v int) ON CONFLICT OVERWRITE")
+    eng.sql("INSERT INTO ren VALUES (1, 10), (2, 20)")
+    eng.sql("ALTER TABLE ren ADD COLUMN w int DEFAULT 7")
+    eng.sql("ALTER TABLE ren RENAME TO ren2")
+    assert _rows(eng.sql("SELECT k, v, w FROM ren2")) == [(1, 10, 7), (2, 20, 7)]
+    eng.sql("INSERT INTO ren2 VALUES (1, 99, 1)")  # conflict behavior survives
+    assert _rows(eng.sql("SELECT k, v, w FROM ren2")) == [(1, 99, 1), (2, 20, 7)]
+    eng.sql(
+        "CREATE MATERIALIZED VIEW renmv AS SELECT v, count(*) AS n FROM ren2 GROUP BY v"
+    )
+    eng.sql("ALTER MATERIALIZED VIEW renmv RENAME TO renmv2")
+    eng.sql("INSERT INTO ren2 VALUES (3, 20, 0)")
+    assert _rows(eng.sql("SELECT v, n FROM renmv2")) == [(20, 2), (99, 1)]
+    with pytest.raises(ValueError, match="dependent"):
+        eng.sql("ALTER TABLE ren2 RENAME TO ren3")
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("DELETE FROM ren2 WHERE k = 3")
+    assert _rows(eng2.sql("SELECT v, n FROM renmv2")) == [(20, 1), (99, 1)]
+    eng2.sql("CREATE VIEW renv AS SELECT k FROM ren2 WHERE v > 50")
+    eng2.sql("ALTER VIEW renv RENAME TO renv2")
+    assert _rows(eng2.sql("SELECT * FROM renv2")) == [(1,)]
+    with pytest.raises(ValueError, match="not supported"):
+        eng2.sql("ALTER SINK nosink RENAME TO x")
