@@ -425,3 +425,117 @@ def nexmark_mv_q105_top(spark, sf_dir):
     return eng.sql(
         "SELECT auction, bid_count FROM nx_q105 ORDER BY bid_count DESC, auction LIMIT 100"
     )
+
+
+@register(
+    "nexmark_mv_q14_calc",
+    oracle=f"""
+SELECT event_id, auction, bidder, price * 0.908 AS price_eur,
+  CASE WHEN extract(hour FROM ts) >= 8 AND extract(hour FROM ts) <= 18 THEN 'dayTime'
+       WHEN extract(hour FROM ts) <= 6 OR extract(hour FROM ts) >= 20 THEN 'nightTime'
+       ELSE 'otherTime' END AS bid_time_type,
+  ts
+FROM {SURV_BIDS} b WHERE price * 0.908 > 100
+ORDER BY event_id
+""",
+)
+def nexmark_mv_q14_calc(spark, sf_dir):
+    """Nexmark q14 through the MV runtime (reference
+    `e2e_test/streaming/nexmark/views/q14.slt.part`): a row-grain
+    expression+filter MV — currency conversion and the day/night CASE
+    maintain per batch, deletes retract their rows exactly."""
+    eng = _bid_engine(
+        spark,
+        sf_dir,
+        "rw_nxmv14_",
+        """
+        CREATE MATERIALIZED VIEW nx_q14 AS
+        SELECT event_id AS event_id, auction AS auction, bidder AS bidder,
+               price * 0.908 AS price_eur,
+               CASE WHEN extract(hour FROM ts) >= 8 AND extract(hour FROM ts) <= 18 THEN 'dayTime'
+                    WHEN extract(hour FROM ts) <= 6 OR extract(hour FROM ts) >= 20 THEN 'nightTime'
+                    ELSE 'otherTime' END AS bid_time_type,
+               ts AS ts
+        FROM bid WHERE price * 0.908 > 100
+        """,
+    )
+    return eng.sql(
+        "SELECT event_id, auction, bidder, price_eur, bid_time_type, ts "
+        "FROM nx_q14 ORDER BY event_id"
+    )
+
+
+@register(
+    "nexmark_mv_q15_bid_stats",
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m-%d') AS dt,
+       count(*) AS total_bids,
+       count(*) FILTER (WHERE price < 20) AS rank1_bids,
+       count(*) FILTER (WHERE price >= 20 AND price < 100) AS rank2_bids,
+       count(DISTINCT bidder) AS total_bidders,
+       count(DISTINCT bidder) FILTER (WHERE price >= 100) AS rank3_bidders,
+       count(DISTINCT auction) AS total_auctions
+FROM {SURV_BIDS} b GROUP BY dt ORDER BY dt
+""",
+)
+def nexmark_mv_q15_bid_stats(spark, sf_dir):
+    """Nexmark q15 through the MV runtime (reference
+    `views/q15.slt.part`; distinct-dedup state `aggregation/distinct.rs`):
+    per-day banded counts mixing FILTER clauses with DISTINCT columns,
+    grouped by a DERIVED key (the date expression) — the key_of
+    annotation path — maintained under inserts and retraction."""
+    eng = _bid_engine(
+        spark,
+        sf_dir,
+        "rw_nxmv15_",
+        """
+        CREATE MATERIALIZED VIEW nx_q15 AS
+        SELECT date_format(ts, 'yyyy-MM-dd') AS dt,
+               count(*) AS total_bids,
+               count(*) FILTER (WHERE price < 20) AS rank1_bids,
+               count(*) FILTER (WHERE price >= 20 AND price < 100) AS rank2_bids,
+               count(DISTINCT bidder) AS total_bidders,
+               count(DISTINCT bidder) FILTER (WHERE price >= 100) AS rank3_bidders,
+               count(DISTINCT auction) AS total_auctions
+        FROM bid GROUP BY date_format(ts, 'yyyy-MM-dd')
+        """,
+    )
+    return eng.sql(
+        "SELECT dt, total_bids, rank1_bids, rank2_bids, total_bidders, "
+        "rank3_bidders, total_auctions FROM nx_q15 ORDER BY dt"
+    )
+
+
+@register(
+    "nexmark_mv_q18_last_bid",
+    oracle=f"""
+SELECT auction, bidder, price, channel, ts FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY bidder, auction ORDER BY ts DESC, price DESC, event_id DESC) AS rn
+  FROM {SURV_BIDS} b) s WHERE rn <= 1
+ORDER BY auction, bidder
+""",
+)
+def nexmark_mv_q18_last_bid(spark, sf_dir):
+    """Nexmark q18 through the MV runtime, spelled as the reference's
+    DISTINCT ON plan (`views/q18.slt.part` keeps each bidder's latest
+    bid per auction): the DISTINCT ON MV re-elects the next-latest bid
+    when a DELETE removes the current winner — streaming
+    dedup-keep-last with retraction."""
+    eng = _bid_engine(
+        spark,
+        sf_dir,
+        "rw_nxmv18_",
+        """
+        CREATE MATERIALIZED VIEW nx_q18 AS
+        SELECT DISTINCT ON (bidder, auction)
+               auction AS auction, bidder AS bidder, price AS price,
+               channel AS channel, ts AS ts
+        FROM bid
+        ORDER BY bidder, auction, ts DESC, price DESC, event_id DESC
+        """,
+    )
+    return eng.sql(
+        "SELECT auction, bidder, price, channel, ts FROM nx_q18 "
+        "ORDER BY auction, bidder"
+    )
