@@ -737,3 +737,63 @@ def ch_mv_q18(spark, sf_dir):
         "SELECT c_nm AS c_name, o_id AS o_orderkey, n_lines, total_qty "
         "FROM ch18mv ORDER BY c_name, o_orderkey"
     )
+
+
+@register(
+    "ch_mv_q9",
+    oracle="""
+SELECT p_brand, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM (SELECT * FROM part WHERE p_partkey % 4 <> 0) p
+JOIN (SELECT * FROM lineitem WHERE l_linenumber <> 3) l ON p_partkey = l_partkey
+JOIN (SELECT * FROM supplier WHERE s_suppkey % 11 <> 0) s ON l_suppkey = s_suppkey
+JOIN (SELECT * FROM orders WHERE o_orderkey % 6 <> 0) o ON l_orderkey = o_orderkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ch_mv_q9(spark, sf_dir):
+    """CH-benCHmark Q9 shape as a FOUR-way stream-stream join MV
+    (streaming suite `q9.slt.part`: part ⋈ orderline ⋈ supplier ⋈
+    orders, every input a changelog — the deepest left-deep
+    StreamJoinChainMv exercised through the SQL front door): per-brand
+    revenue; the delete round hits ALL FOUR tables and each retraction
+    cascades through three join levels into the agg."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_chmv9_"))
+    eng.sql(
+        """
+        CREATE TABLE ch9_p (p_partkey int8 PRIMARY KEY, p_brand text);
+        CREATE TABLE ch9_l (
+            l_orderkey int8, l_linenumber int4, l_partkey int8,
+            l_suppkey int8, l_extendedprice float8,
+            PRIMARY KEY (l_orderkey, l_linenumber)
+        );
+        CREATE TABLE ch9_s (s_suppkey int8 PRIMARY KEY, s_name text);
+        CREATE TABLE ch9_o (o_orderkey int8 PRIMARY KEY, o_orderdate date);
+        CREATE MATERIALIZED VIEW ch9mv AS
+        SELECT p_brand, count(*) AS n,
+               sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS rev_cents
+        FROM ch9_p
+        JOIN ch9_l ON p_partkey = l_partkey
+        JOIN ch9_s ON l_suppkey = s_suppkey
+        JOIN ch9_o ON l_orderkey = o_orderkey
+        GROUP BY p_brand
+        """
+    )
+    eng.sql("INSERT INTO ch9_p SELECT p_partkey, p_brand FROM part")
+    eng.sql("INSERT INTO ch9_s SELECT s_suppkey, s_name FROM supplier")
+    sel = (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        "l_extendedprice FROM lineitem"
+    )
+    eng.sql(f"INSERT INTO ch9_l {sel} WHERE l_orderkey % 2 = 0")
+    eng.sql("INSERT INTO ch9_o SELECT o_orderkey, o_orderdate FROM orders")
+    eng.sql(f"INSERT INTO ch9_l {sel} WHERE l_orderkey % 2 = 1")
+    # retraction round on every input
+    eng.sql("DELETE FROM ch9_p WHERE p_partkey % 4 = 0")
+    eng.sql("DELETE FROM ch9_l WHERE l_linenumber = 3")
+    eng.sql("DELETE FROM ch9_s WHERE s_suppkey % 11 = 0")
+    eng.sql("DELETE FROM ch9_o WHERE o_orderkey % 6 = 0")
+    return eng.sql("SELECT p_brand, n, rev_cents FROM ch9mv ORDER BY p_brand")
