@@ -1911,6 +1911,130 @@ def _handle_create_distinct_on_mv(
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
+def _handle_create_grouping_sets_mv(
+    engine: "Engine",
+    name: str,
+    stmt: str,
+    sm: re.Match,
+    gb: re.Match,
+    select_items: list,
+    lits,
+    has_join: bool,
+    base: str,
+) -> DataFrame:
+    """CREATE MV ... GROUP BY GROUPING SETS/CUBE/ROLLUP (reference
+    stream Expand executor `src/stream/src/executor/expand.rs` —
+    grouping-sets expansion ON CHANGELOGS — feeding HashAgg): every
+    changelog row explodes into one row per grouping set (non-member
+    columns nulled, plus a hidden set id) via the MV's key_of hook, so
+    the ordinary affected-group recompute maintains all sets at once —
+    inserts AND deletes. The set id is a hidden carrier: it keys the
+    state (a set-NULL and a genuine NULL are different groups, standard
+    SQL) and is stripped from the visible result and the subscription
+    changelog."""
+    if has_join or base not in engine.tables:
+        raise ValueError(
+            "GROUPING SETS/CUBE/ROLLUP MVs must read a single TABLE directly"
+        )
+    if gb.group(2):
+        raise ValueError(
+            "HAVING with GROUPING SETS in an MV body is not supported; "
+            "filter a downstream MV instead"
+        )
+    gtxt = gb.group(1).strip()
+    gm = re.match(
+        r"^(?P<kind>GROUPING\s+SETS|CUBE|ROLLUP)\s*\((?P<body>.*)\)\s*$",
+        gtxt,
+        re.I | re.S,
+    )
+    if not gm:
+        raise ValueError(f"cannot parse grouping clause: {gtxt!r}")
+    kind = re.sub(r"\s+", " ", gm.group("kind").upper())
+    body = gm.group("body")
+
+    def cols_of(piece: str) -> tuple:
+        piece = piece.strip()
+        if piece.startswith("(") and piece.endswith(")"):
+            piece = piece[1:-1]
+        out = tuple(
+            c.strip() for c in _split_top_level(piece) if c.strip()
+        )
+        for c in out:
+            if not _IDENT.match(c):
+                raise ValueError(
+                    f"grouping sets support plain columns only, got {c!r}"
+                )
+        return out
+
+    if kind == "GROUPING SETS":
+        sets = [cols_of(p) for p in _split_top_level(body)]
+    else:
+        cols = cols_of(body)
+        if kind == "CUBE":
+            from itertools import combinations
+
+            sets = [
+                tuple(c for c in cols if c in sub)
+                for r in range(len(cols), -1, -1)
+                for sub in combinations(cols, r)
+            ]
+        else:  # ROLLUP
+            sets = [cols[:i] for i in range(len(cols), -1, -1)]
+    if not sets:
+        raise ValueError("empty grouping-set list")
+    all_cols = list(dict.fromkeys(c for s in sets for c in s))
+    base_cols = engine.tables[base].snapshot().columns
+    missing = [c for c in all_cols if c not in base_cols]
+    if missing:
+        raise ValueError(f"grouping columns {missing} not in table {base!r}")
+    out_names = {a for _, a in select_items if a}
+    not_selected = [c for c in all_cols if c not in out_names]
+    if not_selected:
+        raise ValueError(
+            f"grouping columns {not_selected} must appear in the select "
+            "list (they are the MV's visible group keys)"
+        )
+    keys = all_cols + ["__gid"]
+    tmp = f"__mv_src_{name}"
+    sel_text = sm.group("select")
+    mv_body = pg_to_spark_sql(
+        _unmask(
+            f"SELECT {sel_text}, __gid FROM {tmp} GROUP BY "
+            + ", ".join(all_cols)
+            + ", __gid",
+            lits,
+        )
+    )
+    spark = engine.spark
+
+    def recompute(rows: DataFrame) -> DataFrame:
+        rows.createOrReplaceTempView(tmp)
+        return spark.sql(mv_body)
+
+    def key_of(rows: DataFrame) -> DataFrame:
+        dtypes = {f.name: f.dataType for f in rows.schema.fields}
+        structs = []
+        for i, s in enumerate(sets):
+            fields = [
+                (F.col(c) if c in s else F.lit(None).cast(dtypes[c])).alias(c)
+                for c in all_cols
+            ] + [F.lit(i).alias("__gid")]
+            structs.append(F.struct(*fields))
+        payload = [c for c in rows.columns if c not in all_cols]
+        ex = rows.select(*payload, F.explode(F.array(*structs)).alias("__gs"))
+        return ex.select(
+            *payload,
+            *[F.col(f"__gs.{c}").alias(c) for c in all_cols],
+            F.col("__gs.__gid").alias("__gid"),
+        )
+
+    engine.create_materialized_view(
+        name, base, keys, recompute, key_of=key_of, hidden=["__gid"]
+    )
+    engine._record_ddl(name, stmt)
+    return _status(spark, "CREATE_MATERIALIZED_VIEW")
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
@@ -2048,6 +2172,10 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
         else engine.mv_handles[base].view.result().columns
     )
 
+    if gb and re.match(r"^\s*(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", gb.group(1), re.I):
+        return _handle_create_grouping_sets_mv(
+            engine, name, m.string, sm, gb, select_items, lits, has_join, base
+        )
     keys: list[str] = []
     derived: dict[str, str] = {}  # alias -> expr (needs key_of annotation)
     base_prefixes = tuple(

@@ -2116,3 +2116,46 @@ def engine_sql_generated_cols(spark, sf_dir):
     )
     eng.sql("DELETE FROM rw_gc WHERE o_orderkey % 4 = 0")
     return eng.sql("SELECT bucket, n, taxed FROM rw_gc_mv ORDER BY bucket")
+
+
+@register(
+    "engine_sql_grouping_sets_mv",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS prio, count(*) AS n,
+       (CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)/100.0) AS total
+FROM orders WHERE o_orderkey % 5 <> 0
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status NULLS FIRST, prio NULLS FIRST
+""",
+)
+def engine_sql_grouping_sets_mv(spark, sf_dir):
+    """GROUPING SETS as a maintained MV (reference stream Expand
+    executor `src/stream/src/executor/expand.rs` feeding HashAgg —
+    e2e batch twin `e2e_test/batch/grouping_sets/`): three grouping
+    sets maintained at once; the DELETE round retracts from every set
+    it touches."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_gs_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_gs (
+            o_orderkey int8 PRIMARY KEY, status text, prio text,
+            o_totalprice float8
+        );
+        CREATE MATERIALIZED VIEW rw_gs_mv AS
+        SELECT status, prio, count(*) AS n,
+               sum(CAST(round(o_totalprice*100, 0) AS int8))/100.0D AS total
+        FROM rw_gs GROUP BY GROUPING SETS ((status, prio), (status), ())
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_gs SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        "o_totalprice FROM orders"
+    )
+    eng.sql("DELETE FROM rw_gs WHERE o_orderkey % 5 = 0")
+    return eng.sql(
+        "SELECT status, prio, n, total FROM rw_gs_mv "
+        "ORDER BY status NULLS FIRST, prio NULLS FIRST"
+    )

@@ -1761,3 +1761,42 @@ def test_alter_rename_family(spark, tmp_path):
     assert _rows(eng2.sql("SELECT * FROM renv2")) == [(1,)]
     with pytest.raises(ValueError, match="not supported"):
         eng2.sql("ALTER SINK nosink RENAME TO x")
+
+
+# ----------------------------------------------------------- GROUPING SETS
+def test_grouping_sets_mv(eng, spark):
+    """CREATE MV ... GROUP BY GROUPING SETS/CUBE/ROLLUP (reference
+    stream Expand executor `src/stream/src/executor/expand.rs`): every
+    changelog row explodes per grouping set through the key_of hook, so
+    inserts AND deletes maintain all sets; the hidden set id keys the
+    state and never leaks into the result."""
+
+    def norm(df):
+        return sorted(
+            tuple("N" if x is None else str(x) for x in r) for r in df.collect()
+        )
+
+    eng.sql("CREATE TABLE gst (id int PRIMARY KEY, a text, b text, v int)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW gst_mv AS SELECT a, b, count(*) AS n, "
+        "sum(v) AS total FROM gst GROUP BY GROUPING SETS ((a, b), (a), ())"
+    )
+    eng.sql("CREATE MATERIALIZED VIEW gst_cube AS SELECT a, b, count(*) AS n FROM gst GROUP BY CUBE (a, b)")
+    eng.sql("INSERT INTO gst VALUES (1,'x','p',10),(2,'x','q',20),(3,'y','p',5)")
+    eng.sql("DELETE FROM gst WHERE id = 2")
+    exp = spark.sql(
+        "SELECT a, b, count(*) n, sum(v) total FROM (VALUES ('x','p',10),"
+        "('y','p',5)) AS t(a,b,v) GROUP BY GROUPING SETS ((a,b),(a),())"
+    )
+    assert norm(eng.sql("SELECT a, b, n, total FROM gst_mv")) == norm(exp)
+    expc = spark.sql(
+        "SELECT a, b, count(*) n FROM (VALUES ('x','p',10),('y','p',5)) "
+        "AS t(a,b,v) GROUP BY CUBE(a,b)"
+    )
+    assert norm(eng.sql("SELECT a, b, n FROM gst_cube")) == norm(expc)
+    assert "__gid" not in eng.sql("SELECT * FROM gst_mv").columns
+    with pytest.raises(ValueError, match="select list"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW gst_bad AS SELECT a, count(*) AS n "
+            "FROM gst GROUP BY GROUPING SETS ((a, b), (a))"
+        )
