@@ -163,10 +163,12 @@ def test_pg_spellings_in_dml(eng):
 def test_unsupported_mv_shapes_raise(eng):
     eng.sql("CREATE TABLE j1 (k int4 PRIMARY KEY)")
     eng.sql("CREATE TABLE j2 (k int4 PRIMARY KEY)")
-    with pytest.raises(ValueError, match="set-ops"):
+    # UNION is supported since round 5 — INTERSECT remains a parse-time
+    # rejection
+    with pytest.raises(Exception, match="INTERSECT/EXCEPT"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT k FROM j1 UNION SELECT k FROM j2"
+            "SELECT k FROM j1 INTERSECT SELECT k FROM j2"
         )
     with pytest.raises(ValueError, match="spliced?|selected"):
         eng.sql(
