@@ -345,20 +345,54 @@ class StreamUnionMv:
     value-tuples the batch touched. No arm ever rescans another arm's
     state."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, out_cols: list[str], distinct: bool):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        out_cols: list[str],
+        setop: str | bool = "union_all",
+    ):
+        # bool kept for source compat with the round-5 UNION-only shape
+        if setop is True:
+            setop = "union"
+        elif setop is False:
+            setop = "union_all"
+        if setop not in ("union_all", "union", "intersect", "except"):
+            raise ValueError(f"unknown set operation {setop!r}")
         inner = ["__ubranch", "__urid"]
         self.out_cols = list(out_cols)
+        self.setop = setop
         self.rows = MaterializedView(
             spark, os.path.join(state_dir, "rows"), inner, inner, lambda r: r
         )
         self.distinct: MaterializedView | None = None
-        if distinct:
+        if setop == "union":
+            recompute = lambda r, cols=tuple(self.out_cols): r.select(*cols).distinct()
+        elif setop in ("intersect", "except"):
+            # set semantics over per-arm PRESENCE (reference
+            # e2e_test/streaming/{intersect,except}.slt.part: a tuple is
+            # visible iff arm 0 holds it AND arm 1 does (intersect) /
+            # does not (except), regardless of multiplicities)
+            want1 = 1 if setop == "intersect" else 0
+
+            def recompute(r, cols=tuple(self.out_cols), want1=want1):
+                agg = r.groupBy(*cols).agg(
+                    F.max(F.when(F.col("__ubranch") == 0, 1).otherwise(0)).alias("__p0"),
+                    F.max(F.when(F.col("__ubranch") == 1, 1).otherwise(0)).alias("__p1"),
+                )
+                return agg.filter(
+                    (F.col("__p0") == 1) & (F.col("__p1") == want1)
+                ).select(*cols)
+
+        else:
+            recompute = None
+        if recompute is not None:
             self.distinct = MaterializedView(
                 spark,
                 os.path.join(state_dir, "distinct"),
                 self.out_cols,
                 inner,
-                lambda r, cols=tuple(self.out_cols): r.select(*cols).distinct(),
+                recompute,
             )
             self.rows.downstream.append(self.distinct)
 
@@ -715,16 +749,17 @@ class Engine:
         name: str,
         branches: list,
         out_cols: list[str],
-        distinct: bool,
+        setop: str | bool = "union_all",
     ) -> MaterializedViewHandle:
-        """CREATE MATERIALIZED VIEW over UNION [ALL] of single-table
-        arms (see StreamUnionMv). `branches` = [(table_name, transform)]
-        where transform maps a changelog batch (op column included) of
-        the arm's table to the arm's output rows plus (__ubranch,
-        __urid, op). Backfills each arm from its table's
-        current snapshot; a re-opened MV re-attaches instead."""
+        """CREATE MATERIALIZED VIEW over UNION [ALL] / INTERSECT /
+        EXCEPT of single-table arms (see StreamUnionMv). `branches` =
+        [(table_name, transform)] where transform maps a changelog
+        batch (op column included) of the arm's table to the arm's
+        output rows plus (__ubranch, __urid, op). Backfills each arm
+        from its table's current snapshot; a re-opened MV re-attaches
+        instead."""
         umv = StreamUnionMv(
-            self.spark, os.path.join(self.warehouse, f"umv_{name}"), out_cols, distinct
+            self.spark, os.path.join(self.warehouse, f"umv_{name}"), out_cols, setop
         )
         if not umv.rows.mv.exists():
             for i, (tbl, transform) in enumerate(branches):

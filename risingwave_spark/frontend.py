@@ -1686,20 +1686,27 @@ def _handle_create_over_window_mv(
 
 
 def _split_top_level_union(masked: str):
-    """Split a masked MV body on top-level UNION [ALL]; returns
-    (arm_texts, separators) with separators in {'ALL', 'DISTINCT'}."""
+    """Split a masked MV body on top-level UNION [ALL] / INTERSECT /
+    EXCEPT; returns (arm_texts, separators) with separators in
+    {'ALL', 'DISTINCT', 'INTERSECT', 'EXCEPT'}."""
     parts: list[str] = []
     seps: list[str] = []
     depth, start = 0, 0
-    for mm in re.finditer(r"[()]|\bUNION(?:\s+ALL)?\b", masked, re.I):
+    for mm in re.finditer(
+        r"[()]|\bUNION(?:\s+ALL)?\b|\bINTERSECT\b|\bEXCEPT\b", masked, re.I
+    ):
         tok = mm.group(0)
         if tok == "(":
             depth += 1
         elif tok == ")":
             depth -= 1
         elif depth == 0:
+            up = tok.upper()
             parts.append(masked[start : mm.start()])
-            seps.append("ALL" if re.search(r"\bALL\b", tok, re.I) else "DISTINCT")
+            if up.startswith("UNION"):
+                seps.append("ALL" if "ALL" in up.split() else "DISTINCT")
+            else:
+                seps.append(up)
             start = mm.end()
     parts.append(masked[start:])
     return parts, seps
@@ -1726,11 +1733,21 @@ def _handle_create_union_mv(
 
     if len(set(seps)) > 1:
         raise ValueError(
-            "mixing UNION and UNION ALL in one MV body is not supported; "
+            "mixing set-op kinds in one MV body is not supported; "
             "use one kind throughout (PG left-associative mixed set-ops "
             "are not incrementally plannable in this surface)"
         )
-    distinct = seps[0] == "DISTINCT"
+    setop = {
+        "ALL": "union_all",
+        "DISTINCT": "union",
+        "INTERSECT": "intersect",
+        "EXCEPT": "except",
+    }[seps[0]]
+    if setop in ("intersect", "except") and len(parts) != 2:
+        raise ValueError(
+            f"{seps[0]} in an MV body supports exactly two arms "
+            "(materialize longer chains as MV-on-MV)"
+        )
     arms: list[tuple[str, str | None, list[str], str | None]] = []
     for part in parts:
         for kw, msg in (
@@ -1823,7 +1840,7 @@ def _handle_create_union_mv(
 
         branches.append((tbl, transform))
 
-    engine.create_union_mv(name, branches, out_names, distinct)
+    engine.create_union_mv(name, branches, out_names, setop)
     engine._record_ddl(name, stmt)
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 

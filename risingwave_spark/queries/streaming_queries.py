@@ -2159,3 +2159,94 @@ def engine_sql_grouping_sets_mv(spark, sf_dir):
         "SELECT status, prio, n, total FROM rw_gs_mv "
         "ORDER BY status NULLS FIRST, prio NULLS FIRST"
     )
+
+
+@register(
+    "engine_sql_mv_intersect",
+    oracle="""
+SELECT seg FROM (
+  SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 <> 0
+  INTERSECT
+  SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 11 <> 0
+) u ORDER BY seg
+""",
+)
+def engine_sql_mv_intersect(spark, sf_dir):
+    """Streaming INTERSECT MV (reference
+    e2e_test/streaming/intersect.slt.part): set-semantic presence in
+    BOTH changelog arms, maintained under deletes on each side."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_imv_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_ia (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE TABLE rw_ib (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE MATERIALIZED VIEW rw_imv AS
+        SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS varchar) AS seg
+        FROM rw_ia
+        INTERSECT
+        SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS varchar) AS seg
+        FROM rw_ib
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_ia SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_ib SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 3 = 0"
+    )
+    eng.sql("DELETE FROM rw_ia WHERE c_custkey % 7 = 0")
+    eng.sql("DELETE FROM rw_ib WHERE c_custkey % 11 = 0")
+    return eng.sql("SELECT seg FROM rw_imv ORDER BY seg")
+
+
+@register(
+    "engine_sql_mv_except",
+    oracle="""
+SELECT seg FROM (
+  SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 7 <> 0
+  EXCEPT
+  SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 11 <> 0
+) u ORDER BY seg
+""",
+)
+def engine_sql_mv_except(spark, sf_dir):
+    """Streaming EXCEPT MV (reference
+    e2e_test/streaming/except.slt.part): tuples present in arm 0 and
+    absent from arm 1, re-evaluated as deletes land on either arm —
+    a delete on arm 1 can make a tuple APPEAR."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_emv_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_ea (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE TABLE rw_eb (c_custkey int8 PRIMARY KEY, c_mktsegment text);
+        CREATE MATERIALIZED VIEW rw_emv AS
+        SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS varchar) AS seg
+        FROM rw_ea
+        EXCEPT
+        SELECT c_mktsegment || '#' || CAST(c_custkey % 40 AS varchar) AS seg
+        FROM rw_eb
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_ea SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_eb SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_custkey % 3 = 0"
+    )
+    eng.sql("DELETE FROM rw_ea WHERE c_custkey % 7 = 0")
+    eng.sql("DELETE FROM rw_eb WHERE c_custkey % 11 = 0")
+    return eng.sql("SELECT seg FROM rw_emv ORDER BY seg")

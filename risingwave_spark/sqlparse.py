@@ -582,17 +582,19 @@ def _parse_create(p: _P) -> str:
         # core grammar; the frontend handler enforces the arm shape
         # (single engine table, no GROUP BY/joins) with targeted errors.
         while p.at("UNION", "INTERSECT", "EXCEPT"):
-            if not p.at("UNION"):
-                raise SqlParseError(
-                    "INTERSECT/EXCEPT in a materialized-view body are not "
-                    "supported; only UNION [ALL] is"
-                )
+            is_union = p.at("UNION")
             p.eat()
             if p.at("ALL"):
+                if not is_union:
+                    raise SqlParseError(
+                        "INTERSECT ALL / EXCEPT ALL in a materialized-view "
+                        "body are not supported (set semantics only, as in "
+                        "the reference streaming suite)"
+                    )
                 p.eat()
             if p.at("CORRESPONDING"):
                 raise SqlParseError(
-                    "UNION CORRESPONDING is not supported; list matching "
+                    "CORRESPONDING set-ops are not supported; list matching "
                     "columns explicitly in each arm"
                 )
             _parse_select_core(p, mv=True)

@@ -261,9 +261,10 @@ def test_grammar_accepts_supported_mv_bodies(body, name, ws):
         [
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM (SELECT k FROM t) s",
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t LIMIT 5",
-            # UNION [ALL] is supported since round 5; INTERSECT/EXCEPT
-            # and CORRESPONDING remain parse-time rejections
-            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t INTERSECT SELECT k FROM u",
+            # UNION/INTERSECT/EXCEPT are supported since round 5; the
+            # ALL variants of intersect/except and CORRESPONDING remain
+            # parse-time rejections
+            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t INTERSECT ALL SELECT k FROM u",
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t UNION CORRESPONDING SELECT k FROM u",
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t JOIN u USING (k)",
             "CREATE TABLE {n} (k int4 PRIMARY KEY,)",

@@ -163,12 +163,12 @@ def test_pg_spellings_in_dml(eng):
 def test_unsupported_mv_shapes_raise(eng):
     eng.sql("CREATE TABLE j1 (k int4 PRIMARY KEY)")
     eng.sql("CREATE TABLE j2 (k int4 PRIMARY KEY)")
-    # UNION is supported since round 5 — INTERSECT remains a parse-time
-    # rejection
-    with pytest.raises(Exception, match="INTERSECT/EXCEPT"):
+    # UNION/INTERSECT/EXCEPT are supported since round 5 — the ALL
+    # variants of intersect/except remain parse-time rejections
+    with pytest.raises(Exception, match="INTERSECT ALL"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT k FROM j1 INTERSECT SELECT k FROM j2"
+            "SELECT k FROM j1 INTERSECT ALL SELECT k FROM j2"
         )
     with pytest.raises(ValueError, match="spliced?|selected"):
         eng.sql(
@@ -1362,12 +1362,12 @@ def test_union_mv_restart_and_drop(spark, tmp_path):
 def test_union_mv_rejects_unsupported_shapes(eng):
     eng.sql("CREATE TABLE sa (id int8 PRIMARY KEY, v int8)")
     eng.sql("CREATE TABLE sb (id int8 PRIMARY KEY, v int8)")
-    with pytest.raises(Exception, match="INTERSECT/EXCEPT"):
+    with pytest.raises(Exception, match="EXCEPT ALL"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad1 AS "
-            "SELECT v FROM sa INTERSECT SELECT v FROM sb"
+            "SELECT v FROM sa EXCEPT ALL SELECT v FROM sb"
         )
-    with pytest.raises(ValueError, match="mixing UNION and UNION ALL"):
+    with pytest.raises(ValueError, match="mixing set-op kinds"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad2 AS "
             "SELECT v AS v FROM sa UNION ALL SELECT v AS v FROM sb "
@@ -1801,4 +1801,40 @@ def test_grouping_sets_mv(eng, spark):
         eng.sql(
             "CREATE MATERIALIZED VIEW gst_bad AS SELECT a, count(*) AS n "
             "FROM gst GROUP BY GROUPING SETS ((a, b), (a))"
+        )
+
+
+def test_intersect_except_mv_sql(eng):
+    """Streaming INTERSECT/EXCEPT MVs (reference
+    e2e_test/streaming/{intersect,except}.slt.part): SET semantics over
+    per-arm presence — a tuple is visible iff arm 0 holds it AND arm 1
+    does (intersect) / does not (except), independent of
+    multiplicities; deletes on either arm re-evaluate the tuple."""
+    eng.sql("CREATE TABLE ie1 (id int PRIMARY KEY, v1 int, v2 int)")
+    eng.sql("CREATE TABLE ie2 (id int PRIMARY KEY, v1 int, v3 int)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW ie_i AS SELECT v1 AS v1, v2 AS v2 FROM ie1 "
+        "INTERSECT SELECT v1 AS v1, v3 AS v2 FROM ie2"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW ie_e AS SELECT v1 AS v1, v2 AS v2 FROM ie1 "
+        "EXCEPT SELECT v1 AS v1, v3 AS v2 FROM ie2"
+    )
+    eng.sql("INSERT INTO ie1 VALUES (1,1,2),(2,1,2)")
+    assert _rows(eng.sql("SELECT * FROM ie_i")) == []
+    assert _rows(eng.sql("SELECT * FROM ie_e")) == [(1, 2)]
+    eng.sql("INSERT INTO ie2 VALUES (1,1,2),(2,1,2)")
+    assert _rows(eng.sql("SELECT * FROM ie_i")) == [(1, 2)]
+    assert _rows(eng.sql("SELECT * FROM ie_e")) == []
+    eng.sql("DELETE FROM ie1 WHERE v1 = 1")
+    assert _rows(eng.sql("SELECT * FROM ie_i")) == []
+    assert _rows(eng.sql("SELECT * FROM ie_e")) == []
+    eng.sql("INSERT INTO ie1 VALUES (9,1,2)")
+    eng.sql("DELETE FROM ie2 WHERE v1 = 1")
+    assert _rows(eng.sql("SELECT * FROM ie_i")) == []
+    assert _rows(eng.sql("SELECT * FROM ie_e")) == [(1, 2)]
+    with pytest.raises(ValueError, match="two arms"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW ie_bad AS SELECT v1 AS v1 FROM ie1 "
+            "INTERSECT SELECT v1 AS v1 FROM ie2 INTERSECT SELECT v1 AS v1 FROM ie1"
         )
