@@ -201,6 +201,44 @@ def _interval_spark(text: str) -> str:
     return f"{int(secs)} seconds" if secs == int(secs) else f"{secs} seconds"
 
 
+def _map_any_type(typ: str) -> str:
+    """PG/RisingWave type text → Spark DDL type, incl. nested
+    `struct<name type, ...>` (reference struct_table.slt) and `t[]`
+    arrays (`src/frontend/src/binder` array types)."""
+    typ = typ.strip()
+    if typ.endswith("[]"):
+        return f"ARRAY<{_map_any_type(typ[:-2])}>"
+    low = typ.lower()
+    if low.startswith("struct<") and typ.endswith(">"):
+        inner = typ[len("struct<"):-1]
+        fields = []
+        for part in _split_angle_aware(inner):
+            bits = part.strip().split(None, 1)
+            if len(bits) != 2:
+                raise ValueError(f"cannot parse struct field {part!r}")
+            fields.append(f"{bits[0]}: {_map_any_type(bits[1])}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    base = low.split("(")[0]
+    if base in ("varchar", "char", "character"):
+        return "STRING"
+    return _map_type(typ)
+
+
+def _split_angle_aware(text: str) -> list[str]:
+    """Split on commas at <>-()-depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
+
+
 # ---------------------------------------------------------------- handlers
 def _parse_coldefs(spark: SparkSession, body: str):
     """Column definitions → (empty DataFrame, pk cols, defaults,
@@ -216,12 +254,29 @@ def _parse_coldefs(spark: SparkSession, body: str):
     e2e_test/ddl/table/generated_columns.slt.part) → {name: spark_expr}.
     """
     masked, lits = _mask_strings(body)
+    # commas inside struct<...> types must not split column items;
+    # protect them before the top-level split (the <> depth cannot be
+    # tracked globally — `a < b, c > d` in expressions is two items)
+    protected = list(masked)
+    for sm_ in re.finditer(r"\bstruct\s*<", masked, re.I):
+        depth = 0
+        for j in range(sm_.end() - 1, len(masked)):
+            if masked[j] == "<":
+                depth += 1
+            elif masked[j] == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif masked[j] == "," and depth > 0:
+                protected[j] = "\x01"
+    masked = "".join(protected)
     pk: list[str] = []
     defaults: dict[str, str] = {}
     generated: dict[str, str] = {}
     fields: list[str] = []
     watermark: tuple[str, float] | None = None
     for item in _split_top_level(masked):
+        item = item.replace("\x01", ",")
         m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", item, re.I)
         if m:
             pk.extend(c.strip() for c in m.group(1).split(","))
@@ -240,7 +295,8 @@ def _parse_coldefs(spark: SparkSession, body: str):
         if re.match(r"^(UNIQUE|CHECK|FOREIGN)\b", item, re.I):
             continue  # constraints Spark-side state doesn't enforce
         m = re.match(
-            r"^(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"  # name type
+            r"^(\w+)\s+"  # name
+            r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*<.*>)?(?:\s*\[\s*\])?)"  # type (incl. struct<...>/t[])
             r"(?:\s+(.*))?$",
             item,
             re.S,
@@ -248,6 +304,22 @@ def _parse_coldefs(spark: SparkSession, body: str):
         if not m:
             raise ValueError(f"cannot parse column definition: {_unmask(item, lits)!r}")
         name, typ, tail = m.group(1), m.group(2), (m.group(3) or "")
+        if "<" in typ:
+            # the greedy <...> may have swallowed the qualifier tail;
+            # rebalance to the matching closer
+            full = item[m.start(2):]
+            depth = 0
+            for i, ch in enumerate(full):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                    if depth == 0:
+                        end = i + 1
+                        if full[end:end + 2].strip().startswith("[]"):
+                            end = full.index("]", end) + 1
+                        typ, tail = full[:end], full[end:].strip()
+                        break
         gm = re.match(r"^AS\s+(.+)$", tail.strip(), re.I | re.S)
         if gm:
             generated[name] = pg_to_spark_sql(_unmask(gm.group(1).strip(), lits))
@@ -258,15 +330,10 @@ def _parse_coldefs(spark: SparkSession, body: str):
         if dm:
             expr = re.sub(r"\s+(NOT\s+NULL|PRIMARY\s+KEY)\s*$", "", dm.group(1), flags=re.I)
             defaults[name] = pg_to_spark_sql(_unmask(expr.strip(), lits))
-        base = typ.split("(")[0].lower()
         # varchar(n)/char(n) column TYPES collapse to STRING (Spark state
         # tables don't enforce length; the CAST shim handles value-level
-        # truncation) — decimal(p,s) etc. pass through _map_type unchanged
-        if base in ("varchar", "char", "character"):
-            spark_t = "STRING"
-        else:
-            spark_t = _map_type(typ)
-        fields.append(f"{name} {spark_t}")
+        # truncation); struct<...> and t[] map recursively
+        fields.append(f"{name} {_map_any_type(typ)}")
     empty = spark.createDataFrame([], ", ".join(fields))
     # generated column referencing another generated column is an error
     # (same restriction as the reference binder)
@@ -612,8 +679,19 @@ def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
         # Spark accepts `SELECT * FROM VALUES (...), (...)`; name the
         # columns so alignment is positional and stable
         masked, lits = _mask_strings(body)
-        first_tuple = re.search(r"\(((?:[^()]|\([^()]*\))*)\)", masked)
-        arity = len(_split_top_level(first_tuple.group(1)))
+        # first balanced (...) tuple — arbitrary nesting (struct/array
+        # literals inside VALUES rows)
+        i = masked.index("(")
+        depth, j = 0, i
+        while j < len(masked):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        arity = len(_split_top_level(masked[i + 1 : j]))
         alias = ", ".join(f"c{i}" for i in range(arity))
         rows = engine.spark.sql(f"SELECT * FROM ({body}) AS __v({alias})")
     else:

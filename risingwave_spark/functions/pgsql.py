@@ -211,6 +211,32 @@ def pg_to_spark_sql(sql: str) -> str:
     # SELECT DISTINCT ON (keys) → row_number window + rn=1
     masked = _rewrite_distinct_on(masked)
 
+    # ROW(...) constructor → struct(...) (reference struct_table.slt;
+    # positional struct casts at the insert boundary rename the fields)
+    masked = re.sub(r"\bROW\s*\(", "struct(", masked, flags=re.I)
+
+    # ARRAY[...] literal → array(...) — convert the MATCHING bracket
+    # (subscripts like a[1] have no ARRAY keyword and pass through)
+    while True:
+        mm = re.search(r"\bARRAY\s*\[", masked, re.I)
+        if mm is None:
+            break
+        i = masked.index("[", mm.start())
+        depth, j = 0, i
+        while j < len(masked):
+            if masked[j] == "[":
+                depth += 1
+            elif masked[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            break  # unbalanced — leave for Spark's parser to report
+        masked = (
+            masked[: mm.start()] + "array(" + masked[i + 1 : j] + ")" + masked[j + 1 :]
+        )
+
     # approx_percentile(q[, e]) WITHIN GROUP (ORDER BY col) →
     # percentile_approx(col, q) (reference agg spelling,
     # `approx_percentile` in binder/expr; Spark's t-digest plays the

@@ -443,6 +443,27 @@ def _parse_coldef_list(p: _P) -> None:
                         p.fail("unterminated type parameter list")
                     p.eat()
                 p.eat_op(")")
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val == "<":
+                # struct<name type, ...> (reference struct_table.slt)
+                depth = 0
+                while p.peek() is not None:
+                    tv = p.peek()
+                    if tv.kind == "op" and tv.val == "<":
+                        depth += 1
+                    elif tv.kind == "op" and tv.val == ">":
+                        depth -= 1
+                        p.eat()
+                        if depth == 0:
+                            break
+                        continue
+                    p.eat()
+                else:
+                    p.fail("unterminated struct<...> type")
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val == "[":  # t[] array
+                p.eat()
+                p.eat_op("]")
             if p.at("AS"):
                 # generated column: name type AS expr (reference
                 # bind_sql_columns generated-column binding)

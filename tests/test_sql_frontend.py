@@ -1838,3 +1838,47 @@ def test_intersect_except_mv_sql(eng):
             "CREATE MATERIALIZED VIEW ie_bad AS SELECT v1 AS v1 FROM ie1 "
             "INTERSECT SELECT v1 AS v1 FROM ie2 INTERSECT SELECT v1 AS v1 FROM ie1"
         )
+
+
+# ------------------------------------------------------- struct/array types
+def test_struct_and_array_table_columns(eng):
+    """struct<...> and t[] column types (reference
+    e2e_test/streaming/struct_table.slt + array types): nested struct
+    tables with ROW(...) literals, (col).field access, MVs over struct
+    fields with retraction; text[]/int8[] columns with ARRAY[...]
+    literals. Divergence: element subscripts keep Spark's 0-based
+    strict semantics (PG is 1-based null-tolerant) — documented."""
+    eng.sql(
+        "CREATE TABLE stt (id int PRIMARY KEY, v1 int, "
+        "v2 struct<v1 int, v2 struct<v1 int, v2 int>>)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW stt_mv AS "
+        "SELECT id AS id, (v2).v2 AS inner2 FROM stt WHERE v1 > 0"
+    )
+    eng.sql("INSERT INTO stt VALUES (1, 1, ROW(1, ROW(1, 2)))")
+    eng.sql("INSERT INTO stt VALUES (2, 1, ROW(1, ROW(1, 3)))")
+    got = sorted(
+        (r.id, tuple(r.inner2))
+        for r in eng.sql("SELECT id, inner2 FROM stt_mv").collect()
+    )
+    assert got == [(1, (1, 2)), (2, (1, 3))], got
+    eng.sql("DELETE FROM stt WHERE id = 1")
+    got = sorted(
+        (r.id, tuple(r.inner2))
+        for r in eng.sql("SELECT id, inner2 FROM stt_mv").collect()
+    )
+    assert got == [(2, (1, 3))], got
+    assert eng.sql("SELECT (v2).v1 AS f FROM stt").first().f == 1
+
+    eng.sql("CREATE TABLE att (id int PRIMARY KEY, tags text[], nums int8[])")
+    eng.sql(
+        "INSERT INTO att VALUES (1, ARRAY['a','b'], ARRAY[1,2,3]), "
+        "(2, ARRAY['c'], ARRAY[9])"
+    )
+    got = sorted(
+        (r.id, list(r.tags), list(r.nums))
+        for r in eng.sql("SELECT id, tags, nums FROM att").collect()
+    )
+    assert got == [(1, ["a", "b"], [1, 2, 3]), (2, ["c"], [9])], got
+    assert eng.sql("SELECT sum(cardinality(nums)) AS n FROM att").first().n == 4
