@@ -2130,6 +2130,122 @@ def _handle_create_grouping_sets_mv(
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
+_TOPN_MV = re.compile(
+    r"^\s*SELECT\s+(?P<outer>.*?)\s+FROM\s*\(\s*"
+    r"SELECT\s+(?P<inner>.*?),?\s*(?P<fn>ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s*OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<pb>.+?)\s+ORDER\s+BY\s+(?P<ob>.+?)\s*\)\s*(?:AS\s+)?(?P<rn>\w+)\s+"
+    r"FROM\s+(?P<tbl>[A-Za-z_]\w*)\s*\)\s*(?:(?:AS\s+)?(?P<alias>(?!WHERE\b)[A-Za-z_]\w*)\s+)?"
+    r"WHERE\s+(?P<rncol>\w+)\s*(?P<op><=|<)\s*(?P<k>\d+)\s*$",
+    re.I | re.S,
+)
+
+
+def _handle_create_topn_mv(
+    engine: "Engine", name: str, stmt: str, tn: re.Match, lits
+) -> DataFrame:
+    """The reference's TopN MV spelling (`logical_top_n.rs` converts an
+    over-window rank filter into StreamGroupTopN, `top_n/group_top_n.rs`;
+    e2e_test/streaming/group_top_n/): `SELECT ... FROM (SELECT ...,
+    row_number()/rank()/dense_rank() OVER (PARTITION BY p ORDER BY o)
+    AS rn FROM t) WHERE rn <= k`. Compiles onto MaterializedOverWindow:
+    each batch re-ranks exactly the touched partitions from full state,
+    so deleting a current top row surfaces the next-best (the
+    non-append-only TopN's reason for keeping all rows). rank/
+    dense_rank give WITH TIES semantics. The base pk rides as a final
+    tie-break so output is deterministic under non-unique ORDER BY."""
+    from risingwave_spark.api import MaterializedViewHandle
+    from risingwave_spark.streaming.mv import MaterializedOverWindow, with_ops as _wo
+
+    tbl = tn.group("tbl")
+    if tbl not in engine.tables:
+        raise ValueError(f"TopN MV base {tbl!r} is not an engine table")
+    if tn.group("rncol").lower() != tn.group("rn").lower():
+        raise ValueError(
+            f"TopN MV filter column {tn.group('rncol')!r} must be the "
+            f"window alias {tn.group('rn')!r}"
+        )
+    k = int(tn.group("k"))
+    if tn.group("op") == "<":
+        k -= 1
+    if k <= 0:
+        raise ValueError("TopN MV needs a positive rank bound")
+    t = engine.tables[tbl]
+    pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    base_cols = t.snapshot().columns
+    pb = [_unmask(c, lits).strip() for c in _split_top_level(tn.group("pb"))]
+    if not all(_IDENT.match(c) and c in base_cols for c in pb):
+        raise ValueError(
+            f"TopN MV PARTITION BY must be plain columns of {tbl!r}, got {pb}"
+        )
+    order: list[tuple[str, bool]] = []  # (col, desc)
+    for o in _split_top_level(tn.group("ob")):
+        o = _unmask(o, lits).strip()
+        om = re.match(r"^(\w+)(?:\s+(ASC|DESC))?$", o, re.I)
+        if not om or om.group(1) not in base_cols:
+            raise ValueError(
+                f"TopN MV ORDER BY must be plain columns of {tbl!r}, got {o!r}"
+            )
+        order.append((om.group(1), bool(om.group(2)) and om.group(2).upper() == "DESC"))
+    inner = [i.strip() for i in _split_top_level(tn.group("inner"))]
+    if inner == ["*"]:
+        inner_cols = list(base_cols)
+    else:
+        parsed = [_parse_select_item(_unmask(i, lits)) for i in inner]
+        if not all(a and _IDENT.match(e) for e, a in parsed):
+            raise ValueError(
+                "TopN MV inner select supports plain columns (or *) only"
+            )
+        inner_cols = [e for e, _ in parsed]
+    rn = tn.group("rn")
+    outer = [i.strip() for i in _split_top_level(tn.group("outer"))]
+    if outer == ["*"]:
+        out_cols = inner_cols + [rn]
+    else:
+        out_cols = [_unmask(i, lits).strip() for i in outer]
+        if not all(_IDENT.match(c) and (c in inner_cols or c == rn) for c in out_cols):
+            raise ValueError(
+                "TopN MV outer select must be plain inner columns (or *)"
+            )
+    missing = [c for c in pb if c not in out_cols]
+    if missing:
+        raise ValueError(
+            f"TopN MV must select its PARTITION BY columns {missing} "
+            "(they key the materialization)"
+        )
+    fn = {"ROW_NUMBER": F.row_number, "RANK": F.rank, "DENSE_RANK": F.dense_rank}[
+        tn.group("fn").upper()
+    ]
+
+    def project(rows: DataFrame, _w) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        cols = [F.desc(c) if d else F.asc(c) for c, d in order]
+        if tn.group("fn").upper() == "ROW_NUMBER":
+            # deterministic pick among order-ties; rank/dense_rank keep
+            # WITH-TIES semantics, so the user's order stands alone
+            cols += [F.asc(c) for c in pks if c not in [o for o, _ in order]]
+        w = W.partitionBy(*pb).orderBy(*cols)
+        ranked = rows.select(*inner_cols, fn().over(w).alias(rn))
+        return ranked.filter(F.col(rn) <= k).select(*out_cols)
+
+    mv = MaterializedOverWindow(
+        engine.spark,
+        os.path.join(engine.warehouse, f"mv_{name}"),
+        pb,
+        [],
+        t.pk,
+        project,
+    )
+    if not mv.mv.exists():
+        mv.apply_batch(_wo(t.snapshot(), 1))
+    h = MaterializedViewHandle(name, mv)
+    h._register()
+    t.mvs.append(h)
+    engine.mv_handles[name] = h
+    engine._record_ddl(name, stmt)
+    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
@@ -2143,6 +2259,11 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
         # TUMBLE/HOP without EMIT ON WINDOW CLOSE: eagerly-maintained
         # windowed MV (every open window up to date, deletes retract)
         return _handle_create_windowed_mv(engine, name, m.string, masked, lits, tm2, hm2)
+    tn = _TOPN_MV.match(masked)
+    if tn:
+        # rank-filtered subquery-FROM → GroupTopN (before the generic
+        # over-window route: this shape's OVER lives in the subquery)
+        return _handle_create_topn_mv(engine, name, m.string, tn, lits)
     if re.search(r"\bOVER\s*\(", masked, re.I):
         # window functions in the body → frame-delta over-window MV
         return _handle_create_over_window_mv(engine, name, m.string, masked, lits)

@@ -2250,3 +2250,48 @@ def engine_sql_mv_except(spark, sf_dir):
     eng.sql("DELETE FROM rw_ea WHERE c_custkey % 7 = 0")
     eng.sql("DELETE FROM rw_eb WHERE c_custkey % 11 = 0")
     return eng.sql("SELECT seg FROM rw_emv ORDER BY seg")
+
+
+@register(
+    "engine_sql_topn_mv",
+    oracle=f"""
+SELECT event_type, rk, value FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM {EVENTS_US} e WHERE event_id % 5 <> 0
+) t WHERE rk <= 3 ORDER BY event_type, rk
+""",
+)
+def engine_sql_topn_mv(spark, sf_dir):
+    """Group TopN through the SQL surface (reference `logical_top_n.rs`
+    converting the rank-filtered subquery into StreamGroupTopN,
+    `top_n/group_top_n.rs`): per-type top-3 by value; the DELETE round
+    retracts current top rows and the MV surfaces the next-best from
+    state. event_id rides in ORDER BY as the deterministic tie-break."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_tnmv_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_tn (
+            event_id int8 PRIMARY KEY, event_type text, value float8
+        );
+        CREATE MATERIALIZED VIEW rw_tn_mv AS
+        SELECT event_type, value, rk FROM (
+          SELECT event_type, value, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rk
+          FROM rw_tn
+        ) WHERE rk <= 3
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_tn SELECT event_id, event_type, "
+        "CAST(value AS double) FROM events"
+    )
+    eng.sql("DELETE FROM rw_tn WHERE event_id % 5 = 0")
+    return eng.sql(
+        "SELECT event_type, rk, value FROM rw_tn_mv ORDER BY event_type, rk"
+    )

@@ -266,11 +266,53 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             break
     p.eat_kw("FROM")
     t = p.peek()
+    sub_from = False
     if t is not None and t.kind == "op" and t.val == "(":
-        raise SqlParseError(
-            "subquery in FROM of a materialized view is not supported — "
-            "materialize the inner query as its own MV first (MV-on-MV)"
-        )
+        # The ONE supported subquery-FROM: the reference's TopN MV
+        # spelling `SELECT ... FROM (SELECT ..., fn() OVER (...) AS rn
+        # FROM t) WHERE rn <= k` (logical_top_n.rs conversion from an
+        # over-window filter). Structurally: the subquery must contain
+        # OVER; the frontend enforces the exact shape with targeted
+        # errors. Anything else stays a parse-time rejection.
+        p.eat()
+        depth, saw_over = 1, False
+        while depth and p.peek() is not None:
+            tv = p.eat()
+            if tv.kind == "op" and tv.val == "(":
+                depth += 1
+            elif tv.kind == "op" and tv.val == ")":
+                depth -= 1
+            elif tv.kind == "ident" and tv.up == "OVER":
+                saw_over = True
+        if depth:
+            p.fail("unterminated subquery in FROM")
+        if not saw_over:
+            raise SqlParseError(
+                "subquery in FROM of a materialized view is only supported "
+                "for the TopN shape `SELECT ... FROM (SELECT ..., "
+                "row_number() OVER (...) AS rn FROM t) WHERE rn <= k` — "
+                "materialize other inner queries as their own MV (MV-on-MV)"
+            )
+        sub_from = True
+    if sub_from:
+        if p.at("AS"):
+            p.eat()
+            p.ident("subquery alias")
+        elif (
+            p.peek() is not None
+            and p.peek().kind in ("ident", "qid")
+            and not p.at(*_CLAUSE_STOPPERS)
+        ):
+            p.eat()
+        if p.at("WHERE"):
+            p.eat()
+            _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+        if p.at("UNION", "INTERSECT", "EXCEPT"):
+            return
+        if p.at("EMIT"):
+            return
+        p.expect_done("materialized-view body")
+        return
     if p.at("SESSION") and p.peek(1) is not None and p.peek(1).kind == "op" and p.peek(1).val == "(":
         raise SqlParseError(
             "the SESSION window TVF is not supported in the SQL surface; "

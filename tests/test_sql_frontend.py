@@ -1882,3 +1882,45 @@ def test_struct_and_array_table_columns(eng):
     )
     assert got == [(1, ["a", "b"], [1, 2, 3]), (2, ["c"], [9])], got
     assert eng.sql("SELECT sum(cardinality(nums)) AS n FROM att").first().n == 4
+
+
+# ------------------------------------------------------------------ TopN MV
+def test_topn_mv_sql(spark, tmp_path):
+    """The reference's TopN MV spelling (`logical_top_n.rs` →
+    StreamGroupTopN): `SELECT ... FROM (SELECT ..., row_number() OVER
+    (PARTITION BY g ORDER BY v DESC) AS rn FROM t) WHERE rn <= k`.
+    Deleting a current top row surfaces the next-best from state;
+    rank() gives WITH TIES; non-TopN subqueries stay parse-rejected;
+    restart replays the MV."""
+    wh = str(tmp_path / "wh_topn")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE tnb (id int PRIMARY KEY, g text, v int)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW tn_top2 AS SELECT g, v, rn FROM ("
+        "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM tnb) WHERE rn <= 2"
+    )
+    eng.sql("INSERT INTO tnb VALUES (1,'a',10),(2,'a',30),(3,'a',20),(4,'b',5)")
+    assert _rows(eng.sql("SELECT g, v, rn FROM tn_top2")) == [
+        ("a", 20, 2), ("a", 30, 1), ("b", 5, 1),
+    ]
+    eng.sql("DELETE FROM tnb WHERE id = 2")
+    assert _rows(eng.sql("SELECT g, v, rn FROM tn_top2")) == [
+        ("a", 10, 2), ("a", 20, 1), ("b", 5, 1),
+    ]
+    eng.sql(
+        "CREATE MATERIALIZED VIEW tn_ties AS SELECT * FROM ("
+        "SELECT g, v, rank() OVER (PARTITION BY g ORDER BY v DESC) AS rk "
+        "FROM tnb) WHERE rk <= 1"
+    )
+    eng.sql("INSERT INTO tnb VALUES (9,'a',20)")
+    assert _rows(eng.sql("SELECT g, v, rk FROM tn_ties")) == [
+        ("a", 20, 1), ("a", 20, 1), ("b", 5, 1),
+    ]
+    with pytest.raises(Exception, match="TopN shape"):
+        eng.sql("CREATE MATERIALIZED VIEW tn_bad AS SELECT k FROM (SELECT k FROM tnb) s")
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("DELETE FROM tnb WHERE id = 9")
+    assert _rows(eng2.sql("SELECT g, v, rk FROM tn_ties")) == [
+        ("a", 20, 1), ("b", 5, 1),
+    ]
