@@ -336,6 +336,9 @@ def pg_to_spark_sql(sql: str) -> str:
     masked = re.sub(r"\bbool_and\s*\(", "every(", masked, flags=re.I)
     masked = re.sub(r"\bbool_or\s*\(", "any(", masked, flags=re.I)
     masked = re.sub(r"\bstrpos\s*\(", "instr(", masked, flags=re.I)
+    # select-position unnest(arr) → explode(arr) (reference ProjectSet;
+    # FROM-position unnest stays Spark's LATERAL VIEW territory)
+    masked = re.sub(r"\bunnest\s*\(", "explode(", masked, flags=re.I)
 
     return _unmask(masked, lits)
 

@@ -2295,3 +2295,35 @@ def engine_sql_topn_mv(spark, sf_dir):
     return eng.sql(
         "SELECT event_type, rk, value FROM rw_tn_mv ORDER BY event_type, rk"
     )
+
+
+@register(
+    "engine_sql_project_set_mv",
+    oracle="""
+SELECT o_orderkey AS id, unnest([o_orderstatus, o_orderpriority]) AS tag
+FROM orders WHERE o_orderkey % 6 <> 0 AND o_orderkey % 2 = 0
+ORDER BY id, tag
+""",
+)
+def engine_sql_project_set_mv(spark, sf_dir):
+    """ProjectSet MV (reference streaming `project_set.rs`,
+    e2e_test/streaming/project_set.slt): unnest fans each source row
+    into N MV rows under its pk group; the DELETE round retracts whole
+    fan-outs."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_ps_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_ps (id int8 PRIMARY KEY, tags text[]);
+        CREATE MATERIALIZED VIEW rw_ps_mv AS
+        SELECT id, unnest(tags) AS tag FROM rw_ps
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_ps SELECT o_orderkey, "
+        "array(o_orderstatus, o_orderpriority) FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql("DELETE FROM rw_ps WHERE id % 6 = 0")
+    return eng.sql("SELECT id, tag FROM rw_ps_mv ORDER BY id, tag")

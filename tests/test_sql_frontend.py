@@ -1924,3 +1924,20 @@ def test_topn_mv_sql(spark, tmp_path):
     assert _rows(eng2.sql("SELECT g, v, rk FROM tn_ties")) == [
         ("a", 20, 1), ("b", 5, 1),
     ]
+
+
+def test_project_set_mv(eng):
+    """ProjectSet on a changelog (reference `project_set.rs` streaming,
+    e2e_test/streaming/project_set.slt): unnest in an MV body — one
+    source row fans out to N MV rows under the same pk group, and
+    UPDATE/DELETE retract the whole fan-out."""
+    eng.sql("CREATE TABLE pst (id int PRIMARY KEY, tags text[])")
+    eng.sql("CREATE MATERIALIZED VIEW pst_mv AS SELECT id, unnest(tags) AS tag FROM pst")
+    eng.sql("INSERT INTO pst VALUES (1, ARRAY['a','b']), (2, ARRAY['c'])")
+    assert _rows(eng.sql("SELECT id, tag FROM pst_mv")) == [
+        (1, "a"), (1, "b"), (2, "c"),
+    ]
+    eng.sql("UPDATE pst SET tags = ARRAY['z'] WHERE id = 1")
+    assert _rows(eng.sql("SELECT id, tag FROM pst_mv")) == [(1, "z"), (2, "c")]
+    eng.sql("DELETE FROM pst WHERE id = 2")
+    assert _rows(eng.sql("SELECT id, tag FROM pst_mv")) == [(1, "z")]
