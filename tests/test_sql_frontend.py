@@ -952,8 +952,8 @@ def test_show_create_and_alter_grammar(eng):
     assert "MATERIALIZED VIEW scv" in out[0][1]
     assert classify("ALTER TABLE t ADD COLUMN x int8 DEFAULT 3") == "alter_table"
     assert classify("ALTER TABLE t DROP COLUMN x") == "alter_table"
-    with pytest.raises(SqlParseError):
-        classify("ALTER TABLE t RENAME TO u")
+    # ALTER ... RENAME TO is supported since round 5
+    assert classify("ALTER TABLE t RENAME TO u") == "alter_rename"
     with pytest.raises(SqlParseError):
         classify("ALTER SYSTEM SET x = 1")
 
