@@ -1039,6 +1039,7 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
         dep_names = {h.name for h in t.mvs}
         for h in list(t.mvs):
             engine.mv_handles.pop(h.name, None)
+            engine.temporal_mvs.pop(h.name, None)
             spark.catalog.dropTempView(h.name)
         # a stream-join MV also subscribes to its OTHER input table —
         # unhook those side handles so later DML there stops feeding it
@@ -1051,6 +1052,7 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
         return _status(spark, "DROP_MATERIALIZED_VIEW")
     engine._unrecord_ddl([name])
     h = engine.mv_handles.pop(name)
+    engine.temporal_mvs.pop(name, None)
     for t in engine.tables.values():
         # match by name too: a stream-join MV subscribes via per-side
         # handles (api._JoinSideHandle), not the catalog handle itself
