@@ -30,15 +30,20 @@ def sub_now(sql: str, ts) -> str:
     """Replace now()/current_timestamp() with a pinned timestamp
     literal — the engine's barrier time (reference now.rs: now() in a
     streaming plan is bound to the epoch's barrier timestamp, not
-    re-evaluated per row)."""
+    re-evaluated per row). String literals are masked first so a
+    'now()' INSIDE a literal is never rewritten."""
     import re as _re
 
-    return _re.sub(
+    from risingwave_spark.functions.pgsql import _mask_strings, _unmask
+
+    masked, lits = _mask_strings(sql)
+    masked = _re.sub(
         r"\b(?:now|current_timestamp)\s*\(\s*\)",
         f"timestamp'{ts.isoformat(sep=' ')}'",
-        sql,
+        masked,
         flags=_re.I,
     )
+    return _unmask(masked, lits)
 
 
 class Table:
