@@ -483,6 +483,10 @@ class Engine:
         self.views: dict[str, str] = {}
         self.sources: dict[str, dict] = {}
         self.sinks: dict[str, object] = {}
+        # CREATE FUNCTION / CREATE AGGREGATE registrations (reference
+        # FunctionCatalog): name → descriptor; the callables live in the
+        # SparkSession's function registry.
+        self.functions: dict[str, dict] = {}
         # temporal-filter MVs (reference Now executor, now.rs): name →
         # Spark-SQL predicate template containing now() references.
         # tick() re-splices keys whose predicate truth changed since the

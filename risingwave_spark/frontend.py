@@ -122,7 +122,22 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(?P<tail>\S.*))?\s*$", re.I | re.S
 )
 _SHOW = re.compile(
-    r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS)\s*$", re.I
+    r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS)\s*$",
+    re.I,
+)
+_CREATE_FUNCTION = re.compile(
+    r"^\s*CREATE\s+(FUNCTION|AGGREGATE)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"\((?P<params>.*?)\)\s*"
+    r"(?:RETURNS\s+(?P<rets>TABLE\s*\([^)]*\)|.+?)\s+)?"
+    r"LANGUAGE\s+(?P<lang>\w+)\s+AS\s+"
+    r"(?P<body>\$(?P<tag>[A-Za-z_0-9]*)\$.*?\$(?P=tag)\$|'(?:[^']|'')*')"
+    r"\s*(?:USING\s+LINK\s+(?P<link>'(?:[^']|'')*'))?\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_FUNCTION = re.compile(
+    r"^\s*DROP\s+(FUNCTION|AGGREGATE)\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*(?:\([^)]*\))?\s*;?\s*$",
+    re.I,
 )
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+(\w+)\s*$",
@@ -2840,6 +2855,96 @@ def _handle_close(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(engine.spark, "CLOSE_CURSOR")
 
 
+def _handle_create_function(engine: "Engine", m: re.Match) -> DataFrame:
+    """CREATE FUNCTION / CREATE AGGREGATE (reference
+    `handler/create_sql_function.rs`, `create_function.rs`,
+    `create_aggregate.rs`; e2e_test/udf/{sql_udf,python_udf}.slt).
+
+    LANGUAGE sql compiles onto Spark's native SQL UDFs (Catalyst inlines
+    the body — zero per-call overhead); LANGUAGE python onto Arrow-batched
+    pandas UDFs; aggregates onto grouped-agg pandas UDFs; USING LINK onto
+    the external Arrow-IPC runtime. All are session-registered, so MV
+    bodies replanned per batch can call them."""
+    from risingwave_spark.functions import create_function as _cf
+
+    kind, name = m.group(1).upper(), m.group(2)
+    params = _cf.parse_fn_params(m.group("params") or "")
+    returns = (m.group("rets") or "").strip()
+    lang = (m.group("lang") or "").lower()
+    body = _cf.unquote_body(m.group("body"))
+    link = m.group("link")
+    spark = engine.spark
+    if not returns:
+        raise ValueError(f"CREATE {kind} requires RETURNS <type>")
+    if name in engine.tables or name in engine.mv_handles:
+        raise ValueError(f"name {name!r} already in use")
+    if link:
+        from risingwave_spark.functions.udf_external import external_pandas_udf
+
+        spark.udf.register(
+            name, external_pandas_udf(link.strip("'"), _map_any_type(returns))
+        )
+        impl = "external"
+    elif kind == "AGGREGATE":
+        if lang != "python":
+            raise ValueError(
+                f"CREATE AGGREGATE supports LANGUAGE python (got {lang!r})"
+            )
+        spark.udf.register(
+            name, _cf.python_aggregate_udf(name, body, _map_any_type(returns))
+        )
+        impl = "python-aggregate"
+    elif lang == "sql":
+        spark.sql(
+            _cf.sql_udf_spark_ddl(
+                name, params, returns, body, _map_any_type, pg_to_spark_sql
+            )
+        )
+        impl = "sql"
+    elif lang == "python":
+        fn, udf = _cf.python_scalar_udf(
+            name, body, _map_any_type(returns), len(params)
+        )
+        if udf is None:  # zero-arg: plain scalar, no batch to size
+            spark.udf.register(name, fn, _map_any_type(returns))
+        else:
+            spark.udf.register(name, udf)
+        impl = "python"
+    elif lang in ("javascript", "rust", "wasm"):
+        raise NotImplementedError(
+            f"LANGUAGE {lang} UDFs need a quickjs/wasmtime runtime that is "
+            "not in this container — host the function in an external "
+            "server and use CREATE FUNCTION ... USING LINK instead "
+            "(risingwave_spark.functions.udf_external)"
+        )
+    else:
+        raise ValueError(f"unsupported UDF LANGUAGE {lang!r}")
+    engine.functions[name] = {
+        "kind": kind,
+        "language": "external" if link else lang,
+        "impl": impl,
+        "params": [(pn, pt) for pn, pt in params],
+        "returns": returns,
+    }
+    engine._record_ddl(name, m.string)
+    return _status(spark, f"CREATE_{kind}")
+
+
+def _handle_drop_function(engine: "Engine", m: re.Match) -> DataFrame:
+    name = m.group("name")
+    if name not in engine.functions:
+        if m.group("ifex"):
+            return _status(engine.spark, "DROP_FUNCTION")
+        raise ValueError(f"unknown function {name!r}")
+    engine.functions.pop(name)
+    try:
+        engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+    except Exception:
+        pass  # python-registered UDFs may not be droppable in-place
+    engine._unrecord_ddl([name])
+    return _status(engine.spark, "DROP_FUNCTION")
+
+
 #: statement kind (from the recursive-descent grammar, sqlparse.classify)
 #: → the extraction regex + handler. The grammar is the GATE: an
 #: engine-owned statement it rejects raises SqlParseError and never
@@ -2862,6 +2967,9 @@ _KIND_DISPATCH = {
     "declare": (_DECLARE, _handle_declare),
     "fetch": (_FETCH, _handle_fetch),
     "close": (_CLOSE, _handle_close),
+    "create_function": (_CREATE_FUNCTION, _handle_create_function),
+    "create_aggregate": (_CREATE_FUNCTION, _handle_create_function),
+    "drop_function": (_DROP_FUNCTION, _handle_drop_function),
 }
 
 
@@ -2951,6 +3059,7 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
                 "VIEWS": engine.views,
                 "SOURCES": engine.sources,
                 "SINKS": engine.sinks,
+                "FUNCTIONS": engine.functions,
             }[kind]
         )
         return engine.spark.createDataFrame([(n,) for n in names] or [], "name string")

@@ -1,0 +1,214 @@
+"""`CREATE FUNCTION` / `CREATE AGGREGATE` DDL → Spark-native runtimes.
+
+Reference surface (`src/frontend/src/handler/create_sql_function.rs`,
+`create_function.rs`, `create_aggregate.rs`; e2e_test/udf/sql_udf.slt,
+python_udf.slt):
+
+- ``LANGUAGE sql``: the body is ``select <expr>`` over ``$1..$n`` or
+  named parameters. The reference inlines these at bind time
+  (`bind_sql_udf`); the Spark-native equivalent is a **Spark SQL UDF**
+  (``CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr``, Spark 4) —
+  Catalyst inlines the expression into whole-stage codegen, so a SQL UDF
+  call costs the same as writing the expression by hand (verified: the
+  physical plan shows the substituted expression, no UDF node). Nested
+  SQL-UDF calls and ``RETURNS TABLE`` bodies are native too.
+- ``LANGUAGE python``: the body defines ``def <name>(...)``; evaluation
+  is an **Arrow-batched pandas UDF** applying the function per element
+  (the reference embeds a CPython interpreter per compute node,
+  `udf/python.rs` — same contract: scalar Python semantics, NULL in as
+  None, batch transport in Arrow).
+- ``CREATE AGGREGATE ... LANGUAGE python``: the body defines
+  ``create_state / accumulate [/ retract] / finish``; evaluation is a
+  **grouped-agg pandas UDF** folding ``accumulate`` over the group and
+  registered for SQL GROUP BY use. MV maintenance recomputes affected
+  groups from their full row set (this engine's group-agg contract), so
+  ``retract`` is accepted but not required.
+- external ``USING LINK``: delegated to `udf_external.external_pandas_udf`
+  (Arrow-IPC subprocess — the arrow-udf Flight contract over pipes).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+
+def parse_fn_params(text: str) -> list[tuple[str | None, str]]:
+    """``a INT, b varchar`` or ``INT, INT`` → [(name|None, pg_type)].
+
+    The reference allows mixing named and unnamed parameters
+    (sql_udf.slt "Mixed with named / unnamed parameters")."""
+    out: list[tuple[str | None, str]] = []
+    depth = 0
+    start = 0
+    parts: list[str] = []
+    for i, ch in enumerate(text):
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(None, 1)
+        # one word = unnamed type; two+ = name + type, unless the first
+        # word is itself a (possibly two-word) type name like DOUBLE
+        # PRECISION / TIMESTAMP WITH TIME ZONE
+        if len(bits) == 1:
+            out.append((None, bits[0]))
+        elif bits[0].lower() in (
+            "double", "timestamp", "time", "character", "timestamptz",
+        ) and bits[1].lower() in (
+            "precision", "with time zone", "without time zone", "varying",
+        ):
+            out.append((None, part))
+        else:
+            out.append((bits[0], bits[1]))
+    return out
+
+
+def arg_names(params: list[tuple[str | None, str]]) -> list[str]:
+    """Stable SQL-visible parameter names: declared name, else __a<k>."""
+    return [pn if pn else f"__a{i + 1}" for i, (pn, _t) in enumerate(params)]
+
+
+def sql_udf_spark_ddl(
+    name: str,
+    params: list[tuple[str | None, str]],
+    returns: str,
+    body_sql: str,
+    map_type,
+    pg_to_spark_sql,
+) -> str:
+    """Compile a ``LANGUAGE sql`` body to Spark's native SQL-UDF DDL.
+
+    ``$k`` positional references become the k-th parameter name; the
+    ``select`` head is stripped for scalar bodies (Spark's RETURN takes
+    an expression); ``RETURNS TABLE (...)`` bodies keep their full query.
+    """
+    names = arg_names(params)
+
+    def _sub_positional(text: str) -> str:
+        def repl(m: re.Match) -> str:
+            k = int(m.group(1))
+            if not (1 <= k <= len(names)):
+                raise ValueError(
+                    f"SQL UDF {name}: ${k} out of range (function has "
+                    f"{len(names)} parameters)"
+                )
+            return names[k - 1]
+
+        return re.sub(r"\$(\d+)", repl, text)
+
+    body = _sub_positional(body_sql.strip().rstrip(";"))
+    arg_ddl = ", ".join(
+        f"{n} {map_type(t)}" for n, (_pn, t) in zip(names, params)
+    )
+    tm = re.match(r"^TABLE\s*\((?P<cols>.*)\)\s*$", returns.strip(), re.I | re.S)
+    if tm:
+        cols = ", ".join(
+            f"{pn} {map_type(pt)}"
+            for pn, pt in parse_fn_params(tm.group("cols"))
+        )
+        return (
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arg_ddl}) "
+            f"RETURNS TABLE({cols}) RETURN {pg_to_spark_sql(body)}"
+        )
+    expr = re.sub(r"^\s*SELECT\s+", "", body, flags=re.I)
+    return (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arg_ddl}) "
+        f"RETURNS {map_type(returns)} RETURN {pg_to_spark_sql(expr)}"
+    )
+
+
+def _exec_body(name: str, body: str) -> dict:
+    """Run the user's function body; returns its namespace."""
+    ns: dict = {}
+    exec(body, ns)  # noqa: S102 — user-authored UDF body, the product surface
+    return ns
+
+
+def python_scalar_udf(name: str, body: str, ret_spark_type: str, n_args: int):
+    """``LANGUAGE python`` scalar function → Arrow-batched pandas UDF.
+
+    The body must define ``def <name>(...)`` (the reference resolves the
+    entry point by the function's own name, python_udf.slt)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ns = _exec_body(name, body)
+    fn = ns.get(name)
+    if not callable(fn):
+        cands = [v for k, v in ns.items() if callable(v) and not k.startswith("_")]
+        if len(cands) == 1:
+            fn = cands[0]
+        else:
+            raise ValueError(
+                f"LANGUAGE python body must define a function named {name!r}"
+            )
+    if n_args == 0:
+        # pandas UDFs need >=1 column to size the batch; a zero-arg
+        # function is a plain scalar — register row-wise (constant cost)
+        return fn, None
+
+    def _eval(*cols):
+        # self-contained closure: no module-level references, so workers
+        # never need this package importable (cloudpickle by value)
+        import pandas as _pd
+
+        rows = zip(
+            *[[None if _pd.isna(v) else v for v in c.tolist()] for c in cols]
+        )
+        return _pd.Series([fn(*r) for r in rows], dtype="object")
+
+    return fn, pandas_udf(_eval, ret_spark_type)
+
+
+def python_aggregate_udf(name: str, body: str, ret_spark_type: str):
+    """``CREATE AGGREGATE ... LANGUAGE python`` → grouped-agg pandas UDF.
+
+    Contract (reference python_udf.slt `create aggregate weighted_avg`):
+    the body defines ``create_state() -> S``, ``accumulate(S, *args) -> S``,
+    optionally ``retract``, and ``finish(S) -> value``. Spark evaluates
+    per group over Arrow batches; MV maintenance recomputes affected
+    groups from their full row set, so only the accumulate path runs.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    ns = _exec_body(name, body)
+    missing = [k for k in ("create_state", "accumulate", "finish") if k not in ns]
+    if missing:
+        raise ValueError(
+            f"CREATE AGGREGATE {name}: python body must define "
+            f"create_state/accumulate/finish (missing {missing})"
+        )
+    create_state, accumulate, finish = ns["create_state"], ns["accumulate"], ns["finish"]
+
+    def _agg(*cols):
+        # self-contained (see _eval): workers don't import this package
+        import pandas as _pd
+
+        st = create_state()
+        for row in zip(
+            *[[None if _pd.isna(v) else v for v in c.tolist()] for c in cols]
+        ):
+            st = accumulate(st, *row)
+        return finish(st)
+
+    return pandas_udf(_agg, ret_spark_type, PandasUDFType.GROUPED_AGG)
+
+
+def unquote_body(raw: str) -> str:
+    """Strip ``$tag$ ... $tag$`` dollar-quoting or ``'...'`` quoting."""
+    raw = raw.strip()
+    m = re.match(r"^\$([A-Za-z_0-9]*)\$(?P<b>.*)\$\1\$$", raw, re.S)
+    if m:
+        return m.group("b")
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1].replace("''", "'")
+    return raw

@@ -2327,3 +2327,85 @@ def engine_sql_project_set_mv(spark, sf_dir):
     )
     eng.sql("DELETE FROM rw_ps WHERE id % 6 = 0")
     return eng.sql("SELECT id, tag FROM rw_ps_mv ORDER BY id, tag")
+
+
+@register(
+    "engine_sql_udf",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum((o_orderkey * 3 + o_custkey * 7) % 97) AS BIGINT) AS mix,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_udf(spark, sf_dir):
+    """CREATE FUNCTION through the SQL surface (reference
+    `handler/create_sql_function.rs` + `udf/python.rs`;
+    e2e_test/udf/sql_udf.slt, python_udf.slt): a LANGUAGE sql function
+    (compiled onto Spark's native SQL UDF — Catalyst inlines it, so the
+    plan is identical to writing the expression inline) and a LANGUAGE
+    python function (Arrow-batched pandas UDF) compose in one query over
+    the orders table; the SQL one calls positional $1/$2 params.
+    """
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_udf_"))
+    eng.sql("DROP FUNCTION IF EXISTS mix3")
+    eng.sql("DROP FUNCTION IF EXISTS pymod97")
+    eng.sql(
+        "CREATE FUNCTION mix3(int8, int8) RETURNS int8 LANGUAGE sql "
+        "AS $$select $1 * 3 + $2 * 7$$"
+    )
+    eng.sql(
+        "CREATE FUNCTION pymod97(x int8) RETURNS int8 LANGUAGE python AS $$\n"
+        "def pymod97(x):\n"
+        "    return x % 97\n"
+        "$$"
+    )
+    return eng.sql(
+        "SELECT o_orderstatus, sum(pymod97(mix3(o_orderkey, o_custkey))) AS mix, "
+        "count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@register(
+    "engine_sql_create_aggregate",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(l_linenumber * (l_orderkey % 5 + 1)) AS DOUBLE)
+         / sum(l_orderkey % 5 + 1) AS wavg
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def engine_sql_create_aggregate(spark, sf_dir):
+    """CREATE AGGREGATE ... LANGUAGE python (reference
+    `handler/create_aggregate.rs`; python_udf.slt weighted_avg): the
+    create_state/accumulate/finish contract folded per group as a
+    grouped-agg pandas UDF, registered for SQL GROUP BY use. Integer
+    state with one final float division, so the result is bit-identical
+    to the relational spelling."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_udaf_"))
+    eng.sql("DROP AGGREGATE IF EXISTS wavg2")
+    eng.sql(
+        "CREATE AGGREGATE wavg2(value int8, weight int8) RETURNS float8 "
+        "LANGUAGE python AS $$\n"
+        "def create_state():\n"
+        "    return (0, 0)\n"
+        "def accumulate(state, value, weight):\n"
+        "    if value is None or weight is None:\n"
+        "        return state\n"
+        "    return (state[0] + value * weight, state[1] + weight)\n"
+        "def retract(state, value, weight):\n"
+        "    return (state[0] - value * weight, state[1] - weight)\n"
+        "def finish(state):\n"
+        "    return None if state[1] == 0 else state[0] / state[1]\n"
+        "$$"
+    )
+    return eng.sql(
+        "SELECT l_returnflag, wavg2(l_linenumber, l_orderkey % 5 + 1) AS wavg "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

@@ -42,6 +42,7 @@ class SqlParseError(ValueError):
 _TOKEN_RX = re.compile(
     r"""
     (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+  | (?P<dstr>\$(?P<dtag>[A-Za-z_0-9]*)\$.*?\$(?P=dtag)\$)
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"(?:[^"]|"")*")
   | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
@@ -82,6 +83,8 @@ def tokenize(text: str) -> list[Tok]:
         kind = m.lastgroup
         if kind == "ws":
             continue
+        if kind in ("dstr", "dtag"):  # dollar-quoted ($tag$...$tag$) → string
+            kind = "str"
         out.append(Tok(kind, m.group(0), m.start()))
     return out
 
@@ -734,12 +737,83 @@ def _parse_create(p: _P) -> str:
             _parse_with_options(p)
         p.expect_done("CREATE SUBSCRIPTION")
         return "create_subscription"
+    if p.at("FUNCTION", "AGGREGATE"):
+        # reference `parser.rs` parse_create_function / parse_create_aggregate;
+        # e2e_test/udf/{sql_udf,python_udf}.slt
+        is_agg = p.at("AGGREGATE")
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("function name")
+        p.eat_op("(")
+        _consume_balanced_until(p, ")")
+        p.eat_op(")")
+        if p.at("RETURNS"):
+            p.eat()
+            if p.at("TABLE"):
+                p.eat()
+                p.eat_op("(")
+                _consume_balanced_until(p, ")")
+                p.eat_op(")")
+            else:
+                # return type: one or more tokens up to LANGUAGE/AS
+                if not _consume_type_until(p, ("LANGUAGE", "AS")):
+                    p.fail("expected a return type after RETURNS")
+        p.eat_kw("LANGUAGE")
+        p.ident("language name")
+        p.eat_kw("AS")
+        t = p.peek()
+        if t is None or t.kind != "str":
+            p.fail("expected a function body string ('...' or $$...$$) after AS")
+        p.eat()
+        if p.at("USING"):
+            p.eat()
+            p.eat_kw("LINK")
+            t = p.peek()
+            if t is None or t.kind != "str":
+                p.fail("expected a link string after USING LINK")
+            p.eat()
+        p.expect_done("CREATE AGGREGATE" if is_agg else "CREATE FUNCTION")
+        return "create_aggregate" if is_agg else "create_function"
     if p.at("INDEX"):
         raise SqlParseError(
             "CREATE INDEX is not supported (no secondary indexes in this "
             "engine; Spark scans prune via predicate pushdown instead)"
         )
     p.fail("unsupported CREATE statement")
+
+
+def _consume_balanced_until(p: _P, closer: str) -> None:
+    """Eat tokens up to (not including) `closer` at paren-depth 0."""
+    depth = 0
+    while p.peek() is not None:
+        t = p.peek()
+        if t.kind == "op":
+            if t.val in ("(", "["):
+                depth += 1
+            elif t.val in (")", "]"):
+                if depth == 0 and t.val == closer:
+                    return
+                depth -= 1
+        p.eat()
+
+
+def _consume_type_until(p: _P, stop_kws: tuple[str, ...]) -> bool:
+    """Eat a type spelling (idents, <>-nesting, (n), []) up to a stop
+    keyword at depth 0; returns False if nothing was consumed."""
+    depth = 0
+    ate = False
+    while p.peek() is not None:
+        t = p.peek()
+        if t.kind == "ident" and depth == 0 and t.up in stop_kws:
+            break
+        if t.kind == "op":
+            if t.val in ("(", "[", "<"):
+                depth += 1
+            elif t.val in (")", "]", ">"):
+                depth -= 1
+        p.eat()
+        ate = True
+    return ate
 
 
 def _skip_if_not_exists(p: _P) -> None:
@@ -838,6 +912,21 @@ def classify(stmt: str) -> str:
         p.fail("expected ADD COLUMN or DROP COLUMN")
     if h == "DROP":
         p.eat()
+        if p.at("FUNCTION", "AGGREGATE"):
+            # reference parser.rs parse_drop_function: optional IF EXISTS
+            # and an optional argument-type signature
+            p.eat()
+            if p.at_seq("IF", "EXISTS"):
+                p.eat()
+                p.eat()
+            p.ident("function name")
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val == "(":
+                p.eat()
+                _consume_balanced_until(p, ")")
+                p.eat_op(")")
+            p.expect_done("DROP FUNCTION")
+            return "drop_function"
         if p.at("TABLE"):
             p.eat()
         elif p.at_seq("MATERIALIZED", "VIEW"):
