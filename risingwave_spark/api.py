@@ -53,9 +53,33 @@ class Table:
         self.pk = pk
         self.state = ChunkedState(spark, path, pk)
         self.mvs: list["MaterializedViewHandle"] = []
+        #: TTL (reference e2e_test/ttl/ttl.slt, `retention_seconds` WITH
+        #: option — APPEND ONLY tables only): rows expire by ingest-chunk
+        #: commit time; reads skip expired chunks at FILE level.
+        self.retention_seconds: float | None = None
+        #: epoch-seconds clock — the engine injects its barrier clock so
+        #: `now_override` drives TTL deterministically in tests
+        self.now_fn = None
 
     def snapshot(self) -> DataFrame:
+        if self.retention_seconds is not None and self.state._has_values:
+            import time as _time
+
+            now = self.now_fn() if self.now_fn is not None else _time.time()
+            cutoff = now - self.retention_seconds
+            live = [s for s, t in self.state.seq_times().items() if t >= cutoff]
+            if not live:
+                return self.state._empty()
+            return self.state.read_bounded(min_seq=min(live))
         return self.state.read()
+
+    def asof(self, ts: float) -> DataFrame:
+        """Historical read: state as of epoch-seconds `ts` (reference
+        `FOR SYSTEM_TIME AS OF`, e2e_test/time_travel/basic.slt) — chunks
+        and tombstones committed after `ts` are excluded at file level.
+        History reaches back to the last compaction; beyond it raises
+        (the reference's bounded Hummock time-travel retention)."""
+        return self.state.read_bounded(max_seq=self.state.max_seq_asof(ts))
 
     def _register(self) -> None:
         self.snapshot().createOrReplaceTempView(self.name)
@@ -575,8 +599,9 @@ class Engine:
         Re-opening an existing warehouse re-attaches the on-disk state
         instead (no fold — the data is already there)."""
         t = Table(self.spark, os.path.join(self.warehouse, f"t_{name}"), name, pk)
+        t.now_fn = self._now_epoch
         if not t.state._has_values:
-            t.state.fold(rows, rows.limit(0))
+            t.state.fold(rows, rows.limit(0), commit_ts=self._now_epoch())
         t._register()
         self.tables[name] = t
         return t
@@ -941,12 +966,27 @@ class Engine:
         self._apply_dml(table, with_ops(old, -1).unionByName(with_ops(new, 1)))
         return new  # the post-assignment rows (UPDATE ... RETURNING)
 
+    def _now_epoch(self) -> float:
+        """Epoch-seconds barrier clock (TTL cutoffs, chunk commit times).
+        `now_override` (naive = session-UTC) drives it in tests."""
+        if self.now_override is not None:
+            import calendar
+
+            dt = self.now_override
+            if dt.tzinfo is not None:
+                return dt.timestamp()
+            return calendar.timegm(dt.timetuple()) + dt.microsecond / 1e6
+        import time as _time
+
+        return _time.time()
+
     def _apply_dml(self, table: str, batch: DataFrame) -> None:
         t = self.tables[table]
         cols = [c for c in batch.columns if c != OP_COL]
         t.state.fold(
             batch.filter(F.col(OP_COL) > 0).select(*cols),
             batch.filter(F.col(OP_COL) < 0).select(*cols),
+            commit_ts=self._now_epoch(),
         )
         t._register()
         for h in t.mvs:

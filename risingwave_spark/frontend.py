@@ -415,6 +415,16 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
                 f"version column {version_col!r} must have an ordered "
                 "comparable type (boolean is not)"
             )
+    opts = _parse_with_options(m.group("with")) if m.group("with") else {}
+    retention = opts.get("retention_seconds")
+    if retention is not None and not m.group("append"):
+        # reference e2e_test/ttl/ttl.slt: `create table t(v int) with
+        # (retention_seconds = 5)` is an error; APPEND ONLY is required
+        # (expiry cannot coexist with retraction semantics)
+        raise ValueError(
+            "retention_seconds requires the table to be APPEND ONLY "
+            "(TTL expiry cannot coexist with retractions)"
+        )
     t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
     t.defaults = defaults
     t.watermark = watermark
@@ -422,8 +432,9 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     t.on_conflict = conflict
     t.version_col = version_col
     t.generated = generated
+    if retention is not None:
+        t.retention_seconds = float(retention)
     engine._record_ddl(name, m.string)
-    opts = _parse_with_options(m.group("with")) if m.group("with") else {}
     if opts.get("connector"):
         if generated:
             raise ValueError(
@@ -2520,8 +2531,8 @@ def _parse_with_options(text: str) -> dict[str, str]:
     """WITH ( connector = 'kafka', topic = 't1', ... ) → dict (reference
     WITH-clause handling in `handler/create_source.rs`)."""
     return {
-        k.lower(): v
-        for k, v in re.findall(r"([\w.]+)\s*=\s*'([^']*)'", text or "")
+        k.lower(): v.strip("'")
+        for k, v in re.findall(r"([\w.]+)\s*=\s*('[^']*'|[\w.]+)", text or "")
     }
 
 
@@ -3107,4 +3118,62 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             [(m.group(1), val)], "name string, setting string"
         )
     # ad-hoc query path: PG-isms rewritten, then Catalyst
+    if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", stmt, re.I):
+        stmt = _rewrite_asof_reads(engine, stmt)
+    # TTL tables expire with TIME, not DML — refresh their registered
+    # snapshots so this read sees the current retention window
+    for t in engine.tables.values():
+        if t.retention_seconds is not None:
+            t._register()
     return engine.spark.sql(pg_to_spark_sql(stmt))
+
+
+# matches MASKED statement text: string literals are \x00N\x00 placeholders
+_ASOF_READ = re.compile(
+    r"\b(?P<tbl>\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(?P<expr>\x00\d+\x00"
+    r"|NOW\s*\(\s*\)(?:\s*-\s*INTERVAL\s+\x00\d+\x00(?:\s+\w+)?)?"
+    r"|\d+(?:\.\d+)?)",
+    re.I,
+)
+
+
+def _rewrite_asof_reads(engine: "Engine", stmt: str) -> str:
+    """Batch time travel (reference `FOR SYSTEM_TIME AS OF`,
+    e2e_test/time_travel/{basic,syntax}.slt; Hummock GetVersionByEpoch):
+    each `t FOR SYSTEM_TIME AS OF <ts>` relation is replaced by a temp
+    view of the table's historical state at that epoch — chunk/tombstone
+    file pruning does the versioning; no data is copied. Accepted `<ts>`
+    spellings, as in the reference: an epoch-seconds number, a timestamp
+    string, or NOW() [- INTERVAL '...'] (NOW() pinned to the engine's
+    barrier clock)."""
+    masked, lits = _mask_strings(stmt)
+
+    def repl(m: re.Match) -> str:
+        tbl = m.group("tbl")
+        if tbl not in engine.tables:
+            raise ValueError(
+                f"FOR SYSTEM_TIME AS OF: {tbl!r} is not an engine table "
+                "(time travel reads engine-table history)"
+            )
+        expr = _unmask(m.group("expr"), lits).strip()
+        if re.fullmatch(r"\d+(\.\d+)?", expr):
+            epoch = float(expr)
+        else:
+            e2 = re.sub(
+                r"\bNOW\s*\(\s*\)",
+                f"timestamp_seconds({engine._now_epoch()!r})",
+                expr,
+                flags=re.I,
+            )
+            row = engine.spark.sql(
+                f"SELECT unix_micros(CAST({pg_to_spark_sql(e2)} AS TIMESTAMP)) AS t"
+            ).first()
+            if row.t is None:
+                raise ValueError(f"cannot interpret AS OF expression {expr!r}")
+            epoch = row.t / 1e6
+        view = f"__asof_{tbl}_{abs(hash((tbl, epoch))) % 10**8}"
+        engine.tables[tbl].asof(epoch).createOrReplaceTempView(view)
+        return view
+
+    return _unmask(_ASOF_READ.sub(repl, masked), lits)

@@ -2409,3 +2409,88 @@ def engine_sql_create_aggregate(spark, sf_dir):
         "SELECT l_returnflag, wavg2(l_linenumber, l_orderkey % 5 + 1) AS wavg "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     )
+
+
+@register(
+    "engine_sql_ttl",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+FROM orders WHERE o_orderkey % 2 = 1
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_ttl(spark, sf_dir):
+    """TTL via retention_seconds (reference e2e_test/ttl/ttl.slt,
+    Hummock compaction TTL): an APPEND ONLY table with retention 60s
+    ingests even-key orders at T0 and odd-key orders at T0+120s; a read
+    at T0+150s sees only the odd batch — the expired chunk is skipped at
+    FILE level (the scan shrinks with the data, the 100 TB posture).
+    now_override drives the barrier clock deterministically."""
+    import datetime as dt
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_ttl_"))
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng.sql(
+        "CREATE TABLE ttl_orders (o_orderkey int8, o_orderstatus text) "
+        "APPEND ONLY WITH (retention_seconds = 60)"
+    )
+    eng.sql(
+        "INSERT INTO ttl_orders SELECT o_orderkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 2, 0)
+    eng.sql(
+        "INSERT INTO ttl_orders SELECT o_orderkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 2, 30)
+    return eng.sql(
+        "SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS keysum "
+        "FROM ttl_orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@register(
+    "engine_sql_time_travel",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_time_travel(spark, sf_dir):
+    """FOR SYSTEM_TIME AS OF (reference e2e_test/time_travel/basic.slt;
+    Hummock GetVersionByEpoch): even-key orders land at T0; at T1 some
+    are deleted and odd keys added; the AS-OF read at the midpoint
+    reconstructs the T0 state purely by chunk/tombstone file pruning —
+    no data copied, no snapshot materialized."""
+    import calendar
+    import datetime as dt
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_tt_"))
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng.sql("CREATE TABLE tt_orders (o_orderkey int8 PRIMARY KEY, o_orderstatus text)")
+    eng.sql(
+        "INSERT INTO tt_orders SELECT o_orderkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 1, 0)
+    eng.sql("DELETE FROM tt_orders WHERE o_orderkey % 3 = 0")
+    eng.sql(
+        "INSERT INTO tt_orders SELECT o_orderkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    mid = calendar.timegm((2024, 1, 1, 0, 0, 30, 0, 0, 0))
+    return eng.sql(
+        f"SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS keysum "
+        f"FROM tt_orders FOR SYSTEM_TIME AS OF {mid} "
+        f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )

@@ -23,6 +23,7 @@ and every operation is a DataFrame plan — no driver-side row loops.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -514,6 +515,50 @@ class ChunkedState:
         except (FileNotFoundError, ValueError):
             return None
 
+    def _seq_times_path(self) -> str:
+        return os.path.join(self.base, "SEQ_TIMES")
+
+    def seq_times(self) -> dict[int, float]:
+        """Per-chunk commit timestamps (epoch seconds) recorded at fold
+        time — the basis for TTL reads and FOR SYSTEM_TIME AS OF (the
+        reference's per-epoch Hummock version timestamps). Monotone in
+        seq. Compaction collapses history into the new base chunk, so
+        entries older than the last compaction are gone — time travel
+        beyond it raises, the reference's bounded-retention contract."""
+        import json as _json
+
+        try:
+            with open(self._seq_times_path()) as f:
+                return {int(k): float(v) for k, v in _json.load(f).items()}
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _record_seq_time(self, seq: int, ts: float) -> None:
+        import json as _json
+
+        times = self.seq_times()
+        times[seq] = ts
+        tmp = self._seq_times_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({str(k): v for k, v in times.items()}, f)
+        os.replace(tmp, self._seq_times_path())
+
+    def max_seq_asof(self, ts: float) -> int:
+        """Largest chunk seq committed at or before `ts`; raises if the
+        history floor (oldest retained chunk) is already past `ts` —
+        mirroring the reference's `time travel: version not found for
+        epoch` error when Hummock's retained versions don't reach back."""
+        times = self.seq_times()
+        ok = [s for s, t in times.items() if t <= ts]
+        if not ok:
+            raise ValueError(
+                f"time travel: version not found for epoch {ts} (history "
+                "starts at "
+                + (repr(min(times.values())) if times else "<empty>")
+                + "; older versions were compacted away)"
+            )
+        return max(ok)
+
     def fold(
         self,
         inserts: DataFrame,
@@ -521,6 +566,7 @@ class ChunkedState:
         batch_id: int | None = None,
         tomb_extra_cols: list[str] | None = None,
         batch_ns: str | None = None,
+        commit_ts: float | None = None,
     ) -> bool:
         """Append one batch's inserts and delete tombstones (row ids).
 
@@ -582,6 +628,11 @@ class ChunkedState:
                 self._has_tombs = True
             else:
                 shutil.rmtree(tomb_chunk, ignore_errors=True)
+        import time as _time
+
+        self._record_seq_time(
+            self._seq, commit_ts if commit_ts is not None else _time.time()
+        )
         self._seq += 1
         if batch_id is not None:
             tmp = self._batch_pointer(batch_ns) + ".tmp"
@@ -623,6 +674,48 @@ class ChunkedState:
                 "recorded schema"
             ) from None
         return self.spark.createDataFrame([], schema)
+
+    def _bounded_chunk_dirs(
+        self, root: str, min_seq: int | None, max_seq: int | None
+    ) -> list[str]:
+        """Chunk dirs `b{seq}` of `root` with min_seq <= seq <= max_seq —
+        TTL and time-travel prune EXPIRED/FUTURE chunks at FILE level
+        (whole directories skipped, the scan shrinks with the data)."""
+        out = []
+        for chunk in sorted(os.listdir(root)):
+            m = re.fullmatch(r"b(\d+)", chunk)
+            if not m:
+                continue
+            s = int(m.group(1))
+            if (min_seq is None or s >= min_seq) and (max_seq is None or s <= max_seq):
+                out.append(os.path.join(root, chunk))
+        return out
+
+    def read_bounded(
+        self, min_seq: int | None = None, max_seq: int | None = None
+    ) -> DataFrame:
+        """State restricted to chunk seqs in [min_seq, max_seq]:
+        `max_seq` = the FOR SYSTEM_TIME AS OF read (tombstones newer than
+        the horizon don't apply); `min_seq` = the TTL read on append-only
+        tables (chunks older than the retention window are skipped
+        entirely — no tombstones exist on append-only state)."""
+        if not self._has_values:
+            return self._empty()
+        vpaths = self._bounded_chunk_dirs(self.values_dir, min_seq, max_seq)
+        if not vpaths:
+            return self._empty()
+        v = self.spark.read.option("recursiveFileLookup", "true").parquet(*vpaths)
+        if self._has_tombs:
+            tpaths = self._bounded_chunk_dirs(self.tombs_dir, min_seq, max_seq)
+            if tpaths:
+                t = self.spark.read.option("recursiveFileLookup", "true").parquet(
+                    *tpaths
+                )
+                cond = v["__seq"] < t["__del_seq"]
+                for c in self.row_ids:
+                    cond = cond & (v[c].eqNullSafe(t[c]))
+                v = v.join(t, on=cond, how="left_anti")
+        return v.drop("__seq")
 
     def read(self, buckets: list[int] | None = None) -> DataFrame:
         """Current state (chunks minus tombstones). With `buckets`, the
@@ -724,6 +817,16 @@ class ChunkedState:
         shutil.rmtree(old_tombs, ignore_errors=True)
         self._has_tombs = False
         self._seq = 1
+        # history collapsed into the new base chunk: reset the commit-time
+        # record — time travel reaches back only to the compaction point
+        # (the reference's Hummock time-travel retention bound)
+        import json as _json
+        import time as _time
+
+        tmp = self._seq_times_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"0": _time.time()}, f)
+        os.replace(tmp, self._seq_times_path())
 
 
 class _RetractableView:

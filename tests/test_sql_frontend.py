@@ -2066,3 +2066,68 @@ def test_create_function_gated_and_rejected(eng):
         )
     with pytest.raises(ValueError, match="RETURNS"):
         eng.sql("create function r2(x int) language sql as 'select x'")
+
+
+def test_ttl_retention_seconds(eng):
+    """TTL (reference e2e_test/ttl/ttl.slt, retention_seconds WITH
+    option): requires APPEND ONLY; rows expire by ingest-chunk commit
+    time as the clock advances, with NO DML needed — expired chunks are
+    skipped at file level. now_override drives the clock."""
+    import datetime as dt
+
+    with pytest.raises(ValueError, match="APPEND ONLY"):
+        eng.sql("CREATE TABLE tt0 (v int) WITH (retention_seconds = 5)")
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng.sql("CREATE TABLE ttl_t (v int) APPEND ONLY WITH (retention_seconds = 5)")
+    eng.sql("INSERT INTO ttl_t VALUES (1)")
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 3)
+    eng.sql("INSERT INTO ttl_t VALUES (2)")
+    assert _rows(eng.sql("SELECT v FROM ttl_t")) == [(1,), (2,)]
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 7)  # row 1 is 7s old
+    assert _rows(eng.sql("SELECT v FROM ttl_t")) == [(2,)]
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 1, 0)
+    assert _rows(eng.sql("SELECT v FROM ttl_t")) == []
+
+
+def test_for_system_time_as_of(eng):
+    """Batch time travel (reference e2e_test/time_travel/basic.slt,
+    syntax.slt): epoch-number, timestamp-string, and NOW()-INTERVAL
+    spellings; history before the floor raises 'version not found' as
+    the reference does."""
+    import calendar
+    import datetime as dt
+
+    eng.sql("CREATE TABLE tvl (k int PRIMARY KEY, v int)")
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng.sql("INSERT INTO tvl VALUES (1, 10), (2, 20)")
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 1, 0)
+    eng.sql("DELETE FROM tvl WHERE k = 1")
+    eng.sql("INSERT INTO tvl VALUES (3, 30)")
+    assert _rows(eng.sql("SELECT k, v FROM tvl")) == [(2, 20), (3, 30)]
+    e_mid = calendar.timegm((2024, 1, 1, 0, 0, 30, 0, 0, 0))
+    assert _rows(
+        eng.sql(f"SELECT k, v FROM tvl FOR SYSTEM_TIME AS OF {e_mid}")
+    ) == [(1, 10), (2, 20)]
+    assert _rows(
+        eng.sql(
+            "SELECT k, v FROM tvl FOR SYSTEM_TIME AS OF "
+            "'2024-01-01T00:00:30+00:00'"
+        )
+    ) == [(1, 10), (2, 20)]
+    # NOW() pinned to the engine clock (00:01:00) minus 30s → 00:00:30
+    assert _rows(
+        eng.sql(
+            "SELECT k, v FROM tvl FOR SYSTEM_TIME AS OF "
+            "NOW() - INTERVAL '30' SECOND"
+        )
+    ) == [(1, 10), (2, 20)]
+    # aggregates compose over the historical relation
+    assert _rows(
+        eng.sql(
+            f"SELECT count(*) n, sum(v) s FROM tvl FOR SYSTEM_TIME AS OF {e_mid}"
+        )
+    ) == [(2, 30)]
+    with pytest.raises(ValueError, match="version not found"):
+        eng.sql("SELECT k FROM tvl FOR SYSTEM_TIME AS OF 100").collect()
+    with pytest.raises(ValueError, match="not an engine table"):
+        eng.sql("SELECT k FROM nosuch FOR SYSTEM_TIME AS OF 100").collect()
