@@ -520,6 +520,11 @@ class Engine:
         #: achieves the same by driving barrier timestamps in tests)
         self.now_override = None
         self._replaying = False
+        #: active transaction marker ({"read_only": bool} or None) —
+        #: frontend BEGIN/COMMIT handlers manage it
+        self._txn = None
+        #: PREPARE name AS <stmt> registry: name → statement template
+        self.prepared: dict[str, str] = {}
 
     def _register_views(self) -> None:
         from risingwave_spark.functions.pgsql import pg_to_spark_sql

@@ -134,6 +134,11 @@ _CREATE_FUNCTION = re.compile(
     r"\s*(?:USING\s+LINK\s+(?P<link>'(?:[^']|'')*'))?\s*;?\s*$",
     re.I | re.S,
 )
+_COMMENT = re.compile(
+    r"^\s*COMMENT\s+ON\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|COLUMN)\s+"
+    r"(?P<obj>\w+)(?:\.(?P<col>\w+))?\s+IS\s+(?P<txt>'(?:[^']|'')*'|NULL)\s*;?\s*$",
+    re.I | re.S,
+)
 _DROP_FUNCTION = re.compile(
     r"^\s*DROP\s+(FUNCTION|AGGREGATE)\s+(?P<ifex>IF\s+EXISTS\s+)?"
     r"(?P<name>\w+)\s*(?:\([^)]*\))?\s*;?\s*$",
@@ -1029,6 +1034,17 @@ def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
 def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
     kind, name, cascade = m.group(1).upper(), m.group(2), m.group(3)
     spark = engine.spark
+    # COMMENT ON entries die with their object
+    comments = getattr(engine, "comments", {})
+    for key in [k for k in comments if k[0] == name]:
+        comments.pop(key, None)
+    engine._unrecord_ddl(
+        [
+            e["name"]
+            for e in engine._read_catalog()
+            if e["name"].startswith(f"__comment_{name}_")
+        ]
+    )
     if kind == "VIEW":
         engine.views.pop(name, None)
         engine._unrecord_ddl([name])
@@ -2941,6 +2957,26 @@ def _handle_create_function(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(spark, f"CREATE_{kind}")
 
 
+def _handle_comment(engine: "Engine", m: re.Match) -> DataFrame:
+    """COMMENT ON TABLE/COLUMN ... IS '...' (reference
+    `handler/comment.rs` → rw_description): stored in the engine
+    catalog, surfaced in DESCRIBE's comment column, IS NULL clears."""
+    obj, col = m.group("obj"), m.group("col")
+    if obj not in engine.tables and obj not in engine.mv_handles and obj not in engine.views:
+        raise ValueError(f"unknown relation {obj!r}")
+    txt = m.group("txt")
+    key = (obj, col)
+    comments = getattr(engine, "comments", None)
+    if comments is None:
+        comments = engine.comments = {}
+    if txt.upper() == "NULL":
+        comments.pop(key, None)
+    else:
+        comments[key] = txt[1:-1].replace("''", "'")
+    engine._record_ddl(f"__comment_{obj}_{col or ''}", m.string)
+    return _status(engine.spark, "COMMENT")
+
+
 def _handle_drop_function(engine: "Engine", m: re.Match) -> DataFrame:
     name = m.group("name")
     if name not in engine.functions:
@@ -2981,13 +3017,153 @@ _KIND_DISPATCH = {
     "create_function": (_CREATE_FUNCTION, _handle_create_function),
     "create_aggregate": (_CREATE_FUNCTION, _handle_create_function),
     "drop_function": (_DROP_FUNCTION, _handle_drop_function),
+    "comment": (_COMMENT, _handle_comment),
 }
+
+
+_TXN_BEGIN = re.compile(
+    r"^\s*(?:START\s+TRANSACTION|BEGIN)(?:\s+(?P<mode>READ\s+ONLY|READ\s+WRITE))?"
+    r"(?:\s*,?\s*ISOLATION\s+LEVEL\s+[\w ]+)?\s*;?\s*$",
+    re.I,
+)
+_TXN_END = re.compile(r"^\s*(COMMIT|ROLLBACK|ABORT)\s*;?\s*$", re.I)
+
+#: statement kinds that mutate catalog or data — rejected inside a
+#: read-only transaction (reference session_impl read-only guard;
+#: e2e_test/batch/transaction/read_only.slt "read-only transaction")
+_TXN_WRITE_KINDS = frozenset(
+    {
+        "insert", "update", "delete", "create_table", "create_table_as",
+        "create_mv", "create_view", "create_source", "create_sink",
+        "create_subscription", "create_function", "create_aggregate",
+        "alter_table", "alter_rename", "drop", "drop_function",
+    }
+)
+
+
+def _txn_begin(engine: "Engine", mode: str | None) -> DataFrame:
+    """START TRANSACTION (reference `handler/transaction.rs`): READ ONLY
+    pins a repeatable-read snapshot — every engine table's read horizon
+    is frozen at its current chunk seq (the same file-level bounding as
+    FOR SYSTEM_TIME AS OF), so concurrent folds by other engine
+    processes on the same warehouse stay invisible until COMMIT. READ
+    WRITE (and bare BEGIN) is the reference's statement-atomic no-op
+    wrapper — each DML still commits its own barrier."""
+    if getattr(engine, "_txn", None) is not None:
+        raise ValueError("already inside a transaction (COMMIT/ROLLBACK first)")
+    ro = bool(mode) and mode.upper().replace(" ", "") == "READONLY"
+    pinned: dict[str, DataFrame] = {}
+    if ro:
+        for t in engine.tables.values():
+            if t.state._has_values:
+                # the bounded chunk-dir list is resolved NOW, so chunks
+                # folded later (even by another engine process on the
+                # same warehouse) can never enter this plan
+                pinned[t.name] = t.state.read_bounded(max_seq=t.state._seq - 1)
+    engine._txn = {"read_only": ro, "views": pinned}
+    for name, df in pinned.items():
+        df.createOrReplaceTempView(name)
+    return _status(engine.spark, "START_TRANSACTION")
+
+
+def _txn_end(engine: "Engine") -> DataFrame:
+    """COMMIT/ROLLBACK/ABORT: release the pinned snapshot and re-bind
+    every registration to current state. Nothing to undo — read-only
+    transactions wrote nothing, read-write ones committed per statement
+    (the reference's contract)."""
+    if getattr(engine, "_txn", None) is None:
+        raise ValueError("no transaction in progress")
+    ro = engine._txn["read_only"]
+    engine._txn = None
+    if ro:
+        for t in engine.tables.values():
+            t._register()
+        for h in engine.mv_handles.values():
+            h._register()
+        engine._register_views()
+    return _status(engine.spark, "COMMIT")
+
+
+_PREPARE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>\w+)\s*(?:\([\w\s,]*\))?\s+AS\s+(?P<body>.+)$",
+    re.I | re.S,
+)
+_EXECUTE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\((?P<args>.*)\))?\s*;?\s*$", re.I | re.S
+)
+_DEALLOCATE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+|ALL)\s*;?\s*$", re.I
+)
+
+
+def _handle_prepare_execute(engine: "Engine", stmt: str) -> DataFrame | None:
+    """PREPARE name AS <stmt with $1..$n> / EXECUTE name(args) /
+    DEALLOCATE (reference `handler/extended_handle.rs` — the extended
+    protocol's parse/bind/execute as plain statements, PG spelling).
+    EXECUTE splices the argument literals into the template (outside
+    string literals) and re-dispatches, so any engine-owned statement
+    kind can be prepared."""
+    m = _PREPARE.match(stmt)
+    if m:
+        engine.prepared[m.group("name")] = m.group("body").strip().rstrip(";")
+        return _status(engine.spark, "PREPARE")
+    m = _EXECUTE.match(stmt)
+    if m:
+        name = m.group("name")
+        if name not in engine.prepared:
+            raise ValueError(f"prepared statement {name!r} does not exist")
+        masked, lits = _mask_strings(engine.prepared[name])
+        args = [
+            a.strip()
+            for a in _split_top_level(_mask_strings(m.group("args") or "")[0])
+            if a.strip()
+        ]
+        arg_lits = _mask_strings(m.group("args") or "")[1]
+
+        def repl(pm: re.Match) -> str:
+            k = int(pm.group(1))
+            if not (1 <= k <= len(args)):
+                raise ValueError(
+                    f"EXECUTE {name}: ${k} has no argument ({len(args)} given)"
+                )
+            return _unmask(args[k - 1], arg_lits)
+
+        spliced = _unmask(re.sub(r"\$(\d+)", repl, masked), lits)
+        return _execute_one(engine, spliced)
+    m = _DEALLOCATE.match(stmt)
+    if m:
+        if m.group("name").upper() == "ALL":
+            engine.prepared.clear()
+        elif engine.prepared.pop(m.group("name"), None) is None:
+            raise ValueError(
+                f"prepared statement {m.group('name')!r} does not exist"
+            )
+        return _status(engine.spark, "DEALLOCATE")
+    return None
 
 
 def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     from risingwave_spark.sqlparse import classify
 
+    m = _TXN_BEGIN.match(stmt)
+    if m and re.match(r"^\s*(START|BEGIN)\b", stmt, re.I):
+        return _txn_begin(engine, m.group("mode"))
+    if _TXN_END.match(stmt):
+        return _txn_end(engine)
+    if re.match(r"^\s*(PREPARE|EXECUTE|DEALLOCATE)\b", stmt, re.I):
+        out = _handle_prepare_execute(engine, stmt)
+        if out is not None:
+            return out
+        raise ValueError(f"cannot parse statement: {stmt[:120]!r}")
     kind = classify(stmt)  # raises SqlParseError on bad engine-owned shapes
+    if (
+        getattr(engine, "_txn", None) is not None
+        and engine._txn["read_only"]
+        and kind in _TXN_WRITE_KINDS
+    ):
+        raise ValueError(
+            f"cannot execute {kind.upper()} in a read-only transaction"
+        )
     if kind in _KIND_DISPATCH:
         rx, handler = _KIND_DISPATCH[kind]
         m = rx.match(stmt)
@@ -3008,9 +3184,17 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             schema = engine.mv_handles[name].view.result().schema
         else:
             raise ValueError(f"unknown relation {name!r}")
+        comments = getattr(engine, "comments", {})
+        rows = [
+            (f.name, f.dataType.simpleString(), comments.get((name, f.name)))
+            for f in schema.fields
+        ]
+        if (name, None) in comments:
+            # table-level description row (reference handler/comment.rs →
+            # rw_description with NULL objsubid)
+            rows.append(("table description", None, comments[(name, None)]))
         return engine.spark.createDataFrame(
-            [(f.name, f.dataType.simpleString()) for f in schema.fields],
-            "name string, type string",
+            rows, "name string, type string, comment string"
         )
     m = _EXPLAIN.match(stmt)
     if m and not re.match(r"^\s*EXPLAIN\s*$", stmt, re.I):
@@ -3121,10 +3305,18 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", stmt, re.I):
         stmt = _rewrite_asof_reads(engine, stmt)
     # TTL tables expire with TIME, not DML — refresh their registered
-    # snapshots so this read sees the current retention window
-    for t in engine.tables.values():
-        if t.retention_seconds is not None:
-            t._register()
+    # snapshots so this read sees the current retention window (but not
+    # inside a read-only transaction: its snapshot is pinned)
+    if getattr(engine, "_txn", None) is None or not engine._txn["read_only"]:
+        for t in engine.tables.values():
+            if t.retention_seconds is not None:
+                t._register()
+    else:
+        # re-pin the transaction's frozen views: another engine instance
+        # sharing this SparkSession may have re-registered the names (in
+        # separate processes the session split makes this a no-op)
+        for name, df in engine._txn["views"].items():
+            df.createOrReplaceTempView(name)
     return engine.spark.sql(pg_to_spark_sql(stmt))
 
 

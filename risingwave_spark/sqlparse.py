@@ -944,6 +944,30 @@ def classify(stmt: str) -> str:
             p.eat()
         p.expect_done("DROP")
         return "drop"
+    if h == "COMMENT":
+        # COMMENT ON TABLE t IS '...' / COMMENT ON COLUMN t.c IS '...'
+        # (reference parser.rs parse_comment, handler/comment.rs)
+        p.eat()
+        p.eat_kw("ON")
+        if p.at_seq("MATERIALIZED", "VIEW"):
+            p.eat()
+            p.eat()
+        elif p.at("TABLE", "VIEW", "COLUMN", "SOURCE"):
+            p.eat()
+        else:
+            p.fail("expected TABLE/COLUMN/MATERIALIZED VIEW/VIEW/SOURCE")
+        p.ident("object name")
+        t = p.peek()
+        if t is not None and t.kind == "op" and t.val == ".":
+            p.eat()
+            p.ident("column name")
+        p.eat_kw("IS")
+        t = p.peek()
+        if t is None or not (t.kind == "str" or (t.kind == "ident" and t.up == "NULL")):
+            p.fail("expected a comment string or NULL after IS")
+        p.eat()
+        p.expect_done("COMMENT ON")
+        return "comment"
     if h == "INSERT":
         p.eat()
         p.eat_kw("INTO")

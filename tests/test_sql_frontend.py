@@ -2131,3 +2131,103 @@ def test_for_system_time_as_of(eng):
         eng.sql("SELECT k FROM tvl FOR SYSTEM_TIME AS OF 100").collect()
     with pytest.raises(ValueError, match="not an engine table"):
         eng.sql("SELECT k FROM nosuch FOR SYSTEM_TIME AS OF 100").collect()
+
+
+def test_read_only_transaction(eng):
+    """START TRANSACTION READ ONLY (reference `handler/transaction.rs`,
+    e2e_test/batch/transaction/read_only.slt): snapshot pinned at BEGIN,
+    writes rejected with 'read-only transaction', COMMIT releases; READ
+    WRITE / bare BEGIN are the statement-atomic no-op wrappers."""
+    eng.sql("CREATE TABLE txt (v int PRIMARY KEY)")
+    eng.sql("INSERT INTO txt VALUES (1), (2)")
+    eng.sql("START TRANSACTION READ ONLY")
+    assert _rows(eng.sql("SELECT v FROM txt")) == [(1,), (2,)]
+    with pytest.raises(ValueError, match="read-only transaction"):
+        eng.sql("INSERT INTO txt VALUES (3)")
+    with pytest.raises(ValueError, match="read-only transaction"):
+        eng.sql("CREATE TABLE t2 (v int)")
+    with pytest.raises(ValueError, match="read-only transaction"):
+        eng.sql("DROP TABLE txt")
+    with pytest.raises(ValueError, match="already inside"):
+        eng.sql("BEGIN")
+    eng.sql("COMMIT")
+    eng.sql("INSERT INTO txt VALUES (3)")
+    assert _rows(eng.sql("SELECT v FROM txt")) == [(1,), (2,), (3,)]
+    # isolation-level suffix accepted; read-write txns pass DML through
+    eng.sql("START TRANSACTION READ WRITE, ISOLATION LEVEL REPEATABLE READ")
+    eng.sql("INSERT INTO txt VALUES (4)")
+    eng.sql("COMMIT")
+    assert _rows(eng.sql("SELECT count(*) n FROM txt")) == [(4,)]
+    with pytest.raises(ValueError, match="no transaction"):
+        eng.sql("ROLLBACK")
+
+
+def test_read_only_transaction_pins_other_writer(spark, tmp_path):
+    """The multi-connection contract
+    (e2e_test/batch/transaction/read_only_multi_conn.slt): a second
+    engine process folding into the SAME warehouse stays invisible to a
+    read-only transaction opened before the write, and visible after
+    COMMIT — the pinned chunk-seq horizon does the isolation."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE mt (v int PRIMARY KEY)")
+    eng.sql("INSERT INTO mt VALUES (1), (2)")
+    eng.sql("START TRANSACTION READ ONLY")
+    assert _rows(eng.sql("SELECT v FROM mt")) == [(1,), (2,)]
+    other = Engine.open(spark, wh)  # the "other connection"
+    other.sql("INSERT INTO mt VALUES (3)")
+    assert _rows(other.sql("SELECT v FROM mt")) == [(1,), (2,), (3,)]
+    # ...but not in the read-only transaction
+    assert _rows(eng.sql("SELECT v FROM mt")) == [(1,), (2,)]
+    eng.sql("COMMIT")
+    assert _rows(eng.sql("SELECT v FROM mt")) == [(1,), (2,), (3,)]
+
+
+def test_prepare_execute_deallocate(eng):
+    """PREPARE/EXECUTE/DEALLOCATE (reference extended_handle.rs as plain
+    statements): $n substitution outside string literals, any statement
+    kind preparable (SELECT and INSERT here), DEALLOCATE drops."""
+    eng.sql("CREATE TABLE pt (k int PRIMARY KEY, v text)")
+    eng.sql("PREPARE ins AS INSERT INTO pt VALUES ($1, $2)")
+    eng.sql("EXECUTE ins(1, 'a $1 b')")  # $1 inside a literal survives
+    eng.sql("EXECUTE ins(2, 'y')")
+    assert _rows(eng.sql("SELECT k, v FROM pt")) == [(1, "a $1 b"), (2, "y")]
+    eng.sql("PREPARE q AS SELECT k, v FROM pt WHERE k = $1")
+    assert _rows(eng.sql("EXECUTE q(2)")) == [(2, "y")]
+    with pytest.raises(ValueError, match="no argument"):
+        eng.sql("EXECUTE q()")
+    eng.sql("DEALLOCATE q")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("EXECUTE q(1)")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DEALLOCATE q")
+    eng.sql("PREPARE q2 AS SELECT 1 AS one")
+    eng.sql("DEALLOCATE ALL")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("EXECUTE q2")
+
+
+def test_comment_on(spark, tmp_path):
+    """COMMENT ON TABLE/COLUMN (reference `handler/comment.rs` →
+    rw_description): stored durably, surfaced by DESCRIBE, IS NULL
+    clears, dies with the object, replays on reopen."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE ct (k int PRIMARY KEY, v text)")
+    eng.sql("COMMENT ON TABLE ct IS 'fact table'")
+    eng.sql("COMMENT ON COLUMN ct.v IS 'the payload'")
+    desc = {r.name: r.comment for r in eng.sql("DESCRIBE ct").collect()}
+    assert desc["v"] == "the payload"
+    assert desc["table description"] == "fact table"
+    eng.sql("COMMENT ON COLUMN ct.v IS NULL")
+    desc = {r.name: r.comment for r in eng.sql("DESCRIBE ct").collect()}
+    assert desc["v"] is None
+    with pytest.raises(ValueError, match="unknown relation"):
+        eng.sql("COMMENT ON TABLE nope IS 'x'")
+    eng2 = Engine.open(spark, wh)
+    desc = {r.name: r.comment for r in eng2.sql("DESCRIBE ct").collect()}
+    assert desc["table description"] == "fact table"
+    eng2.sql("DROP TABLE ct")
+    assert not [
+        e for e in eng2._read_catalog() if e["name"].startswith("__comment_ct")
+    ]
