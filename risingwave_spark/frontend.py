@@ -1583,7 +1583,8 @@ def _handle_create_eowc_mv(
 _OVER_FN = re.compile(
     r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^()]*?)\s*\)\s+OVER\s*\(\s*"
     r"PARTITION\s+BY\s+(?P<pb>.+?)\s+ORDER\s+BY\s+(?P<ob>.+?)"
-    r"(?:\s+(?P<fkind>ROWS|RANGE)\s+BETWEEN\s+(?P<flo>.+?)\s+AND\s+(?P<fhi>.+?))?"
+    r"(?:\s+(?P<fkind>ROWS|RANGE)\s+BETWEEN\s+(?P<flo>.+?)\s+AND\s+(?P<fhi>.+?)"
+    r"|\s+SESSION\s+WITH\s+GAP\s+(?P<gap>.+?))?"
     r"\s*\)$",
     re.I | re.S,
 )
@@ -1754,6 +1755,24 @@ def _handle_create_over_window_mv(
                         )
                     }
                 )
+        if om.group("gap"):
+            # SESSION WITH GAP <interval|number> (reference session.rs
+            # SessionFrameBounds; parser.rs WindowFrameUnits::Session):
+            # whole-partition recompute kind session_<agg>
+            if kind not in ("sum", "min", "max", "avg", "count"):
+                raise ValueError(f"{fn!r} does not accept a SESSION frame")
+            gap_txt = om.group("gap").strip()
+            if re.match(r"^INTERVAL\b", gap_txt, re.I):
+                gap_s = _interval_seconds(gap_txt)
+            else:
+                try:
+                    gap_s = float(gap_txt)
+                except ValueError:
+                    raise ValueError(
+                        f"cannot parse SESSION gap {gap_txt!r} (INTERVAL "
+                        "'n' UNIT or a number)"
+                    ) from None
+            f_spec = [f"session_{kind}", f_spec[1] if len(f_spec) > 1 else pk, gap_s]
         funcs[alias] = tuple(f_spec)
         out_cols.append(alias)
     if spec is None:

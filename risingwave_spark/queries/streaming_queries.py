@@ -2494,3 +2494,63 @@ def engine_sql_time_travel(spark, sf_dir):
         f"FROM tt_orders FOR SYSTEM_TIME AS OF {mid} "
         f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
+
+
+@register(
+    "engine_sql_session_mv",
+    oracle="""
+WITH surv AS (
+  SELECT user_id, event_id, CAST(round(value*100, 0) AS BIGINT) AS vc
+  FROM events WHERE user_id < 30 AND event_id % 7 <> 0
+), marks AS (
+  SELECT user_id, event_id, vc,
+         CASE WHEN event_id - lag(event_id) OVER w <= 100 THEN 0 ELSE 1 END AS ns
+  FROM surv WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, event_id,
+       CAST(sum(vc)   OVER (PARTITION BY user_id, sid) AS BIGINT) AS ss,
+       CAST(count(vc) OVER (PARTITION BY user_id, sid) AS BIGINT) AS sn
+FROM sess ORDER BY user_id, event_id
+""",
+)
+def engine_sql_session_mv(spark, sf_dir):
+    """SESSION over-frame MV through the SQL surface (reference
+    session.rs SessionFrameBounds; parser.rs WindowFrameUnits::Session):
+    `sum/count OVER (PARTITION BY user ORDER BY id SESSION WITH GAP
+    100)` maintained under two insert batches and a delete — deletes
+    split sessions, inserts merge them; the MV equals one-shot batch
+    sessionization of the survivors."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_sess_"))
+    eng.sql(
+        "CREATE TABLE sess_ev (event_id int8 PRIMARY KEY, user_id int8, vc int8)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sess_mv AS SELECT user_id, event_id, "
+        "sum(vc) OVER (PARTITION BY user_id ORDER BY event_id "
+        "SESSION WITH GAP 100) AS ss, "
+        "count(vc) OVER (PARTITION BY user_id ORDER BY event_id "
+        "SESSION WITH GAP 100) AS sn "
+        "FROM sess_ev"
+    )
+    eng.sql(
+        "INSERT INTO sess_ev SELECT event_id, user_id, "
+        "CAST(round(value*100, 0) AS BIGINT) FROM events "
+        "WHERE user_id < 30 AND event_id % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO sess_ev SELECT event_id, user_id, "
+        "CAST(round(value*100, 0) AS BIGINT) FROM events "
+        "WHERE user_id < 30 AND event_id % 2 = 1"
+    )
+    eng.sql("DELETE FROM sess_ev WHERE event_id % 7 = 0")
+    return eng.sql(
+        "SELECT user_id, event_id, ss, sn FROM sess_mv "
+        "ORDER BY user_id, event_id"
+    )

@@ -336,3 +336,55 @@ def win_frame_exclude(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "win_session_frame",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 10 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id, sid) AS BIGINT) AS sess_n,
+       CAST(sum(CAST(round(value*100, 0) AS BIGINT))
+            OVER (PARTITION BY user_id, sid) AS BIGINT) AS sess_cents
+FROM sess ORDER BY user_id, event_id
+""",
+)
+def win_session_frame(spark, sf_dir):
+    """SESSION over-window frame (reference
+    `window_function/session.rs` SessionFrameBounds; SQL `agg OVER
+    (... ORDER BY ts SESSION WITH GAP INTERVAL '10' MINUTE)`): each
+    row's frame is its gap-delimited session. Two native window passes
+    (mark+running-sum session ids, then partition-by-session aggregates)
+    — no Python, one shuffle, whole-stage codegen throughout."""
+    from risingwave_spark.operators.session_frame import (
+        session_frame_window,
+        with_session_id,
+    )
+
+    t = tables(spark, sf_dir)
+    df = t["events"].filter(F.col("user_id") < 50)
+    sess = with_session_id(
+        df, ["user_id"], "ts", gap_seconds=600, tiebreak=["event_id"]
+    )
+    sw = session_frame_window(["user_id"])
+    return (
+        sess.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(sw).alias("sess_n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .over(sw)
+            .alias("sess_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -64,12 +64,24 @@ _KINDS = {
     "percent_rank",
     "cume_dist",
     "ntile",
+    "session_sum",
+    "session_min",
+    "session_max",
+    "session_avg",
+    "session_count",
 }
 
 #: kinds whose value depends on the WHOLE partition (total row count):
 #: an insert anywhere dirties every row, so the affected range is the
-#: full touched partition (frame_finder's whole-partition case)
-_FULL_KINDS = {"percent_rank", "cume_dist", "ntile"}
+#: full touched partition (frame_finder's whole-partition case).
+#: SESSION frames (session.rs SessionFrameBounds) are here too: an
+#: insert/delete can merge or split sessions and shift every later
+#: session id, so the safe affected range is the full partition.
+_FULL_KINDS = {
+    "percent_rank", "cume_dist", "ntile",
+    "session_sum", "session_min", "session_max", "session_avg",
+    "session_count",
+}
 
 #: aggregate kinds that accept a bounded frame spec
 _FRAMEABLE = {"sum", "min", "max", "avg", "count"}
@@ -226,6 +238,34 @@ class MaterializedOverWindowDelta:
         run_frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
         out_cols = [*self.keys, *self.order_cols]
         out_cols = list(dict.fromkeys(out_cols + self.payload_cols))
+        # SESSION frames (session.rs): materialize one session-id column
+        # per distinct gap FIRST (windows can't nest in one projection);
+        # the frame aggregate is then a plain partition-by-(keys, sid)
+        # window. Only reached on the whole-partition path (_FULL_KINDS),
+        # so `rows` is the complete touched partition.
+        sess_gaps = sorted(
+            {
+                float(spec[2])
+                for spec in self.funcs.values()
+                if spec[0].startswith("session_")
+            }
+        )
+        sid_col: dict[float, str] = {}
+        for gi, gap in enumerate(sess_gaps):
+            oc = self.order_cols[0]
+            cur, prev = F.col(oc), F.lag(oc).over(w)
+            if "timestamp" in dict(rows.dtypes).get(oc, "") or "date" in dict(
+                rows.dtypes
+            ).get(oc, ""):
+                delta = cur.cast("double") - prev.cast("double")
+            else:
+                delta = cur - prev
+            mark = F.when(delta <= F.lit(gap), F.lit(0)).otherwise(F.lit(1))
+            sid_col[gap] = f"__sid{gi}"
+            rows = rows.withColumn(
+                sid_col[gap],
+                F.sum(mark).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            )
         proj = [F.col(c) for c in out_cols]
 
         def seed_of(col: str, default=None):
@@ -258,6 +298,20 @@ class MaterializedOverWindowDelta:
                 fn = {"sum": F.sum, "min": F.min, "max": F.max,
                       "avg": F.avg, "count": F.count}[kind]
                 proj.append(fn(src).over(fw).alias(name))
+                continue
+            if kind.startswith("session_"):
+                gap = float(spec[2])
+                sw = W.partitionBy(*self.keys, F.col(sid_col[gap]))
+                fn = {
+                    "session_sum": F.sum,
+                    "session_min": F.min,
+                    "session_max": F.max,
+                    "session_avg": F.avg,
+                    "session_count": F.count,
+                }[kind]
+                proj.append(
+                    fn(src if src is not None else F.lit(1)).over(sw).alias(name)
+                )
                 continue
             if kind == "first_value":
                 # partition's first value: carried out of the prefix via

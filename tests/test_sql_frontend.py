@@ -2231,3 +2231,45 @@ def test_comment_on(spark, tmp_path):
     assert not [
         e for e in eng2._read_catalog() if e["name"].startswith("__comment_ct")
     ]
+
+
+def test_over_window_mv_session_frame(eng):
+    """`agg(x) OVER (PARTITION BY k ORDER BY o SESSION WITH GAP n)` in a
+    CREATE MV (reference parser.rs WindowFrameUnits::Session +
+    session.rs): maintained across inserts and deletes that split and
+    merge sessions."""
+    eng.sql("CREATE TABLE sfr (id int PRIMARY KEY, k int, o int, v int)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sfr_mv AS SELECT k, o, v, "
+        "sum(v) OVER (PARTITION BY k ORDER BY o SESSION WITH GAP 10) AS ss, "
+        "count(v) OVER (PARTITION BY k ORDER BY o SESSION WITH GAP 10) AS sn "
+        "FROM sfr"
+    )
+    # k=1: o=1,5 (one session), o=30 (second session)
+    eng.sql("INSERT INTO sfr VALUES (1,1,1,100), (2,1,5,10), (3,1,30,1), (4,2,7,7)")
+    assert _rows(eng.sql("SELECT k, o, ss, sn FROM sfr_mv")) == [
+        (1, 1, 110, 2), (1, 5, 110, 2), (1, 30, 1, 1), (2, 7, 7, 1),
+    ]
+    # o=18 bridges the gap chains: 5→18 (13>10 still separate)... no:
+    # 5→18 gap 13 > 10, 18→30 gap 12 > 10 → three sessions
+    eng.sql("INSERT INTO sfr VALUES (5,1,18,1000)")
+    assert _rows(eng.sql("SELECT k, o, ss, sn FROM sfr_mv WHERE k = 1")) == [
+        (1, 1, 110, 2), (1, 5, 110, 2), (1, 18, 1000, 1), (1, 30, 1, 1),
+    ]
+    # o=12 chains 5→12→18 and 18→30 stays split; session = {1,5,12,18}
+    eng.sql("INSERT INTO sfr VALUES (6,1,12,10000)")
+    assert _rows(eng.sql("SELECT k, o, ss, sn FROM sfr_mv WHERE k = 1")) == [
+        (1, 1, 11110, 4), (1, 5, 11110, 4), (1, 12, 11110, 4),
+        (1, 18, 11110, 4), (1, 30, 1, 1),
+    ]
+    # deleting the bridge splits the session again
+    eng.sql("DELETE FROM sfr WHERE id = 6")
+    assert _rows(eng.sql("SELECT k, o, ss, sn FROM sfr_mv WHERE k = 1")) == [
+        (1, 1, 110, 2), (1, 5, 110, 2), (1, 18, 1000, 1), (1, 30, 1, 1),
+    ]
+    with pytest.raises(ValueError, match="SESSION frame"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad_sfr AS SELECT k, o, "
+            "row_number() OVER (PARTITION BY k ORDER BY o SESSION WITH GAP 5) AS rn "
+            "FROM sfr"
+        )

@@ -902,3 +902,45 @@ def test_approx_percentile_bucket_state_bound(spark, tmp_path):
     ap2.apply_batch(with_ops(mix, 1))
     est_p10 = ap2.result().first().approx_percentile
     assert abs(est_p10 - (-80)) / 80 < 0.03, est_p10
+
+
+def test_over_window_session_frame_matches_batch(spark, events):
+    """SESSION over-frames in the MV runtime (reference
+    `window_function/session.rs` SessionFrameBounds): each row's frame is
+    its gap-delimited session; inserts/deletes can merge, split, and
+    renumber sessions, so the kind recomputes the full touched partition
+    (frame_finder's whole-partition case) — the maintained MV must equal
+    the one-shot batch sessionization over the survivors."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    base = (
+        events.filter(F.col("event_id") < 600)
+        .select("user_id", "event_id", (F.col("event_id") % 97).cast("long").alias("iv"))
+    )
+    funcs = {
+        "ss": ("session_sum", "iv", 50.0),
+        "sc": ("session_count", "iv", 50.0),
+        "sm": ("session_max", "iv", 50.0),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        ow = _drive_ow_delta(spark, d, base, funcs)
+        got = sorted(map(tuple, ow.result().select(
+            "user_id", "event_id", "ss", "sc", "sm"
+        ).collect()))
+    surv = _ow_survivors(base)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    sid = F.sum(
+        F.when(F.col("event_id") - F.lag("event_id").over(w) <= 50, F.lit(0))
+        .otherwise(F.lit(1))
+    ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    sess = surv.withColumn("__sid", sid)
+    sw = W.partitionBy("user_id", "__sid")
+    exp = sorted(map(tuple, sess.select(
+        "user_id", "event_id",
+        F.sum("iv").over(sw).alias("ss"),
+        F.count("iv").over(sw).alias("sc"),
+        F.max("iv").over(sw).alias("sm"),
+    ).collect()))
+    assert got == exp
