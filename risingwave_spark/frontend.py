@@ -122,7 +122,8 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(?P<tail>\S.*))?\s*$", re.I | re.S
 )
 _SHOW = re.compile(
-    r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS)\s*$",
+    r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS"
+    r"|INTERNAL\s+TABLES)\s*$",
     re.I,
 )
 _CREATE_FUNCTION = re.compile(
@@ -3169,6 +3170,12 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         return _txn_begin(engine, m.group("mode"))
     if _TXN_END.match(stmt):
         return _txn_end(engine)
+    if re.match(r"^\s*DISCARD\s+ALL\s*;?\s*$", stmt, re.I):
+        # reference Statement::Discard (PG session reset): prepared
+        # statements and cursors die; durable objects stay
+        engine.prepared.clear()
+        getattr(engine, "cursors", {}).clear()
+        return _status(engine.spark, "DISCARD_ALL")
     if re.match(r"^\s*(PREPARE|EXECUTE|DEALLOCATE)\b", stmt, re.I):
         out = _handle_prepare_execute(engine, stmt)
         if out is not None:
@@ -3266,6 +3273,23 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     m = _SHOW.match(stmt)
     if m:
         kind = re.sub(r"\s+", " ", m.group(1).upper())
+        if kind == "INTERNAL TABLES":
+            # reference `show internal tables` (rw_internal catalog)
+            from risingwave_spark.streaming.mv import ChunkedState
+
+            names = [f"__internal_{t}_{k}" for t in sorted(engine.tables)
+                     for k in ("state", "tombstones")]
+            names += [
+                f"__internal_{n}_{k}"
+                for n in sorted(engine.mv_handles)
+                if isinstance(
+                    getattr(engine.mv_handles[n].view, "state", None), ChunkedState
+                )
+                for k in ("state", "tombstones")
+            ]
+            return engine.spark.createDataFrame(
+                [(n,) for n in names] or [], "name string"
+            )
         names = sorted(
             {
                 "TABLES": engine.tables,
@@ -3323,6 +3347,8 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     # ad-hoc query path: PG-isms rewritten, then Catalyst
     if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", stmt, re.I):
         stmt = _rewrite_asof_reads(engine, stmt)
+    if "__internal_" in stmt:
+        _register_internal_views(engine, stmt)
     # TTL tables expire with TIME, not DML — refresh their registered
     # snapshots so this read sees the current retention window (but not
     # inside a read-only transaction: its snapshot is pinned)
@@ -3347,6 +3373,55 @@ _ASOF_READ = re.compile(
     r"|\d+(?:\.\d+)?)",
     re.I,
 )
+
+
+_INTERNAL_RX = re.compile(r"\b__internal_(\w+?)_(state|tombstones)\b")
+
+
+def _internal_state_of(engine: "Engine", obj: str):
+    from risingwave_spark.streaming.mv import ChunkedState
+
+    if obj in engine.tables:
+        return engine.tables[obj].state
+    if obj in engine.mv_handles:
+        st = getattr(engine.mv_handles[obj].view, "state", None)
+        if isinstance(st, ChunkedState):
+            return st
+        raise ValueError(
+            f"materialized view {obj!r} has no row-level ChunkedState "
+            "(its state is the materialized result — query the MV itself)"
+        )
+    raise ValueError(f"unknown relation {obj!r} for internal-state read")
+
+
+def _register_internal_views(engine: "Engine", stmt: str) -> None:
+    """Queryable internal state (reference
+    e2e_test/queryable_internal_state + the rw_internal table family):
+    `__internal_<obj>_state` exposes the raw insert chunks (with their
+    __seq commit sequence) and `__internal_<obj>_tombstones` the delete
+    tombstones of a table's or stateful MV's ChunkedState — the same
+    debugging surface the reference serves through internal tables,
+    read-only and zero-copy (it's the state parquet itself)."""
+    for m in _INTERNAL_RX.finditer(stmt):
+        obj, kind = m.group(1), m.group(2)
+        st = _internal_state_of(engine, obj)
+        if kind == "state":
+            df = (
+                st._read_dir(st.values_dir)
+                if st._has_values
+                else st._empty().withColumn("__seq", F.lit(None).cast("long"))
+            )
+        else:
+            if st._has_tombs:
+                df = st._read_dir(st.tombs_dir)
+            else:
+                df = (
+                    st._empty()
+                    .select(*st.row_ids)
+                    .withColumn("__del_seq", F.lit(None).cast("long"))
+                    .limit(0)
+                )
+        df.createOrReplaceTempView(f"__internal_{obj}_{kind}")
 
 
 def _rewrite_asof_reads(engine: "Engine", stmt: str) -> str:

@@ -2273,3 +2273,31 @@ def test_over_window_mv_session_frame(eng):
             "row_number() OVER (PARTITION BY k ORDER BY o SESSION WITH GAP 5) AS rn "
             "FROM sfr"
         )
+
+
+def test_queryable_internal_state(eng):
+    """Internal-state reads (reference
+    e2e_test/queryable_internal_state/group_agg.slt + rw_internal
+    tables): __internal_<obj>_state exposes raw insert chunks with their
+    __seq commit sequence, __internal_<obj>_tombstones the delete
+    tombstones; SHOW INTERNAL TABLES lists them. Read-only, zero-copy."""
+    eng.sql("CREATE TABLE qit (k int PRIMARY KEY, v int)")
+    eng.sql("CREATE MATERIALIZED VIEW qit_mv AS SELECT k % 2 AS g, sum(v) AS s FROM qit GROUP BY k % 2")
+    eng.sql("INSERT INTO qit VALUES (1, 10), (2, 20)")
+    eng.sql("INSERT INTO qit VALUES (3, 30)")
+    eng.sql("DELETE FROM qit WHERE k = 2")
+    rows = _rows(eng.sql("SELECT k, v, __seq FROM __internal_qit_state"))
+    # raw chunks keep the deleted row (the tombstone masks it at read)
+    assert (2, 20, 1) in rows and len(rows) == 3
+    tombs = _rows(eng.sql("SELECT k, __del_seq FROM __internal_qit_tombstones"))
+    assert tombs == [(2, 3)]
+    # live read still excludes it
+    assert _rows(eng.sql("SELECT k FROM qit")) == [(1,), (3,)]
+    listing = [r.name for r in eng.sql("SHOW INTERNAL TABLES").collect()]
+    assert "__internal_qit_state" in listing
+    assert "__internal_qit_mv_state" in listing
+    # the MV's group-agg state rows are its source-row state
+    n = eng.sql("SELECT count(*) AS n FROM __internal_qit_mv_state").first().n
+    assert n == 3
+    with pytest.raises(ValueError, match="unknown relation"):
+        eng.sql("SELECT * FROM __internal_nope_state")
