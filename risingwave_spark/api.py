@@ -667,11 +667,13 @@ class Engine:
                 recompute,
             )
         mv.key_of = key_of
-        # Backfill: current base state as one insert batch (the
-        # reference's snapshot-then-switchover bootstrap). A re-opened
-        # MV already holds its materialization — re-attach, don't re-run.
-        if not mv.mv.exists():
-            mv.apply_batch(with_ops(backfill, 1))
+        # Backfill: current base state (the reference's
+        # snapshot-then-switchover bootstrap). A re-opened MV already
+        # holds its materialization — re-attach, don't re-run; an MV
+        # whose chunked backfill CRASHED partway resumes its remaining
+        # chunks (see _run_backfill).
+        if not mv.mv.exists() or os.path.exists(self._backfill_progress_path(name)):
+            self._run_backfill(name, mv, backfill, row_id)
         h = MaterializedViewHandle(name, mv)
         h._register()
         if subscribe is not None:
@@ -680,6 +682,64 @@ class Engine:
             self.mv_handles[base].view.downstream.append(mv)
         self.mv_handles[name] = h
         return h
+
+    def _backfill_progress_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, f"mv_{name}", "BACKFILL_PROGRESS")
+
+    def _run_backfill(self, name: str, mv, backfill: DataFrame, row_id) -> None:
+        """Snapshot backfill, resumable in pk-hash chunks (reference
+        backfill executor family, `src/stream/src/executor/backfill/` —
+        per-vnode progress state so a crashed backfill resumes instead
+        of restarting; here the unit is a deterministic pk-hash slice).
+
+        `SET rw.backfill_chunks = K` (the reference's backfill
+        rate-control analog) splits the snapshot into K slices; each
+        slice folds as one changelog batch with a per-slice redelivery
+        pointer (batch_ns '__backfill'), and BACKFILL_PROGRESS records
+        completed slices durably. A crash mid-slice re-applies that
+        slice idempotently (the state fold is skipped by its batch
+        pointer; the group recompute is an idempotent splice); a crash
+        between slices resumes at the next one. K=1 (default) keeps the
+        one-batch bootstrap. At 100 TB this is the difference between
+        re-reading the whole base table after a mid-backfill failure and
+        re-reading one slice."""
+        import json
+
+        k = int(self.spark.conf.get("rw.backfill_chunks", "1"))
+        prog = self._backfill_progress_path(name)
+        done: set[int] = set()
+        if os.path.exists(prog):
+            try:
+                with open(prog) as f:
+                    rec = json.load(f)
+                k, done = rec["chunks"], set(rec["done"])
+            except (ValueError, KeyError):
+                pass
+        if k <= 1:
+            mv.apply_batch(with_ops(backfill, 1))
+            return
+        pk_cols = [row_id] if isinstance(row_id, str) else list(row_id)
+        os.makedirs(os.path.dirname(prog), exist_ok=True)
+        if not os.path.exists(prog):
+            # durable BEFORE the first slice: a crash inside slice 0 must
+            # leave the resume marker, or reopen would re-attach a
+            # partial MV as complete
+            with open(prog + ".tmp", "w") as f:
+                json.dump({"chunks": k, "done": []}, f)
+            os.replace(prog + ".tmp", prog)
+        for i in range(k):
+            if i in done:
+                continue
+            chunk = backfill.filter(
+                F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(k)) == i
+            )
+            mv.apply_batch(with_ops(chunk, 1), batch_id=i, batch_ns="__backfill")
+            done.add(i)
+            tmp = prog + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"chunks": k, "done": sorted(done)}, f)
+            os.replace(tmp, prog)
+        os.remove(prog)
 
     def create_stream_join_mv(
         self,

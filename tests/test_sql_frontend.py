@@ -2301,3 +2301,52 @@ def test_queryable_internal_state(eng):
     assert n == 3
     with pytest.raises(ValueError, match="unknown relation"):
         eng.sql("SELECT * FROM __internal_nope_state")
+
+
+def test_chunked_backfill_resumes_after_crash(spark, tmp_path, monkeypatch):
+    """Resumable snapshot backfill (reference backfill executor family,
+    `src/stream/src/executor/backfill/` per-vnode progress): with
+    `SET rw.backfill_chunks = 4` the snapshot folds as 4 pk-hash slices
+    with durable progress; a crash mid-backfill resumes at the failed
+    slice on the next CREATE, never re-folding completed slices."""
+    from risingwave_spark.streaming import mv as mvmod
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE bft (k int PRIMARY KEY, v int)")
+    eng.sql("INSERT INTO bft SELECT id, id * 10 FROM range(0, 200)")
+    eng.sql("SET rw.backfill_chunks = 4")
+    calls = {"n": 0, "crash_at": 3}
+    orig = mvmod.MaterializedView.apply_batch
+
+    def counting(self, batch, batch_id=None, batch_ns=None):
+        if batch_ns == "__backfill":
+            calls["n"] += 1
+            if calls["n"] == calls["crash_at"]:
+                raise RuntimeError("simulated backfill crash")
+        return orig(self, batch, batch_id=batch_id, batch_ns=batch_ns)
+
+    monkeypatch.setattr(mvmod.MaterializedView, "apply_batch", counting)
+    ddl = (
+        "CREATE MATERIALIZED VIEW bf_mv AS "
+        "SELECT k % 7 AS g, sum(v) AS s FROM bft GROUP BY k % 7"
+    )
+    with pytest.raises(RuntimeError, match="simulated"):
+        eng.sql(ddl)
+    import os as _os
+
+    assert _os.path.exists(eng._backfill_progress_path("bf_mv"))
+    calls["crash_at"] = -1  # no more crashes
+    calls["n"] = 0
+    eng.sql(ddl)  # re-issue: resumes slices 2 and 3 only
+    assert calls["n"] == 2
+    assert not _os.path.exists(eng._backfill_progress_path("bf_mv"))
+    assert _rows(eng.sql("SELECT g, s FROM bf_mv")) == _rows(
+        eng.sql("SELECT k % 7 AS g, sum(v) AS s FROM bft GROUP BY k % 7")
+    )
+    # and the finished MV keeps maintaining
+    eng.sql("INSERT INTO bft VALUES (1000, 7)")
+    assert _rows(eng.sql("SELECT s FROM bf_mv WHERE g = 1000 % 7")) == _rows(
+        eng.sql("SELECT sum(v) AS s FROM bft WHERE k % 7 = 1000 % 7")
+    )
+    eng.sql("SET rw.backfill_chunks = 1")
