@@ -525,6 +525,12 @@ class Engine:
         self._txn = None
         #: PREPARE name AS <stmt> registry: name → statement template
         self.prepared: dict[str, str] = {}
+        #: background DDL jobs (SET BACKGROUND_DDL=true): name → job dict
+        import threading
+
+        self._bg_jobs: dict[str, dict] = {}
+        #: serializes DML against in-flight background backfills
+        self._ddl_lock = threading.RLock()
 
     def _register_views(self) -> None:
         from risingwave_spark.functions.pgsql import pg_to_spark_sql
@@ -1046,6 +1052,15 @@ class Engine:
         return _time.time()
 
     def _apply_dml(self, table: str, batch: DataFrame) -> None:
+        # serialize against background backfills: a DELETE folded while a
+        # backfill slice containing the same row is still pending would be
+        # resurrected by the later slice (tombstones mask only EARLIER
+        # seqs) — blocking here is the engine's equivalent of the
+        # reference's upstream buffering during backfill
+        with self._ddl_lock:
+            return self._apply_dml_locked(table, batch)
+
+    def _apply_dml_locked(self, table: str, batch: DataFrame) -> None:
         t = self.tables[table]
         cols = [c for c in batch.columns if c != OP_COL]
         t.state.fold(

@@ -3041,6 +3041,57 @@ _KIND_DISPATCH = {
 }
 
 
+def _conf_bool(engine: "Engine", key: str) -> bool:
+    try:
+        return engine.spark.conf.get(key, "false").lower() in ("true", "t", "1")
+    except Exception:
+        return False
+
+
+def _spawn_background_ddl(engine: "Engine", name: str, handler, m: re.Match) -> DataFrame:
+    """SET BACKGROUND_DDL=true (reference
+    e2e_test/background_ddl/basic.slt; meta's background streaming-job
+    creation): CREATE MATERIALIZED VIEW returns immediately; the
+    backfill runs on a worker thread (Spark job submission is
+    thread-safe) holding the engine's DDL lock, so DML serializes
+    against in-flight backfills instead of racing them (the reference
+    buffers upstream chunks during backfill — blocking is this engine's
+    honest equivalent). The MV is not queryable until the job finishes;
+    WAIT joins every job and surfaces its error; SHOW JOBS lists
+    progress (chunked backfills report completed/total slices)."""
+    import threading
+
+    job = {"thread": None, "error": None, "name": name}
+
+    def run():
+        try:
+            with engine._ddl_lock:
+                handler(engine, m)
+        except Exception as e:  # surfaced by WAIT / SHOW JOBS
+            job["error"] = e
+
+    th = threading.Thread(target=run, name=f"bg_ddl_{name}", daemon=True)
+    job["thread"] = th
+    engine._bg_jobs[name] = job
+    th.start()
+    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
+
+
+def _wait_background_jobs(engine: "Engine") -> None:
+    """Join all background DDL jobs; re-raise the first failure
+    (reference `wait` handler semantics)."""
+    for job in list(getattr(engine, "_bg_jobs", {}).values()):
+        job["thread"].join()
+    for name, job in list(engine._bg_jobs.items()):
+        if job["error"] is not None:
+            engine._bg_jobs.pop(name, None)
+            raise RuntimeError(
+                f"background creation of {name!r} failed: {job['error']}"
+            ) from job["error"]
+        if not job["thread"].is_alive():
+            engine._bg_jobs.pop(name, None)
+
+
 _TXN_BEGIN = re.compile(
     r"^\s*(?:START\s+TRANSACTION|BEGIN)(?:\s+(?P<mode>READ\s+ONLY|READ\s+WRITE))?"
     r"(?:\s*,?\s*ISOLATION\s+LEVEL\s+[\w ]+)?\s*;?\s*$",
@@ -3199,6 +3250,17 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
                 f"extractor did not accept it — please simplify the "
                 f"statement or use the Python API: {stmt[:120]!r}"
             )
+        if kind == "create_mv" and not engine._replaying:
+            name = m.group(1)
+            job = getattr(engine, "_bg_jobs", {}).get(name)
+            if name in engine.mv_handles or (job and job["error"] is None and job["thread"].is_alive()):
+                # reference meta rejects duplicate mview names, including
+                # while one is still creating (background_ddl/basic.slt)
+                if re.search(r"\bIF\s+NOT\s+EXISTS\b", stmt, re.I):
+                    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
+                raise ValueError(f"materialized view {name!r} already exists")
+            if _conf_bool(engine, "BACKGROUND_DDL"):
+                return _spawn_background_ddl(engine, name, handler, m)
         return handler(engine, m)
     m = _DESCRIBE.match(stmt)
     if m:
@@ -3301,7 +3363,34 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             }[kind]
         )
         return engine.spark.createDataFrame([(n,) for n in names] or [], "name string")
+    m = re.match(r"^\s*SHOW\s+JOBS\s*$", stmt, re.I)
+    if m:
+        # reference rw_catalog.rw_ddl_progress / SHOW JOBS: in-flight
+        # background creations with chunked-backfill progress when known
+        import json as _json
+
+        rows = []
+        for name, job in getattr(engine, "_bg_jobs", {}).items():
+            if job["error"] is not None:
+                state = f"failed: {job['error']}"
+            elif job["thread"].is_alive():
+                state = "creating"
+            else:
+                state = "done"
+            prog = ""
+            try:
+                with open(engine._backfill_progress_path(name)) as f:
+                    rec = _json.load(f)
+                prog = f"{len(rec['done'])}/{rec['chunks']} slices"
+            except Exception:
+                pass
+            rows.append((name, state, prog))
+        return engine.spark.createDataFrame(
+            rows or [], "name string, state string, progress string"
+        )
     if re.match(r"^\s*(FLUSH|WAIT)\s*$", stmt, re.I):
+        if re.match(r"^\s*WAIT\s*$", stmt, re.I):
+            _wait_background_jobs(engine)
         # reference handler/flush.rs / wait.rs: block until the current
         # barrier commits. This engine is synchronous — every statement's
         # state (ChunkedState chunk, MV epoch, changelog) is durable

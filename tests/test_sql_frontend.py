@@ -2350,3 +2350,38 @@ def test_chunked_backfill_resumes_after_crash(spark, tmp_path, monkeypatch):
         eng.sql("SELECT sum(v) AS s FROM bft WHERE k % 7 = 1000 % 7")
     )
     eng.sql("SET rw.backfill_chunks = 1")
+
+
+def test_background_ddl(eng):
+    """SET BACKGROUND_DDL=true (reference e2e_test/background_ddl):
+    CREATE MV returns immediately, duplicate names are rejected while
+    creating, WAIT joins the jobs (surfacing failures), SHOW JOBS lists
+    them, and the finished MV is correct and maintained."""
+    eng.sql("CREATE TABLE bgt (k int PRIMARY KEY, v int)")
+    eng.sql("INSERT INTO bgt SELECT id, id FROM range(0, 50)")
+    try:
+        eng.sql("SET BACKGROUND_DDL = true")
+        eng.sql("SET rw.backfill_chunks = 4")
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bgm AS "
+            "SELECT k % 3 AS g, sum(v) AS s FROM bgt GROUP BY k % 3"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE MATERIALIZED VIEW bgm AS SELECT k FROM bgt")
+        eng.sql("WAIT")
+        assert _rows(eng.sql("SELECT g, s FROM bgm")) == _rows(
+            eng.sql("SELECT k % 3 AS g, sum(v) AS s FROM bgt GROUP BY k % 3")
+        )
+        assert eng._bg_jobs == {}
+        # a failing background job surfaces at WAIT, not silently
+        eng.sql("CREATE MATERIALIZED VIEW bg_bad AS SELECT nocol FROM bgt")
+        with pytest.raises(RuntimeError, match="bg_bad"):
+            eng.sql("WAIT")
+        # maintained after completion
+        eng.sql("INSERT INTO bgt VALUES (100, 100)")
+        assert _rows(eng.sql("SELECT s FROM bgm WHERE g = 1")) == _rows(
+            eng.sql("SELECT sum(v) AS s FROM bgt WHERE k % 3 = 1")
+        )
+    finally:
+        eng.sql("SET BACKGROUND_DDL = false")
+        eng.sql("SET rw.backfill_chunks = 1")
