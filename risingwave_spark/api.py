@@ -712,6 +712,17 @@ class Engine:
         import json
 
         k = int(self.spark.conf.get("rw.backfill_chunks", "1"))
+        rate = self.spark.conf.get("BACKFILL_RATE_LIMIT", None)
+        if k <= 1 and rate and rate.upper() != "DEFAULT":
+            # reference SET BACKFILL_RATE_LIMIT=N (rows per barrier):
+            # mapped to a per-slice ROW CAP — chunk count sized so each
+            # slice carries ~N rows (documented divergence: slices, not
+            # rows/second; resumability and bounded batch size are the
+            # properties that matter at scale)
+            import math
+
+            n = backfill.count()
+            k = max(1, math.ceil(n / max(1, int(rate))))
         prog = self._backfill_progress_path(name)
         done: set[int] = set()
         if os.path.exists(prog):

@@ -2310,6 +2310,101 @@ def _handle_create_topn_mv(
     return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
 
 
+def _mv_stream_pipeline(engine: "Engine", stmt: str) -> list[str]:
+    """EXPLAIN's stream-plan section (reference `handler/explain.rs`
+    prints the StreamMaterialize tree): mirror `_handle_create_mv`'s
+    routing predicates WITHOUT executing, and name the runtime operators
+    the statement would compile onto. Indentation = dataflow order."""
+    mm = _CREATE_MV.match(stmt)
+    name, select = mm.group(1), mm.group(2).strip().rstrip(";")
+    em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
+    if em:
+        select = select[: em.start()]
+    masked, _lits = _mask_strings(select)
+    out = [f"StreamMaterialize {{ mv: {name} }}"]
+    if em:
+        kind = "EowcOverWindow" if re.search(r"\bOVER\s*\(", masked, re.I) else "EowcTumbleAgg"
+        return out + [
+            f"└─ {kind} {{ emit: on window close, late rows dropped }}",
+            "   └─ WatermarkFilter { durable watermark }",
+            "      └─ StreamTableScan",
+        ]
+    if _TUMBLE_FROM.search(masked) or _HOP_FROM.search(masked):
+        w = "TumbleWindow" if _TUMBLE_FROM.search(masked) else "HopWindow"
+        return out + [
+            "└─ MaterializedGroupAgg { eager, retractable, bucketed state }",
+            f"   └─ {w} {{ eager (every open window maintained) }}",
+            "      └─ StreamTableScan",
+        ]
+    if _TOPN_MV.match(masked):
+        return out + [
+            "└─ AppendOnlyGroupTopN / GroupTopN { rank filter, retractable }",
+            "   └─ StreamTableScan",
+        ]
+    if re.search(r"\bOVER\s*\(", masked, re.I):
+        full = re.search(r"\bSESSION\s+WITH\s+GAP\b", masked, re.I) or re.search(
+            r"\b(percent_rank|cume_dist|ntile)\s*\(", masked, re.I
+        )
+        mode = "whole-partition recompute" if full else "frame-delta suffix recompute"
+        return out + [
+            f"└─ MaterializedOverWindowDelta {{ {mode} }}",
+            "   └─ StreamTableScan",
+        ]
+    _uparts, useps = _split_top_level_union(masked)
+    if useps:
+        return out + [
+            f"└─ StreamUnion {{ {len(_uparts)} arms, "
+            + ("ALL" if all(s == "UNION ALL" for s in useps) else "set semantics")
+            + " }",
+            "   └─ StreamTableScan (per arm)",
+        ]
+    if re.search(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", masked, re.I | re.S):
+        return out + [
+            "└─ DistinctOn { first-row-per-key, retractable }",
+            "   └─ StreamTableScan",
+        ]
+    temporal = re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", masked, re.I)
+    body = re.sub(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", " ", masked, flags=re.I)
+    pj = _parse_join_tree(body) if not temporal else None
+    if pj and all(t in engine.tables for t in pj["tables"]):
+        colsets = [engine.tables[t].snapshot().columns for t in pj["tables"]]
+        flat = [c for cs in colsets for c in cs]
+        if len(set(flat)) == len(flat):
+            lines = out[:]
+            agg = re.search(r"\bGROUP\s+BY\b", masked, re.I)
+            pad = "└─ "
+            indent = ""
+            if agg:
+                lines.append("└─ MaterializedGroupAgg { changelog-fed }")
+                indent = "   "
+            n = len(pj["tables"])
+            for lvl in range(n - 1):
+                lines.append(
+                    f"{indent}{pad}RetractableStreamJoin "
+                    f"{{ level {lvl}, two-sided deletes }}"
+                )
+                indent += "   "
+            lines.append(f"{indent}└─ StreamTableScan (×{n})")
+            return lines
+    join_kw = re.search(r"\bJOIN\b", masked, re.I)
+    agg = re.search(r"\bGROUP\s+BY\b", masked, re.I)
+    mid = []
+    if temporal or join_kw:
+        mid.append(
+            "└─ TemporalJoin { dimension read fresh per recompute, "
+            "current-version semantics }"
+        )
+    if agg:
+        mid.append(
+            ("   " if mid else "") + "└─ MaterializedGroupAgg "
+            "{ affected-group recompute, bucketed state }"
+        )
+    if not mid:
+        mid.append("└─ RetractableRowView { row-grain, filter/project }")
+    pad = "   " * len(mid)
+    return out + mid + [f"{pad}└─ StreamTableScan"]
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
@@ -3297,12 +3392,26 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
 
         inner = m.group(1).strip()
         kind = _classify(inner)
+        stream_rows: list[str] = []
         if kind == "create_mv":
             mm = _CREATE_MV.match(inner)
             body = re.sub(
                 r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", "", mm.group(2), flags=re.I
             )
-            df = engine.spark.sql(pg_to_spark_sql(body))
+            # the reference prints the STREAM plan for MV DDL
+            # (handler/explain.rs); emit our runtime's operator pipeline
+            # first, then the body's batch-twin Catalyst plan
+            stream_rows = ["== Stream Pipeline ==",
+                           *_mv_stream_pipeline(engine, inner), ""]
+            try:
+                df = engine.spark.sql(pg_to_spark_sql(body))
+            except Exception:
+                # engine-compiled spellings (SESSION frames, TUMBLE/HOP
+                # TVFs) have no one-shot Catalyst twin to parse — the
+                # stream pipeline above is the whole answer
+                return engine.spark.createDataFrame(
+                    [(ln,) for ln in stream_rows[:-1]], "plan string"
+                )
         elif kind != "adhoc":
             raise ValueError(
                 f"EXPLAIN of a {kind!r} statement is not supported — it "
@@ -3316,7 +3425,7 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         )
         text = df._jdf.queryExecution().explainString(jmode)
         return engine.spark.createDataFrame(
-            [(ln,) for ln in text.splitlines()], "plan string"
+            [(ln,) for ln in [*stream_rows, *text.splitlines()]], "plan string"
         )
     m = _SHOW_CREATE.match(stmt)
     if m:
@@ -3410,6 +3519,16 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             h._register()
         engine._register_views()
         return _status(engine.spark, "RECOVER")
+    m = re.match(
+        r"^\s*ALTER\s+SYSTEM\s+SET\s+([\w.]+)\s*(?:=|\s+TO)\s+(.+?)\s*;?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        # reference handler/alter_system.rs: system-wide parameter set —
+        # here the session conf IS the system scope (single engine)
+        engine.spark.conf.set(m.group(1), m.group(2).strip().strip("'\""))
+        return _status(engine.spark, "ALTER_SYSTEM")
     m = re.match(r"^\s*SET\s+TIME\s+ZONE\s+(?:TO\s+)?(.+?)\s*$", stmt, re.I)
     if m:
         # SET TIME ZONE 'UTC' (reference handler/variable.rs timezone) →

@@ -860,6 +860,24 @@ def classify(stmt: str) -> str:
         return _parse_create(p)
     if h == "ALTER":
         p.eat()
+        if p.at("SYSTEM"):
+            # ALTER SYSTEM SET param = value (reference alter_system.rs)
+            p.eat()
+            p.eat_kw("SET")
+            p.ident("parameter name")
+            while p.peek() is not None and p.peek().kind == "op" and p.peek().val == ".":
+                p.eat()
+                p.ident("parameter name part")
+            if p.at("TO"):
+                p.eat()
+            else:
+                p.eat_op("=")
+            t = p.peek()
+            if t is None or t.kind not in ("str", "num", "ident"):
+                p.fail("expected a parameter value")
+            p.eat()
+            p.expect_done("ALTER SYSTEM SET")
+            return "alter_system"
         if p.at("MATERIALIZED") or p.at("VIEW", "SOURCE", "SINK"):
             # ALTER <kind> x RENAME TO y (reference alter_rename.slt)
             if p.at("MATERIALIZED"):

@@ -2385,3 +2385,30 @@ def test_background_ddl(eng):
     finally:
         eng.sql("SET BACKGROUND_DDL = false")
         eng.sql("SET rw.backfill_chunks = 1")
+
+
+def test_explain_mv_stream_pipeline(eng):
+    """EXPLAIN CREATE MV prints the STREAM pipeline (reference
+    handler/explain.rs shows the StreamMaterialize tree) above the
+    batch-twin Catalyst plan, routed per MV shape, without executing."""
+    eng.sql("CREATE TABLE ept (k int PRIMARY KEY, v int, ts timestamp)")
+    eng.sql("CREATE TABLE ep2 (k2 int PRIMARY KEY, w int)")
+
+    def plan(sql):
+        return "\n".join(r.plan for r in eng.sql("EXPLAIN " + sql).collect())
+
+    p = plan("CREATE MATERIALIZED VIEW e1 AS SELECT k % 2 AS g, sum(v) AS s FROM ept GROUP BY k % 2")
+    assert "MaterializedGroupAgg" in p and "StreamTableScan" in p and "Physical Plan" in p
+    p = plan("CREATE MATERIALIZED VIEW e2 AS SELECT k, v FROM ept WHERE v > 0")
+    assert "RetractableRowView" in p
+    p = plan(
+        "CREATE MATERIALIZED VIEW e3 AS SELECT k, k2 FROM ept JOIN ep2 ON k = k2"
+    )
+    assert "RetractableStreamJoin" in p
+    p = plan(
+        "CREATE MATERIALIZED VIEW e4 AS SELECT k, v, "
+        "sum(v) OVER (PARTITION BY k ORDER BY v SESSION WITH GAP 5) AS ss FROM ept"
+    )
+    assert "MaterializedOverWindowDelta" in p and "whole-partition" in p
+    # EXPLAIN executed nothing
+    assert "e1" not in eng.mv_handles and _rows(eng.sql("SHOW MATERIALIZED VIEWS")) == []
