@@ -123,7 +123,7 @@ _DELETE = re.compile(
 )
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS"
-    r"|INTERNAL\s+TABLES)\s*$",
+    r"|INTERNAL\s+TABLES|SECRETS)\s*$",
     re.I,
 )
 _CREATE_FUNCTION = re.compile(
@@ -2663,8 +2663,25 @@ def _parse_with_options(text: str) -> dict[str, str]:
     WITH-clause handling in `handler/create_source.rs`)."""
     return {
         k.lower(): v.strip("'")
-        for k, v in re.findall(r"([\w.]+)\s*=\s*('[^']*'|[\w.]+)", text or "")
+        for k, v in re.findall(
+            r"([\w.]+)\s*=\s*('[^']*'|secret\s+\w+|[\w.]+)", text or ""
+        )
     }
+
+
+def _resolve_secret_refs(engine: "Engine", opts: dict) -> dict:
+    """`password = secret my_secret` WITH-option values (reference
+    secret_ref binding) resolve from the engine's secret store."""
+    out = {}
+    for k, v in opts.items():
+        sm = re.match(r"^secret\s+(\w+)$", v, re.I)
+        if sm:
+            secrets = _load_secrets(engine)
+            if sm.group(1) not in secrets:
+                raise ValueError(f"unknown secret {sm.group(1)!r} in WITH option {k!r}")
+            v = secrets[sm.group(1)]
+        out[k] = v
+    return out
 
 
 def _handle_create_view(engine: "Engine", m: re.Match) -> DataFrame:
@@ -2688,7 +2705,7 @@ def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
     raise a loud jar/broker error when read — connectivity is deployment,
     the statement surface and catalog entry are real either way."""
     name = m.group(1)
-    opts = _parse_with_options(m.group("with"))
+    opts = _resolve_secret_refs(engine, _parse_with_options(m.group("with")))
     conn = opts.get("connector", "").lower()
     spark = engine.spark
     if conn in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
@@ -2814,7 +2831,7 @@ def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
     missing-jar error at creation — constructing a sink that could never
     flush would hide the gap until runtime."""
     name, src = m.group(1), m.group("from")
-    opts = _parse_with_options(m.group("with"))
+    opts = _resolve_secret_refs(engine, _parse_with_options(m.group("with")))
     conn = opts.get("connector", "").lower()
     if conn in ("kafka", "jdbc", "iceberg", "elasticsearch"):
         raise NotImplementedError(
@@ -3092,6 +3109,70 @@ def _handle_comment(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(engine.spark, "COMMENT")
 
 
+_CREATE_SECRET = re.compile(
+    r"^\s*(CREATE|ALTER)\s+SECRET\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:WITH\s*\((?P<with>.*?)\)\s*)?AS\s+(?P<val>'(?:[^']|'')*')\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_SECRET = re.compile(
+    r"^\s*DROP\s+SECRET\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$", re.I
+)
+
+
+def _secrets_path(engine: "Engine") -> str:
+    return os.path.join(engine.warehouse, "SECRETS.json")
+
+
+def _load_secrets(engine: "Engine") -> dict:
+    import json
+
+    try:
+        with open(_secrets_path(engine)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def _store_secrets(engine: "Engine", secrets: dict) -> None:
+    import json
+
+    os.makedirs(engine.warehouse, exist_ok=True)
+    tmp = _secrets_path(engine) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(secrets, f)
+    os.replace(tmp, _secrets_path(engine))
+
+
+def _handle_create_secret(engine: "Engine", m: re.Match) -> DataFrame:
+    """CREATE/ALTER SECRET (reference `handler/create_secret.rs`,
+    e2e_test/ddl/secret.slt): only the 'meta' backend exists (the
+    engine's own durable store — SECRETS.json in the warehouse, NOT the
+    replayed catalog, so SHOW CREATE never echoes values); connector
+    WITH options may reference values as `secret <name>`."""
+    opts = _parse_with_options(m.group("with")) if m.group("with") else {}
+    backend = opts.get("backend", "meta").lower()
+    if backend != "meta":
+        raise ValueError(f'secret backend "{backend}" is not supported')
+    secrets = _load_secrets(engine)
+    name = m.group("name")
+    if m.group(1).upper() == "ALTER" and name not in secrets:
+        raise ValueError(f"unknown secret {name!r}")
+    secrets[name] = m.group("val")[1:-1].replace("''", "'")
+    _store_secrets(engine, secrets)
+    return _status(engine.spark, f"{m.group(1).upper()}_SECRET")
+
+
+def _handle_drop_secret(engine: "Engine", m: re.Match) -> DataFrame:
+    secrets = _load_secrets(engine)
+    if m.group("name") not in secrets:
+        if m.group("ifex"):
+            return _status(engine.spark, "DROP_SECRET")
+        raise ValueError(f"unknown secret {m.group('name')!r}")
+    secrets.pop(m.group("name"))
+    _store_secrets(engine, secrets)
+    return _status(engine.spark, "DROP_SECRET")
+
+
 def _handle_drop_function(engine: "Engine", m: re.Match) -> DataFrame:
     name = m.group("name")
     if name not in engine.functions:
@@ -3133,6 +3214,9 @@ _KIND_DISPATCH = {
     "create_aggregate": (_CREATE_FUNCTION, _handle_create_function),
     "drop_function": (_DROP_FUNCTION, _handle_drop_function),
     "comment": (_COMMENT, _handle_comment),
+    "create_secret": (_CREATE_SECRET, _handle_create_secret),
+    "alter_secret": (_CREATE_SECRET, _handle_create_secret),
+    "drop_secret": (_DROP_SECRET, _handle_drop_secret),
 }
 
 
@@ -3444,6 +3528,11 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     m = _SHOW.match(stmt)
     if m:
         kind = re.sub(r"\s+", " ", m.group(1).upper())
+        if kind == "SECRETS":
+            # names only — values never leave the meta store (secret.slt)
+            return engine.spark.createDataFrame(
+                [(n,) for n in sorted(_load_secrets(engine))] or [], "name string"
+            )
         if kind == "INTERNAL TABLES":
             # reference `show internal tables` (rw_internal catalog)
             from risingwave_spark.streaming.mv import ChunkedState

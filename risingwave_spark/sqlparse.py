@@ -737,6 +737,21 @@ def _parse_create(p: _P) -> str:
             _parse_with_options(p)
         p.expect_done("CREATE SUBSCRIPTION")
         return "create_subscription"
+    if p.at("SECRET"):
+        # CREATE SECRET name [WITH (...)] AS '...' (reference
+        # handler/create_secret.rs; e2e_test/ddl/secret.slt)
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ident("secret name")
+        if p.at("WITH"):
+            _parse_with_options(p)
+        p.eat_kw("AS")
+        t = p.peek()
+        if t is None or t.kind != "str":
+            p.fail("expected a secret value string after AS")
+        p.eat()
+        p.expect_done("CREATE SECRET")
+        return "create_secret"
     if p.at("FUNCTION", "AGGREGATE"):
         # reference `parser.rs` parse_create_function / parse_create_aggregate;
         # e2e_test/udf/{sql_udf,python_udf}.slt
@@ -878,6 +893,19 @@ def classify(stmt: str) -> str:
             p.eat()
             p.expect_done("ALTER SYSTEM SET")
             return "alter_system"
+        if p.at("SECRET"):
+            # ALTER SECRET name [WITH (...)] AS '...' (secret.slt)
+            p.eat()
+            p.ident("secret name")
+            if p.at("WITH"):
+                _parse_with_options(p)
+            p.eat_kw("AS")
+            t = p.peek()
+            if t is None or t.kind != "str":
+                p.fail("expected a secret value string after AS")
+            p.eat()
+            p.expect_done("ALTER SECRET")
+            return "alter_secret"
         if p.at("MATERIALIZED") or p.at("VIEW", "SOURCE", "SINK"):
             # ALTER <kind> x RENAME TO y (reference alter_rename.slt)
             if p.at("MATERIALIZED"):
@@ -930,6 +958,14 @@ def classify(stmt: str) -> str:
         p.fail("expected ADD COLUMN or DROP COLUMN")
     if h == "DROP":
         p.eat()
+        if p.at("SECRET"):
+            p.eat()
+            if p.at_seq("IF", "EXISTS"):
+                p.eat()
+                p.eat()
+            p.ident("secret name")
+            p.expect_done("DROP SECRET")
+            return "drop_secret"
         if p.at("FUNCTION", "AGGREGATE"):
             # reference parser.rs parse_drop_function: optional IF EXISTS
             # and an optional argument-type signature

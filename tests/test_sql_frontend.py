@@ -2412,3 +2412,32 @@ def test_explain_mv_stream_pipeline(eng):
     assert "MaterializedOverWindowDelta" in p and "whole-partition" in p
     # EXPLAIN executed nothing
     assert "e1" not in eng.mv_handles and _rows(eng.sql("SHOW MATERIALIZED VIEWS")) == []
+
+
+def test_secret_ddl(spark, tmp_path):
+    """CREATE/ALTER/DROP SECRET + SHOW SECRETS (reference
+    `handler/create_secret.rs`, e2e_test/ddl/secret.slt): meta backend
+    only, values stored outside the replayed catalog (SHOW never echoes
+    them), `secret <name>` WITH-option references resolve."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    with pytest.raises(ValueError, match='backend "fake-backend" is not supported'):
+        eng.sql("create secret s1 with (backend = 'fake-backend') as 'x'")
+    eng.sql("create secret s1 with (backend = 'meta') as 'demo_secret'")
+    eng.sql("alter secret s1 as 'demo_altered'")
+    assert [r.name for r in eng.sql("SHOW SECRETS").collect()] == ["s1"]
+    with pytest.raises(ValueError, match="unknown secret"):
+        eng.sql("alter secret nope as 'x'")
+    from risingwave_spark.frontend import _load_secrets, _resolve_secret_refs
+
+    assert _load_secrets(eng) == {"s1": "demo_altered"}
+    assert _resolve_secret_refs(eng, {"password": "secret s1"}) == {
+        "password": "demo_altered"
+    }
+    with pytest.raises(ValueError, match="unknown secret"):
+        _resolve_secret_refs(eng, {"password": "secret missing"})
+    eng.sql("drop secret s1")
+    assert eng.sql("SHOW SECRETS").count() == 0
+    with pytest.raises(ValueError, match="unknown secret"):
+        eng.sql("drop secret s1")
+    eng.sql("drop secret if exists s1")
