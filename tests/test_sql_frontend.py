@@ -2441,3 +2441,36 @@ def test_secret_ddl(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown secret"):
         eng.sql("drop secret s1")
     eng.sql("drop secret if exists s1")
+
+
+def test_time_travel_in_joins(eng):
+    """FOR SYSTEM_TIME AS OF inside joins (reference
+    e2e_test/time_travel/join.slt, lookup_join.slt): historical and
+    current versions of tables join freely in one query; each AS-OF
+    relation resolves independently."""
+    import calendar
+    import datetime as dt
+
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng.sql("CREATE TABLE ttj_a (k int PRIMARY KEY, va int)")
+    eng.sql("CREATE TABLE ttj_b (k int PRIMARY KEY, vb int)")
+    eng.sql("INSERT INTO ttj_a VALUES (1, 10), (2, 20)")
+    eng.sql("INSERT INTO ttj_b VALUES (1, 100), (2, 200)")
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 1, 0)
+    eng.sql("UPDATE ttj_a SET va = 11 WHERE k = 1")
+    eng.sql("DELETE FROM ttj_b WHERE k = 2")
+    mid = calendar.timegm((2024, 1, 1, 0, 0, 30, 0, 0, 0))
+    # historical ⋈ historical
+    assert _rows(eng.sql(
+        f"SELECT a.k, va, vb FROM ttj_a FOR SYSTEM_TIME AS OF {mid} a "
+        f"JOIN ttj_b FOR SYSTEM_TIME AS OF {mid} b ON a.k = b.k"
+    )) == [(1, 10, 100), (2, 20, 200)]
+    # historical ⋈ current
+    assert _rows(eng.sql(
+        f"SELECT a.k, va, vb FROM ttj_a FOR SYSTEM_TIME AS OF {mid} a "
+        f"JOIN ttj_b b ON a.k = b.k"
+    )) == [(1, 10, 100)]
+    # current ⋈ current (control)
+    assert _rows(eng.sql(
+        "SELECT a.k, va, vb FROM ttj_a a JOIN ttj_b b ON a.k = b.k"
+    )) == [(1, 11, 100)]
