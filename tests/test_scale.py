@@ -258,3 +258,35 @@ def test_stream_join_state_read_pruned(spark, tmp_path):
     n7 = j.result().filter(F.col("k") == 7).count()
     exp = (10000 // 300 + (1 if 7 < 10000 % 300 else 0) + 1) * (3000 // 300)
     assert n7 == exp
+
+
+def test_ttl_and_asof_reads_prune_chunks_at_file_level(spark, tmp_path):
+    """TTL and time-travel reads must shrink the SCAN, not filter rows:
+    expired / future chunks never enter the parquet path list (the
+    100 TB property — expiry costs zero IO, history reads cost only the
+    in-horizon chunks). Proven via the plan's inputFiles."""
+    import datetime as dt
+
+    from risingwave_spark.api import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng.sql("CREATE TABLE pr (v int) APPEND ONLY WITH (retention_seconds = 60)")
+    eng.sql("INSERT INTO pr VALUES (1)")                      # chunk seq 1
+    eng.now_override = dt.datetime(2024, 1, 1, 0, 2, 0)
+    eng.sql("INSERT INTO pr VALUES (2)")                      # chunk seq 2
+    t = eng.tables["pr"]
+    files_now = t.snapshot().inputFiles()
+    assert files_now and all("/b2/" in f for f in files_now), files_now
+    # time travel: only chunks at/before the horizon are in the scan
+    eng2 = Engine(spark, str(tmp_path / "wh2"))
+    eng2.now_override = dt.datetime(2024, 1, 1, 0, 0, 0)
+    eng2.sql("CREATE TABLE h (k int PRIMARY KEY, v int)")
+    eng2.sql("INSERT INTO h VALUES (1, 1)")
+    eng2.now_override = dt.datetime(2024, 1, 1, 0, 2, 0)
+    eng2.sql("INSERT INTO h VALUES (2, 2)")
+    import calendar
+
+    mid = calendar.timegm((2024, 1, 1, 0, 1, 0, 0, 0, 0))
+    hist = eng2.tables["h"].asof(mid).inputFiles()
+    assert hist and all("/b2/" not in f for f in hist), hist
