@@ -2554,3 +2554,45 @@ def engine_sql_session_mv(spark, sf_dir):
         "SELECT user_id, event_id, ss, sn FROM sess_mv "
         "ORDER BY user_id, event_id"
     )
+
+
+@register(
+    "engine_sql_background_ddl",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+FROM orders WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_background_ddl(spark, sf_dir):
+    """Background DDL + resumable chunked backfill end-to-end (reference
+    e2e_test/background_ddl/basic.slt + executor/backfill/): the MV is
+    created with SET BACKGROUND_DDL=true over a pre-loaded table, its
+    snapshot backfill runs in 4 pk-hash slices on a worker thread, WAIT
+    joins it, and post-WAIT DML keeps maintaining — the result equals
+    the one-shot aggregate over the survivors."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_bg_"))
+    eng.sql("CREATE TABLE bg_orders (o_orderkey int8 PRIMARY KEY, o_orderstatus text)")
+    eng.sql(
+        "INSERT INTO bg_orders SELECT o_orderkey, o_orderstatus FROM orders"
+    )
+    try:
+        eng.sql("SET BACKGROUND_DDL = true")
+        eng.sql("SET rw.backfill_chunks = 4")
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bg_mv AS SELECT o_orderstatus, "
+            "count(*) AS n, sum(o_orderkey) AS keysum "
+            "FROM bg_orders GROUP BY o_orderstatus"
+        )
+        eng.sql("WAIT")
+    finally:
+        eng.sql("SET BACKGROUND_DDL = false")
+        eng.sql("SET rw.backfill_chunks = 1")
+    eng.sql("DELETE FROM bg_orders WHERE o_orderkey % 3 = 0")
+    return eng.sql(
+        "SELECT o_orderstatus, n, keysum FROM bg_mv ORDER BY o_orderstatus"
+    )
