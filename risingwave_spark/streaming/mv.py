@@ -524,7 +524,12 @@ class ChunkedState:
         reference's per-epoch Hummock version timestamps). Monotone in
         seq. Compaction collapses history into the new base chunk, so
         entries older than the last compaction are gone — time travel
-        beyond it raises, the reference's bounded-retention contract."""
+        beyond it raises, the reference's bounded-retention contract.
+        The record is one small JSON entry per fold, rewritten on
+        append (driver-side, ~µs at test scale); a deployment that
+        never compacts a table pays O(folds) per rewrite — compaction
+        cadence (the production norm) bounds it, same as Hummock's
+        version-log truncation."""
         import json as _json
 
         try:
