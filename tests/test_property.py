@@ -283,3 +283,104 @@ def test_grammar_rejects_unsupported_shapes(bad, name):
 
     with _pt.raises(SqlParseError):
         classify(bad.format(n=name))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),       # partition key
+            st.integers(0, 120),     # order value
+            st.integers(-50, 50),    # payload
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    gap=st.integers(3, 25),
+    split=st.integers(1, 5),
+    del_mod=st.integers(2, 6),
+)
+def test_session_frame_mv_matches_batch_random(spark, rows, gap, split, del_mod):
+    """Property: for ANY insert interleaving and delete subset, a SESSION
+    over-frame MV equals one-shot batch sessionization of the survivors
+    (reference session.rs semantics under merge/split/renumber)."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from risingwave_spark.streaming.mv import with_ops
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    data = [(i, k, o, v) for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k long, o long, v long")
+    funcs = {"ss": ("session_sum", "v", float(gap)),
+             "sc": ("session_count", "v", float(gap))}
+    with tempfile.TemporaryDirectory() as d:
+        ow = MaterializedOverWindowDelta(spark, d, ["k"], ["o"], "rid", funcs, ["v"])
+        for i in range(split):
+            b = df.filter(F.col("rid") % split == i)
+            if b.count():
+                ow.apply_batch(with_ops(b, 1))
+        dels = df.filter(F.col("rid") % del_mod == 0)
+        if dels.count():
+            ow.apply_batch(with_ops(dels, -1))
+        got = sorted(map(tuple, ow.result().select("k", "o", "ss", "sc").collect()))
+    surv = df.filter(F.col("rid") % del_mod != 0)
+    w = W.partitionBy("k").orderBy("o")
+    sid = F.sum(
+        F.when(F.col("o") - F.lag("o").over(w) <= gap, F.lit(0)).otherwise(F.lit(1))
+    ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    sw = W.partitionBy("k", "__sid")
+    exp = sorted(map(tuple, surv.withColumn("__sid", sid).select(
+        "k", "o",
+        F.sum("v").over(sw).alias("ss"),
+        F.count("v").over(sw).alias("sc"),
+    ).collect()))
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(0, 99)),  # (key, value)
+        min_size=2,
+        max_size=12,
+    ),
+    cut=st.integers(1, 11),
+)
+def test_time_travel_matches_prefix_replay_random(spark, tmp_path_factory, ops, cut):
+    """Property: FOR SYSTEM_TIME AS OF any inter-batch instant equals
+    replaying only the DML prefix up to it (upsert semantics per key:
+    each op deletes the key's current row if present, then inserts)."""
+    import datetime as dt
+
+    from risingwave_spark.api import Engine
+
+    wh = str(tmp_path_factory.mktemp("tt"))
+    eng = Engine(spark, wh)
+    t0 = dt.datetime(2024, 1, 1)
+    eng.now_override = t0
+    eng.sql("CREATE TABLE ttp (k int PRIMARY KEY, v int)")
+    state: dict[int, int] = {}
+    snapshots = []
+    for i, (k, v) in enumerate(ops):
+        eng.now_override = t0 + dt.timedelta(minutes=i + 1)
+        if k in state:
+            eng.sql(f"UPDATE ttp SET v = {v} WHERE k = {k}")
+        else:
+            eng.sql(f"INSERT INTO ttp VALUES ({k}, {v})")
+        state[k] = v
+        snapshots.append(dict(state))
+    cut = min(cut, len(ops)) - 1
+    import calendar
+
+    # instant just after op `cut` committed
+    ts = calendar.timegm((t0 + dt.timedelta(minutes=cut + 1, seconds=30)).timetuple())
+    got = sorted(
+        tuple(r) for r in eng.sql(
+            f"SELECT k, v FROM ttp FOR SYSTEM_TIME AS OF {ts}"
+        ).collect()
+    )
+    assert got == sorted(snapshots[cut].items())
