@@ -3061,14 +3061,23 @@ def _handle_create_function(engine: "Engine", m: re.Match) -> DataFrame:
         )
         impl = "sql"
     elif lang == "python":
-        fn, udf = _cf.python_scalar_udf(
-            name, body, _map_any_type(returns), len(params)
-        )
-        if udf is None:  # zero-arg: plain scalar, no batch to size
-            spark.udf.register(name, fn, _map_any_type(returns))
+        tm = re.match(r"^TABLE\s*\((?P<cols>.*)\)\s*$", returns, re.I | re.S)
+        if tm:
+            cols = _cf.parse_fn_params(tm.group("cols"))
+            ret_ddl = ", ".join(f"{pn} {_map_any_type(pt)}" for pn, pt in cols)
+            spark.udtf.register(
+                name, _cf.python_table_udf(name, body, cols, ret_ddl)
+            )
+            impl = "python-table"
         else:
-            spark.udf.register(name, udf)
-        impl = "python"
+            fn, udf = _cf.python_scalar_udf(
+                name, body, _map_any_type(returns), len(params)
+            )
+            if udf is None:  # zero-arg: plain scalar, no batch to size
+                spark.udf.register(name, fn, _map_any_type(returns))
+            else:
+                spark.udf.register(name, udf)
+            impl = "python"
     elif lang in ("javascript", "rust", "wasm"):
         raise NotImplementedError(
             f"LANGUAGE {lang} UDFs need a quickjs/wasmtime runtime that is "
@@ -3646,6 +3655,9 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         stmt = _rewrite_asof_reads(engine, stmt)
     if "__internal_" in stmt:
         _register_internal_views(engine, stmt)
+    if re.search(r"\brw_(catalog|tables|materialized_views|views|sources|sinks"
+                 r"|functions|secrets|ddl_progress)\b", stmt, re.I):
+        stmt = _register_rw_catalog_views(engine, stmt)
     # TTL tables expire with TIME, not DML — refresh their registered
     # snapshots so this read sees the current retention window (but not
     # inside a read-only transaction: its snapshot is pinned)
@@ -3670,6 +3682,58 @@ _ASOF_READ = re.compile(
     r"|\d+(?:\.\d+)?)",
     re.I,
 )
+
+
+def _register_rw_catalog_views(engine: "Engine", stmt: str) -> str:
+    """rw_catalog system relations (reference
+    `src/frontend/src/catalog/system_catalog/rw_catalog/`): the commonly
+    scripted subset — rw_tables, rw_materialized_views, rw_views,
+    rw_sources, rw_sinks, rw_functions, rw_secrets, rw_ddl_progress —
+    registered on demand from the engine catalog; the `rw_catalog.`
+    schema qualifier is stripped (single-schema engine)."""
+    import json as _json
+
+    spark = engine.spark
+    stmt = re.sub(r"\brw_catalog\s*\.\s*", "", stmt, flags=re.I)
+
+    def reg(name: str, rows: list, schema: str) -> None:
+        if re.search(rf"\b{name}\b", stmt, re.I):
+            spark.createDataFrame(rows or [], schema).createOrReplaceTempView(name)
+
+    reg("rw_tables", [(n,) for n in sorted(engine.tables)], "name string")
+    reg(
+        "rw_materialized_views",
+        [(n,) for n in sorted(engine.mv_handles)],
+        "name string",
+    )
+    reg("rw_views", [(n,) for n in sorted(engine.views)], "name string")
+    reg("rw_sources", [(n,) for n in sorted(engine.sources)], "name string")
+    reg("rw_sinks", [(n,) for n in sorted(engine.sinks)], "name string")
+    reg(
+        "rw_functions",
+        [
+            (n, d["kind"].lower(), d["language"], str(d["returns"]))
+            for n, d in sorted(engine.functions.items())
+        ],
+        "name string, kind string, language string, return_type string",
+    )
+    reg("rw_secrets", [(n,) for n in sorted(_load_secrets(engine))], "name string")
+    if re.search(r"\brw_ddl_progress\b", stmt, re.I):
+        rows = []
+        for name, job in getattr(engine, "_bg_jobs", {}).items():
+            if job["thread"].is_alive():
+                prog = "creating"
+                try:
+                    with open(engine._backfill_progress_path(name)) as f:
+                        rec = _json.load(f)
+                    prog = f"{len(rec['done'])}/{rec['chunks']} slices"
+                except Exception:
+                    pass
+                rows.append((name, prog))
+        spark.createDataFrame(
+            rows or [], "ddl_statement string, progress string"
+        ).createOrReplaceTempView("rw_ddl_progress")
+    return stmt
 
 
 _INTERNAL_RX = re.compile(r"\b__internal_(\w+?)_(state|tombstones)\b")

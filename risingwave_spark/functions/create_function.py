@@ -169,6 +169,40 @@ def python_scalar_udf(name: str, body: str, ret_spark_type: str, n_args: int):
     return fn, pandas_udf(_eval, ret_spark_type)
 
 
+def python_table_udf(name: str, body: str, cols: list[tuple[str, str]], ret_ddl: str):
+    """``RETURNS TABLE (...) LANGUAGE python`` → a native Spark Python
+    UDTF (reference python_udf.slt `series`/`split`: the body defines a
+    GENERATOR; each yielded item is a scalar for one-column tables, a
+    tuple, or an object whose attributes match the declared columns).
+    Used in table position: ``SELECT * FROM series(5)`` (select-position
+    table functions are a documented divergence — Spark places UDTFs in
+    FROM)."""
+    from pyspark.sql.functions import udtf
+
+    ns = _exec_body(name, body)
+    fn = ns.get(name)
+    if not callable(fn):
+        cands = [v for k, v in ns.items() if callable(v) and not k.startswith("_")]
+        fn = cands[0] if len(cands) == 1 else None
+    if fn is None:
+        raise ValueError(
+            f"LANGUAGE python body must define a function named {name!r}"
+        )
+    colnames = [c for c, _t in cols]
+
+    class _TableFn:
+        def eval(self, *args):
+            for item in fn(*args):
+                if isinstance(item, tuple):
+                    yield item
+                elif hasattr(item, "__dict__"):
+                    yield tuple(getattr(item, c) for c in colnames)
+                else:
+                    yield (item,)
+
+    return udtf(_TableFn, returnType=ret_ddl)
+
+
 def python_aggregate_udf(name: str, body: str, ret_spark_type: str):
     """``CREATE AGGREGATE ... LANGUAGE python`` → grouped-agg pandas UDF.
 

@@ -2474,3 +2474,42 @@ def test_time_travel_in_joins(eng):
     assert _rows(eng.sql(
         "SELECT a.k, va, vb FROM ttj_a a JOIN ttj_b b ON a.k = b.k"
     )) == [(1, 11, 100)]
+
+
+def test_python_table_function_and_rw_catalog(eng):
+    """RETURNS TABLE LANGUAGE python → native Python UDTF (reference
+    python_udf.slt series/split: generator body, scalar / tuple / object
+    yields), plus rw_catalog system relations resolving on demand."""
+    eng.sql(
+        "create function series(n int) returns table (x int) language python as $$\n"
+        "def series(n):\n"
+        "    for i in range(n):\n"
+        "        yield i\n"
+        "$$"
+    )
+    assert _rows(eng.sql("select * from series(5)")) == [(i,) for i in range(5)]
+    eng.sql(
+        "create function split2(s varchar) returns table (word varchar, length int) "
+        "language python as $$\n"
+        "class Ret:\n"
+        "    def __init__(self, word, length):\n"
+        "        self.word = word\n"
+        "        self.length = length\n"
+        "def split2(s):\n"
+        "    for word in s.split():\n"
+        "        yield Ret(word, len(word))\n"
+        "$$"
+    )
+    assert _rows(eng.sql("select * from split2('rising wave')")) == [
+        ("rising", 6), ("wave", 4),
+    ]
+    # rw_catalog relations (schema qualifier stripped, single schema)
+    eng.sql("CREATE TABLE rc_t (k int PRIMARY KEY)")
+    assert _rows(eng.sql("SELECT name FROM rw_catalog.rw_tables")) == [("rc_t",)]
+    assert _rows(eng.sql(
+        "SELECT name, kind FROM rw_functions ORDER BY name"
+    )) == [("series", "function"), ("split2", "function")]
+    assert eng.sql("SELECT count(*) AS n FROM rw_ddl_progress").first().n == 0
+    eng.sql("drop function series")
+    with pytest.raises(Exception):
+        eng.sql("select * from series(3)").collect()
