@@ -732,11 +732,12 @@ class EowcOverWindow:
                     "depends on the partition's final row count, which is "
                     "never final in a stream"
                 )
-            if _frame_of(spec) is not None:
+            f = _frame_of(spec)
+            if f is not None and "range" in f:
                 raise ValueError(
-                    "bounded frames are not supported in the EOWC path: a "
-                    "backward frame of a closing row may reach rows already "
-                    "emitted and discarded; use MaterializedOverWindowDelta"
+                    "RANGE frames are not supported in the EOWC path (the "
+                    "row-count emission delay is undefined in value space); "
+                    "use ROWS or MaterializedOverWindowDelta"
                 )
         self.spark = spark
         self.keys = keys
@@ -752,8 +753,17 @@ class EowcOverWindow:
         self._extra_row_id = row_id not in set(keys) | set(order_cols) | set(
             payload_cols
         )
+        #: bounded ROWS frames (reference frame_finder.rs both extents in
+        #: the EOWC path): FOLLOWING ends ride the lead-style emission
+        #: delay (_reaches e_rows); PRECEDING sizes require the last
+        #: `i_rows` EMITTED rows per partition to stay available as
+        #: compute context — retained in `tail`, excluded from re-emission
+        self._frame_funcs = {
+            n: s for n, s in funcs.items() if _frame_of(s) is not None
+        }
         self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
         self.seeds = _VersionedTable(spark, os.path.join(state_dir, "seeds"))
+        self.tail = _VersionedTable(spark, os.path.join(state_dir, "tail"))
         self.out_path = os.path.join(state_dir, "out")
         self._emitted_any = os.path.isdir(self.out_path)
         self._watermark = None
@@ -762,9 +772,52 @@ class EowcOverWindow:
     def _delta(self):  # shares the seeded window-output machinery
         d = MaterializedOverWindowDelta.__new__(MaterializedOverWindowDelta)
         d.keys, d.order_cols = self.keys, self.order_cols
-        d.funcs = self.funcs
+        # frame funcs are computed in a separate pass over tail+buffer
+        # (they need no seeds; their columns are joined in afterwards)
+        d.funcs = {n: s for n, s in self.funcs.items() if n not in self._frame_funcs}
         d.payload_cols = list(dict.fromkeys([*self.payload_cols, self.row_id]))
         return d
+
+    def _frame_outputs(self, out: DataFrame, buf: DataFrame) -> DataFrame:
+        """Bounded-frame columns for the emitted set: computed over the
+        retained tail (last emitted rows — backward context) plus the
+        whole buffer (held/open rows — forward context), then joined
+        onto `out` by row identity."""
+        pb_in = buf
+        if self.tail.exists():
+            pb_in = self.tail.read().unionByName(buf)
+        w = W.partitionBy(*self.keys).orderBy(
+            *[F.asc(c) for c in self.order_cols]
+        )
+        sel = [F.col(self.row_id)]
+        for name, spec in self._frame_funcs.items():
+            lo, hi = _frame_of(spec)["rows"]
+            fw = w.rowsBetween(-int(lo), int(hi))
+            fn = {"sum": F.sum, "min": F.min, "max": F.max,
+                  "avg": F.avg, "count": F.count}[spec[0]]
+            sel.append(fn(F.col(spec[1])).over(fw).alias(name))
+        return out.join(pb_in.select(*sel), on=self.row_id, how="left")
+
+    def _update_tail(self, out: DataFrame, buf: DataFrame) -> None:
+        """Retain the last `input-reach` emitted rows per partition as
+        future backward-frame context (never re-emitted)."""
+        i_reach = _reaches(self.funcs)[1]
+        if not i_reach:
+            return
+        emitted = buf.join(
+            out.select(self.row_id).distinct(), on=self.row_id, how="left_semi"
+        )
+        allt = emitted
+        if self.tail.exists():
+            allt = self.tail.read().unionByName(emitted)
+        wdesc = W.partitionBy(*self.keys).orderBy(
+            *[F.desc(c) for c in self.order_cols]
+        )
+        self.tail.write(
+            allt.withColumn("__tr", F.row_number().over(wdesc))
+            .filter(F.col("__tr") <= i_reach)
+            .drop("__tr")
+        )
 
     def feed(self, batch: DataFrame) -> None:
         import datetime
@@ -816,9 +869,13 @@ class EowcOverWindow:
             )
         else:
             out = delta._window_outputs(closed, seeds)
+        if self._frame_funcs:
+            out = self._frame_outputs(out, buf)
         # the write below evaluates `out`; persist so the seed update
         # doesn't recompute the closed-window functions a second time
         out = out.localCheckpoint(eager=True)
+        if self._frame_funcs:
+            self._update_tail(out, buf)
         if self._out_schema is None:
             self._out_schema = out.schema
         out.coalesce(2).write.mode("append").parquet(self.out_path)

@@ -852,10 +852,12 @@ def test_over_window_rejects_bad_frame_specs(spark):
                 spark, d, ["k"], "ts", ["ts"], "rid",
                 {"x": ("percent_rank",)}, [], 60,
             )
-        with _pt.raises(ValueError, match="bounded frames"):
+        # bounded ROWS frames are supported in EOWC as of round 5
+        # (test_eowc_over_window_bounded_rows_frames); RANGE still raises
+        with _pt.raises(ValueError, match="RANGE frames"):
             EowcOverWindow(
                 spark, d, ["k"], "ts", ["ts"], "rid",
-                {"x": ("sum", "v", {"rows": (3, 0)})}, ["v"], 60,
+                {"x": ("sum", "v", {"range": (3.0, 0.0)})}, ["v"], 60,
             )
 
 
@@ -943,4 +945,37 @@ def test_over_window_session_frame_matches_batch(spark, events):
         F.count("iv").over(sw).alias("sc"),
         F.max("iv").over(sw).alias("sm"),
     ).collect()))
+    assert got == exp
+
+
+def test_eowc_over_window_bounded_rows_frames(spark):
+    """Bounded ROWS frames in the EOWC path (reference frame_finder.rs
+    extents applied to eowc.rs): FOLLOWING ends delay emission like
+    lead; PRECEDING sizes read the retained tail of already-emitted
+    rows, so frames spanning an emission boundary stay complete."""
+    import datetime
+    import tempfile
+
+    from risingwave_spark.streaming.over_window import EowcOverWindow
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, i, t0 + datetime.timedelta(minutes=10 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "rid long, k long, v long, ts timestamp")
+    funcs = {
+        "s3": ("sum", "v", {"rows": (2, 0)}),    # 2 PRECEDING .. CURRENT
+        "m11": ("max", "v", {"rows": (1, 1)}),   # 1 PRECEDING .. 1 FOLLOWING
+    }
+    with tempfile.TemporaryDirectory() as d:
+        ew = EowcOverWindow(
+            spark, d, ["k"], "ts", ["ts"], "rid", funcs, ["v", "rid"],
+            delay_seconds=600,
+        )
+        ew.feed(df.filter("rid < 6"))
+        ew.feed(df.filter("rid >= 6"))
+        got = sorted(map(tuple, ew.result().select("rid", "s3", "m11").collect()))
+    # emitted: closed (ts <= 100min) minus the 1-row forward reach → rids 0..9
+    exp = [
+        (i, sum(range(max(0, i - 2), i + 1)), min(i + 1, 11))
+        for i in range(10)
+    ]
     assert got == exp
