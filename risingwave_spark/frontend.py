@@ -1528,11 +1528,20 @@ def _handle_create_eowc_mv(
 
     tm = _TUMBLE_FROM.search(masked)
     if not tm:
+        if re.search(r"\bOVER\s*\(", masked, re.I):
+            # EOWC over-window (reference eowc.rs through the optimizer's
+            # EOWC planning): same parse as the eager over-window MV,
+            # compiled onto EowcOverWindow
+            return _handle_create_over_window_mv(
+                engine, name, stmt, masked, lits, eowc=True
+            )
         raise ValueError(
-            "EMIT ON WINDOW CLOSE requires a TUMBLE window source: "
-            "CREATE MATERIALIZED VIEW ... AS SELECT ... FROM "
-            "TUMBLE(table, ts_col, INTERVAL '...') GROUP BY window_start "
-            "... EMIT ON WINDOW CLOSE"
+            "EMIT ON WINDOW CLOSE requires a TUMBLE window source or an "
+            "over-window body: CREATE MATERIALIZED VIEW ... AS SELECT ... "
+            "FROM TUMBLE(table, ts_col, INTERVAL '...') GROUP BY "
+            "window_start ... EMIT ON WINDOW CLOSE, or SELECT ..., fn() "
+            "OVER (PARTITION BY ... ORDER BY ts ...) FROM t EMIT ON "
+            "WINDOW CLOSE"
         )
     base, ts_col = tm.group("tbl"), tm.group("ts")
     if base not in engine.tables:
@@ -1624,7 +1633,8 @@ def _parse_frame_bound(txt: str, side: str) -> int | None:
 
 
 def _handle_create_over_window_mv(
-    engine: "Engine", name: str, stmt: str, masked: str, lits: list[str]
+    engine: "Engine", name: str, stmt: str, masked: str, lits: list[str],
+    eowc: bool = False,
 ) -> DataFrame:
     """Over-window MV in SQL (reference OverWindow executor planning,
     `src/frontend/src/optimizer/plan_node/stream_over_window.rs` —
@@ -1788,15 +1798,47 @@ def _handle_create_over_window_mv(
                 "row identity)"
             )
 
-    mvd = MaterializedOverWindowDelta(
-        engine.spark,
-        os.path.join(engine.warehouse, f"owmv_{name}"),
-        keys,
-        order_cols,
-        pk,
-        funcs,
-        payload_cols=[c for c in payload if c not in keys and c not in order_cols],
-    )
+    if eowc:
+        # `... OVER (...) FROM t EMIT ON WINDOW CLOSE` → EowcOverWindow
+        # (reference eowc.rs; optimizer EOWC enforcement requires a
+        # watermark on the emission time column = the first ORDER BY col)
+        from risingwave_spark.streaming.over_window import EowcOverWindow
+
+        wm = getattr(t, "watermark", None)
+        if wm is None or wm[0] != order_cols[0]:
+            raise ValueError(
+                f"EMIT ON WINDOW CLOSE needs a watermark on the ORDER BY "
+                f"column {order_cols[0]!r}: declare `WATERMARK FOR "
+                f"{order_cols[0]} AS {order_cols[0]} - INTERVAL '...'` on "
+                f"table {base!r}"
+            )
+        if not getattr(t, "append_only", False):
+            raise ValueError(
+                "EMIT ON WINDOW CLOSE over-window requires an APPEND ONLY "
+                "source table (emitted rows cannot retract)"
+            )
+        mvd = EowcOverWindow(
+            engine.spark,
+            os.path.join(engine.warehouse, f"eowcow_{name}"),
+            keys,
+            wm[0],
+            order_cols,
+            pk,
+            funcs,
+            payload_cols=[c for c in payload if c not in keys and c not in order_cols],
+            delay_seconds=wm[1],
+        )
+        mvd.empty_input = lambda: engine.tables[base].snapshot().limit(0)
+    else:
+        mvd = MaterializedOverWindowDelta(
+            engine.spark,
+            os.path.join(engine.warehouse, f"owmv_{name}"),
+            keys,
+            order_cols,
+            pk,
+            funcs,
+            payload_cols=[c for c in payload if c not in keys and c not in order_cols],
+        )
     from risingwave_spark.api import MaterializedViewHandle
 
     class _Proj:
@@ -1817,7 +1859,8 @@ def _handle_create_over_window_mv(
             return self._i.result().select(*out_cols)
 
     view = _Proj(mvd)
-    if not mvd.mv.exists():
+    fresh = (not mvd.exists()) if eowc else (not mvd.mv.exists())
+    if fresh:
         view.apply_batch(with_ops(t.snapshot(), 1))
     h = MaterializedViewHandle(name, view)
     h._register()

@@ -766,8 +766,21 @@ class EowcOverWindow:
         self.tail = _VersionedTable(spark, os.path.join(state_dir, "tail"))
         self.out_path = os.path.join(state_dir, "out")
         self._emitted_any = os.path.isdir(self.out_path)
+        # durable watermark (reference: the sort buffer's watermark rides
+        # the barrier/state table): restart must keep the late-drop
+        # boundary, or a post-restart late row would emit out of order
+        self._wm_path = os.path.join(state_dir, "WM")
         self._watermark = None
+        try:
+            with open(self._wm_path) as f:
+                import datetime as _dt
+
+                self._watermark = _dt.datetime.fromisoformat(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
         self._out_schema = None
+        #: optional schema source for result() before first emission
+        self.empty_input = None
 
     def _delta(self):  # shares the seeded window-output machinery
         d = MaterializedOverWindowDelta.__new__(MaterializedOverWindowDelta)
@@ -890,11 +903,41 @@ class EowcOverWindow:
             new_seeds = stale.unionByName(new_seeds)
         self.seeds.write(new_seeds)
         self.buffer.write(still_open)
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self._watermark.isoformat())
+        os.replace(tmp, self._wm_path)
+
+    def apply_batch(
+        self, batch: DataFrame, batch_id: int | None = None, batch_ns=None
+    ) -> None:
+        """Changelog-handle adapter (MV front-door contract): EOWC output
+        is append-only, so delete ops are rejected loudly (the reference
+        optimizer enforces append-only upstream for EOWC plans)."""
+        from risingwave_spark.streaming.mv import OP_COL
+
+        cols = [c for c in batch.columns if c != OP_COL]
+        if batch.filter(F.col(OP_COL) < 0).limit(1).count():
+            raise ValueError(
+                "EMIT ON WINDOW CLOSE over-window requires an append-only "
+                "source: deletes/updates cannot retract emitted rows"
+            )
+        self.feed(batch.filter(F.col(OP_COL) > 0).select(*cols))
+
+    def exists(self) -> bool:
+        return self._emitted_any or self.buffer.exists()
 
     def result(self) -> DataFrame:
         if not self._emitted_any:
-            raise ValueError("nothing emitted yet")
-        out = self.spark.read.parquet(self.out_path)
+            if self.empty_input is not None:
+                # pre-emission: correct schema, zero rows
+                out = self._delta()._window_outputs(self.empty_input(), None)
+            else:
+                raise ValueError("nothing emitted yet")
+        else:
+            out = self.spark.read.parquet(self.out_path)
+        if self._frame_funcs and not self._emitted_any:
+            out = self._frame_outputs(out, self.empty_input())
         drop = [c for c in out.columns if c.startswith("__aux_")]
         if self._extra_row_id:
             drop.append(self.row_id)

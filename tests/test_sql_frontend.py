@@ -2513,3 +2513,53 @@ def test_python_table_function_and_rw_catalog(eng):
     eng.sql("drop function series")
     with pytest.raises(Exception):
         eng.sql("select * from series(3)").collect()
+
+
+def test_eowc_over_window_mv_sql(eng):
+    """EMIT ON WINDOW CLOSE with an OVER-window body (reference eowc.rs
+    via the optimizer's EOWC planning): rows emit exactly once, in
+    event-time order, with window functions attached — including a
+    bounded ROWS frame whose backward reach crosses the emission
+    boundary (served by the retained tail); late rows are dropped."""
+    eng.sql(
+        """
+        CREATE TABLE ewt (
+            id int8 PRIMARY KEY, k int4, v int8, ts timestamp,
+            WATERMARK FOR ts AS ts - INTERVAL '10 minutes'
+        ) APPEND ONLY
+        """
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW ewmv AS SELECT k, ts, v, "
+        "row_number() OVER (PARTITION BY k ORDER BY ts) AS rn, "
+        "sum(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS s2 FROM ewt EMIT ON WINDOW CLOSE"
+    )
+    eng.sql(
+        "INSERT INTO ewt VALUES "
+        "(1, 1, 10, TIMESTAMP '2024-01-01 00:00:00'),"
+        "(2, 1, 20, TIMESTAMP '2024-01-01 00:20:00'),"
+        "(3, 1, 40, TIMESTAMP '2024-01-01 00:40:00')"
+    )
+    # wm = 00:30 → rows 1,2 emitted
+    assert _rows(eng.sql("SELECT k, rn, s2 FROM ewmv")) == [(1, 1, 10), (1, 2, 30)]
+    eng.sql(
+        "INSERT INTO ewt VALUES (4, 1, 80, TIMESTAMP '2024-01-01 01:10:00'),"
+        "(5, 1, 5, TIMESTAMP '2024-01-01 00:25:00')"
+    )
+    # wm = 01:00 → row 3 emits (s2 = 20+40 needs emitted row 2: the tail);
+    # the late row 5 (00:25 <= old wm 00:30) is dropped
+    assert _rows(eng.sql("SELECT k, rn, s2 FROM ewmv")) == [
+        (1, 1, 10), (1, 2, 30), (1, 3, 60),
+    ]
+    # deletes are rejected loudly (append-only contract)
+    with pytest.raises(Exception, match="[Aa]ppend[- ]only|APPEND ONLY"):
+        eng.sql("DELETE FROM ewt WHERE id = 1")
+    # non-watermarked order column is rejected
+    eng.sql("CREATE TABLE ewt2 (id int8 PRIMARY KEY, k int4, v int8, ts timestamp) APPEND ONLY")
+    with pytest.raises(ValueError, match="needs a watermark"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW bad_ew AS SELECT k, ts, v, "
+            "row_number() OVER (PARTITION BY k ORDER BY ts) AS rn "
+            "FROM ewt2 EMIT ON WINDOW CLOSE"
+        )
