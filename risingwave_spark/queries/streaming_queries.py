@@ -2596,3 +2596,61 @@ def engine_sql_background_ddl(spark, sf_dir):
     return eng.sql(
         "SELECT o_orderstatus, n, keysum FROM bg_mv ORDER BY o_orderstatus"
     )
+
+
+@register(
+    "engine_sql_eowc_over_window",
+    oracle=f"""
+WITH surv AS (
+  SELECT user_id, event_id, ts, CAST(round(value*100,0) AS BIGINT) AS vc
+  FROM events WHERE user_id < 40
+), wm AS (
+  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM surv
+)
+SELECT user_id, event_id,
+       CAST(rn AS BIGINT) AS rn, CAST(s2 AS BIGINT) AS s2
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER w2 AS rn,
+         sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2
+  FROM surv WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+) x, wm WHERE x.ts <= wm.w
+ORDER BY user_id, rn
+""",
+)
+def engine_sql_eowc_over_window(spark, sf_dir):
+    """EOWC over-window through the SQL surface (reference eowc.rs +
+    the optimizer's EOWC planning; WATERMARK DDL from
+    binder/relation/watermark.rs): an APPEND ONLY watermarked table
+    feeds `row_number + bounded-frame sum OVER (...) EMIT ON WINDOW
+    CLOSE` in two insert batches; emitted rows equal the batch window
+    restricted to ts <= final watermark, with frames that cross the
+    emission boundary served by the retained tail."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_eowcow_"))
+    eng.sql(
+        "CREATE TABLE eow_ev (event_id int8 PRIMARY KEY, user_id int8, "
+        "vc int8, ts timestamp, "
+        "WATERMARK FOR ts AS ts - INTERVAL '10 minutes') APPEND ONLY"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW eow_mv AS SELECT user_id, ts, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+        "sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2 "
+        "FROM eow_ev EMIT ON WINDOW CLOSE"
+    )
+    sel = (
+        "SELECT event_id, user_id, CAST(round(value*100,0) AS BIGINT), ts "
+        "FROM events WHERE user_id < 40"
+    )
+    half = "SELECT percentile_approx(unix_micros(ts), 0.5) FROM events"
+    cut = spark.sql(half).first()[0]
+    eng.sql(f"INSERT INTO eow_ev {sel} AND unix_micros(ts) <= {cut}")
+    eng.sql(f"INSERT INTO eow_ev {sel} AND unix_micros(ts) > {cut}")
+    return eng.sql(
+        "SELECT user_id, event_id, rn, s2 FROM eow_mv ORDER BY user_id, rn"
+    )
