@@ -384,3 +384,71 @@ def test_time_travel_matches_prefix_replay_random(spark, tmp_path_factory, ops, 
         ).collect()
     )
     assert got == sorted(snapshots[cut].items())
+
+
+@st.composite
+def _create_function_stmt(draw):
+    name = draw(_IDENTS)
+    lang = draw(st.sampled_from(["sql", "python"]))
+    nargs = draw(st.integers(0, 3))
+    named = draw(st.booleans())
+    params = ", ".join(
+        (f"p{i} INT" if named else "INT") for i in range(nargs)
+    )
+    dollar = draw(st.booleans())
+    if lang == "sql":
+        body_txt = "select " + (" + ".join(
+            [f"${i+1}" if not named else f"p{i}" for i in range(nargs)] or ["1"]
+        ))
+    else:
+        body_txt = f"def {name}(*a):\n    return 1"
+    body = f"$${body_txt}$$" if dollar else "'" + body_txt.replace("'", "''") + "'"
+    ws = draw(_WS)
+    return (
+        f"CREATE{ws}FUNCTION {name}({params}) RETURNS int "
+        f"LANGUAGE {lang}{ws}AS {body}"
+    )
+
+
+@st.composite
+def _misc_new_stmt(draw):
+    kind = draw(st.sampled_from(["secret", "comment", "dropfn"]))
+    name = draw(_IDENTS)
+    if kind == "secret":
+        return (
+            f"CREATE SECRET {name} WITH (backend = 'meta') AS "
+            + draw(_LITS),
+            "create_secret",
+        )
+    if kind == "comment":
+        lit = draw(st.sampled_from(["'a comment'", "'it''s'", "NULL"]))
+        return (f"COMMENT ON TABLE {name} IS {lit}", "comment")
+    sig = draw(st.sampled_from(["", "(int)", "(int, varchar)"]))
+    return (f"DROP FUNCTION IF EXISTS {name}{sig}", "drop_function")
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(stmt=_create_function_stmt())
+def test_grammar_classifies_create_function(stmt):
+    """Round-5 statements fuzz: CREATE FUNCTION shapes (dollar/quoted
+    bodies, named/unnamed params, both languages) classify and extract."""
+    from risingwave_spark import frontend
+    from risingwave_spark.sqlparse import classify
+
+    kind = classify(stmt)
+    assert kind == "create_function"
+    rx, _h = frontend._KIND_DISPATCH[kind]
+    assert rx.match(stmt) is not None, stmt
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pair=_misc_new_stmt())
+def test_grammar_classifies_new_round5_statements(pair):
+    from risingwave_spark import frontend
+    from risingwave_spark.sqlparse import classify
+
+    stmt, want = pair
+    kind = classify(stmt)
+    assert kind == want, (stmt, kind)
+    rx, _h = frontend._KIND_DISPATCH[kind]
+    assert rx.match(stmt) is not None, stmt
