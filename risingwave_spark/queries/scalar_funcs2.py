@@ -812,3 +812,42 @@ def fn_encrypt_decrypt(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fn_jsonb_record",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_field,
+       CAST(json_extract('[{"a":1},{"a":2}]', '$[0].a') AS BIGINT) AS first_a,
+       2 AS n_set
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+)
+def fn_jsonb_record(spark, sf_dir):
+    """jsonb_to_record / jsonb_populate_record / jsonb_populate_recordset
+    (reference `scalar/jsonb_record.rs:53-158`): JSON text → typed struct
+    via Spark's native from_json (schema-directed, the populate_record
+    contract), and a recordset fan-out counted via from_json to an array
+    of structs — all JVM-side, no UDFs."""
+    from pyspark.sql import functions as F
+
+    from risingwave_spark.queries.util import tables
+
+    t = tables(spark, sf_dir)
+    rec = "[{\"a\":1},{\"a\":2}]"
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.from_json("props", "k bigint").getField("k").alias("k_field"),
+            F.from_json(F.lit(rec), "array<struct<a: bigint>>")[0]
+            .getField("a")
+            .alias("first_a"),
+            F.size(F.from_json(F.lit(rec), "array<struct<a: bigint>>")).alias(
+                "n_set"
+            ),
+        )
+        .orderBy("event_id")
+    )
