@@ -954,8 +954,10 @@ def test_show_create_and_alter_grammar(eng):
     assert classify("ALTER TABLE t DROP COLUMN x") == "alter_table"
     # ALTER ... RENAME TO is supported since round 5
     assert classify("ALTER TABLE t RENAME TO u") == "alter_rename"
+    # ALTER SYSTEM SET is supported since round-5 session 3
+    assert classify("ALTER SYSTEM SET x = 1") == "alter_system"
     with pytest.raises(SqlParseError):
-        classify("ALTER SYSTEM SET x = 1")
+        classify("ALTER SYSTEM RESET everything")
 
 
 def test_tumble_hop_eager_mv_sql(eng):
