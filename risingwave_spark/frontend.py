@@ -3033,12 +3033,77 @@ def _handle_fetch(engine: "Engine", m: re.Match) -> DataFrame:
 
 
 # ---------------------------------------------------------------- dispatch
+def _resolve_schema_names(engine: "Engine", stmt: str) -> str:
+    """Schema-qualified names in the single-namespace engine (reference
+    schemas are true namespaces, `handler/create_schema.rs` /
+    e2e_test/ddl/schema.slt): `public.x` resolves to `x`; a created
+    schema `s`'s objects live under the mangled name `s__x`, so `s.x`
+    is a distinct object from `x` — the reference's separate-namespace
+    contract at single-catalog cost. String literals are masked first."""
+    schemas = getattr(engine, "schemas", None)
+    if not schemas and "public." not in stmt.lower():
+        return stmt
+    masked, lits = _mask_strings(stmt)
+    masked = re.sub(r"\bpublic\s*\.\s*(\w)", r"\1", masked, flags=re.I)
+    for s in schemas or ():
+        masked = re.sub(rf"\b{re.escape(s)}\s*\.\s*(\w)", rf"{s}__\1", masked)
+    return _unmask(masked, lits)
+
+
+_CREATE_SCHEMA = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
+    r"(?:\s+AUTHORIZATION\s+\w+)?\s*;?\s*$",
+    re.I,
+)
+_DROP_SCHEMA = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.I,
+)
+
+
+def _handle_create_schema(engine: "Engine", m: re.Match) -> DataFrame:
+    name = m.group("name")
+    engine.schemas = getattr(engine, "schemas", set())
+    if name in engine.schemas or name == "public":
+        if m.group("ifnex"):
+            return _status(engine.spark, "CREATE_SCHEMA")
+        raise ValueError(f"schema {name!r} already exists")
+    engine.schemas.add(name)
+    engine._record_ddl(f"__schema_{name}", m.string)
+    return _status(engine.spark, "CREATE_SCHEMA")
+
+
+def _handle_drop_schema(engine: "Engine", m: re.Match) -> DataFrame:
+    name = m.group("name")
+    engine.schemas = getattr(engine, "schemas", set())
+    if name not in engine.schemas:
+        if m.group("ifex"):
+            return _status(engine.spark, "DROP_SCHEMA")
+        raise ValueError(f"unknown schema {name!r}")
+    members = [
+        n
+        for d in (engine.tables, engine.mv_handles, engine.views,
+                  engine.sources, engine.sinks)
+        for n in d
+        if n.startswith(f"{name}__")
+    ]
+    if members:
+        raise ValueError(
+            f"schema {name!r} is not empty (contains {sorted(members)}); "
+            "drop its objects first"
+        )
+    engine.schemas.discard(name)
+    engine._unrecord_ddl([f"__schema_{name}"])
+    return _status(engine.spark, "DROP_SCHEMA")
+
+
 def execute(engine: "Engine", text: str) -> DataFrame:
     """Run one or more SQL statements; returns the last statement's result
     (SELECTs return their rows; DDL/DML return a command-tag frame)."""
     result: DataFrame | None = None
     for stmt in split_statements(text):
-        result = _execute_one(engine, stmt)
+        result = _execute_one(engine, _resolve_schema_names(engine, stmt))
     if result is None:
         raise ValueError("empty SQL text")
     return result
@@ -3269,6 +3334,8 @@ _KIND_DISPATCH = {
     "create_secret": (_CREATE_SECRET, _handle_create_secret),
     "alter_secret": (_CREATE_SECRET, _handle_create_secret),
     "drop_secret": (_DROP_SECRET, _handle_drop_secret),
+    "create_schema": (_CREATE_SCHEMA, _handle_create_schema),
+    "drop_schema": (_DROP_SCHEMA, _handle_drop_schema),
 }
 
 

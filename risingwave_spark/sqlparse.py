@@ -737,6 +737,20 @@ def _parse_create(p: _P) -> str:
             _parse_with_options(p)
         p.expect_done("CREATE SUBSCRIPTION")
         return "create_subscription"
+    if p.at("SCHEMA"):
+        # CREATE SCHEMA [IF NOT EXISTS] name (reference
+        # handler/create_schema.rs; e2e_test/ddl/schema.slt)
+        p.eat()
+        _skip_if_not_exists(p)
+        t = p.peek()
+        if t is not None and t.kind == "qid" and t.val == '""':
+            p.fail("empty schema name")
+        p.ident("schema name")
+        if p.at("AUTHORIZATION"):
+            p.eat()
+            p.ident("owner name")
+        p.expect_done("CREATE SCHEMA")
+        return "create_schema"
     if p.at("SECRET"):
         # CREATE SECRET name [WITH (...)] AS '...' (reference
         # handler/create_secret.rs; e2e_test/ddl/secret.slt)
@@ -958,6 +972,16 @@ def classify(stmt: str) -> str:
         p.fail("expected ADD COLUMN or DROP COLUMN")
     if h == "DROP":
         p.eat()
+        if p.at("SCHEMA"):
+            p.eat()
+            if p.at_seq("IF", "EXISTS"):
+                p.eat()
+                p.eat()
+            p.ident("schema name")
+            if p.at("CASCADE", "RESTRICT"):
+                p.eat()
+            p.expect_done("DROP SCHEMA")
+            return "drop_schema"
         if p.at("SECRET"):
             p.eat()
             if p.at_seq("IF", "EXISTS"):

@@ -2565,3 +2565,31 @@ def test_eowc_over_window_mv_sql(eng):
             "row_number() OVER (PARTITION BY k ORDER BY ts) AS rn "
             "FROM ewt2 EMIT ON WINDOW CLOSE"
         )
+
+
+def test_create_schema_namespacing(spark, tmp_path):
+    """Schemas (reference e2e_test/ddl/schema.slt): qualified names are
+    distinct namespaces; duplicate schema errors (IF NOT EXISTS no-op);
+    DROP of a non-empty schema errors; `public.` resolves to the default
+    namespace; replay restores schemas."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("create table ddl_table (v int PRIMARY KEY)")
+    eng.sql("create schema ddl_schema")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("create schema ddl_schema")
+    eng.sql("create schema if not exists ddl_schema")
+    eng.sql("create table ddl_schema.ddl_table (v int PRIMARY KEY)")
+    eng.sql("insert into ddl_table values (1)")
+    eng.sql("insert into ddl_schema.ddl_table values (2), (3)")
+    assert _rows(eng.sql("select v from public.ddl_table")) == [(1,)]
+    assert _rows(eng.sql("select v from ddl_schema.ddl_table")) == [(2,), (3,)]
+    with pytest.raises(ValueError, match="not empty"):
+        eng.sql("drop schema ddl_schema")
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("select v from ddl_schema.ddl_table")) == [(2,), (3,)]
+    eng2.sql("drop table ddl_schema.ddl_table")
+    eng2.sql("drop schema ddl_schema")
+    with pytest.raises(ValueError, match="unknown schema"):
+        eng2.sql("drop schema ddl_schema")
+    eng2.sql("drop schema if exists ddl_schema")
