@@ -559,26 +559,30 @@ class Engine:
             return
         import json
 
-        entries = self._read_catalog()
-        entries = [e for e in entries if e["name"] != name] + [
-            {"name": name, "stmt": stmt}
-        ]
-        os.makedirs(self.warehouse, exist_ok=True)
-        tmp = self._catalog_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entries, f, indent=1)
-        os.replace(tmp, self._catalog_path())
+        # under the DDL lock: a background creation's final record must
+        # not interleave with a foreground DDL's read-modify-replace
+        with self._ddl_lock:
+            entries = self._read_catalog()
+            entries = [e for e in entries if e["name"] != name] + [
+                {"name": name, "stmt": stmt}
+            ]
+            os.makedirs(self.warehouse, exist_ok=True)
+            tmp = self._catalog_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entries, f, indent=1)
+            os.replace(tmp, self._catalog_path())
 
     def _unrecord_ddl(self, names: list[str]) -> None:
         import json
 
         if self._replaying:
             return
-        entries = [e for e in self._read_catalog() if e["name"] not in names]
-        tmp = self._catalog_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entries, f, indent=1)
-        os.replace(tmp, self._catalog_path())
+        with self._ddl_lock:
+            entries = [e for e in self._read_catalog() if e["name"] not in names]
+            tmp = self._catalog_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entries, f, indent=1)
+            os.replace(tmp, self._catalog_path())
 
     def _read_catalog(self) -> list:
         import json
