@@ -3498,7 +3498,9 @@ def _handle_prepare_execute(engine: "Engine", stmt: str) -> DataFrame | None:
             return _unmask(args[k - 1], arg_lits)
 
         spliced = _unmask(re.sub(r"\$(\d+)", repl, masked), lits)
-        return _execute_one(engine, spliced)
+        # re-entry skips execute()'s pre-pass — resolve schema-qualified
+        # names here too
+        return _execute_one(engine, _resolve_schema_names(engine, spliced))
     m = _DEALLOCATE.match(stmt)
     if m:
         if m.group("name").upper() == "ALL":
