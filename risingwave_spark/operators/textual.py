@@ -72,3 +72,50 @@ def lang_id(col):
 def doc_fingerprint(col):
     """Content fingerprint of normalized text (md5 — engine-portable)."""
     return F.md5(normalize_text(col))
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+    overlap: int = 32,
+):
+    """Split documents into token-bounded overlapping chunks — the
+    standard pre-tokenization step of an LLM training-data pipeline
+    (context-window packing): chunk i covers whitespace-tokens
+    [i*stride, i*stride + max_tokens), stride = max_tokens - overlap.
+
+    Entirely built-in (split → sequence of starts → posexplode → slice →
+    array_join): no Python in the row path, one narrow fan-out, no
+    shuffle — the map-side shape that holds at 100 TB. Emits
+    (id, chunk_idx, chunk_text, n_tokens)."""
+    from pyspark.sql import functions as F
+
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.size("__toks") - 1, F.lit(stride)
+                )
+            ).alias("chunk_idx", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("__start"), F.lit(max_tokens)
+            ).alias("n_tokens"),
+        )
+    )

@@ -652,3 +652,32 @@ def llm_ann_gemm(spark, sf_dir):
     return cosine_topk_numpy(e, qrows, "vec_id", "embedding", k=3).orderBy(
         "query_id", "neighbor_id"
     )
+
+
+@register(
+    "llm_chunk_documents",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 96)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST(s / 96 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(t, s + 1, s + 128), ' ') AS chunk_text,
+       CAST(least(len(t) - s, 128) AS BIGINT) AS n_tokens
+FROM starts ORDER BY doc_id, chunk_idx
+""",
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Token-bounded overlapping document chunking (max 128 tokens,
+    overlap 32 → stride 96): the context-window packing step of a
+    training pipeline, map-side only (split → start sequence →
+    posexplode → slice), zero Python and zero shuffle."""
+    from risingwave_spark.operators.textual import chunk_documents
+
+    t = tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], "doc_id", "text", max_tokens=128, overlap=32
+    ).orderBy("doc_id", "chunk_idx")
