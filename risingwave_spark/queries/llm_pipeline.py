@@ -681,3 +681,41 @@ def llm_chunk_documents(spark, sf_dir):
     return chunk_documents(
         t["documents"], "doc_id", "text", max_tokens=128, overlap=32
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "llm_stratified_sample",
+    oracle="""
+WITH gated AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS g
+  FROM documents
+)
+SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS idsum
+FROM gated
+WHERE g < (CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 80
+           WHEN 'de' THEN 100 ELSE 0 END)
+GROUP BY lang ORDER BY lang
+""",
+)
+def llm_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (the training-mix step:
+    down-weight English to 25%, up-weight zh to 80%, keep all German,
+    drop the rest): membership is md5(salt||doc_id) mod 100 — a pure
+    function of the row, identical on every run, cluster layout, and
+    engine (hence DuckDB-oracle-exact). Map-side projection+filter,
+    zero shuffle before the verification aggregate."""
+    from risingwave_spark.operators.sampling import stratified_sample
+
+    t = tables(spark, sf_dir)
+    sampled = stratified_sample(
+        t["documents"], "doc_id", "lang",
+        rates={"en": 25, "zh": 80, "de": 100},
+        default_rate=0.0,
+        salt="mix1",
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("idsum"))
+        .orderBy("lang")
+    )
