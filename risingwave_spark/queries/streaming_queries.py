@@ -2654,3 +2654,44 @@ def engine_sql_eowc_over_window(spark, sf_dir):
     return eng.sql(
         "SELECT user_id, event_id, rn, s2 FROM eow_mv ORDER BY user_id, rn"
     )
+
+
+@register(
+    "engine_sql_read_only_txn",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_read_only_txn(spark, sf_dir):
+    """START TRANSACTION READ ONLY isolation end-to-end (reference
+    `handler/transaction.rs`, e2e_test/batch/transaction/
+    read_only_multi_conn.slt): even-key orders land, a read-only
+    transaction pins the snapshot, a SECOND engine on the same warehouse
+    inserts the odd keys — the in-transaction aggregate still sees only
+    the pinned chunk-seq horizon (the evens), which is what this query
+    returns before COMMIT releases it."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="rw_txn_")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE txn_orders (o_orderkey int8 PRIMARY KEY, o_orderstatus text)")
+    eng.sql(
+        "INSERT INTO txn_orders SELECT o_orderkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql("START TRANSACTION READ ONLY")
+    other = Engine.open(spark, wh)  # the concurrent writer connection
+    other.sql(
+        "INSERT INTO txn_orders SELECT o_orderkey, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    pinned = eng.sql(
+        "SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS keysum "
+        "FROM txn_orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ).localCheckpoint(eager=True)
+    eng.sql("COMMIT")
+    return pinned
