@@ -2695,3 +2695,47 @@ def engine_sql_read_only_txn(spark, sf_dir):
     ).localCheckpoint(eager=True)
     eng.sql("COMMIT")
     return pinned
+
+
+@register(
+    "engine_sql_schema_and_prepare",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+FROM orders WHERE o_orderkey % 4 = 1 OR o_orderkey IN (7, 11)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def engine_sql_schema_and_prepare(spark, sf_dir):
+    """Schemas + prepared statements end-to-end (reference
+    e2e_test/ddl/schema.slt + extended_handle.rs): a table under a
+    created schema is populated through a prepared INSERT...SELECT with a
+    $1 parameter (executed twice) plus two single-row EXECUTEs of a
+    prepared VALUES insert; a prepared parameterized SELECT reads the
+    aggregate back through the schema-qualified name."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_schp_"))
+    eng.sql("CREATE SCHEMA mix")
+    eng.sql(
+        "CREATE TABLE mix.orders_s (o_orderkey int8 PRIMARY KEY, "
+        "o_orderstatus text) ON CONFLICT IGNORE"
+    )
+    eng.sql(
+        "PREPARE load AS INSERT INTO mix.orders_s "
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 = $1"
+    )
+    eng.sql("EXECUTE load(1)")
+    eng.sql("EXECUTE load(1)")  # duplicate run: ON CONFLICT IGNORE drops it
+    ins_one = eng.sql("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey = 7").first()
+    eng.sql("PREPARE one AS INSERT INTO mix.orders_s VALUES ($1, $2)")
+    eng.sql(f"EXECUTE one(7, '{ins_one.o_orderstatus}')")
+    row11 = eng.sql("SELECT o_orderstatus FROM orders WHERE o_orderkey = 11").first()
+    eng.sql(f"EXECUTE one(11, '{row11.o_orderstatus}')")
+    eng.sql(
+        "PREPARE q AS SELECT o_orderstatus, count(*) AS n, "
+        "sum(o_orderkey) AS keysum FROM mix.orders_s WHERE o_orderkey % 4 = $1 "
+        "OR o_orderkey IN (7, 11) GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    return eng.sql("EXECUTE q(1)")
