@@ -146,7 +146,8 @@ _DROP_FUNCTION = re.compile(
     re.I,
 )
 _SHOW_CREATE = re.compile(
-    r"^\s*SHOW\s+CREATE\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+(\w+)\s*$",
+    r"^\s*SHOW\s+CREATE\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK"
+    r"|FUNCTION|AGGREGATE)\s+(\w+)\s*$",
     re.I,
 )
 _CREATE_VIEW = re.compile(
