@@ -3750,9 +3750,14 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         return _status(engine.spark, "SET_VARIABLE")
     m = _SET_VAR.match(stmt)
     if m:
-        # session parameters (reference handler/variable.rs) → Spark conf
-        val = m.group(2).strip().strip("'\"")
-        engine.spark.conf.set(m.group(1), val)
+        # session parameters (reference handler/variable.rs) → Spark conf.
+        # Parameters with a direct Spark equivalent map onto it:
+        # STREAMING_PARALLELISM (per-job parallelism) IS the shuffle
+        # partition count in Spark's execution model.
+        key, val = m.group(1), m.group(2).strip().strip("'\"")
+        if key.upper() == "STREAMING_PARALLELISM" and val.upper() != "DEFAULT":
+            engine.spark.conf.set("spark.sql.shuffle.partitions", val)
+        engine.spark.conf.set(key, val)
         return _status(engine.spark, "SET_VARIABLE")
     m = _SHOW_VAR.match(stmt)
     if m and "." in m.group(1):  # dotted = a conf key, not SHOW TABLES-ish
