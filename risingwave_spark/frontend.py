@@ -3229,7 +3229,9 @@ def _handle_comment(engine: "Engine", m: re.Match) -> DataFrame:
 
 _CREATE_SECRET = re.compile(
     r"^\s*(CREATE|ALTER)\s+SECRET\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
-    r"(?:WITH\s*\((?P<with>.*?)\)\s*)?AS\s+(?P<val>'(?:[^']|'')*')\s*;?\s*$",
+    r"(?:WITH\s*\((?P<with>.*?)\)\s*)?"
+    r"(?:AS\s+(?P<val>'(?:[^']|'')*'|[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?"
+    r"|NULL|TRUE|FALSE)\s*)?;?\s*$",
     re.I | re.S,
 )
 _DROP_SECRET = re.compile(
@@ -3275,7 +3277,16 @@ def _handle_create_secret(engine: "Engine", m: re.Match) -> DataFrame:
     name = m.group("name")
     if m.group(1).upper() == "ALTER" and name not in secrets:
         raise ValueError(f"unknown secret {name!r}")
-    secrets[name] = m.group("val")[1:-1].replace("''", "'")
+    # Credential may be ANY literal (reference sqlparser
+    # ast/statement.rs:858 ensure_parse_value: string, number, NULL) and
+    # the whole AS clause may be absent (defaults to Null).
+    val = m.group("val")
+    if val is None or val.upper() == "NULL":
+        secrets[name] = None
+    elif val.startswith("'"):
+        secrets[name] = val[1:-1].replace("''", "'")
+    else:
+        secrets[name] = val  # numeric / boolean literal, stored verbatim
     _store_secrets(engine, secrets)
     return _status(engine.spark, f"{m.group(1).upper()}_SECRET")
 

@@ -752,18 +752,28 @@ def _parse_create(p: _P) -> str:
         p.expect_done("CREATE SCHEMA")
         return "create_schema"
     if p.at("SECRET"):
-        # CREATE SECRET name [WITH (...)] AS '...' (reference
-        # handler/create_secret.rs; e2e_test/ddl/secret.slt)
+        # CREATE SECRET name [WITH (...)] [AS <literal>] (reference
+        # handler/create_secret.rs; sqlparser ast/statement.rs:858
+        # ensure_parse_value() — the credential may be ANY literal value
+        # (string, number, NULL) and the whole AS clause is optional,
+        # defaulting to Value::Null).
         p.eat()
         _skip_if_not_exists(p)
         p.ident("secret name")
         if p.at("WITH"):
             _parse_with_options(p)
-        p.eat_kw("AS")
-        t = p.peek()
-        if t is None or t.kind != "str":
-            p.fail("expected a secret value string after AS")
-        p.eat()
+        if p.at("AS"):
+            p.eat()
+            t = p.peek()
+            if t is not None and t.kind == "op" and t.val in ("-", "+"):
+                p.eat()
+                t = p.peek()
+            if t is None or not (
+                t.kind in ("str", "num")
+                or (t.kind == "ident" and t.up in ("NULL", "TRUE", "FALSE"))
+            ):
+                p.fail("expected a literal secret value after AS")
+            p.eat()
         p.expect_done("CREATE SECRET")
         return "create_secret"
     if p.at("FUNCTION", "AGGREGATE"):

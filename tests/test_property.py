@@ -415,9 +415,12 @@ def _misc_new_stmt(draw):
     kind = draw(st.sampled_from(["secret", "comment", "dropfn"]))
     name = draw(_IDENTS)
     if kind == "secret":
+        # reference sqlparser ast/statement.rs:858 — the AS clause is
+        # optional (credential defaults to Null) and accepts any literal.
+        as_clause = draw(st.sampled_from(["with_as", "no_as"]))
+        suffix = " AS " + draw(_LITS) if as_clause == "with_as" else ""
         return (
-            f"CREATE SECRET {name} WITH (backend = 'meta') AS "
-            + draw(_LITS),
+            f"CREATE SECRET {name} WITH (backend = 'meta'){suffix}",
             "create_secret",
         )
     if kind == "comment":
