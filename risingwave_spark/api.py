@@ -334,6 +334,29 @@ class _JoinSideHandle:
         pass
 
 
+class _MvJoinFeed:
+    """Upstream MV's changelog chunk → one side of a stream join —
+    MV-as-join-input (reference mv-on-mv.md composed with the multi-way
+    streaming join plan, `create_mv.rs:87`): a CREATE MV may join
+    another MV, which is the desugared form of subqueries / CTEs /
+    stacked views in MV bodies (e.g. every subquery-bearing
+    `e2e_test/streaming/tpch/views/*.slt.part`). The upstream MV's
+    per-batch Update-pair changelog (−1 old / +1 recomputed) folds into
+    the join side's state exactly like table DML does."""
+
+    def __init__(self, join, side: str):
+        self._join = join
+        self._side = side
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        drop = [c for c in batch.columns if c.startswith("__jk")]
+        b = batch.drop(*drop) if drop else batch
+        if self._side == "left":
+            self._join.apply(left=b, batch_id=batch_id, batch_ns=batch_ns)
+        else:
+            self._join.apply(right=b, batch_id=batch_id, batch_ns=batch_ns)
+
+
 class ProjectedMaterializedView(MaterializedView):
     """MaterializedView whose VISIBLE result drops hidden carrier
     columns — e.g. `SELECT DISTINCT ON (k) v FROM t` is keyed by k but
@@ -762,6 +785,39 @@ class Engine:
             os.replace(tmp, prog)
         os.remove(prog)
 
+    def _resolve_join_input(self, name: str):
+        """Resolve a stream-join input by name to (pk, snapshot, source):
+        an engine TABLE (source = the Table, DML feeds via `mvs`) or an
+        agg-keyed MV (source = the view object, changelog feeds via
+        `downstream`) — the MV-as-join-input path that desugared
+        subqueries / CTEs / MV-on-MV join bodies ride on."""
+        if name in self.tables:
+            t = self.tables[name]
+            return t.pk, t.snapshot(), ("table", t)
+        if name not in self.mv_handles:
+            raise ValueError(f"join input {name!r} is not a known table or MV")
+        v = self.mv_handles[name].view
+        if hasattr(v, "funcs") and hasattr(v, "order_cols"):
+            raise ValueError(
+                f"MV {name!r} cannot be a join input: over-window MVs are "
+                "row-grain (no group-key pk) — materialize the needed "
+                "columns in a keyed MV instead"
+            )
+        if getattr(v, "_hidden", None):
+            raise ValueError(
+                f"MV {name!r} cannot be a join input: its DISTINCT ON keys "
+                "are hidden from its visible rows — select them explicitly "
+                "in the upstream MV"
+            )
+        keys = getattr(v, "keys", None)
+        if not keys:
+            raise ValueError(
+                f"MV {name!r} as a join input needs group keys (its pk) — "
+                "row-grain join MVs cannot re-key a downstream join's state"
+            )
+        pk = keys[0] if len(keys) == 1 else list(keys)
+        return pk, v.result(), ("mv", v)
+
     def create_stream_join_mv(
         self,
         name: str,
@@ -777,21 +833,24 @@ class Engine:
         key_of=None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over a stream-stream join of two
-        engine TABLES (reference `create_mv.rs:87` planning onto
-        `stream_hash_join.rs` — both inputs are changelogs): DML on
-        EITHER table — including deletes — flows into the matching input
-        of a `RetractableStreamJoin`; `keys`+`recompute` hang a
-        downstream group-agg MV off the join's changelog (mv-on-mv.md),
-        `project` is a stateless read-time transform of the maintained
-        join result. Backfills from both tables' current snapshots."""
-        tl, tr = self.tables[left], self.tables[right]
+        inputs — engine TABLES or agg-keyed MVs (reference
+        `create_mv.rs:87` planning onto `stream_hash_join.rs` — both
+        inputs are changelogs; MV inputs are mv-on-mv composed with the
+        join plan): DML on either table — including deletes — and
+        upstream-MV changelog updates flow into the matching input of a
+        `RetractableStreamJoin`; `keys`+`recompute` hang a downstream
+        group-agg MV off the join's changelog (mv-on-mv.md), `project`
+        is a stateless read-time transform of the maintained join
+        result. Backfills from both inputs' current snapshots."""
+        pk_l, snap_l, src_l = self._resolve_join_input(left)
+        pk_r, snap_r, src_r = self._resolve_join_input(right)
         jmv = StreamJoinMv(
             self.spark,
             os.path.join(self.warehouse, f"jmv_{name}"),
             left_on,
             right_on,
-            tl.pk,
-            tr.pk,
+            pk_l,
+            pk_r,
             how,
             cond,
             keys=keys,
@@ -804,13 +863,16 @@ class Engine:
             # state must exist before the first affected-key recompute
             # reads it). A re-opened MV re-attaches its state instead.
             jmv.join.apply(
-                left=with_ops(tl.snapshot(), 1),
-                right=with_ops(tr.snapshot(), 1),
+                left=with_ops(snap_l, 1),
+                right=with_ops(snap_r, 1),
             )
         h = MaterializedViewHandle(name, jmv)
         h._register()
-        tl.mvs.append(_JoinSideHandle(name, jmv, "left"))
-        tr.mvs.append(_JoinSideHandle(name, jmv, "right"))
+        for side, (kind, src) in (("left", src_l), ("right", src_r)):
+            if kind == "table":
+                src.mvs.append(_JoinSideHandle(name, jmv, side))
+            else:
+                src.downstream.append(_MvJoinFeed(jmv.join, side))
         self.mv_handles[name] = h
         return h
 
@@ -825,16 +887,19 @@ class Engine:
         key_of=None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over an N-way stream-stream join of
-        engine tables (left-deep; see StreamJoinChainMv). `steps[i]` =
-        {left_on, right_on, how, cond} joining the running result with
-        `tbls[i+1]`. Backfills each level from current snapshots, then
-        wires the changelog cascade + per-table DML feeds."""
-        ts = [self.tables[t] for t in tbls]
+        inputs — engine tables or agg-keyed MVs (left-deep; see
+        StreamJoinChainMv; MV inputs are the desugared form of
+        subqueries / CTEs in the body — reference `apply_to_join_rule.rs`
+        subquery unnesting composed with the multi-way join plan).
+        `steps[i]` = {left_on, right_on, how, cond} joining the running
+        result with `tbls[i+1]`. Backfills each level from current
+        snapshots, then wires the changelog cascade + per-input feeds."""
+        resolved = [self._resolve_join_input(t) for t in tbls]
         chain = StreamJoinChainMv(
             self.spark,
             os.path.join(self.warehouse, f"jmv_{name}"),
             steps,
-            [t.pk for t in ts],
+            [pk for pk, _, _ in resolved],
             keys=keys,
             recompute=recompute,
             project=project,
@@ -845,10 +910,10 @@ class Engine:
         # backfill chunks. A re-opened chain re-attaches instead.
         for i, j in enumerate(chain.joins):
             if not j.mv.exists():
-                left = ts[0].snapshot() if i == 0 else chain.joins[i - 1].result()
+                left = resolved[0][1] if i == 0 else chain.joins[i - 1].result()
                 j.apply(
                     left=with_ops(left, 1),
-                    right=with_ops(ts[i + 1].snapshot(), 1),
+                    right=with_ops(resolved[i + 1][1], 1),
                 )
         if chain.agg is not None and not chain.agg.mv.exists():
             chain.agg.apply_batch(with_ops(chain.joins[-1].result(), 1))
@@ -858,9 +923,12 @@ class Engine:
             chain.joins[-1].downstream.append(chain.agg)
         h = MaterializedViewHandle(name, chain)
         h._register()
-        ts[0].mvs.append(_ChainSideHandle(name, chain.joins[0], "left"))
-        for i, t in enumerate(ts[1:]):
-            t.mvs.append(_ChainSideHandle(name, chain.joins[i], "right"))
+        for i, (_, _, (kind, src)) in enumerate(resolved):
+            join, side = (chain.joins[0], "left") if i == 0 else (chain.joins[i - 1], "right")
+            if kind == "table":
+                src.mvs.append(_ChainSideHandle(name, join, side))
+            else:
+                src.downstream.append(_MvJoinFeed(join, side))
         self.mv_handles[name] = h
         return h
 

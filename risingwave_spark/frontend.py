@@ -1163,6 +1163,28 @@ def _top_level_kw_pos(text: str) -> int | None:
     return None
 
 
+def _chain_input_ok(engine: "Engine", name: str) -> bool:
+    """True when `name` can feed a retractable stream-join chain: an
+    engine table, or an MV with group keys (its pk) whose changelog can
+    re-key a downstream join's state (MV-as-join-input)."""
+    if name in engine.tables:
+        return True
+    if name not in engine.mv_handles:
+        return False
+    v = engine.mv_handles[name].view
+    if hasattr(v, "funcs") and hasattr(v, "order_cols"):
+        return False  # over-window MVs are row-grain
+    if getattr(v, "_hidden", None):
+        return False  # DISTINCT ON MVs hide their splice keys
+    return bool(getattr(v, "keys", None))
+
+
+def _chain_input_cols(engine: "Engine", name: str) -> list[str]:
+    if name in engine.tables:
+        return engine.tables[name].snapshot().columns
+    return engine.mv_handles[name].view.result().columns
+
+
 def _parse_join_tree(masked: str):
     """``SELECT ... FROM t0 [a0] {[how] JOIN ti [ai] ON condi}+ [rest]``
     → dict(select, tables, aliases, hows, ons, rest), or None when the
@@ -1223,7 +1245,7 @@ def _handle_create_stream_join_mv(
     DELETEs — on ANY table keeps the MV exact."""
     spark = engine.spark
     tables, aliases = pj["tables"], pj["aliases"]
-    colsets = [engine.tables[t].snapshot().columns for t in tables]
+    colsets = [_chain_input_cols(engine, t) for t in tables]
     prefixes = [p for p in tables + [a for a in aliases if a] if p]
     unq_rx = re.compile(
         r"\b(?:%s)\s*\.\s*" % "|".join(re.escape(p) for p in prefixes), re.I
@@ -2410,8 +2432,8 @@ def _mv_stream_pipeline(engine: "Engine", stmt: str) -> list[str]:
     temporal = re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", masked, re.I)
     body = re.sub(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", " ", masked, flags=re.I)
     pj = _parse_join_tree(body) if not temporal else None
-    if pj and all(t in engine.tables for t in pj["tables"]):
-        colsets = [engine.tables[t].snapshot().columns for t in pj["tables"]]
+    if pj and all(_chain_input_ok(engine, t) for t in pj["tables"]):
+        colsets = [_chain_input_cols(engine, t) for t in pj["tables"]]
         flat = [c for cs in colsets for c in cs]
         if len(set(flat)) == len(flat):
             lines = out[:]
@@ -2516,14 +2538,16 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
             flags=re.I,
         )
     pj = _parse_join_tree(masked) if not temporal else None
-    if pj and all(t in engine.tables for t in pj["tables"]):
-        # EVERY join input is an engine table → true stream-stream join
-        # MV (retractable on all sides; 3+ tables become a left-deep
-        # cascade). A non-engine table anywhere falls through to the
-        # dimension-join path below. Overlapping column names across
-        # tables (splice keys would be ambiguous) also fall through —
-        # dimension semantics there, documented divergence.
-        colsets = [engine.tables[t].snapshot().columns for t in pj["tables"]]
+    if pj and all(_chain_input_ok(engine, t) for t in pj["tables"]):
+        # EVERY join input is an engine table or an agg-keyed MV → true
+        # stream-stream join MV (retractable on all sides; 3+ inputs
+        # become a left-deep cascade; MV inputs are mv-on-mv composed
+        # with the join plan — the desugared subquery/CTE form). A
+        # non-engine input anywhere falls through to the dimension-join
+        # path below. Overlapping column names across inputs (splice
+        # keys would be ambiguous) also fall through — dimension
+        # semantics there, documented divergence.
+        colsets = [_chain_input_cols(engine, t) for t in pj["tables"]]
         flat = [c for cs in colsets for c in cs]
         if len(set(flat)) == len(flat):
             return _handle_create_stream_join_mv(engine, name, m.string, pj, lits)

@@ -2593,3 +2593,67 @@ def test_create_schema_namespacing(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown schema"):
         eng2.sql("drop schema ddl_schema")
     eng2.sql("drop schema if exists ddl_schema")
+
+
+def test_create_mv_join_with_mv_input(eng):
+    """MV-as-join-input (reference mv-on-mv.md composed with the
+    multi-way join plan — the desugared form of subqueries in MV
+    bodies, e2e_test/streaming/tpch/views/q18.slt.part): a CREATE MV
+    may JOIN an agg-keyed MV; changelog updates of the upstream MV —
+    including group disappearance — retract through the join."""
+    eng.sql("CREATE TABLE mj_ord (o_id int8 PRIMARY KEY, o_pri text)")
+    eng.sql("CREATE TABLE mj_item (i_id int8 PRIMARY KEY, i_ord int8, qty float8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mj_sums AS "
+        "SELECT i_ord, sum(qty) AS sum_qty FROM mj_item GROUP BY i_ord"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mj_mv AS "
+        "SELECT o_pri, count(*) AS order_count "
+        "FROM mj_ord o JOIN mj_sums m ON o.o_id = m.i_ord "
+        "WHERE m.sum_qty > 5 GROUP BY o_pri"
+    )
+    eng.sql("INSERT INTO mj_ord VALUES (1,'HI'),(2,'LO'),(3,'HI'),(4,'LO')")
+    eng.sql(
+        "INSERT INTO mj_item VALUES (100,1,3.0),(101,1,4.0),(102,2,9.0),"
+        "(103,3,2.0),(104,4,6.0)"
+    )
+    assert _rows(eng.sql("SELECT o_pri, order_count FROM mj_mv")) == [
+        ("HI", 1), ("LO", 2),
+    ]
+    # group 1 drops under the threshold; order 4 deletes outright
+    eng.sql("DELETE FROM mj_item WHERE i_id = 101")
+    eng.sql("DELETE FROM mj_ord WHERE o_id = 4")
+    assert _rows(eng.sql("SELECT o_pri, order_count FROM mj_mv")) == [("LO", 1)]
+    # group 3 re-crosses the threshold
+    eng.sql("INSERT INTO mj_item VALUES (105,3,8.0)")
+    assert _rows(eng.sql("SELECT o_pri, order_count FROM mj_mv")) == [
+        ("HI", 1), ("LO", 1),
+    ]
+
+
+def test_create_mv_join_mv_as_first_input(eng):
+    """The chain's DRIVING side may itself be an MV: the upstream agg
+    MV's Update-pair changelog feeds the first join's left input."""
+    eng.sql("CREATE TABLE mf_ev (e_id int8 PRIMARY KEY, grp int8, v int8)")
+    eng.sql("CREATE TABLE mf_dim (d_id int8 PRIMARY KEY, label text)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mf_agg AS "
+        "SELECT grp, sum(v) AS total FROM mf_ev GROUP BY grp"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mf_mv AS "
+        "SELECT a.grp, a.total, d.label "
+        "FROM mf_agg a JOIN mf_dim d ON a.grp = d.d_id"
+    )
+    eng.sql("INSERT INTO mf_dim VALUES (1,'one'),(2,'two')")
+    eng.sql("INSERT INTO mf_ev VALUES (10,1,5),(11,1,7),(12,2,3)")
+    assert _rows(eng.sql("SELECT grp, total, label FROM mf_mv")) == [
+        (1, 12, "one"), (2, 3, "two"),
+    ]
+    eng.sql("DELETE FROM mf_ev WHERE e_id = 11")
+    assert _rows(eng.sql("SELECT grp, total, label FROM mf_mv")) == [
+        (1, 5, "one"), (2, 3, "two"),
+    ]
+    eng.sql("DELETE FROM mf_ev WHERE grp = 2")
+    assert _rows(eng.sql("SELECT grp, total, label FROM mf_mv")) == [(1, 5, "one")]
