@@ -357,6 +357,35 @@ class _MvJoinFeed:
             self._join.apply(right=b, batch_id=batch_id, batch_ns=batch_ns)
 
 
+class TopNReadMv:
+    """MV whose body ends in ``ORDER BY ... LIMIT k`` (reference TopN
+    executor, `top_n/top_n_state.rs` — state holds ALL rows; the
+    ordered bound applies on emit): the full unbounded view stays
+    maintained by the usual fold/splice loop, and reads apply the
+    ordered LIMIT (a TakeOrderedAndProject — O(k) result, never a full
+    sort at read). Everything except `result()` delegates to the inner
+    view, so DML feeds and state management are untouched."""
+
+    def __init__(self, inner, order_items: list[tuple[str, bool]], limit: int | None):
+        self._inner = inner
+        self._order = order_items  # [(spark_sql_expr, ascending)]
+        self._limit = limit
+
+    def result(self) -> DataFrame:
+        df = self._inner.result()
+        # pg null ordering defaults (ASC → NULLS LAST, DESC → NULLS
+        # FIRST), which differ from Spark's
+        cols = [
+            F.expr(e).asc_nulls_last() if asc else F.expr(e).desc_nulls_first()
+            for e, asc in self._order
+        ]
+        out = df.orderBy(*cols)
+        return out.limit(self._limit) if self._limit is not None else out
+
+    def __getattr__(self, a):
+        return getattr(self._inner, a)
+
+
 class ProjectedMaterializedView(MaterializedView):
     """MaterializedView whose VISIBLE result drops hidden carrier
     columns — e.g. `SELECT DISTINCT ON (k) v FROM t` is keyed by k but
@@ -522,6 +551,9 @@ class Engine:
         self.warehouse = warehouse
         self.tables: dict[str, Table] = {}
         self.mv_handles: dict[str, MaterializedViewHandle] = {}
+        # ORDER BY ... LIMIT tails of MV bodies, stashed by the compile
+        # core for the TopNReadMv wrap after the handler registers
+        self._pending_read_topn: dict[str, tuple] = {}
         # SQL-surface catalog objects (reference handler/create_view.rs,
         # create_source.rs, create_sink.rs): views are late-bound SQL
         # bodies re-registered after every DML; sources are connector
@@ -660,6 +692,13 @@ class Engine:
             row_id, backfill, subscribe = t.pk, t.snapshot(), t.mvs
         else:
             up = self.mv_handles[base]
+            if isinstance(up.view, TopNReadMv):
+                raise ValueError(
+                    "MV-on-MV over a TopN (ORDER BY ... LIMIT) MV is not "
+                    "supported: its changelog reflects the unbounded state, "
+                    "not the limited visible rows — stack on the unbounded "
+                    "MV and LIMIT at read instead"
+                )
             if hasattr(up.view, "funcs") and hasattr(up.view, "order_cols"):
                 raise ValueError(
                     "MV-on-MV over an over-window MV is not supported: its "
@@ -797,6 +836,11 @@ class Engine:
         if name not in self.mv_handles:
             raise ValueError(f"join input {name!r} is not a known table or MV")
         v = self.mv_handles[name].view
+        if isinstance(v, TopNReadMv):
+            raise ValueError(
+                f"MV {name!r} cannot be a join input: its changelog reflects "
+                "the unbounded state, not the ORDER BY ... LIMIT visible rows"
+            )
         if hasattr(v, "funcs") and hasattr(v, "order_cols"):
             raise ValueError(
                 f"MV {name!r} cannot be a join input: over-window MVs are "

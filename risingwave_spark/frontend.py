@@ -1163,6 +1163,202 @@ def _top_level_kw_pos(text: str) -> int | None:
     return None
 
 
+def _from_list_cols(engine: "Engine", name: str) -> list[str]:
+    """Columns of a FROM-list entry: engine table, MV, or any
+    catalog-registered view (dimension tables in tests)."""
+    try:
+        return _chain_input_cols(engine, name)
+    except KeyError:
+        pass
+    try:
+        return engine.spark.table(name).columns
+    except Exception:
+        return []
+
+
+def _split_top_level_or(text: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 2].upper() == "OR":
+            before = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            after = i + 2 >= n or not (text[i + 2].isalnum() or text[i + 2] == "_")
+            if before and after:
+                parts.append(text[start:i])
+                start = i + 2
+                i += 2
+                continue
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_outer_parens(text: str) -> str:
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(t):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(t) - 1:
+                    return t
+        t = t[1:-1].strip()
+    return t
+
+
+def _desugar_comma_from(engine: "Engine", masked: str) -> str | None:
+    """Comma FROM lists in MV bodies → the left-deep ``JOIN ... ON``
+    spelling the rest of the compile path consumes (reference binder
+    from-list binding + the planner's to-inner-join conversion — every
+    `e2e_test/streaming/tpch/views/*.slt.part` spells its joins as
+    ``FROM a, b, c WHERE a.x = b.y AND ...``).
+
+    Operates on the MASKED body; returns rewritten masked text, or None
+    when the FROM clause is not a plain comma list of named relations.
+    WHERE equi conjuncts connecting two FROM entries become the ON of
+    the later entry's join; everything else stays a residual WHERE. A
+    top-level OR whose every branch repeats the same equi conjunct
+    contributes that conjunct as the join key while the OR stays
+    residual (the reference's q19 shape)."""
+    mfrom = None
+    depth = 0
+    for m in re.finditer(r"[()]|\bFROM\b", masked, re.I):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            mfrom = m
+            break
+    if mfrom is None:
+        return None
+    head, tail = masked[: mfrom.end()], masked[mfrom.end():]
+    pos = None
+    depth = 0
+    for m in re.finditer(
+        r"[()]|\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|EMIT|LIMIT)\b", tail, re.I
+    ):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            pos = m.start()
+            break
+    from_txt, rest = (tail[:pos], tail[pos:]) if pos is not None else (tail, "")
+    entries = _split_top_level(from_txt)
+    if len(entries) < 2:
+        return None
+    names: list[str] = []
+    aliases: list[str | None] = []
+    for e in entries:
+        em = re.match(rf"^\s*(\w+)(?:\s+(?:AS\s+)?({_KW_ALIAS}\w+))?\s*$", e)
+        if not em or re.search(r"\bJOIN\b", e, re.I):
+            return None  # mixed/subquery FROM entries take other paths
+        names.append(em.group(1))
+        aliases.append(em.group(2))
+    n = len(names)
+    colsets = [set(_from_list_cols(engine, t)) for t in names]
+    ref_of: dict[str, int] = {}
+    for i, (t, a) in enumerate(zip(names, aliases)):
+        ref_of[t.lower()] = i
+        if a:
+            ref_of[a.lower()] = i
+
+    def resolve(side: str) -> int | None:
+        qm = re.match(r"^(\w+)\.(\w+)$", side)
+        if qm:
+            i = ref_of.get(qm.group(1).lower())
+            if i is not None and qm.group(2) in colsets[i]:
+                return i
+            return None
+        hits = [i for i in range(n) if side in colsets[i]]
+        return hits[0] if len(hits) == 1 else None
+
+    def classify(conj: str):
+        cm = re.match(
+            r"^\s*\(?\s*(\w+(?:\.\w+)?)\s*=\s*(\w+(?:\.\w+)?)\s*\)?\s*$", conj
+        )
+        if not cm:
+            return None
+        i, j = resolve(cm.group(1)), resolve(cm.group(2))
+        if i is None or j is None or i == j:
+            return None
+        return (min(i, j), max(i, j))
+
+    join_on: list[list[str]] = [[] for _ in range(n)]
+    residual: list[str] = []
+    wm = re.match(r"^\s*WHERE\s+", rest, re.I)
+    after_where = rest
+    if wm:
+        wpos = None
+        depth = 0
+        body = rest[wm.end():]
+        for m in re.finditer(
+            r"[()]|\b(?:GROUP\s+BY|HAVING|ORDER\s+BY|EMIT|LIMIT)\b", body, re.I
+        ):
+            if m.group(0) == "(":
+                depth += 1
+            elif m.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                wpos = m.start()
+                break
+        wtxt, after_where = (
+            (body[:wpos], " " + body[wpos:]) if wpos is not None else (body, "")
+        )
+        for conj in _split_top_level_and(wtxt):
+            pair = classify(conj)
+            if pair is not None:
+                join_on[pair[1]].append(conj.strip())
+                continue
+            branches = _split_top_level_or(conj)
+            if len(branches) > 1:
+                # factor equi conjuncts common to EVERY OR branch (q19)
+                per_branch = [
+                    {
+                        _norm(c): c
+                        for c in _split_top_level_and(_strip_outer_parens(b))
+                        if classify(c) is not None
+                    }
+                    for b in branches
+                ]
+                common = set(per_branch[0])
+                for pb in per_branch[1:]:
+                    common &= set(pb)
+                for key in sorted(common):
+                    c = per_branch[0][key]
+                    join_on[classify(c)[1]].append(c.strip())
+            residual.append(conj.strip())
+    for k in range(1, n):
+        if not join_on[k]:
+            raise ValueError(
+                f"comma join: FROM entry {names[k]!r} has no equi predicate "
+                "connecting it to an earlier entry — cross joins in MV "
+                "bodies are not supported"
+            )
+    out = head + " " + names[0] + (f" {aliases[0]}" if aliases[0] else "")
+    for k in range(1, n):
+        out += (
+            f" JOIN {names[k]}"
+            + (f" {aliases[k]}" if aliases[k] else "")
+            + " ON "
+            + " AND ".join(join_on[k])
+        )
+    if residual:
+        out += " WHERE " + " AND ".join(
+            c if _split_top_level_or(c)[1:] == [] else f"({c})" for c in residual
+        )
+    return out + after_where
+
+
 def _chain_input_ok(engine: "Engine", name: str) -> bool:
     """True when `name` can feed a retractable stream-join chain: an
     engine table, or an MV with group keys (its pk) whose changelog can
@@ -1171,7 +1367,11 @@ def _chain_input_ok(engine: "Engine", name: str) -> bool:
         return True
     if name not in engine.mv_handles:
         return False
+    from risingwave_spark.api import TopNReadMv
+
     v = engine.mv_handles[name].view
+    if isinstance(v, TopNReadMv):
+        return False  # changelog reflects the unbounded state, not top-k
     if hasattr(v, "funcs") and hasattr(v, "order_cols"):
         return False  # over-window MVs are row-grain
     if getattr(v, "_hidden", None):
@@ -2429,6 +2629,12 @@ def _mv_stream_pipeline(engine: "Engine", stmt: str) -> list[str]:
             "└─ DistinctOn { first-row-per-key, retractable }",
             "   └─ StreamTableScan",
         ]
+    try:
+        cj = _desugar_comma_from(engine, masked)
+    except ValueError:
+        cj = None
+    if cj is not None:
+        masked = cj
     temporal = re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", masked, re.I)
     body = re.sub(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)", " ", masked, flags=re.I)
     pj = _parse_join_tree(body) if not temporal else None
@@ -2471,7 +2677,53 @@ def _mv_stream_pipeline(engine: "Engine", stmt: str) -> list[str]:
     return out + mid + [f"{pad}└─ StreamTableScan"]
 
 
+def _extract_trailing_order_limit(masked: str, lits: list[str]):
+    """Top-level trailing ``ORDER BY ... [LIMIT k]`` of an MV body →
+    (stripped_masked, [(spark_sql_expr, ascending)], limit|None), or
+    None. The reference's TopN MV plan (`logical_top_n.rs`) — the body
+    minus the tail is maintained unbounded; the ordered bound applies
+    at read (TopNReadMv)."""
+    pos = None
+    depth = 0
+    for mm in re.finditer(r"[()]|\bORDER\s+BY\b", masked, re.I):
+        if mm.group(0) == "(":
+            depth += 1
+        elif mm.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            pos = mm
+            break
+    if pos is None:
+        return None
+    tail = masked[pos.end():]
+    lm = re.search(r"\bLIMIT\s+(\d+)\s*$", tail, re.I)
+    limit = int(lm.group(1)) if lm else None
+    order_txt = tail[: lm.start()] if lm else tail
+    items: list[tuple[str, bool]] = []
+    for it in _split_top_level(order_txt):
+        im = re.match(
+            r"^(?P<e>.*?)(?:\s+(?P<dir>ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+            it.strip(),
+            re.I | re.S,
+        )
+        expr = pg_to_spark_sql(_unmask(im.group("e").strip(), lits))
+        items.append((expr, (im.group("dir") or "ASC").upper() == "ASC"))
+    return masked[: pos.start()].rstrip(), items, limit
+
+
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
+    out = _handle_create_mv_core(engine, m)
+    ol = engine._pending_read_topn.pop(m.group(1), None)
+    if ol is not None:
+        from risingwave_spark.api import TopNReadMv
+
+        h = engine.mv_handles[m.group(1)]
+        h.view = TopNReadMv(h.view, ol[0], ol[1])
+        h._register()
+    return out
+
+
+def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
     name, select = m.group(1), m.group(2).strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
     if em:
@@ -2489,6 +2741,17 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
         # rank-filtered subquery-FROM → GroupTopN (before the generic
         # over-window route: this shape's OVER lives in the subquery)
         return _handle_create_topn_mv(engine, name, m.string, tn, lits)
+    if not re.match(r"^\s*SELECT\s+DISTINCT\s+ON\b", masked, re.I | re.S):
+        # trailing ORDER BY [LIMIT k] (reference tpch views q2/q3/q10/
+        # q21): the body is maintained unbounded; LIMIT becomes a
+        # read-time TakeOrderedAndProject (TopNReadMv). A bare ORDER BY
+        # is stripped — MV row order is not part of the result-set
+        # contract.
+        ol = _extract_trailing_order_limit(masked, lits)
+        if ol is not None:
+            masked = ol[0]
+            if ol[2] is not None:
+                engine._pending_read_topn[name] = (ol[1], ol[2])
     if re.search(r"\bOVER\s*\(", masked, re.I):
         # window functions in the body → frame-delta over-window MV
         return _handle_create_over_window_mv(engine, name, m.string, masked, lits)
@@ -2519,6 +2782,9 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
             f"{dm2.group(1)} {dm2.group('items')} {dm2.group('rest')}"
             f" GROUP BY {dm2.group('items')}"
         )
+    cj = _desugar_comma_from(engine, masked)
+    if cj is not None:
+        masked = cj
     # Temporal join (reference `stream_temporal_join.rs`, syntax
     # `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
     # joins the dimension's CURRENT version at its processing time —

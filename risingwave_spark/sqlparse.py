@@ -361,10 +361,22 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
         if t is None:
             break
         if t.kind == "op" and t.val == ",":
-            raise SqlParseError(
-                "comma (cross) joins in a materialized-view body are not "
-                "supported; spell the join with JOIN ... ON"
-            )
+            # comma FROM list (reference from-list binding — every
+            # e2e_test/streaming/tpch view spells its joins this way):
+            # the frontend desugars WHERE equi conjuncts into a
+            # left-deep JOIN ... ON chain
+            p.eat()
+            p.ident("table name")
+            if p.at("AS"):
+                p.eat()
+                p.ident("table alias")
+            elif (
+                p.peek() is not None
+                and p.peek().kind in ("ident", "qid")
+                and not p.at(*_CLAUSE_STOPPERS)
+            ):
+                p.eat()
+            continue
         if p.at("CROSS"):
             raise SqlParseError(
                 "CROSS JOIN in a materialized-view body is not supported"
@@ -430,7 +442,9 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
         if p.at("HAVING"):
             p.eat()
             _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+    saw_order = False
     if p.at("ORDER"):
+        saw_order = True
         p.eat()
         p.eat_kw("BY")
         while True:
@@ -439,11 +453,26 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
                 p.eat()
             if not p.try_op(","):
                 break
-    if p.at("LIMIT", "OFFSET", "FETCH"):
+    if p.at("LIMIT"):
+        # ORDER BY ... LIMIT k → TopN MV (reference logical_top_n.rs;
+        # tpch views q2/q3/q10/q21): unbounded maintenance + ordered
+        # bound at read. A LIMIT without ORDER BY has no deterministic
+        # top-k to maintain — loud rejection.
+        if not saw_order:
+            raise SqlParseError(
+                "LIMIT in a materialized-view body requires an ORDER BY "
+                "(the TopN MV shape); an unordered LIMIT has no "
+                "deterministic row set to maintain"
+            )
+        p.eat()
+        t = p.peek()
+        if t is None or t.kind != "num":
+            p.fail("expected a row count after LIMIT")
+        p.eat()
+    if p.at("OFFSET", "FETCH"):
         raise SqlParseError(
-            "LIMIT/OFFSET in a materialized-view body is not supported — a "
-            "global top-N cannot be maintained by per-group recompute; "
-            "keep the MV unbounded and LIMIT at read time"
+            "OFFSET/FETCH in a materialized-view body is not supported; "
+            "keep the MV unbounded and page at read time"
         )
     if p.at("UNION", "INTERSECT", "EXCEPT"):
         # UNION [ALL] chains are handled by the caller (_parse_create's

@@ -675,11 +675,14 @@ def test_parser_rejects_unsupported_shapes_loudly(eng):
             "CREATE MATERIALIZED VIEW bad AS "
             "SELECT k, row_number() OVER (ORDER BY v) AS rn FROM pt"
         )
-    # global LIMIT cannot be incrementally maintained
+    # LIMIT without ORDER BY has no deterministic top-k to maintain
+    # (ORDER BY ... LIMIT compiles to the TopN read path)
     with pytest.raises(SqlParseError, match="LIMIT"):
         eng.sql("CREATE MATERIALIZED VIEW bad AS SELECT k, v FROM pt LIMIT 5")
-    # comma (cross) join
-    with pytest.raises(SqlParseError, match="comma"):
+    # comma FROM list with NO connecting equi predicate = a true cross
+    # join — rejected at desugar (comma joins WITH equi predicates in
+    # WHERE compile onto the join chain, see test_create_mv_comma_join)
+    with pytest.raises(ValueError, match="cross join"):
         eng.sql("CREATE MATERIALIZED VIEW bad AS SELECT k FROM pt, pt2")
     # engine-owned statement kinds never silently reach Catalyst
     with pytest.raises(SqlParseError, match="CREATE INDEX"):
@@ -2657,3 +2660,50 @@ def test_create_mv_join_mv_as_first_input(eng):
     ]
     eng.sql("DELETE FROM mf_ev WHERE grp = 2")
     assert _rows(eng.sql("SELECT grp, total, label FROM mf_mv")) == [(1, 5, "one")]
+
+
+def test_create_mv_comma_join(eng):
+    """Comma FROM lists (reference e2e_test/streaming/tpch/views — every
+    multi-table view is spelled ``FROM a, b, c WHERE equi...``):
+    desugared onto the retractable join chain; filters stay residual;
+    deletes on any table retract."""
+    eng.sql("CREATE TABLE cj_c (c_ck int8 PRIMARY KEY, c_seg text)")
+    eng.sql("CREATE TABLE cj_o (o_ok int8 PRIMARY KEY, o_ck int8)")
+    eng.sql("CREATE TABLE cj_l (l_id int8 PRIMARY KEY, l_ok int8, l_price float8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW cj_mv AS "
+        "SELECT o_ok, sum(l_price) AS revenue FROM cj_c, cj_o, cj_l "
+        "WHERE c_seg = 'A' AND c_ck = o_ck AND l_ok = o_ok GROUP BY o_ok"
+    )
+    eng.sql("INSERT INTO cj_c VALUES (1,'A'),(2,'B'),(3,'A')")
+    eng.sql("INSERT INTO cj_o VALUES (10,1),(11,2),(12,3)")
+    eng.sql("INSERT INTO cj_l VALUES (100,10,5.0),(101,10,6.0),(102,11,7.0),(103,12,8.0)")
+    assert _rows(eng.sql("SELECT o_ok, revenue FROM cj_mv")) == [(10, 11.0), (12, 8.0)]
+    eng.sql("DELETE FROM cj_l WHERE l_id = 101")
+    eng.sql("DELETE FROM cj_c WHERE c_ck = 3")
+    assert _rows(eng.sql("SELECT o_ok, revenue FROM cj_mv")) == [(10, 5.0)]
+
+
+def test_create_mv_order_by_limit_topn_read(eng):
+    """``ORDER BY ... LIMIT k`` MV tail (reference TopN executor,
+    tpch views q3/q10): unbounded maintenance + ordered bound at read;
+    deletes re-elect the next rows into the top-k."""
+    eng.sql("CREATE TABLE tl_t (k int8 PRIMARY KEY, grp text, v float8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW tl_mv AS "
+        "SELECT grp, sum(v) AS total FROM tl_t GROUP BY grp "
+        "ORDER BY total DESC, grp LIMIT 2"
+    )
+    eng.sql(
+        "INSERT INTO tl_t VALUES (1,'a',5.0),(2,'a',6.0),(3,'b',9.0),"
+        "(4,'c',4.0),(5,'d',1.0)"
+    )
+    out = [tuple(r) for r in eng.sql("SELECT grp, total FROM tl_mv").collect()]
+    assert out == [("a", 11.0), ("b", 9.0)]
+    eng.sql("DELETE FROM tl_t WHERE k = 2")
+    out = [tuple(r) for r in eng.sql("SELECT grp, total FROM tl_mv").collect()]
+    assert out == [("b", 9.0), ("a", 5.0)]
+    # the unbounded state keeps maintaining below the k horizon
+    eng.sql("DELETE FROM tl_t WHERE k = 3")
+    out = [tuple(r) for r in eng.sql("SELECT grp, total FROM tl_mv").collect()]
+    assert out == [("a", 5.0), ("c", 4.0)]
