@@ -295,15 +295,21 @@ class _JoinChainFeed:
 
 class _ChainSideHandle:
     """Per-table subscription of a StreamJoinChainMv: table 0 feeds the
-    first join's left input, table i>=1 feeds join i-1's right input."""
+    first join's left input, table i>=1 feeds join i-1's right input.
+    `pre` is a pushed-down single-side filter (reference predicate
+    pushdown below the join): batches are filtered BEFORE folding, so
+    the join state never stores rows the predicate excludes."""
 
-    def __init__(self, name: str, join, side: str):
+    def __init__(self, name: str, join, side: str, pre: str | None = None):
         self.name = name
         self._join = join
         self._side = side
+        self._pre = pre
         self.view = self  # duck-type MaterializedViewHandle for _apply_dml
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        if self._pre:
+            batch = batch.filter(F.expr(self._pre))
         if self._side == "left":
             self._join.apply(left=batch, batch_id=batch_id, batch_ns=batch_ns)
         else:
@@ -318,13 +324,16 @@ class _JoinSideHandle:
     (the join MV appears in BOTH tables' `mvs` lists; DML on either side
     routes into the matching input of RetractableStreamJoin.apply)."""
 
-    def __init__(self, name: str, jmv: StreamJoinMv, side: str):
+    def __init__(self, name: str, jmv: StreamJoinMv, side: str, pre: str | None = None):
         self.name = name
         self._jmv = jmv
         self._side = side
+        self._pre = pre
         self.view = self  # duck-type MaterializedViewHandle for _apply_dml
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        if self._pre:
+            batch = batch.filter(F.expr(self._pre))
         if self._side == "left":
             self._jmv.apply_left(batch, batch_id=batch_id, batch_ns=batch_ns)
         else:
@@ -344,13 +353,16 @@ class _MvJoinFeed:
     per-batch Update-pair changelog (−1 old / +1 recomputed) folds into
     the join side's state exactly like table DML does."""
 
-    def __init__(self, join, side: str):
+    def __init__(self, join, side: str, pre: str | None = None):
         self._join = join
         self._side = side
+        self._pre = pre
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
         drop = [c for c in batch.columns if c.startswith("__jk")]
         b = batch.drop(*drop) if drop else batch
+        if self._pre:
+            b = b.filter(F.expr(self._pre))
         if self._side == "left":
             self._join.apply(left=b, batch_id=batch_id, batch_ns=batch_ns)
         else:
@@ -875,6 +887,8 @@ class Engine:
         recompute=None,
         project=None,
         key_of=None,
+        left_pre: str | None = None,
+        right_pre: str | None = None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over a stream-stream join of two
         inputs — engine TABLES or agg-keyed MVs (reference
@@ -902,6 +916,10 @@ class Engine:
             project=project,
             key_of=key_of,
         )
+        if left_pre:
+            snap_l = snap_l.filter(F.expr(left_pre))
+        if right_pre:
+            snap_r = snap_r.filter(F.expr(right_pre))
         if not jmv.join.mv.exists():
             # Backfill: both snapshots fold in ONE apply (each side's
             # state must exist before the first affected-key recompute
@@ -912,11 +930,13 @@ class Engine:
             )
         h = MaterializedViewHandle(name, jmv)
         h._register()
-        for side, (kind, src) in (("left", src_l), ("right", src_r)):
+        for side, (kind, src), pre in (
+            ("left", src_l, left_pre), ("right", src_r, right_pre)
+        ):
             if kind == "table":
-                src.mvs.append(_JoinSideHandle(name, jmv, side))
+                src.mvs.append(_JoinSideHandle(name, jmv, side, pre=pre))
             else:
-                src.downstream.append(_MvJoinFeed(jmv.join, side))
+                src.downstream.append(_MvJoinFeed(jmv.join, side, pre=pre))
         self.mv_handles[name] = h
         return h
 
@@ -952,12 +972,18 @@ class Engine:
         # Backfill LEVEL BY LEVEL (each level's snapshot feeds the next)
         # BEFORE hooking the cascade — the hooks would double-feed the
         # backfill chunks. A re-opened chain re-attaches instead.
+        pre_of = [steps[0].get("pre_l")] + [s.get("pre_r") for s in steps]
         for i, j in enumerate(chain.joins):
             if not j.mv.exists():
                 left = resolved[0][1] if i == 0 else chain.joins[i - 1].result()
+                if i == 0 and pre_of[0]:
+                    left = left.filter(F.expr(pre_of[0]))
+                right = resolved[i + 1][1]
+                if pre_of[i + 1]:
+                    right = right.filter(F.expr(pre_of[i + 1]))
                 j.apply(
                     left=with_ops(left, 1),
-                    right=with_ops(resolved[i + 1][1], 1),
+                    right=with_ops(right, 1),
                 )
         if chain.agg is not None and not chain.agg.mv.exists():
             chain.agg.apply_batch(with_ops(chain.joins[-1].result(), 1))
@@ -970,9 +996,9 @@ class Engine:
         for i, (_, _, (kind, src)) in enumerate(resolved):
             join, side = (chain.joins[0], "left") if i == 0 else (chain.joins[i - 1], "right")
             if kind == "table":
-                src.mvs.append(_ChainSideHandle(name, join, side))
+                src.mvs.append(_ChainSideHandle(name, join, side, pre=pre_of[i]))
             else:
-                src.downstream.append(_MvJoinFeed(join, side))
+                src.downstream.append(_MvJoinFeed(join, side, pre=pre_of[i]))
         self.mv_handles[name] = h
         return h
 

@@ -1127,8 +1127,11 @@ def _norm(expr: str) -> str:
 
 
 def _split_top_level_and(text: str) -> list[str]:
-    """Split on AND at paren depth 0 (caller has masked strings)."""
+    """Split on AND at paren depth 0 (caller has masked strings). The
+    AND that closes a depth-0 ``BETWEEN x AND y`` is part of that
+    predicate, not a conjunction boundary."""
     parts, depth, start = [], 0, 0
+    between = 0  # open BETWEENs awaiting their AND at this depth
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -1136,10 +1139,21 @@ def _split_top_level_and(text: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
+        elif depth == 0 and text[i : i + 7].upper() == "BETWEEN":
+            before = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            after = i + 7 >= n or not (text[i + 7].isalnum() or text[i + 7] == "_")
+            if before and after:
+                between += 1
+                i += 7
+                continue
         elif depth == 0 and text[i : i + 3].upper() == "AND":
             before = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
             after = i + 3 >= n or not (text[i + 3].isalnum() or text[i + 3] == "_")
             if before and after:
+                if between:
+                    between -= 1
+                    i += 3
+                    continue
                 parts.append(text[start:i])
                 start = i + 3
                 i += 3
@@ -1293,6 +1307,25 @@ def _desugar_comma_from(engine: "Engine", masked: str) -> str | None:
             return None
         return (min(i, j), max(i, j))
 
+    def single_table_of(conj: str) -> int | None:
+        """Index of the ONE table all column references of `conj`
+        resolve to, or None (multi-table / no resolvable column). Used
+        to push single-table filters into that input's join level —
+        the reference's predicate-pushdown-below-join rule; here the
+        filter lands in the ON so the chain handler turns it into a
+        state pre-filter (the input's state never stores filtered-out
+        rows)."""
+        tabs: set[int] = set()
+        any_col = False
+        for tok in re.finditer(r"\b\w+(?:\.\w+)?\b", conj):
+            i = resolve(tok.group(0))
+            if i is not None:
+                any_col = True
+                tabs.add(i)
+            elif "." in tok.group(0):
+                return None  # unresolvable qualified reference
+        return tabs.pop() if any_col and len(tabs) == 1 else None
+
     join_on: list[list[str]] = [[] for _ in range(n)]
     residual: list[str] = []
     wm = re.match(r"^\s*WHERE\s+", rest, re.I)
@@ -1318,6 +1351,13 @@ def _desugar_comma_from(engine: "Engine", masked: str) -> str | None:
             pair = classify(conj)
             if pair is not None:
                 join_on[pair[1]].append(conj.strip())
+                continue
+            st = single_table_of(conj)
+            if st is not None and not re.search(r"\bSELECT\b", conj, re.I):
+                # single-table filter → that table's join level (table
+                # 0's filters ride on step 0 as left-only conjuncts);
+                # the chain handler pushes these into the input's state
+                join_on[max(st, 1)].append(conj.strip())
                 continue
             branches = _split_top_level_or(conj)
             if len(branches) > 1:
@@ -1389,10 +1429,24 @@ def _parse_join_tree(masked: str):
     """``SELECT ... FROM t0 [a0] {[how] JOIN ti [ai] ON condi}+ [rest]``
     → dict(select, tables, aliases, hows, ons, rest), or None when the
     FROM clause is not a plain left-deep join chain of named tables."""
-    m = re.match(r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<tail>.*)$", masked, re.I | re.S)
-    if not m:
+    if not re.match(r"^\s*SELECT\b", masked, re.I):
         return None
-    tail = m.group("tail")
+    # first DEPTH-0 FROM — a FROM inside parens (e.g. extract(year FROM
+    # ts)) must not terminate the select list
+    mfrom = None
+    depth = 0
+    for mm in re.finditer(r"[()]|\bFROM\b", masked, re.I):
+        if mm.group(0) == "(":
+            depth += 1
+        elif mm.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            mfrom = mm
+            break
+    if mfrom is None:
+        return None
+    sel_txt = re.sub(r"^\s*SELECT\s+", "", masked[: mfrom.start()], flags=re.I).strip()
+    tail = masked[mfrom.end():].lstrip()
     pos = _top_level_kw_pos(tail)
     join_txt, rest = (tail[:pos], tail[pos:]) if pos is not None else (tail, "")
     if re.search(r"\bCROSS\s+JOIN\b|,", join_txt, re.I):
@@ -1423,7 +1477,7 @@ def _parse_join_tree(masked: str):
         hows.append({"INNER": "inner", "LEFT": "left", "RIGHT": "right", "FULL": "full"}[howtxt])
         ons.append(ms.group(3))
     return {
-        "select": m.group("select"),
+        "select": sel_txt,
         "tables": tables,
         "aliases": aliases,
         "hows": hows,
@@ -1454,21 +1508,32 @@ def _handle_create_stream_join_mv(
     def unq(text: str) -> str:
         return unq_rx.sub("", text)
 
-    # per step: ON's top-level AND conjuncts → equi keys vs residual.
-    # The equi left side may come from ANY earlier table (left-deep
-    # accumulated columns), the right side from the newly joined table.
+    # per step: ON's top-level AND conjuncts → equi keys vs single-side
+    # pre-filters vs residual. The equi left side may come from ANY
+    # earlier table (left-deep accumulated columns), the right side
+    # from the newly joined table. Conjuncts referencing ONLY the new
+    # table's columns push below the join into that input's state
+    # (reference predicate-pushdown rule — the state never stores
+    # filtered-out rows; identical ON semantics for every join type);
+    # step 0 does the same for conjuncts on only the first table.
     steps: list[dict] = []
     acc_cols = list(colsets[0])
     for i, on_txt in enumerate(pj["ons"]):
         new_cols = colsets[i + 1]
+        allcols = set(acc_cols) | set(new_cols)
         left_on: list[str] = []
         right_on: list[str] = []
         residual: list[str] = []
+        pre_l: list[str] = []
+        pre_r: list[str] = []
         for conj in _split_top_level_and(on_txt):
             # unqualify on the MASKED text, THEN restore literals: a
             # restored literal containing '<alias>.' must never be
-            # rewritten (ADVICE r4 #2)
-            conj = _unmask(unq(conj), lits)
+            # rewritten (ADVICE r4 #2); column references are likewise
+            # detected pre-unmask so literal contents never count
+            conj_m = unq(conj)
+            refs = {t for t in re.findall(r"\b\w+\b", conj_m) if t in allcols}
+            conj = _unmask(conj_m, lits)
             cm = re.match(r"^\s*\(?\s*(\w+)\s*=\s*(\w+)\s*\)?\s*$", conj)
             if cm:
                 a, b = cm.group(1), cm.group(2)
@@ -1480,6 +1545,18 @@ def _handle_create_stream_join_mv(
                     left_on.append(b)
                     right_on.append(a)
                     continue
+            how = pj["hows"][i]
+            # a pre-filter may only drop rows from a side the join does
+            # NOT preserve — a preserved side's failing rows must still
+            # null-pad, so they stay in state with the conjunct residual
+            if refs and refs <= set(new_cols) and how in (
+                "inner", "left", "left_semi", "left_anti"
+            ):
+                pre_r.append(f"({pg_to_spark_sql(conj.strip())})")
+                continue
+            if i == 0 and refs and refs <= set(colsets[0]) and how in ("inner", "right"):
+                pre_l.append(f"({pg_to_spark_sql(conj.strip())})")
+                continue
             residual.append(f"({pg_to_spark_sql(conj.strip())})")
         if not left_on:
             raise ValueError(
@@ -1492,6 +1569,8 @@ def _handle_create_stream_join_mv(
                 "right_on": right_on,
                 "how": pj["hows"][i],
                 "cond": " AND ".join(residual) if residual else None,
+                "pre_l": " AND ".join(pre_l) if pre_l else None,
+                "pre_r": " AND ".join(pre_r) if pre_r else None,
             }
         )
         acc_cols = acc_cols + new_cols
@@ -1556,7 +1635,11 @@ def _handle_create_stream_join_mv(
         missing = [k for k in keys if k not in out_names and "*" not in out_names]
         if missing:
             raise ValueError(f"GROUP BY keys {missing} must be selected for MV splice")
-        gb_sql = " GROUP BY " + ", ".join(keys)
+        # group by the DERIVED EXPRESSIONS, not their aliases — the
+        # key_of annotation adds key-named columns to the recompute
+        # input, and a bare alias in GROUP BY would resolve to that
+        # column while the select list still names the raw expression
+        gb_sql = " GROUP BY " + ", ".join(derived.get(k, k) for k in keys)
         having = gbm.group("having") or ""
         if having:
             gb_sql += " " + pg_to_spark_sql(_unmask(unq(having), lits).strip())
@@ -1580,6 +1663,7 @@ def _handle_create_stream_join_mv(
                 steps[0]["left_on"], steps[0]["right_on"],
                 how=steps[0]["how"], cond=steps[0]["cond"],
                 keys=keys, recompute=recompute, key_of=key_of,
+                left_pre=steps[0]["pre_l"], right_pre=steps[0]["pre_r"],
             )
         else:
             engine.create_stream_join_chain_mv(
@@ -1600,6 +1684,7 @@ def _handle_create_stream_join_mv(
                 name, tables[0], tables[1],
                 steps[0]["left_on"], steps[0]["right_on"],
                 how=steps[0]["how"], cond=steps[0]["cond"], project=project,
+                left_pre=steps[0]["pre_l"], right_pre=steps[0]["pre_r"],
             )
         else:
             engine.create_stream_join_chain_mv(
