@@ -243,7 +243,10 @@ class StreamJoinChainMv:
                 cond=s.get("cond"),
             )
             self.joins.append(j)
-            ids_acc = ids_acc + ids_r
+            # semi/anti join output carries only the left side's rows —
+            # the right pk never becomes part of the row identity
+            if s.get("how", "inner") not in ("left_semi", "left_anti"):
+                ids_acc = ids_acc + ids_r
         self.agg: MaterializedView | None = None
         if keys is not None and recompute is not None:
             self.agg = MaterializedView(
@@ -566,6 +569,12 @@ class Engine:
         # ORDER BY ... LIMIT tails of MV bodies, stashed by the compile
         # core for the TopNReadMv wrap after the handler registers
         self._pending_read_topn: dict[str, tuple] = {}
+        # uncorrelated-scalar-subquery dependencies (reference
+        # DynamicFilter, `dynamic_filter.rs:39`): [{mv, sql, last}] —
+        # after every DML cascade the scalar re-evaluates against the
+        # live views, and a moved value re-splices the MV's groups (the
+        # RHS moving re-evaluates rows in the reference too)
+        self._scalar_deps: list[dict] = []
         # SQL-surface catalog objects (reference handler/create_view.rs,
         # create_source.rs, create_sink.rs): views are late-bound SQL
         # bodies re-registered after every DML; sources are connector
@@ -1213,6 +1222,39 @@ class Engine:
         with self._ddl_lock:
             return self._apply_dml_locked(table, batch)
 
+    def _register_scalar_dep(self, mv: str, scalar_sql: str) -> None:
+        self._scalar_deps.append({"mv": mv, "sql": scalar_sql})
+
+    def _check_scalar_deps(self) -> None:
+        """Re-splice MVs whose uncorrelated scalar subquery moved (the
+        DynamicFilter recompute path). The re-splice recomputes every
+        group from state — O(state), the honest cost of an RHS shift
+        that can flip ANY row's predicate; unmoved scalars cost one
+        tiny aggregate job."""
+        _MISS = object()
+        for dep in self._scalar_deps:
+            h = self.mv_handles.get(dep["mv"])
+            if h is None:
+                continue
+            try:
+                row = self.spark.sql(dep["sql"]).first()
+            except Exception:
+                continue
+            val = tuple(row) if row is not None else None
+            if val == dep.get("last", _MISS):
+                continue
+            dep["last"] = val
+            v = h.view
+            agg = getattr(v, "agg", None)
+            if agg is None and hasattr(v, "retouch"):
+                agg = v
+            if agg is None:
+                continue  # row-grain join MV: scalar evaluates at read
+            annotate = agg.key_of or (lambda d: d)
+            aff = annotate(agg.state.read()).select(*agg.keys).distinct()
+            agg.retouch(aff)
+            h._register()
+
     def _apply_dml_locked(self, table: str, batch: DataFrame) -> None:
         t = self.tables[table]
         cols = [c for c in batch.columns if c != OP_COL]
@@ -1227,6 +1269,7 @@ class Engine:
         # propagation may have advanced downstream MVs too — refresh all
         for h in self.mv_handles.values():
             h._register()
+        self._check_scalar_deps()
         # late-bound views re-resolve against the new snapshots; sinks
         # drain whatever changelog chunks this batch produced
         self._register_views()

@@ -1399,6 +1399,293 @@ def _desugar_comma_from(engine: "Engine", masked: str) -> str | None:
     return out + after_where
 
 
+def _depth0_clause_positions(txt: str) -> list[tuple[str, int, int]]:
+    """[(KEYWORD, start, end)] of depth-0 clause keywords in order."""
+    out, depth = [], 0
+    for m in re.finditer(
+        r"[()]|\b(?:FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|EMIT|LIMIT)\b",
+        txt,
+        re.I,
+    ):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append((" ".join(tok.upper().split()), m.start(), m.end()))
+    return out
+
+
+def _split_query_parts(txt: str) -> dict | None:
+    """Split a (masked) SELECT body on depth-0 clause keywords →
+    {"select", "from", "where", "group", "having", "tail"} (tail =
+    ORDER BY/EMIT/LIMIT onward, verbatim)."""
+    if not re.match(r"^\s*SELECT\b", txt, re.I):
+        return None
+    marks = _depth0_clause_positions(txt)
+    if not marks or marks[0][0] != "FROM":
+        return None
+    out = {"select": re.sub(r"^\s*SELECT\s+", "", txt[: marks[0][1]], flags=re.I).strip()}
+    marks.append(("$", len(txt), len(txt)))
+    tail_start = None
+    for k, (kw, s, e) in enumerate(marks[:-1]):
+        nxt = marks[k + 1][1]
+        seg = txt[e:nxt].strip()
+        if kw == "FROM":
+            out["from"] = seg
+        elif kw == "WHERE":
+            out["where"] = seg
+        elif kw == "GROUP BY":
+            out["group"] = seg
+        elif kw == "HAVING":
+            out["having"] = seg
+        else:
+            tail_start = s
+            break
+    out["tail"] = txt[tail_start:] if tail_start is not None else ""
+    return out
+
+
+_SQ_EXISTS = re.compile(r"^\s*(?P<neg>NOT\s+)?EXISTS\s*\(\s*(?P<sub>SELECT\b.*)\)\s*$", re.I | re.S)
+_SQ_IN = re.compile(r"^\s*(?P<lhs>[\w.]+)\s+(?P<neg>NOT\s+)?IN\s*\(\s*(?P<sub>SELECT\b.*)\)\s*$", re.I | re.S)
+_SQ_SCALAR = re.compile(
+    r"^\s*(?P<lhs>.*?)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*\(\s*(?P<sub>SELECT\b.*)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _rewrite_mv_subqueries(engine: "Engine", name: str, masked: str, lits: list[str]) -> str:
+    """WHERE-clause subqueries in MV bodies → join-chain steps — the
+    reference's subquery unnesting (`apply_to_join_rule.rs:22`,
+    `translate_apply_rule.rs`; every subquery-bearing
+    `e2e_test/streaming/tpch/views/*.slt.part` plans this way):
+
+    - ``[NOT] EXISTS (SELECT ...)`` / ``col [NOT] IN (SELECT ...)`` →
+      a deduplicating helper agg MV (one row per needed key tuple) fed
+      into the chain as a LEFT SEMI / LEFT ANTI step; correlated
+      non-equi conjuncts become the step's residual condition.
+    - correlated ``expr <op> (SELECT agg(...) ...)`` → helper agg MV
+      grouped by the correlation keys, INNER-joined, with the
+      comparison left as a residual filter — the reference's
+      DynamicFilter family realized as an equi join.
+    - uncorrelated scalar comparisons stay IN the recompute body (the
+      subquery reads the live table/MV temp views) and the engine
+      registers a scalar dependency: when the scalar's value moves, the
+      MV's groups are re-spliced (reference `dynamic_filter.rs:39` —
+      the RHS moving re-evaluates rows).
+
+    Operates on the MASKED text after comma-join desugaring; helper MV
+    DDL is unmasked before recursive `Engine.sql`. Returns rewritten
+    masked text (unchanged when no subquery conjunct is present)."""
+    parts = _split_query_parts(masked)
+    if parts is None or not parts.get("where"):
+        return masked
+    if "\x00" in name:
+        return masked
+    # outer FROM relations (plain table/MV or the already-desugared
+    # join chain) → name/alias → columns
+    pj = _parse_join_tree(masked)
+    if pj is not None:
+        outer_names = list(pj["tables"])
+        outer_aliases = list(pj["aliases"])
+    else:
+        fm = re.match(rf"^\s*(\w+)(?:\s+(?:AS\s+)?({_KW_ALIAS}\w+))?\s*$", parts["from"])
+        if fm is None:
+            return masked
+        outer_names, outer_aliases = [fm.group(1)], [fm.group(2)]
+    outer_ref: dict[str, set] = {}
+    outer_cols: set = set()
+    for t, a in zip(outer_names, outer_aliases):
+        cs = set(_from_list_cols(engine, t))
+        outer_cols |= cs
+        outer_ref[t.lower()] = cs
+        if a:
+            outer_ref[a.lower()] = cs
+
+    new_joins: list[str] = []
+    new_where: list[str] = []
+    changed = False
+    sq_idx = 0
+    for conj in _split_top_level_and(parts["where"]):
+        if not re.search(r"\bSELECT\b", conj, re.I):
+            new_where.append(conj)
+            continue
+        m = _SQ_EXISTS.match(conj) or _SQ_IN.match(conj) or _SQ_SCALAR.match(conj)
+        # the subquery must be the conjunct's trailing parenthesized
+        # group — re-balance check (the .* above is greedy)
+        if m is None or m.group("sub").count("(") != m.group("sub").count(")"):
+            raise ValueError(
+                "unsupported subquery shape in MV WHERE clause: "
+                f"{_unmask(conj, lits).strip()!r} — supported forms are "
+                "[NOT] EXISTS (SELECT ...), col [NOT] IN (SELECT ...), "
+                "and expr <op> (SELECT agg(...) ...)"
+            )
+        kind = "exists" if m.re is _SQ_EXISTS else ("in" if m.re is _SQ_IN else "scalar")
+        ip = _split_query_parts(m.group("sub").strip())
+        if ip is None:
+            raise ValueError("cannot parse subquery in MV WHERE clause")
+        # inner FROM relations
+        inner_names: list[str] = []
+        inner_aliases: list[str | None] = []
+        for e in _split_top_level(ip["from"]):
+            em = re.match(rf"^\s*(\w+)(?:\s+(?:AS\s+)?({_KW_ALIAS}\w+))?\s*$", e)
+            if not em:
+                raise ValueError(
+                    "subquery FROM must be a comma list of named relations"
+                )
+            inner_names.append(em.group(1))
+            inner_aliases.append(em.group(2))
+        inner_ref: dict[str, set] = {}
+        inner_cols: set = set()
+        for t, a in zip(inner_names, inner_aliases):
+            cs = set(_from_list_cols(engine, t))
+            inner_cols |= cs
+            inner_ref[t.lower()] = cs
+            if a:
+                inner_ref[a.lower()] = cs
+
+        def side_of(tok: str) -> str | None:
+            """'inner' / 'outer' / None for one column token. Inner
+            aliases shadow outer ones; bare names prefer inner (the
+            subquery's own scope), matching SQL name resolution."""
+            qm = re.match(r"^(\w+)\.(\w+)$", tok)
+            if qm:
+                q, c = qm.group(1).lower(), qm.group(2)
+                if q in inner_ref and c in inner_ref[q]:
+                    return "inner"
+                if q in outer_ref and c in outer_ref[q]:
+                    return "outer"
+                return None
+            if tok in inner_cols:
+                return "inner"
+            if tok in outer_cols:
+                return "outer"
+            return None
+
+        def bare(tok: str) -> str:
+            return tok.split(".")[-1]
+
+        corr: list[tuple[str, str]] = []  # (outer expr text, inner bare col)
+        residuals: list[str] = []
+        ikeep: list[str] = []
+        for ic in _split_top_level_and(ip.get("where") or ""):
+            cm = re.match(r"^\s*\(?\s*([\w.]+)\s*=\s*([\w.]+)\s*\)?\s*$", ic)
+            if cm:
+                sa, sb = side_of(cm.group(1)), side_of(cm.group(2))
+                if sa == "inner" and sb == "outer":
+                    corr.append((cm.group(2), bare(cm.group(1))))
+                    continue
+                if sa == "outer" and sb == "inner":
+                    corr.append((cm.group(1), bare(cm.group(2))))
+                    continue
+            toks = {t for t in re.findall(r"\b[\w.]+\b", ic)}
+            if any(side_of(t) == "outer" for t in toks):
+                residuals.append(ic)
+            else:
+                ikeep.append(ic)
+
+        helper = f"__{name}_sq{sq_idx}"
+        pfx = f"__sq{sq_idx}_"
+        sq_idx += 1
+
+        # inner columns the helper must expose
+        needed: list[str] = []
+        if kind == "in":
+            sel0 = _split_top_level(ip["select"])[0]
+            sm0 = re.match(r"^\s*([\w.]+)\s*(?:AS\s+\w+)?\s*$", sel0, re.I)
+            if not sm0 or side_of(sm0.group(1)) != "inner":
+                raise ValueError(
+                    "IN (SELECT ...) requires the subquery to select a "
+                    "plain column of its FROM relations"
+                )
+            if not re.match(r"^[\w.]+$", m.group("lhs")):
+                raise ValueError("IN subquery: left-hand side must be a column")
+            corr.append((m.group("lhs"), bare(sm0.group(1))))
+        for _o, c in corr:
+            if c not in needed:
+                needed.append(c)
+        for rc in residuals:
+            for t in re.findall(r"\b[\w.]+\b", rc):
+                if side_of(t) == "inner" and bare(t) not in needed:
+                    needed.append(bare(t))
+        if not needed:
+            if kind == "scalar":
+                # uncorrelated scalar: stays in the recompute body (the
+                # subquery reads live temp views); register the scalar
+                # dependency so groups re-splice when the value moves
+                scalar_sql = pg_to_spark_sql(_unmask(m.group("sub").strip(), lits))
+                engine._register_scalar_dep(name, scalar_sql)
+                new_where.append(conj)
+                changed = True
+                continue
+            raise ValueError(
+                "EXISTS/IN subquery in an MV body needs at least one "
+                "equi correlation with the outer query (or an IN column)"
+            )
+        if kind == "scalar" and re.search(r"\(", ip["select"]) is None:
+            raise ValueError(
+                "scalar subquery in an MV body must select an aggregate"
+            )
+
+        def rn(txt: str) -> str:
+            """Rename inner column references to the helper's exported
+            names (alias-qualified inner refs and bare inner-only
+            names)."""
+            def sub(mm):
+                tok = mm.group(0)
+                if side_of(tok) == "inner" and bare(tok) in needed:
+                    return pfx + bare(tok)
+                return tok
+            return re.sub(r"\b[\w.]+\b", sub, txt)
+
+        sel_items = [f"{c} AS {pfx}{c}" for c in needed]
+        if kind == "scalar":
+            agg = re.sub(r"\s+AS\s+\w+\s*$", "", ip["select"].strip(), flags=re.I)
+            sel_items.append(f"{agg} AS {pfx}val")
+        else:
+            sel_items.append(f"count(*) AS {pfx}cnt")
+        hb = f"SELECT {', '.join(sel_items)} FROM {ip['from']}"
+        if ikeep:
+            hb += " WHERE " + " AND ".join(ikeep)
+        if ip.get("group"):
+            gcols = [g.strip() for g in _split_top_level(ip["group"])]
+            if sorted(gcols) != sorted(needed):
+                raise ValueError(
+                    "grouped subquery in an MV body must group exactly by "
+                    "its correlation/IN columns"
+                )
+        hb += " GROUP BY " + ", ".join(f"{pfx}{c}" for c in needed)
+        if ip.get("having"):
+            hb += " HAVING " + ip["having"]
+        engine.sql(f"CREATE MATERIALIZED VIEW {helper} AS {_unmask(hb, lits)}")
+
+        on = [f"{o} = {pfx}{c}" for o, c in corr] + [rn(r) for r in residuals]
+        if kind == "scalar":
+            jkw = "JOIN"
+            new_where.append(f"{m.group('lhs')} {m.group('op')} {pfx}val")
+        else:
+            jkw = "LEFT ANTI JOIN" if m.group("neg") else "LEFT SEMI JOIN"
+        new_joins.append(f" {jkw} {helper} ON " + " AND ".join(on))
+        changed = True
+
+    if not changed:
+        return masked
+    # rebuild: SELECT <sel> FROM <from><new joins> [WHERE ...] [GROUP ...] tail
+    out = f"SELECT {parts['select']} FROM {parts['from']}" + "".join(new_joins)
+    if new_where:
+        out += " WHERE " + " AND ".join(
+            c if not re.search(r"\bOR\b", c, re.I) else f"({c})" for c in new_where
+        )
+    if parts.get("group"):
+        out += " GROUP BY " + parts["group"]
+    if parts.get("having"):
+        out += " HAVING " + parts["having"]
+    if parts.get("tail"):
+        out += " " + parts["tail"]
+    return out
+
+
 def _chain_input_ok(engine: "Engine", name: str) -> bool:
     """True when `name` can feed a retractable stream-join chain: an
     engine table, or an MV with group keys (its pk) whose changelog can
@@ -1452,7 +1739,8 @@ def _parse_join_tree(masked: str):
     if re.search(r"\bCROSS\s+JOIN\b|,", join_txt, re.I):
         return None
     parts = re.split(
-        r"\b(?:(INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|FULL(?:\s+OUTER)?)\s+)?JOIN\b",
+        r"\b(?:(LEFT\s+SEMI|LEFT\s+ANTI|INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?"
+        r"|FULL(?:\s+OUTER)?)\s+)?JOIN\b",
         join_txt,
         flags=re.I,
     )
@@ -1463,7 +1751,7 @@ def _parse_join_tree(masked: str):
         return None
     tables, aliases, hows, ons = [m0.group(1)], [m0.group(2)], [], []
     for i in range(1, len(parts), 2):
-        howtxt = (parts[i] or "INNER").upper().split()[0]
+        howtxt = " ".join((parts[i] or "INNER").upper().split())
         seg = parts[i + 1]
         ms = re.match(
             rf"^\s*(\w+)(?:\s+(?:AS\s+)?((?!ON\b){_KW_ALIAS}\w+))?\s+ON\s+(.*)$",
@@ -1474,7 +1762,12 @@ def _parse_join_tree(masked: str):
             return None
         tables.append(ms.group(1))
         aliases.append(ms.group(2))
-        hows.append({"INNER": "inner", "LEFT": "left", "RIGHT": "right", "FULL": "full"}[howtxt])
+        hows.append({
+            "INNER": "inner", "LEFT": "left", "LEFT OUTER": "left",
+            "RIGHT": "right", "RIGHT OUTER": "right",
+            "FULL": "full", "FULL OUTER": "full",
+            "LEFT SEMI": "left_semi", "LEFT ANTI": "left_anti",
+        }[howtxt])
         ons.append(ms.group(3))
     return {
         "select": sel_txt,
@@ -1573,7 +1866,10 @@ def _handle_create_stream_join_mv(
                 "pre_r": " AND ".join(pre_r) if pre_r else None,
             }
         )
-        acc_cols = acc_cols + new_cols
+        # semi/anti steps FILTER the accumulated rows — their right
+        # side's columns never join the output
+        if pj["hows"][i] not in ("left_semi", "left_anti"):
+            acc_cols = acc_cols + new_cols
 
     rest = pj["rest"] or ""
     gbm = re.search(
@@ -2870,6 +3166,8 @@ def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
     cj = _desugar_comma_from(engine, masked)
     if cj is not None:
         masked = cj
+    if re.search(r"\bSELECT\b", masked[6:], re.I):
+        masked = _rewrite_mv_subqueries(engine, name, masked, lits)
     # Temporal join (reference `stream_temporal_join.rs`, syntax
     # `JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() ON ...`): each fact row
     # joins the dimension's CURRENT version at its processing time —
@@ -3045,6 +3343,19 @@ def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
         sm.group("select"), tmp, f" {alias}" if alias else "", rest
     )
     body = pg_to_spark_sql(_unmask(body, lits))
+    if derived:
+        # group by the DERIVED EXPRESSIONS, not their aliases: key_of
+        # annotates the recompute input with key-named columns, and a
+        # bare alias in GROUP BY would resolve to that column while the
+        # select list still names the raw expression
+        gm2 = re.search(r"\bGROUP\s+BY\b", body, re.I)
+        if gm2:
+            head_b, tail_b = body[: gm2.end()], body[gm2.end():]
+            for a, e in derived.items():
+                tail_b = re.sub(
+                    rf"\b{re.escape(a)}\b", f"({pg_to_spark_sql(e)})", tail_b
+                )
+            body = head_b + tail_b
     spark = engine.spark
 
     if has_now:

@@ -430,8 +430,13 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             continue
         break
     if p.at("WHERE"):
+        # subqueries ([NOT] IN / [NOT] EXISTS / scalar comparisons) are
+        # structurally allowed here: the frontend desugars them onto
+        # semi/anti/inner join-chain steps (reference subquery
+        # unnesting, `apply_to_join_rule.rs:22`) and rejects the shapes
+        # it cannot compile with targeted errors of its own
         p.eat()
-        _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+        _scan_expr(p, _CLAUSE_STOPPERS)
     if p.at("GROUP"):
         p.eat()
         p.eat_kw("BY")
@@ -441,7 +446,7 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
                 break
         if p.at("HAVING"):
             p.eat()
-            _scan_expr(p, _CLAUSE_STOPPERS, forbid=forbid)
+            _scan_expr(p, _CLAUSE_STOPPERS)
     saw_order = False
     if p.at("ORDER"):
         saw_order = True

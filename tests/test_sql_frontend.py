@@ -661,11 +661,12 @@ def test_parser_rejects_unsupported_shapes_loudly(eng):
             "CREATE MATERIALIZED VIEW bad AS "
             "SELECT k FROM pt JOIN pt2 USING (k)"
         )
-    # scalar subquery inside the body
+    # subquery in the SELECT list (WHERE/HAVING subqueries now desugar
+    # onto join steps — see test_create_mv_subquery_desugar)
     with pytest.raises(SqlParseError, match="subquer"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT k, v FROM pt WHERE v > (SELECT avg(v) FROM pt)"
+            "SELECT k, (SELECT max(v) FROM pt) AS mx FROM pt"
         )
     # whole-table window (no PARTITION BY): not incrementally
     # maintainable — loud handler error (partitioned OVER now compiles,
@@ -2707,3 +2708,54 @@ def test_create_mv_order_by_limit_topn_read(eng):
     eng.sql("DELETE FROM tl_t WHERE k = 3")
     out = [tuple(r) for r in eng.sql("SELECT grp, total FROM tl_mv").collect()]
     assert out == [("a", 5.0), ("c", 4.0)]
+
+
+def test_create_mv_subquery_desugar(eng):
+    """WHERE-subquery desugar (reference apply_to_join_rule.rs subquery
+    unnesting): EXISTS → semi step with correlated non-equi residual;
+    IN over grouped HAVING → helper agg MV semi step; NOT IN → anti;
+    correlated scalar → helper agg + inner join + residual compare;
+    uncorrelated scalar → DynamicFilter re-splice when the value moves.
+    All five stay exact under deletes."""
+    eng.sql("CREATE TABLE sq_o (o_id int8 PRIMARY KEY, o_pri text, o_day int8)")
+    eng.sql("CREATE TABLE sq_l (l_id int8 PRIMARY KEY, l_oid int8, l_qty float8, l_day int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sq_ex AS SELECT o_pri, count(*) AS n FROM sq_o "
+        "WHERE EXISTS (SELECT 1 FROM sq_l WHERE l_oid = o_id AND l_day > o_day) "
+        "GROUP BY o_pri"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sq_in AS SELECT o_id, o_pri FROM sq_o "
+        "WHERE o_id IN (SELECT l_oid FROM sq_l GROUP BY l_oid HAVING sum(l_qty) > 5)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sq_anti AS SELECT o_pri, count(*) AS n FROM sq_o "
+        "WHERE o_id NOT IN (SELECT l_oid FROM sq_l WHERE l_qty > 100) GROUP BY o_pri"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sq_csc AS SELECT o_id, o_day FROM sq_o "
+        "WHERE o_day < (SELECT 0.5 * sum(l_qty) FROM sq_l WHERE l_oid = o_id)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sq_usc AS SELECT o_pri, count(*) AS n FROM sq_o "
+        "WHERE o_day > (SELECT 0.5*sum(l_qty)/count(*) FROM sq_l) GROUP BY o_pri"
+    )
+    eng.sql("INSERT INTO sq_o VALUES (1,'A',10),(2,'B',3),(3,'A',8),(4,'B',1)")
+    eng.sql(
+        "INSERT INTO sq_l VALUES (10,1,3.0,11),(11,1,4.0,2),(12,2,9.0,5),"
+        "(13,3,2.0,9),(14,4,6.0,0)"
+    )
+    assert _rows(eng.sql("SELECT * FROM sq_ex")) == [("A", 2), ("B", 1)]
+    assert _rows(eng.sql("SELECT * FROM sq_in")) == [(1, "A"), (2, "B"), (4, "B")]
+    assert _rows(eng.sql("SELECT * FROM sq_anti")) == [("A", 2), ("B", 2)]
+    assert _rows(eng.sql("SELECT * FROM sq_csc")) == [(2, 3), (4, 1)]
+    assert _rows(eng.sql("SELECT * FROM sq_usc")) == [("A", 2), ("B", 1)]
+    eng.sql("DELETE FROM sq_l WHERE l_id = 10")
+    eng.sql("DELETE FROM sq_l WHERE l_id = 12")
+    assert _rows(eng.sql("SELECT * FROM sq_ex")) == [("A", 1)]
+    assert _rows(eng.sql("SELECT * FROM sq_in")) == [(4, "B")]
+    assert _rows(eng.sql("SELECT * FROM sq_anti")) == [("A", 2), ("B", 2)]
+    assert _rows(eng.sql("SELECT * FROM sq_csc")) == [(4, 1)]
+    # the uncorrelated scalar moved (avg now 4.0): DynamicFilter
+    # re-splice keeps untouched groups consistent with the new value
+    assert _rows(eng.sql("SELECT * FROM sq_usc")) == [("A", 2), ("B", 1)]
