@@ -1669,6 +1669,27 @@ def _rewrite_mv_subqueries(engine: "Engine", name: str, masked: str, lits: list[
         new_joins.append(f" {jkw} {helper} ON " + " AND ".join(on))
         changed = True
 
+    new_having: list[str] | None = None
+    if parts.get("having") and re.search(r"\bSELECT\b", parts["having"], re.I):
+        # HAVING scalar subqueries (reference q11): necessarily
+        # uncorrelated (they compare a group aggregate against a global
+        # scalar) — keep in the recompute body + scalar dependency
+        new_having = []
+        for conj in _split_top_level_and(parts["having"]):
+            if not re.search(r"\bSELECT\b", conj, re.I):
+                new_having.append(conj)
+                continue
+            hm = _SQ_SCALAR.match(conj)
+            if hm is None or hm.group("sub").count("(") != hm.group("sub").count(")"):
+                raise ValueError(
+                    "only scalar-subquery comparisons are supported in an "
+                    "MV HAVING clause"
+                )
+            scalar_sql = pg_to_spark_sql(_unmask(hm.group("sub").strip(), lits))
+            engine._register_scalar_dep(name, scalar_sql)
+            new_having.append(conj)
+            changed = True
+
     if not changed:
         return masked
     # rebuild: SELECT <sel> FROM <from><new joins> [WHERE ...] [GROUP ...] tail
@@ -1680,7 +1701,9 @@ def _rewrite_mv_subqueries(engine: "Engine", name: str, masked: str, lits: list[
     if parts.get("group"):
         out += " GROUP BY " + parts["group"]
     if parts.get("having"):
-        out += " HAVING " + parts["having"]
+        out += " HAVING " + (
+            " AND ".join(new_having) if new_having is not None else parts["having"]
+        )
     if parts.get("tail"):
         out += " " + parts["tail"]
     return out
@@ -1736,8 +1759,16 @@ def _parse_join_tree(masked: str):
     tail = masked[mfrom.end():].lstrip()
     pos = _top_level_kw_pos(tail)
     join_txt, rest = (tail[:pos], tail[pos:]) if pos is not None else (tail, "")
-    if re.search(r"\bCROSS\s+JOIN\b|,", join_txt, re.I):
+    if re.search(r"\bCROSS\s+JOIN\b", join_txt, re.I):
         return None
+    depth = 0
+    for ch in join_txt:  # only a DEPTH-0 comma makes this a FROM list —
+        if ch == "(":    # an IN (1, 2) inside a pushed ON filter doesn't
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return None
     parts = re.split(
         r"\b(?:(LEFT\s+SEMI|LEFT\s+ANTI|INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?"
         r"|FULL(?:\s+OUTER)?)\s+)?JOIN\b",
@@ -1871,12 +1902,20 @@ def _handle_create_stream_join_mv(
         if pj["hows"][i] not in ("left_semi", "left_anti"):
             acc_cols = acc_cols + new_cols
 
+    # clause segmentation at DEPTH 0 only — a kept scalar subquery in
+    # WHERE/HAVING contains its own FROM/WHERE inside parens and must
+    # not steer the outer split
     rest = pj["rest"] or ""
-    gbm = re.search(
-        r"\bGROUP\s+BY\s+(?P<gb>.*?)(?P<having>\s+HAVING\b.*)?$", rest, re.I | re.S
+    marks = _depth0_clause_positions(rest) + [("$", len(rest), len(rest))]
+    segs: dict[str, str] = {}
+    for k, (kw, _s0, e0) in enumerate(marks[:-1]):
+        segs[kw] = rest[e0 : marks[k + 1][1]].strip()
+    gbm = (
+        {"gb": segs["GROUP BY"], "having": segs.get("HAVING")}
+        if "GROUP BY" in segs
+        else None
     )
-    whm = re.search(r"\bWHERE\s+(?P<w>.*?)(?=\s+GROUP\s+BY\b|$)", rest, re.I | re.S)
-    where = _unmask(unq(whm.group("w")), lits).strip() if whm else None
+    where = _unmask(unq(segs["WHERE"]), lits).strip() if segs.get("WHERE") else None
     out_cols = acc_cols
 
     # parse item shape + strip qualifiers while literals are still
@@ -1897,7 +1936,7 @@ def _handle_create_stream_join_mv(
     if gbm:
         keys: list[str] = []
         derived: dict[str, str] = {}
-        for item in _split_top_level(gbm.group("gb")):
+        for item in _split_top_level(gbm["gb"]):
             item = _unmask(unq(item), lits).strip()
             if item.isdigit():
                 expr, al = select_items[int(item) - 1]
@@ -1936,9 +1975,9 @@ def _handle_create_stream_join_mv(
         # input, and a bare alias in GROUP BY would resolve to that
         # column while the select list still names the raw expression
         gb_sql = " GROUP BY " + ", ".join(derived.get(k, k) for k in keys)
-        having = gbm.group("having") or ""
+        having = gbm.get("having") or ""
         if having:
-            gb_sql += " " + pg_to_spark_sql(_unmask(unq(having), lits).strip())
+            gb_sql += " HAVING " + pg_to_spark_sql(_unmask(unq(having), lits).strip())
         body = pg_to_spark_sql(f"SELECT {sel_txt} FROM {tmp}{where_sql}") + gb_sql
 
         def recompute(rows: DataFrame) -> DataFrame:

@@ -727,3 +727,694 @@ def tpch_mv_q19(spark, sf_dir):
         rounds=1,
     )
     return eng.sql("SELECT revenue FROM tq19")
+
+
+@register(
+    "tpch_mv_q4",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM {SURV_O} o
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM {SURV_L} l
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_mv_q4(spark, sf_dir):
+    """TPC-H q4 through the MV runtime (reference `views/q4.slt.part`:
+    correlated EXISTS): the subquery desugars onto a LEFT SEMI join
+    step against a deduplicating helper MV, with the non-equi
+    correlation (l_shipdate > o_orderdate) as the step's residual
+    condition — the reference's apply-to-join unnesting. Lineitem
+    deletes that remove an order's last late item retract it."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv4_",
+        ["orders", "lineitem"],
+        """
+        CREATE MATERIALIZED VIEW tq4 AS
+        select
+          o_orderpriority,
+          count(*) as order_count
+        from
+          orders
+        where
+          o_orderdate >= date '1996-07-01'
+          and o_orderdate < date '1996-10-01'
+          and exists (
+            select 1 from lineitem
+            where l_orderkey = o_orderkey and l_shipdate > o_orderdate
+          )
+        group by
+          o_orderpriority
+        order by
+          o_orderpriority
+        """,
+        rounds=1,
+    )
+    return eng.sql(
+        "SELECT o_orderpriority, order_count FROM tq4 ORDER BY o_orderpriority"
+    )
+
+
+@register(
+    "tpch_mv_q16",
+    oracle=f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part, {SURV_L} l
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_mv_q16(spark, sf_dir):
+    """TPC-H q16 through the MV runtime (reference `views/q16.slt.part`:
+    NOT IN subquery + count DISTINCT; adapted exclusion, tpch.py q16):
+    the NOT IN desugars onto a LEFT ANTI step against a helper MV over
+    supplier, and the distinct count runs in the chain's agg
+    recompute."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv16_",
+        ["part", "lineitem", "supplier"],
+        """
+        CREATE MATERIALIZED VIEW tq16 AS
+        select
+            p_brand,
+            p_type,
+            p_size,
+            count(distinct l_suppkey) as supplier_cnt
+        from
+            part,
+            lineitem
+        where
+            p_partkey = l_partkey
+            and p_brand <> 'Brand#45'
+            and p_type <> 'PROMO'
+            and p_size in (1, 4, 9, 14, 19, 23, 36, 45)
+            and l_suppkey not in (
+                select s_suppkey from supplier where s_acctbal < 0
+            )
+        group by
+            p_brand,
+            p_type,
+            p_size
+        order by
+            supplier_cnt desc,
+            p_brand,
+            p_type,
+            p_size
+        """,
+        rounds=1,
+    )
+    return eng.sql(
+        "SELECT p_brand, p_type, p_size, supplier_cnt FROM tq16 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    )
+
+
+@register(
+    "tpch_mv_q17",
+    oracle=f"""
+SELECT {_o_cents('l_extendedprice')} / 7.0 AS avg_yearly
+FROM {surv_l(2)} l, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM {surv_l(2)} l2
+                    WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_mv_q17(spark, sf_dir):
+    """TPC-H q17 through the MV runtime (reference `views/q17.slt.part`:
+    CORRELATED scalar subquery): desugars onto a per-partkey helper agg
+    MV inner-joined into the chain with the comparison as a residual —
+    the reference's decorrelated DynamicFilter plan. A lineitem delete
+    moves the per-part average AND the qualifying rows in the same
+    fold."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv17_",
+        ["lineitem", "part"],
+        f"""
+        CREATE MATERIALIZED VIEW tq17 AS
+        select
+          1 as g,
+          ({_s_cents('l_extendedprice')}) / 7.0D as avg_yearly
+        from
+          lineitem,
+          part
+        where
+          p_partkey = l_partkey
+          and p_brand = 'Brand#2'
+          and l_quantity < (
+            select 0.2 * avg(l_quantity) from lineitem l2
+            where l2.l_partkey = p_partkey
+          )
+        group by 1
+        """,
+        sample=2,
+        rounds=1,
+    )
+    return eng.sql("SELECT avg_yearly FROM tq17")
+
+
+@register(
+    "tpch_mv_q20",
+    oracle=f"""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM {SURV_L} l, part
+  WHERE p_partkey = l_partkey AND p_name LIKE 'blue%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100
+)
+ORDER BY s_name
+""",
+)
+def tpch_mv_q20(spark, sf_dir):
+    """TPC-H q20 through the MV runtime (reference `views/q20.slt.part`:
+    IN over a grouped-HAVING subquery whose FROM is itself a comma
+    join; adapted shape, tpch.py q20): the helper MV compiles
+    recursively — its own comma join desugars onto a chain — and feeds
+    the outer semi step."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv20_",
+        ["supplier", "lineitem", "part"],
+        """
+        CREATE MATERIALIZED VIEW tq20 AS
+        select
+          s_name,
+          s_acctbal
+        from
+          supplier
+        where
+          s_suppkey in (
+            select
+              l_suppkey
+            from
+              lineitem,
+              part
+            where
+              p_partkey = l_partkey
+              and p_name like 'blue%'
+              and l_shipdate >= date '1996-01-01'
+              and l_shipdate < date '1997-01-01'
+            group by
+              l_suppkey
+            having
+              sum(l_quantity) > 100
+          )
+        order by
+          s_name
+        """,
+        rounds=1,
+    )
+    return eng.sql("SELECT s_name, s_acctbal FROM tq20 ORDER BY s_name")
+
+
+@register(
+    "tpch_mv_q11",
+    oracle=f"""
+WITH natps AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS val
+  FROM {surv_l(2)} l
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey AS ps_partkey, {_o_cents('val')} AS part_value
+FROM natps
+GROUP BY l_partkey
+HAVING {_o_cents('val')} > (SELECT {_o_cents('val')} * 0.0001 FROM natps)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def tpch_mv_q11(spark, sf_dir):
+    """TPC-H q11 through the MV runtime (reference `views/q11.slt.part`:
+    HAVING against an uncorrelated scalar subquery — the reference's
+    DynamicFilter plan; adapted value model, tpch.py q11): the scalar
+    re-evaluates against the live tables after every fold and a moved
+    value re-splices the MV's groups, so groups crossing the 0.01%%
+    threshold in EITHER direction stay exact under deletes."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv11_",
+        ["lineitem", "supplier", "nation"],
+        f"""
+        CREATE MATERIALIZED VIEW tq11 AS
+        select
+            l_partkey as ps_partkey,
+            {_s_cents('l_extendedprice * l_quantity')} as part_value
+        from
+            lineitem,
+            supplier,
+            nation
+        where
+            l_suppkey = s_suppkey
+            and s_nationkey = n_nationkey
+            and n_name = 'NATION_7'
+        group by
+            ps_partkey
+        having
+            {_s_cents('l_extendedprice * l_quantity')} > (
+                select {_s_cents('l_extendedprice * l_quantity')} * 0.0001
+                from lineitem, supplier, nation
+                where l_suppkey = s_suppkey and s_nationkey = n_nationkey
+                  and n_name = 'NATION_7'
+            )
+        order by
+            part_value desc,
+            ps_partkey
+        """,
+        sample=2,
+        rounds=1,
+    )
+    return eng.sql("SELECT ps_partkey, part_value FROM tq11 ORDER BY ps_partkey")
+
+
+@register(
+    "tpch_mv_q15",
+    oracle=f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no, {_o_cents(_O_REV)} AS total_revenue
+  FROM {SURV_L} l
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""",
+)
+def tpch_mv_q15(spark, sf_dir):
+    """TPC-H q15 through the MV runtime (reference `views/q15.slt.part`:
+    the revenue0 CTE + `= (SELECT max(...))` top-supplier filter): the
+    CTE is a stacked helper MV feeding the main chain as a join input;
+    the uncorrelated max evaluates against the maintained revenue0 at
+    read (row-grain project — always fresh), exact-cents equality."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv15_",
+        ["supplier", "lineitem"],
+        f"""
+        CREATE MATERIALIZED VIEW revenue0 AS
+        select
+          l_suppkey as supplier_no,
+          {_s_cents(_O_REV)} as total_revenue
+        from lineitem
+        where l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-04-01'
+        group by supplier_no;
+        CREATE MATERIALIZED VIEW tq15 AS
+        select
+          s_suppkey,
+          s_name,
+          total_revenue
+        from
+          supplier,
+          revenue0
+        where
+          s_suppkey = supplier_no
+          and total_revenue = (
+            select max(total_revenue) from revenue0
+          )
+        order by
+          s_suppkey
+        """,
+        rounds=1,
+    )
+    return eng.sql("SELECT s_suppkey, s_name, total_revenue FROM tq15 ORDER BY s_suppkey")
+
+
+@register(
+    "tpch_mv_q22",
+    oracle=f"""
+SELECT cntrycode, count(*) AS numcust, {_o_cents('c_acctbal')} AS totacctbal
+FROM (
+  SELECT CAST(c_custkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+  FROM {SURV_C} c
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {SURV_C} c2 WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM {SURV_O} o WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+) t
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def tpch_mv_q22(spark, sf_dir):
+    """TPC-H q22 through the MV runtime (reference `views/q22.slt.part`:
+    uncorrelated scalar + correlated NOT EXISTS): the anti step handles
+    the no-recent-orders filter incrementally, and the moving average
+    threshold re-splices groups via the scalar dependency (DynamicFilter
+    on the RHS stream)."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv22_",
+        ["customer", "orders"],
+        """
+        CREATE MATERIALIZED VIEW tq22 AS
+        select
+            CAST(c_custkey % 10 AS BIGINT) as cntrycode,
+            count(*) as numcust,
+            sum(CAST(round(c_acctbal*100,0) AS BIGINT))/100.0D as totacctbal
+        from
+            customer
+        where
+            c_acctbal > (
+                select avg(c_acctbal) from customer where c_acctbal > 0.0
+            )
+            and not exists (
+                select 1 from orders
+                where o_custkey = c_custkey and o_orderdate >= date '2000-01-01'
+            )
+        group by
+            cntrycode
+        order by
+            cntrycode
+        """,
+    )
+    return eng.sql("SELECT cntrycode, numcust, totacctbal FROM tq22 ORDER BY cntrycode")
+
+
+@register(
+    "tpch_mv_q21",
+    oracle=f"""
+SELECT s_name, numwait FROM (
+  SELECT s_name, count(*) AS numwait
+  FROM supplier, {surv_l(3)} l1, {surv_o(3)} o
+  WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+    AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM {surv_l(3)} l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM {surv_l(3)} l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY s_name
+) t ORDER BY numwait DESC, s_name LIMIT 100
+""",
+)
+def tpch_mv_q21(spark, sf_dir):
+    """TPC-H q21 through the MV runtime (reference `views/q21.slt.part`:
+    the EXISTS + NOT EXISTS pair over self-joined lineitem; adapted
+    filters, tpch.py q21): both subqueries desugar onto helper MVs over
+    the SAME lineitem stream — a semi step and an anti step with
+    correlated non-equi residuals — stacked on the 3-way chain, with
+    the TopN read bound on top."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv21_",
+        ["supplier", "lineitem", "orders"],
+        """
+        CREATE MATERIALIZED VIEW tq21 AS
+        select
+            s_name,
+            count(*) as numwait
+        from
+            supplier,
+            lineitem l1,
+            orders
+        where
+            s_suppkey = l1.l_suppkey
+            and o_orderkey = l1.l_orderkey
+            and o_orderstatus = 'F'
+            and l1.l_returnflag = 'R'
+            and exists (
+                select 1 from lineitem l2
+                where l2.l_orderkey = l1.l_orderkey
+                  and l2.l_suppkey <> l1.l_suppkey
+            )
+            and not exists (
+                select 1 from lineitem l3
+                where l3.l_orderkey = l1.l_orderkey
+                  and l3.l_suppkey <> l1.l_suppkey
+                  and l3.l_returnflag = 'R'
+            )
+        group by
+            s_name
+        order by
+            numwait desc,
+            s_name
+        LIMIT 100
+        """,
+        sample=3,
+        rounds=1,
+    )
+    return eng.sql("SELECT s_name, numwait FROM tq21")
+
+
+@register(
+    "tpch_mv_q7",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_o_cents(_O_REV)} AS revenue
+FROM supplier
+JOIN {surv_l(3)} l ON s_suppkey = l_suppkey
+JOIN {surv_o(3)} o ON o_orderkey = l_orderkey
+JOIN {SURV_C} c ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_mv_q7(spark, sf_dir):
+    """TPC-H q7 through the MV runtime (reference `views/q7.slt.part`:
+    `nation n1, nation n2` self-join): the chain requires disjoint
+    column names, so the two nation roles are column-renamed engine
+    tables (the documented self-join-aliasing divergence); the
+    two-nation OR stays a residual across both dimension levels and the
+    shipdate BETWEEN pushes into the lineitem input."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv7_",
+        ["supplier", "lineitem", "orders", "customer"],
+        f"""
+        CREATE MATERIALIZED VIEW tq7 AS
+        select
+          supp_nation,
+          cust_nation,
+          CAST(extract(year from l_shipdate) AS BIGINT) as l_year,
+          {_s_cents(_O_REV)} as revenue
+        from
+          supplier,
+          lineitem,
+          orders,
+          customer,
+          n1,
+          n2
+        where
+          s_suppkey = l_suppkey
+          and o_orderkey = l_orderkey
+          and c_custkey = o_custkey
+          and s_nationkey = n1_nationkey
+          and c_nationkey = n2_nationkey
+          and (
+            (supp_nation = 'NATION_3' and cust_nation = 'NATION_7')
+            or (supp_nation = 'NATION_7' and cust_nation = 'NATION_3')
+          )
+          and l_shipdate between timestamp '1996-01-01' and timestamp '1997-12-31'
+        group by
+          supp_nation,
+          cust_nation,
+          l_year
+        order by
+          supp_nation,
+          cust_nation,
+          l_year
+        """,
+        sample=3,
+        rounds=1,
+        extra=[
+            ("n1", "n1_nationkey int8 PRIMARY KEY, supp_nation text",
+             "SELECT n_nationkey, n_name FROM src_nation"),
+            ("n2", "n2_nationkey int8 PRIMARY KEY, cust_nation text",
+             "SELECT n_nationkey, n_name FROM src_nation"),
+        ],
+    )
+    return eng.sql(
+        "SELECT supp_nation, cust_nation, l_year, revenue FROM tq7 "
+        "ORDER BY supp_nation, cust_nation, l_year"
+    )
+
+
+@register(
+    "tpch_mv_q8",
+    oracle=f"""
+SELECT o_year,
+       round({_o_cents("CASE WHEN sup_nation = 'NATION_3' THEN " + _O_REV + " ELSE 0 END")}
+             / {_o_cents(_O_REV)}, 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice, l_discount, n2.n_name AS sup_nation
+  FROM part
+  JOIN {surv_l(4)} l ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN {surv_o(4)} o ON l_orderkey = o_orderkey
+  JOIN {SURV_C} c ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) v
+GROUP BY o_year ORDER BY o_year
+""",
+)
+def tpch_mv_q8(spark, sf_dir):
+    """TPC-H q8 through the MV runtime (reference `views/q8.slt.part`:
+    the deepest join in the suite — 8 relations including both nation
+    roles): split as stacked MVs — the customer⋈nation⋈region AMERICA
+    arm maintains as its own keyed MV feeding the 6-input main chain as
+    a join input (the reference's view-stacking; one 7-level cascade
+    exceeds the default driver heap on plan depth alone). p_type /
+    o_orderdate filters push into their input states."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv8_",
+        ["part", "lineitem", "supplier", "orders", "customer", "region"],
+        f"""
+        CREATE MATERIALIZED VIEW tq8c AS
+        select
+          c_custkey,
+          count(*) as n_roles
+        from
+          customer,
+          n1,
+          region
+        where
+          c_nationkey = n1_nationkey
+          and n1_regionkey = r_regionkey
+          and r_name = 'AMERICA'
+        group by
+          c_custkey;
+        CREATE MATERIALIZED VIEW tq8 AS
+        select
+          CAST(extract(year from o_orderdate) AS INT) as o_year,
+          round(({_s_cents("case when sup_nation = 'NATION_3' then " + _O_REV + " else 0 end")})
+                / ({_s_cents(_O_REV)}), 6) as mkt_share
+        from
+          part,
+          lineitem,
+          supplier,
+          orders,
+          tq8c,
+          n2
+        where
+          p_partkey = l_partkey
+          and s_suppkey = l_suppkey
+          and l_orderkey = o_orderkey
+          and o_custkey = c_custkey
+          and s_nationkey = n2_nationkey
+          and o_orderdate between timestamp '1995-01-01' and timestamp '1996-12-31'
+          and p_type = 'ECONOMY'
+        group by
+          o_year
+        order by
+          o_year
+        """,
+        sample=4,
+        rounds=1,
+        extra=[
+            ("n1", "n1_nationkey int8 PRIMARY KEY, n1_regionkey int8",
+             "SELECT n_nationkey, n_regionkey FROM src_nation"),
+            ("n2", "n2_nationkey int8 PRIMARY KEY, sup_nation text",
+             "SELECT n_nationkey, n_name FROM src_nation"),
+        ],
+    )
+    return eng.sql("SELECT o_year, mkt_share FROM tq8 ORDER BY o_year")
+
+
+@register(
+    "tpch_mv_q2",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS ps_cost
+  FROM {surv_l(2)} l GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part
+JOIN ps ON p_partkey = partkey
+JOIN supplier ON suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+  AND ps_cost = (SELECT min(e2.ps_cost) FROM ps e2 WHERE e2.partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_mv_q2(spark, sf_dir):
+    """TPC-H q2 through the MV runtime (reference `views/q2.slt.part`:
+    the correlated min-cost subquery + comma joins + ORDER/LIMIT 100;
+    adapted cost model, tpch.py q2): the unit-cost CTE is a stacked
+    helper MV feeding the chain, the correlated min desugars onto a
+    per-part helper agg MV (MV-on-MV over the CTE) inner-joined with
+    the equality as residual, and the LIMIT is the TopN read bound."""
+    eng = _tpch_eng(
+        spark,
+        sf_dir,
+        "rw_tpchmv2_",
+        ["part", "lineitem", "supplier", "nation", "region"],
+        """
+        CREATE MATERIALIZED VIEW tq2ps AS
+        select
+          l_partkey as partkey,
+          l_suppkey as suppkey,
+          min(l_extendedprice / l_quantity) as ps_cost
+        from lineitem
+        group by partkey, suppkey;
+        CREATE MATERIALIZED VIEW tq2 AS
+        select
+          s_acctbal,
+          s_name,
+          n_name,
+          p_partkey,
+          p_brand
+        from
+          part,
+          tq2ps,
+          supplier,
+          nation,
+          region
+        where
+          p_partkey = partkey
+          and suppkey = s_suppkey
+          and s_nationkey = n_nationkey
+          and n_regionkey = r_regionkey
+          and r_name = 'EUROPE'
+          and p_type = 'STANDARD'
+          and ps_cost = (
+            select min(e2.ps_cost) from tq2ps e2 where e2.partkey = p_partkey
+          )
+        order by
+          s_acctbal desc,
+          n_name,
+          s_name,
+          p_partkey
+        LIMIT 100
+        """,
+        sample=2,
+        rounds=1,
+    )
+    return eng.sql("SELECT s_acctbal, s_name, n_name, p_partkey, p_brand FROM tq2")
