@@ -19,6 +19,7 @@ from risingwave_spark.queries import sources  # noqa: E402,F401
 from risingwave_spark.queries import nexmark  # noqa: E402,F401
 from risingwave_spark.queries import nexmark2  # noqa: E402,F401
 from risingwave_spark.queries import nexmark_mv  # noqa: E402,F401
+from risingwave_spark.queries import nexmark_mv2  # noqa: E402,F401
 from risingwave_spark.queries import udfs  # noqa: E402,F401
 from risingwave_spark.queries import ch_benchmark  # noqa: E402,F401
 from risingwave_spark.queries import ch_benchmark2  # noqa: E402,F401

@@ -159,6 +159,18 @@ class RetractableStreamJoin:
         for p in parts[1:]:
             affected = affected.unionByName(p)
         affected = affected.distinct()
+        if self.mv.exists() and not affected.take(1):
+            # no key of either side was touched (a pushed-down input
+            # filter dropped the whole batch, or a delete hit nothing):
+            # the state fold above already committed — recompute, splice
+            # and the downstream forward are all no-ops. One tiny take(1)
+            # job replaces the whole per-level cascade, which is what
+            # stops empty changelogs from rippling down a deep chain.
+            # (compaction cadence still runs — see the loop below.)
+            for st, did in ((self.state_l, did_l), (self.state_r, did_r)):
+                if did and self.compact_every and st._seq and st._seq % self.compact_every == 0:
+                    st.compact()
+            return
 
         touched = self._touched_buckets(aff_l is not None, aff_r is not None)
         # compaction cadence (same trade as _RetractableView): every N

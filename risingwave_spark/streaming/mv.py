@@ -930,6 +930,13 @@ class _RetractableView:
 
         annotate = self.key_of or (lambda d: d)
         affected = annotate(batch).select(*self.keys).distinct()
+        if self.mv.exists() and not affected.take(1):
+            # empty batch (e.g. an upstream pushed-down filter dropped
+            # everything): the state fold is committed, and recompute /
+            # splice / downstream forward are no-ops — one take(1) job
+            # replaces the whole cascade. (The FIRST apply must still
+            # run the splice to materialize the empty MV + schema.)
+            return
         self._splice(affected, touched, batch_id=batch_id, batch_ns=batch_ns)
 
     def retouch(self, affected: DataFrame) -> None:
