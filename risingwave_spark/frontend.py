@@ -1639,7 +1639,20 @@ def _rewrite_mv_subqueries(engine: "Engine", name: str, masked: str, lits: list[
                 return tok
             return re.sub(r"\b[\w.]+\b", sub, txt)
 
-        sel_items = [f"{c} AS {pfx}{c}" for c in needed]
+        # the helper's key set: the inner GROUP BY columns when present
+        # (they must cover the correlation/IN columns — semi/anti
+        # multiplicity makes a superset harmless), else the needed
+        # columns themselves (dedup grouping)
+        hkeys = list(needed)
+        if ip.get("group"):
+            gcols = [bare(g.strip()) for g in _split_top_level(ip["group"])]
+            if not set(needed) <= set(gcols):
+                raise ValueError(
+                    "grouped subquery in an MV body must include its "
+                    "correlation/IN columns in the GROUP BY"
+                )
+            hkeys = gcols
+        sel_items = [f"{c} AS {pfx}{c}" for c in hkeys]
         if kind == "scalar":
             agg = re.sub(r"\s+AS\s+\w+\s*$", "", ip["select"].strip(), flags=re.I)
             sel_items.append(f"{agg} AS {pfx}val")
@@ -1648,14 +1661,7 @@ def _rewrite_mv_subqueries(engine: "Engine", name: str, masked: str, lits: list[
         hb = f"SELECT {', '.join(sel_items)} FROM {ip['from']}"
         if ikeep:
             hb += " WHERE " + " AND ".join(ikeep)
-        if ip.get("group"):
-            gcols = [g.strip() for g in _split_top_level(ip["group"])]
-            if sorted(gcols) != sorted(needed):
-                raise ValueError(
-                    "grouped subquery in an MV body must group exactly by "
-                    "its correlation/IN columns"
-                )
-        hb += " GROUP BY " + ", ".join(f"{pfx}{c}" for c in needed)
+        hb += " GROUP BY " + ", ".join(f"{pfx}{c}" for c in hkeys)
         if ip.get("having"):
             hb += " HAVING " + ip["having"]
         engine.sql(f"CREATE MATERIALIZED VIEW {helper} AS {_unmask(hb, lits)}")

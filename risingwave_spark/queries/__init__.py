@@ -24,5 +24,6 @@ from risingwave_spark.queries import udfs  # noqa: E402,F401
 from risingwave_spark.queries import ch_benchmark  # noqa: E402,F401
 from risingwave_spark.queries import ch_benchmark2  # noqa: E402,F401
 from risingwave_spark.queries import tpch_mv  # noqa: E402,F401
+from risingwave_spark.queries import ch_benchmark_mv  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
