@@ -207,6 +207,15 @@ class RetractableStreamJoin:
                 out_changelog = with_ops(recomputed, 1)
             self.mv.write(recomputed)
         if out_changelog is not None:
+            # MATERIALIZE before forwarding: the changelog plan embeds
+            # this level's whole recompute tree, and a deep chain would
+            # otherwise compound plans level-by-level — exponential plan
+            # text (driver-heap OOM in the listener) and repeated
+            # recomputation in every downstream fold. localCheckpoint
+            # truncates the lineage to the computed blocks (the
+            # reference materializes chunks between executors the same
+            # way).
+            out_changelog = out_changelog.localCheckpoint(eager=True)
             # forwarded redelivery pointers are namespaced by (incoming
             # namespace, which sides folded): two independent upstream
             # streams driving the two sides never share a downstream

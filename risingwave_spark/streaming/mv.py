@@ -990,6 +990,10 @@ class _RetractableView:
                 self._log_changelog(out_changelog)
             self.mv.write(recomputed)
         if out_changelog is not None:
+            # materialize before forwarding (lineage truncation — see
+            # RetractableStreamJoin.apply: deep MV chains would compound
+            # plans level-by-level otherwise)
+            out_changelog = out_changelog.localCheckpoint(eager=True)
             # batch_id rides along so the whole MV chain shares one
             # redelivery horizon: a replayed parent batch re-forwards the
             # (identical, state-derived) changelog and each child skips
