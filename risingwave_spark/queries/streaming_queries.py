@@ -2739,3 +2739,102 @@ def engine_sql_schema_and_prepare(spark, sf_dir):
         "OR o_orderkey IN (7, 11) GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
     return eng.sql("EXECUTE q(1)")
+
+
+@register(
+    "engine_sql_mv_using_join",
+    oracle="""
+SELECT c_nationkey, count(*) AS n,
+       CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM (SELECT * FROM customer WHERE c_custkey % 6 <> 0) c
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+)
+def engine_sql_mv_using_join(spark, sf_dir):
+    """JOIN ... USING in an MV body (reference
+    `e2e_test/streaming/natural_and_cross_join.slt` — the shared-column
+    join spelling): compiled via the dimension path, Catalyst binds the
+    USING columns natively in the per-batch recompute; the customer
+    stream's deletes retract."""
+    import tempfile
+
+    from risingwave_spark.api import Engine
+
+    t = tables(spark, sf_dir)
+    t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    ).createOrReplaceTempView("nat_using")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_usingmv_"))
+    eng.sql(
+        """
+        CREATE TABLE cust_u (
+            c_custkey int8 PRIMARY KEY, c_nationkey int8, c_acctbal float8
+        );
+        CREATE MATERIALIZED VIEW using_mv AS
+        SELECT c_nationkey, count(*) AS n,
+               sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS bal_cents
+        FROM cust_u JOIN nat_using USING (c_nationkey)
+        GROUP BY c_nationkey
+        """
+    )
+    eng.sql(
+        "INSERT INTO cust_u SELECT c_custkey, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO cust_u SELECT c_custkey, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM cust_u WHERE c_custkey % 6 = 0")
+    return eng.sql(
+        "SELECT c_nationkey, n, bal_cents FROM using_mv ORDER BY c_nationkey"
+    )
+
+
+@register(
+    "engine_sql_mv_natural_join",
+    oracle="""
+SELECT c_nationkey, max(n_name) AS nation_name, count(*) AS n
+FROM (SELECT * FROM customer WHERE c_custkey % 6 <> 0) c
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+)
+def engine_sql_mv_natural_join(spark, sf_dir):
+    """NATURAL JOIN in an MV body (reference
+    `e2e_test/streaming/natural_and_cross_join.slt`): the implicit
+    shared-column condition binds in the recompute; group keys stay on
+    the maintained table (the dimension-path surface)."""
+    import tempfile
+
+    from risingwave_spark.api import Engine
+
+    t = tables(spark, sf_dir)
+    t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    ).createOrReplaceTempView("nat_natural")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_natmv_"))
+    eng.sql(
+        """
+        CREATE TABLE cust_n (
+            c_custkey int8 PRIMARY KEY, c_nationkey int8, c_acctbal float8
+        );
+        CREATE MATERIALIZED VIEW natural_mv AS
+        SELECT c_nationkey, max(n_name) AS nation_name, count(*) AS n
+        FROM cust_n NATURAL JOIN nat_natural
+        GROUP BY c_nationkey
+        """
+    )
+    eng.sql(
+        "INSERT INTO cust_n SELECT c_custkey, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO cust_n SELECT c_custkey, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM cust_n WHERE c_custkey % 6 = 0")
+    return eng.sql(
+        "SELECT c_nationkey, nation_name, n FROM natural_mv ORDER BY c_nationkey"
+    )

@@ -352,7 +352,7 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
     elif (
         p.peek() is not None
         and p.peek().kind in ("ident", "qid")
-        and not p.at(*_CLAUSE_STOPPERS)
+        and not p.at("NATURAL", *_CLAUSE_STOPPERS)
     ):
         p.eat()  # bare alias
     # join chain
@@ -373,7 +373,7 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             elif (
                 p.peek() is not None
                 and p.peek().kind in ("ident", "qid")
-                and not p.at(*_CLAUSE_STOPPERS)
+                and not p.at("NATURAL", *_CLAUSE_STOPPERS)
             ):
                 p.eat()
             continue
@@ -381,7 +381,10 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             raise SqlParseError(
                 "CROSS JOIN in a materialized-view body is not supported"
             )
-        if p.at("INNER", "LEFT", "RIGHT", "FULL") or p.at("JOIN"):
+        if p.at("INNER", "LEFT", "RIGHT", "FULL", "NATURAL") or p.at("JOIN"):
+            natural = p.at("NATURAL")
+            if natural:
+                p.eat()
             if not p.at("JOIN"):
                 p.eat()
                 if p.at("OUTER"):
@@ -416,15 +419,26 @@ def _parse_select_core(p: _P, *, mv: bool) -> None:
             elif (
                 p.peek() is not None
                 and p.peek().kind in ("ident", "qid")
-                and not p.at("ON", "USING", *_CLAUSE_STOPPERS)
+                and not p.at("ON", "USING", "NATURAL", *_CLAUSE_STOPPERS)
             ):
                 p.eat()
             _try_system_time()
+            if natural:
+                # NATURAL JOIN (reference
+                # e2e_test/streaming/natural_and_cross_join.slt): the
+                # join columns are implicit — no ON/USING follows
+                continue
             if p.at("USING"):
-                raise SqlParseError(
-                    "JOIN ... USING is not supported in materialized-view "
-                    "bodies; spell the condition with ON a.col = b.col"
-                )
+                # JOIN ... USING (a, b) — compiled via the dimension
+                # path (Catalyst binds USING natively in the recompute)
+                p.eat()
+                p.eat_op("(")
+                while True:
+                    p.ident("USING column")
+                    if not p.try_op(","):
+                        break
+                p.eat_op(")")
+                continue
             p.eat_kw("ON")
             _scan_expr(p, _CLAUSE_STOPPERS - {"ON"}, forbid=forbid)
             continue

@@ -655,11 +655,13 @@ def test_parser_rejects_unsupported_shapes_loudly(eng):
             "CREATE MATERIALIZED VIEW bad AS "
             "SELECT k, n FROM (SELECT k, count(*) AS n FROM pt GROUP BY k) s"
         )
-    # JOIN ... USING
-    with pytest.raises(SqlParseError, match="USING"):
+    # JOIN ... USING with a mismatched column still fails loudly (the
+    # supported USING/NATURAL spellings compile via the dimension path —
+    # see test_create_mv_using_and_natural_join)
+    with pytest.raises(SqlParseError, match="USING column"):
         eng.sql(
             "CREATE MATERIALIZED VIEW bad AS "
-            "SELECT k FROM pt JOIN pt2 USING (k)"
+            "SELECT k FROM pt JOIN pt2 USING ()"
         )
     # subquery in the SELECT list (WHERE/HAVING subqueries now desugar
     # onto join steps — see test_create_mv_subquery_desugar)
@@ -2759,3 +2761,40 @@ def test_create_mv_subquery_desugar(eng):
     # the uncorrelated scalar moved (avg now 4.0): DynamicFilter
     # re-splice keeps untouched groups consistent with the new value
     assert _rows(eng.sql("SELECT * FROM sq_usc")) == [("A", 2), ("B", 1)]
+
+
+def test_create_mv_using_and_natural_join(eng, spark):
+    """JOIN ... USING and NATURAL JOIN in MV bodies (reference
+    `e2e_test/streaming/natural_and_cross_join.slt`): compiled via the
+    dimension path — Catalyst binds USING/NATURAL natively in the
+    per-batch recompute; the MV maintains w.r.t. the first table."""
+    spark.createDataFrame(
+        [(1, "ones"), (2, "twos")], "k int, label string"
+    ).createOrReplaceTempView("un_dim")
+    eng.sql("CREATE TABLE un_t (id int8 PRIMARY KEY, k int4, v int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW un_mv AS "
+        "SELECT k, sum(v) AS total FROM un_t JOIN un_dim USING (k) GROUP BY k"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW un_mv2 AS "
+        "SELECT k, max(label) AS label, sum(v) AS total "
+        "FROM un_t NATURAL JOIN un_dim GROUP BY k"
+    )
+    eng.sql("INSERT INTO un_t VALUES (10,1,5),(11,1,7),(12,2,3),(13,3,9)")
+    assert _rows(eng.sql("SELECT k, total FROM un_mv")) == [(1, 12), (2, 3)]
+    assert _rows(eng.sql("SELECT label, total FROM un_mv2")) == [
+        ("ones", 12), ("twos", 3),
+    ]
+    eng.sql("DELETE FROM un_t WHERE id = 11")
+    assert _rows(eng.sql("SELECT k, total FROM un_mv")) == [(1, 5), (2, 3)]
+    assert _rows(eng.sql("SELECT label, total FROM un_mv2")) == [
+        ("ones", 5), ("twos", 3),
+    ]
+    # dimension-side group keys stay a loud error (documented surface)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="maintained"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW un_bad AS "
+            "SELECT label, sum(v) AS t FROM un_t NATURAL JOIN un_dim GROUP BY label"
+        )
