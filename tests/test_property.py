@@ -266,7 +266,7 @@ def test_grammar_accepts_supported_mv_bodies(body, name, ws):
             # parse-time rejections
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t INTERSECT ALL SELECT k FROM u",
             "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t UNION CORRESPONDING SELECT k FROM u",
-            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t JOIN u USING (k)",
+            "CREATE MATERIALIZED VIEW {n} AS SELECT k FROM t JOIN u USING ()",
             "CREATE TABLE {n} (k int4 PRIMARY KEY,)",
             "INSERT INTO {n} SET k = 1",
             "ALTER TABLE {n} RENAME x",  # missing TO
