@@ -99,13 +99,25 @@ def main() -> None:
     # applied at the canonical bench config so sf0.01 dev runs don't
     # false-alarm.
     if sf == 0.1:
-        baseline_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r04.json"
-        )
-        try:
-            with open(baseline_path) as f:
-                base = json.load(f)["parsed"]["queries"]
-        except (FileNotFoundError, KeyError, ValueError):
+        # Baseline = per-query BEST across every recorded round's
+        # driver bench (VERDICT r6 ask #10: median normalization
+        # forgives slow drift; comparing against the best round per
+        # query catches it). r4 stays the floor when no other round
+        # beats it.
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        base: dict[str, float] = {}
+        for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            try:
+                with open(path) as f:
+                    qs = json.load(f)["parsed"]["queries"]
+            except (FileNotFoundError, KeyError, ValueError):
+                continue
+            for q, v in qs.items():
+                if q not in base or v < base[q]:
+                    base[q] = v
+        if not base:
             return
         # Honest re-baselines: r4 pinned llm_jaccard_neardup at 1.405 s,
         # but that number was flattered by the (then-present, since-fixed)
@@ -135,7 +147,7 @@ def main() -> None:
         }
         if regressed:
             for q, (now, was) in regressed.items():
-                print(f"# REGRESSION {q}: {now:.3f}s vs r4 {was:.3f}s", file=sys.stderr)
+                print(f"# REGRESSION {q}: {now:.3f}s vs best-round {was:.3f}s", file=sys.stderr)
             sys.exit(1)
 
 
