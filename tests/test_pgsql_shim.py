@@ -132,3 +132,65 @@ def test_tumble_hop_tvf_batch_rewrite(spark):
     # 23:30, 0:00, 0:30, 1:00, 1:30
     assert sum(r.n for r in out) == 12
     assert len(out) == 5
+
+
+def test_debezium_envelope_matches_reference_golden():
+    """The Debezium sink formatter reproduces the reference's OWN golden
+    (`src/connector/src/sink/formatter/debezium_json.rs` test constant
+    SCHEMA_JSON_RESULT, compared as parsed JSON like the reference test
+    does) — schema block, key block, and the create/delete/update event
+    payloads including the update-pair collapse and the delete
+    tombstone."""
+    import json
+
+    from risingwave_spark.sources.sink_format import (
+        debezium_events,
+        key_schema_to_json,
+        schema_to_json,
+    )
+
+    golden = json.loads(
+        '{"fields":[{"field":"before","fields":[{"field":"v1","optional":true,'
+        '"type":"int32"},{"field":"v2","optional":true,"type":"float"},'
+        '{"field":"v3","optional":true,"type":"string"}],'
+        '"name":"RisingWave.test_db.test_table.Key","optional":true,"type":"struct"},'
+        '{"field":"after","fields":[{"field":"v1","optional":true,"type":"int32"},'
+        '{"field":"v2","optional":true,"type":"float"},{"field":"v3","optional":true,'
+        '"type":"string"}],"name":"RisingWave.test_db.test_table.Key","optional":true,'
+        '"type":"struct"},{"field":"source","fields":[{"field":"db","optional":false,'
+        '"type":"string"},{"field":"table","optional":true,"type":"string"},'
+        '{"field":"ts_ms","optional":false,"type":"int64"}],'
+        '"name":"RisingWave.test_db.test_table.Source","optional":false,"type":"struct"},'
+        '{"field":"op","optional":false,"type":"string"},'
+        '{"field":"ts_ms","optional":false,"type":"int64"}],'
+        '"name":"RisingWave.test_db.test_table.Envelope","optional":false,"type":"struct"}'
+    )
+    fields = [("v1", "int4"), ("v2", "float4"), ("v3", "struct")]
+    assert schema_to_json(fields, "test_db", "test_table") == golden
+
+    ks = key_schema_to_json(fields, ["v1"], "test_db", "test_table")
+    assert ks["fields"] == [{"field": "v1", "optional": True, "type": "int32"}]
+    assert ks["name"] == "RisingWave.test_db.test_table.Key"
+    assert ks["optional"] is False
+
+    rows = [
+        (1, {"v1": 0, "v2": 0.0, "v3": "x"}),   # insert → op c
+        (-1, {"v1": 0, "v2": 0.0, "v3": "x"}),  # }
+        (1, {"v1": 0, "v2": 1.0, "v3": "y"}),   # } same-pk pair → op u
+        (-1, {"v1": 9, "v2": 2.0, "v3": "z"}),  # delete → op d + tombstone
+    ]
+    ev = debezium_events(rows, fields, ["v1"], "test_db", "test_table", ts_ms=42)
+    ops = [v["payload"]["op"] if v else None for _k, v in ev]
+    # the same-pk −/+ pair collapses to ONE 'u' event (the reference's
+    # UpdateDelete/UpdateInsert branches emit nothing for the delete half)
+    assert ops == ["c", "u", "d", None]
+    c = ev[0][1]["payload"]
+    assert c["before"] is None and c["after"] == {"v1": 0, "v2": 0.0, "v3": "x"}
+    assert c["source"] == {"db": "test_db", "table": "test_table", "ts_ms": 42}
+    u = ev[1][1]["payload"]
+    assert u["before"] == {"v1": 0, "v2": 0.0, "v3": "x"}
+    assert u["after"] == {"v1": 0, "v2": 1.0, "v3": "y"}
+    d = ev[2][1]["payload"]
+    assert d["before"] == {"v1": 9, "v2": 2.0, "v3": "z"} and d["after"] is None
+    assert ev[3][1] is None  # compacted-topic tombstone
+    assert ev[2][0]["payload"] == {"v1": 9}
