@@ -1097,6 +1097,7 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
     engine._unrecord_ddl([name])
     h = engine.mv_handles.pop(name)
     engine.temporal_mvs.pop(name, None)
+    engine._scalar_deps[:] = [d for d in engine._scalar_deps if d["mv"] != name]
     for t in engine.tables.values():
         # match by name too: a stream-join MV subscribes via per-side
         # handles (api._JoinSideHandle), not the catalog handle itself
@@ -1105,6 +1106,9 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
         if h.view in other.view.downstream:
             other.view.downstream.remove(h.view)
     spark.catalog.dropTempView(name)
+    # desugared WHERE-subquery helpers belong to this MV — drop them too
+    for helper in [n for n in list(engine.mv_handles) if n.startswith(f"__{name}_sq")]:
+        _execute_one(engine, f"DROP MATERIALIZED VIEW {helper}")
     return _status(spark, "DROP_MATERIALIZED_VIEW")
 
 
