@@ -2312,11 +2312,29 @@ def _handle_create_over_window_mv(
             "partition; filter downstream or pre-filter into a table)"
         )
     base = sm.group("tbl")
-    if base not in engine.tables:
-        raise ValueError(f"over-window MV base {base!r} is not a table")
-    t = engine.tables[base]
-    base_cols = t.snapshot().columns
-    pk = t.pk
+    if base in engine.tables:
+        t = engine.tables[base]
+        base_snap = t.snapshot()
+        pk = t.pk
+    elif base in engine.mv_handles and not eowc:
+        # over-window ON TOP of an agg-keyed MV (mv-on-mv composed with
+        # the OverWindow executor — reference nexmark q6_group_top1:
+        # AVG OVER the per-(auction,seller) rank-1 view): the upstream
+        # MV's Update-pair changelog feeds the delta recompute; its
+        # group key is the row identity
+        t = None
+        up = engine.mv_handles[base].view
+        keys_up = getattr(up, "keys", None)
+        if not keys_up or len(keys_up) != 1:
+            raise ValueError(
+                "over-window MV over an MV needs a single-column group "
+                "key upstream (the row identity)"
+            )
+        base_snap = up.result()
+        pk = keys_up[0]
+    else:
+        raise ValueError(f"over-window MV base {base!r} is not a table or keyed MV")
+    base_cols = base_snap.columns
     if not isinstance(pk, str):
         raise ValueError("over-window MVs need a single-column PRIMARY KEY base")
 
@@ -2514,10 +2532,13 @@ def _handle_create_over_window_mv(
     view = _Proj(mvd)
     fresh = (not mvd.exists()) if eowc else (not mvd.mv.exists())
     if fresh:
-        view.apply_batch(with_ops(t.snapshot(), 1))
+        view.apply_batch(with_ops(base_snap, 1))
     h = MaterializedViewHandle(name, view)
     h._register()
-    t.mvs.append(h)
+    if t is not None:
+        t.mvs.append(h)
+    else:
+        engine.mv_handles[base].view.downstream.append(mvd)
     engine.mv_handles[name] = h
     engine._record_ddl(name, stmt)
     return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")

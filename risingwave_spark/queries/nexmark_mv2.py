@@ -497,3 +497,51 @@ def nexmark_mv_q106_min_final(spark, sf_dir):
         auction=True,
     )
     return eng.sql("SELECT min_final FROM nx_q106")
+
+
+@register(
+    "nexmark_mv_q6_group_top1",
+    oracle=f"""
+WITH r AS (
+  SELECT auction, auction % 50 AS seller,
+         CAST(min(CAST(round(price*100,0) AS BIGINT)*10000000 + event_id)
+              % 10000000 AS BIGINT) AS win_event,
+         (CAST(min(CAST(round(price*100,0) AS BIGINT)*10000000 + event_id)
+               // 10000000 AS BIGINT))/100.0 AS final
+  FROM {SURV_BIDS} b GROUP BY auction
+)
+SELECT auction, seller, win_event, final,
+       avg(final) OVER (PARTITION BY seller ORDER BY win_event
+                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS avg10
+FROM r ORDER BY auction
+""",
+)
+def nexmark_mv_q6_group_top1(spark, sf_dir):
+    """Nexmark q6_group_top1 (reference `views/q6_group_top1.slt.part`:
+    the per-(auction,seller) rank-1 bid feeding an AVG OVER the last
+    10 per seller) — the over-window-on-top-of-a-view composition: the
+    rank-1 level collapses to a retractable packed-argmin agg MV keyed
+    by auction, and the windowed average maintains as a frame-delta
+    over-window MV consuming THAT MV's Update-pair changelog
+    (MV-as-over-window-base). win_event stands in for the winning
+    bid's event time (event ids are time-ordered in this corpus)."""
+    eng = _engine(
+        spark, sf_dir, "rw_nxmv6_",
+        """
+        CREATE MATERIALIZED VIEW nx_q6r AS
+        SELECT auction, auction % 50 AS seller,
+               CAST(min(CAST(round(price*100,0) AS BIGINT)*10000000 + event_id)
+                    % 10000000 AS BIGINT) AS win_event,
+               (min(CAST(round(price*100,0) AS BIGINT)*10000000 + event_id)
+                DIV 10000000)/100.0D AS final
+        FROM bid GROUP BY auction;
+        CREATE MATERIALIZED VIEW nx_q6 AS
+        SELECT auction, seller, win_event, final,
+               avg(final) OVER (PARTITION BY seller ORDER BY win_event
+                                ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS avg10
+        FROM nx_q6r
+        """,
+    )
+    return eng.sql(
+        "SELECT auction, seller, win_event, final, avg10 FROM nx_q6 ORDER BY auction"
+    )
