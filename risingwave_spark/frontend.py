@@ -3163,12 +3163,29 @@ def _extract_trailing_order_limit(masked: str, lits: list[str]):
 
 
 def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
-    out = _handle_create_mv_core(engine, m)
-    ol = engine._pending_read_topn.pop(m.group(1), None)
+    name = m.group(1)
+    pre = set(engine.mv_handles)
+    try:
+        out = _handle_create_mv_core(engine, m)
+    except Exception:
+        # the subquery desugar creates helper MVs BEFORE the main MV
+        # compiles — a later compile failure must not leak them
+        for helper in [
+            n for n in list(engine.mv_handles)
+            if n.startswith(f"__{name}_sq") and n not in pre
+        ]:
+            try:
+                _execute_one(engine, f"DROP MATERIALIZED VIEW {helper}")
+            except Exception:
+                pass
+        engine._pending_read_topn.pop(name, None)
+        engine._scalar_deps[:] = [d for d in engine._scalar_deps if d["mv"] != name]
+        raise
+    ol = engine._pending_read_topn.pop(name, None)
     if ol is not None:
         from risingwave_spark.api import TopNReadMv
 
-        h = engine.mv_handles[m.group(1)]
+        h = engine.mv_handles[name]
         h.view = TopNReadMv(h.view, ol[0], ol[1])
         h._register()
     return out
