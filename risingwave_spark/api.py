@@ -1225,17 +1225,37 @@ class Engine:
     def _register_scalar_dep(self, mv: str, scalar_sql: str) -> None:
         self._scalar_deps.append({"mv": mv, "sql": scalar_sql})
 
-    def _check_scalar_deps(self) -> None:
+    def _check_scalar_deps(self, table: str | None = None) -> None:
         """Re-splice MVs whose uncorrelated scalar subquery moved (the
         DynamicFilter recompute path). The re-splice recomputes every
         group from state — O(state), the honest cost of an RHS shift
         that can flip ANY row's predicate; unmoved scalars cost one
-        tiny aggregate job."""
+        tiny aggregate job, and a DML batch on a table the scalar never
+        reads costs nothing at all (the reference only wakes the
+        DynamicFilter when its RHS stream produces)."""
+        import re as _re
+
         _MISS = object()
         for dep in self._scalar_deps:
             h = self.mv_handles.get(dep["mv"])
             if h is None:
                 continue
+            v = h.view
+            agg = getattr(v, "agg", None)
+            if agg is None and hasattr(v, "retouch"):
+                agg = v
+            if agg is None:
+                continue  # row-grain join MV: scalar evaluates at read
+            if table is not None:
+                toks = dep.setdefault(
+                    "refs", set(_re.findall(r"\b\w+\b", dep["sql"]))
+                )
+                # tables-only scalars skip unrelated DML; a scalar
+                # reading an MV must always re-evaluate (its upstream
+                # set is not tracked here — conservative)
+                reads_mv = any(t in self.mv_handles for t in toks)
+                if not reads_mv and table not in toks:
+                    continue
             try:
                 row = self.spark.sql(dep["sql"]).first()
             except Exception:
@@ -1244,12 +1264,6 @@ class Engine:
             if val == dep.get("last", _MISS):
                 continue
             dep["last"] = val
-            v = h.view
-            agg = getattr(v, "agg", None)
-            if agg is None and hasattr(v, "retouch"):
-                agg = v
-            if agg is None:
-                continue  # row-grain join MV: scalar evaluates at read
             annotate = agg.key_of or (lambda d: d)
             aff = annotate(agg.state.read()).select(*agg.keys).distinct()
             agg.retouch(aff)
@@ -1269,7 +1283,7 @@ class Engine:
         # propagation may have advanced downstream MVs too — refresh all
         for h in self.mv_handles.values():
             h._register()
-        self._check_scalar_deps()
+        self._check_scalar_deps(table)
         # late-bound views re-resolve against the new snapshots; sinks
         # drain whatever changelog chunks this batch produced
         self._register_views()
