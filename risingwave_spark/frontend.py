@@ -111,16 +111,6 @@ _DROP = re.compile(
     r"(?:IF\s+EXISTS\s+)?(\w+)\s*(CASCADE)?\s*$",
     re.I,
 )
-_INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?((?:VALUES|SELECT|WITH)\b.*)$",
-    re.I | re.S,
-)
-_UPDATE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*$", re.I | re.S
-)
-_DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+(?P<tail>\S.*))?\s*$", re.I | re.S
-)
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS"
     r"|INTERNAL\s+TABLES|SECRETS)\s*$",
@@ -701,8 +691,11 @@ def _project_returning(engine: "Engine", rows: DataFrame, ret: str) -> DataFrame
     )
 
 
-def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
-    name, collist, body = m.group(1), m.group(2), m.group(3)
+def _handle_insert(engine: "Engine", ast: dict) -> DataFrame:
+    """Consumes the grammar's shared AST (sqlparse.classify_ast) —
+    table/column-list/body come from the tokens the grammar validated,
+    not a second regex pass (VERDICT r6 #3)."""
+    name, cols, body = ast["table"], ast["columns"], ast["body"]
     body, returning = _split_returning(body)
     if name not in engine.tables:
         raise ValueError(f"INSERT target {name!r} is not a table")
@@ -729,7 +722,7 @@ def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
         rows = engine.spark.sql(f"SELECT * FROM ({body}) AS __v({alias})")
     else:
         rows = engine.spark.sql(body)
-    aligned = _aligned_insert_rows(engine, t, _split_top_level(collist) if collist else None, rows)
+    aligned = _aligned_insert_rows(engine, t, cols, rows)
     has_rowid = ROW_ID in t.snapshot().columns
     if has_rowid:
         nxt = getattr(t, "_rowid_next", None)
@@ -752,55 +745,43 @@ def _handle_insert(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(engine.spark, f"INSERT 0 {n}")
 
 
-def _handle_update(engine: "Engine", m: re.Match) -> DataFrame:
-    name, setlist, where = m.group(1), m.group(2), m.group(3)
+def _handle_update(engine: "Engine", ast: dict) -> DataFrame:
+    """SET items, WHERE, and RETURNING come pre-split from the grammar
+    (token-boundary spans): a WHERE inside a string literal or a SET
+    subquery can never confuse the split, because the split IS the
+    parse (VERDICT r6 #3)."""
+    name = ast["table"]
     if name not in engine.tables:
         raise ValueError(f"UPDATE target {name!r} is not a table")
-    # RETURNING rides at the end of whichever clause the regex captured
-    # last (WHERE when present, else the SET list)
-    if where is not None:
-        where, returning = _split_returning(where)
-    else:
-        setlist, returning = _split_returning(setlist)
-    masked, lits = _mask_strings(setlist)
     t = engine.tables[name]
     gen = getattr(t, "generated", {}) or {}
     assignments = {}
-    for item in _split_top_level(masked):
-        am = re.match(r"^(\w+)\s*=\s*(.+)$", item, re.S)
-        if not am:
-            raise ValueError(f"cannot parse SET item: {_unmask(item, lits)!r}")
-        if am.group(1) in gen:
+    for col, expr in ast["set_items"]:
+        if col in gen:
             # reference generated_columns.slt: "update modifying the
             # generated column is unsupported"
             raise ValueError(
-                f"update modifying the generated column {am.group(1)!r} "
+                f"update modifying the generated column {col!r} "
                 "is unsupported"
             )
-        assignments[am.group(1)] = F.expr(
-            pg_to_spark_sql(_unmask(am.group(2).strip(), lits))
-        )
+        assignments[col] = F.expr(pg_to_spark_sql(expr))
+    where = ast.get("where")
     pred = F.expr(pg_to_spark_sql(where)) if where else F.lit(True)
     new_rows = engine.update(name, pred, assignments)
+    returning = ast.get("returning")
     if returning is not None:
         return _project_returning(engine, new_rows, returning)
     return _status(engine.spark, "UPDATE")
 
 
-def _handle_delete(engine: "Engine", m: re.Match) -> DataFrame:
-    name, tail = m.group(1), m.group("tail")
+def _handle_delete(engine: "Engine", ast: dict) -> DataFrame:
+    name = ast["table"]
     if name not in engine.tables:
         raise ValueError(f"DELETE target {name!r} is not a table")
-    where = returning = None
-    if tail:
-        rest, returning = _split_returning(tail)
-        wm = re.match(r"^WHERE\s+(.*)$", rest, re.I | re.S)
-        if wm:
-            where = wm.group(1)
-        elif rest:
-            raise ValueError(f"cannot parse DELETE tail: {rest!r}")
+    where = ast.get("where")
     pred = F.expr(pg_to_spark_sql(where)) if where else F.lit(True)
     doomed = engine.delete(name, pred)
+    returning = ast.get("returning")
     if returning is not None:
         return _project_returning(engine, doomed, returning)
     return _status(engine.spark, "DELETE")
@@ -4106,9 +4087,6 @@ _KIND_DISPATCH = {
     "alter_table": (re.compile(r"^\s*ALTER\s+TABLE\b.*$", re.I | re.S), _handle_alter_table),
     "alter_rename": (_ALTER_RENAME, _handle_alter_rename),
     "drop": (_DROP, _handle_drop),
-    "insert": (_INSERT, _handle_insert),
-    "update": (_UPDATE, _handle_update),
-    "delete": (_DELETE, _handle_delete),
     "declare": (_DECLARE, _handle_declare),
     "fetch": (_FETCH, _handle_fetch),
     "close": (_CLOSE, _handle_close),
@@ -4121,6 +4099,16 @@ _KIND_DISPATCH = {
     "drop_secret": (_DROP_SECRET, _handle_drop_secret),
     "create_schema": (_CREATE_SCHEMA, _handle_create_schema),
     "drop_schema": (_DROP_SCHEMA, _handle_drop_schema),
+}
+
+#: kinds whose handlers consume the grammar's structured parse
+#: (sqlparse.classify_ast) instead of a second regex pass — the
+#: shared-AST migration path (VERDICT r6 #3); checked before
+#: _KIND_DISPATCH in _execute_one
+_AST_DISPATCH = {
+    "insert": _handle_insert,
+    "update": _handle_update,
+    "delete": _handle_delete,
 }
 
 
@@ -4299,7 +4287,7 @@ def _handle_prepare_execute(engine: "Engine", stmt: str) -> DataFrame | None:
 
 
 def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
-    from risingwave_spark.sqlparse import classify
+    from risingwave_spark.sqlparse import classify_ast
 
     m = _TXN_BEGIN.match(stmt)
     if m and re.match(r"^\s*(START|BEGIN)\b", stmt, re.I):
@@ -4317,7 +4305,9 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         if out is not None:
             return out
         raise ValueError(f"cannot parse statement: {stmt[:120]!r}")
-    kind = classify(stmt)  # raises SqlParseError on bad engine-owned shapes
+    # raises SqlParseError on bad engine-owned shapes; ast carries the
+    # grammar's structured parse for _AST_DISPATCH handlers
+    kind, ast = classify_ast(stmt)
     if (
         getattr(engine, "_txn", None) is not None
         and engine._txn["read_only"]
@@ -4326,6 +4316,8 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         raise ValueError(
             f"cannot execute {kind.upper()} in a read-only transaction"
         )
+    if kind in _AST_DISPATCH:
+        return _AST_DISPATCH[kind](engine, ast)
     if kind in _KIND_DISPATCH:
         rx, handler = _KIND_DISPATCH[kind]
         m = rx.match(stmt)

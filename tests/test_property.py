@@ -227,12 +227,19 @@ def test_grammar_classifies_generated_engine_statements(stmt):
     never accepts a shape its handler can't extract (the 'internal
     error' path in frontend._execute_one stays unreachable)."""
     from risingwave_spark import frontend
-    from risingwave_spark.sqlparse import classify
+    from risingwave_spark.sqlparse import classify_ast
 
-    kind = classify(stmt)
+    kind, ast = classify_ast(stmt)
     assert kind in ("create_table", "insert")
-    rx, _handler = frontend._KIND_DISPATCH[kind]
-    assert rx.match(stmt) is not None, f"{kind} extractor rejected: {stmt!r}"
+    if kind in frontend._AST_DISPATCH:
+        # shared-AST path: the handler consumes the grammar's own parse,
+        # so grammar/extractor agreement is structural — assert the
+        # fields the handler reads are present and sane instead
+        assert ast["table"], f"grammar captured no table for: {stmt!r}"
+        assert ast["body"].upper().startswith(("VALUES", "SELECT", "WITH", "TABLE", "(")), ast
+    else:
+        rx, _handler = frontend._KIND_DISPATCH[kind]
+        assert rx.match(stmt) is not None, f"{kind} extractor rejected: {stmt!r}"
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
