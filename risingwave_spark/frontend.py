@@ -88,24 +88,6 @@ def _status(spark: SparkSession, tag: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- regexes
-_CREATE_TABLE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
-    r"(?P<append>APPEND\s+ONLY\s*)?"
-    r"(?:ON\s+CONFLICT\s+(?P<conflict>OVERWRITE|IGNORE|DO\s+NOTHING"
-    r"|DO\s+UPDATE\s+FULL|DO\s+UPDATE\s+IF\s+NOT\s+NULL)\s*)?"
-    r"(?:WITH\s+VERSION\s+COLUMN\s*\(\s*(?P<version>\w+)\s*\)\s*)?"
-    r"(?:WITH\s*\((?P<with>.*?)\)\s*)?"
-    r"(?:FORMAT\s+(?P<format>[\w ]+?)\s*)?$",
-    re.I | re.S,
-)
-_CREATE_TABLE_AS = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(\(?\s*(?:SELECT|WITH|VALUES)\b.*)$",
-    re.I | re.S,
-)
-_CREATE_MV = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
-    re.I | re.S,
-)
 _DROP = re.compile(
     r"^\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+"
     r"(?:IF\s+EXISTS\s+)?(\w+)\s*(CASCADE)?\s*$",
@@ -359,14 +341,20 @@ def _parse_coldefs(spark: SparkSession, body: str):
     return empty, pk, defaults, watermark, generated
 
 
-def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
-    name, body = m.group(1), m.group(2)
+def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
+    """Consumes the grammar's shared AST (sqlparse.classify_ast): the
+    coldef span is cut at the tokens the depth-aware parse consumed, so
+    a ')' inside a DEFAULT expression or type parameter can never
+    truncate the column list the way the old non-greedy regex could
+    (VERDICT r6 #3)."""
+    name, body = ast["table"], ast["coldefs"]
+    append = ast.get("append", False)
     empty, pk, defaults, watermark, generated = _parse_coldefs(engine.spark, body)
     user_pk = bool(pk)
     if not pk:
         empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
         pk = [ROW_ID]
-    if watermark is not None and not m.group("append"):
+    if watermark is not None and not append:
         # reference create_table.rs:828: "Defining watermarks on table
         # requires the table to be append only."
         raise ValueError(
@@ -377,21 +365,21 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     # handler create_table.rs → ConflictBehavior; pk-conflict semantics
     # applied on the insert path, materialize.rs:193-290)
     conflict = None
-    if m.group("conflict"):
+    if ast.get("conflict"):
         conflict = {
             "OVERWRITE": "overwrite",
             "DO UPDATE FULL": "overwrite",
             "IGNORE": "ignore",
             "DO NOTHING": "ignore",
             "DO UPDATE IF NOT NULL": "update_if_not_null",
-        }[re.sub(r"\s+", " ", m.group("conflict").upper().strip())]
-    version_col = m.group("version")
+        }[ast["conflict"]]
+    version_col = ast.get("version")
     if conflict and not user_pk:
         raise ValueError(
             "ON CONFLICT requires the table to declare a PRIMARY KEY "
             "(conflicts are defined by pk equality)"
         )
-    if m.group("append") and conflict in ("overwrite", "update_if_not_null"):
+    if append and conflict in ("overwrite", "update_if_not_null"):
         # reference on_conflict.slt: APPEND ONLY + overwrite is an error
         # (overwrite emits retractions); APPEND ONLY + DO NOTHING is fine
         raise ValueError(
@@ -412,9 +400,9 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
                 f"version column {version_col!r} must have an ordered "
                 "comparable type (boolean is not)"
             )
-    opts = _parse_with_options(m.group("with")) if m.group("with") else {}
+    opts = _parse_with_options(ast["with"]) if ast.get("with") else {}
     retention = opts.get("retention_seconds")
-    if retention is not None and not m.group("append"):
+    if retention is not None and not append:
         # reference e2e_test/ttl/ttl.slt: `create table t(v int) with
         # (retention_seconds = 5)` is an error; APPEND ONLY is required
         # (expiry cannot coexist with retraction semantics)
@@ -425,13 +413,13 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
     t = engine.create_table(name, empty, pk=pk if len(pk) > 1 else pk[0])
     t.defaults = defaults
     t.watermark = watermark
-    t.append_only = bool(m.group("append"))
+    t.append_only = append
     t.on_conflict = conflict
     t.version_col = version_col
     t.generated = generated
     if retention is not None:
         t.retention_seconds = float(retention)
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     if opts.get("connector"):
         if generated:
             raise ValueError(
@@ -442,7 +430,7 @@ def _handle_create_table(engine: "Engine", m: re.Match) -> DataFrame:
         # ingest the current file set now; Engine.poll_sources() folds
         # files that appear later (reference create_table.rs with a
         # connector = source + table in one object)
-        _attach_table_connector(engine, t, opts, m.group("format"))
+        _attach_table_connector(engine, t, opts, ast.get("format"))
     return _status(engine.spark, "CREATE_TABLE")
 
 
@@ -544,8 +532,8 @@ def _ingest_table_files(engine: "Engine", t) -> None:
         os.replace(tmp, meta)
 
 
-def _handle_create_table_as(engine: "Engine", m: re.Match) -> DataFrame:
-    name, select = m.group(1), m.group(2)
+def _handle_create_table_as(engine: "Engine", ast: dict) -> DataFrame:
+    name, select = ast["table"], ast["body"]
     rows = engine.spark.sql(pg_to_spark_sql(select))
     # CTAS has no pk clause → hidden row id (reference row_id_gen.rs:25)
     rows = _assign_row_ids(rows, 0).localCheckpoint(eager=True)
@@ -3013,8 +3001,10 @@ def _mv_stream_pipeline(engine: "Engine", stmt: str) -> list[str]:
     prints the StreamMaterialize tree): mirror `_handle_create_mv`'s
     routing predicates WITHOUT executing, and name the runtime operators
     the statement would compile onto. Indentation = dataflow order."""
-    mm = _CREATE_MV.match(stmt)
-    name, select = mm.group(1), mm.group(2).strip().rstrip(";")
+    from risingwave_spark.sqlparse import classify_ast
+
+    _kind, past = classify_ast(stmt)
+    name, select = past["name"], past["body"].strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
     if em:
         select = select[: em.start()]
@@ -3143,11 +3133,11 @@ def _extract_trailing_order_limit(masked: str, lits: list[str]):
     return masked[: pos.start()].rstrip(), items, limit
 
 
-def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
-    name = m.group(1)
+def _handle_create_mv(engine: "Engine", ast: dict) -> DataFrame:
+    name = ast["name"]
     pre = set(engine.mv_handles)
     try:
-        out = _handle_create_mv_core(engine, m)
+        out = _handle_create_mv_core(engine, ast)
     except Exception:
         # the subquery desugar creates helper MVs BEFORE the main MV
         # compiles — a later compile failure must not leak them
@@ -3172,24 +3162,24 @@ def _handle_create_mv(engine: "Engine", m: re.Match) -> DataFrame:
     return out
 
 
-def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
-    name, select = m.group(1), m.group(2).strip().rstrip(";")
+def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
+    name, select = ast["name"], ast["body"].strip().rstrip(";")
     em = re.search(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", select, re.I)
     if em:
         select = select[: em.start()]
     masked, lits = _mask_strings(select)
     if em:
-        return _handle_create_eowc_mv(engine, name, m.string, select, masked, lits)
+        return _handle_create_eowc_mv(engine, name, ast["stmt"], select, masked, lits)
     tm2, hm2 = _TUMBLE_FROM.search(masked), _HOP_FROM.search(masked)
     if tm2 or hm2:
         # TUMBLE/HOP without EMIT ON WINDOW CLOSE: eagerly-maintained
         # windowed MV (every open window up to date, deletes retract)
-        return _handle_create_windowed_mv(engine, name, m.string, masked, lits, tm2, hm2)
+        return _handle_create_windowed_mv(engine, name, ast["stmt"], masked, lits, tm2, hm2)
     tn = _TOPN_MV.match(masked)
     if tn:
         # rank-filtered subquery-FROM → GroupTopN (before the generic
         # over-window route: this shape's OVER lives in the subquery)
-        return _handle_create_topn_mv(engine, name, m.string, tn, lits)
+        return _handle_create_topn_mv(engine, name, ast["stmt"], tn, lits)
     if not re.match(r"^\s*SELECT\s+DISTINCT\s+ON\b", masked, re.I | re.S):
         # trailing ORDER BY [LIMIT k] (reference tpch views q2/q3/q10/
         # q21): the body is maintained unbounded; LIMIT becomes a
@@ -3203,17 +3193,17 @@ def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
                 engine._pending_read_topn[name] = (ol[1], ol[2])
     if re.search(r"\bOVER\s*\(", masked, re.I):
         # window functions in the body → frame-delta over-window MV
-        return _handle_create_over_window_mv(engine, name, m.string, masked, lits)
+        return _handle_create_over_window_mv(engine, name, ast["stmt"], masked, lits)
     uparts, useps = _split_top_level_union(masked)
     if useps:
-        return _handle_create_union_mv(engine, name, m.string, uparts, useps, lits)
+        return _handle_create_union_mv(engine, name, ast["stmt"], uparts, useps, lits)
     dom = re.match(
         r"^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<keys>[^)]*)\)\s+(?P<rest>.*)$",
         masked,
         re.I | re.S,
     )
     if dom:
-        return _handle_create_distinct_on_mv(engine, name, m.string, dom, lits)
+        return _handle_create_distinct_on_mv(engine, name, ast["stmt"], dom, lits)
     dm2 = re.match(r"^(\s*SELECT)\s+DISTINCT\s+(?P<items>.*?)\s+(?P<rest>FROM\b.*)$", masked, re.I | re.S)
     if dm2:
         # SELECT DISTINCT a, b FROM t ≡ GROUP BY a, b (reference binds
@@ -3267,7 +3257,7 @@ def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
         colsets = [_chain_input_cols(engine, t) for t in pj["tables"]]
         flat = [c for cs in colsets for c in cs]
         if len(set(flat)) == len(flat):
-            return _handle_create_stream_join_mv(engine, name, m.string, pj, lits)
+            return _handle_create_stream_join_mv(engine, name, ast["stmt"], pj, lits)
     sm = _SELECT_SHAPE.match(masked)
     if not sm:
         raise ValueError(
@@ -3334,7 +3324,7 @@ def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
 
     if gb and re.match(r"^\s*(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", gb.group(1), re.I):
         return _handle_create_grouping_sets_mv(
-            engine, name, m.string, sm, gb, select_items, lits, has_join, base
+            engine, name, ast["stmt"], sm, gb, select_items, lits, has_join, base
         )
     keys: list[str] = []
     derived: dict[str, str] = {}  # alias -> expr (needs key_of annotation)
@@ -3451,7 +3441,7 @@ def _handle_create_mv_core(engine: "Engine", m: re.Match) -> DataFrame:
     engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
     if has_now:
         engine._register_temporal_mv(name, pred_sql)
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
 
 
@@ -4077,9 +4067,6 @@ def _handle_drop_function(engine: "Engine", m: re.Match) -> DataFrame:
 #: reaches Catalyst; one it accepts must also match the extraction
 #: regex — a disagreement is a loud internal error, not a fallthrough.
 _KIND_DISPATCH = {
-    "create_table_as": (_CREATE_TABLE_AS, _handle_create_table_as),
-    "create_table": (_CREATE_TABLE, _handle_create_table),
-    "create_mv": (_CREATE_MV, _handle_create_mv),
     "create_view": (_CREATE_VIEW, _handle_create_view),
     "create_source": (_CREATE_SOURCE, _handle_create_source),
     "create_sink": (_CREATE_SINK, _handle_create_sink),
@@ -4109,6 +4096,9 @@ _AST_DISPATCH = {
     "insert": _handle_insert,
     "update": _handle_update,
     "delete": _handle_delete,
+    "create_table": _handle_create_table,
+    "create_table_as": _handle_create_table_as,
+    "create_mv": _handle_create_mv,
 }
 
 
@@ -4119,7 +4109,7 @@ def _conf_bool(engine: "Engine", key: str) -> bool:
         return False
 
 
-def _spawn_background_ddl(engine: "Engine", name: str, handler, m: re.Match) -> DataFrame:
+def _spawn_background_ddl(engine: "Engine", name: str, handler, ast: dict) -> DataFrame:
     """SET BACKGROUND_DDL=true (reference
     e2e_test/background_ddl/basic.slt; meta's background streaming-job
     creation): CREATE MATERIALIZED VIEW returns immediately; the
@@ -4137,7 +4127,7 @@ def _spawn_background_ddl(engine: "Engine", name: str, handler, m: re.Match) -> 
     def run():
         try:
             with engine._ddl_lock:
-                handler(engine, m)
+                handler(engine, ast)
         except Exception as e:  # surfaced by WAIT / SHOW JOBS
             job["error"] = e
 
@@ -4317,7 +4307,19 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             f"cannot execute {kind.upper()} in a read-only transaction"
         )
     if kind in _AST_DISPATCH:
-        return _AST_DISPATCH[kind](engine, ast)
+        handler = _AST_DISPATCH[kind]
+        if kind == "create_mv" and not engine._replaying:
+            name = ast["name"]
+            job = getattr(engine, "_bg_jobs", {}).get(name)
+            if name in engine.mv_handles or (job and job["error"] is None and job["thread"].is_alive()):
+                # reference meta rejects duplicate mview names, including
+                # while one is still creating (background_ddl/basic.slt)
+                if ast.get("if_not_exists"):
+                    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
+                raise ValueError(f"materialized view {name!r} already exists")
+            if _conf_bool(engine, "BACKGROUND_DDL"):
+                return _spawn_background_ddl(engine, name, handler, ast)
+        return handler(engine, ast)
     if kind in _KIND_DISPATCH:
         rx, handler = _KIND_DISPATCH[kind]
         m = rx.match(stmt)
@@ -4327,17 +4329,6 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
                 f"extractor did not accept it — please simplify the "
                 f"statement or use the Python API: {stmt[:120]!r}"
             )
-        if kind == "create_mv" and not engine._replaying:
-            name = m.group(1)
-            job = getattr(engine, "_bg_jobs", {}).get(name)
-            if name in engine.mv_handles or (job and job["error"] is None and job["thread"].is_alive()):
-                # reference meta rejects duplicate mview names, including
-                # while one is still creating (background_ddl/basic.slt)
-                if re.search(r"\bIF\s+NOT\s+EXISTS\b", stmt, re.I):
-                    return _status(engine.spark, "CREATE_MATERIALIZED_VIEW")
-                raise ValueError(f"materialized view {name!r} already exists")
-            if _conf_bool(engine, "BACKGROUND_DDL"):
-                return _spawn_background_ddl(engine, name, handler, m)
         return handler(engine, m)
     m = _DESCRIBE.match(stmt)
     if m:
@@ -4370,15 +4361,14 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         # engine-owned statements are refused (the reference prints its
         # stream plan; executing the statement would be the one thing an
         # EXPLAIN must not do).
-        from risingwave_spark.sqlparse import classify as _classify
+        from risingwave_spark.sqlparse import classify_ast as _classify_ast
 
         inner = m.group(1).strip()
-        kind = _classify(inner)
+        kind, inner_ast = _classify_ast(inner)
         stream_rows: list[str] = []
         if kind == "create_mv":
-            mm = _CREATE_MV.match(inner)
             body = re.sub(
-                r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", "", mm.group(2), flags=re.I
+                r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*$", "", inner_ast["body"], flags=re.I
             )
             # the reference prints the STREAM plan for MV DDL
             # (handler/explain.rs); emit our runtime's operator pipeline

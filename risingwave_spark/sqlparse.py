@@ -657,34 +657,46 @@ def _parse_create(p: _P) -> str:
     if p.at("TABLE"):
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("table name")
+        p.ast["table"] = unquote_ident(p.ident("table name"))
         if p.at("AS"):
             p.eat()
+            i0 = p.i
             _rest_is_query(p, "CREATE TABLE ... AS")
+            p.ast["body"] = p.span(i0, p.i)
             return "create_table_as"
+        i0 = p.i
         _parse_coldef_list(p)
+        # inner span: coldef text between the outer parens, cut at the
+        # SAME tokens the depth-aware parse consumed (a ')' inside a
+        # DEFAULT expression or varchar(n) can never truncate it)
+        p.ast["coldefs"] = p.span(i0 + 1, p.i - 1)
+        p.ast["append"] = False
         if p.at("APPEND"):
             p.eat()
             p.eat_kw("ONLY")
+            p.ast["append"] = True
         if p.at("ON"):
             # ON CONFLICT behavior (reference parser.rs
             # parse_on_conflict / parse_handle_conflict_behavior)
             p.eat()
             p.eat_kw("CONFLICT")
             if p.at("OVERWRITE", "IGNORE"):
-                p.eat()
+                p.ast["conflict"] = p.eat().val.upper()
             elif p.at("DO"):
                 p.eat()
                 if p.at("NOTHING"):
                     p.eat()
+                    p.ast["conflict"] = "DO NOTHING"
                 elif p.at("UPDATE"):
                     p.eat()
                     if p.at("FULL"):
                         p.eat()
+                        p.ast["conflict"] = "DO UPDATE FULL"
                     elif p.at("IF"):
                         p.eat()
                         p.eat_kw("NOT")
                         p.eat_kw("NULL")
+                        p.ast["conflict"] = "DO UPDATE IF NOT NULL"
                     else:
                         p.fail("expected FULL or IF NOT NULL after DO UPDATE")
                 else:
@@ -696,26 +708,32 @@ def _parse_create(p: _P) -> str:
             p.eat()
             p.eat_kw("COLUMN")
             p.eat_op("(")
-            p.ident("version column")
+            p.ast["version"] = unquote_ident(p.ident("version column"))
             p.eat_op(")")
         if p.at("WITH"):
+            i0 = p.i
             _parse_with_options(p)
+            p.ast["with"] = p.span(i0 + 2, p.i - 1)
         if p.at("FORMAT"):
             # FORMAT DEBEZIUM/PLAIN [ENCODE JSON] (reference
             # handler/create_table.rs connector-backed tables)
             p.eat()
-            p.ident("format name")
+            p.ast["format"] = p.ident("format name")
             if p.at("ENCODE"):
                 p.eat()
-                p.ident("encode name")
+                p.ast["encode"] = p.ident("encode name")
         p.expect_done("CREATE TABLE")
         return "create_table"
     if p.at_seq("MATERIALIZED", "VIEW"):
         p.eat()
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("view name")
+        p.ast["name"] = unquote_ident(p.ident("view name"))
         p.eat_kw("AS")
+        # body span = everything after AS, INCLUDING any EMIT ON WINDOW
+        # CLOSE tail (the MV compiler detects and strips it — same
+        # contract the old _CREATE_MV regex group(2) carried)
+        p.ast["body"] = p.span(p.i)
         _parse_select_core(p, mv=True)
         # UNION [ALL] chain (reference e2e_test/streaming/union.slt —
         # stream union of N changelogs): each arm re-enters the same
@@ -934,6 +952,9 @@ def _skip_if_not_exists(p: _P) -> None:
         p.eat()
         p.eat()
         p.eat()
+        # token-level capture: an 'IF NOT EXISTS' inside a string
+        # literal elsewhere in the statement can never set this
+        p.ast["if_not_exists"] = True
 
 
 def _parse_returning(p: _P) -> None:
@@ -978,7 +999,9 @@ def classify_ast(stmt: str) -> tuple[str, dict]:
     if not toks:
         raise SqlParseError("empty statement")
     p = _P(toks, stmt)
-    return _classify_p(p), p.ast
+    kind = _classify_p(p)
+    p.ast["stmt"] = stmt  # handlers that record replay DDL keep the source
+    return kind, p.ast
 
 
 def _classify_p(p: _P) -> str:
