@@ -303,14 +303,16 @@ class _ChainSideHandle:
     pushdown below the join): batches are filtered BEFORE folding, so
     the join state never stores rows the predicate excludes."""
 
-    def __init__(self, name: str, join, side: str, pre: str | None = None):
+    def __init__(self, name: str, join, side: str, pre: str | None = None, ren: dict | None = None):
         self.name = name
         self._join = join
         self._side = side
         self._pre = pre
+        self._ren = ren
         self.view = self  # duck-type MaterializedViewHandle for _apply_dml
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        batch = _ren_batch(batch, self._ren)
         if self._pre:
             batch = batch.filter(F.expr(self._pre))
         if self._side == "left":
@@ -327,14 +329,16 @@ class _JoinSideHandle:
     (the join MV appears in BOTH tables' `mvs` lists; DML on either side
     routes into the matching input of RetractableStreamJoin.apply)."""
 
-    def __init__(self, name: str, jmv: StreamJoinMv, side: str, pre: str | None = None):
+    def __init__(self, name: str, jmv: StreamJoinMv, side: str, pre: str | None = None, ren: dict | None = None):
         self.name = name
         self._jmv = jmv
         self._side = side
         self._pre = pre
+        self._ren = ren
         self.view = self  # duck-type MaterializedViewHandle for _apply_dml
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        batch = _ren_batch(batch, self._ren)
         if self._pre:
             batch = batch.filter(F.expr(self._pre))
         if self._side == "left":
@@ -344,6 +348,23 @@ class _JoinSideHandle:
 
     def _register(self) -> None:  # the real handle registers the MV name
         pass
+
+
+def _ren_pk(pk, ren: dict | None):
+    if not ren:
+        return pk
+    if isinstance(pk, (list, tuple)):
+        return [ren.get(c, c) for c in pk]
+    return ren.get(pk, pk)
+
+
+def _ren_batch(df: DataFrame, ren: dict | None) -> DataFrame:
+    """Apply a self-join role's column-rename map (alias.col →
+    <alias>_<col>, reference binder alias disambiguation) to a snapshot
+    or changelog batch; op/aux columns pass through unrenamed."""
+    if not ren:
+        return df
+    return df.select([F.col(c).alias(ren.get(c, c)) for c in df.columns])
 
 
 class _MvJoinFeed:
@@ -356,14 +377,16 @@ class _MvJoinFeed:
     per-batch Update-pair changelog (−1 old / +1 recomputed) folds into
     the join side's state exactly like table DML does."""
 
-    def __init__(self, join, side: str, pre: str | None = None):
+    def __init__(self, join, side: str, pre: str | None = None, ren: dict | None = None):
         self._join = join
         self._side = side
         self._pre = pre
+        self._ren = ren
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
         drop = [c for c in batch.columns if c.startswith("__jk")]
         b = batch.drop(*drop) if drop else batch
+        b = _ren_batch(b, self._ren)
         if self._pre:
             b = b.filter(F.expr(self._pre))
         if self._side == "left":
@@ -898,6 +921,8 @@ class Engine:
         key_of=None,
         left_pre: str | None = None,
         right_pre: str | None = None,
+        left_ren: dict | None = None,
+        right_ren: dict | None = None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over a stream-stream join of two
         inputs — engine TABLES or agg-keyed MVs (reference
@@ -911,6 +936,10 @@ class Engine:
         result. Backfills from both inputs' current snapshots."""
         pk_l, snap_l, src_l = self._resolve_join_input(left)
         pk_r, snap_r, src_r = self._resolve_join_input(right)
+        # self-join roles: rename BEFORE pre-filters (whose text already
+        # speaks the renamed names) and before state keys are derived
+        pk_l, snap_l = _ren_pk(pk_l, left_ren), _ren_batch(snap_l, left_ren)
+        pk_r, snap_r = _ren_pk(pk_r, right_ren), _ren_batch(snap_r, right_ren)
         jmv = StreamJoinMv(
             self.spark,
             os.path.join(self.warehouse, f"jmv_{name}"),
@@ -939,13 +968,14 @@ class Engine:
             )
         h = MaterializedViewHandle(name, jmv)
         h._register()
-        for side, (kind, src), pre in (
-            ("left", src_l, left_pre), ("right", src_r, right_pre)
+        for side, (kind, src), pre, ren in (
+            ("left", src_l, left_pre, left_ren),
+            ("right", src_r, right_pre, right_ren),
         ):
             if kind == "table":
-                src.mvs.append(_JoinSideHandle(name, jmv, side, pre=pre))
+                src.mvs.append(_JoinSideHandle(name, jmv, side, pre=pre, ren=ren))
             else:
-                src.downstream.append(_MvJoinFeed(jmv.join, side, pre=pre))
+                src.downstream.append(_MvJoinFeed(jmv.join, side, pre=pre, ren=ren))
         self.mv_handles[name] = h
         return h
 
@@ -958,6 +988,7 @@ class Engine:
         recompute=None,
         project=None,
         key_of=None,
+        renames: list | None = None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over an N-way stream-stream join of
         inputs — engine tables or agg-keyed MVs (left-deep; see
@@ -968,6 +999,11 @@ class Engine:
         result with `tbls[i+1]`. Backfills each level from current
         snapshots, then wires the changelog cascade + per-input feeds."""
         resolved = [self._resolve_join_input(t) for t in tbls]
+        renames = renames or [None] * len(tbls)
+        resolved = [
+            (_ren_pk(pk, ren), _ren_batch(snap, ren), src)
+            for (pk, snap, src), ren in zip(resolved, renames)
+        ]
         chain = StreamJoinChainMv(
             self.spark,
             os.path.join(self.warehouse, f"jmv_{name}"),
@@ -1005,9 +1041,9 @@ class Engine:
         for i, (_, _, (kind, src)) in enumerate(resolved):
             join, side = (chain.joins[0], "left") if i == 0 else (chain.joins[i - 1], "right")
             if kind == "table":
-                src.mvs.append(_ChainSideHandle(name, join, side, pre=pre_of[i]))
+                src.mvs.append(_ChainSideHandle(name, join, side, pre=pre_of[i], ren=renames[i]))
             else:
-                src.downstream.append(_MvJoinFeed(join, side, pre=pre_of[i]))
+                src.downstream.append(_MvJoinFeed(join, side, pre=pre_of[i], ren=renames[i]))
         self.mv_handles[name] = h
         return h
 

@@ -1803,13 +1803,68 @@ def _handle_create_stream_join_mv(
     spark = engine.spark
     tables, aliases = pj["tables"], pj["aliases"]
     colsets = [_chain_input_cols(engine, t) for t in tables]
-    prefixes = [p for p in tables + [a for a in aliases if a] if p]
+    # self-join roles (reference `views/q7.slt.part` `nation n1, nation
+    # n2` — the binder disambiguates by table alias): a table appearing
+    # more than once gets a per-occurrence rename map alias.col →
+    # <alias>_<col>; the statement text is rewritten here and the
+    # rename rides the input's backfill + changelog feed at the engine
+    # layer, so the chain keeps its disjoint-column invariant
+    dup = {t for t in tables if tables.count(t) > 1}
+    renames: list[dict | None] = [None] * len(tables)
+    if dup:
+        for i, (t, a) in enumerate(zip(tables, aliases)):
+            if t not in dup:
+                continue
+            if not a:
+                raise ValueError(
+                    f"self-join: every occurrence of table {t!r} in the "
+                    "FROM list needs a distinct alias"
+                )
+            renames[i] = {c: f"{a}_{c}" for c in colsets[i]}
+            colsets[i] = [f"{a}_{c}" for c in colsets[i]]
+
+        def _rw_roles(txt: str | None) -> str | None:
+            if txt is None:
+                return None
+            for i, ren in enumerate(renames):
+                if ren is None:
+                    continue
+                a = re.escape(aliases[i])
+                txt = re.sub(
+                    rf"\b{a}\s*\.\s*(\w+)\b",
+                    lambda m, _r=ren: _r.get(m.group(1), m.group(1)),
+                    txt,
+                )
+            return txt
+
+        pj = dict(
+            pj,
+            select=_rw_roles(pj["select"]),
+            ons=[_rw_roles(o) for o in pj["ons"]],
+            rest=_rw_roles(pj["rest"]),
+        )
+        # any remaining bare reference to a duplicated table's column is
+        # ambiguous between the roles — reject loudly, as the reference
+        # binder does for ambiguous column references
+        amb = set().union(*(set(r) for r in renames if r))
+        scan = " ".join([pj["select"], *pj["ons"], pj["rest"] or ""])
+        hit = sorted(c for c in amb if re.search(rf"\b{re.escape(c)}\b", scan))
+        if hit:
+            raise ValueError(
+                f"ambiguous column reference(s) {hit} — a self-joined "
+                "table's columns must be qualified with their role alias"
+            )
+    prefixes = [
+        p
+        for i, p in enumerate(tables)
+        if p not in dup
+    ] + [a for i, a in enumerate(aliases) if a and renames[i] is None]
     unq_rx = re.compile(
         r"\b(?:%s)\s*\.\s*" % "|".join(re.escape(p) for p in prefixes), re.I
-    )
+    ) if prefixes else None
 
     def unq(text: str) -> str:
-        return unq_rx.sub("", text)
+        return unq_rx.sub("", text) if unq_rx else text
 
     # per step: ON's top-level AND conjuncts → equi keys vs single-side
     # pre-filters vs residual. The equi left side may come from ANY
@@ -1978,10 +2033,12 @@ def _handle_create_stream_join_mv(
                 how=steps[0]["how"], cond=steps[0]["cond"],
                 keys=keys, recompute=recompute, key_of=key_of,
                 left_pre=steps[0]["pre_l"], right_pre=steps[0]["pre_r"],
+                left_ren=renames[0], right_ren=renames[1],
             )
         else:
             engine.create_stream_join_chain_mv(
-                name, tables, steps, keys=keys, recompute=recompute, key_of=key_of
+                name, tables, steps, keys=keys, recompute=recompute,
+                key_of=key_of, renames=renames,
             )
     else:
         project = None
@@ -1999,10 +2056,11 @@ def _handle_create_stream_join_mv(
                 steps[0]["left_on"], steps[0]["right_on"],
                 how=steps[0]["how"], cond=steps[0]["cond"], project=project,
                 left_pre=steps[0]["pre_l"], right_pre=steps[0]["pre_r"],
+                left_ren=renames[0], right_ren=renames[1],
             )
         else:
             engine.create_stream_join_chain_mv(
-                name, tables, steps, project=project
+                name, tables, steps, project=project, renames=renames
             )
     engine._record_ddl(name, stmt)
     return _status(spark, "CREATE_MATERIALIZED_VIEW")
@@ -3251,11 +3309,20 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         # become a left-deep cascade; MV inputs are mv-on-mv composed
         # with the join plan — the desugared subquery/CTE form). A
         # non-engine input anywhere falls through to the dimension-join
-        # path below. Overlapping column names across inputs (splice
-        # keys would be ambiguous) also fall through — dimension
-        # semantics there, documented divergence.
+        # path below. Overlapping column names across DISTINCT inputs
+        # (splice keys would be ambiguous) also fall through — dimension
+        # semantics there, documented divergence. A table joined to
+        # ITSELF is fine: each aliased occurrence gets a per-role
+        # column rename inside the chain handler (reference
+        # `views/q7.slt.part` `nation n1, nation n2`), so route on the
+        # RENAMED column sets.
         colsets = [_chain_input_cols(engine, t) for t in pj["tables"]]
-        flat = [c for cs in colsets for c in cs]
+        dupt = {t for t in pj["tables"] if pj["tables"].count(t) > 1}
+        eff = [
+            [f"{a}_{c}" for c in cs] if (t in dupt and a) else cs
+            for t, a, cs in zip(pj["tables"], pj["aliases"], colsets)
+        ]
+        flat = [c for cs in eff for c in cs]
         if len(set(flat)) == len(flat):
             return _handle_create_stream_join_mv(engine, name, ast["stmt"], pj, lits)
     sm = _SELECT_SHAPE.match(masked)

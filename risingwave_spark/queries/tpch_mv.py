@@ -115,9 +115,10 @@ def _tpch_eng(
     fold: dims one round, facts `rounds` parity rounds, delete rounds.
     `sample` restricts orders+lineitem to the `orderkey % sample = 0`
     slice (deep chains — see module note). `extra` adds custom dim
-    tables [(name, cols_ddl, insert_sql)] — e.g. the column-renamed
-    nation copies a self-join chain needs (`nation n1, nation n2` in
-    reference q7/q8; the chain requires disjoint column names)."""
+    tables [(name, cols_ddl, insert_sql)] for bodies that want a
+    derived dimension; self-joins (`nation n1, nation n2`, reference
+    q7/q8) no longer need it — the chain compiler renames each role's
+    columns per alias."""
     from risingwave_spark.api import Engine
 
     t = tables(spark, sf_dir)
@@ -1196,22 +1197,21 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
 )
 def tpch_mv_q7(spark, sf_dir):
-    """TPC-H q7 through the MV runtime (reference `views/q7.slt.part`:
-    `nation n1, nation n2` self-join): the chain requires disjoint
-    column names, so the two nation roles are column-renamed engine
-    tables (the documented self-join-aliasing divergence); the
-    two-nation OR stays a residual across both dimension levels and the
-    shipdate BETWEEN pushes into the lineitem input."""
+    """TPC-H q7 through the MV runtime in the reference's OWN spelling
+    (`views/q7.slt.part`: `nation n1, nation n2` self-join, alias-
+    qualified columns): the chain compiler renames each nation role's
+    columns per alias, the two-nation OR stays a residual over the join
+    result, and the shipdate BETWEEN pushes into the lineitem input."""
     eng = _tpch_eng(
         spark,
         sf_dir,
         "rw_tpchmv7_",
-        ["supplier", "lineitem", "orders", "customer"],
+        ["supplier", "lineitem", "orders", "customer", "nation"],
         f"""
         CREATE MATERIALIZED VIEW tq7 AS
         select
-          supp_nation,
-          cust_nation,
+          n1.n_name as supp_nation,
+          n2.n_name as cust_nation,
           CAST(extract(year from l_shipdate) AS BIGINT) as l_year,
           {_s_cents(_O_REV)} as revenue
         from
@@ -1219,17 +1219,17 @@ def tpch_mv_q7(spark, sf_dir):
           lineitem,
           orders,
           customer,
-          n1,
-          n2
+          nation n1,
+          nation n2
         where
           s_suppkey = l_suppkey
           and o_orderkey = l_orderkey
           and c_custkey = o_custkey
-          and s_nationkey = n1_nationkey
-          and c_nationkey = n2_nationkey
+          and s_nationkey = n1.n_nationkey
+          and c_nationkey = n2.n_nationkey
           and (
-            (supp_nation = 'NATION_3' and cust_nation = 'NATION_7')
-            or (supp_nation = 'NATION_7' and cust_nation = 'NATION_3')
+            (n1.n_name = 'NATION_3' and n2.n_name = 'NATION_7')
+            or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_3')
           )
           and l_shipdate between timestamp '1996-01-01' and timestamp '1997-12-31'
         group by
@@ -1243,12 +1243,6 @@ def tpch_mv_q7(spark, sf_dir):
         """,
         sample=3,
         rounds=1,
-        extra=[
-            ("n1", "n1_nationkey int8 PRIMARY KEY, supp_nation text",
-             "SELECT n_nationkey, n_name FROM src_nation"),
-            ("n2", "n2_nationkey int8 PRIMARY KEY, cust_nation text",
-             "SELECT n_nationkey, n_name FROM src_nation"),
-        ],
     )
     return eng.sql(
         "SELECT supp_nation, cust_nation, l_year, revenue FROM tq7 "
@@ -1285,13 +1279,16 @@ def tpch_mv_q8(spark, sf_dir):
     roles): split as stacked MVs — the customer⋈nation⋈region AMERICA
     arm maintains as its own keyed MV feeding the 6-input main chain as
     a join input (the reference's view-stacking; one 7-level cascade
-    exceeds the default driver heap on plan depth alone). p_type /
-    o_orderdate filters push into their input states."""
+    exceeds the default driver heap on plan depth alone). Both nation
+    roles are the REAL nation table (alias-qualified, as the reference
+    spells them); p_type / o_orderdate filters push into their input
+    states. The reference's n2 select-list role rides as
+    `n2.n_name AS sup_nation` through the chain's alias rename."""
     eng = _tpch_eng(
         spark,
         sf_dir,
         "rw_tpchmv8_",
-        ["part", "lineitem", "supplier", "orders", "customer", "region"],
+        ["part", "lineitem", "supplier", "orders", "customer", "region", "nation"],
         f"""
         CREATE MATERIALIZED VIEW tq8c AS
         select
@@ -1299,18 +1296,18 @@ def tpch_mv_q8(spark, sf_dir):
           count(*) as n_roles
         from
           customer,
-          n1,
+          nation n1,
           region
         where
-          c_nationkey = n1_nationkey
-          and n1_regionkey = r_regionkey
+          c_nationkey = n1.n_nationkey
+          and n1.n_regionkey = r_regionkey
           and r_name = 'AMERICA'
         group by
           c_custkey;
         CREATE MATERIALIZED VIEW tq8 AS
         select
           CAST(extract(year from o_orderdate) AS INT) as o_year,
-          round(({_s_cents("case when sup_nation = 'NATION_3' then " + _O_REV + " else 0 end")})
+          round(({_s_cents("case when n2.n_name = 'NATION_3' then " + _O_REV + " else 0 end")})
                 / ({_s_cents(_O_REV)}), 6) as mkt_share
         from
           part,
@@ -1318,13 +1315,13 @@ def tpch_mv_q8(spark, sf_dir):
           supplier,
           orders,
           tq8c,
-          n2
+          nation n2
         where
           p_partkey = l_partkey
           and s_suppkey = l_suppkey
           and l_orderkey = o_orderkey
           and o_custkey = c_custkey
-          and s_nationkey = n2_nationkey
+          and s_nationkey = n2.n_nationkey
           and o_orderdate between timestamp '1995-01-01' and timestamp '1996-12-31'
           and p_type = 'ECONOMY'
         group by
@@ -1334,12 +1331,6 @@ def tpch_mv_q8(spark, sf_dir):
         """,
         sample=4,
         rounds=1,
-        extra=[
-            ("n1", "n1_nationkey int8 PRIMARY KEY, n1_regionkey int8",
-             "SELECT n_nationkey, n_regionkey FROM src_nation"),
-            ("n2", "n2_nationkey int8 PRIMARY KEY, sup_nation text",
-             "SELECT n_nationkey, n_name FROM src_nation"),
-        ],
     )
     return eng.sql("SELECT o_year, mkt_share FROM tq8 ORDER BY o_year")
 

@@ -2798,3 +2798,70 @@ def test_create_mv_using_and_natural_join(eng, spark):
             "CREATE MATERIALIZED VIEW un_bad AS "
             "SELECT label, sum(v) AS t FROM un_t NATURAL JOIN un_dim GROUP BY label"
         )
+
+
+def test_create_mv_self_join_roles(eng):
+    """Self-join MV in the reference's own spelling (`views/q7.slt.part`
+    `nation n1, nation n2`): each aliased occurrence of the duplicated
+    table gets a per-role column rename inside the chain, alias-
+    qualified references rewrite to the renamed columns, and DML on the
+    shared base table flows into BOTH roles (retraction included)."""
+    eng.sql("CREATE TABLE sj_n (n_nationkey int8 PRIMARY KEY, n_name text)")
+    eng.sql("CREATE TABLE sj_s (s_suppkey int8 PRIMARY KEY, s_nationkey int8)")
+    eng.sql("CREATE TABLE sj_c (c_custkey int8 PRIMARY KEY, c_nationkey int8)")
+    eng.sql(
+        "CREATE TABLE sj_t (t_id int8 PRIMARY KEY, t_suppkey int8, "
+        "t_custkey int8, t_qty int8)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW sj_mv AS "
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "sum(t_qty) AS qty "
+        "FROM sj_t, sj_s, sj_c, sj_n n1, sj_n n2 "
+        "WHERE t_suppkey = s_suppkey AND t_custkey = c_custkey "
+        "AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey "
+        "AND ((n1.n_name = 'FR' AND n2.n_name = 'DE') "
+        "  OR (n1.n_name = 'DE' AND n2.n_name = 'FR')) "
+        "GROUP BY supp_nation, cust_nation"
+    )
+    eng.sql("INSERT INTO sj_n VALUES (1,'FR'),(2,'DE'),(3,'RU')")
+    eng.sql("INSERT INTO sj_s VALUES (10,1),(11,2),(12,3)")
+    eng.sql("INSERT INTO sj_c VALUES (20,2),(21,1),(22,3)")
+    eng.sql(
+        "INSERT INTO sj_t VALUES (100,10,20,5),(101,11,21,7),"
+        "(102,10,22,1),(103,11,20,2)"
+    )
+    assert _rows(eng.sql("SELECT supp_nation, cust_nation, qty FROM sj_mv")) == [
+        ("DE", "FR", 7),
+        ("FR", "DE", 5),
+    ]
+    # fact DML folds through both roles
+    eng.sql("INSERT INTO sj_t VALUES (104,10,20,10)")
+    eng.sql("DELETE FROM sj_t WHERE t_id = 101")
+    assert _rows(eng.sql("SELECT supp_nation, cust_nation, qty FROM sj_mv")) == [
+        ("FR", "DE", 15),
+    ]
+    # DML on the SELF-JOINED table retracts through both roles at once
+    eng.sql("UPDATE sj_n SET n_name = 'FRX' WHERE n_nationkey = 1")
+    assert _rows(eng.sql("SELECT supp_nation, cust_nation, qty FROM sj_mv")) == []
+    eng.sql("UPDATE sj_n SET n_name = 'FR' WHERE n_nationkey = 1")
+    assert _rows(eng.sql("SELECT supp_nation, cust_nation, qty FROM sj_mv")) == [
+        ("FR", "DE", 15),
+    ]
+    # unqualified reference to a duplicated table's column is ambiguous
+    with pytest.raises(ValueError, match="ambiguous"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW sj_bad AS "
+            "SELECT n_name AS x, count(*) AS n "
+            "FROM sj_s, sj_n n1, sj_n n2 "
+            "WHERE s_nationkey = n1.n_nationkey "
+            "AND s_nationkey = n2.n_nationkey GROUP BY x"
+        )
+    # a duplicated occurrence without an alias is rejected loudly
+    with pytest.raises(ValueError, match="alias"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW sj_bad2 AS "
+            "SELECT count(*) AS n "
+            "FROM sj_s JOIN sj_n ON s_nationkey = n_nationkey "
+            "JOIN sj_n n2 ON s_nationkey = n2.n_nationkey"
+        )
