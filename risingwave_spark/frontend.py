@@ -88,11 +88,6 @@ def _status(spark: SparkSession, tag: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- regexes
-_DROP = re.compile(
-    r"^\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+"
-    r"(?:IF\s+EXISTS\s+)?(\w+)\s*(CASCADE)?\s*$",
-    re.I,
-)
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS"
     r"|INTERNAL\s+TABLES|SECRETS)\s*$",
@@ -106,16 +101,6 @@ _CREATE_FUNCTION = re.compile(
     r"(?P<body>\$(?P<tag>[A-Za-z_0-9]*)\$.*?\$(?P=tag)\$|'(?:[^']|'')*')"
     r"\s*(?:USING\s+LINK\s+(?P<link>'(?:[^']|'')*'))?\s*;?\s*$",
     re.I | re.S,
-)
-_COMMENT = re.compile(
-    r"^\s*COMMENT\s+ON\s+(?:TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|COLUMN)\s+"
-    r"(?P<obj>\w+)(?:\.(?P<col>\w+))?\s+IS\s+(?P<txt>'(?:[^']|'')*'|NULL)\s*;?\s*$",
-    re.I | re.S,
-)
-_DROP_FUNCTION = re.compile(
-    r"^\s*DROP\s+(FUNCTION|AGGREGATE)\s+(?P<ifex>IF\s+EXISTS\s+)?"
-    r"(?P<name>\w+)\s*(?:\([^)]*\))?\s*;?\s*$",
-    re.I,
 )
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK"
@@ -137,16 +122,6 @@ _CREATE_SINK = re.compile(
     r"(?:FROM\s+(?P<from>\w+)|AS\s+(?P<as>.*?))\s+WITH\s*\((?P<with>.*?)\)\s*$",
     re.I | re.S,
 )
-_CREATE_SUB = re.compile(
-    r"^\s*CREATE\s+SUBSCRIPTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FROM\s+(\w+)"
-    r"(?:\s+WITH\s*\(.*\))?\s*$",
-    re.I | re.S,
-)
-_DECLARE = re.compile(
-    r"^\s*DECLARE\s+(\w+)\s+(SUBSCRIPTION\s+)?CURSOR\s+FOR\s+(.*)$", re.I | re.S
-)
-_FETCH = re.compile(r"^\s*FETCH\s+(?:NEXT|(\d+))\s+FROM\s+(\w+)\s*$", re.I)
-_CLOSE = re.compile(r"^\s*CLOSE\s+(\w+)\s*$", re.I)
 _EXPLAIN = re.compile(r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?:\(.*?\)\s+)?(.*)$", re.I | re.S)
 _SET_VAR = re.compile(r"^\s*SET\s+([\w.]+)\s*(?:=|\s+TO)\s+(.+?)\s*$", re.I)
 _SHOW_VAR = re.compile(r"^\s*SHOW\s+([\w.]+)\s*$", re.I)
@@ -783,14 +758,9 @@ _ALTER_ADD = re.compile(
 _ALTER_DROP = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$", re.I
 )
-_ALTER_RENAME = re.compile(
-    r"^\s*ALTER\s+(?P<kind>TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK)\s+"
-    r"(?P<old>\w+)\s+RENAME\s+TO\s+(?P<new>\w+)\s*$",
-    re.I,
-)
 
 
-def _handle_alter_rename(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
     """ALTER {TABLE|MATERIALIZED VIEW|VIEW|SOURCE} x RENAME TO y
     (reference `handler/alter_rename.rs`, e2e_test/ddl/alter_rename.slt).
 
@@ -803,8 +773,8 @@ def _handle_alter_rename(engine: "Engine", m: re.Match) -> DataFrame:
     them): renames of tables/MVs with dependents are rejected loudly —
     a documented divergence. SINK rename is rejected (its durable
     subscription cursor is keyed by the sink name)."""
-    kind = re.sub(r"\s+", " ", m.group("kind").upper())
-    old, new = m.group("old"), m.group("new")
+    kind = ast["kind"]
+    old, new = ast["old"], ast["new"]
     spark = engine.spark
     for ns in (engine.tables, engine.mv_handles, engine.views, engine.sources, engine.sinks):
         if new in ns:
@@ -923,7 +893,7 @@ def _handle_alter_rename(engine: "Engine", m: re.Match) -> DataFrame:
     )
 
 
-def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
+def _handle_alter_table(engine: "Engine", ast: dict) -> DataFrame:
     """ALTER TABLE ADD/DROP COLUMN (reference
     `handler/alter_table_column.rs` — a versioned-schema table rewrite):
     the state compacts ONCE through a transform that appends the new
@@ -932,12 +902,9 @@ def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
     same restriction for incremental-plan consistency); pk columns are
     not droppable. Replay-idempotent: an ADD of an existing column /
     DROP of a missing one during catalog replay is a no-op."""
-    stmt = m_unused.string
+    stmt = ast["stmt"]
     spark = engine.spark
-    am = _ALTER_ADD.match(stmt)
-    dm = _ALTER_DROP.match(stmt) if am is None else None
-    m = am or dm
-    name = m.group(1)
+    name = ast["table"]
     if name not in engine.tables:
         raise ValueError(f"ALTER TABLE target {name!r} is not a table")
     t = engine.tables[name]
@@ -947,8 +914,8 @@ def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
             "views (drop them first — the reference enforces the same)"
         )
     cols = t.snapshot().columns
-    if am is not None:
-        col, typ, default = am.group(2), am.group(3), am.group(4)
+    if ast["action"] == "add":
+        col, typ, default = ast["column"], ast["type"], ast.get("default")
         if col in cols:
             if engine._replaying:
                 return _status(spark, "ALTER_TABLE")  # idempotent replay
@@ -966,7 +933,7 @@ def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
         if dsql:
             t.defaults = {**getattr(t, "defaults", {}), col: dsql}
     else:
-        col = dm.group(2)
+        col = ast["column"]
         if col not in cols:
             if engine._replaying:
                 return _status(spark, "ALTER_TABLE")
@@ -1002,8 +969,9 @@ def _handle_alter_table(engine: "Engine", m_unused: re.Match) -> DataFrame:
     return _status(spark, "ALTER_TABLE")
 
 
-def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
-    kind, name, cascade = m.group(1).upper(), m.group(2), m.group(3)
+def _handle_drop(engine: "Engine", ast: dict) -> DataFrame:
+    kind, name = ast["kind"], ast["name"]
+    cascade = ast.get("cascade")
     spark = engine.spark
     # COMMENT ON entries die with their object
     comments = getattr(engine, "comments", {})
@@ -1034,6 +1002,13 @@ def _handle_drop(engine: "Engine", m: re.Match) -> DataFrame:
             # sink-from-query owns its internal MV — drop it with the sink
             _execute_one(engine, f"DROP MATERIALIZED VIEW {inner}")
         return _status(spark, "DROP_SINK")
+    if kind == "SUBSCRIPTION":
+        # reference handler/drop_subscription.rs: the durable cursor
+        # state dies with the subscription object
+        subs = getattr(engine, "subscriptions", {})
+        subs.pop(name, None)
+        engine._unrecord_ddl([name])
+        return _status(spark, "DROP_SUBSCRIPTION")
     if kind == "TABLE":
         if name not in engine.tables:
             return _status(spark, "DROP_TABLE")  # IF EXISTS semantics
@@ -3539,19 +3514,19 @@ def _resolve_secret_refs(engine: "Engine", opts: dict) -> dict:
     return out
 
 
-def _handle_create_view(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_create_view(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE VIEW (reference `handler/create_view.rs`): a named SQL body,
     LATE-BOUND — re-registered against the current table snapshots after
     every DML batch (Spark temp views freeze their plan at creation, so
     the engine re-runs the registration instead)."""
-    name, body = m.group(1), m.group(2).strip().rstrip(";")
+    name, body = ast["name"], ast["body"].strip().rstrip(";")
     engine.views[name] = body
     engine._register_views()
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_VIEW")
 
 
-def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE SOURCE (reference `handler/create_source.rs`): the
     connector WITH-options pick the builder from `sources/__init__.py`.
     File-system connectors are fully functional (batch SELECT reads the
@@ -3559,8 +3534,8 @@ def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
     connectors (kafka/kinesis/pulsar) construct their reader config but
     raise a loud jar/broker error when read — connectivity is deployment,
     the statement surface and catalog entry are real either way."""
-    name = m.group(1)
-    opts = _resolve_secret_refs(engine, _parse_with_options(m.group("with")))
+    name = ast["name"]
+    opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
     spark = engine.spark
     if conn in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
@@ -3582,7 +3557,7 @@ def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
         df.createOrReplaceTempView(name)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
     elif conn == "datagen":
-        _register_datagen_source(engine, name, m.group("cols"), opts)
+        _register_datagen_source(engine, name, ast.get("cols"), opts)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
     elif conn in ("kafka", "kinesis", "pulsar"):
         engine.sources[name] = {"connector": conn, "options": opts, "readable": False}
@@ -3591,7 +3566,7 @@ def _handle_create_source(engine: "Engine", m: re.Match) -> DataFrame:
             f"source {name!r}: unknown connector {conn!r} (supported here: "
             "posix_fs/filesystem/s3/gcs/azblob, datagen, kafka, kinesis, pulsar)"
         )
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     return _status(spark, "CREATE_SOURCE")
 
 
@@ -3679,14 +3654,14 @@ class _FileSink:
             self.sub.ack(token)
 
 
-def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE SINK ... FROM mv WITH (...) (reference
     `handler/create_sink.rs`): filesystem sinks stream the MV changelog
     to parquet chunks (real, tested); kafka/jdbc sinks raise a loud
     missing-jar error at creation — constructing a sink that could never
     flush would hide the gap until runtime."""
-    name, src = m.group(1), m.group("from")
-    opts = _resolve_secret_refs(engine, _parse_with_options(m.group("with")))
+    name, src = ast["name"], ast.get("from")
+    opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
     if conn in ("kafka", "jdbc", "iceberg", "elasticsearch"):
         raise NotImplementedError(
@@ -3699,7 +3674,7 @@ def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
     path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
     if not path:
         raise ValueError(f"sink {name!r}: file connector needs a path option")
-    if m.group("as"):
+    if ast.get("as"):
         # CREATE SINK ... AS <select> (reference `create_sink.rs`
         # sink-from-query: the query gets its own streaming plan owned
         # by the sink): materialize the query as an internal MV through
@@ -3714,7 +3689,7 @@ def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
             try:
                 _execute_one(
                     engine,
-                    f"CREATE MATERIALIZED VIEW {inner} AS {m.group('as').strip()}",
+                    f"CREATE MATERIALIZED VIEW {inner} AS {ast['as'].strip()}",
                 )
             finally:
                 engine._replaying = was
@@ -3753,7 +3728,7 @@ def _handle_create_sink(engine: "Engine", m: re.Match) -> DataFrame:
         ).parquet(_os.path.join(path, "c0"))
         sink._n = 1
     sink.drain()
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_SINK")
 
 
@@ -3817,8 +3792,9 @@ class _SubscriptionCursor:
         return spark.createDataFrame(out, self._schema)
 
 
-def _handle_declare(engine: "Engine", m: re.Match) -> DataFrame:
-    name, is_sub, body = m.group(1), m.group(2), m.group(3).strip().rstrip(";")
+def _handle_declare(engine: "Engine", ast: dict) -> DataFrame:
+    name, is_sub = ast["name"], ast["subscription"]
+    body = ast["body"].strip().rstrip(";")
     engine.cursors = getattr(engine, "cursors", {})
     if is_sub:
         engine.subscriptions = getattr(engine, "subscriptions", {})
@@ -3835,9 +3811,8 @@ def _handle_declare(engine: "Engine", m: re.Match) -> DataFrame:
     return _status(engine.spark, "DECLARE_CURSOR")
 
 
-def _handle_fetch(engine: "Engine", m: re.Match) -> DataFrame:
-    n = int(m.group(1)) if m.group(1) else 1
-    name = m.group(2)
+def _handle_fetch(engine: "Engine", ast: dict) -> DataFrame:
+    n, name = ast["count"], ast["cursor"]
     cursors = getattr(engine, "cursors", {})
     if name not in cursors:
         raise ValueError(f"cursor {name!r} does not exist")
@@ -3862,35 +3837,25 @@ def _resolve_schema_names(engine: "Engine", stmt: str) -> str:
     return _unmask(masked, lits)
 
 
-_CREATE_SCHEMA = re.compile(
-    r"^\s*CREATE\s+SCHEMA\s+(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
-    r"(?:\s+AUTHORIZATION\s+\w+)?\s*;?\s*$",
-    re.I,
-)
-_DROP_SCHEMA = re.compile(
-    r"^\s*DROP\s+SCHEMA\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*"
-    r"(?:CASCADE|RESTRICT)?\s*;?\s*$",
-    re.I,
-)
 
 
-def _handle_create_schema(engine: "Engine", m: re.Match) -> DataFrame:
-    name = m.group("name")
+def _handle_create_schema(engine: "Engine", ast: dict) -> DataFrame:
+    name = ast["name"]
     engine.schemas = getattr(engine, "schemas", set())
     if name in engine.schemas or name == "public":
-        if m.group("ifnex"):
+        if ast.get("if_not_exists"):
             return _status(engine.spark, "CREATE_SCHEMA")
         raise ValueError(f"schema {name!r} already exists")
     engine.schemas.add(name)
-    engine._record_ddl(f"__schema_{name}", m.string)
+    engine._record_ddl(f"__schema_{name}", ast["stmt"])
     return _status(engine.spark, "CREATE_SCHEMA")
 
 
-def _handle_drop_schema(engine: "Engine", m: re.Match) -> DataFrame:
-    name = m.group("name")
+def _handle_drop_schema(engine: "Engine", ast: dict) -> DataFrame:
+    name = ast["name"]
     engine.schemas = getattr(engine, "schemas", set())
     if name not in engine.schemas:
-        if m.group("ifex"):
+        if ast.get("if_exists"):
             return _status(engine.spark, "DROP_SCHEMA")
         raise ValueError(f"unknown schema {name!r}")
     members = [
@@ -3921,20 +3886,20 @@ def execute(engine: "Engine", text: str) -> DataFrame:
     return result
 
 
-def _handle_create_subscription(engine: "Engine", m: re.Match) -> DataFrame:
-    name, mv_name = m.group(1), m.group(2)
+def _handle_create_subscription(engine: "Engine", ast: dict) -> DataFrame:
+    name, mv_name = ast["name"], ast["source"]
     engine.subscriptions = getattr(engine, "subscriptions", {})
     engine.subscriptions[name] = engine.create_subscription(name, mv_name)
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_SUBSCRIPTION")
 
 
-def _handle_close(engine: "Engine", m: re.Match) -> DataFrame:
-    getattr(engine, "cursors", {}).pop(m.group(1), None)
+def _handle_close(engine: "Engine", ast: dict) -> DataFrame:
+    getattr(engine, "cursors", {}).pop(ast["cursor"], None)
     return _status(engine.spark, "CLOSE_CURSOR")
 
 
-def _handle_create_function(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE FUNCTION / CREATE AGGREGATE (reference
     `handler/create_sql_function.rs`, `create_function.rs`,
     `create_aggregate.rs`; e2e_test/udf/{sql_udf,python_udf}.slt).
@@ -3946,12 +3911,12 @@ def _handle_create_function(engine: "Engine", m: re.Match) -> DataFrame:
     bodies replanned per batch can call them."""
     from risingwave_spark.functions import create_function as _cf
 
-    kind, name = m.group(1).upper(), m.group(2)
-    params = _cf.parse_fn_params(m.group("params") or "")
-    returns = (m.group("rets") or "").strip()
-    lang = (m.group("lang") or "").lower()
-    body = _cf.unquote_body(m.group("body"))
-    link = m.group("link")
+    kind, name = ast["kind"], ast["name"]
+    params = _cf.parse_fn_params(ast.get("params") or "")
+    returns = (ast.get("returns") or "").strip()
+    lang = (ast.get("language") or "").lower()
+    body = _cf.unquote_body(ast["body"])
+    link = ast.get("link")
     spark = engine.spark
     if not returns:
         raise ValueError(f"CREATE {kind} requires RETURNS <type>")
@@ -4014,18 +3979,18 @@ def _handle_create_function(engine: "Engine", m: re.Match) -> DataFrame:
         "params": [(pn, pt) for pn, pt in params],
         "returns": returns,
     }
-    engine._record_ddl(name, m.string)
+    engine._record_ddl(name, ast["stmt"])
     return _status(spark, f"CREATE_{kind}")
 
 
-def _handle_comment(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_comment(engine: "Engine", ast: dict) -> DataFrame:
     """COMMENT ON TABLE/COLUMN ... IS '...' (reference
     `handler/comment.rs` → rw_description): stored in the engine
     catalog, surfaced in DESCRIBE's comment column, IS NULL clears."""
-    obj, col = m.group("obj"), m.group("col")
+    obj, col = ast["obj"], ast.get("col")
     if obj not in engine.tables and obj not in engine.mv_handles and obj not in engine.views:
         raise ValueError(f"unknown relation {obj!r}")
-    txt = m.group("txt")
+    txt = ast["text"]
     key = (obj, col)
     comments = getattr(engine, "comments", None)
     if comments is None:
@@ -4034,20 +3999,10 @@ def _handle_comment(engine: "Engine", m: re.Match) -> DataFrame:
         comments.pop(key, None)
     else:
         comments[key] = txt[1:-1].replace("''", "'")
-    engine._record_ddl(f"__comment_{obj}_{col or ''}", m.string)
+    engine._record_ddl(f"__comment_{obj}_{col or ''}", ast["stmt"])
     return _status(engine.spark, "COMMENT")
 
 
-_CREATE_SECRET = re.compile(
-    r"^\s*(CREATE|ALTER)\s+SECRET\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
-    r"(?:WITH\s*\((?P<with>.*?)\)\s*)?"
-    r"(?:AS\s+(?P<val>'(?:[^']|'')*'|[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?"
-    r"|NULL|TRUE|FALSE)\s*)?;?\s*$",
-    re.I | re.S,
-)
-_DROP_SECRET = re.compile(
-    r"^\s*DROP\s+SECRET\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$", re.I
-)
 
 
 def _secrets_path(engine: "Engine") -> str:
@@ -4074,24 +4029,24 @@ def _store_secrets(engine: "Engine", secrets: dict) -> None:
     os.replace(tmp, _secrets_path(engine))
 
 
-def _handle_create_secret(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_create_secret(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE/ALTER SECRET (reference `handler/create_secret.rs`,
     e2e_test/ddl/secret.slt): only the 'meta' backend exists (the
     engine's own durable store — SECRETS.json in the warehouse, NOT the
     replayed catalog, so SHOW CREATE never echoes values); connector
     WITH options may reference values as `secret <name>`."""
-    opts = _parse_with_options(m.group("with")) if m.group("with") else {}
+    opts = _parse_with_options(ast["with"]) if ast.get("with") else {}
     backend = opts.get("backend", "meta").lower()
     if backend != "meta":
         raise ValueError(f'secret backend "{backend}" is not supported')
     secrets = _load_secrets(engine)
-    name = m.group("name")
-    if m.group(1).upper() == "ALTER" and name not in secrets:
+    name = ast["name"]
+    if ast["verb"] == "ALTER" and name not in secrets:
         raise ValueError(f"unknown secret {name!r}")
     # Credential may be ANY literal (reference sqlparser
     # ast/statement.rs:858 ensure_parse_value: string, number, NULL) and
     # the whole AS clause may be absent (defaults to Null).
-    val = m.group("val")
+    val = ast.get("value")
     if val is None or val.upper() == "NULL":
         secrets[name] = None
     elif val.startswith("'"):
@@ -4099,24 +4054,24 @@ def _handle_create_secret(engine: "Engine", m: re.Match) -> DataFrame:
     else:
         secrets[name] = val  # numeric / boolean literal, stored verbatim
     _store_secrets(engine, secrets)
-    return _status(engine.spark, f"{m.group(1).upper()}_SECRET")
+    return _status(engine.spark, f"{ast['verb']}_SECRET")
 
 
-def _handle_drop_secret(engine: "Engine", m: re.Match) -> DataFrame:
+def _handle_drop_secret(engine: "Engine", ast: dict) -> DataFrame:
     secrets = _load_secrets(engine)
-    if m.group("name") not in secrets:
-        if m.group("ifex"):
+    if ast["name"] not in secrets:
+        if ast.get("if_exists"):
             return _status(engine.spark, "DROP_SECRET")
-        raise ValueError(f"unknown secret {m.group('name')!r}")
-    secrets.pop(m.group("name"))
+        raise ValueError(f"unknown secret {ast['name']!r}")
+    secrets.pop(ast["name"])
     _store_secrets(engine, secrets)
     return _status(engine.spark, "DROP_SECRET")
 
 
-def _handle_drop_function(engine: "Engine", m: re.Match) -> DataFrame:
-    name = m.group("name")
+def _handle_drop_function(engine: "Engine", ast: dict) -> DataFrame:
+    name = ast["name"]
     if name not in engine.functions:
-        if m.group("ifex"):
+        if ast.get("if_exists"):
             return _status(engine.spark, "DROP_FUNCTION")
         raise ValueError(f"unknown function {name!r}")
     engine.functions.pop(name)
@@ -4131,36 +4086,32 @@ def _handle_drop_function(engine: "Engine", m: re.Match) -> DataFrame:
 #: statement kind (from the recursive-descent grammar, sqlparse.classify)
 #: → the extraction regex + handler. The grammar is the GATE: an
 #: engine-owned statement it rejects raises SqlParseError and never
-#: reaches Catalyst; one it accepts must also match the extraction
-#: regex — a disagreement is a loud internal error, not a fallthrough.
-_KIND_DISPATCH = {
-    "create_view": (_CREATE_VIEW, _handle_create_view),
-    "create_source": (_CREATE_SOURCE, _handle_create_source),
-    "create_sink": (_CREATE_SINK, _handle_create_sink),
-    "create_subscription": (_CREATE_SUB, _handle_create_subscription),
-    "alter_table": (re.compile(r"^\s*ALTER\s+TABLE\b.*$", re.I | re.S), _handle_alter_table),
-    "alter_rename": (_ALTER_RENAME, _handle_alter_rename),
-    "drop": (_DROP, _handle_drop),
-    "declare": (_DECLARE, _handle_declare),
-    "fetch": (_FETCH, _handle_fetch),
-    "close": (_CLOSE, _handle_close),
-    "create_function": (_CREATE_FUNCTION, _handle_create_function),
-    "create_aggregate": (_CREATE_FUNCTION, _handle_create_function),
-    "drop_function": (_DROP_FUNCTION, _handle_drop_function),
-    "comment": (_COMMENT, _handle_comment),
-    "create_secret": (_CREATE_SECRET, _handle_create_secret),
-    "alter_secret": (_CREATE_SECRET, _handle_create_secret),
-    "drop_secret": (_DROP_SECRET, _handle_drop_secret),
-    "create_schema": (_CREATE_SCHEMA, _handle_create_schema),
-    "drop_schema": (_DROP_SCHEMA, _handle_drop_schema),
-}
-
-#: kinds whose handlers consume the grammar's structured parse
-#: (sqlparse.classify_ast) instead of a second regex pass — the
-#: shared-AST migration path (VERDICT r6 #3); checked before
-#: _KIND_DISPATCH in _execute_one
+#: reaches Catalyst; one it accepts hands its handler the grammar's OWN
+#: structured parse (sqlparse.classify_ast) — there is no second
+#: extraction pass to disagree with (VERDICT r6 #3, fully retired in
+#: round 7; the reference likewise keeps one sqlparser AST end to end,
+#: `src/sqlparser/src/parser.rs`).
 _AST_DISPATCH = {
     "insert": _handle_insert,
+    "create_view": _handle_create_view,
+    "create_source": _handle_create_source,
+    "create_sink": _handle_create_sink,
+    "alter_table": _handle_alter_table,
+    "create_function": _handle_create_function,
+    "create_aggregate": _handle_create_function,
+    "drop": _handle_drop,
+    "alter_rename": _handle_alter_rename,
+    "declare": _handle_declare,
+    "fetch": _handle_fetch,
+    "close": _handle_close,
+    "drop_function": _handle_drop_function,
+    "comment": _handle_comment,
+    "create_secret": _handle_create_secret,
+    "alter_secret": _handle_create_secret,
+    "drop_secret": _handle_drop_secret,
+    "create_schema": _handle_create_schema,
+    "drop_schema": _handle_drop_schema,
+    "create_subscription": _handle_create_subscription,
     "update": _handle_update,
     "delete": _handle_delete,
     "create_table": _handle_create_table,
@@ -4387,16 +4338,6 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             if _conf_bool(engine, "BACKGROUND_DDL"):
                 return _spawn_background_ddl(engine, name, handler, ast)
         return handler(engine, ast)
-    if kind in _KIND_DISPATCH:
-        rx, handler = _KIND_DISPATCH[kind]
-        m = rx.match(stmt)
-        if m is None:
-            raise ValueError(
-                f"internal: statement parsed as {kind!r} but the handler "
-                f"extractor did not accept it — please simplify the "
-                f"statement or use the Python API: {stmt[:120]!r}"
-            )
-        return handler(engine, m)
     m = _DESCRIBE.match(stmt)
     if m:
         # reference handler/describe.rs: name + type rows

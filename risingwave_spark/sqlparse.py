@@ -766,32 +766,41 @@ def _parse_create(p: _P) -> str:
     if p.at("VIEW"):
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("view name")
+        p.ast["name"] = unquote_ident(p.ident("view name"))
         p.eat_kw("AS")
+        i0 = p.i
         _rest_is_query(p, "CREATE VIEW ... AS")
+        p.ast["body"] = p.span(i0, p.i)
         return "create_view"
     if p.at("SOURCE"):
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("source name")
+        p.ast["name"] = unquote_ident(p.ident("source name"))
         t = p.peek()
         if t is not None and t.kind == "op" and t.val == "(":
+            i0 = p.i
             _parse_coldef_list(p)
+            p.ast["cols"] = p.span(i0 + 1, p.i - 1)
+        i0 = p.i
         _parse_with_options(p)
+        p.ast["with"] = p.span(i0 + 2, p.i - 1)
         if p.at("FORMAT"):
+            p.eat()
+            i0 = p.i
             while p.peek() is not None and not (
                 p.peek().kind == "op" and p.peek().val == ";"
             ):
                 p.eat()
+            p.ast["format"] = p.span(i0, p.i)
         p.expect_done("CREATE SOURCE")
         return "create_source"
     if p.at("SINK"):
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("sink name")
+        p.ast["name"] = unquote_ident(p.ident("sink name"))
         if p.at("FROM"):
             p.eat()
-            p.ident("sink source relation")
+            p.ast["from"] = unquote_ident(p.ident("sink source relation"))
         elif p.at("AS"):
             # CREATE SINK ... AS <select> WITH (...) — sink-from-query
             # (reference create_sink.rs). The body is re-validated by
@@ -801,6 +810,7 @@ def _parse_create(p: _P) -> str:
             p.eat()
             if not p.at("SELECT"):
                 p.fail("expected a SELECT body after CREATE SINK ... AS")
+            i0 = p.i
             depth = 0
             while p.peek() is not None:
                 t = p.peek()
@@ -814,17 +824,20 @@ def _parse_create(p: _P) -> str:
                     if nxt is not None and nxt.kind == "op" and nxt.val == "(":
                         break
                 p.eat()
+            p.ast["as"] = p.span(i0, p.i)
         else:
             p.fail("expected FROM <mv> or AS <select> in CREATE SINK")
+        i0 = p.i
         _parse_with_options(p)
+        p.ast["with"] = p.span(i0 + 2, p.i - 1)
         p.expect_done("CREATE SINK")
         return "create_sink"
     if p.at("SUBSCRIPTION"):
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("subscription name")
+        p.ast["name"] = unquote_ident(p.ident("subscription name"))
         p.eat_kw("FROM")
-        p.ident("subscription source")
+        p.ast["source"] = unquote_ident(p.ident("subscription source"))
         if p.at("WITH"):
             _parse_with_options(p)
         p.expect_done("CREATE SUBSCRIPTION")
@@ -837,7 +850,7 @@ def _parse_create(p: _P) -> str:
         t = p.peek()
         if t is not None and t.kind == "qid" and t.val == '""':
             p.fail("empty schema name")
-        p.ident("schema name")
+        p.ast["name"] = unquote_ident(p.ident("schema name"))
         if p.at("AUTHORIZATION"):
             p.eat()
             p.ident("owner name")
@@ -850,12 +863,16 @@ def _parse_create(p: _P) -> str:
         # (string, number, NULL) and the whole AS clause is optional,
         # defaulting to Value::Null).
         p.eat()
+        p.ast["verb"] = "CREATE"
         _skip_if_not_exists(p)
-        p.ident("secret name")
+        p.ast["name"] = unquote_ident(p.ident("secret name"))
         if p.at("WITH"):
+            i0 = p.i
             _parse_with_options(p)
+            p.ast["with"] = p.span(i0 + 2, p.i - 1)
         if p.at("AS"):
             p.eat()
+            i0 = p.i
             t = p.peek()
             if t is not None and t.kind == "op" and t.val in ("-", "+"):
                 p.eat()
@@ -866,20 +883,25 @@ def _parse_create(p: _P) -> str:
             ):
                 p.fail("expected a literal secret value after AS")
             p.eat()
+            p.ast["value"] = p.span(i0, p.i)
         p.expect_done("CREATE SECRET")
         return "create_secret"
     if p.at("FUNCTION", "AGGREGATE"):
         # reference `parser.rs` parse_create_function / parse_create_aggregate;
         # e2e_test/udf/{sql_udf,python_udf}.slt
         is_agg = p.at("AGGREGATE")
+        p.ast["kind"] = "AGGREGATE" if is_agg else "FUNCTION"
         p.eat()
         _skip_if_not_exists(p)
-        p.ident("function name")
+        p.ast["name"] = unquote_ident(p.ident("function name"))
         p.eat_op("(")
+        i0 = p.i
         _consume_balanced_until(p, ")")
+        p.ast["params"] = p.span(i0, p.i)
         p.eat_op(")")
         if p.at("RETURNS"):
             p.eat()
+            i0 = p.i
             if p.at("TABLE"):
                 p.eat()
                 p.eat_op("(")
@@ -889,20 +911,21 @@ def _parse_create(p: _P) -> str:
                 # return type: one or more tokens up to LANGUAGE/AS
                 if not _consume_type_until(p, ("LANGUAGE", "AS")):
                     p.fail("expected a return type after RETURNS")
+            p.ast["returns"] = p.span(i0, p.i)
         p.eat_kw("LANGUAGE")
-        p.ident("language name")
+        p.ast["language"] = p.ident("language name")
         p.eat_kw("AS")
         t = p.peek()
         if t is None or t.kind != "str":
             p.fail("expected a function body string ('...' or $$...$$) after AS")
-        p.eat()
+        p.ast["body"] = p.eat().val
         if p.at("USING"):
             p.eat()
             p.eat_kw("LINK")
             t = p.peek()
             if t is None or t.kind != "str":
                 p.fail("expected a link string after USING LINK")
-            p.eat()
+            p.ast["link"] = p.eat().val
         p.expect_done("CREATE AGGREGATE" if is_agg else "CREATE FUNCTION")
         return "create_aggregate" if is_agg else "create_function"
     if p.at("INDEX"):
@@ -1037,14 +1060,17 @@ def _classify_p(p: _P) -> str:
         if p.at("SECRET"):
             # ALTER SECRET name [WITH (...)] AS '...' (secret.slt)
             p.eat()
-            p.ident("secret name")
+            p.ast["verb"] = "ALTER"
+            p.ast["name"] = unquote_ident(p.ident("secret name"))
             if p.at("WITH"):
+                i0 = p.i
                 _parse_with_options(p)
+                p.ast["with"] = p.span(i0 + 2, p.i - 1)
             p.eat_kw("AS")
             t = p.peek()
             if t is None or t.kind != "str":
                 p.fail("expected a secret value string after AS")
-            p.eat()
+            p.ast["value"] = p.eat().val
             p.expect_done("ALTER SECRET")
             return "alter_secret"
         if p.at("MATERIALIZED") or p.at("VIEW", "SOURCE", "SINK"):
@@ -1052,29 +1078,33 @@ def _classify_p(p: _P) -> str:
             if p.at("MATERIALIZED"):
                 p.eat()
                 p.eat_kw("VIEW")
+                p.ast["kind"] = "MATERIALIZED VIEW"
             else:
-                p.eat()
-            p.ident("object name")
+                p.ast["kind"] = p.eat().up
+            p.ast["old"] = unquote_ident(p.ident("object name"))
             p.eat_kw("RENAME")
             p.eat_kw("TO")
-            p.ident("new name")
+            p.ast["new"] = unquote_ident(p.ident("new name"))
             p.expect_done("ALTER ... RENAME")
             return "alter_rename"
         if not p.at("TABLE"):
             p.fail("only ALTER TABLE/MATERIALIZED VIEW/VIEW/SOURCE/SINK are supported")
         p.eat()
-        p.ident("table name")
+        p.ast["kind"] = "TABLE"
+        p.ast["old"] = p.ast["table"] = unquote_ident(p.ident("table name"))
         if p.at("RENAME"):
             p.eat()
             p.eat_kw("TO")
-            p.ident("new name")
+            p.ast["new"] = unquote_ident(p.ident("new name"))
             p.expect_done("ALTER TABLE ... RENAME")
             return "alter_rename"
         if p.at("ADD"):
             p.eat()
             if p.at("COLUMN"):
                 p.eat()
-            p.ident("column name")
+            p.ast["action"] = "add"
+            p.ast["column"] = unquote_ident(p.ident("column name"))
+            i0 = p.i
             p.ident("column type")
             t = p.peek()
             if t is not None and t.kind == "op" and t.val == "(":  # varchar(n)
@@ -1084,16 +1114,20 @@ def _classify_p(p: _P) -> str:
                         p.fail("unterminated type parameter list")
                     p.eat()
                 p.eat_op(")")
+            p.ast["type"] = p.span(i0, p.i)
             if p.at("DEFAULT"):
                 p.eat()
+                i0 = p.i
                 _scan_expr(p, set())
+                p.ast["default"] = p.span(i0, p.i)
             p.expect_done("ALTER TABLE ADD COLUMN")
             return "alter_table"
         if p.at("DROP"):
             p.eat()
             if p.at("COLUMN"):
                 p.eat()
-            p.ident("column name")
+            p.ast["action"] = "drop"
+            p.ast["column"] = unquote_ident(p.ident("column name"))
             p.expect_done("ALTER TABLE DROP COLUMN")
             return "alter_table"
         p.fail("expected ADD COLUMN or DROP COLUMN")
@@ -1104,7 +1138,8 @@ def _classify_p(p: _P) -> str:
             if p.at_seq("IF", "EXISTS"):
                 p.eat()
                 p.eat()
-            p.ident("schema name")
+                p.ast["if_exists"] = True
+            p.ast["name"] = unquote_ident(p.ident("schema name"))
             if p.at("CASCADE", "RESTRICT"):
                 p.eat()
             p.expect_done("DROP SCHEMA")
@@ -1114,7 +1149,8 @@ def _classify_p(p: _P) -> str:
             if p.at_seq("IF", "EXISTS"):
                 p.eat()
                 p.eat()
-            p.ident("secret name")
+                p.ast["if_exists"] = True
+            p.ast["name"] = unquote_ident(p.ident("secret name"))
             p.expect_done("DROP SECRET")
             return "drop_secret"
         if p.at("FUNCTION", "AGGREGATE"):
@@ -1124,7 +1160,8 @@ def _classify_p(p: _P) -> str:
             if p.at_seq("IF", "EXISTS"):
                 p.eat()
                 p.eat()
-            p.ident("function name")
+                p.ast["if_exists"] = True
+            p.ast["name"] = unquote_ident(p.ident("function name"))
             t = p.peek()
             if t is not None and t.kind == "op" and t.val == "(":
                 p.eat()
@@ -1134,19 +1171,22 @@ def _classify_p(p: _P) -> str:
             return "drop_function"
         if p.at("TABLE"):
             p.eat()
+            p.ast["kind"] = "TABLE"
         elif p.at_seq("MATERIALIZED", "VIEW"):
             p.eat()
             p.eat()
+            p.ast["kind"] = "MATERIALIZED VIEW"
         elif p.at("VIEW", "SOURCE", "SINK", "SUBSCRIPTION"):
-            p.eat()
+            p.ast["kind"] = p.eat().up
         else:
             p.fail("unsupported DROP object kind")
         if p.at_seq("IF", "EXISTS"):
             p.eat()
             p.eat()
-        p.ident("object name")
+            p.ast["if_exists"] = True
+        p.ast["name"] = unquote_ident(p.ident("object name"))
         if p.at("CASCADE", "RESTRICT"):
-            p.eat()
+            p.ast["cascade"] = p.eat().up == "CASCADE"
         p.expect_done("DROP")
         return "drop"
     if h == "COMMENT":
@@ -1161,16 +1201,16 @@ def _classify_p(p: _P) -> str:
             p.eat()
         else:
             p.fail("expected TABLE/COLUMN/MATERIALIZED VIEW/VIEW/SOURCE")
-        p.ident("object name")
+        p.ast["obj"] = unquote_ident(p.ident("object name"))
         t = p.peek()
         if t is not None and t.kind == "op" and t.val == ".":
             p.eat()
-            p.ident("column name")
+            p.ast["col"] = unquote_ident(p.ident("column name"))
         p.eat_kw("IS")
         t = p.peek()
         if t is None or not (t.kind == "str" or (t.kind == "ident" and t.up == "NULL")):
             p.fail("expected a comment string or NULL after IS")
-        p.eat()
+        p.ast["text"] = p.eat().val
         p.expect_done("COMMENT ON")
         return "comment"
     if h == "INSERT":
@@ -1229,30 +1269,34 @@ def _classify_p(p: _P) -> str:
         return "delete"
     if h == "DECLARE":
         p.eat()
-        p.ident("cursor name")
+        p.ast["name"] = unquote_ident(p.ident("cursor name"))
+        p.ast["subscription"] = False
         if p.at("SUBSCRIPTION"):
             p.eat()
+            p.ast["subscription"] = True
         p.eat_kw("CURSOR")
         p.eat_kw("FOR")
         if p.peek() is None:
             p.fail("expected a query or subscription name after CURSOR FOR")
+        p.ast["body"] = p.span(p.i)
         return "declare"
     if h == "FETCH":
         p.eat()
         if p.at("NEXT"):
             p.eat()
+            p.ast["count"] = 1
         else:
             t = p.peek()
             if t is None or t.kind != "num":
                 p.fail("expected NEXT or a row count in FETCH")
-            p.eat()
+            p.ast["count"] = int(p.eat().val)
         p.eat_kw("FROM")
-        p.ident("cursor name")
+        p.ast["cursor"] = unquote_ident(p.ident("cursor name"))
         p.expect_done("FETCH")
         return "fetch"
     if h == "CLOSE":
         p.eat()
-        p.ident("cursor name")
+        p.ast["cursor"] = unquote_ident(p.ident("cursor name"))
         p.expect_done("CLOSE")
         return "close"
     # queries, SHOW/SET/DESCRIBE/EXPLAIN and everything else: the

@@ -443,22 +443,25 @@ def test_grammar_classifies_create_function(stmt):
     """Round-5 statements fuzz: CREATE FUNCTION shapes (dollar/quoted
     bodies, named/unnamed params, both languages) classify and extract."""
     from risingwave_spark import frontend
-    from risingwave_spark.sqlparse import classify
+    from risingwave_spark.sqlparse import classify_ast
 
-    kind = classify(stmt)
+    kind, ast = classify_ast(stmt)
     assert kind == "create_function"
-    rx, _h = frontend._KIND_DISPATCH[kind]
-    assert rx.match(stmt) is not None, stmt
+    # shared-AST path: assert the fields the handler reads are present
+    assert kind in frontend._AST_DISPATCH
+    assert ast["name"] and ast["language"] and ast["body"], (stmt, ast)
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(pair=_misc_new_stmt())
 def test_grammar_classifies_new_round5_statements(pair):
     from risingwave_spark import frontend
-    from risingwave_spark.sqlparse import classify
+    from risingwave_spark.sqlparse import classify_ast
 
     stmt, want = pair
-    kind = classify(stmt)
+    kind, ast = classify_ast(stmt)
     assert kind == want, (stmt, kind)
-    rx, _h = frontend._KIND_DISPATCH[kind]
-    assert rx.match(stmt) is not None, stmt
+    # shared-AST path: every generated shape must carry the name field
+    # its handler dispatches on
+    assert kind in frontend._AST_DISPATCH
+    assert ast.get("name") or ast.get("obj") or ast.get("cursor"), (stmt, ast)

@@ -2865,3 +2865,33 @@ def test_create_mv_self_join_roles(eng):
             "FROM sj_s JOIN sj_n ON s_nationkey = n_nationkey "
             "JOIN sj_n n2 ON s_nationkey = n2.n_nationkey"
         )
+
+
+def test_drop_subscription_and_literal_if_not_exists(eng):
+    """Two latent front-door bugs fixed by the shared-AST migration:
+    (1) DROP SUBSCRIPTION classified as 'drop' but the old extraction
+    regex had no SUBSCRIPTION arm — internal error instead of a drop;
+    (2) duplicate-MV IF NOT EXISTS detection searched the statement
+    TEXT, so the phrase inside a string literal suppressed the
+    duplicate-name error."""
+    eng.sql("CREATE TABLE dsu_t (k int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW dsu_mv AS SELECT k, v FROM dsu_t")
+    eng.sql("CREATE SUBSCRIPTION dsu_sub FROM dsu_mv")
+    assert "dsu_sub" in eng.subscriptions
+    out = eng.sql("DROP SUBSCRIPTION dsu_sub")
+    assert out.first().status == "DROP_SUBSCRIPTION"
+    assert "dsu_sub" not in eng.subscriptions
+    # duplicate MV whose body contains the literal 'IF NOT EXISTS':
+    # must still raise (grammar captures the flag at token level)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW dsu_mv AS "
+            "SELECT k, v FROM dsu_t WHERE 'IF NOT EXISTS' <> ''"
+        )
+    # and the REAL IF NOT EXISTS is a silent no-op
+    out = eng.sql(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS dsu_mv AS SELECT k, v FROM dsu_t"
+    )
+    assert out.first().status == "CREATE_MATERIALIZED_VIEW"
