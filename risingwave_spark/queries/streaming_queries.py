@@ -1036,6 +1036,60 @@ def engine_sql_mv_join(spark, sf_dir):
 
 
 @register(
+    "engine_sql_self_join_mv",
+    oracle="""
+WITH nat AS (SELECT * FROM nation WHERE n_nationkey % 9 <> 0),
+     sup AS (SELECT * FROM supplier WHERE s_suppkey % 3 <> 0)
+SELECT n2.n_name AS peer_nation, count(*) AS n_sup
+FROM sup s
+JOIN nat n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nat n2 ON n1.n_regionkey = n2.n_regionkey
+GROUP BY peer_nation ORDER BY peer_nation
+""",
+)
+def engine_sql_self_join_mv(spark, sf_dir):
+    """Self-join MV through the SQL front door in the reference's
+    `nation n1, nation n2` spelling (reference `views/q7.slt.part`;
+    binder alias disambiguation): the chain compiler renames each
+    duplicated-table role's columns per alias, DML on the shared table
+    folds into BOTH roles, and a delete retracts through every role at
+    once. Suppliers count against each nation sharing their region."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)  # registers `nation` + `supplier` temp views
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_sj_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_sj_supplier (
+            s_suppkey int8 PRIMARY KEY, s_nationkey int8
+        );
+        CREATE TABLE rw_sj_nation (
+            n_nationkey int8 PRIMARY KEY, n_name text, n_regionkey int8
+        );
+        CREATE MATERIALIZED VIEW rw_sj AS
+        SELECT n2.n_name AS peer_nation, count(*) AS n_sup
+        FROM rw_sj_supplier, rw_sj_nation n1, rw_sj_nation n2
+        WHERE s_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = n2.n_regionkey
+        GROUP BY peer_nation
+        """
+    )
+    eng.sql("INSERT INTO rw_sj_nation SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    eng.sql(
+        "INSERT INTO rw_sj_supplier SELECT s_suppkey, s_nationkey "
+        "FROM supplier WHERE s_suppkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO rw_sj_supplier SELECT s_suppkey, s_nationkey "
+        "FROM supplier WHERE s_suppkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM rw_sj_supplier WHERE s_suppkey % 3 = 0")
+    # delete on the SELF-JOINED table retracts through both roles
+    eng.sql("DELETE FROM rw_sj_nation WHERE n_nationkey % 9 = 0")
+    return eng.sql("SELECT peer_nation, n_sup FROM rw_sj ORDER BY peer_nation")
+
+
+@register(
     "engine_sql_view",
     oracle="""
 SELECT o_orderstatus, count(*) AS n
