@@ -1008,6 +1008,10 @@ def _handle_drop(engine: "Engine", ast: dict) -> DataFrame:
         subs = getattr(engine, "subscriptions", {})
         subs.pop(name, None)
         engine._unrecord_ddl([name])
+        inner = f"__subq_{name}"
+        if inner in engine.mv_handles:
+            # table-backed subscription owns its passthrough MV
+            _execute_one(engine, f"DROP MATERIALIZED VIEW {inner}")
         return _status(spark, "DROP_SUBSCRIPTION")
     if kind == "TABLE":
         if name not in engine.tables:
@@ -3792,19 +3796,102 @@ class _SubscriptionCursor:
         return spark.createDataFrame(out, self._schema)
 
 
+class _SnapshotThenLog:
+    """`DECLARE ... CURSOR FOR sub FULL` (reference Since::Full,
+    e2e_test/subscription/main.py test_cursor_snapshot): the relation's
+    CURRENT snapshot is served as the first chunk, then the changelog
+    from the declare point onward. Duck-types Subscription for
+    _SubscriptionCursor (fetch/ack)."""
+
+    def __init__(self, snap: DataFrame, sub):
+        self._snap = snap
+        self._sub = sub
+
+    def fetch(self):
+        if self._snap is not None:
+            df, self._snap = self._snap, None
+            return df, "__snapshot__"
+        return self._sub.fetch()
+
+    def ack(self, token):
+        if token != "__snapshot__":
+            self._sub.ack(token)
+
+
 def _handle_declare(engine: "Engine", ast: dict) -> DataFrame:
     name, is_sub = ast["name"], ast["subscription"]
     body = ast["body"].strip().rstrip(";")
     engine.cursors = getattr(engine, "cursors", {})
     if is_sub:
+        if name in engine.cursors:
+            # reference declare_cursor.rs: re-declaring a live cursor
+            # name is an error (e2e_test/subscription/check_sql_statement)
+            raise ValueError(f"cursor {name!r} already exists (CLOSE it first)")
         engine.subscriptions = getattr(engine, "subscriptions", {})
-        if body in engine.subscriptions:
-            sub = engine.subscriptions[body]
-        elif body in engine.mv_handles:
-            # implicit subscription over the MV's full retained log
-            sub = engine.create_subscription(f"__cursor_{name}", body, from_beginning=True)
+        src = ast["source"]
+        since = re.sub(r"\s+", "", (ast.get("since") or "")).lower()
+        if since not in ("", "now()", "proctime()", "begin()"):
+            # reference Since::TimestampMsNum bounds-checks against the
+            # retained log; this engine keeps the three symbolic forms
+            # and rejects raw timestamps loudly (documented divergence)
+            raise ValueError(
+                f"SINCE {ast.get('since')!r} is not supported: use "
+                "SINCE now() / proctime() (changes after declare) or "
+                "SINCE begin() (the full retained log)"
+            )
+        if ast.get("full"):
+            # snapshot first, then changes after declare
+            from risingwave_spark.streaming.mv import with_ops as _wo
+            from risingwave_spark.streaming.subscription import Subscription
+
+            if src in engine.subscriptions:
+                base = getattr(engine.subscriptions[src], "_source", None)
+                log_dir = engine.subscriptions[src].dir
+            elif src in engine.mv_handles:
+                base = src
+                h = engine.mv_handles[src]
+                h.view.emit_changelog = True
+                log_dir = h.view.changelog_dir
+            else:
+                raise ValueError(f"unknown subscription or MV {src!r}")
+            if base is None or base not in engine.mv_handles:
+                raise ValueError(
+                    f"cursor FULL over {src!r}: its source relation is not "
+                    "available for a snapshot"
+                )
+            snap = (
+                _wo(engine.mv_handles[base].view.result(), 1)
+                .withColumn("__chunk", F.lit(-1))
+            )
+            head = Subscription(
+                engine.spark, log_dir, f"__cursor_{name}", from_beginning=False
+            )
+            engine.cursors[name] = _SubscriptionCursor(_SnapshotThenLog(snap, head))
+            return _status(engine.spark, "DECLARE_CURSOR")
+        if src in engine.subscriptions and not since:
+            sub = engine.subscriptions[src]
+        elif src in engine.subscriptions:
+            # a SINCE clause positions a FRESH cursor over the same
+            # retained changelog, independent of the subscription's own
+            # durable ack point
+            from risingwave_spark.streaming.subscription import Subscription
+
+            sub = Subscription(
+                engine.spark,
+                engine.subscriptions[src].dir,
+                f"__cursor_{name}",
+                from_beginning=(since == "begin()"),
+            )
+        elif src in engine.mv_handles:
+            # implicit subscription over the MV's changelog: the full
+            # retained log by default / SINCE begin(), changes-after-
+            # declare under SINCE now()/proctime()
+            sub = engine.create_subscription(
+                f"__cursor_{name}", src,
+                from_beginning=since in ("", "begin()"),
+            )
         else:
-            raise ValueError(f"unknown subscription or MV {body!r}")
+            raise ValueError(f"unknown subscription or MV {src!r}")
         engine.cursors[name] = _SubscriptionCursor(sub)
     else:
         engine.cursors[name] = _BatchCursor(engine.spark.sql(pg_to_spark_sql(body)))
@@ -3887,9 +3974,29 @@ def execute(engine: "Engine", text: str) -> DataFrame:
 
 
 def _handle_create_subscription(engine: "Engine", ast: dict) -> DataFrame:
-    name, mv_name = ast["name"], ast["source"]
+    """CREATE SUBSCRIPTION ... FROM <mv|table> (reference
+    `create_subscription.rs` — tables subscribe too, e2e_test/
+    subscription/create_table_and_subscription.slt): a TABLE source
+    rides an internal passthrough MV (`SELECT * FROM t`) whose
+    changelog is the table's own change stream; DROP SUBSCRIPTION
+    drops the internal MV with it."""
+    name, src = ast["name"], ast["source"]
     engine.subscriptions = getattr(engine, "subscriptions", {})
-    engine.subscriptions[name] = engine.create_subscription(name, mv_name)
+    if src in engine.tables and src not in engine.mv_handles:
+        inner = f"__subq_{name}"
+        if inner not in engine.mv_handles:
+            was = engine._replaying
+            engine._replaying = True
+            try:
+                _execute_one(
+                    engine, f"CREATE MATERIALIZED VIEW {inner} AS SELECT * FROM {src}"
+                )
+            finally:
+                engine._replaying = was
+        src = inner
+    engine.subscriptions[name] = engine.create_subscription(name, src)
+    # remember the backing relation so cursor FULL can snapshot it
+    engine.subscriptions[name]._source = src
     engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_SUBSCRIPTION")
 

@@ -1279,6 +1279,28 @@ def _classify_p(p: _P) -> str:
         if p.peek() is None:
             p.fail("expected a query or subscription name after CURSOR FOR")
         p.ast["body"] = p.span(p.i)
+        if p.ast["subscription"]:
+            # subscription arm: `<source> [SINCE now()|proctime()|begin()]`
+            # (reference parser.rs parse_declare_cursor →
+            # Since::{ProcessTime,Begin,TimestampMsNum}; the timestamp
+            # spelling is rejected by the handler with a pointer)
+            p.ast["source"] = unquote_ident(p.ident("subscription or MV name"))
+            if p.at("FULL"):
+                # reference parse_declare_cursor Since::Full: current
+                # snapshot first, then the changelog
+                p.eat()
+                p.ast["full"] = True
+            elif p.at("SINCE"):
+                p.eat()
+                i0 = p.i
+                while p.peek() is not None and not (
+                    p.peek().kind == "op" and p.peek().val == ";"
+                ):
+                    p.eat()
+                p.ast["since"] = p.span(i0, p.i)
+                if not p.ast["since"]:
+                    p.fail("expected a position after SINCE")
+            p.expect_done("DECLARE SUBSCRIPTION CURSOR")
         return "declare"
     if h == "FETCH":
         p.eat()

@@ -2895,3 +2895,38 @@ def test_drop_subscription_and_literal_if_not_exists(eng):
         "CREATE MATERIALIZED VIEW IF NOT EXISTS dsu_mv AS SELECT k, v FROM dsu_t"
     )
     assert out.first().status == "CREATE_MATERIALIZED_VIEW"
+
+
+def test_subscription_cursor_since_full_and_table_source(eng):
+    """Reference subscription-cursor surface
+    (e2e_test/subscription/check_sql_statement.slt + main.py):
+    subscriptions FROM a table (internal passthrough MV), cursor FULL
+    (snapshot then changes), SINCE now()/proctime()/begin(), loud
+    rejection of raw-timestamp SINCE, and duplicate-cursor errors."""
+    eng.sql("create table sct (v1 int, v2 int)")
+    eng.sql("insert into sct values (1,2)")
+    eng.sql("create subscription scs from sct with(retention = '1D')")
+    # rows inserted AFTER subscription creation, BEFORE declare
+    eng.sql("insert into sct values (4,4)")
+    eng.sql("declare c_begin subscription cursor for scs since begin()")
+    eng.sql("declare c_now subscription cursor for scs since now()")
+    eng.sql("declare c_full subscription cursor for scs full")
+    # begin(): the retained log from subscription creation — (4,4) only
+    got = [(r.v1, r.v2) for r in eng.sql("fetch 10 from c_begin").collect()]
+    assert got == [(4, 4)]
+    # now(): nothing until new changes arrive
+    assert eng.sql("fetch 10 from c_now").count() == 0
+    # full: current snapshot first (both rows), then changes
+    got = sorted((r.v1, r.v2) for r in eng.sql("fetch 10 from c_full").collect())
+    assert got == [(1, 2), (4, 4)]
+    eng.sql("insert into sct values (6,6)")
+    assert [(r.v1, r.v2) for r in eng.sql("fetch 10 from c_now").collect()] == [(6, 6)]
+    assert [(r.v1, r.v2) for r in eng.sql("fetch 10 from c_full").collect()] == [(6, 6)]
+    with pytest.raises(ValueError, match="SINCE"):
+        eng.sql("declare c_bad subscription cursor for scs since 1")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("declare c_now subscription cursor for scs")
+    for c in ("c_begin", "c_now", "c_full"):
+        eng.sql(f"close {c}")
+    eng.sql("drop subscription scs")
+    assert "__subq_scs" not in eng.mv_handles
