@@ -3658,12 +3658,144 @@ class _FileSink:
             self.sub.ack(token)
 
 
+class _TableSink:
+    """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
+    sink-into-table; e2e_test/subscription/
+    create_table_and_subscription.slt `create sink s1 into t3 from
+    t2`): the source's changelog folds into the target table as DML —
+    a table-to-table streaming pipe. Deletes require the target to
+    declare a PRIMARY KEY (a hidden-row-id target is append-only:
+    -before rows have no identity there). Reentrancy-guarded: folding
+    into the target drains sinks again; this sink skips its own nested
+    pass and the outer fetch loop picks up anything produced
+    meanwhile."""
+
+    def __init__(self, engine: "Engine", sub, target: str):
+        self.engine = engine
+        self.sub = sub
+        self.target = target
+        self._draining = False
+
+    def _apply(self, batch: DataFrame) -> None:
+        eng = self.engine
+        t = eng.tables[self.target]
+        stored = t.snapshot().columns
+        tcols = [c for c in stored if c != ROW_ID]
+        missing = [c for c in tcols if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"sink into {self.target!r}: source lacks columns {missing}"
+            )
+        from risingwave_spark.streaming.mv import with_ops as _wo
+
+        ins = batch.filter(F.col("__op") > 0).select(*tcols)
+        dels = batch.filter(F.col("__op") < 0).select(*tcols)
+        if ROW_ID in stored:
+            if dels.limit(1).count() > 0:
+                raise ValueError(
+                    f"sink into {self.target!r}: deletes need the target "
+                    "to declare a PRIMARY KEY (hidden-row-id targets are "
+                    "append-only)"
+                )
+            nxt = getattr(t, "_rowid_next", None)
+            if nxt is None:
+                mx = t.snapshot().agg(F.max(ROW_ID)).first()[0]
+                nxt = (mx or 0) + 1
+            rows = _assign_row_ids(ins, nxt - 1).localCheckpoint(eager=True)
+            t._rowid_next = nxt + rows.count()
+            eng.insert(self.target, rows)
+            return
+        # pk target: deletes first (an update's -before/+after pair in
+        # one chunk lands as delete-then-insert), then inserts through
+        # the table's ON CONFLICT path
+        if dels.limit(1).count() > 0:
+            eng._apply_dml(self.target, _wo(dels, -1).localCheckpoint(eager=True))
+        if ins.limit(1).count() > 0:
+            eng.insert(self.target, ins.localCheckpoint(eager=True))
+
+    def drain(self) -> None:
+        if self._draining:
+            return
+        self._draining = True
+        try:
+            while True:
+                got = self.sub.fetch()
+                if got is None:
+                    return
+                df, token = got
+                self._apply(df)
+                self.sub.ack(token)
+        finally:
+            self._draining = False
+
+
+def _handle_create_sink_into(engine: "Engine", ast: dict) -> DataFrame:
+    name, target = ast["name"], ast["into"]
+    if target not in engine.tables:
+        raise ValueError(f"sink {name!r}: INTO target {target!r} is not a table")
+    src = ast.get("from")
+    if ast.get("as") or (src in engine.tables and src not in engine.mv_handles):
+        inner = f"__sinkq_{name}"
+        if inner not in engine.mv_handles:
+            body = ast["as"].strip() if ast.get("as") else f"SELECT * FROM {src}"
+            was = engine._replaying
+            engine._replaying = True
+            try:
+                _execute_one(engine, f"CREATE MATERIALIZED VIEW {inner} AS {body}")
+            finally:
+                engine._replaying = was
+        src = inner
+    elif src is None:
+        raise ValueError("CREATE SINK needs FROM <rel> or AS <select>")
+    if src == target or ast.get("from") == target:
+        raise ValueError(f"sink {name!r}: INTO its own source would loop")
+    if src not in engine.mv_handles:
+        raise ValueError(
+            f"sink {name!r}: FROM relation {src!r} is not a known table or MV"
+        )
+    t = engine.tables[target]
+    if ROW_ID in t.snapshot().columns:
+        # a hidden-row-id target gives -before rows no identity: only an
+        # append-only source can feed it (reference create_sink.rs
+        # requires the append-only sink contract for pk-less targets)
+        base = ast.get("from")
+        base_t = engine.tables.get(base)
+        if base_t is None or not getattr(base_t, "append_only", False):
+            raise ValueError(
+                f"sink {name!r}: INTO a table without PRIMARY KEY requires "
+                "an APPEND ONLY source table (deletes have no identity in "
+                "a hidden-row-id target)"
+            )
+    import os as _os
+
+    h = engine.mv_handles[src]
+    h.view.emit_changelog = True
+    log_dir = h.view.changelog_dir
+    # replay/reopen: an existing durable cursor means the target already
+    # absorbed the bootstrap snapshot — resume the changelog instead
+    fresh = not _os.path.exists(_os.path.join(log_dir, f"CURSOR___sink_{name}"))
+    sub = engine.create_subscription(f"__sink_{name}", src)
+    sink = _TableSink(engine, sub, target)
+    engine.sinks[name] = sink
+    if fresh:
+        from risingwave_spark.streaming.mv import with_ops as _wo
+
+        snap = h.view.result()
+        if snap.limit(1).count() > 0:
+            sink._apply(_wo(snap, 1))
+    sink.drain()
+    engine._record_ddl(name, ast["stmt"])
+    return _status(engine.spark, "CREATE_SINK")
+
+
 def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE SINK ... FROM mv WITH (...) (reference
     `handler/create_sink.rs`): filesystem sinks stream the MV changelog
     to parquet chunks (real, tested); kafka/jdbc sinks raise a loud
     missing-jar error at creation — constructing a sink that could never
     flush would hide the gap until runtime."""
+    if ast.get("into"):
+        return _handle_create_sink_into(engine, ast)
     name, src = ast["name"], ast.get("from")
     opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()

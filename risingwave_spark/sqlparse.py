@@ -798,6 +798,12 @@ def _parse_create(p: _P) -> str:
         p.eat()
         _skip_if_not_exists(p)
         p.ast["name"] = unquote_ident(p.ident("sink name"))
+        if p.at("INTO"):
+            # CREATE SINK ... INTO <table> — sink-into-table (reference
+            # handler/create_sink.rs; e2e_test/subscription/
+            # create_table_and_subscription.slt)
+            p.eat()
+            p.ast["into"] = unquote_ident(p.ident("sink target table"))
         if p.at("FROM"):
             p.eat()
             p.ast["from"] = unquote_ident(p.ident("sink source relation"))
@@ -827,9 +833,14 @@ def _parse_create(p: _P) -> str:
             p.ast["as"] = p.span(i0, p.i)
         else:
             p.fail("expected FROM <mv> or AS <select> in CREATE SINK")
-        i0 = p.i
-        _parse_with_options(p)
-        p.ast["with"] = p.span(i0 + 2, p.i - 1)
+        if p.at("WITH"):
+            i0 = p.i
+            _parse_with_options(p)
+            p.ast["with"] = p.span(i0 + 2, p.i - 1)
+        elif "into" not in p.ast:
+            # external sinks need connector options; an INTO-table sink
+            # is fully internal and takes none
+            p.fail("CREATE SINK needs WITH (connector = ...) options")
         p.expect_done("CREATE SINK")
         return "create_sink"
     if p.at("SUBSCRIPTION"):

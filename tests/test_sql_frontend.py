@@ -2930,3 +2930,38 @@ def test_subscription_cursor_since_full_and_table_source(eng):
         eng.sql(f"close {c}")
     eng.sql("drop subscription scs")
     assert "__subq_scs" not in eng.mv_handles
+
+
+def test_sink_into_table(spark, tmp_path):
+    """CREATE SINK ... INTO <table> (reference sink-into-table,
+    e2e_test/subscription/create_table_and_subscription.slt): source
+    changes — inserts, deletes, update pairs — fold into the target
+    table as DML; pre-sink data bootstraps once; restart replay resumes
+    the durable cursor instead of re-applying the bootstrap."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("create table si_src (v1 int, v2 int)")
+    eng.sql("create table si_dst (v1 int primary key, v2 int)")
+    eng.sql("insert into si_src values (1,10)")
+    eng.sql("create sink si_s into si_dst from si_src")
+    assert _rows(eng.sql("select v1, v2 from si_dst")) == [(1, 10)]
+    eng.sql("insert into si_src values (2,20),(3,30)")
+    eng.sql("delete from si_src where v1 = 2")
+    eng.sql("update si_src set v2 = 99 where v1 = 1")
+    assert _rows(eng.sql("select v1, v2 from si_dst")) == [(1, 99), (3, 30)]
+    # restart: no double bootstrap, changes keep flowing
+    eng2 = Engine.open(spark, wh)
+    assert _rows(eng2.sql("select v1, v2 from si_dst")) == [(1, 99), (3, 30)]
+    eng2.sql("insert into si_src values (4,40)")
+    assert _rows(eng2.sql("select v1, v2 from si_dst")) == [
+        (1, 99), (3, 30), (4, 40),
+    ]
+    # append-only contract, enforced at CREATE: a retractable source
+    # cannot feed a hidden-row-id target (deletes have no identity there)
+    eng2.sql("create table si_dst2 (v1 int, v2 int)")
+    with pytest.raises(ValueError, match="APPEND ONLY"):
+        eng2.sql("create sink si_s2 into si_dst2 from si_src")
+    eng2.sql("create table si_src3 (v1 int, v2 int) APPEND ONLY")
+    eng2.sql("insert into si_src3 values (7,70)")
+    eng2.sql("create sink si_s3 into si_dst2 from si_src3")
+    assert _rows(eng2.sql("select v1, v2 from si_dst2")) == [(7, 70)]
