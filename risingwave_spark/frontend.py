@@ -90,7 +90,7 @@ def _status(spark: SparkSession, tag: str) -> DataFrame:
 # ---------------------------------------------------------------- regexes
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS"
-    r"|INTERNAL\s+TABLES|SECRETS)\s*$",
+    r"|INTERNAL\s+TABLES|SECRETS|SCHEMAS|DATABASES)\s*$",
     re.I,
 )
 _CREATE_FUNCTION = re.compile(
@@ -4070,6 +4070,35 @@ def _handle_create_schema(engine: "Engine", ast: dict) -> DataFrame:
     return _status(engine.spark, "CREATE_SCHEMA")
 
 
+def _handle_create_database(engine: "Engine", ast: dict) -> DataFrame:
+    """CREATE DATABASE (reference `handler/create_database.rs`,
+    e2e_test/database/): a catalog namespace entry — this single-
+    namespace engine records it durably and lists it in SHOW DATABASES;
+    objects are not isolated per database (documented divergence; the
+    schema prefix convention covers qualified names)."""
+    name = ast["name"]
+    engine.databases = getattr(engine, "databases", set())
+    if name in engine.databases or name == "dev":
+        if ast.get("if_not_exists"):
+            return _status(engine.spark, "CREATE_DATABASE")
+        raise ValueError(f"database {name!r} already exists")
+    engine.databases.add(name)
+    engine._record_ddl(f"__database_{name}", ast["stmt"])
+    return _status(engine.spark, "CREATE_DATABASE")
+
+
+def _handle_drop_database(engine: "Engine", ast: dict) -> DataFrame:
+    name = ast["name"]
+    engine.databases = getattr(engine, "databases", set())
+    if name not in engine.databases:
+        if ast.get("if_exists"):
+            return _status(engine.spark, "DROP_DATABASE")
+        raise ValueError(f"unknown database {name!r}")
+    engine.databases.discard(name)
+    engine._unrecord_ddl([f"__database_{name}"])
+    return _status(engine.spark, "DROP_DATABASE")
+
+
 def _handle_drop_schema(engine: "Engine", ast: dict) -> DataFrame:
     name = ast["name"]
     engine.schemas = getattr(engine, "schemas", set())
@@ -4350,6 +4379,8 @@ _AST_DISPATCH = {
     "drop_secret": _handle_drop_secret,
     "create_schema": _handle_create_schema,
     "drop_schema": _handle_drop_schema,
+    "create_database": _handle_create_database,
+    "drop_database": _handle_drop_database,
     "create_subscription": _handle_create_subscription,
     "update": _handle_update,
     "delete": _handle_delete,
@@ -4426,6 +4457,7 @@ _TXN_WRITE_KINDS = frozenset(
         "create_mv", "create_view", "create_source", "create_sink",
         "create_subscription", "create_function", "create_aggregate",
         "alter_table", "alter_rename", "drop", "drop_function",
+        "create_schema", "drop_schema", "create_database", "drop_database",
     }
 )
 
@@ -4668,6 +4700,14 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             return engine.spark.createDataFrame(
                 [(n,) for n in sorted(_load_secrets(engine))] or [], "name string"
             )
+        if kind == "SCHEMAS":
+            # reference `show schemas`: the builtin four plus user schemas
+            names = ["information_schema", "pg_catalog", "public", "rw_catalog"]
+            names += sorted(getattr(engine, "schemas", set()))
+            return engine.spark.createDataFrame([(n,) for n in names], "name string")
+        if kind == "DATABASES":
+            names = ["dev"] + sorted(getattr(engine, "databases", set()))
+            return engine.spark.createDataFrame([(n,) for n in names], "name string")
         if kind == "INTERNAL TABLES":
             # reference `show internal tables` (rw_internal catalog)
             from risingwave_spark.streaming.mv import ChunkedState

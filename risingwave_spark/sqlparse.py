@@ -853,6 +853,16 @@ def _parse_create(p: _P) -> str:
             _parse_with_options(p)
         p.expect_done("CREATE SUBSCRIPTION")
         return "create_subscription"
+    if p.at("DATABASE"):
+        # CREATE DATABASE [IF NOT EXISTS] name (reference
+        # handler/create_database.rs; e2e_test/database/prepare.slt)
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ast["name"] = unquote_ident(p.ident("database name"))
+        if p.at("WITH"):
+            _parse_with_options(p)
+        p.expect_done("CREATE DATABASE")
+        return "create_database"
     if p.at("SCHEMA"):
         # CREATE SCHEMA [IF NOT EXISTS] name (reference
         # handler/create_schema.rs; e2e_test/ddl/schema.slt)
@@ -1144,6 +1154,15 @@ def _classify_p(p: _P) -> str:
         p.fail("expected ADD COLUMN or DROP COLUMN")
     if h == "DROP":
         p.eat()
+        if p.at("DATABASE"):
+            p.eat()
+            if p.at_seq("IF", "EXISTS"):
+                p.eat()
+                p.eat()
+                p.ast["if_exists"] = True
+            p.ast["name"] = unquote_ident(p.ident("database name"))
+            p.expect_done("DROP DATABASE")
+            return "drop_database"
         if p.at("SCHEMA"):
             p.eat()
             if p.at_seq("IF", "EXISTS"):

@@ -2965,3 +2965,30 @@ def test_sink_into_table(spark, tmp_path):
     eng2.sql("insert into si_src3 values (7,70)")
     eng2.sql("create sink si_s3 into si_dst2 from si_src3")
     assert _rows(eng2.sql("select v1, v2 from si_dst2")) == [(7, 70)]
+
+
+def test_create_database_and_show_namespaces(spark, tmp_path):
+    """CREATE/DROP DATABASE + SHOW SCHEMAS/DATABASES (reference
+    e2e_test/database/: `create database test`, `show schemas` listing
+    the builtin four plus user schemas). Databases are durable catalog
+    entries in this single-namespace engine (documented divergence: no
+    per-database isolation)."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.sql("create database test")
+    got = [r.name for r in eng.sql("show databases").collect()]
+    assert got == ["dev", "test"]
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("create database test")
+    eng.sql("create database if not exists test")  # no-op
+    eng.sql("create schema s1")
+    got = [r.name for r in eng.sql("show schemas").collect()]
+    assert got == ["information_schema", "pg_catalog", "public", "rw_catalog", "s1"]
+    # durable across restart
+    eng2 = Engine.open(spark, wh)
+    assert [r.name for r in eng2.sql("show databases").collect()] == ["dev", "test"]
+    eng2.sql("drop database test")
+    assert [r.name for r in eng2.sql("show databases").collect()] == ["dev"]
+    with pytest.raises(ValueError, match="unknown database"):
+        eng2.sql("drop database test")
+    eng2.sql("drop database if exists test")  # no-op
