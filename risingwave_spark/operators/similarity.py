@@ -186,6 +186,146 @@ def cosine_topk_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def ivf_seed_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> list:
+    """Deterministic seed centroids: the n_centroids lowest-id vectors,
+    collected as (cid, scaled_vec, sq) rows. The collect is n_centroids
+    rows of model state (like the ANN query matrix) — never data-sized;
+    at 100 TB the centroid table is a few KB compiled into the plan."""
+    rows = (
+        scaled_with_sqnorm(
+            vectors.orderBy(id_col).limit(n_centroids), id_col, vec_col, "c"
+        )
+        .orderBy("c_id")
+        .collect()
+    )
+    return [(r["c_id"], list(r["c_vec"]), r["c_sq"]) for r in rows]
+
+
+def _centroid_cos_structs(vec_col, sq_col, centroids, round_digits=6):
+    """Array of (cos, -cid) structs, one per centroid, from literal
+    centroid vectors — pure map-side expression, no join, no shuffle.
+    Struct ordering (cos first, then -cid) makes array_max = best
+    centroid with ties broken by LOWEST centroid id."""
+    entries = []
+    for cid, cvec, csq in centroids:
+        arr = F.array(*[F.lit(int(x)) for x in cvec])
+        cos = F.round(cosine_prescaled(vec_col, arr, sq_col, F.lit(int(csq))), round_digits)
+        entries.append(F.struct(cos.alias("c"), F.lit(-int(cid)).alias("n")))
+    return F.array(*entries)
+
+
+def ivf_cluster(vec_col, sq_col, centroids):
+    """Nearest-centroid cluster id (exact scaled-int cosine, argmax,
+    ties → lowest cid). Map-side only: at scale this is the expression
+    you PARTITION the table by, so a probe prunes to nprobe partitions."""
+    best = F.array_max(_centroid_cos_structs(vec_col, sq_col, centroids))
+    return (-best["n"]).cast("long")
+
+
+def ivf_probes(vec_col, sq_col, centroids, nprobe: int):
+    """The query's nprobe nearest centroid ids (descending affinity)."""
+    ranked = F.reverse(F.array_sort(_centroid_cos_structs(vec_col, sq_col, centroids)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: (-s["n"]).cast("long"))
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    round_digits: int = 6,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    LSH: assign every vector to its nearest of n_centroids coarse
+    centroids (map-side, from literal centroids), probe only the query's
+    nprobe nearest cells, brute-force exact cosine within them.
+
+    Mirrors the reference's vector-index posture at Spark scale: the
+    cluster id is a partition column — `.write.partitionBy("cluster")`
+    turns each probe into partition pruning, so a query reads
+    nprobe/n_centroids of the data. Plan: zero-shuffle assignment,
+    broadcast of (queries × nprobe) probe rows, one window over
+    candidates only. Recall < 1 by construction vs cosine_topk.
+
+    Seed centroids are deterministic (lowest-id vectors) so the whole
+    pipeline is oracle-checkable; pass `centroids` (e.g. from
+    kmeans_refine) for production-quality cells.
+    """
+    cents = centroids if centroids is not None else ivf_seed_centroids(
+        vectors, id_col, vec_col, n_centroids
+    )
+    base = scaled_with_sqnorm(vectors, id_col, vec_col, "v")
+    assigned = base.withColumn("cluster", ivf_cluster(F.col("v_vec"), F.col("v_sq"), cents))
+    q = (
+        base.filter(query_pred(F.col("v_id")))
+        .select(
+            F.col("v_id").alias("query_id"),
+            F.col("v_vec").alias("q_vec"),
+            F.col("v_sq").alias("q_sq"),
+            F.explode(ivf_probes(F.col("v_vec"), F.col("v_sq"), cents, nprobe)).alias(
+                "cluster"
+            ),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("v_id"))
+        .select(
+            "query_id",
+            F.col("v_id").alias("neighbor_id"),
+            F.round(
+                cosine_prescaled(F.col("q_vec"), F.col("v_vec"), F.col("q_sq"), F.col("v_sq")),
+                round_digits,
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Lloyd refinement of IVF centroids, distributed: per iteration, a
+    map-side nearest-centroid assignment (cosine against literal
+    centroids — no join) and ONE groupBy(cluster) whose per-dimension
+    avg aggregates all combine map-side, shuffling k×dims partials, not
+    data. The k-row result per iteration is model state on the driver
+    (same contract as the seed-centroid collect). Empty cells keep their
+    previous centroid (standard Lloyd's fallback)."""
+    dims = len(centroids[0])
+    cur = [list(map(float, c)) for c in centroids]
+    for _ in range(iters):
+        entries = []
+        for cid, cvec in enumerate(cur):
+            plane = F.array(*[F.lit(x) for x in cvec])
+            entries.append(
+                F.struct(cosine(F.col(vec_col), plane).alias("c"), F.lit(-cid).alias("n"))
+            )
+        cluster = (-F.array_max(F.array(*entries))["n"]).cast("int")
+        means = (
+            vectors.select(cluster.alias("cluster"), vec_col)
+            .groupBy("cluster")
+            .agg(*[F.avg(F.col(vec_col)[d]).alias(f"d{d}") for d in range(dims)])
+            .collect()
+        )
+        nxt = {r["cluster"]: [r[f"d{d}"] for d in range(dims)] for r in means}
+        cur = [nxt.get(cid, cur[cid]) for cid in range(len(cur))]
+    return cur
+
+
 def cosine_topk_numpy(
     vectors: DataFrame,
     queries_rows: list,

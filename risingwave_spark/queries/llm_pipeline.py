@@ -561,6 +561,57 @@ def llm_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "llm_ann_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), asg AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT v.vec_id, v.embedding, c.cid AS cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round({_o_cos('v.embedding', 'c.cvec')}, 6) DESC, c.cid) AS rk
+    FROM embeddings v CROSS JOIN cent c) t WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cluster FROM (
+    SELECT v.vec_id, v.embedding, c.cid AS cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round({_o_cos('v.embedding', 'c.cvec')}, 6) DESC, c.cid) AS rk
+    FROM embeddings v CROSS JOIN cent c WHERE v.vec_id < 10) t WHERE rk <= 2
+)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_o_cos('p.qvec', 'a.embedding')}, 6) AS cos,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY round({_o_cos('p.qvec', 'a.embedding')}, 6) DESC, a.vec_id) AS rk
+  FROM probes p JOIN asg a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+) t WHERE rk <= 3 ORDER BY query_id, neighbor_id
+""",
+)
+def llm_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file / coarse-quantizer) ANN — the similarity-search
+    scale path next to LSH (operators/similarity.py cosine_topk_ivf):
+    every vector is assigned to its nearest of 8 coarse centroids by a
+    pure MAP-SIDE expression (centroids are plan literals — no join, no
+    shuffle); each query probes its 2 nearest cells and brute-forces
+    exact cosine only within them (nprobe/n_centroids of the data). At
+    100 TB the cluster id is the table's partition column, so a probe is
+    partition pruning. Deterministic seed centroids (lowest-id vectors)
+    + scaled-int cosine make the full pipeline oracle-checkable;
+    kmeans_refine (unit-tested vs numpy) supplies production cells."""
+    from risingwave_spark.operators.similarity import cosine_topk_ivf
+
+    t = tables(spark, sf_dir)
+    return cosine_topk_ivf(
+        t["embeddings"],
+        query_pred=lambda vid: vid < 10,
+        n_centroids=8,
+        nprobe=2,
+        k=3,
+    ).orderBy("query_id", "neighbor_id")
+
+
+@register(
     "llm_embed_neardup",
     oracle=f"""
 WITH b AS (SELECT vec_id, embedding, {_o_ann_bucket()} AS bucket FROM embeddings)

@@ -217,3 +217,55 @@ def test_aes_fips_vectors_and_modes():
         encrypt(b"short", bytes(16), "aes-ecb/pad:none")
     with _pt.raises(ValueError, match="padding"):
         decrypt(encrypt(b"0123456789abcdef", bytes(16), "aes-ecb/pad:none"), bytes(16), "aes-ecb")
+
+
+def test_kmeans_refine_matches_numpy(spark, t):
+    """Distributed Lloyd refinement (map-side assignment + one avg-agg
+    shuffle of k*dims partials per iteration) must match a driver-side
+    numpy reference: same cosine assignment, same per-cluster means,
+    same empty-cell fallback."""
+    from risingwave_spark.operators.similarity import ivf_seed_centroids, kmeans_refine
+
+    e = t["embeddings"].filter(F.col("vec_id") < 120)
+    seeds = [c[1] for c in ivf_seed_centroids(e, n_centroids=4)]
+    # seeds come back as 2^20-scaled ints — unscale to floats for the
+    # float-path refinement (kmeans_refine is the production path)
+    seeds_f = [[x / (1 << 20) for x in c] for c in seeds]
+    got = kmeans_refine(e, seeds_f, iters=2)
+
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([list(r.embedding) for r in rows], dtype="float64")
+    cur = np.array(seeds_f, dtype="float64")
+    for _ in range(2):
+        sims = (mat @ cur.T) / (
+            np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(cur, axis=1)[None, :]
+        )
+        assign = sims.argmax(axis=1)  # ties → lowest cid, same as struct argmax
+        nxt = cur.copy()
+        for cid in range(len(cur)):
+            members = mat[assign == cid]
+            if len(members):
+                nxt[cid] = members.mean(axis=0)
+        cur = nxt
+    assert np.allclose(np.array(got), cur, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_assignment_is_map_side(spark, t):
+    """The IVF cluster assignment must compile to a pure projection —
+    no Exchange (shuffle) and no join below it; at 100 TB this is what
+    lets the cluster id be a write-time partition column."""
+    from risingwave_spark.operators.similarity import (
+        ivf_cluster,
+        ivf_seed_centroids,
+        scaled_with_sqnorm,
+    )
+
+    e = t["embeddings"]
+    cents = ivf_seed_centroids(e, n_centroids=4)
+    base = scaled_with_sqnorm(e, "vec_id", "embedding", "v")
+    assigned = base.select("v_id", ivf_cluster(F.col("v_vec"), F.col("v_sq"), cents).alias("cluster"))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # and it actually buckets: every vector lands in a valid cell
+    clusters = {r["cluster"] for r in assigned.collect()}
+    assert clusters <= {c[0] for c in cents}
