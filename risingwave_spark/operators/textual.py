@@ -74,6 +74,69 @@ def doc_fingerprint(col):
     return F.md5(normalize_text(col))
 
 
+def token_ngrams(col, n: int):
+    """Token n-grams of the normalized text as space-joined strings —
+    zip_with over shifted slices, pure HOFs (no explode, no shuffle)."""
+    t = tokens(col)
+    if n == 2:
+        return F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    if n == 3:
+        return F.zip_with(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 2),
+                F.slice(t, 2, F.size(t) - 2),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(t, 3, F.size(t) - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        )
+    raise ValueError("token_ngrams supports n in (2, 3)")
+
+
+def top_ngram_frac(col, n: int = 2):
+    """Fraction of all token n-grams taken by the single most frequent
+    one — the repeated-phrase signal of web-corpus repetition filters
+    (Gopher's rep. removal). distinct × filter is O(d·g) per DOCUMENT
+    (both small), stays entirely in codegen — no per-doc shuffle."""
+    g = token_ngrams(col, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g), lambda d: F.size(F.filter(g, lambda x: x == d))
+        )
+    )
+    return F.when(F.size(g) > 0, top / F.size(g)).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(col, n: int = 3):
+    """Fraction of token n-grams that are duplicates of an earlier one
+    (1 - distinct/total) — the duplicate-n-gram mass signal."""
+    g = token_ngrams(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_keep(col, min_tokens: int = 30, max_tokens: int = 100000):
+    """Composite keep/drop flag in the style of the Gopher quality
+    rules (length bounds, mean-word-length sanity, repetition caps) —
+    the pre-training corpus filter, as one codegen'd boolean."""
+    n = token_count(col)
+    awl = avg_token_len(col)
+    return (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (awl >= 2.0)
+        & (awl <= 12.0)
+        & (top_ngram_frac(col, 2) <= 0.20)
+        & (dup_ngram_frac(col, 3) <= 0.60)
+    )
+
+
 def chunk_documents(
     df,
     id_col: str,

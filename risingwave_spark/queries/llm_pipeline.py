@@ -661,6 +661,67 @@ def llm_embed_neardup(spark, sf_dir):
 
 
 @register(
+    "llm_gopher_filters",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_O_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+  FROM t
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+           / len(toks) AS awl,
+         CASE WHEN len(bg) > 0 THEN
+           CAST(list_max(list_transform(list_distinct(bg),
+                d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+         ELSE 0.0 END AS top2,
+         CASE WHEN len(tg) > 0 THEN
+           1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+         ELSE 0.0 END AS dup3
+  FROM g
+)
+SELECT doc_id, n_tokens,
+       round(top2, 6) AS top_bigram_frac,
+       round(dup3, 6) AS dup_trigram_frac,
+       (n_tokens BETWEEN 30 AND 100000 AND awl >= 2.0 AND awl <= 12.0
+        AND top2 <= 0.20 AND dup3 <= 0.60) AS keep
+FROM m ORDER BY doc_id
+""",
+)
+def llm_gopher_filters(spark, sf_dir):
+    """Gopher-style repetition/quality filters (operators/textual.py):
+    per-document top-bigram mass, duplicate-trigram mass, and the
+    composite keep/drop flag used to gate pre-training corpora. All
+    array HOFs inside whole-stage codegen — per-document O(tokens²)
+    worst case on a bounded token window, zero shuffle, zero Python;
+    at 100 TB this is a pure map stage ahead of the dedup cascade."""
+    from risingwave_spark.operators.textual import (
+        dup_ngram_frac,
+        gopher_keep,
+        token_count,
+        top_ngram_frac,
+    )
+
+    t = tables(spark, sf_dir)
+    c = F.col("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            token_count(c).cast("long").alias("n_tokens"),
+            F.round(top_ngram_frac(c, 2), 6).alias("top_bigram_frac"),
+            F.round(dup_ngram_frac(c, 3), 6).alias("dup_trigram_frac"),
+            gopher_keep(c).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "llm_fingerprint",
     oracle="""
 SELECT substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 2) AS fp_prefix,
