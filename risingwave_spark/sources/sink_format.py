@@ -178,3 +178,35 @@ def debezium_events(
                 out.append((key_event, None))
         i += 1
     return out
+
+
+def upsert_events(
+    rows: list[tuple[int, dict]],
+    pk: list[str],
+) -> list[tuple[dict, dict | None]]:
+    """Changelog rows → upsert-format (key, value-or-None) events, the
+    reference's `sink/formatter/upsert.rs` format_chunk: key is ALWAYS
+    the encoded pk; Insert/UpdateInsert carry the full row as value;
+    Delete yields a None value (compacted-topic tombstone); the delete
+    half of a same-pk −/+ UPDATE pair is skipped entirely (upsert
+    semantics need no update-delete event)."""
+    out: list[tuple[dict, dict | None]] = []
+    i = 0
+    while i < len(rows):
+        op, row = rows[i]
+        key_event = {k: row[k] for k in pk}
+        if op > 0:
+            out.append((key_event, dict(row)))
+        elif (
+            i + 1 < len(rows)
+            and rows[i + 1][0] > 0
+            and all(rows[i + 1][1][k] == row[k] for k in pk)
+        ):
+            # UpdateDelete: skipped — the paired UpdateInsert carries
+            # the new value on the same key (upsert.rs `continue`)
+            i += 1
+            continue
+        else:
+            out.append((key_event, None))
+        i += 1
+    return out

@@ -194,3 +194,23 @@ def test_debezium_envelope_matches_reference_golden():
     assert d["before"] == {"v1": 9, "v2": 2.0, "v3": "z"} and d["after"] is None
     assert ev[3][1] is None  # compacted-topic tombstone
     assert ev[2][0]["payload"] == {"v1": 9}
+
+
+def test_upsert_formatter_matches_reference_ops():
+    """The upsert sink formatter mirrors `sink/formatter/upsert.rs`
+    exactly: key always present, Insert/UpdateInsert → full-row value,
+    Delete → None value (tombstone), UpdateDelete → no event at all."""
+    from risingwave_spark.sources.sink_format import upsert_events
+
+    rows = [
+        (1, {"id": 1, "v": "a"}),   # Insert
+        (-1, {"id": 1, "v": "a"}),  # UpdateDelete (paired) → skipped
+        (1, {"id": 1, "v": "b"}),   # UpdateInsert → value event
+        (-1, {"id": 2, "v": "z"}),  # true Delete → tombstone
+    ]
+    ev = upsert_events(rows, ["id"])
+    assert ev == [
+        ({"id": 1}, {"id": 1, "v": "a"}),
+        ({"id": 1}, {"id": 1, "v": "b"}),
+        ({"id": 2}, None),
+    ]
