@@ -290,3 +290,43 @@ def test_ttl_and_asof_reads_prune_chunks_at_file_level(spark, tmp_path):
     mid = calendar.timegm((2024, 1, 1, 0, 1, 0, 0, 0, 0))
     hist = eng2.tables["h"].asof(mid).inputFiles()
     assert hist and all("/b2/" not in f for f in hist), hist
+
+
+def test_ivf_partitioned_write_prunes_probed_cells(spark, tmp_path):
+    """The IVF scale contract made literal: vectors written
+    partitionBy(cluster) → a probe of nprobe cells reads ONLY those
+    cells' files (partition pruning at the source), so query cost is
+    nprobe/n_centroids of the data regardless of table size. Proven via
+    inputFiles on the probed scan."""
+    from pyspark.sql import functions as F
+
+    from risingwave_spark.operators.similarity import (
+        ivf_cluster,
+        ivf_seed_centroids,
+        scaled_with_sqnorm,
+    )
+    from risingwave_spark.queries.util import tables
+    from tests.conftest import SF_DIR
+
+    e = tables(spark, SF_DIR)["embeddings"]
+    cents = ivf_seed_centroids(e, n_centroids=4)
+    base = scaled_with_sqnorm(e, "vec_id", "embedding", "v")
+    assigned = base.withColumn(
+        "cluster", ivf_cluster(F.col("v_vec"), F.col("v_sq"), cents)
+    )
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("cluster").parquet(path)
+
+    back = spark.read.parquet(path)
+    cells = sorted(r["cluster"] for r in back.select("cluster").distinct().collect())
+    assert len(cells) >= 3  # the seed centroids actually spread the data
+    probe = cells[:2]
+    pruned = back.filter(F.col("cluster").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the probe lands as a PARTITION filter on the scan (directory
+    # pruning), not a post-scan data filter
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120]
+    got_cells = sorted(
+        r["cluster"] for r in pruned.select("cluster").distinct().collect()
+    )
+    assert got_cells == sorted(probe)
