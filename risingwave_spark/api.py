@@ -707,6 +707,40 @@ class Engine:
             eng._replaying = False
         return eng
 
+    def _rebuild_from_catalog(self) -> None:
+        """Reset the in-memory catalog state and replay the recorded DDL
+        in place — the in-session analog of Engine.open, used after a
+        catalog-wide definition rewrite (ALTER ... RENAME with
+        dependents: the reference rewrites every dependent definition,
+        `handler/alter_rename.rs`; this engine rewrites the recorded
+        statements and re-binds everything by replay). State re-attaches
+        on disk; no data is rewritten and no backfill re-runs."""
+        for ns in (self.tables, self.mv_handles, self.views, self.sources):
+            for name in list(ns):
+                try:
+                    self.spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
+        self.tables.clear()
+        self.mv_handles.clear()
+        self.views.clear()
+        self.sources.clear()
+        self.sinks.clear()
+        self.functions.clear()
+        self.temporal_mvs.clear()
+        self._scalar_deps.clear()
+        self._pending_read_topn.clear()
+        for attr in ("subscriptions", "cursors", "schemas", "databases"):
+            ns = getattr(self, attr, None)
+            if ns is not None:
+                ns.clear()
+        self._replaying = True
+        try:
+            for entry in self._read_catalog():
+                self.sql(entry["stmt"])
+        finally:
+            self._replaying = False
+
     # ---- DDL -------------------------------------------------------
     def create_table(self, name: str, rows: DataFrame, pk: str) -> Table:
         """CREATE TABLE ... ; initial rows are the first insert chunk.

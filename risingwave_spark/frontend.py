@@ -760,6 +760,57 @@ _ALTER_DROP = re.compile(
 )
 
 
+def _rename_with_dependents(engine: "Engine", old: str, new: str, kind: str) -> DataFrame:
+    """Rename a relation that OTHER recorded definitions reference — the
+    reference's dependent-definition rewrite (`handler/alter_rename.rs`
+    `alter_relation_rename_refs`: every dependent catalog entry gets its
+    references rewritten and committed in one transaction). Here: every
+    recorded statement is token-rewritten (relation positions +
+    qualified column refs — sqlparse.rename_relation_refs), the state
+    directory moves, and the whole catalog replays in place
+    (Engine._rebuild_from_catalog) so every dependent re-binds to the
+    new name. State re-attaches; no data is rewritten."""
+    from risingwave_spark.sqlparse import SqlParseError, rename_relation_refs
+
+    recorded = {e["name"] for e in engine._read_catalog()}
+    live = set(engine.tables) | set(engine.mv_handles)
+    unrecorded = sorted(n for n in live if n not in recorded)
+    if unrecorded:
+        raise ValueError(
+            f"cannot rename {old!r}: the catalog holds objects not created "
+            f"through the SQL surface ({unrecorded}) — a dependent rewrite "
+            "can only re-bind recorded DDL (drop the dependents first)"
+        )
+    head_rx = {
+        "TABLE": rf"^(\s*(?:CREATE|ALTER)\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b",
+        "MATERIALIZED VIEW": rf"^(\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b",
+    }[kind]
+    entries = engine._read_catalog()
+    for e in entries:
+        if e["name"] == old or e["name"].startswith(f"{old}#"):
+            e["stmt"] = re.sub(head_rx, rf"\g<1>{new}", e["stmt"], count=1, flags=re.I | re.S)
+            e["name"] = new + e["name"][len(old):]
+        else:
+            try:
+                e["stmt"] = rename_relation_refs(e["stmt"], old, new)
+            except SqlParseError as ex:
+                raise ValueError(f"cannot rename {old!r}: {ex}") from ex
+    import json as _json
+
+    tmp = engine._catalog_path() + ".tmp"
+    os.makedirs(engine.warehouse, exist_ok=True)
+    with open(tmp, "w") as f:
+        _json.dump(entries, f, indent=1)
+    os.replace(tmp, engine._catalog_path())
+    prefixes = ("t_",) if kind == "TABLE" else ("mv_", "jmv_", "umv_")
+    for prefix in prefixes:
+        src_dir = os.path.join(engine.warehouse, prefix + old)
+        if os.path.isdir(src_dir):
+            os.rename(src_dir, os.path.join(engine.warehouse, prefix + new))
+    engine._rebuild_from_catalog()
+    return _status(engine.spark, "ALTER_" + kind.replace(" ", "_"))
+
+
 def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
     """ALTER {TABLE|MATERIALIZED VIEW|VIEW|SOURCE} x RENAME TO y
     (reference `handler/alter_rename.rs`, e2e_test/ddl/alter_rename.slt).
@@ -768,11 +819,12 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
     (replay then creates directly under the new name), the on-disk
     state directory moves, and the in-memory object is rebuilt by
     replaying the rewritten statement against the moved state (the
-    same re-attach path Engine.open uses — no data rewrite). Dependent
-    objects are NOT definition-rewritten (the reference does rewrite
-    them): renames of tables/MVs with dependents are rejected loudly —
-    a documented divergence. SINK rename is rejected (its durable
-    subscription cursor is keyed by the sink name)."""
+    same re-attach path Engine.open uses — no data rewrite). Renames of
+    relations WITH dependents rewrite every dependent recorded
+    definition and replay the whole catalog in place — the reference's
+    alter_relation_rename_refs behavior (_rename_with_dependents).
+    SINK rename is rejected (its durable subscription cursor is keyed
+    by the sink name)."""
     kind = ast["kind"]
     old, new = ast["old"], ast["new"]
     spark = engine.spark
@@ -802,12 +854,8 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
             raise ValueError(f"ALTER TABLE target {old!r} is not a table")
         t = engine.tables[old]
         if t.mvs:
-            raise ValueError(
-                f"cannot rename table {old!r}: dependent materialized views "
-                f"{[h.name for h in t.mvs]} reference it (drop them first; "
-                "the reference rewrites their definitions — this engine "
-                "does not)"
-            )
+            # dependents exist → the reference's definition-rewrite path
+            return _rename_with_dependents(engine, old, new, "TABLE")
         stmts = rewrite_catalog(
             rf"^(\s*(?:CREATE|ALTER)\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b",
             extra_prefix=True,
@@ -830,12 +878,10 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
             raise ValueError(f"ALTER MATERIALIZED VIEW target {old!r} is not an MV")
         h = engine.mv_handles[old]
         v = h.view
-        deps = bool(getattr(v, "downstream", []))
-        if deps or (getattr(v, "emit_changelog", False)):
-            raise ValueError(
-                f"cannot rename MV {old!r}: downstream MVs, sinks or "
-                "subscriptions hold references to it (drop them first)"
-            )
+        if bool(getattr(v, "downstream", [])) or (getattr(v, "emit_changelog", False)):
+            # downstream MVs / sinks / subscriptions reference it → the
+            # reference's definition-rewrite path
+            return _rename_with_dependents(engine, old, new, "MATERIALIZED VIEW")
         stmts = rewrite_catalog(
             rf"^(\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b"
         )

@@ -1354,3 +1354,119 @@ def _classify_p(p: _P) -> str:
     # queries, SHOW/SET/DESCRIBE/EXPLAIN and everything else: the
     # dispatcher's direct mappings or Catalyst — by design, not fallback
     return "adhoc"
+
+
+# ---------------------------------------------------------------- rename
+# keywords that can FOLLOW a relation reference without being its alias
+_NOT_ALIAS = {
+    "AS", "ON", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "NATURAL", "USING",
+    "UNION", "INTERSECT", "EXCEPT", "SET", "EMIT", "FOR", "WITH", "VALUES",
+    "TABLESAMPLE", "FROM", "SELECT", "RETURNING", "PARTITION", "WINDOW",
+}
+# keywords that introduce a relation reference in the NEXT identifier
+_REL_INTRO = {"FROM", "JOIN", "INTO", "UPDATE", "TABLE"}
+# keywords that close a comma-separated FROM list
+_FROM_END = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "WINDOW",
+    "EMIT", "UNION", "INTERSECT", "EXCEPT", "SELECT", "ON", "USING", "SET",
+    "RETURNING",
+}
+
+
+def rename_relation_refs(stmt: str, old: str, new: str) -> str:
+    """Rewrite references to relation `old` (FROM/JOIN/INTO/UPDATE/TABLE
+    positions, comma-join FROM lists, and `old.`-qualified column refs)
+    to `new` — the token-level analog of the reference's dependent-
+    definition rewrite on rename (`handler/alter_rename.rs`
+    alter_relation_rename_refs / frontend catalog `alter_*_rename_refs`).
+
+    Raises SqlParseError when `old` also appears as an ALIAS of some
+    other relation in the statement (`... AS old` / bare-alias `x old`)
+    — renaming would silently re-point those qualified references, so
+    the caller must reject the rename instead."""
+    toks = tokenize(stmt)
+    old_ci = unquote_ident(old).lower()
+
+    def is_old(t: Tok) -> bool:
+        return t.kind in ("ident", "qid") and unquote_ident(t.val).lower() == old_ci
+
+    # pass 1: relation-slot replacements + alias census
+    replace: list[int] = []
+    aliased_as_old = False  # `old` used as an alias (of anything)
+    in_from = False
+    depth = 0
+    j = 0
+    while j < len(toks):
+        t = toks[j]
+        if t.kind == "op":
+            if t.val == "(":
+                depth += 1
+            elif t.val == ")":
+                depth -= 1
+        kw = t.up if t.kind == "ident" else None
+        if kw == "FROM":
+            in_from = True
+        elif kw in _FROM_END and kw != "ON" and kw != "USING":
+            in_from = False
+        rel_slot = kw in _REL_INTRO or (
+            in_from and t.kind == "op" and t.val == "," and depth == 0
+        )
+        if rel_slot:
+            # the next identifier (if any) is a relation reference;
+            # subqueries/TVFs start with '(' or have a following '('
+            k = j + 1
+            if k < len(toks) and toks[k].kind in ("ident", "qid"):
+                nxt = toks[k + 1] if k + 1 < len(toks) else None
+                is_call = nxt is not None and nxt.kind == "op" and nxt.val == "("
+                if not is_call:
+                    if is_old(toks[k]):
+                        replace.append(k)
+                    # alias census: `rel old` / `rel AS old`
+                    a = k + 1
+                    if a < len(toks) and toks[a].kind == "ident" and toks[a].up == "AS":
+                        a += 1
+                    if (
+                        a < len(toks)
+                        and toks[a].kind in ("ident", "qid")
+                        and (toks[a].kind == "qid" or toks[a].up not in _NOT_ALIAS)
+                        and is_old(toks[a])
+                    ):
+                        if not is_old(toks[k]):
+                            raise SqlParseError(
+                                f"{old!r} is used as an alias in a dependent "
+                                "definition — rename would re-point its "
+                                "qualified references"
+                            )
+                        # `old AS old` — the alias keeps binding the name,
+                        # so qualified refs must stay untouched
+                        aliased_as_old = True
+                    j = a
+                    continue
+        j += 1
+
+    # pass 2: `old.`-qualified column refs — only when no alias re-binds
+    # the name (an alias of old itself keeps old.col pointing at the
+    # alias, not the renamed relation)
+    if not aliased_as_old:
+        for j, t in enumerate(toks):
+            if (
+                is_old(t)
+                and j + 1 < len(toks)
+                and toks[j + 1].kind == "op"
+                and toks[j + 1].val == "."
+                and (j == 0 or not (toks[j - 1].kind == "op" and toks[j - 1].val == "."))
+            ):
+                replace.append(j)
+
+    if not replace:
+        return stmt
+    out = []
+    last = 0
+    for idx in sorted(set(replace)):
+        t = toks[idx]
+        out.append(stmt[last : t.pos])
+        out.append(new)
+        last = t.pos + len(t.val)
+    out.append(stmt[last:])
+    return "".join(out)

@@ -1761,11 +1761,19 @@ def test_alter_rename_family(spark, tmp_path):
     eng.sql("ALTER MATERIALIZED VIEW renmv RENAME TO renmv2")
     eng.sql("INSERT INTO ren2 VALUES (3, 20, 0)")
     assert _rows(eng.sql("SELECT v, n FROM renmv2")) == [(20, 2), (99, 1)]
-    with pytest.raises(ValueError, match="dependent"):
-        eng.sql("ALTER TABLE ren2 RENAME TO ren3")
+    # rename WITH a dependent MV: the reference rewrites the dependent
+    # definition (alter_rename.rs) — the MV follows the table's new name
+    # and stays incrementally maintained
+    eng.sql("ALTER TABLE ren2 RENAME TO ren3")
+    eng.sql("INSERT INTO ren3 VALUES (4, 20, 0)")
+    assert _rows(eng.sql("SELECT v, n FROM renmv2")) == [(20, 3), (99, 1)]
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM ren2").collect()
     eng2 = Engine.open(spark, wh)
-    eng2.sql("DELETE FROM ren2 WHERE k = 3")
+    eng2.sql("DELETE FROM ren3 WHERE k = 3")
+    eng2.sql("DELETE FROM ren3 WHERE k = 4")
     assert _rows(eng2.sql("SELECT v, n FROM renmv2")) == [(20, 1), (99, 1)]
+    eng2.sql("ALTER TABLE ren3 RENAME TO ren2")
     eng2.sql("CREATE VIEW renv AS SELECT k FROM ren2 WHERE v > 50")
     eng2.sql("ALTER VIEW renv RENAME TO renv2")
     assert _rows(eng2.sql("SELECT * FROM renv2")) == [(1,)]
@@ -2992,3 +3000,46 @@ def test_create_database_and_show_namespaces(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown database"):
         eng2.sql("drop database test")
     eng2.sql("drop database if exists test")  # no-op
+
+
+def test_alter_rename_dependent_rewrite_shapes(spark, tmp_path):
+    """Dependent-definition rewrite on rename (reference
+    `handler/alter_rename.rs` alter_relation_rename_refs): qualified
+    column refs follow the new name, MV→MV chains re-bind, an alias
+    that shadows the old name blocks the rename loudly, and the whole
+    rewritten catalog survives a restart."""
+    wh = str(tmp_path / "wh_rend")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE rt (k int PRIMARY KEY, g int, v int)")
+    eng.sql("INSERT INTO rt VALUES (1, 1, 10), (2, 1, 20), (3, 2, 5)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW rmv1 AS "
+        "SELECT g, sum(v) AS total FROM rt GROUP BY g"
+    )
+    # MV over MV: renaming the MID of the chain must rewrite rmv2
+    eng.sql(
+        "CREATE MATERIALIZED VIEW rmv2 AS "
+        "SELECT g, total FROM rmv1 WHERE total > 10"
+    )
+    eng.sql("ALTER TABLE rt RENAME TO rt9")
+    eng.sql("INSERT INTO rt9 VALUES (4, 2, 7)")
+    assert _rows(eng.sql("SELECT g, total FROM rmv1 ORDER BY g")) == [(1, 30), (2, 12)]
+    assert _rows(eng.sql("SELECT g, total FROM rmv2 ORDER BY g")) == [(1, 30), (2, 12)]
+    eng.sql("ALTER MATERIALIZED VIEW rmv1 RENAME TO rbase")
+    eng.sql("DELETE FROM rt9 WHERE k = 4")
+    assert _rows(eng.sql("SELECT g, total FROM rbase ORDER BY g")) == [(1, 30), (2, 5)]
+    assert _rows(eng.sql("SELECT g, total FROM rmv2 ORDER BY g")) == [(1, 30)]
+    # restart: the rewritten catalog replays end to end
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("INSERT INTO rt9 VALUES (5, 3, 11)")
+    assert _rows(eng2.sql("SELECT g, total FROM rbase ORDER BY g")) == [
+        (1, 30), (2, 5), (3, 11),
+    ]
+    assert _rows(eng2.sql("SELECT g, total FROM rmv2 ORDER BY g")) == [(1, 30), (3, 11)]
+    # an alias shadowing the old name in a dependent blocks the rename
+    eng2.sql("CREATE TABLE other (k int PRIMARY KEY, v int)")
+    eng2.sql("INSERT INTO other VALUES (1, 1)")
+    eng2.sql("CREATE VIEW shadow_v AS SELECT rt9.v AS a FROM other AS rt9")
+    eng2.sql("CREATE MATERIALIZED VIEW rt9_dep AS SELECT g, count(*) AS n FROM rt9 GROUP BY g")
+    with pytest.raises(ValueError, match="alias"):
+        eng2.sql("ALTER TABLE rt9 RENAME TO rt10")
