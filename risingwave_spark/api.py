@@ -587,6 +587,13 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
+        # the reference's TIME-of-day type (datatype.slt): Spark 4.1 ships
+        # TIME behind a flag — enable it so `t time` columns, TIME'..'
+        # literals and string↔time casts work on the SQL surface
+        try:
+            spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:
+            pass  # older Spark: TIME stays unsupported (documented)
         self.tables: dict[str, Table] = {}
         self.mv_handles: dict[str, MaterializedViewHandle] = {}
         # ORDER BY ... LIMIT tails of MV bodies, stashed by the compile

@@ -851,3 +851,36 @@ def fn_jsonb_record(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "fn_time_type",
+    oracle="""
+SELECT event_id,
+       CAST(ts AS TIME) AS t,
+       extract(hour FROM CAST(ts AS TIME)) AS h,
+       extract(minute FROM CAST(ts AS TIME)) AS m
+FROM events WHERE event_id < 20 ORDER BY event_id
+""",
+)
+def fn_time_type(spark, sf_dir):
+    """TIME-of-day type (reference `datatype.slt` TIME, `expr/impl` time
+    casts): Spark 4.1's TIME type behind spark.sql.timeType.enabled —
+    timestamps project to time-of-day (via date_format→to_time; Spark
+    has no direct timestamp→time cast), extract works on TIME values,
+    and the typed column survives collection. Engine tables accept
+    `t time` columns the same way (test_time_type_engine_table)."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    t = tables(spark, sf_dir)
+    tod = F.expr("to_time(date_format(ts, 'HH:mm:ss.SSSSSS'))")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 20)
+        .select(
+            "event_id",
+            tod.alias("t"),
+            F.expr("extract(hour FROM to_time(date_format(ts, 'HH:mm:ss.SSSSSS')))").alias("h"),
+            F.expr("extract(minute FROM to_time(date_format(ts, 'HH:mm:ss.SSSSSS')))").alias("m"),
+        )
+        .orderBy("event_id")
+    )

@@ -96,3 +96,34 @@ def test_decimal_cast_and_rounding(spark):
     for (d38, rnd), v in zip(got, [1.005, 2.675, -1.005]):
         assert abs(float(d38) - v) < 0.0051
         assert abs(rnd - v) < 0.0051
+
+
+def test_time_type_engine_table(spark, tmp_path):
+    """TIME columns on engine tables (reference datatype TIME support,
+    previously a documented divergence): CREATE TABLE ... (t time),
+    TIME literals in INSERT VALUES, ordering, casts, and restart
+    re-attach all carry the typed value."""
+    import datetime
+
+    from risingwave_spark.api import Engine
+
+    wh = str(tmp_path / "wh_time")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE shifts (id int PRIMARY KEY, start_at time)")
+    eng.sql(
+        "INSERT INTO shifts VALUES (1, TIME'09:30:00'), (2, TIME'17:45:30'), "
+        "(3, cast('23:59:59' as time))"
+    )
+    got = [(r.id, r.start_at) for r in
+           eng.sql("SELECT id, start_at FROM shifts ORDER BY start_at DESC").collect()]
+    assert got == [
+        (3, datetime.time(23, 59, 59)),
+        (2, datetime.time(17, 45, 30)),
+        (1, datetime.time(9, 30)),
+    ]
+    assert [r.h for r in eng.sql(
+        "SELECT extract(hour FROM start_at) AS h FROM shifts ORDER BY id"
+    ).collect()] == [9, 17, 23]
+    eng2 = Engine.open(spark, wh)
+    assert eng2.sql("SELECT start_at FROM shifts WHERE id = 2").first().start_at == \
+        datetime.time(17, 45, 30)
