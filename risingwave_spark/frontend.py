@@ -4008,15 +4008,25 @@ def _handle_declare(engine: "Engine", ast: dict) -> DataFrame:
         engine.subscriptions = getattr(engine, "subscriptions", {})
         src = ast["source"]
         since = re.sub(r"\s+", "", (ast.get("since") or "")).lower()
-        if since not in ("", "now()", "proctime()", "begin()"):
-            # reference Since::TimestampMsNum bounds-checks against the
-            # retained log; this engine keeps the three symbolic forms
-            # and rejects raw timestamps loudly (documented divergence)
-            raise ValueError(
-                f"SINCE {ast.get('since')!r} is not supported: use "
-                "SINCE now() / proctime() (changes after declare) or "
-                "SINCE begin() (the full retained log)"
-            )
+        since_ts_ms: int | None = None
+        if since and since not in ("now()", "proctime()", "begin()"):
+            # reference Since::TimestampMsNum (declare_cursor.rs):
+            # a raw unix-ms timestamp, bounds-checked against the
+            # retained log — not in the future, not before retention
+            if not re.fullmatch(r"\d{1,19}", since):
+                raise ValueError(
+                    f"SINCE {ast.get('since')!r} is not supported: use "
+                    "SINCE now() / proctime() (changes after declare), "
+                    "SINCE begin() (the full retained log), or a raw "
+                    "unix-millisecond timestamp"
+                )
+            import time as _time
+
+            since_ts_ms = int(since)
+            if since_ts_ms > int(_time.time() * 1000) + 5_000:
+                raise ValueError(
+                    f"SINCE {since_ts_ms}: timestamp is in the future"
+                )
         if ast.get("full"):
             # snapshot first, then changes after declare
             from risingwave_spark.streaming.mv import with_ops as _wo
@@ -4046,6 +4056,21 @@ def _handle_declare(engine: "Engine", ast: dict) -> DataFrame:
             )
             engine.cursors[name] = _SubscriptionCursor(_SnapshotThenLog(snap, head))
             return _status(engine.spark, "DECLARE_CURSOR")
+        def _check_retention(log_dir: str) -> None:
+            # reference declare_cursor.rs bounds check: a raw SINCE must
+            # fall inside the retained log (use begin() for "everything")
+            if since_ts_ms is None:
+                return
+            from risingwave_spark.streaming.subscription import oldest_chunk_ts_ms
+
+            lo = oldest_chunk_ts_ms(log_dir)
+            if lo is not None and since_ts_ms < lo:
+                raise ValueError(
+                    f"SINCE {since_ts_ms}: timestamp is before the retained "
+                    f"changelog (oldest commit ts {lo}) — use SINCE begin() "
+                    "for the full retained log"
+                )
+
         if src in engine.subscriptions and not since:
             sub = engine.subscriptions[src]
         elif src in engine.subscriptions:
@@ -4054,20 +4079,36 @@ def _handle_declare(engine: "Engine", ast: dict) -> DataFrame:
             # durable ack point
             from risingwave_spark.streaming.subscription import Subscription
 
+            _check_retention(engine.subscriptions[src].dir)
             sub = Subscription(
                 engine.spark,
                 engine.subscriptions[src].dir,
                 f"__cursor_{name}",
                 from_beginning=(since == "begin()"),
+                since_ts_ms=since_ts_ms,
             )
         elif src in engine.mv_handles:
             # implicit subscription over the MV's changelog: the full
             # retained log by default / SINCE begin(), changes-after-
-            # declare under SINCE now()/proctime()
-            sub = engine.create_subscription(
-                f"__cursor_{name}", src,
-                from_beginning=since in ("", "begin()"),
-            )
+            # declare under SINCE now()/proctime(), a positioned replay
+            # under SINCE <unix_ms>
+            h = engine.mv_handles[src]
+            if since_ts_ms is not None:
+                from risingwave_spark.streaming.subscription import Subscription
+
+                h.view.emit_changelog = True
+                _check_retention(h.view.changelog_dir)
+                sub = Subscription(
+                    engine.spark,
+                    h.view.changelog_dir,
+                    f"__cursor_{name}",
+                    since_ts_ms=since_ts_ms,
+                )
+            else:
+                sub = engine.create_subscription(
+                    f"__cursor_{name}", src,
+                    from_beginning=since in ("", "begin()"),
+                )
         else:
             raise ValueError(f"unknown subscription or MV {src!r}")
         engine.cursors[name] = _SubscriptionCursor(sub)

@@ -1310,10 +1310,11 @@ def _classify_p(p: _P) -> str:
             p.fail("expected a query or subscription name after CURSOR FOR")
         p.ast["body"] = p.span(p.i)
         if p.ast["subscription"]:
-            # subscription arm: `<source> [SINCE now()|proctime()|begin()]`
-            # (reference parser.rs parse_declare_cursor →
-            # Since::{ProcessTime,Begin,TimestampMsNum}; the timestamp
-            # spelling is rejected by the handler with a pointer)
+            # subscription arm: `<source> [SINCE now()|proctime()|
+            # begin()|<unix_ms>]` (reference parser.rs
+            # parse_declare_cursor → Since::{ProcessTime,Begin,
+            # TimestampMsNum}; the handler bounds-checks raw timestamps
+            # against the retained log)
             p.ast["source"] = unquote_ident(p.ident("subscription or MV name"))
             if p.at("FULL"):
                 # reference parse_declare_cursor Since::Full: current

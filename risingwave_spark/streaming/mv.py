@@ -1004,9 +1004,15 @@ class _RetractableView:
                 d.apply_batch(out_changelog, batch_id=batch_id, batch_ns=batch_ns)
 
     def _log_changelog(self, chunk: DataFrame) -> None:
-        chunk.coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(self.changelog_dir, f"c{self.state._seq - 1}")
-        )
+        d = os.path.join(self.changelog_dir, f"c{self.state._seq - 1}")
+        chunk.coalesce(4).write.mode("overwrite").parquet(d)
+        # commit timestamp marker (reference epoch commit_ts): cursors
+        # positioned with SINCE <unix_ms> bound against it. Underscore
+        # prefix → invisible to Spark's parquet reader.
+        import time as _time
+
+        with open(os.path.join(d, "_COMMIT_TS_MS"), "w") as f:
+            f.write(str(int(_time.time() * 1000)))
 
     def result(self) -> DataFrame:
         return self.mv.read()

@@ -22,6 +22,27 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 
+def oldest_chunk_ts_ms(changelog_dir: str) -> int | None:
+    """Commit ts of the oldest retained chunk (None when log is empty) —
+    the retention lower bound a raw SINCE timestamp checks against."""
+    try:
+        ids = sorted(
+            int(m.group(1))
+            for d in os.listdir(changelog_dir)
+            if (m := re.fullmatch(r"c(\d+)", d))
+        )
+    except FileNotFoundError:
+        return None
+    if not ids:
+        return None
+    d = os.path.join(changelog_dir, f"c{ids[0]}")
+    try:
+        with open(os.path.join(d, "_COMMIT_TS_MS")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return int(os.path.getmtime(d) * 1000)
+
+
 class Subscription:
     """Durable named cursor over an MV changelog directory."""
 
@@ -31,6 +52,7 @@ class Subscription:
         changelog_dir: str,
         name: str,
         from_beginning: bool = False,
+        since_ts_ms: int | None = None,
     ):
         self.spark = spark
         self.dir = changelog_dir
@@ -38,10 +60,19 @@ class Subscription:
         os.makedirs(changelog_dir, exist_ok=True)
         self._cursor_file = os.path.join(changelog_dir, f"CURSOR_{name}")
         if not os.path.exists(self._cursor_file):
-            # new subscription: start at creation time (reference
-            # subscriptions see changes AFTER creation), or from the
-            # retained log start when asked
-            init = -1 if from_beginning else max(self._chunk_ids(), default=-1)
+            if since_ts_ms is not None:
+                # reference Since::TimestampMsNum: deliver every chunk
+                # whose commit ts >= the asked timestamp → the pointer
+                # parks on the last OLDER chunk
+                init = max(
+                    (c for c in self._chunk_ids() if self.chunk_ts_ms(c) < since_ts_ms),
+                    default=-1,
+                )
+            else:
+                # new subscription: start at creation time (reference
+                # subscriptions see changes AFTER creation), or from the
+                # retained log start when asked
+                init = -1 if from_beginning else max(self._chunk_ids(), default=-1)
             self._write_cursor(init)
 
     def _chunk_ids(self) -> list[int]:
@@ -50,6 +81,17 @@ class Subscription:
             for d in os.listdir(self.dir)
             if (m := re.fullmatch(r"c(\d+)", d))
         )
+
+    def chunk_ts_ms(self, c: int) -> int:
+        """Commit timestamp of chunk c: the _COMMIT_TS_MS marker the MV
+        writes at log time, falling back to directory mtime for chunks
+        logged before the marker existed."""
+        d = os.path.join(self.dir, f"c{c}")
+        try:
+            with open(os.path.join(d, "_COMMIT_TS_MS")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return int(os.path.getmtime(d) * 1000)
 
     def _read_cursor(self) -> int:
         with open(self._cursor_file) as f:

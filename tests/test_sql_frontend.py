@@ -3043,3 +3043,39 @@ def test_alter_rename_dependent_rewrite_shapes(spark, tmp_path):
     eng2.sql("CREATE MATERIALIZED VIEW rt9_dep AS SELECT g, count(*) AS n FROM rt9 GROUP BY g")
     with pytest.raises(ValueError, match="alias"):
         eng2.sql("ALTER TABLE rt9 RENAME TO rt10")
+
+
+def test_subscription_cursor_since_timestamp(eng):
+    """SINCE <unix_ms> (reference declare_cursor.rs
+    Since::TimestampMsNum): the cursor parks before the first chunk
+    whose commit ts >= the asked timestamp; timestamps outside the
+    retained log (older than retention, or in the future) are rejected
+    — previously a documented divergence (only symbolic forms)."""
+    import os
+
+    eng.sql("create table stt (v1 int, v2 int)")
+    eng.sql("create subscription sts from stt with(retention = '1D')")
+    eng.sql("insert into stt values (1, 1)")
+    eng.sql("insert into stt values (2, 2)")
+    log_dir = eng.subscriptions["sts"].dir
+    chunks = sorted(
+        int(d[1:]) for d in os.listdir(log_dir) if d.startswith("c") and d[1:].isdigit()
+    )
+    assert len(chunks) == 2
+    # pin the commit markers (the engine's time record) to known values
+    for c, ts in zip(chunks, (1000, 2000)):
+        with open(os.path.join(log_dir, f"c{c}", "_COMMIT_TS_MS"), "w") as f:
+            f.write(str(ts))
+    eng.sql("declare c_ts subscription cursor for sts since 1500")
+    got = [(r.v1, r.v2) for r in eng.sql("fetch 10 from c_ts").collect()]
+    assert got == [(2, 2)]  # only the chunk with commit ts >= 1500
+    eng.sql("declare c_ts0 subscription cursor for sts since 1000")
+    got = sorted((r.v1, r.v2) for r in eng.sql("fetch 10 from c_ts0").collect())
+    assert got == [(1, 1), (2, 2)]  # inclusive lower bound
+    with pytest.raises(ValueError, match="before the retained"):
+        eng.sql("declare c_old subscription cursor for sts since 500")
+    with pytest.raises(ValueError, match="future"):
+        eng.sql("declare c_fut subscription cursor for sts since 99999999999999")
+    for c in ("c_ts", "c_ts0"):
+        eng.sql(f"close {c}")
+    eng.sql("drop subscription sts")
