@@ -296,3 +296,52 @@ def dedup_first_per_key(df: DataFrame, keys: list[str], order_col: str, tiebreak
     `dedup/append_only_dedup.rs:27`): earliest `order_col` per key."""
     w = W.partitionBy(*keys).orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge set by min-label
+    propagation — the cluster-collapse step of a dedup cascade (pairs →
+    duplicate CLUSTERS; each doc keeps the cluster's minimum id as its
+    component label).
+
+    Scale shape: per iteration ONE join of the (bounded) edge list
+    against current labels plus one min-agg — all partial-agged
+    map-side — and a localCheckpoint to keep the iterated plan flat
+    (same lineage-truncation contract as the MV chain forwards).
+    Converges in O(component diameter) rounds; near-dup clusters are
+    shallow (dup families link through shared shingles), so the
+    practical round count is 2-4. The convergence check is a scalar
+    count to the driver (model state, not data). Deterministic: labels
+    are min(doc_id) — no randomness, oracle-able by a recursive-CTE
+    closure.
+
+    Returns (node, component)."""
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -831,3 +831,72 @@ def llm_stratified_sample(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum("doc_id").alias("idsum"))
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id AS doc,
+         {{b0}} AS band0, {{b1}} AS band1, {{b2}} AS band2, {{b3}} AS band3
+  FROM documents
+),
+stacked AS (
+  SELECT doc, 0 AS band_idx, band0 AS band_hash FROM sig
+  UNION ALL SELECT doc, 1, band1 FROM sig
+  UNION ALL SELECT doc, 2, band2 FROM sig
+  UNION ALL SELECT doc, 3, band3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM stacked x JOIN stacked y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc < y.doc
+),
+grams AS (SELECT doc_id, list_distinct({{sh}}) AS g FROM documents),
+pairs AS (
+  SELECT a, b FROM cand
+  JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id
+  WHERE len(list_intersect(ga.g, gb.g)) /
+        (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.3
+),
+edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT src AS doc_id,
+       CAST(min(node) AS BIGINT) AS cluster_id,
+       (src = min(node)) AS is_canonical
+FROM reach GROUP BY src ORDER BY doc_id
+""".format(
+        b0=_o_band(0, 4), b1=_o_band(1, 4), b2=_o_band(2, 4), b3=_o_band(3, 4),
+        sh=_o_shingles(3),
+    ),
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution — the step after pairwise near-dup
+    detection in a training-data pipeline: connected components over
+    the Jaccard-verified LSH pairs (operators/dedup.py
+    connected_components, min-label propagation with per-iteration
+    localCheckpoint), labeling every involved doc with its cluster's
+    min doc_id and flagging the canonical keeper. At 100 TB the edge
+    list is orders of magnitude smaller than the corpus (only near-dup
+    pairs), so the iterated join is bounded by dup mass, not data
+    size."""
+    from risingwave_spark.operators.dedup import connected_components
+
+    t = tables(spark, sf_dir)
+    cand = lsh_candidate_pairs(
+        t["documents"], "doc_id", "text", num_hashes=16, bands=4, k=5,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    pairs = jaccard_pairs(cand, t["documents"], "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.3
+    )
+    comp = connected_components(pairs, "a", "b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -269,3 +269,33 @@ def test_ivf_assignment_is_map_side(spark, t):
     # and it actually buckets: every vector lands in a valid cell
     clusters = {r["cluster"] for r in assigned.collect()}
     assert clusters <= {c[0] for c in cents}
+
+
+def test_connected_components_labels_clusters(spark):
+    """Min-label propagation resolves transitive duplicate clusters:
+    {1-2, 2-3} and {7-9} are separate components; singletons absent
+    from the edge list are not labeled (they are their own keeper)."""
+    from risingwave_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 7)], "a int, b int"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the
+    iterated join must still converge to one component labeled by the
+    minimum id."""
+    from risingwave_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a int, b int"
+    )
+    rows = connected_components(edges, "a", "b").collect()
+    assert {r["component"] for r in rows} == {0}
+    assert {r["node"] for r in rows} == set(range(13))
