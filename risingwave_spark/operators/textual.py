@@ -137,6 +137,141 @@ def gopher_keep(col, min_tokens: int = 30, max_tokens: int = 100000):
     )
 
 
+def token_ngrams_n(col, n: int):
+    """Token n-grams for arbitrary n as space-joined strings — a
+    sequence of start positions sliced out of the token array, pure
+    HOFs (no explode at this layer, no shuffle). Empty array when the
+    document has fewer than n tokens."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(corpus, benchmark, id_col: str, text_col: str, n: int = 4):
+    """Benchmark decontamination — the eval-leak filter of a training
+    pipeline: flag corpus documents sharing any token n-gram with a
+    held-out benchmark set (the 13-gram-overlap method of GPT-3
+    appendix C, scaled to this corpus's gram length).
+
+    Scale shape: the benchmark gram set is tiny relative to a 100 TB
+    corpus (evals are thousands of docs), so it is BROADCAST — the
+    corpus side never shuffles for the probe; the only exchange is the
+    per-doc hit-count groupBy on id_col. Returns (id_col, n_grams,
+    n_hit_grams, contaminated)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(token_ngrams_n(F.col(text_col), n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.array_distinct(token_ngrams_n(F.col(text_col), n)).alias("__grams"),
+    )
+    hits = (
+        doc_grams.select(id_col, F.explode("__grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        doc_grams.select(id_col, F.size("__grams").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(df, id_col: str, text_col: str, part_col: str, block: int = 64):
+    """Concat-and-split sequence packing — the GPT-style pre-training
+    batcher: documents are laid end-to-end in deterministic (part_col,
+    id_col) order and cut into fixed BLOCK-token training sequences; a
+    document spanning a cut contributes its token overlap to both
+    sequences.
+
+    One window cumsum per part_col partition assigns each doc its
+    global token offset; the doc then fans out (narrow) to the
+    sequences it spans and a groupBy on (part, seq) folds
+    contributions. At 100 TB the partition column is (corpus shard,
+    lang) so each window sort is bounded; the pack order stays
+    reproducible because it is data-derived, not scheduler-derived.
+    Returns (part, seq_id, n_docs, n_tokens, first_doc, last_doc)."""
+    from pyspark.sql import Window as W
+
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = W.partitionBy("part").orderBy("__id")
+    base = df.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("__id"),
+        n.alias("__n"),
+    ).withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
+    spanned = base.select(
+        "part",
+        "__id",
+        "__n",
+        "__start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / block),
+                F.floor((F.col("__start") + F.col("__n") - 1) / block),
+            )
+        ).alias("seq_id"),
+    )
+    contrib = F.least(
+        (F.col("seq_id") + 1) * block, F.col("__start") + F.col("__n")
+    ) - F.greatest(F.col("seq_id") * block, F.col("__start"))
+    return (
+        spanned.withColumn("__contrib", contrib)
+        .groupBy("part", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__contrib").alias("n_tokens"),
+            F.min("__id").alias("first_doc"),
+            F.max("__id").alias("last_doc"),
+        )
+    )
+
+
+# PII patterns shared by the Spark expressions and the DuckDB oracle —
+# spelled in the common Java-regex/RE2 subset so both engines compile
+# them identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+}
+PII_ORDER = ["email", "ipv4", "phone"]  # emails first: they embed dots/digits
+
+
+def pii_scrub(col):
+    """Scrub PII spans (emails, IPv4 addresses, phone numbers) into
+    typed placeholder tags and count each redaction — the
+    privacy-filter pass of a web-corpus pipeline. Pure regexp built-ins
+    (codegen, no Python); returns a struct of the scrubbed text plus
+    per-kind counts."""
+    scrubbed = col
+    counts = {}
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        counts[kind] = F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return F.struct(
+        scrubbed.alias("scrubbed"),
+        *[counts[k].alias(f"n_{k}") for k in PII_ORDER],
+    )
+
+
 def chunk_documents(
     df,
     id_col: str,

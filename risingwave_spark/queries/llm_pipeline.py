@@ -900,3 +900,214 @@ def llm_dedup_clusters(spark, sf_dir):
         F.col("component").cast("long").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+def _o_ngrams_n(n: int) -> str:
+    """DuckDB rendering of operators/textual.py token_ngrams_n (normalized
+    word n-grams; empty list when the doc has fewer than n tokens)."""
+    return (
+        f"[array_to_string(list_slice({_O_TOKS}, i, i + {n - 1}), ' ') "
+        f"for i in range(1, greatest(len({_O_TOKS}) - {n - 1}, 0) + 1)]"
+    )
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, list_distinct({_o_ngrams_n(4)}) AS g FROM documents
+),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 29 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 29 <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(g) AS gram FROM corpus) c
+  JOIN bench USING (gram) GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(n_hit, 0) > 0 AS contaminated
+FROM corpus LEFT JOIN hits USING (doc_id) ORDER BY corpus.doc_id
+""",
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C n-gram overlap): a
+    held-out eval set (doc_id % 29 = 0 here) is reduced to its distinct
+    token 4-grams and BROADCAST against the training corpus; any shared
+    gram flags the doc. The corpus side never shuffles for the probe —
+    the only exchange is the per-doc hit count — so the shape holds
+    when the corpus is 100 TB and the benchmark is thousands of docs."""
+    from risingwave_spark.operators.textual import decontaminate
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=4).orderBy("doc_id")
+
+
+@register(
+    "llm_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS s
+  FROM t
+), span AS (
+  SELECT lang, doc_id, n, s,
+         unnest(range(s // 64, (s + n - 1) // 64 + 1)) AS seq_id
+  FROM c
+)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(least((seq_id + 1) * 64, s + n) - greatest(seq_id * 64, s)) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM span GROUP BY lang, seq_id ORDER BY lang, seq_id
+""",
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing (the GPT-style pre-training
+    batcher): docs laid end-to-end per language in doc_id order, cut
+    into 64-token training sequences; boundary docs contribute their
+    overlap to both sides. One window cumsum per language partition +
+    narrow fan-out to spanned sequences + one groupBy."""
+    from risingwave_spark.operators.textual import pack_sequences
+
+    t = tables(spark, sf_dir)
+    return (
+        pack_sequences(t["documents"], "doc_id", "text", "lang", block=64)
+        .select(
+            F.col("part").alias("lang"), "seq_id", "n_docs", "n_tokens",
+            "first_doc", "last_doc",
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# the synthetic corpus carries no natural PII, so the scrub query derives a
+# deterministic PII-bearing column from doc_id (with a non-PII lookalike as a
+# negative control), scrubs it, and hash-compares the scrubbed text.
+_O_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " backup ' || CAST(doc_id AS VARCHAR) || '.example.org ip 10.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' call +1-555-' ||"
+    " lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _o_pii_scrub() -> str:
+    """DuckDB twin of the pii_scrub pass — the regex patterns come from
+    operators/textual.py PII_PATTERNS verbatim (single source of truth;
+    no f-string so the regex quantifier braces survive)."""
+    from risingwave_spark.operators.textual import PII_PATTERNS
+
+    return """
+WITH raw AS (SELECT doc_id, {pii} AS s FROM documents),
+scrub AS (
+  SELECT doc_id,
+         len(regexp_extract_all(s, '{email}')) AS n_email,
+         regexp_replace(s, '{email}', '<EMAIL>', 'g') AS s1
+  FROM raw
+), scrub2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(s1, '{ipv4}')) AS n_ipv4,
+         regexp_replace(s1, '{ipv4}', '<IPV4>', 'g') AS s2
+  FROM scrub
+), scrub3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(s2, '{phone}')) AS n_phone,
+         regexp_replace(s2, '{phone}', '<PHONE>', 'g') AS s3
+  FROM scrub2
+)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone, md5(s3) AS scrubbed_md5
+FROM scrub3 ORDER BY doc_id
+""".format(pii=_O_PII_TEXT, **PII_PATTERNS)
+
+
+@register("llm_pii_scrub", oracle=_o_pii_scrub())
+def llm_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails -> <EMAIL>, IPv4 -> <IPV4>, phones ->
+    <PHONE>) with per-kind redaction counts — the privacy-filter pass of
+    a web-corpus pipeline, pure regexp built-ins in whole-stage codegen
+    (operators/textual.py pii_scrub). The corpus text is word-salad, so
+    the PII spans are derived deterministically from doc_id; the
+    '<doc_id>.example.org' domain is the negative control (no @, must
+    survive). The scrubbed text is md5-compared against the oracle."""
+    from risingwave_spark.operators.textual import pii_scrub
+
+    t = tables(spark, sf_dir)
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail.example.com backup "), d.cast("string"),
+        F.lit(".example.org ip 10."), (d % 256).cast("string"), F.lit("."),
+        ((d * 3) % 256).cast("string"), F.lit("."),
+        ((d * 7) % 256).cast("string"), F.lit(" call +1-555-"),
+        F.lpad(((d * 37) % 10000).cast("string"), 4, "0"),
+    )
+    res = pii_scrub(pii_text)
+    return (
+        t["documents"]
+        .select("doc_id", res.alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.n_email").cast("long").alias("n_email"),
+            F.col("r.n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("r.n_phone").cast("long").alias("n_phone"),
+            F.md5(F.col("r.scrubbed")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_tfidf_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({{toks}}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+ranked AS (
+  SELECT doc_id, token, tf, df,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY CAST(tf AS DOUBLE) / df DESC, token) AS rn
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token AS top_token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+""".format(toks=_O_TOKS),
+)
+def llm_tfidf_topk(spark, sf_dir):
+    """Top distinguishing term per document by rarity-weighted term
+    frequency (tf / df — the linear-idf variant; ranking keys stay in
+    exact IEEE division so both engines order identically). The
+    document-frequency side is vocabulary-sized and BROADCAST; the only
+    exchanges are the (doc, token) tf groupBy and the per-doc window."""
+    from pyspark.sql import Window as W
+    from risingwave_spark.operators.textual import tokens
+
+    t = tables(spark, sf_dir)
+    tok = t["documents"].select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("token").alias("top_token"),
+            F.col("tf").cast("long").alias("tf"), F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("doc_id")
+    )

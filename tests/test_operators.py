@@ -299,3 +299,49 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(edges, "a", "b").collect()
     assert {r["component"] for r in rows} == {0}
     assert {r["node"] for r in rows} == set(range(13))
+
+
+def test_pack_sequences_boundary_split(spark):
+    """A doc spanning a block cut contributes its token overlap to both
+    sequences; totals reconcile to the corpus token count."""
+    from risingwave_spark.operators.textual import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e f g", "x"), (3, "h i", "x")],
+        "id int, txt string, grp string",
+    )
+    rows = {r["seq_id"]: r for r in pack_sequences(df, "id", "txt", "grp", block=4).collect()}
+    # tokens: doc1 [0,3), doc2 [3,7), doc3 [7,9) → seq0 = doc1(3)+doc2(1),
+    # seq1 = doc2(3)+doc3(1), seq2 = doc3(1)
+    assert (rows[0]["n_docs"], rows[0]["n_tokens"]) == (2, 4)
+    assert (rows[1]["n_docs"], rows[1]["n_tokens"]) == (2, 4)
+    assert (rows[2]["n_docs"], rows[2]["n_tokens"]) == (1, 1)
+    assert sum(r["n_tokens"] for r in rows.values()) == 9
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """Docs sharing a 4-gram with the benchmark are flagged; others not."""
+    from risingwave_spark.operators.textual import decontaminate
+
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], "id int, txt string")
+    corpus = spark.createDataFrame(
+        [(1, "see the quick brown fox run"), (2, "a completely different doc here")],
+        "id int, txt string",
+    )
+    got = {r["id"]: r for r in decontaminate(corpus, bench, "id", "txt", n=4).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hit_grams"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_hit_grams"] == 0
+
+
+def test_pii_scrub_counts_and_negative_control(spark):
+    """Emails/IPs/phones are replaced with typed tags and counted; a bare
+    domain (no @) survives untouched."""
+    from risingwave_spark.operators.textual import pii_scrub
+
+    df = spark.createDataFrame(
+        [("mail a@b.com and c.d@e.org ip 10.0.0.1 call +1-555-0199 site example.org",)],
+        "s string",
+    )
+    r = df.select(pii_scrub(F.col("s")).alias("r")).select("r.*").collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 1, 1)
+    assert r["scrubbed"] == "mail <EMAIL> and <EMAIL> ip <IPV4> call <PHONE> site example.org"
