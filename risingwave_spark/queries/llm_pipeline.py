@@ -1088,21 +1088,25 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 def llm_tfidf_topk(spark, sf_dir):
     """Top distinguishing term per document by rarity-weighted term
     frequency (tf / df — the linear-idf variant; ranking keys stay in
-    exact IEEE division so both engines order identically). The
-    document-frequency side is vocabulary-sized and BROADCAST; the only
-    exchanges are the (doc, token) tf groupBy and the per-doc window."""
+    exact IEEE division so both engines order identically). Single-pass
+    lineage: the document frequency is an unordered window COUNT over
+    the token partition of the tf frame (one row per (doc, token), so
+    the partition row count IS df) — no self-join, so the heavy
+    (doc, token) shuffle happens exactly once; then one exchange by
+    token and one by doc for the rank-1 window (which Catalyst folds to
+    WindowGroupLimit — top-1 is computed partially before the doc
+    exchange)."""
     from pyspark.sql import Window as W
     from risingwave_spark.operators.textual import tokens
 
     t = tables(spark, sf_dir)
     tok = t["documents"].select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = W.partitionBy("doc_id").orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("token").asc()
     )
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
