@@ -446,6 +446,24 @@ class ProjectedMaterializedView(MaterializedView):
         )
 
 
+class SimpleAggMv(ProjectedMaterializedView):
+    """Global-aggregate (no GROUP BY) MV — the reference SimpleAgg
+    executor (`src/stream/src/executor/simple_agg.rs`: always produces
+    exactly one row): state rides the grouped machinery on one constant
+    hidden key; when every input row is deleted the group vanishes from
+    state, and the read falls back to `seed()` — the aggregate over an
+    EMPTY input (count()=0, sum()=NULL, the executor's initial
+    accumulators), so the one-row contract holds from CREATE time."""
+
+    seed = None  # () -> one-row DataFrame, set by the frontend compiler
+
+    def result(self) -> DataFrame:
+        out = super().result()
+        if self.seed is not None and out.isEmpty():
+            return self.seed()
+        return out
+
+
 class StreamUnionMv:
     """MV over `UNION [ALL]` of N single-table arms (reference stream
     Union executor `src/stream/src/executor/union.rs` merging its
@@ -637,6 +655,14 @@ class Engine:
         self._bg_jobs: dict[str, dict] = {}
         #: serializes DML against in-flight background backfills
         self._ddl_lock = threading.RLock()
+        #: webhook tables (reference `src/frontend/src/webhook/mod.rs`):
+        #: table name → {"validator": fn(headers, body)->bool,
+        #: "insert": fn(body_text)}; populated by CREATE TABLE ...
+        #: WITH (connector='webhook') VALIDATE ... and re-populated on
+        #: catalog replay like every other DDL
+        self.webhooks: dict[str, dict] = {}
+        self._webhook_dml_lock = threading.RLock()
+        self._webhook_server = None
 
     def _register_views(self) -> None:
         from risingwave_spark.functions.pgsql import pg_to_spark_sql
@@ -763,7 +789,7 @@ class Engine:
 
     def create_materialized_view(
         self, name: str, base: str, keys: list[str], recompute, key_of=None,
-        hidden: list[str] | None = None,
+        hidden: list[str] | None = None, seed=None,
     ) -> MaterializedViewHandle:
         """CREATE MATERIALIZED VIEW over a TABLE or another MV:
         `recompute(rows)` is the per-affected-group query body (any
@@ -807,7 +833,8 @@ class Engine:
                 None,
             )
         if hidden:
-            mv = ProjectedMaterializedView(
+            cls = SimpleAggMv if seed is not None else ProjectedMaterializedView
+            mv = cls(
                 self.spark,
                 os.path.join(self.warehouse, f"mv_{name}"),
                 keys,
@@ -815,6 +842,8 @@ class Engine:
                 recompute,
                 hidden,
             )
+            if seed is not None:
+                mv.seed = seed
         else:
             mv = MaterializedView(
                 self.spark,
@@ -1462,6 +1491,24 @@ class Engine:
         h = self.mv_handles[mv_name]
         h.view.emit_changelog = True
         return Subscription(self.spark, h.view.changelog_dir, name, from_beginning)
+
+    # ---- webhook listener -------------------------------------------
+    def start_webhook_server(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the HTTP ingestion listener (reference
+        `webhook/mod.rs:221-260` WebhookService::serve — route
+        POST /webhook/<db>/<schema>/<table>). port=0 binds an ephemeral
+        port; returns (host, port). One listener serves every webhook
+        table, exactly like the reference's single service."""
+        if self._webhook_server is None:
+            from risingwave_spark.sources.webhook import WebhookServer
+
+            self._webhook_server = WebhookServer(self, host, port)
+        return (self._webhook_server.host, self._webhook_server.port)
+
+    def stop_webhook_server(self) -> None:
+        if self._webhook_server is not None:
+            self._webhook_server.close()
+            self._webhook_server = None
 
     # ---- queries ---------------------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -134,6 +134,16 @@ _SELECT_SHAPE = re.compile(
     re.I | re.S,
 )
 _IDENT = re.compile(r"^[A-Za-z_]\w*$")
+# aggregate-function call in a select list — routes a no-GROUP-BY MV
+# body onto the SimpleAgg path (reference simple_agg.rs)
+_AGG_FN_RX = re.compile(
+    r"\b(count|sum|avg|min|max|stddev\w*|var_pop|var_samp|variance|"
+    r"bool_and|bool_or|every|string_agg|array_agg|jsonb_agg|"
+    r"jsonb_object_agg|bit_and|bit_or|bit_xor|min_by|max_by|mode|"
+    r"approx_count_distinct|percentile_cont|percentile_disc|corr|"
+    r"covar_pop|covar_samp|regr_\w+)\s*\(",
+    re.I,
+)
 _KW_ALIAS = r"(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|JOIN\b|ON\b|WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b)"
 
 
@@ -395,7 +405,9 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
     if retention is not None:
         t.retention_seconds = float(retention)
     engine._record_ddl(name, ast["stmt"])
-    if opts.get("connector"):
+    if opts.get("connector", "").lower() == "webhook":
+        _attach_webhook(engine, t, ast)
+    elif opts.get("connector"):
         if generated:
             raise ValueError(
                 "generated columns on connector-backed tables are not "
@@ -407,6 +419,43 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
         # connector = source + table in one object)
         _attach_table_connector(engine, t, opts, ast.get("format"))
     return _status(engine.spark, "CREATE_TABLE")
+
+
+def _attach_webhook(engine: "Engine", t, ast: dict) -> None:
+    """CREATE TABLE ... WITH (connector='webhook') VALIDATE [SECRET s]
+    AS <expr> (reference `handler/create_table.rs` WebhookSourceInfo +
+    `webhook/mod.rs` handle_post_request): compile the signature
+    expression ONCE against the declared secret, register the insert
+    hook; rows arrive via POST on Engine.start_webhook_server()."""
+    from risingwave_spark.sources.webhook import compile_validate
+
+    if not ast.get("validate_expr"):
+        raise ValueError(
+            "webhook tables require a VALIDATE [SECRET name] AS "
+            "secure_compare(...) clause (reference webhook_source.slt)"
+        )
+    cols = [f.name for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    if len(cols) != 1:
+        raise ValueError(
+            "a webhook table holds exactly one JSONB payload column "
+            "(reference fast-insert builds a single-column chunk, "
+            "webhook/mod.rs:119-129)"
+        )
+    secret_name = ast.get("validate_secret")
+    secret_value = ""
+    if secret_name is not None:
+        secrets = _load_secrets(engine)
+        if secret_name not in secrets:
+            raise ValueError(f"unknown secret {secret_name!r} in VALIDATE")
+        secret_value = secrets[secret_name]
+    validator = compile_validate(ast["validate_expr"], secret_name, secret_value)
+    name, col = t.name, cols[0]
+
+    def insert(body_text: str) -> None:
+        lit = body_text.replace("'", "''")
+        engine.sql(f"INSERT INTO {name} ({col}) VALUES ('{lit}')")
+
+    engine.webhooks[name] = {"validator": validator, "insert": insert}
 
 
 def _attach_table_connector(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
@@ -954,6 +1003,13 @@ def _handle_alter_table(engine: "Engine", ast: dict) -> DataFrame:
     if name not in engine.tables:
         raise ValueError(f"ALTER TABLE target {name!r} is not a table")
     t = engine.tables[name]
+    if name in engine.webhooks:
+        # reference webhook_source.slt: "Adding/dropping a column of a
+        # table with webhook has not been implemented."
+        raise ValueError(
+            "Adding/dropping a column of a table with webhook has not "
+            "been implemented."
+        )
     if t.mvs:
         raise ValueError(
             f"cannot ALTER table {name!r}: it has dependent materialized "
@@ -1062,6 +1118,7 @@ def _handle_drop(engine: "Engine", ast: dict) -> DataFrame:
     if kind == "TABLE":
         if name not in engine.tables:
             return _status(spark, "DROP_TABLE")  # IF EXISTS semantics
+        engine.webhooks.pop(name, None)
         t = engine.tables[name]
         if t.mvs and not cascade:
             raise ValueError(
@@ -3420,6 +3477,7 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         )
     keys: list[str] = []
     derived: dict[str, str] = {}  # alias -> expr (needs key_of annotation)
+    simple_agg = False  # no-GROUP-BY aggregate body (reference SimpleAgg)
     base_prefixes = tuple(
         f"{p}." for p in ([base] + ([alias] if alias else []))
     )
@@ -3474,6 +3532,18 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         missing = [k for k in keys if k not in out_names and "*" not in out_names]
         if missing:
             raise ValueError(f"GROUP BY keys {missing} must be selected for MV splice")
+    elif not has_join and _AGG_FN_RX.search(_unmask(sm.group("select"), lits)):
+        # GLOBAL aggregate (no GROUP BY) MV — the reference SimpleAgg
+        # executor (`src/stream/src/executor/simple_agg.rs`; the
+        # reference's own TPC-H q6 view spelling, `views/q6.slt.part`):
+        # desugared onto the grouped machinery with ONE constant hidden
+        # key stripped at read; the empty-state read seeds the
+        # always-one-row contract from the aggregate over an empty
+        # input (count()=0 / sum()=NULL from CREATE time, and again
+        # after every input row is deleted).
+        keys = ["__all"]
+        derived["__all"] = "'all'"
+        simple_agg = True
     else:
         t = engine.tables.get(base)
         pk = t.pk if t is not None else engine.mv_handles[base].view.keys
@@ -3486,11 +3556,15 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         keys = pks
 
     tmp = f"__mv_src_{name}"
+    sel_txt, rest_txt = sm.group("select"), rest
+    if simple_agg:
+        sel_txt = "'all' AS __all, " + sel_txt
+        rest_txt = rest + " GROUP BY __all"
     # reconstruct the SELECT with the base swapped for the affected-rows
     # temp view; GROUP BY expressions keep working because key_of has
     # already annotated derived key columns onto the rows
     body = "SELECT {} FROM {}{}{}".format(
-        sm.group("select"), tmp, f" {alias}" if alias else "", rest
+        sel_txt, tmp, f" {alias}" if alias else "", rest_txt
     )
     body = pg_to_spark_sql(_unmask(body, lits))
     if derived:
@@ -3530,7 +3604,34 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
             keep = [c for c in rows.columns if c not in derived]
             return rows.select(*keep).selectExpr("*", *exprs)
 
-    engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
+    if simple_agg:
+        # the seed runs the ORIGINAL (pre-desugar) aggregate over an
+        # empty base input: the one row Spark/PG return for a global
+        # aggregate over zero rows
+        seed_body = pg_to_spark_sql(
+            _unmask(
+                "SELECT {} FROM {}{}{}".format(
+                    sm.group("select"), tmp, f" {alias}" if alias else "", rest
+                ),
+                lits,
+            )
+        )
+
+        def seed() -> DataFrame:
+            src = (
+                engine.tables[base].snapshot()
+                if base in engine.tables
+                else engine.mv_handles[base].view.result()
+            )
+            src.limit(0).createOrReplaceTempView(tmp)
+            return spark.sql(seed_body)
+
+        engine.create_materialized_view(
+            name, base, keys, recompute, key_of=key_of, hidden=["__all"],
+            seed=seed,
+        )
+    else:
+        engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
     if has_now:
         engine._register_temporal_mv(name, pred_sql)
     engine._record_ddl(name, ast["stmt"])

@@ -2892,3 +2892,50 @@ def engine_sql_mv_natural_join(spark, sf_dir):
     return eng.sql(
         "SELECT c_nationkey, nation_name, n FROM natural_mv ORDER BY c_nationkey"
     )
+
+
+@register(
+    "engine_sql_simple_agg_mv",
+    oracle="""
+SELECT count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+       (CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)/100.0) AS total,
+       CAST(max(o_orderkey) AS BIGINT) AS mx
+FROM orders WHERE o_orderkey % 5 <> 0
+""",
+)
+def engine_sql_simple_agg_mv(spark, sf_dir):
+    """GLOBAL-aggregate MV in the reference's no-GROUP-BY spelling
+    (SimpleAgg executor, `src/stream/src/executor/simple_agg.rs`;
+    `e2e_test/streaming/tpch/views/q6.slt.part` uses exactly this
+    shape): one always-present row riding the grouped machinery on a
+    hidden constant key; the DELETE round folds every aggregate back
+    down, and the batch twin over survivors must hash-match."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_saggmv_"))
+    eng.sql(
+        """
+        CREATE TABLE sagg_orders (
+            o_orderkey int8 PRIMARY KEY,
+            o_totalprice float8
+        );
+        CREATE MATERIALIZED VIEW sagg_mv AS
+        SELECT count(*) AS n,
+               sum(o_orderkey) AS keysum,
+               sum(CAST(round(o_totalprice*100, 0) AS BIGINT))/100.0D AS total,
+               max(o_orderkey) AS mx
+        FROM sagg_orders
+        """
+    )
+    eng.sql(
+        "INSERT INTO sagg_orders SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO sagg_orders SELECT o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 2 = 1"
+    )
+    eng.sql("DELETE FROM sagg_orders WHERE o_orderkey % 5 = 0")
+    return eng.sql("SELECT n, keysum, total, mx FROM sagg_mv")

@@ -620,6 +620,10 @@ def _parse_with_options(p: _P) -> None:
             p.fail("expected option value literal")
         p.eat()
         if p.try_op(","):
+            # trailing comma is legal (reference webhook
+            # create_table.slt.part: `WITH ( connector = 'webhook', )`)
+            if p.try_op(")"):
+                return
             continue
         p.eat_op(")")
         return
@@ -722,6 +726,38 @@ def _parse_create(p: _P) -> str:
             if p.at("ENCODE"):
                 p.eat()
                 p.ast["encode"] = p.ident("encode name")
+        if p.at("VALIDATE"):
+            # VALIDATE [SECRET name] AS <signature function call> —
+            # webhook tables only (reference parser.rs:2603: "VALIDATE is
+            # only supported for tables created with webhook source";
+            # the expression is parse_function())
+            if not re.search(
+                r"connector\s*=\s*'webhook'", p.ast.get("with") or "", re.I
+            ):
+                p.fail(
+                    "VALIDATE is only supported for tables created with "
+                    "webhook source"
+                )
+            p.eat()
+            if p.at("SECRET"):
+                p.eat()
+                p.ast["validate_secret"] = unquote_ident(p.ident("secret name"))
+            p.eat_kw("AS")
+            i0 = p.i
+            p.ident("validation function name")
+            p.eat_op("(")
+            depth = 1
+            while depth:
+                t = p.peek()
+                if t is None:
+                    p.fail("unbalanced '(' in VALIDATE expression")
+                t = p.eat()
+                if t.kind == "op":
+                    if t.val == "(":
+                        depth += 1
+                    elif t.val == ")":
+                        depth -= 1
+            p.ast["validate_expr"] = p.span(i0, p.i)
         p.expect_done("CREATE TABLE")
         return "create_table"
     if p.at_seq("MATERIALIZED", "VIEW"):

@@ -3079,3 +3079,47 @@ def test_subscription_cursor_since_timestamp(eng):
     for c in ("c_ts", "c_ts0"):
         eng.sql(f"close {c}")
     eng.sql("drop subscription sts")
+
+
+def test_simple_agg_mv_no_group_by(eng):
+    """Global-aggregate MV with the reference's own no-GROUP-BY spelling
+    (SimpleAgg, `stream/src/executor/simple_agg.rs`; views/q6.slt.part):
+    exactly one row from CREATE time, through inserts, deletes, and
+    delete-to-empty (accumulators reset to count=0 / sum=NULL)."""
+    eng.sql("CREATE TABLE sa (k int4 PRIMARY KEY, v int4)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW samv AS "
+        "SELECT count(*) AS n, sum(v) AS s, max(v) AS mx FROM sa"
+    )
+    assert _rows(eng.sql("SELECT n, s, mx FROM samv")) == [(0, None, None)]
+    eng.sql("INSERT INTO sa VALUES (1, 10), (2, 20), (3, 5)")
+    assert _rows(eng.sql("SELECT n, s, mx FROM samv")) == [(3, 35, 20)]
+    eng.sql("DELETE FROM sa WHERE k = 2")  # retract the max
+    assert _rows(eng.sql("SELECT n, s, mx FROM samv")) == [(2, 15, 10)]
+    eng.sql("DELETE FROM sa")
+    assert _rows(eng.sql("SELECT n, s, mx FROM samv")) == [(0, None, None)]
+    eng.sql("INSERT INTO sa VALUES (9, 9)")
+    assert _rows(eng.sql("SELECT n, s, mx FROM samv")) == [(1, 9, 9)]
+
+
+def test_simple_agg_mv_where_and_restart(spark):
+    """SimpleAgg MV with a WHERE filter survives Engine.open replay; the
+    hidden constant key never shows in the result schema."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="rw_sagg_")
+    e1 = Engine(spark, wh)
+    e1.sql("CREATE TABLE sb (k int4 PRIMARY KEY, v int4)")
+    e1.sql(
+        "CREATE MATERIALIZED VIEW sbmv AS "
+        "SELECT sum(v) AS s FROM sb WHERE v >= 10"
+    )
+    e1.sql("INSERT INTO sb VALUES (1, 5), (2, 10), (3, 30)")
+    assert _rows(e1.sql("SELECT * FROM sbmv")) == [(40,)]
+    assert e1.sql("SELECT * FROM sbmv").columns == ["s"]
+    e2 = Engine.open(spark, wh)
+    assert _rows(e2.sql("SELECT * FROM sbmv")) == [(40,)]
+    e2.sql("DELETE FROM sb WHERE k = 3")
+    assert _rows(e2.sql("SELECT * FROM sbmv")) == [(10,)]
+    e2.sql("DELETE FROM sb WHERE k = 2")  # all qualifying rows gone
+    assert _rows(e2.sql("SELECT * FROM sbmv")) == [(None,)]
