@@ -516,8 +516,7 @@ def ch_mv_q17(spark, sf_dir):
         ["lineitem", "part"],
         """
         CREATE MATERIALIZED VIEW chm17 AS
-        select 1 as g,
-               round((sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0D)
+        select round((sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0D)
                      / 2.0D, 0) as avg_yearly
         from lineitem, part
         where l_partkey = p_partkey
@@ -526,7 +525,6 @@ def ch_mv_q17(spark, sf_dir):
             select (sum(CAST(round(l_quantity*100,0) AS BIGINT))/100.0D)/count(*)
             from lineitem l2 where l2.l_partkey = p_partkey
           )
-        group by 1
         """,
         sample=2,
         rounds=1,
@@ -557,8 +555,7 @@ def ch_mv_q19(spark, sf_dir):
         ["lineitem", "part"],
         """
         CREATE MATERIALIZED VIEW chm19 AS
-        select 1 as g,
-               sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) as revenue_cents
+        select sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) as revenue_cents
         from lineitem, part
         where (l_partkey = p_partkey and p_type = 'ECONOMY'
                and l_quantity between 1 and 10
@@ -569,7 +566,6 @@ def ch_mv_q19(spark, sf_dir):
            or (l_partkey = p_partkey and p_type = 'SMALL'
                and l_quantity between 1 and 10
                and p_retailprice between 1 and 400000 and l_linenumber in (1,5,3))
-        group by 1
         """,
         sample=2,
         rounds=1,

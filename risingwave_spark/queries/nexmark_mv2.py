@@ -482,7 +482,7 @@ def nexmark_mv_q106_min_final(spark, sf_dir):
     winning bids, with the bid-inside-auction-window interval
     condition): the inner comma join carries the BETWEEN as the join
     step's residual, the per-auction max maintains as a keyed MV, and
-    the outer global min is MV-on-MV with a constant key."""
+    the outer global min is a SimpleAgg MV-on-MV (native no-GROUP-BY path)."""
     eng = _engine(
         spark, sf_dir, "rw_nxmv106_",
         """
@@ -492,7 +492,7 @@ def nexmark_mv_q106_min_final(spark, sf_dir):
         WHERE bid.auction = auction_id AND ts BETWEEN a_ts AND expires
         GROUP BY auction_id;
         CREATE MATERIALIZED VIEW nx_q106 AS
-        SELECT 1 AS g, min(final) AS min_final FROM nx_q106a GROUP BY 1
+        SELECT min(final) AS min_final FROM nx_q106a
         """,
         auction=True,
     )

@@ -346,9 +346,9 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 )
 def tpch_mv_q6(spark, sf_dir):
     """TPC-H q6 as a GLOBAL-aggregate MV (reference `views/q6.slt.part`
-    — the SimpleAgg executor: one group, value state): the single group
-    is a constant derived key; the delete round folds the sum back
-    down. BETWEEN survives the conjunct splitter (its AND is not a
+    — the SimpleAgg executor: one group, value state), in the
+    reference's exact no-GROUP-BY spelling (native SimpleAgg MV path,
+    round-7 session 5); the delete round folds the sum back down. BETWEEN survives the conjunct splitter (its AND is not a
     conjunction boundary)."""
     eng = _tpch_eng(
         spark,
@@ -358,7 +358,6 @@ def tpch_mv_q6(spark, sf_dir):
         f"""
         CREATE MATERIALIZED VIEW tq6 AS
         select
-          1 as g,
           {_s_cents('l_extendedprice*l_discount')} as revenue
         from
           lineitem
@@ -367,7 +366,6 @@ def tpch_mv_q6(spark, sf_dir):
           and l_shipdate < date '1997-01-01'
           and l_discount between 0.05 and 0.07
           and l_quantity < 24
-        group by 1
         """,
     )
     return eng.sql("SELECT revenue FROM tq6")
@@ -612,7 +610,6 @@ def tpch_mv_q14(spark, sf_dir):
         f"""
         CREATE MATERIALIZED VIEW tq14 AS
         select
-          1 as g,
           100.00 * ({_s_cents("case when p_type = 'ECONOMY' then " + _O_REV + " else 0 end")})
             / ({_s_cents(_O_REV)}) as promo_revenue
         from
@@ -622,7 +619,6 @@ def tpch_mv_q14(spark, sf_dir):
           l_partkey = p_partkey
           and l_shipdate >= date '1996-09-01'
           and l_shipdate < date '1996-10-01'
-        group by 1
         """,
     )
     return eng.sql("SELECT promo_revenue FROM tq14")
@@ -708,7 +704,6 @@ def tpch_mv_q19(spark, sf_dir):
         f"""
         CREATE MATERIALIZED VIEW tq19 AS
         select
-          1 as g,
           {_s_cents(_O_REV)} as revenue
         from
           lineitem,
@@ -722,7 +717,6 @@ def tpch_mv_q19(spark, sf_dir):
           or
           (p_partkey = l_partkey and p_brand = 'Brand#25'
            and p_size between 1 and 35 and l_quantity between 20 and 40)
-        group by 1
         """,
         sample=2,
         rounds=1,
@@ -865,7 +859,6 @@ def tpch_mv_q17(spark, sf_dir):
         f"""
         CREATE MATERIALIZED VIEW tq17 AS
         select
-          1 as g,
           ({_s_cents('l_extendedprice')}) / 7.0D as avg_yearly
         from
           lineitem,
@@ -877,7 +870,6 @@ def tpch_mv_q17(spark, sf_dir):
             select 0.2 * avg(l_quantity) from lineitem l2
             where l2.l_partkey = p_partkey
           )
-        group by 1
         """,
         sample=2,
         rounds=1,
