@@ -4820,6 +4820,11 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             rows, "name string, type string, comment string"
         )
     m = _EXPLAIN.match(stmt)
+    if m and re.match(r"^\s*EXPLAIN\s+ANALYZE\b", stmt, re.I):
+        # reference handler/explain.rs:294 bails the same way
+        # (bail_not_implemented! issue 4856) — reject loudly instead of
+        # silently dropping the ANALYZE and explaining without executing
+        raise ValueError("explain analyze is not implemented")
     if m and not re.match(r"^\s*EXPLAIN\s*$", stmt, re.I):
         # reference handler/explain.rs: the plan as rows of text — here
         # Catalyst's formatted physical plan (the honest answer to "what

@@ -289,6 +289,10 @@ def test_explain_and_describe(eng):
     assert ("k", "int") in desc and ("v", "string") in desc
     plan = "\n".join(r.plan for r in eng.sql("EXPLAIN SELECT k FROM ed WHERE k > 1").collect())
     assert "Physical Plan" in plan or "Scan" in plan
+    # reference handler/explain.rs:294 — EXPLAIN ANALYZE bails the same
+    # way (it must not silently explain-without-executing)
+    with pytest.raises(Exception, match="analyze is not implemented"):
+        eng.sql("EXPLAIN ANALYZE SELECT k FROM ed")
 
 
 def test_set_and_show_variable(eng, spark):
