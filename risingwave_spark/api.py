@@ -663,6 +663,11 @@ class Engine:
         self.webhooks: dict[str, dict] = {}
         self._webhook_dml_lock = threading.RLock()
         self._webhook_server = None
+        #: per-MV backfill rate limits (reference
+        #: e2e_test/streaming/rate_limit: WITH (backfill_rate_limit=N)
+        #: + ALTER MATERIALIZED VIEW ... SET BACKFILL_RATE_LIMIT):
+        #: name → rows-per-slice cap; 0 parks the backfill until raised
+        self._mv_rate_limits: dict[str, int] = {}
 
     def _register_views(self) -> None:
         from risingwave_spark.functions.pgsql import pg_to_spark_sql
@@ -724,6 +729,18 @@ class Engine:
                 return json.load(f)
         except (FileNotFoundError, ValueError):
             return []
+
+    def _write_catalog(self, entries: list) -> None:
+        """Atomic whole-catalog replace — for DDL rewrites (ALTER RENAME
+        dependent-definition updates, rate-limit option swaps)."""
+        import json
+
+        with self._ddl_lock:
+            os.makedirs(self.warehouse, exist_ok=True)
+            tmp = self._catalog_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entries, f, indent=1)
+            os.replace(tmp, self._catalog_path())
 
     @classmethod
     def open(cls, spark: SparkSession, warehouse: str) -> "Engine":
@@ -890,9 +907,25 @@ class Engine:
         re-reading the whole base table after a mid-backfill failure and
         re-reading one slice."""
         import json
+        import time
+
+        def _effective_rate():
+            # per-MV WITH (backfill_rate_limit=N) / ALTER ... SET override
+            # wins over the session variable (reference rate_limit suite)
+            lim = self._mv_rate_limits.get(name)
+            if lim is not None:
+                return str(lim)
+            return self.spark.conf.get("BACKFILL_RATE_LIMIT", None)
+
+        # rate 0 parks the backfill until an ALTER raises it (reference
+        # alter_rate_limit.slt: CREATE ... with (backfill_rate_limit=0)
+        # under BACKGROUND_DDL shows 0% until the ALTER) — poll the live
+        # limit; chunk sizing waits for the first non-zero value
+        while _effective_rate() == "0":
+            time.sleep(0.05)
 
         k = int(self.spark.conf.get("rw.backfill_chunks", "1"))
-        rate = self.spark.conf.get("BACKFILL_RATE_LIMIT", None)
+        rate = _effective_rate()
         if k <= 1 and rate and rate.upper() != "DEFAULT":
             # reference SET BACKFILL_RATE_LIMIT=N (rows per barrier):
             # mapped to a per-slice ROW CAP — chunk count sized so each
@@ -927,6 +960,8 @@ class Engine:
         for i in range(k):
             if i in done:
                 continue
+            while _effective_rate() == "0":  # ALTER to 0 pauses mid-backfill
+                time.sleep(0.05)
             chunk = backfill.filter(
                 F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(k)) == i
             )

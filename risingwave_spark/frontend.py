@@ -3275,10 +3275,23 @@ def _extract_trailing_order_limit(masked: str, lits: list[str]):
 
 def _handle_create_mv(engine: "Engine", ast: dict) -> DataFrame:
     name = ast["name"]
+    if ast.get("with"):
+        # WITH (backfill_rate_limit = N) (reference rate_limit suite):
+        # registered BEFORE compile so the backfill sizes its slices by
+        # it; 0 parks the backfill until ALTER raises the limit
+        opts = _parse_with_options(ast["with"])
+        if "backfill_rate_limit" in opts:
+            engine._mv_rate_limits[name] = int(opts["backfill_rate_limit"])
+        unknown = set(opts) - {"backfill_rate_limit"}
+        if unknown:
+            raise ValueError(
+                f"unsupported CREATE MATERIALIZED VIEW options {sorted(unknown)}"
+            )
     pre = set(engine.mv_handles)
     try:
         out = _handle_create_mv_core(engine, ast)
     except Exception:
+        engine._mv_rate_limits.pop(name, None)
         # the subquery desugar creates helper MVs BEFORE the main MV
         # compiles — a later compile failure must not leak them
         for helper in [
@@ -4547,8 +4560,48 @@ def _handle_drop_function(engine: "Engine", ast: dict) -> DataFrame:
 #: extraction pass to disagree with (VERDICT r6 #3, fully retired in
 #: round 7; the reference likewise keeps one sqlparser AST end to end,
 #: `src/sqlparser/src/parser.rs`).
+def _handle_alter_mv_rate_limit(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER MATERIALIZED VIEW m SET BACKFILL_RATE_LIMIT = N (reference
+    `e2e_test/streaming/rate_limit/alter_rate_limit.slt`): updates the
+    live per-MV limit (a parked rate-0 backfill thread polls it and
+    resumes) and rewrites the recorded DDL's option value so a catalog
+    replay does not re-park a finished backfill."""
+    name, rate = ast["old"], ast["rate"]
+    known = (
+        name in engine.mv_handles
+        or name in getattr(engine, "_bg_jobs", {})
+        or name in engine._mv_rate_limits
+    )
+    if not known:
+        raise ValueError(f"ALTER target {name!r} is not a materialized view")
+    if rate.upper() == "DEFAULT":
+        engine._mv_rate_limits.pop(name, None)
+    else:
+        engine._mv_rate_limits[name] = int(rate)
+    # persist: swap the option value inside the recorded CREATE stmt —
+    # and inside an in-flight background job's statement (it records its
+    # DDL only at completion), so a crash after the ALTER replays the
+    # raised limit, not the original parked one
+    def _swap(stmt: str) -> str:
+        return re.sub(
+            r"(backfill_rate_limit\s*=\s*)\w+", rf"\g<1>{rate}", stmt, flags=re.I
+        )
+
+    job = getattr(engine, "_bg_jobs", {}).get(name)
+    if job is not None and "ast" in job and job["ast"].get("stmt"):
+        job["ast"]["stmt"] = _swap(job["ast"]["stmt"])
+    entries = engine._read_catalog()
+    for e in entries:
+        if e["name"] == name and re.search(r"backfill_rate_limit", e["stmt"], re.I):
+            e["stmt"] = _swap(e["stmt"])
+            engine._write_catalog(entries)
+            break
+    return _status(engine.spark, "ALTER_MATERIALIZED_VIEW")
+
+
 _AST_DISPATCH = {
     "insert": _handle_insert,
+    "alter_mv_rate_limit": _handle_alter_mv_rate_limit,
     "create_view": _handle_create_view,
     "create_source": _handle_create_source,
     "create_sink": _handle_create_sink,
@@ -4598,7 +4651,7 @@ def _spawn_background_ddl(engine: "Engine", name: str, handler, ast: dict) -> Da
     progress (chunked backfills report completed/total slices)."""
     import threading
 
-    job = {"thread": None, "error": None, "name": name}
+    job = {"thread": None, "error": None, "name": name, "ast": ast}
 
     def run():
         try:

@@ -765,6 +765,12 @@ def _parse_create(p: _P) -> str:
         p.eat()
         _skip_if_not_exists(p)
         p.ast["name"] = unquote_ident(p.ident("view name"))
+        if p.at("WITH"):
+            # CREATE MATERIALIZED VIEW m WITH (backfill_rate_limit = N)
+            # AS ... (reference rate_limit/alter_rate_limit.slt)
+            i0 = p.i
+            _parse_with_options(p)
+            p.ast["with"] = p.span(i0 + 2, p.i - 1)
         p.eat_kw("AS")
         # body span = everything after AS, INCLUDING any EMIT ON WINDOW
         # CLOSE tail (the MV compiler detects and strips it — same
@@ -1139,6 +1145,21 @@ def _classify_p(p: _P) -> str:
             else:
                 p.ast["kind"] = p.eat().up
             p.ast["old"] = unquote_ident(p.ident("object name"))
+            if p.at("SET") and p.ast["kind"] == "MATERIALIZED VIEW":
+                # ALTER MATERIALIZED VIEW m SET BACKFILL_RATE_LIMIT = N
+                # (reference rate_limit/alter_rate_limit.slt — raising a
+                # 0 limit resumes a parked backfill)
+                p.eat()
+                p.eat_kw("BACKFILL_RATE_LIMIT")
+                p.eat_op("=")
+                t = p.peek()
+                if t is None or not (
+                    t.kind == "num" or (t.kind == "ident" and t.up == "DEFAULT")
+                ):
+                    p.fail("expected a number or DEFAULT")
+                p.ast["rate"] = p.eat().val
+                p.expect_done("ALTER MATERIALIZED VIEW ... SET")
+                return "alter_mv_rate_limit"
             p.eat_kw("RENAME")
             p.eat_kw("TO")
             p.ast["new"] = unquote_ident(p.ident("new name"))

@@ -3127,3 +3127,53 @@ def test_simple_agg_mv_where_and_restart(spark):
     assert _rows(e2.sql("SELECT * FROM sbmv")) == [(10,)]
     e2.sql("DELETE FROM sb WHERE k = 2")  # all qualifying rows gone
     assert _rows(e2.sql("SELECT * FROM sbmv")) == [(None,)]
+
+
+def test_backfill_rate_limit_zero_parks_until_alter(eng):
+    """Reference rate_limit/alter_rate_limit.slt: CREATE MV WITH
+    (backfill_rate_limit = 0) under BACKGROUND_DDL parks the backfill
+    (job alive, MV absent); ALTER ... SET BACKFILL_RATE_LIMIT = 10
+    resumes it and WAIT completes with correct contents."""
+    import time
+
+    eng.sql("CREATE TABLE rlt (v1 int PRIMARY KEY, v2 int)")
+    eng.sql("INSERT INTO rlt SELECT id, id FROM range(1, 31)")
+    try:
+        eng.sql("SET BACKGROUND_DDL = true")
+        eng.sql(
+            "CREATE MATERIALIZED VIEW rl0 with ( backfill_rate_limit = 0 ) "
+            "AS SELECT v1, v2 FROM rlt"
+        )
+        time.sleep(0.5)
+        job = eng._bg_jobs["rl0"]
+        assert job["thread"].is_alive() and job["error"] is None  # parked
+        assert "rl0" not in eng.mv_handles
+        eng.sql("ALTER MATERIALIZED VIEW rl0 SET BACKFILL_RATE_LIMIT = 10")
+        eng.sql("WAIT")
+        assert _rows(eng.sql("SELECT count(*) AS n FROM rl0")) == [(30,)]
+        # the recorded DDL now carries the raised limit — replay must not
+        # re-park (alter persists through the catalog rewrite)
+        ddl = [e for e in eng._read_catalog() if e["name"] == "rl0"][0]["stmt"]
+        assert "backfill_rate_limit = 10" in ddl.lower().replace("=", "= ").replace("  ", " ") or "10" in ddl
+    finally:
+        eng.sql("SET BACKGROUND_DDL = false")
+
+
+def test_backfill_rate_limit_sizes_slices(eng):
+    """WITH (backfill_rate_limit = N) caps each backfill slice at ~N rows
+    (per-slice row cap, the documented divergence from rows/sec) without
+    touching the session variable."""
+    eng.sql("CREATE TABLE rls (k int PRIMARY KEY, v int)")
+    eng.sql("INSERT INTO rls SELECT id, id * 2 FROM range(0, 20)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW rlm WITH (backfill_rate_limit = 5) AS "
+        "SELECT k, v FROM rls"
+    )
+    assert eng._mv_rate_limits["rlm"] == 5
+    assert _rows(eng.sql("SELECT count(*) AS n FROM rlm")) == [(20,)]
+    eng.sql("INSERT INTO rls VALUES (100, 1)")  # still maintained
+    assert _rows(eng.sql("SELECT count(*) AS n FROM rlm")) == [(21,)]
+    with pytest.raises(ValueError, match="unsupported"):
+        eng.sql("CREATE MATERIALIZED VIEW bad WITH (nope = 1) AS SELECT k FROM rls")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        eng.sql("ALTER MATERIALIZED VIEW missing SET BACKFILL_RATE_LIMIT = 1")
