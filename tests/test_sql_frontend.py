@@ -3177,3 +3177,34 @@ def test_backfill_rate_limit_sizes_slices(eng):
         eng.sql("CREATE MATERIALIZED VIEW bad WITH (nope = 1) AS SELECT k FROM rls")
     with pytest.raises(ValueError, match="not a materialized view"):
         eng.sql("ALTER MATERIALIZED VIEW missing SET BACKFILL_RATE_LIMIT = 1")
+
+
+def test_distinct_agg_mvs(eng):
+    """Distinct-aggregate MVs (reference
+    e2e_test/streaming/aggregate/distinct_agg.slt mv1/mv4 shapes): the
+    per-group recompute evaluates count(distinct)/min(distinct) exactly
+    under retraction; the global form rides the SimpleAgg path."""
+    eng.sql("CREATE TABLE da (id int PRIMARY KEY, v1 int, v2 int, v3 int)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW da1 AS SELECT count(distinct v1) AS c_d_v1 FROM da"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW da4 AS SELECT v1, count(distinct v2) AS c_d_v2, "
+        "count(distinct v3) AS c_d_v3, max(v2) AS max_v2 FROM da GROUP BY v1"
+    )
+    eng.sql(
+        "INSERT INTO da VALUES (1,1,10,100),(2,1,10,200),(3,1,20,100),(4,2,30,300)"
+    )
+    assert _rows(eng.sql("SELECT c_d_v1 FROM da1")) == [(2,)]
+    assert _rows(eng.sql("SELECT v1, c_d_v2, c_d_v3, max_v2 FROM da4 ORDER BY v1")) == [
+        (1, 2, 2, 20),
+        (2, 1, 1, 30),
+    ]
+    eng.sql("DELETE FROM da WHERE id IN (1, 2)")  # drops one distinct v2 of group 1
+    assert _rows(eng.sql("SELECT v1, c_d_v2, c_d_v3, max_v2 FROM da4 ORDER BY v1")) == [
+        (1, 1, 1, 20),
+        (2, 1, 1, 30),
+    ]
+    eng.sql("DELETE FROM da WHERE v1 = 1")
+    assert _rows(eng.sql("SELECT c_d_v1 FROM da1")) == [(1,)]
+    assert _rows(eng.sql("SELECT v1 FROM da4")) == [(2,)]
