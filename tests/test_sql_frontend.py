@@ -3208,3 +3208,31 @@ def test_distinct_agg_mvs(eng):
     eng.sql("DELETE FROM da WHERE v1 = 1")
     assert _rows(eng.sql("SELECT c_d_v1 FROM da1")) == [(1,)]
     assert _rows(eng.sql("SELECT v1 FROM da4")) == [(2,)]
+
+
+def test_append_only_global_minmax_across_types(eng):
+    """Reference e2e_test/streaming/aggregate/append_only_agg.slt: global
+    min/max MV over an APPEND ONLY table across the type set (int2/4/8,
+    float4/8, varchar, time, date, timestamp) — the SimpleAgg path with
+    append-only inputs."""
+    eng.sql(
+        "create table aat (i2 int2, i4 int4, i8 int8, f4 float4, f8 float8, "
+        "v varchar, t time, d date, ts timestamp) append only"
+    )
+    eng.sql(
+        "create materialized view aamm as select min(i2) as mn2, max(i2) as mx2, "
+        "min(f8) as mnf, max(v) as mxv, min(t) as mnt, max(d) as mxd, "
+        "min(ts) as mnts from aat"
+    )
+    eng.sql(
+        "INSERT INTO aat VALUES "
+        "(2, 4, 8, 4.5, 8.5, 'xyz', TIME '12:30:00', DATE '2021-01-02', TIMESTAMP '2021-01-02 10:00:00'), "
+        "(1, 3, 7, 3.5, 7.5, 'abc', TIME '11:30:00', DATE '2021-01-01', TIMESTAMP '2021-01-01 10:00:00')"
+    )
+    import datetime
+
+    r = eng.sql("SELECT * FROM aamm").first()
+    assert (r.mn2, r.mx2, r.mnf, r.mxv) == (1, 2, 7.5, "xyz")
+    assert r.mnt == datetime.time(11, 30)
+    assert r.mxd == datetime.date(2021, 1, 2)
+    assert r.mnts == datetime.datetime(2021, 1, 1, 10, 0)
