@@ -2208,10 +2208,62 @@ def _handle_create_windowed_mv(
         r"\bGROUP\s+BY\s+(?P<gb>.*?)(?P<having>\s+HAVING\b.*)?$", masked, re.I | re.S
     )
     if not gbm:
-        raise ValueError(
-            "a TUMBLE/HOP MV must GROUP BY window_start (row-grain windowed "
-            "MVs are not maintainable: a row appears once per covering window)"
+        if hm is not None:
+            raise ValueError(
+                "a row-grain HOP MV is not supported (each row appears once "
+                "per covering window, so rows have no single splice key); "
+                "GROUP BY window_start, or use TUMBLE"
+            )
+        # Row-grain TUMBLE MV (reference e2e_test/streaming/
+        # time_window.slt `create materialized view mv_tumble as select
+        # * from tumble(t1, created_at, interval '30' minute)`): TUMBLE
+        # is a pure epoch-aligned projection, so this is the generic
+        # row-grain MV with the window columns computed in the body.
+        t = engine.tables[base]
+        pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        ws_sql = (
+            f"timestamp_micros(CAST(floor(unix_micros({ts_col}) / {size_us}) "
+            f"AS BIGINT) * {size_us})"
         )
+        we_sql = (
+            f"timestamp_micros(CAST(floor(unix_micros({ts_col}) / {size_us}) "
+            f"AS BIGINT) * {size_us} + {size_us})"
+        )
+        parts = []
+        for expr, alias_ in select_items:
+            nx = _norm(expr)
+            if expr.strip() == "*":
+                parts.append(
+                    f"*, {ws_sql} AS window_start, {we_sql} AS window_end"
+                )
+            elif nx == "window_start":
+                parts.append(f"{ws_sql} AS {alias_ or 'window_start'}")
+            elif nx == "window_end":
+                parts.append(f"{we_sql} AS {alias_ or 'window_end'}")
+            else:
+                parts.append(expr + (f" AS {alias_}" if alias_ else ""))
+        sel_names = {a for _, a in select_items if a} | {
+            e for e, a in select_items if a is None
+        }
+        if "*" not in sel_names and any(p not in sel_names for p in pks):
+            raise ValueError(
+                f"row-grain MV must select the base pk {pks} (or *) for splice"
+            )
+        tmp = f"__wmv_src_{name}"
+        body = (
+            "SELECT " + ", ".join(parts) + f" FROM {tmp}"
+            + _unmask(masked[m.end():], lits)
+        )
+        body = pg_to_spark_sql(body)
+        spark = engine.spark
+
+        def recompute(rows: DataFrame) -> DataFrame:
+            rows.createOrReplaceTempView(tmp)
+            return spark.sql(body)
+
+        engine.create_materialized_view(name, base, pks, recompute)
+        engine._record_ddl(name, stmt)
+        return _status(spark, "CREATE_MATERIALIZED_VIEW")
     base_cols = engine.tables[base].snapshot().columns
     keys: list[str] = []
     saw_ws = False

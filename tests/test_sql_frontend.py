@@ -3236,3 +3236,43 @@ def test_append_only_global_minmax_across_types(eng):
     assert r.mnt == datetime.time(11, 30)
     assert r.mxd == datetime.date(2021, 1, 2)
     assert r.mnts == datetime.datetime(2021, 1, 1, 10, 0)
+
+
+def test_row_grain_tumble_mv(eng):
+    """Reference time_window.slt mv_tumble: `select * from tumble(...)`
+    without GROUP BY is a row-grain MV — every row carries its
+    epoch-aligned window; maintained under insert + delete; row-grain
+    HOP stays a loud error."""
+    eng.sql("CREATE TABLE twt (row_id int PRIMARY KEY, v int, created_at timestamp)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_tumble AS "
+        "SELECT * FROM tumble(twt, created_at, interval '30' minute)"
+    )
+    eng.sql(
+        "INSERT INTO twt VALUES (1, 4, TIMESTAMP '2022-01-01 10:00:00'), "
+        "(2, 3, TIMESTAMP '2022-01-01 10:05:00'), (3, 1, TIMESTAMP '2022-01-01 10:42:00')"
+    )
+    import datetime
+
+    rows = {r.row_id: r for r in eng.sql("SELECT * FROM mv_tumble").collect()}
+    assert len(rows) == 3
+    assert rows[1].window_start == datetime.datetime(2022, 1, 1, 10, 0)
+    assert rows[1].window_end == datetime.datetime(2022, 1, 1, 10, 30)
+    assert rows[3].window_start == datetime.datetime(2022, 1, 1, 10, 30)
+    eng.sql("DELETE FROM twt WHERE row_id = 2")
+    assert sorted(r.row_id for r in eng.sql("SELECT row_id FROM mv_tumble").collect()) == [1, 3]
+    # explicit-item spelling with window refs
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_tumble2 AS "
+        "SELECT row_id, window_start AS ws FROM tumble(twt, created_at, interval '30' minute)"
+    )
+    got = {(r.row_id, r.ws) for r in eng.sql("SELECT row_id, ws FROM mv_tumble2").collect()}
+    assert got == {
+        (1, datetime.datetime(2022, 1, 1, 10, 0)),
+        (3, datetime.datetime(2022, 1, 1, 10, 30)),
+    }
+    with pytest.raises(ValueError, match="row-grain HOP"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mv_hop AS SELECT * FROM "
+            "hop(twt, created_at, interval '15' minute, interval '30' minute)"
+        )
