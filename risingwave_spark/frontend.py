@@ -134,6 +134,33 @@ _SELECT_SHAPE = re.compile(
     re.I | re.S,
 )
 _IDENT = re.compile(r"^[A-Za-z_]\w*$")
+def _row_grain_keys(
+    pks: list[str], select_items: list[tuple], derived: dict
+) -> tuple[list[str], list[str]]:
+    """Splice keys of a row-grain MV: each base pk column must be
+    selected — bare, via *, or under an ALIAS (`rid AS l_rid` — the
+    window-join spelling renames per side); an aliased pk becomes a
+    derived key (key_of annotates the alias onto the changelog rows so
+    the splice finds it in the MV output). Returns (keys, missing)."""
+    sel_names = {a for _, a in select_items if a} | {
+        e for e, a in select_items if a is None
+    }
+    star = any(e.strip() == "*" for e, _ in select_items)
+    keys: list[str] = []
+    missing: list[str] = []
+    for p in pks:
+        if star or p in sel_names:
+            keys.append(p)
+            continue
+        hit = [(e, a) for e, a in select_items if _norm(e) == _norm(p) and a]
+        if hit:
+            derived[hit[0][1]] = p
+            keys.append(hit[0][1])
+            continue
+        missing.append(p)
+    return keys, missing
+
+
 # aggregate-function call in a select list — routes a no-GROUP-BY MV
 # body onto the SimpleAgg path (reference simple_agg.rs)
 _AGG_FN_RX = re.compile(
@@ -2242,10 +2269,9 @@ def _handle_create_windowed_mv(
                 parts.append(f"{we_sql} AS {alias_ or 'window_end'}")
             else:
                 parts.append(expr + (f" AS {alias_}" if alias_ else ""))
-        sel_names = {a for _, a in select_items if a} | {
-            e for e, a in select_items if a is None
-        }
-        if "*" not in sel_names and any(p not in sel_names for p in pks):
+        derived: dict[str, str] = {}
+        keys, missing = _row_grain_keys(pks, select_items, derived)
+        if missing:
             raise ValueError(
                 f"row-grain MV must select the base pk {pks} (or *) for splice"
             )
@@ -2261,7 +2287,15 @@ def _handle_create_windowed_mv(
             rows.createOrReplaceTempView(tmp)
             return spark.sql(body)
 
-        engine.create_materialized_view(name, base, pks, recompute)
+        key_of = None
+        if derived:
+            exprs = [f"({pg_to_spark_sql(e)}) AS {a}" for a, e in derived.items()]
+
+            def key_of(rows: DataFrame) -> DataFrame:
+                keep = [c for c in rows.columns if c not in derived]
+                return rows.select(*keep).selectExpr("*", *exprs)
+
+        engine.create_materialized_view(name, base, keys, recompute, key_of=key_of)
         engine._record_ddl(name, stmt)
         return _status(spark, "CREATE_MATERIALIZED_VIEW")
     base_cols = engine.tables[base].snapshot().columns
@@ -3613,12 +3647,11 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         t = engine.tables.get(base)
         pk = t.pk if t is not None else engine.mv_handles[base].view.keys
         pks = [pk] if isinstance(pk, str) else list(pk)
-        sel_names = {a for _, a in select_items} | {e for e, _ in select_items}
-        if "*" not in sel_names and any(p not in sel_names for p in pks):
+        keys, missing = _row_grain_keys(pks, select_items, derived)
+        if missing:
             raise ValueError(
                 f"row-grain MV must select the base pk {pks} (or *) for splice"
             )
-        keys = pks
 
     tmp = f"__mv_src_{name}"
     sel_txt, rest_txt = sm.group("select"), rest

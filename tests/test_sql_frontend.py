@@ -3276,3 +3276,46 @@ def test_row_grain_tumble_mv(eng):
             "CREATE MATERIALIZED VIEW mv_hop AS SELECT * FROM "
             "hop(twt, created_at, interval '15' minute, interval '30' minute)"
         )
+
+
+def test_window_join_of_two_tumbled_streams(eng):
+    """Reference time_window_join.slt (the Flink window-join shape):
+    FULL JOIN of two TUMBLE'd streams on (key, window) — composed as two
+    row-grain TUMBLE MVs with per-side renames feeding a retractable
+    stream-stream join; deletes on either side retract their matches."""
+    import datetime
+
+    eng.sql("CREATE TABLE wjl (rid int PRIMARY KEY, num int, ts timestamp)")
+    eng.sql("CREATE TABLE wjr (rid int PRIMARY KEY, num int, ts timestamp)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW wjlw AS SELECT rid AS l_rid, num AS l_num, "
+        "window_start AS l_ws FROM tumble(wjl, ts, interval '5' minute)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW wjrw AS SELECT rid AS r_rid, num AS r_num, "
+        "window_start AS r_ws FROM tumble(wjr, ts, interval '5' minute)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW wj AS SELECT l_num, r_num, l_ws FROM wjlw "
+        "FULL JOIN wjrw ON l_num = r_num AND l_ws = r_ws"
+    )
+    eng.sql(
+        "INSERT INTO wjl VALUES (1, 1, TIMESTAMP '2020-04-15 12:02:00'), "
+        "(2, 2, TIMESTAMP '2020-04-15 12:06:00'), (3, 3, TIMESTAMP '2020-04-15 12:03:00')"
+    )
+    eng.sql(
+        "INSERT INTO wjr VALUES (1, 2, TIMESTAMP '2020-04-15 12:01:00'), "
+        "(2, 3, TIMESTAMP '2020-04-15 12:04:00'), (3, 4, TIMESTAMP '2020-04-15 12:05:00')"
+    )
+    w0 = datetime.datetime(2020, 4, 15, 12, 0)
+    w1 = datetime.datetime(2020, 4, 15, 12, 5)
+    got = {tuple(r) for r in eng.sql("SELECT l_num, r_num, l_ws FROM wj").collect()}
+    assert got == {
+        (1, None, w0), (2, None, w1), (3, 3, w0), (None, 2, None), (None, 4, None)
+    }
+    # retract the only match
+    eng.sql("DELETE FROM wjr WHERE rid = 2")
+    got2 = {tuple(r) for r in eng.sql("SELECT l_num, r_num, l_ws FROM wj").collect()}
+    assert got2 == {
+        (1, None, w0), (2, None, w1), (3, None, w0), (None, 2, None), (None, 4, None)
+    }
