@@ -598,6 +598,28 @@ class _UnionBranchHandle:
         pass
 
 
+def _non_strict(spark: SparkSession, recompute):
+    """Streaming expression evaluation is NON-STRICT in the reference
+    (`e2e_test/streaming/non_strict_mode.slt`; issue 4625 / PR 12461:
+    compute errors — division by zero, bad casts — pad NULL per
+    expression node instead of failing the job, so one poisoned row
+    cannot kill an MV). Batch queries stay strict (ANSI). Spark bakes
+    the eval mode into each expression AT ANALYSIS, so toggling
+    `spark.sql.ansi.enabled` around the recompute's plan construction
+    pins legacy (null-padding) semantics into the MV's plan without
+    touching ad-hoc batch behavior."""
+
+    def wrapped(rows):
+        old = spark.conf.get("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            return recompute(rows)
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
+    return wrapped
+
+
 class Engine:
     """The session object a reference user would hold (their `psql`
     connection analog)."""
@@ -815,6 +837,7 @@ class Engine:
         the key columns. Backfills from the base's current state, then
         stays maintained: DML batches flow table → MV → downstream MVs
         as changelogs (mv-on-mv.md)."""
+        recompute = _non_strict(self.spark, recompute)
         if base in self.tables:
             t = self.tables[base]
             row_id, backfill, subscribe = t.pk, t.snapshot(), t.mvs

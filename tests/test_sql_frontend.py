@@ -3319,3 +3319,21 @@ def test_window_join_of_two_tumbled_streams(eng):
     assert got2 == {
         (1, None, w0), (2, None, w1), (3, None, w0), (None, 2, None), (None, 4, None)
     }
+
+
+def test_non_strict_mv_eval_pads_null(eng, spark):
+    """Reference non_strict_mode.slt (issue 4625 / PR 12461): streaming
+    compute errors pad NULL instead of failing the MV — division by
+    zero here; batch stays strict (ANSI error)."""
+    eng.sql("CREATE TABLE nst (x int PRIMARY KEY)")
+    eng.sql("CREATE MATERIALIZED VIEW nsm AS SELECT x, 10/x AS v FROM nst")
+    eng.sql("INSERT INTO nst VALUES (0),(1),(2)")
+    got = {(r.x, r.v) for r in eng.sql("SELECT x, v FROM nsm").collect()}
+    assert got == {(0, None), (1, 10.0), (2, 5.0)}
+    # the poisoned row retracts cleanly too
+    eng.sql("DELETE FROM nst WHERE x = 0")
+    assert {r.x for r in eng.sql("SELECT x FROM nsm").collect()} == {1, 2}
+    # batch stays strict while MV maintenance stayed non-strict
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(Exception):
+        eng.sql("SELECT 10/0 AS boom").collect()
