@@ -2236,11 +2236,75 @@ def _handle_create_windowed_mv(
     )
     if not gbm:
         if hm is not None:
-            raise ValueError(
-                "a row-grain HOP MV is not supported (each row appears once "
-                "per covering window, so rows have no single splice key); "
-                "GROUP BY window_start, or use TUMBLE"
+            # Row-grain HOP MV (reference
+            # bug_fixes/hop_window_update_10495.slt: `select * from
+            # hop(...)` — UPDATEs must retract the OLD timestamp's
+            # windows and emit the new ones): each row fans out to its
+            # nwin covering windows via the same key_of explode the agg
+            # path uses; the splice key is (pk, window_start), so a
+            # changed timestamp retracts exactly its old window set.
+            t = engine.tables[base]
+            pks = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+            sel_names = {a for _, a in select_items if a} | {
+                e for e, a in select_items if a is None
+            }
+            star = any(e.strip() == "*" for e, _ in select_items)
+            ws_name = win_alias["window_start"]
+            need = pks + ([ws_name] if not star else [])
+            missing = [c for c in need if not star and c not in sel_names]
+            if missing:
+                raise ValueError(
+                    f"a row-grain HOP MV must select {pks} and window_start "
+                    f"(or *) for its (pk, window) splice key; missing {missing}"
+                )
+            keys = pks + [ws_name]
+            base_cols = t.snapshot().columns
+            parts = []
+            for expr, alias_ in select_items:
+                if expr.strip() == "*":
+                    parts.append(
+                        ", ".join(base_cols) + ", window_start, window_end"
+                    )
+                else:
+                    # window_start/window_end are key_of-annotated
+                    # columns on the recompute input — plain references
+                    parts.append(expr + (f" AS {alias_}" if alias_ else ""))
+            tmp = f"__wmv_src_{name}"
+            body = (
+                "SELECT " + ", ".join(parts) + f" FROM {tmp}"
+                + _unmask(masked[m.end():], lits)
             )
+            body = pg_to_spark_sql(body)
+            spark = engine.spark
+
+            def recompute(rows: DataFrame) -> DataFrame:
+                rows.createOrReplaceTempView(tmp)
+                return spark.sql(body)
+
+            def key_of(rows: DataFrame) -> DataFrame:
+                r = rows.withColumn(
+                    "__j", F.explode(F.sequence(F.lit(0), F.lit(nwin - 1)))
+                )
+                base_us = (
+                    F.floor(F.unix_micros(F.col(ts_col)) / slide_us).cast("long")
+                    * slide_us
+                )
+                ws_us = base_us - F.col("__j").cast("long") * slide_us
+                r = (
+                    r.withColumn("window_start", F.timestamp_micros(ws_us))
+                    .withColumn("window_end", F.timestamp_micros(ws_us + size_us))
+                    .drop("__j")
+                )
+                for orig, alias in win_alias.items():
+                    if alias != orig:
+                        r = r.withColumn(alias, F.col(orig))
+                return r
+
+            engine.create_materialized_view(
+                name, base, keys, recompute, key_of=key_of
+            )
+            engine._record_ddl(name, stmt)
+            return _status(spark, "CREATE_MATERIALIZED_VIEW")
         # Row-grain TUMBLE MV (reference e2e_test/streaming/
         # time_window.slt `create materialized view mv_tumble as select
         # * from tumble(t1, created_at, interval '30' minute)`): TUMBLE

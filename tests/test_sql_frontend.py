@@ -3271,11 +3271,13 @@ def test_row_grain_tumble_mv(eng):
         (1, datetime.datetime(2022, 1, 1, 10, 0)),
         (3, datetime.datetime(2022, 1, 1, 10, 30)),
     }
-    with pytest.raises(ValueError, match="row-grain HOP"):
-        eng.sql(
-            "CREATE MATERIALIZED VIEW mv_hop AS SELECT * FROM "
-            "hop(twt, created_at, interval '15' minute, interval '30' minute)"
-        )
+    # row-grain HOP MVs fan rows out per covering window (keyed by
+    # (pk, window_start) — see test_row_grain_hop_mv_update_retracts_old_windows)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_hop AS SELECT * FROM "
+        "hop(twt, created_at, interval '15' minute, interval '30' minute)"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM mv_hop").first().n == 4  # 2 rows × 2 windows
 
 
 def test_window_join_of_two_tumbled_streams(eng):
@@ -3337,3 +3339,28 @@ def test_non_strict_mv_eval_pads_null(eng, spark):
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     with pytest.raises(Exception):
         eng.sql("SELECT 10/0 AS boom").collect()
+
+
+def test_row_grain_hop_mv_update_retracts_old_windows(eng):
+    """Reference bug_fixes/hop_window_update_10495.slt: `select * from
+    hop(...)` is a row-grain MV keyed by (pk, window_start); an UPDATE
+    moving the timestamp retracts the OLD window set and emits the new
+    one."""
+    import datetime
+
+    eng.sql("create table hrt (k int primary key, ts timestamp)")
+    eng.sql(
+        "create materialized view hrm as select * from "
+        "hop(hrt, ts, interval '10' minute, interval '30' minute)"
+    )
+    eng.sql("insert into hrt values (1, TIMESTAMP '2021-01-01 10:15:00')")
+
+    def wins():
+        return sorted(r.window_start for r in eng.sql("SELECT * FROM hrm").collect())
+
+    d = lambda h, m: datetime.datetime(2021, 1, 1, h, m)
+    assert wins() == [d(9, 50), d(10, 0), d(10, 10)]
+    eng.sql("update hrt set ts = TIMESTAMP '2021-01-01 10:25:00' where k = 1")
+    assert wins() == [d(10, 0), d(10, 10), d(10, 20)]
+    eng.sql("delete from hrt where k = 1")
+    assert wins() == []
