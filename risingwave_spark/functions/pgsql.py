@@ -237,6 +237,26 @@ def pg_to_spark_sql(sql: str) -> str:
             masked[: mm.start()] + "array(" + masked[i + 1 : j] + ")" + masked[j + 1 :]
         )
 
+    # PG array subscripts are 1-BASED and NULL out of bounds; Spark's
+    # bracket indexing is 0-based (and ANSI element_at THROWS on OOB) —
+    # rewrite `a[expr]` / `t.c[expr]` to try_element_at(a, expr), which
+    # carries PG's exact 1-based + NULL-on-out-of-bounds contract even
+    # under ANSI batch mode (issue_12474.slt shape `x[1]`). Runs AFTER
+    # the ARRAY[...] literal conversion, so every remaining bracket is a
+    # subscript; slices (a[i:j]) and empty type brackets (int[]) pass
+    # through untouched.
+    while True:
+        m2 = re.search(
+            r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\[([^\[\]:]+)\]", masked
+        )
+        if m2 is None:
+            break
+        masked = (
+            masked[: m2.start()]
+            + f"try_element_at({m2.group(1)}, {m2.group(2)})"
+            + masked[m2.end():]
+        )
+
     # approx_percentile(q[, e]) WITHIN GROUP (ORDER BY col) →
     # percentile_approx(col, q) (reference agg spelling,
     # `approx_percentile` in binder/expr; Spark's t-digest plays the

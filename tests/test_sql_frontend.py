@@ -3364,3 +3364,23 @@ def test_row_grain_hop_mv_update_retracts_old_windows(eng):
     assert wins() == [d(10, 0), d(10, 10), d(10, 20)]
     eng.sql("delete from hrt where k = 1")
     assert wins() == []
+
+
+def test_array_subscripts_one_based_null_oob(eng):
+    """PG subscript contract through the front door (reference
+    issue_12474.slt): a[1] is the FIRST element, out-of-bounds is NULL
+    (not an ANSI error), and a ProjectSet MV combining 1/x[1] with
+    unnest(x) pads the div-by-zero NULL per output row."""
+    eng.sql("create table pst (id int primary key, x array<int>)")
+    eng.sql(
+        "create materialized view psm as "
+        "select id, 1/x[1] as bomb, unnest(x) as unnest from pst"
+    )
+    eng.sql("insert into pst values (1, array[0, 1]), (2, array[1])")
+    got = sorted(
+        ((r.bomb, r.unnest) for r in eng.sql("SELECT bomb, unnest FROM psm").collect()),
+        key=str,
+    )
+    assert got == [(1.0, 1), (None, 0), (None, 1)]
+    sub = eng.sql("SELECT x[1] AS first, x[5] AS oob FROM pst WHERE id = 1").first()
+    assert (sub.first, sub.oob) == (0, None)
