@@ -180,3 +180,29 @@ def test_webhook_survives_catalog_replay(spark):
         assert n == 2
     finally:
         e2.stop_webhook_server()
+
+
+def test_webhook_hubspot_v2_sha256_form(eng):
+    """The hubspot v2 shape (reference create_table.slt.part
+    hubspot_sha256_v2): sha256 over secret || 'POST' || url ||
+    convert_from(data, 'utf8') — exercises the sha256 / convert_to /
+    convert_from arms of the compiled VALIDATE evaluator."""
+    import hashlib
+
+    url = "http://127.0.0.1:4560/webhook/dev/public/hubspot_sha256_v2"
+    eng.sql(
+        f"""create table hubspot_sha256_v2 (data JSONB) WITH (connector = 'webhook')
+            VALIDATE SECRET test_secret AS secure_compare(
+              headers->>'x-hubspot-signature',
+              encode(sha256(convert_to(
+                (test_secret || 'POST' || '{url}' || convert_from(data, 'utf8'))
+              , 'UTF8')), 'hex'))"""
+    )
+    _, port = eng.start_webhook_server()
+    body = json.dumps({"event": "contact.created"}).encode()
+    sig = hashlib.sha256(
+        (SECRET + "POST" + url + body.decode()).encode()
+    ).hexdigest()
+    assert _post(port, "hubspot_sha256_v2", body, {"X-HubSpot-Signature": sig}) == 200
+    assert _post(port, "hubspot_sha256_v2", body, {"X-HubSpot-Signature": "bad"}) == 401
+    assert eng.sql("SELECT count(*) AS n FROM hubspot_sha256_v2").first().n == 1
