@@ -1115,3 +1115,102 @@ def llm_tfidf_topk(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_O_QI = (
+    "CAST(round(round(("
+    "(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))"
+    f" + (len(list_distinct({_O_TOKS})) / len({_O_TOKS}))"
+    f" + least((list_aggregate(list_transform({_O_TOKS}, x -> CAST(length(x) AS DOUBLE)), 'sum')"
+    f" / len({_O_TOKS})) / 8.0, 1.0)"
+    ") / 3.0, 6) * 1000000, 0) AS BIGINT)"
+)
+
+
+@register(
+    "llm_dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id AS doc,
+         {{b0}} AS band0, {{b1}} AS band1, {{b2}} AS band2, {{b3}} AS band3
+  FROM documents
+),
+stacked AS (
+  SELECT doc, 0 AS band_idx, band0 AS band_hash FROM sig
+  UNION ALL SELECT doc, 1, band1 FROM sig
+  UNION ALL SELECT doc, 2, band2 FROM sig
+  UNION ALL SELECT doc, 3, band3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM stacked x JOIN stacked y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc < y.doc
+),
+grams AS (SELECT doc_id, list_distinct({{sh}}) AS g FROM documents),
+pairs AS (
+  SELECT a, b FROM cand
+  JOIN grams ga ON cand.a = ga.doc_id JOIN grams gb ON cand.b = gb.doc_id
+  WHERE len(list_intersect(ga.g, gb.g)) /
+        (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= 0.3
+),
+edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(src, node) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src),
+qd AS (SELECT doc_id, lang, {{qi}} AS qi FROM documents),
+labeled AS (
+  SELECT qd.doc_id, qd.lang, qd.qi, coalesce(comp.cluster, qd.doc_id) AS cluster
+  FROM qd LEFT JOIN comp ON qd.doc_id = comp.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY qi DESC, doc_id) AS rn
+  FROM labeled
+)
+SELECT lang, count(*) AS n_survivors, CAST(sum(doc_id) AS BIGINT) AS idsum
+FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang
+""".format(
+        b0=_o_band(0, 4), b1=_o_band(1, 4), b2=_o_band(2, 4), b3=_o_band(3, 4),
+        sh=_o_shingles(3), qi=_O_QI,
+    ),
+)
+def llm_dedup_survivors(spark, sf_dir):
+    """The dedup-cascade FINISHER: LSH candidates → Jaccard-verified
+    pairs → connected components → keep the BEST-QUALITY doc per
+    near-dup cluster (quality tiebreak: lowest doc_id; docs in no
+    cluster survive as their own singleton). Quality ranks by the
+    scaled-integer score (round(q,6)*1e6 — exact in both engines), so
+    the survivor choice is engine-portable. The component labels are
+    bounded by dup mass and BROADCAST back onto the corpus; the only
+    full-corpus exchanges are the rank-1 window on cluster and the
+    final per-language rollup."""
+    from pyspark.sql import Window as W
+    from risingwave_spark.operators.dedup import connected_components
+    from risingwave_spark.operators.textual import quality_score
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    cand = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, k=5,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    pairs = jaccard_pairs(cand, docs, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.3
+    )
+    comp = connected_components(pairs, "a", "b").withColumnRenamed("node", "doc_id")
+    qd = docs.select(
+        "doc_id", "lang",
+        F.round(quality_score(F.col("text")) * 1000000, 0).cast("long").alias("qi"),
+    )
+    labeled = qd.join(F.broadcast(comp), "doc_id", "left").withColumn(
+        "cluster", F.coalesce("component", "doc_id")
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("qi").desc(), F.col("doc_id").asc())
+    surv = labeled.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        surv.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_survivors"), F.sum("doc_id").alias("idsum"))
+        .orderBy("lang")
+    )
