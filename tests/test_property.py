@@ -465,3 +465,54 @@ def test_grammar_classifies_new_round5_statements(pair):
     # its handler dispatches on
     assert kind in frontend._AST_DISPATCH
     assert ast.get("name") or ast.get("obj") or ast.get("cursor"), (stmt, ast)
+
+
+@st.composite
+def _session5_stmt(draw):
+    """Round-7 session-5 grammar surface: CREATE MV WITH options,
+    ALTER MATERIALIZED VIEW ... SET BACKFILL_RATE_LIMIT, CREATE TABLE
+    webhook VALIDATE forms (trailing WITH comma included — the
+    reference's own create_table.slt.part spelling)."""
+    name = draw(st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True))
+    kind = draw(st.sampled_from(["mv_with", "alter_rate", "webhook"]))
+    if kind == "mv_with":
+        rate = draw(st.integers(min_value=0, max_value=5000))
+        return (
+            f"CREATE MATERIALIZED VIEW {name} WITH ( backfill_rate_limit = {rate} ) "
+            f"AS SELECT k FROM t",
+            "create_mv",
+        )
+    if kind == "alter_rate":
+        rate = draw(st.sampled_from(["0", "17", "2000", "DEFAULT"]))
+        return (
+            f"ALTER MATERIALIZED VIEW {name} SET BACKFILL_RATE_LIMIT = {rate}",
+            "alter_mv_rate_limit",
+        )
+    header = draw(st.sampled_from(["authorization", "x-hub-signature"]))
+    trailing = draw(st.sampled_from(["", ","]))
+    secret = draw(st.sampled_from(["SECRET s1 ", ""]))
+    cred = "s1" if secret else "'k'"
+    return (
+        f"create table {name} (data JSONB) WITH (connector = 'webhook'{trailing}) "
+        f"VALIDATE {secret}AS secure_compare(headers->>'{header}', "
+        f"'sha1=' || encode(hmac({cred}, data, 'sha1'), 'hex'))",
+        "create_table",
+    )
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pair=_session5_stmt())
+def test_grammar_classifies_session5_statements(pair):
+    from risingwave_spark import frontend
+    from risingwave_spark.sqlparse import classify_ast
+
+    stmt, want = pair
+    kind, ast = classify_ast(stmt)
+    assert kind == want, (stmt, kind)
+    assert kind in frontend._AST_DISPATCH
+    if want == "create_mv":
+        assert "backfill_rate_limit" in ast["with"]
+    elif want == "alter_mv_rate_limit":
+        assert ast["rate"]
+    else:
+        assert ast.get("validate_expr", "").startswith("secure_compare")
