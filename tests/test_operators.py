@@ -345,3 +345,17 @@ def test_pii_scrub_counts_and_negative_control(spark):
     r = df.select(pii_scrub(F.col("s")).alias("r")).select("r.*").collect()[0]
     assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 1, 1)
     assert r["scrubbed"] == "mail <EMAIL> and <EMAIL> ip <IPV4> call <PHONE> site example.org"
+
+
+def test_pack_sequences_layout_independent(spark):
+    """Packing is data-ordered (part, id), not arrival-ordered: the same
+    corpus under different partition layouts packs identically — the
+    reproducibility contract a training pipeline needs."""
+    from risingwave_spark.operators.textual import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + i % 7)), f"g{i % 3}") for i in range(60)]
+    df1 = spark.createDataFrame(rows, "id int, txt string, grp string")
+    df2 = df1.repartition(13, "txt")
+    out1 = sorted(tuple(r) for r in pack_sequences(df1, "id", "txt", "grp", block=16).collect())
+    out2 = sorted(tuple(r) for r in pack_sequences(df2, "id", "txt", "grp", block=16).collect())
+    assert out1 == out2 and len(out1) > 3
