@@ -401,13 +401,31 @@ class TopNReadMv:
     ordered bound applies on emit): the full unbounded view stays
     maintained by the usual fold/splice loop, and reads apply the
     ordered LIMIT (a TakeOrderedAndProject — O(k) result, never a full
-    sort at read). Everything except `result()` delegates to the inner
-    view, so DML feeds and state management are untouched."""
+    sort at read).
 
-    def __init__(self, inner, order_items: list[tuple[str, bool]], limit: int | None):
+    Downstream consumption (reference `top_n/top_n_plain.rs:79`: a row
+    entering the top-k is an Insert, one leaving is a Delete — the
+    executor's emitted changelog is the k-row MEMBERSHIP delta, not the
+    unbounded state's): after each fold the wrapper diffs the new top-k
+    against its persisted k-row snapshot and forwards/logs exactly
+    those deltas, which makes ORDER BY ... LIMIT MVs legal bases for
+    MV-on-MV, join inputs, subscriptions and sinks. The diff is O(k)
+    per batch (two k-row frames), independent of state size — the same
+    bound the reference's managed TopN state gives it."""
+
+    def __init__(
+        self,
+        inner,
+        order_items: list[tuple[str, bool]],
+        limit: int | None,
+        state_dir: str | None = None,
+    ):
         self._inner = inner
         self._order = order_items  # [(spark_sql_expr, ascending)]
         self._limit = limit
+        self._dir = state_dir
+        self._downstream: list = []
+        self._emit = False
 
     def result(self) -> DataFrame:
         df = self._inner.result()
@@ -420,8 +438,116 @@ class TopNReadMv:
         out = df.orderBy(*cols)
         return out.limit(self._limit) if self._limit is not None else out
 
+    # ---- top-k membership changelog (top_n_plain.rs:79) -------------
+    @property
+    def downstream(self) -> list:
+        return self._downstream
+
+    @property
+    def emit_changelog(self) -> bool:
+        return self._emit
+
+    @emit_changelog.setter
+    def emit_changelog(self, v: bool) -> None:
+        if v:
+            self.ensure_topk_feed()
+        self._emit = v
+
+    @property
+    def changelog_dir(self) -> str:
+        self._need_dir()
+        return os.path.join(self._dir, "changelog")
+
+    def _need_dir(self) -> None:
+        if self._dir is None:
+            raise ValueError(
+                "this TopN MV was created without a changelog state dir — "
+                "it cannot feed subscriptions/sinks/downstream MVs"
+            )
+
+    def ensure_topk_feed(self) -> None:
+        """Seed the k-row snapshot (if absent) BEFORE a consumer
+        attaches: the consumer backfills from the CURRENT top-k, so the
+        next emitted delta must be relative to exactly that set."""
+        self._need_dir()
+        if not self._snap_ids():
+            self._write_snap(0, self.result())
+
+    def _snap_ids(self) -> list[int]:
+        import re as _re
+
+        try:
+            return sorted(
+                int(m.group(1))
+                for d in os.listdir(os.path.join(self._dir, "snap"))
+                if (m := _re.fullmatch(r"s(\d+)", d))
+            )
+        except FileNotFoundError:
+            return []
+
+    def _write_snap(self, sid: int, df: DataFrame) -> None:
+        import shutil
+
+        base = os.path.join(self._dir, "snap")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"s{sid}"))
+        for old in self._snap_ids()[:-2]:  # keep last 2 generations
+            shutil.rmtree(os.path.join(base, f"s{old}"), ignore_errors=True)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        self._inner.apply_batch(batch, batch_id=batch_id, batch_ns=batch_ns)
+        self._emit_membership_delta(batch_id=batch_id, batch_ns=batch_ns)
+
+    def retouch(self, affected: DataFrame) -> None:
+        # Now-executor tick (temporal-filter MVs): time moving can also
+        # move rows in/out of the top-k
+        self._inner.retouch(affected)
+        self._emit_membership_delta()
+
+    def _emit_membership_delta(
+        self, batch_id: int | None = None, batch_ns: str | None = None
+    ) -> None:
+        if not (self._downstream or self._emit):
+            return
+        ids = self._snap_ids()
+        if not ids:  # consumer attached without seeding — seed, no delta
+            self.ensure_topk_feed()
+            return
+        prev = self.spark.read.parquet(os.path.join(self._dir, "snap", f"s{ids[-1]}"))
+        new = self.result().localCheckpoint(eager=True)
+        delta = with_ops(prev.exceptAll(new), -1).unionByName(
+            with_ops(new.exceptAll(prev), 1)
+        )
+        delta = delta.localCheckpoint(eager=True)
+        if not delta.take(1):
+            return  # batch didn't move the top-k — no chunk, no forward
+        if self._emit:
+            # chunk id = snapshot transition id; overwrite-idempotent on
+            # a replayed batch (same prev snapshot → same delta)
+            d = os.path.join(self.changelog_dir, f"c{ids[-1]}")
+            delta.coalesce(1).write.mode("overwrite").parquet(d)
+            import time as _time
+
+            with open(os.path.join(d, "_COMMIT_TS_MS"), "w") as f:
+                f.write(str(int(_time.time() * 1000)))
+        for dn in self._downstream:
+            dn.apply_batch(delta, batch_id=batch_id, batch_ns=batch_ns)
+        # snapshot flips LAST: a crash before this point replays the
+        # IDENTICAL delta (prev unchanged, consumers idempotent via
+        # batch_id); a crash after it replays an empty delta
+        self._write_snap(ids[-1] + 1, new)
+
     def __getattr__(self, a):
         return getattr(self._inner, a)
+
+    def __setattr__(self, a, v):
+        # private slots and class-level descriptors (the emit_changelog
+        # property setter) bind on the wrapper; any other attribute
+        # write falls through to the inner view, so callers tweaking
+        # inner knobs (compact_every, key_of, ...) keep working
+        if a.startswith("_") or hasattr(type(self), a):
+            object.__setattr__(self, a, v)
+        else:
+            setattr(self._inner, a, v)
 
 
 class ProjectedMaterializedView(MaterializedView):
@@ -844,12 +970,11 @@ class Engine:
         else:
             up = self.mv_handles[base]
             if isinstance(up.view, TopNReadMv):
-                raise ValueError(
-                    "MV-on-MV over a TopN (ORDER BY ... LIMIT) MV is not "
-                    "supported: its changelog reflects the unbounded state, "
-                    "not the limited visible rows — stack on the unbounded "
-                    "MV and LIMIT at read instead"
-                )
+                # legal base (top_n_plain.rs:79): seed the k-row snapshot
+                # so deltas start relative to the top-k we backfill from;
+                # up.view.result() below IS the top-k, and the downstream
+                # subscribe lands on the wrapper's membership-delta feed
+                up.view.ensure_topk_feed()
             if hasattr(up.view, "funcs") and hasattr(up.view, "order_cols"):
                 raise ValueError(
                     "MV-on-MV over an over-window MV is not supported: its "
@@ -1009,10 +1134,10 @@ class Engine:
             raise ValueError(f"join input {name!r} is not a known table or MV")
         v = self.mv_handles[name].view
         if isinstance(v, TopNReadMv):
-            raise ValueError(
-                f"MV {name!r} cannot be a join input: its changelog reflects "
-                "the unbounded state, not the ORDER BY ... LIMIT visible rows"
-            )
+            # legal join input: v.result() is the top-k snapshot the join
+            # backfills from, and the wrapper's downstream list delivers
+            # membership deltas (top_n_plain.rs:79) from here on
+            v.ensure_topk_feed()
         if hasattr(v, "funcs") and hasattr(v, "order_cols"):
             raise ValueError(
                 f"MV {name!r} cannot be a join input: over-window MVs are "

@@ -479,8 +479,17 @@ def _attach_webhook(engine: "Engine", t, ast: dict) -> None:
     name, col = t.name, cols[0]
 
     def insert(body_text: str) -> None:
-        lit = body_text.replace("'", "''")
-        engine.sql(f"INSERT INTO {name} ({col}) VALUES ('{lit}')")
+        # reference fast-insert stores the RAW payload bytes
+        # (webhook/mod.rs:119-129): build the one-row chunk directly —
+        # routing through SQL literal text would have Spark's parser
+        # process backslash escapes and mangle payloads containing
+        # \" \\ \n (or fail on a trailing \)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        rows = engine.spark.createDataFrame(
+            [(body_text,)], StructType([StructField(col, StringType())])
+        )
+        _insert_aligned_rows(engine, t, [col], rows)
 
     engine.webhooks[name] = {"validator": validator, "insert": insert}
 
@@ -761,6 +770,16 @@ def _handle_insert(engine: "Engine", ast: dict) -> DataFrame:
         rows = engine.spark.sql(f"SELECT * FROM ({body}) AS __v({alias})")
     else:
         rows = engine.spark.sql(body)
+    aligned, n = _insert_aligned_rows(engine, t, cols, rows)
+    if returning is not None:
+        return _project_returning(engine, aligned, returning)
+    return _status(engine.spark, f"INSERT 0 {n}")
+
+
+def _insert_aligned_rows(engine: "Engine", t, cols, rows: DataFrame):
+    """Align → row-id assign → fold: the INSERT tail shared by the SQL
+    handler and direct-row producers (webhook fast-insert), which must
+    NOT round-trip payloads through SQL literal text."""
     aligned = _aligned_insert_rows(engine, t, cols, rows)
     has_rowid = ROW_ID in t.snapshot().columns
     if has_rowid:
@@ -778,10 +797,8 @@ def _handle_insert(engine: "Engine", ast: dict) -> DataFrame:
     n = aligned.count()
     if has_rowid:
         t._rowid_next = t._rowid_next + n
-    engine.insert(name, aligned)
-    if returning is not None:
-        return _project_returning(engine, aligned, returning)
-    return _status(engine.spark, f"INSERT 0 {n}")
+    engine.insert(t.name, aligned)
+    return aligned, n
 
 
 def _handle_update(engine: "Engine", ast: dict) -> DataFrame:
@@ -1805,11 +1822,9 @@ def _chain_input_ok(engine: "Engine", name: str) -> bool:
         return True
     if name not in engine.mv_handles:
         return False
-    from risingwave_spark.api import TopNReadMv
-
     v = engine.mv_handles[name].view
-    if isinstance(v, TopNReadMv):
-        return False  # changelog reflects the unbounded state, not top-k
+    # TopNReadMv is a legal input: it emits top-k membership deltas
+    # (top_n_plain.rs:79) and delegates its keys to the inner view
     if hasattr(v, "funcs") and hasattr(v, "order_cols"):
         return False  # over-window MVs are row-grain
     if getattr(v, "_hidden", None):
@@ -2583,6 +2598,12 @@ def _handle_create_over_window_mv(
         # group key is the row identity
         t = None
         up = engine.mv_handles[base].view
+        from risingwave_spark.api import TopNReadMv
+
+        if isinstance(up, TopNReadMv):
+            # over-window over a TopN MV: backfill from the top-k and
+            # subscribe to its membership deltas (top_n_plain.rs:79)
+            up.ensure_topk_feed()
         keys_up = getattr(up, "keys", None)
         if not keys_up or len(keys_up) != 1:
             raise ValueError(
@@ -3460,7 +3481,12 @@ def _handle_create_mv(engine: "Engine", ast: dict) -> DataFrame:
         from risingwave_spark.api import TopNReadMv
 
         h = engine.mv_handles[name]
-        h.view = TopNReadMv(h.view, ol[0], ol[1])
+        h.view = TopNReadMv(
+            h.view,
+            ol[0],
+            ol[1],
+            state_dir=os.path.join(engine.warehouse, f"topn_{name}"),
+        )
         h._register()
     return out
 

@@ -2352,6 +2352,50 @@ def engine_sql_topn_mv(spark, sf_dir):
 
 
 @register(
+    "engine_sql_mv_on_topn",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 3) AS sv FROM (
+  SELECT event_type, value FROM events WHERE event_id % 5 <> 0
+  ORDER BY value DESC, event_id LIMIT 50
+) t GROUP BY event_type ORDER BY event_type
+""",
+)
+def engine_sql_mv_on_topn(spark, sf_dir):
+    """Agg MV chained over a TopN (ORDER BY ... LIMIT) MV — the
+    reference's TopN executor emits top-k MEMBERSHIP deltas
+    (`src/stream/src/executor/top_n/top_n_plain.rs:79`: a row entering
+    the top-k is an Insert, one leaving is a Delete), so any MV can
+    consume a TopN MV (`e2e_test/streaming/top_n.slt` shapes). The
+    DELETE round evicts current top rows; replacements surface from
+    state and flow to the downstream agg as membership deltas."""
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_mvtn_"))
+    eng.sql(
+        """
+        CREATE TABLE rw_tk (
+            event_id int8 PRIMARY KEY, event_type text, value float8
+        );
+        CREATE MATERIALIZED VIEW rw_tk_top AS
+        SELECT event_id, event_type, value FROM rw_tk
+        ORDER BY value DESC, event_id LIMIT 50;
+        CREATE MATERIALIZED VIEW rw_tk_agg AS
+        SELECT event_type, count(*) AS n, round(sum(value), 3) AS sv
+        FROM rw_tk_top GROUP BY event_type
+        """
+    )
+    eng.sql(
+        "INSERT INTO rw_tk SELECT event_id, event_type, "
+        "CAST(value AS double) FROM events"
+    )
+    eng.sql("DELETE FROM rw_tk WHERE event_id % 5 = 0")
+    return eng.sql(
+        "SELECT event_type, n, sv FROM rw_tk_agg ORDER BY event_type"
+    )
+
+
+@register(
     "engine_sql_project_set_mv",
     oracle="""
 SELECT o_orderkey AS id, unnest([o_orderstatus, o_orderpriority]) AS tag

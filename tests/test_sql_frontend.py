@@ -1946,6 +1946,71 @@ def test_topn_mv_sql(spark, tmp_path):
     ]
 
 
+def test_topn_mv_changelog_consumers(spark, tmp_path):
+    """TopN MVs are legal changelog producers (reference
+    `src/stream/src/executor/top_n/top_n_plain.rs:79` — the executor
+    emits top-k MEMBERSHIP deltas: Insert when a row enters the top-k,
+    Delete when one leaves): MV-on-MV over an ORDER BY ... LIMIT MV,
+    subscription cursors over it, TopN as a stream-join input, and
+    restart replay all consume exactly those deltas."""
+    wh = str(tmp_path / "wh_tnc")
+    eng = Engine(spark, wh)
+    eng.sql(
+        """
+        CREATE TABLE tcl (id int8 PRIMARY KEY, grp text, v int8);
+        CREATE MATERIALIZED VIEW tcl_top3 AS
+        SELECT id, grp, v FROM tcl ORDER BY v DESC, id LIMIT 3;
+        CREATE MATERIALIZED VIEW tcl_agg AS
+        SELECT grp, count(*) AS n, sum(v) AS sv FROM tcl_top3 GROUP BY grp
+        """
+    )
+    eng.sql("INSERT INTO tcl VALUES (1,'a',10),(2,'b',20),(3,'a',30),(4,'b',40)")
+    # top3 = (4,b,40),(3,a,30),(2,b,20)
+    assert _rows(eng.sql("SELECT grp, n, sv FROM tcl_agg")) == [("a", 1, 30), ("b", 2, 60)]
+    sub = eng.create_subscription("tclsub", "tcl_top3")
+    eng.sql("INSERT INTO tcl VALUES (5,'a',50)")  # 5 enters, 2 leaves
+    f = sub.fetch()
+    assert f is not None, "no membership delta emitted"
+    ch = [(r["__op"], r["id"], r["v"]) for r in f[0].collect()]
+    assert sorted(ch) == [(-1, 2, 20), (1, 5, 50)], ch
+    sub.ack(f[1])
+    assert _rows(eng.sql("SELECT grp, n, sv FROM tcl_agg")) == [("a", 2, 80), ("b", 1, 40)]
+    # a batch that does NOT move the top-k emits no chunk
+    eng.sql("INSERT INTO tcl VALUES (6,'b',1)")
+    assert sub.fetch() is None
+    # deletes retract membership and surface the next-best from state
+    eng.sql("DELETE FROM tcl WHERE id = 5")
+    assert _rows(eng.sql("SELECT grp, n, sv FROM tcl_agg")) == [("a", 1, 30), ("b", 2, 60)]
+    f = sub.fetch()
+    ch = [(r["__op"], r["id"], r["v"]) for r in f[0].collect()]
+    assert sorted(ch) == [(-1, 5, 50), (1, 2, 20)], ch
+    sub.ack(f[1])
+    # TopN MV as a stream-join input (membership deltas re-key the join)
+    eng.sql(
+        """
+        CREATE TABLE tdim (g text PRIMARY KEY, label text);
+        CREATE MATERIALIZED VIEW tcl_j AS
+        SELECT x.id AS id, x.v AS v, d.label AS label
+        FROM tcl_top3 x JOIN tdim d ON x.grp = d.g
+        """
+    )
+    eng.sql("INSERT INTO tdim VALUES ('a','AA'),('b','BB')")
+    assert _rows(eng.sql("SELECT id, label FROM tcl_j")) == [
+        (2, "BB"), (3, "AA"), (4, "BB"),
+    ]
+    eng.sql("INSERT INTO tcl VALUES (7,'a',70)")  # 7 enters, 2 leaves
+    assert _rows(eng.sql("SELECT id, label FROM tcl_j")) == [
+        (3, "AA"), (4, "BB"), (7, "AA"),
+    ]
+    # restart: catalog replay re-attaches the whole chain
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("DELETE FROM tcl WHERE id = 7")
+    assert _rows(eng2.sql("SELECT grp, n, sv FROM tcl_agg")) == [("a", 1, 30), ("b", 2, 60)]
+    assert _rows(eng2.sql("SELECT id, label FROM tcl_j")) == [
+        (2, "BB"), (3, "AA"), (4, "BB"),
+    ]
+
+
 def test_project_set_mv(eng):
     """ProjectSet on a changelog (reference `project_set.rs` streaming,
     e2e_test/streaming/project_set.slt): unnest in an MV body — one

@@ -127,6 +127,31 @@ def test_webhook_raw_string_secret_and_routes(eng):
     assert _post(port, "nope", body, {}) == 404
 
 
+def test_webhook_backslash_payloads_stored_raw(eng):
+    """The reference fast-insert stores RAW payload bytes
+    (webhook/mod.rs:119-129). Payloads containing backslash escapes —
+    \\" inside JSON strings, \\\\, \\n, even a trailing backslash —
+    must round-trip byte-exact, not through SQL literal text where the
+    parser would process the escapes (ADVICE r7)."""
+    eng.sql(
+        """create table bs_hook (data JSONB) WITH (connector = 'webhook')
+           VALIDATE SECRET test_secret AS secure_compare(
+             headers->>'authorization', test_secret)"""
+    )
+    _, port = eng.start_webhook_server()
+    msg = {
+        "quote": 'he said "hi"',          # \" in the wire bytes
+        "path": "C:\\dir\\file",           # literal backslashes
+        "text": "line1\nline2\ttabbed",    # control escapes
+        "tail": "ends with backslash \\",
+    }
+    body = json.dumps(msg).encode()
+    assert _post(port, "bs_hook", body, {"Authorization": SECRET}) == 200
+    stored = eng.sql("SELECT data FROM bs_hook").first()[0]
+    assert stored == body.decode(), f"payload mangled: {stored!r}"
+    assert json.loads(stored) == msg
+
+
 def test_webhook_ddl_errors(eng):
     # VALIDATE on a non-webhook table is a parse error (parser.rs:2605)
     with pytest.raises(Exception, match="webhook"):
