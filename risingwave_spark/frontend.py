@@ -879,10 +879,25 @@ def _rename_with_dependents(engine: "Engine", old: str, new: str, kind: str) -> 
         "MATERIALIZED VIEW": rf"^(\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b",
     }[kind]
     entries = engine._read_catalog()
+    helper_olds = [e["name"] for e in entries if e["name"].startswith(f"__{old}_sq")]
+    helper_head = r"^(\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
     for e in entries:
         if e["name"] == old or e["name"].startswith(f"{old}#"):
             e["stmt"] = re.sub(head_rx, rf"\g<1>{new}", e["stmt"], count=1, flags=re.I | re.S)
             e["name"] = new + e["name"][len(old):]
+        elif e["name"] in helper_olds:
+            # desugared WHERE-subquery helpers belong to the renamed MV:
+            # rewrite head+name so the main MV's re-desugar re-binds them
+            # under the new prefix and DROP <new> sweeps them — otherwise
+            # the old-prefixed helpers (and their state dirs) leak
+            e["stmt"] = re.sub(
+                helper_head + re.escape(f"__{old}_sq"),
+                rf"\g<1>__{new}_sq",
+                e["stmt"],
+                count=1,
+                flags=re.I | re.S,
+            )
+            e["name"] = f"__{new}_sq" + e["name"][len(f"__{old}_sq"):]
         else:
             try:
                 e["stmt"] = rename_relation_refs(e["stmt"], old, new)
@@ -895,11 +910,17 @@ def _rename_with_dependents(engine: "Engine", old: str, new: str, kind: str) -> 
     with open(tmp, "w") as f:
         _json.dump(entries, f, indent=1)
     os.replace(tmp, engine._catalog_path())
-    prefixes = ("t_",) if kind == "TABLE" else ("mv_", "jmv_", "umv_")
-    for prefix in prefixes:
-        src_dir = os.path.join(engine.warehouse, prefix + old)
-        if os.path.isdir(src_dir):
-            os.rename(src_dir, os.path.join(engine.warehouse, prefix + new))
+    mv_prefixes = ("mv_", "jmv_", "umv_", "topn_", "owmv_", "eowcow_")
+    prefixes = ("t_",) if kind == "TABLE" else mv_prefixes
+    moves = [(old, new, prefixes)] + [
+        (hn, f"__{new}_sq" + hn[len(f"__{old}_sq"):], mv_prefixes)
+        for hn in helper_olds
+    ]
+    for o, n, pfxs in moves:
+        for prefix in pfxs:
+            src_dir = os.path.join(engine.warehouse, prefix + o)
+            if os.path.isdir(src_dir):
+                os.rename(src_dir, os.path.join(engine.warehouse, prefix + n))
     engine._rebuild_from_catalog()
     return _status(engine.spark, "ALTER_" + kind.replace(" ", "_"))
 
@@ -971,9 +992,15 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
             raise ValueError(f"ALTER MATERIALIZED VIEW target {old!r} is not an MV")
         h = engine.mv_handles[old]
         v = h.view
-        if bool(getattr(v, "downstream", [])) or (getattr(v, "emit_changelog", False)):
-            # downstream MVs / sinks / subscriptions reference it → the
-            # reference's definition-rewrite path
+        if (
+            bool(getattr(v, "downstream", []))
+            or getattr(v, "emit_changelog", False)
+            or any(n.startswith(f"__{old}_sq") for n in engine.mv_handles)
+        ):
+            # downstream MVs / sinks / subscriptions reference it — or
+            # desugared WHERE-subquery helpers carry its name prefix —
+            # → the reference's definition-rewrite path (which also
+            # re-prefixes and re-binds the helpers)
             return _rename_with_dependents(engine, old, new, "MATERIALIZED VIEW")
         stmts = rewrite_catalog(
             rf"^(\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b"
@@ -992,7 +1019,7 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
         if old in engine.temporal_mvs:
             engine.temporal_mvs[new] = engine.temporal_mvs.pop(old)
         spark.catalog.dropTempView(old)
-        for prefix in ("mv_", "jmv_", "umv_"):
+        for prefix in ("mv_", "jmv_", "umv_", "topn_", "owmv_", "eowcow_"):
             src_dir = os.path.join(engine.warehouse, prefix + old)
             if os.path.isdir(src_dir):
                 os.rename(src_dir, os.path.join(engine.warehouse, prefix + new))

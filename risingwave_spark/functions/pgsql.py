@@ -237,25 +237,62 @@ def pg_to_spark_sql(sql: str) -> str:
             masked[: mm.start()] + "array(" + masked[i + 1 : j] + ")" + masked[j + 1 :]
         )
 
-    # PG array subscripts are 1-BASED and NULL out of bounds; Spark's
-    # bracket indexing is 0-based (and ANSI element_at THROWS on OOB) —
-    # rewrite `a[expr]` / `t.c[expr]` to try_element_at(a, expr), which
-    # carries PG's exact 1-based + NULL-on-out-of-bounds contract even
-    # under ANSI batch mode (issue_12474.slt shape `x[1]`). Runs AFTER
-    # the ARRAY[...] literal conversion, so every remaining bracket is a
-    # subscript; slices (a[i:j]) and empty type brackets (int[]) pass
-    # through untouched.
+    # PG array subscripts are 1-BASED and NULL out of bounds — INCLUDING
+    # a[0] and negative subscripts (Spark's try_element_at(-1) wraps to
+    # the LAST element and 0 errors, so the index needs a >= 1 guard);
+    # rewrite `a[expr]` / `t.c[expr]` / `(expr)[i]` / chained `a[i][j]`
+    # to a guarded try_element_at, which carries PG's exact contract
+    # even under ANSI batch mode (issue_12474.slt shape `x[1]`). Runs
+    # AFTER the ARRAY[...] literal conversion, so every remaining
+    # bracket is a subscript; slices (a[i:j]) and empty type brackets
+    # (int[]) pass through untouched.
+    def _pg_subscript(base: str, idx: str) -> str:
+        # one parenthesized expression, so a chained subscript re-scans
+        # on the trailing ')'
+        return f"(CASE WHEN ({idx}) >= 1 THEN try_element_at({base}, {idx}) END)"
+
+    # keywords that can directly precede '(' without being a call head
+    _kw_nofn = {
+        "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "IN", "SELECT",
+        "WHERE", "ON", "BY", "AS", "CASE", "END", "FROM", "DISTINCT",
+        "ALL", "ANY", "SOME", "EXISTS", "BETWEEN", "LIKE", "ILIKE",
+        "IS", "OVER", "VALUES", "UNION", "EXCEPT", "INTERSECT", "JOIN",
+        "USING", "HAVING", "LIMIT", "OFFSET", "ORDER", "GROUP",
+        "RETURNING", "SET",
+    }
     while True:
         m2 = re.search(
             r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\[([^\[\]:]+)\]", masked
         )
-        if m2 is None:
+        if m2 is not None:
+            masked = (
+                masked[: m2.start()]
+                + _pg_subscript(m2.group(1), m2.group(2))
+                + masked[m2.end():]
+            )
+            continue
+        # parenthesized / call / chained bases: (ARRAY[...])[1],
+        # f(...)[1], a[i][j] (the inner rewrite leaves a ')' base)
+        m3 = re.search(r"\)\s*\[([^\[\]:]+)\]", masked)
+        if m3 is None:
             break
-        masked = (
-            masked[: m2.start()]
-            + f"try_element_at({m2.group(1)}, {m2.group(2)})"
-            + masked[m2.end():]
-        )
+        depth, k = 0, m3.start()
+        while k >= 0:
+            if masked[k] == ")":
+                depth += 1
+            elif masked[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            break  # unbalanced — leave for Spark's parser to report
+        h = k
+        mfn = re.search(r"([A-Za-z_]\w*)$", masked[:k])
+        if mfn and mfn.group(1).upper() not in _kw_nofn:
+            h = mfn.start()  # f(...)  — the call is the subscript base
+        base = masked[h : m3.start() + 1]
+        masked = masked[:h] + _pg_subscript(base, m3.group(1)) + masked[m3.end():]
 
     # approx_percentile(q[, e]) WITHIN GROUP (ORDER BY col) →
     # percentile_approx(col, q) (reference agg spelling,

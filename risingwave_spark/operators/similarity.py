@@ -233,6 +233,34 @@ def ivf_probes(vec_col, sq_col, centroids, nprobe: int):
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: (-s["n"]).cast("long"))
 
 
+def centroids_as_tuples(centroids: list) -> list:
+    """Adapt centroids to the (cid, scaled_int_vec, sq_norm) form the
+    IVF expressions consume. Accepts that form already (validated and
+    passed through) or raw float vectors — kmeans_refine's output —
+    which are scaled to exact integers driver-side with the same 2^20
+    half-up rounding `_scaled` applies executor-side, and sq computed
+    from the scaled ints so the tuple is internally consistent."""
+    import math
+
+    out = []
+    for i, c in enumerate(centroids):
+        if (
+            isinstance(c, (tuple, list))
+            and len(c) == 3
+            and isinstance(c[1], (list, tuple))
+        ):
+            out.append((int(c[0]), [int(x) for x in c[1]], int(c[2])))
+        else:
+            vec = [
+                int(math.floor(float(x) * _SCALE + 0.5))
+                if x >= 0
+                else -int(math.floor(-float(x) * _SCALE + 0.5))
+                for x in c
+            ]
+            out.append((i, vec, sum(v * v for v in vec)))
+    return out
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     query_pred,
@@ -260,8 +288,10 @@ def cosine_topk_ivf(
     pipeline is oracle-checkable; pass `centroids` (e.g. from
     kmeans_refine) for production-quality cells.
     """
-    cents = centroids if centroids is not None else ivf_seed_centroids(
-        vectors, id_col, vec_col, n_centroids
+    cents = (
+        centroids_as_tuples(centroids)
+        if centroids is not None
+        else ivf_seed_centroids(vectors, id_col, vec_col, n_centroids)
     )
     base = scaled_with_sqnorm(vectors, id_col, vec_col, "v")
     assigned = base.withColumn("cluster", ivf_cluster(F.col("v_vec"), F.col("v_sq"), cents))

@@ -249,6 +249,23 @@ def test_kmeans_refine_matches_numpy(spark, t):
         cur = nxt
     assert np.allclose(np.array(got), cur, rtol=1e-9, atol=1e-12)
 
+    # refined float centroids feed cosine_topk_ivf directly — the
+    # adapter scales them to (cid, int_vec, sq) tuples (ADVICE r7: the
+    # docstring promised this handoff but the types didn't line up)
+    from risingwave_spark.operators.similarity import centroids_as_tuples, cosine_topk_ivf
+
+    tup = centroids_as_tuples(got)
+    assert [c[0] for c in tup] == [0, 1, 2, 3]
+    assert all(
+        isinstance(v, int) for c in tup for v in c[1]
+    ) and all(c[2] == sum(v * v for v in c[1]) for c in tup)
+    # already-tuple input passes through unchanged
+    assert centroids_as_tuples(tup) == tup
+    out = cosine_topk_ivf(
+        e, lambda vid: vid < 3, n_centroids=4, nprobe=2, k=2, centroids=got
+    )
+    assert out.count() == 6  # 3 queries × k=2, no tuple-unpack crash
+
 
 def test_ivf_assignment_is_map_side(spark, t):
     """The IVF cluster assignment must compile to a pure projection —

@@ -3071,6 +3071,44 @@ def test_create_database_and_show_namespaces(spark, tmp_path):
     eng2.sql("drop database if exists test")  # no-op
 
 
+def test_alter_rename_reprefixes_subquery_helpers(spark, tmp_path):
+    """ALTER ... RENAME of an MV whose WHERE-subquery desugared into
+    helper MVs must re-prefix the helpers (__old_sqN → __new_sqN) —
+    name, recorded DDL and state dirs — so DROP of the renamed MV
+    sweeps them and nothing leaks (ADVICE r7). Maintenance keeps
+    working across the rename and a restart."""
+    import os as _os
+
+    wh = str(tmp_path / "wh_rsq")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE rq_o (o_id int8 PRIMARY KEY, o_pri text)")
+    eng.sql("CREATE TABLE rq_l (l_id int8 PRIMARY KEY, l_oid int8, l_qty float8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW rq_mv AS SELECT o_id, o_pri FROM rq_o "
+        "WHERE o_id IN (SELECT l_oid FROM rq_l GROUP BY l_oid HAVING sum(l_qty) > 5)"
+    )
+    eng.sql("INSERT INTO rq_o VALUES (1,'A'),(2,'B')")
+    eng.sql("INSERT INTO rq_l VALUES (10,1,9.0),(11,2,1.0)")
+    assert _rows(eng.sql("SELECT * FROM rq_mv")) == [(1, "A")]
+    assert any(n.startswith("__rq_mv_sq") for n in eng.mv_handles)
+    eng.sql("ALTER MATERIALIZED VIEW rq_mv RENAME TO rq_ren")
+    # no old-prefixed helpers anywhere: handles, recorded DDL, state dirs
+    assert not any(n.startswith("__rq_mv_sq") for n in eng.mv_handles)
+    assert any(n.startswith("__rq_ren_sq") for n in eng.mv_handles)
+    assert not any("__rq_mv_sq" in e["name"] for e in eng._read_catalog())
+    assert not any("__rq_mv_sq" in d for d in _os.listdir(wh))
+    # maintenance continues through the re-bound helpers
+    eng.sql("INSERT INTO rq_l VALUES (12,2,8.0)")
+    assert _rows(eng.sql("SELECT * FROM rq_ren")) == [(1, "A"), (2, "B")]
+    eng2 = Engine.open(spark, wh)
+    eng2.sql("DELETE FROM rq_l WHERE l_id = 10")
+    assert _rows(eng2.sql("SELECT * FROM rq_ren")) == [(2, "B")]
+    # DROP sweeps the renamed MV's helpers — catalog fully clean
+    eng2.sql("DROP MATERIALIZED VIEW rq_ren")
+    assert not any("_sq" in n for n in eng2.mv_handles)
+    assert not any("_sq" in e["name"] for e in eng2._read_catalog())
+
+
 def test_alter_rename_dependent_rewrite_shapes(spark, tmp_path):
     """Dependent-definition rewrite on rename (reference
     `handler/alter_rename.rs` alter_relation_rename_refs): qualified
@@ -3449,3 +3487,13 @@ def test_array_subscripts_one_based_null_oob(eng):
     assert got == [(1.0, 1), (None, 0), (None, 1)]
     sub = eng.sql("SELECT x[1] AS first, x[5] AS oob FROM pst WHERE id = 1").first()
     assert (sub.first, sub.oob) == (0, None)
+    # PG: a[0] and negative subscripts are NULL — never "wrap to last"
+    # (Spark try_element_at(-1) would return the last element)
+    z = eng.sql("SELECT x[0] AS z, x[-1] AS neg FROM pst WHERE id = 1").first()
+    assert (z.z, z.neg) == (None, None)
+    # parenthesized and chained bases convert too (ADVICE r7)
+    assert eng.sql("SELECT (ARRAY[7,8,9])[2] AS v").first().v == 8
+    eng.sql("create table pst2 (id int primary key, m array<array<int>>)")
+    eng.sql("insert into pst2 values (1, array[array[1,2], array[3,4]])")
+    ch = eng.sql("SELECT m[2][1] AS a, m[2][9] AS b, m[0][1] AS c FROM pst2").first()
+    assert (ch.a, ch.b, ch.c) == (3, None, None)
