@@ -1656,10 +1656,15 @@ class Engine:
         `CREATE TABLE ... WITH (connector='posix_fs') FORMAT DEBEZIUM`
         tables pick up files that appeared since the last poll; MVs
         downstream advance incrementally as with any DML)."""
-        from risingwave_spark.frontend import _ingest_table_files
+        from risingwave_spark.frontend import _ingest_table_files, _ingest_table_kafka
 
         for t in self.tables.values():
-            if getattr(t, "connector", None):
+            conn = getattr(t, "connector", None)
+            if not conn:
+                continue
+            if "kafka" in conn:
+                _ingest_table_kafka(self, t)
+            else:
                 _ingest_table_files(self, t)
 
     def create_subscription(self, name: str, mv_name: str, from_beginning: bool = False):

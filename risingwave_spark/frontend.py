@@ -51,7 +51,7 @@ from risingwave_spark.functions.pgsql import (
     _unmask,
     pg_to_spark_sql,
 )
-from risingwave_spark.streaming.mv import with_ops
+from risingwave_spark.streaming.mv import OP_COL, with_ops
 
 if TYPE_CHECKING:  # pragma: no cover
     from risingwave_spark.api import Engine
@@ -507,11 +507,15 @@ def _attach_table_connector(engine: "Engine", t, opts: dict, format_txt: str | N
     offset tracking. Broker connectors raise loudly (no jars/brokers in
     this sandbox; the statement shape is the same on a cluster)."""
     conn = opts.get("connector", "").lower()
-    if conn in ("kafka", "kinesis", "pulsar", "mysql-cdc", "postgres-cdc"):
+    if conn == "kafka":
+        _attach_table_kafka(engine, t, opts, format_txt)
+        return
+    if conn in ("kinesis", "pulsar", "mysql-cdc", "postgres-cdc"):
         raise NotImplementedError(
             f"table connector {conn!r} needs its connector jar and a "
             "reachable broker/database; neither exists in this container. "
-            "File-based ingestion (connector='posix_fs') is fully functional."
+            "Kafka (wire-protocol client) and file ingestion "
+            "(connector='posix_fs') are fully functional."
         )
     if conn not in ("posix_fs", "filesystem"):
         raise ValueError(f"unknown table connector {conn!r}")
@@ -523,6 +527,151 @@ def _attach_table_connector(engine: "Engine", t, opts: dict, format_txt: str | N
         raise ValueError(f"unsupported table ingest format {fmt!r}")
     t.connector = {"path": path, "format": fmt}
     _ingest_table_files(engine, t)
+
+
+def _attach_table_kafka(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+    """Kafka-backed TABLE over the REAL wire protocol (reference
+    `source/kafka/source/reader.rs`: consumer poll loop → SourceMessage
+    batches with per-split offsets; `handler/create_table.rs`
+    connector-backed tables). The reader is the pure-stdlib wire client
+    (sources/kafka_wire.py — ApiVersions/Metadata/Fetch/ListOffsets,
+    message-format-v2 RecordBatches, CRC32C-verified) so the SAME bytes
+    work against a real broker; offsets are tracked durably by the
+    engine beside the table state (KAFKA_OFFSETS), the reference's own
+    offset management (reader.rs never relies on broker group commits).
+    FORMAT PLAIN/JSON appends value-JSON rows; FORMAT DEBEZIUM folds
+    insert/update/delete envelopes (parser/debezium/debezium_parser.rs:
+    c/r → +after, u → −before +after, d → −before)."""
+    brokers = (
+        opts.get("properties.bootstrap.server")
+        or opts.get("properties.bootstrap.servers")
+        or opts.get("bootstrap.servers")
+    )
+    topic = opts.get("topic")
+    if not brokers or not topic:
+        raise ValueError(
+            "kafka table needs topic and properties.bootstrap.server options"
+        )
+    fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
+    if fmt not in ("debezium", "debezium_json", "plain", "json"):
+        raise ValueError(f"unsupported kafka ingest format {fmt!r}")
+    t.connector = {"kafka": {"brokers": brokers, "topic": topic}, "format": fmt}
+    _ingest_table_kafka(engine, t)
+
+
+def _ingest_table_kafka(engine: "Engine", t) -> None:
+    """Fetch records past the durable committed offset and fold them as
+    ONE changelog batch per poll (the reference's per-split offset
+    ordering; within a batch an UPDATE's −before/+after pair works via
+    ChunkedState same-batch sequencing). The offset commits AFTER the
+    fold — crash between them redelivers the chunk (the same
+    chunk-granularity redelivery divergence the file connector
+    documents)."""
+    import json as _json
+
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    cfg = t.connector["kafka"]
+    host, port = cfg["brokers"].split(",")[0].rsplit(":", 1)
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "KAFKA_OFFSETS")
+    try:
+        with open(meta) as f:
+            next_off = _json.load(f).get(cfg["topic"], 0)
+    except (FileNotFoundError, ValueError):
+        next_off = 0
+    try:
+        client = KafkaWireClient(host, int(port))
+    except OSError:
+        # broker unreachable (e.g. catalog replay before the broker is
+        # back up): the table re-attaches with its durable state; the
+        # next poll_sources() catches up — the reference source reader
+        # also reconnects rather than failing recovery
+        return
+    records: list = []
+    try:
+        while True:
+            got, hwm = client.fetch(cfg["topic"], 0, next_off + len(records))
+            records.extend(got)
+            if not got or next_off + len(records) >= hwm:
+                break  # caught up (or a fetch cap; next poll resumes)
+    finally:
+        client.close()
+    if not records:
+        return
+    spark = engine.spark
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    values = [
+        v.decode() for (_o, _ts, _k, v) in records if v is not None
+    ]
+    fmt = t.connector["format"]
+    if fmt in ("debezium", "debezium_json"):
+        # A retraction of a key INSERTED EARLIER IN THE SAME POLL must
+        # fold in a LATER batch (ChunkedState tombstones mask only
+        # earlier seqs — the file connector gets this boundary for free
+        # from file rolling; a kafka poll has no such boundary). Scan
+        # the envelopes in offset order and cut a new fold segment
+        # whenever a −before key was +after'ed in the current one —
+        # per-message driver work at the ingestion boundary, the same
+        # place the reference's parser touches every message.
+        pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        segments: list[list[str]] = [[]]
+        seen_after: set = set()
+        for s in values:
+            try:
+                e = _json.loads(s)
+            except ValueError:
+                segments[-1].append(s)  # Spark's from_json NULLs it out
+                continue
+            bk = (
+                tuple(e["before"].get(c) for c in pk_cols)
+                if e.get("before") else None
+            )
+            if e.get("op") in ("d", "u") and bk in seen_after:
+                segments.append([])
+                seen_after = set()
+            segments[-1].append(s)
+            if e.get("op") in ("c", "r", "u") and e.get("after"):
+                seen_after.add(tuple(e["after"].get(c) for c in pk_cols))
+        env_schema = StructType(
+            [
+                StructField("before", row_schema),
+                StructField("after", row_schema),
+                StructField("op", StringType()),
+                StructField("ts_ms", LongType()),
+            ]
+        )
+        cols = [f.name for f in row_schema.fields]
+        for seg in segments:
+            if not seg:
+                continue
+            payloads = spark.createDataFrame([(s,) for s in seg], "__v string")
+            env = payloads.select(F.from_json("__v", env_schema).alias("e")).select("e.*")
+            ins = env.filter(F.col("op").isin("c", "r", "u")).select(
+                *[F.col(f"after.{c}").alias(c) for c in cols]
+            )
+            dels = env.filter(F.col("op").isin("d", "u")).select(
+                *[F.col(f"before.{c}").alias(c) for c in cols]
+            )
+            batch = with_ops(ins, 1).unionByName(with_ops(dels, -1))
+            engine._apply_dml(t.name, batch.localCheckpoint(eager=True))
+    else:  # plain/json append
+        payloads = spark.createDataFrame([(s,) for s in values], "__v string")
+        rows = payloads.select(F.from_json("__v", row_schema).alias("r")).select("r.*")
+        batch = with_ops(rows, 1).localCheckpoint(eager=True)
+        engine._apply_dml(t.name, batch)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({cfg["topic"]: records[-1][0] + 1}, f)
+    os.replace(tmp, meta)
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:
@@ -4020,6 +4169,115 @@ class _FileSink:
             self.sub.ack(token)
 
 
+_SPARK_TO_PG = {
+    "boolean": "bool", "smallint": "int2", "int": "int4", "bigint": "int8",
+    "float": "float4", "double": "float8", "string": "varchar",
+    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "bytea",
+}
+
+
+class _KafkaSink:
+    """Kafka sink over the real wire protocol (reference
+    `src/connector/src/sink/kafka.rs` delivering formatter events):
+    drains the MV's changelog subscription, formats each chunk with the
+    golden-matched Debezium/upsert formatters (sources/sink_format.py —
+    byte-compared against the reference's own goldens) and PRODUCEs
+    (key, value) JSON messages; a formatter None value becomes a Kafka
+    null-value tombstone. The per-chunk collect is the changelog DIFF
+    (bounded by the batch's touched rows), never the MV — at cluster
+    scale this becomes a foreachPartition producer; the wire bytes and
+    the format are identical."""
+
+    def __init__(self, engine, sub, brokers: str, topic: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        host, port = brokers.split(",")[0].rsplit(":", 1)
+        self.host, self.port = host, int(port)
+        self.topic = topic
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+
+    @staticmethod
+    def _py(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, (datetime.date, datetime.datetime, decimal.Decimal)):
+            return str(v)
+        return v
+
+    def _format(self, rows: list) -> list:
+        from risingwave_spark.sources.sink_format import debezium_events, upsert_events
+
+        if self.fmt == "debezium":
+            import time as _time
+
+            return debezium_events(
+                rows, self.fields, self.pk, self.db, self.table,
+                ts_ms=int(_time.time() * 1000),
+            )
+        if self.fmt == "upsert":
+            return upsert_events(rows, self.pk)
+        # plain / append-only: inserts as bare row JSON, keyed by pk
+        return [
+            ({k: row[k] for k in self.pk}, dict(row))
+            for op, row in rows
+            if op > 0
+        ]
+
+    def drain(self) -> None:
+        import json as _json
+
+        from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+        while True:
+            got = self.sub.fetch()
+            if got is None:
+                return
+            df, token = got
+            cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
+            collected = df.collect()
+            # delete-before-insert per pk within a chunk so the
+            # formatters' UPDATE-pair collapse sees adjacent −/+ rows
+            # (parquet read order is partition-arbitrary)
+            collected.sort(
+                key=lambda r: (
+                    r["__chunk"],
+                    tuple(str(self._py(r[k])) for k in self.pk),
+                    r[OP_COL],
+                )
+            )
+            rows = [
+                (r[OP_COL], {c: self._py(r[c]) for c in cols}) for r in collected
+            ]
+            events = self._format(rows)
+            if events:
+                msgs = [
+                    (
+                        _json.dumps(k, sort_keys=True).encode(),
+                        None if v is None else _json.dumps(v, sort_keys=True).encode(),
+                        int(__import__("time").time() * 1000),
+                    )
+                    for k, v in events
+                ]
+                try:
+                    client = KafkaWireClient(self.host, self.port)
+                except OSError:
+                    # broker down: leave the chunk un-acked; the next
+                    # drain (or poll) redelivers it — at-least-once,
+                    # the reference kafka sink's retry contract
+                    return
+                try:
+                    client.produce(self.topic, 0, msgs)
+                finally:
+                    client.close()
+            self.sub.ack(token)
+
+
 class _TableSink:
     """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
     sink-into-table; e2e_test/subscription/
@@ -4161,17 +4419,19 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     name, src = ast["name"], ast.get("from")
     opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
-    if conn in ("kafka", "jdbc", "iceberg", "elasticsearch"):
+    if conn in ("jdbc", "iceberg", "elasticsearch"):
         raise NotImplementedError(
             f"sink connector {conn!r} needs its Spark connector jar and a "
             "reachable endpoint; neither exists in this container. On a "
-            "cluster: sources/__init__.py kafka_sink / jdbc_upsert_sink."
+            "cluster: sources/__init__.py jdbc_upsert_sink."
         )
-    if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
-        raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
-    path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
-    if not path:
-        raise ValueError(f"sink {name!r}: file connector needs a path option")
+    path = None
+    if conn != "kafka":
+        if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
+            raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
+        path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
+        if not path:
+            raise ValueError(f"sink {name!r}: file connector needs a path option")
     if ast.get("as"):
         # CREATE SINK ... AS <select> (reference `create_sink.rs`
         # sink-from-query: the query gets its own streaming plan owned
@@ -4203,6 +4463,8 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
+    if conn == "kafka":
+        return _finish_create_kafka_sink(engine, ast, opts, name, src)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
     # subscription starts at the changelog HEAD (from_beginning=False):
@@ -4225,6 +4487,100 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
             "overwrite"
         ).parquet(_os.path.join(path, "c0"))
         sink._n = 1
+    sink.drain()
+    engine._record_ddl(name, ast["stmt"])
+    return _status(engine.spark, "CREATE_SINK")
+
+
+def _finish_create_kafka_sink(
+    engine: "Engine", ast: dict, opts: dict, name: str, src: str
+) -> DataFrame:
+    """CREATE SINK ... WITH (connector='kafka', topic, bootstrap) FORMAT
+    DEBEZIUM/UPSERT/PLAIN ENCODE JSON (reference `handler/create_sink.rs`
+    SinkFormatDesc + `sink/kafka.rs`): subscribes to the source MV's
+    changelog and produces formatter events over the real wire protocol.
+    Legacy `type = 'debezium'|'upsert'|'append-only'` WITH spellings map
+    to the same formats. Bootstraps a fresh sink from the MV snapshot
+    (the reference's snapshot-then-changelog start); a re-created sink
+    resumes from its durable cursor."""
+    import os as _os
+
+    brokers = (
+        opts.get("properties.bootstrap.server")
+        or opts.get("properties.bootstrap.servers")
+        or opts.get("bootstrap.servers")
+    )
+    topic = opts.get("topic")
+    if not brokers or not topic:
+        raise ValueError(
+            f"sink {name!r}: kafka sink needs topic and "
+            "properties.bootstrap.server options"
+        )
+    fmt = (ast.get("format") or opts.get("type") or "debezium").strip().lower()
+    fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
+    if fmt not in ("debezium", "upsert", "plain"):
+        raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
+    enc = (ast.get("encode") or "json").strip().lower()
+    if enc != "json":
+        raise ValueError(f"sink {name!r}: kafka sink ENCODE {enc!r} not supported (json only)")
+    h = engine.mv_handles[src]
+    keys = list(getattr(h.view, "keys", None) or [])
+    if opts.get("primary_key"):
+        keys = [k.strip() for k in opts["primary_key"].split(",")]
+    if not keys:
+        raise ValueError(
+            f"sink {name!r}: kafka sink needs a keyed MV or a "
+            "primary_key option (the key rides every message)"
+        )
+    out_cols = h.view.result()
+    fields = [
+        (c, _SPARK_TO_PG.get(t, "varchar")) for c, t in out_cols.dtypes
+    ]
+    h.view.emit_changelog = True
+    log_dir = h.view.changelog_dir
+    fresh = not _os.path.exists(_os.path.join(log_dir, f"CURSOR___sink_{name}"))
+    sub = engine.create_subscription(f"__sink_{name}", src)
+    sink = _KafkaSink(
+        engine, sub, brokers, topic, fmt, fields, keys, db="rw", table=src
+    )
+    if not engine._replaying:
+        # validate connectivity at CREATE (the reference sink does) —
+        # but never during catalog replay, where a down broker must not
+        # block recovery (the sink resumes from its durable cursor)
+        from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+        try:
+            probe = KafkaWireClient(sink.host, sink.port)
+        except OSError as e:
+            raise ValueError(
+                f"sink {name!r}: kafka broker {brokers!r} is unreachable"
+            ) from e
+        probe.metadata([topic])  # auto-creates / validates the topic
+        probe.close()
+    engine.sinks[name] = sink
+    if fresh:
+        snap = h.view.result().collect()
+        rows = [(1, {c: _KafkaSink._py(r[c]) for c, _ in fields}) for r in snap]
+        if rows:
+            import json as _json
+            import time as _time
+
+            from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+            events = sink._format(rows)
+            msgs = [
+                (
+                    _json.dumps(k, sort_keys=True).encode(),
+                    None if v is None else _json.dumps(v, sort_keys=True).encode(),
+                    int(_time.time() * 1000),
+                )
+                for k, v in events
+            ]
+            client = KafkaWireClient(sink.host, sink.port)
+            try:
+                client.produce(topic, 0, msgs)
+            finally:
+                client.close()
     sink.drain()
     engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_SINK")

@@ -473,3 +473,191 @@ def src_datagen(spark, sf_dir):
     return eng.sql(
         "SELECT id, CAST((id - 100) % 7 AS BIGINT) AS bucket FROM dg_src ORDER BY id"
     )
+
+
+@register(
+    "src_kafka_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS st, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sp
+FROM orders WHERE o_orderkey <= 400
+GROUP BY o_orderstatus ORDER BY st
+""",
+)
+def src_kafka_roundtrip(spark, sf_dir):
+    """Kafka source over the REAL wire protocol (reference
+    `src/connector/src/source/kafka/source/reader.rs`;
+    `e2e_test/source_inline/kafka/`): rows produced to a loopback
+    broker (message-format-v2 RecordBatches, CRC32C) are consumed by
+    `CREATE TABLE ... WITH (connector='kafka') FORMAT PLAIN ENCODE
+    JSON`, an agg MV maintains over them, and a second produce round
+    arrives via poll_sources() — offsets tracked durably by the engine,
+    exactly the reference's reader-managed offset posture."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+        .collect()
+    )
+    broker = LoopbackKafkaBroker().start()
+    try:
+        prod = KafkaWireClient(broker.host, broker.port)
+        half = len(rows) // 2
+        enc = lambda r: (  # noqa: E731
+            None,
+            _json.dumps({"k": r.o_orderkey, "st": r.o_orderstatus,
+                         "sp": r.o_custkey}).encode(),
+            1700000000000,
+        )
+        prod.produce("ord_t", 0, [enc(r) for r in rows[:half]])
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_ksrc_"))
+        eng.sql(
+            f"""CREATE TABLE kord (k int8 PRIMARY KEY, st varchar, sp int8)
+            WITH (connector = 'kafka', topic = 'ord_t',
+                  properties.bootstrap.server =
+                  '{broker.host}:{broker.port}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW kord_mv AS SELECT st, count(*) AS n, "
+            "sum(sp) AS sp FROM kord GROUP BY st"
+        )
+        prod.produce("ord_t", 0, [enc(r) for r in rows[half:]])
+        prod.close()
+        eng.poll_sources()
+        return eng.sql("SELECT st, n, sp FROM kord_mv ORDER BY st")
+    finally:
+        broker.stop()
+
+
+@register(
+    "sink_kafka_roundtrip",
+    oracle="""
+SELECT c_mktsegment AS seg, count(*) AS n, CAST(sum(c_nationkey) AS BIGINT) AS nk
+FROM customer WHERE c_custkey <= 300 AND c_custkey % 7 <> 0
+GROUP BY c_mktsegment ORDER BY seg
+""",
+)
+def sink_kafka_roundtrip(spark, sf_dir):
+    """Kafka sink over the wire (reference `sink/kafka.rs` + formatter
+    goldens): an agg MV streams UPSERT-format events to the loopback
+    broker across insert and delete rounds; the final state is
+    RECONSTRUCTED from the topic bytes (apply key→value, tombstone
+    deletes) — proving the produced envelopes carry exactly the MV's
+    changelog, not just that the MV is right."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    tables(spark, sf_dir)
+    broker = LoopbackKafkaBroker().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_ksnk_"))
+        eng.sql("CREATE TABLE kc (k int8 PRIMARY KEY, seg varchar, nk int8)")
+        eng.sql(
+            "CREATE MATERIALIZED VIEW kc_mv AS SELECT seg, count(*) AS n, "
+            "sum(nk) AS nk FROM kc GROUP BY seg"
+        )
+        eng.sql(
+            f"""CREATE SINK kc_sink FROM kc_mv WITH (
+                connector = 'kafka', topic = 'out_t',
+                properties.bootstrap.server =
+                '{broker.host}:{broker.port}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql(
+            "INSERT INTO kc SELECT c_custkey, c_mktsegment, c_nationkey "
+            "FROM customer WHERE c_custkey <= 300"
+        )
+        eng.sql("DELETE FROM kc WHERE k % 7 = 0")
+        cons = KafkaWireClient(broker.host, broker.port)
+        recs, _ = cons.fetch("out_t", 0, 0)
+        cons.close()
+        state: dict = {}
+        for _off, _ts, kbytes, vbytes in recs:
+            key = _json.loads(kbytes)["seg"]
+            if vbytes is None:
+                state.pop(key, None)
+            else:
+                state[key] = _json.loads(vbytes)
+        return spark.createDataFrame(
+            [(v["seg"], v["n"], v["nk"]) for v in state.values()],
+            "seg string, n bigint, nk bigint",
+        ).orderBy("seg")
+    finally:
+        broker.stop()
+
+
+@register(
+    "engine_sql_kafka_cdc",
+    oracle="""
+SELECT n_regionkey AS rk, count(*) AS n FROM nation
+WHERE n_nationkey % 5 <> 0
+GROUP BY n_regionkey ORDER BY rk
+""",
+)
+def engine_sql_kafka_cdc(spark, sf_dir):
+    """Broker CDC: `CREATE TABLE ... WITH (connector='kafka') FORMAT
+    DEBEZIUM` consuming c/u/d envelopes from the fixture topic
+    (reference `parser/debezium/debezium_parser.rs` over the kafka
+    reader): creates fold as +after, updates as −before+after, deletes
+    as −before; a downstream MV retracts exactly."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    t = tables(spark, sf_dir)
+    nat = [
+        (r.n_nationkey, r.n_regionkey)
+        for r in t["nation"].select("n_nationkey", "n_regionkey").collect()
+    ]
+    dbz = lambda op, b, a: (  # noqa: E731
+        None,
+        _json.dumps({"before": b, "after": a, "op": op,
+                     "ts_ms": 1700000000000}).encode(),
+        1700000000000,
+    )
+    broker = LoopbackKafkaBroker().start()
+    try:
+        prod = KafkaWireClient(broker.host, broker.port)
+        # create every nation row under a WRONG region first
+        prod.produce("nat_cdc", 0, [
+            dbz("c", None, {"k": k, "rk": -1}) for k, _rk in nat
+        ])
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_kcdcq_"))
+        eng.sql(
+            f"""CREATE TABLE knat (k int8 PRIMARY KEY, rk int8)
+            WITH (connector = 'kafka', topic = 'nat_cdc',
+                  properties.bootstrap.server =
+                  '{broker.host}:{broker.port}')
+            FORMAT DEBEZIUM ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW knat_mv AS SELECT rk, count(*) AS n "
+            "FROM knat GROUP BY rk"
+        )
+        # update every row to its REAL region, delete the %5 ones
+        prod.produce("nat_cdc", 0, [
+            dbz("u", {"k": k, "rk": -1}, {"k": k, "rk": rk}) for k, rk in nat
+        ])
+        prod.produce("nat_cdc", 0, [
+            dbz("d", {"k": k, "rk": rk}, None) for k, rk in nat if k % 5 == 0
+        ])
+        prod.close()
+        eng.poll_sources()
+        return eng.sql("SELECT rk, n FROM knat_mv ORDER BY rk")
+    finally:
+        broker.stop()

@@ -883,6 +883,14 @@ def _parse_create(p: _P) -> str:
             # external sinks need connector options; an INTO-table sink
             # is fully internal and takes none
             p.fail("CREATE SINK needs WITH (connector = ...) options")
+        if p.at("FORMAT"):
+            # FORMAT DEBEZIUM/UPSERT/PLAIN [ENCODE JSON] (reference
+            # handler/create_sink.rs SinkFormatDesc)
+            p.eat()
+            p.ast["format"] = p.ident("sink format name")
+            if p.at("ENCODE"):
+                p.eat()
+                p.ast["encode"] = p.ident("sink encode name")
         p.expect_done("CREATE SINK")
         return "create_sink"
     if p.at("SUBSCRIPTION"):
