@@ -145,10 +145,49 @@ def main() -> None:
             for q, ratio in ratios.items()
             if ratio > limit
         }
+        # Write the baseline table into SCALING.md (VERDICT r7 ask #10):
+        # every bench run leaves its best-round baseline + this run's
+        # ratios in-history, so drift is diffable commit-over-commit.
+        _write_baseline_table(here, timings, base, rebased, med)
         if regressed:
             for q, (now, was) in regressed.items():
                 print(f"# REGRESSION {q}: {now:.3f}s vs best-round {was:.3f}s", file=sys.stderr)
             sys.exit(1)
+
+
+def _write_baseline_table(here, timings, base, rebased, med) -> None:
+    begin = "<!-- BENCH_BASELINE (auto-written by bench.py guardrail) -->"
+    end = "<!-- /BENCH_BASELINE -->"
+    lines = [
+        begin,
+        "",
+        f"Guardrail baseline at last sf0.1 bench (median ratio {med:.2f}; "
+        "a query fails at ratio > 1.5 x max(1, median)):",
+        "",
+        "| query | best-round s | this run s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for q in sorted(timings):
+        if q not in base:
+            continue
+        b = rebased.get(q, base[q])
+        lines.append(f"| {q} | {b:.3f} | {timings[q]:.3f} | {timings[q] / b:.2f} |")
+    lines += ["", end]
+    block = "\n".join(lines)
+    path = os.path.join(here, "SCALING.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = ""
+    if begin in text and end in text:
+        pre = text[: text.index(begin)]
+        post = text[text.index(end) + len(end):]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

@@ -1187,6 +1187,11 @@ class Engine:
         group-agg MV off the join's changelog (mv-on-mv.md), `project`
         is a stateless read-time transform of the maintained join
         result. Backfills from both inputs' current snapshots."""
+        if recompute is not None:
+            # join-chain folds evaluate non-strict like every other MV
+            # path (non_strict_mode.slt: a div/0 in a joined MV body
+            # pads NULL instead of failing the fold)
+            recompute = _non_strict(self.spark, recompute)
         pk_l, snap_l, src_l = self._resolve_join_input(left)
         pk_r, snap_r, src_r = self._resolve_join_input(right)
         # self-join roles: rename BEFORE pre-filters (whose text already
@@ -1251,6 +1256,8 @@ class Engine:
         `steps[i]` = {left_on, right_on, how, cond} joining the running
         result with `tbls[i+1]`. Backfills each level from current
         snapshots, then wires the changelog cascade + per-input feeds."""
+        if recompute is not None:
+            recompute = _non_strict(self.spark, recompute)  # non_strict_mode.slt
         resolved = [self._resolve_join_input(t) for t in tbls]
         renames = renames or [None] * len(tbls)
         resolved = [

@@ -16,11 +16,16 @@ EXPLAIN-of-those) still flow to Catalyst — that is their correct
 destination, not a fallback.
 
 Materialized-view bodies get the strictest grammar, because their text
-is REPLANNED per batch against affected-rows temp views: constructs
-whose incremental recompute would be silently wrong — subqueries
-(global state), window functions (cross-group frames), LIMIT (global
-top-N), set operations, subquery-FROM, USING / comma joins — are
-rejected with a pointer to the supported spelling. Expressions
+is REPLANNED per batch against affected-rows temp views. Shapes whose
+naive per-group recompute would be silently wrong COMPILE onto
+dedicated incremental plans instead (frontend.py): WHERE-subqueries
+desugar onto semi/anti/join steps or DynamicFilter scalar deps, window
+functions onto frame-delta over-window MVs, trailing ORDER BY ... LIMIT
+onto TopN reads with membership-delta changelogs, set operations onto
+union/intersect/except MVs, and comma joins / USING / NATURAL /
+subquery-FROM onto stream-join chains. What none of those plans can
+maintain is rejected with a pointer to the supported spelling — never
+silently replanned as a plain per-group recompute. Expressions
 themselves are validated structurally (balanced parens, clause keywords
 only at depth 0, forbidden keywords nowhere) and left to Catalyst to
 type-check — the same division of labor as the reference's

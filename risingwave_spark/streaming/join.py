@@ -36,6 +36,7 @@ from risingwave_spark.streaming.mv import (
     OP_COL,
     _BucketedMvTable,
     buckets_from_chunks,
+    non_strict_analysis,
     nullsafe_cond,
     with_ops,
 )
@@ -184,7 +185,12 @@ class RetractableStreamJoin:
         for st, did in ((self.state_l, did_l), (self.state_r, did_r)):
             if did and self.compact_every and st._seq and st._seq % self.compact_every == 0:
                 st.compact()
-        recomputed = self._join_affected(affected, buckets=touched)
+        # per-key re-join plans analyze non-strict (non_strict_mode.slt:
+        # a poisoned residual/projection expression pads NULL instead of
+        # failing the fold — the reference wraps every streaming
+        # executor's expressions in NonStrictExpression)
+        with non_strict_analysis(self.spark):
+            recomputed = self._join_affected(affected, buckets=touched)
 
         out_changelog = None
         if self.mv.exists():

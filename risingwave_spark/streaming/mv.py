@@ -63,6 +63,30 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def non_strict_analysis(spark: SparkSession):
+    """Context manager: plans CONSTRUCTED inside the block analyze under
+    ansi=false, so compute errors (div/0, bad casts) pad NULL per
+    expression instead of failing the fold — the reference's non-strict
+    streaming evaluation (`e2e_test/streaming/non_strict_mode.slt`,
+    issue 4625; every streaming executor wraps its expressions in
+    NonStrictExpression). Spark bakes the eval mode into expressions at
+    ANALYSIS, so the toggle pins legacy semantics into the streaming
+    plan without touching ad-hoc batch behavior; the session's strict
+    ANSI mode is restored on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        old = spark.conf.get("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
+    return _cm()
+
+
 def with_ops(df: DataFrame, op: int = 1) -> DataFrame:
     """Tag a DataFrame as a changelog chunk (op=+1 insert, -1 delete)."""
     return df.withColumn(OP_COL, F.lit(op))
