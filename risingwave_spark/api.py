@@ -1518,8 +1518,13 @@ class Engine:
         with self._ddl_lock:
             return self._apply_dml_locked(table, batch)
 
-    def _register_scalar_dep(self, mv: str, scalar_sql: str) -> None:
-        self._scalar_deps.append({"mv": mv, "sql": scalar_sql})
+    def _register_scalar_dep(
+        self, mv: str, scalar_sql: str, lhs: str | None = None, op: str | None = None
+    ) -> None:
+        """`lhs`/`op` (row-level comparison text, when the dep guards a
+        WHERE predicate) enable the band-pruned re-splice below; HAVING
+        deps compare group aggregates and pass neither."""
+        self._scalar_deps.append({"mv": mv, "sql": scalar_sql, "lhs": lhs, "op": op})
 
     def _check_scalar_deps(self, table: str | None = None) -> None:
         """Re-splice MVs whose uncorrelated scalar subquery moved (the
@@ -1557,11 +1562,39 @@ class Engine:
             except Exception:
                 continue
             val = tuple(row) if row is not None else None
-            if val == dep.get("last", _MISS):
+            prev = dep.get("last", _MISS)
+            if val == prev:
                 continue
             dep["last"] = val
+            src = agg.state.read()
+            if (
+                dep.get("lhs")
+                and dep.get("op") in ("<", "<=", ">", ">=")
+                and prev is not _MISS
+                and prev is not None
+                and val is not None
+                and len(val) == 1
+                and prev[0] is not None
+                and val[0] is not None
+            ):
+                # range-pruned re-splice (reference DynamicFilter,
+                # `dynamic_filter.rs:39`: a scalar MOVE re-evaluates
+                # only rows between the old and new value): a monotone
+                # comparison can flip only for rows whose lhs lies in
+                # [min(old,new), max(old,new)] — groups owning none of
+                # those keep their spliced values, so the touched-row
+                # count is proportional to the band, not the state
+                lhs = dep["lhs"]
+                qm = _re.fullmatch(r"(\w+)\.(\w+)", lhs)
+                if qm and qm.group(2) in src.columns:
+                    lhs = qm.group(2)  # outer alias doesn't exist on state rows
+                lo, hi = sorted((prev[0], val[0]))
+                try:
+                    src = src.filter(F.expr(lhs).between(F.lit(lo), F.lit(hi)))
+                except Exception:
+                    src = agg.state.read()  # unparseable on state → full
             annotate = agg.key_of or (lambda d: d)
-            aff = annotate(agg.state.read()).select(*agg.keys).distinct()
+            aff = annotate(src).select(*agg.keys).distinct()
             agg.retouch(aff)
             h._register()
 

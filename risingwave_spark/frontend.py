@@ -1890,7 +1890,16 @@ def _rewrite_mv_subqueries(engine: "Engine", name: str, masked: str, lits: list[
                 # subquery reads live temp views); register the scalar
                 # dependency so groups re-splice when the value moves
                 scalar_sql = pg_to_spark_sql(_unmask(m.group("sub").strip(), lits))
-                engine._register_scalar_dep(name, scalar_sql)
+                # WHERE-level comparison: record the row-level lhs and
+                # op so a scalar MOVE re-splices only groups with rows
+                # in the [old, new] band (the reference DynamicFilter's
+                # range scan, dynamic_filter.rs:39) instead of O(state)
+                engine._register_scalar_dep(
+                    name,
+                    scalar_sql,
+                    lhs=pg_to_spark_sql(_unmask(m.group("lhs").strip(), lits)),
+                    op=m.group("op"),
+                )
                 new_where.append(conj)
                 changed = True
                 continue

