@@ -573,12 +573,16 @@ def _ingest_table_kafka(engine: "Engine", t) -> None:
 
     cfg = t.connector["kafka"]
     host, port = cfg["brokers"].split(",")[0].rsplit(":", 1)
+    topic = cfg["topic"]
     meta = os.path.join(engine.warehouse, f"t_{t.name}", "KAFKA_OFFSETS")
     try:
         with open(meta) as f:
-            next_off = _json.load(f).get(cfg["topic"], 0)
+            saved = _json.load(f).get(topic, 0)
     except (FileNotFoundError, ValueError):
-        next_off = 0
+        saved = 0
+    # per-partition offsets ({pid: next}); a plain int is the legacy
+    # single-partition layout
+    offsets: dict[str, int] = saved if isinstance(saved, dict) else {"0": saved}
     try:
         client = KafkaWireClient(host, int(port))
     except OSError:
@@ -587,16 +591,24 @@ def _ingest_table_kafka(engine: "Engine", t) -> None:
         # next poll_sources() catches up — the reference source reader
         # also reconnects rather than failing recovery
         return
-    records: list = []
+    per_part: dict[int, list] = {}
     try:
-        while True:
-            got, hwm = client.fetch(cfg["topic"], 0, next_off + len(records))
-            records.extend(got)
-            if not got or next_off + len(records) >= hwm:
-                break  # caught up (or a fetch cap; next poll resumes)
+        md = client.metadata([topic])
+        pids = [p["partition"] for p in md["topics"].get(topic, {}).get("partitions", [{"partition": 0}])]
+        for pid in pids:
+            next_off = offsets.get(str(pid), 0)
+            recs: list = []
+            while True:
+                got, hwm = client.fetch(topic, pid, next_off + len(recs))
+                recs.extend(got)
+                if not got or next_off + len(recs) >= hwm:
+                    break  # caught up (or a fetch cap; next poll resumes)
+            if recs:
+                per_part[pid] = recs
+                offsets[str(pid)] = recs[-1][0] + 1
     finally:
         client.close()
-    if not records:
+    if not per_part:
         return
     spark = engine.spark
     from pyspark.sql.types import StructField, StructType, StringType, LongType
@@ -609,9 +621,30 @@ def _ingest_table_kafka(engine: "Engine", t) -> None:
             f"connector table {t.name!r} needs an explicit PRIMARY KEY "
             "(CDC envelopes identify rows by key, not by generated row id)"
         )
+    # fold PER PARTITION, partitions in id order: Kafka orders within a
+    # partition only, and keyed producers (incl. this engine's sink and
+    # any Debezium source) route a pk to ONE partition — so per-key
+    # envelope order is preserved exactly as the reference's per-split
+    # reader sees it
+    for pid in sorted(per_part):
+        _fold_kafka_records(engine, t, row_schema, per_part[pid])
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({topic: offsets}, f)
+    os.replace(tmp, meta)
+
+
+def _fold_kafka_records(engine: "Engine", t, row_schema, records: list) -> None:
+    import json as _json
+
+    spark = engine.spark
+    from pyspark.sql.types import StructField, StructType, StringType, LongType
+
     values = [
         v.decode() for (_o, _ts, _k, v) in records if v is not None
     ]
+    if not values:
+        return
     fmt = t.connector["format"]
     if fmt in ("debezium", "debezium_json"):
         # A retraction of a key INSERTED EARLIER IN THE SAME POLL must
@@ -668,10 +701,6 @@ def _ingest_table_kafka(engine: "Engine", t) -> None:
         rows = payloads.select(F.from_json("__v", row_schema).alias("r")).select("r.*")
         batch = with_ops(rows, 1).localCheckpoint(eager=True)
         engine._apply_dml(t.name, batch)
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({cfg["topic"]: records[-1][0] + 1}, f)
-    os.replace(tmp, meta)
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:
@@ -4209,6 +4238,40 @@ class _KafkaSink:
         self.fields = fields
         self.pk = pk
         self.db, self.table = db, table
+        self._nparts: int | None = None  # discovered from metadata
+
+    def _partitions(self, client) -> int:
+        if self._nparts is None:
+            md = client.metadata([self.topic])
+            parts = md["topics"].get(self.topic, {}).get("partitions", [])
+            self._nparts = max(len(parts), 1)
+        return self._nparts
+
+    def _produce_events(self, events: list) -> None:
+        """Keyed routing with Kafka's DEFAULT partitioner (murmur2 of the
+        key bytes) — a pk always lands on one partition, which is what
+        preserves per-key envelope order for any consumer."""
+        import json as _json
+        import time as _time
+
+        from risingwave_spark.sources.kafka_wire import (
+            KafkaWireClient,
+            default_partition,
+        )
+
+        now = int(_time.time() * 1000)
+        client = KafkaWireClient(self.host, self.port)
+        try:
+            nparts = self._partitions(client)
+            by_part: dict[int, list] = {}
+            for k, v in events:
+                kb = _json.dumps(k, sort_keys=True).encode()
+                vb = None if v is None else _json.dumps(v, sort_keys=True).encode()
+                by_part.setdefault(default_partition(kb, nparts), []).append((kb, vb, now))
+            for pid in sorted(by_part):
+                client.produce(self.topic, pid, by_part[pid])
+        finally:
+            client.close()
 
     @staticmethod
     def _py(v):
@@ -4239,10 +4302,6 @@ class _KafkaSink:
         ]
 
     def drain(self) -> None:
-        import json as _json
-
-        from risingwave_spark.sources.kafka_wire import KafkaWireClient
-
         while True:
             got = self.sub.fetch()
             if got is None:
@@ -4265,25 +4324,13 @@ class _KafkaSink:
             ]
             events = self._format(rows)
             if events:
-                msgs = [
-                    (
-                        _json.dumps(k, sort_keys=True).encode(),
-                        None if v is None else _json.dumps(v, sort_keys=True).encode(),
-                        int(__import__("time").time() * 1000),
-                    )
-                    for k, v in events
-                ]
                 try:
-                    client = KafkaWireClient(self.host, self.port)
+                    self._produce_events(events)
                 except OSError:
                     # broker down: leave the chunk un-acked; the next
                     # drain (or poll) redelivers it — at-least-once,
                     # the reference kafka sink's retry contract
                     return
-                try:
-                    client.produce(self.topic, 0, msgs)
-                finally:
-                    client.close()
             self.sub.ack(token)
 
 
@@ -4571,25 +4618,7 @@ def _finish_create_kafka_sink(
         snap = h.view.result().collect()
         rows = [(1, {c: _KafkaSink._py(r[c]) for c, _ in fields}) for r in snap]
         if rows:
-            import json as _json
-            import time as _time
-
-            from risingwave_spark.sources.kafka_wire import KafkaWireClient
-
-            events = sink._format(rows)
-            msgs = [
-                (
-                    _json.dumps(k, sort_keys=True).encode(),
-                    None if v is None else _json.dumps(v, sort_keys=True).encode(),
-                    int(_time.time() * 1000),
-                )
-                for k, v in events
-            ]
-            client = KafkaWireClient(sink.host, sink.port)
-            try:
-                client.produce(topic, 0, msgs)
-            finally:
-                client.close()
+            sink._produce_events(sink._format(rows))
     sink.drain()
     engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_SINK")

@@ -40,11 +40,12 @@ from risingwave_spark.sources.kafka_wire import (
 
 
 class LoopbackKafkaBroker:
-    """In-memory single-partition-per-topic broker. Topics auto-create
-    on first produce or metadata mention (broker default
+    """In-memory broker, `num_partitions` partitions per topic. Topics
+    auto-create on first produce or metadata mention (broker default
     auto.create.topics.enable)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 1):
+        self.num_partitions = num_partitions
         self._log: dict[tuple[str, int], list] = {}  # (topic,part) -> records
         self._lock = threading.Lock()
         broker = self
@@ -126,16 +127,18 @@ class LoopbackKafkaBroker:
             else:
                 topics = [r.string() for _ in range(n)]
                 for t in topics:
-                    self._topic(t)  # auto-create
+                    for p in range(self.num_partitions):
+                        self._topic(t, p)  # auto-create all partitions
         body = enc_i32(1) + enc_i32(0) + enc_string(self.host) + enc_i32(self.port) + enc_string(None)
         body += enc_i32(0)  # controller_id
         body += enc_i32(len(topics))
         for t in topics:
             body += enc_i16(0) + enc_string(t) + enc_i8(0)  # error, name, internal
-            body += enc_i32(1)  # one partition
-            body += enc_i16(0) + enc_i32(0) + enc_i32(0)  # error, pid, leader
-            body += enc_i32(1) + enc_i32(0)  # replicas [0]
-            body += enc_i32(1) + enc_i32(0)  # isr [0]
+            body += enc_i32(self.num_partitions)
+            for p in range(self.num_partitions):
+                body += enc_i16(0) + enc_i32(p) + enc_i32(0)  # error, pid, leader
+                body += enc_i32(1) + enc_i32(0)  # replicas [0]
+                body += enc_i32(1) + enc_i32(0)  # isr [0]
         return body
 
     def _produce(self, r: Reader) -> bytes:

@@ -217,6 +217,41 @@ def decode_record_batches(buf: bytes) -> list[tuple[int, int, bytes | None, byte
     return out
 
 
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (org.apache.kafka.common.utils.Utils.murmur2,
+    seed 0x9747b28c) — the DEFAULT partitioner hashes keys with this,
+    so keyed messages land on the same partition a Java producer would
+    pick. uint32 domain; callers mask to positive."""
+    m, r = 0x5BD1E995, 24
+    h = (0x9747B28C ^ len(data)) & 0xFFFFFFFF
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+    tail = len(data) % 4
+    if tail == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if tail >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if tail >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def default_partition(key: bytes, num_partitions: int) -> int:
+    """Kafka DefaultPartitioner for keyed messages:
+    toPositive(murmur2(key)) % numPartitions."""
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
 # ------------------------------------------------------------- the client
 API_PRODUCE, API_FETCH, API_LIST_OFFSETS, API_METADATA, API_VERSIONS = 0, 1, 2, 3, 18
 

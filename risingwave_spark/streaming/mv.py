@@ -87,6 +87,31 @@ def non_strict_analysis(spark: SparkSession):
     return _cm()
 
 
+def chunk_base(changelog_dir: str) -> int:
+    """Durable changelog-id offset: compaction RESETS the state's chunk
+    seq to 1 (ChunkedState.compact), but subscription cursors are plain
+    high-water marks over chunk ids — a post-compaction chunk reusing an
+    already-acked id would be silently never delivered. The base absorbs
+    every reset so chunk ids stay monotonic across compactions while the
+    replay-idempotence contract (same seq → same id) is preserved."""
+    try:
+        with open(os.path.join(changelog_dir, "CHUNK_BASE")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def bump_chunk_base(changelog_dir: str, delta: int) -> None:
+    if delta <= 0:
+        return
+    os.makedirs(changelog_dir, exist_ok=True)
+    path = os.path.join(changelog_dir, "CHUNK_BASE")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(chunk_base(changelog_dir) + delta))
+    os.replace(tmp, path)
+
+
 def with_ops(df: DataFrame, op: int = 1) -> DataFrame:
     """Tag a DataFrame as a changelog chunk (op=+1 insert, -1 delete)."""
     return df.withColumn(OP_COL, F.lit(op))
@@ -950,7 +975,10 @@ class _RetractableView:
         # re-run the O(state) rewrite).
         touched = self._touched_buckets_fast()
         if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
+            pre = self.state._seq
             self.state.compact()
+            # keep changelog chunk ids monotonic across the seq reset
+            bump_chunk_base(self.changelog_dir, pre - self.state._seq)
 
         annotate = self.key_of or (lambda d: d)
         affected = annotate(batch).select(*self.keys).distinct()
@@ -1028,7 +1056,8 @@ class _RetractableView:
                 d.apply_batch(out_changelog, batch_id=batch_id, batch_ns=batch_ns)
 
     def _log_changelog(self, chunk: DataFrame) -> None:
-        d = os.path.join(self.changelog_dir, f"c{self.state._seq - 1}")
+        cid = chunk_base(self.changelog_dir) + self.state._seq - 1
+        d = os.path.join(self.changelog_dir, f"c{cid}")
         chunk.coalesce(4).write.mode("overwrite").parquet(d)
         # commit timestamp marker (reference epoch commit_ts): cursors
         # positioned with SINCE <unix_ms> bound against it. Underscore

@@ -223,8 +223,11 @@ class MaterializedOverWindowDelta:
         chunk = with_ops(strip(old_rows), -1).unionByName(
             with_ops(strip(new_rows), 1)
         )
+        from risingwave_spark.streaming.mv import chunk_base
+
+        cid = chunk_base(self.changelog_dir) + self.state._seq - 1
         chunk.coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(self.changelog_dir, f"c{self.state._seq - 1}")
+            os.path.join(self.changelog_dir, f"c{cid}")
         )
 
     # ------------------------------------------------------------ internals
@@ -488,7 +491,12 @@ class MaterializedOverWindowDelta:
         # touched-bucket computation, which must see the batch's chunk.
         # Skipped replays (did_fold False) never retrigger it.
         if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
+            from risingwave_spark.streaming.mv import bump_chunk_base
+
+            pre = self.state._seq
             self.state.compact()
+            # keep changelog chunk ids monotonic across the seq reset
+            bump_chunk_base(self.changelog_dir, pre - self.state._seq)
 
         if self._full:
             # whole-partition kinds (percent_rank/cume_dist/ntile): an

@@ -193,6 +193,94 @@ def test_kafka_sink_debezium_and_upsert(spark, broker, client):
     assert ups == [("a", 5), ("b", 7), ("a", 8), ("b", None), ("c", 1)]
 
 
+def test_murmur2_matches_kafka_vectors():
+    """Kafka's DefaultPartitioner hash (Utils.murmur2) — exact test
+    vectors from the Kafka codebase's UtilsTest, so a Java consumer
+    sees this engine's keyed messages on the partitions it expects."""
+    from risingwave_spark.sources.kafka_wire import default_partition, murmur2
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    assert signed(murmur2(b"21")) == -973932308
+    assert signed(murmur2(b"foobar")) == -790332482
+    assert signed(murmur2(b"a-little-bit-long-string")) == -985981536
+    assert signed(murmur2(b"a-little-bit-longer-string")) == -1486304829
+    assert signed(murmur2(b"abc")) == 479470107
+    assert 0 <= default_partition(b"anything", 7) < 7
+
+
+def test_kafka_multi_partition_roundtrip(spark):
+    """Multi-partition topic: the sink routes each key via murmur2 to
+    ONE partition (per-key order preserved — Kafka's only ordering
+    guarantee), the source fetches every partition with independent
+    durable offsets, and the MV chain stays exact across polls."""
+    b = LoopbackKafkaBroker(num_partitions=4).start()
+    try:
+        bs = f"{b.host}:{b.port}"
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kmp_"))
+        eng.sql("CREATE TABLE mt (id int8 PRIMARY KEY, grp varchar, v int8)")
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mmv AS SELECT grp, sum(v) AS total "
+            "FROM mt GROUP BY grp"
+        )
+        eng.sql(
+            f"""CREATE SINK msink FROM mmv WITH (
+                connector = 'kafka', topic = 'mp_t',
+                properties.bootstrap.server = '{bs}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        for i in range(40):
+            eng.sql(f"INSERT INTO mt VALUES ({i}, 'g{i % 8}', {i})")
+        eng.sql("DELETE FROM mt WHERE id % 10 = 0")
+        # every key's messages live on exactly ONE partition, >1 used
+        c = KafkaWireClient(b.host, b.port)
+        seen: dict = {}
+        used = set()
+        for pid in range(4):
+            recs, _ = c.fetch("mp_t", pid, 0)
+            if recs:
+                used.add(pid)
+            for _o, _t, k, v in recs:
+                key = json.loads(k)["grp"]
+                assert seen.get(key, pid) == pid, f"key {key} split across partitions"
+                seen[key] = pid
+        assert len(used) > 1, "all keys landed on one partition"
+        # sink bytes reconstruct to the MV state (tombstone-aware)
+        want = {(r.grp, r.total) for r in eng.sql("SELECT grp, total FROM mmv").collect()}
+        state = {}
+        for pid in range(4):
+            recs, _ = c.fetch("mp_t", pid, 0)
+            for _o, _t, k, v in recs:
+                key = json.loads(k)["grp"]
+                if v is None:
+                    state.pop(key, None)
+                else:
+                    state[key] = json.loads(v)["total"]
+        assert {(k, v) for k, v in state.items()} == want
+        # multi-partition SOURCE: disjoint plain rows on each partition,
+        # per-partition durable offsets across polls
+        for pid in range(4):
+            c.produce("src_t", pid, [
+                (None, json.dumps({"id": pid * 100 + i, "v": i}).encode(), NOW)
+                for i in range(3)
+            ])
+        eng3 = Engine(spark, tempfile.mkdtemp(prefix="rw_kmp3_"))
+        eng3.sql(
+            f"""CREATE TABLE msrc (id int8 PRIMARY KEY, v int8)
+            WITH (connector = 'kafka', topic = 'src_t',
+                  properties.bootstrap.server = '{bs}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        assert eng3.sql("SELECT count(*) AS n FROM msrc").first().n == 12
+        c.produce("src_t", 2, [(None, json.dumps({"id": 999, "v": 9}).encode(), NOW)])
+        eng3.poll_sources()
+        assert eng3.sql("SELECT count(*) AS n FROM msrc").first().n == 13
+        c.close()
+    finally:
+        b.stop()
+
+
 def test_kafka_sink_needs_key_and_options(spark, broker):
     bs = f"{broker.host}:{broker.port}"
     eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kerr_"))

@@ -2840,6 +2840,38 @@ def test_create_mv_subquery_desugar(eng):
     assert _rows(eng.sql("SELECT * FROM sq_usc")) == [("A", 2), ("B", 1)]
 
 
+def test_subscription_survives_state_compaction(eng):
+    """State compaction RESETS ChunkedState._seq; changelog chunk ids
+    must stay monotonic across it (CHUNK_BASE) or post-compaction
+    chunks reuse already-acked ids and subscribers silently lose
+    deltas (round-8 regression found by the multi-partition kafka
+    sink test). Folds 2x compact_every batches through a live cursor
+    and reconstructs the MV exactly from the delivered chunks."""
+    eng.sql("CREATE TABLE cmp (k int8 PRIMARY KEY, g int8, v int8)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW cmp_mv AS SELECT g, sum(v) AS sv "
+        "FROM cmp GROUP BY g"
+    )
+    sub = eng.create_subscription("cmpsub", "cmp_mv")
+    state: dict = {}
+    n_delivered = 0
+    for i in range(36):  # compact_every = 16: crosses two compactions
+        eng.sql(f"INSERT INTO cmp VALUES ({i}, {i % 3}, {i})")
+        got = sub.fetch()
+        assert got is not None, f"lost delta at fold {i} (chunk id reused)"
+        df, tok = got
+        for r in sorted(df.collect(), key=lambda r: (r["__chunk"], r["__op"])):
+            if r["__op"] < 0:
+                state.pop(r["g"], None)
+            else:
+                state[r["g"]] = r["sv"]
+        n_delivered += 1
+        sub.ack(tok)
+    want = {r.g: r.sv for r in eng.sql("SELECT g, sv FROM cmp_mv").collect()}
+    assert state == want, (state, want)
+    assert n_delivered == 36
+
+
 def test_dynamic_filter_band_pruned_resplice(eng):
     """Range-pruned DynamicFilter re-splice (reference
     `dynamic_filter.rs:39`: a scalar MOVE re-evaluates only rows
