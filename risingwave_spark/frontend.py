@@ -553,7 +553,7 @@ def _attach_table_kafka(engine: "Engine", t, opts: dict, format_txt: str | None)
             "kafka table needs topic and properties.bootstrap.server options"
         )
     fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
-    if fmt not in ("debezium", "debezium_json", "plain", "json"):
+    if fmt not in ("debezium", "debezium_json", "plain", "json", "upsert"):
         raise ValueError(f"unsupported kafka ingest format {fmt!r}")
     t.connector = {"kafka": {"brokers": brokers, "topic": topic}, "format": fmt}
     _ingest_table_kafka(engine, t)
@@ -640,12 +640,45 @@ def _fold_kafka_records(engine: "Engine", t, row_schema, records: list) -> None:
     spark = engine.spark
     from pyspark.sql.types import StructField, StructType, StringType, LongType
 
+    fmt = t.connector["format"]
+    if fmt == "upsert":
+        # FORMAT UPSERT (reference `parser/upsert_parser.rs`): the KEY
+        # carries the pk; a null value is a compacted-topic tombstone
+        # (delete by key), a non-null value replaces the row. Within a
+        # poll the LAST op per key wins — compacted-topic semantics —
+        # and the −before side is recovered from the CURRENT snapshot
+        # so downstream MVs retract the exact stored row.
+        pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        ops: dict[tuple, str | None] = {}
+        for _off, _ts, k, v in records:
+            if k is None:
+                raise ValueError(
+                    f"kafka table {t.name!r}: FORMAT UPSERT requires keyed "
+                    "messages (the key is the primary key)"
+                )
+            key = tuple(_json.loads(k.decode()).get(c) for c in pk_cols)
+            ops[key] = v.decode() if v is not None else None
+        key_schema = StructType([f for f in row_schema.fields if f.name in pk_cols])
+        keys_df = spark.createDataFrame(
+            [(_json.dumps(dict(zip(pk_cols, key))),) for key in ops], "__k string"
+        ).select(F.from_json("__k", key_schema).alias("k")).select("k.*")
+        olds = t.snapshot().join(keys_df, pk_cols, "left_semi")
+        olds = olds.select(*[f.name for f in row_schema.fields])
+        news_raw = [v for v in ops.values() if v is not None]
+        if news_raw:
+            news = spark.createDataFrame(
+                [(s,) for s in news_raw], "__v string"
+            ).select(F.from_json("__v", row_schema).alias("r")).select("r.*")
+            batch = with_ops(olds, -1).unionByName(with_ops(news, 1))
+        else:
+            batch = with_ops(olds, -1)
+        engine._apply_dml(t.name, batch.localCheckpoint(eager=True))
+        return
     values = [
         v.decode() for (_o, _ts, _k, v) in records if v is not None
     ]
     if not values:
         return
-    fmt = t.connector["format"]
     if fmt in ("debezium", "debezium_json"):
         # A retraction of a key INSERTED EARLIER IN THE SAME POLL must
         # fold in a LATER batch (ChunkedState tombstones mask only

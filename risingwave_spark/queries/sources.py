@@ -661,3 +661,57 @@ def engine_sql_kafka_cdc(spark, sf_dir):
         return eng.sql("SELECT rk, n FROM knat_mv ORDER BY rk")
     finally:
         broker.stop()
+
+
+@register(
+    "src_kafka_upsert",
+    oracle="""
+SELECT p_brand AS brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz
+FROM part WHERE p_partkey <= 400 AND p_partkey % 9 <> 0
+GROUP BY p_brand ORDER BY brand
+""",
+)
+def src_kafka_upsert(spark, sf_dir):
+    """FORMAT UPSERT source closing the sink→topic→source loop
+    (reference `parser/upsert_parser.rs` + `sink/formatter/upsert.rs`):
+    engine A's agg MV streams upsert events (tombstones for vanished
+    groups) through the loopback broker; engine B consumes the SAME
+    topic into a pk table — last-per-key wins, tombstones delete — and
+    must reproduce A's MV exactly after insert AND delete rounds."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+
+    tables(spark, sf_dir)
+    broker = LoopbackKafkaBroker(num_partitions=2).start()
+    try:
+        bs = f"{broker.host}:{broker.port}"
+        a = Engine(spark, _tf.mkdtemp(prefix="rw_kua_"))
+        a.sql("CREATE TABLE pa (k int8 PRIMARY KEY, brand varchar, sz int8)")
+        a.sql(
+            "CREATE MATERIALIZED VIEW pam AS SELECT brand, count(*) AS n, "
+            "sum(sz) AS sz FROM pa GROUP BY brand"
+        )
+        a.sql(
+            f"""CREATE SINK pas FROM pam WITH (
+                connector = 'kafka', topic = 'up_t',
+                properties.bootstrap.server = '{bs}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        a.sql(
+            "INSERT INTO pa SELECT p_partkey, p_brand, p_size FROM part "
+            "WHERE p_partkey <= 400"
+        )
+        b = Engine(spark, _tf.mkdtemp(prefix="rw_kub_"))
+        b.sql(
+            f"""CREATE TABLE pb (brand varchar PRIMARY KEY, n int8, sz int8)
+            WITH (connector = 'kafka', topic = 'up_t',
+                  properties.bootstrap.server = '{bs}')
+            FORMAT UPSERT ENCODE JSON"""
+        )
+        a.sql("DELETE FROM pa WHERE k % 9 = 0")
+        b.poll_sources()
+        return b.sql("SELECT brand, n, sz FROM pb ORDER BY brand")
+    finally:
+        broker.stop()

@@ -281,6 +281,45 @@ def test_kafka_multi_partition_roundtrip(spark):
         b.stop()
 
 
+def test_kafka_upsert_source_closes_the_loop(spark, broker, client):
+    """FORMAT UPSERT source (reference `parser/upsert_parser.rs`): an
+    engine MV streams upsert events into the topic; a SECOND engine
+    consumes the topic into a pk table — tombstones delete, values
+    replace, last-per-key wins — and a downstream MV retracts exactly.
+    This is the full sink→topic→source loop on one wire."""
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kul_"))
+    eng.sql("CREATE TABLE ut (id int8 PRIMARY KEY, grp varchar, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW umv AS SELECT grp, sum(v) AS total FROM ut GROUP BY grp")
+    eng.sql(
+        f"""CREATE SINK usink FROM umv WITH (
+            connector = 'kafka', topic = 'loop_t',
+            properties.bootstrap.server = '{bs}'
+        ) FORMAT UPSERT ENCODE JSON"""
+    )
+    eng.sql("INSERT INTO ut VALUES (1,'a',5),(2,'b',7),(3,'a',3)")
+    eng2 = Engine(spark, tempfile.mkdtemp(prefix="rw_kul2_"))
+    eng2.sql(
+        f"""CREATE TABLE mirror (grp varchar PRIMARY KEY, total int8)
+        WITH (connector = 'kafka', topic = 'loop_t',
+              properties.bootstrap.server = '{bs}')
+        FORMAT UPSERT ENCODE JSON"""
+    )
+    eng2.sql("CREATE MATERIALIZED VIEW mn AS SELECT count(*) AS n, sum(total) AS st FROM mirror")
+
+    def mirror_rows():
+        return sorted(tuple(r) for r in eng2.sql("SELECT grp, total FROM mirror").collect())
+
+    assert mirror_rows() == [("a", 8), ("b", 7)]
+    # delete ALL of group b upstream → tombstone → mirror row vanishes
+    eng.sql("DELETE FROM ut WHERE grp = 'b'")
+    eng.sql("INSERT INTO ut VALUES (4,'a',2)")
+    eng2.poll_sources()
+    assert mirror_rows() == [("a", 10)]
+    r = eng2.sql("SELECT n, st FROM mn").first()
+    assert (r.n, r.st) == (1, 10)
+
+
 def test_kafka_sink_needs_key_and_options(spark, broker):
     bs = f"{broker.host}:{broker.port}"
     eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kerr_"))

@@ -480,9 +480,13 @@ def test_create_sink_filesystem_streams_changelog(eng, tmp_path, spark):
     for r in all_ops.collect():
         net[(r.k, r.v)] = net.get((r.k, r.v), 0) + r["__op"]
     assert {kv for kv, n in net.items() if n > 0} == {(2, 20), (3, 30)}
-    # gated sink connector fails loudly AT CREATION
-    with pytest.raises(NotImplementedError, match="jar"):
+    # kafka is un-gated (round 8, real wire client) but still fails
+    # loudly at creation without its broker options; jdbc stays
+    # jar-gated
+    with pytest.raises(ValueError, match="bootstrap"):
         eng.sql("CREATE SINK ksnk FROM smv WITH (connector='kafka', topic='t')")
+    with pytest.raises(NotImplementedError, match="jar"):
+        eng.sql("CREATE SINK jsnk FROM smv WITH (connector='jdbc', jdbc.url='x')")
     assert _rows(eng.sql("SHOW SINKS")) == [("snk",)]
 
 
