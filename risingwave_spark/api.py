@@ -1696,7 +1696,11 @@ class Engine:
         `CREATE TABLE ... WITH (connector='posix_fs') FORMAT DEBEZIUM`
         tables pick up files that appeared since the last poll; MVs
         downstream advance incrementally as with any DML)."""
-        from risingwave_spark.frontend import _ingest_table_files, _ingest_table_kafka
+        from risingwave_spark.frontend import (
+            _ingest_table_files,
+            _ingest_table_kafka,
+            _ingest_table_kinesis,
+        )
 
         for t in self.tables.values():
             conn = getattr(t, "connector", None)
@@ -1704,6 +1708,8 @@ class Engine:
                 continue
             if "kafka" in conn:
                 _ingest_table_kafka(self, t)
+            elif "kinesis" in conn:
+                _ingest_table_kinesis(self, t)
             else:
                 _ingest_table_files(self, t)
 

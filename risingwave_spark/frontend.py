@@ -510,11 +510,14 @@ def _attach_table_connector(engine: "Engine", t, opts: dict, format_txt: str | N
     if conn == "kafka":
         _attach_table_kafka(engine, t, opts, format_txt)
         return
-    if conn in ("kinesis", "pulsar", "mysql-cdc", "postgres-cdc"):
+    if conn == "kinesis":
+        _attach_table_kinesis(engine, t, opts, format_txt)
+        return
+    if conn in ("pulsar", "mysql-cdc", "postgres-cdc"):
         raise NotImplementedError(
             f"table connector {conn!r} needs its connector jar and a "
             "reachable broker/database; neither exists in this container. "
-            "Kafka (wire-protocol client) and file ingestion "
+            "Kafka/Kinesis (wire-protocol clients) and file ingestion "
             "(connector='posix_fs') are fully functional."
         )
     if conn not in ("posix_fs", "filesystem"):
@@ -734,6 +737,106 @@ def _fold_kafka_records(engine: "Engine", t, row_schema, records: list) -> None:
         rows = payloads.select(F.from_json("__v", row_schema).alias("r")).select("r.*")
         batch = with_ops(rows, 1).localCheckpoint(eager=True)
         engine._apply_dml(t.name, batch)
+
+
+def _kinesis_client_from_opts(opts: dict):
+    from risingwave_spark.sources.kinesis import KinesisClient
+
+    endpoint = opts.get("endpoint") or opts.get("aws.endpoint")
+    if not endpoint:
+        raise ValueError("kinesis connector needs an endpoint option")
+    return KinesisClient(
+        endpoint,
+        region=opts.get("aws.region", "us-east-1"),
+        access_key=opts.get("aws.credentials.access_key_id", "test"),
+        secret_key=opts.get("aws.credentials.secret_access_key", "test"),
+    )
+
+
+def _attach_table_kinesis(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+    """Kinesis-backed TABLE over the REAL AWS HTTP API with SigV4
+    signing (reference `src/connector/src/source/kinesis/`: per-shard
+    readers with sequence-number offsets; `handler/create_table.rs`
+    connector-backed tables). Same decode layer as kafka (plain /
+    debezium JSON values); per-shard sequence offsets persist in
+    KINESIS_OFFSETS beside the table state."""
+    stream = opts.get("stream")
+    if not stream:
+        raise ValueError("kinesis table needs a stream option")
+    fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
+    if fmt not in ("debezium", "debezium_json", "plain", "json", "upsert"):
+        raise ValueError(f"unsupported kinesis ingest format {fmt!r}")
+    _kinesis_client_from_opts(opts)  # option validation (endpoint present)
+    t.connector = {"kinesis": {"stream": stream, "opts": dict(opts)}, "format": fmt}
+    _ingest_table_kinesis(engine, t)
+
+
+def _ingest_table_kinesis(engine: "Engine", t) -> None:
+    """Per-shard GetRecords catch-up (the reference reader's iterator
+    poll loop), one fold per shard batch; offsets commit AFTER the fold
+    (chunk-granularity redelivery, same divergence as kafka/files)."""
+    import json as _json
+    import urllib.error
+
+    cfg = t.connector["kinesis"]
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "KINESIS_OFFSETS")
+    try:
+        with open(meta) as f:
+            offsets = _json.load(f).get(cfg["stream"], {})
+    except (FileNotFoundError, ValueError):
+        offsets = {}
+    try:
+        client = _kinesis_client_from_opts(cfg["opts"])
+        desc = client.describe_stream(cfg["stream"])
+    except (OSError, urllib.error.URLError):
+        return  # service unreachable: re-attach now, catch up on poll
+    per_shard: dict[str, list] = {}
+    for sh in desc["StreamDescription"]["Shards"]:
+        sid = sh["ShardId"]
+        it = client.get_shard_iterator(cfg["stream"], sid, offsets.get(sid))
+        recs: list = []
+        while True:
+            out = client.get_records(it)
+            got = out.get("Records", [])
+            recs.extend(got)
+            it = out.get("NextShardIterator")
+            if not got or not it:
+                break
+        if recs:
+            per_shard[sid] = recs
+            offsets[sid] = recs[-1]["SequenceNumber"]
+    if not per_shard:
+        return
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    # shard = Kinesis's ordering unit (per partition key): fold per
+    # shard in id order, reusing the kafka decode layer — records adapt
+    # to its (offset, ts, key, value) shape
+    for sid in sorted(per_shard):
+        # empty Data is the kinesis tombstone spelling (raw Kinesis has
+        # no null payloads) — adapt to the kafka layer's None value
+        adapted = [
+            (
+                int(r["SequenceNumber"]),
+                0,
+                r["PartitionKey"].encode(),
+                r["Data"] if r["Data"] else None,
+            )
+            for r in per_shard[sid]
+        ]
+        _fold_kafka_records(engine, t, row_schema, adapted)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({cfg["stream"]: offsets}, f)
+    os.replace(tmp, meta)
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:
@@ -4367,6 +4470,39 @@ class _KafkaSink:
             self.sub.ack(token)
 
 
+class _KinesisSink(_KafkaSink):
+    """Kinesis sink (reference `sink/kinesis.rs`: PutRecords with the
+    event key as the partition key — Kinesis's per-partition-key order
+    guarantee plays Kafka's per-partition role): same golden formatter
+    layer, records signed with SigV4 on the wire. A tombstone (None
+    value) ships as an explicit empty Data payload with the key — raw
+    Kinesis has no null-payload concept, so consumers treat Data='' as
+    the delete marker (documented; the reference's kinesis sink has the
+    same impedance and encodes deletes in the payload)."""
+
+    def __init__(self, engine, sub, opts: dict, stream: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.opts = dict(opts)
+        self.stream = stream
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        client = _kinesis_client_from_opts(self.opts)
+        records = []
+        for k, v in events:
+            kb = _json.dumps(k, sort_keys=True)
+            data = b"" if v is None else _json.dumps(v, sort_keys=True).encode()
+            records.append((kb, data))
+        client.put_records(self.stream, records)
+
+
 class _TableSink:
     """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
     sink-into-table; e2e_test/subscription/
@@ -4515,7 +4651,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
             "cluster: sources/__init__.py jdbc_upsert_sink."
         )
     path = None
-    if conn != "kafka":
+    if conn not in ("kafka", "kinesis"):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
         path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
@@ -4552,8 +4688,8 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
-    if conn == "kafka":
-        return _finish_create_kafka_sink(engine, ast, opts, name, src)
+    if conn in ("kafka", "kinesis"):
+        return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
     # subscription starts at the changelog HEAD (from_beginning=False):
@@ -4581,44 +4717,50 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     return _status(engine.spark, "CREATE_SINK")
 
 
-def _finish_create_kafka_sink(
-    engine: "Engine", ast: dict, opts: dict, name: str, src: str
+def _finish_create_broker_sink(
+    engine: "Engine", ast: dict, opts: dict, name: str, src: str, conn: str
 ) -> DataFrame:
-    """CREATE SINK ... WITH (connector='kafka', topic, bootstrap) FORMAT
+    """CREATE SINK ... WITH (connector='kafka'|'kinesis', ...) FORMAT
     DEBEZIUM/UPSERT/PLAIN ENCODE JSON (reference `handler/create_sink.rs`
-    SinkFormatDesc + `sink/kafka.rs`): subscribes to the source MV's
-    changelog and produces formatter events over the real wire protocol.
+    SinkFormatDesc + `sink/kafka.rs` / `sink/kinesis.rs`): subscribes to
+    the source MV's changelog and produces formatter events over the
+    real wire (Kafka protocol bytes / SigV4-signed Kinesis HTTP).
     Legacy `type = 'debezium'|'upsert'|'append-only'` WITH spellings map
     to the same formats. Bootstraps a fresh sink from the MV snapshot
     (the reference's snapshot-then-changelog start); a re-created sink
     resumes from its durable cursor."""
     import os as _os
 
-    brokers = (
-        opts.get("properties.bootstrap.server")
-        or opts.get("properties.bootstrap.servers")
-        or opts.get("bootstrap.servers")
-    )
-    topic = opts.get("topic")
-    if not brokers or not topic:
-        raise ValueError(
-            f"sink {name!r}: kafka sink needs topic and "
-            "properties.bootstrap.server options"
+    if conn == "kafka":
+        brokers = (
+            opts.get("properties.bootstrap.server")
+            or opts.get("properties.bootstrap.servers")
+            or opts.get("bootstrap.servers")
         )
+        topic = opts.get("topic")
+        if not brokers or not topic:
+            raise ValueError(
+                f"sink {name!r}: kafka sink needs topic and "
+                "properties.bootstrap.server options"
+            )
+    else:
+        topic = opts.get("stream")
+        if not topic:
+            raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
     fmt = (ast.get("format") or opts.get("type") or "debezium").strip().lower()
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
     enc = (ast.get("encode") or "json").strip().lower()
     if enc != "json":
-        raise ValueError(f"sink {name!r}: kafka sink ENCODE {enc!r} not supported (json only)")
+        raise ValueError(f"sink {name!r}: {conn} sink ENCODE {enc!r} not supported (json only)")
     h = engine.mv_handles[src]
     keys = list(getattr(h.view, "keys", None) or [])
     if opts.get("primary_key"):
         keys = [k.strip() for k in opts["primary_key"].split(",")]
     if not keys:
         raise ValueError(
-            f"sink {name!r}: kafka sink needs a keyed MV or a "
+            f"sink {name!r}: {conn} sink needs a keyed MV or a "
             "primary_key option (the key rides every message)"
         )
     out_cols = h.view.result()
@@ -4629,23 +4771,38 @@ def _finish_create_kafka_sink(
     log_dir = h.view.changelog_dir
     fresh = not _os.path.exists(_os.path.join(log_dir, f"CURSOR___sink_{name}"))
     sub = engine.create_subscription(f"__sink_{name}", src)
-    sink = _KafkaSink(
-        engine, sub, brokers, topic, fmt, fields, keys, db="rw", table=src
-    )
+    if conn == "kafka":
+        sink = _KafkaSink(
+            engine, sub, brokers, topic, fmt, fields, keys, db="rw", table=src
+        )
+    else:
+        sink = _KinesisSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     if not engine._replaying:
         # validate connectivity at CREATE (the reference sink does) —
-        # but never during catalog replay, where a down broker must not
+        # but never during catalog replay, where a down service must not
         # block recovery (the sink resumes from its durable cursor)
-        from risingwave_spark.sources.kafka_wire import KafkaWireClient
+        if conn == "kafka":
+            from risingwave_spark.sources.kafka_wire import KafkaWireClient
 
-        try:
-            probe = KafkaWireClient(sink.host, sink.port)
-        except OSError as e:
-            raise ValueError(
-                f"sink {name!r}: kafka broker {brokers!r} is unreachable"
-            ) from e
-        probe.metadata([topic])  # auto-creates / validates the topic
-        probe.close()
+            try:
+                probe = KafkaWireClient(sink.host, sink.port)
+            except OSError as e:
+                raise ValueError(
+                    f"sink {name!r}: kafka broker {brokers!r} is unreachable"
+                ) from e
+            probe.metadata([topic])  # auto-creates / validates the topic
+            probe.close()
+        else:
+            import urllib.error
+
+            try:
+                _kinesis_client_from_opts(opts).describe_stream(topic)
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: kinesis endpoint is unreachable"
+                ) from e
     engine.sinks[name] = sink
     if fresh:
         snap = h.view.result().collect()

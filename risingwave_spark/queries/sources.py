@@ -715,3 +715,57 @@ def src_kafka_upsert(spark, sf_dir):
         return b.sql("SELECT brand, n, sz FROM pb ORDER BY brand")
     finally:
         broker.stop()
+
+
+@register(
+    "src_kinesis_roundtrip",
+    oracle="""
+SELECT s_nationkey AS nk, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sk
+FROM supplier WHERE s_suppkey % 4 <> 0
+GROUP BY s_nationkey ORDER BY nk
+""",
+)
+def src_kinesis_roundtrip(spark, sf_dir):
+    """Kinesis source+sink over the REAL AWS HTTP API with verified
+    SigV4 signatures (reference `source/kinesis/`, `sink/kinesis.rs`):
+    supplier rows stream through an agg MV into a 2-shard loopback
+    stream (MD5 hash-range routing) as UPSERT events; a second engine
+    consumes the stream back — tombstones from the DELETE round must
+    remove vanished groups — and must match the batch twin."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.kinesis import LoopbackKinesis
+
+    tables(spark, sf_dir)
+    svc = LoopbackKinesis(shards=2, access_key="AK", secret_key="SK").start()
+    try:
+        o = (
+            f"endpoint = '{svc.endpoint}', aws.region = 'us-east-1', "
+            "aws.credentials.access_key_id = 'AK', "
+            "aws.credentials.secret_access_key = 'SK'"
+        )
+        a = Engine(spark, _tf.mkdtemp(prefix="rw_kna_"))
+        a.sql("CREATE TABLE sa (k int8 PRIMARY KEY, nk int8)")
+        a.sql(
+            "CREATE MATERIALIZED VIEW sam AS SELECT nk, count(*) AS n, "
+            "sum(k) AS sk FROM sa GROUP BY nk"
+        )
+        a.sql(
+            f"""CREATE SINK sas FROM sam WITH (
+                connector = 'kinesis', stream = 'sup_s', {o}
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        a.sql("INSERT INTO sa SELECT s_suppkey, s_nationkey FROM supplier")
+        b = Engine(spark, _tf.mkdtemp(prefix="rw_knb_"))
+        b.sql(
+            f"""CREATE TABLE sb (nk int8 PRIMARY KEY, n int8, sk int8)
+            WITH (connector = 'kinesis', stream = 'sup_s', {o})
+            FORMAT UPSERT ENCODE JSON"""
+        )
+        a.sql("DELETE FROM sa WHERE k % 4 = 0")
+        b.poll_sources()
+        return b.sql("SELECT nk, n, sk FROM sb ORDER BY nk")
+    finally:
+        svc.stop()
