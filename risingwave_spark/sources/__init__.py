@@ -1,11 +1,22 @@
-"""Connector layer — SURVEY.md §2.8 sources/sinks as thin builders over
-Spark's own format strings. The container has no brokers or external
-jars, so anything needing one is gated: the builder CONSTRUCTS the
-reader/writer (the part this engine owns); connectivity is deployment.
+"""Connector layer — SURVEY.md §2.8 sources/sinks.
+
+Two tiers:
+- REAL wire clients, fully functional in-sandbox (round 8): Kafka
+  (`kafka_wire.py` — protocol bytes, message-format-v2 RecordBatches,
+  CRC32C; loopback broker `kafka_broker.py`) and Kinesis
+  (`kinesis.py` — AWS HTTP API with genuine SigV4 signing; loopback
+  service verifying signatures). `CREATE TABLE/SINK connector=
+  'kafka'|'kinesis'` run end-to-end through frontend.py.
+- Thin builders over Spark's own format strings (this module): gated
+  on jars/endpoints the container lacks — the builder CONSTRUCTS the
+  reader/writer (the part this engine owns); connectivity is
+  deployment. The `kafka_source`/`kafka_sink` builders here remain the
+  Structured-Streaming (spark-sql-kafka jar) spelling for clusters
+  that have it; the wire clients are the jar-free path.
 
 Reference parity: `src/connector/src/source/` (Kafka/Kinesis/Pulsar/
-files), `src/connector/src/sink/` (Kafka/JDBC/files), parser/encoder
-formats (`parser/`, `sink/encoder/`).
+files), `src/connector/src/sink/` (Kafka/Kinesis/JDBC/files),
+parser/encoder formats (`parser/`, `sink/encoder/`).
 """
 
 from __future__ import annotations
