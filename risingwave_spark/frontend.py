@@ -4755,15 +4755,22 @@ def _finish_create_broker_sink(
     if enc != "json":
         raise ValueError(f"sink {name!r}: {conn} sink ENCODE {enc!r} not supported (json only)")
     h = engine.mv_handles[src]
-    keys = list(getattr(h.view, "keys", None) or [])
+    out_cols = h.view.result()
+    raw_keys = list(getattr(h.view, "keys", None) or [])
+    keys = [k for k in raw_keys if k in out_cols.columns]
     if opts.get("primary_key"):
         keys = [k.strip() for k in opts["primary_key"].split(",")]
     if not keys:
-        raise ValueError(
-            f"sink {name!r}: {conn} sink needs a keyed MV or a "
-            "primary_key option (the key rides every message)"
-        )
-    out_cols = h.view.result()
+        if raw_keys and not set(raw_keys) & set(out_cols.columns):
+            # SimpleAgg (no GROUP BY) MV: its key is the hidden
+            # constant — ONE logical row, so every message carries a
+            # constant {} key (one partition, correct upsert collapse)
+            keys = []
+        else:
+            raise ValueError(
+                f"sink {name!r}: {conn} sink needs a keyed MV or a "
+                "primary_key option (the key rides every message)"
+            )
     fields = [
         (c, _SPARK_TO_PG.get(t, "varchar")) for c, t in out_cols.dtypes
     ]

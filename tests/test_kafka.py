@@ -320,6 +320,63 @@ def test_kafka_upsert_source_closes_the_loop(spark, broker, client):
     assert (r.n, r.st) == (1, 10)
 
 
+def test_kafka_replay_tolerates_broker_down(spark):
+    """Engine.open must replay a catalog holding kafka tables and sinks
+    while the broker is UNREACHABLE: tables re-attach their durable
+    state, sinks resume their cursor, nothing raises — and the first
+    poll after the broker returns catches up (the reference reader
+    reconnects rather than failing recovery)."""
+    b = LoopbackKafkaBroker().start()
+    bs = f"{b.host}:{b.port}"
+    port = b.port
+    c = KafkaWireClient(b.host, b.port)
+    c.produce("rt_t", 0, [(None, json.dumps({"id": 1, "v": 10}).encode(), NOW)])
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_krd_"))
+    eng.sql(
+        f"""CREATE TABLE rt (id int8 PRIMARY KEY, v int8) WITH (
+            connector = 'kafka', topic = 'rt_t',
+            properties.bootstrap.server = '{bs}'
+        ) FORMAT PLAIN ENCODE JSON"""
+    )
+    eng.sql("CREATE MATERIALIZED VIEW rtm AS SELECT sum(v) AS sv FROM rt")
+    eng.sql(
+        f"""CREATE SINK rts FROM rtm WITH (
+            connector = 'kafka', topic = 'rt_out',
+            properties.bootstrap.server = '{bs}'
+        ) FORMAT UPSERT ENCODE JSON"""
+    )
+    c.close()
+    b.stop()
+    # broker gone: replay must succeed on durable state alone
+    eng2 = Engine.open(spark, eng.warehouse)
+    assert eng2.sql("SELECT sv FROM rtm").first().sv == 10
+    eng2.poll_sources()  # no-op, no raise
+    # DML with the broker down: the sink leaves its chunk un-acked
+    eng2.sql("INSERT INTO rt VALUES (2, 5)")
+    assert eng2.sql("SELECT sv FROM rtm").first().sv == 15
+    # broker returns ON THE SAME PORT: catch-up delivers the held chunk
+    b2 = LoopbackKafkaBroker(port=port).start()
+    try:
+        c2 = KafkaWireClient(b2.host, b2.port)
+        # the replacement FIXTURE starts with an empty log while the
+        # engine's durable offset is 1 (real brokers persist logs):
+        # pad offset 0 so the live record lands at the resume point
+        c2.produce("rt_t", 0, [
+            (None, json.dumps({"id": 99, "v": 0}).encode(), NOW),
+            (None, json.dumps({"id": 3, "v": 1}).encode(), NOW),
+        ])
+        eng2.sql("INSERT INTO rt VALUES (4, 100)")  # triggers sink drain
+        eng2.poll_sources()
+        assert eng2.sql("SELECT sv FROM rtm").first().sv == 116
+        recs, _ = c2.fetch("rt_out", 0, 0)
+        vals = [json.loads(v)["sv"] for _o, _t, _k, v in recs if v is not None]
+        # held chunk (15) and the new one (115/116 path) both arrive
+        assert 15 in vals and vals[-1] == 116
+        c2.close()
+    finally:
+        b2.stop()
+
+
 def test_kafka_sink_needs_key_and_options(spark, broker):
     bs = f"{broker.host}:{broker.port}"
     eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kerr_"))
