@@ -520,6 +520,16 @@ class TopNReadMv:
         delta = delta.localCheckpoint(eager=True)
         if not delta.take(1):
             return  # batch didn't move the top-k — no chunk, no forward
+        if batch_id is None:
+            # retouch-driven delta (now-tick): derive a deterministic id
+            # from the snapshot transition so a crash between a downstream
+            # apply_batch and the trailing _write_snap dedupes the replay
+            # instead of double-applying the same +rows (ADVICE r8). The
+            # id is the snapshot generation — strictly monotonic — scoped
+            # to this MV's own namespace so it never collides with an
+            # upstream batch-id sequence.
+            batch_id = ids[-1]
+            batch_ns = f"topn_retouch:{os.path.basename(self._dir or 'anon')}"
         if self._emit:
             # chunk id = snapshot transition id; overwrite-idempotent on
             # a replayed batch (same prev snapshot → same delta)
@@ -1702,16 +1712,35 @@ class Engine:
             _ingest_table_kinesis,
         )
 
+        errs: list[tuple[str, Exception]] = []
         for t in self.tables.values():
             conn = getattr(t, "connector", None)
             if not conn:
                 continue
-            if "kafka" in conn:
-                _ingest_table_kafka(self, t)
-            elif "kinesis" in conn:
-                _ingest_table_kinesis(self, t)
-            else:
-                _ingest_table_files(self, t)
+            # one failing table must not halt ingestion for the others
+            # (ADVICE r8: a mid-loop raise aborted every later connector
+            # table in the same poll); errors re-raise after the sweep
+            try:
+                if "kafka" in conn:
+                    _ingest_table_kafka(self, t)
+                elif "kinesis" in conn:
+                    _ingest_table_kinesis(self, t)
+                elif "mqtt" in conn:
+                    from risingwave_spark.frontend import _ingest_table_mqtt
+
+                    _ingest_table_mqtt(self, t)
+                else:
+                    _ingest_table_files(self, t)
+            except Exception as e:  # noqa: BLE001
+                errs.append((t.name, e))
+        if errs:
+            if len(errs) > 1:
+                names = ", ".join(n for n, _ in errs)
+                raise RuntimeError(
+                    f"poll_sources: ingest failed for tables [{names}]; "
+                    f"first error from {errs[0][0]!r} follows"
+                ) from errs[0][1]
+            raise errs[0][1]
 
     def create_subscription(self, name: str, mv_name: str, from_beginning: bool = False):
         """CREATE SUBSCRIPTION ... FROM mv (reference

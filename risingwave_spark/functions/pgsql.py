@@ -248,8 +248,24 @@ def pg_to_spark_sql(sql: str) -> str:
     # (int[]) pass through untouched.
     def _pg_subscript(base: str, idx: str) -> str:
         # one parenthesized expression, so a chained subscript re-scans
-        # on the trailing ')'
-        return f"(CASE WHEN ({idx}) >= 1 THEN try_element_at({base}, {idx}) END)"
+        # on the trailing ')'. The >= 1 guard is for PG's 1-based array
+        # contract — but it must not break MAP/string-key subscripts
+        # (`m['k']` would hit a string-vs-int compare that errors under
+        # ANSI — ADVICE r8): an integer literal keeps the static guard; a
+        # string literal is definitely a map key (no guard); any other
+        # expression guards through try_cast, so a non-numeric key falls
+        # back to the plain map lookup branch.
+        s = idx.strip()
+        if re.fullmatch(r"[-+]?\d+", s):
+            return f"(CASE WHEN ({idx}) >= 1 THEN try_element_at({base}, {idx}) END)"
+        if re.fullmatch(r"'(?:[^']|'')*'", s):
+            return f"try_element_at({base}, {idx})"
+        return (
+            f"(CASE WHEN try_cast(({idx}) AS double) IS NULL "
+            f"THEN try_element_at({base}, {idx}) "
+            f"WHEN try_cast(({idx}) AS double) >= 1 "
+            f"THEN try_element_at({base}, {idx}) END)"
+        )
 
     # keywords that can directly precede '(' without being a call head
     _kw_nofn = {

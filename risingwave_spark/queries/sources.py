@@ -769,3 +769,233 @@ def src_kinesis_roundtrip(spark, sf_dir):
         return b.sql("SELECT nk, n, sk FROM sb ORDER BY nk")
     finally:
         svc.stop()
+
+
+@register(
+    "src_kafka_avro_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS st, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sc
+FROM orders WHERE o_orderkey <= 500
+GROUP BY o_orderstatus ORDER BY st
+""",
+)
+def src_kafka_avro_roundtrip(spark, sf_dir):
+    """ENCODE AVRO through the kafka wire connector (reference
+    `src/connector/src/parser/avro/parser.rs` + Confluent envelope
+    `parser/schema_registry.rs`): rows avro-binary-encoded and
+    Confluent-framed against a registered schema id are consumed by
+    `CREATE TABLE ... FORMAT PLAIN ENCODE AVRO` resolving each record's
+    id against the schema registry; an agg MV maintains over them, a
+    second produce round arrives via poll_sources()."""
+    import json as _json  # noqa: F401
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.decoders import avro_encode_record, confluent_wrap
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+    from risingwave_spark.sources.schema_registry import FileSchemaRegistry
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+        .collect()
+    )
+    reg_dir = _tf.mkdtemp(prefix="rw_avreg_")
+    schema = [("k", "long"), ("st", "?string"), ("c", "long")]
+    sid = FileSchemaRegistry(reg_dir).register("avord_t-value", schema)
+    broker = LoopbackKafkaBroker().start()
+    try:
+        prod = KafkaWireClient(broker.host, broker.port)
+        enc = lambda r: (  # noqa: E731
+            None,
+            confluent_wrap(sid, avro_encode_record(
+                schema, {"k": r.o_orderkey, "st": r.o_orderstatus, "c": r.o_custkey}
+            )),
+            1700000000000,
+        )
+        half = len(rows) // 2
+        prod.produce("avord_t", 0, [enc(r) for r in rows[:half]])
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_kavs_"))
+        eng.sql(
+            f"""CREATE TABLE avord (k int8 PRIMARY KEY, st varchar, c int8)
+            WITH (connector = 'kafka', topic = 'avord_t',
+                  properties.bootstrap.server = '{broker.host}:{broker.port}',
+                  schema.registry = '{reg_dir}')
+            FORMAT PLAIN ENCODE AVRO"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW avord_mv AS SELECT st, count(*) AS n, "
+            "sum(c) AS sc FROM avord GROUP BY st"
+        )
+        prod.produce("avord_t", 0, [enc(r) for r in rows[half:]])
+        prod.close()
+        eng.poll_sources()
+        return eng.sql("SELECT st, n, sc FROM avord_mv ORDER BY st")
+    finally:
+        broker.stop()
+
+
+@register(
+    "src_kafka_protobuf_roundtrip",
+    oracle="""
+SELECT s_nationkey AS nk, count(*) AS n
+FROM supplier WHERE s_suppkey <= 200
+GROUP BY s_nationkey ORDER BY nk
+""",
+)
+def src_kafka_protobuf_roundtrip(spark, sf_dir):
+    """ENCODE PROTOBUF through the kafka wire connector (reference
+    `src/connector/src/parser/protobuf/parser.rs`, schema.location
+    flavor — bare proto messages, subject's latest schema from the
+    registry, field numbers = declared position)."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.decoders import proto_encode_message
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+    from risingwave_spark.sources.schema_registry import FileSchemaRegistry
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 200)
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    )
+    reg_dir = _tf.mkdtemp(prefix="rw_pbreg_")
+    schema = [("k", "int64"), ("nk", "int64")]
+    FileSchemaRegistry(reg_dir).register("pbsup_t-value", schema)
+    fields = {i + 1: (n, ty) for i, (n, ty) in enumerate(schema)}
+    broker = LoopbackKafkaBroker().start()
+    try:
+        prod = KafkaWireClient(broker.host, broker.port)
+        prod.produce("pbsup_t", 0, [
+            (None, proto_encode_message(fields, {"k": r.s_suppkey, "nk": r.s_nationkey}),
+             1700000000000)
+            for r in rows
+        ])
+        prod.close()
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_kpbs_"))
+        eng.sql(
+            f"""CREATE TABLE pbsup (k int8 PRIMARY KEY, nk int8)
+            WITH (connector = 'kafka', topic = 'pbsup_t',
+                  properties.bootstrap.server = '{broker.host}:{broker.port}',
+                  schema.registry = '{reg_dir}')
+            FORMAT PLAIN ENCODE PROTOBUF"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW pbsup_mv AS SELECT nk, count(*) AS n "
+            "FROM pbsup GROUP BY nk"
+        )
+        return eng.sql("SELECT nk, n FROM pbsup_mv ORDER BY nk")
+    finally:
+        broker.stop()
+
+
+@register(
+    "src_mqtt_roundtrip",
+    oracle="""
+SELECT p_brand AS brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz
+FROM part WHERE p_partkey <= 300
+GROUP BY p_brand ORDER BY brand
+""",
+)
+def src_mqtt_roundtrip(spark, sf_dir):
+    """MQTT source over the real 3.1.1 wire (reference
+    `src/connector/src/source/mqtt/`): a durable QoS-1 session queues
+    messages published while the engine is away; CREATE TABLE drains
+    nothing (subscription is fresh), poll_sources() folds the published
+    backlog PUBACK-by-segment, and a second publish round arrives via a
+    later poll — MQTT's persistent session playing kafka's durable
+    offsets."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.mqtt_broker import LoopbackMqttBroker
+    from risingwave_spark.sources.mqtt_wire import MqttClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["part"]
+        .filter(F.col("p_partkey") <= 300)
+        .select("p_partkey", "p_brand", "p_size")
+        .collect()
+    )
+    broker = LoopbackMqttBroker().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_msrc_"))
+        eng.sql(
+            f"""CREATE TABLE mpart (k int8 PRIMARY KEY, brand varchar, sz int8)
+            WITH (connector = 'mqtt', url = 'tcp://{broker.host}:{broker.port}',
+                  topic = 'parts/t')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mpart_mv AS SELECT brand, count(*) AS n, "
+            "sum(sz) AS sz FROM mpart GROUP BY brand"
+        )
+        pub = MqttClient(broker.host, broker.port, "qpub")
+        half = len(rows) // 2
+        for r in rows[:half]:
+            pub.publish("parts/t", _json.dumps(
+                {"k": r.p_partkey, "brand": r.p_brand, "sz": r.p_size}).encode(), qos=1)
+        pub.disconnect()
+        eng.poll_sources()
+        pub2 = MqttClient(broker.host, broker.port, "qpub2")
+        for r in rows[half:]:
+            pub2.publish("parts/t", _json.dumps(
+                {"k": r.p_partkey, "brand": r.p_brand, "sz": r.p_size}).encode(), qos=1)
+        pub2.disconnect()
+        eng.poll_sources()
+        return eng.sql("SELECT brand, n, sz FROM mpart_mv ORDER BY brand")
+    finally:
+        broker.stop()
+
+
+@register(
+    "sink_mqtt_roundtrip",
+    oracle="""
+SELECT n_nationkey AS k, n_regionkey AS rk FROM nation ORDER BY k
+""",
+)
+def sink_mqtt_roundtrip(spark, sf_dir):
+    """MQTT sink over the wire (reference `sink/mqtt.rs`, append-only):
+    an MV's inserts publish as QoS-1 JSON payloads; a durable subscriber
+    session reconstructs the rows from the broker — proving the
+    published bytes carry the MV content."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.mqtt_broker import LoopbackMqttBroker
+    from risingwave_spark.sources.mqtt_wire import MqttClient
+
+    tables(spark, sf_dir)
+    broker = LoopbackMqttBroker().start()
+    try:
+        sub = MqttClient(broker.host, broker.port, "watcher", clean_session=False)
+        sub.subscribe("nat/out", qos=1)
+        sub.disconnect()
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_msnk_"))
+        eng.sql("CREATE TABLE mn (k int8 PRIMARY KEY, rk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW mn_mv AS SELECT k, rk FROM mn")
+        eng.sql(
+            f"""CREATE SINK mn_sink FROM mn_mv WITH (
+                connector = 'mqtt', url = 'tcp://{broker.host}:{broker.port}',
+                topic = 'nat/out', force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO mn SELECT n_nationkey, n_regionkey FROM nation")
+        sub2 = MqttClient(broker.host, broker.port, "watcher", clean_session=False)
+        got = [_json.loads(pl) for _p, _t, pl in sub2.drain_backlog()]
+        sub2.disconnect()
+        return spark.createDataFrame(
+            [(g["k"], g["rk"]) for g in got], "k bigint, rk bigint"
+        ).orderBy("k")
+    finally:
+        broker.stop()

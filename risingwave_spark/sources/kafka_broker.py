@@ -187,15 +187,24 @@ class LoopbackKafkaBroker:
             for _ in range(nparts):
                 pid = r.i32()
                 fetch_offset = r.i64()
-                r.i32()  # partition max_bytes
+                part_max_bytes = r.i32()
                 with self._lock:
                     log = list(self._topic(topic, pid))
                 hwm = len(log)
                 if fetch_offset < hwm:
-                    slice_ = log[fetch_offset:]
-                    rs = encode_record_batch(
-                        [(k, v, ts) for ts, k, v in slice_], base_offset=fetch_offset
-                    )
+                    # honor the partition max_bytes cap like a real
+                    # broker: accumulate records until the estimated
+                    # wire size crosses it, always making ≥1 record of
+                    # progress (Kafka's own fetch contract) — this is
+                    # what lets the engine's segment-wise ingest bound
+                    # its per-poll memory
+                    slice_, size = [], 0
+                    for ts, k, v in log[fetch_offset:]:
+                        size += 70 + len(k or b"") + len(v or b"")
+                        if slice_ and size > part_max_bytes:
+                            break
+                        slice_.append((k, v, ts))
+                    rs = encode_record_batch(slice_, base_offset=fetch_offset)
                 else:
                     rs = b""
                 body += (

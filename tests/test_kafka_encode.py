@@ -1,0 +1,322 @@
+"""Round-9 kafka connector hardening: ENCODE AVRO/PROTOBUF through the
+wire connector (reference `src/connector/src/parser/avro/parser.rs`,
+`parser/protobuf/parser.rs`, Confluent envelope
+`parser/schema_registry.rs`), bounded segment-wise ingest (reference
+rate-limited source reader, `source_executor.rs`), the streamed
+CREATE SINK snapshot bootstrap, executor-side sink produce, and the
+FORMAT PLAIN force_append_only validation."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+
+from risingwave_spark.api import Engine
+from risingwave_spark.sources.decoders import (
+    avro_encode_record,
+    confluent_wrap,
+    proto_encode_message,
+)
+from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+from risingwave_spark.sources.kafka_wire import KafkaWireClient
+from risingwave_spark.sources.schema_registry import FileSchemaRegistry
+
+NOW = 1700000000000
+
+
+@pytest.fixture()
+def broker():
+    b = LoopbackKafkaBroker().start()
+    yield b
+    b.stop()
+
+
+@pytest.fixture()
+def client(broker):
+    c = KafkaWireClient(broker.host, broker.port)
+    yield c
+    c.close()
+
+
+def test_kafka_avro_source_with_schema_evolution(spark, broker, client):
+    """FORMAT PLAIN ENCODE AVRO: Confluent-framed payloads resolve
+    per-record against the registry — one topic interleaving TWO writer
+    schema versions decodes correctly (fields absent from the old
+    writer schema become NULL)."""
+    reg_dir = tempfile.mkdtemp(prefix="rw_reg_")
+    reg = FileSchemaRegistry(reg_dir)
+    v1 = [("id", "long"), ("name", "?string")]
+    v2 = [("id", "long"), ("name", "?string"), ("score", "?double")]
+    sid1 = reg.register("av_t-value", v1)
+    sid2 = reg.register("av_t-value", v2)
+    msgs = [
+        confluent_wrap(sid1, avro_encode_record(v1, {"id": 1, "name": "a"})),
+        confluent_wrap(sid2, avro_encode_record(v2, {"id": 2, "name": "b", "score": 1.5})),
+        confluent_wrap(sid1, avro_encode_record(v1, {"id": 3, "name": None})),
+    ]
+    client.produce("av_t", 0, [(None, m, NOW) for m in msgs])
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kavro_"))
+    eng.sql(
+        f"""CREATE TABLE at (id int8 PRIMARY KEY, name varchar, score float8)
+        WITH (connector = 'kafka', topic = 'av_t',
+              properties.bootstrap.server = '{broker.host}:{broker.port}',
+              schema.registry = '{reg_dir}')
+        FORMAT PLAIN ENCODE AVRO"""
+    )
+    rows = sorted(tuple(r) for r in eng.sql("SELECT id, name, score FROM at").collect())
+    assert rows == [(1, "a", None), (2, "b", 1.5), (3, None, None)]
+
+
+def test_kafka_protobuf_source(spark, broker, client):
+    """FORMAT PLAIN ENCODE PROTOBUF: bare proto messages (the
+    schema.location flavor) decoded with the subject's latest schema;
+    unknown trailing fields skip by wire type (proto3 forward compat)."""
+    reg_dir = tempfile.mkdtemp(prefix="rw_regp_")
+    reg = FileSchemaRegistry(reg_dir)
+    schema = [("id", "int64"), ("name", "string"), ("score", "double")]
+    reg.register("pb_t-value", schema)
+    fields = {i + 1: (n, t) for i, (n, t) in enumerate(schema)}
+    msgs = [
+        proto_encode_message(fields, {"id": 1, "name": "x", "score": 2.5}),
+        proto_encode_message(fields, {"id": 2, "name": "y", "score": None}),
+    ]
+    # a writer with an EXTRA field the reader doesn't know
+    wider = dict(fields)
+    wider[9] = ("extra", "string")
+    msgs.append(proto_encode_message(wider, {"id": 3, "name": "z", "score": 0.5, "extra": "?"}))
+    client.produce("pb_t", 0, [(None, m, NOW) for m in msgs])
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kpb_"))
+    eng.sql(
+        f"""CREATE TABLE pt (id int8 PRIMARY KEY, name varchar, score float8)
+        WITH (connector = 'kafka', topic = 'pb_t',
+              properties.bootstrap.server = '{broker.host}:{broker.port}',
+              schema.registry = '{reg_dir}')
+        FORMAT PLAIN ENCODE PROTOBUF"""
+    )
+    rows = sorted(tuple(r) for r in eng.sql("SELECT id, name, score FROM pt").collect())
+    assert rows == [(1, "x", 2.5), (2, "y", None), (3, "z", 0.5)]
+
+
+def test_kafka_avro_sink_source_loop(spark, broker, client):
+    """FORMAT UPSERT ENCODE AVRO both directions: the sink registers
+    {topic}-key/-value subjects and produces Confluent-framed records; a
+    second engine consumes them back through ENCODE AVRO — tombstones
+    delete, values replace. Closes the avro loop on one wire."""
+    reg_dir = tempfile.mkdtemp(prefix="rw_regl_")
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kal_"))
+    eng.sql("CREATE TABLE ut (id int8 PRIMARY KEY, grp varchar, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW umv AS SELECT grp, sum(v) AS total FROM ut GROUP BY grp")
+    eng.sql(
+        f"""CREATE SINK asink FROM umv WITH (
+            connector = 'kafka', topic = 'avloop_t',
+            properties.bootstrap.server = '{bs}',
+            schema.registry = '{reg_dir}'
+        ) FORMAT UPSERT ENCODE AVRO"""
+    )
+    eng.sql("INSERT INTO ut VALUES (1,'a',5),(2,'b',7),(3,'a',3)")
+    # raw topic bytes are genuinely Confluent-framed avro
+    recs, _ = client.fetch("avloop_t", 0, 0)
+    assert recs and all(k[0] == 0 for _o, _t, k, _v in recs)  # magic byte
+    reg = FileSchemaRegistry(reg_dir)
+    _sid, vschema = reg.latest("avloop_t-value")
+    assert [n for n, _ in vschema] == ["grp", "total"]
+    eng2 = Engine(spark, tempfile.mkdtemp(prefix="rw_kal2_"))
+    eng2.sql(
+        f"""CREATE TABLE mirror (grp varchar PRIMARY KEY, total int8)
+        WITH (connector = 'kafka', topic = 'avloop_t',
+              properties.bootstrap.server = '{bs}',
+              schema.registry = '{reg_dir}')
+        FORMAT UPSERT ENCODE AVRO"""
+    )
+
+    def mirror_rows():
+        return sorted(tuple(r) for r in eng2.sql("SELECT grp, total FROM mirror").collect())
+
+    assert mirror_rows() == [("a", 8), ("b", 7)]
+    eng.sql("DELETE FROM ut WHERE grp = 'b'")  # → avro tombstone
+    eng2.poll_sources()
+    assert mirror_rows() == [("a", 8)]
+
+
+def test_kafka_segmented_ingest_bounded(spark, broker, client):
+    """max.poll.records bounds each fold segment: a deep topic folds as
+    N bounded segments with the durable offset advancing monotonically
+    after EVERY segment (crash redelivers one segment, not the
+    backlog)."""
+    bs = f"{broker.host}:{broker.port}"
+    client.produce("deep_t", 0, [
+        (None, json.dumps({"id": i, "v": i}).encode(), NOW) for i in range(250)
+    ])
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kseg_"))
+    from risingwave_spark import frontend as _fr
+
+    folds: list[int] = []
+    committed: list[int] = []
+    orig_fold = _fr._fold_kafka_records
+    orig_commit = _fr._commit_offsets_file
+
+    def spy_fold(engine, t, schema, records):
+        folds.append(len(records))
+        return orig_fold(engine, t, schema, records)
+
+    def spy_commit(meta, key, offsets):
+        committed.append(offsets["0"] if isinstance(offsets, dict) else offsets)
+        return orig_commit(meta, key, offsets)
+
+    _fr._fold_kafka_records = spy_fold
+    _fr._commit_offsets_file = spy_commit
+    try:
+        eng.sql(
+            f"""CREATE TABLE dt (id int8 PRIMARY KEY, v int8)
+            WITH (connector = 'kafka', topic = 'deep_t',
+                  properties.bootstrap.server = '{bs}',
+                  max.poll.records = '60')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+    finally:
+        _fr._fold_kafka_records = orig_fold
+        _fr._commit_offsets_file = orig_commit
+    assert folds == [60, 60, 60, 60, 10], folds
+    assert committed == [60, 120, 180, 240, 250], committed
+    assert eng.sql("SELECT count(*) AS n, sum(v) AS s FROM dt").first()[:] == (
+        250, sum(range(250))
+    )
+
+
+def test_kafka_create_requires_pk_before_data(spark, broker):
+    """ADVICE r8: a PK-less broker table must fail at CREATE — even over
+    an EMPTY topic (previously it succeeded and blew up mid-poll once
+    data arrived, halting every other connector table in the loop)."""
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kpk_"))
+    with pytest.raises(Exception, match="PRIMARY KEY"):
+        eng.sql(
+            f"""CREATE TABLE nopk (id int8, v int8)
+            WITH (connector = 'kafka', topic = 'empty_t',
+                  properties.bootstrap.server = '{bs}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+    assert "nopk" not in eng.tables
+
+
+def test_poll_sources_isolates_failing_table(spark, broker, client):
+    """One failing connector table must not halt ingestion for the
+    others (ADVICE r8): the healthy table folds; the error re-raises
+    after the sweep."""
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kiso_"))
+    eng.sql(
+        f"""CREATE TABLE ka (id int8 PRIMARY KEY, v int8)
+        WITH (connector = 'kafka', topic = 'iso_a',
+              properties.bootstrap.server = '{bs}') FORMAT PLAIN ENCODE JSON"""
+    )
+    eng.sql(
+        f"""CREATE TABLE kb (id int8 PRIMARY KEY, v int8)
+        WITH (connector = 'kafka', topic = 'iso_b',
+              properties.bootstrap.server = '{bs}') FORMAT PLAIN ENCODE JSON"""
+    )
+    client.produce("iso_a", 0, [(None, b"{not json at all", NOW)])
+    client.produce("iso_b", 0, [(None, json.dumps({"id": 1, "v": 1}).encode(), NOW)])
+    # break table ka's ingest by pointing its topic at a bad broker
+    eng.tables["ka"].connector["kafka"]["brokers"] = "#badhost"
+    with pytest.raises(Exception):
+        eng.poll_sources()
+    # the healthy table still folded
+    assert eng.sql("SELECT count(*) AS n FROM kb").first().n == 1
+
+
+def test_sink_snapshot_bootstrap_is_streamed(spark, broker, client, monkeypatch):
+    """VERDICT r8 #1: the fresh-sink snapshot bootstrap must stream in
+    bounded slices (toLocalIterator), never one whole-MV collect — spy
+    pins the per-produce slice size; the topic reconstructs the MV."""
+    from risingwave_spark import frontend as _fr
+
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kboot_"))
+    eng.sql("CREATE TABLE bt (id int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW bmv AS SELECT id, v FROM bt WHERE v >= 0")
+    eng.sql(
+        "INSERT INTO bt VALUES "
+        + ",".join(f"({i},{i})" for i in range(1, 38))
+    )
+    monkeypatch.setattr(_fr, "_SINK_SNAPSHOT_SLICE", 10)
+    calls: list[int] = []
+    orig = _fr._KafkaSink._produce_events
+
+    def spy(self, events):
+        calls.append(len(events))
+        return orig(self, events)
+
+    monkeypatch.setattr(_fr._KafkaSink, "_produce_events", spy)
+    eng.sql(
+        f"""CREATE SINK bsink FROM bmv WITH (
+            connector = 'kafka', topic = 'boot_t',
+            properties.bootstrap.server = '{bs}'
+        ) FORMAT UPSERT ENCODE JSON"""
+    )
+    assert calls == [10, 10, 10, 7], calls  # bounded slices, not one collect
+    recs, _ = client.fetch("boot_t", 0, 0)
+    state = {json.loads(k)["id"]: json.loads(v)["v"] for _o, _t, k, v in recs}
+    assert state == {i: i for i in range(1, 38)}
+
+
+def test_kafka_sink_produce_runs_in_tasks(spark, broker, client, monkeypatch):
+    """Executor-side produce: after CREATE, chunk drains must never call
+    the DRIVER-side producer for a keyed MV — the spy driver method
+    raises; the topic still receives the events (produced by tasks)."""
+    from risingwave_spark import frontend as _fr
+
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kexec_"))
+    eng.sql("CREATE TABLE xt (id int8 PRIMARY KEY, grp varchar, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW xmv AS SELECT grp, sum(v) AS total FROM xt GROUP BY grp")
+    eng.sql(
+        f"""CREATE SINK xsink FROM xmv WITH (
+            connector = 'kafka', topic = 'exec_t',
+            properties.bootstrap.server = '{bs}'
+        ) FORMAT UPSERT ENCODE JSON"""
+    )  # empty MV → no bootstrap produce
+
+    def forbid(self, events):
+        raise AssertionError("driver-side produce called for a keyed chunk drain")
+
+    monkeypatch.setattr(_fr._KafkaSink, "_produce_events", forbid)
+    eng.sql("INSERT INTO xt VALUES (1,'a',5),(2,'b',7)")
+    eng.sql("DELETE FROM xt WHERE id = 2")
+    recs, _ = client.fetch("exec_t", 0, 0)
+    state = {}
+    for _o, _t, k, v in recs:
+        key = json.loads(k)["grp"]
+        if v is None:
+            state.pop(key, None)
+        else:
+            state[key] = json.loads(v)["total"]
+    assert state == {"a": 5}
+
+
+def test_kafka_plain_sink_requires_force_append_only(spark, broker, client):
+    """ADVICE r8: FORMAT PLAIN on a retracting MV raises at CREATE; with
+    force_append_only='true' it emits inserts only (documented
+    superset)."""
+    bs = f"{broker.host}:{broker.port}"
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kpl_"))
+    eng.sql("CREATE TABLE plt (id int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW plmv AS SELECT id, v FROM plt WHERE v > 0")
+    with pytest.raises(Exception, match="append"):
+        eng.sql(
+            f"CREATE SINK p1 FROM plmv WITH (connector='kafka', topic='pl_t', "
+            f"properties.bootstrap.server='{bs}') FORMAT PLAIN ENCODE JSON"
+        )
+    eng.sql(
+        f"CREATE SINK p2 FROM plmv WITH (connector='kafka', topic='pl_t', "
+        f"properties.bootstrap.server='{bs}', force_append_only='true') "
+        "FORMAT PLAIN ENCODE JSON"
+    )
+    eng.sql("INSERT INTO plt VALUES (1, 5)")
+    eng.sql("DELETE FROM plt WHERE id = 1")  # dropped by PLAIN (forced)
+    recs, _ = client.fetch("pl_t", 0, 0)
+    vals = [json.loads(v) for _o, _t, _k, v in recs if v is not None]
+    assert vals == [{"id": 1, "v": 5}]
