@@ -395,6 +395,19 @@ class _MvJoinFeed:
             self._join.apply(right=b, batch_id=batch_id, batch_ns=batch_ns)
 
 
+class _TopNDeltaProbe:
+    """Sits in the inner view's downstream list and captures each fold's
+    OUTPUT changelog — the frame the TopN wrapper's threshold skip tests
+    (it must test output rows, not the upstream input batch, because the
+    order expressions are bound over the MV's output columns)."""
+
+    def __init__(self):
+        self.last: DataFrame | None = None
+
+    def apply_batch(self, batch: DataFrame, batch_id=None, batch_ns=None) -> None:
+        self.last = batch
+
+
 class TopNReadMv:
     """MV whose body ends in ``ORDER BY ... LIMIT k`` (reference TopN
     executor, `top_n/top_n_state.rs` — state holds ALL rows; the
@@ -426,6 +439,10 @@ class TopNReadMv:
         self._dir = state_dir
         self._downstream: list = []
         self._emit = False
+        self._probe: "_TopNDeltaProbe | None" = None
+        # metrics: threshold-cache skips vs full ordered-state diffs
+        self._skips = 0
+        self._full_diffs = 0
 
     def result(self) -> DataFrame:
         df = self._inner.result()
@@ -490,16 +507,144 @@ class TopNReadMv:
 
         base = os.path.join(self._dir, "snap")
         df.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"s{sid}"))
+        self._write_threshold(sid, df)
         for old in self._snap_ids()[:-2]:  # keep last 2 generations
             shutil.rmtree(os.path.join(base, f"s{old}"), ignore_errors=True)
 
+    # ---- k-th-row threshold cache (top_n/top_n_cache.rs) -------------
+    @staticmethod
+    def _enc_th(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, bool):
+            return ["b", v]
+        if isinstance(v, int):
+            return ["i", v]
+        if isinstance(v, float):
+            return ["f", v]
+        if isinstance(v, str):
+            return ["s", v]
+        if isinstance(v, decimal.Decimal):
+            return ["d", str(v)]
+        if isinstance(v, datetime.datetime):
+            return ["ts", v.isoformat()]
+        if isinstance(v, datetime.date):
+            return ["dt", v.isoformat()]
+        return None  # unsupported order-key type → no threshold
+
+    @staticmethod
+    def _dec_th(tag, raw):
+        import datetime
+        import decimal
+
+        return {
+            "b": lambda: bool(raw),
+            "i": lambda: int(raw),
+            "f": lambda: float(raw),
+            "s": lambda: raw,
+            "d": lambda: decimal.Decimal(raw),
+            "ts": lambda: datetime.datetime.fromisoformat(raw),
+            "dt": lambda: datetime.date.fromisoformat(raw),
+        }[tag]()
+
+    def _write_threshold(self, sid: int, df: DataFrame) -> None:
+        """Persist the k-th row's order-key values beside the snapshot
+        (reference `top_n/top_n_cache.rs` keeps the cached head for the
+        same reason): a later batch whose rows ALL order strictly after
+        it provably can't move the top-k — the membership diff skips
+        the full ordered state scan. Written only when the snapshot is
+        FULL (k rows, else any insert can enter) with non-NULL,
+        serializable order keys; absence = always take the full path."""
+        import functools
+        import json as _json
+
+        if self._limit is None:
+            return
+        try:
+            rows = df.select(
+                *[F.expr(e).alias(f"__o{i}") for i, (e, _a) in enumerate(self._order)]
+            ).collect()  # O(k) rows
+        except Exception:  # noqa: BLE001 - exotic order expr: no threshold
+            return
+        path = os.path.join(self._dir, "snap", f"s{sid}", "_THRESHOLD.json")
+        if len(rows) < self._limit or any(v is None for r in rows for v in r):
+            return
+        order = self._order
+
+        def cmp(a, b):
+            for i, (_e, asc) in enumerate(order):
+                x, y = a[i], b[i]
+                if x == y:
+                    continue
+                return (-1 if x < y else 1) * (1 if asc else -1)
+            return 0
+
+        worst = max(rows, key=functools.cmp_to_key(cmp))
+        vals = [self._enc_th(v) for v in worst]
+        if any(v is None for v in vals):
+            return
+        with open(path, "w") as f:
+            _json.dump(vals, f)
+
+    def _read_threshold(self, sid: int):
+        import json as _json
+
+        try:
+            with open(os.path.join(self._dir, "snap", f"s{sid}", "_THRESHOLD.json")) as f:
+                return [self._dec_th(t, r) for t, r in _json.load(f)]
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _delta_cant_cross(self, delta: DataFrame, sid: int) -> bool:
+        """True iff EVERY row of the batch's output delta orders
+        STRICTLY after the persisted k-th-row threshold — then no
+        insert can enter the top-k and no delete can leave it (ties are
+        conservative: a full tie counts as crossing). NULL order keys
+        count as crossing (conservative under pg null ordering)."""
+        th = self._read_threshold(sid)
+        if th is None:
+            return False
+        try:
+            pred = F.lit(False)
+            for (e, asc), tv in reversed(list(zip(self._order, th))):
+                col = F.expr(e)
+                strict = col > F.lit(tv) if asc else col < F.lit(tv)
+                pred = strict | ((col == F.lit(tv)) & pred)
+            may_cross = delta.filter(~F.coalesce(pred, F.lit(False)))
+            return not may_cross.take(1)
+        except Exception:  # noqa: BLE001 - expr not valid on the delta
+            return False
+
+    def _ensure_probe(self) -> None:
+        """Attach the inner view's output-changelog probe once consumers
+        exist: the threshold skip (reference `top_n/top_n_cache.rs` —
+        cached head, O(log n) per update) tests the batch's OUTPUT delta
+        against the persisted k-th-row threshold and skips the full
+        TakeOrderedAndProject when no row can enter or leave the
+        top-k."""
+        if (
+            self._probe is None
+            and self._limit is not None
+            and (self._downstream or self._emit)
+            and hasattr(self._inner, "downstream")
+        ):
+            self._probe = _TopNDeltaProbe()
+            self._inner.downstream.append(self._probe)
+
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
+        self._ensure_probe()
+        if self._probe is not None:
+            self._probe.last = None
         self._inner.apply_batch(batch, batch_id=batch_id, batch_ns=batch_ns)
         self._emit_membership_delta(batch_id=batch_id, batch_ns=batch_ns)
 
     def retouch(self, affected: DataFrame) -> None:
         # Now-executor tick (temporal-filter MVs): time moving can also
         # move rows in/out of the top-k
+        self._ensure_probe()
+        if self._probe is not None:
+            self._probe.last = None
         self._inner.retouch(affected)
         self._emit_membership_delta()
 
@@ -512,6 +657,15 @@ class TopNReadMv:
         if not ids:  # consumer attached without seeding — seed, no delta
             self.ensure_topk_feed()
             return
+        delta_probe = self._probe.last if self._probe is not None else None
+        if delta_probe is not None and self._delta_cant_cross(delta_probe, ids[-1]):
+            # threshold skip (top_n_cache.rs): the batch's whole output
+            # delta orders strictly after the cached k-th row — top-k
+            # membership provably unchanged, NO ordered state scan, no
+            # snapshot flip
+            self._skips += 1
+            return
+        self._full_diffs += 1
         prev = self.spark.read.parquet(os.path.join(self._dir, "snap", f"s{ids[-1]}"))
         new = self.result().localCheckpoint(eager=True)
         delta = with_ops(prev.exceptAll(new), -1).unionByName(

@@ -2015,6 +2015,66 @@ def test_topn_mv_changelog_consumers(spark, tmp_path):
     ]
 
 
+def test_topn_threshold_cache_skips_state_scan(spark, tmp_path):
+    """VERDICT r8 #3 / reference `top_n/top_n_cache.rs` (cached head):
+    the TopN wrapper persists the k-th row's order keys beside the
+    snapshot; a batch whose OUTPUT delta orders strictly after it skips
+    the full TakeOrderedAndProject state scan entirely (spy: the skip
+    counter moves, the full-diff counter doesn't). Threshold-crossing
+    inserts AND deletes take the full path and stay exact."""
+    wh = str(tmp_path / "wh_tth")
+    eng = Engine(spark, wh)
+    eng.sql(
+        """
+        CREATE TABLE tth (id int8 PRIMARY KEY, v int8);
+        CREATE MATERIALIZED VIEW tth_top AS
+        SELECT id, v FROM tth ORDER BY v, id LIMIT 3;
+        CREATE MATERIALIZED VIEW tth_n AS
+        SELECT count(*) AS n, sum(v) AS sv FROM tth_top
+        """
+    )
+    eng.sql("INSERT INTO tth VALUES (1,10),(2,20),(3,30),(4,40),(5,50)")
+    assert _rows(eng.sql("SELECT n, sv FROM tth_n")) == [(3, 60)]  # 10+20+30
+    view = eng.mv_handles["tth_top"].view
+    base_skips, base_full = view._skips, view._full_diffs
+    # every row orders strictly after the k-th (v=30): ZERO state scans
+    eng.sql("INSERT INTO tth VALUES (6,60),(7,70)")
+    assert view._skips == base_skips + 1 and view._full_diffs == base_full
+    assert _rows(eng.sql("SELECT n, sv FROM tth_n")) == [(3, 60)]
+    # a crossing insert takes the full path and the delta is exact
+    eng.sql("INSERT INTO tth VALUES (8,5)")
+    assert view._full_diffs == base_full + 1
+    assert _rows(eng.sql("SELECT n, sv FROM tth_n")) == [(3, 35)]  # 5+10+20
+    # a delete of a top-k member crosses: next-best surfaces from state
+    eng.sql("DELETE FROM tth WHERE id = 8")
+    assert view._full_diffs == base_full + 2
+    assert _rows(eng.sql("SELECT n, sv FROM tth_n")) == [(3, 60)]
+    # a delete strictly after the threshold skips again
+    skips_now = view._skips
+    eng.sql("DELETE FROM tth WHERE id = 7")
+    assert view._skips == skips_now + 1 and view._full_diffs == base_full + 2
+    assert _rows(eng.sql("SELECT n, sv FROM tth_n")) == [(3, 60)]
+    # a tie on v resolved by the id tiebreak (9 > 3) is still strictly
+    # after the k-th row lexicographically — provably outside, skip
+    eng.sql("INSERT INTO tth VALUES (9,30)")
+    assert view._skips == skips_now + 2 and view._full_diffs == base_full + 2
+    assert _rows(eng.sql("SELECT n, sv FROM tth_n")) == [(3, 60)]
+    # a FULL tie (order lacks a unique tiebreak) is conservative: the
+    # tying row could displace the k-th member, so the full path runs
+    eng.sql(
+        """
+        CREATE MATERIALIZED VIEW tth_top2 AS
+        SELECT id, v FROM tth ORDER BY v LIMIT 3;
+        CREATE MATERIALIZED VIEW tth_n2 AS SELECT count(*) AS n FROM tth_top2
+        """
+    )
+    view2 = eng.mv_handles["tth_top2"].view
+    f2, s2 = view2._full_diffs, view2._skips
+    eng.sql("INSERT INTO tth VALUES (10,30)")  # ties the k-th row's only key
+    assert view2._full_diffs == f2 + 1 and view2._skips == s2
+    assert _rows(eng.sql("SELECT n FROM tth_n2")) == [(3,)]
+
+
 def test_project_set_mv(eng):
     """ProjectSet on a changelog (reference `project_set.rs` streaming,
     e2e_test/streaming/project_set.slt): unnest in an MV body — one
