@@ -522,7 +522,7 @@ def _attach_table_connector(
         _attach_table_kafka(engine, t, opts, format_txt, encode_txt)
         return
     if conn == "kinesis":
-        _attach_table_kinesis(engine, t, opts, format_txt)
+        _attach_table_kinesis(engine, t, opts, format_txt, encode_txt)
         return
     if conn == "mqtt":
         _attach_table_mqtt(engine, t, opts, format_txt)
@@ -583,8 +583,11 @@ def _attach_table_kafka(
     _ingest_table_kafka(engine, t)
 
 
-def _attach_encode(t, opts: dict, encode_txt: str | None, fmt: str) -> None:
-    """ENCODE AVRO / PROTOBUF on a kafka-backed table (reference
+def _attach_encode(
+    t, opts: dict, encode_txt: str | None, fmt: str,
+    default_subject: str | None = None,
+) -> None:
+    """ENCODE AVRO / PROTOBUF on a kafka/kinesis-backed table (reference
     `src/connector/src/parser/avro/parser.rs`,
     `parser/protobuf/parser.rs`, Confluent envelope
     `parser/schema_registry.rs`): AVRO payloads arrive Confluent-framed
@@ -619,7 +622,9 @@ def _attach_encode(t, opts: dict, encode_txt: str | None, fmt: str) -> None:
         )
     t.connector["encode"] = enc
     t.connector["registry"] = registry
-    t.connector["subject"] = opts.get("subject") or f"{t.connector['kafka']['topic']}-value"
+    if default_subject is None:
+        default_subject = f"{t.connector['kafka']['topic']}-value"
+    t.connector["subject"] = opts.get("subject") or default_subject
 
 
 def _decode_records_to_json(t, records: list) -> list:
@@ -657,8 +662,16 @@ def _decode_records_to_json(t, records: list) -> list:
         if enc == "avro":
             kj = None
             if k is not None:
-                ksid, kpayload = confluent_unwrap(k)
-                kj = _json_dumps(avro_decode_record(reg.get(ksid), kpayload)).encode()
+                try:
+                    ksid, kpayload = confluent_unwrap(k)
+                    kj = _json_dumps(
+                        avro_decode_record(reg.get(ksid), kpayload)
+                    ).encode()
+                except ValueError:
+                    # not Confluent-framed (e.g. a kinesis PartitionKey,
+                    # which is plain JSON): pass through to the JSON
+                    # fold layer unchanged
+                    kj = k
             vj = None
             if v is not None:
                 vsid, vpayload = confluent_unwrap(v)
@@ -887,7 +900,10 @@ def _kinesis_client_from_opts(opts: dict):
     )
 
 
-def _attach_table_kinesis(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+def _attach_table_kinesis(
+    engine: "Engine", t, opts: dict, format_txt: str | None,
+    encode_txt: str | None = None,
+) -> None:
     """Kinesis-backed TABLE over the REAL AWS HTTP API with SigV4
     signing (reference `src/connector/src/source/kinesis/`: per-shard
     readers with sequence-number offsets; `handler/create_table.rs`
@@ -902,6 +918,10 @@ def _attach_table_kinesis(engine: "Engine", t, opts: dict, format_txt: str | Non
         raise ValueError(f"unsupported kinesis ingest format {fmt!r}")
     _kinesis_client_from_opts(opts)  # option validation (endpoint present)
     t.connector = {"kinesis": {"stream": stream, "opts": dict(opts)}, "format": fmt}
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    _attach_encode(t, opts, encode_txt, fmt, default_subject=f"{stream}-value")
     _ingest_table_kinesis(engine, t)
 
 

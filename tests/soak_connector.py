@@ -1,0 +1,108 @@
+"""Connector ingest soak (round 9, VERDICT #8): fold a deep Kafka
+backlog through source → grouped-agg MV → upsert sink at three
+max.poll.records settings and record throughput plus the PYTHON driver
+RSS ceiling (ru_maxrss of this process — the Python side is where the
+old unbounded `recs.extend` buffered; the JVM is a separate process).
+
+Run one cap per invocation so ru_maxrss is an honest per-cap ceiling:
+
+    for cap in 2000 10000 60000; do
+        python tests/soak_connector.py --cap $cap --rows 60000
+    done
+
+Each run prints ONE JSON line; paste results into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=int, default=10000)
+    ap.add_argument("--rows", type=int, default=60000)
+    ap.add_argument("--groups", type=int, default=500)
+    args = ap.parse_args()
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.session import get_spark
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    spark = get_spark("rw_connector_soak", cpus="8")
+    broker = LoopbackKafkaBroker().start()
+    try:
+        prod = KafkaWireClient(broker.host, broker.port)
+        # deep backlog BEFORE the table exists (recovery-after-downtime
+        # shape); keys shift per row — no same-key densification
+        t0 = time.time()
+        for base in range(0, args.rows, 5000):
+            prod.produce("soak_t", 0, [
+                (None, json.dumps(
+                    {"id": i, "grp": i % args.groups, "v": i % 97}).encode(),
+                 1700000000000)
+                for i in range(base, min(base + 5000, args.rows))
+            ])
+        prod.close()
+        produce_s = time.time() - t0
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_soak_"))
+        # warm the Spark/py4j machinery so ru_maxrss deltas attribute to
+        # ingest, not first-query JIT/session setup
+        eng.sql("CREATE TABLE skt_warm (id int8 PRIMARY KEY)")
+        eng.sql("INSERT INTO skt_warm VALUES (1)")
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.time()
+        eng.sql(
+            f"""CREATE TABLE skt (id int8 PRIMARY KEY, grp int8, v int8)
+            WITH (connector = 'kafka', topic = 'soak_t',
+                  properties.bootstrap.server = '{broker.host}:{broker.port}',
+                  max.poll.records = '{args.cap}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW soak_mv AS SELECT grp, count(*) AS n, "
+            "sum(v) AS sv FROM skt GROUP BY grp"
+        )
+        eng.sql(
+            f"""CREATE SINK soak_sink FROM soak_mv WITH (
+                connector = 'kafka', topic = 'soak_out',
+                properties.bootstrap.server = '{broker.host}:{broker.port}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        ingest_s = time.time() - t0
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        n = eng.sql("SELECT count(*) AS n FROM skt").first().n
+        assert n == args.rows, f"ingested {n} != {args.rows}"
+        g = eng.sql("SELECT count(*) AS g FROM soak_mv").first().g
+        cons = KafkaWireClient(broker.host, broker.port)
+        recs, _ = cons.fetch("soak_out", 0, 0, max_bytes=64 << 20)
+        cons.close()
+        out = json.dumps({
+            "cap": args.cap, "rows": args.rows, "groups_in_mv": g,
+            "ingest_sec": round(ingest_s, 2),
+            "rows_per_sec": round(args.rows / ingest_s),
+            "produce_sec": round(produce_s, 2),
+            "py_rss_before_mb": rss_before // 1024,
+            "py_rss_peak_mb": rss_after // 1024,
+            "sink_events": len(recs),
+        })
+        # file, not stdout: Spark progress bars mangle stdout lines
+        with open(f"/tmp/soak_connector_cap{args.cap}.json", "w") as f:
+            f.write(out + "\n")
+        print(out)
+    finally:
+        broker.stop()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

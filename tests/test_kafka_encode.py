@@ -320,3 +320,38 @@ def test_kafka_plain_sink_requires_force_append_only(spark, broker, client):
     recs, _ = client.fetch("pl_t", 0, 0)
     vals = [json.loads(v) for _o, _t, _k, v in recs if v is not None]
     assert vals == [{"id": 1, "v": 5}]
+
+
+def test_kinesis_avro_source(spark):
+    """ENCODE AVRO on the kinesis table path: Confluent-framed Data
+    payloads resolve against the registry through the shared decode
+    layer; the plain-JSON PartitionKey passes through untouched."""
+    from risingwave_spark.sources.kinesis import KinesisClient, LoopbackKinesis
+
+    svc = LoopbackKinesis(shards=1, access_key="AK", secret_key="SK").start()
+    try:
+        reg_dir = tempfile.mkdtemp(prefix="rw_regk_")
+        reg = FileSchemaRegistry(reg_dir)
+        schema = [("id", "long"), ("v", "?long")]
+        sid = reg.register("ks_av-value", schema)
+        client = KinesisClient(svc.endpoint, access_key="AK", secret_key="SK")
+        client.put_records("ks_av", [
+            (json.dumps({"id": i}),
+             confluent_wrap(sid, avro_encode_record(schema, {"id": i, "v": i * 3})))
+            for i in range(1, 8)
+        ])
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_kinav_"))
+        eng.sql(
+            f"""CREATE TABLE kav (id int8 PRIMARY KEY, v int8)
+            WITH (connector = 'kinesis', stream = 'ks_av',
+                  endpoint = '{svc.endpoint}', aws.region = 'us-east-1',
+                  aws.credentials.access_key_id = 'AK',
+                  aws.credentials.secret_access_key = 'SK',
+                  schema.registry = '{reg_dir}')
+            FORMAT PLAIN ENCODE AVRO"""
+        )
+        assert eng.sql("SELECT count(*) AS n, sum(v) AS s FROM kav").first()[:] == (
+            7, 3 * sum(range(1, 8))
+        )
+    finally:
+        svc.stop()
