@@ -1883,6 +1883,10 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_mqtt
 
                     _ingest_table_mqtt(self, t)
+                elif "nats" in conn:
+                    from risingwave_spark.frontend import _ingest_table_nats
+
+                    _ingest_table_nats(self, t)
                 else:
                     _ingest_table_files(self, t)
             except Exception as e:  # noqa: BLE001

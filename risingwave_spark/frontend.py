@@ -422,7 +422,7 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
             "retention_seconds requires the table to be APPEND ONLY "
             "(TTL expiry cannot coexist with retractions)"
         )
-    if opts.get("connector", "").lower() in ("kafka", "kinesis", "mqtt") and not user_pk:
+    if opts.get("connector", "").lower() in ("kafka", "kinesis", "mqtt", "nats") and not user_pk:
         # validate at CREATE, not at the first non-empty poll (ADVICE r8):
         # a PK-less broker table would otherwise succeed over an empty
         # topic and then blow up mid-ingest once data arrives
@@ -526,6 +526,9 @@ def _attach_table_connector(
         return
     if conn == "mqtt":
         _attach_table_mqtt(engine, t, opts, format_txt)
+        return
+    if conn == "nats":
+        _attach_table_nats(engine, t, opts, format_txt)
         return
     if conn in ("pulsar", "mysql-cdc", "postgres-cdc"):
         raise NotImplementedError(
@@ -1090,6 +1093,112 @@ def _ingest_table_mqtt(engine: "Engine", t) -> None:
         flush()
     finally:
         c.disconnect()
+
+
+def _nats_endpoint(opts: dict) -> tuple[str, int]:
+    url = opts.get("server_url")
+    if not url:
+        raise ValueError("nats connector needs a server_url option (nats://host:port)")
+    hostport = url.split(",")[0].split("://", 1)[-1]
+    host, port = hostport.rsplit(":", 1)
+    return host, int(port)
+
+
+def _attach_table_nats(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+    """NATS JetStream-backed TABLE over the real wire protocol
+    (reference `src/connector/src/source/nats/`: async-nats durable
+    pull consumers with explicit acks; option names from `NatsCommon`
+    `common.rs:607-629` — server_url/subject/connect_mode/stream/
+    consumer.durable_name). CREATE binds the subject into a stream and
+    creates the DURABLE consumer — the server retains messages and
+    tracks the consumer's ack state while the engine is away; each
+    poll pulls bounded batches and acks a message only after its
+    changelog segment folds (JetStream explicit-ack redelivery playing
+    the kafka offsets' role). FORMAT PLAIN appends value-JSON rows;
+    FORMAT DEBEZIUM folds CDC envelopes. No FORMAT UPSERT — NATS
+    messages carry no key."""
+    import hashlib
+
+    from risingwave_spark.sources.nats_wire import NatsClient
+
+    host, port = _nats_endpoint(opts)
+    mode = (opts.get("connect_mode") or "plain").lower()
+    if mode != "plain":
+        raise NotImplementedError(
+            f"nats connect_mode {mode!r} needs TLS/credential material; "
+            "only 'plain' is supported in this container"
+        )
+    subject = opts.get("subject")
+    stream = opts.get("stream")
+    if not subject or not stream:
+        raise ValueError("nats table needs subject and stream options")
+    fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
+    if fmt not in ("plain", "json", "debezium", "debezium_json"):
+        raise ValueError(f"unsupported nats ingest format {fmt!r}")
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    durable = opts.get("consumer.durable_name") or (
+        f"rw_{t.name}_{hashlib.md5(engine.warehouse.encode()).hexdigest()[:8]}"
+    )
+    t.connector = {
+        "nats": {
+            "host": host, "port": port, "subject": subject,
+            "stream": stream, "durable": durable,
+        },
+        "format": fmt,
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    try:
+        c = NatsClient(host, port)
+    except OSError:
+        return  # server down at replay: the durable consumer catches up
+    try:
+        # first subject wins on comma lists (the reference enumerator
+        # makes one split per stream the same way)
+        c.js_ensure_stream(stream, [s.strip() for s in subject.split(",")])
+        c.js_ensure_consumer(stream, durable)
+    finally:
+        c.close()
+    _ingest_table_nats(engine, t)
+
+
+def _ingest_table_nats(engine: "Engine", t) -> None:
+    """Pull the durable consumer in bounded batches of
+    ≤ max.poll.records, acking each message only AFTER its segment
+    folds — crash mid-poll redelivers exactly the un-acked tail on the
+    next pull (reference `nats/source/reader.rs` explicit-ack loop)."""
+    from risingwave_spark.sources.nats_wire import NatsClient
+
+    cfg = t.connector["nats"]
+    try:
+        c = NatsClient(cfg["host"], cfg["port"])
+    except OSError:
+        return
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    cap = _poll_cap(t)
+    try:
+        while True:
+            batch = c.js_fetch(cfg["stream"], cfg["durable"], cap)
+            if not batch:
+                break  # caught up
+            _fold_kafka_records(
+                engine, t,
+                row_schema,
+                [(sseq, 0, None, payload) for _tok, payload, sseq in batch],
+            )
+            for tok, _payload, _sseq in batch:
+                c.ack(tok)
+    finally:
+        c.close()
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:
@@ -4816,6 +4925,41 @@ class _MqttSink(_KafkaSink):
             c.disconnect()
 
 
+class _NatsSink(_MqttSink):
+    """NATS sink over the real wire (reference
+    `src/connector/src/sink/nats.rs`: async-nats `context.publish` of
+    row-encoded payloads, append-only only — nats.rs:78-111): each
+    insert's value JSON publishes to the subject as a JetStream
+    publish-with-reply, awaiting the PubAck — server-confirmed
+    delivery, the at-least-once contract."""
+
+    def __init__(self, engine, sub, opts: dict, topic: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.host, self.port = _nats_endpoint(opts)
+        self.topic = topic  # the NATS subject
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        from risingwave_spark.sources.nats_wire import NatsClient
+
+        c = NatsClient(self.host, self.port)
+        try:
+            for _k, v in events:
+                if v is None:
+                    continue  # no tombstones in an append-only stream
+                c.js_publish(self.topic, _json.dumps(v, sort_keys=True).encode())
+        finally:
+            c.close()
+
+
 class _TableSink:
     """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
     sink-into-table; e2e_test/subscription/
@@ -4964,7 +5108,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
             "cluster: sources/__init__.py jdbc_upsert_sink."
         )
     path = None
-    if conn not in ("kafka", "kinesis", "mqtt"):
+    if conn not in ("kafka", "kinesis", "mqtt", "nats"):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
         path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
@@ -5001,7 +5145,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
-    if conn in ("kafka", "kinesis", "mqtt"):
+    if conn in ("kafka", "kinesis", "mqtt", "nats"):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
@@ -5061,22 +5205,28 @@ def _finish_create_broker_sink(
         if not topic:
             raise ValueError(f"sink {name!r}: mqtt sink needs a topic option")
         _mqtt_endpoint(opts)  # raises when the url option is missing
+    elif conn == "nats":
+        topic = opts.get("subject")
+        if not topic:
+            raise ValueError(f"sink {name!r}: nats sink needs a subject option")
+        _nats_endpoint(opts)  # raises when the server_url option is missing
     else:
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    default_fmt = "plain" if conn == "mqtt" else "debezium"
+    default_fmt = "plain" if conn in ("mqtt", "nats") else "debezium"
     fmt = (ast.get("format") or opts.get("type") or default_fmt).strip().lower()
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
-    if conn == "mqtt" and fmt != "plain":
-        # reference `sink/mqtt.rs`: the mqtt sink is append-only only
-        # (messages carry no key, so upsert/debezium retraction streams
-        # cannot be keyed for the consumer)
+    if conn in ("mqtt", "nats") and fmt != "plain":
+        # reference `sink/mqtt.rs` and `sink/nats.rs`: both sinks are
+        # append-only only ("NATS sink only supports append-only mode",
+        # nats.rs:78-111 — messages carry no key, so upsert/debezium
+        # retraction streams cannot be keyed for the consumer)
         raise ValueError(
-            f"sink {name!r}: mqtt sink supports FORMAT PLAIN only "
-            "(append-only; MQTT messages carry no key)"
+            f"sink {name!r}: {conn} sink supports FORMAT PLAIN only "
+            f"(append-only; {conn} messages carry no key)"
         )
     enc = (ast.get("encode") or "json").strip().lower()
     if enc not in ("json", "avro"):
@@ -5104,8 +5254,8 @@ def _finish_create_broker_sink(
     if opts.get("primary_key"):
         keys = [k.strip() for k in opts["primary_key"].split(",")]
     if not keys:
-        if conn == "mqtt":
-            keys = []  # mqtt messages carry no key; nothing to route by
+        if conn in ("mqtt", "nats"):
+            keys = []  # mqtt/nats messages carry no key; nothing to route by
         elif raw_keys and not set(raw_keys) & set(out_cols.columns):
             # SimpleAgg (no GROUP BY) MV: its key is the hidden
             # constant — ONE logical row, so every message carries a
@@ -5150,6 +5300,10 @@ def _finish_create_broker_sink(
         sink = _MqttSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "nats":
+        sink = _NatsSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     else:
         sink = _KinesisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -5179,6 +5333,22 @@ def _finish_create_broker_sink(
                     f"sink {name!r}: mqtt broker is unreachable"
                 ) from e
             probe_c.disconnect()
+        elif conn == "nats":
+            from risingwave_spark.sources.nats_wire import NatsClient
+
+            try:
+                probe_n = NatsClient(sink.host, sink.port)
+            except OSError as e:
+                raise ValueError(
+                    f"sink {name!r}: nats server is unreachable"
+                ) from e
+            # the sink publishes into a stream-bound subject; bind one
+            # here so publishes ack (the reference sink's context.publish
+            # likewise requires a stream to accept the subject)
+            probe_n.js_ensure_stream(
+                opts.get("stream") or f"rw_sink_{name}", [sink.topic]
+            )
+            probe_n.close()
         else:
             import urllib.error
 

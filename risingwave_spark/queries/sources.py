@@ -999,3 +999,118 @@ def sink_mqtt_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         broker.stop()
+
+
+@register(
+    "src_nats_roundtrip",
+    oracle="""
+SELECT s_nationkey AS nk, count(*) AS n, CAST(sum(s_acctbal * 100) AS BIGINT) AS bal
+FROM supplier WHERE s_suppkey <= 200
+GROUP BY s_nationkey ORDER BY nk
+""",
+)
+def src_nats_roundtrip(spark, sf_dir):
+    """NATS JetStream source over the real wire (reference
+    `src/connector/src/source/nats/`): messages published into a
+    stream-bound subject while the engine is away are pulled by the
+    DURABLE consumer `CREATE TABLE ... WITH (connector='nats')`
+    created; an agg MV maintains over them and a second publish round
+    arrives via poll_sources() — JetStream's explicit-ack durable
+    consumer playing kafka's durable offsets."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.nats_broker import LoopbackNatsBroker
+    from risingwave_spark.sources.nats_wire import NatsClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 200)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .collect()
+    )
+    broker = LoopbackNatsBroker().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_nsrc_"))
+        eng.sql(
+            f"""CREATE TABLE nsupp (k int8 PRIMARY KEY, nk int8, bal int8)
+            WITH (connector = 'nats',
+                  server_url = 'nats://{broker.host}:{broker.port}',
+                  subject = 'supp.t', stream = 'suppstream',
+                  connect_mode = 'plain',
+                  consumer.durable_name = 'rw_nsupp')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW nsupp_mv AS SELECT nk, count(*) AS n, "
+            "sum(bal) AS bal FROM nsupp GROUP BY nk"
+        )
+        pub = NatsClient(broker.host, broker.port)
+        enc = lambda r: _json.dumps(  # noqa: E731
+            {"k": r.s_suppkey, "nk": r.s_nationkey,
+             "bal": int(round(float(r.s_acctbal) * 100))}).encode()
+        half = len(rows) // 2
+        for r in rows[:half]:
+            pub.js_publish("supp.t", enc(r))
+        eng.poll_sources()
+        for r in rows[half:]:
+            pub.js_publish("supp.t", enc(r))
+        pub.close()
+        eng.poll_sources()
+        return eng.sql("SELECT nk, n, bal FROM nsupp_mv ORDER BY nk")
+    finally:
+        broker.stop()
+
+
+@register(
+    "sink_nats_roundtrip",
+    oracle="""
+SELECT r_regionkey AS k, r_name AS nm FROM region ORDER BY k
+""",
+)
+def sink_nats_roundtrip(spark, sf_dir):
+    """NATS sink over the wire (reference `sink/nats.rs`, append-only
+    only): an MV's inserts publish to a stream-bound subject with
+    PubAck confirmation; an independent durable consumer reconstructs
+    the rows from the stream — proving the published bytes carry the
+    MV content."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.nats_broker import LoopbackNatsBroker
+    from risingwave_spark.sources.nats_wire import NatsClient
+
+    tables(spark, sf_dir)
+    broker = LoopbackNatsBroker().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_nsnk_"))
+        eng.sql("CREATE TABLE nr (k int8 PRIMARY KEY, nm varchar)")
+        eng.sql("CREATE MATERIALIZED VIEW nr_mv AS SELECT k, nm FROM nr")
+        eng.sql(
+            f"""CREATE SINK nr_sink FROM nr_mv WITH (
+                connector = 'nats',
+                server_url = 'nats://{broker.host}:{broker.port}',
+                subject = 'reg.out', stream = 'regout',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO nr SELECT r_regionkey, r_name FROM region")
+        watcher = NatsClient(broker.host, broker.port)
+        watcher.js_ensure_consumer("regout", "watcher")
+        got = []
+        while True:
+            batch = watcher.js_fetch("regout", "watcher", 64)
+            if not batch:
+                break
+            for tok, pl, _seq in batch:
+                got.append(_json.loads(pl))
+                watcher.ack(tok)
+        watcher.close()
+        return spark.createDataFrame(
+            [(g["k"], g["nm"]) for g in got], "k bigint, nm string"
+        ).orderBy("k")
+    finally:
+        broker.stop()

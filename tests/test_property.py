@@ -570,7 +570,7 @@ def test_grammar_accepts_round7_mv_compositions(body, name):
 # raise a DELIBERATE error (ValueError / NotImplementedError with a real
 # message) — never a deep traceback (KeyError/AttributeError/TypeError/
 # IndexError), and never a silent half-created object.
-_CONNECTORS = ["kafka", "kinesis", "mqtt", "posix_fs", "pulsar", "bogus"]
+_CONNECTORS = ["kafka", "kinesis", "mqtt", "nats", "posix_fs", "pulsar", "bogus"]
 _FORMATS = [None, "PLAIN", "DEBEZIUM", "UPSERT", "AVRO", "NOISE"]
 _ENCODES = [None, "JSON", "AVRO", "PROTOBUF", "CSV"]
 
@@ -591,6 +591,12 @@ def _connector_table_stmt(draw):
         opts.append("stream = 's_fuzz'")
     if draw(st.booleans()):
         opts.append("url = 'tcp://127.0.0.1:1'")
+    if draw(st.booleans()):
+        opts.append("server_url = 'nats://127.0.0.1:1'")
+    if draw(st.booleans()):
+        opts.append("subject = 'fz.subj'")
+    if draw(st.booleans()):
+        opts.append(f"connect_mode = '{draw(st.sampled_from(['plain', 'credential']))}'")
     if draw(st.booleans()):
         opts.append("endpoint = 'http://127.0.0.1:1'")
     if draw(st.booleans()):
@@ -619,6 +625,8 @@ def _connector_sink_stmt(draw):
         "properties.bootstrap.server = '127.0.0.1:1'",
         "stream = 's_fuzz'",
         "url = 'tcp://127.0.0.1:1'",
+        "server_url = 'nats://127.0.0.1:1'",
+        "subject = 'fz.out'",
         "endpoint = 'http://127.0.0.1:1'",
         "path = '/tmp/rw_fuzz_sink'",
         "primary_key = 'id'",
