@@ -1887,6 +1887,10 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_nats
 
                     _ingest_table_nats(self, t)
+                elif "google_pubsub" in conn:
+                    from risingwave_spark.frontend import _ingest_table_pubsub
+
+                    _ingest_table_pubsub(self, t)
                 else:
                     _ingest_table_files(self, t)
             except Exception as e:  # noqa: BLE001

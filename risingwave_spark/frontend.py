@@ -422,7 +422,9 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
             "retention_seconds requires the table to be APPEND ONLY "
             "(TTL expiry cannot coexist with retractions)"
         )
-    if opts.get("connector", "").lower() in ("kafka", "kinesis", "mqtt", "nats") and not user_pk:
+    if opts.get("connector", "").lower() in (
+        "kafka", "kinesis", "mqtt", "nats", "google_pubsub"
+    ) and not user_pk:
         # validate at CREATE, not at the first non-empty poll (ADVICE r8):
         # a PK-less broker table would otherwise succeed over an empty
         # topic and then blow up mid-ingest once data arrives
@@ -529,6 +531,9 @@ def _attach_table_connector(
         return
     if conn == "nats":
         _attach_table_nats(engine, t, opts, format_txt)
+        return
+    if conn == "google_pubsub":
+        _attach_table_pubsub(engine, t, opts, format_txt)
         return
     if conn in ("pulsar", "mysql-cdc", "postgres-cdc"):
         raise NotImplementedError(
@@ -1199,6 +1204,102 @@ def _ingest_table_nats(engine: "Engine", t) -> None:
                 c.ack(tok)
     finally:
         c.close()
+
+
+def _pubsub_host(opts: dict) -> str:
+    if opts.get("pubsub.credentials") and not opts.get("pubsub.emulator_host"):
+        raise NotImplementedError(
+            "google_pubsub against production needs the OAuth credential "
+            "flow (pubsub.credentials); only the emulator wire "
+            "(pubsub.emulator_host) is available in this container — the "
+            "REST requests are identical either way"
+        )
+    host = opts.get("pubsub.emulator_host")
+    if not host:
+        raise ValueError(
+            "google_pubsub connector needs a pubsub.emulator_host option"
+        )
+    return host
+
+
+def _attach_table_pubsub(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+    """Google Pub/Sub-backed TABLE over the REAL v1 REST API (reference
+    `src/connector/src/source/google_pubsub/`: StreamingPull on an
+    existing subscription with explicit acks; option names from
+    `PubsubProperties` serde renames — pubsub.subscription,
+    pubsub.emulator_host). The SUBSCRIPTION is the durable state:
+    Pub/Sub retains unacked messages server-side while the engine is
+    away, each poll pulls bounded batches, and a message is
+    acknowledged only after its changelog segment folds (Pub/Sub's own
+    at-least-once redelivery playing the kafka offsets' role). FORMAT
+    PLAIN appends value-JSON rows; FORMAT DEBEZIUM folds CDC
+    envelopes. No FORMAT UPSERT — ordering keys are not modeled."""
+    from risingwave_spark.sources.pubsub import parse_subscription_path
+
+    host = _pubsub_host(opts)
+    sub_path = opts.get("pubsub.subscription")
+    if not sub_path:
+        raise ValueError("google_pubsub table needs a pubsub.subscription option")
+    project, sub = parse_subscription_path(sub_path)
+    fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
+    if fmt not in ("plain", "json", "debezium", "debezium_json"):
+        raise ValueError(f"unsupported google_pubsub ingest format {fmt!r}")
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    t.connector = {
+        "google_pubsub": {"host": host, "project": project, "sub": sub},
+        "format": fmt,
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    _ingest_table_pubsub(engine, t)
+
+
+def _ingest_table_pubsub(engine: "Engine", t) -> None:
+    """Pull the subscription in bounded batches of ≤ max.poll.records,
+    acknowledging each message only AFTER its segment folds — crash
+    mid-poll redelivers exactly the un-acked tail on the next pull
+    (reference `google_pubsub/source/reader.rs` explicit-ack loop)."""
+    import urllib.error
+
+    from risingwave_spark.sources.pubsub import PubSubClient
+
+    cfg = t.connector["google_pubsub"]
+    client = PubSubClient(cfg["host"])
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    cap = _poll_cap(t)
+    while True:
+        try:
+            batch = client.pull(cfg["project"], cfg["sub"], cap)
+        except urllib.error.HTTPError as e:
+            # service reachable but the subscription is gone/wrong —
+            # loud (the reference validates the subscription exists)
+            raise ValueError(
+                f"google_pubsub table {t.name!r}: subscription "
+                f"projects/{cfg['project']}/subscriptions/{cfg['sub']} "
+                f"rejected by the service (HTTP {e.code})"
+            ) from e
+        except (OSError, urllib.error.URLError):
+            # emulator unreachable (e.g. catalog replay before the
+            # service is back): the subscription retains unacked
+            # messages; the next poll catches up
+            return
+        if not batch:
+            break  # caught up
+        _fold_kafka_records(
+            engine, t,
+            row_schema,
+            [(mid, 0, None, data) for _aid, data, mid in batch],
+        )
+        client.acknowledge(cfg["project"], cfg["sub"], [aid for aid, _d, _m in batch])
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:
@@ -4960,6 +5061,41 @@ class _NatsSink(_MqttSink):
             c.close()
 
 
+class _PubSubSink(_MqttSink):
+    """Google Pub/Sub sink over the real v1 REST API (reference
+    `src/connector/src/sink/google_pubsub.rs`: batched publisher,
+    append-only only — google_pubsub.rs:126-128): each chunk's inserts
+    publish as ONE topics.publish call (the service's own batch
+    endpoint; the reference's PublisherOptions batching collapses to
+    the same wire shape), messageIds confirming delivery."""
+
+    def __init__(self, engine, sub, opts: dict, topic: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.host = _pubsub_host(opts)
+        self.project = opts["pubsub.project_id"]
+        self.topic = topic
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        from risingwave_spark.sources.pubsub import PubSubClient
+
+        payloads = [
+            _json.dumps(v, sort_keys=True).encode()
+            for _k, v in events
+            if v is not None  # no tombstones in an append-only stream
+        ]
+        if payloads:
+            PubSubClient(self.host).publish(self.project, self.topic, payloads)
+
+
 class _TableSink:
     """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
     sink-into-table; e2e_test/subscription/
@@ -5108,7 +5244,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
             "cluster: sources/__init__.py jdbc_upsert_sink."
         )
     path = None
-    if conn not in ("kafka", "kinesis", "mqtt", "nats"):
+    if conn not in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub"):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
         path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
@@ -5145,7 +5281,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
-    if conn in ("kafka", "kinesis", "mqtt", "nats"):
+    if conn in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub"):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
@@ -5210,20 +5346,30 @@ def _finish_create_broker_sink(
         if not topic:
             raise ValueError(f"sink {name!r}: nats sink needs a subject option")
         _nats_endpoint(opts)  # raises when the server_url option is missing
+    elif conn == "google_pubsub":
+        topic = opts.get("pubsub.topic")
+        if not topic or not opts.get("pubsub.project_id"):
+            raise ValueError(
+                f"sink {name!r}: google_pubsub sink needs pubsub.topic and "
+                "pubsub.project_id options"
+            )
+        _pubsub_host(opts)  # raises when the emulator_host option is missing
     else:
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    default_fmt = "plain" if conn in ("mqtt", "nats") else "debezium"
+    default_fmt = "plain" if conn in ("mqtt", "nats", "google_pubsub") else "debezium"
     fmt = (ast.get("format") or opts.get("type") or default_fmt).strip().lower()
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
-    if conn in ("mqtt", "nats") and fmt != "plain":
-        # reference `sink/mqtt.rs` and `sink/nats.rs`: both sinks are
-        # append-only only ("NATS sink only supports append-only mode",
-        # nats.rs:78-111 — messages carry no key, so upsert/debezium
-        # retraction streams cannot be keyed for the consumer)
+    if conn in ("mqtt", "nats", "google_pubsub") and fmt != "plain":
+        # reference `sink/mqtt.rs`, `sink/nats.rs`, `sink/google_pubsub.rs`:
+        # all three sinks are append-only only ("NATS sink only supports
+        # append-only mode" nats.rs:78-111, "Google Pub/Sub sink only
+        # support append-only mode" google_pubsub.rs:126-128 — messages
+        # carry no key, so upsert/debezium retraction streams cannot be
+        # keyed for the consumer)
         raise ValueError(
             f"sink {name!r}: {conn} sink supports FORMAT PLAIN only "
             f"(append-only; {conn} messages carry no key)"
@@ -5254,8 +5400,8 @@ def _finish_create_broker_sink(
     if opts.get("primary_key"):
         keys = [k.strip() for k in opts["primary_key"].split(",")]
     if not keys:
-        if conn in ("mqtt", "nats"):
-            keys = []  # mqtt/nats messages carry no key; nothing to route by
+        if conn in ("mqtt", "nats", "google_pubsub"):
+            keys = []  # these brokers' messages carry no key; nothing to route by
         elif raw_keys and not set(raw_keys) & set(out_cols.columns):
             # SimpleAgg (no GROUP BY) MV: its key is the hidden
             # constant — ONE logical row, so every message carries a
@@ -5304,6 +5450,10 @@ def _finish_create_broker_sink(
         sink = _NatsSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "google_pubsub":
+        sink = _PubSubSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     else:
         sink = _KinesisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -5349,6 +5499,25 @@ def _finish_create_broker_sink(
                 opts.get("stream") or f"rw_sink_{name}", [sink.topic]
             )
             probe_n.close()
+        elif conn == "google_pubsub":
+            import urllib.error
+
+            from risingwave_spark.sources.pubsub import PubSubClient
+
+            try:
+                # create-or-get validates both reachability and the
+                # topic (the real API answers 409 AlreadyExists for an
+                # existing topic — that's a pass)
+                PubSubClient(sink.host).create_topic(sink.project, sink.topic)
+            except urllib.error.HTTPError as e:
+                if e.code != 409:
+                    raise ValueError(
+                        f"sink {name!r}: pubsub topic rejected (HTTP {e.code})"
+                    ) from e
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: pubsub emulator is unreachable"
+                ) from e
         else:
             import urllib.error
 

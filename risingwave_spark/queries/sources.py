@@ -1114,3 +1114,110 @@ def sink_nats_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         broker.stop()
+
+
+@register(
+    "src_pubsub_roundtrip",
+    oracle="""
+SELECT c_nationkey AS nk, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ck
+FROM customer WHERE c_custkey <= 250
+GROUP BY c_nationkey ORDER BY nk
+""",
+)
+def src_pubsub_roundtrip(spark, sf_dir):
+    """Google Pub/Sub source over the real v1 REST API (reference
+    `src/connector/src/source/google_pubsub/`): messages published to a
+    topic fan out to the engine's subscription, which retains them
+    until acknowledged; `CREATE TABLE ... WITH
+    (connector='google_pubsub')` pulls them in bounded batches, an agg
+    MV maintains over them, and a second publish round arrives via
+    poll_sources() — the subscription's unacked retention playing
+    kafka's durable offsets."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pubsub import LoopbackPubSubEmulator, PubSubClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 250)
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    )
+    emu = LoopbackPubSubEmulator().start()
+    try:
+        client = PubSubClient(f"{emu.host}:{emu.port}")
+        client.create_topic("rw", "cust")
+        client.create_subscription("rw", "cust_sub", "cust")
+        enc = lambda r: _json.dumps(  # noqa: E731
+            {"k": r.c_custkey, "nk": r.c_nationkey}).encode()
+        half = len(rows) // 2
+        client.publish("rw", "cust", [enc(r) for r in rows[:half]])
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_psrc_"))
+        eng.sql(
+            f"""CREATE TABLE pcust (k int8 PRIMARY KEY, nk int8)
+            WITH (connector = 'google_pubsub',
+                  pubsub.subscription = 'projects/rw/subscriptions/cust_sub',
+                  pubsub.emulator_host = '{emu.host}:{emu.port}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW pcust_mv AS SELECT nk, count(*) AS n, "
+            "sum(k) AS ck FROM pcust GROUP BY nk"
+        )
+        client.publish("rw", "cust", [enc(r) for r in rows[half:]])
+        eng.poll_sources()
+        return eng.sql("SELECT nk, n, ck FROM pcust_mv ORDER BY nk")
+    finally:
+        emu.stop()
+
+
+@register(
+    "sink_pubsub_roundtrip",
+    oracle="""
+SELECT n_nationkey AS k, n_name AS nm FROM nation ORDER BY k
+""",
+)
+def sink_pubsub_roundtrip(spark, sf_dir):
+    """Google Pub/Sub sink over the real v1 REST API (reference
+    `sink/google_pubsub.rs`, append-only only): an MV's inserts
+    batch-publish to the topic; an independent subscription
+    reconstructs the rows — proving the published bytes carry the MV
+    content."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pubsub import LoopbackPubSubEmulator, PubSubClient
+
+    tables(spark, sf_dir)
+    emu = LoopbackPubSubEmulator().start()
+    try:
+        client = PubSubClient(f"{emu.host}:{emu.port}")
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_psnk_"))
+        eng.sql("CREATE TABLE pn (k int8 PRIMARY KEY, nm varchar)")
+        eng.sql("CREATE MATERIALIZED VIEW pn_mv AS SELECT k, nm FROM pn")
+        eng.sql(
+            f"""CREATE SINK pn_sink FROM pn_mv WITH (
+                connector = 'google_pubsub',
+                pubsub.project_id = 'rw', pubsub.topic = 'nat_out',
+                pubsub.emulator_host = '{emu.host}:{emu.port}',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        client.create_subscription("rw", "watch", "nat_out")
+        eng.sql("INSERT INTO pn SELECT n_nationkey, n_name FROM nation")
+        got = []
+        while True:
+            batch = client.pull("rw", "watch", 64)
+            if not batch:
+                break
+            got += [_json.loads(d) for _a, d, _m in batch]
+            client.acknowledge("rw", "watch", [a for a, _d, _m in batch])
+        return spark.createDataFrame(
+            [(g["k"], g["nm"]) for g in got], "k bigint, nm string"
+        ).orderBy("k")
+    finally:
+        emu.stop()

@@ -570,7 +570,10 @@ def test_grammar_accepts_round7_mv_compositions(body, name):
 # raise a DELIBERATE error (ValueError / NotImplementedError with a real
 # message) — never a deep traceback (KeyError/AttributeError/TypeError/
 # IndexError), and never a silent half-created object.
-_CONNECTORS = ["kafka", "kinesis", "mqtt", "nats", "posix_fs", "pulsar", "bogus"]
+_CONNECTORS = [
+    "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "posix_fs",
+    "pulsar", "bogus",
+]
 _FORMATS = [None, "PLAIN", "DEBEZIUM", "UPSERT", "AVRO", "NOISE"]
 _ENCODES = [None, "JSON", "AVRO", "PROTOBUF", "CSV"]
 
@@ -600,6 +603,12 @@ def _connector_table_stmt(draw):
     if draw(st.booleans()):
         opts.append("endpoint = 'http://127.0.0.1:1'")
     if draw(st.booleans()):
+        opts.append(
+            f"pubsub.subscription = '{draw(st.sampled_from(['projects/p/subscriptions/s', 'badpath']))}'"
+        )
+    if draw(st.booleans()):
+        opts.append("pubsub.emulator_host = '127.0.0.1:1'")
+    if draw(st.booleans()):
         opts.append("path = '/tmp/rw_fuzz_nonexistent'")
     if draw(st.booleans()):
         opts.append(f"max.poll.records = '{draw(st.sampled_from(['7', '0', '-3', 'x', '']))}'")
@@ -627,6 +636,9 @@ def _connector_sink_stmt(draw):
         "url = 'tcp://127.0.0.1:1'",
         "server_url = 'nats://127.0.0.1:1'",
         "subject = 'fz.out'",
+        "pubsub.project_id = 'p'",
+        "pubsub.topic = 'fz_out'",
+        "pubsub.emulator_host = '127.0.0.1:1'",
         "endpoint = 'http://127.0.0.1:1'",
         "path = '/tmp/rw_fuzz_sink'",
         "primary_key = 'id'",
