@@ -1891,6 +1891,10 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_pubsub
 
                     _ingest_table_pubsub(self, t)
+                elif "pulsar" in conn:
+                    from risingwave_spark.frontend import _ingest_table_pulsar
+
+                    _ingest_table_pulsar(self, t)
                 else:
                     _ingest_table_files(self, t)
             except Exception as e:  # noqa: BLE001

@@ -423,7 +423,7 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
             "(TTL expiry cannot coexist with retractions)"
         )
     if opts.get("connector", "").lower() in (
-        "kafka", "kinesis", "mqtt", "nats", "google_pubsub"
+        "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar"
     ) and not user_pk:
         # validate at CREATE, not at the first non-empty poll (ADVICE r8):
         # a PK-less broker table would otherwise succeed over an empty
@@ -535,12 +535,17 @@ def _attach_table_connector(
     if conn == "google_pubsub":
         _attach_table_pubsub(engine, t, opts, format_txt)
         return
-    if conn in ("pulsar", "mysql-cdc", "postgres-cdc"):
+    if conn == "pulsar":
+        _attach_table_pulsar(engine, t, opts, format_txt)
+        return
+    if conn in ("mysql-cdc", "postgres-cdc"):
         raise NotImplementedError(
-            f"table connector {conn!r} needs its connector jar and a "
-            "reachable broker/database; neither exists in this container. "
-            "Kafka/Kinesis (wire-protocol clients) and file ingestion "
-            "(connector='posix_fs') are fully functional."
+            f"table connector {conn!r} needs a reachable database to "
+            "snapshot and a replication slot/binlog to tail; neither "
+            "exists in this container. File-based Debezium ingestion "
+            "(connector='posix_fs' FORMAT DEBEZIUM) and broker CDC "
+            "(kafka/pulsar FORMAT DEBEZIUM) cover the same envelope "
+            "semantics end-to-end."
         )
     if conn not in ("posix_fs", "filesystem"):
         raise ValueError(f"unknown table connector {conn!r}")
@@ -1300,6 +1305,112 @@ def _ingest_table_pubsub(engine: "Engine", t) -> None:
             [(mid, 0, None, data) for _aid, data, mid in batch],
         )
         client.acknowledge(cfg["project"], cfg["sub"], [aid for aid, _d, _m in batch])
+
+
+def _pulsar_endpoint(opts: dict) -> tuple[str, int]:
+    url = opts.get("service.url") or opts.get("pulsar.service.url")
+    if not url:
+        raise ValueError(
+            "pulsar connector needs a service.url option (pulsar://host:port)"
+        )
+    hostport = url.split("://", 1)[-1]
+    host, port = hostport.rsplit(":", 1)
+    return host, int(port)
+
+
+def _attach_table_pulsar(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+    """Pulsar-backed TABLE over the real binary protocol (reference
+    `src/connector/src/source/pulsar/`: the pulsar client consuming a
+    durable subscription; option names from its serde renames —
+    topic / service.url / subscription.name.prefix,
+    `pulsar/mod.rs:461-464,84`). CREATE attaches a DURABLE shared
+    subscription from Earliest — the broker-side cursor retains
+    messages while the engine is away; each poll FLOWs bounded permit
+    batches and acks a message only after its changelog segment folds
+    (Pulsar's subscription semantics playing the kafka offsets' role).
+    FORMAT PLAIN appends value-JSON rows; FORMAT DEBEZIUM folds CDC
+    envelopes; FORMAT UPSERT treats the message partition_key as the
+    primary key (empty payload = tombstone), the same key contract the
+    kafka connector uses."""
+    import hashlib
+
+    from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+    host, port = _pulsar_endpoint(opts)
+    topic = opts.get("topic") or opts.get("pulsar.topic")
+    if not topic:
+        raise ValueError("pulsar table needs a topic option")
+    fmt = (format_txt or opts.get("format") or "plain").strip().lower().split()[0]
+    if fmt not in ("plain", "json", "debezium", "debezium_json", "upsert"):
+        raise ValueError(f"unsupported pulsar ingest format {fmt!r}")
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    prefix = opts.get("subscription.name.prefix") or "rw"
+    sub = f"{prefix}_{t.name}_{hashlib.md5(engine.warehouse.encode()).hexdigest()[:8]}"
+    t.connector = {
+        "pulsar": {"host": host, "port": port, "topic": topic, "sub": sub},
+        "format": fmt,
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    try:
+        c = PulsarWireClient(host, port)
+    except OSError:
+        return  # broker down at replay: the durable cursor catches up
+    try:
+        c.subscribe(topic, sub, consumer_id=0)
+    finally:
+        c.close()
+    _ingest_table_pulsar(engine, t)
+
+
+def _ingest_table_pulsar(engine: "Engine", t) -> None:
+    """Drain the durable subscription in bounded FLOW batches of
+    ≤ max.poll.records, acking each message only AFTER its segment
+    folds — crash mid-poll redelivers exactly the un-acked tail on the
+    next attach (reference `pulsar/source/reader.rs` ack-after-commit
+    loop)."""
+    from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+    cfg = t.connector["pulsar"]
+    try:
+        c = PulsarWireClient(cfg["host"], cfg["port"])
+    except OSError:
+        return
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    cap = _poll_cap(t)
+    try:
+        c.subscribe(cfg["topic"], cfg["sub"], consumer_id=0)
+        while True:
+            batch = c.fetch(0, cap)
+            if not batch:
+                break  # caught up
+            _fold_kafka_records(
+                engine, t,
+                row_schema,
+                [
+                    (
+                        entry,
+                        0,
+                        key.encode() if key is not None else None,
+                        # UPSERT tombstone: empty payload deletes by key
+                        payload if payload else None,
+                    )
+                    for (_ledger, entry), payload, key in batch
+                ],
+            )
+            for mid, _payload, _key in batch:
+                c.ack(0, mid)
+    finally:
+        c.close()
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:
@@ -5096,6 +5207,50 @@ class _PubSubSink(_MqttSink):
             PubSubClient(self.host).publish(self.project, self.topic, payloads)
 
 
+class _PulsarSink(_KafkaSink):
+    """Pulsar sink over the real binary protocol (reference
+    `src/connector/src/sink/pulsar.rs`: keyed producer with the shared
+    SinkFormatDesc formatter set — debezium/upsert/plain like kafka):
+    each event produces one SEND with the formatter key as the message
+    partition_key and the value JSON as the payload; a null value
+    (upsert delete) is an empty-payload tombstone, the same key
+    contract the source's FORMAT UPSERT reads back."""
+
+    def __init__(self, engine, sub, opts: dict, topic: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.host, self.port = _pulsar_endpoint(opts)
+        self.topic = topic
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _emit_chunk(self, df) -> None:
+        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
+        self._emit_chunk_collected(df, cols)
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+        c = PulsarWireClient(self.host, self.port)
+        try:
+            pname = c.create_producer(self.topic, producer_id=0)
+            for i, (k, v) in enumerate(events):
+                key = _json.dumps(k, sort_keys=True)
+                payload = (
+                    b"" if v is None
+                    else _json.dumps(v, sort_keys=True).encode()
+                )
+                c.send(0, pname, i, payload, partition_key=key)
+        finally:
+            c.close()
+
+
 class _TableSink:
     """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
     sink-into-table; e2e_test/subscription/
@@ -5244,7 +5399,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
             "cluster: sources/__init__.py jdbc_upsert_sink."
         )
     path = None
-    if conn not in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub"):
+    if conn not in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar"):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
         path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
@@ -5281,7 +5436,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
-    if conn in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub"):
+    if conn in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar"):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
@@ -5354,6 +5509,11 @@ def _finish_create_broker_sink(
                 "pubsub.project_id options"
             )
         _pubsub_host(opts)  # raises when the emulator_host option is missing
+    elif conn == "pulsar":
+        topic = opts.get("topic") or opts.get("pulsar.topic")
+        if not topic:
+            raise ValueError(f"sink {name!r}: pulsar sink needs a topic option")
+        _pulsar_endpoint(opts)  # raises when the service.url option is missing
     else:
         topic = opts.get("stream")
         if not topic:
@@ -5454,6 +5614,10 @@ def _finish_create_broker_sink(
         sink = _PubSubSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "pulsar":
+        sink = _PulsarSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     else:
         sink = _KinesisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -5518,6 +5682,19 @@ def _finish_create_broker_sink(
                 raise ValueError(
                     f"sink {name!r}: pubsub emulator is unreachable"
                 ) from e
+        elif conn == "pulsar":
+            from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+            try:
+                probe_p = PulsarWireClient(sink.host, sink.port)
+            except OSError as e:
+                raise ValueError(
+                    f"sink {name!r}: pulsar broker is unreachable"
+                ) from e
+            # registering a producer validates/creates the topic (the
+            # reference sink builds its producer at CREATE the same way)
+            probe_p.create_producer(sink.topic, producer_id=0)
+            probe_p.close()
         else:
             import urllib.error
 

@@ -1221,3 +1221,125 @@ def sink_pubsub_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         emu.stop()
+
+
+@register(
+    "src_pulsar_roundtrip",
+    oracle="""
+SELECT p_type AS typ, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz
+FROM part WHERE p_partkey <= 350
+GROUP BY p_type ORDER BY typ
+""",
+)
+def src_pulsar_roundtrip(spark, sf_dir):
+    """Pulsar source over the real binary protocol (reference
+    `src/connector/src/source/pulsar/`): rows produced to a loopback
+    broker (CRC32C-verified payload frames) are consumed by
+    `CREATE TABLE ... WITH (connector='pulsar') FORMAT PLAIN ENCODE
+    JSON` through a durable subscription; an agg MV maintains over
+    them and a second produce round arrives via poll_sources() — the
+    broker-side cursor playing kafka's durable offsets."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pulsar_broker import LoopbackPulsarBroker
+    from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["part"]
+        .filter(F.col("p_partkey") <= 350)
+        .select("p_partkey", "p_type", "p_size")
+        .collect()
+    )
+    broker = LoopbackPulsarBroker().start()
+    try:
+        topic = "persistent://public/default/parts"
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_plsrc_"))
+        eng.sql(
+            f"""CREATE TABLE ppart (k int8 PRIMARY KEY, typ varchar, sz int8)
+            WITH (connector = 'pulsar', topic = '{topic}',
+                  service.url = 'pulsar://{broker.host}:{broker.port}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW ppart_mv AS SELECT typ, count(*) AS n, "
+            "sum(sz) AS sz FROM ppart GROUP BY typ"
+        )
+        prod = PulsarWireClient(broker.host, broker.port)
+        pname = prod.create_producer(topic, producer_id=1)
+        enc = lambda r: _json.dumps(  # noqa: E731
+            {"k": r.p_partkey, "typ": r.p_type, "sz": r.p_size}).encode()
+        half = len(rows) // 2
+        for i, r in enumerate(rows[:half]):
+            prod.send(1, pname, i, enc(r))
+        eng.poll_sources()
+        for i, r in enumerate(rows[half:]):
+            prod.send(1, pname, half + i, enc(r))
+        prod.close()
+        eng.poll_sources()
+        return eng.sql("SELECT typ, n, sz FROM ppart_mv ORDER BY typ")
+    finally:
+        broker.stop()
+
+
+@register(
+    "sink_pulsar_roundtrip",
+    oracle="""
+SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nk
+FROM supplier WHERE s_suppkey <= 120 AND s_suppkey % 5 <> 0
+ORDER BY k
+""",
+)
+def sink_pulsar_roundtrip(spark, sf_dir):
+    """Pulsar sink over the wire (reference `sink/pulsar.rs`, shared
+    formatter set): FORMAT UPSERT keyed messages with empty-payload
+    tombstones; an independent durable subscription reconstructs the
+    EXACT final MV state from the topic — inserts, then deletes of
+    every 5th supplier — proving retractions survive the wire."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pulsar_broker import LoopbackPulsarBroker
+    from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+    tables(spark, sf_dir)
+    broker = LoopbackPulsarBroker().start()
+    try:
+        topic = "persistent://public/default/supp_out"
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_plsnk_"))
+        eng.sql("CREATE TABLE ps (k int8 PRIMARY KEY, nk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW ps_mv AS SELECT k, nk FROM ps")
+        eng.sql(
+            f"""CREATE SINK ps_sink FROM ps_mv WITH (
+                connector = 'pulsar', topic = '{topic}',
+                service.url = 'pulsar://{broker.host}:{broker.port}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql(
+            "INSERT INTO ps SELECT s_suppkey, s_nationkey FROM supplier "
+            "WHERE s_suppkey <= 120"
+        )
+        eng.sql("DELETE FROM ps WHERE k % 5 = 0")
+        c = PulsarWireClient(broker.host, broker.port)
+        c.subscribe(topic, "verify", consumer_id=1)
+        state: dict = {}
+        while True:
+            batch = c.fetch(1, 64)
+            if not batch:
+                break
+            for mid, payload, key in batch:
+                kk = _json.loads(key)["k"]
+                if payload:
+                    state[kk] = _json.loads(payload)["nk"]
+                else:
+                    state.pop(kk, None)
+                c.ack(1, mid)
+        c.close()
+        return spark.createDataFrame(
+            sorted(state.items()), "k bigint, nk bigint"
+        ).orderBy("k")
+    finally:
+        broker.stop()

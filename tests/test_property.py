@@ -595,6 +595,8 @@ def _connector_table_stmt(draw):
     if draw(st.booleans()):
         opts.append("url = 'tcp://127.0.0.1:1'")
     if draw(st.booleans()):
+        opts.append("service.url = 'pulsar://127.0.0.1:1'")
+    if draw(st.booleans()):
         opts.append("server_url = 'nats://127.0.0.1:1'")
     if draw(st.booleans()):
         opts.append("subject = 'fz.subj'")
@@ -634,6 +636,7 @@ def _connector_sink_stmt(draw):
         "properties.bootstrap.server = '127.0.0.1:1'",
         "stream = 's_fuzz'",
         "url = 'tcp://127.0.0.1:1'",
+        "service.url = 'pulsar://127.0.0.1:1'",
         "server_url = 'nats://127.0.0.1:1'",
         "subject = 'fz.out'",
         "pubsub.project_id = 'p'",
