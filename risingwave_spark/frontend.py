@@ -527,16 +527,16 @@ def _attach_table_connector(
         _attach_table_kinesis(engine, t, opts, format_txt, encode_txt)
         return
     if conn == "mqtt":
-        _attach_table_mqtt(engine, t, opts, format_txt)
+        _attach_table_mqtt(engine, t, opts, format_txt, encode_txt)
         return
     if conn == "nats":
-        _attach_table_nats(engine, t, opts, format_txt)
+        _attach_table_nats(engine, t, opts, format_txt, encode_txt)
         return
     if conn == "google_pubsub":
-        _attach_table_pubsub(engine, t, opts, format_txt)
+        _attach_table_pubsub(engine, t, opts, format_txt, encode_txt)
         return
     if conn == "pulsar":
-        _attach_table_pulsar(engine, t, opts, format_txt)
+        _attach_table_pulsar(engine, t, opts, format_txt, encode_txt)
         return
     if conn in ("mysql-cdc", "postgres-cdc"):
         raise NotImplementedError(
@@ -1014,7 +1014,27 @@ def _mqtt_endpoint(opts: dict) -> tuple[str, int]:
     return host, int(port)
 
 
-def _attach_table_mqtt(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+def _attach_encode_keyless(t, opts, encode_txt, fmt, conn, default_subject):
+    """ENCODE AVRO/PROTOBUF on the keyless/partition_key broker tables
+    (mqtt/nats/google_pubsub/pulsar), through the SAME decode layer the
+    kafka connector uses (sources/decoders.py + file-backed registry):
+    FORMAT PLAIN only — these wires carry no Confluent-framed message
+    key, so the avro-upsert key contract doesn't apply."""
+    enc = (encode_txt or "json").strip().lower()
+    if enc == "json":
+        return
+    if fmt not in ("plain", "json"):
+        raise ValueError(
+            f"{conn} ENCODE {enc.upper()} supports FORMAT PLAIN only "
+            "(no Confluent-framed message keys on this wire)"
+        )
+    _attach_encode(t, opts, encode_txt, fmt, default_subject=default_subject)
+
+
+def _attach_table_mqtt(
+    engine: "Engine", t, opts: dict, format_txt: str | None,
+    encode_txt: str | None = None,
+) -> None:
     """MQTT-backed TABLE over the real 3.1.1 wire protocol (reference
     `src/connector/src/source/mqtt/`: rumqttc subscriber feeding
     SourceMessages): CREATE subscribes a PERSISTENT session (QoS 1,
@@ -1050,6 +1070,10 @@ def _attach_table_mqtt(engine: "Engine", t, opts: dict, format_txt: str | None) 
     cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
     if cap is not None:
         t.connector["poll_cap"] = int(cap)
+    _attach_encode_keyless(
+        t, opts, encode_txt, fmt, "mqtt",
+        f"{topic.replace('/', '_')}-value",
+    )
     try:
         c = MqttClient(host, port, cid, clean_session=False)
     except OSError:
@@ -1114,7 +1138,10 @@ def _nats_endpoint(opts: dict) -> tuple[str, int]:
     return host, int(port)
 
 
-def _attach_table_nats(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+def _attach_table_nats(
+    engine: "Engine", t, opts: dict, format_txt: str | None,
+    encode_txt: str | None = None,
+) -> None:
     """NATS JetStream-backed TABLE over the real wire protocol
     (reference `src/connector/src/source/nats/`: async-nats durable
     pull consumers with explicit acks; option names from `NatsCommon`
@@ -1163,6 +1190,10 @@ def _attach_table_nats(engine: "Engine", t, opts: dict, format_txt: str | None) 
     cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
     if cap is not None:
         t.connector["poll_cap"] = int(cap)
+    _attach_encode_keyless(
+        t, opts, encode_txt, fmt, "nats",
+        f"{subject.split(',')[0].strip()}-value",
+    )
     try:
         c = NatsClient(host, port)
     except OSError:
@@ -1227,7 +1258,10 @@ def _pubsub_host(opts: dict) -> str:
     return host
 
 
-def _attach_table_pubsub(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+def _attach_table_pubsub(
+    engine: "Engine", t, opts: dict, format_txt: str | None,
+    encode_txt: str | None = None,
+) -> None:
     """Google Pub/Sub-backed TABLE over the REAL v1 REST API (reference
     `src/connector/src/source/google_pubsub/`: StreamingPull on an
     existing subscription with explicit acks; option names from
@@ -1261,6 +1295,7 @@ def _attach_table_pubsub(engine: "Engine", t, opts: dict, format_txt: str | None
     cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
     if cap is not None:
         t.connector["poll_cap"] = int(cap)
+    _attach_encode_keyless(t, opts, encode_txt, fmt, "google_pubsub", f"{sub}-value")
     _ingest_table_pubsub(engine, t)
 
 
@@ -1318,7 +1353,10 @@ def _pulsar_endpoint(opts: dict) -> tuple[str, int]:
     return host, int(port)
 
 
-def _attach_table_pulsar(engine: "Engine", t, opts: dict, format_txt: str | None) -> None:
+def _attach_table_pulsar(
+    engine: "Engine", t, opts: dict, format_txt: str | None,
+    encode_txt: str | None = None,
+) -> None:
     """Pulsar-backed TABLE over the real binary protocol (reference
     `src/connector/src/source/pulsar/`: the pulsar client consuming a
     durable subscription; option names from its serde renames —
@@ -1357,6 +1395,10 @@ def _attach_table_pulsar(engine: "Engine", t, opts: dict, format_txt: str | None
     cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
     if cap is not None:
         t.connector["poll_cap"] = int(cap)
+    _attach_encode_keyless(
+        t, opts, encode_txt, fmt, "pulsar",
+        f"{topic.rsplit('/', 1)[-1]}-value",
+    )
     try:
         c = PulsarWireClient(host, port)
     except OSError:
@@ -4822,12 +4864,18 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
     elif conn == "datagen":
         _register_datagen_source(engine, name, ast.get("cols"), opts)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
-    elif conn in ("kafka", "kinesis", "pulsar"):
+    elif conn in ("kafka", "kinesis", "pulsar", "mqtt", "nats", "google_pubsub"):
+        # a bare CREATE SOURCE registers the catalog entry; the stateful
+        # ingest path (wire client + durable offsets + changelog folds)
+        # is CREATE TABLE ... WITH (connector=...) — the reference's
+        # source-vs-table-with-connector split (`create_source.rs` vs
+        # `create_table.rs`)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": False}
     else:
         raise ValueError(
             f"source {name!r}: unknown connector {conn!r} (supported here: "
-            "posix_fs/filesystem/s3/gcs/azblob, datagen, kafka, kinesis, pulsar)"
+            "posix_fs/filesystem/s3/gcs/azblob, datagen, kafka, kinesis, "
+            "pulsar, mqtt, nats, google_pubsub)"
         )
     engine._record_ddl(name, ast["stmt"])
     return _status(spark, "CREATE_SOURCE")

@@ -1,12 +1,19 @@
 """Connector layer — SURVEY.md §2.8 sources/sinks.
 
 Two tiers:
-- REAL wire clients, fully functional in-sandbox (round 8): Kafka
+- REAL wire clients, fully functional in-sandbox: Kafka
   (`kafka_wire.py` — protocol bytes, message-format-v2 RecordBatches,
-  CRC32C; loopback broker `kafka_broker.py`) and Kinesis
-  (`kinesis.py` — AWS HTTP API with genuine SigV4 signing; loopback
-  service verifying signatures). `CREATE TABLE/SINK connector=
-  'kafka'|'kinesis'` run end-to-end through frontend.py.
+  CRC32C; loopback broker `kafka_broker.py`), Kinesis (`kinesis.py` —
+  AWS HTTP API with genuine SigV4 signing; loopback service verifying
+  signatures), MQTT 3.1.1 (`mqtt_wire.py`/`mqtt_broker.py` — durable
+  QoS-1 sessions), NATS JetStream (`nats_wire.py`/`nats_broker.py` —
+  text protocol + durable pull consumers), Pulsar (`pulsar_wire.py`/
+  `pulsar_broker.py` — binary protocol, protobuf BaseCommands, CRC32C
+  payload frames, durable subscription cursors), and Google Pub/Sub
+  (`pubsub.py` — the v1 REST/JSON surface the emulator serves, with a
+  loopback emulator). `CREATE TABLE/SINK connector='kafka'|'kinesis'|
+  'mqtt'|'nats'|'pulsar'|'google_pubsub'` run end-to-end through
+  frontend.py.
 - Thin builders over Spark's own format strings (this module): gated
   on jars/endpoints the container lacks — the builder CONSTRUCTS the
   reader/writer (the part this engine owns); connectivity is
