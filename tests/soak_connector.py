@@ -1,4 +1,4 @@
-"""Connector ingest soak (round 9, VERDICT #8): fold a deep Kafka
+"""Connector ingest soak (round 9, VERDICT #8): fold a deep broker
 backlog through source → grouped-agg MV → upsert sink at three
 max.poll.records settings and record throughput plus the PYTHON driver
 RSS ceiling (ru_maxrss of this process — the Python side is where the
@@ -9,6 +9,11 @@ Run one cap per invocation so ru_maxrss is an honest per-cap ceiling:
     for cap in 2000 10000 60000; do
         python tests/soak_connector.py --cap $cap --rows 60000
     done
+    python tests/soak_connector.py --connector pulsar --cap 10000
+
+`--connector pulsar` runs the same shape over the binary-protocol
+wire (durable subscription cursor instead of engine offsets, sink
+FORMAT UPSERT with partition_key tombstone contract).
 
 Each run prints ONE JSON line; paste results into SCALING.md.
 """
@@ -31,7 +36,10 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=10000)
     ap.add_argument("--rows", type=int, default=60000)
     ap.add_argument("--groups", type=int, default=500)
+    ap.add_argument("--connector", choices=["kafka", "pulsar"], default="kafka")
     args = ap.parse_args()
+    if args.connector == "pulsar":
+        return soak_pulsar(args)
 
     from risingwave_spark.api import Engine
     from risingwave_spark.session import get_spark
@@ -97,6 +105,86 @@ def main() -> None:
         })
         # file, not stdout: Spark progress bars mangle stdout lines
         with open(f"/tmp/soak_connector_cap{args.cap}.json", "w") as f:
+            f.write(out + "\n")
+        print(out)
+    finally:
+        broker.stop()
+        spark.stop()
+
+
+
+
+def soak_pulsar(args) -> None:
+    """Same soak shape over the pulsar binary protocol: deep backlog
+    produced before the table exists, bounded FLOW segments, durable
+    subscription cursor, upsert sink reconstructing the MV."""
+    from risingwave_spark.api import Engine
+    from risingwave_spark.session import get_spark
+    from risingwave_spark.sources.pulsar_broker import LoopbackPulsarBroker
+    from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+    spark = get_spark("rw_connector_soak_pulsar", cpus="8")
+    broker = LoopbackPulsarBroker().start()
+    topic = "persistent://public/default/soak_t"
+    out_topic = "persistent://public/default/soak_out"
+    try:
+        t0 = time.time()
+        prod = PulsarWireClient(broker.host, broker.port)
+        pname = prod.create_producer(topic, producer_id=1)
+        for i in range(args.rows):
+            prod.send(1, pname, i, json.dumps(
+                {"id": i, "grp": i % args.groups, "v": i % 97}).encode())
+        prod.close()
+        produce_s = time.time() - t0
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_soakp_"))
+        eng.sql("CREATE TABLE skt_warm (id int8 PRIMARY KEY)")
+        eng.sql("INSERT INTO skt_warm VALUES (1)")
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.time()
+        eng.sql(
+            f"""CREATE TABLE skt (id int8 PRIMARY KEY, grp int8, v int8)
+            WITH (connector = 'pulsar', topic = '{topic}',
+                  service.url = 'pulsar://{broker.host}:{broker.port}',
+                  max.poll.records = '{args.cap}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW soak_mv AS SELECT grp, count(*) AS n, "
+            "sum(v) AS sv FROM skt GROUP BY grp"
+        )
+        eng.sql(
+            f"""CREATE SINK soak_sink FROM soak_mv WITH (
+                connector = 'pulsar', topic = '{out_topic}',
+                service.url = 'pulsar://{broker.host}:{broker.port}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        ingest_s = time.time() - t0
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        n = eng.sql("SELECT count(*) AS n FROM skt").first().n
+        assert n == args.rows, f"ingested {n} != {args.rows}"
+        g = eng.sql("SELECT count(*) AS g FROM soak_mv").first().g
+        cons = PulsarWireClient(broker.host, broker.port)
+        cons.subscribe(out_topic, "soak_verify", consumer_id=1)
+        events = 0
+        while True:
+            batch = cons.fetch(1, 4096)
+            if not batch:
+                break
+            events += len(batch)
+            for mid, _p, _k in batch:
+                cons.ack(1, mid)
+        cons.close()
+        out = json.dumps({
+            "connector": "pulsar",
+            "cap": args.cap, "rows": args.rows, "groups_in_mv": g,
+            "ingest_sec": round(ingest_s, 2),
+            "rows_per_sec": round(args.rows / ingest_s),
+            "produce_sec": round(produce_s, 2),
+            "py_rss_before_mb": rss_before // 1024,
+            "py_rss_peak_mb": rss_after // 1024,
+            "sink_events": events,
+        })
+        with open(f"/tmp/soak_pulsar_cap{args.cap}.json", "w") as f:
             f.write(out + "\n")
         print(out)
     finally:
