@@ -4864,7 +4864,36 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
     elif conn == "datagen":
         _register_datagen_source(engine, name, ast.get("cols"), opts)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
-    elif conn in ("kafka", "kinesis", "pulsar", "mqtt", "nats", "google_pubsub"):
+    elif conn == "iceberg":
+        # storage-catalog Iceberg scan WITHOUT jars (reference
+        # `source/iceberg/`, `iceberg_scan.rs`): the metadata walk
+        # (version-hint → metadata.json → manifest-list OCF → manifest
+        # OCFs) runs in pure Python (sources/iceberg_scan.py); the data
+        # scan is spark.read.parquet over the snapshot's file list —
+        # JVM-side with pushdown intact. catalog.type='storage' only;
+        # rest/glue/jdbc catalogs need their services (loud below).
+        from risingwave_spark.sources.iceberg_scan import IcebergTable
+
+        cat = (opts.get("catalog.type") or "storage").lower()
+        if cat != "storage":
+            raise NotImplementedError(
+                f"iceberg catalog.type {cat!r} needs a catalog service "
+                "(REST/Glue/JDBC); only the storage catalog (direct "
+                "metadata walk) is available in this container"
+            )
+        wh = opts.get("warehouse.path")
+        db = opts.get("database.name")
+        tbl = opts.get("table.name")
+        if not (wh and db and tbl):
+            raise ValueError(
+                f"source {name!r}: iceberg needs warehouse.path, "
+                "database.name and table.name options"
+            )
+        it = IcebergTable(wh, db, tbl)
+        snap = opts.get("snapshot_id")
+        df = it.read(spark, int(snap) if snap else None)
+        df.createOrReplaceTempView(name)
+        engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
         # a bare CREATE SOURCE registers the catalog entry; the stateful
         # ingest path (wire client + durable offsets + changelog folds)
         # is CREATE TABLE ... WITH (connector=...) — the reference's
@@ -4874,8 +4903,8 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
     else:
         raise ValueError(
             f"source {name!r}: unknown connector {conn!r} (supported here: "
-            "posix_fs/filesystem/s3/gcs/azblob, datagen, kafka, kinesis, "
-            "pulsar, mqtt, nats, google_pubsub)"
+            "posix_fs/filesystem/s3/gcs/azblob, datagen, iceberg, kafka, "
+            "kinesis, pulsar, mqtt, nats, google_pubsub)"
         )
     engine._record_ddl(name, ast["stmt"])
     return _status(spark, "CREATE_SOURCE")

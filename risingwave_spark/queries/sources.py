@@ -1343,3 +1343,64 @@ def sink_pulsar_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         broker.stop()
+
+
+@register(
+    "src_iceberg_scan",
+    oracle="""
+SELECT o_orderpriority AS pri, count(*) AS n,
+       CAST(sum(o_custkey) AS BIGINT) AS ck
+FROM orders WHERE o_orderkey <= 400
+GROUP BY o_orderpriority ORDER BY pri
+""",
+)
+def src_iceberg_scan(spark, sf_dir):
+    """Iceberg storage-catalog scan without jars (reference
+    `src/connector/src/source/iceberg/`, batch `iceberg_scan.rs`): a
+    spec-shaped two-snapshot copy-on-write table (metadata json +
+    Avro-OCF manifest list/manifests, sources/avro_ocf.py) is walked
+    in pure Python and the CURRENT snapshot's parquet set scans
+    through Spark's native reader — `CREATE SOURCE ... connector=
+    'iceberg'` then aggregates over it. Snapshot 1 holds orderkey
+    ≤ 200; snapshot 2 appends (200, 400] — the scan must see exactly
+    the current set, proving manifest-list resolution (not a blind
+    directory glob)."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.iceberg_scan import write_iceberg_table
+
+    t = tables(spark, sf_dir)
+    base = _tf.mkdtemp(prefix="rw_iceq_")
+
+    def mk(name, lo, hi):
+        path = _os.path.join(base, name)
+        (
+            t["orders"]
+            .filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .select("o_orderkey", "o_orderpriority", "o_custkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        part = [f for f in _os.listdir(path) if f.endswith(".parquet")][0]
+        return _os.path.join(path, part)
+
+    f1, f2 = mk("d1", -1, 200), mk("d2", 200, 400)  # keys start at 0
+    wh = _os.path.join(base, "wh")
+    write_iceberg_table(
+        wh, "db", "ord", snapshots=[[(f1, 0)], [(f1, 0), (f2, 0)]]
+    )
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_icee2_"))
+    eng.sql(
+        f"""CREATE SOURCE iord WITH (
+            connector = 'iceberg', catalog.type = 'storage',
+            warehouse.path = '{wh}', database.name = 'db',
+            table.name = 'ord'
+        )"""
+    )
+    return eng.sql(
+        "SELECT o_orderpriority AS pri, count(*) AS n, sum(o_custkey) AS ck "
+        "FROM iord GROUP BY o_orderpriority ORDER BY pri"
+    )
