@@ -6870,6 +6870,8 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             [(m.group(1), val)], "name string, setting string"
         )
     # ad-hoc query path: PG-isms rewritten, then Catalyst
+    if re.search(r"\b(postgres_query|mysql_query)\s*\(", stmt, re.I):
+        stmt = _rewrite_federated_tvfs(engine, stmt)
     if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", stmt, re.I):
         stmt = _rewrite_asof_reads(engine, stmt)
     if "__internal_" in stmt:
@@ -6891,6 +6893,76 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         for name, df in engine._txn["views"].items():
             df.createOrReplaceTempView(name)
     return engine.spark.sql(pg_to_spark_sql(stmt))
+
+
+def _rewrite_federated_tvfs(engine: "Engine", stmt: str) -> str:
+    """`postgres_query(hostname, port, username, password, database,
+    query)` table function (reference batch executor
+    `postgres_query.rs:31`; binder `expr/table_function.rs:345` — six
+    varchar arguments, constants only): runs the query on the external
+    database over the REAL Postgres v3 wire protocol
+    (sources/pgwire.py — startup, cleartext auth, simple query, typed
+    text-format rows) and splices the result in as a temp view, the
+    same federated-pull shape as the reference's executor (driver-side,
+    bounded by the remote result set — the remote database does the
+    heavy lifting; this is a lookup/join-dimension path, not a bulk
+    ingest path). `mysql_query` is gated loud: the MySQL handshake
+    needs auth-plugin crypto material this container lacks."""
+    lit = r"'((?:[^']|'')*)'"
+    pat = re.compile(
+        r"\b(postgres_query|mysql_query)\s*\(\s*"
+        + r"\s*,\s*".join([lit] * 6) + r"\s*\)",
+        re.I | re.S,
+    )
+    two_arg = re.compile(
+        r"\b(postgres_query|mysql_query)\s*\(\s*" + lit + r"\s*,\s*" + lit + r"\s*\)",
+        re.I | re.S,
+    )
+
+    def repl(m: "re.Match") -> str:
+        fn = m.group(1).lower()
+        if fn == "mysql_query":
+            raise NotImplementedError(
+                "mysql_query needs the MySQL client handshake (auth "
+                "plugins); postgres_query is fully functional over the "
+                "Postgres wire protocol"
+            )
+        host, port, user, pw, db, query = (
+            g.replace("''", "'") for g in m.groups()[1:]
+        )
+        from risingwave_spark.sources.pgwire import OID_TO_SPARK, PgWireClient
+
+        try:
+            client = PgWireClient(host, int(port), user, pw, db)
+        except OSError as e:
+            raise ValueError(
+                f"postgres_query: cannot reach {host}:{port}: {e}"
+            ) from e
+        try:
+            fields, rows = client.query(query)
+        finally:
+            client.close()
+        if not fields:
+            raise ValueError("postgres_query: statement returned no row set")
+        schema = ", ".join(
+            f"`{n}` {OID_TO_SPARK.get(oid, 'string')}" for n, oid in fields
+        )
+        engine._pgq_counter = getattr(engine, "_pgq_counter", 0) + 1
+        name = f"__pgq_{engine._pgq_counter}"
+        engine.spark.createDataFrame(
+            [tuple(r) for r in rows], schema
+        ).createOrReplaceTempView(name)
+        return name
+
+    out = pat.sub(repl, stmt)
+    m2 = two_arg.search(out)
+    if m2:
+        raise NotImplementedError(
+            f"{m2.group(1).lower()}(cdc_source_name, query) needs a live "
+            "CDC source connection; use the 6-argument form "
+            "(hostname, port, username, password, database, query)"
+        )
+    return out
 
 
 # matches MASKED statement text: string literals are \x00N\x00 placeholders

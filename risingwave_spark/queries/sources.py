@@ -1404,3 +1404,53 @@ def src_iceberg_scan(spark, sf_dir):
         "SELECT o_orderpriority AS pri, count(*) AS n, sum(o_custkey) AS ck "
         "FROM iord GROUP BY o_orderpriority ORDER BY pri"
     )
+
+
+@register(
+    "batch_postgres_query",
+    oracle="""
+SELECT n.n_name AS nm, count(*) AS n, CAST(sum(s.s_suppkey) AS BIGINT) AS sk
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey <= 150
+GROUP BY n.n_name ORDER BY nm
+""",
+)
+def batch_postgres_query(spark, sf_dir):
+    """Federated `postgres_query(host, port, user, password, db,
+    query)` TVF over the REAL Postgres v3 wire protocol (reference
+    batch executor `postgres_query.rs:31`; binder
+    `expr/table_function.rs:345`): the 'external database' is the
+    loopback server — an embedded DuckDB answering genuine
+    startup/cleartext-auth/Query/RowDescription/DataRow bytes — and
+    the engine joins its own supplier table against the remote nation
+    dimension pulled through the wire."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import LoopbackPostgres
+
+    tables(spark, sf_dir)
+    pg = LoopbackPostgres().start()
+    try:
+        pg.seed(
+            "CREATE TABLE nation AS SELECT * FROM read_parquet("
+            f"'{_os.path.join(sf_dir, 'nation.parquet')}')"
+        )
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_pgfed_"))
+        eng.sql(
+            "CREATE TABLE fsupp (k int8 PRIMARY KEY, nk int8)"
+        )
+        eng.sql(
+            "INSERT INTO fsupp SELECT s_suppkey, s_nationkey FROM supplier "
+            "WHERE s_suppkey <= 150"
+        )
+        return eng.sql(
+            f"SELECT d.n_name AS nm, count(*) AS n, sum(f.k) AS sk "
+            f"FROM fsupp f JOIN postgres_query('{pg.host}', '{pg.port}', "
+            f"'fed', 'fedpw', 'fedb', "
+            f"'SELECT n_nationkey, n_name FROM nation') d "
+            f"ON f.nk = d.n_nationkey GROUP BY d.n_name ORDER BY nm"
+        )
+    finally:
+        pg.stop()
