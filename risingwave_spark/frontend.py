@@ -6906,8 +6906,10 @@ def _rewrite_federated_tvfs(engine: "Engine", stmt: str) -> str:
     same federated-pull shape as the reference's executor (driver-side,
     bounded by the remote result set — the remote database does the
     heavy lifting; this is a lookup/join-dimension path, not a bulk
-    ingest path). `mysql_query` is gated loud: the MySQL handshake
-    needs auth-plugin crypto material this container lacks."""
+    ingest path). `mysql_query` (reference `mysql_query.rs`) runs the
+    same way over the MySQL client/server protocol
+    (sources/mysqlwire.py — HandshakeV10, mysql_native_password
+    scramble, COM_QUERY text rows)."""
     lit = r"'((?:[^']|'')*)'"
     pat = re.compile(
         r"\b(postgres_query|mysql_query)\s*\(\s*"
@@ -6921,31 +6923,33 @@ def _rewrite_federated_tvfs(engine: "Engine", stmt: str) -> str:
 
     def repl(m: "re.Match") -> str:
         fn = m.group(1).lower()
-        if fn == "mysql_query":
-            raise NotImplementedError(
-                "mysql_query needs the MySQL client handshake (auth "
-                "plugins); postgres_query is fully functional over the "
-                "Postgres wire protocol"
-            )
         host, port, user, pw, db, query = (
             g.replace("''", "'") for g in m.groups()[1:]
         )
-        from risingwave_spark.sources.pgwire import OID_TO_SPARK, PgWireClient
-
+        if fn == "mysql_query":
+            from risingwave_spark.sources.mysqlwire import (
+                TYPE_TO_SPARK as type_map,
+                MySqlWireClient as client_cls,
+            )
+        else:
+            from risingwave_spark.sources.pgwire import (
+                OID_TO_SPARK as type_map,
+                PgWireClient as client_cls,
+            )
         try:
-            client = PgWireClient(host, int(port), user, pw, db)
-        except OSError as e:
+            client = client_cls(host, int(port), user, pw, db)
+        except ConnectionError as e:
             raise ValueError(
-                f"postgres_query: cannot reach {host}:{port}: {e}"
+                f"{fn}: cannot reach {host}:{port}: {e}"
             ) from e
         try:
             fields, rows = client.query(query)
         finally:
             client.close()
         if not fields:
-            raise ValueError("postgres_query: statement returned no row set")
+            raise ValueError(f"{fn}: statement returned no row set")
         schema = ", ".join(
-            f"`{n}` {OID_TO_SPARK.get(oid, 'string')}" for n, oid in fields
+            f"`{n}` {type_map.get(tc, 'string')}" for n, tc in fields
         )
         engine._pgq_counter = getattr(engine, "_pgq_counter", 0) + 1
         name = f"__pgq_{engine._pgq_counter}"

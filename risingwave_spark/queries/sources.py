@@ -1454,3 +1454,45 @@ def batch_postgres_query(spark, sf_dir):
         )
     finally:
         pg.stop()
+
+
+@register(
+    "batch_mysql_query",
+    oracle="""
+SELECT r.r_name AS rn, count(*) AS n
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY rn
+""",
+)
+def batch_mysql_query(spark, sf_dir):
+    """Federated `mysql_query(...)` TVF over the REAL MySQL
+    client/server protocol (reference batch executor
+    `mysql_query.rs`): HandshakeV10 + mysql_native_password scramble
+    verified server-side; the engine joins its own nation table
+    against the remote region dimension pulled through COM_QUERY text
+    rows."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.mysqlwire import LoopbackMysql
+
+    tables(spark, sf_dir)
+    my = LoopbackMysql().start()
+    try:
+        my.seed(
+            "CREATE TABLE region AS SELECT * FROM read_parquet("
+            f"'{_os.path.join(sf_dir, 'region.parquet')}')"
+        )
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_myfed_"))
+        eng.sql("CREATE TABLE fnat (k int8 PRIMARY KEY, rk int8)")
+        eng.sql("INSERT INTO fnat SELECT n_nationkey, n_regionkey FROM nation")
+        return eng.sql(
+            f"SELECT d.r_name AS rn, count(*) AS n "
+            f"FROM fnat f JOIN mysql_query('{my.host}', '{my.port}', "
+            f"'fed', 'fedpw', 'fedb', "
+            f"'SELECT r_regionkey, r_name FROM region') d "
+            f"ON f.rk = d.r_regionkey GROUP BY d.r_name ORDER BY rn"
+        )
+    finally:
+        my.stop()

@@ -1,0 +1,390 @@
+"""Pure-stdlib MySQL client/server wire protocol (reference
+`src/batch/executors/src/executor/mysql_query.rs`: the
+`mysql_query(hostname, port, username, password, database, query)`
+table function runs a query on an external MySQL via mysql_async;
+this module speaks the same PUBLIC protocol — dev.mysql.com
+"Client/Server Protocol" — with stdlib sockets and hashlib).
+
+Client flow: HandshakeV10 (server greeting with a 20-byte nonce) →
+HandshakeResponse41 with the mysql_native_password scramble
+(`SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))` — plain SHA1, public
+spec) → OK/ERR; then COM_QUERY → column-count, column definitions
+(type codes), text-protocol result rows (length-encoded strings,
+0xFB NULL) terminated by EOF packets; ERR packets raise with the
+server's message. caching_sha2_password (the 8.0 default) is gated
+loud — point the user at mysql_native_password, which every server
+still ships.
+
+`LoopbackMysql` is the in-sandbox stand-in for the external database:
+genuine packet framing, a real auth exchange (it verifies the
+client's scramble against its own nonce), and each COM_QUERY executed
+on an embedded DuckDB — a real SQL engine answering over real MySQL
+wire bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import socketserver
+import struct
+import threading
+
+# column type codes (public include/field_types.h values)
+T_TINY = 1
+T_LONG = 3
+T_FLOAT = 4
+T_DOUBLE = 5
+T_LONGLONG = 8
+T_DATE = 10
+T_DATETIME = 12
+T_NEWDECIMAL = 246
+T_VAR_STRING = 253
+
+TYPE_TO_SPARK = {
+    T_TINY: "boolean",
+    T_LONG: "int",
+    T_LONGLONG: "bigint",
+    T_FLOAT: "float",
+    T_DOUBLE: "double",
+    T_NEWDECIMAL: "double",
+    T_DATE: "date",
+    T_DATETIME: "timestamp",
+    T_VAR_STRING: "string",
+}
+
+CAP_PROTOCOL_41 = 0x0200
+CAP_CONNECT_WITH_DB = 0x0008
+CAP_SECURE_CONNECTION = 0x8000
+CAP_PLUGIN_AUTH = 0x00080000
+
+
+def native_scramble(password: str, nonce: bytes) -> bytes:
+    """mysql_native_password: SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def _lenenc_int(buf: bytes, i: int) -> tuple[int, int]:
+    b = buf[i]
+    if b < 0xFB:
+        return b, i + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", buf, i + 1)[0], i + 3
+    if b == 0xFD:
+        return int.from_bytes(buf[i + 1:i + 4], "little"), i + 4
+    return struct.unpack_from("<Q", buf, i + 1)[0], i + 9
+
+
+def _enc_lenenc_int(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _enc_lenenc_str(s: bytes) -> bytes:
+    return _enc_lenenc_int(len(s)) + s
+
+
+def _lenenc_str(buf: bytes, i: int) -> tuple[bytes | None, int]:
+    if buf[i] == 0xFB:  # NULL
+        return None, i + 1
+    n, i = _lenenc_int(buf, i)
+    return buf[i:i + n], i + n
+
+
+class _Conn:
+    """Packet framing shared by both ends: 3-byte LE length + seq id."""
+
+    def __init__(self, sock):
+        self.sock = sock
+        self._buf = b""
+        self.seq = 0
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise OSError("mysql connection closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_packet(self) -> bytes:
+        hdr = self._read_exact(4)
+        n = int.from_bytes(hdr[:3], "little")
+        self.seq = hdr[3] + 1
+        return self._read_exact(n)
+
+    def send_packet(self, payload: bytes) -> None:
+        self.sock.sendall(
+            len(payload).to_bytes(3, "little") + bytes([self.seq & 0xFF]) + payload
+        )
+        self.seq += 1
+
+
+def _err_packet(payload: bytes) -> str:
+    # 0xFF errno(2) '#' sqlstate(5) message
+    return payload[9:].decode(errors="replace")
+
+
+class MySqlWireClient:
+    def __init__(self, host: str, port: int, user: str, password: str,
+                 database: str, timeout: float = 10.0):
+        self.conn = _Conn(socket.create_connection((host, port), timeout=timeout))
+        greeting = self.conn.read_packet()
+        if greeting[0] == 0xFF:
+            raise OSError(f"mysql error: {_err_packet(greeting)}")
+        if greeting[0] != 10:
+            raise OSError(f"unsupported mysql protocol version {greeting[0]}")
+        i = greeting.index(b"\x00", 1) + 1  # server version
+        i += 4  # thread id
+        nonce = greeting[i:i + 8]
+        i += 8 + 1  # filler
+        i += 2 + 1 + 2 + 2  # cap-low, charset, status, cap-high
+        auth_len = greeting[i]
+        i += 1 + 10  # reserved
+        nonce += greeting[i:i + max(13, auth_len - 8)].rstrip(b"\x00")
+        i += max(13, auth_len - 8)
+        plugin = greeting[i:].split(b"\x00", 1)[0].decode() if i < len(greeting) else ""
+        if plugin and plugin != "mysql_native_password":
+            raise NotImplementedError(
+                f"mysql auth plugin {plugin!r} (caching_sha2/RSA exchange) "
+                "is not supported; create the user WITH "
+                "mysql_native_password"
+            )
+        nonce = nonce[:20]
+        caps = (CAP_PROTOCOL_41 | CAP_CONNECT_WITH_DB
+                | CAP_SECURE_CONNECTION | CAP_PLUGIN_AUTH)
+        auth = native_scramble(password, nonce)
+        resp = (
+            struct.pack("<IIB", caps, 1 << 24, 33) + b"\x00" * 23
+            + user.encode() + b"\x00"
+            + bytes([len(auth)]) + auth
+            + database.encode() + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+        self.conn.send_packet(resp)
+        ok = self.conn.read_packet()
+        if ok[0] == 0xFF:
+            raise OSError(f"mysql error: {_err_packet(ok)}")
+
+    def query(self, sql: str) -> tuple[list[tuple[str, int]], list[list]]:
+        """COM_QUERY text protocol → ([(column, type_code)], rows) with
+        values decoded per type code (None for NULL)."""
+        self.conn.seq = 0
+        self.conn.send_packet(b"\x03" + sql.encode())
+        first = self.conn.read_packet()
+        if first[0] == 0xFF:
+            raise OSError(f"mysql error: {_err_packet(first)}")
+        if first[0] == 0x00:
+            return [], []  # OK packet: statement with no result set
+        ncols, _ = _lenenc_int(first, 0)
+        fields: list[tuple[str, int]] = []
+        for _ in range(ncols):
+            col = self.conn.read_packet()
+            i = 0
+            vals = []
+            for _k in range(6):  # catalog, schema, table, org_table, name, org_name
+                v, i = _lenenc_str(col, i)
+                vals.append(v)
+            i += 1 + 2 + 4  # filler, charset, column length
+            ctype = col[i]
+            fields.append((vals[4].decode(), ctype))
+        pkt = self.conn.read_packet()
+        if not (pkt[0] == 0xFE and len(pkt) < 9):
+            raise OSError("expected EOF after column definitions")
+        rows: list[list] = []
+        while True:
+            pkt = self.conn.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                return fields, rows
+            if pkt[0] == 0xFF:
+                raise OSError(f"mysql error: {_err_packet(pkt)}")
+            i = 0
+            row = []
+            for c in range(ncols):
+                v, i = _lenenc_str(pkt, i)
+                row.append(None if v is None else _decode_text(v, fields[c][1]))
+            rows.append(row)
+
+    def close(self) -> None:
+        try:
+            self.conn.seq = 0
+            self.conn.send_packet(b"\x01")  # COM_QUIT
+            self.conn.sock.close()
+        except OSError:
+            pass
+
+
+def _decode_text(b: bytes, ctype: int):
+    s = b.decode()
+    if ctype in (T_LONG, T_LONGLONG):
+        return int(s)
+    if ctype in (T_FLOAT, T_DOUBLE, T_NEWDECIMAL):
+        return float(s)
+    if ctype == T_TINY:
+        return s not in ("0", "")
+    if ctype == T_DATE:
+        import datetime
+
+        return datetime.date.fromisoformat(s)
+    if ctype == T_DATETIME:
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+    return s
+
+
+# --------------------------------------------------------------- loopback
+def _arrow_mysql_type(t) -> int:
+    import pyarrow.types as pt
+
+    if pt.is_boolean(t):
+        return T_TINY
+    if pt.is_int32(t) or pt.is_int16(t) or pt.is_int8(t):
+        return T_LONG
+    if pt.is_integer(t):
+        return T_LONGLONG
+    if pt.is_float32(t):
+        return T_FLOAT
+    if pt.is_floating(t):
+        return T_DOUBLE
+    if pt.is_decimal(t):
+        return T_NEWDECIMAL
+    if pt.is_date(t):
+        return T_DATE
+    if pt.is_timestamp(t):
+        return T_DATETIME
+    return T_VAR_STRING
+
+
+class LoopbackMysql:
+    """A DuckDB database answering over the genuine MySQL wire:
+    HandshakeV10 with a fresh nonce, scramble VERIFICATION, COM_QUERY
+    text-protocol result sets, ERR packets. `seed(sql)` prepares
+    server-side state."""
+
+    def __init__(self, user: str = "fed", password: str = "fedpw",
+                 database: str = "fedb", host: str = "127.0.0.1", port: int = 0):
+        import os
+
+        import duckdb
+
+        self.user, self.password, self.database = user, password, database
+        self._db = duckdb.connect()
+        self._dblock = threading.Lock()
+        server = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                conn = _Conn(self.request)
+                try:
+                    nonce = os.urandom(20)
+                    greeting = (
+                        bytes([10]) + b"8.0.0-loopback\x00"
+                        + struct.pack("<I", 1)
+                        + nonce[:8] + b"\x00"
+                        + struct.pack("<H", (CAP_PROTOCOL_41 | CAP_CONNECT_WITH_DB
+                                             | CAP_SECURE_CONNECTION) & 0xFFFF)
+                        + bytes([33])
+                        + struct.pack("<H", 2)
+                        + struct.pack("<H", (CAP_PLUGIN_AUTH
+                                             | CAP_SECURE_CONNECTION) >> 16)
+                        + bytes([21]) + b"\x00" * 10
+                        + nonce[8:] + b"\x00"
+                        + b"mysql_native_password\x00"
+                    )
+                    conn.send_packet(greeting)
+                    resp = conn.read_packet()
+                    # HandshakeResponse41: caps(4) maxpkt(4) charset(1) 23x0
+                    i = 4 + 4 + 1 + 23
+                    j = resp.index(b"\x00", i)
+                    user_in = resp[i:j].decode()
+                    i = j + 1
+                    alen = resp[i]
+                    auth = resp[i + 1:i + 1 + alen]
+                    if user_in != server.user or auth != native_scramble(
+                        server.password, nonce
+                    ):
+                        conn.send_packet(
+                            b"\xff" + struct.pack("<H", 1045) + b"#28000"
+                            + b"Access denied (password mismatch)")
+                        return
+                    conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
+                    while True:
+                        conn.seq = 0
+                        pkt = conn.read_packet()
+                        if not pkt or pkt[0] == 0x01:  # COM_QUIT
+                            return
+                        if pkt[0] != 0x03:  # only COM_QUERY
+                            conn.send_packet(
+                                b"\xff" + struct.pack("<H", 1047) + b"#08S01"
+                                + b"unsupported command")
+                            continue
+                        sql = pkt[1:].decode()
+                        try:
+                            with server._dblock:
+                                cur = server._db.execute(sql)
+                                if cur.description is None:
+                                    conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+                                    continue
+                                tbl = cur.fetch_arrow_table()
+                        except Exception as e:  # noqa: BLE001 — DB error → ERR packet
+                            conn.send_packet(
+                                b"\xff" + struct.pack("<H", 1064) + b"#42000"
+                                + str(e).encode()[:400])
+                            continue
+                        cols = [(f.name, _arrow_mysql_type(f.type)) for f in tbl.schema]
+                        conn.send_packet(_enc_lenenc_int(len(cols)))
+                        for name, ctype in cols:
+                            nb = name.encode()
+                            conn.send_packet(
+                                _enc_lenenc_str(b"def") + _enc_lenenc_str(b"")
+                                + _enc_lenenc_str(b"") + _enc_lenenc_str(b"")
+                                + _enc_lenenc_str(nb) + _enc_lenenc_str(nb)
+                                + b"\x0c" + struct.pack("<HIB", 33, 255, ctype)
+                                + struct.pack("<HB", 0, 0) + b"\x00\x00")
+                        conn.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
+                        for d in tbl.to_pylist():
+                            out = b""
+                            for (name, ctype) in cols:
+                                v = d[name]
+                                if v is None:
+                                    out += b"\xfb"
+                                else:
+                                    if ctype == T_TINY:
+                                        v = 1 if v else 0
+                                    out += _enc_lenenc_str(str(v).encode())
+                            conn.send_packet(out)
+                        conn.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
+                except OSError:
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def seed(self, sql: str) -> None:
+        with self._dblock:
+            self._db.execute(sql)
+
+    def start(self) -> "LoopbackMysql":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

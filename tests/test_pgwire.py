@@ -73,12 +73,37 @@ def test_postgres_query_tvf_in_engine_sql(spark, pg):
     assert out3[0].s == "x'y"
 
 
+def test_mysql_query_tvf_and_wire(spark):
+    """mysql_query over the real MySQL client/server protocol
+    (reference `mysql_query.rs`): HandshakeV10 + mysql_native_password
+    scramble VERIFIED server-side, COM_QUERY text rows."""
+    from risingwave_spark.sources.mysqlwire import LoopbackMysql, MySqlWireClient
+
+    my = LoopbackMysql().start()
+    try:
+        my.seed("CREATE TABLE mdim (k BIGINT, w DOUBLE, ok BOOLEAN)")
+        my.seed("INSERT INTO mdim VALUES (1, 0.5, true), (2, NULL, false)")
+        c = MySqlWireClient(my.host, my.port, "fed", "fedpw", "fedb")
+        fields, rows = c.query("SELECT * FROM mdim ORDER BY k")
+        assert [tc for _n, tc in fields] == [8, 5, 1]
+        assert rows == [[1, 0.5, True], [2, None, False]]
+        with pytest.raises(OSError, match="ghost_tbl"):
+            c.query("SELECT * FROM ghost_tbl")
+        c.close()
+        with pytest.raises(OSError, match="Access denied"):
+            MySqlWireClient(my.host, my.port, "fed", "wrong", "fedb")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_myq_"))
+        out = eng.sql(
+            f"SELECT k, w FROM mysql_query('{my.host}', '{my.port}', 'fed', "
+            f"'fedpw', 'fedb', 'SELECT k, w FROM mdim') ORDER BY k"
+        ).collect()
+        assert [tuple(r) for r in out] == [(1, 0.5), (2, None)]
+    finally:
+        my.stop()
+
+
 def test_postgres_query_tvf_validation(spark, pg):
     eng = Engine(spark, tempfile.mkdtemp(prefix="rw_pgqv_"))
-    with pytest.raises(NotImplementedError, match="mysql"):
-        eng.sql(
-            "SELECT * FROM mysql_query('h', '3306', 'u', 'p', 'db', 'SELECT 1')"
-        )
     with pytest.raises(NotImplementedError, match="6-argument"):
         eng.sql("SELECT * FROM postgres_query('my_cdc_source', 'SELECT 1')")
     with pytest.raises(ValueError, match="cannot reach"):
