@@ -1,10 +1,12 @@
 """Source/format decode layer — SURVEY.md §2.8 (`src/connector/src/parser/`
 in the reference): JSON, CSV, Debezium-envelope, and upsert-envelope
 decoding, re-expressed as Spark's from_json / from_csv / JSON field
-access over payload columns. Avro/Protobuf need the spark-avro/protobuf
-jars (not in this container) — gated behind import-try in
-`risingwave_spark/sources/` and exercised here only via their JSON
-equivalents.
+access over payload columns — plus the end-to-end connector round
+trips: every broker family (kafka, kinesis, mqtt, nats, pulsar,
+google_pubsub) over its REAL wire protocol against a loopback
+fixture, Avro/Protobuf through the pure-Python Confluent decode layer
+(sources/decoders.py), Iceberg storage-catalog scans, and federated
+postgres_query/mysql_query pulls.
 """
 
 from __future__ import annotations
