@@ -1678,6 +1678,11 @@ def _handle_insert(engine: "Engine", ast: dict) -> DataFrame:
     if name not in engine.tables:
         raise ValueError(f"INSERT target {name!r} is not a table")
     t = engine.tables[name]
+    if re.search(r"\b(postgres_query|mysql_query)\s*\(", body, re.I):
+        # INSERT ... SELECT over a federated TVF (the reference's
+        # remote-snapshot-into-table pattern): splice the remote rows
+        # in before Catalyst sees the body
+        body = _rewrite_federated_tvfs(engine, body)
     body = pg_to_spark_sql(body)
     if re.match(r"^\s*VALUES\b", body, re.I):
         # Spark accepts `SELECT * FROM VALUES (...), (...)`; name the

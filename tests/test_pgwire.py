@@ -117,3 +117,21 @@ def test_postgres_query_tvf_validation(spark, pg):
             f"SELECT * FROM postgres_query('{pg.host}', '{pg.port}', 'fed', "
             f"'fedpw', 'fedb', 'SELECT * FROM nope_tbl')"
         )
+
+
+def test_postgres_query_in_insert_select(spark, pg):
+    """INSERT INTO ... SELECT FROM postgres_query(...): the remote
+    snapshot lands in an engine table (the reference's
+    remote-snapshot-into-table pattern); downstream MVs fold it like
+    any DML."""
+    pg.seed("CREATE TABLE src (k BIGINT, v BIGINT)")
+    pg.seed("INSERT INTO src VALUES (1,10),(2,20),(3,30)")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_pgins_"))
+    eng.sql("CREATE TABLE tgt (k int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW tgt_sum AS SELECT sum(v) AS sv FROM tgt")
+    eng.sql(
+        f"INSERT INTO tgt SELECT k, v FROM postgres_query('{pg.host}', "
+        f"'{pg.port}', 'fed', 'fedpw', 'fedb', 'SELECT k, v FROM src') "
+        "WHERE k <= 2"
+    )
+    assert eng.sql("SELECT sv FROM tgt_sum").first().sv == 30
