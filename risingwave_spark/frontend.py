@@ -4848,6 +4848,55 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
     opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
     spark = engine.spark
+    if conn == "s3" and opts.get("s3.endpoint_url"):
+        # S3 file source over the REAL REST API (reference
+        # `source/filesystem/s3/`: ListObjectsV2 + per-object reads;
+        # option names from S3PropertiesCommon): list the bucket,
+        # filter by match_pattern, fetch matching objects and hand them
+        # to Spark's reader. In-sandbox the fetch is driver-side into a
+        # temp dir (bounded by the matched object set — the same
+        # object-at-a-time granularity as the reference's file source);
+        # on a cluster with the hadoop-aws jar the path-based builder
+        # below takes over and executors read s3a:// splits directly.
+        import fnmatch as _fnmatch
+        import tempfile as _tf
+
+        from risingwave_spark.sources.s3_store import S3Client
+
+        bucket = opts.get("s3.bucket_name")
+        if not bucket:
+            raise ValueError(f"source {name!r}: s3 needs a s3.bucket_name option")
+        client = S3Client(
+            opts["s3.endpoint_url"],
+            region=opts.get("s3.region_name", "us-east-1"),
+            access_key=opts.get("s3.credentials.access", "test"),
+            secret_key=opts.get("s3.credentials.secret", "test"),
+        )
+        pattern = opts.get("match_pattern")
+        keys = [
+            k for k, _size in client.list_objects(bucket)
+            if not pattern or _fnmatch.fnmatch(k, pattern)
+        ]
+        if not keys:
+            raise ValueError(
+                f"source {name!r}: no objects in s3://{bucket} match "
+                f"{pattern or '*'!r}"
+            )
+        local = _tf.mkdtemp(prefix=f"rw_s3_{name}_")
+        for k in keys:
+            with open(os.path.join(local, k.replace("/", "__")), "wb") as f:
+                f.write(client.get_object(bucket, k))
+        fmt = (opts.get("format") or "json").lower()
+        if fmt == "csv":
+            df = spark.read.option("header", opts.get("header", "true")).csv(local)
+        elif fmt == "parquet":
+            df = spark.read.parquet(local)
+        else:
+            df = spark.read.json(local)
+        df.createOrReplaceTempView(name)
+        engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
+        engine._record_ddl(name, ast["stmt"])
+        return _status(spark, "CREATE_SOURCE")
     if conn in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
         path = (
             opts.get("posix.fs.root")

@@ -1498,3 +1498,63 @@ def batch_mysql_query(spark, sf_dir):
         )
     finally:
         my.stop()
+
+
+@register(
+    "src_s3_filescan",
+    oracle="""
+SELECT event_type AS et, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
+FROM events WHERE event_id < 600
+GROUP BY event_type ORDER BY et
+""",
+)
+def src_s3_filescan(spark, sf_dir):
+    """S3 file source over the REAL REST API with SigV4-verified
+    requests (reference `source/filesystem/s3/`,
+    S3PropertiesCommon option names): event rows upload as JSON
+    objects into the loopback store, `CREATE SOURCE ... WITH
+    (connector='s3', match_pattern=...)` lists + fetches ONLY the
+    matching keys (a decoy object proves the pattern filter), and the
+    engine aggregates over the source."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.s3_store import LoopbackS3, S3Client
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["events"]
+        .filter(F.col("event_id") < 600)
+        .select("event_id", "event_type", "user_id")
+        .collect()
+    )
+    s3 = LoopbackS3().start()
+    try:
+        client = S3Client(f"http://{s3.host}:{s3.port}")
+        # 3 objects, split deterministically by event_id
+        for part in range(3):
+            body = "".join(
+                _json.dumps({"et": r.event_type, "uid": r.user_id}) + "\n"
+                for r in rows
+                if r.event_id % 3 == part
+            ).encode()
+            client.put_object("lake", f"ev/part-{part}.json", body)
+        client.put_object("lake", "ev/notes.txt", b"decoy - must not scan")
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_s3q_"))
+        eng.sql(
+            f"""CREATE SOURCE s3ev WITH (
+                connector = 's3', s3.bucket_name = 'lake',
+                s3.region_name = 'us-east-1',
+                s3.credentials.access = 'test',
+                s3.credentials.secret = 'test',
+                s3.endpoint_url = 'http://{s3.host}:{s3.port}',
+                match_pattern = 'ev/*.json', format = 'json'
+            )"""
+        )
+        return eng.sql(
+            "SELECT et, count(*) AS n, sum(uid) AS su FROM s3ev "
+            "GROUP BY et ORDER BY et"
+        )
+    finally:
+        s3.stop()
