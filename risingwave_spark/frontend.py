@@ -4836,6 +4836,48 @@ def _handle_create_view(engine: "Engine", ast: dict) -> DataFrame:
     return _status(engine.spark, "CREATE_VIEW")
 
 
+def _finish_objectstore_source(
+    engine: "Engine", name: str, ast: dict, opts: dict, uri: str,
+    entries: list, fetch,
+) -> DataFrame:
+    """Shared object-store tail (s3/gcs/azblob file sources): filter
+    the listing by match_pattern, fetch matching objects into a local
+    staging dir, register the Spark-read view. Driver-side fetch is
+    the in-sandbox posture — object-at-a-time, the same granularity as
+    the reference's file-source splits; a cluster with the hadoop
+    cloud jars reads the store directly through the path-based
+    builders instead."""
+    import fnmatch as _fnmatch
+    import tempfile as _tf
+
+    pattern = opts.get("match_pattern")
+    keys = [
+        k for k, _size in entries
+        if not pattern or _fnmatch.fnmatch(k, pattern)
+    ]
+    if not keys:
+        raise ValueError(
+            f"source {name!r}: no objects in {uri} match {pattern or '*'!r}"
+        )
+    local = _tf.mkdtemp(prefix=f"rw_obj_{name}_")
+    for k in keys:
+        with open(os.path.join(local, k.replace("/", "__")), "wb") as f:
+            f.write(fetch(k))
+    spark = engine.spark
+    fmt = (opts.get("format") or "json").lower()
+    if fmt == "csv":
+        df = spark.read.option("header", opts.get("header", "true")).csv(local)
+    elif fmt == "parquet":
+        df = spark.read.parquet(local)
+    else:
+        df = spark.read.json(local)
+    df.createOrReplaceTempView(name)
+    conn = opts.get("connector", "").lower()
+    engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
+    engine._record_ddl(name, ast["stmt"])
+    return _status(spark, "CREATE_SOURCE")
+
+
 def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
     """CREATE SOURCE (reference `handler/create_source.rs`): the
     connector WITH-options pick the builder from `sources/__init__.py`.
@@ -4858,9 +4900,6 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
         # object-at-a-time granularity as the reference's file source);
         # on a cluster with the hadoop-aws jar the path-based builder
         # below takes over and executors read s3a:// splits directly.
-        import fnmatch as _fnmatch
-        import tempfile as _tf
-
         from risingwave_spark.sources.s3_store import S3Client
 
         bucket = opts.get("s3.bucket_name")
@@ -4872,31 +4911,55 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
             access_key=opts.get("s3.credentials.access", "test"),
             secret_key=opts.get("s3.credentials.secret", "test"),
         )
-        pattern = opts.get("match_pattern")
-        keys = [
-            k for k, _size in client.list_objects(bucket)
-            if not pattern or _fnmatch.fnmatch(k, pattern)
-        ]
-        if not keys:
-            raise ValueError(
-                f"source {name!r}: no objects in s3://{bucket} match "
-                f"{pattern or '*'!r}"
+        return _finish_objectstore_source(
+            engine, name, ast, opts, f"s3://{bucket}",
+            client.list_objects(bucket),
+            lambda k: client.get_object(bucket, k),
+        )
+    if conn == "gcs" and opts.get("gcs.endpoint_url"):
+        # GCS file source over the public JSON API in the emulator
+        # posture (reference `opendal_source/` gcs; fake-gcs-server /
+        # STORAGE_EMULATOR_HOST serve the same REST surface). The real
+        # service's OAuth token flow needs RS256 service-account
+        # signing — gated loud.
+        from risingwave_spark.sources.cloud_store import GcsClient
+
+        if opts.get("gcs.credential"):
+            raise NotImplementedError(
+                "gcs.credential needs the RS256 service-account token "
+                "flow (no RSA in this container); point gcs.endpoint_url "
+                "at an emulator/proxy endpoint instead"
             )
-        local = _tf.mkdtemp(prefix=f"rw_s3_{name}_")
-        for k in keys:
-            with open(os.path.join(local, k.replace("/", "__")), "wb") as f:
-                f.write(client.get_object(bucket, k))
-        fmt = (opts.get("format") or "json").lower()
-        if fmt == "csv":
-            df = spark.read.option("header", opts.get("header", "true")).csv(local)
-        elif fmt == "parquet":
-            df = spark.read.parquet(local)
-        else:
-            df = spark.read.json(local)
-        df.createOrReplaceTempView(name)
-        engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
-        engine._record_ddl(name, ast["stmt"])
-        return _status(spark, "CREATE_SOURCE")
+        bucket = opts.get("gcs.bucket_name")
+        if not bucket:
+            raise ValueError(f"source {name!r}: gcs needs a gcs.bucket_name option")
+        gclient = GcsClient(opts["gcs.endpoint_url"])
+        return _finish_objectstore_source(
+            engine, name, ast, opts, f"gcs://{bucket}",
+            gclient.list_objects(bucket),
+            lambda k: gclient.get_object(bucket, k),
+        )
+    if conn == "azblob" and opts.get("azblob.endpoint_url"):
+        # Azure Blob file source over the public Blob REST API with
+        # GENUINE SharedKey request signing (reference `opendal_source/`
+        # azblob; options azblob.container_name,
+        # azblob.credentials.account_name/account_key).
+        from risingwave_spark.sources.cloud_store import AzblobClient
+
+        container = opts.get("azblob.container_name")
+        account = opts.get("azblob.credentials.account_name")
+        key = opts.get("azblob.credentials.account_key")
+        if not (container and account and key):
+            raise ValueError(
+                f"source {name!r}: azblob needs azblob.container_name and "
+                "azblob.credentials.account_name/account_key options"
+            )
+        aclient = AzblobClient(opts["azblob.endpoint_url"], account, key)
+        return _finish_objectstore_source(
+            engine, name, ast, opts, f"azblob://{container}",
+            aclient.list_blobs(container),
+            lambda k: aclient.get_blob(container, k),
+        )
     if conn in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
         path = (
             opts.get("posix.fs.root")

@@ -1558,3 +1558,108 @@ def src_s3_filescan(spark, sf_dir):
         )
     finally:
         s3.stop()
+
+
+@register(
+    "src_gcs_filescan",
+    oracle="""
+SELECT c_mktsegment AS seg, count(*) AS n
+FROM customer WHERE c_custkey <= 400
+GROUP BY c_mktsegment ORDER BY seg
+""",
+)
+def src_gcs_filescan(spark, sf_dir):
+    """GCS file source over the public JSON API in the emulator
+    posture (reference `opendal_source/` gcs — the same REST surface
+    fake-gcs-server serves): customer rows upload as JSON objects,
+    `CREATE SOURCE ... connector='gcs'` lists + fetches the matching
+    keys, the engine aggregates."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.cloud_store import GcsClient, LoopbackGcs
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    )
+    g = LoopbackGcs().start()
+    try:
+        client = GcsClient(f"http://{g.host}:{g.port}")
+        for part in range(2):
+            body = "".join(
+                _json.dumps({"seg": r.c_mktsegment}) + "\n"
+                for r in rows
+                if r.c_custkey % 2 == part
+            ).encode()
+            client.put_object("lake", f"cust/p{part}.json", body)
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_gcsq_"))
+        eng.sql(
+            f"""CREATE SOURCE gcust WITH (
+                connector = 'gcs', gcs.bucket_name = 'lake',
+                gcs.endpoint_url = 'http://{g.host}:{g.port}',
+                match_pattern = 'cust/*.json', format = 'json'
+            )"""
+        )
+        return eng.sql(
+            "SELECT seg, count(*) AS n FROM gcust GROUP BY seg ORDER BY seg"
+        )
+    finally:
+        g.stop()
+
+
+@register(
+    "src_azblob_filescan",
+    oracle="""
+SELECT o_orderstatus AS st, count(*) AS n
+FROM orders WHERE o_orderkey <= 500
+GROUP BY o_orderstatus ORDER BY st
+""",
+)
+def src_azblob_filescan(spark, sf_dir):
+    """Azure Blob file source over the public Blob REST API with
+    GENUINE SharedKey request signing, VERIFIED by the loopback
+    service (reference `opendal_source/` azblob;
+    azblob.credentials.account_name/account_key options)."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.cloud_store import AzblobClient, LoopbackAzblob
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    a = LoopbackAzblob().start()
+    try:
+        client = AzblobClient(f"http://{a.host}:{a.port}", a.account, a.key)
+        for part in range(2):
+            body = "".join(
+                _json.dumps({"st": r.o_orderstatus}) + "\n"
+                for r in rows
+                if r.o_orderkey % 2 == part
+            ).encode()
+            client.put_blob("cont", f"ord/p{part}.json", body)
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_azq_"))
+        eng.sql(
+            f"""CREATE SOURCE aord WITH (
+                connector = 'azblob', azblob.container_name = 'cont',
+                azblob.credentials.account_name = '{a.account}',
+                azblob.credentials.account_key = '{a.key}',
+                azblob.endpoint_url = 'http://{a.host}:{a.port}',
+                match_pattern = 'ord/*.json', format = 'json'
+            )"""
+        )
+        return eng.sql(
+            "SELECT st, count(*) AS n FROM aord GROUP BY st ORDER BY st"
+        )
+    finally:
+        a.stop()

@@ -76,3 +76,79 @@ def test_s3_create_source_json_with_match_pattern(spark, s3):
                 s3.endpoint_url = 'http://{s3.host}:{s3.port}'
             )"""
         )
+
+
+def test_gcs_create_source(spark):
+    """GCS file source over the public JSON API (emulator posture —
+    the same REST surface fake-gcs-server serves)."""
+    from risingwave_spark.sources.cloud_store import GcsClient, LoopbackGcs
+
+    g = LoopbackGcs().start()
+    try:
+        c = GcsClient(f"http://{g.host}:{g.port}")
+        for i in range(2):
+            c.put_object(
+                "lake", f"ev/p{i}.json",
+                "".join(f'{{"id": {j}}}\n' for j in range(i * 3, i * 3 + 3)).encode(),
+            )
+        c.put_object("lake", "ev/skip.csv", b"id\n99\n")
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_gcs_"))
+        eng.sql(
+            f"""CREATE SOURCE gev WITH (
+                connector = 'gcs', gcs.bucket_name = 'lake',
+                gcs.endpoint_url = 'http://{g.host}:{g.port}',
+                match_pattern = 'ev/*.json', format = 'json'
+            )"""
+        )
+        assert eng.sql("SELECT count(*) AS n FROM gev").first().n == 6
+        with pytest.raises(NotImplementedError, match="RS256"):
+            eng.sql(
+                f"""CREATE SOURCE gbad WITH (
+                    connector = 'gcs', gcs.bucket_name = 'lake',
+                    gcs.endpoint_url = 'http://{g.host}:{g.port}',
+                    gcs.credential = 'base64-sa-json'
+                )"""
+            )
+    finally:
+        g.stop()
+
+
+def test_azblob_create_source_sharedkey(spark):
+    """Azblob file source over the Blob REST API with GENUINE
+    SharedKey signing — the loopback verifies each signature."""
+    import urllib.error
+
+    from risingwave_spark.sources.cloud_store import AzblobClient, LoopbackAzblob
+
+    a = LoopbackAzblob().start()
+    try:
+        c = AzblobClient(f"http://{a.host}:{a.port}", a.account, a.key)
+        c.put_blob("cont", "d/p0.json", b'{"id": 1}\n{"id": 2}\n')
+        c.put_blob("cont", "d/p1.json", b'{"id": 3}\n')
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_az_"))
+        eng.sql(
+            f"""CREATE SOURCE aev WITH (
+                connector = 'azblob', azblob.container_name = 'cont',
+                azblob.credentials.account_name = '{a.account}',
+                azblob.credentials.account_key = '{a.key}',
+                azblob.endpoint_url = 'http://{a.host}:{a.port}',
+                match_pattern = 'd/*.json', format = 'json'
+            )"""
+        )
+        assert eng.sql("SELECT sum(id) AS s FROM aev").first().s == 6
+        # wrong key → the service rejects the signature
+        bad = AzblobClient(
+            f"http://{a.host}:{a.port}", a.account, "d3Jvbmca"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            bad.list_blobs("cont")
+        assert e.value.code == 403
+        with pytest.raises(Exception, match="account_name/account_key"):
+            eng.sql(
+                f"""CREATE SOURCE abad WITH (
+                    connector = 'azblob', azblob.container_name = 'cont',
+                    azblob.endpoint_url = 'http://{a.host}:{a.port}'
+                )"""
+            )
+    finally:
+        a.stop()
