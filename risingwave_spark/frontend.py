@@ -5445,6 +5445,118 @@ class _PulsarSink(_KafkaSink):
             c.close()
 
 
+class _EsSink(_MqttSink):
+    """Elasticsearch/OpenSearch sink over the real _bulk REST API
+    (reference `sink/elasticsearch_opensearch/`: converter emits
+    index-on-upsert / delete-on-retract ops; `_id` = pk values joined
+    by the `delimiter` option): each chunk's formatter events become
+    ONE bulk call — an insert/update indexes the document, a null
+    value deletes it."""
+
+    def __init__(self, engine, sub, opts: dict, index: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        from risingwave_spark.sources.es_store import EsClient
+
+        self.engine = engine
+        self.sub = sub
+        self.client = EsClient(
+            opts["url"], username=opts.get("username"),
+            password=opts.get("password"),
+        )
+        self.topic = index
+        self.delimiter = opts.get("delimiter", "_")
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _produce_events(self, events: list) -> None:
+        actions = []
+        for k, v in events:
+            _id = self.delimiter.join(str(k[c]) for c in self.pk)
+            if v is None:
+                actions.append(("delete", self.topic, _id, None))
+            else:
+                actions.append(("index", self.topic, _id, v))
+        if actions:
+            self.client.bulk(actions)
+
+
+class _JdbcSink(_MqttSink):
+    """JDBC sink over the Postgres wire protocol (reference
+    `sink/remote.rs` jdbc sink via the connector node; here the
+    postgresql dialect speaks directly — sources/pgwire.py): each
+    chunk's events apply as parameter-inlined SQL — upsert via
+    `INSERT ... ON CONFLICT (pk) DO UPDATE`, retraction via
+    `DELETE ... WHERE pk = ...` — one connection per chunk."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.jdbc_url = opts["jdbc.url"]
+        self.user = opts.get("user") or opts.get("username") or "postgres"
+        self.password = opts.get("password", "")
+        self.topic = table_name  # the remote table
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _connect(self):
+        from risingwave_spark.sources.pgwire import PgWireClient
+
+        rest = self.jdbc_url[len("jdbc:postgresql://"):]
+        hostport, _, dbname = rest.partition("/")
+        dbname = dbname.split("?", 1)[0]
+        host, _, port = hostport.rpartition(":")
+        return PgWireClient(host, int(port), self.user, self.password, dbname)
+
+    @staticmethod
+    def _lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    def _produce_events(self, events: list) -> None:
+        if not events:
+            return
+        cols = [c for c, _t in self.fields]
+        c = self._connect()
+        try:
+            for k, v in events:
+                where = " AND ".join(
+                    f"{col} = {self._lit(k[col])}" for col in self.pk
+                )
+                if v is None:
+                    c.query(f"DELETE FROM {self.topic} WHERE {where}")
+                    continue
+                collist = ", ".join(cols)
+                vals = ", ".join(self._lit(v.get(col)) for col in cols)
+                if self.fmt == "upsert":
+                    sets = ", ".join(
+                        f"{col} = excluded.{col}" for col in cols
+                        if col not in self.pk
+                    ) or f"{self.pk[0]} = excluded.{self.pk[0]}"
+                    c.query(
+                        f"INSERT INTO {self.topic} ({collist}) VALUES ({vals}) "
+                        f"ON CONFLICT ({', '.join(self.pk)}) DO UPDATE SET {sets}"
+                    )
+                else:
+                    c.query(
+                        f"INSERT INTO {self.topic} ({collist}) VALUES ({vals})"
+                    )
+        finally:
+            c.close()
+
+
 class _TableSink:
     """CREATE SINK ... INTO <table> (reference `handler/create_sink.rs`
     sink-into-table; e2e_test/subscription/
@@ -5586,14 +5698,17 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     name, src = ast["name"], ast.get("from")
     opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
-    if conn in ("jdbc", "iceberg", "elasticsearch"):
+    if conn == "iceberg":
         raise NotImplementedError(
-            f"sink connector {conn!r} needs its Spark connector jar and a "
-            "reachable endpoint; neither exists in this container. On a "
-            "cluster: sources/__init__.py jdbc_upsert_sink."
+            "sink connector 'iceberg' needs the table-commit protocol "
+            "against a writable catalog; the READ path "
+            "(CREATE SOURCE connector='iceberg') is fully functional."
         )
     path = None
-    if conn not in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar"):
+    if conn not in (
+        "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
+        "elasticsearch", "opensearch", "jdbc",
+    ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
         path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
@@ -5630,7 +5745,10 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     from risingwave_spark.streaming.mv import with_ops as _wo
 
-    if conn in ("kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar"):
+    if conn in (
+        "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
+        "elasticsearch", "opensearch", "jdbc",
+    ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
@@ -5708,15 +5826,46 @@ def _finish_create_broker_sink(
         if not topic:
             raise ValueError(f"sink {name!r}: pulsar sink needs a topic option")
         _pulsar_endpoint(opts)  # raises when the service.url option is missing
+    elif conn in ("elasticsearch", "opensearch"):
+        topic = opts.get("index")
+        if not topic or not opts.get("url"):
+            raise ValueError(
+                f"sink {name!r}: {conn} sink needs url and index options"
+            )
+    elif conn == "jdbc":
+        topic = opts.get("table.name")
+        if not topic or not opts.get("jdbc.url"):
+            raise ValueError(
+                f"sink {name!r}: jdbc sink needs jdbc.url and table.name options"
+            )
+        if not opts["jdbc.url"].startswith("jdbc:postgresql://"):
+            raise NotImplementedError(
+                f"sink {name!r}: jdbc sink speaks the postgresql dialect "
+                "over the wire (jdbc:postgresql://host:port/db); other "
+                "jdbc drivers need their jars"
+            )
     else:
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    default_fmt = "plain" if conn in ("mqtt", "nats", "google_pubsub") else "debezium"
+    if conn in ("elasticsearch", "opensearch", "jdbc"):
+        default_fmt = "upsert"
+    elif conn in ("mqtt", "nats", "google_pubsub"):
+        default_fmt = "plain"
+    else:
+        default_fmt = "debezium"
     fmt = (ast.get("format") or opts.get("type") or default_fmt).strip().lower()
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
+    if conn in ("elasticsearch", "opensearch", "jdbc") and fmt == "debezium":
+        # these sinks apply the changelog to a target (documents / table
+        # rows); a nested CDC envelope has no meaning there (the
+        # reference's converters are upsert/append-only only)
+        raise ValueError(
+            f"sink {name!r}: {conn} sink supports FORMAT UPSERT or PLAIN "
+            "(the changelog applies to the target; no Debezium envelope)"
+        )
     if conn in ("mqtt", "nats", "google_pubsub") and fmt != "plain":
         # reference `sink/mqtt.rs`, `sink/nats.rs`, `sink/google_pubsub.rs`:
         # all three sinks are append-only only ("NATS sink only supports
@@ -5812,6 +5961,14 @@ def _finish_create_broker_sink(
         sink = _PulsarSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn in ("elasticsearch", "opensearch"):
+        sink = _EsSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "jdbc":
+        sink = _JdbcSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     else:
         sink = _KinesisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -5889,6 +6046,25 @@ def _finish_create_broker_sink(
             # reference sink builds its producer at CREATE the same way)
             probe_p.create_producer(sink.topic, producer_id=0)
             probe_p.close()
+        elif conn in ("elasticsearch", "opensearch"):
+            import urllib.error
+
+            try:
+                sink.client.search(sink.topic)
+            except urllib.error.HTTPError:
+                pass  # reachable; a fresh index 404s until the first doc
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: {conn} endpoint is unreachable"
+                ) from e
+        elif conn == "jdbc":
+            try:
+                sink._connect().close()
+            except (OSError, NotImplementedError) as e:
+                raise ValueError(
+                    f"sink {name!r}: jdbc endpoint is unreachable or "
+                    f"rejected the connection: {e}"
+                ) from e
         else:
             import urllib.error
 

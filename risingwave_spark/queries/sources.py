@@ -1663,3 +1663,91 @@ def src_azblob_filescan(spark, sf_dir):
         )
     finally:
         a.stop()
+
+
+@register(
+    "sink_es_roundtrip",
+    oracle="""
+SELECT n_nationkey AS k, n_regionkey AS rk FROM nation
+WHERE n_nationkey % 4 <> 0 ORDER BY k
+""",
+)
+def sink_es_roundtrip(spark, sf_dir):
+    """Elasticsearch sink over the real _bulk REST API (reference
+    `sink/elasticsearch_opensearch/`): inserts index documents keyed
+    by pk, deletes remove them; the index reconstructs the exact final
+    MV state (every 4th nation deleted)."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.es_store import EsClient, LoopbackEs
+
+    tables(spark, sf_dir)
+    es = LoopbackEs().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_esq_"))
+        eng.sql("CREATE TABLE en (k int8 PRIMARY KEY, rk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW en_mv AS SELECT k, rk FROM en")
+        eng.sql(
+            f"""CREATE SINK en_sink FROM en_mv WITH (
+                connector = 'elasticsearch',
+                url = 'http://{es.host}:{es.port}', index = 'nations'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO en SELECT n_nationkey, n_regionkey FROM nation")
+        eng.sql("DELETE FROM en WHERE k % 4 = 0")
+        docs = EsClient(f"http://{es.host}:{es.port}").search("nations")
+        return spark.createDataFrame(
+            sorted((d["k"], d["rk"]) for d in docs.values()),
+            "k bigint, rk bigint",
+        ).orderBy("k")
+    finally:
+        es.stop()
+
+
+@register(
+    "sink_jdbc_roundtrip",
+    oracle="""
+SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nk
+FROM supplier WHERE s_suppkey <= 100 AND s_suppkey % 3 <> 0
+ORDER BY k
+""",
+)
+def sink_jdbc_roundtrip(spark, sf_dir):
+    """JDBC sink in the postgresql dialect over the real Postgres v3
+    wire (reference jdbc sink): the changelog applies as
+    INSERT..ON CONFLICT / DELETE on the remote database; a second wire
+    connection reads back the exact final state (every 3rd supplier
+    deleted)."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import LoopbackPostgres, PgWireClient
+
+    tables(spark, sf_dir)
+    pg = LoopbackPostgres().start()
+    try:
+        pg.seed("CREATE TABLE tgt (k BIGINT PRIMARY KEY, nk BIGINT)")
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_jq_"))
+        eng.sql("CREATE TABLE js (k int8 PRIMARY KEY, nk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW js_mv AS SELECT k, nk FROM js")
+        eng.sql(
+            f"""CREATE SINK js_sink FROM js_mv WITH (
+                connector = 'jdbc',
+                jdbc.url = 'jdbc:postgresql://{pg.host}:{pg.port}/fedb',
+                table.name = 'tgt', user = 'fed', password = 'fedpw'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql(
+            "INSERT INTO js SELECT s_suppkey, s_nationkey FROM supplier "
+            "WHERE s_suppkey <= 100"
+        )
+        eng.sql("DELETE FROM js WHERE k % 3 = 0")
+        c = PgWireClient(pg.host, pg.port, "fed", "fedpw", "fedb")
+        _f, rows = c.query("SELECT k, nk FROM tgt ORDER BY k")
+        c.close()
+        return spark.createDataFrame(
+            [(r[0], r[1]) for r in rows], "k bigint, nk bigint"
+        ).orderBy("k")
+    finally:
+        pg.stop()
