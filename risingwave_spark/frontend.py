@@ -5483,6 +5483,70 @@ class _EsSink(_MqttSink):
             self.client.bulk(actions)
 
 
+class _IcebergSink(_MqttSink):
+    """Iceberg append-only sink against a storage catalog (reference
+    `src/connector/src/sink/iceberg/`: append-only mode commits data
+    files through fast-append snapshots): each chunk's inserts write
+    ONE parquet data file and commit ONE new snapshot — manifest +
+    manifest list + v{N+1}.metadata.json + atomic version-hint flip
+    (sources/iceberg_scan.py append_snapshot). The committed table
+    reads back through CREATE SOURCE connector='iceberg' — both ends
+    of the spec in one engine."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.warehouse = opts["warehouse.path"]
+        self.database = opts["database.name"]
+        self.topic = table_name  # iceberg table name
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        # the MV's Spark schema drives the data-file schema (events
+        # carry JSON-safe python values; re-read through this schema)
+        self._schema = engine.mv_handles[table].view.result().schema
+        self._n = 0
+
+    def _produce_events(self, events: list) -> None:
+        import os as _os
+
+        from risingwave_spark.sources.iceberg_scan import append_snapshot
+
+        rows = [v for _k, v in events if v is not None]
+        if not rows:
+            return
+        import json as _json
+
+        spark = self.engine.spark
+        df = (
+            spark.createDataFrame(
+                [( _json.dumps(v, sort_keys=True),) for v in rows], "__v string"
+            )
+            .select(F.from_json("__v", self._schema).alias("r"))
+            .select("r.*")
+        )
+        data_dir = _os.path.join(self.warehouse, self.database, self.topic, "data")
+        _os.makedirs(data_dir, exist_ok=True)
+        # never reuse a dir name: prior snapshots reference their files
+        # forever, and a re-opened sink must not clobber them
+        while _os.path.exists(_os.path.join(data_dir, f"c{self._n}")):
+            self._n += 1
+        out = _os.path.join(data_dir, f"c{self._n}")
+        self._n += 1
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        parts = [
+            _os.path.join(out, f) for f in _os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+        append_snapshot(
+            self.warehouse, self.database, self.topic,
+            [(p, len(rows)) for p in parts],
+        )
+
+
 class _JdbcSink(_MqttSink):
     """JDBC sink over the Postgres wire protocol (reference
     `sink/remote.rs` jdbc sink via the connector node; here the
@@ -5698,16 +5762,10 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     name, src = ast["name"], ast.get("from")
     opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
-    if conn == "iceberg":
-        raise NotImplementedError(
-            "sink connector 'iceberg' needs the table-commit protocol "
-            "against a writable catalog; the READ path "
-            "(CREATE SOURCE connector='iceberg') is fully functional."
-        )
     path = None
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
-        "elasticsearch", "opensearch", "jdbc",
+        "elasticsearch", "opensearch", "jdbc", "iceberg",
     ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
@@ -5747,7 +5805,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     if conn in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
-        "elasticsearch", "opensearch", "jdbc",
+        "elasticsearch", "opensearch", "jdbc", "iceberg",
     ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
@@ -5832,6 +5890,19 @@ def _finish_create_broker_sink(
             raise ValueError(
                 f"sink {name!r}: {conn} sink needs url and index options"
             )
+    elif conn == "iceberg":
+        topic = opts.get("table.name")
+        if not topic or not opts.get("warehouse.path") or not opts.get("database.name"):
+            raise ValueError(
+                f"sink {name!r}: iceberg sink needs warehouse.path, "
+                "database.name and table.name options"
+            )
+        cat = (opts.get("catalog.type") or "storage").lower()
+        if cat != "storage":
+            raise NotImplementedError(
+                f"iceberg catalog.type {cat!r} needs a catalog service; "
+                "only the storage catalog is available in this container"
+            )
     elif conn == "jdbc":
         topic = opts.get("table.name")
         if not topic or not opts.get("jdbc.url"):
@@ -5850,7 +5921,7 @@ def _finish_create_broker_sink(
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
     if conn in ("elasticsearch", "opensearch", "jdbc"):
         default_fmt = "upsert"
-    elif conn in ("mqtt", "nats", "google_pubsub"):
+    elif conn in ("mqtt", "nats", "google_pubsub", "iceberg"):
         default_fmt = "plain"
     else:
         default_fmt = "debezium"
@@ -5865,6 +5936,14 @@ def _finish_create_broker_sink(
         raise ValueError(
             f"sink {name!r}: {conn} sink supports FORMAT UPSERT or PLAIN "
             "(the changelog applies to the target; no Debezium envelope)"
+        )
+    if conn == "iceberg" and fmt != "plain":
+        # copy-on-write upsert would rewrite data files per batch; the
+        # reference's upsert mode rides merge-on-read delete files,
+        # which the scan side deliberately gates — append-only only
+        raise ValueError(
+            f"sink {name!r}: iceberg sink supports FORMAT PLAIN only "
+            "(append-only fast-append commits)"
         )
     if conn in ("mqtt", "nats", "google_pubsub") and fmt != "plain":
         # reference `sink/mqtt.rs`, `sink/nats.rs`, `sink/google_pubsub.rs`:
@@ -5903,8 +5982,8 @@ def _finish_create_broker_sink(
     if opts.get("primary_key"):
         keys = [k.strip() for k in opts["primary_key"].split(",")]
     if not keys:
-        if conn in ("mqtt", "nats", "google_pubsub"):
-            keys = []  # these brokers' messages carry no key; nothing to route by
+        if conn in ("mqtt", "nats", "google_pubsub", "iceberg"):
+            keys = []  # keyless targets; nothing to route by
         elif raw_keys and not set(raw_keys) & set(out_cols.columns):
             # SimpleAgg (no GROUP BY) MV: its key is the hidden
             # constant — ONE logical row, so every message carries a
@@ -5967,6 +6046,10 @@ def _finish_create_broker_sink(
         )
     elif conn == "jdbc":
         sink = _JdbcSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "iceberg":
+        sink = _IcebergSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
     else:
@@ -6057,6 +6140,10 @@ def _finish_create_broker_sink(
                 raise ValueError(
                     f"sink {name!r}: {conn} endpoint is unreachable"
                 ) from e
+        elif conn == "iceberg":
+            from risingwave_spark.sources.iceberg_scan import create_empty_table
+
+            create_empty_table(sink.warehouse, sink.database, sink.topic)
         elif conn == "jdbc":
             try:
                 sink._connect().close()

@@ -1751,3 +1751,43 @@ def sink_jdbc_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         pg.stop()
+
+
+@register(
+    "sink_iceberg_roundtrip",
+    oracle="""
+SELECT r_regionkey AS k, r_name AS nm FROM region ORDER BY k
+""",
+)
+def sink_iceberg_roundtrip(spark, sf_dir):
+    """Iceberg append-only sink (reference `sink/iceberg/` append
+    mode): the MV's inserts commit as fast-append snapshots —
+    parquet data file + manifest + manifest list + metadata version +
+    atomic version-hint flip per chunk — and the committed table reads
+    back through the same engine's CREATE SOURCE connector='iceberg',
+    proving both ends of the public spec."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    wh = _os.path.join(_tf.mkdtemp(prefix="rw_icewh_"), "wh")
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_iceq2_"))
+    eng.sql("CREATE TABLE ir (k int8 PRIMARY KEY, nm varchar)")
+    eng.sql("CREATE MATERIALIZED VIEW ir_mv AS SELECT k, nm FROM ir")
+    eng.sql(
+        f"""CREATE SINK ir_sink FROM ir_mv WITH (
+            connector = 'iceberg', warehouse.path = '{wh}',
+            database.name = 'db', table.name = 'regions',
+            force_append_only = 'true'
+        ) FORMAT PLAIN ENCODE JSON"""
+    )
+    eng.sql("INSERT INTO ir SELECT r_regionkey, r_name FROM region")
+    eng.sql(
+        f"""CREATE SOURCE ir_back WITH (
+            connector = 'iceberg', warehouse.path = '{wh}',
+            database.name = 'db', table.name = 'regions'
+        )"""
+    )
+    return eng.sql("SELECT k, nm FROM ir_back ORDER BY k")

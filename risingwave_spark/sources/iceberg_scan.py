@@ -85,6 +85,8 @@ class IcebergTable:
         the spec's scan planning: manifest list -> manifests ->
         non-deleted data entries."""
         snaps = self.metadata.get("snapshots", [])
+        if snapshot_id is None and not snaps:
+            return []  # freshly created table: no snapshots yet
         if snapshot_id is None:
             snapshot_id = self.metadata.get("current-snapshot-id")
         snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
@@ -145,6 +147,90 @@ MANIFEST_SCHEMA = {
         }},
     ],
 }
+
+
+def create_empty_table(warehouse: str, database: str, table: str) -> None:
+    """v1 metadata with zero snapshots — the sink's bootstrap target
+    (idempotent: an existing table is left untouched)."""
+    tdir = os.path.join(_local(warehouse), database, table)
+    meta_dir = os.path.join(tdir, "metadata")
+    if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        return
+    os.makedirs(meta_dir, exist_ok=True)
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": tdir,
+        "current-snapshot-id": None,
+        "snapshots": [],
+        "schemas": [], "partition-specs": [{"spec-id": 0, "fields": []}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+
+def append_snapshot(
+    warehouse: str, database: str, table: str,
+    files: list[tuple[str, int]],
+) -> int:
+    """Fast-append commit (the spec's append operation): ONE new
+    manifest for the added files, a new manifest LIST carrying every
+    previous manifest plus the new one, a new snapshot in
+    v{N+1}.metadata.json, and an atomic version-hint flip (tmp +
+    os.replace — the storage catalog's commit point). Returns the new
+    snapshot id."""
+    from risingwave_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    tdir = os.path.join(_local(warehouse), database, table)
+    meta_dir = os.path.join(tdir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        metadata = json.load(f)
+    snaps = metadata.get("snapshots", [])
+    sid = (max((s["snapshot-id"] for s in snaps), default=999)) + 1
+    prior_manifests: list[dict] = []
+    if metadata.get("current-snapshot-id") is not None:
+        cur = next(
+            s for s in snaps
+            if s["snapshot-id"] == metadata["current-snapshot-id"]
+        )
+        _s, prior_manifests = read_ocf(_local(cur["manifest-list"]))
+    manifest_path = os.path.join(meta_dir, f"manifest-{sid}.avro")
+    write_ocf(manifest_path, MANIFEST_SCHEMA, [
+        {
+            "status": 1, "snapshot_id": sid,
+            "data_file": {
+                "content": 0, "file_path": os.path.abspath(p),
+                "file_format": "PARQUET", "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+            },
+        }
+        for p, n in files
+    ])
+    mlist_path = os.path.join(meta_dir, f"snap-{sid}-manifest-list.avro")
+    write_ocf(mlist_path, MANIFEST_LIST_SCHEMA, prior_manifests + [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": sid,
+    }])
+    metadata["snapshots"] = snaps + [{
+        "snapshot-id": sid,
+        "timestamp-ms": 0,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "append"},
+    }]
+    metadata["current-snapshot-id"] = sid
+    with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    tmp = os.path.join(meta_dir, ".version-hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version + 1))
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+    return sid
 
 
 def write_iceberg_table(
