@@ -629,7 +629,9 @@ def _connector_table_stmt(draw):
 
 @st.composite
 def _connector_sink_stmt(draw):
-    conn = draw(st.sampled_from(_CONNECTORS + ["jdbc"]))
+    conn = draw(st.sampled_from(
+        _CONNECTORS + ["jdbc", "elasticsearch", "opensearch", "iceberg"]
+    ))
     opts = [f"connector = '{conn}'"]
     for opt in (
         "topic = 't_fuzz'",
@@ -647,6 +649,13 @@ def _connector_sink_stmt(draw):
         "primary_key = 'id'",
         "force_append_only = 'true'",
         "schema.registry = '/tmp/rw_fuzz_reg'",
+        "index = 'fz_ix'",
+        "jdbc.url = 'jdbc:postgresql://127.0.0.1:1/db'",
+        "jdbc.url = 'jdbc:mysql://127.0.0.1:1/db'",
+        "table.name = 'fz_tbl'",
+        "warehouse.path = '/tmp/rw_fuzz_wh'",
+        "database.name = 'fzdb'",
+        "catalog.type = 'rest'",
     ):
         if draw(st.booleans()):
             opts.append(opt)
