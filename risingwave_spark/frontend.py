@@ -5483,6 +5483,63 @@ class _EsSink(_MqttSink):
             self.client.bulk(actions)
 
 
+class _RedisSink(_MqttSink):
+    """Redis sink over the real RESP protocol (reference
+    `sink/redis.rs`: pipelines of SET on upsert, DEL on retraction;
+    `key_format`/`value_format` `{col}` templates — redis.rs:44-45,
+    283-299): without a template the key is `<mv>:<pk json>` and the
+    value the row JSON, the reference's JSON default."""
+
+    def __init__(self, engine, sub, opts: dict, key_format: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        url = opts["redis.url"].split("://", 1)[-1]
+        host, _, port = url.rpartition(":")
+        self.host, self.port = host or url, int(port) if port else 6379
+        self.key_format = key_format or None
+        self.value_format = opts.get("value_format") or None
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _key(self, k: dict, v: dict | None) -> str:
+        import json as _json
+
+        if self.key_format:
+            out = self.key_format
+            src = dict(v or {})
+            src.update(k)
+            for col, val in src.items():
+                out = out.replace("{" + col + "}", str(val))
+            return out
+        return f"{self.table}:{_json.dumps(k, sort_keys=True)}"
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        from risingwave_spark.sources.redis_store import RedisClient
+
+        c = RedisClient(self.host, self.port)
+        try:
+            for k, v in events:
+                key = self._key(k, v)
+                if v is None:
+                    c.delete(key)
+                    continue
+                if self.value_format:
+                    val = self.value_format
+                    for col, cv in v.items():
+                        val = val.replace("{" + col + "}", str(cv))
+                else:
+                    val = _json.dumps(v, sort_keys=True)
+                c.set(key, val)
+        finally:
+            c.close()
+
+
 class _IcebergSink(_MqttSink):
     """Iceberg append-only sink against a storage catalog (reference
     `src/connector/src/sink/iceberg/`: append-only mode commits data
@@ -5765,7 +5822,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     path = None
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
-        "elasticsearch", "opensearch", "jdbc", "iceberg",
+        "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
     ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
@@ -5805,7 +5862,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
 
     if conn in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
-        "elasticsearch", "opensearch", "jdbc", "iceberg",
+        "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
     ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
@@ -5903,6 +5960,11 @@ def _finish_create_broker_sink(
                 f"iceberg catalog.type {cat!r} needs a catalog service; "
                 "only the storage catalog is available in this container"
             )
+    elif conn == "redis":
+        url = opts.get("redis.url")
+        if not url:
+            raise ValueError(f"sink {name!r}: redis sink needs a redis.url option")
+        topic = opts.get("key_format") or ""
     elif conn == "jdbc":
         topic = opts.get("table.name")
         if not topic or not opts.get("jdbc.url"):
@@ -5919,7 +5981,7 @@ def _finish_create_broker_sink(
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    if conn in ("elasticsearch", "opensearch", "jdbc"):
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis"):
         default_fmt = "upsert"
     elif conn in ("mqtt", "nats", "google_pubsub", "iceberg"):
         default_fmt = "plain"
@@ -5929,7 +5991,7 @@ def _finish_create_broker_sink(
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
-    if conn in ("elasticsearch", "opensearch", "jdbc") and fmt == "debezium":
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis") and fmt == "debezium":
         # these sinks apply the changelog to a target (documents / table
         # rows); a nested CDC envelope has no meaning there (the
         # reference's converters are upsert/append-only only)
@@ -6052,6 +6114,10 @@ def _finish_create_broker_sink(
         sink = _IcebergSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "redis":
+        sink = _RedisSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     else:
         sink = _KinesisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -6144,6 +6210,15 @@ def _finish_create_broker_sink(
             from risingwave_spark.sources.iceberg_scan import create_empty_table
 
             create_empty_table(sink.warehouse, sink.database, sink.topic)
+        elif conn == "redis":
+            from risingwave_spark.sources.redis_store import RedisClient
+
+            try:
+                RedisClient(sink.host, sink.port).close()
+            except OSError as e:
+                raise ValueError(
+                    f"sink {name!r}: redis server is unreachable"
+                ) from e
         elif conn == "jdbc":
             try:
                 sink._connect().close()

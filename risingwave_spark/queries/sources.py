@@ -1791,3 +1791,46 @@ def sink_iceberg_roundtrip(spark, sf_dir):
         )"""
     )
     return eng.sql("SELECT k, nm FROM ir_back ORDER BY k")
+
+
+@register(
+    "sink_redis_roundtrip",
+    oracle="""
+SELECT n_nationkey AS k, n_name AS nm FROM nation
+WHERE n_nationkey % 5 <> 0 ORDER BY k
+""",
+)
+def sink_redis_roundtrip(spark, sf_dir):
+    """Redis sink over the real RESP protocol (reference
+    `sink/redis.rs`): upserts SET `nat:{k}` keys, deletes DEL them
+    (every 5th nation removed); the store reconstructs the exact
+    final MV state."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.redis_store import LoopbackRedis, RedisClient
+
+    tables(spark, sf_dir)
+    r = LoopbackRedis().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_redq_"))
+        eng.sql("CREATE TABLE rn (k int8 PRIMARY KEY, nm varchar)")
+        eng.sql("CREATE MATERIALIZED VIEW rn_mv AS SELECT k, nm FROM rn")
+        eng.sql(
+            f"""CREATE SINK rn_sink FROM rn_mv WITH (
+                connector = 'redis',
+                redis.url = 'redis://{r.host}:{r.port}',
+                key_format = 'nat:{{k}}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO rn SELECT n_nationkey, n_name FROM nation")
+        eng.sql("DELETE FROM rn WHERE k % 5 = 0")
+        c = RedisClient(r.host, r.port)
+        vals = [_json.loads(v) for v in c.dump_all("nat:*").values()]
+        c.close()
+        return spark.createDataFrame(
+            sorted((d["k"], d["nm"]) for d in vals), "k bigint, nm string"
+        ).orderBy("k")
+    finally:
+        r.stop()
