@@ -5540,6 +5540,42 @@ class _RedisSink(_MqttSink):
             c.close()
 
 
+class _DynamoSink(_MqttSink):
+    """DynamoDB sink over the real AWS JSON 1.0 API with SigV4-signed
+    requests (reference `sink/dynamodb.rs`: PutItem on upsert,
+    DeleteItem on retraction, keyed by the table's key schema — the
+    MV's pk must be the table key). The target table must already
+    exist (the reference describes it at CREATE; the probe scans)."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        from risingwave_spark.sources.dynamodb_store import DynamoClient
+
+        self.engine = engine
+        self.sub = sub
+        self.client = DynamoClient(
+            opts.get("endpoint") or opts.get("aws.endpoint"),
+            region=opts.get("aws.region", "us-east-1"),
+            access_key=opts.get("aws.credentials.access_key_id", "test"),
+            secret_key=opts.get("aws.credentials.secret_access_key", "test"),
+        )
+        self.topic = table_name
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _produce_events(self, events: list) -> None:
+        for k, v in events:
+            if v is None:
+                self.client.delete_item(
+                    self.topic, {c: k[c] for c in self.pk}
+                )
+            else:
+                self.client.put_item(self.topic, v)
+
+
 class _IcebergSink(_MqttSink):
     """Iceberg append-only sink against a storage catalog (reference
     `src/connector/src/sink/iceberg/`: append-only mode commits data
@@ -5823,6 +5859,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
+        "dynamodb",
     ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
@@ -5863,6 +5900,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     if conn in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
+        "dynamodb",
     ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
@@ -5965,6 +6003,12 @@ def _finish_create_broker_sink(
         if not url:
             raise ValueError(f"sink {name!r}: redis sink needs a redis.url option")
         topic = opts.get("key_format") or ""
+    elif conn == "dynamodb":
+        topic = opts.get("table") or opts.get("dynamodb.table")
+        if not topic or not (opts.get("endpoint") or opts.get("aws.endpoint")):
+            raise ValueError(
+                f"sink {name!r}: dynamodb sink needs table and endpoint options"
+            )
     elif conn == "jdbc":
         topic = opts.get("table.name")
         if not topic or not opts.get("jdbc.url"):
@@ -5981,7 +6025,7 @@ def _finish_create_broker_sink(
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    if conn in ("elasticsearch", "opensearch", "jdbc", "redis"):
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb"):
         default_fmt = "upsert"
     elif conn in ("mqtt", "nats", "google_pubsub", "iceberg"):
         default_fmt = "plain"
@@ -5991,7 +6035,7 @@ def _finish_create_broker_sink(
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
-    if conn in ("elasticsearch", "opensearch", "jdbc", "redis") and fmt == "debezium":
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb") and fmt == "debezium":
         # these sinks apply the changelog to a target (documents / table
         # rows); a nested CDC envelope has no meaning there (the
         # reference's converters are upsert/append-only only)
@@ -6118,6 +6162,10 @@ def _finish_create_broker_sink(
         sink = _RedisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "dynamodb":
+        sink = _DynamoSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     else:
         sink = _KinesisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -6218,6 +6266,22 @@ def _finish_create_broker_sink(
             except OSError as e:
                 raise ValueError(
                     f"sink {name!r}: redis server is unreachable"
+                ) from e
+        elif conn == "dynamodb":
+            import urllib.error
+
+            try:
+                # the reference sink DESCRIBES the table at CREATE; a
+                # scan validates both reachability and existence
+                sink.client.scan(sink.topic)
+            except urllib.error.HTTPError as e:
+                raise ValueError(
+                    f"sink {name!r}: dynamodb table {sink.topic!r} "
+                    f"rejected (HTTP {e.code}) — create it first"
+                ) from e
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: dynamodb endpoint is unreachable"
                 ) from e
         elif conn == "jdbc":
             try:

@@ -1834,3 +1834,43 @@ def sink_redis_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         r.stop()
+
+
+@register(
+    "sink_dynamodb_roundtrip",
+    oracle="""
+SELECT r_regionkey AS k, r_name AS nm FROM region
+WHERE r_regionkey <> 2 ORDER BY k
+""",
+)
+def sink_dynamodb_roundtrip(spark, sf_dir):
+    """DynamoDB sink over the real AWS JSON 1.0 API with SigV4-signed
+    PutItem/DeleteItem (reference `sink/dynamodb.rs`): the table
+    reconstructs the exact final MV state (region 2 deleted)."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.dynamodb_store import DynamoClient, LoopbackDynamo
+
+    tables(spark, sf_dir)
+    d = LoopbackDynamo().start()
+    try:
+        client = DynamoClient(f"http://{d.host}:{d.port}")
+        client.create_table("regions", ["k"])
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_dynq_"))
+        eng.sql("CREATE TABLE dr (k int8 PRIMARY KEY, nm varchar)")
+        eng.sql("CREATE MATERIALIZED VIEW dr_mv AS SELECT k, nm FROM dr")
+        eng.sql(
+            f"""CREATE SINK dr_sink FROM dr_mv WITH (
+                connector = 'dynamodb', table = 'regions',
+                endpoint = 'http://{d.host}:{d.port}'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO dr SELECT r_regionkey, r_name FROM region")
+        eng.sql("DELETE FROM dr WHERE k = 2")
+        items = client.scan("regions")
+        return spark.createDataFrame(
+            sorted((i["k"], i["nm"]) for i in items), "k bigint, nm string"
+        ).orderBy("k")
+    finally:
+        d.stop()

@@ -45,6 +45,7 @@ def sigv4_headers(
     secret_key: str,
     amz_target: str,
     now: datetime.datetime | None = None,
+    content_type: str = "application/x-amz-json-1.1",
 ) -> dict:
     """AWS Signature Version 4 (public signing spec): canonical request
     → string-to-sign → derived signing key → Authorization header."""
@@ -53,7 +54,7 @@ def sigv4_headers(
     datestamp = t.strftime("%Y%m%d")
     payload_hash = hashlib.sha256(body).hexdigest()
     canonical_headers = (
-        f"content-type:application/x-amz-json-1.1\n"
+        f"content-type:{content_type}\n"
         f"host:{host}\n"
         f"x-amz-date:{amz_date}\n"
         f"x-amz-target:{amz_target}\n"
@@ -77,7 +78,7 @@ def sigv4_headers(
     k = _sign(k, "aws4_request")
     signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
     return {
-        "Content-Type": "application/x-amz-json-1.1",
+        "Content-Type": content_type,
         "X-Amz-Date": amz_date,
         "X-Amz-Target": amz_target,
         "Authorization": (
