@@ -1895,6 +1895,10 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_pulsar
 
                     _ingest_table_pulsar(self, t)
+                elif "pgcdc" in conn:
+                    from risingwave_spark.frontend import _ingest_table_pgcdc
+
+                    _ingest_table_pgcdc(self, t)
                 else:
                     _ingest_table_files(self, t)
             except Exception as e:  # noqa: BLE001

@@ -423,7 +423,8 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
             "(TTL expiry cannot coexist with retractions)"
         )
     if opts.get("connector", "").lower() in (
-        "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar"
+        "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
+        "postgres-cdc",
     ) and not user_pk:
         # validate at CREATE, not at the first non-empty poll (ADVICE r8):
         # a PK-less broker table would otherwise succeed over an empty
@@ -538,14 +539,15 @@ def _attach_table_connector(
     if conn == "pulsar":
         _attach_table_pulsar(engine, t, opts, format_txt, encode_txt)
         return
-    if conn in ("mysql-cdc", "postgres-cdc"):
+    if conn == "postgres-cdc":
+        _attach_table_pgcdc(engine, t, opts)
+        return
+    if conn == "mysql-cdc":
         raise NotImplementedError(
-            f"table connector {conn!r} needs a reachable database to "
-            "snapshot and a replication slot/binlog to tail; neither "
-            "exists in this container. File-based Debezium ingestion "
-            "(connector='posix_fs' FORMAT DEBEZIUM) and broker CDC "
-            "(kafka/pulsar FORMAT DEBEZIUM) cover the same envelope "
-            "semantics end-to-end."
+            "table connector 'mysql-cdc' needs the binlog replication "
+            "protocol (ROW-format event decoding); postgres-cdc is "
+            "fully functional over logical replication, and file/broker "
+            "Debezium covers the mysql envelope semantics."
         )
     if conn not in ("posix_fs", "filesystem"):
         raise ValueError(f"unknown table connector {conn!r}")
@@ -1453,6 +1455,150 @@ def _ingest_table_pulsar(engine: "Engine", t) -> None:
                 c.ack(0, mid)
     finally:
         c.close()
+
+
+def _attach_table_pgcdc(engine: "Engine", t, opts: dict) -> None:
+    """postgres-cdc TABLE over REAL logical replication (reference
+    `src/connector/src/source/cdc/` postgres via Debezium embedded;
+    here the engine speaks the public protocol itself —
+    sources/pgwire.py PgReplicationClient): CREATE makes the
+    replication SLOT first (so no change between snapshot and stream
+    is lost), snapshots the upstream table over a regular connection,
+    then every poll drains the slot's pgoutput stream
+    (Insert/Update/Delete images) and folds it through the shared
+    upsert path — the slot's confirmed LSN, advanced only AFTER each
+    segment folds, is the durable offset, server-side like every
+    other connector here."""
+    import hashlib
+
+    from risingwave_spark.sources.pgwire import PgReplicationClient, PgWireClient
+
+    host = opts.get("hostname")
+    port = int(opts.get("port", "5432"))
+    user = opts.get("username")
+    pw = opts.get("password", "")
+    db = opts.get("database.name")
+    table = opts.get("table.name")
+    if not (host and user and db and table):
+        raise ValueError(
+            "postgres-cdc table needs hostname, username, database.name "
+            "and table.name options"
+        )
+    schema = opts.get("schema.name", "public")
+    slot = opts.get("slot.name") or (
+        f"rw_{t.name}_{hashlib.md5(engine.warehouse.encode()).hexdigest()[:8]}"
+    )
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    t.connector = {
+        "pgcdc": {
+            "host": host, "port": port, "user": user, "pw": pw,
+            "db": db, "schema": schema, "table": table, "slot": slot,
+        },
+        "format": "upsert",
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    try:
+        rc = PgReplicationClient(host, port, user, pw, db)
+    except (OSError, NotImplementedError):
+        return  # database down at replay: the slot catches up later
+    slot_fresh = True
+    try:
+        try:
+            rc.query(f"CREATE_REPLICATION_SLOT {slot} LOGICAL pgoutput")
+        except OSError as e:
+            if "already exists" not in str(e):
+                raise
+            slot_fresh = False  # re-attach: snapshot already folded
+    finally:
+        rc.close()
+    if slot_fresh:
+        # initial snapshot AFTER the slot exists — changes racing the
+        # snapshot redeliver through the slot (upsert fold dedupes by pk)
+        import json as _json
+
+        c = PgWireClient(host, port, user, pw, db)
+        try:
+            fields, rows = c.query(f"SELECT * FROM {table}")
+        finally:
+            c.close()
+        from pyspark.sql.types import StructType
+
+        row_schema = StructType(
+            [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+        )
+        pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+        names = [n for n, _oid in fields]
+        recs = []
+        for i, r in enumerate(rows):
+            d = dict(zip(names, r))
+            key = _json.dumps(
+                {c_: d.get(c_) for c_ in pk_cols}, sort_keys=True, default=str)
+            recs.append((i, 0, key.encode(),
+                         _json.dumps(d, sort_keys=True, default=str).encode()))
+        cap_n = _poll_cap(t)
+        for j in range(0, len(recs), cap_n):
+            _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    _ingest_table_pgcdc(engine, t)
+
+
+def _ingest_table_pgcdc(engine: "Engine", t) -> None:
+    """Drain the replication slot in bounded segments of
+    ≤ max.poll.records, confirming the flushed LSN only AFTER each
+    segment folds — crash mid-poll redelivers exactly the unconfirmed
+    tail (the reference's Debezium offset-commit contract)."""
+    import json as _json
+
+    from risingwave_spark.sources.pgwire import PgReplicationClient
+
+    cfg = t.connector["pgcdc"]
+    try:
+        rc = PgReplicationClient(
+            cfg["host"], cfg["port"], cfg["user"], cfg["pw"], cfg["db"])
+    except (OSError, NotImplementedError):
+        return
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    cap = _poll_cap(t)
+    try:
+        seg: list = []
+        last_lsn = 0
+
+        def flush():
+            nonlocal seg
+            if not seg:
+                return
+            _fold_kafka_records(engine, t, row_schema, seg)
+            rc.confirm(last_lsn)
+            seg = []
+
+        for op, rel, key, new, lsn in rc.drain(cfg["slot"]):
+            if rel != cfg["table"]:
+                continue  # another table's changes ride the same slot
+            src = new if new is not None else key
+            kj = _json.dumps(
+                {c_: src.get(c_) for c_ in pk_cols}, sort_keys=True, default=str)
+            vj = (
+                None if new is None
+                else _json.dumps(new, sort_keys=True, default=str).encode()
+            )
+            seg.append((lsn, 0, kj.encode(), vj))
+            last_lsn = lsn
+            if len(seg) >= cap:
+                flush()
+        flush()
+        rc.finish()
+    finally:
+        rc.close()
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:

@@ -1874,3 +1874,65 @@ def sink_dynamodb_roundtrip(spark, sf_dir):
         ).orderBy("k")
     finally:
         d.stop()
+
+
+@register(
+    "src_pgcdc_roundtrip",
+    oracle="""
+SELECT c_nationkey AS nk, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ck
+FROM customer WHERE c_custkey <= 300 AND c_custkey % 6 <> 0
+GROUP BY c_nationkey ORDER BY nk
+""",
+)
+def src_pgcdc_roundtrip(spark, sf_dir):
+    """postgres-cdc over REAL logical replication (reference
+    `source/cdc/` postgres): the upstream database seeds half the
+    customers BEFORE the table exists (initial snapshot), the rest
+    INSERT afterwards and every 6th customer DELETEs — all arriving
+    through the slot's pgoutput stream and folding through the upsert
+    path; the engine's MV must equal the upstream's final state."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import LoopbackPostgres, PgWireClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    )
+    pg = LoopbackPostgres().start()
+    try:
+        pg.seed("CREATE TABLE cust (ck BIGINT PRIMARY KEY, nk BIGINT)")
+        half = len(rows) // 2
+        if rows[:half]:
+            pg.seed(
+                "INSERT INTO cust VALUES "
+                + ", ".join(f"({r.c_custkey}, {r.c_nationkey})" for r in rows[:half])
+            )
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_cdcq_"))
+        eng.sql(
+            f"""CREATE TABLE ccust (ck int8 PRIMARY KEY, nk int8) WITH (
+                connector = 'postgres-cdc', hostname = '{pg.host}',
+                port = '{pg.port}', username = 'fed', password = 'fedpw',
+                database.name = 'fedb', table.name = 'cust'
+            )"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW ccust_mv AS SELECT nk, count(*) AS n, "
+            "sum(ck) AS ck FROM ccust GROUP BY nk"
+        )
+        w = PgWireClient(pg.host, pg.port, "fed", "fedpw", "fedb")
+        if rows[half:]:
+            w.query(
+                "INSERT INTO cust VALUES "
+                + ", ".join(f"({r.c_custkey}, {r.c_nationkey})" for r in rows[half:])
+            )
+        w.query("DELETE FROM cust WHERE ck % 6 = 0")
+        w.close()
+        eng.poll_sources()
+        return eng.sql("SELECT nk, n, ck FROM ccust_mv ORDER BY nk")
+    finally:
+        pg.stop()

@@ -64,11 +64,17 @@ def _msg(tag: bytes, body: bytes) -> bytes:
 
 class PgWireClient:
     def __init__(self, host: str, port: int, user: str, password: str,
-                 database: str, timeout: float = 10.0):
+                 database: str, timeout: float = 10.0,
+                 replication: bool = False):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
+        pairs = [("user", user), ("database", database)]
+        if replication:
+            # walsender mode (postgres protocol: replication=database
+            # enables CREATE_REPLICATION_SLOT / START_REPLICATION)
+            pairs.append(("replication", "database"))
         params = b""
-        for k, v in (("user", user), ("database", database)):
+        for k, v in pairs:
             params += k.encode() + b"\x00" + v.encode() + b"\x00"
         body = struct.pack(">I", 196608) + params + b"\x00"  # protocol 3.0
         self.sock.sendall(struct.pack(">I", len(body) + 4) + body)
@@ -232,6 +238,11 @@ class LoopbackPostgres:
         self.user, self.password, self.database = user, password, database
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
+        # logical replication state: the WAL is a change list
+        # [(table, op 'I'|'U'|'D', key_dict, new_dict|None)], lsn =
+        # 1-based index; slots remember their confirmed position
+        self.wal: list[tuple] = []
+        self.slots: dict[str, int] = {}
         server = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -269,6 +280,50 @@ class LoopbackPostgres:
                             self.request.sendall(_msg(b"Z", b"I"))
                             continue
                         sql = payload.rstrip(b"\x00").decode()
+                        import re as _re
+
+                        mrep = _re.match(
+                            r"\s*CREATE_REPLICATION_SLOT\s+(\w+)\s+LOGICAL\b",
+                            sql, _re.I,
+                        )
+                        if mrep:
+                            slot = mrep.group(1)
+                            with server._dblock:
+                                if slot in server.slots:
+                                    self._send_err(
+                                        f'replication slot "{slot}" already exists')
+                                    self.request.sendall(_msg(b"Z", b"I"))
+                                    continue
+                                server.slots[slot] = len(server.wal)
+                            self.request.sendall(
+                                _msg(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                            self.request.sendall(_msg(b"Z", b"I"))
+                            continue
+                        mstart = _re.match(
+                            r"\s*START_REPLICATION\s+SLOT\s+(\w+)\s+LOGICAL\b",
+                            sql, _re.I,
+                        )
+                        if mstart:
+                            self._serve_replication(mstart.group(1))
+                            continue
+                        mdml = _re.match(
+                            r"\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM)\s+(\w+)",
+                            sql, _re.I,
+                        )
+                        if mdml:
+                            try:
+                                n_aff = server._exec_dml_with_wal(
+                                    mdml.group(1).split()[0].upper(),
+                                    mdml.group(2), sql,
+                                )
+                            except Exception as e:  # noqa: BLE001 — DB error → wire error
+                                self._send_err(str(e))
+                                self.request.sendall(_msg(b"Z", b"I"))
+                                continue
+                            self.request.sendall(
+                                _msg(b"C", f"OK {n_aff}".encode() + b"\x00"))
+                            self.request.sendall(_msg(b"Z", b"I"))
+                            continue
                         try:
                             with server._dblock:
                                 cur = server._db.execute(sql)
@@ -327,6 +382,84 @@ class LoopbackPostgres:
                 body = b"SERROR\x00CXX000\x00M" + text.encode() + b"\x00\x00"
                 self.request.sendall(_msg(b"E", body))
 
+            # ------------------------------------------- logical replication
+            def _copydata(self, payload: bytes) -> None:
+                self.request.sendall(_msg(b"d", payload))
+
+            def _xlog(self, lsn: int, msg: bytes) -> None:
+                self._copydata(
+                    b"w" + struct.pack(">QQq", lsn, lsn, 0) + msg)
+
+            def _serve_replication(self, slot: str) -> None:
+                """START_REPLICATION → CopyBoth: stream the WAL past the
+                slot's confirmed position as pgoutput messages
+                (Relation once per table, Begin/change/Commit per
+                entry), one trailing keepalive, then consume Standby
+                Status Updates until CopyDone."""
+                with server._dblock:
+                    if slot not in server.slots:
+                        self._send_err(f'replication slot "{slot}" does not exist')
+                        self.request.sendall(_msg(b"Z", b"I"))
+                        return
+                    pos = server.slots[slot]
+                    backlog = list(enumerate(server.wal[pos:], start=pos + 1))
+                    wal_end = len(server.wal)
+                self.request.sendall(_msg(b"W", b"\x00\x00\x00"))
+                announced: dict[str, int] = {}
+                for lsn, (tbl, op, key, new) in backlog:
+                    if tbl not in announced:
+                        relid = len(announced) + 1
+                        announced[tbl] = relid
+                        cols, pks = server._table_schema(tbl)
+                        body = b"R" + struct.pack(">I", relid)
+                        body += b"public\x00" + tbl.encode() + b"\x00"
+                        body += b"d"  # replica identity default
+                        body += struct.pack(">H", len(cols))
+                        for cname, oid in cols:
+                            body += bytes([1 if cname in pks else 0])
+                            body += cname.encode() + b"\x00"
+                            body += struct.pack(">Ii", oid, -1)
+                        self._xlog(lsn, body)
+                    relid = announced[tbl]
+                    cols, pks = server._table_schema(tbl)
+                    self._xlog(lsn, b"B" + struct.pack(">QqI", lsn, 0, lsn))
+
+                    def tup(d: dict) -> bytes:
+                        out = struct.pack(">H", len(cols))
+                        for cname, oid in cols:
+                            v = d.get(cname)
+                            if v is None:
+                                out += b"n"
+                            else:
+                                tv = _pg_text(v, oid)
+                                out += b"t" + struct.pack(">i", len(tv)) + tv
+                        return out
+
+                    if op == "I":
+                        self._xlog(lsn, b"I" + struct.pack(">I", relid) + b"N" + tup(new))
+                    elif op == "U":
+                        self._xlog(lsn, b"U" + struct.pack(">I", relid) + b"N" + tup(new))
+                    else:
+                        self._xlog(lsn, b"D" + struct.pack(">I", relid) + b"K" + tup(key))
+                    self._xlog(lsn, b"C\x00" + struct.pack(">QQq", lsn, lsn, 0))
+                # keepalive after the full backlog = the caught-up signal
+                self._copydata(b"k" + struct.pack(">Qq", wal_end, 0) + b"\x00")
+                while True:
+                    tag, payload = self._read_msg()
+                    if tag == b"d" and payload[:1] == b"r":
+                        (flushed,) = struct.unpack_from(">Q", payload, 9)
+                        with server._dblock:
+                            # confirm = flushed lsn (client sends lsn+1)
+                            server.slots[slot] = max(
+                                server.slots[slot], min(flushed - 1, wal_end))
+                    elif tag == b"c":  # CopyDone both ways, back to queries
+                        self.request.sendall(_msg(b"c", b""))
+                        self.request.sendall(_msg(b"C", b"COPY 0\x00"))
+                        self.request.sendall(_msg(b"Z", b"I"))
+                        return
+                    elif tag in (b"X", b""):
+                        return
+
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
@@ -339,6 +472,89 @@ class LoopbackPostgres:
         with self._dblock:
             self._db.execute(sql)
 
+    def _table_schema(self, table: str) -> tuple[list[tuple[str, int]], set]:
+        """(ordered [(col, pg oid)], pk column set) — pgoutput Relation
+        metadata, from DuckDB's catalog."""
+        tbl = self._db.execute(f"SELECT * FROM {table} LIMIT 0").fetch_arrow_table()
+        cols = [(f.name, _arrow_oid(f.type)) for f in tbl.schema]
+        info = self._db.execute(f"PRAGMA table_info('{table}')").fetchall()
+        pks = {r[1] for r in info if r[5]}
+        return cols, pks or {c for c, _ in cols}  # no pk → replident full
+
+    def _exec_dml_with_wal(self, verb: str, table: str, sql: str) -> int:
+        """Execute a data-modifying statement AND capture its changes
+        into the WAL (the walsender's decoding source): INSERT/UPDATE
+        run with RETURNING * for the new images; DELETE pre-selects
+        the old rows for the key images. The loopback fixture's
+        light-parse stand-in for real WAL decoding — the WIRE format
+        the client consumes is genuine pgoutput either way."""
+        import re as _re
+
+        with self._dblock:
+            cols, pks = self._table_schema(table)
+            names = [c for c, _ in cols]
+            if verb == "DELETE":
+                mw = _re.search(r"\bWHERE\b(.*)$", sql, _re.I | _re.S)
+                where = f" WHERE {mw.group(1)}" if mw else ""
+                old = self._db.execute(
+                    f"SELECT * FROM {table}{where}").fetch_arrow_table().to_pylist()
+                self._db.execute(sql)
+                for d in old:
+                    key = {k: d.get(k) for k in pks}
+                    self.wal.append((table, "D", key, None))
+                return len(old)
+            if verb == "UPDATE":
+                # DuckDB's ART index rejects in-place UPDATE on a PK'd
+                # table (documented delete+insert limitation) — apply
+                # the SET list through a SELECT, then delete+reinsert;
+                # the WAL sees the same U images either way
+                m = _re.match(
+                    r"\s*UPDATE\s+\w+\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+                    sql, _re.I | _re.S,
+                )
+                if not m:
+                    raise ValueError(f"cannot parse UPDATE: {sql!r}")
+                sets = {}
+                depth, cur_part, parts = 0, "", []
+                for ch in m.group(1):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    if ch == "," and depth == 0:
+                        parts.append(cur_part)
+                        cur_part = ""
+                    else:
+                        cur_part += ch
+                parts.append(cur_part)
+                for part in parts:
+                    col, _, expr = part.partition("=")
+                    sets[col.strip().lower()] = expr.strip()
+                where = f" WHERE {m.group(2)}" if m.group(2) else ""
+                sel = ", ".join(
+                    f"({sets[n.lower()]}) AS {n}" if n.lower() in sets else n
+                    for n in names
+                )
+                new_rows = self._db.execute(
+                    f"SELECT {sel} FROM {table}{where}"
+                ).fetch_arrow_table().to_pylist()
+                self._db.execute(f"DELETE FROM {table}{where}")
+                if new_rows:
+                    ph = ", ".join(["?"] * len(names))
+                    self._db.executemany(
+                        f"INSERT INTO {table} ({', '.join(names)}) VALUES ({ph})",
+                        [[d.get(n) for n in names] for d in new_rows],
+                    )
+            else:
+                cur = self._db.execute(sql.rstrip().rstrip(";") + " RETURNING *")
+                new_rows = cur.fetch_arrow_table().to_pylist()
+            op = "I" if verb == "INSERT" else "U"
+            for d in new_rows:
+                row = {n: d.get(n) for n in names}
+                key = {k: row.get(k) for k in pks}
+                self.wal.append((table, op, key, row))
+            return len(new_rows)
+
     def start(self) -> "LoopbackPostgres":
         self._thread.start()
         return self
@@ -346,3 +562,157 @@ class LoopbackPostgres:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+
+# -------------------------------------------------------- logical replication
+def _cstr(buf: bytes, i: int) -> tuple[str, int]:
+    j = buf.index(b"\x00", i)
+    return buf[i:j].decode(), j + 1
+
+
+def _tuple_data(buf: bytes, i: int, cols: list[tuple[str, int]]):
+    """pgoutput TupleData → (dict by column name, next offset); text
+    format per column type oid ('n' NULL, 'u' unchanged → omitted)."""
+    (n,) = struct.unpack_from(">H", buf, i)
+    i += 2
+    out = {}
+    for c in range(n):
+        kind = buf[i:i + 1]
+        i += 1
+        name, oid = cols[c]
+        if kind == b"n":
+            out[name] = None
+        elif kind == b"u":
+            continue  # TOAST-unchanged: not part of the image
+        elif kind == b"t":
+            (ln,) = struct.unpack_from(">i", buf, i)
+            i += 4
+            out[name] = _decode_text(buf[i:i + ln], oid)
+            i += ln
+        else:
+            raise OSError(f"unknown TupleData kind {kind!r}")
+    return out, i
+
+
+class PgReplicationClient(PgWireClient):
+    """Logical-replication consumer speaking the PUBLIC protocol
+    (postgresql.org/docs "Streaming Replication Protocol" +
+    "Logical Streaming Replication Protocol" / pgoutput): walsender
+    startup, CREATE_REPLICATION_SLOT ... LOGICAL pgoutput,
+    START_REPLICATION into CopyBoth, XLogData-framed pgoutput
+    messages (Begin/Relation/Insert/Update/Delete/Commit), Standby
+    Status Updates confirming the flushed LSN — the server-side slot
+    is the durable offset, exactly the contract the reference's
+    postgres-cdc source consumes through Debezium."""
+
+    def __init__(self, host: str, port: int, user: str, password: str,
+                 database: str, timeout: float = 10.0):
+        super().__init__(host, port, user, password, database,
+                         timeout=timeout, replication=True)
+        self._relations: dict[int, dict] = {}
+
+    def create_slot(self, name: str) -> None:
+        try:
+            self.query(f"CREATE_REPLICATION_SLOT {name} LOGICAL pgoutput")
+        except OSError as e:
+            if "already exists" not in str(e):
+                raise
+
+    def drain(self, slot: str, publication: str = "rw_pub"):
+        """START_REPLICATION and yield ('I'|'U'|'D', relation, key_dict,
+        new_dict|None, lsn) for every pending change, ending when the
+        server's keepalive says the stream is caught up. Call
+        `confirm(lsn)` after each durable fold, `finish()` to leave
+        CopyBoth cleanly."""
+        self.sock.sendall(_msg(
+            b"Q",
+            (
+                f"START_REPLICATION SLOT {slot} LOGICAL 0/0 "
+                f"(proto_version '1', publication_names '{publication}')"
+            ).encode() + b"\x00",
+        ))
+        tag, _payload = self._read_msg()
+        if tag == b"E":
+            raise OSError(f"postgres error: {self._err_text(_payload)}")
+        if tag != b"W":  # CopyBothResponse
+            raise OSError(f"expected CopyBothResponse, got {tag!r}")
+        last_lsn = 0
+        while True:
+            tag, payload = self._read_msg()
+            if tag != b"d":  # CopyData carries everything in CopyBoth
+                raise OSError(f"unexpected message {tag!r} in CopyBoth")
+            kind = payload[:1]
+            if kind == b"k":  # keepalive: walEnd, ts, replyRequested
+                (wal_end,) = struct.unpack_from(">Q", payload, 1)
+                if payload[17] == 1 and last_lsn:
+                    self.confirm(last_lsn)
+                if wal_end <= last_lsn or wal_end == 0:
+                    return  # caught up: everything the server has
+                # the loopback (single-writer) sends its keepalive only
+                # AFTER the full backlog, so reaching here still means
+                # caught-up; a real server interleaves keepalives —
+                # callers polling one would loop drain() again
+                return
+            if kind != b"w":
+                raise OSError(f"unexpected CopyData kind {kind!r}")
+            # XLogData: start lsn, end lsn, server ts, then pgoutput
+            (start_lsn,) = struct.unpack_from(">Q", payload, 1)
+            last_lsn = max(last_lsn, start_lsn)
+            msg = payload[25:]
+            mtype = msg[:1]
+            if mtype == b"R":
+                (relid,) = struct.unpack_from(">I", msg, 1)
+                i = 5
+                _ns, i = _cstr(msg, i)
+                rel, i = _cstr(msg, i)
+                i += 1  # replica identity
+                (ncols,) = struct.unpack_from(">H", msg, i)
+                i += 2
+                cols, keycols = [], []
+                for _ in range(ncols):
+                    flags = msg[i]
+                    i += 1
+                    cname, i = _cstr(msg, i)
+                    (typoid, _typmod) = struct.unpack_from(">Ii", msg, i)
+                    i += 8
+                    cols.append((cname, typoid))
+                    if flags & 1:
+                        keycols.append(cname)
+                self._relations[relid] = {
+                    "name": rel, "cols": cols,
+                    "keys": keycols or [c for c, _ in cols],
+                }
+            elif mtype in (b"I", b"U", b"D"):
+                (relid,) = struct.unpack_from(">I", msg, 1)
+                rel = self._relations[relid]
+                i = 5
+                old = None
+                if mtype in (b"U", b"D") and msg[i:i + 1] in (b"K", b"O"):
+                    i += 1
+                    old, i = _tuple_data(msg, i, rel["cols"])
+                new = None
+                if mtype in (b"I", b"U"):
+                    if msg[i:i + 1] != b"N":
+                        raise OSError("expected new tuple")
+                    new, i = _tuple_data(msg, i + 1, rel["cols"])
+                src = old if old is not None else (new or {})
+                key = {k: src.get(k) for k in rel["keys"]}
+                if new is not None:
+                    key = {k: new.get(k, key.get(k)) for k in rel["keys"]}
+                yield (mtype.decode(), rel["name"], key, new, start_lsn)
+            # 'B' Begin / 'C' Commit frame the txn; nothing to extract
+
+    def confirm(self, lsn: int) -> None:
+        """Standby Status Update: written/flushed/applied = lsn+1 —
+        the server advances the slot's confirmed position (the durable
+        offset commit)."""
+        body = b"r" + struct.pack(">QQQq", lsn + 1, lsn + 1, lsn + 1, 0) + b"\x00"
+        self.sock.sendall(_msg(b"d", body))
+
+    def finish(self) -> None:
+        """Leave CopyBoth: CopyDone both ways, drain to ReadyForQuery."""
+        self.sock.sendall(_msg(b"c", b""))
+        while True:
+            tag, _p = self._read_msg()
+            if tag == b"Z":
+                return
