@@ -572,7 +572,7 @@ def test_grammar_accepts_round7_mv_compositions(body, name):
 # IndexError), and never a silent half-created object.
 _CONNECTORS = [
     "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "posix_fs",
-    "pulsar", "bogus",
+    "pulsar", "postgres-cdc", "mysql-cdc", "bogus",
 ]
 _FORMATS = [None, "PLAIN", "DEBEZIUM", "UPSERT", "AVRO", "NOISE"]
 _ENCODES = [None, "JSON", "AVRO", "PROTOBUF", "CSV"]
@@ -610,6 +610,16 @@ def _connector_table_stmt(draw):
         )
     if draw(st.booleans()):
         opts.append("pubsub.emulator_host = '127.0.0.1:1'")
+    if draw(st.booleans()):
+        opts.append("hostname = '127.0.0.1'")
+    if draw(st.booleans()):
+        opts.append("port = '1'")
+    if draw(st.booleans()):
+        opts.append("username = 'fz'")
+    if draw(st.booleans()):
+        opts.append("database.name = 'fzdb'")
+    if draw(st.booleans()):
+        opts.append("table.name = 'fz_tbl'")
     if draw(st.booleans()):
         opts.append("path = '/tmp/rw_fuzz_nonexistent'")
     if draw(st.booleans()):
