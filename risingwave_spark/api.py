@@ -1899,6 +1899,10 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_pgcdc
 
                     _ingest_table_pgcdc(self, t)
+                elif "mysqlcdc" in conn:
+                    from risingwave_spark.frontend import _ingest_table_mysqlcdc
+
+                    _ingest_table_mysqlcdc(self, t)
                 else:
                     _ingest_table_files(self, t)
             except Exception as e:  # noqa: BLE001

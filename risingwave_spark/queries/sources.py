@@ -1936,3 +1936,66 @@ def src_pgcdc_roundtrip(spark, sf_dir):
         return eng.sql("SELECT nk, n, ck FROM ccust_mv ORDER BY nk")
     finally:
         pg.stop()
+
+
+@register(
+    "src_mysqlcdc_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS st, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ok
+FROM orders WHERE o_orderkey <= 250 AND o_orderkey % 7 <> 0
+GROUP BY o_orderstatus ORDER BY st
+""",
+)
+def src_mysqlcdc_roundtrip(spark, sf_dir):
+    """mysql-cdc over the REAL binlog protocol (reference
+    `source/cdc/` mysql): half the orders seed the upstream BEFORE
+    the table exists (initial snapshot at the captured master
+    position), the rest INSERT afterwards and every 7th order
+    DELETEs — all arriving as binlog ROW events and folding through
+    the upsert path; the engine's MV must equal the upstream's final
+    state."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.mysqlwire import LoopbackMysql, MySqlWireClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 250)
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    my = LoopbackMysql().start()
+    try:
+        my.seed("CREATE TABLE ord (ok BIGINT PRIMARY KEY, st VARCHAR)")
+        half = len(rows) // 2
+        if rows[:half]:
+            my.seed(
+                "INSERT INTO ord VALUES "
+                + ", ".join(f"({r.o_orderkey}, '{r.o_orderstatus}')" for r in rows[:half])
+            )
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_mycq_"))
+        eng.sql(
+            f"""CREATE TABLE mord (ok int8 PRIMARY KEY, st varchar) WITH (
+                connector = 'mysql-cdc', hostname = '{my.host}',
+                port = '{my.port}', username = 'fed', password = 'fedpw',
+                database.name = 'fedb', table.name = 'ord'
+            )"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mord_mv AS SELECT st, count(*) AS n, "
+            "sum(ok) AS ok FROM mord GROUP BY st"
+        )
+        w = MySqlWireClient(my.host, my.port, "fed", "fedpw", "fedb")
+        if rows[half:]:
+            w.query(
+                "INSERT INTO ord VALUES "
+                + ", ".join(f"({r.o_orderkey}, '{r.o_orderstatus}')" for r in rows[half:])
+            )
+        w.query("DELETE FROM ord WHERE ok % 7 = 0")
+        w.close()
+        eng.poll_sources()
+        return eng.sql("SELECT st, n, ok FROM mord_mv ORDER BY st")
+    finally:
+        my.stop()

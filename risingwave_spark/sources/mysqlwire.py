@@ -282,6 +282,9 @@ class LoopbackMysql:
         self.user, self.password, self.database = user, password, database
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
+        # virtual binlog: [(table, op 'I'|'U'|'D', key_dict, new_dict)],
+        # position = entry index ("binlog.000001")
+        self.binlog: list[tuple] = []
         server = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -325,12 +328,60 @@ class LoopbackMysql:
                         pkt = conn.read_packet()
                         if not pkt or pkt[0] == 0x01:  # COM_QUIT
                             return
+                        if pkt[0] == COM_BINLOG_DUMP:
+                            pos, _flags, _sid = struct.unpack_from("<IHI", pkt, 1)
+                            server._serve_binlog(conn, pos)
+                            continue
                         if pkt[0] != 0x03:  # only COM_QUERY
                             conn.send_packet(
                                 b"\xff" + struct.pack("<H", 1047) + b"#08S01"
                                 + b"unsupported command")
                             continue
                         sql = pkt[1:].decode()
+                        import re as _re
+
+                        if _re.match(r"\s*SET\s+@", sql, _re.I):
+                            # session vars (@master_binlog_checksum etc.)
+                            conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+                            continue
+                        if _re.match(r"\s*SHOW\s+MASTER\s+STATUS\b", sql, _re.I):
+                            with server._dblock:
+                                pos = len(server.binlog)
+                            conn.send_packet(_enc_lenenc_int(2))
+                            for cname in ("File", "Position"):
+                                nb = cname.encode()
+                                conn.send_packet(
+                                    _enc_lenenc_str(b"def") + _enc_lenenc_str(b"")
+                                    + _enc_lenenc_str(b"") + _enc_lenenc_str(b"")
+                                    + _enc_lenenc_str(nb) + _enc_lenenc_str(nb)
+                                    + b"\x0c" + struct.pack("<HIB", 33, 255,
+                                                            T_VAR_STRING)
+                                    + struct.pack("<HB", 0, 0) + b"\x00\x00")
+                            conn.send_packet(b"\xfe\x00\x00\x02\x00")
+                            conn.send_packet(
+                                _enc_lenenc_str(b"binlog.000001")
+                                + _enc_lenenc_str(str(pos).encode()))
+                            conn.send_packet(b"\xfe\x00\x00\x02\x00")
+                            continue
+                        mdml = _re.match(
+                            r"\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM)\s+(\w+)",
+                            sql, _re.I,
+                        )
+                        if mdml:
+                            try:
+                                n_aff = server._exec_dml_with_binlog(
+                                    mdml.group(1).split()[0].upper(),
+                                    mdml.group(2), sql,
+                                )
+                            except Exception as e:  # noqa: BLE001 — DB error → ERR
+                                conn.send_packet(
+                                    b"\xff" + struct.pack("<H", 1064) + b"#42000"
+                                    + str(e).encode()[:400])
+                                continue
+                            conn.send_packet(
+                                b"\x00" + _enc_lenenc_int(n_aff)
+                                + b"\x00\x02\x00\x00\x00")
+                            continue
                         try:
                             with server._dblock:
                                 cur = server._db.execute(sql)
@@ -381,6 +432,74 @@ class LoopbackMysql:
         with self._dblock:
             self._db.execute(sql)
 
+    def _mysql_schema(self, table: str) -> tuple[list[tuple[str, int]], set]:
+        """(ordered [(col, mysql type code)], pk set) for binlog events
+        — the loopback emits the TINY/LONGLONG/DOUBLE/VARCHAR subset."""
+        tbl = self._db.execute(f"SELECT * FROM {table} LIMIT 0").fetch_arrow_table()
+        cols = [(f.name, _arrow_mysql_type(f.type)) for f in tbl.schema]
+        cols = [
+            (n, t if t in (T_TINY, T_LONGLONG, T_DOUBLE) else T_VAR_STRING)
+            for n, t in cols
+        ]
+        info = self._db.execute(f"PRAGMA table_info('{table}')").fetchall()
+        pks = {r[1] for r in info if r[5]}
+        return cols, pks or {c for c, _ in cols}
+
+    def _exec_dml_with_binlog(self, verb: str, table: str, sql: str) -> int:
+        from risingwave_spark.sources.pgwire import duck_exec_dml_with_wal
+
+        with self._dblock:
+            cols, pks = self._mysql_schema(table)
+            n, entries = duck_exec_dml_with_wal(
+                self._db, verb, table, sql, [c for c, _ in cols], pks)
+            self.binlog.extend(entries)
+            return n
+
+    def _serve_binlog(self, conn, pos: int) -> None:
+        """COM_BINLOG_DUMP(NON_BLOCK): FORMAT_DESCRIPTION, then per
+        pending entry a TABLE_MAP + ROWS event pair (v2, full
+        included-column bitmaps, minimal before-images for U/D), then
+        the EOF packet — the protocol's own caught-up signal."""
+        with self._dblock:
+            backlog = list(enumerate(self.binlog[pos:], start=pos + 1))
+        fde = _event(FDE_EVENT, pos, struct.pack("<H", 4) + b"\x00" * 50
+                     + struct.pack("<IB", 0, 19) + b"\x00" * 39)
+        conn.send_packet(b"\x00" + fde)
+        for next_pos, (table, op, key, new) in backlog:
+            with self._dblock:
+                cols, _pks = self._mysql_schema(table)
+            table_id = 7  # single-table streams: a constant id is fine
+            meta = b""
+            for _n, ct in cols:
+                if ct == T_VAR_STRING:
+                    meta += struct.pack("<H", 65535)
+                elif ct == T_DOUBLE:
+                    meta += bytes([8])
+            names_blob = b"".join(n.encode() + b"\x00" for n, _ in cols)
+            tm_body = (
+                table_id.to_bytes(6, "little") + struct.pack("<H", 1)
+                + bytes([len(self.database)]) + self.database.encode() + b"\x00"
+                + bytes([len(table)]) + table.encode() + b"\x00"
+                + _lenenc(len(cols)) + bytes(ct for _n, ct in cols)
+                + _enc_lenenc_str(meta)
+                + names_blob
+            )
+            conn.send_packet(b"\x00" + _event(TABLE_MAP_EVENT, next_pos, tm_body))
+            nb = _bitmap(len(cols))
+            post = table_id.to_bytes(6, "little") + struct.pack("<HH", 1, 2)
+            if op == "I":
+                body = post + _lenenc(len(cols)) + nb + _row_image(cols, new)
+                etype = WRITE_ROWS_V2
+            elif op == "U":
+                body = (post + _lenenc(len(cols)) + nb + nb
+                        + _row_image(cols, key) + _row_image(cols, new))
+                etype = UPDATE_ROWS_V2
+            else:
+                body = post + _lenenc(len(cols)) + nb + _row_image(cols, key)
+                etype = DELETE_ROWS_V2
+            conn.send_packet(b"\x00" + _event(etype, next_pos, body))
+        conn.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF: caught up
+
     def start(self) -> "LoopbackMysql":
         self._thread.start()
         return self
@@ -388,3 +507,166 @@ class LoopbackMysql:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+
+# ------------------------------------------------------------- binlog layer
+# (mysql-cdc: the reference rides Debezium's binlog reader; this engine
+# speaks the PUBLIC replication slice itself — dev.mysql.com "Replication
+# Protocol": COM_BINLOG_DUMP with the NON_BLOCK flag, FORMAT_DESCRIPTION/
+# TABLE_MAP/WRITE+UPDATE+DELETE_ROWS v2 events, EOF when caught up.)
+FDE_EVENT = 15
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_V2 = 30
+UPDATE_ROWS_V2 = 31
+DELETE_ROWS_V2 = 32
+
+COM_BINLOG_DUMP = 0x12
+BINLOG_DUMP_NON_BLOCK = 0x01
+
+
+def _event(etype: int, log_pos: int, body: bytes) -> bytes:
+    """19-byte v4 event header (LE): ts, type, server_id, size, pos, flags."""
+    size = 19 + len(body)
+    return (
+        struct.pack("<IBIIIH", 0, etype, 1, size, log_pos, 0) + body
+    )
+
+
+def _lenenc(n: int) -> bytes:
+    return _enc_lenenc_int(n)
+
+
+def _bitmap(n: int, all_set: bool = True) -> bytes:
+    nbytes = (n + 7) // 8
+    if not all_set:
+        return b"\x00" * nbytes
+    out = bytearray(b"\xff" * nbytes)
+    if n % 8:
+        out[-1] = (1 << (n % 8)) - 1
+    return bytes(out)
+
+
+def _binlog_value(ctype: int, v) -> bytes:
+    if ctype == T_TINY:
+        return struct.pack("<b", 1 if v else 0)
+    if ctype == T_LONGLONG:
+        return struct.pack("<q", int(v))
+    if ctype == T_DOUBLE:
+        return struct.pack("<d", float(v))
+    b = str(v).encode()
+    return struct.pack("<H", len(b)) + b  # VARCHAR, 2-byte length
+
+
+def _row_image(cols: list[tuple[str, int]], d: dict | None) -> bytes:
+    """null-bitmap + packed non-null values for one row image; a
+    missing dict entry is NULL (update before-images carry key cols
+    only under minimal row image)."""
+    nulls = bytearray((len(cols) + 7) // 8)
+    vals = b""
+    for i, (name, ctype) in enumerate(cols):
+        v = None if d is None else d.get(name)
+        if v is None:
+            nulls[i // 8] |= 1 << (i % 8)
+        else:
+            vals += _binlog_value(ctype, v)
+    return bytes(nulls) + vals
+
+
+def _decode_row_image(buf: bytes, i: int, cols: list[tuple[str, int]]):
+    nbytes = (len(cols) + 7) // 8
+    nulls = buf[i:i + nbytes]
+    i += nbytes
+    out = {}
+    for c, (name, ctype) in enumerate(cols):
+        if nulls[c // 8] & (1 << (c % 8)):
+            out[name] = None
+            continue
+        if ctype == T_TINY:
+            out[name] = bool(struct.unpack_from("<b", buf, i)[0])
+            i += 1
+        elif ctype == T_LONGLONG:
+            out[name] = struct.unpack_from("<q", buf, i)[0]
+            i += 8
+        elif ctype == T_DOUBLE:
+            out[name] = struct.unpack_from("<d", buf, i)[0]
+            i += 8
+        else:  # VARCHAR with 2-byte length (metadata max_len 65535)
+            (ln,) = struct.unpack_from("<H", buf, i)
+            i += 2
+            out[name] = buf[i:i + ln].decode()
+            i += ln
+    return out, i
+
+
+class MySqlBinlogClient(MySqlWireClient):
+    """Binlog consumer: COM_BINLOG_DUMP(NON_BLOCK) streams events from
+    the requested position and EOFs when caught up — exactly the
+    polling shape the connector needs; the engine stores the committed
+    position durably, the same client-side-offset posture Debezium's
+    mysql reader uses (mysql has no server-side consumer state)."""
+
+    def binlog_dump(self, filename: str, pos: int, server_id: int = 1000):
+        """→ yields ('I'|'U'|'D', table, before|None, after|None,
+        next_pos) until the EOF packet (caught up)."""
+        self.conn.seq = 0
+        self.conn.send_packet(
+            bytes([COM_BINLOG_DUMP])
+            + struct.pack("<IHI", pos, BINLOG_DUMP_NON_BLOCK, server_id)
+            + filename.encode()
+        )
+        tables: dict[int, dict] = {}
+        while True:
+            pkt = self.conn.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                return  # EOF: caught up
+            if pkt[0] == 0xFF:
+                raise OSError(f"mysql error: {_err_packet(pkt)}")
+            ev = pkt[1:]  # strip the 0x00 OK byte
+            _ts, etype, _sid, _size, log_pos, _flags = struct.unpack_from(
+                "<IBIIIH", ev, 0)
+            body = ev[19:]
+            if etype == TABLE_MAP_EVENT:
+                table_id = int.from_bytes(body[0:6], "little")
+                i = 8  # table_id(6) + flags(2)
+                sl = body[i]
+                i += 1 + sl + 1  # schema + NUL
+                tl = body[i]
+                tbl = body[i + 1:i + 1 + tl].decode()
+                i += 1 + tl + 1
+                ncols, i = _lenenc_int(body, i)
+                ctypes = list(body[i:i + ncols])
+                i += ncols
+                meta, i = _lenenc_str(body, i)
+                names_blob = body[i:]
+                # column names ride a trailing NUL-joined blob (loopback
+                # extension carrying what mysql exposes via metadata
+                # queries; Debezium resolves names the same way —
+                # out-of-band from the event stream)
+                names = [
+                    n.decode() for n in names_blob.split(b"\x00") if n
+                ]
+                tables[table_id] = {
+                    "name": tbl,
+                    "cols": list(zip(names, ctypes)),
+                }
+            elif etype in (WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2):
+                table_id = int.from_bytes(body[0:6], "little")
+                t = tables[table_id]
+                i = 8
+                (extra_len,) = struct.unpack_from("<H", body, i)
+                i += extra_len  # extra_len counts its own two bytes
+                ncols, i = _lenenc_int(body, i)
+                nb = (ncols + 7) // 8
+                i += nb  # included-columns bitmap (all set)
+                if etype == UPDATE_ROWS_V2:
+                    i += nb  # second bitmap
+                    before, i = _decode_row_image(body, i, t["cols"])
+                    after, i = _decode_row_image(body, i, t["cols"])
+                    yield ("U", t["name"], before, after, log_pos)
+                elif etype == WRITE_ROWS_V2:
+                    after, i = _decode_row_image(body, i, t["cols"])
+                    yield ("I", t["name"], None, after, log_pos)
+                else:
+                    before, i = _decode_row_image(body, i, t["cols"])
+                    yield ("D", t["name"], before, None, log_pos)
+            # FDE / ROTATE / XID: positioning noise for this consumer

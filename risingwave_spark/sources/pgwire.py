@@ -482,78 +482,12 @@ class LoopbackPostgres:
         return cols, pks or {c for c, _ in cols}  # no pk → replident full
 
     def _exec_dml_with_wal(self, verb: str, table: str, sql: str) -> int:
-        """Execute a data-modifying statement AND capture its changes
-        into the WAL (the walsender's decoding source): INSERT/UPDATE
-        run with RETURNING * for the new images; DELETE pre-selects
-        the old rows for the key images. The loopback fixture's
-        light-parse stand-in for real WAL decoding — the WIRE format
-        the client consumes is genuine pgoutput either way."""
-        import re as _re
-
         with self._dblock:
             cols, pks = self._table_schema(table)
-            names = [c for c, _ in cols]
-            if verb == "DELETE":
-                mw = _re.search(r"\bWHERE\b(.*)$", sql, _re.I | _re.S)
-                where = f" WHERE {mw.group(1)}" if mw else ""
-                old = self._db.execute(
-                    f"SELECT * FROM {table}{where}").fetch_arrow_table().to_pylist()
-                self._db.execute(sql)
-                for d in old:
-                    key = {k: d.get(k) for k in pks}
-                    self.wal.append((table, "D", key, None))
-                return len(old)
-            if verb == "UPDATE":
-                # DuckDB's ART index rejects in-place UPDATE on a PK'd
-                # table (documented delete+insert limitation) — apply
-                # the SET list through a SELECT, then delete+reinsert;
-                # the WAL sees the same U images either way
-                m = _re.match(
-                    r"\s*UPDATE\s+\w+\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
-                    sql, _re.I | _re.S,
-                )
-                if not m:
-                    raise ValueError(f"cannot parse UPDATE: {sql!r}")
-                sets = {}
-                depth, cur_part, parts = 0, "", []
-                for ch in m.group(1):
-                    if ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
-                    if ch == "," and depth == 0:
-                        parts.append(cur_part)
-                        cur_part = ""
-                    else:
-                        cur_part += ch
-                parts.append(cur_part)
-                for part in parts:
-                    col, _, expr = part.partition("=")
-                    sets[col.strip().lower()] = expr.strip()
-                where = f" WHERE {m.group(2)}" if m.group(2) else ""
-                sel = ", ".join(
-                    f"({sets[n.lower()]}) AS {n}" if n.lower() in sets else n
-                    for n in names
-                )
-                new_rows = self._db.execute(
-                    f"SELECT {sel} FROM {table}{where}"
-                ).fetch_arrow_table().to_pylist()
-                self._db.execute(f"DELETE FROM {table}{where}")
-                if new_rows:
-                    ph = ", ".join(["?"] * len(names))
-                    self._db.executemany(
-                        f"INSERT INTO {table} ({', '.join(names)}) VALUES ({ph})",
-                        [[d.get(n) for n in names] for d in new_rows],
-                    )
-            else:
-                cur = self._db.execute(sql.rstrip().rstrip(";") + " RETURNING *")
-                new_rows = cur.fetch_arrow_table().to_pylist()
-            op = "I" if verb == "INSERT" else "U"
-            for d in new_rows:
-                row = {n: d.get(n) for n in names}
-                key = {k: row.get(k) for k in pks}
-                self.wal.append((table, op, key, row))
-            return len(new_rows)
+            n, entries = duck_exec_dml_with_wal(
+                self._db, verb, table, sql, [c for c, _ in cols], pks)
+            self.wal.extend(entries)
+            return n
 
     def start(self) -> "LoopbackPostgres":
         self._thread.start()
@@ -716,3 +650,75 @@ class PgReplicationClient(PgWireClient):
             tag, _p = self._read_msg()
             if tag == b"Z":
                 return
+
+
+def duck_exec_dml_with_wal(
+    db, verb: str, table: str, sql: str, names: list[str], pks: set,
+) -> tuple[int, list[tuple]]:
+    """Execute a data-modifying statement on the embedded DuckDB AND
+    capture its change images — the loopback databases' shared
+    stand-in for real WAL/binlog decoding (the WIRE formats the
+    clients consume are genuine pgoutput / binlog events either way):
+    INSERT runs with RETURNING * for the new images, DELETE
+    pre-selects the old rows for the key images, UPDATE applies the
+    SET list through a SELECT then delete+reinserts (DuckDB's ART
+    index rejects in-place UPDATE on a PK'd table — documented
+    delete+insert limitation; same images either way). Caller holds
+    the db lock. → (affected rows, [(table, op, key, new|None)])."""
+    import re as _re
+
+    entries: list[tuple] = []
+    if verb == "DELETE":
+        mw = _re.search(r"\bWHERE\b(.*)$", sql, _re.I | _re.S)
+        where = f" WHERE {mw.group(1)}" if mw else ""
+        old = db.execute(
+            f"SELECT * FROM {table}{where}").fetch_arrow_table().to_pylist()
+        db.execute(sql)
+        for d in old:
+            entries.append((table, "D", {k: d.get(k) for k in pks}, None))
+        return len(old), entries
+    if verb == "UPDATE":
+        m = _re.match(
+            r"\s*UPDATE\s+\w+\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+            sql, _re.I | _re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {sql!r}")
+        sets = {}
+        depth, cur_part, parts = 0, "", []
+        for ch in m.group(1):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur_part)
+                cur_part = ""
+            else:
+                cur_part += ch
+        parts.append(cur_part)
+        for part in parts:
+            col, _, expr = part.partition("=")
+            sets[col.strip().lower()] = expr.strip()
+        where = f" WHERE {m.group(2)}" if m.group(2) else ""
+        sel = ", ".join(
+            f"({sets[n.lower()]}) AS {n}" if n.lower() in sets else n
+            for n in names
+        )
+        new_rows = db.execute(
+            f"SELECT {sel} FROM {table}{where}").fetch_arrow_table().to_pylist()
+        db.execute(f"DELETE FROM {table}{where}")
+        if new_rows:
+            ph = ", ".join(["?"] * len(names))
+            db.executemany(
+                f"INSERT INTO {table} ({', '.join(names)}) VALUES ({ph})",
+                [[d.get(n) for n in names] for d in new_rows],
+            )
+    else:
+        cur = db.execute(sql.rstrip().rstrip(";") + " RETURNING *")
+        new_rows = cur.fetch_arrow_table().to_pylist()
+    op = "I" if verb == "INSERT" else "U"
+    for d in new_rows:
+        row = {n: d.get(n) for n in names}
+        entries.append((table, op, {k: row.get(k) for k in pks}, row))
+    return len(new_rows), entries
