@@ -5296,6 +5296,7 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
         df = it.read(spark, int(snap) if snap else None)
         df.createOrReplaceTempView(name)
         engine.sources[name] = {"connector": conn, "options": opts, "readable": True}
+    elif conn in ("kafka", "kinesis", "pulsar", "mqtt", "nats", "google_pubsub"):
         # a bare CREATE SOURCE registers the catalog entry; the stateful
         # ingest path (wire client + durable offsets + changelog folds)
         # is CREATE TABLE ... WITH (connector=...) — the reference's

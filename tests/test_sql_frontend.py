@@ -480,13 +480,17 @@ def test_create_sink_filesystem_streams_changelog(eng, tmp_path, spark):
     for r in all_ops.collect():
         net[(r.k, r.v)] = net.get((r.k, r.v), 0) + r["__op"]
     assert {kv for kv, n in net.items() if n > 0} == {(2, 20), (3, 30)}
-    # kafka is un-gated (round 8, real wire client) but still fails
-    # loudly at creation without its broker options; jdbc stays
-    # jar-gated
+    # broker/remote sinks are un-gated (real wire clients) but still
+    # fail loudly at creation without their required options
     with pytest.raises(ValueError, match="bootstrap"):
         eng.sql("CREATE SINK ksnk FROM smv WITH (connector='kafka', topic='t')")
-    with pytest.raises(NotImplementedError, match="jar"):
+    with pytest.raises(ValueError, match="table.name"):
         eng.sql("CREATE SINK jsnk FROM smv WITH (connector='jdbc', jdbc.url='x')")
+    with pytest.raises(NotImplementedError, match="postgresql dialect"):
+        eng.sql(
+            "CREATE SINK jsnk2 FROM smv WITH (connector='jdbc', "
+            "jdbc.url='jdbc:oracle:thin:@h', table.name='t')"
+        )
     assert _rows(eng.sql("SHOW SINKS")) == [("snk",)]
 
 
