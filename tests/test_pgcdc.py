@@ -143,9 +143,10 @@ def test_pgcdc_segmented_poll_and_validation(spark, pg):
             "CREATE TABLE no (id int8 PRIMARY KEY) WITH "
             "(connector='postgres-cdc', table.name='deep')"
         )
-    with pytest.raises(NotImplementedError, match="binlog"):
+    # mysql-cdc is implemented too (tests/test_mysqlcdc.py); its
+    # missing-options validation mirrors this one
+    with pytest.raises(Exception, match="hostname, username"):
         eng.sql(
             "CREATE TABLE my (id int8 PRIMARY KEY) WITH "
-            "(connector='mysql-cdc', hostname='h', username='u', "
-            "database.name='d', table.name='t')"
+            "(connector='mysql-cdc', table.name='t')"
         )
