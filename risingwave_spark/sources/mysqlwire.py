@@ -69,6 +69,21 @@ def native_scramble(password: str, nonce: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
+def caching_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """caching_sha2_password (the MySQL 8.0 default) fast-auth scramble:
+    SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) || nonce). The server's
+    auth cache holds k2 = SHA256(SHA256(pw)), from which it recovers
+    SHA256(pw) = scramble XOR SHA256(k2 || nonce) and checks
+    SHA256(recovered) == k2 — a real verification, which the loopback
+    performs verbatim (PUBLIC algorithm: MySQL 8.0 reference manual,
+    caching_sha2_password fast authentication)."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(hashlib.sha256(h1).digest() + nonce).digest()
+    return bytes(a ^ b for a, b in zip(h1, h2))
+
+
 def _lenenc_int(buf: bytes, i: int) -> tuple[int, int]:
     b = buf[i]
     if b < 0xFB:
@@ -155,27 +170,59 @@ class MySqlWireClient:
         nonce += greeting[i:i + max(13, auth_len - 8)].rstrip(b"\x00")
         i += max(13, auth_len - 8)
         plugin = greeting[i:].split(b"\x00", 1)[0].decode() if i < len(greeting) else ""
-        if plugin and plugin != "mysql_native_password":
+        if plugin and plugin not in (
+            "mysql_native_password", "caching_sha2_password"
+        ):
             raise NotImplementedError(
-                f"mysql auth plugin {plugin!r} (caching_sha2/RSA exchange) "
-                "is not supported; create the user WITH "
-                "mysql_native_password"
+                f"mysql auth plugin {plugin!r} is not supported; use "
+                "mysql_native_password or caching_sha2_password"
             )
         nonce = nonce[:20]
         caps = (CAP_PROTOCOL_41 | CAP_CONNECT_WITH_DB
                 | CAP_SECURE_CONNECTION | CAP_PLUGIN_AUTH)
-        auth = native_scramble(password, nonce)
+        if plugin == "caching_sha2_password":
+            auth = caching_sha2_scramble(password, nonce)
+        else:
+            plugin = "mysql_native_password"
+            auth = native_scramble(password, nonce)
         resp = (
             struct.pack("<IIB", caps, 1 << 24, 33) + b"\x00" * 23
             + user.encode() + b"\x00"
             + bytes([len(auth)]) + auth
             + database.encode() + b"\x00"
-            + b"mysql_native_password\x00"
+            + plugin.encode() + b"\x00"
         )
         self.conn.send_packet(resp)
         ok = self.conn.read_packet()
-        if ok[0] == 0xFF:
-            raise OSError(f"mysql error: {_err_packet(ok)}")
+        while True:
+            if ok[0] == 0xFF:
+                raise OSError(f"mysql error: {_err_packet(ok)}")
+            if ok[0] == 0x01:  # AuthMoreData (caching_sha2 sub-states)
+                if ok[1:2] == b"\x03":  # fast-auth success → OK follows
+                    ok = self.conn.read_packet()
+                    continue
+                raise NotImplementedError(
+                    "caching_sha2_password full authentication (0x04) "
+                    "needs TLS or the server's RSA key exchange; the "
+                    "fast path requires the server's auth cache to hold "
+                    "this user (every real server caches after one "
+                    "successful login)"
+                )
+            if ok[0] == 0xFE and len(ok) > 1:  # AuthSwitchRequest
+                sw_plugin, rest = ok[1:].split(b"\x00", 1)
+                sw_nonce = rest.rstrip(b"\x00")[:20]
+                if sw_plugin == b"mysql_native_password":
+                    self.conn.send_packet(
+                        native_scramble(password, sw_nonce))
+                elif sw_plugin == b"caching_sha2_password":
+                    self.conn.send_packet(
+                        caching_sha2_scramble(password, sw_nonce))
+                else:
+                    raise NotImplementedError(
+                        f"auth switch to {sw_plugin!r} unsupported")
+                ok = self.conn.read_packet()
+                continue
+            break  # OK packet
 
     def query(self, sql: str) -> tuple[list[tuple[str, int]], list[list]]:
         """COM_QUERY text protocol → ([(column, type_code)], rows) with
@@ -274,12 +321,18 @@ class LoopbackMysql:
     server-side state."""
 
     def __init__(self, user: str = "fed", password: str = "fedpw",
-                 database: str = "fedb", host: str = "127.0.0.1", port: int = 0):
+                 database: str = "fedb", host: str = "127.0.0.1", port: int = 0,
+                 auth_plugin: str = "mysql_native_password"):
         import os
 
         import duckdb
 
+        if auth_plugin not in (
+            "mysql_native_password", "caching_sha2_password"
+        ):
+            raise ValueError(f"unsupported auth plugin {auth_plugin!r}")
         self.user, self.password, self.database = user, password, database
+        self.auth_plugin = auth_plugin
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
         # virtual binlog: [(table, op 'I'|'U'|'D', key_dict, new_dict)],
@@ -304,7 +357,7 @@ class LoopbackMysql:
                                              | CAP_SECURE_CONNECTION) >> 16)
                         + bytes([21]) + b"\x00" * 10
                         + nonce[8:] + b"\x00"
-                        + b"mysql_native_password\x00"
+                        + server.auth_plugin.encode() + b"\x00"
                     )
                     conn.send_packet(greeting)
                     resp = conn.read_packet()
@@ -315,13 +368,30 @@ class LoopbackMysql:
                     i = j + 1
                     alen = resp[i]
                     auth = resp[i + 1:i + 1 + alen]
-                    if user_in != server.user or auth != native_scramble(
-                        server.password, nonce
-                    ):
+                    if server.auth_plugin == "caching_sha2_password":
+                        # fast-auth verification from the cache entry
+                        # k2 = SHA256(SHA256(pw)) — recover SHA256(pw)
+                        # from the scramble, re-hash, compare (the real
+                        # server's cached-path check)
+                        h1 = hashlib.sha256(
+                            server.password.encode()).digest()
+                        k2 = hashlib.sha256(h1).digest()
+                        mask = hashlib.sha256(k2 + nonce).digest()
+                        recovered = bytes(
+                            a ^ b for a, b in zip(auth, mask))
+                        ok = (user_in == server.user and len(auth) == 32
+                              and hashlib.sha256(recovered).digest() == k2)
+                    else:
+                        ok = (user_in == server.user
+                              and auth == native_scramble(
+                                  server.password, nonce))
+                    if not ok:
                         conn.send_packet(
                             b"\xff" + struct.pack("<H", 1045) + b"#28000"
                             + b"Access denied (password mismatch)")
                         return
+                    if server.auth_plugin == "caching_sha2_password":
+                        conn.send_packet(b"\x01\x03")  # fast-auth success
                     conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
                     while True:
                         conn.seq = 0

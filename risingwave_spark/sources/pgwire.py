@@ -12,12 +12,17 @@ AuthenticationCleartextPassword → PasswordMessage → AuthenticationOk
 type OIDs → DataRow ('D') text-format values → CommandComplete ('C')
 → ReadyForQuery ('Z'); ErrorResponse ('E') raises with the server's
 message. The same bytes work against a real Postgres with
-password/trust auth (scram/md5 are gated loud — no hashing handshake
-material needed in-sandbox).
+password/trust, md5 OR scram-sha-256 auth: the client negotiates all
+three (md5 per the protocol's double-md5 contract; SCRAM-SHA-256 per
+RFC 5802/7677 with full server-signature verification — stdlib
+pbkdf2_hmac/hmac only). Channel-binding -PLUS variants need TLS and
+stay gated loud.
 
 `LoopbackPostgres` is the in-sandbox stand-in for the external
-database: it serves the genuine v3 protocol (including the cleartext
-auth exchange) and executes each query on an embedded DuckDB
+database: it serves the genuine v3 protocol (auth=password|md5|
+scram-sha-256, each VERIFIED server-side — the scram path recomputes
+StoredKey from the client proof exactly as a real server does) and
+executes each query on an embedded DuckDB
 connection — a REAL SQL engine answering over real Postgres wire
 bytes, so the federated path is exercised end-to-end: wire handshake,
 auth, type-OID mapping, NULL handling, error propagation.
@@ -62,6 +67,83 @@ def _msg(tag: bytes, body: bytes) -> bytes:
     return tag + struct.pack(">I", len(body) + 4) + body
 
 
+# ------------------------------------------------------------- auth variants
+# md5 and SCRAM-SHA-256 per the PUBLIC specs (PostgreSQL frontend/backend
+# protocol §SASL authentication; RFC 5802/7677) — the two auth methods the
+# reference's connector stack negotiates through its postgres driver for
+# postgres-cdc and the jdbc sink (the engine previously gated both loud).
+# Everything is stdlib: hashlib.pbkdf2_hmac + hmac.
+
+
+def _md5_auth_response(user: str, password: str, salt: bytes) -> bytes:
+    """PG md5 auth: 'md5' || md5hex(md5hex(password||user) || salt)."""
+    import hashlib
+
+    inner = hashlib.md5((password + user).encode()).hexdigest()
+    return b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
+
+
+def _scram_keys(password: str, salt: bytes, iters: int):
+    """RFC 5802 key derivation → (salted, client_key, stored_key,
+    server_key)."""
+    import hashlib
+    import hmac as _hmac
+
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+    ckey = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored = hashlib.sha256(ckey).digest()
+    skey = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+    return salted, ckey, stored, skey
+
+
+def _scram_hmac(key: bytes, msg: bytes) -> bytes:
+    import hashlib
+    import hmac as _hmac
+
+    return _hmac.new(key, msg, hashlib.sha256).digest()
+
+
+class _ScramClient:
+    """Client side of SCRAM-SHA-256 (no channel binding: gs2 'n,,' —
+    the wire here is plaintext TCP, matching the loopback fixture)."""
+
+    def __init__(self, user: str, password: str):
+        import base64
+        import os as _os
+
+        self.password = password
+        self.nonce = base64.b64encode(_os.urandom(18)).decode()
+        # PG sends the username through the startup packet; SCRAM n= is
+        # conventionally empty in libpq
+        self.client_first_bare = f"n=,r={self.nonce}"
+        self.client_first = "n,," + self.client_first_bare
+
+    def final(self, server_first: str) -> str:
+        import base64
+
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        if not attrs["r"].startswith(self.nonce):
+            raise OSError("scram: server nonce does not extend client nonce")
+        salt = base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        salted, ckey, stored, skey = _scram_keys(self.password, salt, iters)
+        without_proof = f"c=biws,r={attrs['r']}"
+        auth_msg = ",".join(
+            [self.client_first_bare, server_first, without_proof]
+        ).encode()
+        sig = _scram_hmac(stored, auth_msg)
+        proof = bytes(a ^ b for a, b in zip(ckey, sig))
+        self._server_sig = _scram_hmac(skey, auth_msg)
+        return without_proof + ",p=" + base64.b64encode(proof).decode()
+
+    def verify(self, server_final: str) -> None:
+        import base64
+
+        attrs = dict(kv.split("=", 1) for kv in server_final.split(","))
+        if base64.b64decode(attrs["v"]) != self._server_sig:
+            raise OSError("scram: server signature verification failed")
+
+
 class PgWireClient:
     def __init__(self, host: str, port: int, user: str, password: str,
                  database: str, timeout: float = 10.0,
@@ -87,9 +169,39 @@ class PgWireClient:
                 if code == 3:  # CleartextPassword
                     self.sock.sendall(_msg(b"p", password.encode() + b"\x00"))
                     continue
+                if code == 5:  # MD5Password (salt in payload[4:8])
+                    self.sock.sendall(_msg(
+                        b"p",
+                        _md5_auth_response(user, password, payload[4:8])
+                        + b"\x00",
+                    ))
+                    continue
+                if code == 10:  # SASL — mechanism list, NUL-separated
+                    mechs = payload[4:].rstrip(b"\x00").split(b"\x00")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise NotImplementedError(
+                            f"postgres SASL mechanisms {mechs} — only "
+                            "SCRAM-SHA-256 is supported (channel-binding "
+                            "-PLUS variants need TLS)"
+                        )
+                    scram = _ScramClient(user, password)
+                    first = scram.client_first.encode()
+                    self.sock.sendall(_msg(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack(">I", len(first)) + first,
+                    ))
+                    continue
+                if code == 11:  # SASLContinue: server-first-message
+                    final = scram.final(payload[4:].decode())
+                    self.sock.sendall(_msg(b"p", final.encode()))
+                    continue
+                if code == 12:  # SASLFinal: verify server signature
+                    scram.verify(payload[4:].decode())
+                    continue
                 raise NotImplementedError(
-                    f"postgres auth method {code} (md5/scram) needs crypto "
-                    "handshake material; use password or trust auth"
+                    f"postgres auth method {code} is not supported "
+                    "(password/md5/scram-sha-256 are)"
                 )
             if tag == b"E":
                 raise OSError(f"postgres error: {self._err_text(payload)}")
@@ -232,10 +344,14 @@ class LoopbackPostgres:
     state (tables the federated query will read)."""
 
     def __init__(self, user: str = "fed", password: str = "fedpw",
-                 database: str = "fedb", host: str = "127.0.0.1", port: int = 0):
+                 database: str = "fedb", host: str = "127.0.0.1", port: int = 0,
+                 auth: str = "password"):
         import duckdb
 
+        if auth not in ("password", "md5", "scram-sha-256"):
+            raise ValueError(f"unsupported auth mode {auth!r}")
         self.user, self.password, self.database = user, password, database
+        self.auth = auth
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
         # logical replication state: the WAL is a change list
@@ -263,11 +379,9 @@ class LoopbackPostgres:
                     if params.get(b"user", b"").decode() != server.user:
                         self._send_err(f"role {params.get(b'user')} does not exist")
                         return
-                    # genuine cleartext auth exchange
-                    self.request.sendall(_msg(b"R", struct.pack(">I", 3)))
-                    tag, payload = self._read_msg()
-                    if tag != b"p" or payload.rstrip(b"\x00").decode() != server.password:
-                        self._send_err("password authentication failed")
+                    # genuine auth exchange — cleartext, md5 or full
+                    # SCRAM-SHA-256, all VERIFIED server-side
+                    if not self._authenticate():
                         return
                     self.request.sendall(_msg(b"R", struct.pack(">I", 0)))
                     self.request.sendall(_msg(b"Z", b"I"))
@@ -381,6 +495,79 @@ class LoopbackPostgres:
             def _send_err(self, text: str) -> None:
                 body = b"SERROR\x00CXX000\x00M" + text.encode() + b"\x00\x00"
                 self.request.sendall(_msg(b"E", body))
+
+            def _authenticate(self) -> bool:
+                """Server side of the negotiated auth method; returns
+                False (after an ErrorResponse) on verification failure."""
+                import base64
+                import hashlib
+                import os as _os
+
+                if server.auth == "password":
+                    self.request.sendall(_msg(b"R", struct.pack(">I", 3)))
+                    tag, payload = self._read_msg()
+                    if (tag != b"p"
+                            or payload.rstrip(b"\x00").decode()
+                            != server.password):
+                        self._send_err("password authentication failed")
+                        return False
+                    return True
+                if server.auth == "md5":
+                    salt = _os.urandom(4)
+                    self.request.sendall(
+                        _msg(b"R", struct.pack(">I", 5) + salt))
+                    tag, payload = self._read_msg()
+                    want = _md5_auth_response(
+                        server.user, server.password, salt)
+                    if tag != b"p" or payload.rstrip(b"\x00") != want:
+                        self._send_err("password authentication failed")
+                        return False
+                    return True
+                # scram-sha-256: full RFC 5802 exchange with real proof
+                # verification (StoredKey recomputed from the client proof)
+                self.request.sendall(_msg(
+                    b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"))
+                tag, payload = self._read_msg()
+                mech, rest = payload.split(b"\x00", 1)
+                (n,) = struct.unpack(">I", rest[:4])
+                client_first = rest[4:4 + n].decode()
+                if tag != b"p" or mech != b"SCRAM-SHA-256":
+                    self._send_err("unsupported SASL mechanism")
+                    return False
+                bare = client_first.split(",", 2)[2]  # strip gs2 'n,,'
+                cnonce = dict(
+                    kv.split("=", 1) for kv in bare.split(","))["r"]
+                salt = _os.urandom(16)
+                iters = 4096
+                snonce = cnonce + base64.b64encode(_os.urandom(12)).decode()
+                server_first = (
+                    f"r={snonce},s={base64.b64encode(salt).decode()},"
+                    f"i={iters}"
+                )
+                self.request.sendall(_msg(
+                    b"R",
+                    struct.pack(">I", 11) + server_first.encode()))
+                tag, payload = self._read_msg()
+                client_final = payload.decode()
+                attrs = dict(
+                    kv.split("=", 1) for kv in client_final.split(","))
+                without_proof = client_final.rsplit(",p=", 1)[0]
+                auth_msg = ",".join(
+                    [bare, server_first, without_proof]).encode()
+                _salted, _ckey, stored, skey = _scram_keys(
+                    server.password, salt, iters)
+                proof = base64.b64decode(attrs["p"])
+                sig = _scram_hmac(stored, auth_msg)
+                ckey_rec = bytes(a ^ b for a, b in zip(proof, sig))
+                if (attrs["r"] != snonce
+                        or hashlib.sha256(ckey_rec).digest() != stored):
+                    self._send_err("password authentication failed")
+                    return False
+                v = base64.b64encode(
+                    _scram_hmac(skey, auth_msg)).decode()
+                self.request.sendall(_msg(
+                    b"R", struct.pack(">I", 12) + f"v={v}".encode()))
+                return True
 
             # ------------------------------------------- logical replication
             def _copydata(self, payload: bytes) -> None:
