@@ -5277,21 +5277,40 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
         from risingwave_spark.sources.iceberg_scan import IcebergTable
 
         cat = (opts.get("catalog.type") or "storage").lower()
-        if cat != "storage":
+        if cat not in ("storage", "rest"):
             raise NotImplementedError(
                 f"iceberg catalog.type {cat!r} needs a catalog service "
-                "(REST/Glue/JDBC); only the storage catalog (direct "
-                "metadata walk) is available in this container"
+                "(Glue/JDBC/Hive); storage and rest catalogs are "
+                "available in this container"
             )
         wh = opts.get("warehouse.path")
         db = opts.get("database.name")
         tbl = opts.get("table.name")
-        if not (wh and db and tbl):
+        if not (db and tbl) or (cat == "storage" and not wh):
             raise ValueError(
-                f"source {name!r}: iceberg needs warehouse.path, "
-                "database.name and table.name options"
+                f"source {name!r}: iceberg needs warehouse.path (storage "
+                "catalog), database.name and table.name options"
             )
-        it = IcebergTable(wh, db, tbl)
+        if cat == "rest":
+            # REST catalog (reference connector_common/iceberg rest
+            # config): the catalog serves the metadata document; the
+            # manifest walk + parquet scan proceed identically
+            from risingwave_spark.sources.iceberg_rest import (
+                IcebergRestCatalog,
+            )
+
+            uri = opts.get("catalog.uri")
+            if not uri:
+                raise ValueError(
+                    f"source {name!r}: iceberg catalog.type='rest' needs "
+                    "a catalog.uri option"
+                )
+            loaded = IcebergRestCatalog(
+                uri, credential=opts.get("catalog.credential")
+            ).load_table(db, tbl)
+            it = IcebergTable.from_metadata(loaded["metadata"])
+        else:
+            it = IcebergTable(wh, db, tbl)
         snap = opts.get("snapshot_id")
         df = it.read(spark, int(snap) if snap else None)
         df.createOrReplaceTempView(name)
@@ -5884,10 +5903,23 @@ class _IcebergSink(_MqttSink):
         self.pk = pk
         self.db, self.table = db, table
         self.avro = None
+        # rest catalog (reference connector_common/iceberg: catalog.type
+        # 'rest' + catalog.uri/credential): commits go through the
+        # CommitTableRequest protocol instead of the version-hint flip
+        self.catalog_type = (opts.get("catalog.type") or "storage").lower()
+        self.catalog_uri = opts.get("catalog.uri")
+        self.catalog_credential = opts.get("catalog.credential")
         # the MV's Spark schema drives the data-file schema (events
         # carry JSON-safe python values; re-read through this schema)
         self._schema = engine.mv_handles[table].view.result().schema
         self._n = 0
+
+    def _rest_catalog(self):
+        from risingwave_spark.sources.iceberg_rest import IcebergRestCatalog
+
+        return IcebergRestCatalog(
+            self.catalog_uri, credential=self.catalog_credential
+        )
 
     def _produce_events(self, events: list) -> None:
         import os as _os
@@ -5920,10 +5952,27 @@ class _IcebergSink(_MqttSink):
             _os.path.join(out, f) for f in _os.listdir(out)
             if f.endswith(".parquet")
         ]
-        append_snapshot(
-            self.warehouse, self.database, self.topic,
-            [(p, len(rows)) for p in parts],
-        )
+        files = [(p, len(rows)) for p in parts]
+        if self.catalog_type == "rest":
+            # fast-append through the REST commit protocol: load the
+            # catalog's current metadata, materialize the manifest
+            # objects, commit add-snapshot/set-snapshot-ref with an
+            # optimistic assert-ref-snapshot-id requirement
+            from risingwave_spark.sources.iceberg_scan import (
+                write_append_objects,
+            )
+
+            cat = self._rest_catalog()
+            loaded = cat.load_table(self.database, self.topic)
+            metadata = loaded["metadata"]
+            meta_dir = _os.path.dirname(loaded["metadata-location"])
+            sid, snap_rec = write_append_objects(meta_dir, metadata, files)
+            cat.commit_append(
+                self.database, self.topic,
+                metadata.get("current-snapshot-id"), snap_rec,
+            )
+        else:
+            append_snapshot(self.warehouse, self.database, self.topic, files)
 
 
 class _JdbcSink(_MqttSink):
@@ -6279,10 +6328,16 @@ def _finish_create_broker_sink(
                 "database.name and table.name options"
             )
         cat = (opts.get("catalog.type") or "storage").lower()
-        if cat != "storage":
+        if cat == "rest" and not opts.get("catalog.uri"):
+            raise ValueError(
+                f"sink {name!r}: iceberg catalog.type='rest' needs a "
+                "catalog.uri option"
+            )
+        if cat not in ("storage", "rest"):
             raise NotImplementedError(
-                f"iceberg catalog.type {cat!r} needs a catalog service; "
-                "only the storage catalog is available in this container"
+                f"iceberg catalog.type {cat!r} needs a catalog service "
+                "(glue/jdbc/hive); storage and rest catalogs are "
+                "available in this container"
             )
     elif conn == "redis":
         url = opts.get("redis.url")
@@ -6541,9 +6596,26 @@ def _finish_create_broker_sink(
                     f"sink {name!r}: {conn} endpoint is unreachable"
                 ) from e
         elif conn == "iceberg":
-            from risingwave_spark.sources.iceberg_scan import create_empty_table
+            if sink.catalog_type == "rest":
+                # bootstrap through the catalog service — also verifies
+                # reachability + OAuth credentials at CREATE
+                try:
+                    sink._rest_catalog().create_table_if_missing(
+                        sink.database, sink.topic,
+                        os.path.join(
+                            sink.warehouse, sink.database, sink.topic),
+                    )
+                except (OSError, urllib.error.URLError) as e:
+                    raise ValueError(
+                        f"sink {name!r}: iceberg rest catalog is "
+                        f"unreachable or rejected the credential: {e}"
+                    ) from e
+            else:
+                from risingwave_spark.sources.iceberg_scan import (
+                    create_empty_table,
+                )
 
-            create_empty_table(sink.warehouse, sink.database, sink.topic)
+                create_empty_table(sink.warehouse, sink.database, sink.topic)
         elif conn == "redis":
             from risingwave_spark.sources.redis_store import RedisClient
 
@@ -7684,6 +7756,17 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     if re.search(r"\brw_(catalog|tables|materialized_views|views|sources|sinks"
                  r"|functions|secrets|ddl_progress)\b", stmt, re.I):
         stmt = _register_rw_catalog_views(engine, stmt)
+    # pg_catalog compat: the 42 pg_* system relations + the session/
+    # introspection functions (reference system_catalog/pg_catalog/ and
+    # binder builtin_scalar.rs) — must run BEFORE pg_to_spark_sql so
+    # ::regclass resolves before the generic ::type cast rewrite
+    from risingwave_spark.functions.pg_catalog import (
+        PG_COMPAT_RX,
+        rewrite_pg_compat,
+    )
+
+    if PG_COMPAT_RX.search(stmt):
+        stmt = rewrite_pg_compat(engine, stmt)
     # TTL tables expire with TIME, not DML — refresh their registered
     # snapshots so this read sees the current retention window (but not
     # inside a read-only transaction: its snapshot is pinned)

@@ -605,6 +605,58 @@ def sys_catalog_scan(spark, sf_dir):
 
 
 @register(
+    "sys_pg_catalog",
+    oracle="""
+SELECT * FROM (VALUES
+  ('pgcat_mv', 'm', 'name', 1, 'character varying'),
+  ('pgcat_mv', 'm', 'n',    2, 'bigint'),
+  ('pgcat_t',  'r', 'id',   1, 'bigint'),
+  ('pgcat_t',  'r', 'name', 2, 'character varying'),
+  ('pgcat_t',  'r', 'val',  3, 'double precision'),
+  ('pgcat_v',  'v', 'id',   1, 'bigint'),
+  ('pgcat_v',  'v', 'name', 2, 'character varying')
+) AS t(relname, relkind, attname, attnum, typ)
+ORDER BY relname, attnum
+""",
+)
+def sys_pg_catalog(spark, sf_dir):
+    """pg_catalog compat (reference
+    `src/frontend/src/catalog/system_catalog/pg_catalog/` — pg_class.rs:22,
+    pg_namespace.rs:22, pg_attribute.rs:26 — and format_type,
+    `src/expr/impl/src/scalar/format_type.rs:21`): the canonical psql/BI
+    introspection join — pg_class x pg_namespace x pg_attribute with
+    format_type — over an engine catalog created through the SQL front
+    door. All driver-side metadata (the reference keeps these tables on
+    the frontend node); the compat functions are rewritten to plain Spark
+    SQL CASE expressions, zero UDFs. The expected rows are fully
+    determined by the DDL below, so the oracle is the literal table."""
+    import tempfile
+
+    from risingwave_spark.api import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_pgcat_q_"))
+    eng.sql(
+        """
+        CREATE TABLE pgcat_t (id int8 PRIMARY KEY, name text, val float8);
+        CREATE MATERIALIZED VIEW pgcat_mv AS
+        SELECT name, count(*) AS n FROM pgcat_t GROUP BY name;
+        CREATE VIEW pgcat_v AS SELECT id, name FROM pgcat_t;
+        """
+    )
+    return eng.sql(
+        """
+        SELECT c.relname, c.relkind, a.attname, a.attnum::int4 AS attnum,
+               format_type(a.atttypid, a.atttypmod) AS typ
+        FROM pg_catalog.pg_class c
+        JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid
+        JOIN pg_catalog.pg_attribute a ON a.attrelid = c.oid
+        WHERE n.nspname = 'public' AND pg_table_is_visible(c.oid)
+        ORDER BY c.relname, a.attnum
+        """
+    )
+
+
+@register(
     "fn_json_path",
     oracle=f"""
 WITH j AS (
