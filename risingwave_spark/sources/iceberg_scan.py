@@ -52,6 +52,16 @@ def _local(path: str) -> str:
 
 
 class IcebergTable:
+    @classmethod
+    def from_metadata(cls, metadata: dict) -> "IcebergTable":
+        """Build a scanner from an already-loaded metadata document —
+        the REST-catalog path (LoadTableResult.metadata), where the
+        catalog serves the metadata instead of a version-hint walk."""
+        self = cls.__new__(cls)
+        self.dir = metadata.get("location", "")
+        self.metadata = metadata
+        return self
+
     def __init__(self, warehouse: str, database: str, table: str):
         self.dir = os.path.join(_local(warehouse), database, table)
         meta_dir = os.path.join(self.dir, "metadata")
@@ -171,24 +181,17 @@ def create_empty_table(warehouse: str, database: str, table: str) -> None:
         f.write("1")
 
 
-def append_snapshot(
-    warehouse: str, database: str, table: str,
-    files: list[tuple[str, int]],
-) -> int:
-    """Fast-append commit (the spec's append operation): ONE new
-    manifest for the added files, a new manifest LIST carrying every
-    previous manifest plus the new one, a new snapshot in
-    v{N+1}.metadata.json, and an atomic version-hint flip (tmp +
-    os.replace — the storage catalog's commit point). Returns the new
-    snapshot id."""
+def write_append_objects(
+    meta_dir: str, metadata: dict, files: list[tuple[str, int]],
+) -> tuple[int, dict]:
+    """Materialize the append's STORAGE objects — ONE new manifest for
+    the added files and a new manifest LIST carrying every previous
+    manifest plus the new one — and return (snapshot_id, snapshot
+    record) WITHOUT committing. The caller owns the commit point:
+    version-hint flip (storage catalog, append_snapshot) or a REST
+    CommitTableRequest (iceberg_rest.py)."""
     from risingwave_spark.sources.avro_ocf import read_ocf, write_ocf
 
-    tdir = os.path.join(_local(warehouse), database, table)
-    meta_dir = os.path.join(tdir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as f:
-        version = int(f.read().strip())
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
-        metadata = json.load(f)
     snaps = metadata.get("snapshots", [])
     sid = (max((s["snapshot-id"] for s in snaps), default=999)) + 1
     prior_manifests: list[dict] = []
@@ -217,12 +220,31 @@ def append_snapshot(
         "partition_spec_id": 0,
         "added_snapshot_id": sid,
     }])
-    metadata["snapshots"] = snaps + [{
+    return sid, {
         "snapshot-id": sid,
         "timestamp-ms": 0,
         "manifest-list": mlist_path,
         "summary": {"operation": "append"},
-    }]
+    }
+
+
+def append_snapshot(
+    warehouse: str, database: str, table: str,
+    files: list[tuple[str, int]],
+) -> int:
+    """Fast-append commit (the spec's append operation): the storage
+    objects from write_append_objects, a new snapshot in
+    v{N+1}.metadata.json, and an atomic version-hint flip (tmp +
+    os.replace — the storage catalog's commit point). Returns the new
+    snapshot id."""
+    tdir = os.path.join(_local(warehouse), database, table)
+    meta_dir = os.path.join(tdir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        metadata = json.load(f)
+    sid, snap_rec = write_append_objects(meta_dir, metadata, files)
+    metadata["snapshots"] = metadata.get("snapshots", []) + [snap_rec]
     metadata["current-snapshot-id"] = sid
     with open(os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w") as f:
         json.dump(metadata, f)

@@ -130,9 +130,16 @@ def test_iceberg_create_source_sql(spark):
         )"""
     )
     assert eng.sql("SELECT count(*) AS n FROM ice_old").first().n == 4
-    with pytest.raises(NotImplementedError, match="catalog service"):
+    # rest is IMPLEMENTED now (tests/test_iceberg_rest.py) — it needs a
+    # catalog.uri; glue/jdbc/hive stay gated loud
+    with pytest.raises(ValueError, match="catalog.uri"):
         eng.sql(
             f"CREATE SOURCE bad1 WITH (connector='iceberg', catalog.type='rest', "
+            f"warehouse.path='{wh}', database.name='db', table.name='ev')"
+        )
+    with pytest.raises(NotImplementedError, match="catalog service"):
+        eng.sql(
+            f"CREATE SOURCE bad1g WITH (connector='iceberg', catalog.type='glue', "
             f"warehouse.path='{wh}', database.name='db', table.name='ev')"
         )
     with pytest.raises(ValueError, match="warehouse.path"):
