@@ -5975,6 +5975,121 @@ class _IcebergSink(_MqttSink):
             append_snapshot(self.warehouse, self.database, self.topic, files)
 
 
+class _BigQuerySink(_MqttSink):
+    """BigQuery sink over the REST streaming-insert API with the real
+    OAuth2 service-account (RS256 JWT-bearer) flow — reference
+    `src/connector/src/sink/big_query.rs` (options bigquery.project/
+    dataset/table/credentials, auto_create; the reference writes via
+    the gRPC Storage Write API — transport divergence documented in
+    sources/bigquery.py). Append-only: each chunk's inserts stream as
+    one insertAll with content+position insertIds, so a replayed chunk
+    (crash between produce and cursor commit) dedupes server-side —
+    BigQuery's documented best-effort semantics."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        import json as _json
+
+        self.engine = engine
+        self.sub = sub
+        self.project = opts["bigquery.project"]
+        self.dataset = opts["bigquery.dataset"]
+        self.topic = table_name  # bigquery table id
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        creds = opts.get("bigquery.credentials")
+        if isinstance(creds, str):
+            creds = _json.loads(creds)
+        self.credentials = creds
+        self.endpoint = opts.get("bigquery.endpoint") or (
+            "https://bigquery.googleapis.com")
+
+    def _client(self):
+        from risingwave_spark.sources.bigquery import BigQueryClient
+
+        return BigQueryClient(self.credentials, self.endpoint)
+
+    def _produce_events(self, events: list) -> None:
+        import hashlib as _hashlib
+        import json as _json
+
+        rows = []
+        for i, (_k, v) in enumerate(events):
+            if v is None:
+                continue  # append-only: no tombstones
+            body = _json.dumps(v, sort_keys=True)
+            iid = _hashlib.md5(f"{i}:{body}".encode()).hexdigest()
+            rows.append((iid, v))
+        if rows:
+            self._client().insert_all(
+                self.project, self.dataset, self.topic, rows)
+
+
+class _SnowflakeSink(_MqttSink):
+    """Snowflake sink (reference `src/connector/src/sink/file_sink/
+    s3.rs:164-200` SnowflakeSink: the snowflake connector IS the S3
+    file sink — Snowpipe auto-ingest reads the staged files — with
+    `snowflake.*` option aliases and forced plain-JSON encode,
+    `opendal_sink.rs:176-178 plain_json_for_snowflake_only`). Each
+    chunk's inserts stage as ONE JSON-lines object named
+    `{path}/{executor_id}_{epoch}.json` (opendal_sink.rs:403-418) via
+    a real SigV4-signed PutObject (sources/s3_store.py)."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        import hashlib as _hashlib
+
+        self.engine = engine
+        self.sub = sub
+        self.bucket = (opts.get("snowflake.s3_bucket")
+                       or opts.get("s3.bucket_name"))
+        self.region = (opts.get("snowflake.aws_region")
+                       or opts.get("s3.region_name") or "us-east-1")
+        self.path = (opts.get("snowflake.s3_path")
+                     or opts.get("s3.path") or "")
+        self.access = (opts.get("snowflake.aws_access_key_id")
+                       or opts.get("s3.credentials.access") or "")
+        self.secret = (opts.get("snowflake.aws_secret_access_key")
+                       or opts.get("s3.credentials.secret") or "")
+        self.endpoint = opts.get("s3.endpoint_url")
+        self.topic = self.bucket
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        # stable executor id (single-executor sandbox; the reference
+        # embeds the actor id) + a monotonic epoch counter so two
+        # chunks in the same second never collide
+        self.executor_id = int(
+            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            .hexdigest()[:6], 16)
+        self._epoch = 0
+
+    def _client(self):
+        from risingwave_spark.sources.s3_store import S3Client
+
+        return S3Client(self.endpoint, region=self.region,
+                        access_key=self.access, secret_key=self.secret)
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        rows = [v for _k, v in events if v is not None]
+        if not rows:
+            return
+        self._epoch += 1
+        base = f"{self.path}/" if self.path else ""
+        key = f"{base}{self.executor_id}_{self._epoch}.json"
+        data = "\n".join(
+            _json.dumps(v, sort_keys=True) for v in rows
+        ).encode() + b"\n"
+        self._client().put_object(self.bucket, key, data)
+
+
 class _JdbcSink(_MqttSink):
     """JDBC sink over the Postgres wire protocol (reference
     `sink/remote.rs` jdbc sink via the connector node; here the
@@ -6045,6 +6160,62 @@ class _JdbcSink(_MqttSink):
                     c.query(
                         f"INSERT INTO {self.topic} ({collist}) VALUES ({vals})"
                     )
+        finally:
+            c.close()
+
+
+class _SqlServerSink(_JdbcSink):
+    """SQL Server sink over the real TDS wire (reference
+    `src/connector/src/sink/sqlserver.rs`: tiberius client, options
+    sqlserver.host/port/user/password/database/table from its serde
+    renames, upsert needs a pk — sqlserver.rs:153). Events apply as
+    per-event SQL batches: retraction → DELETE, upsert →
+    DELETE+INSERT on the pk (the reference stages a MERGE; the
+    loopback's DuckDB dialect has no MERGE — same row effect, a
+    documented divergence), append-only → INSERT."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.host = opts["sqlserver.host"]
+        self.port = int(opts["sqlserver.port"])
+        self.user = opts.get("sqlserver.user", "sa")
+        self.password = opts.get("sqlserver.password", "")
+        self.database = opts.get("sqlserver.database", "")
+        self.topic = table_name
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _connect(self):
+        from risingwave_spark.sources.tdswire import TdsClient
+
+        return TdsClient(self.host, self.port, self.user, self.password,
+                         self.database)
+
+    def _produce_events(self, events: list) -> None:
+        if not events:
+            return
+        cols = [c for c, _t in self.fields]
+        c = self._connect()
+        try:
+            for k, v in events:
+                where = " AND ".join(
+                    f"{col} = {self._lit(k[col])}" for col in self.pk
+                )
+                if v is None:
+                    c.query(f"DELETE FROM {self.topic} WHERE {where}")
+                    continue
+                collist = ", ".join(cols)
+                vals = ", ".join(self._lit(v.get(col)) for col in cols)
+                if self.fmt == "upsert":
+                    c.query(f"DELETE FROM {self.topic} WHERE {where}")
+                c.query(
+                    f"INSERT INTO {self.topic} ({collist}) VALUES ({vals})"
+                )
         finally:
             c.close()
 
@@ -6194,7 +6365,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
-        "dynamodb",
+        "dynamodb", "bigquery", "snowflake", "sqlserver",
     ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
@@ -6235,7 +6406,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     if conn in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
-        "dynamodb",
+        "dynamodb", "bigquery", "snowflake", "sqlserver",
     ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
@@ -6339,6 +6510,41 @@ def _finish_create_broker_sink(
                 "(glue/jdbc/hive); storage and rest catalogs are "
                 "available in this container"
             )
+    elif conn == "bigquery":
+        topic = opts.get("bigquery.table")
+        if not (topic and opts.get("bigquery.project")
+                and opts.get("bigquery.dataset")):
+            raise ValueError(
+                f"sink {name!r}: bigquery sink needs bigquery.project, "
+                "bigquery.dataset and bigquery.table options"
+            )
+        if not opts.get("bigquery.credentials"):
+            raise ValueError(
+                f"sink {name!r}: bigquery sink needs bigquery.credentials "
+                "(service-account JSON)"
+            )
+    elif conn == "sqlserver":
+        topic = opts.get("sqlserver.table")
+        if not (topic and opts.get("sqlserver.host")
+                and opts.get("sqlserver.port")):
+            raise ValueError(
+                f"sink {name!r}: sqlserver sink needs sqlserver.host, "
+                "sqlserver.port and sqlserver.table options"
+            )
+    elif conn == "snowflake":
+        topic = (opts.get("snowflake.s3_bucket")
+                 or opts.get("s3.bucket_name"))
+        if not topic:
+            raise ValueError(
+                f"sink {name!r}: snowflake sink needs snowflake.s3_bucket "
+                "(the staged-files bucket Snowpipe ingests from)"
+            )
+        if not opts.get("s3.endpoint_url"):
+            raise NotImplementedError(
+                f"sink {name!r}: snowflake sink against real AWS S3 needs "
+                "cloud credentials; point s3.endpoint_url at an "
+                "emulator/proxy endpoint"
+            )
     elif conn == "redis":
         url = opts.get("redis.url")
         if not url:
@@ -6366,9 +6572,10 @@ def _finish_create_broker_sink(
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb"):
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb", "sqlserver"):
         default_fmt = "upsert"
-    elif conn in ("mqtt", "nats", "google_pubsub", "iceberg"):
+    elif conn in ("mqtt", "nats", "google_pubsub", "iceberg", "bigquery",
+                  "snowflake"):
         default_fmt = "plain"
     else:
         default_fmt = "debezium"
@@ -6376,7 +6583,7 @@ def _finish_create_broker_sink(
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
-    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb") and fmt == "debezium":
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb", "sqlserver") and fmt == "debezium":
         # these sinks apply the changelog to a target (documents / table
         # rows); a nested CDC envelope has no meaning there (the
         # reference's converters are upsert/append-only only)
@@ -6391,6 +6598,21 @@ def _finish_create_broker_sink(
         raise ValueError(
             f"sink {name!r}: iceberg sink supports FORMAT PLAIN only "
             "(append-only fast-append commits)"
+        )
+    if conn == "snowflake" and fmt != "plain":
+        # opendal_sink.rs:176-178: plain_json_for_snowflake_only — the
+        # staged files carry row JSON, no changelog envelope
+        raise ValueError(
+            f"sink {name!r}: snowflake sink supports FORMAT PLAIN only "
+            "(plain JSON staged files for Snowpipe)"
+        )
+    if conn == "bigquery" and fmt != "plain":
+        # the reference's upsert mode rides the Storage Write API's CDC
+        # _CHANGE_TYPE pseudo-column (big_query.rs); the REST
+        # streaming-insert path is append-only
+        raise NotImplementedError(
+            f"sink {name!r}: bigquery sink supports FORMAT PLAIN only "
+            "here (upsert needs the Storage Write API CDC path)"
         )
     if conn in ("mqtt", "nats", "google_pubsub") and fmt != "plain":
         # reference `sink/mqtt.rs`, `sink/nats.rs`, `sink/google_pubsub.rs`:
@@ -6497,6 +6719,18 @@ def _finish_create_broker_sink(
         )
     elif conn == "iceberg":
         sink = _IcebergSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "bigquery":
+        sink = _BigQuerySink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "snowflake":
+        sink = _SnowflakeSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "sqlserver":
+        sink = _SqlServerSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
     elif conn == "redis":
@@ -6616,6 +6850,43 @@ def _finish_create_broker_sink(
                 )
 
                 create_empty_table(sink.warehouse, sink.database, sink.topic)
+        elif conn == "bigquery":
+            # fetch a token (verifies credentials + RS256 key against
+            # the service) and auto-create the target table — the
+            # reference's auto_create + client validation at CREATE
+            try:
+                client = sink._client()
+                client._token()
+                if str(opts.get("auto_create", "true")).lower() != "false":
+                    client.create_table(
+                        sink.project, sink.dataset, sink.topic)
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: bigquery endpoint is unreachable or "
+                    f"rejected the credentials: {e}"
+                ) from e
+        elif conn == "sqlserver":
+            # full TDS login at CREATE — verifies host, credentials and
+            # that the target table exists (reference sqlserver.rs
+            # validates the client at sink creation)
+            try:
+                client = sink._connect()
+                client.query(f"SELECT * FROM {sink.topic} WHERE 1 = 0")
+                client.close()
+            except OSError as e:
+                raise ValueError(
+                    f"sink {name!r}: sqlserver is unreachable, rejected "
+                    f"the login, or lacks the table: {e}"
+                ) from e
+        elif conn == "snowflake":
+            # stage-bucket reachability + SigV4 acceptance at CREATE
+            try:
+                sink._client().list_objects(sink.bucket)
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: snowflake stage bucket is "
+                    f"unreachable or rejected the credentials: {e}"
+                ) from e
         elif conn == "redis":
             from risingwave_spark.sources.redis_store import RedisClient
 

@@ -1999,3 +1999,221 @@ def src_mysqlcdc_roundtrip(spark, sf_dir):
         return eng.sql("SELECT st, n, ok FROM mord_mv ORDER BY st")
     finally:
         my.stop()
+
+
+@register(
+    "sink_sqlserver_roundtrip",
+    oracle="""
+SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nk
+FROM supplier WHERE s_suppkey <= 100 AND s_suppkey % 3 <> 0
+ORDER BY k
+""",
+)
+def sink_sqlserver_roundtrip(spark, sf_dir):
+    """SQL Server sink over the real TDS wire (reference
+    `sink/sqlserver.rs`: tiberius client; here the PUBLIC MS-TDS
+    protocol spoken directly — sources/tdswire.py: PRELOGIN, LOGIN7
+    with the spec's password obfuscation VERIFIED server-side,
+    SQLBatch, COLMETADATA/ROW/DONE token streams): the changelog
+    applies as per-event DELETE+INSERT/DELETE batches; a second TDS
+    connection reads back the exact final state."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.tdswire import LoopbackSqlServer, TdsClient
+
+    tables(spark, sf_dir)
+    ms = LoopbackSqlServer().start()
+    try:
+        ms.seed("CREATE TABLE tgt (k BIGINT, nk BIGINT)")
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_mssq_"))
+        eng.sql("CREATE TABLE mss (k int8 PRIMARY KEY, nk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW mss_mv AS SELECT k, nk FROM mss")
+        eng.sql(
+            f"""CREATE SINK mss_sink FROM mss_mv WITH (
+                connector = 'sqlserver', sqlserver.host = '{ms.host}',
+                sqlserver.port = '{ms.port}', sqlserver.user = 'sa',
+                sqlserver.password = 'fedpw', sqlserver.database = 'fedb',
+                sqlserver.table = 'tgt', primary_key = 'k'
+            ) FORMAT UPSERT ENCODE JSON"""
+        )
+        eng.sql(
+            "INSERT INTO mss SELECT s_suppkey, s_nationkey FROM supplier "
+            "WHERE s_suppkey <= 100"
+        )
+        eng.sql("DELETE FROM mss WHERE k % 3 = 0")
+        c = TdsClient(ms.host, ms.port, "sa", "fedpw", "fedb")
+        _cols, rows = c.query("SELECT k, nk FROM tgt ORDER BY k")
+        c.close()
+        return spark.createDataFrame(
+            [(r[0], r[1]) for r in rows], "k bigint, nk bigint"
+        ).orderBy("k")
+    finally:
+        ms.stop()
+
+
+@register(
+    "sink_bigquery_roundtrip",
+    oracle="""
+SELECT r_regionkey AS k, count(*) AS n FROM region GROUP BY r_regionkey
+ORDER BY k
+""",
+)
+def sink_bigquery_roundtrip(spark, sf_dir):
+    """BigQuery sink over the REST streaming-insert API with the REAL
+    OAuth2 service-account flow (reference `sink/big_query.rs`): an
+    RS256-signed JWT assertion (pure-stdlib RSA, sources/rsa_jwt.py)
+    exchanged for a bearer token — signature VERIFIED by the loopback
+    against the registered public key — then per-chunk insertAll with
+    content+position insertIds (replays dedupe server-side). Read-back
+    through the jobs.query endpoint."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.bigquery import (
+        BigQueryClient,
+        LoopbackBigQuery,
+        make_service_account,
+    )
+
+    tables(spark, sf_dir)
+    sa = make_service_account("proj")
+    srv = LoopbackBigQuery(
+        sa["client_email"],
+        {"n": sa["private_key_n"], "e": sa["private_key_e"]},
+    ).start()
+    try:
+        sa["token_uri"] = srv.token_uri
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_bqq_"))
+        eng.sql("CREATE TABLE bq (k int8 PRIMARY KEY, rk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW bq_mv AS SELECT k, rk FROM bq")
+        creds = _json.dumps(sa).replace("'", "''")
+        eng.sql(
+            f"""CREATE SINK bq_sink FROM bq_mv WITH (
+                connector = 'bigquery', bigquery.project = 'proj',
+                bigquery.dataset = 'ds', bigquery.table = 'tgt',
+                bigquery.endpoint = '{srv.endpoint}',
+                bigquery.credentials = '{creds}',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO bq SELECT r_regionkey, r_regionkey FROM region")
+        c = BigQueryClient(sa, srv.endpoint)
+        rows = c.query(
+            "proj", "SELECT k, count(*) AS n FROM ds.tgt GROUP BY k ORDER BY k"
+        )
+        return spark.createDataFrame(
+            [(int(r[0]), int(r[1])) for r in rows], "k bigint, n bigint"
+        ).orderBy("k")
+    finally:
+        srv.stop()
+
+
+@register(
+    "sink_snowflake_roundtrip",
+    oracle="""
+SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 10
+ORDER BY k
+""",
+)
+def sink_snowflake_roundtrip(spark, sf_dir):
+    """Snowflake sink (reference `sink/file_sink/s3.rs:164-200`
+    SnowflakeSink — the snowflake connector IS the S3 file sink that
+    Snowpipe auto-ingests, with `snowflake.*` option aliases and
+    forced plain JSON): each chunk stages one
+    `{path}/{executor_id}_{epoch}.json` object via SigV4-signed
+    PutObject; the staged files read back as the exact row set."""
+    import json as _json
+    import tempfile as _tf  # noqa: F401
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.s3_store import LoopbackS3, S3Client
+
+    tables(spark, sf_dir)
+    s3 = LoopbackS3().start()
+    try:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_sfq_"))
+        eng.sql("CREATE TABLE sf (k int8 PRIMARY KEY, nm text)")
+        eng.sql("CREATE MATERIALIZED VIEW sf_mv AS SELECT k, nm FROM sf")
+        eng.sql(
+            f"""CREATE SINK sf_sink FROM sf_mv WITH (
+                connector = 'snowflake', snowflake.s3_bucket = 'stage',
+                snowflake.s3_path = 'rw', snowflake.aws_region = 'us-east-1',
+                snowflake.aws_access_key_id = 'test',
+                snowflake.aws_secret_access_key = 'test',
+                s3.endpoint_url = 'http://{s3.host}:{s3.port}',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "INSERT INTO sf SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey < 10"
+        )
+        c = S3Client(f"http://{s3.host}:{s3.port}")
+        rows = []
+        for key, _n in c.list_objects("stage", prefix="rw/"):
+            for line in c.get_object("stage", key).decode().splitlines():
+                d = _json.loads(line)
+                rows.append((d["k"], d["nm"]))
+        return spark.createDataFrame(
+            sorted(rows), "k bigint, nm string"
+        ).orderBy("k")
+    finally:
+        s3.stop()
+
+
+@register(
+    "src_iceberg_rest_scan",
+    oracle="""
+SELECT e.user_id AS uid, count(*) AS n
+FROM events e WHERE e.event_id % 5 = 0 AND e.user_id < 40
+GROUP BY e.user_id ORDER BY uid
+""",
+)
+def src_iceberg_rest_scan(spark, sf_dir):
+    """Iceberg scan through a REST catalog (reference
+    `connector_common/iceberg` catalog.type='rest' via iceberg-rust's
+    RestCatalog): the catalog service — real HTTP, OAuth2
+    client-credential tokens VERIFIED — serves the LoadTableResult
+    metadata; the manifest walk + parquet scan proceed exactly as the
+    storage catalog (sources/iceberg_rest.py, iceberg_scan.py)."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.iceberg_rest import LoopbackIcebergRest
+    from risingwave_spark.sources.iceberg_scan import write_iceberg_table
+
+    t = tables(spark, sf_dir)
+    base = _tf.mkdtemp(prefix="rw_icerestq_")
+    data = _os.path.join(base, "data")
+    (
+        t["events"].filter("event_id % 5 = 0 AND user_id < 40")
+        .select("event_id", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(data)
+    )
+    part = [
+        _os.path.join(data, f) for f in _os.listdir(data)
+        if f.endswith(".parquet")
+    ][0]
+    wh = _os.path.join(base, "wh")
+    write_iceberg_table(wh, "db", "ev", snapshots=[[(part, 0)]])
+    srv = LoopbackIcebergRest(wh, credential="cid:sec").start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_icerestq_e_"))
+        eng.sql(
+            f"""CREATE SOURCE ev_rest WITH (
+                connector = 'iceberg', catalog.type = 'rest',
+                catalog.uri = '{srv.uri}', catalog.credential = 'cid:sec',
+                database.name = 'db', table.name = 'ev'
+            )"""
+        )
+        return eng.sql(
+            "SELECT user_id AS uid, count(*) AS n FROM ev_rest "
+            "GROUP BY user_id ORDER BY uid"
+        )
+    finally:
+        srv.stop()

@@ -640,7 +640,8 @@ def _connector_table_stmt(draw):
 @st.composite
 def _connector_sink_stmt(draw):
     conn = draw(st.sampled_from(
-        _CONNECTORS + ["jdbc", "elasticsearch", "opensearch", "iceberg"]
+        _CONNECTORS + ["jdbc", "elasticsearch", "opensearch", "iceberg",
+                       "bigquery", "snowflake", "sqlserver"]
     ))
     opts = [f"connector = '{conn}'"]
     for opt in (
@@ -666,6 +667,16 @@ def _connector_sink_stmt(draw):
         "warehouse.path = '/tmp/rw_fuzz_wh'",
         "database.name = 'fzdb'",
         "catalog.type = 'rest'",
+        "catalog.uri = 'http://127.0.0.1:1'",
+        "bigquery.project = 'p'",
+        "bigquery.dataset = 'd'",
+        "bigquery.table = 'fz_t'",
+        "bigquery.credentials = 'not json'",
+        "snowflake.s3_bucket = 'fz_stage'",
+        "s3.endpoint_url = 'http://127.0.0.1:1'",
+        "sqlserver.host = '127.0.0.1'",
+        "sqlserver.port = '1'",
+        "sqlserver.table = 'fz_t'",
     ):
         if draw(st.booleans()):
             opts.append(opt)
