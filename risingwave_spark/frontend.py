@@ -6164,6 +6164,194 @@ class _JdbcSink(_MqttSink):
             c.close()
 
 
+class _ClickHouseSink(_MqttSink):
+    """ClickHouse sink over the public HTTP interface (reference
+    `sink/clickhouse.rs`: clickhouse.url/user/password/database/table
+    + clickhouse.delete.column). Append-only inserts rows as
+    JSONEachRow; upsert follows the reference's ReplacingMergeTree
+    posture — every upsert inserts the row with delete-column 0,
+    every retraction inserts the pk row with delete-column 1, and the
+    table engine collapses on merge (`final`-style reads see the live
+    set)."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.url = opts["clickhouse.url"]
+        self.user = opts.get("clickhouse.user", "default")
+        self.password = opts.get("clickhouse.password", "")
+        self.database = opts.get("clickhouse.database", "default")
+        self.topic = table_name
+        self.delete_column = opts.get("clickhouse.delete.column")
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _client(self):
+        from risingwave_spark.sources.olap_http import ClickHouseClient
+
+        return ClickHouseClient(self.url, self.user, self.password)
+
+    def _produce_events(self, events: list) -> None:
+        rows = []
+        for k, v in events:
+            if v is None:
+                if self.fmt == "upsert":
+                    row = dict(k)
+                    row[self.delete_column] = 1
+                    rows.append(row)
+                continue
+            row = dict(v)
+            if self.fmt == "upsert":
+                row[self.delete_column] = 0
+            rows.append(row)
+        if rows:
+            self._client().insert_json_each_row(
+                self.database, self.topic, rows)
+
+
+class _StreamLoadSink(_MqttSink):
+    """Doris/StarRocks sink over the public Stream Load API (reference
+    `sink/doris.rs` / `sink/starrocks.rs` via
+    `doris_starrocks_connector.rs:249`): one labeled PUT per chunk,
+    JSON-lines rows carrying the model's delete sign — 0 upsert /
+    1 delete — applied by the primary-key table."""
+
+    #: overridden per connector (doris_starrocks_connector.rs:37-38)
+    DELETE_SIGN = "__DORIS_DELETE_SIGN__"
+    PREFIX = "doris"
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        p = self.PREFIX
+        self.engine = engine
+        self.sub = sub
+        self.url = opts[f"{p}.url"]
+        self.user = opts.get(f"{p}.user", "root")
+        self.password = opts.get(f"{p}.password", "")
+        self.database = opts[f"{p}.database"]
+        self.topic = opts[f"{p}.table"]
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        self._loader = None
+
+    def _client(self):
+        from risingwave_spark.sources.olap_http import StreamLoadClient
+
+        if self._loader is None:
+            self._loader = StreamLoadClient(
+                self.url, self.user, self.password)
+        return self._loader
+
+    def _produce_events(self, events: list) -> None:
+        rows = []
+        for k, v in events:
+            if v is None:
+                row = dict(k)
+                row[self.DELETE_SIGN] = "1"
+                rows.append(row)
+            else:
+                row = dict(v)
+                if self.fmt == "upsert":
+                    row[self.DELETE_SIGN] = "0"
+                rows.append(row)
+        if rows:
+            self._client().load(
+                self.database, self.topic, rows,
+                label_prefix=f"rw_{self.table}")
+
+
+class _DorisSink(_StreamLoadSink):
+    DELETE_SIGN = "__DORIS_DELETE_SIGN__"
+    PREFIX = "doris"
+
+
+class _StarrocksSink(_StreamLoadSink):
+    DELETE_SIGN = "__op"
+    PREFIX = "starrocks"
+
+
+class _MongoSink(_MqttSink):
+    """MongoDB sink over the real OP_MSG wire (reference
+    `src/connector/src/sink/mongodb.rs`: options mongodb.url +
+    collection.name 'db.coll'; upsert as bulk update commands
+    `{"q": pk, "u": {"$set": row}, "upsert": true}` and deletes as
+    `{"q": pk, "limit": 1}` — mongodb.rs:531-560; `_id` is the single
+    pk value, or the compound-pk document — mongodb.rs:267). SCRAM
+    credentials in the URL authenticate with the real SASL
+    conversation (sources/mongowire.py)."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        import re as _re
+
+        self.engine = engine
+        self.sub = sub
+        url = opts["mongodb.url"]
+        m = _re.match(
+            r"^mongodb://(?:(?P<user>[^:@/]+)(?::(?P<pw>[^@/]*))?@)?"
+            r"(?P<host>[^:/@]+):(?P<port>\d+)", url)
+        if m is None:
+            raise ValueError(f"malformed mongodb.url {url!r}")
+        self.host, self.port = m.group("host"), int(m.group("port"))
+        self.user, self.password = m.group("user"), m.group("pw") or ""
+        cname = opts["collection.name"]
+        if "." not in cname:
+            raise ValueError(
+                "collection.name must be 'db_name.collection_name'")
+        self.mdb, self.coll = cname.split(".", 1)
+        self.topic = cname
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+
+    def _connect(self):
+        from risingwave_spark.sources.mongowire import MongoClient
+
+        return MongoClient(self.host, self.port, self.user, self.password)
+
+    def _mongo_id(self, k: dict):
+        if len(self.pk) == 1:
+            return k[self.pk[0]]
+        return {c: k[c] for c in self.pk}
+
+    def _produce_events(self, events: list) -> None:
+        if not events:
+            return
+        c = self._connect()
+        try:
+            updates, deletes, inserts = [], [], []
+            for k, v in events:
+                if v is None:
+                    deletes.append(
+                        {"q": {"_id": self._mongo_id(k)}, "limit": 1})
+                elif self.fmt == "upsert":
+                    row = dict(v)
+                    row["_id"] = self._mongo_id(k)
+                    updates.append({
+                        "q": {"_id": row["_id"]},
+                        "u": {"$set": row}, "upsert": True,
+                        "multi": False})
+                else:
+                    inserts.append(dict(v))
+            if inserts:
+                c.insert(self.mdb, self.coll, inserts)
+            if updates:
+                c.update(self.mdb, self.coll, updates)
+            if deletes:
+                c.delete(self.mdb, self.coll, deletes)
+        finally:
+            c.close()
+
+
 class _SqlServerSink(_JdbcSink):
     """SQL Server sink over the real TDS wire (reference
     `src/connector/src/sink/sqlserver.rs`: tiberius client, options
@@ -6365,7 +6553,8 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
-        "dynamodb", "bigquery", "snowflake", "sqlserver",
+        "dynamodb", "bigquery", "snowflake", "sqlserver", "mongodb",
+        "clickhouse", "doris", "starrocks",
     ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
@@ -6406,7 +6595,8 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     if conn in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
-        "dynamodb", "bigquery", "snowflake", "sqlserver",
+        "dynamodb", "bigquery", "snowflake", "sqlserver", "mongodb",
+        "clickhouse", "doris", "starrocks",
     ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
@@ -6523,6 +6713,34 @@ def _finish_create_broker_sink(
                 f"sink {name!r}: bigquery sink needs bigquery.credentials "
                 "(service-account JSON)"
             )
+    elif conn == "clickhouse":
+        topic = opts.get("clickhouse.table")
+        if not (topic and opts.get("clickhouse.url")
+                and opts.get("clickhouse.database")):
+            raise ValueError(
+                f"sink {name!r}: clickhouse sink needs clickhouse.url, "
+                "clickhouse.database and clickhouse.table options"
+            )
+    elif conn in ("doris", "starrocks"):
+        topic = opts.get(f"{conn}.table")
+        if not (topic and opts.get(f"{conn}.url")
+                and opts.get(f"{conn}.database")):
+            raise ValueError(
+                f"sink {name!r}: {conn} sink needs {conn}.url, "
+                f"{conn}.database and {conn}.table options"
+            )
+    elif conn == "mongodb":
+        topic = opts.get("collection.name")
+        if not (topic and opts.get("mongodb.url")):
+            raise ValueError(
+                f"sink {name!r}: mongodb sink needs mongodb.url and "
+                "collection.name ('db_name.collection_name') options"
+            )
+        if "." not in topic:
+            raise ValueError(
+                f"sink {name!r}: collection.name must be "
+                "'db_name.collection_name'"
+            )
     elif conn == "sqlserver":
         topic = opts.get("sqlserver.table")
         if not (topic and opts.get("sqlserver.host")
@@ -6572,7 +6790,8 @@ def _finish_create_broker_sink(
         topic = opts.get("stream")
         if not topic:
             raise ValueError(f"sink {name!r}: kinesis sink needs a stream option")
-    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb", "sqlserver"):
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb",
+                "sqlserver", "mongodb", "clickhouse", "doris", "starrocks"):
         default_fmt = "upsert"
     elif conn in ("mqtt", "nats", "google_pubsub", "iceberg", "bigquery",
                   "snowflake"):
@@ -6583,7 +6802,8 @@ def _finish_create_broker_sink(
     fmt = {"append-only": "plain", "append_only": "plain", "debezium_json": "debezium"}.get(fmt, fmt)
     if fmt not in ("debezium", "upsert", "plain"):
         raise ValueError(f"sink {name!r}: unsupported kafka sink format {fmt!r}")
-    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb", "sqlserver") and fmt == "debezium":
+    if conn in ("elasticsearch", "opensearch", "jdbc", "redis", "dynamodb",
+                "sqlserver", "mongodb", "clickhouse", "doris", "starrocks") and fmt == "debezium":
         # these sinks apply the changelog to a target (documents / table
         # rows); a nested CDC envelope has no meaning there (the
         # reference's converters are upsert/append-only only)
@@ -6598,6 +6818,16 @@ def _finish_create_broker_sink(
         raise ValueError(
             f"sink {name!r}: iceberg sink supports FORMAT PLAIN only "
             "(append-only fast-append commits)"
+        )
+    if conn == "clickhouse" and fmt == "upsert" and not opts.get(
+            "clickhouse.delete.column"):
+        # reference clickhouse.rs: upsert rides a (Replicated/Shared)
+        # ReplacingMergeTree with a delete column; without one only
+        # append-only is expressible
+        raise ValueError(
+            f"sink {name!r}: clickhouse FORMAT UPSERT needs a "
+            "clickhouse.delete.column option (ReplacingMergeTree "
+            "delete flag)"
         )
     if conn == "snowflake" and fmt != "plain":
         # opendal_sink.rs:176-178: plain_json_for_snowflake_only — the
@@ -6733,6 +6963,22 @@ def _finish_create_broker_sink(
         sink = _SqlServerSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "mongodb":
+        sink = _MongoSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "clickhouse":
+        sink = _ClickHouseSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "doris":
+        sink = _DorisSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "starrocks":
+        sink = _StarrocksSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     elif conn == "redis":
         sink = _RedisSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -6864,6 +7110,41 @@ def _finish_create_broker_sink(
                 raise ValueError(
                     f"sink {name!r}: bigquery endpoint is unreachable or "
                     f"rejected the credentials: {e}"
+                ) from e
+        elif conn == "clickhouse":
+            # probe query at CREATE — verifies endpoint, credentials
+            # and that the target table exists
+            try:
+                sink._client().query_json(
+                    f"SELECT * FROM {sink.database}.{sink.topic} "
+                    "WHERE 1 = 0")
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: clickhouse is unreachable, rejected "
+                    f"the credentials, or lacks the table: {e}"
+                ) from e
+        elif conn in ("doris", "starrocks"):
+            # an empty labeled load verifies endpoint + auth + table
+            try:
+                sink._client().load(
+                    sink.database, sink.topic, [],
+                    label_prefix=f"rw_probe_{name}")
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: {conn} is unreachable, rejected the "
+                    f"credentials, or lacks the table: {e}"
+                ) from e
+        elif conn == "mongodb":
+            # real connect + auth at CREATE (SCRAM when the url carries
+            # credentials) — mongodb.rs validates its client the same way
+            try:
+                client = sink._connect()
+                client.command({"ping": 1, "$db": "admin"})
+                client.close()
+            except OSError as e:
+                raise ValueError(
+                    f"sink {name!r}: mongodb is unreachable or rejected "
+                    f"the credentials: {e}"
                 ) from e
         elif conn == "sqlserver":
             # full TDS login at CREATE — verifies host, credentials and

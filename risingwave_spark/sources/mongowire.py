@@ -1,0 +1,404 @@
+"""Pure-stdlib MongoDB wire client + loopback server (reference
+`src/connector/src/sink/mongodb.rs`: the mongodb sink drives the
+official Rust driver's bulk update/delete commands; this module
+speaks the PUBLIC protocol directly — mongodb.com/docs "MongoDB Wire
+Protocol": OP_MSG (opcode 2013) framing around BSON command
+documents — bsonspec.org for the element encoding).
+
+Implemented:
+
+* BSON encode/decode for the sink's value domain: double, string,
+  embedded document, array, bool, null, int64 (ints widen to int64,
+  matching the engine's JSON-safe event values).
+* OP_MSG request/response with kind-0 body sections.
+* SCRAM-SHA-256 authentication per the MongoDB SASL contract
+  (`saslStart`/`saslContinue` command conversation over the same
+  RFC 5802 exchange as Postgres — the scram machinery is shared from
+  sources/pgwire.py, with MongoDB's n=<user> convention). The
+  loopback VERIFIES the client proof; wrong passwords are rejected.
+* Commands: insert / update ({"q", "u": {"$set": ...}, "upsert"}) /
+  delete ({"q", "limit": 1}) / find — the exact bulk shapes
+  mongodb.rs builds (`mongodb.rs:531-560`).
+
+`LoopbackMongo` stores documents per (db, collection) keyed by the
+BSON of `_id` — upsert/delete semantics identical to a real server
+for the sink's workload.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+OP_MSG = 2013
+
+
+# ------------------------------------------------------------------- BSON
+def bson_encode(doc: dict) -> bytes:
+    out = bytearray()
+    for k, v in doc.items():
+        key = k.encode() + b"\x00"
+        if isinstance(v, bool):
+            out += b"\x08" + key + (b"\x01" if v else b"\x00")
+        elif isinstance(v, int):
+            out += b"\x12" + key + struct.pack("<q", v)
+        elif isinstance(v, float):
+            out += b"\x01" + key + struct.pack("<d", v)
+        elif isinstance(v, str):
+            s = v.encode() + b"\x00"
+            out += b"\x02" + key + struct.pack("<i", len(s)) + s
+        elif v is None:
+            out += b"\x0a" + key
+        elif isinstance(v, dict):
+            out += b"\x03" + key + bson_encode(v)
+        elif isinstance(v, (list, tuple)):
+            arr = {str(i): x for i, x in enumerate(v)}
+            out += b"\x04" + key + bson_encode(arr)
+        elif isinstance(v, bytes):
+            out += (b"\x05" + key + struct.pack("<i", len(v)) + b"\x00" + v)
+        else:
+            raise TypeError(f"bson: unsupported type {type(v).__name__}")
+    return struct.pack("<i", len(out) + 5) + bytes(out) + b"\x00"
+
+
+def bson_decode(buf: bytes, offset: int = 0) -> tuple[dict, int]:
+    (total,) = struct.unpack_from("<i", buf, offset)
+    end = offset + total - 1  # trailing NUL
+    i = offset + 4
+    doc: dict = {}
+    while i < end:
+        t = buf[i]
+        i += 1
+        j = buf.index(b"\x00", i)
+        key = buf[i:j].decode()
+        i = j + 1
+        if t == 0x01:
+            (v,) = struct.unpack_from("<d", buf, i)
+            i += 8
+        elif t == 0x02:
+            (ln,) = struct.unpack_from("<i", buf, i)
+            v = buf[i + 4:i + 4 + ln - 1].decode()
+            i += 4 + ln
+        elif t in (0x03, 0x04):
+            v, i = bson_decode(buf, i)
+            if t == 0x04:
+                v = [v[str(k)] for k in range(len(v))]
+        elif t == 0x05:
+            (ln,) = struct.unpack_from("<i", buf, i)
+            v = buf[i + 5:i + 5 + ln]
+            i += 5 + ln
+        elif t == 0x08:
+            v = bool(buf[i])
+            i += 1
+        elif t == 0x0A:
+            v = None
+        elif t == 0x10:
+            (v,) = struct.unpack_from("<i", buf, i)
+            i += 4
+        elif t == 0x12:
+            (v,) = struct.unpack_from("<q", buf, i)
+            i += 8
+        else:
+            raise ValueError(f"bson: unsupported element type 0x{t:x}")
+        doc[key] = v
+    return doc, end + 1
+
+
+# ----------------------------------------------------------------- OP_MSG
+class _Msg:
+    def __init__(self, sock):
+        self.sock = sock
+        self._buf = b""
+        self._req = 0
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise OSError("mongodb connection closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_msg(self) -> tuple[int, dict]:
+        hdr = self._read_exact(16)
+        ln, req, _resp, op = struct.unpack("<iiii", hdr)
+        body = self._read_exact(ln - 16)
+        if op != OP_MSG:
+            raise OSError(f"unsupported mongodb opcode {op}")
+        # flagBits(4) + kind byte 0 + document
+        if body[4] != 0:
+            raise OSError("only kind-0 OP_MSG sections supported")
+        doc, _ = bson_decode(body, 5)
+        return req, doc
+
+    def send_msg(self, doc: dict, response_to: int = 0) -> int:
+        self._req += 1
+        body = struct.pack("<I", 0) + b"\x00" + bson_encode(doc)
+        self.sock.sendall(
+            struct.pack("<iiii", len(body) + 16, self._req, response_to,
+                        OP_MSG) + body)
+        return self._req
+
+
+class MongoClient:
+    def __init__(self, host: str, port: int, user: str | None = None,
+                 password: str | None = None, timeout: float = 10.0):
+        self.conn = _Msg(
+            socket.create_connection((host, port), timeout=timeout))
+        if user is not None:
+            self._auth(user, password or "")
+
+    def _auth(self, user: str, password: str) -> None:
+        """SCRAM-SHA-256 SASL conversation (saslStart/saslContinue on
+        $db admin — the driver handshake mongodb documents)."""
+        import base64
+
+        from risingwave_spark.sources.pgwire import _ScramClient
+
+        scram = _ScramClient(user, password, n_user=True)
+        r1 = self.command({
+            "saslStart": 1, "mechanism": "SCRAM-SHA-256",
+            "payload": scram.client_first.encode(), "$db": "admin",
+        })
+        server_first = (
+            r1["payload"].decode()
+            if isinstance(r1["payload"], bytes) else str(r1["payload"]))
+        final = scram.final(server_first)
+        r2 = self.command({
+            "saslContinue": 1, "conversationId": r1["conversationId"],
+            "payload": final.encode(), "$db": "admin",
+        })
+        server_final = (
+            r2["payload"].decode()
+            if isinstance(r2["payload"], bytes) else str(r2["payload"]))
+        scram.verify(server_final)
+        if not r2.get("done"):
+            self.command({
+                "saslContinue": 1, "conversationId": r1["conversationId"],
+                "payload": b"", "$db": "admin",
+            })
+        base64  # imported for parity with other scram users
+
+    def command(self, doc: dict) -> dict:
+        self.conn.send_msg(doc)
+        _req, resp = self.conn.read_msg()
+        if resp.get("ok") != 1.0 and resp.get("ok") != 1:
+            raise OSError(
+                f"mongodb error: {resp.get('errmsg', resp)}")
+        if resp.get("writeErrors"):
+            raise OSError(f"mongodb write errors: {resp['writeErrors']}")
+        return resp
+
+    def update(self, db: str, coll: str, updates: list[dict]) -> dict:
+        return self.command({
+            "update": coll, "ordered": True, "updates": updates,
+            "$db": db})
+
+    def delete(self, db: str, coll: str, deletes: list[dict]) -> dict:
+        return self.command({
+            "delete": coll, "ordered": True, "deletes": deletes,
+            "$db": db})
+
+    def insert(self, db: str, coll: str, docs: list[dict]) -> dict:
+        return self.command({
+            "insert": coll, "ordered": True, "documents": docs, "$db": db})
+
+    def find(self, db: str, coll: str) -> list[dict]:
+        resp = self.command({"find": coll, "$db": db})
+        return resp["cursor"]["firstBatch"]
+
+    def close(self) -> None:
+        try:
+            self.conn.sock.close()
+        except OSError:
+            pass
+
+
+class LoopbackMongo:
+    """In-memory document store answering over genuine OP_MSG framing,
+    with real SCRAM-SHA-256 verification when credentials are set."""
+
+    def __init__(self, user: str | None = None, password: str = "",
+                 host: str = "127.0.0.1", port: int = 0):
+        self.user, self.password = user, password
+        self.colls: dict[tuple, dict] = {}  # (db, coll) -> {idbson: doc}
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                conn = _Msg(self.request)
+                authed = server.user is None
+                scram_state: dict = {}
+                try:
+                    while True:
+                        req, doc = conn.read_msg()
+                        cmd = next(iter(doc))
+                        if cmd == "saslStart":
+                            resp = self._sasl_start(doc, scram_state)
+                        elif cmd == "saslContinue":
+                            resp, ok = self._sasl_continue(
+                                doc, scram_state)
+                            authed = authed or ok
+                        elif not authed:
+                            resp = {"ok": 0.0,
+                                    "errmsg": "command requires auth",
+                                    "code": 13}
+                        elif cmd == "insert":
+                            resp = self._insert(doc)
+                        elif cmd == "update":
+                            resp = self._update(doc)
+                        elif cmd == "delete":
+                            resp = self._delete(doc)
+                        elif cmd == "find":
+                            resp = self._find(doc)
+                        elif cmd in ("ping", "hello", "isMaster"):
+                            resp = {"ok": 1.0}
+                        else:
+                            resp = {"ok": 0.0,
+                                    "errmsg": f"no such command {cmd!r}"}
+                        conn.send_msg(resp, response_to=req)
+                except OSError:
+                    return
+
+            # ------------------------------------------------ scram
+            def _sasl_start(self, doc, state):
+                import base64
+                import os as _os
+
+                payload = doc["payload"]
+                first = (payload.decode()
+                         if isinstance(payload, bytes) else str(payload))
+                bare = first.split(",", 2)[2]
+                attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+                if attrs.get("n") != server.user:
+                    return {"ok": 0.0, "errmsg": "auth failed"}
+                cnonce = attrs["r"]
+                salt = _os.urandom(16)
+                snonce = cnonce + base64.b64encode(
+                    _os.urandom(12)).decode()
+                server_first = (
+                    f"r={snonce},s={base64.b64encode(salt).decode()},"
+                    "i=4096")
+                state.update(bare=bare, salt=salt, snonce=snonce,
+                             server_first=server_first)
+                return {"ok": 1.0, "conversationId": 1, "done": False,
+                        "payload": server_first.encode()}
+
+            def _sasl_continue(self, doc, state):
+                import base64
+                import hashlib
+
+                from risingwave_spark.sources.pgwire import (
+                    _scram_hmac,
+                    _scram_keys,
+                )
+
+                payload = doc["payload"]
+                if not payload:  # the final empty round
+                    return {"ok": 1.0, "conversationId": 1,
+                            "done": True, "payload": b""}, True
+                final = (payload.decode()
+                         if isinstance(payload, bytes) else str(payload))
+                attrs = dict(kv.split("=", 1) for kv in final.split(","))
+                without_proof = final.rsplit(",p=", 1)[0]
+                auth_msg = ",".join(
+                    [state["bare"], state["server_first"],
+                     without_proof]).encode()
+                _s, _c, stored, skey = _scram_keys(
+                    server.password, state["salt"], 4096)
+                proof = base64.b64decode(attrs["p"])
+                sig = _scram_hmac(stored, auth_msg)
+                ckey = bytes(a ^ b for a, b in zip(proof, sig))
+                if (attrs.get("r") != state["snonce"]
+                        or hashlib.sha256(ckey).digest() != stored):
+                    return {"ok": 0.0, "errmsg": "auth failed"}, False
+                v = base64.b64encode(
+                    _scram_hmac(skey, auth_msg)).decode()
+                return {"ok": 1.0, "conversationId": 1, "done": False,
+                        "payload": f"v={v}".encode()}, True
+
+            # ---------------------------------------------- commands
+            @staticmethod
+            def _matches(q: dict, d: dict) -> bool:
+                return all(d.get(k) == v for k, v in q.items())
+
+            def _coll(self, doc, cmd):
+                return server.colls.setdefault(
+                    (doc["$db"], doc[cmd]), {})
+
+            def _insert(self, doc):
+                with server._lock:
+                    coll = self._coll(doc, "insert")
+                    for d in doc.get("documents", []):
+                        coll[bson_encode({"_id": d.get("_id")})] = d
+                return {"ok": 1.0, "n": len(doc.get("documents", []))}
+
+            def _update(self, doc):
+                n = 0
+                with server._lock:
+                    coll = self._coll(doc, "update")
+                    for u in doc.get("updates", []):
+                        q, set_doc = u["q"], u["u"].get("$set", {})
+                        hit = False
+                        for key, d in list(coll.items()):
+                            if self._matches(q, d):
+                                d.update(set_doc)
+                                hit = True
+                                n += 1
+                        if not hit and u.get("upsert"):
+                            d = dict(q)
+                            d.update(set_doc)
+                            coll[bson_encode(
+                                {"_id": d.get("_id")})] = d
+                            n += 1
+                return {"ok": 1.0, "n": n}
+
+            def _delete(self, doc):
+                n = 0
+                with server._lock:
+                    coll = self._coll(doc, "delete")
+                    for spec in doc.get("deletes", []):
+                        q = spec["q"]
+                        for key, d in list(coll.items()):
+                            if self._matches(q, d):
+                                del coll[key]
+                                n += 1
+                                if spec.get("limit") == 1:
+                                    break
+                return {"ok": 1.0, "n": n}
+
+            def _find(self, doc):
+                with server._lock:
+                    coll = self._coll(doc, "find")
+                    batch = {str(i): d
+                             for i, d in enumerate(coll.values())}
+                return {"ok": 1.0, "cursor": {
+                    "id": 0,
+                    "ns": f"{doc['$db']}.{doc['find']}",
+                    "firstBatch": [batch[str(i)]
+                                   for i in range(len(batch))]}}
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+
+    def docs(self, db: str, coll: str) -> list[dict]:
+        with self._lock:
+            return list(self.colls.get((db, coll), {}).values())
+
+    def start(self) -> "LoopbackMongo":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

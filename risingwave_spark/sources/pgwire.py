@@ -107,15 +107,18 @@ class _ScramClient:
     """Client side of SCRAM-SHA-256 (no channel binding: gs2 'n,,' —
     the wire here is plaintext TCP, matching the loopback fixture)."""
 
-    def __init__(self, user: str, password: str):
+    def __init__(self, user: str, password: str, n_user: bool = False):
         import base64
         import os as _os
 
         self.password = password
         self.nonce = base64.b64encode(_os.urandom(18)).decode()
         # PG sends the username through the startup packet; SCRAM n= is
-        # conventionally empty in libpq
-        self.client_first_bare = f"n=,r={self.nonce}"
+        # conventionally empty in libpq. MongoDB (sources/mongowire.py)
+        # carries the username in n= — n_user=True.
+        self.client_first_bare = (
+            f"n={user if n_user else ''},r={self.nonce}"
+        )
         self.client_first = "n,," + self.client_first_bare
 
     def final(self, server_first: str) -> str:

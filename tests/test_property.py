@@ -641,7 +641,8 @@ def _connector_table_stmt(draw):
 def _connector_sink_stmt(draw):
     conn = draw(st.sampled_from(
         _CONNECTORS + ["jdbc", "elasticsearch", "opensearch", "iceberg",
-                       "bigquery", "snowflake", "sqlserver"]
+                       "bigquery", "snowflake", "sqlserver", "mongodb",
+                       "clickhouse", "doris", "starrocks"]
     ))
     opts = [f"connector = '{conn}'"]
     for opt in (
@@ -677,6 +678,18 @@ def _connector_sink_stmt(draw):
         "sqlserver.host = '127.0.0.1'",
         "sqlserver.port = '1'",
         "sqlserver.table = 'fz_t'",
+        "mongodb.url = 'mongodb://127.0.0.1:1'",
+        "collection.name = 'fzdb.fzc'",
+        "collection.name = 'nodot'",
+        "clickhouse.url = 'http://127.0.0.1:1'",
+        "clickhouse.database = 'fzdb'",
+        "clickhouse.table = 'fz_t'",
+        "doris.url = 'http://127.0.0.1:1'",
+        "doris.database = 'fzdb'",
+        "doris.table = 'fz_t'",
+        "starrocks.url = 'http://127.0.0.1:1'",
+        "starrocks.database = 'fzdb'",
+        "starrocks.table = 'fz_t'",
     ):
         if draw(st.booleans()):
             opts.append(opt)
