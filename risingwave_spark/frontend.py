@@ -6164,6 +6164,61 @@ class _JdbcSink(_MqttSink):
             c.close()
 
 
+class _DeltaLakeSink(_MqttSink):
+    """Delta Lake append-only sink (reference `sink/deltalake.rs`:
+    option `location`, "only append-only delta lake sink is
+    supported" — deltalake.rs:342): each chunk's inserts write one
+    parquet data file and commit one versioned `_delta_log` entry
+    with an `add` action — the public Delta transaction-log protocol
+    (sources/deltalake.py), exclusive-create commit atomicity
+    included."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        self.engine = engine
+        self.sub = sub
+        self.location = opts["location"]
+        self.topic = table_name
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        self._schema = engine.mv_handles[table].view.result().schema
+        self._n = 0
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+        import os as _os
+
+        from risingwave_spark.sources.deltalake import append_files
+
+        rows = [v for _k, v in events if v is not None]
+        if not rows:
+            return
+        spark = self.engine.spark
+        df = (
+            spark.createDataFrame(
+                [(_json.dumps(v, sort_keys=True),) for v in rows],
+                "__v string")
+            .select(F.from_json("__v", self._schema).alias("r"))
+            .select("r.*")
+        )
+        loc = self.location
+        if loc.startswith("file://"):
+            loc = loc[len("file://"):]
+        while _os.path.exists(_os.path.join(loc, "data", f"c{self._n}")):
+            self._n += 1
+        out = _os.path.join(loc, "data", f"c{self._n}")
+        self._n += 1
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        rel = [
+            _os.path.join("data", f"c{self._n - 1}", f)
+            for f in _os.listdir(out) if f.endswith(".parquet")
+        ]
+        append_files(self.location, rel)
+
+
 class _ClickHouseSink(_MqttSink):
     """ClickHouse sink over the public HTTP interface (reference
     `sink/clickhouse.rs`: clickhouse.url/user/password/database/table
@@ -6554,7 +6609,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
         "dynamodb", "bigquery", "snowflake", "sqlserver", "mongodb",
-        "clickhouse", "doris", "starrocks",
+        "clickhouse", "doris", "starrocks", "deltalake",
     ):
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
@@ -6596,7 +6651,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
         "dynamodb", "bigquery", "snowflake", "sqlserver", "mongodb",
-        "clickhouse", "doris", "starrocks",
+        "clickhouse", "doris", "starrocks", "deltalake",
     ):
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
@@ -6713,6 +6768,12 @@ def _finish_create_broker_sink(
                 f"sink {name!r}: bigquery sink needs bigquery.credentials "
                 "(service-account JSON)"
             )
+    elif conn == "deltalake":
+        topic = opts.get("location")
+        if not topic:
+            raise ValueError(
+                f"sink {name!r}: deltalake sink needs a location option"
+            )
     elif conn == "clickhouse":
         topic = opts.get("clickhouse.table")
         if not (topic and opts.get("clickhouse.url")
@@ -6794,7 +6855,7 @@ def _finish_create_broker_sink(
                 "sqlserver", "mongodb", "clickhouse", "doris", "starrocks"):
         default_fmt = "upsert"
     elif conn in ("mqtt", "nats", "google_pubsub", "iceberg", "bigquery",
-                  "snowflake"):
+                  "snowflake", "deltalake"):
         default_fmt = "plain"
     else:
         default_fmt = "debezium"
@@ -6818,6 +6879,13 @@ def _finish_create_broker_sink(
         raise ValueError(
             f"sink {name!r}: iceberg sink supports FORMAT PLAIN only "
             "(append-only fast-append commits)"
+        )
+    if conn == "deltalake" and fmt != "plain":
+        # deltalake.rs:342: "only append-only delta lake sink is
+        # supported"
+        raise ValueError(
+            f"sink {name!r}: only append-only delta lake sink is "
+            "supported (FORMAT PLAIN)"
         )
     if conn == "clickhouse" and fmt == "upsert" and not opts.get(
             "clickhouse.delete.column"):
@@ -6967,6 +7035,10 @@ def _finish_create_broker_sink(
         sink = _MongoSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
+    elif conn == "deltalake":
+        sink = _DeltaLakeSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
     elif conn == "clickhouse":
         sink = _ClickHouseSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
@@ -7111,6 +7183,12 @@ def _finish_create_broker_sink(
                     f"sink {name!r}: bigquery endpoint is unreachable or "
                     f"rejected the credentials: {e}"
                 ) from e
+        elif conn == "deltalake":
+            # version-0 bootstrap (protocol + metaData) — idempotent
+            from risingwave_spark.sources.deltalake import create_table
+
+            create_table(
+                sink.location, sink._schema.json())
         elif conn == "clickhouse":
             # probe query at CREATE — verifies endpoint, credentials
             # and that the target table exists

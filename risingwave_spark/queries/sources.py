@@ -2364,3 +2364,48 @@ def sink_starrocks_roundtrip(spark, sf_dir):
         ).orderBy("st")
     finally:
         sl.stop()
+
+
+@register(
+    "sink_deltalake_roundtrip",
+    oracle="""
+SELECT l_orderkey AS k,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem WHERE l_orderkey <= 200
+GROUP BY l_orderkey ORDER BY k
+""",
+)
+def sink_deltalake_roundtrip(spark, sf_dir):
+    """Delta Lake append-only sink (reference `sink/deltalake.rs`:
+    option `location`, append-only only — deltalake.rs:342): each
+    chunk commits one versioned `_delta_log` JSON entry with `add`
+    actions per the public Delta protocol (exclusive-create commit
+    atomicity); the committed table replays through the same module's
+    log reader into Spark's parquet scan."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.deltalake import read_table
+
+    tables(spark, sf_dir)
+    loc = _os.path.join(_tf.mkdtemp(prefix="rw_dlq_"), "tbl")
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_dlq_e_"))
+    eng.sql("CREATE TABLE dlq (k int8 PRIMARY KEY, qty int8)")
+    eng.sql("CREATE MATERIALIZED VIEW dlq_mv AS SELECT k, qty FROM dlq")
+    eng.sql(
+        f"""CREATE SINK dlq_sink FROM dlq_mv WITH (
+            connector = 'deltalake', location = '{loc}',
+            force_append_only = 'true'
+        ) FORMAT PLAIN ENCODE JSON"""
+    )
+    eng.sql(
+        "INSERT INTO dlq SELECT l_orderkey, "
+        "sum(CAST(l_quantity AS int8)) FROM lineitem "
+        "WHERE l_orderkey <= 200 GROUP BY l_orderkey"
+    )
+    return (
+        read_table(spark, loc)
+        .select(F.col("k"), F.col("qty"))
+        .orderBy("k")
+    )

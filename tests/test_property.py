@@ -642,7 +642,7 @@ def _connector_sink_stmt(draw):
     conn = draw(st.sampled_from(
         _CONNECTORS + ["jdbc", "elasticsearch", "opensearch", "iceberg",
                        "bigquery", "snowflake", "sqlserver", "mongodb",
-                       "clickhouse", "doris", "starrocks"]
+                       "clickhouse", "doris", "starrocks", "deltalake"]
     ))
     opts = [f"connector = '{conn}'"]
     for opt in (
@@ -690,6 +690,7 @@ def _connector_sink_stmt(draw):
         "starrocks.url = 'http://127.0.0.1:1'",
         "starrocks.database = 'fzdb'",
         "starrocks.table = 'fz_t'",
+        "location = '/tmp/rw_fuzz_delta'",
     ):
         if draw(st.booleans()):
             opts.append(opt)
