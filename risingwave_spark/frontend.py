@@ -7693,7 +7693,7 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
     params = _cf.parse_fn_params(ast.get("params") or "")
     returns = (ast.get("returns") or "").strip()
     lang = (ast.get("language") or "").lower()
-    body = _cf.unquote_body(ast["body"])
+    body = _cf.unquote_body(ast["body"]) if ast.get("body") else None
     link = ast.get("link")
     spark = engine.spark
     if not returns:
@@ -7741,11 +7741,40 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
             else:
                 spark.udf.register(name, udf)
             impl = "python"
-    elif lang in ("javascript", "rust", "wasm"):
+    elif lang == "wasm":
+        # real wasm bytecode through the pure-Python interpreter
+        # (functions/wasm_runtime.py; reference udf/wasm.rs runs the
+        # same modules under wasmtime — ABI divergence documented there)
+        import base64 as _b64
+
+        from risingwave_spark.functions.wasm_runtime import (
+            WasmModule,
+            wasm_scalar_udf,
+        )
+
+        b64 = ast.get("base64") or body
+        if not b64:
+            raise ValueError(
+                "LANGUAGE wasm needs the module bytes: USING BASE64 "
+                "'<base64 of the .wasm binary>' (or AS '<base64>')"
+            )
+        try:
+            binary = _b64.b64decode("".join(b64.strip("'").split()))
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"invalid base64 wasm module: {e}") from e
+        WasmModule(binary).invoke_check(name, len(params))  # fail at CREATE
+        spark.udf.register(
+            name,
+            wasm_scalar_udf(name, binary, _map_any_type(returns),
+                            len(params)),
+        )
+        impl = "wasm"
+    elif lang in ("javascript", "rust"):
         raise NotImplementedError(
-            f"LANGUAGE {lang} UDFs need a quickjs/wasmtime runtime that is "
-            "not in this container — host the function in an external "
-            "server and use CREATE FUNCTION ... USING LINK instead "
+            f"LANGUAGE {lang} UDFs need a quickjs/rustc runtime that is "
+            "not in this container — compile to wasm (LANGUAGE wasm runs "
+            "real modules in-process) or host the function externally "
+            "with CREATE FUNCTION ... USING LINK "
             "(risingwave_spark.functions.udf_external)"
         )
     else:

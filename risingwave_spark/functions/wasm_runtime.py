@@ -1,0 +1,637 @@
+"""Pure-Python WebAssembly runtime for `LANGUAGE wasm` scalar UDFs.
+
+Reference: `src/expr/impl/src/udf/wasm.rs` runs wasm UDF modules under
+wasmtime through the arrow-udf-wasm ABI (Arrow-IPC batches in linear
+memory). This container has no wasmtime and no toolchain to BUILD
+arrow-udf modules, so the engine takes the honest middle path: a real
+interpreter for the PUBLIC WebAssembly core binary format
+(webassembly.github.io/spec/core/binary) executing genuine wasm
+bytecode for numeric scalar functions — the module's exported
+function is called per value, with Arrow-batched transfer on the
+Spark side (create_function wraps it exactly like LANGUAGE python).
+Divergence from the reference, documented: the arrow-udf-wasm linear
+-memory ABI is not implemented (functions take/return numeric wasm
+values: i32/i64/f32/f64); modules needing imports, linear memory,
+tables or globals reject loud.
+
+Implemented instruction set (the MVP numeric core): structured
+control flow (block/loop/if/else, br/br_if/br_table, return, call),
+locals, select/drop, the full i32/i64 comparison+arithmetic+bitwise
+groups, f32/f64 arithmetic/comparison/rounding, and the int<->float
+conversions. Integer semantics are exact two's-complement
+(wrap-around, signed/unsigned division with the spec's trap cases).
+
+`build_module` is a minimal assembler emitting spec-shaped binaries —
+how the tests (and users without a toolchain) produce real modules;
+anything wasm-ld/wat2wasm emits within the supported feature set runs
+unmodified.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+_I32, _I64, _F32, _F64 = 0x7F, 0x7E, 0x7D, 0x7C
+_MASK32, _MASK64 = (1 << 32) - 1, (1 << 64) - 1
+
+
+# ------------------------------------------------------------------ leb128
+def _uleb(b: bytes, i: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        v = b[i]
+        i += 1
+        out |= (v & 0x7F) << shift
+        if not v & 0x80:
+            return out, i
+        shift += 7
+
+
+def _sleb(b: bytes, i: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        v = b[i]
+        i += 1
+        out |= (v & 0x7F) << shift
+        shift += 7
+        if not v & 0x80:
+            if v & 0x40:
+                out -= 1 << shift
+            return out, i
+
+
+def enc_uleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        v = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(v | 0x80)
+        else:
+            out.append(v)
+            return bytes(out)
+
+
+def enc_sleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        v = n & 0x7F
+        n >>= 7
+        done = (n == 0 and not v & 0x40) or (n == -1 and v & 0x40)
+        out.append(v | (0 if done else 0x80))
+        if done:
+            return bytes(out)
+
+
+# ----------------------------------------------------------- module parsing
+class WasmTrap(RuntimeError):
+    pass
+
+
+class _Branch(Exception):
+    def __init__(self, depth: int):
+        self.depth = depth
+
+
+class _Return(Exception):
+    def __init__(self, values: list):
+        self.values = values
+
+
+def _parse_expr(b: bytes, i: int) -> tuple[list, int]:
+    """Decode an instruction sequence up to (and consuming) `end`,
+    resolving structured blocks into nested lists."""
+    out = []
+    while True:
+        op = b[i]
+        i += 1
+        if op == 0x0B:  # end
+            return out, i
+        if op == 0x05:  # else — handled by the `if` decoder
+            return out, i - 1
+        if op in (0x02, 0x03):  # block / loop
+            bt = b[i]
+            i += 1  # blocktype (0x40 empty or a valtype)
+            body, i = _parse_expr(b, i)
+            out.append(("block" if op == 0x02 else "loop", bt, body))
+        elif op == 0x04:  # if
+            bt = b[i]
+            i += 1
+            then, i = _parse_expr(b, i)
+            els: list = []
+            if b[i] == 0x05:
+                els, i = _parse_expr(b, i + 1)
+            out.append(("if", bt, then, els))
+        elif op in (0x0C, 0x0D):  # br / br_if
+            d, i = _uleb(b, i)
+            out.append(("br" if op == 0x0C else "br_if", d))
+        elif op == 0x0E:  # br_table
+            n, i = _uleb(b, i)
+            table = []
+            for _ in range(n):
+                d, i = _uleb(b, i)
+                table.append(d)
+            dflt, i = _uleb(b, i)
+            out.append(("br_table", table, dflt))
+        elif op == 0x0F:
+            out.append(("return",))
+        elif op == 0x10:  # call
+            f, i = _uleb(b, i)
+            out.append(("call", f))
+        elif op in (0x20, 0x21, 0x22):  # local.get/set/tee
+            n, i = _uleb(b, i)
+            out.append(({0x20: "l.get", 0x21: "l.set", 0x22: "l.tee"}[op], n))
+        elif op == 0x41:
+            v, i = _sleb(b, i)
+            out.append(("const", v & _MASK32))
+        elif op == 0x42:
+            v, i = _sleb(b, i)
+            out.append(("const", v & _MASK64))
+        elif op == 0x43:
+            (v,) = struct.unpack_from("<f", b, i)
+            i += 4
+            out.append(("const", v))
+        elif op == 0x44:
+            (v,) = struct.unpack_from("<d", b, i)
+            i += 8
+            out.append(("const", v))
+        elif op in (0x00, 0x01, 0x1A, 0x1B) or 0x45 <= op <= 0xBF:
+            out.append(("op", op))
+        else:
+            raise NotImplementedError(
+                f"wasm opcode 0x{op:02x} is outside the supported numeric "
+                "MVP subset (no linear memory / tables / globals / simd)"
+            )
+
+
+class WasmModule:
+    def __init__(self, binary: bytes):
+        if binary[:8] != b"\x00asm\x01\x00\x00\x00":
+            raise ValueError("not a wasm (version 1) binary")
+        self.types: list[tuple[list, list]] = []
+        self.func_types: list[int] = []
+        self.exports: dict[str, int] = {}
+        self.codes: list[tuple[list, list]] = []  # (local valtypes, body)
+        i = 8
+        while i < len(binary):
+            sec = binary[i]
+            size, j = _uleb(binary, i + 1)
+            body = binary[j:j + size]
+            i = j + size
+            if sec == 1:
+                self._parse_types(body)
+            elif sec == 2:
+                n, _ = _uleb(body, 0)
+                if n:
+                    raise NotImplementedError(
+                        "wasm imports are not supported (self-contained "
+                        "numeric modules only)")
+            elif sec == 3:
+                k = 0
+                n, k = _uleb(body, k)
+                for _ in range(n):
+                    t, k = _uleb(body, k)
+                    self.func_types.append(t)
+            elif sec == 7:
+                self._parse_exports(body)
+            elif sec == 10:
+                self._parse_codes(body)
+            # other sections (memory/global/table/custom…): skipped;
+            # code touching them hits the loud opcode gate
+
+    def _parse_types(self, b: bytes) -> None:
+        n, i = _uleb(b, 0)
+        for _ in range(n):
+            if b[i] != 0x60:
+                raise ValueError("malformed functype")
+            i += 1
+            np_, i = _uleb(b, i)
+            params = list(b[i:i + np_])
+            i += np_
+            nr, i = _uleb(b, i)
+            results = list(b[i:i + nr])
+            i += nr
+            self.types.append((params, results))
+
+    def _parse_exports(self, b: bytes) -> None:
+        n, i = _uleb(b, 0)
+        for _ in range(n):
+            ln, i = _uleb(b, i)
+            name = b[i:i + ln].decode()
+            i += ln
+            kind = b[i]
+            idx, i = _uleb(b, i + 1)
+            if kind == 0:
+                self.exports[name] = idx
+
+    def _parse_codes(self, b: bytes) -> None:
+        n, i = _uleb(b, 0)
+        for _ in range(n):
+            size, i = _uleb(b, i)
+            end = i + size
+            nl, j = _uleb(b, i)
+            locals_: list[int] = []
+            for _ in range(nl):
+                cnt, j = _uleb(b, j)
+                vt = b[j]
+                j += 1
+                locals_.extend([vt] * cnt)
+            body, _ = _parse_expr(b, j)
+            self.codes.append((locals_, body))
+            i = end
+
+    # -------------------------------------------------------- execution
+    def invoke_check(self, name: str, n_args: int) -> None:
+        """CREATE-time validation: the export exists (by the declared
+        function name, or as the module's single export — the
+        reference resolves by name too) and its arity matches."""
+        fidx = self._resolve(name)
+        params, results = self.types[self.func_types[fidx]]
+        if len(params) != n_args:
+            raise ValueError(
+                f"wasm export takes {len(params)} args, the CREATE "
+                f"FUNCTION declares {n_args}")
+        if len(results) != 1:
+            raise ValueError(
+                "scalar wasm UDFs must return exactly one value "
+                f"(module returns {len(results)})")
+
+    def _resolve(self, name: str) -> int:
+        if name in self.exports:
+            return self.exports[name]
+        if len(self.exports) == 1:
+            return next(iter(self.exports.values()))
+        raise ValueError(
+            f"wasm module exports {sorted(self.exports)}, not {name!r}")
+
+    def invoke(self, name: str, *args):
+        fidx = self._resolve(name)
+        res = self._call(fidx, list(args))
+        return res[0] if len(res) == 1 else tuple(res)
+
+    def _call(self, fidx: int, args: list) -> list:
+        params, results = self.types[self.func_types[fidx]]
+        if len(args) != len(params):
+            raise ValueError(
+                f"wasm function takes {len(params)} args, got {len(args)}")
+        local_types, body = self.codes[fidx]
+        locals_ = []
+        for vt, a in zip(params, args):
+            if vt in (_I32, _I64):
+                locals_.append(int(a) & (_MASK32 if vt == _I32 else _MASK64))
+            else:
+                locals_.append(float(a))
+        for vt in local_types:
+            locals_.append(0 if vt in (_I32, _I64) else 0.0)
+        stack: list = []
+        try:
+            self._exec(body, stack, locals_)
+        except _Return as r:
+            return r.values[-len(results):] if results else []
+        except _Branch:
+            pass  # br past the function body = return
+        if len(results) > len(stack):
+            raise WasmTrap("value stack underflow at function end")
+        out = stack[len(stack) - len(results):]
+        return self._coerce_results(out, results)
+
+    def _coerce_results(self, vals: list, results: list) -> list:
+        out = []
+        for v, vt in zip(vals, results):
+            if vt == _I32:
+                v = int(v) & _MASK32
+                out.append(v - (1 << 32) if v >= 1 << 31 else v)
+            elif vt == _I64:
+                v = int(v) & _MASK64
+                out.append(v - (1 << 64) if v >= 1 << 63 else v)
+            else:
+                out.append(float(v))
+        return out
+
+    def _exec(self, instrs: list, stack: list, locals_: list) -> None:
+        for ins in instrs:
+            tag = ins[0]
+            if tag == "const":
+                stack.append(ins[1])
+            elif tag == "l.get":
+                stack.append(locals_[ins[1]])
+            elif tag == "l.set":
+                locals_[ins[1]] = stack.pop()
+            elif tag == "l.tee":
+                locals_[ins[1]] = stack[-1]
+            elif tag == "op":
+                self._op(ins[1], stack)
+            elif tag == "block":
+                try:
+                    self._exec(ins[2], stack, locals_)
+                except _Branch as brx:
+                    if brx.depth:
+                        brx.depth -= 1
+                        raise
+            elif tag == "loop":
+                while True:
+                    try:
+                        self._exec(ins[2], stack, locals_)
+                        break
+                    except _Branch as brx:
+                        if brx.depth:
+                            brx.depth -= 1
+                            raise
+                        continue  # br 0 inside loop = continue
+            elif tag == "if":
+                cond = stack.pop()
+                try:
+                    self._exec(ins[2] if cond else ins[3], stack, locals_)
+                except _Branch as brx:
+                    if brx.depth:
+                        brx.depth -= 1
+                        raise
+            elif tag == "br":
+                raise _Branch(ins[1])
+            elif tag == "br_if":
+                if stack.pop():
+                    raise _Branch(ins[1])
+            elif tag == "br_table":
+                k = stack.pop()
+                table, dflt = ins[1], ins[2]
+                raise _Branch(table[k] if k < len(table) else dflt)
+            elif tag == "return":
+                raise _Return(list(stack))
+            elif tag == "call":
+                fidx = ins[1]
+                nparams = len(self.types[self.func_types[fidx]][0])
+                args = stack[len(stack) - nparams:]
+                del stack[len(stack) - nparams:]
+                stack.extend(self._call(fidx, args))
+            else:  # pragma: no cover
+                raise NotImplementedError(tag)
+
+    # one scalar op; ints live UNSIGNED on the stack, sign-views on use
+    def _op(self, op: int, st: list) -> None:
+        def s32(v):
+            v &= _MASK32
+            return v - (1 << 32) if v >= 1 << 31 else v
+
+        def s64(v):
+            v &= _MASK64
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        if op == 0x00:
+            raise WasmTrap("unreachable")
+        if op == 0x01:
+            return
+        if op == 0x1A:
+            st.pop()
+            return
+        if op == 0x1B:  # select
+            c = st.pop()
+            b = st.pop()
+            a = st.pop()
+            st.append(a if c else b)
+            return
+        # ---- i32 compare 0x45-0x4F
+        if 0x45 <= op <= 0x4F:
+            if op == 0x45:
+                st.append(1 if (st.pop() & _MASK32) == 0 else 0)
+                return
+            b = st.pop()
+            a = st.pop()
+            ua, ub = a & _MASK32, b & _MASK32
+            sa, sb = s32(a), s32(b)
+            st.append(1 if {
+                0x46: ua == ub, 0x47: ua != ub, 0x48: sa < sb,
+                0x49: ua < ub, 0x4A: sa > sb, 0x4B: ua > ub,
+                0x4C: sa <= sb, 0x4D: ua <= ub, 0x4E: sa >= sb,
+                0x4F: ua >= ub,
+            }[op] else 0)
+            return
+        # ---- i64 compare 0x50-0x5A
+        if 0x50 <= op <= 0x5A:
+            if op == 0x50:
+                st.append(1 if (st.pop() & _MASK64) == 0 else 0)
+                return
+            b = st.pop()
+            a = st.pop()
+            ua, ub = a & _MASK64, b & _MASK64
+            sa, sb = s64(a), s64(b)
+            st.append(1 if {
+                0x51: ua == ub, 0x52: ua != ub, 0x53: sa < sb,
+                0x54: ua < ub, 0x55: sa > sb, 0x56: ua > ub,
+                0x57: sa <= sb, 0x58: ua <= ub, 0x59: sa >= sb,
+                0x5A: ua >= ub,
+            }[op] else 0)
+            return
+        # ---- f32/f64 compare 0x5B-0x66 (same python semantics)
+        if 0x5B <= op <= 0x66:
+            b = st.pop()
+            a = st.pop()
+            k = (op - 0x5B) % 6
+            st.append(1 if [
+                a == b, a != b, a < b, a > b, a <= b, a >= b,
+            ][k] else 0)
+            return
+        # ---- i32 arithmetic 0x67-0x78
+        if 0x67 <= op <= 0x78:
+            self._int_arith(op - 0x67, st, 32, s32)
+            return
+        # ---- i64 arithmetic 0x79-0x8A
+        if 0x79 <= op <= 0x8A:
+            self._int_arith(op - 0x79, st, 64, s64)
+            return
+        # ---- f32 0x8B-0x98 / f64 0x99-0xA6 math
+        if 0x8B <= op <= 0xA6:
+            k = (op - 0x8B) % 14
+            if k < 7:  # unary
+                a = st.pop()
+                st.append([
+                    abs(a), -a, math.ceil(a), math.floor(a),
+                    math.trunc(a) * 1.0,
+                    float(round(a)),  # nearest (ties-to-even, like round)
+                    math.sqrt(a) if a >= 0 else float("nan"),
+                ][k])
+            else:
+                b = st.pop()
+                a = st.pop()
+                if k == 10 and b == 0:
+                    st.append(float("nan") if a == 0 else
+                              math.copysign(float("inf"), a) *
+                              math.copysign(1.0, b))
+                else:
+                    st.append([
+                        a + b, a - b, a * b, a / b if b != 0 else (
+                            float("nan")), min(a, b), max(a, b),
+                        math.copysign(a, b),
+                    ][k - 7])
+            return
+        # ---- conversions
+        if op == 0xA7:  # i32.wrap_i64
+            st.append(st.pop() & _MASK32)
+            return
+        if op == 0xAA:  # i32.trunc_f64_s
+            st.append(int(st.pop()) & _MASK32)
+            return
+        if op == 0xAC:  # i64.extend_i32_s
+            st.append(s32(st.pop()) & _MASK64)
+            return
+        if op == 0xAD:  # i64.extend_i32_u
+            st.append(st.pop() & _MASK32)
+            return
+        if op == 0xB0:  # i64.trunc_f64_s
+            st.append(int(st.pop()) & _MASK64)
+            return
+        if op == 0xB7:  # f64.convert_i32_s
+            st.append(float(s32(st.pop())))
+            return
+        if op == 0xB8:  # f64.convert_i32_u
+            st.append(float(st.pop() & _MASK32))
+            return
+        if op == 0xB9:  # f64.convert_i64_s
+            st.append(float(s64(st.pop())))
+            return
+        if op == 0xBA:  # f64.convert_i64_u
+            st.append(float(st.pop() & _MASK64))
+            return
+        raise NotImplementedError(
+            f"wasm opcode 0x{op:02x} is outside the supported numeric "
+            "MVP subset")
+
+    def _int_arith(self, k: int, st: list, bits: int, sview) -> None:
+        mask = _MASK32 if bits == 32 else _MASK64
+        if k == 0:  # clz
+            a = st.pop() & mask
+            st.append(bits if a == 0 else bits - a.bit_length())
+            return
+        if k == 1:  # ctz
+            a = st.pop() & mask
+            st.append(bits if a == 0 else (a & -a).bit_length() - 1)
+            return
+        if k == 2:  # popcnt
+            st.append(bin(st.pop() & mask).count("1"))
+            return
+        b = st.pop()
+        a = st.pop()
+        ua, ub = a & mask, b & mask
+        sa, sb = sview(a), sview(b)
+        if k == 3:
+            st.append((ua + ub) & mask)
+        elif k == 4:
+            st.append((ua - ub) & mask)
+        elif k == 5:
+            st.append((ua * ub) & mask)
+        elif k == 6:  # div_s — the spec truncates toward zero
+            if sb == 0:
+                raise WasmTrap("integer divide by zero")
+            st.append(int(sa / sb) & mask)
+        elif k == 7:  # div_u
+            if ub == 0:
+                raise WasmTrap("integer divide by zero")
+            st.append((ua // ub) & mask)
+        elif k == 8:  # rem_s — sign follows the dividend
+            if sb == 0:
+                raise WasmTrap("integer divide by zero")
+            st.append((sa - int(sa / sb) * sb) & mask)
+        elif k == 9:  # rem_u
+            if ub == 0:
+                raise WasmTrap("integer divide by zero")
+            st.append((ua % ub) & mask)
+        elif k == 10:
+            st.append(ua & ub)
+        elif k == 11:
+            st.append(ua | ub)
+        elif k == 12:
+            st.append(ua ^ ub)
+        elif k == 13:
+            st.append((ua << (ub % bits)) & mask)
+        elif k == 14:  # shr_s
+            st.append((sa >> (ub % bits)) & mask)
+        elif k == 15:  # shr_u
+            st.append(ua >> (ub % bits))
+        elif k == 16:  # rotl
+            n = ub % bits
+            st.append(((ua << n) | (ua >> (bits - n))) & mask)
+        elif k == 17:  # rotr
+            n = ub % bits
+            st.append(((ua >> n) | (ua << (bits - n))) & mask)
+        else:  # pragma: no cover
+            raise NotImplementedError(k)
+
+
+# ---------------------------------------------------------------- assembler
+def build_module(funcs: list[dict]) -> bytes:
+    """Emit a spec-shaped wasm binary. Each func:
+    {"name": export name, "params": [valtype...], "results": [...],
+     "locals": [...], "body": bytes (raw instruction bytes, WITHOUT the
+     trailing end)}. Valtypes: 'i32' | 'i64' | 'f32' | 'f64'."""
+    vt = {"i32": _I32, "i64": _I64, "f32": _F32, "f64": _F64}
+
+    def vec(items: list[bytes]) -> bytes:
+        return enc_uleb(len(items)) + b"".join(items)
+
+    def section(sid: int, body: bytes) -> bytes:
+        return bytes([sid]) + enc_uleb(len(body)) + body
+
+    types, codes, fsec, exps = [], [], [], []
+    for idx, f in enumerate(funcs):
+        types.append(
+            b"\x60" + vec([bytes([vt[p]]) for p in f["params"]])
+            + vec([bytes([vt[r]]) for r in f["results"]]))
+        fsec.append(enc_uleb(idx))
+        nm = f["name"].encode()
+        exps.append(enc_uleb(len(nm)) + nm + b"\x00" + enc_uleb(idx))
+        locs = vec([
+            enc_uleb(1) + bytes([vt[loc]]) for loc in f.get("locals", [])
+        ])
+        body = locs + f["body"] + b"\x0b"
+        codes.append(enc_uleb(len(body)) + body)
+    return (
+        b"\x00asm\x01\x00\x00\x00"
+        + section(1, vec(types))
+        + section(3, vec(fsec))
+        + section(7, vec(exps))
+        + section(10, vec(codes))
+    )
+
+
+def wasm_scalar_udf(name: str, binary: bytes, ret_spark_type: str,
+                    n_args: int):
+    """Arrow-batched pandas UDF around the interpreter (the same batch
+    shape LANGUAGE python uses, create_function.python_scalar_udf):
+    NULL in → NULL out (strict, the PG scalar contract). The module
+    BYTES travel in the closure and the package root rides sys.path so
+    executor workers can import the interpreter regardless of where
+    the driver launched from (the round-5 worker-import pattern)."""
+    import os as _os
+
+    from pyspark.sql.functions import pandas_udf
+
+    import risingwave_spark as _pkg
+
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(
+        _pkg.__file__)))
+
+    def _eval(*cols):
+        import sys as _sys
+
+        import pandas as _pd
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from risingwave_spark.functions.wasm_runtime import WasmModule
+
+        mod = WasmModule(binary)
+        rows = zip(
+            *[[None if _pd.isna(v) else v for v in c.tolist()] for c in cols]
+        )
+        out = []
+        for r in rows:
+            if any(v is None for v in r):
+                out.append(None)
+            else:
+                out.append(mod.invoke(name, *r))
+        return _pd.Series(out, dtype="object")
+
+    if n_args == 0:
+        mod = WasmModule(binary)
+        return lambda: mod.invoke(name)
+    return pandas_udf(_eval, ret_spark_type)

@@ -107,3 +107,47 @@ def handle(tbl):
     return o.select(
         "o_orderkey", tag(F.col("o_orderstatus")).alias("tagged")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "udf_wasm_scalar",
+    oracle="""
+SELECT l_orderkey AS k,
+       CAST(sum(CAST(l_quantity AS BIGINT) * 3 + l_linenumber) AS BIGINT)
+         AS s
+FROM lineitem WHERE l_orderkey < 400
+GROUP BY l_orderkey ORDER BY k
+""",
+)
+def udf_wasm_scalar(spark, sf_dir):
+    """LANGUAGE wasm scalar UDF (reference `src/expr/impl/src/udf/
+    wasm.rs` — wasmtime + arrow-udf modules; here a pure-Python
+    interpreter executing GENUINE WebAssembly bytecode, ABI divergence
+    documented in functions/wasm_runtime.py): the module computes
+    q*3+n in wasm (i64 mul/add), registered through the SQL front door
+    with USING BASE64 and aggregated JVM-side around the Arrow-batched
+    calls."""
+    import base64 as _b64
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.functions.wasm_runtime import build_module
+
+    tables(spark, sf_dir)
+    # (q, n) -> q*3 + n : local.get 0; i64.const 3; i64.mul;
+    #                     local.get 1; i64.add
+    mod = build_module([{
+        "name": "wtri", "params": ["i64", "i64"], "results": ["i64"],
+        "body": b"\x20\x00\x42\x03\x7e\x20\x01\x7c",
+    }])
+    b64 = _b64.b64encode(mod).decode()
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_wasmq_"))
+    eng.sql(
+        f"CREATE FUNCTION wtri(q int8, n int8) RETURNS int8 "
+        f"LANGUAGE wasm USING BASE64 '{b64}'"
+    )
+    return eng.sql(
+        "SELECT l_orderkey AS k, sum(wtri(CAST(l_quantity AS int8), "
+        "l_linenumber)) AS s FROM lineitem WHERE l_orderkey < 400 "
+        "GROUP BY l_orderkey ORDER BY k"
+    )

@@ -990,18 +990,29 @@ def _parse_create(p: _P) -> str:
             p.ast["returns"] = p.span(i0, p.i)
         p.eat_kw("LANGUAGE")
         p.ast["language"] = p.ident("language name")
-        p.eat_kw("AS")
-        t = p.peek()
-        if t is None or t.kind != "str":
-            p.fail("expected a function body string ('...' or $$...$$) after AS")
-        p.ast["body"] = p.eat().val
-        if p.at("USING"):
+        # AS '<body>' — optional when USING BASE64/LINK carries the
+        # implementation (the reference's wasm/rust spelling,
+        # handler/create_function.rs USING clause)
+        if p.at("AS"):
             p.eat()
-            p.eat_kw("LINK")
             t = p.peek()
             if t is None or t.kind != "str":
-                p.fail("expected a link string after USING LINK")
-            p.ast["link"] = p.eat().val
+                p.fail(
+                    "expected a function body string ('...' or $$...$$) "
+                    "after AS")
+            p.ast["body"] = p.eat().val
+        if p.at("USING"):
+            p.eat()
+            kw = p.ident("LINK or BASE64").upper()
+            if kw not in ("LINK", "BASE64"):
+                p.fail(f"expected LINK or BASE64 after USING, got {kw!r}")
+            t = p.peek()
+            if t is None or t.kind != "str":
+                p.fail(f"expected a string after USING {kw}")
+            p.ast["using"] = kw
+            p.ast["link" if kw == "LINK" else "base64"] = p.eat().val
+        if "body" not in p.ast and "using" not in p.ast:
+            p.fail("CREATE FUNCTION needs AS '<body>' or USING LINK/BASE64")
         p.expect_done("CREATE AGGREGATE" if is_agg else "CREATE FUNCTION")
         return "create_aggregate" if is_agg else "create_function"
     if p.at("INDEX"):

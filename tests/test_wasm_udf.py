@@ -1,0 +1,140 @@
+"""LANGUAGE wasm UDFs: a pure-Python interpreter executing genuine
+WebAssembly bytecode (reference `src/expr/impl/src/udf/wasm.rs` runs
+the same modules under wasmtime; the ABI divergence is documented in
+functions/wasm_runtime.py)."""
+
+from __future__ import annotations
+
+import base64
+import tempfile
+
+import pytest
+
+from risingwave_spark.api import Engine
+from risingwave_spark.functions.wasm_runtime import (
+    WasmModule,
+    WasmTrap,
+    build_module,
+)
+
+ADD = b"\x20\x00\x20\x01\x7c"  # i64.add
+FACT = (
+    b"\x42\x01\x21\x01"
+    b"\x02\x40\x03\x40"
+    b"\x20\x00\x50\x0d\x01"
+    b"\x20\x01\x20\x00\x7e\x21\x01"
+    b"\x20\x00\x42\x01\x7d\x21\x00"
+    b"\x0c\x00\x0b\x0b"
+    b"\x20\x01"
+)
+FIB = (
+    b"\x20\x00\x42\x02\x53"
+    b"\x04\x40\x20\x00\x0f\x0b"
+    b"\x20\x00\x42\x01\x7d\x10\x02"
+    b"\x20\x00\x42\x02\x7d\x10\x02"
+    b"\x7c"
+)
+HYP = b"\x20\x00\x20\x00\xa2\x20\x01\x20\x01\xa2\xa0\x9f"
+DIV = b"\x20\x00\x20\x01\x7f"  # i64.div_s
+
+
+def _module():
+    return build_module([
+        {"name": "wadd", "params": ["i64", "i64"], "results": ["i64"],
+         "body": ADD},
+        {"name": "fact", "params": ["i64"], "results": ["i64"],
+         "locals": ["i64"], "body": FACT},
+        {"name": "fib", "params": ["i64"], "results": ["i64"],
+         "body": FIB},
+        {"name": "hyp", "params": ["f64", "f64"], "results": ["f64"],
+         "body": HYP},
+        {"name": "idiv", "params": ["i64", "i64"], "results": ["i64"],
+         "body": DIV},
+    ])
+
+
+def test_interpreter_core():
+    m = WasmModule(_module())
+    assert m.invoke("wadd", 3, 4) == 7
+    assert m.invoke("wadd", -5, 2) == -3  # two's complement round-trip
+    assert m.invoke("fact", 10) == 3628800  # loop + br_if + br
+    assert m.invoke("fib", 15) == 610  # recursion (call) + if/return
+    assert m.invoke("hyp", 3.0, 4.0) == 5.0  # f64 mul/add/sqrt
+    assert m.invoke("idiv", -7, 2) == -3  # div_s truncates toward zero
+    with pytest.raises(WasmTrap, match="divide by zero"):
+        m.invoke("idiv", 1, 0)
+    with pytest.raises(ValueError, match="exports"):
+        m.invoke("ghost")
+
+
+def test_interpreter_wraps_like_hardware():
+    # i64.add must wrap at 2^64 (python ints don't — the mask does)
+    m = WasmModule(_module())
+    assert m.invoke("wadd", (1 << 63) - 1, 1) == -(1 << 63)
+
+
+def test_rejects_imports_and_unknown_opcodes():
+    mod = bytearray(_module())
+    # splice an import section in front of the type section
+    imports = b"\x02\x05\x01\x01a\x01b"  # malformed-but-counted vector
+    full = mod[:8] + imports + mod[8:]
+    with pytest.raises(NotImplementedError, match="imports"):
+        WasmModule(bytes(full))
+    bad = build_module([
+        {"name": "m", "params": ["i64"], "results": ["i64"],
+         "body": b"\x20\x00\x29\x03\x00"}  # i64.load (linear memory)
+    ])
+    with pytest.raises(NotImplementedError, match="0x29"):
+        WasmModule(bad)
+
+
+def test_sql_surface_and_mv(spark):
+    b64 = base64.b64encode(_module()).decode()
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_wasm_t_"))
+    eng.sql(
+        f"CREATE FUNCTION wadd(a int8, b int8) RETURNS int8 "
+        f"LANGUAGE wasm USING BASE64 '{b64}'"
+    )
+    row = eng.sql("SELECT wadd(20, 22) AS x, wadd(NULL, 1) AS y").first()
+    assert row.x == 42 and row.y is None  # strict NULL semantics
+    eng.sql("CREATE TABLE wt (id int8 PRIMARY KEY, v int8)")
+    eng.sql("INSERT INTO wt VALUES (1, 10), (2, 20)")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW wmv AS "
+        "SELECT id, wadd(v, 100) AS w FROM wt")
+    eng.sql("INSERT INTO wt VALUES (3, 30)")
+    got = [(r.id, r.w) for r in
+           eng.sql("SELECT * FROM wmv ORDER BY id").collect()]
+    assert got == [(1, 110), (2, 120), (3, 130)]
+    # arity mismatch fails at CREATE, not first call (fact is unary)
+    with pytest.raises(ValueError, match="declares 2"):
+        eng.sql(
+            f"CREATE FUNCTION fact(a int8, b int8) RETURNS int8 "
+            f"LANGUAGE wasm AS '{b64}'"
+        )
+    # unknown export also fails at CREATE
+    with pytest.raises(ValueError, match="exports"):
+        eng.sql(
+            f"CREATE FUNCTION wghost(a int8) RETURNS int8 "
+            f"LANGUAGE wasm AS '{b64}'"
+        )
+    # the function appears in the catalog with its language
+    rows = eng.sql(
+        "SELECT name, language FROM rw_functions WHERE name = 'wadd'"
+    ).collect()
+    assert rows[0].language == "wasm"
+
+
+def test_bad_base64_and_not_wasm(spark):
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_wasm_b_"))
+    with pytest.raises(ValueError, match="base64"):
+        eng.sql(
+            "CREATE FUNCTION wbad(a int8) RETURNS int8 "
+            "LANGUAGE wasm USING BASE64 '!!notbase64!!'"
+        )
+    nb = base64.b64encode(b"not a wasm binary").decode()
+    with pytest.raises(ValueError, match="wasm"):
+        eng.sql(
+            f"CREATE FUNCTION wbad2(a int8) RETURNS int8 "
+            f"LANGUAGE wasm USING BASE64 '{nb}'"
+        )
