@@ -5277,11 +5277,11 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
         from risingwave_spark.sources.iceberg_scan import IcebergTable
 
         cat = (opts.get("catalog.type") or "storage").lower()
-        if cat not in ("storage", "rest"):
+        if cat not in ("storage", "rest", "glue"):
             raise NotImplementedError(
                 f"iceberg catalog.type {cat!r} needs a catalog service "
-                "(Glue/JDBC/Hive); storage and rest catalogs are "
-                "available in this container"
+                "(JDBC/Hive-metastore); storage, rest and glue catalogs "
+                "are available in this container"
             )
         wh = opts.get("warehouse.path")
         db = opts.get("database.name")
@@ -5291,7 +5291,32 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
                 f"source {name!r}: iceberg needs warehouse.path (storage "
                 "catalog), database.name and table.name options"
             )
-        if cat == "rest":
+        if cat == "glue":
+            # AWS Glue catalog (reference connector_common/iceberg glue
+            # config via iceberg-rust GlueCatalog): the table's
+            # Parameters carry metadata_location; the walk proceeds
+            # from the pointed-at metadata document
+            import json as _json
+
+            from risingwave_spark.sources.glue_catalog import GlueClient
+
+            uri = opts.get("catalog.uri")
+            if not uri:
+                raise NotImplementedError(
+                    f"source {name!r}: iceberg catalog.type='glue' "
+                    "against real AWS needs cloud credentials; point "
+                    "catalog.uri at an emulator/proxy endpoint"
+                )
+            gc = GlueClient(
+                uri,
+                region=opts.get("s3.region_name", "us-east-1"),
+                access_key=opts.get("s3.credentials.access", "test"),
+                secret_key=opts.get("s3.credentials.secret", "test"),
+            )
+            loc = gc.get_table(db, tbl)["Parameters"]["metadata_location"]
+            with open(loc) as f:
+                it = IcebergTable.from_metadata(_json.load(f))
+        elif cat == "rest":
             # REST catalog (reference connector_common/iceberg rest
             # config): the catalog serves the metadata document; the
             # manifest walk + parquet scan proceed identically
@@ -5909,6 +5934,7 @@ class _IcebergSink(_MqttSink):
         self.catalog_type = (opts.get("catalog.type") or "storage").lower()
         self.catalog_uri = opts.get("catalog.uri")
         self.catalog_credential = opts.get("catalog.credential")
+        self.opts = opts
         # the MV's Spark schema drives the data-file schema (events
         # carry JSON-safe python values; re-read through this schema)
         self._schema = engine.mv_handles[table].view.result().schema
@@ -5919,6 +5945,16 @@ class _IcebergSink(_MqttSink):
 
         return IcebergRestCatalog(
             self.catalog_uri, credential=self.catalog_credential
+        )
+
+    def _glue_catalog(self):
+        from risingwave_spark.sources.glue_catalog import GlueClient
+
+        return GlueClient(
+            self.catalog_uri,
+            region=self.opts.get("s3.region_name", "us-east-1"),
+            access_key=self.opts.get("s3.credentials.access", "test"),
+            secret_key=self.opts.get("s3.credentials.secret", "test"),
         )
 
     def _produce_events(self, events: list) -> None:
@@ -5953,7 +5989,36 @@ class _IcebergSink(_MqttSink):
             if f.endswith(".parquet")
         ]
         files = [(p, len(rows)) for p in parts]
-        if self.catalog_type == "rest":
+        if self.catalog_type == "glue":
+            # Iceberg-on-Glue commit: the WRITER owns the metadata
+            # files; the catalog holds the pointer. Write v{N+1},
+            # flip via UpdateTable with the expected previous pointer
+            # (ConcurrentModificationException on a stale flip).
+            import json as _json2
+
+            from risingwave_spark.sources.iceberg_scan import (
+                write_append_objects,
+            )
+
+            gc = self._glue_catalog()
+            prev = gc.get_table(self.database, self.topic)[
+                "Parameters"]["metadata_location"]
+            with open(prev) as f:
+                metadata = _json2.load(f)
+            meta_dir = _os.path.dirname(prev)
+            sid, snap_rec = write_append_objects(meta_dir, metadata, files)
+            metadata["snapshots"] = (
+                metadata.get("snapshots", []) + [snap_rec])
+            metadata["current-snapshot-id"] = sid
+            import re as _re2
+
+            v = int(_re2.search(r"v(\d+)\.metadata\.json$",
+                                prev).group(1))
+            new = _os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+            with open(new, "w") as f:
+                _json2.dump(metadata, f)
+            gc.update_pointer(self.database, self.topic, new, prev)
+        elif self.catalog_type == "rest":
             # fast-append through the REST commit protocol: load the
             # catalog's current metadata, materialize the manifest
             # objects, commit add-snapshot/set-snapshot-ref with an
@@ -6744,16 +6809,16 @@ def _finish_create_broker_sink(
                 "database.name and table.name options"
             )
         cat = (opts.get("catalog.type") or "storage").lower()
-        if cat == "rest" and not opts.get("catalog.uri"):
+        if cat in ("rest", "glue") and not opts.get("catalog.uri"):
             raise ValueError(
-                f"sink {name!r}: iceberg catalog.type='rest' needs a "
-                "catalog.uri option"
+                f"sink {name!r}: iceberg catalog.type={cat!r} needs a "
+                "catalog.uri option (for glue: an emulator/proxy endpoint)"
             )
-        if cat not in ("storage", "rest"):
+        if cat not in ("storage", "rest", "glue"):
             raise NotImplementedError(
                 f"iceberg catalog.type {cat!r} needs a catalog service "
-                "(glue/jdbc/hive); storage and rest catalogs are "
-                "available in this container"
+                "(jdbc/hive-metastore); storage, rest and glue catalogs "
+                "are available in this container"
             )
     elif conn == "bigquery":
         topic = opts.get("bigquery.table")
@@ -7148,7 +7213,30 @@ def _finish_create_broker_sink(
                     f"sink {name!r}: {conn} endpoint is unreachable"
                 ) from e
         elif conn == "iceberg":
-            if sink.catalog_type == "rest":
+            if sink.catalog_type == "glue":
+                # bootstrap: local v1 metadata + glue table pointing at
+                # it (also verifies endpoint + SigV4 creds at CREATE)
+                from risingwave_spark.sources.iceberg_scan import (
+                    create_empty_table,
+                )
+
+                create_empty_table(
+                    sink.warehouse, sink.database, sink.topic)
+                meta0 = os.path.join(
+                    sink.warehouse, sink.database, sink.topic,
+                    "metadata", "v1.metadata.json")
+                try:
+                    gc = sink._glue_catalog()
+                    try:
+                        gc.get_table(sink.database, sink.topic)
+                    except OSError:
+                        gc.create_table(sink.database, sink.topic, meta0)
+                except (OSError, urllib.error.URLError) as e:
+                    raise ValueError(
+                        f"sink {name!r}: glue catalog is unreachable or "
+                        f"rejected the credentials: {e}"
+                    ) from e
+            elif sink.catalog_type == "rest":
                 # bootstrap through the catalog service — also verifies
                 # reachability + OAuth credentials at CREATE
                 try:

@@ -2409,3 +2409,51 @@ def sink_deltalake_roundtrip(spark, sf_dir):
         .select(F.col("k"), F.col("qty"))
         .orderBy("k")
     )
+
+
+@register(
+    "sink_iceberg_glue_roundtrip",
+    oracle="""
+SELECT n_nationkey AS k, CAST(n_regionkey AS BIGINT) AS rk
+FROM nation ORDER BY k
+""",
+)
+def sink_iceberg_glue_roundtrip(spark, sf_dir):
+    """Iceberg over the AWS Glue catalog (reference
+    connector_common/iceberg catalog.type='glue'): the sink writes
+    data + metadata files and flips the Glue `metadata_location`
+    pointer through SigV4-verified UpdateTable calls with optimistic
+    previous-pointer checks; the committed table reads back through
+    CREATE SOURCE on the same catalog (sources/glue_catalog.py)."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.glue_catalog import LoopbackGlue
+
+    tables(spark, sf_dir)
+    wh = _os.path.join(_tf.mkdtemp(prefix="rw_glueq_"), "wh")
+    glue = LoopbackGlue().start()
+    try:
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_glueq_e_"))
+        eng.sql("CREATE TABLE glq (k int8 PRIMARY KEY, rk int8)")
+        eng.sql("CREATE MATERIALIZED VIEW glq_mv AS SELECT k, rk FROM glq")
+        eng.sql(
+            f"""CREATE SINK glq_sink FROM glq_mv WITH (
+                connector = 'iceberg', warehouse.path = '{wh}',
+                database.name = 'db', table.name = 'nat',
+                catalog.type = 'glue', catalog.uri = '{glue.endpoint}',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO glq SELECT n_nationkey, n_regionkey FROM nation")
+        eng.sql(
+            f"""CREATE SOURCE glq_back WITH (
+                connector = 'iceberg', catalog.type = 'glue',
+                catalog.uri = '{glue.endpoint}',
+                database.name = 'db', table.name = 'nat'
+            )"""
+        )
+        return eng.sql("SELECT k, rk FROM glq_back ORDER BY k")
+    finally:
+        glue.stop()

@@ -137,9 +137,16 @@ def test_iceberg_create_source_sql(spark):
             f"CREATE SOURCE bad1 WITH (connector='iceberg', catalog.type='rest', "
             f"warehouse.path='{wh}', database.name='db', table.name='ev')"
         )
-    with pytest.raises(NotImplementedError, match="catalog service"):
+    # glue is implemented too (tests/test_glue_catalog.py) — it needs a
+    # catalog.uri endpoint; hive-metastore stays gated loud
+    with pytest.raises(NotImplementedError, match="catalog.uri"):
         eng.sql(
             f"CREATE SOURCE bad1g WITH (connector='iceberg', catalog.type='glue', "
+            f"warehouse.path='{wh}', database.name='db', table.name='ev')"
+        )
+    with pytest.raises(NotImplementedError, match="catalog service"):
+        eng.sql(
+            f"CREATE SOURCE bad1h WITH (connector='iceberg', catalog.type='hive', "
             f"warehouse.path='{wh}', database.name='db', table.name='ev')"
         )
     with pytest.raises(ValueError, match="warehouse.path"):

@@ -668,6 +668,7 @@ def _connector_sink_stmt(draw):
         "warehouse.path = '/tmp/rw_fuzz_wh'",
         "database.name = 'fzdb'",
         "catalog.type = 'rest'",
+        "catalog.type = 'glue'",
         "catalog.uri = 'http://127.0.0.1:1'",
         "bigquery.project = 'p'",
         "bigquery.dataset = 'd'",
