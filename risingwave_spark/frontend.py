@@ -5277,11 +5277,10 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
         from risingwave_spark.sources.iceberg_scan import IcebergTable
 
         cat = (opts.get("catalog.type") or "storage").lower()
-        if cat not in ("storage", "rest", "glue"):
-            raise NotImplementedError(
-                f"iceberg catalog.type {cat!r} needs a catalog service "
-                "(JDBC/Hive-metastore); storage, rest and glue catalogs "
-                "are available in this container"
+        if cat not in ("storage", "rest", "glue", "jdbc", "hive"):
+            raise ValueError(
+                f"unknown iceberg catalog.type {cat!r} (storage, rest, "
+                "glue, jdbc and hive are supported)"
             )
         wh = opts.get("warehouse.path")
         db = opts.get("database.name")
@@ -5314,6 +5313,58 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
                 secret_key=opts.get("s3.credentials.secret", "test"),
             )
             loc = gc.get_table(db, tbl)["Parameters"]["metadata_location"]
+            with open(loc) as f:
+                it = IcebergTable.from_metadata(_json.load(f))
+        elif cat == "hive":
+            # Hive metastore catalog (reference catalog.type='hive' via
+            # iceberg-rust HmsCatalog): get_table over the real thrift
+            # wire; parameters carry metadata_location
+            import json as _json
+
+            from risingwave_spark.sources.hive_metastore import HmsClient
+
+            uri = opts.get("catalog.uri", "")
+            m = re.match(r"^thrift://([^:/]+):(\d+)", uri)
+            if m is None:
+                raise ValueError(
+                    f"source {name!r}: iceberg catalog.type='hive' needs "
+                    "catalog.uri = 'thrift://host:port'"
+                )
+            hc = HmsClient(m.group(1), int(m.group(2)))
+            try:
+                loc = hc.get_table(db, tbl)[9]["metadata_location"]
+            finally:
+                hc.close()
+            with open(loc) as f:
+                it = IcebergTable.from_metadata(_json.load(f))
+        elif cat == "jdbc":
+            # iceberg JDBC catalog (reference catalog.type='jdbc' via
+            # iceberg-rust JdbcCatalog): the iceberg_tables pointer
+            # table over the Postgres wire
+            import json as _json
+
+            from risingwave_spark.sources.glue_catalog import (
+                JdbcIcebergCatalog,
+            )
+
+            uri = opts.get("catalog.uri", "")
+            m = re.match(
+                r"^jdbc:postgresql://([^:/]+):(\d+)/(\w+)", uri)
+            if m is None:
+                raise ValueError(
+                    f"source {name!r}: iceberg catalog.type='jdbc' needs "
+                    "catalog.uri = 'jdbc:postgresql://host:port/db'"
+                )
+            jc = JdbcIcebergCatalog(
+                m.group(1), int(m.group(2)),
+                opts.get("catalog.jdbc.user", "fed"),
+                opts.get("catalog.jdbc.password", ""),
+                m.group(3),
+            )
+            try:
+                loc = jc.get_location(db, tbl)
+            finally:
+                jc.close()
             with open(loc) as f:
                 it = IcebergTable.from_metadata(_json.load(f))
         elif cat == "rest":
@@ -5957,6 +6008,63 @@ class _IcebergSink(_MqttSink):
             secret_key=self.opts.get("s3.credentials.secret", "test"),
         )
 
+    def _jdbc_catalog(self):
+        import re as _re
+
+        from risingwave_spark.sources.glue_catalog import JdbcIcebergCatalog
+
+        m = _re.match(
+            r"^jdbc:postgresql://([^:/]+):(\d+)/(\w+)", self.catalog_uri)
+        if m is None:
+            raise ValueError(
+                "iceberg catalog.type='jdbc' needs catalog.uri = "
+                "'jdbc:postgresql://host:port/db'"
+            )
+        return JdbcIcebergCatalog(
+            m.group(1), int(m.group(2)),
+            self.opts.get("catalog.jdbc.user", "fed"),
+            self.opts.get("catalog.jdbc.password", ""),
+            m.group(3),
+        )
+
+    def _hms_client(self):
+        import re as _re
+
+        from risingwave_spark.sources.hive_metastore import HmsClient
+
+        m = _re.match(r"^thrift://([^:/]+):(\d+)", self.catalog_uri)
+        if m is None:
+            raise ValueError(
+                "iceberg catalog.type='hive' needs catalog.uri = "
+                "'thrift://host:port'"
+            )
+        return HmsClient(m.group(1), int(m.group(2)))
+
+    def _pointer_commit(self, get_prev, flip, files) -> None:
+        """Shared pointer-catalog commit (glue/jdbc): write v{N+1}
+        locally, flip the catalog pointer with the expected previous
+        location."""
+        import json as _json
+        import os as _os
+        import re as _re
+
+        from risingwave_spark.sources.iceberg_scan import (
+            write_append_objects,
+        )
+
+        prev = get_prev()
+        with open(prev) as f:
+            metadata = _json.load(f)
+        meta_dir = _os.path.dirname(prev)
+        sid, snap_rec = write_append_objects(meta_dir, metadata, files)
+        metadata["snapshots"] = metadata.get("snapshots", []) + [snap_rec]
+        metadata["current-snapshot-id"] = sid
+        v = int(_re.search(r"v(\d+)\.metadata\.json$", prev).group(1))
+        new = _os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+        with open(new, "w") as f:
+            _json.dump(metadata, f)
+        flip(new, prev)
+
     def _produce_events(self, events: list) -> None:
         import os as _os
 
@@ -5991,33 +6099,52 @@ class _IcebergSink(_MqttSink):
         files = [(p, len(rows)) for p in parts]
         if self.catalog_type == "glue":
             # Iceberg-on-Glue commit: the WRITER owns the metadata
-            # files; the catalog holds the pointer. Write v{N+1},
-            # flip via UpdateTable with the expected previous pointer
-            # (ConcurrentModificationException on a stale flip).
-            import json as _json2
-
-            from risingwave_spark.sources.iceberg_scan import (
-                write_append_objects,
-            )
-
+            # files; the catalog holds the pointer (UpdateTable with
+            # the expected previous pointer —
+            # ConcurrentModificationException on a stale flip)
             gc = self._glue_catalog()
-            prev = gc.get_table(self.database, self.topic)[
-                "Parameters"]["metadata_location"]
-            with open(prev) as f:
-                metadata = _json2.load(f)
-            meta_dir = _os.path.dirname(prev)
-            sid, snap_rec = write_append_objects(meta_dir, metadata, files)
-            metadata["snapshots"] = (
-                metadata.get("snapshots", []) + [snap_rec])
-            metadata["current-snapshot-id"] = sid
-            import re as _re2
-
-            v = int(_re2.search(r"v(\d+)\.metadata\.json$",
-                                prev).group(1))
-            new = _os.path.join(meta_dir, f"v{v + 1}.metadata.json")
-            with open(new, "w") as f:
-                _json2.dump(metadata, f)
-            gc.update_pointer(self.database, self.topic, new, prev)
+            self._pointer_commit(
+                lambda: gc.get_table(self.database, self.topic)[
+                    "Parameters"]["metadata_location"],
+                lambda new, prev: gc.update_pointer(
+                    self.database, self.topic, new, prev),
+                files,
+            )
+        elif self.catalog_type == "hive":
+            # HiveCatalog commit sequence: EXCLUSIVE table lock →
+            # alter_table flips metadata_location → unlock; the
+            # metastore serializes concurrent committers
+            hc = self._hms_client()
+            try:
+                lockid = hc.lock(self.database, self.topic)
+                try:
+                    self._pointer_commit(
+                        lambda: hc.get_table(self.database, self.topic)[
+                            9]["metadata_location"],
+                        lambda new, prev: hc.alter_table(
+                            self.database, self.topic,
+                            {"table_type": "ICEBERG",
+                             "metadata_location": new,
+                             "previous_metadata_location": prev}),
+                        files,
+                    )
+                finally:
+                    hc.unlock(lockid)
+            finally:
+                hc.close()
+        elif self.catalog_type == "jdbc":
+            # iceberg JDBC catalog: same writer-owned metadata, pointer
+            # flip via the guarded UPDATE on iceberg_tables
+            jc = self._jdbc_catalog()
+            try:
+                self._pointer_commit(
+                    lambda: jc.get_location(self.database, self.topic),
+                    lambda new, prev: jc.flip_pointer(
+                        self.database, self.topic, new, prev),
+                    files,
+                )
+            finally:
+                jc.close()
         elif self.catalog_type == "rest":
             # fast-append through the REST commit protocol: load the
             # catalog's current metadata, materialize the manifest
@@ -6809,16 +6936,15 @@ def _finish_create_broker_sink(
                 "database.name and table.name options"
             )
         cat = (opts.get("catalog.type") or "storage").lower()
-        if cat in ("rest", "glue") and not opts.get("catalog.uri"):
+        if cat != "storage" and not opts.get("catalog.uri"):
             raise ValueError(
                 f"sink {name!r}: iceberg catalog.type={cat!r} needs a "
                 "catalog.uri option (for glue: an emulator/proxy endpoint)"
             )
-        if cat not in ("storage", "rest", "glue"):
-            raise NotImplementedError(
-                f"iceberg catalog.type {cat!r} needs a catalog service "
-                "(jdbc/hive-metastore); storage, rest and glue catalogs "
-                "are available in this container"
+        if cat not in ("storage", "rest", "glue", "jdbc", "hive"):
+            raise ValueError(
+                f"unknown iceberg catalog.type {cat!r} (storage, rest, "
+                "glue, jdbc and hive are supported)"
             )
     elif conn == "bigquery":
         topic = opts.get("bigquery.table")
@@ -7235,6 +7361,55 @@ def _finish_create_broker_sink(
                     raise ValueError(
                         f"sink {name!r}: glue catalog is unreachable or "
                         f"rejected the credentials: {e}"
+                    ) from e
+            elif sink.catalog_type == "hive":
+                from risingwave_spark.sources.iceberg_scan import (
+                    create_empty_table,
+                )
+
+                create_empty_table(
+                    sink.warehouse, sink.database, sink.topic)
+                meta0 = os.path.join(
+                    sink.warehouse, sink.database, sink.topic,
+                    "metadata", "v1.metadata.json")
+                try:
+                    hc = sink._hms_client()
+                    try:
+                        try:
+                            hc.get_table(sink.database, sink.topic)
+                        except OSError:
+                            hc.create_table(
+                                sink.database, sink.topic,
+                                {"table_type": "ICEBERG",
+                                 "metadata_location": meta0})
+                    finally:
+                        hc.close()
+                except (OSError, ConnectionError) as e:
+                    raise ValueError(
+                        f"sink {name!r}: hive metastore is unreachable: "
+                        f"{e}"
+                    ) from e
+            elif sink.catalog_type == "jdbc":
+                from risingwave_spark.sources.iceberg_scan import (
+                    create_empty_table,
+                )
+
+                create_empty_table(
+                    sink.warehouse, sink.database, sink.topic)
+                meta0 = os.path.join(
+                    sink.warehouse, sink.database, sink.topic,
+                    "metadata", "v1.metadata.json")
+                try:
+                    jc = sink._jdbc_catalog()
+                    try:
+                        jc.create_table_if_missing(
+                            sink.database, sink.topic, meta0)
+                    finally:
+                        jc.close()
+                except (OSError, ConnectionError) as e:
+                    raise ValueError(
+                        f"sink {name!r}: jdbc catalog database is "
+                        f"unreachable or rejected the login: {e}"
                     ) from e
             elif sink.catalog_type == "rest":
                 # bootstrap through the catalog service — also verifies

@@ -2457,3 +2457,51 @@ def sink_iceberg_glue_roundtrip(spark, sf_dir):
         return eng.sql("SELECT k, rk FROM glq_back ORDER BY k")
     finally:
         glue.stop()
+
+
+@register(
+    "sink_iceberg_hive_roundtrip",
+    oracle="""
+SELECT r_regionkey AS k, r_name AS nm FROM region ORDER BY k
+""",
+)
+def sink_iceberg_hive_roundtrip(spark, sf_dir):
+    """Iceberg over the Hive metastore catalog (reference
+    connector_common/iceberg catalog.type='hive' via iceberg-rust
+    HmsCatalog): get_table/create_table/alter_table over the REAL
+    Thrift binary protocol (sources/hive_metastore.py), commits under
+    the metastore's EXCLUSIVE table lock — the HiveCatalog commit
+    sequence — then read back through a hive-catalog source."""
+    import os as _os
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.hive_metastore import LoopbackHms
+
+    tables(spark, sf_dir)
+    wh = _os.path.join(_tf.mkdtemp(prefix="rw_hmsq_"), "wh")
+    hms = LoopbackHms().start()
+    try:
+        uri = f"thrift://{hms.host}:{hms.port}"
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_hmsq_e_"))
+        eng.sql("CREATE TABLE hq (k int8 PRIMARY KEY, nm text)")
+        eng.sql("CREATE MATERIALIZED VIEW hq_mv AS SELECT k, nm FROM hq")
+        eng.sql(
+            f"""CREATE SINK hq_sink FROM hq_mv WITH (
+                connector = 'iceberg', warehouse.path = '{wh}',
+                database.name = 'db', table.name = 'reg',
+                catalog.type = 'hive', catalog.uri = '{uri}',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql("INSERT INTO hq SELECT r_regionkey, r_name FROM region")
+        eng.sql(
+            f"""CREATE SOURCE hq_back WITH (
+                connector = 'iceberg', catalog.type = 'hive',
+                catalog.uri = '{uri}',
+                database.name = 'db', table.name = 'reg'
+            )"""
+        )
+        return eng.sql("SELECT k, nm FROM hq_back ORDER BY k")
+    finally:
+        hms.stop()

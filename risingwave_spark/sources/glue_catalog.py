@@ -89,6 +89,85 @@ class GlueClient:
         })
 
 
+class JdbcIcebergCatalog:
+    """The Iceberg JDBC catalog (iceberg.apache.org spec: the
+    `iceberg_tables` pointer table — catalog_name/table_namespace/
+    table_name/metadata_location/previous_metadata_location — with
+    optimistic UPDATE ... WHERE metadata_location = <expected>
+    commits). Reference: connector_common/iceberg catalog.type='jdbc'
+    via iceberg-rust's JdbcCatalog. Speaks the Postgres v3 wire
+    through sources/pgwire.py — any PG-compatible database (or the
+    DuckDB-backed loopback) serves as the catalog store."""
+
+    TABLE_DDL = (
+        "CREATE TABLE IF NOT EXISTS iceberg_tables ("
+        "catalog_name VARCHAR, table_namespace VARCHAR, "
+        "table_name VARCHAR, metadata_location VARCHAR, "
+        "previous_metadata_location VARCHAR)"
+    )
+
+    def __init__(self, host: str, port: int, user: str, password: str,
+                 database: str, catalog_name: str = "rw"):
+        from risingwave_spark.sources.pgwire import PgWireClient
+
+        self._client = PgWireClient(host, int(port), user, password,
+                                    database)
+        self.catalog_name = catalog_name
+        self._client.query(self.TABLE_DDL)
+
+    @staticmethod
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def get_location(self, namespace: str, table: str) -> str:
+        _f, rows = self._client.query(
+            "SELECT metadata_location FROM iceberg_tables WHERE "
+            f"catalog_name = {self._q(self.catalog_name)} AND "
+            f"table_namespace = {self._q(namespace)} AND "
+            f"table_name = {self._q(table)}")
+        if not rows:
+            raise OSError(
+                f"iceberg jdbc catalog: table {namespace}.{table} "
+                "not found")
+        return rows[0][0]
+
+    def create_table_if_missing(self, namespace: str, table: str,
+                                metadata_location: str) -> None:
+        _f, rows = self._client.query(
+            "SELECT 1 FROM iceberg_tables WHERE "
+            f"catalog_name = {self._q(self.catalog_name)} AND "
+            f"table_namespace = {self._q(namespace)} AND "
+            f"table_name = {self._q(table)}")
+        if rows:
+            return
+        self._client.query(
+            "INSERT INTO iceberg_tables VALUES ("
+            f"{self._q(self.catalog_name)}, {self._q(namespace)}, "
+            f"{self._q(table)}, {self._q(metadata_location)}, NULL)")
+
+    def flip_pointer(self, namespace: str, table: str,
+                     new_location: str, previous_location: str) -> None:
+        """Optimistic commit: UPDATE guarded on the expected current
+        pointer; zero rows touched = a concurrent writer won."""
+        self._client.query(
+            "UPDATE iceberg_tables SET "
+            f"metadata_location = {self._q(new_location)}, "
+            f"previous_metadata_location = {self._q(previous_location)} "
+            f"WHERE catalog_name = {self._q(self.catalog_name)} AND "
+            f"table_namespace = {self._q(namespace)} AND "
+            f"table_name = {self._q(table)} AND "
+            f"metadata_location = {self._q(previous_location)}")
+        # verify the flip landed (the wire reports command completion,
+        # not row counts, through this client — re-read the pointer)
+        if self.get_location(namespace, table) != new_location:
+            raise OSError(
+                "iceberg jdbc catalog: concurrent commit — pointer "
+                f"moved past {previous_location!r}")
+
+    def close(self) -> None:
+        self._client.close()
+
+
 class LoopbackGlue:
     """The catalog service: SigV4-VERIFYING JSON-1.1 RPC holding the
     metadata_location pointer per (database, table)."""

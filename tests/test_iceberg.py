@@ -137,16 +137,22 @@ def test_iceberg_create_source_sql(spark):
             f"CREATE SOURCE bad1 WITH (connector='iceberg', catalog.type='rest', "
             f"warehouse.path='{wh}', database.name='db', table.name='ev')"
         )
-    # glue is implemented too (tests/test_glue_catalog.py) — it needs a
-    # catalog.uri endpoint; hive-metastore stays gated loud
+    # EVERY catalog type is implemented now (rest/glue: test_iceberg_rest
+    # / test_glue_catalog; hive/jdbc: test_hms_jdbc_catalog) — each needs
+    # its catalog.uri; a truly unknown type is a plain error
     with pytest.raises(NotImplementedError, match="catalog.uri"):
         eng.sql(
             f"CREATE SOURCE bad1g WITH (connector='iceberg', catalog.type='glue', "
             f"warehouse.path='{wh}', database.name='db', table.name='ev')"
         )
-    with pytest.raises(NotImplementedError, match="catalog service"):
+    with pytest.raises(ValueError, match="thrift://"):
         eng.sql(
             f"CREATE SOURCE bad1h WITH (connector='iceberg', catalog.type='hive', "
+            f"warehouse.path='{wh}', database.name='db', table.name='ev')"
+        )
+    with pytest.raises(ValueError, match="unknown iceberg catalog.type"):
+        eng.sql(
+            f"CREATE SOURCE bad1x WITH (connector='iceberg', catalog.type='nope', "
             f"warehouse.path='{wh}', database.name='db', table.name='ev')"
         )
     with pytest.raises(ValueError, match="warehouse.path"):

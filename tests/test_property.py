@@ -669,6 +669,8 @@ def _connector_sink_stmt(draw):
         "database.name = 'fzdb'",
         "catalog.type = 'rest'",
         "catalog.type = 'glue'",
+        "catalog.type = 'hive'",
+        "catalog.type = 'jdbc'",
         "catalog.uri = 'http://127.0.0.1:1'",
         "bigquery.project = 'p'",
         "bigquery.dataset = 'd'",
