@@ -6282,6 +6282,99 @@ class _SnowflakeSink(_MqttSink):
         self._client().put_object(self.bucket, key, data)
 
 
+class _GcsFileSink(_SnowflakeSink):
+    """GCS file sink (reference `sink/file_sink/gcs.rs`): each chunk
+    stages one JSON-lines object via the GCS JSON-upload REST API
+    (sources/cloud_store.py GcsClient) — same naming/contract as the
+    S3 family."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        import hashlib as _hashlib
+
+        self.engine = engine
+        self.sub = sub
+        self.bucket = opts.get("gcs.bucket_name")
+        self.path = opts.get("gcs.path") or opts.get("path") or ""
+        self.endpoint = opts.get("gcs.endpoint_url")
+        self.topic = self.bucket
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        self.executor_id = int(
+            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            .hexdigest()[:6], 16)
+        self._epoch = 0
+
+    def _client(self):
+        from risingwave_spark.sources.cloud_store import GcsClient
+
+        return GcsClient(self.endpoint)
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        rows = [v for _k, v in events if v is not None]
+        if not rows:
+            return
+        self._epoch += 1
+        base = f"{self.path}/" if self.path else ""
+        key = f"{base}{self.executor_id}_{self._epoch}.json"
+        data = "\n".join(
+            _json.dumps(v, sort_keys=True) for v in rows
+        ).encode() + b"\n"
+        self._client().put_object(self.bucket, key, data)
+
+
+class _AzblobFileSink(_GcsFileSink):
+    """Azure Blob file sink (reference `sink/file_sink/azblob.rs`):
+    SharedKey-signed Put Blob per chunk (sources/cloud_store.py
+    AzblobClient)."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        import hashlib as _hashlib
+
+        self.engine = engine
+        self.sub = sub
+        self.bucket = opts.get("azblob.container_name")  # the container
+        self.path = opts.get("azblob.path") or opts.get("path") or ""
+        self.endpoint = opts.get("azblob.endpoint_url")
+        self.account = opts.get("azblob.credentials.account_name")
+        self.key = opts.get("azblob.credentials.account_key")
+        self.topic = self.bucket
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        self.executor_id = int(
+            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            .hexdigest()[:6], 16)
+        self._epoch = 0
+
+    def _client(self):
+        from risingwave_spark.sources.cloud_store import AzblobClient
+
+        return AzblobClient(self.endpoint, self.account, self.key)
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        rows = [v for _k, v in events if v is not None]
+        if not rows:
+            return
+        self._epoch += 1
+        base = f"{self.path}/" if self.path else ""
+        key = f"{base}{self.executor_id}_{self._epoch}.json"
+        data = "\n".join(
+            _json.dumps(v, sort_keys=True) for v in rows
+        ).encode() + b"\n"
+        self._client().put_blob(self.bucket, key, data)
+
+
 class _JdbcSink(_MqttSink):
     """JDBC sink over the Postgres wire protocol (reference
     `sink/remote.rs` jdbc sink via the connector node; here the
@@ -6797,12 +6890,23 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
     opts = _resolve_secret_refs(engine, _parse_with_options(ast["with"]))
     conn = opts.get("connector", "").lower()
     path = None
+    # object-store file sinks with a REST endpoint are REAL writes
+    # (reference sink/file_sink/{s3,gcs,azblob}.rs); without one they
+    # fall through to the local-path file sink below (posix posture)
+    object_store_sink = (
+        (conn == "s3" and opts.get("s3.bucket_name")
+         and opts.get("s3.endpoint_url"))
+        or (conn == "gcs" and opts.get("gcs.bucket_name")
+            and opts.get("gcs.endpoint_url"))
+        or (conn == "azblob" and opts.get("azblob.container_name")
+            and opts.get("azblob.endpoint_url"))
+    )
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
         "dynamodb", "bigquery", "snowflake", "sqlserver", "mongodb",
         "clickhouse", "doris", "starrocks", "deltalake",
-    ):
+    ) and not object_store_sink:
         if conn not in ("posix_fs", "filesystem", "s3", "gcs", "azblob"):
             raise ValueError(f"sink {name!r}: unknown connector {conn!r}")
         path = opts.get("posix.fs.root") or opts.get("path") or opts.get("location")
@@ -6844,7 +6948,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
         "elasticsearch", "opensearch", "jdbc", "iceberg", "redis",
         "dynamodb", "bigquery", "snowflake", "sqlserver", "mongodb",
         "clickhouse", "doris", "starrocks", "deltalake",
-    ):
+    ) or object_store_sink:
         return _finish_create_broker_sink(engine, ast, opts, name, src, conn)
     fresh = not (_os.path.isdir(path) and _os.listdir(path))
     # A FRESH sink bootstraps from the MV's current snapshot, so its
@@ -7001,6 +7105,18 @@ def _finish_create_broker_sink(
                 f"sink {name!r}: sqlserver sink needs sqlserver.host, "
                 "sqlserver.port and sqlserver.table options"
             )
+    elif conn == "s3":
+        topic = opts.get("s3.bucket_name")
+    elif conn == "gcs":
+        topic = opts.get("gcs.bucket_name")
+    elif conn == "azblob":
+        topic = opts.get("azblob.container_name")
+        if not (opts.get("azblob.credentials.account_name")
+                and opts.get("azblob.credentials.account_key")):
+            raise ValueError(
+                f"sink {name!r}: azblob sink needs "
+                "azblob.credentials.account_name/account_key options"
+            )
     elif conn == "snowflake":
         topic = (opts.get("snowflake.s3_bucket")
                  or opts.get("s3.bucket_name"))
@@ -7046,7 +7162,7 @@ def _finish_create_broker_sink(
                 "sqlserver", "mongodb", "clickhouse", "doris", "starrocks"):
         default_fmt = "upsert"
     elif conn in ("mqtt", "nats", "google_pubsub", "iceberg", "bigquery",
-                  "snowflake", "deltalake"):
+                  "snowflake", "deltalake", "s3", "gcs", "azblob"):
         default_fmt = "plain"
     else:
         default_fmt = "debezium"
@@ -7088,12 +7204,13 @@ def _finish_create_broker_sink(
             "clickhouse.delete.column option (ReplacingMergeTree "
             "delete flag)"
         )
-    if conn == "snowflake" and fmt != "plain":
-        # opendal_sink.rs:176-178: plain_json_for_snowflake_only — the
-        # staged files carry row JSON, no changelog envelope
+    if conn in ("snowflake", "s3", "gcs", "azblob") and fmt != "plain":
+        # opendal_sink.rs:176-178 plain_json_for_snowflake_only; the
+        # file sinks are append-only — staged files carry row JSON,
+        # no changelog envelope
         raise ValueError(
-            f"sink {name!r}: snowflake sink supports FORMAT PLAIN only "
-            "(plain JSON staged files for Snowpipe)"
+            f"sink {name!r}: {conn} file sink supports FORMAT PLAIN only "
+            "(append-only staged files)"
         )
     if conn == "bigquery" and fmt != "plain":
         # the reference's upsert mode rides the Storage Write API's CDC
@@ -7214,8 +7331,18 @@ def _finish_create_broker_sink(
         sink = _BigQuerySink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
-    elif conn == "snowflake":
+    elif conn in ("snowflake", "s3"):
+        # the snowflake sink IS the s3 file sink (s3.rs:164-200); the
+        # class reads both option spellings
         sink = _SnowflakeSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "gcs":
+        sink = _GcsFileSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "azblob":
+        sink = _AzblobFileSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
     elif conn == "sqlserver":
@@ -7500,14 +7627,22 @@ def _finish_create_broker_sink(
                     f"sink {name!r}: sqlserver is unreachable, rejected "
                     f"the login, or lacks the table: {e}"
                 ) from e
-        elif conn == "snowflake":
-            # stage-bucket reachability + SigV4 acceptance at CREATE
+        elif conn in ("snowflake", "s3", "gcs"):
+            # bucket reachability + credential acceptance at CREATE
             try:
                 sink._client().list_objects(sink.bucket)
             except (OSError, urllib.error.URLError) as e:
                 raise ValueError(
-                    f"sink {name!r}: snowflake stage bucket is "
+                    f"sink {name!r}: {conn} bucket is "
                     f"unreachable or rejected the credentials: {e}"
+                ) from e
+        elif conn == "azblob":
+            try:
+                sink._client().list_blobs(sink.bucket)
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: azblob container is unreachable or "
+                    f"rejected the credentials: {e}"
                 ) from e
         elif conn == "redis":
             from risingwave_spark.sources.redis_store import RedisClient
