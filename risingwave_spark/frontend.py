@@ -6375,6 +6375,51 @@ class _AzblobFileSink(_GcsFileSink):
         self._client().put_blob(self.bucket, key, data)
 
 
+class _WebHdfsFileSink(_GcsFileSink):
+    """WebHDFS file sink (reference `sink/file_sink/webhdfs.rs`:
+    webhdfs.endpoint + webhdfs.path): each chunk stages one JSON-lines
+    file through the spec's two-step CREATE (namenode 307 → datanode
+    PUT — sources/webhdfs_store.py)."""
+
+    def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
+                 fields: list, pk: list, db: str, table: str):
+        import hashlib as _hashlib
+
+        self.engine = engine
+        self.sub = sub
+        self.endpoint = opts["webhdfs.endpoint"]
+        self.path = (opts.get("webhdfs.path") or "/rw").rstrip("/")
+        self.bucket = self.path
+        self.topic = self.path
+        self.fmt = fmt
+        self.fields = fields
+        self.pk = pk
+        self.db, self.table = db, table
+        self.avro = None
+        self.executor_id = int(
+            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            .hexdigest()[:6], 16)
+        self._epoch = 0
+
+    def _client(self):
+        from risingwave_spark.sources.webhdfs_store import WebHdfsClient
+
+        return WebHdfsClient(self.endpoint)
+
+    def _produce_events(self, events: list) -> None:
+        import json as _json
+
+        rows = [v for _k, v in events if v is not None]
+        if not rows:
+            return
+        self._epoch += 1
+        key = f"{self.path}/{self.executor_id}_{self._epoch}.json"
+        data = "\n".join(
+            _json.dumps(v, sort_keys=True) for v in rows
+        ).encode() + b"\n"
+        self._client().create(key, data)
+
+
 class _JdbcSink(_MqttSink):
     """JDBC sink over the Postgres wire protocol (reference
     `sink/remote.rs` jdbc sink via the connector node; here the
@@ -6900,6 +6945,7 @@ def _handle_create_sink(engine: "Engine", ast: dict) -> DataFrame:
             and opts.get("gcs.endpoint_url"))
         or (conn == "azblob" and opts.get("azblob.container_name")
             and opts.get("azblob.endpoint_url"))
+        or (conn == "webhdfs" and opts.get("webhdfs.endpoint"))
     )
     if conn not in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
@@ -7107,6 +7153,8 @@ def _finish_create_broker_sink(
             )
     elif conn == "s3":
         topic = opts.get("s3.bucket_name")
+    elif conn == "webhdfs":
+        topic = opts.get("webhdfs.path") or "/rw"
     elif conn == "gcs":
         topic = opts.get("gcs.bucket_name")
     elif conn == "azblob":
@@ -7162,7 +7210,8 @@ def _finish_create_broker_sink(
                 "sqlserver", "mongodb", "clickhouse", "doris", "starrocks"):
         default_fmt = "upsert"
     elif conn in ("mqtt", "nats", "google_pubsub", "iceberg", "bigquery",
-                  "snowflake", "deltalake", "s3", "gcs", "azblob"):
+                  "snowflake", "deltalake", "s3", "gcs", "azblob",
+                  "webhdfs"):
         default_fmt = "plain"
     else:
         default_fmt = "debezium"
@@ -7204,7 +7253,7 @@ def _finish_create_broker_sink(
             "clickhouse.delete.column option (ReplacingMergeTree "
             "delete flag)"
         )
-    if conn in ("snowflake", "s3", "gcs", "azblob") and fmt != "plain":
+    if conn in ("snowflake", "s3", "gcs", "azblob", "webhdfs") and fmt != "plain":
         # opendal_sink.rs:176-178 plain_json_for_snowflake_only; the
         # file sinks are append-only — staged files carry row JSON,
         # no changelog envelope
@@ -7343,6 +7392,10 @@ def _finish_create_broker_sink(
         )
     elif conn == "azblob":
         sink = _AzblobFileSink(
+            engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
+        )
+    elif conn == "webhdfs":
+        sink = _WebHdfsFileSink(
             engine, sub, opts, topic, fmt, fields, keys, db="rw", table=src
         )
     elif conn == "sqlserver":
@@ -7635,6 +7688,13 @@ def _finish_create_broker_sink(
                 raise ValueError(
                     f"sink {name!r}: {conn} bucket is "
                     f"unreachable or rejected the credentials: {e}"
+                ) from e
+        elif conn == "webhdfs":
+            try:
+                sink._client().list_status(sink.path)
+            except (OSError, urllib.error.URLError) as e:
+                raise ValueError(
+                    f"sink {name!r}: webhdfs namenode is unreachable: {e}"
                 ) from e
         elif conn == "azblob":
             try:

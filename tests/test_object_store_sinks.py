@@ -107,3 +107,33 @@ def test_local_path_posture_without_endpoint(eng, spark):
     eng.sql("INSERT INTO ot VALUES (4, 11)")
     df = spark.read.option("recursiveFileLookup", "true").parquet(path)
     assert df.filter("id = 4").count() == 1
+
+
+def test_webhdfs_file_sink_two_step_create(eng):
+    """WebHDFS (reference sink/file_sink/webhdfs.rs): the spec's
+    namenode-307-then-datanode-PUT dance, played by both roles of the
+    loopback — a direct PUT without the redirect is rejected."""
+    import urllib.error
+    import urllib.request
+
+    from risingwave_spark.sources.webhdfs_store import (
+        LoopbackWebHdfs,
+        WebHdfsClient,
+    )
+
+    srv = LoopbackWebHdfs().start()
+    try:
+        eng.sql(
+            f"CREATE SINK whs FROM o_mv WITH (connector='webhdfs', "
+            f"webhdfs.endpoint='{srv.endpoint}', webhdfs.path='/rw/out', "
+            f"force_append_only='true') FORMAT PLAIN ENCODE JSON")
+        eng.sql("INSERT INTO ot VALUES (5, 13)")
+        c = WebHdfsClient(srv.endpoint)
+        files = c.list_status("/rw/out")
+        rows = _rows([c.open("/rw/out/" + f["pathSuffix"]) for f in files])
+        assert rows == [(1, 6), (5, 14)]
+        # op=OPEN on a missing file 404s
+        with pytest.raises(urllib.error.HTTPError):
+            c.open("/rw/out/ghost.json")
+    finally:
+        srv.stop()
