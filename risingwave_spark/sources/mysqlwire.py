@@ -201,13 +201,34 @@ class MySqlWireClient:
                 if ok[1:2] == b"\x03":  # fast-auth success → OK follows
                     ok = self.conn.read_packet()
                     continue
-                raise NotImplementedError(
-                    "caching_sha2_password full authentication (0x04) "
-                    "needs TLS or the server's RSA key exchange; the "
-                    "fast path requires the server's auth cache to hold "
-                    "this user (every real server caches after one "
-                    "successful login)"
-                )
+                if ok[1:2] == b"\x04":  # full authentication needed
+                    # the plaintext path requires TLS; over clear TCP
+                    # the protocol prescribes the RSA key exchange:
+                    # request the server public key (0x02), XOR the
+                    # NUL-terminated password with the nonce, OAEP-
+                    # encrypt, send (MySQL 8.0 caching_sha2 full auth)
+                    from risingwave_spark.sources.rsa_jwt import (
+                        oaep_encrypt,
+                        public_key_from_pem,
+                    )
+
+                    self.conn.send_packet(b"\x02")
+                    pk = self.conn.read_packet()
+                    if pk[0] != 0x01:
+                        raise OSError(
+                            f"mysql full auth: expected public key, got "
+                            f"0x{pk[0]:02x}")
+                    pub = public_key_from_pem(pk[1:])
+                    pw = password.encode() + b"\x00"
+                    xored = bytes(
+                        b ^ nonce[i % len(nonce)]
+                        for i, b in enumerate(pw))
+                    self.conn.send_packet(oaep_encrypt(pub, xored))
+                    ok = self.conn.read_packet()
+                    continue
+                raise OSError(
+                    f"mysql auth: unexpected AuthMoreData state "
+                    f"0x{ok[1]:02x}")
             if ok[0] == 0xFE and len(ok) > 1:  # AuthSwitchRequest
                 sw_plugin, rest = ok[1:].split(b"\x00", 1)
                 sw_nonce = rest.rstrip(b"\x00")[:20]
@@ -322,7 +343,8 @@ class LoopbackMysql:
 
     def __init__(self, user: str = "fed", password: str = "fedpw",
                  database: str = "fedb", host: str = "127.0.0.1", port: int = 0,
-                 auth_plugin: str = "mysql_native_password"):
+                 auth_plugin: str = "mysql_native_password",
+                 force_full_auth: bool = False):
         import os
 
         import duckdb
@@ -333,6 +355,14 @@ class LoopbackMysql:
             raise ValueError(f"unsupported auth plugin {auth_plugin!r}")
         self.user, self.password, self.database = user, password, database
         self.auth_plugin = auth_plugin
+        #: simulate an EMPTY auth cache: every caching_sha2 login takes
+        #: the full-authentication path (0x04 → RSA key exchange) — the
+        #: first-ever login against a real 8.0 server
+        self.force_full_auth = force_full_auth
+        if force_full_auth:
+            from risingwave_spark.sources.rsa_jwt import generate_keypair
+
+            self.rsa_key = generate_keypair()
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
         # virtual binlog: [(table, op 'I'|'U'|'D', key_dict, new_dict)],
@@ -368,7 +398,39 @@ class LoopbackMysql:
                     i = j + 1
                     alen = resp[i]
                     auth = resp[i + 1:i + 1 + alen]
-                    if server.auth_plugin == "caching_sha2_password":
+                    if (server.auth_plugin == "caching_sha2_password"
+                            and server.force_full_auth):
+                        # empty-cache path: 0x04 full auth → public-key
+                        # request → OAEP-encrypted XORed password,
+                        # decrypted and VERIFIED server-side
+                        from risingwave_spark.sources.rsa_jwt import (
+                            oaep_decrypt,
+                            public_key_pem,
+                        )
+
+                        if user_in != server.user:
+                            ok = False
+                        else:
+                            conn.send_packet(b"\x01\x04")
+                            req = conn.read_packet()
+                            if req != b"\x02":
+                                return  # protocol violation
+                            conn.send_packet(
+                                b"\x01" + public_key_pem(server.rsa_key))
+                            enc = conn.read_packet()
+                            try:
+                                xored = oaep_decrypt(server.rsa_key, enc)
+                            except ValueError:
+                                ok = False
+                            else:
+                                pw = bytes(
+                                    b ^ nonce[i % len(nonce)]
+                                    for i, b in enumerate(xored))
+                                ok = (pw.rstrip(b"\x00").decode(
+                                    errors="replace") == server.password)
+                        # falls through to the shared error/OK + command
+                        # loop below (no fast-auth 0x03 in full mode)
+                    elif server.auth_plugin == "caching_sha2_password":
                         # fast-auth verification from the cache entry
                         # k2 = SHA256(SHA256(pw)) — recover SHA256(pw)
                         # from the scramble, re-hash, compare (the real
@@ -390,7 +452,8 @@ class LoopbackMysql:
                             b"\xff" + struct.pack("<H", 1045) + b"#28000"
                             + b"Access denied (password mismatch)")
                         return
-                    if server.auth_plugin == "caching_sha2_password":
+                    if (server.auth_plugin == "caching_sha2_password"
+                            and not server.force_full_auth):
                         conn.send_packet(b"\x01\x03")  # fast-auth success
                     conn.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")  # OK
                     while True:

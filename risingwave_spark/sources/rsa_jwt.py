@@ -136,3 +136,118 @@ def jwt_decode_verify(token: str, pub: dict) -> dict:
     if header.get("alg") != "RS256":
         raise ValueError(f"unexpected JWT alg {header.get('alg')!r}")
     return json.loads(_b64url_dec(c))
+
+
+# --------------------------------------------------------------- RSA-OAEP
+# (RFC 8017 §7.1, MGF1; the padding MySQL's caching_sha2_password full
+# authentication uses for the password exchange) and the minimal DER/PEM
+# PKCS#1 RSAPublicKey encoding the server transmits.
+
+
+def _mgf1(seed: bytes, length: int) -> bytes:
+    import hashlib as _h
+
+    out = b""
+    c = 0
+    while len(out) < length:
+        out += _h.sha1(seed + c.to_bytes(4, "big")).digest()
+        c += 1
+    return out[:length]
+
+
+def oaep_encrypt(pub: dict, message: bytes) -> bytes:
+    """RSAES-OAEP with SHA-1 (OpenSSL's RSA_PKCS1_OAEP_PADDING
+    defaults, which MySQL uses)."""
+    import hashlib as _h
+    import os as _os
+
+    k = (pub["n"].bit_length() + 7) // 8
+    h_len = 20
+    if len(message) > k - 2 * h_len - 2:
+        raise ValueError("oaep: message too long for key size")
+    l_hash = _h.sha1(b"").digest()
+    ps = b"\x00" * (k - len(message) - 2 * h_len - 2)
+    db = l_hash + ps + b"\x01" + message
+    seed = _os.urandom(h_len)
+    masked_db = bytes(a ^ b for a, b in zip(db, _mgf1(seed, k - h_len - 1)))
+    masked_seed = bytes(
+        a ^ b for a, b in zip(seed, _mgf1(masked_db, h_len)))
+    em = b"\x00" + masked_seed + masked_db
+    return pow(int.from_bytes(em, "big"), pub["e"], pub["n"]).to_bytes(
+        k, "big")
+
+
+def oaep_decrypt(key: dict, ciphertext: bytes) -> bytes:
+    import hashlib as _h
+
+    k = (key["n"].bit_length() + 7) // 8
+    h_len = 20
+    em = pow(int.from_bytes(ciphertext, "big"), key["d"], key["n"]).to_bytes(
+        k, "big")
+    masked_seed, masked_db = em[1:1 + h_len], em[1 + h_len:]
+    seed = bytes(a ^ b for a, b in zip(masked_seed,
+                                       _mgf1(masked_db, h_len)))
+    db = bytes(a ^ b for a, b in zip(masked_db, _mgf1(seed, k - h_len - 1)))
+    if db[:h_len] != _h.sha1(b"").digest():
+        raise ValueError("oaep: decryption error")
+    i = db.index(b"\x01", h_len)
+    return db[i + 1:]
+
+
+def _der_int(n: int) -> bytes:
+    b = n.to_bytes((n.bit_length() + 7) // 8 or 1, "big")
+    if b[0] & 0x80:
+        b = b"\x00" + b
+    return b"\x02" + _der_len(len(b)) + b
+
+
+def _der_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(b)]) + b
+
+
+def public_key_pem(pub: dict) -> bytes:
+    """PKCS#1 RSAPublicKey DER (SEQUENCE{n, e}) in PEM framing — the
+    shape `SHOW STATUS LIKE 'Rsa_public_key'` / the full-auth 0x02
+    request returns."""
+    import base64 as _b64
+
+    body = _der_int(pub["n"]) + _der_int(pub["e"])
+    der = b"\x30" + _der_len(len(body)) + body
+    b64 = _b64.encodebytes(der).replace(b"\n", b"")
+    lines = [b64[i:i + 64] for i in range(0, len(b64), 64)]
+    return (b"-----BEGIN RSA PUBLIC KEY-----\n"
+            + b"\n".join(lines)
+            + b"\n-----END RSA PUBLIC KEY-----\n")
+
+
+def public_key_from_pem(pem: bytes) -> dict:
+    import base64 as _b64
+    import re as _re
+
+    m = _re.search(
+        rb"-----BEGIN RSA PUBLIC KEY-----\s*(.*?)\s*"
+        rb"-----END RSA PUBLIC KEY-----", pem, _re.S)
+    if m is None:
+        raise ValueError("not a PKCS#1 RSA PUBLIC KEY PEM")
+    der = _b64.b64decode(b"".join(m.group(1).split()))
+
+    def read_len(b, i):
+        if b[i] < 0x80:
+            return b[i], i + 1
+        n = b[i] & 0x7F
+        return int.from_bytes(b[i + 1:i + 1 + n], "big"), i + 1 + n
+
+    if der[0] != 0x30:
+        raise ValueError("malformed DER (no SEQUENCE)")
+    _, i = read_len(der, 1)
+    out = []
+    for _ in range(2):
+        if der[i] != 0x02:
+            raise ValueError("malformed DER (no INTEGER)")
+        ln, i = read_len(der, i + 1)
+        out.append(int.from_bytes(der[i:i + ln], "big"))
+        i += ln
+    return {"n": out[0], "e": out[1]}

@@ -113,3 +113,42 @@ def test_federated_query_over_scram(spark):
         assert [(r.id, r.name) for r in rows] == [(1, "a"), (2, "b")]
     finally:
         srv.stop()
+
+
+def test_rsa_oaep_and_pkcs1_pem_roundtrip():
+    from risingwave_spark.sources.rsa_jwt import (
+        generate_keypair,
+        oaep_decrypt,
+        oaep_encrypt,
+        public_key_from_pem,
+        public_key_pem,
+    )
+
+    key = generate_keypair()
+    pub = public_key_from_pem(public_key_pem(key))
+    assert pub["n"] == key["n"] and pub["e"] == key["e"]
+    ct = oaep_encrypt(pub, b"secret\x00")
+    assert oaep_decrypt(key, ct) == b"secret\x00"
+    # OAEP is randomized; tampering breaks the lHash check
+    assert ct != oaep_encrypt(pub, b"secret\x00")
+    with pytest.raises(ValueError, match="decryption error"):
+        oaep_decrypt(key, ct[:-1] + bytes([ct[-1] ^ 1]))
+
+
+def test_mysql_caching_sha2_full_auth_rsa_exchange():
+    """The empty-cache path of caching_sha2_password (MySQL 8.0 full
+    authentication): server demands 0x04, client requests the public
+    key (0x02), XORs the NUL-terminated password with the nonce and
+    sends it RSA-OAEP-encrypted; the loopback decrypts and VERIFIES."""
+    srv = LoopbackMysql(
+        auth_plugin="caching_sha2_password", force_full_auth=True
+    ).start()
+    try:
+        srv.seed("CREATE TABLE t (a INT); INSERT INTO t VALUES (7)")
+        c = MySqlWireClient("127.0.0.1", srv.port, "fed", "fedpw", "fedb")
+        assert c.query("SELECT a FROM t")[1] == [[7]]
+        c.close()
+        with pytest.raises(OSError, match="Access denied"):
+            MySqlWireClient("127.0.0.1", srv.port, "fed", "WRONG", "fedb")
+    finally:
+        srv.stop()
