@@ -564,6 +564,102 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
             " rolvaliduntil timestamp, rolbypassrls boolean,"
             " rolpassword string",
         )
+    # ---- information_schema (reference system_catalog/
+    # information_schema/{tables,columns,views,schemata,
+    # table_constraints,key_column_usage}.rs — registered under
+    # information_schema_* names; the qualifier rewrite in
+    # rewrite_pg_compat maps the dotted spelling onto them)
+    nsp_name = dict(snap["schemas"])
+    if want("information_schema_tables"):
+        kind_name = {"r": "BASE TABLE", "m": "MATERIALIZED VIEW",
+                     "v": "VIEW"}
+        reg(
+            "information_schema_tables",
+            [
+                ("dev", nsp_name[r["nsp"]], r["name"],
+                 "SYSTEM TABLE" if r["nsp"] != _PUBLIC_NSP
+                 else kind_name.get(r["kind"], "SOURCE"),
+                 "YES" if r["kind"] == "r" else "NO")
+                for r in snap["rels"]
+                if r["kind"] is not None
+            ],
+            "table_catalog string, table_schema string, table_name string,"
+            " table_type string, is_insertable_into string",
+        )
+    if want("information_schema_columns"):
+        rows = []
+        for r in snap["rels"]:
+            if r["nsp"] != _PUBLIC_NSP:
+                continue
+            sch = _rel_schema(engine, r["name"])
+            if sch is None:
+                continue
+            for pos, f in enumerate(sch.fields, start=1):
+                toid, _ln, _nd = _spark_oid(f.dataType)
+                rows.append(
+                    ("dev", "public", r["name"], f.name, None, pos,
+                     "YES" if f.nullable else "NO",
+                     _DISPLAY.get(toid, f.dataType.simpleString()))
+                )
+        reg(
+            "information_schema_columns",
+            rows,
+            "table_catalog string, table_schema string, table_name string,"
+            " column_name string, column_default string,"
+            " ordinal_position int, is_nullable string, data_type string",
+        )
+    if want("information_schema_views"):
+        reg(
+            "information_schema_views",
+            [
+                ("dev", "public", n, _definition(snap, n))
+                for n in sorted(engine.views)
+            ],
+            "table_catalog string, table_schema string, table_name string,"
+            " view_definition string",
+        )
+    if want("information_schema_schemata"):
+        reg(
+            "information_schema_schemata",
+            [("dev", n, "root", None, None, None, None)
+             for _o, n in snap["schemas"]],
+            "catalog_name string, schema_name string, schema_owner string,"
+            " default_character_set_catalog string,"
+            " default_character_set_schema string,"
+            " default_character_set_name string, sql_path string",
+        )
+    if want("information_schema_table_constraints"):
+        reg(
+            "information_schema_table_constraints",
+            [
+                ("dev", "public", f"{r['name']}_pkey", "dev", "public",
+                 r["name"], "PRIMARY KEY", "NO", "NO", "YES")
+                for r in snap["rels"]
+                if _pk_cols(engine, r["name"])
+            ],
+            "constraint_catalog string, constraint_schema string,"
+            " constraint_name string, table_catalog string,"
+            " table_schema string, table_name string,"
+            " constraint_type string, is_deferrable string,"
+            " initially_deferred string, enforced string",
+        )
+    if want("information_schema_key_column_usage"):
+        rows = []
+        for r in snap["rels"]:
+            for pos, col in enumerate(_pk_cols(engine, r["name"]),
+                                      start=1):
+                rows.append(
+                    ("dev", "public", f"{r['name']}_pkey", "dev",
+                     "public", r["name"], col, pos, None)
+                )
+        reg(
+            "information_schema_key_column_usage",
+            rows,
+            "constraint_catalog string, constraint_schema string,"
+            " constraint_name string, table_catalog string,"
+            " table_schema string, table_name string, column_name string,"
+            " ordinal_position int, position_in_unique_constraint int",
+        )
     if want("pg_stat_activity"):
         reg(
             "pg_stat_activity",
@@ -675,6 +771,10 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
     generic ::type rewrite would mangle it)."""
     masked, lits = _mask_strings(stmt)
     masked = re.sub(r"\bpg_catalog\s*\.\s*", "", masked, flags=re.I)
+    # information_schema.X → the information_schema_X temp views
+    masked = re.sub(
+        r"\binformation_schema\s*\.\s*(\w+)", r"information_schema_\1",
+        masked, flags=re.I)
 
     snap = _snapshot(engine)
     _register_views(engine, masked, snap)
@@ -805,7 +905,8 @@ def _start_time(engine) -> float:
 
 #: statement gate used by the frontend: anything that could touch this layer
 PG_COMPAT_RX = re.compile(
-    r"\bpg_\w+|\bformat_type\s*\(|::\s*regclass|\bAS\s+regclass\b"
+    r"\bpg_\w+|\binformation_schema\s*\."
+    r"|\bformat_type\s*\(|::\s*regclass|\bAS\s+regclass\b"
     r"|\bcurrent_(?:database|catalog|schemas?|role|setting|user)\b"
     r"|\bsession_user\b|\bversion\s*\(\s*\)|\bobj_description\s*\("
     r"|\bshobj_description\s*\(|\bcol_description\s*\("

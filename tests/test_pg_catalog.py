@@ -251,3 +251,42 @@ def test_string_literal_with_pg_catalog_prefix_untouched(eng):
         "SELECT 'pg_catalog.pg_class' AS s, length('pg_catalog.') AS n"
     ).collect()[0]
     assert row.s == "pg_catalog.pg_class" and row.n == 11
+
+
+def test_information_schema_views(eng):
+    """information_schema (reference system_catalog/information_schema/
+    — tables, columns, views, schemata, table_constraints,
+    key_column_usage): the ANSI introspection spellings BI tools use."""
+    rows = eng.sql(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_schema = 'public' ORDER BY table_name"
+    ).collect()
+    kinds = {r.table_name: r.table_type for r in rows}
+    assert kinds["pgc_t"] == "BASE TABLE"
+    assert kinds["pgc_mv"] == "MATERIALIZED VIEW"
+    assert kinds["pgc_v"] == "VIEW"
+    cols = eng.sql(
+        "SELECT column_name, ordinal_position, data_type, is_nullable "
+        "FROM information_schema.columns WHERE table_name = 'pgc_t' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [(c.column_name, c.data_type) for c in cols][:2] == [
+        ("id", "bigint"), ("name", "character varying")]
+    sch = [r.schema_name for r in eng.sql(
+        "SELECT schema_name FROM information_schema.schemata").collect()]
+    assert {"public", "pg_catalog", "information_schema"} <= set(sch)
+    tc = eng.sql(
+        "SELECT constraint_name, constraint_type FROM "
+        "information_schema.table_constraints "
+        "WHERE table_name = 'pgc_t'").collect()
+    assert (tc[0].constraint_name, tc[0].constraint_type) == (
+        "pgc_t_pkey", "PRIMARY KEY")
+    kcu = eng.sql(
+        "SELECT column_name, ordinal_position FROM "
+        "information_schema.key_column_usage "
+        "WHERE table_name = 'pgc_t'").collect()
+    assert [(k.column_name, k.ordinal_position) for k in kcu] == [("id", 1)]
+    vd = eng.sql(
+        "SELECT view_definition FROM information_schema.views "
+        "WHERE table_name = 'pgc_v'").collect()
+    assert vd[0].view_definition == "SELECT id, name FROM pgc_t"
