@@ -6769,26 +6769,34 @@ class _SqlServerSink(_JdbcSink):
         return TdsClient(self.host, self.port, self.user, self.password,
                          self.database)
 
+    #: statements per SQLBatch round trip — T-SQL batches carry many
+    #: statements; one wire round trip per batch instead of per event
+    #: (the reference's tiberius path pipelines the same way)
+    BATCH_STATEMENTS = 500
+
     def _produce_events(self, events: list) -> None:
         if not events:
             return
         cols = [c for c, _t in self.fields]
+        stmts = []
+        for k, v in events:
+            where = " AND ".join(
+                f"{col} = {self._lit(k[col])}" for col in self.pk
+            )
+            if v is None:
+                stmts.append(f"DELETE FROM {self.topic} WHERE {where}")
+                continue
+            collist = ", ".join(cols)
+            vals = ", ".join(self._lit(v.get(col)) for col in cols)
+            if self.fmt == "upsert":
+                stmts.append(f"DELETE FROM {self.topic} WHERE {where}")
+            stmts.append(
+                f"INSERT INTO {self.topic} ({collist}) VALUES ({vals})"
+            )
         c = self._connect()
         try:
-            for k, v in events:
-                where = " AND ".join(
-                    f"{col} = {self._lit(k[col])}" for col in self.pk
-                )
-                if v is None:
-                    c.query(f"DELETE FROM {self.topic} WHERE {where}")
-                    continue
-                collist = ", ".join(cols)
-                vals = ", ".join(self._lit(v.get(col)) for col in cols)
-                if self.fmt == "upsert":
-                    c.query(f"DELETE FROM {self.topic} WHERE {where}")
-                c.query(
-                    f"INSERT INTO {self.topic} ({collist}) VALUES ({vals})"
-                )
+            for i in range(0, len(stmts), self.BATCH_STATEMENTS):
+                c.query("; ".join(stmts[i:i + self.BATCH_STATEMENTS]))
         finally:
             c.close()
 
