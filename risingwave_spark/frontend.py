@@ -5621,6 +5621,11 @@ class _KafkaSink:
             if got is None:
                 return
             df, token = got
+            # the durable subscription cursor token IS the epoch the
+            # reference derives object names / dedup ids from: it is
+            # monotonic, persisted with the ack, and identical on a
+            # crash-replay of the same chunk (idempotent re-emit)
+            self._chunk_token = token
             try:
                 self._emit_chunk(df)
             except OSError:
@@ -6059,8 +6064,20 @@ class _IcebergSink(_MqttSink):
         sid, snap_rec = write_append_objects(meta_dir, metadata, files)
         metadata["snapshots"] = metadata.get("snapshots", []) + [snap_rec]
         metadata["current-snapshot-id"] = sid
-        v = int(_re.search(r"v(\d+)\.metadata\.json$", prev).group(1))
-        new = _os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+        # tables created by other writers use the standard Iceberg
+        # naming (00000-<uuid>.metadata.json), not this engine's v{N}
+        # scheme — continue from last-sequence-number instead of
+        # failing on the name parse
+        m = _re.search(r"v(\d+)\.metadata\.json$", prev)
+        if m:
+            nxt = int(m.group(1)) + 1
+        else:
+            nxt = int(metadata.get("last-sequence-number", 0)) + 1
+            while _os.path.exists(
+                _os.path.join(meta_dir, f"v{nxt}.metadata.json")
+            ):
+                nxt += 1
+        new = _os.path.join(meta_dir, f"v{nxt}.metadata.json")
         with open(new, "w") as f:
             _json.dump(metadata, f)
         flip(new, prev)
@@ -6208,12 +6225,17 @@ class _BigQuerySink(_MqttSink):
         import hashlib as _hashlib
         import json as _json
 
+        # insertId mixes the durable chunk token (the subscription
+        # cursor value, monotonic across restarts) so only a true
+        # replay of the SAME chunk dedups — two different chunks that
+        # legitimately carry identical rows get distinct ids
+        epoch = getattr(self, "_chunk_token", 0)
         rows = []
         for i, (_k, v) in enumerate(events):
             if v is None:
                 continue  # append-only: no tombstones
             body = _json.dumps(v, sort_keys=True)
-            iid = _hashlib.md5(f"{i}:{body}".encode()).hexdigest()
+            iid = _hashlib.md5(f"{epoch}:{i}:{body}".encode()).hexdigest()
             rows.append((iid, v))
         if rows:
             self._client().insert_all(
@@ -6253,13 +6275,17 @@ class _SnowflakeSink(_MqttSink):
         self.pk = pk
         self.db, self.table = db, table
         self.avro = None
-        # stable executor id (single-executor sandbox; the reference
-        # embeds the actor id) + a monotonic epoch counter so two
-        # chunks in the same second never collide
+        # stable executor id embedding the SINK identity (sub.name is
+        # unique per sink — the reference embeds the actor id), so two
+        # sinks staging into the same bucket/path never collide; the
+        # epoch in the object name is the durable subscription cursor
+        # token (set by drain()), so restarts continue the sequence
+        # and a crash-replay of the same chunk overwrites its own
+        # object idempotently
         self.executor_id = int(
-            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            _hashlib.md5(
+                f"{engine.warehouse}:{sub.name}:{table_name}".encode())
             .hexdigest()[:6], 16)
-        self._epoch = 0
 
     def _client(self):
         from risingwave_spark.sources.s3_store import S3Client
@@ -6273,9 +6299,9 @@ class _SnowflakeSink(_MqttSink):
         rows = [v for _k, v in events if v is not None]
         if not rows:
             return
-        self._epoch += 1
+        epoch = getattr(self, "_chunk_token", 0)
         base = f"{self.path}/" if self.path else ""
-        key = f"{base}{self.executor_id}_{self._epoch}.json"
+        key = f"{base}{self.executor_id}_{epoch}.json"
         data = "\n".join(
             _json.dumps(v, sort_keys=True) for v in rows
         ).encode() + b"\n"
@@ -6304,9 +6330,9 @@ class _GcsFileSink(_SnowflakeSink):
         self.db, self.table = db, table
         self.avro = None
         self.executor_id = int(
-            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            _hashlib.md5(
+                f"{engine.warehouse}:{sub.name}:{table_name}".encode())
             .hexdigest()[:6], 16)
-        self._epoch = 0
 
     def _client(self):
         from risingwave_spark.sources.cloud_store import GcsClient
@@ -6319,9 +6345,9 @@ class _GcsFileSink(_SnowflakeSink):
         rows = [v for _k, v in events if v is not None]
         if not rows:
             return
-        self._epoch += 1
+        epoch = getattr(self, "_chunk_token", 0)
         base = f"{self.path}/" if self.path else ""
-        key = f"{base}{self.executor_id}_{self._epoch}.json"
+        key = f"{base}{self.executor_id}_{epoch}.json"
         data = "\n".join(
             _json.dumps(v, sort_keys=True) for v in rows
         ).encode() + b"\n"
@@ -6351,9 +6377,9 @@ class _AzblobFileSink(_GcsFileSink):
         self.db, self.table = db, table
         self.avro = None
         self.executor_id = int(
-            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            _hashlib.md5(
+                f"{engine.warehouse}:{sub.name}:{table_name}".encode())
             .hexdigest()[:6], 16)
-        self._epoch = 0
 
     def _client(self):
         from risingwave_spark.sources.cloud_store import AzblobClient
@@ -6366,9 +6392,9 @@ class _AzblobFileSink(_GcsFileSink):
         rows = [v for _k, v in events if v is not None]
         if not rows:
             return
-        self._epoch += 1
+        epoch = getattr(self, "_chunk_token", 0)
         base = f"{self.path}/" if self.path else ""
-        key = f"{base}{self.executor_id}_{self._epoch}.json"
+        key = f"{base}{self.executor_id}_{epoch}.json"
         data = "\n".join(
             _json.dumps(v, sort_keys=True) for v in rows
         ).encode() + b"\n"
@@ -6397,9 +6423,9 @@ class _WebHdfsFileSink(_GcsFileSink):
         self.db, self.table = db, table
         self.avro = None
         self.executor_id = int(
-            _hashlib.md5(f"{engine.warehouse}:{table_name}".encode())
+            _hashlib.md5(
+                f"{engine.warehouse}:{sub.name}:{table_name}".encode())
             .hexdigest()[:6], 16)
-        self._epoch = 0
 
     def _client(self):
         from risingwave_spark.sources.webhdfs_store import WebHdfsClient
@@ -6412,8 +6438,8 @@ class _WebHdfsFileSink(_GcsFileSink):
         rows = [v for _k, v in events if v is not None]
         if not rows:
             return
-        self._epoch += 1
-        key = f"{self.path}/{self.executor_id}_{self._epoch}.json"
+        epoch = getattr(self, "_chunk_token", 0)
+        key = f"{self.path}/{self.executor_id}_{epoch}.json"
         data = "\n".join(
             _json.dumps(v, sort_keys=True) for v in rows
         ).encode() + b"\n"

@@ -19,7 +19,12 @@ control flow (block/loop/if/else, br/br_if/br_table, return, call),
 locals, select/drop, the full i32/i64 comparison+arithmetic+bitwise
 groups, f32/f64 arithmetic/comparison/rounding, and the int<->float
 conversions. Integer semantics are exact two's-complement
-(wrap-around, signed/unsigned division with the spec's trap cases).
+(wrap-around, signed/unsigned division with the spec's trap cases);
+float→int truncation traps on NaN/out-of-range per spec 4.3.2.2; f32
+results round through binary32 so f64 precision never leaks. Every
+invoke runs under an instruction budget (FUEL) and a call-depth bound
+— a hostile `loop br 0` or infinite recursion traps instead of
+hanging the executor (wasmtime's fuel/max_wasm_stack analogues).
 
 `build_module` is a minimal assembler emitting spec-shaped binaries —
 how the tests (and users without a toolchain) produce real modules;
@@ -165,10 +170,42 @@ def _parse_expr(b: bytes, i: int) -> tuple[list, int]:
             )
 
 
+def _f32(v: float) -> float:
+    """Round a python float through IEEE binary32 — f32 ops must not
+    carry f64 precision (spec 4.3.3); overflow rounds to ±inf."""
+    try:
+        return struct.unpack("<f", struct.pack("<f", v))[0]
+    except OverflowError:
+        return math.copysign(float("inf"), v)
+
+
+def _trunc(v: float, lo: int, hi: int, mask: int) -> int:
+    """Spec-trapping float→int truncation (spec 4.3.2.2): NaN and
+    out-of-range values TRAP, they don't raise python ValueError."""
+    if math.isnan(v):
+        raise WasmTrap("invalid conversion to integer")
+    if math.isinf(v):
+        raise WasmTrap("integer overflow")
+    t = math.trunc(v)
+    if t < lo or t > hi:
+        raise WasmTrap("integer overflow")
+    return t & mask
+
+
 class WasmModule:
+    #: per-invoke instruction budget — an adversarial `loop br 0`
+    #: traps instead of hanging the executor (wasmtime's fuel concept)
+    FUEL = 10_000_000
+    #: recursion bound (wasmtime's max_wasm_stack analogue); each wasm
+    #: frame costs several python frames, so stay well under python's
+    #: own default recursionlimit of 1000
+    MAX_CALL_DEPTH = 192
+
     def __init__(self, binary: bytes):
         if binary[:8] != b"\x00asm\x01\x00\x00\x00":
             raise ValueError("not a wasm (version 1) binary")
+        self._fuel = self.FUEL
+        self._depth = 0
         self.types: list[tuple[list, list]] = []
         self.func_types: list[int] = []
         self.exports: dict[str, int] = {}
@@ -266,11 +303,32 @@ class WasmModule:
             f"wasm module exports {sorted(self.exports)}, not {name!r}")
 
     def invoke(self, name: str, *args):
+        import sys
+
         fidx = self._resolve(name)
-        res = self._call(fidx, list(args))
+        self._fuel = self.FUEL
+        self._depth = 0
+        # each wasm frame costs several python frames (+ nested-block
+        # _exec recursion); headroom makes MAX_CALL_DEPTH the binding
+        # limit so exhaustion traps deterministically as WasmTrap
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 20000))
+        try:
+            res = self._call(fidx, list(args))
+        finally:
+            sys.setrecursionlimit(old)
         return res[0] if len(res) == 1 else tuple(res)
 
     def _call(self, fidx: int, args: list) -> list:
+        self._depth += 1
+        if self._depth > self.MAX_CALL_DEPTH:
+            raise WasmTrap("call stack exhausted")
+        try:
+            return self._call_inner(fidx, args)
+        finally:
+            self._depth -= 1
+
+    def _call_inner(self, fidx: int, args: list) -> list:
         params, results = self.types[self.func_types[fidx]]
         if len(args) != len(params):
             raise ValueError(
@@ -310,6 +368,10 @@ class WasmModule:
         return out
 
     def _exec(self, instrs: list, stack: list, locals_: list) -> None:
+        fuel = self._fuel - len(instrs)
+        if fuel <= 0:
+            raise WasmTrap("fuel exhausted (instruction budget)")
+        self._fuel = fuel
         for ins in instrs:
             tag = ins[0]
             if tag == "const":
@@ -444,32 +506,38 @@ class WasmModule:
             k = (op - 0x8B) % 14
             if k < 7:  # unary
                 a = st.pop()
-                st.append([
+                r = [
                     abs(a), -a, math.ceil(a), math.floor(a),
                     math.trunc(a) * 1.0,
                     float(round(a)),  # nearest (ties-to-even, like round)
                     math.sqrt(a) if a >= 0 else float("nan"),
-                ][k])
+                ][k]
             else:
                 b = st.pop()
                 a = st.pop()
                 if k == 10 and b == 0:
-                    st.append(float("nan") if a == 0 else
-                              math.copysign(float("inf"), a) *
-                              math.copysign(1.0, b))
+                    r = (float("nan") if a == 0 else
+                         math.copysign(float("inf"), a) *
+                         math.copysign(1.0, b))
                 else:
-                    st.append([
+                    r = [
                         a + b, a - b, a * b, a / b if b != 0 else (
                             float("nan")), min(a, b), max(a, b),
                         math.copysign(a, b),
-                    ][k - 7])
+                    ][k - 7]
+            # f32 ops round the f64-computed result to binary32
+            # (spec 4.3.3 — f64 precision must not leak through)
+            st.append(_f32(r) if op <= 0x98 else r)
             return
         # ---- conversions
         if op == 0xA7:  # i32.wrap_i64
             st.append(st.pop() & _MASK32)
             return
-        if op == 0xAA:  # i32.trunc_f64_s
-            st.append(int(st.pop()) & _MASK32)
+        if op in (0xA8, 0xAA):  # i32.trunc_f32_s / i32.trunc_f64_s
+            st.append(_trunc(st.pop(), -(1 << 31), (1 << 31) - 1, _MASK32))
+            return
+        if op in (0xA9, 0xAB):  # i32.trunc_f32_u / i32.trunc_f64_u
+            st.append(_trunc(st.pop(), 0, _MASK32, _MASK32))
             return
         if op == 0xAC:  # i64.extend_i32_s
             st.append(s32(st.pop()) & _MASK64)
@@ -477,8 +545,26 @@ class WasmModule:
         if op == 0xAD:  # i64.extend_i32_u
             st.append(st.pop() & _MASK32)
             return
-        if op == 0xB0:  # i64.trunc_f64_s
-            st.append(int(st.pop()) & _MASK64)
+        if op in (0xAE, 0xB0):  # i64.trunc_f32_s / i64.trunc_f64_s
+            st.append(_trunc(st.pop(), -(1 << 63), (1 << 63) - 1, _MASK64))
+            return
+        if op in (0xAF, 0xB1):  # i64.trunc_f32_u / i64.trunc_f64_u
+            st.append(_trunc(st.pop(), 0, _MASK64, _MASK64))
+            return
+        if op == 0xB2:  # f32.convert_i32_s
+            st.append(_f32(float(s32(st.pop()))))
+            return
+        if op == 0xB3:  # f32.convert_i32_u
+            st.append(_f32(float(st.pop() & _MASK32)))
+            return
+        if op == 0xB4:  # f32.convert_i64_s
+            st.append(_f32(float(s64(st.pop()))))
+            return
+        if op == 0xB5:  # f32.convert_i64_u
+            st.append(_f32(float(st.pop() & _MASK64)))
+            return
+        if op == 0xB6:  # f32.demote_f64
+            st.append(_f32(st.pop()))
             return
         if op == 0xB7:  # f64.convert_i32_s
             st.append(float(s32(st.pop())))
@@ -491,6 +577,9 @@ class WasmModule:
             return
         if op == 0xBA:  # f64.convert_i64_u
             st.append(float(st.pop() & _MASK64))
+            return
+        if op == 0xBB:  # f64.promote_f32
+            st.append(float(st.pop()))
             return
         raise NotImplementedError(
             f"wasm opcode 0x{op:02x} is outside the supported numeric "

@@ -11,9 +11,11 @@ HandshakeResponse41 with the mysql_native_password scramble
 spec) → OK/ERR; then COM_QUERY → column-count, column definitions
 (type codes), text-protocol result rows (length-encoded strings,
 0xFB NULL) terminated by EOF packets; ERR packets raise with the
-server's message. caching_sha2_password (the 8.0 default) is gated
-loud — point the user at mysql_native_password, which every server
-still ships.
+server's message. caching_sha2_password (the 8.0 default) is fully
+implemented: the fast path (SHA256 scramble, auth-moredata 0x03) and
+the full path (0x04 — request the server's RSA public key and send
+the password XOR nonce under RSAES-OAEP, rsa_jwt.py), per the public
+dev.mysql.com caching_sha2_password description.
 
 `LoopbackMysql` is the in-sandbox stand-in for the external database:
 genuine packet framing, a real auth exchange (it verifies the

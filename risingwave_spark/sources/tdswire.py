@@ -62,7 +62,14 @@ def unscramble_password(data: bytes) -> str:
 
 class _Tds:
     """Message framing shared by both ends: 8-byte packet header
-    (type, status EOM, BE length), single-packet messages."""
+    (type, status EOM, BE length). Outgoing messages are split into
+    packets of the negotiated size (MS-TDS 2.2.3.1.3: a message is a
+    sequence of packets, EOM status set only on the last) — the >H
+    length field caps a single packet at 65,535 bytes, and a real
+    server rejects packets over the LOGIN7-negotiated size anyway."""
+
+    #: negotiated packet size (LOGIN7 requests 4096; servers echo it)
+    PACKET_SIZE = 4096
 
     def __init__(self, sock):
         self.sock = sock
@@ -88,11 +95,21 @@ class _Tds:
                 return ptype, payload
 
     def send_message(self, ptype: int, payload: bytes) -> None:
-        self.sock.sendall(
-            bytes([ptype, 0x01])
-            + struct.pack(">H", len(payload) + 8)
-            + b"\x00\x00\x00\x00"
-            + payload)
+        body_max = self.PACKET_SIZE - 8
+        out = bytearray()
+        view = memoryview(payload)
+        off = 0
+        while True:
+            chunk = view[off:off + body_max]
+            off += len(chunk)
+            eom = 0x01 if off >= len(payload) else 0x00
+            out += bytes([ptype, eom])
+            out += struct.pack(">H", len(chunk) + 8)
+            out += b"\x00\x00\x00\x00"
+            out += chunk
+            if eom:
+                break
+        self.sock.sendall(bytes(out))
 
 
 def _b_varchar(s: str) -> bytes:

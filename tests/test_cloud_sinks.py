@@ -81,6 +81,29 @@ def test_tds_query_types_and_errors():
         srv.stop()
 
 
+def test_tds_multi_packet_message():
+    # a SQLBatch whose UCS-2 payload exceeds the 4096-byte negotiated
+    # packet size (and the 64 KiB >H single-packet ceiling) must split
+    # into multiple packets with EOM only on the last (MS-TDS 2.2.3.1.3)
+    srv = LoopbackSqlServer().start()
+    try:
+        srv.seed("CREATE TABLE big (a BIGINT, s VARCHAR)")
+        c = TdsClient("127.0.0.1", srv.port, "sa", "fedpw", "fedb")
+        # ~200 KB of T-SQL in one batch: 1000 INSERTs with 90-char strings
+        stmts = "; ".join(
+            f"INSERT INTO big VALUES ({i}, '{'x' * 90}')"
+            for i in range(1000)
+        )
+        assert len(stmts.encode("utf-16-le")) > 65527
+        c.query(stmts)
+        _cols, rows = c.query("SELECT count(*) AS n, min(a) AS lo, "
+                              "max(a) AS hi FROM big")
+        assert rows == [[1000, 0, 999]]
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_sqlserver_sink_upsert_roundtrip(spark):
     srv = LoopbackSqlServer().start()
     try:

@@ -73,6 +73,72 @@ def test_interpreter_wraps_like_hardware():
     assert m.invoke("wadd", (1 << 63) - 1, 1) == -(1 << 63)
 
 
+def test_fuel_traps_infinite_loop():
+    # `loop br 0` spins forever — the instruction budget must trap it
+    # instead of hanging the executor (wasmtime's fuel analogue)
+    spin = build_module([
+        {"name": "spin", "params": ["i64"], "results": ["i64"],
+         "body": b"\x03\x40\x0c\x00\x0b\x20\x00"}  # loop br 0 end
+    ])
+    m = WasmModule(spin)
+    with pytest.raises(WasmTrap, match="fuel"):
+        m.invoke("spin", 1)
+    # fuel resets per invoke: a legit call after the trap still works
+    m2 = WasmModule(_module())
+    with pytest.raises(WasmTrap, match="fuel"):
+        WasmModule(spin).invoke("spin", 1)
+    assert m2.invoke("fact", 10) == 3628800
+
+
+def test_call_depth_bound():
+    # f(x) = f(x) — unbounded recursion traps, not RecursionError
+    rec = build_module([
+        {"name": "rec", "params": ["i64"], "results": ["i64"],
+         "body": b"\x20\x00\x10\x00"}  # local.get 0; call 0
+    ])
+    with pytest.raises(WasmTrap, match="call stack"):
+        WasmModule(rec).invoke("rec", 1)
+
+
+def test_trunc_traps_per_spec():
+    # i64.trunc_f64_s (0xb0) on NaN / inf / out-of-range must TRAP
+    # (spec 4.3.2.2), not raise a bare python error
+    t = build_module([
+        {"name": "t", "params": ["f64"], "results": ["i64"],
+         "body": b"\x20\x00\xb0"},
+        {"name": "t32", "params": ["f64"], "results": ["i32"],
+         "body": b"\x20\x00\xaa"},
+    ])
+    m = WasmModule(t)
+    assert m.invoke("t", 3.9) == 3
+    assert m.invoke("t", -3.9) == -3
+    with pytest.raises(WasmTrap, match="invalid conversion"):
+        m.invoke("t", float("nan"))
+    with pytest.raises(WasmTrap, match="overflow"):
+        m.invoke("t", float("inf"))
+    with pytest.raises(WasmTrap, match="overflow"):
+        m.invoke("t", 1e300)
+    assert m.invoke("t32", 2147483647.0 - 0.5) == 2147483646
+    with pytest.raises(WasmTrap, match="overflow"):
+        m.invoke("t32", 2147483648.0)
+
+
+def test_f32_rounds_through_binary32():
+    # f32.add (0x92) must produce the binary32 result, not the f64 one:
+    # 0.1f + 0.2f in binary32 is 0.30000001192092896, not 0.30000000000000004
+    import struct as _struct
+
+    add32 = build_module([
+        {"name": "a32", "params": ["f32", "f32"], "results": ["f32"],
+         "body": b"\x20\x00\x20\x01\x92"},
+    ])
+    m = WasmModule(add32)
+    f32 = lambda v: _struct.unpack("<f", _struct.pack("<f", v))[0]
+    got = m.invoke("a32", f32(0.1), f32(0.2))
+    assert got == f32(f32(0.1) + f32(0.2))
+    assert got != f32(0.1) + f32(0.2)  # the raw f64 sum differs
+
+
 def test_rejects_imports_and_unknown_opcodes():
     mod = bytearray(_module())
     # splice an import section in front of the type section
