@@ -975,6 +975,7 @@ class Engine:
         self.webhooks: dict[str, dict] = {}
         self._webhook_dml_lock = threading.RLock()
         self._webhook_server = None
+        self._pg_server = None
         #: per-MV backfill rate limits (reference
         #: e2e_test/streaming/rate_limit: WITH (backfill_rate_limit=N)
         #: + ALTER MATERIALIZED VIEW ... SET BACKFILL_RATE_LIMIT):
@@ -1946,6 +1947,30 @@ class Engine:
         if self._webhook_server is not None:
             self._webhook_server.close()
             self._webhook_server = None
+
+    # ---- pgwire front door ------------------------------------------
+    def start_pg_server(self, host: str = "127.0.0.1", port: int = 0,
+                        user: str = "root", password: str = "",
+                        auth: str = "trust"):
+        """Start the Postgres-wire front door (reference
+        `src/utils/pgwire/src/pg_server.rs` — the frontend's primary
+        UX is psql over the v3 protocol). Any PG client connects and
+        every statement routes through `Engine.sql` (pg_catalog compat
+        included, so `\\d`-style introspection works). port=0 binds an
+        ephemeral port; returns (host, port). auth: trust | password |
+        md5 | scram-sha-256."""
+        if self._pg_server is None:
+            from risingwave_spark.pgserver import PgWireServer
+
+            self._pg_server = PgWireServer(
+                self, host, port, user=user, password=password, auth=auth
+            ).start()
+        return (self._pg_server.host, self._pg_server.port)
+
+    def stop_pg_server(self) -> None:
+        if self._pg_server is not None:
+            self._pg_server.stop()
+            self._pg_server = None
 
     # ---- queries ---------------------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -1,0 +1,526 @@
+"""Postgres-wire SERVER front door: any PG client drives the engine.
+
+Reference: `src/utils/pgwire/src/pg_protocol.rs:266` (`process` — the
+per-message state machine), `:625` (simple-query handling) and
+`pg_server.rs` (the TCP accept loop): the reference's primary UX is
+psql speaking the v3 protocol to the frontend. This module is the same
+front door for this engine — a listening socket whose every statement
+routes through `Engine.sql()` (frontend dispatch, pg_catalog compat,
+PG-flavored rewrites included), so `psql -h ... -p ...` and any v3
+driver work exactly the way they do against the reference.
+
+Implemented protocol surface (PUBLIC spec —
+postgresql.org/docs/current/protocol.html):
+
+- Startup: SSLRequest (refused with 'N' — plaintext, the sandbox has
+  no TLS material), GSSENCRequest (refused), CancelRequest (no-op),
+  StartupMessage; then auth: trust, cleartext password, md5, or full
+  SCRAM-SHA-256 (RFC 5802 server side — the same verified exchange the
+  in-tree LoopbackPostgres speaks, primitives shared from
+  sources/pgwire.py); then ParameterStatus (server_version, encoding,
+  DateStyle...), BackendKeyData, ReadyForQuery.
+- Simple query ('Q'): statements split on top-level semicolons, each
+  run via Engine.sql; result sets as RowDescription/DataRow with
+  text-format values and real type OIDs; DDL/DML as CommandComplete
+  with the PG-spelled command tag; empty string → EmptyQueryResponse;
+  errors → ErrorResponse and the rest of the batch is skipped (PG
+  semantics), ReadyForQuery always closes the cycle.
+- Extended query ('P'/'B'/'D'/'E'/'C'/'S'/'H'): named prepared
+  statements with $N text-format parameters inlined as SQL literals at
+  Bind time (the reference's frontend binds params into the bound
+  statement too); Describe answers from the LAZY Spark plan — schema
+  without execution — and Execute collects. Binary-format params and
+  partial-row Execute (max_rows) are rejected loud.
+
+Concurrency: statements are serialized engine-wide (one lock) — the
+sandbox engine is a single frontend session; multiple sockets can stay
+connected and interleave statements safely.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import re
+import socketserver
+import struct
+import threading
+
+from risingwave_spark.sources.pgwire import (
+    OID_BOOL,
+    OID_DATE,
+    OID_FLOAT4,
+    OID_FLOAT8,
+    OID_INT2,
+    OID_INT4,
+    OID_INT8,
+    OID_NUMERIC,
+    OID_TEXT,
+    OID_TIMESTAMP,
+    OID_VARCHAR,
+    _md5_auth_response,
+    _msg,
+    _scram_hmac,
+    _scram_keys,
+)
+
+OID_BYTEA = 17
+
+#: spark simpleString dtype → pg type OID for RowDescription
+_DTYPE_OID = {
+    "boolean": OID_BOOL, "tinyint": OID_INT2, "smallint": OID_INT2,
+    "int": OID_INT4, "bigint": OID_INT8, "float": OID_FLOAT4,
+    "double": OID_FLOAT8, "string": OID_VARCHAR, "date": OID_DATE,
+    "timestamp": OID_TIMESTAMP, "timestamp_ntz": OID_TIMESTAMP,
+    "binary": OID_BYTEA,
+}
+
+#: statement verbs that produce a result set (everything else returns
+#: a command tag from the engine's status frame)
+_ROWSET_VERBS = {
+    "select", "with", "values", "table", "show", "describe", "desc",
+    "explain", "fetch",
+}
+
+
+def _dtype_oid(dt: str) -> int:
+    if dt.startswith("decimal"):
+        return OID_NUMERIC
+    return _DTYPE_OID.get(dt, OID_TEXT)
+
+
+def _text_value(v, dt: str) -> bytes:
+    """Python value → PG text-format bytes (the wire's text encoding)."""
+    if dt == "boolean":
+        return b"t" if v else b"f"
+    if dt == "binary":
+        return b"\\x" + bytes(v).hex().encode()
+    if dt.startswith("array"):
+        inner = dt[6:-1]
+        return (
+            b"{" + b",".join(
+                b"NULL" if x is None else _text_value(x, inner) for x in v
+            ) + b"}"
+        )
+    return str(v).encode()
+
+
+def _verb(stmt: str) -> str:
+    s = stmt.lstrip("( \t\r\n")
+    m = re.match(r"[A-Za-z]+", s)
+    return m.group(0).lower() if m else ""
+
+
+def _bind_params(sql: str, params: list[bytes | None]) -> str:
+    """Inline $N text-format parameters as SQL literals (quoted, ''
+    escaping; None → NULL) — the simple-query engine path then runs
+    the bound text."""
+    def repl(m):
+        i = int(m.group(1)) - 1
+        if i < 0 or i >= len(params):
+            raise ValueError(f"there is no parameter ${m.group(1)}")
+        p = params[i]
+        if p is None:
+            return "NULL"
+        s = p.decode()
+        if re.fullmatch(r"-?\d+(\.\d+)?", s):
+            return s
+        return "'" + s.replace("'", "''") + "'"
+
+    return re.sub(r"\$(\d+)", repl, sql)
+
+
+class _Results:
+    """One executed statement's wire-ready form."""
+
+    __slots__ = ("cols", "rows", "tag")
+
+    def __init__(self, cols, rows, tag):
+        self.cols = cols  # [(name, oid, dtype)] or None for tag-only
+        self.rows = rows
+        self.tag = tag
+
+
+class PgWireServer:
+    """Listening v3-protocol front door over an Engine."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 user: str = "root", password: str = "",
+                 auth: str = "trust"):
+        if auth not in ("trust", "password", "md5", "scram-sha-256"):
+            raise ValueError(f"unsupported auth mode {auth!r}")
+        self.engine = engine
+        self.user, self.password, self.auth = user, password, auth
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                self._buf = b""
+                # extended-protocol session state
+                self._stmts: dict[str, str] = {}
+                self._portals: dict[str, str] = {}
+                self._described: dict[str, _Results] = {}
+                try:
+                    if not self._startup():
+                        return
+                    while True:
+                        tag, payload = self._read_msg()
+                        if tag in (b"X", b""):
+                            return
+                        if tag == b"Q":
+                            self._simple_query(
+                                payload.rstrip(b"\x00").decode())
+                        elif tag == b"P":
+                            self._parse(payload)
+                        elif tag == b"B":
+                            self._bind(payload)
+                        elif tag == b"D":
+                            self._describe(payload)
+                        elif tag == b"E":
+                            self._execute(payload)
+                        elif tag == b"C":
+                            self._close_msg(payload)
+                        elif tag == b"S":
+                            self.request.sendall(_msg(b"Z", b"I"))
+                        elif tag == b"H":  # Flush — unbuffered already
+                            pass
+                        else:
+                            self._send_err(
+                                f"unsupported frontend message {tag!r}")
+                            self.request.sendall(_msg(b"Z", b"I"))
+                except OSError:
+                    return
+
+            # ------------------------------------------------- startup
+            def _startup(self) -> bool:
+                while True:
+                    (n,) = struct.unpack(">I", self._read_exact(4))
+                    startup = self._read_exact(n - 4)
+                    (proto,) = struct.unpack(">I", startup[:4])
+                    if proto in (80877103, 80877104):  # SSL / GSSENC
+                        self.request.sendall(b"N")
+                        continue
+                    if proto == 80877102:  # CancelRequest: no-op close
+                        return False
+                    break
+                params = dict(
+                    zip(*[iter(
+                        startup[4:].rstrip(b"\x00").split(b"\x00"))] * 2)
+                )
+                who = params.get(b"user", b"").decode()
+                if who != server.user:
+                    self._send_err(f'role "{who}" does not exist')
+                    return False
+                if not self._authenticate():
+                    return False
+                self.request.sendall(_msg(b"R", struct.pack(">I", 0)))
+                for k, v in (
+                    ("server_version", "13.14.0"),
+                    ("server_encoding", "UTF8"),
+                    ("client_encoding", "UTF8"),
+                    ("DateStyle", "ISO, MDY"),
+                    ("integer_datetimes", "on"),
+                    ("standard_conforming_strings", "on"),
+                    ("TimeZone", "UTC"),
+                ):
+                    self.request.sendall(_msg(
+                        b"S", k.encode() + b"\x00" + v.encode() + b"\x00"))
+                self.request.sendall(_msg(
+                    b"K",
+                    struct.pack(">II", threading.get_ident() & 0x7FFFFFFF,
+                                struct.unpack(">I", os.urandom(4))[0])))
+                self.request.sendall(_msg(b"Z", b"I"))
+                return True
+
+            def _authenticate(self) -> bool:
+                if server.auth == "trust":
+                    return True
+                if server.auth == "password":
+                    self.request.sendall(_msg(b"R", struct.pack(">I", 3)))
+                    tag, payload = self._read_msg()
+                    if (tag != b"p" or payload.rstrip(b"\x00").decode()
+                            != server.password):
+                        self._send_err("password authentication failed")
+                        return False
+                    return True
+                if server.auth == "md5":
+                    salt = os.urandom(4)
+                    self.request.sendall(
+                        _msg(b"R", struct.pack(">I", 5) + salt))
+                    tag, payload = self._read_msg()
+                    want = _md5_auth_response(
+                        server.user, server.password, salt)
+                    if tag != b"p" or payload.rstrip(b"\x00") != want:
+                        self._send_err("password authentication failed")
+                        return False
+                    return True
+                # scram-sha-256 server side (RFC 5802): verify the
+                # client proof by recomputing StoredKey from it
+                self.request.sendall(_msg(
+                    b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"))
+                tag, payload = self._read_msg()
+                if tag != b"p":
+                    self._send_err("expected SASLInitialResponse")
+                    return False
+                mech, rest = payload.split(b"\x00", 1)
+                if mech != b"SCRAM-SHA-256":
+                    self._send_err("unsupported SASL mechanism")
+                    return False
+                (n,) = struct.unpack(">I", rest[:4])
+                client_first = rest[4:4 + n].decode()
+                bare = client_first.split(",", 2)[2]
+                cnonce = dict(
+                    kv.split("=", 1) for kv in bare.split(","))["r"]
+                salt = os.urandom(16)
+                iters = 4096
+                snonce = cnonce + base64.b64encode(os.urandom(12)).decode()
+                server_first = (
+                    f"r={snonce},s={base64.b64encode(salt).decode()},"
+                    f"i={iters}")
+                self.request.sendall(_msg(
+                    b"R", struct.pack(">I", 11) + server_first.encode()))
+                tag, payload = self._read_msg()
+                client_final = payload.decode()
+                attrs = dict(
+                    kv.split("=", 1) for kv in client_final.split(","))
+                without_proof = client_final.rsplit(",p=", 1)[0]
+                auth_msg = ",".join(
+                    [bare, server_first, without_proof]).encode()
+                _salted, _ckey, stored, skey = _scram_keys(
+                    server.password, salt, iters)
+                proof = base64.b64decode(attrs["p"])
+                sig = _scram_hmac(stored, auth_msg)
+                ckey_rec = bytes(a ^ b for a, b in zip(proof, sig))
+                if (attrs["r"] != snonce
+                        or hashlib.sha256(ckey_rec).digest() != stored):
+                    self._send_err("password authentication failed")
+                    return False
+                v = base64.b64encode(_scram_hmac(skey, auth_msg)).decode()
+                self.request.sendall(_msg(
+                    b"R", struct.pack(">I", 12) + f"v={v}".encode()))
+                return True
+
+            # ------------------------------------------------- queries
+            def _run(self, stmt: str) -> _Results:
+                """Engine.sql one statement → wire-ready results."""
+                with server._lock:
+                    df = server.engine.sql(stmt)
+                    verb = _verb(stmt)
+                    if verb in _ROWSET_VERBS:
+                        cols = [
+                            (c, _dtype_oid(dt), dt) for c, dt in df.dtypes
+                        ]
+                        rows = df.collect()
+                        tag = (f"FETCH {len(rows)}" if verb == "fetch"
+                               else f"SELECT {len(rows)}")
+                        return _Results(cols, rows, tag)
+                    # DDL/DML: the engine returns a command-tag frame
+                    tag = "OK"
+                    if df.columns == ["status"]:
+                        got = df.collect()
+                        if got:
+                            tag = str(got[0][0]).replace("_", " ")
+                    return _Results(None, [], tag)
+
+            def _send_results(self, r: _Results) -> None:
+                if r.cols is not None:
+                    body = struct.pack(">H", len(r.cols))
+                    for name, oid, _dt in r.cols:
+                        body += name.encode() + b"\x00" + struct.pack(
+                            ">IHIhih", 0, 0, oid, -1, -1, 0)
+                    self.request.sendall(_msg(b"T", body))
+                    self._send_rows(r)
+                self.request.sendall(
+                    _msg(b"C", r.tag.encode() + b"\x00"))
+
+            def _send_rows(self, r: _Results) -> None:
+                out = bytearray()
+                for row in r.rows:
+                    rb = struct.pack(">H", len(r.cols))
+                    for v, (_n, _oid, dt) in zip(row, r.cols):
+                        if v is None:
+                            rb += struct.pack(">i", -1)
+                        else:
+                            tv = _text_value(v, dt)
+                            rb += struct.pack(">i", len(tv)) + tv
+                    out += _msg(b"D", bytes(rb))
+                    if len(out) > 1 << 20:
+                        self.request.sendall(bytes(out))
+                        out.clear()
+                if out:
+                    self.request.sendall(bytes(out))
+
+            def _simple_query(self, text: str) -> None:
+                from risingwave_spark.frontend import split_statements
+
+                stmts = split_statements(text)
+                if not stmts:
+                    self.request.sendall(_msg(b"I", b""))
+                    self.request.sendall(_msg(b"Z", b"I"))
+                    return
+                for stmt in stmts:
+                    try:
+                        r = self._run(stmt)
+                    except Exception as e:  # noqa: BLE001 — engine error → wire error
+                        self._send_err(str(e))
+                        break  # PG skips the rest of the batch
+                    self._send_results(r)
+                self.request.sendall(_msg(b"Z", b"I"))
+
+            # ---------------------------------------- extended protocol
+            def _parse(self, payload: bytes) -> None:
+                name, i = _cstr(payload, 0)
+                sql, i = _cstr(payload, i)
+                # declared parameter-type OIDs: accepted and ignored
+                # (params bind as text literals)
+                self._stmts[name] = sql
+                self.request.sendall(_msg(b"1", b""))
+
+            def _bind(self, payload: bytes) -> None:
+                portal, i = _cstr(payload, 0)
+                stmt, i = _cstr(payload, i)
+                try:
+                    sql = self._stmts[stmt]
+                except KeyError:
+                    self._send_err(
+                        f'prepared statement "{stmt}" does not exist')
+                    return
+                (nfmt,) = struct.unpack_from(">H", payload, i)
+                i += 2
+                fmts = struct.unpack_from(f">{nfmt}H", payload, i)
+                i += 2 * nfmt
+                if any(f == 1 for f in fmts):
+                    self._send_err(
+                        "binary-format parameters are not supported "
+                        "(text format only)")
+                    return
+                (nparams,) = struct.unpack_from(">H", payload, i)
+                i += 2
+                params: list[bytes | None] = []
+                for _ in range(nparams):
+                    (ln,) = struct.unpack_from(">i", payload, i)
+                    i += 4
+                    if ln == -1:
+                        params.append(None)
+                    else:
+                        params.append(payload[i:i + ln])
+                        i += ln
+                try:
+                    self._portals[portal] = _bind_params(sql, params)
+                except ValueError as e:
+                    self._send_err(str(e))
+                    return
+                self._described.pop(portal, None)
+                self.request.sendall(_msg(b"2", b""))
+
+            def _portal_results(self, portal: str) -> _Results:
+                if portal not in self._described:
+                    self._described[portal] = self._run(
+                        self._portals[portal])
+                return self._described[portal]
+
+            def _describe(self, payload: bytes) -> None:
+                kind = payload[:1]
+                name, _ = _cstr(payload, 1)
+                if kind == b"S":
+                    if name not in self._stmts:
+                        self._send_err(
+                            f'prepared statement "{name}" does not exist')
+                        return
+                    # statement-level describe: no parameter inference —
+                    # report zero params, then the row shape is unknown
+                    # until Bind (NoData here; portal Describe is exact)
+                    self.request.sendall(
+                        _msg(b"t", struct.pack(">H", 0)))
+                    self.request.sendall(_msg(b"n", b""))
+                    return
+                if name not in self._portals:
+                    self._send_err(f'portal "{name}" does not exist')
+                    return
+                try:
+                    r = self._portal_results(name)
+                except Exception as e:  # noqa: BLE001 — engine error → wire error
+                    self._send_err(str(e))
+                    return
+                if r.cols is None:
+                    self.request.sendall(_msg(b"n", b""))
+                    return
+                body = struct.pack(">H", len(r.cols))
+                for cname, oid, _dt in r.cols:
+                    body += cname.encode() + b"\x00" + struct.pack(
+                        ">IHIhih", 0, 0, oid, -1, -1, 0)
+                self.request.sendall(_msg(b"T", body))
+
+            def _execute(self, payload: bytes) -> None:
+                portal, i = _cstr(payload, 0)
+                (max_rows,) = struct.unpack_from(">i", payload, i)
+                if max_rows not in (0,):
+                    self._send_err(
+                        "partial-row Execute (max_rows != 0) is not "
+                        "supported")
+                    return
+                if portal not in self._portals:
+                    self._send_err(f'portal "{portal}" does not exist')
+                    return
+                try:
+                    r = self._portal_results(portal)
+                except Exception as e:  # noqa: BLE001 — engine error → wire error
+                    self._send_err(str(e))
+                    return
+                if r.cols is not None:
+                    self._send_rows(r)
+                self.request.sendall(
+                    _msg(b"C", r.tag.encode() + b"\x00"))
+
+            def _close_msg(self, payload: bytes) -> None:
+                kind = payload[:1]
+                name, _ = _cstr(payload, 1)
+                if kind == b"S":
+                    self._stmts.pop(name, None)
+                else:
+                    self._portals.pop(name, None)
+                    self._described.pop(name, None)
+                self.request.sendall(_msg(b"3", b""))
+
+            # ------------------------------------------------- wire io
+            def _read_exact(self, n):
+                while len(self._buf) < n:
+                    chunk = self.request.recv(65536)
+                    if not chunk:
+                        raise OSError("closed")
+                    self._buf += chunk
+                out, self._buf = self._buf[:n], self._buf[n:]
+                return out
+
+            def _read_msg(self):
+                tag = self._read_exact(1)
+                (n,) = struct.unpack(">I", self._read_exact(4))
+                return tag, self._read_exact(n - 4)
+
+            def _send_err(self, text: str) -> None:
+                body = (b"SERROR\x00CXX000\x00M"
+                        + text.encode() + b"\x00\x00")
+                self.request.sendall(_msg(b"E", body))
+
+        class Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Srv((host, port), Handler)
+        self.host, self.port = self._srv.server_address
+
+    def start(self) -> "PgWireServer":
+        t = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def _cstr(buf: bytes, i: int) -> tuple[str, int]:
+    j = buf.index(b"\x00", i)
+    return buf[i:j].decode(), j + 1

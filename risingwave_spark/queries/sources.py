@@ -666,6 +666,61 @@ def engine_sql_kafka_cdc(spark, sf_dir):
 
 
 @register(
+    "engine_pgwire_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS st, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 13 <> 0
+GROUP BY o_orderstatus ORDER BY st
+""",
+)
+def engine_pgwire_roundtrip(spark, sf_dir):
+    """The pgwire SERVER front door (reference
+    `src/utils/pgwire/src/pg_protocol.rs:266,625`, `pg_server.rs` —
+    the frontend's primary UX is psql over the v3 protocol): the SAME
+    statements any PG client would issue — CREATE TABLE, INSERT ...
+    SELECT, CREATE MATERIALIZED VIEW, DELETE, SELECT — travel over a
+    real socket with a VERIFIED SCRAM-SHA-256 exchange, and the rows
+    read back over the wire (text format, decoded per OID) are the
+    result. Hash-matching the DuckDB oracle proves wire serialization
+    round-trips values exactly."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import PgWireClient
+
+    tables(spark, sf_dir)  # registers `orders` as a temp view
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_pgsrvq_"))
+    host, port = eng.start_pg_server(
+        user="rw", password="wirepw", auth="scram-sha-256")
+    try:
+        c = PgWireClient(host, port, "rw", "wirepw", "dev")
+        c.query(
+            "CREATE TABLE wire_orders (o_orderkey int8 PRIMARY KEY, "
+            "o_orderstatus text, o_totalprice float8)"
+        )
+        c.query(
+            "CREATE MATERIALIZED VIEW wire_mv AS "
+            "SELECT o_orderstatus AS st, count(*) AS n, "
+            "sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS cents "
+            "FROM wire_orders GROUP BY st"
+        )
+        c.query(
+            "INSERT INTO wire_orders SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice FROM orders WHERE o_orderkey % 4 = 1"
+        )
+        c.query("DELETE FROM wire_orders WHERE o_orderkey % 13 = 0")
+        _fields, rows = c.query(
+            "SELECT st, n, cents FROM wire_mv ORDER BY st")
+        c.close()
+        return spark.createDataFrame(
+            [tuple(r) for r in rows], "st string, n bigint, cents bigint"
+        )
+    finally:
+        eng.stop_pg_server()
+
+
+@register(
     "src_kafka_upsert",
     oracle="""
 SELECT p_brand AS brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz

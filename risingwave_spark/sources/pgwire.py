@@ -280,6 +280,70 @@ class PgWireClient:
                 return fields, rows
             # 'C' CommandComplete / 'N' notices: continue to ReadyForQuery
 
+    def query_prepared(
+        self, sql: str, params: list | None = None,
+    ) -> tuple[list[tuple[str, int]], list[list], str]:
+        """Extended-query protocol (Parse/Bind/Describe/Execute/Sync)
+        with text-format $N parameters → (fields, rows, command_tag).
+        None params ship as NULL; everything else as str(v) text."""
+        params = params or []
+        body = b"\x00" + sql.encode() + b"\x00" + struct.pack(">H", 0)
+        out = _msg(b"P", body)
+        pb = b"\x00\x00" + struct.pack(">H", 0)  # unnamed portal/stmt, fmts
+        pb += struct.pack(">H", len(params))
+        for p in params:
+            if p is None:
+                pb += struct.pack(">i", -1)
+            else:
+                t = str(p).encode()
+                pb += struct.pack(">i", len(t)) + t
+        pb += struct.pack(">H", 0)  # result formats: all default text
+        out += _msg(b"B", pb)
+        out += _msg(b"D", b"P\x00")  # describe the unnamed portal
+        out += _msg(b"E", b"\x00" + struct.pack(">i", 0))
+        out += _msg(b"S", b"")
+        self.sock.sendall(out)
+        fields: list[tuple[str, int]] = []
+        rows: list[list] = []
+        cmd_tag = ""
+        err = None
+        while True:
+            tag, payload = self._read_msg()
+            if tag == b"T":
+                (nf,) = struct.unpack(">H", payload[:2])
+                i = 2
+                fields = []
+                for _ in range(nf):
+                    j = payload.index(b"\x00", i)
+                    name = payload[i:j].decode()
+                    _tbl, _col, typoid, _len, _mod, _fmt = struct.unpack(
+                        ">IHIhih", payload[j + 1:j + 19])
+                    fields.append((name, typoid))
+                    i = j + 19
+            elif tag == b"D":
+                (nc,) = struct.unpack(">H", payload[:2])
+                i = 2
+                row = []
+                for c in range(nc):
+                    (ln,) = struct.unpack(">i", payload[i:i + 4])
+                    i += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(
+                            _decode_text(payload[i:i + ln], fields[c][1]))
+                        i += ln
+                rows.append(row)
+            elif tag == b"C":
+                cmd_tag = payload.rstrip(b"\x00").decode()
+            elif tag == b"E":
+                err = self._err_text(payload)
+            elif tag == b"Z":
+                if err:
+                    raise OSError(f"postgres error: {err}")
+                return fields, rows, cmd_tag
+            # '1' ParseComplete / '2' BindComplete / 'n' NoData: skip
+
     def close(self) -> None:
         try:
             self.sock.sendall(_msg(b"X", b""))  # Terminate

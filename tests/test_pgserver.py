@@ -1,0 +1,141 @@
+"""The Postgres-wire SERVER front door (reference
+`src/utils/pgwire/src/pg_protocol.rs:266,625`, `pg_server.rs`): any v3
+client drives the engine through a real socket — startup + verified
+auth, simple-query cycle, extended protocol, pg_catalog introspection
+the way psql's `\\d` does it."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import tempfile
+
+import pytest
+
+from risingwave_spark.api import Engine
+from risingwave_spark.sources.pgwire import PgWireClient
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark, tempfile.mkdtemp(prefix="rw_pgsrv_"))
+    yield e
+    e.stop_pg_server()
+
+
+def test_ddl_dml_select_over_the_wire(spark, eng):
+    """The VERDICT 'done' bar: CREATE TABLE / INSERT / CREATE MV /
+    SELECT through a real socket, results matching Engine.sql."""
+    host, port = eng.start_pg_server(
+        user="rw", password="secret", auth="scram-sha-256")
+    c = PgWireClient(host, port, "rw", "secret", "dev")
+    _f, _r = c.query("CREATE TABLE t (a int8 PRIMARY KEY, b varchar)")
+    c.query("INSERT INTO t VALUES (1, 'x'), (2, 'y'), (3, NULL)")
+    c.query("CREATE MATERIALIZED VIEW tmv AS "
+            "SELECT count(*) AS n, sum(a) AS sa FROM t")
+    fields, rows = c.query("SELECT n, sa FROM tmv")
+    assert [f[0] for f in fields] == ["n", "sa"]
+    assert rows == [[3, 6]]
+    # wire result == in-process result
+    assert tuple(eng.sql("SELECT n, sa FROM tmv").first()) == (3, 6)
+    fields, rows = c.query("SELECT a, b FROM t ORDER BY a")
+    assert rows == [[1, "x"], [2, "y"], [3, None]]
+    # DML through the wire mutates engine state and folds the MV
+    c.query("DELETE FROM t WHERE a = 2")
+    _f, rows = c.query("SELECT n, sa FROM tmv")
+    assert rows == [[2, 4]]
+    c.close()
+
+
+def test_psql_style_pg_catalog_join(spark, eng):
+    """The psql `\\d t`-shaped pg_catalog join runs over the socket
+    (pg_catalog compat routes through the same Engine.sql path)."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    c.query("CREATE TABLE widgets (id int8 PRIMARY KEY, nm varchar)")
+    _f, rows = c.query(
+        "SELECT a.attname, a.attnum FROM pg_catalog.pg_attribute a "
+        "JOIN pg_catalog.pg_class c ON a.attrelid = c.oid "
+        "WHERE c.relname = 'widgets' ORDER BY a.attnum"
+    )
+    assert [r[0] for r in rows] == ["id", "nm"]
+    _f, rows = c.query("SELECT 'widgets'::regclass::int8 > 0 AS ok")
+    assert rows == [[True]]
+    c.close()
+
+
+def test_multi_statement_error_and_empty_query(spark, eng):
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    # multi-statement Q: both run, last result returned
+    _f, rows = c.query(
+        "CREATE TABLE m (a int8 PRIMARY KEY); "
+        "INSERT INTO m VALUES (7); SELECT a FROM m")
+    assert rows == [[7]]
+    # an error aborts the rest of the batch (PG semantics) and the
+    # session recovers for the next query
+    with pytest.raises(OSError, match="postgres error"):
+        c.query("SELECT broken syntax here; INSERT INTO m VALUES (8)")
+    _f, rows = c.query("SELECT count(*) AS n FROM m")
+    assert rows == [[1]]  # the INSERT after the error never ran
+    # empty query string → EmptyQueryResponse, session stays healthy
+    _f, rows = c.query("  ")
+    assert rows == []
+    c.close()
+
+
+def test_auth_verification_failures(spark, eng):
+    host, port = eng.start_pg_server(
+        user="rw", password="secret", auth="md5")
+    with pytest.raises(OSError, match="authentication failed"):
+        PgWireClient(host, port, "rw", "WRONG", "dev")
+    with pytest.raises(OSError, match="does not exist"):
+        PgWireClient(host, port, "ghost", "secret", "dev")
+    c = PgWireClient(host, port, "rw", "secret", "dev")
+    _f, rows = c.query("SELECT 1 AS one")
+    assert rows == [[1]]
+    c.close()
+
+
+def test_extended_protocol_prepared_params(spark, eng):
+    """Parse/Bind/Describe/Execute with $N text params — the path every
+    real driver (psycopg, JDBC) uses."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    c.query("CREATE TABLE e (a int8 PRIMARY KEY, b varchar)")
+    c.query("INSERT INTO e VALUES (1, 'x'), (2, 'y''z'), (3, 'w')")
+    fields, rows, tag = c.query_prepared(
+        "SELECT a, b FROM e WHERE a >= $1 AND b <> $2 ORDER BY a",
+        [2, "w"])
+    assert [f[0] for f in fields] == ["a", "b"]
+    assert rows == [[2, "y'z"]]  # quote-escaping round-trips
+    assert tag == "SELECT 1"
+    # NULL parameter
+    _f, rows, _t = c.query_prepared(
+        "SELECT coalesce($1, 'dflt') AS v", [None])
+    assert rows == [["dflt"]]
+    # unknown portal/statement errors keep the session alive
+    with pytest.raises(OSError, match="no parameter"):
+        c.query_prepared("SELECT $4", [1])
+    _f, rows = c.query("SELECT 42 AS x")
+    assert rows == [[42]]
+    c.close()
+
+
+def test_ssl_refusal_and_terminate(spark, eng):
+    """SSLRequest answers 'N' (plaintext) and the client can proceed;
+    raw Terminate closes cleanly."""
+    host, port = eng.start_pg_server()
+    s = socket.create_connection((host, port), timeout=5)
+    s.sendall(struct.pack(">II", 8, 80877103))  # SSLRequest
+    assert s.recv(1) == b"N"
+    body = struct.pack(">I", 196608) + b"user\x00root\x00database\x00dev\x00\x00"
+    s.sendall(struct.pack(">I", len(body) + 4) + body)
+    # read until ReadyForQuery
+    buf = b""
+    while b"Z\x00\x00\x00\x05I" not in buf:
+        chunk = s.recv(65536)
+        assert chunk, "server closed before ReadyForQuery"
+        buf += chunk
+    s.sendall(b"X" + struct.pack(">I", 4))
+    s.close()
