@@ -1904,6 +1904,16 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_mysqlcdc
 
                     _ingest_table_mysqlcdc(self, t)
+                elif "sqlservercdc" in conn:
+                    from risingwave_spark.frontend import (
+                        _ingest_table_sqlservercdc,
+                    )
+
+                    _ingest_table_sqlservercdc(self, t)
+                elif "mongocdc" in conn:
+                    from risingwave_spark.frontend import _ingest_table_mongocdc
+
+                    _ingest_table_mongocdc(self, t)
                 else:
                     _ingest_table_files(self, t)
             except Exception as e:  # noqa: BLE001

@@ -424,7 +424,7 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
         )
     if opts.get("connector", "").lower() in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
-        "postgres-cdc", "mysql-cdc",
+        "postgres-cdc", "mysql-cdc", "sqlserver-cdc", "mongodb-cdc",
     ) and not user_pk:
         # validate at CREATE, not at the first non-empty poll (ADVICE r8):
         # a PK-less broker table would otherwise succeed over an empty
@@ -544,6 +544,12 @@ def _attach_table_connector(
         return
     if conn == "mysql-cdc":
         _attach_table_mysqlcdc(engine, t, opts)
+        return
+    if conn == "sqlserver-cdc":
+        _attach_table_sqlservercdc(engine, t, opts)
+        return
+    if conn == "mongodb-cdc":
+        _attach_table_mongocdc(engine, t, opts)
         return
     if conn not in ("posix_fs", "filesystem"):
         raise ValueError(f"unknown table connector {conn!r}")
@@ -1738,6 +1744,270 @@ def _ingest_table_mysqlcdc(engine: "Engine", t) -> None:
         flush()
     finally:
         b.close()
+
+
+def _attach_table_sqlservercdc(engine: "Engine", t, opts: dict) -> None:
+    """sqlserver-cdc TABLE over the REAL CDC polling contract
+    (reference `src/connector/src/source/cdc/mod.rs:54` SqlServer +
+    `source/cdc/external/` — Debezium's SQL Server connector): CREATE
+    enables the capture instance FIRST (sp_cdc_enable_table), records
+    the max LSN, snapshots the table, then every poll reads
+    cdc.fn_cdc_get_all_changes_* between the committed and current max
+    LSN and folds the images through the shared upsert path. SQL
+    Server keeps no consumer state server-side, so the committed LSN
+    lives beside the table state — Debezium's client-side-offset
+    posture (SQLSERVER_CDC_LSN, advanced only after each segment
+    folds)."""
+    import json as _json
+
+    from risingwave_spark.sources.tdswire import SqlServerCdcReader
+
+    host = opts.get("hostname")
+    port = int(opts.get("port", "1433"))
+    user = opts.get("username")
+    pw = opts.get("password", "")
+    db = opts.get("database.name")
+    table = opts.get("table.name")
+    schema = opts.get("schema.name", "dbo")
+    if not (host and user and db and table):
+        raise ValueError(
+            "sqlserver-cdc table needs hostname, username, database.name "
+            "and table.name options"
+        )
+    t.connector = {
+        "sqlservercdc": {
+            "host": host, "port": port, "user": user, "pw": pw,
+            "db": db, "schema": schema, "table": table,
+        },
+        "format": "upsert",
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "SQLSERVER_CDC_LSN")
+    if os.path.exists(meta):
+        _ingest_table_sqlservercdc(engine, t)  # replay: offset durable
+        return
+    try:
+        rd = SqlServerCdcReader(host, port, user, pw, db, schema, table)
+    except OSError:
+        return  # database down at replay; next poll catches up
+    try:
+        rd.enable()
+        # LSN BEFORE the snapshot: changes racing it redeliver through
+        # the change table (upsert fold dedupes by pk)
+        lsn0 = rd.max_lsn()
+        fields, snap = rd.snapshot()
+    finally:
+        rd.close()
+    _commit_offsets_file(meta, "lsn", lsn0)
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    recs = []
+    for i, r in enumerate(snap):
+        d = dict(zip(fields, r))
+        key = _json.dumps(
+            {c_: d.get(c_) for c_ in pk_cols}, sort_keys=True, default=str)
+        recs.append((i, 0, key.encode(),
+                     _json.dumps(d, sort_keys=True, default=str).encode()))
+    cap_n = _poll_cap(t)
+    for j in range(0, len(recs), cap_n):
+        _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    _ingest_table_sqlservercdc(engine, t)
+
+
+def _ingest_table_sqlservercdc(engine: "Engine", t) -> None:
+    """Poll the change-table window (committed, max] in bounded
+    segments of ≤ max.poll.records, committing the LSN only AFTER each
+    segment folds — crash mid-poll redelivers exactly one segment."""
+    import json as _json
+
+    from risingwave_spark.sources.tdswire import SqlServerCdcReader
+
+    cfg = t.connector["sqlservercdc"]
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "SQLSERVER_CDC_LSN")
+    try:
+        with open(meta) as f:
+            saved = int(_json.load(f).get("lsn", 0))
+    except (FileNotFoundError, ValueError):
+        saved = 0
+    try:
+        rd = SqlServerCdcReader(
+            cfg["host"], cfg["port"], cfg["user"], cfg["pw"], cfg["db"],
+            cfg["schema"], cfg["table"])
+    except OSError:
+        return
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    cap = _poll_cap(t)
+    try:
+        hi = rd.max_lsn()
+        if hi <= saved:
+            return
+        seg: list = []
+        last = saved
+
+        def flush():
+            nonlocal seg
+            if not seg:
+                return
+            _fold_kafka_records(engine, t, row_schema, seg)
+            _commit_offsets_file(meta, "lsn", last)
+            seg = []
+
+        for lsn, seq, op, row in rd.changes(saved, hi):
+            # 1=delete → tombstone; 2=insert/4=update-after → upsert
+            kj = _json.dumps(
+                {c_: row.get(c_) for c_ in pk_cols},
+                sort_keys=True, default=str)
+            vj = (None if op == 1
+                  else _json.dumps(row, sort_keys=True, default=str).encode())
+            seg.append((lsn * 1000 + seq, 0, kj.encode(), vj))
+            last = lsn
+            if len(seg) >= cap:
+                flush()
+        flush()
+    finally:
+        rd.close()
+
+
+def _attach_table_mongocdc(engine: "Engine", t, opts: dict) -> None:
+    """mongodb-cdc TABLE over REAL change streams (reference
+    `src/connector/src/source/cdc/mod.rs` Mongodb via Debezium's mongo
+    connector; here the engine speaks OP_MSG itself —
+    sources/mongowire.py: aggregate with a $changeStream stage,
+    resuming past the committed token): CREATE polls the stream once
+    to pin the current resume token, snapshots the collection, then
+    every poll replays events past the committed token and folds
+    insert/update (fullDocument) as upserts and deletes (documentKey)
+    as tombstones. The committed resume token lives beside the table
+    state (MONGO_RESUME_TOKEN, advanced only after each segment
+    folds). The table's PRIMARY KEY column must be `_id` (the
+    document key — the reference's mongodb-cdc contract)."""
+    import json as _json
+
+    from risingwave_spark.sources.mongowire import MongoClient
+
+    host = opts.get("hostname")
+    port = int(opts.get("port", "27017"))
+    user = opts.get("username")
+    pw = opts.get("password", "")
+    collection = opts.get("collection.name")
+    if not (host and collection and "." in collection):
+        raise ValueError(
+            "mongodb-cdc table needs hostname and collection.name "
+            "('db.collection') options"
+        )
+    db, coll = collection.split(".", 1)
+    pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    if pk_cols != ["_id"]:
+        raise ValueError(
+            "mongodb-cdc tables use the document key: declare "
+            "`_id ... PRIMARY KEY` (reference mongodb-cdc contract)"
+        )
+    t.connector = {
+        "mongocdc": {
+            "host": host, "port": port, "user": user, "pw": pw,
+            "db": db, "coll": coll,
+        },
+        "format": "upsert",
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "MONGO_RESUME_TOKEN")
+    if os.path.exists(meta):
+        _ingest_table_mongocdc(engine, t)  # replay: token durable
+        return
+    try:
+        c = MongoClient(host, port, user=user, password=pw)
+    except OSError:
+        return  # database down at replay; next poll catches up
+    try:
+        # token BEFORE the snapshot: events racing it redeliver through
+        # the stream (upsert fold dedupes by _id)
+        _events, tok0 = c.change_stream(db, coll, 0)
+        snap = c.find(db, coll)
+    finally:
+        c.close()
+    _commit_offsets_file(meta, "token", tok0)
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    recs = []
+    for i, d in enumerate(snap):
+        key = _json.dumps({"_id": d.get("_id")}, sort_keys=True, default=str)
+        recs.append((i, 0, key.encode(),
+                     _json.dumps(d, sort_keys=True, default=str).encode()))
+    cap_n = _poll_cap(t)
+    for j in range(0, len(recs), cap_n):
+        _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    _ingest_table_mongocdc(engine, t)
+
+
+def _ingest_table_mongocdc(engine: "Engine", t) -> None:
+    """Replay change-stream events past the committed resume token in
+    bounded segments of ≤ max.poll.records, committing the token only
+    AFTER each segment folds."""
+    import json as _json
+
+    from risingwave_spark.sources.mongowire import MongoClient
+
+    cfg = t.connector["mongocdc"]
+    meta = os.path.join(engine.warehouse, f"t_{t.name}", "MONGO_RESUME_TOKEN")
+    try:
+        with open(meta) as f:
+            saved = int(_json.load(f).get("token", 0))
+    except (FileNotFoundError, ValueError):
+        saved = 0
+    try:
+        c = MongoClient(cfg["host"], cfg["port"], user=cfg["user"],
+                        password=cfg["pw"])
+    except OSError:
+        return
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    cap = _poll_cap(t)
+    try:
+        events, _last = c.change_stream(cfg["db"], cfg["coll"], saved)
+    finally:
+        c.close()
+    seg: list = []
+    last = saved
+
+    def flush():
+        nonlocal seg
+        if not seg:
+            return
+        _fold_kafka_records(engine, t, row_schema, seg)
+        _commit_offsets_file(meta, "token", last)
+        seg = []
+
+    for e in events:
+        tok = int(e["_id"]["_data"])
+        kj = _json.dumps({"_id": e["documentKey"].get("_id")},
+                         sort_keys=True, default=str)
+        full = e.get("fullDocument")
+        vj = (None if e["operationType"] == "delete" or full is None
+              else _json.dumps(full, sort_keys=True, default=str).encode())
+        seg.append((tok, 0, kj.encode(), vj))
+        last = tok
+        if len(seg) >= cap:
+            flush()
+    flush()
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:

@@ -2057,6 +2057,144 @@ def src_mysqlcdc_roundtrip(spark, sf_dir):
 
 
 @register(
+    "src_sqlservercdc_roundtrip",
+    oracle="""
+SELECT p_brand AS br, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz
+FROM part WHERE p_partkey <= 300 AND p_partkey % 8 <> 0
+GROUP BY p_brand ORDER BY br
+""",
+)
+def src_sqlservercdc_roundtrip(spark, sf_dir):
+    """sqlserver-cdc over the REAL CDC polling contract (reference
+    `source/cdc/mod.rs:54` SqlServer): half the parts seed the
+    upstream BEFORE the table exists (initial snapshot at the captured
+    max LSN), the rest INSERT afterwards, sizes double via UPDATE and
+    every 8th part DELETEs — all read from
+    cdc.fn_cdc_get_all_changes_* windows and folding through the
+    upsert path; the engine's MV must equal the upstream's final
+    state."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.tdswire import LoopbackSqlServer, TdsClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["part"]
+        .filter(F.col("p_partkey") <= 300)
+        .select("p_partkey", "p_brand", "p_size")
+        .collect()
+    )
+    ms = LoopbackSqlServer().start()
+    try:
+        ms.seed("CREATE TABLE prt (pk BIGINT PRIMARY KEY, br VARCHAR, "
+                "sz BIGINT)")
+        half = len(rows) // 2
+        if rows[:half]:
+            ms.seed(
+                "INSERT INTO prt VALUES "
+                + ", ".join(f"({r.p_partkey}, '{r.p_brand}', 0)"
+                            for r in rows[:half])
+            )
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_mscq_"))
+        eng.sql(
+            f"""CREATE TABLE mprt (pk int8 PRIMARY KEY, br varchar,
+                sz int8) WITH (
+                connector = 'sqlserver-cdc', hostname = '127.0.0.1',
+                port = '{ms.port}', username = 'sa', password = 'fedpw',
+                database.name = 'fedb', table.name = 'prt'
+            )"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mprt_mv AS SELECT br, count(*) AS n, "
+            "sum(sz) AS sz FROM mprt GROUP BY br"
+        )
+        w = TdsClient("127.0.0.1", ms.port, "sa", "fedpw", "fedb")
+        if rows[half:]:
+            w.query(
+                "INSERT INTO prt VALUES "
+                + ", ".join(f"({r.p_partkey}, '{r.p_brand}', 0)"
+                            for r in rows[half:])
+            )
+        # correct every size via UPDATE — each arrives as an
+        # operation-4 after-image through the change table
+        w.query("; ".join(
+            f"UPDATE prt SET sz = {int(r.p_size)} WHERE pk = {r.p_partkey}"
+            for r in rows
+        ))
+        w.query("DELETE FROM prt WHERE pk % 8 = 0")
+        w.close()
+        eng.poll_sources()
+        return eng.sql("SELECT br, n, sz FROM mprt_mv ORDER BY br")
+    finally:
+        ms.stop()
+
+
+@register(
+    "src_mongocdc_roundtrip",
+    oracle="""
+SELECT s_nationkey AS nk, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sk
+FROM supplier WHERE s_suppkey <= 200 AND s_suppkey % 5 <> 0
+GROUP BY s_nationkey ORDER BY nk
+""",
+)
+def src_mongocdc_roundtrip(spark, sf_dir):
+    """mongodb-cdc over REAL change streams (reference
+    `source/cdc/mod.rs` Mongodb): half the suppliers seed the upstream
+    BEFORE the table exists (initial snapshot at the pinned resume
+    token), the rest insert afterwards and every 5th supplier deletes
+    — all replayed as $changeStream events over OP_MSG/BSON and
+    folding through the upsert path; the engine's MV must equal the
+    upstream's final state."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.mongowire import LoopbackMongo, MongoClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 200)
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    )
+    mg = LoopbackMongo().start()
+    try:
+        c = MongoClient(mg.host, mg.port)
+        half = len(rows) // 2
+        if rows[:half]:
+            c.insert("db", "supp", [
+                {"_id": int(r.s_suppkey), "nk": int(r.s_nationkey)}
+                for r in rows[:half]
+            ])
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_mgcq_"))
+        eng.sql(
+            f"""CREATE TABLE msupp (_id int8 PRIMARY KEY, nk int8) WITH (
+                connector = 'mongodb-cdc', hostname = '{mg.host}',
+                port = '{mg.port}', collection.name = 'db.supp'
+            )"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW msupp_mv AS SELECT nk, "
+            "count(*) AS n, sum(_id) AS sk FROM msupp GROUP BY nk"
+        )
+        if rows[half:]:
+            c.insert("db", "supp", [
+                {"_id": int(r.s_suppkey), "nk": int(r.s_nationkey)}
+                for r in rows[half:]
+            ])
+        c.delete("db", "supp", [
+            {"q": {"_id": int(r.s_suppkey)}}
+            for r in rows if r.s_suppkey % 5 == 0
+        ])
+        c.close()
+        eng.poll_sources()
+        return eng.sql("SELECT nk, n, sk FROM msupp_mv ORDER BY nk")
+    finally:
+        mg.stop()
+
+
+@register(
     "sink_sqlserver_roundtrip",
     oracle="""
 SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nk

@@ -206,6 +206,25 @@ class MongoClient:
         return self.command({
             "insert": coll, "ordered": True, "documents": docs, "$db": db})
 
+    def change_stream(
+        self, db: str, coll: str, resume_after: int = 0,
+    ) -> tuple[list[dict], int]:
+        """Poll the collection's change stream (aggregate with a
+        $changeStream stage, resuming past the saved token) →
+        (events, last_token). Each event: operationType
+        insert|update|delete, documentKey, fullDocument (absent on
+        delete), _id._data the resume token."""
+        pipeline = [{"$changeStream": (
+            {"resumeAfter": {"_data": resume_after}} if resume_after
+            else {})}]
+        r = self.command({"aggregate": coll, "$db": db,
+                          "pipeline": pipeline, "cursor": {}})
+        events = r["cursor"]["firstBatch"]
+        last = resume_after
+        for e in events:
+            last = max(last, int(e["_id"]["_data"]))
+        return events, last
+
     def find(self, db: str, coll: str) -> list[dict]:
         resp = self.command({"find": coll, "$db": db})
         return resp["cursor"]["firstBatch"]
@@ -225,6 +244,14 @@ class LoopbackMongo:
                  host: str = "127.0.0.1", port: int = 0):
         self.user, self.password = user, password
         self.colls: dict[tuple, dict] = {}  # (db, coll) -> {idbson: doc}
+        # change-stream oplog: (db, coll) -> [(token, optype, key, full)]
+        # — every write appends a spec-shaped change event; aggregate
+        # with a $changeStream stage replays events past resumeAfter.
+        # Divergence, documented: no live tailing via getMore — a poll
+        # re-issues aggregate with the last resume token (valid real-
+        # Mongo usage; deterministic like the broker loopbacks).
+        self.oplog: dict[tuple, list] = {}
+        self._optime = 0
         self._lock = threading.Lock()
         server = self
 
@@ -255,6 +282,8 @@ class LoopbackMongo:
                             resp = self._delete(doc)
                         elif cmd == "find":
                             resp = self._find(doc)
+                        elif cmd == "aggregate":
+                            resp = self._aggregate(doc)
                         elif cmd in ("ping", "hello", "isMaster"):
                             resp = {"ok": 1.0}
                         else:
@@ -330,16 +359,28 @@ class LoopbackMongo:
                 return server.colls.setdefault(
                     (doc["$db"], doc[cmd]), {})
 
+            @staticmethod
+            def _log(ns, optype, key, full):
+                """Append a spec-shaped change event (caller holds the
+                lock). Token = monotonic optime, the resume cursor."""
+                server._optime += 1
+                server.oplog.setdefault(ns, []).append(
+                    (server._optime, optype, key, full))
+
             def _insert(self, doc):
                 with server._lock:
+                    ns = (doc["$db"], doc["insert"])
                     coll = self._coll(doc, "insert")
                     for d in doc.get("documents", []):
                         coll[bson_encode({"_id": d.get("_id")})] = d
+                        self._log(ns, "insert", {"_id": d.get("_id")},
+                                  dict(d))
                 return {"ok": 1.0, "n": len(doc.get("documents", []))}
 
             def _update(self, doc):
                 n = 0
                 with server._lock:
+                    ns = (doc["$db"], doc["update"])
                     coll = self._coll(doc, "update")
                     for u in doc.get("updates", []):
                         q, set_doc = u["q"], u["u"].get("$set", {})
@@ -347,6 +388,8 @@ class LoopbackMongo:
                         for key, d in list(coll.items()):
                             if self._matches(q, d):
                                 d.update(set_doc)
+                                self._log(ns, "update",
+                                          {"_id": d.get("_id")}, dict(d))
                                 hit = True
                                 n += 1
                         if not hit and u.get("upsert"):
@@ -354,22 +397,63 @@ class LoopbackMongo:
                             d.update(set_doc)
                             coll[bson_encode(
                                 {"_id": d.get("_id")})] = d
+                            self._log(ns, "insert",
+                                      {"_id": d.get("_id")}, dict(d))
                             n += 1
                 return {"ok": 1.0, "n": n}
 
             def _delete(self, doc):
                 n = 0
                 with server._lock:
+                    ns = (doc["$db"], doc["delete"])
                     coll = self._coll(doc, "delete")
                     for spec in doc.get("deletes", []):
                         q = spec["q"]
                         for key, d in list(coll.items()):
                             if self._matches(q, d):
                                 del coll[key]
+                                self._log(ns, "delete",
+                                          {"_id": d.get("_id")}, None)
                                 n += 1
                                 if spec.get("limit") == 1:
                                     break
                 return {"ok": 1.0, "n": n}
+
+            def _aggregate(self, doc):
+                """aggregate with a $changeStream stage: events past
+                resumeAfter._data, shaped per the public change-events
+                spec (mongodb.com/docs change-events): _id resume
+                token, operationType, ns, documentKey, fullDocument
+                (update events carry the post-image — the
+                fullDocument: updateLookup posture)."""
+                pipeline = doc.get("pipeline") or []
+                if not (pipeline and "$changeStream" in pipeline[0]):
+                    return {"ok": 0.0, "errmsg":
+                            "only $changeStream aggregates are supported"}
+                cs = pipeline[0]["$changeStream"] or {}
+                after = 0
+                tok = cs.get("resumeAfter")
+                if isinstance(tok, dict):
+                    after = int(tok.get("_data", 0))
+                ns = (doc["$db"], doc["aggregate"])
+                with server._lock:
+                    events = [
+                        {
+                            "_id": {"_data": t},
+                            "operationType": op,
+                            "ns": {"db": ns[0], "coll": ns[1]},
+                            "documentKey": key,
+                            **({"fullDocument": full}
+                               if full is not None else {}),
+                        }
+                        for t, op, key, full
+                        in server.oplog.get(ns, [])
+                        if t > after
+                    ]
+                return {"ok": 1.0, "cursor": {
+                    "id": 0,
+                    "ns": f"{ns[0]}.{ns[1]}",
+                    "firstBatch": events}}
 
             def _find(self, doc):
                 with server._lock:

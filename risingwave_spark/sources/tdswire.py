@@ -21,6 +21,7 @@ _SqlServerSink).
 
 from __future__ import annotations
 
+import re
 import socket
 import socketserver
 import struct
@@ -254,9 +255,58 @@ class TdsClient:
             pass
 
 
+#: sqlserver CDC __$operation codes (public: learn.microsoft.com
+#: cdc.fn_cdc_get_all_changes): 1=delete 2=insert 3=update-before
+#: 4=update-after
+_CDC_DELETE, _CDC_INSERT, _CDC_UPDATE_AFTER = 1, 2, 4
+
+_CDC_ENABLE_RX = re.compile(
+    r"EXEC\s+sys\.sp_cdc_enable_table\s+@source_schema\s*=\s*N?'(\w+)'\s*,"
+    r"\s*@source_name\s*=\s*N?'(\w+)'", re.I)
+_CDC_MAX_LSN_RX = re.compile(
+    r"^\s*SELECT\s+sys\.fn_cdc_get_max_lsn\(\)", re.I)
+_CDC_CHANGES_RX = re.compile(
+    r"FROM\s+cdc\.fn_cdc_get_all_changes_(\w+)\s*\(\s*(\d+)\s*,\s*(\d+)"
+    r"\s*,\s*N?'all'\s*\)", re.I)
+_DML_RX = re.compile(
+    r"^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM)\s+(\w+)", re.I)
+
+
+def _split_tsql(batch: str) -> list[str]:
+    """Split a T-SQL batch on semicolons outside string literals."""
+    out, cur, in_str = [], [], False
+    for ch in batch:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            s = "".join(cur).strip()
+            if s:
+                out.append(s)
+            cur = []
+        else:
+            cur.append(ch)
+    s = "".join(cur).strip()
+    if s:
+        out.append(s)
+    return out
+
+
 class LoopbackSqlServer:
     """DuckDB answering over genuine TDS framing and token streams,
-    with real LOGIN7 credential verification."""
+    with real LOGIN7 credential verification.
+
+    CDC surface (the Debezium/reference polling contract —
+    `src/connector/src/source/cdc/external/sql_server.rs`): after
+    `EXEC sys.sp_cdc_enable_table @source_schema=..., @source_name=...`
+    every DML on that table is captured into a change table; clients
+    poll `SELECT sys.fn_cdc_get_max_lsn()` and read
+    `cdc.fn_cdc_get_all_changes_<schema>_<table>(from, to, 'all')`
+    getting __$start_lsn/__$seqval/__$operation + the row image.
+    Divergences, documented: LSNs are integers rendered in decimal
+    (real SQL Server: binary(10) hex) and 'all' mode only — updates
+    appear as a single operation-4 after-image (no operation-3 before
+    row); deletes carry the full before row, as real change tables
+    do."""
 
     def __init__(self, user: str = "sa", password: str = "fedpw",
                  database: str = "fedb", host: str = "127.0.0.1",
@@ -266,6 +316,11 @@ class LoopbackSqlServer:
         self.user, self.password, self.database = user, password, database
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
+        #: capture instance ("schema_table") → source table name
+        self.cdc_captures: dict[str, str] = {}
+        #: capture instance → [(lsn, seqval, op, row_dict)]
+        self.cdc_changes: dict[str, list] = {}
+        self._lsn = 0
         server = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -339,6 +394,57 @@ class LoopbackSqlServer:
                         + struct.pack("<HHQ", 0x02, 0, 0))
 
             def _run(self, sql: str) -> bytes:
+                # ---- CDC surface (intercepted before DuckDB) --------
+                m = _CDC_ENABLE_RX.search(sql)
+                if m:
+                    cap = f"{m.group(1)}_{m.group(2)}"
+                    with server._dblock:
+                        server.cdc_captures[cap] = m.group(2)
+                        server.cdc_changes.setdefault(cap, [])
+                    return (bytes([_TOK_DONE])
+                            + struct.pack("<HHQ", 0x10, 0, 0))
+                if _CDC_MAX_LSN_RX.match(sql):
+                    with server._dblock:
+                        return self._result(["lsn"], [(server._lsn,)])
+                m = _CDC_CHANGES_RX.search(sql)
+                if m:
+                    cap, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+                    with server._dblock:
+                        if cap not in server.cdc_captures:
+                            return self._error(
+                                313, f"capture instance {cap!r} is not "
+                                "enabled (sp_cdc_enable_table)")
+                        table = server.cdc_captures[cap]
+                        names = [d[0] for d in server._db.execute(
+                            f"SELECT * FROM {table} LIMIT 0").description]
+                        hdr = ["__$start_lsn", "__$seqval", "__$operation"]
+                        rows = [
+                            tuple([lsn, seq, op] + [row.get(n) for n in names])
+                            for lsn, seq, op, row in server.cdc_changes[cap]
+                            if lo <= lsn <= hi
+                        ]
+                    return self._result(hdr + names, rows)
+                # DML on a CDC-enabled table: capture change images the
+                # way the real server's capture job would (multi-
+                # statement batches split so each statement captures)
+                if server.cdc_captures:
+                    stmts = _split_tsql(sql)
+                    if len(stmts) > 1:
+                        res = b""
+                        for s in stmts:
+                            res = self._run(s)
+                            if res[:1] == bytes([_TOK_ERROR]):
+                                return res
+                        return res
+                    md = _DML_RX.match(sql)
+                    if md:
+                        tbl = md.group(2)
+                        caps = [c for c, t in server.cdc_captures.items()
+                                if t == tbl]
+                        if caps:
+                            return self._run_dml_cdc(
+                                md.group(1).split()[0].upper(), tbl,
+                                sql, caps)
                 with server._dblock:
                     try:
                         cur = server._db.execute(sql)
@@ -354,10 +460,60 @@ class LoopbackSqlServer:
                 if not cols:
                     return (bytes([_TOK_DONE])
                             + struct.pack("<HHQ", 0x10, 0, 0))
+                return self._result([c for c, _t in cols], out)
+
+            def _run_dml_cdc(self, verb: str, table: str, sql: str,
+                             caps: list[str]) -> bytes:
+                from risingwave_spark.sources.pgwire import (
+                    duck_exec_dml_with_wal,
+                )
+
+                with server._dblock:
+                    try:
+                        names = [d[0] for d in server._db.execute(
+                            f"SELECT * FROM {table} LIMIT 0").description]
+                        info = server._db.execute(
+                            f"PRAGMA table_info('{table}')").fetchall()
+                        pks = {r[1] for r in info if r[5]} or set(names)
+                        if verb == "DELETE":
+                            # real change tables store the FULL before
+                            # row for deletes — capture it before the
+                            # delete applies
+                            mw = re.search(r"\bWHERE\b(.*)$", sql,
+                                           re.I | re.S)
+                            where = (f" WHERE {mw.group(1)}" if mw
+                                     else "")
+                            old = server._db.execute(
+                                f"SELECT * FROM {table}{where}"
+                            ).fetch_arrow_table().to_pylist()
+                            server._db.execute(sql)
+                            n = len(old)
+                            entries = [
+                                (table, "D",
+                                 {k: d.get(k) for k in pks}, dict(d))
+                                for d in old
+                            ]
+                        else:
+                            n, entries = duck_exec_dml_with_wal(
+                                server._db, verb, table, sql, names, pks)
+                    except Exception as e:  # noqa: BLE001
+                        return self._error(50000, str(e))
+                    server._lsn += 1
+                    for seq, (_tbl, op, key, new) in enumerate(entries):
+                        code = {"I": _CDC_INSERT, "U": _CDC_UPDATE_AFTER,
+                                "D": _CDC_DELETE}[op]
+                        row = new if new is not None else dict(key)
+                        for cap in caps:
+                            server.cdc_changes[cap].append(
+                                (server._lsn, seq, code, row))
+                return (bytes([_TOK_DONE])
+                        + struct.pack("<HHQ", 0x10, 0, n))
+
+            def _result(self, names: list[str], out: list) -> bytes:
                 types = []
                 meta = bytes([_TOK_COLMETADATA]) + struct.pack(
-                    "<H", len(cols))
-                for ci, (cname, _duck_t) in enumerate(cols):
+                    "<H", len(names))
+                for ci, cname in enumerate(names):
                     # duckdb's DBAPI reports generic names ("NUMBER");
                     # type from the first non-NULL value instead
                     sample = next(
@@ -425,3 +581,61 @@ class LoopbackSqlServer:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+
+class SqlServerCdcReader:
+    """Client side of the SQL Server CDC polling contract (reference
+    `src/connector/src/source/cdc/mod.rs:54` SqlServer +
+    `source/cdc/external/` — Debezium's SQL Server connector polls the
+    same three statements): enable capture, poll the max LSN, read the
+    change-table window since the saved LSN. Operations map per the
+    public cdc.fn_cdc_get_all_changes contract: 2=insert and 4=update
+    after-image → upsert, 1=delete → tombstone (3, the update
+    before-image, is only emitted in 'all update old' mode, which this
+    reader does not request)."""
+
+    def __init__(self, host: str, port: int, user: str, password: str,
+                 database: str, schema: str, table: str):
+        self.client = TdsClient(host, port, user, password, database)
+        self.capture = f"{schema}_{table}"
+        self.schema, self.table = schema, table
+
+    def enable(self) -> None:
+        """EXEC sys.sp_cdc_enable_table — idempotent on the loopback
+        (a real server errors if already enabled; callers catch)."""
+        self.client.query(
+            f"EXEC sys.sp_cdc_enable_table @source_schema = "
+            f"N'{self.schema}', @source_name = N'{self.table}', "
+            f"@role_name = NULL"
+        )
+
+    def max_lsn(self) -> int:
+        _cols, rows = self.client.query(
+            "SELECT sys.fn_cdc_get_max_lsn() AS lsn")
+        return int(rows[0][0] or 0)
+
+    def snapshot(self) -> tuple[list[str], list[list]]:
+        return self.client.query(f"SELECT * FROM {self.table}")
+
+    def changes(self, from_lsn: int, to_lsn: int):
+        """Change rows with from_lsn < lsn <= to_lsn →
+        [(lsn, seqval, op_code, row_dict)] ordered by (lsn, seqval)."""
+        if to_lsn <= from_lsn:
+            return []
+        cols, rows = self.client.query(
+            f"SELECT * FROM cdc.fn_cdc_get_all_changes_{self.capture}"
+            f"({from_lsn + 1}, {to_lsn}, N'all') "
+            "ORDER BY __$start_lsn, __$seqval"
+        )
+        out = []
+        for r in rows:
+            d = dict(zip(cols, r))
+            lsn = int(d.pop("__$start_lsn"))
+            seq = int(d.pop("__$seqval"))
+            op = int(d.pop("__$operation"))
+            out.append((lsn, seq, op, d))
+        out.sort(key=lambda x: (x[0], x[1]))
+        return out
+
+    def close(self) -> None:
+        self.client.close()
