@@ -5885,6 +5885,41 @@ class _KafkaSink:
         if events:
             self._produce_events(events)
 
+    #: Spark tasks per chunk for the generalized executor-side emit
+    #: (kafka's own path sizes by topic partitions instead)
+    EXEC_TASKS = 8
+
+    def _emit_chunk_exec(self, df, family: str, cfg: dict,
+                         topic: str) -> None:
+        """Executor-side emit shared by the non-kafka broker families
+        (sources/sink_exec.py): pk-hash repartition, per-task format +
+        wire produce — no driver-side collect on the emit path. The
+        driver-side probe raises OSError while the broker is down so
+        the chunk stays un-acked for redelivery (the kafka contract)."""
+        import time as _time
+
+        from risingwave_spark.sources.sink_exec import (
+            make_sink_partition_producer,
+        )
+
+        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
+        if not self.pk:
+            # constant-key MVs are one logical row: collected path
+            return self._emit_chunk_collected(df, cols)
+        self._probe_alive()
+        func = make_sink_partition_producer(
+            family, cfg, topic, self.fmt, self.fields, self.pk,
+            self.db, self.table, int(_time.time() * 1000), OP_COL, cols,
+        )
+        (
+            df.repartition(self.EXEC_TASKS, *self.pk)
+            .sortWithinPartitions("__chunk", *self.pk, OP_COL)
+            .foreachPartition(func)
+        )
+
+    def _probe_alive(self) -> None:  # overridden per family
+        pass
+
     def drain(self) -> None:
         while True:
             got = self.sub.fetch()
@@ -5928,12 +5963,27 @@ class _KinesisSink(_KafkaSink):
         self.db, self.table = db, table
         self.avro = None
 
+    def _exec_cfg(self) -> dict:
+        return {
+            "endpoint": (self.opts.get("endpoint")
+                         or self.opts.get("aws.endpoint")),
+            "region": self.opts.get("aws.region", "us-east-1"),
+            "access": self.opts.get(
+                "aws.credentials.access_key_id", "test"),
+            "secret": self.opts.get(
+                "aws.credentials.secret_access_key", "test"),
+        }
+
+    def _probe_alive(self) -> None:
+        # DescribeStream doubles as the liveness probe (urllib errors
+        # are OSError subclasses → un-acked chunk, redelivery)
+        _kinesis_client_from_opts(self.opts).describe_stream(self.stream)
+
     def _emit_chunk(self, df) -> None:
-        # driver-side collected path: the chunk is the bounded changelog
-        # DIFF; kinesis PutRecords has no per-partition producer to farm
-        # out to (the HTTP API batches centrally anyway)
-        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
-        self._emit_chunk_collected(df, cols)
+        # executor-side PutRecords (reference kinesis.rs: each sink
+        # actor puts its own records; the partition key preserves
+        # per-key order service-side)
+        self._emit_chunk_exec(df, "kinesis", self._exec_cfg(), self.stream)
 
     def _produce_events(self, events: list) -> None:
         import json as _json
@@ -5947,13 +5997,29 @@ class _KinesisSink(_KafkaSink):
         client.put_records(self.stream, records)
 
 
+class _CollectedSink(_KafkaSink):
+    """Base for the HTTP-batch / staged sinks (Es, Redis, Dynamo,
+    Iceberg, BigQuery, file sinks, JDBC, DeltaLake, ClickHouse,
+    StreamLoad, Mongo): the chunk — the BOUNDED changelog diff — is
+    collected driver-side and applied as the service's own batch call
+    (a _bulk body, an insertAll, one staged object, a Stream Load
+    transaction). Bounded per chunk by the chunk-granular drain;
+    posture recorded in PLANS.md."""
+
+    def _emit_chunk(self, df) -> None:
+        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
+        self._emit_chunk_collected(df, cols)
+
+
 class _MqttSink(_KafkaSink):
     """MQTT sink over the real 3.1.1 wire (reference
     `src/connector/src/sink/mqtt.rs`: rumqttc AsyncClient publishing
     row-encoded payloads; the reference validates the sink is
     append-only — same rule enforced at CREATE here): PUBLISHes each
     insert's value JSON to the topic at QoS 1, awaiting PUBACK —
-    broker-confirmed delivery, the at-least-once contract."""
+    broker-confirmed delivery, the at-least-once contract. Emit runs
+    EXECUTOR-SIDE (sources/sink_exec.py): each task publishes over its
+    own client."""
 
     def __init__(self, engine, sub, opts: dict, topic: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -5967,9 +6033,17 @@ class _MqttSink(_KafkaSink):
         self.db, self.table = db, table
         self.avro = None
 
+    def _probe_alive(self) -> None:
+        import uuid as _uuid
+
+        from risingwave_spark.sources.mqtt_wire import MqttClient
+
+        MqttClient(self.host, self.port,
+                   f"rw_probe_{_uuid.uuid4().hex[:8]}").disconnect()
+
     def _emit_chunk(self, df) -> None:
-        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
-        self._emit_chunk_collected(df, cols)
+        self._emit_chunk_exec(
+            df, "mqtt", {"host": self.host, "port": self.port}, self.topic)
 
     def _produce_events(self, events: list) -> None:
         import json as _json
@@ -6007,6 +6081,15 @@ class _NatsSink(_MqttSink):
         self.db, self.table = db, table
         self.avro = None
 
+    def _probe_alive(self) -> None:
+        from risingwave_spark.sources.nats_wire import NatsClient
+
+        NatsClient(self.host, self.port).close()
+
+    def _emit_chunk(self, df) -> None:
+        self._emit_chunk_exec(
+            df, "nats", {"host": self.host, "port": self.port}, self.topic)
+
     def _produce_events(self, events: list) -> None:
         import json as _json
 
@@ -6043,6 +6126,20 @@ class _PubSubSink(_MqttSink):
         self.db, self.table = db, table
         self.avro = None
 
+    def _probe_alive(self) -> None:
+        import socket as _socket
+        import urllib.parse as _up
+
+        u = _up.urlparse(self.host if "//" in self.host
+                         else f"http://{self.host}")
+        _socket.create_connection(
+            (u.hostname, u.port or 80), timeout=5).close()
+
+    def _emit_chunk(self, df) -> None:
+        self._emit_chunk_exec(
+            df, "google_pubsub",
+            {"host": self.host, "project": self.project}, self.topic)
+
     def _produce_events(self, events: list) -> None:
         import json as _json
 
@@ -6078,11 +6175,19 @@ class _PulsarSink(_KafkaSink):
         self.db, self.table = db, table
         self.avro = None
 
+    def _probe_alive(self) -> None:
+        from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+        PulsarWireClient(self.host, self.port).close()
+
     def _emit_chunk(self, df) -> None:
-        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
-        self._emit_chunk_collected(df, cols)
+        self._emit_chunk_exec(
+            df, "pulsar", {"host": self.host, "port": self.port},
+            self.topic)
 
     def _produce_events(self, events: list) -> None:
+        """Driver-side path for bootstrap slices: pipelined SENDs
+        (send_batch — receipts drain per window, not per message)."""
         import json as _json
 
         from risingwave_spark.sources.pulsar_wire import PulsarWireClient
@@ -6090,18 +6195,20 @@ class _PulsarSink(_KafkaSink):
         c = PulsarWireClient(self.host, self.port)
         try:
             pname = c.create_producer(self.topic, producer_id=0)
+            msgs = []
             for i, (k, v) in enumerate(events):
                 key = _json.dumps(k, sort_keys=True)
                 payload = (
                     b"" if v is None
                     else _json.dumps(v, sort_keys=True).encode()
                 )
-                c.send(0, pname, i, payload, partition_key=key)
+                msgs.append((i, payload, key))
+            c.send_batch(0, pname, msgs)
         finally:
             c.close()
 
 
-class _EsSink(_MqttSink):
+class _EsSink(_CollectedSink):
     """Elasticsearch/OpenSearch sink over the real _bulk REST API
     (reference `sink/elasticsearch_opensearch/`: converter emits
     index-on-upsert / delete-on-retract ops; `_id` = pk values joined
@@ -6139,7 +6246,7 @@ class _EsSink(_MqttSink):
             self.client.bulk(actions)
 
 
-class _RedisSink(_MqttSink):
+class _RedisSink(_CollectedSink):
     """Redis sink over the real RESP protocol (reference
     `sink/redis.rs`: pipelines of SET on upsert, DEL on retraction;
     `key_format`/`value_format` `{col}` templates — redis.rs:44-45,
@@ -6196,7 +6303,7 @@ class _RedisSink(_MqttSink):
             c.close()
 
 
-class _DynamoSink(_MqttSink):
+class _DynamoSink(_CollectedSink):
     """DynamoDB sink over the real AWS JSON 1.0 API with SigV4-signed
     requests (reference `sink/dynamodb.rs`: PutItem on upsert,
     DeleteItem on retraction, keyed by the table's key schema — the
@@ -6232,7 +6339,7 @@ class _DynamoSink(_MqttSink):
                 self.client.put_item(self.topic, v)
 
 
-class _IcebergSink(_MqttSink):
+class _IcebergSink(_CollectedSink):
     """Iceberg append-only sink against a storage catalog (reference
     `src/connector/src/sink/iceberg/`: append-only mode commits data
     files through fast-append snapshots): each chunk's inserts write
@@ -6454,7 +6561,7 @@ class _IcebergSink(_MqttSink):
             append_snapshot(self.warehouse, self.database, self.topic, files)
 
 
-class _BigQuerySink(_MqttSink):
+class _BigQuerySink(_CollectedSink):
     """BigQuery sink over the REST streaming-insert API with the real
     OAuth2 service-account (RS256 JWT-bearer) flow — reference
     `src/connector/src/sink/big_query.rs` (options bigquery.project/
@@ -6512,7 +6619,7 @@ class _BigQuerySink(_MqttSink):
                 self.project, self.dataset, self.topic, rows)
 
 
-class _SnowflakeSink(_MqttSink):
+class _SnowflakeSink(_CollectedSink):
     """Snowflake sink (reference `src/connector/src/sink/file_sink/
     s3.rs:164-200` SnowflakeSink: the snowflake connector IS the S3
     file sink — Snowpipe auto-ingest reads the staged files — with
@@ -6716,13 +6823,23 @@ class _WebHdfsFileSink(_GcsFileSink):
         self._client().create(key, data)
 
 
-class _JdbcSink(_MqttSink):
+class _JdbcSink(_CollectedSink):
     """JDBC sink over the Postgres wire protocol (reference
     `sink/remote.rs` jdbc sink via the connector node; here the
     postgresql dialect speaks directly — sources/pgwire.py): each
-    chunk's events apply as parameter-inlined SQL — upsert via
-    `INSERT ... ON CONFLICT (pk) DO UPDATE`, retraction via
-    `DELETE ... WHERE pk = ...` — one connection per chunk."""
+    chunk's events apply as parameter-inlined SQL, BATCHED the way the
+    reference's JDBC writer batches prepared statements — consecutive
+    upserts/inserts collapse into one multi-row `INSERT ... VALUES
+    (...), (...) [ON CONFLICT (pk) DO UPDATE]` and consecutive
+    retractions into one OR-of-keys `DELETE`, ≤ BATCH_EVENTS per
+    statement — one wire round trip per batch instead of per event.
+    Single-statement batches keep the pg loopback's WAL interception
+    intact (a multi-row INSERT is still ONE statement). A repeated pk
+    inside a pending insert batch flushes first: PG rejects two
+    ON CONFLICT updates to the same row in one statement."""
+
+    #: events per batched statement
+    BATCH_EVENTS = 500
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -6762,35 +6879,62 @@ class _JdbcSink(_MqttSink):
         if not events:
             return
         cols = [c for c, _t in self.fields]
+        collist = ", ".join(cols)
+        sets = ", ".join(
+            f"{col} = excluded.{col}" for col in cols
+            if col not in self.pk
+        ) or f"{self.pk[0]} = excluded.{self.pk[0]}"
         c = self._connect()
+        ins: list[str] = []
+        ins_keys: set = set()
+        dels: list[str] = []
+
+        def flush_ins():
+            if not ins:
+                return
+            sql = (f"INSERT INTO {self.topic} ({collist}) VALUES "
+                   + ", ".join(ins))
+            if self.fmt == "upsert":
+                sql += (f" ON CONFLICT ({', '.join(self.pk)}) "
+                        f"DO UPDATE SET {sets}")
+            c.query(sql)
+            ins.clear()
+            ins_keys.clear()
+
+        def flush_dels():
+            if not dels:
+                return
+            c.query(f"DELETE FROM {self.topic} WHERE "
+                    + " OR ".join(f"({w})" for w in dels))
+            dels.clear()
+
         try:
             for k, v in events:
-                where = " AND ".join(
-                    f"{col} = {self._lit(k[col])}" for col in self.pk
-                )
+                kt = tuple(str(k[col]) for col in self.pk)
                 if v is None:
-                    c.query(f"DELETE FROM {self.topic} WHERE {where}")
+                    flush_ins()  # order: a delete after its insert
+                    dels.append(" AND ".join(
+                        f"{col} = {self._lit(k[col])}" for col in self.pk
+                    ))
+                    if len(dels) >= self.BATCH_EVENTS:
+                        flush_dels()
                     continue
-                collist = ", ".join(cols)
-                vals = ", ".join(self._lit(v.get(col)) for col in cols)
-                if self.fmt == "upsert":
-                    sets = ", ".join(
-                        f"{col} = excluded.{col}" for col in cols
-                        if col not in self.pk
-                    ) or f"{self.pk[0]} = excluded.{self.pk[0]}"
-                    c.query(
-                        f"INSERT INTO {self.topic} ({collist}) VALUES ({vals}) "
-                        f"ON CONFLICT ({', '.join(self.pk)}) DO UPDATE SET {sets}"
-                    )
-                else:
-                    c.query(
-                        f"INSERT INTO {self.topic} ({collist}) VALUES ({vals})"
-                    )
+                flush_dels()  # order: an insert after its delete
+                if kt in ins_keys:
+                    flush_ins()  # PG: one ON CONFLICT hit per row/stmt
+                ins_keys.add(kt)
+                ins.append(
+                    "(" + ", ".join(self._lit(v.get(col)) for col in cols)
+                    + ")")
+                if len(ins) >= self.BATCH_EVENTS:
+                    flush_ins()
+            flush_dels()
+            flush_ins()
         finally:
             c.close()
 
 
-class _DeltaLakeSink(_MqttSink):
+class _DeltaLakeSink(_CollectedSink):
     """Delta Lake append-only sink (reference `sink/deltalake.rs`:
     option `location`, "only append-only delta lake sink is
     supported" — deltalake.rs:342): each chunk's inserts write one
@@ -6845,7 +6989,7 @@ class _DeltaLakeSink(_MqttSink):
         append_files(self.location, rel)
 
 
-class _ClickHouseSink(_MqttSink):
+class _ClickHouseSink(_CollectedSink):
     """ClickHouse sink over the public HTTP interface (reference
     `sink/clickhouse.rs`: clickhouse.url/user/password/database/table
     + clickhouse.delete.column). Append-only inserts rows as
@@ -6894,7 +7038,7 @@ class _ClickHouseSink(_MqttSink):
                 self.database, self.topic, rows)
 
 
-class _StreamLoadSink(_MqttSink):
+class _StreamLoadSink(_CollectedSink):
     """Doris/StarRocks sink over the public Stream Load API (reference
     `sink/doris.rs` / `sink/starrocks.rs` via
     `doris_starrocks_connector.rs:249`): one labeled PUT per chunk,
@@ -6958,7 +7102,7 @@ class _StarrocksSink(_StreamLoadSink):
     PREFIX = "starrocks"
 
 
-class _MongoSink(_MqttSink):
+class _MongoSink(_CollectedSink):
     """MongoDB sink over the real OP_MSG wire (reference
     `src/connector/src/sink/mongodb.rs`: options mongodb.url +
     collection.name 'db.coll'; upsert as bulk update commands

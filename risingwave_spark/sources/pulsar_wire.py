@@ -244,6 +244,38 @@ class PulsarWireClient:
         rc = decode_fields(rcmd[SEND_RECEIPT][0])
         return parse_message_id(one(rc, 3, b""))
 
+    def send_batch(
+        self,
+        producer_id: int,
+        producer_name: str,
+        messages: list[tuple[int, bytes, str | None]],
+        window: int = 64,
+    ) -> None:
+        """PIPELINED sends: write up to `window` SEND frames before
+        draining their receipts, same socket (the reference's pulsar
+        client pipelines sends the same way — a round trip per message
+        was the measured bottleneck in SCALING.md's r9 soak).
+        messages = [(seq, payload, partition_key|None)]."""
+        i = 0
+        while i < len(messages):
+            burst = messages[i:i + window]
+            i += len(burst)
+            for seq, payload, key in burst:
+                md = (f_str(1, producer_name) + f_varint(2, seq)
+                      + f_varint(3, 0))
+                if key is not None:
+                    md += f_str(6, key)
+                cmd = base_command(
+                    SEND, f_varint(1, producer_id) + f_varint(2, seq))
+                self._send_payload_cmd(cmd, md, payload)
+            for _ in burst:
+                ctype, _rcmd, _m, _p = self._read_frame()
+                if ctype == SEND_ERROR:
+                    raise OSError("pulsar SEND rejected")
+                if ctype != SEND_RECEIPT:
+                    raise OSError(
+                        f"expected SEND_RECEIPT, got type {ctype}")
+
     # ----------------------------------------------------------- consumer
     def subscribe(self, topic: str, subscription: str, consumer_id: int = 0) -> None:
         """Durable shared subscription from Earliest — the broker-side

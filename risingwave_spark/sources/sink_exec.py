@@ -1,0 +1,160 @@
+"""Executor-side produce for the non-kafka broker sinks — the per-task
+wire producers the reference runs in its sink actors (each sink
+executor owns a writer: `sink/kinesis.rs`, `sink/pulsar.rs`,
+`sink/mqtt.rs`, `sink/nats.rs`, `sink/google_pubsub.rs`; nothing
+funnels through a single node). The driver's role shrinks to routing
+the changelog DIFF into pk-hashed Spark partitions; each task formats
+its sorted rows and produces them over its OWN wire client, so sink
+throughput scales with executors instead of driver bandwidth — the
+same contract sources/kafka_exec.py established for the kafka sink.
+
+Ordering: a pk hashes to ONE Spark partition (all of its −/+ rows,
+every chunk, in one task, sorted by (chunk, pk, op)); kinesis routes
+by partition key and pulsar by message key, so per-key event order is
+what a single producer emitted — the only order those systems
+guarantee anyway. The append-only families (mqtt/nats/pubsub) carry
+keyless inserts where cross-task order is unspecified by the service
+itself.
+
+Registered for pickle-BY-VALUE (with the wire/format modules it
+depends on) so the closures travel inside the task payload — Python
+workers never need `risingwave_spark` importable (the
+sources/decoders.py mechanism).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import uuid
+
+try:  # pragma: no cover - depends on the vendored cloudpickle version
+    from pyspark import cloudpickle as _cloudpickle
+
+    import risingwave_spark.sources.kafka_exec as _ke
+    import risingwave_spark.sources.kinesis as _kin
+    import risingwave_spark.sources.mqtt_wire as _mq
+    import risingwave_spark.sources.nats_wire as _na
+    import risingwave_spark.sources.pubsub as _ps
+    import risingwave_spark.sources.pulsar_wire as _pw
+    import risingwave_spark.sources.sink_format as _sf
+
+    for _m in (sys.modules[__name__], _ke, _kin, _mq, _na, _ps, _pw, _sf):
+        _cloudpickle.register_pickle_by_value(_m)
+except Exception:  # noqa: BLE001
+    pass
+
+# module-top imports: these names become by-value globals of the task
+# closures (the registered modules travel inside the pickle) — a
+# function-body `from risingwave_spark...` import would fail on
+# executor workers that can't import the package at all
+from risingwave_spark.sources.kafka_exec import format_rows, py_val
+from risingwave_spark.sources.kinesis import KinesisClient
+from risingwave_spark.sources.mqtt_wire import MqttClient
+from risingwave_spark.sources.nats_wire import NatsClient
+from risingwave_spark.sources.pubsub import PubSubClient
+from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+
+def _produce_kinesis(cfg: dict, topic: str, events: list) -> None:
+    """PutRecords from the task (reference kinesis.rs: each sink actor
+    puts its own records; the partition key preserves per-key order)."""
+    client = KinesisClient(
+        cfg["endpoint"], region=cfg["region"],
+        access_key=cfg["access"], secret_key=cfg["secret"])
+    records = []
+    for k, v in events:
+        kb = json.dumps(k, sort_keys=True)
+        data = b"" if v is None else json.dumps(v, sort_keys=True).encode()
+        records.append((kb, data))
+    if records:
+        client.put_records(topic, records)
+
+
+def _produce_mqtt(cfg: dict, topic: str, events: list) -> None:
+    c = MqttClient(cfg["host"], cfg["port"],
+                   f"rw_pub_{uuid.uuid4().hex[:8]}")
+    try:
+        for _k, v in events:
+            if v is None:
+                continue  # no tombstones in an append-only stream
+            c.publish(topic, json.dumps(v, sort_keys=True).encode(), qos=1)
+    finally:
+        c.disconnect()
+
+
+def _produce_nats(cfg: dict, topic: str, events: list) -> None:
+    c = NatsClient(cfg["host"], cfg["port"])
+    try:
+        for _k, v in events:
+            if v is None:
+                continue  # no tombstones in an append-only stream
+            c.js_publish(topic, json.dumps(v, sort_keys=True).encode())
+    finally:
+        c.close()
+
+
+def _produce_pubsub(cfg: dict, topic: str, events: list) -> None:
+    payloads = [
+        json.dumps(v, sort_keys=True).encode()
+        for _k, v in events
+        if v is not None  # no tombstones in an append-only stream
+    ]
+    if payloads:
+        PubSubClient(cfg["host"]).publish(cfg["project"], topic, payloads)
+
+
+def _produce_pulsar(cfg: dict, topic: str, events: list) -> None:
+    """Pipelined SENDs over the task's own socket (send_batch —
+    receipts drain per window, not per message)."""
+    c = PulsarWireClient(cfg["host"], cfg["port"])
+    try:
+        pname = c.create_producer(topic, producer_id=0)
+        msgs = []
+        for i, (k, v) in enumerate(events):
+            key = json.dumps(k, sort_keys=True)
+            payload = (b"" if v is None
+                       else json.dumps(v, sort_keys=True).encode())
+            msgs.append((i, payload, key))
+        c.send_batch(0, pname, msgs)
+    finally:
+        c.close()
+
+
+_PRODUCERS = {
+    "kinesis": _produce_kinesis,
+    "mqtt": _produce_mqtt,
+    "nats": _produce_nats,
+    "google_pubsub": _produce_pubsub,
+    "pulsar": _produce_pulsar,
+}
+
+
+def make_sink_partition_producer(
+    family: str,
+    cfg: dict,
+    topic: str,
+    fmt: str,
+    fields: list,
+    pk: list,
+    db: str,
+    table: str,
+    ts_ms: int,
+    op_col: str,
+    cols: list,
+):
+    """The foreachPartition task body: rows (already pk-partitioned and
+    (chunk, pk, op)-sorted) → formatter events → wire produce, one
+    client per task."""
+    produce = _PRODUCERS[family]
+
+    def produce_partition(rows_iter) -> None:
+        rows = [(r[op_col], {c: py_val(r[c]) for c in cols})
+                for r in rows_iter]
+        if not rows:
+            return
+        events = format_rows(fmt, rows, fields, pk, db, table, ts_ms)
+        if events:
+            produce(cfg, topic, events)
+
+    return produce_partition

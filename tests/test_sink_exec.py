@@ -1,0 +1,196 @@
+"""Executor-side emit for the non-kafka broker sinks
+(sources/sink_exec.py): spy tests assert NO driver-side collect on the
+emit path — the chunk repartitions by pk and each task produces over
+its own wire client, the reference's per-actor sink-writer posture
+(`sink/kinesis.rs`, `sink/pulsar.rs`, `sink/mqtt.rs`, `sink/nats.rs`,
+`sink/google_pubsub.rs`) — while the broker contents stay exactly what
+the drained changelog says."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+
+from risingwave_spark import frontend as fe
+from risingwave_spark.api import Engine
+
+
+@pytest.fixture()
+def no_collected_emit(monkeypatch):
+    """Fail the test if any sink falls back to the driver-side
+    collected path while a pk is present."""
+    real = fe._KafkaSink._emit_chunk_collected
+
+    def spy(self, df, cols):
+        if self.pk:
+            raise AssertionError(
+                f"{type(self).__name__} used the driver-side collected "
+                "path on a keyed chunk")
+        return real(self, df, cols)
+
+    monkeypatch.setattr(fe._KafkaSink, "_emit_chunk_collected", spy)
+    yield
+
+
+def _mk_engine(spark, prefix):
+    eng = Engine(spark, tempfile.mkdtemp(prefix=prefix))
+    eng.sql("CREATE TABLE st (id int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW smv AS SELECT id, v * 2 AS v2 FROM st")
+    return eng
+
+
+def test_pulsar_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.pulsar_broker import LoopbackPulsarBroker
+    from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+
+    b = LoopbackPulsarBroker().start()
+    try:
+        out = "persistent://public/default/exout"
+        eng = _mk_engine(spark, "rw_pexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='pulsar', "
+            f"topic='{out}', service.url='pulsar://{b.host}:{b.port}') "
+            "FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("UPDATE st SET v = 8 WHERE id = 2")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        c = PulsarWireClient(b.host, b.port)
+        c.subscribe(out, "verify", consumer_id=1)
+        state: dict = {}
+        while True:
+            batch = c.fetch(1, 64)
+            if not batch:
+                break
+            for mid, payload, key in batch:
+                k = json.loads(key)["id"]
+                if payload:
+                    state[k] = json.loads(payload)["v2"]
+                else:
+                    state.pop(k, None)
+                c.ack(1, mid)
+        c.close()
+        assert state == {1: 10, 2: 16}
+    finally:
+        b.stop()
+
+
+def test_mqtt_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.mqtt_broker import LoopbackMqttBroker
+    from risingwave_spark.sources.mqtt_wire import MqttClient
+
+    b = LoopbackMqttBroker().start()
+    try:
+        eng = _mk_engine(spark, "rw_mexe_")
+        sub = MqttClient(b.host, b.port, "w", clean_session=False)
+        sub.subscribe("out/e", qos=1)
+        sub.disconnect()
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='mqtt', "
+            f"url='tcp://{b.host}:{b.port}', topic='out/e', "
+            "force_append_only='true') FORMAT PLAIN ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        sub2 = MqttClient(b.host, b.port, "w", clean_session=False)
+        got = sorted(
+            tuple(json.loads(pl).values())
+            for _p, _t, pl in sub2.drain_backlog()
+        )
+        sub2.disconnect()
+        assert got == [(1, 10), (2, 14), (3, 18)]
+    finally:
+        b.stop()
+
+
+def test_nats_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.nats_broker import LoopbackNatsBroker
+    from risingwave_spark.sources.nats_wire import NatsClient
+
+    b = LoopbackNatsBroker().start()
+    try:
+        eng = _mk_engine(spark, "rw_nexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='nats', "
+            f"server_url='nats://{b.host}:{b.port}', subject='out.e', "
+            "stream='oute', force_append_only='true') "
+            "FORMAT PLAIN ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        w = NatsClient(b.host, b.port)
+        w.js_ensure_consumer("oute", "watch")
+        got = []
+        while True:
+            batch = w.js_fetch("oute", "watch", 16)
+            if not batch:
+                break
+            for tok, pl, _s in batch:
+                got.append(tuple(json.loads(pl).values()))
+                w.ack(tok)
+        w.close()
+        assert sorted(got) == [(1, 10), (2, 14), (3, 18)]
+    finally:
+        b.stop()
+
+
+def test_pubsub_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.pubsub import (
+        LoopbackPubSubEmulator,
+        PubSubClient,
+    )
+
+    b = LoopbackPubSubEmulator().start()
+    try:
+        host = f"{b.host}:{b.port}"
+        eng = _mk_engine(spark, "rw_gexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='google_pubsub', "
+            f"pubsub.emulator_host='{host}', pubsub.project_id='p1', "
+            "pubsub.topic='oute', force_append_only='true') "
+            "FORMAT PLAIN ENCODE JSON"
+        )
+        c = PubSubClient(host)
+        c.create_subscription("p1", "watch", "oute")
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        got = []
+        while True:
+            batch = c.pull("p1", "watch", 16)
+            if not batch:
+                break
+            got += [tuple(json.loads(d).values()) for _a, d, _m in batch]
+            c.acknowledge("p1", "watch", [a for a, _d, _m in batch])
+        assert sorted(got) == [(1, 10), (2, 14), (3, 18)]
+    finally:
+        b.stop()
+
+
+def test_kinesis_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.kinesis import KinesisClient, LoopbackKinesis
+
+    b = LoopbackKinesis(shards=2, access_key="AK", secret_key="SK").start()
+    try:
+        eng = _mk_engine(spark, "rw_kexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='kinesis', "
+            f"endpoint='{b.endpoint}', stream='oute', "
+            "aws.credentials.access_key_id='AK', "
+            "aws.credentials.secret_access_key='SK') "
+            "FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        c = KinesisClient(b.endpoint, access_key="AK", secret_key="SK")
+        state: dict = {}
+        desc = c.describe_stream("oute")
+        for sh in desc["StreamDescription"]["Shards"]:
+            it = c.get_shard_iterator("oute", sh["ShardId"])
+            for r in c.get_records(it)["Records"]:
+                k = json.loads(r["PartitionKey"])["id"]
+                if r["Data"]:
+                    state[k] = json.loads(r["Data"])["v2"]
+                else:
+                    state.pop(k, None)
+        assert state == {1: 10, 2: 14}
+    finally:
+        b.stop()
