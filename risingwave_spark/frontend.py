@@ -8668,11 +8668,15 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
             binary = _b64.b64decode("".join(b64.strip("'").split()))
         except Exception as e:  # noqa: BLE001
             raise ValueError(f"invalid base64 wasm module: {e}") from e
-        WasmModule(binary).invoke_check(name, len(params))  # fail at CREATE
+        from risingwave_spark.functions.wasm_runtime import wasm_abi_arity
+
+        ptypes = [_map_any_type(t) for _n, t in params]
+        # fail at CREATE: export exists and its wasm-level arity matches
+        # (a string param expands to a (ptr, len) pair)
+        WasmModule(binary).invoke_check(name, wasm_abi_arity(ptypes))
         spark.udf.register(
             name,
-            wasm_scalar_udf(name, binary, _map_any_type(returns),
-                            len(params)),
+            wasm_scalar_udf(name, binary, _map_any_type(returns), ptypes),
         )
         impl = "wasm"
     elif lang in ("javascript", "rust"):

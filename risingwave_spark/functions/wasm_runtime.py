@@ -6,19 +6,23 @@ memory). This container has no wasmtime and no toolchain to BUILD
 arrow-udf modules, so the engine takes the honest middle path: a real
 interpreter for the PUBLIC WebAssembly core binary format
 (webassembly.github.io/spec/core/binary) executing genuine wasm
-bytecode for numeric scalar functions — the module's exported
-function is called per value, with Arrow-batched transfer on the
-Spark side (create_function wraps it exactly like LANGUAGE python).
-Divergence from the reference, documented: the arrow-udf-wasm linear
--memory ABI is not implemented (functions take/return numeric wasm
-values: i32/i64/f32/f64); modules needing imports, linear memory,
-tables or globals reject loud.
+bytecode — the module's exported function is called per value, with
+Arrow-batched transfer on the Spark side (create_function wraps it
+exactly like LANGUAGE python). LINEAR MEMORY is implemented (memory
+section, data segments, the full load/store family, memory.size/grow
+with bounds traps), and string params/results travel through it via
+the classic (ptr, len) pair convention (invoke_with_strings).
+Divergence from the reference, documented: arrow-udf-wasm frames
+batches as Arrow IPC inside linear memory — producing such modules
+needs the arrow-udf toolchain this sandbox lacks; the per-value
+(ptr, len) ABI here carries the same information for scalar calls.
+Modules needing imports, tables or globals reject loud.
 
-Implemented instruction set (the MVP numeric core): structured
-control flow (block/loop/if/else, br/br_if/br_table, return, call),
-locals, select/drop, the full i32/i64 comparison+arithmetic+bitwise
-groups, f32/f64 arithmetic/comparison/rounding, and the int<->float
-conversions. Integer semantics are exact two's-complement
+Implemented instruction set: structured control flow (block/loop/
+if/else, br/br_if/br_table, return, call), locals, select/drop, the
+full i32/i64 comparison+arithmetic+bitwise groups, f32/f64
+arithmetic/comparison/rounding, the int<->float conversions, and the
+complete memory-access family. Integer semantics are exact two's-complement
 (wrap-around, signed/unsigned division with the spec's trap cases);
 float→int truncation traps on NaN/out-of-range per spec 4.3.2.2; f32
 results round through binary32 so f64 precision never leaks. Every
@@ -39,6 +43,13 @@ import struct
 
 _I32, _I64, _F32, _F64 = 0x7F, 0x7E, 0x7D, 0x7C
 _MASK32, _MASK64 = (1 << 32) - 1, (1 << 64) - 1
+
+#: load/store byte widths per opcode (spec 5.4.6)
+_LOAD_N = {0x28: 4, 0x29: 8, 0x2A: 4, 0x2B: 8, 0x2C: 1, 0x2D: 1,
+           0x2E: 2, 0x2F: 2, 0x30: 1, 0x31: 1, 0x32: 2, 0x33: 2,
+           0x34: 4, 0x35: 4}
+_STORE_N = {0x36: 4, 0x37: 8, 0x38: 4, 0x39: 8, 0x3A: 1, 0x3B: 2,
+            0x3C: 1, 0x3D: 2, 0x3E: 4}
 
 
 # ------------------------------------------------------------------ leb128
@@ -161,12 +172,19 @@ def _parse_expr(b: bytes, i: int) -> tuple[list, int]:
             (v,) = struct.unpack_from("<d", b, i)
             i += 8
             out.append(("const", v))
+        elif 0x28 <= op <= 0x3E:  # loads/stores: memarg (align, offset)
+            _align, i = _uleb(b, i)
+            off, i = _uleb(b, i)
+            out.append(("mem", op, off))
+        elif op in (0x3F, 0x40):  # memory.size / memory.grow (memidx 0)
+            i += 1
+            out.append(("op", op))
         elif op in (0x00, 0x01, 0x1A, 0x1B) or 0x45 <= op <= 0xBF:
             out.append(("op", op))
         else:
             raise NotImplementedError(
-                f"wasm opcode 0x{op:02x} is outside the supported numeric "
-                "MVP subset (no linear memory / tables / globals / simd)"
+                f"wasm opcode 0x{op:02x} is outside the supported subset "
+                "(no tables / globals / simd / reference types)"
             )
 
 
@@ -210,6 +228,9 @@ class WasmModule:
         self.func_types: list[int] = []
         self.exports: dict[str, int] = {}
         self.codes: list[tuple[list, list]] = []  # (local valtypes, body)
+        self.mem_min = 0  # pages declared by the memory section
+        self.mem_max = 1024  # 64 MiB cap unless the module says less
+        data_segs: list[tuple[int, bytes]] = []
         i = 8
         while i < len(binary):
             sec = binary[i]
@@ -223,19 +244,52 @@ class WasmModule:
                 if n:
                     raise NotImplementedError(
                         "wasm imports are not supported (self-contained "
-                        "numeric modules only)")
+                        "modules only)")
             elif sec == 3:
                 k = 0
                 n, k = _uleb(body, k)
                 for _ in range(n):
                     t, k = _uleb(body, k)
                     self.func_types.append(t)
+            elif sec == 5:  # memory: limits per spec 5.3.7
+                n, k = _uleb(body, 0)
+                if n:
+                    flag = body[k]
+                    self.mem_min, k = _uleb(body, k + 1)
+                    if flag & 0x01:
+                        mx, k = _uleb(body, k)
+                        self.mem_max = min(mx, self.mem_max)
             elif sec == 7:
                 self._parse_exports(body)
             elif sec == 10:
                 self._parse_codes(body)
-            # other sections (memory/global/table/custom…): skipped;
-            # code touching them hits the loud opcode gate
+            elif sec == 11:  # data: active segments at i32.const offsets
+                n, k = _uleb(body, 0)
+                for _ in range(n):
+                    flag, k = _uleb(body, k)
+                    if flag != 0:
+                        raise NotImplementedError(
+                            "only active memory-0 data segments are "
+                            "supported")
+                    if body[k] != 0x41:  # i32.const offset expr
+                        raise NotImplementedError(
+                            "data segment offsets must be i32.const")
+                    off, k = _sleb(body, k + 1)
+                    if body[k] != 0x0B:
+                        raise ValueError("malformed data segment offset")
+                    k += 1
+                    ln, k = _uleb(body, k)
+                    data_segs.append((off, body[k:k + ln]))
+                    k += ln
+            # other sections (global/table/custom…): skipped; code
+            # touching them hits the loud opcode gate
+        self.memory = bytearray(self.mem_min * 65536)
+        self.data_end = 0
+        for off, data in data_segs:
+            if off + len(data) > len(self.memory):
+                raise ValueError("data segment out of memory bounds")
+            self.memory[off:off + len(data)] = data
+            self.data_end = max(self.data_end, off + len(data))
 
     def _parse_types(self, b: bytes) -> None:
         n, i = _uleb(b, 0)
@@ -301,6 +355,42 @@ class WasmModule:
             return next(iter(self.exports.values()))
         raise ValueError(
             f"wasm module exports {sorted(self.exports)}, not {name!r}")
+
+    def invoke_with_strings(self, name: str, args: tuple,
+                            param_types: list[str], ret_is_str: bool):
+        """String calling convention over linear memory (documented
+        divergence from the reference's arrow-udf-wasm Arrow-IPC ABI,
+        `udf/wasm.rs` — building those modules needs the arrow-udf
+        toolchain this sandbox lacks; this is the classic (ptr, len)
+        pair convention): the host writes each string argument's UTF-8
+        bytes into linear memory and passes (ptr, len) i32 pairs,
+        reserving 2×len adjacent scratch the function may write output
+        into; a string RESULT returns packed i64 (ptr << 32) | len and
+        the host reads the bytes back. The bump heap resets per call
+        (scalar UDF rows are independent)."""
+        heap = max(self.data_end, 16)
+        call = []
+        for a, t in zip(args, param_types):
+            if t.lower() == "string":
+                b = str(a).encode()
+                need = heap + 2 * len(b) + 16
+                if need > len(self.memory):
+                    pages = (need - len(self.memory) + 65535) // 65536
+                    if self.grow(pages) < 0:
+                        raise WasmTrap("string arguments exceed memory max")
+                self.memory[heap:heap + len(b)] = b
+                call += [heap, len(b)]
+                heap += 2 * len(b) + 16
+            else:
+                call.append(a)
+        res = self.invoke(name, *call)
+        if not ret_is_str:
+            return res
+        ptr = (int(res) >> 32) & _MASK32
+        ln = int(res) & _MASK32
+        if ptr + ln > len(self.memory):
+            raise WasmTrap("string result out of memory bounds")
+        return bytes(self.memory[ptr:ptr + ln]).decode("utf-8", "replace")
 
     def invoke(self, name: str, *args):
         import sys
@@ -384,6 +474,8 @@ class WasmModule:
                 locals_[ins[1]] = stack[-1]
             elif tag == "op":
                 self._op(ins[1], stack)
+            elif tag == "mem":
+                self._mem_op(ins[1], ins[2], stack)
             elif tag == "block":
                 try:
                     self._exec(ins[2], stack, locals_)
@@ -429,6 +521,57 @@ class WasmModule:
             else:  # pragma: no cover
                 raise NotImplementedError(tag)
 
+    # ------------------------------------------------- linear memory
+    def grow(self, pages: int) -> int:
+        """memory.grow semantics: → previous size in pages, or -1 when
+        the max is exceeded."""
+        cur = len(self.memory) // 65536
+        if cur + pages > self.mem_max:
+            return -1
+        self.memory.extend(b"\x00" * (pages * 65536))
+        return cur
+
+    def _mem_slice(self, addr: int, off: int, n: int) -> int:
+        a = (addr & _MASK32) + off
+        if a + n > len(self.memory):
+            raise WasmTrap("out of bounds memory access")
+        return a
+
+    def _mem_op(self, op: int, off: int, st: list) -> None:
+        m = self.memory
+        if op <= 0x35:  # loads
+            a = self._mem_slice(st.pop(), off, _LOAD_N[op])
+            if op == 0x28:  # i32.load
+                st.append(int.from_bytes(m[a:a + 4], "little"))
+            elif op == 0x29:  # i64.load
+                st.append(int.from_bytes(m[a:a + 8], "little"))
+            elif op == 0x2A:  # f32.load
+                st.append(struct.unpack_from("<f", m, a)[0])
+            elif op == 0x2B:  # f64.load
+                st.append(struct.unpack_from("<d", m, a)[0])
+            else:
+                n = _LOAD_N[op]
+                v = int.from_bytes(m[a:a + n], "little")
+                if op in (0x2C, 0x2E, 0x30, 0x32, 0x34):  # signed loads
+                    if v >= 1 << (n * 8 - 1):
+                        v -= 1 << (n * 8)
+                mask = _MASK32 if op <= 0x2F else _MASK64
+                st.append(v & mask)
+            return
+        if op <= 0x3E:  # stores
+            v = st.pop()
+            n = _STORE_N[op]
+            a = self._mem_slice(st.pop(), off, n)
+            if op == 0x38:  # f32.store
+                struct.pack_into("<f", m, a, _f32(v))
+            elif op == 0x39:  # f64.store
+                struct.pack_into("<d", m, a, float(v))
+            else:
+                m[a:a + n] = (int(v) & ((1 << (n * 8)) - 1)).to_bytes(
+                    n, "little")
+            return
+        raise NotImplementedError(f"memory opcode 0x{op:02x}")
+
     # one scalar op; ints live UNSIGNED on the stack, sign-views on use
     def _op(self, op: int, st: list) -> None:
         def s32(v):
@@ -442,6 +585,12 @@ class WasmModule:
         if op == 0x00:
             raise WasmTrap("unreachable")
         if op == 0x01:
+            return
+        if op == 0x3F:  # memory.size
+            st.append(len(self.memory) // 65536)
+            return
+        if op == 0x40:  # memory.grow
+            st.append(self.grow(st.pop() & _MASK32) & _MASK32)
             return
         if op == 0x1A:
             st.pop()
@@ -647,11 +796,14 @@ class WasmModule:
 
 
 # ---------------------------------------------------------------- assembler
-def build_module(funcs: list[dict]) -> bytes:
+def build_module(funcs: list[dict], memory: int = 0,
+                 data: list[tuple[int, bytes]] | None = None) -> bytes:
     """Emit a spec-shaped wasm binary. Each func:
     {"name": export name, "params": [valtype...], "results": [...],
      "locals": [...], "body": bytes (raw instruction bytes, WITHOUT the
-     trailing end)}. Valtypes: 'i32' | 'i64' | 'f32' | 'f64'."""
+     trailing end)}. Valtypes: 'i32' | 'i64' | 'f32' | 'f64'.
+    `memory` declares a linear memory of that many 64 KiB pages;
+    `data` = [(offset, bytes)] active segments."""
     vt = {"i32": _I32, "i64": _I64, "f32": _F32, "f64": _F64}
 
     def vec(items: list[bytes]) -> bytes:
@@ -673,23 +825,79 @@ def build_module(funcs: list[dict]) -> bytes:
         ])
         body = locs + f["body"] + b"\x0b"
         codes.append(enc_uleb(len(body)) + body)
-    return (
+    out = (
         b"\x00asm\x01\x00\x00\x00"
         + section(1, vec(types))
         + section(3, vec(fsec))
-        + section(7, vec(exps))
-        + section(10, vec(codes))
+    )
+    if memory:
+        out += section(5, vec([b"\x00" + enc_uleb(memory)]))
+    out += section(7, vec(exps)) + section(10, vec(codes))
+    if data:
+        segs = [
+            b"\x00\x41" + enc_sleb(off) + b"\x0b"
+            + enc_uleb(len(d)) + d
+            for off, d in data
+        ]
+        out += section(11, vec(segs))
+    return out
+
+
+def build_ascii_upper() -> bytes:
+    """A bundled sample module (what the reference ships as example
+    arrow-udf-wasm UDFs): `wupper(ptr: i32, len: i32) -> i64` —
+    uppercase ASCII over linear memory, writing the result into the
+    2×len scratch region after the input (the invoke_with_strings
+    convention) and returning packed (out_ptr << 32) | len. Real
+    hand-assembled wasm bytecode: a load8/store8 loop with branch
+    logic — exercises memory, blocks, loops and i64 bit algebra."""
+    body = (
+        # block { loop {
+        b"\x02\x40" b"\x03\x40"
+        # if (i >= len) br 1
+        b"\x20\x02\x20\x01\x4f\x0d\x01"
+        # b = load8_u(ptr + i)
+        b"\x20\x00\x20\x02\x6a\x2d\x00\x00\x21\x03"
+        # if (b >= 97) { if (b <= 122) { b -= 32 } }
+        b"\x20\x03\x41\xe1\x00\x4e"
+        b"\x04\x40"
+        b"\x20\x03\x41\xfa\x00\x4c"
+        b"\x04\x40"
+        b"\x20\x03\x41\x20\x6b\x21\x03"
+        b"\x0b\x0b"
+        # store8(ptr + len + i, b)
+        b"\x20\x00\x20\x01\x6a\x20\x02\x6a\x20\x03\x3a\x00\x00"
+        # i += 1; continue
+        b"\x20\x02\x41\x01\x6a\x21\x02"
+        b"\x0c\x00"
+        b"\x0b\x0b"
+        # return ((ptr + len) as i64) << 32 | len
+        b"\x20\x00\x20\x01\x6a\xad\x42\x20\x86"
+        b"\x20\x01\xad\x84"
+    )
+    return build_module(
+        [{"name": "wupper", "params": ["i32", "i32"], "results": ["i64"],
+          "locals": ["i32", "i32"], "body": body}],
+        memory=1,
     )
 
 
+def wasm_abi_arity(param_types: list[str]) -> int:
+    """Declared SQL params → wasm-level argument count (a string
+    expands to a (ptr, len) i32 pair in the linear-memory ABI)."""
+    return sum(2 if t.lower() == "string" else 1 for t in param_types)
+
+
 def wasm_scalar_udf(name: str, binary: bytes, ret_spark_type: str,
-                    n_args: int):
+                    param_types: list[str]):
     """Arrow-batched pandas UDF around the interpreter (the same batch
     shape LANGUAGE python uses, create_function.python_scalar_udf):
-    NULL in → NULL out (strict, the PG scalar contract). The module
-    BYTES travel in the closure and the package root rides sys.path so
-    executor workers can import the interpreter regardless of where
-    the driver launched from (the round-5 worker-import pattern)."""
+    NULL in → NULL out (strict, the PG scalar contract). String params
+    and results travel through linear memory (invoke_with_strings).
+    The module BYTES travel in the closure and the package root rides
+    sys.path so executor workers can import the interpreter regardless
+    of where the driver launched from (the round-5 worker-import
+    pattern)."""
     import os as _os
 
     from pyspark.sql.functions import pandas_udf
@@ -698,6 +906,9 @@ def wasm_scalar_udf(name: str, binary: bytes, ret_spark_type: str,
 
     pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(
         _pkg.__file__)))
+    param_types = [t.lower() for t in param_types]
+    ret_is_str = ret_spark_type.lower() == "string"
+    stringy = ret_is_str or "string" in param_types
 
     def _eval(*cols):
         import sys as _sys
@@ -716,11 +927,14 @@ def wasm_scalar_udf(name: str, binary: bytes, ret_spark_type: str,
         for r in rows:
             if any(v is None for v in r):
                 out.append(None)
+            elif stringy:
+                out.append(mod.invoke_with_strings(
+                    name, r, param_types, ret_is_str))
             else:
                 out.append(mod.invoke(name, *r))
         return _pd.Series(out, dtype="object")
 
-    if n_args == 0:
+    if not param_types:
         mod = WasmModule(binary)
         return lambda: mod.invoke(name)
     return pandas_udf(_eval, ret_spark_type)

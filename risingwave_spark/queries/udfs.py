@@ -151,3 +151,38 @@ def udf_wasm_scalar(spark, sf_dir):
         "l_linenumber)) AS s FROM lineitem WHERE l_orderkey < 400 "
         "GROUP BY l_orderkey ORDER BY k"
     )
+
+
+@register(
+    "udf_wasm_string",
+    oracle="""
+SELECT p_partkey AS k, upper(p_name) AS un
+FROM part WHERE p_partkey < 300 ORDER BY k
+""",
+)
+def udf_wasm_string(spark, sf_dir):
+    """String-typed LANGUAGE wasm UDF over LINEAR MEMORY (reference
+    `udf/wasm.rs` passes strings through the arrow-udf-wasm linear
+    -memory ABI; divergence documented in wasm_runtime.py — the (ptr,
+    len) pair convention instead of Arrow-IPC framing, which needs a
+    toolchain this sandbox lacks): the bundled hand-assembled module
+    uppercases ASCII with a load8/store8 loop and returns a packed
+    (ptr << 32) | len i64 the host reads back; hash-matched against
+    DuckDB's upper() over the part names."""
+    import base64 as _b64
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.functions.wasm_runtime import build_ascii_upper
+
+    tables(spark, sf_dir)
+    b64 = _b64.b64encode(build_ascii_upper()).decode()
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_wasms_"))
+    eng.sql(
+        f"CREATE FUNCTION wupper(s varchar) RETURNS varchar "
+        f"LANGUAGE wasm USING BASE64 '{b64}'"
+    )
+    return eng.sql(
+        "SELECT p_partkey AS k, wupper(p_name) AS un "
+        "FROM part WHERE p_partkey < 300 ORDER BY k"
+    )

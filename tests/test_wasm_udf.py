@@ -148,9 +148,9 @@ def test_rejects_imports_and_unknown_opcodes():
         WasmModule(bytes(full))
     bad = build_module([
         {"name": "m", "params": ["i64"], "results": ["i64"],
-         "body": b"\x20\x00\x29\x03\x00"}  # i64.load (linear memory)
+         "body": b"\x23\x00\x20\x00"}  # global.get (no globals support)
     ])
-    with pytest.raises(NotImplementedError, match="0x29"):
+    with pytest.raises(NotImplementedError, match="0x23"):
         WasmModule(bad)
 
 
@@ -189,6 +189,64 @@ def test_sql_surface_and_mv(spark):
         "SELECT name, language FROM rw_functions WHERE name = 'wadd'"
     ).collect()
     assert rows[0].language == "wasm"
+
+
+def test_linear_memory_opcodes():
+    # load/store round-trip + memory.size/grow + bounds trap, over a
+    # module with a real memory section and an active data segment
+    body_load = b"\x20\x00\x28\x00\x00"  # i32.load(ptr)
+    # st(ptr, v): i32.store(ptr, v) with offset=4, then load it back
+    body_store = (b"\x20\x00\x20\x01\x36\x00\x04"
+                  b"\x20\x00\x28\x00\x04")
+    mod = build_module([
+        {"name": "ld", "params": ["i32"], "results": ["i32"],
+         "body": body_load},
+        {"name": "st", "params": ["i32", "i32"], "results": ["i32"],
+         "body": body_store},
+    ], memory=1, data=[(8, (1234567).to_bytes(4, "little") + b"AB")])
+    m = WasmModule(mod)
+    assert m.invoke("ld", 8) == 1234567
+    assert m.data_end == 14
+    assert m.invoke("st", 100, -5) == -5  # sign round-trips through i32
+    assert m.invoke("ld", 104) == -5  # offset immediate landed at ptr+4
+    with pytest.raises(WasmTrap, match="out of bounds"):
+        m.invoke("ld", 65534)
+    # memory.grow extends the trap boundary
+    assert m.grow(1) == 1
+    assert m.invoke("ld", 65534) == 0
+    assert m.grow(10**6) == -1  # past max → -1, not an exception
+
+
+def test_string_abi_upper_and_growth():
+    from risingwave_spark.functions.wasm_runtime import build_ascii_upper
+
+    m = WasmModule(build_ascii_upper())
+    up = lambda s: m.invoke_with_strings("wupper", (s,), ["string"], True)
+    assert up("Hello, World!") == "HELLO, WORLD!"
+    assert up("") == ""
+    assert up("[a{z}`") == "[A{Z}`"  # boundary bytes around a-z
+    big = "xyz" * 50000  # forces memory.grow past the 1-page minimum
+    assert up(big) == "XYZ" * 50000
+
+
+def test_sql_string_wasm_udf(spark):
+    from risingwave_spark.functions.wasm_runtime import build_ascii_upper
+
+    b64 = base64.b64encode(build_ascii_upper()).decode()
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_wasm_s_"))
+    eng.sql(
+        f"CREATE FUNCTION wupper(s varchar) RETURNS varchar "
+        f"LANGUAGE wasm USING BASE64 '{b64}'"
+    )
+    row = eng.sql(
+        "SELECT wupper('mIxEd') AS a, wupper(NULL) AS b").first()
+    assert row.a == "MIXED" and row.b is None
+    # arity check counts the EXPANDED (ptr, len) pair
+    with pytest.raises(ValueError, match="declares 1"):
+        eng.sql(
+            f"CREATE FUNCTION bad(a int8) RETURNS varchar "
+            f"LANGUAGE wasm USING BASE64 '{b64}'"
+        )
 
 
 def test_bad_base64_and_not_wasm(spark):
