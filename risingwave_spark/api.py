@@ -1005,6 +1005,11 @@ class Engine:
         (the reference's catalog is durable the same way — definitions,
         not data; data lives in the state tables). Python-API definitions
         (lambda recomputes) are not recordable — only the SQL surface is."""
+        # any DDL invalidates cached relation schemas (pg_catalog's
+        # pg_attribute/information_schema builders cache per catalog
+        # generation — the 5k-relation soak measured ~8 ms of Catalyst
+        # analysis per relation per statement without it)
+        self.catalog_gen = getattr(self, "catalog_gen", 0) + 1
         if self._replaying:
             return
         import json

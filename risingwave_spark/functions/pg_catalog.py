@@ -283,10 +283,22 @@ def _snapshot(engine) -> dict:
 
 
 def _rel_schema(engine, name):
+    """Relation schema, cached per catalog GENERATION (Engine bumps
+    catalog_gen on every recorded DDL): resolving a view's schema costs
+    a Catalyst analysis round trip (~8 ms), and pg_attribute touches
+    every relation — at 5k relations an uncached psql `\\d` join ran
+    38 s/statement in the r10 soak; cached it is O(changed relations)."""
+    gen = getattr(engine, "catalog_gen", 0)
+    cache = engine.__dict__.setdefault("_relschema_cache", {})
+    hit = cache.get(name)
+    if hit is not None and hit[0] == gen:
+        return hit[1]
     try:
-        return engine.spark.table(name).schema
+        sch = engine.spark.table(name).schema
     except Exception:
-        return None
+        sch = None
+    cache[name] = (gen, sch)
+    return sch
 
 
 def _definition(snap: dict, name: str) -> str:

@@ -43,6 +43,7 @@ import base64
 import hashlib
 import os
 import re
+import socket
 import socketserver
 import struct
 import threading
@@ -505,6 +506,12 @@ class PgWireServer:
                 self.request.sendall(_msg(b"E", body))
 
         class Srv(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

@@ -26,6 +26,7 @@ exactly as BigQuery documents it, so sink retries are idempotent.
 from __future__ import annotations
 
 import json
+import socket
 import threading
 import urllib.parse
 import urllib.request
@@ -171,6 +172,7 @@ class LoopbackBigQuery:
                  host: str = "127.0.0.1", port: int = 0):
         import http.server
         import secrets as _secrets
+        import socket
         import socketserver
 
         import duckdb
@@ -322,6 +324,12 @@ class LoopbackBigQuery:
                 })
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

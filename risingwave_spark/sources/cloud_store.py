@@ -28,6 +28,7 @@ import hashlib
 import hmac
 import http.server
 import json
+import socket
 import socketserver
 import threading
 import urllib.parse
@@ -133,6 +134,12 @@ class LoopbackGcs:
                     {"name": name, "size": str(len(data))}).encode())
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 
@@ -318,6 +325,12 @@ class LoopbackAzblob:
                 self._reply(201, b"")
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

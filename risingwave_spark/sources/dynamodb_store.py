@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import http.server
 import json
+import socket
 import socketserver
 import threading
 import urllib.request
@@ -152,6 +153,12 @@ class LoopbackDynamo:
                 self._reply(code, resp)
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

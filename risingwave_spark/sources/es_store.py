@@ -19,6 +19,7 @@ from __future__ import annotations
 import base64
 import http.server
 import json
+import socket
 import socketserver
 import threading
 import urllib.parse
@@ -151,6 +152,12 @@ class LoopbackEs:
                 self._reply(404, {"error": "unknown endpoint"})
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

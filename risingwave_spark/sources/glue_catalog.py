@@ -19,6 +19,7 @@ request signature — wrong credentials are rejected on the wire.
 from __future__ import annotations
 
 import json
+import socket
 import threading
 import urllib.request
 
@@ -176,6 +177,7 @@ class LoopbackGlue:
                  region: str = "us-east-1",
                  access_key: str = "test", secret_key: str = "test"):
         import http.server
+        import socket
         import socketserver
 
         self.region = region
@@ -225,6 +227,12 @@ class LoopbackGlue:
                 self._reply(code, resp)
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

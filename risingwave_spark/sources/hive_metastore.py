@@ -25,6 +25,16 @@ import socketserver
 import struct
 import threading
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 # thrift type ids
 T_STOP, T_BOOL, T_BYTE, T_DOUBLE = 0, 2, 3, 4
 T_I16, T_I32, T_I64, T_STRING = 6, 8, 10, 11
@@ -152,7 +162,7 @@ def _write_table_struct(p: _Proto, db: str, name: str,
 class HmsClient:
     def __init__(self, host: str, port: int, timeout: float = 10.0):
         self.p = _Proto(
-            socket.create_connection((host, port), timeout=timeout))
+            _nodelay_connect((host, port), timeout=timeout))
         self._seq = 0
 
     def _call(self, method: str, write_args) -> dict:
@@ -301,6 +311,12 @@ class LoopbackHms:
                 p.write_stop()
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

@@ -40,6 +40,7 @@ import json
 import os
 import re
 import secrets
+import socket
 import threading
 import urllib.parse
 import urllib.request
@@ -137,6 +138,7 @@ class LoopbackIcebergRest:
     def __init__(self, warehouse: str, credential: str | None = None,
                  host: str = "127.0.0.1", port: int = 0):
         import http.server
+        import socket
         import socketserver
 
         self.warehouse = warehouse
@@ -272,6 +274,12 @@ class LoopbackIcebergRest:
                     "metadata-location": loc, "metadata": metadata})
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

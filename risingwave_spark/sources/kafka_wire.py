@@ -19,8 +19,19 @@ request/response bytes end-to-end on a loopback socket.
 
 from __future__ import annotations
 
+import socket
 import struct
 import threading
+
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
 
 # ---------------------------------------------------------------- CRC32C
 # Castagnoli CRC (polynomial 0x1EDC6F41, reflected 0x82F63B78) — the
@@ -266,7 +277,7 @@ class KafkaWireClient:
     def __init__(self, host: str, port: int, client_id: str = "risingwave-spark"):
         import socket
 
-        self.sock = socket.create_connection((host, port), timeout=30)
+        self.sock = _nodelay_connect((host, port), timeout=30)
         self.client_id = client_id
         self._corr = 0
         self._lock = threading.Lock()

@@ -25,6 +25,7 @@ import datetime
 import hashlib
 import hmac
 import json
+import socket
 import threading
 import urllib.request
 
@@ -202,9 +203,16 @@ class LoopbackKinesis:
                 self.end_headers()
                 self.wfile.write(data)
 
+        import socket
         import socketserver
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

@@ -32,6 +32,16 @@ import socketserver
 import struct
 import threading
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 OP_MSG = 2013
 
 
@@ -147,7 +157,7 @@ class MongoClient:
     def __init__(self, host: str, port: int, user: str | None = None,
                  password: str | None = None, timeout: float = 10.0):
         self.conn = _Msg(
-            socket.create_connection((host, port), timeout=timeout))
+            _nodelay_connect((host, port), timeout=timeout))
         if user is not None:
             self._auth(user, password or "")
 
@@ -467,6 +477,12 @@ class LoopbackMongo:
                                    for i in range(len(batch))]}}
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

@@ -19,6 +19,7 @@ protocol is identical."""
 
 from __future__ import annotations
 
+import socket
 import socketserver
 import struct
 import threading
@@ -168,6 +169,12 @@ class LoopbackMqttBroker:
                 return h[0] >> 4, h[0] & 0x0F, body
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

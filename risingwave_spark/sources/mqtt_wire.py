@@ -25,6 +25,16 @@ from __future__ import annotations
 import socket
 import struct
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 CONNECT = 1
 CONNACK = 2
 PUBLISH = 3
@@ -68,7 +78,7 @@ class MqttClient:
         clean_session: bool = True,
         timeout: float = 10.0,
     ):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock = _nodelay_connect((host, port), timeout=timeout)
         self._buf = b""
         self._pid = 0
         self.session_present = self._connect(client_id, clean_session)

@@ -32,6 +32,16 @@ import socketserver
 import struct
 import threading
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 # column type codes (public include/field_types.h values)
 T_TINY = 1
 T_LONG = 3
@@ -156,7 +166,7 @@ def _err_packet(payload: bytes) -> str:
 class MySqlWireClient:
     def __init__(self, host: str, port: int, user: str, password: str,
                  database: str, timeout: float = 10.0):
-        self.conn = _Conn(socket.create_connection((host, port), timeout=timeout))
+        self.conn = _Conn(_nodelay_connect((host, port), timeout=timeout))
         greeting = self.conn.read_packet()
         if greeting[0] == 0xFF:
             raise OSError(f"mysql error: {_err_packet(greeting)}")
@@ -556,6 +566,12 @@ class LoopbackMysql:
                     return
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

@@ -31,6 +31,7 @@ are out of scope.
 from __future__ import annotations
 
 import json
+import socket
 import socketserver
 import threading
 
@@ -128,6 +129,12 @@ class LoopbackNatsBroker:
                 return False
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

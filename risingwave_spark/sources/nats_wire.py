@@ -35,9 +35,19 @@ import socket
 import uuid
 
 
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
+
 class NatsClient:
     def __init__(self, host: str, port: int, timeout: float = 10.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock = _nodelay_connect((host, port), timeout=timeout)
         self._buf = b""
         self._sid = 0
         # server greets first: INFO {json}

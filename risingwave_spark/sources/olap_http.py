@@ -31,6 +31,7 @@ from __future__ import annotations
 import base64
 import http.server
 import json
+import socket
 import socketserver
 import threading
 import urllib.parse
@@ -145,6 +146,12 @@ class LoopbackClickHouse:
                             400, f"DB::Exception: {e}".encode())
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 
@@ -291,6 +298,12 @@ class LoopbackStreamLoad:
                     "NumberLoadedRows": len(rows)})
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

@@ -35,6 +35,16 @@ import socketserver
 import struct
 import threading
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 # type OIDs (pg_type.dat — public catalog numbers)
 OID_BOOL = 16
 OID_INT8 = 20
@@ -151,7 +161,7 @@ class PgWireClient:
     def __init__(self, host: str, port: int, user: str, password: str,
                  database: str, timeout: float = 10.0,
                  replication: bool = False):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock = _nodelay_connect((host, port), timeout=timeout)
         self._buf = b""
         pairs = [("user", user), ("database", database)]
         if replication:
@@ -715,6 +725,12 @@ class LoopbackPostgres:
                         return
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

@@ -20,6 +20,7 @@ and TLS are out of scope."""
 
 from __future__ import annotations
 
+import socket
 import socketserver
 import struct
 import threading
@@ -124,6 +125,12 @@ class LoopbackPulsarBroker:
                 self.request.sendall(struct.pack(">I", len(body)) + body)
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

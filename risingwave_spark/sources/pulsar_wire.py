@@ -39,6 +39,16 @@ import struct
 
 from risingwave_spark.sources.kafka_wire import crc32c
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 # BaseCommand.Type enum values == BaseCommand sub-command field numbers
 # (public PulsarApi.proto layout)
 CONNECT = 2
@@ -144,7 +154,7 @@ def base_command(ctype: int, body: bytes) -> bytes:
 
 class PulsarWireClient:
     def __init__(self, host: str, port: int, timeout: float = 10.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock = _nodelay_connect((host, port), timeout=timeout)
         self._buf = b""
         self._req = 0
         # CommandConnect: client_version=1, protocol_version=4

@@ -22,6 +22,7 @@ import datetime
 import hashlib
 import hmac
 import http.server
+import socket
 import socketserver
 import threading
 import urllib.parse
@@ -209,6 +210,12 @@ class LoopbackS3:
                 self._reply(200, b"")
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             allow_reuse_address = True
             daemon_threads = True
 

@@ -27,6 +27,16 @@ import socketserver
 import struct
 import threading
 
+
+def _nodelay_connect(addr, timeout=None):
+    """connect + TCP_NODELAY: every protocol here is request-
+    reply; Nagle's algorithm turns small write-write-read
+    exchanges into ~40 ms delayed-ACK stalls per round trip."""
+    s = socket.create_connection(addr, timeout=timeout)
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
+
+
 # token ids
 _TOK_COLMETADATA = 0x81
 _TOK_ERROR = 0xAA
@@ -125,7 +135,7 @@ class TdsClient:
     def __init__(self, host: str, port: int, user: str, password: str,
                  database: str, timeout: float = 10.0):
         self.conn = _Tds(
-            socket.create_connection((host, port), timeout=timeout))
+            _nodelay_connect((host, port), timeout=timeout))
         # PRELOGIN: VERSION + ENCRYPTION(NOT_SUP) option table
         opts = [(0x00, b"\x0c\x00\x00\x00\x00\x00"), (0x01, b"\x02")]
         head_len = 5 * len(opts) + 1
@@ -557,6 +567,12 @@ class LoopbackSqlServer:
                 return meta + rows + done
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

@@ -15,6 +15,7 @@ returning the spec's FileStatuses JSON."""
 from __future__ import annotations
 
 import json
+import socket
 import threading
 import urllib.parse
 import urllib.request
@@ -65,6 +66,7 @@ class WebHdfsClient:
 class LoopbackWebHdfs:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         import http.server
+        import socket
         import socketserver
 
         self.files: dict[str, bytes] = {}
@@ -132,6 +134,12 @@ class LoopbackWebHdfs:
                 self._reply(400)
 
         class Server(socketserver.ThreadingTCPServer):
+            def process_request(self, request, client_address):
+                # TCP_NODELAY on the accept side too: reply bytes must
+                # not sit in Nagle's buffer waiting for a delayed ACK
+                request.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                super().process_request(request, client_address)
             daemon_threads = True
             allow_reuse_address = True
 

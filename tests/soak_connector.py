@@ -36,10 +36,18 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=10000)
     ap.add_argument("--rows", type=int, default=60000)
     ap.add_argument("--groups", type=int, default=500)
-    ap.add_argument("--connector", choices=["kafka", "pulsar"], default="kafka")
+    ap.add_argument(
+        "--connector",
+        choices=["kafka", "pulsar", "nats", "pubsub"],
+        default="kafka",
+    )
     args = ap.parse_args()
     if args.connector == "pulsar":
         return soak_pulsar(args)
+    if args.connector == "nats":
+        return soak_nats(args)
+    if args.connector == "pubsub":
+        return soak_pubsub(args)
 
     from risingwave_spark.api import Engine
     from risingwave_spark.session import get_spark
@@ -131,9 +139,14 @@ def soak_pulsar(args) -> None:
         t0 = time.time()
         prod = PulsarWireClient(broker.host, broker.port)
         pname = prod.create_producer(topic, producer_id=1)
-        for i in range(args.rows):
-            prod.send(1, pname, i, json.dumps(
-                {"id": i, "grp": i % args.groups, "v": i % 97}).encode())
+        # pipelined sends (send_batch): the r9 soak measured the
+        # per-SEND round trip as the bottleneck vs kafka
+        prod.send_batch(1, pname, [
+            (i, json.dumps(
+                {"id": i, "grp": i % args.groups, "v": i % 97}).encode(),
+             None)
+            for i in range(args.rows)
+        ])
         prod.close()
         produce_s = time.time() - t0
         eng = Engine(spark, tempfile.mkdtemp(prefix="rw_soakp_"))
@@ -189,6 +202,177 @@ def soak_pulsar(args) -> None:
         print(out)
     finally:
         broker.stop()
+        spark.stop()
+
+
+def soak_nats(args) -> None:
+    """NATS JetStream pipeline: deep backlog → source → grouped MV +
+    a projection MV → append-only sink (nats sinks are append-only by
+    the reference's rule, nats.rs:78-111) — sink events verified via a
+    durable pull consumer."""
+    from risingwave_spark.api import Engine
+    from risingwave_spark.session import get_spark
+    from risingwave_spark.sources.nats_broker import LoopbackNatsBroker
+    from risingwave_spark.sources.nats_wire import NatsClient
+
+    spark = get_spark("rw_connector_soak_nats", cpus="8")
+    broker = LoopbackNatsBroker().start()
+    try:
+        t0 = time.time()
+        prod = NatsClient(broker.host, broker.port)
+        prod.js_ensure_stream("soaks", ["soak.data"])
+        for i in range(args.rows):
+            prod.js_publish("soak.data", json.dumps(
+                {"id": i, "grp": i % args.groups, "v": i % 97}).encode())
+        prod.close()
+        produce_s = time.time() - t0
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_soakn_"))
+        eng.sql("CREATE TABLE skt_warm (id int8 PRIMARY KEY)")
+        eng.sql("INSERT INTO skt_warm VALUES (1)")
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.time()
+        eng.sql(
+            f"""CREATE TABLE skt (id int8 PRIMARY KEY, grp int8, v int8)
+            WITH (connector = 'nats',
+                  server_url = 'nats://{broker.host}:{broker.port}',
+                  subject = 'soak.data', stream = 'soaks',
+                  consumer.durable_name = 'rw_soak',
+                  max.poll.records = '{args.cap}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW soak_mv AS SELECT grp, count(*) AS n, "
+            "sum(v) AS sv FROM skt GROUP BY grp"
+        )
+        eng.sql("CREATE MATERIALIZED VIEW soak_proj AS "
+                "SELECT id, v FROM skt")
+        eng.sql(
+            f"""CREATE SINK soak_sink FROM soak_proj WITH (
+                connector = 'nats',
+                server_url = 'nats://{broker.host}:{broker.port}',
+                subject = 'soak.out', stream = 'soakout',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        ingest_s = time.time() - t0
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        n = eng.sql("SELECT count(*) AS n FROM skt").first().n
+        assert n == args.rows, f"ingested {n} != {args.rows}"
+        g = eng.sql("SELECT count(*) AS g FROM soak_mv").first().g
+        cons = NatsClient(broker.host, broker.port)
+        cons.js_ensure_consumer("soakout", "soak_verify")
+        events = 0
+        while True:
+            batch = cons.js_fetch("soakout", "soak_verify", 4096)
+            if not batch:
+                break
+            events += len(batch)
+            for tok, _p, _s in batch:
+                cons.ack(tok)
+        cons.close()
+        out = json.dumps({
+            "connector": "nats",
+            "cap": args.cap, "rows": args.rows, "groups_in_mv": g,
+            "ingest_sec": round(ingest_s, 2),
+            "rows_per_sec": round(args.rows / ingest_s),
+            "produce_sec": round(produce_s, 2),
+            "py_rss_before_mb": rss_before // 1024,
+            "py_rss_peak_mb": rss_after // 1024,
+            "sink_events": events,
+        })
+        with open(f"/tmp/soak_nats_cap{args.cap}.json", "w") as f:
+            f.write(out + "\n")
+        print(out)
+    finally:
+        broker.stop()
+        spark.stop()
+
+
+def soak_pubsub(args) -> None:
+    """Google Pub/Sub pipeline: deep backlog → source → grouped MV +
+    projection MV → append-only sink, verified via a pull
+    subscription."""
+    from risingwave_spark.api import Engine
+    from risingwave_spark.session import get_spark
+    from risingwave_spark.sources.pubsub import (
+        LoopbackPubSubEmulator,
+        PubSubClient,
+    )
+
+    spark = get_spark("rw_connector_soak_ps", cpus="8")
+    emu = LoopbackPubSubEmulator().start()
+    host = f"{emu.host}:{emu.port}"
+    try:
+        t0 = time.time()
+        c = PubSubClient(host)
+        c.create_topic("p1", "soakt")
+        c.create_subscription("p1", "rw_soak", "soakt")
+        for base in range(0, args.rows, 2000):
+            c.publish("p1", "soakt", [
+                json.dumps(
+                    {"id": i, "grp": i % args.groups, "v": i % 97}).encode()
+                for i in range(base, min(base + 2000, args.rows))
+            ])
+        produce_s = time.time() - t0
+        eng = Engine(spark, tempfile.mkdtemp(prefix="rw_soakg_"))
+        eng.sql("CREATE TABLE skt_warm (id int8 PRIMARY KEY)")
+        eng.sql("INSERT INTO skt_warm VALUES (1)")
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.time()
+        eng.sql(
+            f"""CREATE TABLE skt (id int8 PRIMARY KEY, grp int8, v int8)
+            WITH (connector = 'google_pubsub',
+                  pubsub.emulator_host = '{host}',
+                  pubsub.project_id = 'p1',
+                  pubsub.subscription = 'projects/p1/subscriptions/rw_soak',
+                  max.poll.records = '{args.cap}')
+            FORMAT PLAIN ENCODE JSON"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW soak_mv AS SELECT grp, count(*) AS n, "
+            "sum(v) AS sv FROM skt GROUP BY grp"
+        )
+        eng.sql("CREATE MATERIALIZED VIEW soak_proj AS "
+                "SELECT id, v FROM skt")
+        # the verify subscription must exist BEFORE the sink drains
+        c.create_topic("p1", "soako")
+        c.create_subscription("p1", "soak_verify", "soako")
+        eng.sql(
+            f"""CREATE SINK soak_sink FROM soak_proj WITH (
+                connector = 'google_pubsub',
+                pubsub.emulator_host = '{host}',
+                pubsub.project_id = 'p1', pubsub.topic = 'soako',
+                force_append_only = 'true'
+            ) FORMAT PLAIN ENCODE JSON"""
+        )
+        ingest_s = time.time() - t0
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        n = eng.sql("SELECT count(*) AS n FROM skt").first().n
+        assert n == args.rows, f"ingested {n} != {args.rows}"
+        g = eng.sql("SELECT count(*) AS g FROM soak_mv").first().g
+        events = 0
+        while True:
+            batch = c.pull("p1", "soak_verify", 1000)
+            if not batch:
+                break
+            events += len(batch)
+            c.acknowledge("p1", "soak_verify",
+                          [a for a, _d, _m in batch])
+        out = json.dumps({
+            "connector": "pubsub",
+            "cap": args.cap, "rows": args.rows, "groups_in_mv": g,
+            "ingest_sec": round(ingest_s, 2),
+            "rows_per_sec": round(args.rows / ingest_s),
+            "produce_sec": round(produce_s, 2),
+            "py_rss_before_mb": rss_before // 1024,
+            "py_rss_peak_mb": rss_after // 1024,
+            "sink_events": events,
+        })
+        with open(f"/tmp/soak_pubsub_cap{args.cap}.json", "w") as f:
+            f.write(out + "\n")
+        print(out)
+    finally:
+        emu.stop()
         spark.stop()
 
 
