@@ -5472,23 +5472,23 @@ def _handle_create_source(engine: "Engine", ast: dict) -> DataFrame:
             lambda k: client.get_object(bucket, k),
         )
     if conn == "gcs" and opts.get("gcs.endpoint_url"):
-        # GCS file source over the public JSON API in the emulator
-        # posture (reference `opendal_source/` gcs; fake-gcs-server /
-        # STORAGE_EMULATOR_HOST serve the same REST surface). The real
-        # service's OAuth token flow needs RS256 service-account
-        # signing — gated loud.
+        # GCS file source over the public JSON API (reference
+        # `opendal_source/` gcs). Without gcs.credential: the emulator
+        # posture (fake-gcs-server / STORAGE_EMULATOR_HOST). With
+        # gcs.credential (service-account JSON): the REAL OAuth flow —
+        # RS256 JWT assertion → Bearer token (sources/rsa_jwt.py), the
+        # exchange the bigquery sink already speaks.
+        import json as _json
+
         from risingwave_spark.sources.cloud_store import GcsClient
 
-        if opts.get("gcs.credential"):
-            raise NotImplementedError(
-                "gcs.credential needs the RS256 service-account token "
-                "flow (no RSA in this container); point gcs.endpoint_url "
-                "at an emulator/proxy endpoint instead"
-            )
+        creds = opts.get("gcs.credential")
+        if isinstance(creds, str):
+            creds = _json.loads(creds)
         bucket = opts.get("gcs.bucket_name")
         if not bucket:
             raise ValueError(f"source {name!r}: gcs needs a gcs.bucket_name option")
-        gclient = GcsClient(opts["gcs.endpoint_url"])
+        gclient = GcsClient(opts["gcs.endpoint_url"], credentials=creds)
         return _finish_objectstore_source(
             engine, name, ast, opts, f"gcs://{bucket}",
             gclient.list_objects(bucket),
@@ -6228,11 +6228,32 @@ class _EsSink(_CollectedSink):
         )
         self.topic = index
         self.delimiter = opts.get("delimiter", "_")
+        self.url = opts["url"]
+        self.username = opts.get("username")
+        self.password = opts.get("password")
         self.fmt = fmt
         self.fields = fields
         self.pk = pk
         self.db, self.table = db, table
         self.avro = None
+
+    def _probe_alive(self) -> None:
+        import socket as _socket
+        import urllib.parse as _up
+
+        u = _up.urlparse(self.url)
+        _socket.create_connection(
+            (u.hostname, u.port or 9200), timeout=5).close()
+
+    def _emit_chunk(self, df) -> None:
+        # executor-side _bulk per task (reference's per-actor writers);
+        # the formatter key dict orders pk columns as declared, so the
+        # task-side _id join matches the driver path byte-for-byte
+        self._emit_chunk_exec(
+            df, "elasticsearch",
+            {"url": self.url, "username": self.username,
+             "password": self.password, "delimiter": self.delimiter},
+            self.topic)
 
     def _produce_events(self, events: list) -> None:
         actions = []
@@ -6700,6 +6721,12 @@ class _GcsFileSink(_SnowflakeSink):
         self.bucket = opts.get("gcs.bucket_name")
         self.path = opts.get("gcs.path") or opts.get("path") or ""
         self.endpoint = opts.get("gcs.endpoint_url")
+        creds = opts.get("gcs.credential")
+        if isinstance(creds, str):
+            import json as _json
+
+            creds = _json.loads(creds)
+        self.credentials = creds
         self.topic = self.bucket
         self.fmt = fmt
         self.fields = fields
@@ -6714,7 +6741,8 @@ class _GcsFileSink(_SnowflakeSink):
     def _client(self):
         from risingwave_spark.sources.cloud_store import GcsClient
 
-        return GcsClient(self.endpoint)
+        return GcsClient(self.endpoint,
+                         credentials=getattr(self, "credentials", None))
 
     def _produce_events(self, events: list) -> None:
         import json as _json
@@ -6855,14 +6883,34 @@ class _JdbcSink(_CollectedSink):
         self.db, self.table = db, table
         self.avro = None
 
-    def _connect(self):
-        from risingwave_spark.sources.pgwire import PgWireClient
-
+    def _endpoint(self) -> tuple[str, int, str]:
         rest = self.jdbc_url[len("jdbc:postgresql://"):]
         hostport, _, dbname = rest.partition("/")
         dbname = dbname.split("?", 1)[0]
         host, _, port = hostport.rpartition(":")
-        return PgWireClient(host, int(port), self.user, self.password, dbname)
+        return host, int(port), dbname
+
+    def _connect(self):
+        from risingwave_spark.sources.pgwire import PgWireClient
+
+        host, port, dbname = self._endpoint()
+        return PgWireClient(host, port, self.user, self.password, dbname)
+
+    def _probe_alive(self) -> None:
+        self._connect().close()
+
+    def _emit_chunk(self, df) -> None:
+        # executor-side batched statements per task (reference
+        # sink/remote.rs per-actor JDBC writers); a pk lives in one
+        # task so no two tasks touch one remote row
+        host, port, dbname = self._endpoint()
+        self._emit_chunk_exec(
+            df, "jdbc",
+            {"host": host, "port": port, "user": self.user,
+             "password": self.password, "db": dbname,
+             "cols": [c for c, _t in self.fields], "pk": self.pk,
+             "fmt": self.fmt},
+            self.topic)
 
     @staticmethod
     def _lit(v) -> str:
@@ -7213,6 +7261,12 @@ class _SqlServerSink(_JdbcSink):
     #: statements; one wire round trip per batch instead of per event
     #: (the reference's tiberius path pipelines the same way)
     BATCH_STATEMENTS = 500
+
+    def _emit_chunk(self, df) -> None:
+        # TDS SQLBatch applies the bounded chunk diff driver-side (the
+        # _JdbcSink exec path above speaks the PG wire, not TDS)
+        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
+        self._emit_chunk_collected(df, cols)
 
     def _produce_events(self, events: list) -> None:
         if not events:

@@ -8,9 +8,11 @@ GCS speaks the PUBLIC JSON API (cloud.google.com/storage/docs/json_api):
 `GET /storage/v1/b/{bucket}/o?prefix=…` lists, `?alt=media` downloads,
 `POST /upload/storage/v1/…?uploadType=media` uploads. The loopback
 serves the emulator contract (fake-gcs-server /
-STORAGE_EMULATOR_HOST): no Authorization required — the real service's
-OAuth token flow needs RS256 service-account signing, which is gated
-loud (no RSA in stdlib); the REST bytes are otherwise identical.
+STORAGE_EMULATOR_HOST): no Authorization required — the real
+service's OAuth token flow is the RS256 service-account exchange the
+bigquery sink already implements (sources/rsa_jwt.py + bigquery.py);
+pointing this client at real GCS means attaching that same Bearer
+token, the REST bytes are otherwise identical.
 
 Azure Blob speaks the PUBLIC Blob service REST API
 (learn.microsoft.com/rest/api/storageservices) with GENUINE SharedKey
@@ -37,16 +39,76 @@ from xml.sax.saxutils import escape as _xml_escape
 
 
 # ------------------------------------------------------------------- GCS
-class GcsClient:
-    """JSON-API client in the emulator posture (no Authorization;
-    point `endpoint` at fake-gcs-server or a credentialed proxy)."""
+#: OAuth scope for Cloud Storage (public constant)
+_GCS_SCOPE = "https://www.googleapis.com/auth/devstorage.read_write"
 
-    def __init__(self, endpoint: str, timeout: float = 30.0):
+
+class GcsClient:
+    """JSON-API client. Without credentials: the emulator posture
+    (no Authorization; fake-gcs-server / STORAGE_EMULATOR_HOST). With
+    a service-account credentials dict (client_email, private_key
+    n/e/d, optional token_uri): the real service's OAuth flow — an
+    RS256-signed JWT assertion (sources/rsa_jwt.py) exchanged for a
+    Bearer token, attached to every request, exactly the bigquery
+    sink's exchange."""
+
+    def __init__(self, endpoint: str, timeout: float = 30.0,
+                 credentials: dict | None = None):
         self.base = endpoint.rstrip("/")
         self.timeout = timeout
+        self.creds = credentials
+        self._bearer: str | None = None
+
+    def _token(self) -> str:
+        if self._bearer:
+            return self._bearer
+        import time as _time
+
+        from risingwave_spark.sources.rsa_jwt import jwt_encode
+
+        key = {
+            "n": int(self.creds["private_key_n"]),
+            "e": int(self.creds["private_key_e"]),
+            "d": int(self.creds["private_key_d"]),
+        }
+        token_uri = self.creds.get("token_uri") or f"{self.base}/token"
+        now = int(_time.time())
+        assertion = jwt_encode(
+            {
+                "iss": self.creds["client_email"],
+                "scope": _GCS_SCOPE,
+                "aud": token_uri,
+                "iat": now,
+                "exp": now + 3600,
+            },
+            key,
+            kid=self.creds.get("private_key_id"),
+        )
+        form = urllib.parse.urlencode({
+            "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "assertion": assertion,
+        }).encode()
+        req = urllib.request.Request(
+            token_uri, data=form,
+            headers={"content-type": "application/x-www-form-urlencoded"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                self._bearer = json.loads(r.read())["access_token"]
+        except urllib.error.HTTPError as e:
+            raise OSError(
+                f"gcs oauth token request failed: HTTP {e.code} "
+                f"{e.read().decode(errors='replace')[:200]}"
+            ) from e
+        return self._bearer
+
+    def _headers(self) -> dict:
+        if self.creds is None:
+            return {}
+        return {"Authorization": f"Bearer {self._token()}"}
 
     def _get(self, path: str) -> bytes:
-        req = urllib.request.Request(f"{self.base}{path}")
+        req = urllib.request.Request(
+            f"{self.base}{path}", headers=self._headers())
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             return r.read()
 
@@ -65,15 +127,28 @@ class GcsClient:
             f"{self.base}/upload/storage/v1/b/{bucket}/o"
             f"?uploadType=media&name={enc}",
             data=data, method="POST",
-            headers={"content-type": "application/octet-stream"},
+            headers={"content-type": "application/octet-stream",
+                     **self._headers()},
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             r.read()
 
 
 class LoopbackGcs:
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    """In-sandbox GCS. Default: the emulator contract (no auth — what
+    fake-gcs-server serves). With (client_email, public_key): the REAL
+    service's posture — /token VERIFIES the RS256 assertion signature
+    and storage requests demand the issued Bearer token."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 client_email: str | None = None,
+                 public_key: dict | None = None):
         self.objects: dict[tuple[str, str], bytes] = {}
+        self.client_email = client_email
+        self.public_key = (
+            {"n": int(public_key["n"]), "e": int(public_key["e"])}
+            if public_key else None)
+        self.tokens: set[str] = set()
         self._lock = threading.Lock()
         store = self
 
@@ -88,7 +163,52 @@ class LoopbackGcs:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authed(self) -> bool:
+                if store.client_email is None:
+                    return True  # emulator posture
+                auth = self.headers.get("Authorization", "")
+                if auth.startswith("Bearer ") and auth[7:] in store.tokens:
+                    return True
+                self._reply(401, b'{"error": "missing/invalid bearer"}')
+                return False
+
+            def _serve_token(self) -> None:
+                import secrets as _secrets
+
+                from risingwave_spark.sources.rsa_jwt import (
+                    jwt_decode_verify,
+                )
+
+                n = int(self.headers.get("content-length") or 0)
+                form = dict(urllib.parse.parse_qsl(
+                    self.rfile.read(n).decode()))
+                if form.get("grant_type") != (
+                        "urn:ietf:params:oauth:grant-type:jwt-bearer"):
+                    return self._reply(
+                        400, b'{"error": "unsupported grant_type"}')
+                try:
+                    claims = jwt_decode_verify(
+                        form.get("assertion", ""), store.public_key)
+                except ValueError as e:
+                    return self._reply(
+                        401,
+                        json.dumps(
+                            {"error": f"invalid_grant: {e}"}).encode())
+                if claims.get("iss") != store.client_email:
+                    return self._reply(
+                        401, b'{"error": "unknown issuer"}')
+                if _GCS_SCOPE not in (claims.get("scope") or ""):
+                    return self._reply(
+                        401, b'{"error": "missing storage scope"}')
+                tok = _secrets.token_urlsafe(16)
+                store.tokens.add(tok)
+                self._reply(200, json.dumps({
+                    "access_token": tok, "token_type": "Bearer",
+                    "expires_in": 3600}).encode())
+
             def do_GET(self):
+                if not self._authed():
+                    return
                 parsed = urllib.parse.urlsplit(self.path)
                 parts = parsed.path.strip("/").split("/")
                 # /storage/v1/b/{bucket}/o[/{object}]
@@ -119,6 +239,10 @@ class LoopbackGcs:
 
             def do_POST(self):
                 parsed = urllib.parse.urlsplit(self.path)
+                if parsed.path == "/token" and store.client_email:
+                    return self._serve_token()
+                if not self._authed():
+                    return
                 parts = parsed.path.strip("/").split("/")
                 if parts[:4] != ["upload", "storage", "v1", "b"] or len(parts) < 6:
                     self._reply(404, b'{"error": "not found"}')

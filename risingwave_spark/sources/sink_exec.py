@@ -31,15 +31,18 @@ import uuid
 try:  # pragma: no cover - depends on the vendored cloudpickle version
     from pyspark import cloudpickle as _cloudpickle
 
+    import risingwave_spark.sources.es_store as _es
     import risingwave_spark.sources.kafka_exec as _ke
     import risingwave_spark.sources.kinesis as _kin
     import risingwave_spark.sources.mqtt_wire as _mq
     import risingwave_spark.sources.nats_wire as _na
+    import risingwave_spark.sources.pgwire as _pg
     import risingwave_spark.sources.pubsub as _ps
     import risingwave_spark.sources.pulsar_wire as _pw
     import risingwave_spark.sources.sink_format as _sf
 
-    for _m in (sys.modules[__name__], _ke, _kin, _mq, _na, _ps, _pw, _sf):
+    for _m in (sys.modules[__name__], _es, _ke, _kin, _mq, _na, _pg,
+               _ps, _pw, _sf):
         _cloudpickle.register_pickle_by_value(_m)
 except Exception:  # noqa: BLE001
     pass
@@ -48,10 +51,12 @@ except Exception:  # noqa: BLE001
 # closures (the registered modules travel inside the pickle) — a
 # function-body `from risingwave_spark...` import would fail on
 # executor workers that can't import the package at all
+from risingwave_spark.sources.es_store import EsClient
 from risingwave_spark.sources.kafka_exec import format_rows, py_val
 from risingwave_spark.sources.kinesis import KinesisClient
 from risingwave_spark.sources.mqtt_wire import MqttClient
 from risingwave_spark.sources.nats_wire import NatsClient
+from risingwave_spark.sources.pgwire import PgWireClient
 from risingwave_spark.sources.pubsub import PubSubClient
 from risingwave_spark.sources.pulsar_wire import PulsarWireClient
 
@@ -121,12 +126,102 @@ def _produce_pulsar(cfg: dict, topic: str, events: list) -> None:
         c.close()
 
 
+def _produce_es(cfg: dict, topic: str, events: list) -> None:
+    """One _bulk call per task (reference elasticsearch_opensearch/:
+    index-on-upsert / delete-on-retract; _id = pk values joined by the
+    delimiter). Per-doc op order holds: a pk lives in one task."""
+    client = EsClient(cfg["url"], username=cfg.get("username"),
+                      password=cfg.get("password"))
+    actions = []
+    for k, v in events:
+        _id = cfg["delimiter"].join(str(x) for x in k.values())
+        if v is None:
+            actions.append(("delete", topic, _id, None))
+        else:
+            actions.append(("index", topic, _id, v))
+    if actions:
+        client.bulk(actions)
+
+
+def _jdbc_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _produce_jdbc(cfg: dict, topic: str, events: list) -> None:
+    """Batched statements from the task over the task's own PG
+    connection (reference sink/remote.rs: each sink actor owns a JDBC
+    writer): same batching contract as the driver-side path —
+    consecutive upserts collapse into one multi-row INSERT ... ON
+    CONFLICT, retractions into one OR-of-keys DELETE. Cross-task
+    safety: a pk lives in ONE task, so no two tasks touch one row."""
+    c = PgWireClient(cfg["host"], cfg["port"], cfg["user"],
+                     cfg["password"], cfg["db"])
+    cols, pk, fmt = cfg["cols"], cfg["pk"], cfg["fmt"]
+    collist = ", ".join(cols)
+    sets = ", ".join(
+        f"{col} = excluded.{col}" for col in cols if col not in pk
+    ) or f"{pk[0]} = excluded.{pk[0]}"
+    ins: list = []
+    ins_keys: set = set()
+    dels: list = []
+
+    def flush_ins():
+        if not ins:
+            return
+        sql = f"INSERT INTO {topic} ({collist}) VALUES " + ", ".join(ins)
+        if fmt == "upsert":
+            sql += f" ON CONFLICT ({', '.join(pk)}) DO UPDATE SET {sets}"
+        c.query(sql)
+        ins.clear()
+        ins_keys.clear()
+
+    def flush_dels():
+        if not dels:
+            return
+        c.query(f"DELETE FROM {topic} WHERE "
+                + " OR ".join(f"({w})" for w in dels))
+        dels.clear()
+
+    try:
+        for k, v in events:
+            kt = tuple(str(k[col]) for col in pk)
+            if v is None:
+                flush_ins()
+                dels.append(" AND ".join(
+                    f"{col} = {_jdbc_lit(k[col])}" for col in pk))
+                if len(dels) >= 500:
+                    flush_dels()
+                continue
+            flush_dels()
+            if kt in ins_keys:
+                flush_ins()
+            ins_keys.add(kt)
+            ins.append(
+                "(" + ", ".join(_jdbc_lit(v.get(col)) for col in cols)
+                + ")")
+            if len(ins) >= 500:
+                flush_ins()
+        flush_dels()
+        flush_ins()
+    finally:
+        c.close()
+
+
 _PRODUCERS = {
     "kinesis": _produce_kinesis,
     "mqtt": _produce_mqtt,
     "nats": _produce_nats,
     "google_pubsub": _produce_pubsub,
     "pulsar": _produce_pulsar,
+    "elasticsearch": _produce_es,
+    "jdbc": _produce_jdbc,
 }
 
 

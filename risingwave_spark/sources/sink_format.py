@@ -11,8 +11,9 @@ date→int32 + Connect Date, timestamp→int64 + Connect Timestamp, ...).
 Validated against the reference's own golden
 (`debezium_json.rs` test `SCHEMA_JSON_RESULT`) in
 tests/test_pgsql_shim.py::test_debezium_envelope_matches_reference_golden.
-Broker transports stay sandbox-gated; this module is the wire FORMAT,
-reusable by the filesystem changelog sink shim.
+This module is the wire FORMAT layer only; the broker transports are
+real (sources/kafka_wire.py and the r9 broker family) and consume
+these events via sources/kafka_exec.py / sink_exec.py.
 """
 
 from __future__ import annotations

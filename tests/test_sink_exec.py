@@ -194,3 +194,49 @@ def test_kinesis_sink_emits_executor_side(spark, no_collected_emit):
         assert state == {1: 10, 2: 14}
     finally:
         b.stop()
+
+
+def test_es_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.es_store import EsClient, LoopbackEs
+
+    b = LoopbackEs().start()
+    try:
+        url = f"http://{b.host}:{b.port}"
+        eng = _mk_engine(spark, "rw_eexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='elasticsearch', "
+            f"url='{url}', index='oute') FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("UPDATE st SET v = 8 WHERE id = 2")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        docs = {
+            _id: d for (idx, _id), d in b.docs.items() if idx == "oute"
+        }
+        assert {i: d["v2"] for i, d in docs.items()} == {"1": 10, "2": 16}
+    finally:
+        b.stop()
+
+
+def test_jdbc_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.pgwire import LoopbackPostgres
+
+    b = LoopbackPostgres().start()
+    try:
+        b.seed("CREATE TABLE outt (id BIGINT PRIMARY KEY, v2 BIGINT)")
+        eng = _mk_engine(spark, "rw_jexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='jdbc', "
+            f"jdbc.url='jdbc:postgresql://{b.host}:{b.port}/fedb', "
+            "user='fed', password='fedpw', table.name='outt') "
+            "FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("UPDATE st SET v = 8 WHERE id = 2")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        import time
+        time.sleep(0.2)
+        rows = sorted(b._db.execute("SELECT id, v2 FROM outt").fetchall())
+        assert rows == [(1, 10), (2, 16)]
+    finally:
+        b.stop()
