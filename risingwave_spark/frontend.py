@@ -1247,19 +1247,26 @@ def _ingest_table_nats(engine: "Engine", t) -> None:
 
 
 def _pubsub_host(opts: dict) -> str:
-    if opts.get("pubsub.credentials") and not opts.get("pubsub.emulator_host"):
-        raise NotImplementedError(
-            "google_pubsub against production needs the OAuth credential "
-            "flow (pubsub.credentials); only the emulator wire "
-            "(pubsub.emulator_host) is available in this container — the "
-            "REST requests are identical either way"
-        )
     host = opts.get("pubsub.emulator_host")
     if not host:
         raise ValueError(
-            "google_pubsub connector needs a pubsub.emulator_host option"
+            "google_pubsub connector needs a pubsub.emulator_host "
+            "endpoint (point it at the service/emulator; add "
+            "pubsub.credentials for the OAuth Bearer flow)"
         )
     return host
+
+
+def _pubsub_creds(opts: dict) -> dict | None:
+    """pubsub.credentials (service-account JSON) → dict for the OAuth
+    RS256 assertion flow (sources/pubsub.py PubSubClient); None = the
+    emulator posture."""
+    creds = opts.get("pubsub.credentials")
+    if isinstance(creds, str):
+        import json as _json
+
+        creds = _json.loads(creds)
+    return creds
 
 
 def _attach_table_pubsub(
@@ -1293,7 +1300,8 @@ def _attach_table_pubsub(
             "(CDC envelopes identify rows by key, not by generated row id)"
         )
     t.connector = {
-        "google_pubsub": {"host": host, "project": project, "sub": sub},
+        "google_pubsub": {"host": host, "project": project, "sub": sub,
+                          "creds": _pubsub_creds(opts)},
         "format": fmt,
     }
     cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
@@ -1313,7 +1321,7 @@ def _ingest_table_pubsub(engine: "Engine", t) -> None:
     from risingwave_spark.sources.pubsub import PubSubClient
 
     cfg = t.connector["google_pubsub"]
-    client = PubSubClient(cfg["host"])
+    client = PubSubClient(cfg["host"], credentials=cfg.get("creds"))
     from pyspark.sql.types import StructType
 
     row_schema = StructType(
@@ -6118,6 +6126,7 @@ class _PubSubSink(_MqttSink):
         self.engine = engine
         self.sub = sub
         self.host = _pubsub_host(opts)
+        self.credentials = _pubsub_creds(opts)
         self.project = opts["pubsub.project_id"]
         self.topic = topic
         self.fmt = fmt
@@ -6138,7 +6147,8 @@ class _PubSubSink(_MqttSink):
     def _emit_chunk(self, df) -> None:
         self._emit_chunk_exec(
             df, "google_pubsub",
-            {"host": self.host, "project": self.project}, self.topic)
+            {"host": self.host, "project": self.project,
+             "creds": self.credentials}, self.topic)
 
     def _produce_events(self, events: list) -> None:
         import json as _json
@@ -6151,7 +6161,8 @@ class _PubSubSink(_MqttSink):
             if v is not None  # no tombstones in an append-only stream
         ]
         if payloads:
-            PubSubClient(self.host).publish(self.project, self.topic, payloads)
+            PubSubClient(self.host, credentials=self.credentials).publish(
+                self.project, self.topic, payloads)
 
 
 class _PulsarSink(_KafkaSink):
@@ -7986,7 +7997,9 @@ def _finish_create_broker_sink(
                 # create-or-get validates both reachability and the
                 # topic (the real API answers 409 AlreadyExists for an
                 # existing topic — that's a pass)
-                PubSubClient(sink.host).create_topic(sink.project, sink.topic)
+                PubSubClient(
+                    sink.host, credentials=sink.credentials,
+                ).create_topic(sink.project, sink.topic)
             except urllib.error.HTTPError as e:
                 if e.code != 409:
                     raise ValueError(

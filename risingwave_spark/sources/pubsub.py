@@ -33,22 +33,83 @@ import json
 import socket
 import socketserver
 import threading
+import urllib.error
 import urllib.request
 
 
-class PubSubClient:
-    """Minimal REST client for the v1 Pub/Sub API (emulator posture)."""
+#: OAuth scope for Pub/Sub (public constant)
+_PUBSUB_SCOPE = "https://www.googleapis.com/auth/pubsub"
 
-    def __init__(self, emulator_host: str, timeout: float = 10.0):
+
+class PubSubClient:
+    """Minimal REST client for the v1 Pub/Sub API. Without credentials:
+    the emulator posture (no Authorization). With a service-account
+    credentials dict (client_email, private_key n/e/d, optional
+    token_uri): the production OAuth flow — an RS256 JWT assertion
+    (sources/rsa_jwt.py) exchanged for a Bearer token riding every
+    request, the same exchange the bigquery sink and GCS client
+    speak."""
+
+    def __init__(self, emulator_host: str, timeout: float = 10.0,
+                 credentials: dict | None = None):
         host = emulator_host.split("://", 1)[-1]
         self.base = f"http://{host}/v1"
         self.timeout = timeout
+        self.creds = credentials
+        self._bearer: str | None = None
+
+    def _token(self) -> str:
+        if self._bearer:
+            return self._bearer
+        import time as _time
+        import urllib.parse as _up
+
+        from risingwave_spark.sources.rsa_jwt import jwt_encode
+
+        key = {
+            "n": int(self.creds["private_key_n"]),
+            "e": int(self.creds["private_key_e"]),
+            "d": int(self.creds["private_key_d"]),
+        }
+        token_uri = (self.creds.get("token_uri")
+                     or self.base.rsplit("/v1", 1)[0] + "/token")
+        now = int(_time.time())
+        assertion = jwt_encode(
+            {
+                "iss": self.creds["client_email"],
+                "scope": _PUBSUB_SCOPE,
+                "aud": token_uri,
+                "iat": now,
+                "exp": now + 3600,
+            },
+            key,
+            kid=self.creds.get("private_key_id"),
+        )
+        form = _up.urlencode({
+            "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "assertion": assertion,
+        }).encode()
+        req = urllib.request.Request(
+            token_uri, data=form,
+            headers={"content-type": "application/x-www-form-urlencoded"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                self._bearer = json.loads(r.read())["access_token"]
+        except urllib.error.HTTPError as e:
+            raise OSError(
+                f"pubsub oauth token request failed: HTTP {e.code} "
+                f"{e.read().decode(errors='replace')[:200]}"
+            ) from e
+        return self._bearer
 
     def _call(self, method: str, path: str, payload: dict | None = None) -> dict:
         body = json.dumps(payload or {}).encode()
+        headers = {"content-type": "application/json"}
+        if self.creds is not None:
+            headers["Authorization"] = f"Bearer {self._token()}"
         req = urllib.request.Request(
             f"{self.base}/{path}", data=body, method=method,
-            headers={"content-type": "application/json"},
+            headers=headers,
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read() or b"{}")
@@ -112,13 +173,25 @@ def parse_subscription_path(path: str) -> tuple[str, str]:
 
 
 class LoopbackPubSubEmulator:
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    """Default: the emulator contract (no auth — what the gcloud
+    emulator serves). With (client_email, public_key): production's
+    posture — /token VERIFIES the RS256 assertion and /v1 requests
+    demand the issued Bearer token."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 client_email: str | None = None,
+                 public_key: dict | None = None):
         self._lock = threading.Lock()
         # "projects/P/topics/T" -> [sub_path, ...]
         self.topics: dict[str, list[str]] = {}
         # sub_path -> {"msgs": {mid: data}, "acked": set[mid]}
         self.subs: dict[str, dict] = {}
         self._next_mid = 1
+        self.client_email = client_email
+        self.public_key = (
+            {"n": int(public_key["n"]), "e": int(public_key["e"])}
+            if public_key else None)
+        self.tokens: set[str] = set()
         emu = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -130,6 +203,10 @@ class LoopbackPubSubEmulator:
                 raw = self.rfile.read(n) if n else b""
                 return json.loads(raw or b"{}")
 
+            def _raw_body(self) -> bytes:
+                n = int(self.headers.get("content-length") or 0)
+                return self.rfile.read(n) if n else b""
+
             def _reply(self, code: int, payload: dict) -> None:
                 out = json.dumps(payload).encode()
                 self.send_response(code)
@@ -138,13 +215,58 @@ class LoopbackPubSubEmulator:
                 self.end_headers()
                 self.wfile.write(out)
 
+            def _authed(self) -> bool:
+                if emu.client_email is None:
+                    return True  # emulator posture
+                auth = self.headers.get("Authorization", "")
+                if auth.startswith("Bearer ") and auth[7:] in emu.tokens:
+                    return True
+                self._reply(401, {"error": {
+                    "code": 401, "message": "missing/invalid bearer"}})
+                return False
+
+            def _serve_token(self) -> None:
+                import secrets as _secrets
+                import urllib.parse as _up
+
+                from risingwave_spark.sources.rsa_jwt import (
+                    jwt_decode_verify,
+                )
+
+                form = dict(_up.parse_qsl(self._raw_body().decode()))
+                if form.get("grant_type") != (
+                        "urn:ietf:params:oauth:grant-type:jwt-bearer"):
+                    return self._reply(400, {"error": "bad grant_type"})
+                try:
+                    claims = jwt_decode_verify(
+                        form.get("assertion", ""), emu.public_key)
+                except ValueError as e:
+                    return self._reply(
+                        401, {"error": f"invalid_grant: {e}"})
+                if claims.get("iss") != emu.client_email:
+                    return self._reply(401, {"error": "unknown issuer"})
+                if _PUBSUB_SCOPE not in (claims.get("scope") or ""):
+                    return self._reply(
+                        401, {"error": "missing pubsub scope"})
+                tok = _secrets.token_urlsafe(16)
+                emu.tokens.add(tok)
+                self._reply(200, {"access_token": tok,
+                                  "token_type": "Bearer",
+                                  "expires_in": 3600})
+
             def do_PUT(self):
+                if not self._authed():
+                    return
                 path = self.path.removeprefix("/v1/").strip("/")
                 body = self._body()
                 code, resp = emu._admin(path, body)
                 self._reply(code, resp)
 
             def do_POST(self):
+                if self.path == "/token" and emu.client_email:
+                    return self._serve_token()
+                if not self._authed():
+                    return
                 path = self.path.removeprefix("/v1/")
                 if ":" not in path:
                     self._reply(404, {"error": {"message": f"unknown {path}"}})

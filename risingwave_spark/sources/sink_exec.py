@@ -106,7 +106,8 @@ def _produce_pubsub(cfg: dict, topic: str, events: list) -> None:
         if v is not None  # no tombstones in an append-only stream
     ]
     if payloads:
-        PubSubClient(cfg["host"]).publish(cfg["project"], topic, payloads)
+        PubSubClient(cfg["host"], credentials=cfg.get("creds")).publish(
+            cfg["project"], topic, payloads)
 
 
 def _produce_pulsar(cfg: dict, topic: str, events: list) -> None:
