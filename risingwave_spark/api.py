@@ -1909,6 +1909,10 @@ class Engine:
                     from risingwave_spark.frontend import _ingest_table_mysqlcdc
 
                     _ingest_table_mysqlcdc(self, t)
+                elif "cituscdc" in conn:
+                    from risingwave_spark.frontend import _ingest_table_cituscdc
+
+                    _ingest_table_cituscdc(self, t)
                 elif "sqlservercdc" in conn:
                     from risingwave_spark.frontend import (
                         _ingest_table_sqlservercdc,

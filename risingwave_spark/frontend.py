@@ -425,6 +425,7 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
     if opts.get("connector", "").lower() in (
         "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "pulsar",
         "postgres-cdc", "mysql-cdc", "sqlserver-cdc", "mongodb-cdc",
+        "citus-cdc",
     ) and not user_pk:
         # validate at CREATE, not at the first non-empty poll (ADVICE r8):
         # a PK-less broker table would otherwise succeed over an empty
@@ -544,6 +545,9 @@ def _attach_table_connector(
         return
     if conn == "mysql-cdc":
         _attach_table_mysqlcdc(engine, t, opts)
+        return
+    if conn == "citus-cdc":
+        _attach_table_cituscdc(engine, t, opts)
         return
     if conn == "sqlserver-cdc":
         _attach_table_sqlservercdc(engine, t, opts)
@@ -1752,6 +1756,171 @@ def _ingest_table_mysqlcdc(engine: "Engine", t) -> None:
         flush()
     finally:
         b.close()
+
+
+def _attach_table_cituscdc(engine: "Engine", t, opts: dict) -> None:
+    """citus-cdc TABLE (reference `source/cdc/mod.rs:52`
+    CITUS_CDC_CONNECTOR + `enumerator/mod.rs` DATABASE_SERVERS_KEY +
+    `source/reader.rs:80-97`): the `database.servers` option lists the
+    WORKER node addresses — one CDC split per worker — and each
+    split's `table.name` is rewritten to the `{table}_[0-9]+` shard
+    pattern so every shard table on that worker is captured. Here each
+    worker gets its own replication SLOT (postgres-cdc per worker, the
+    reference's split = a PostgresCdcSplit with a server_addr);
+    snapshots read every matching shard table, and shard rows from all
+    workers fold by pk into the ONE engine table — exactly the
+    distributed table's logical content."""
+    import hashlib
+    import json as _json
+    import re as _re
+
+    from risingwave_spark.sources.pgwire import (
+        PgReplicationClient,
+        PgWireClient,
+    )
+
+    servers = opts.get("database.servers")
+    user = opts.get("username")
+    pw = opts.get("password", "")
+    db = opts.get("database.name")
+    table = opts.get("table.name")
+    if not (servers and user and db and table):
+        raise ValueError(
+            "citus-cdc table needs database.servers (worker host:port "
+            "list), username, database.name and table.name options"
+        )
+    if ROW_ID in t.snapshot().columns:
+        raise ValueError(
+            f"connector table {t.name!r} needs an explicit PRIMARY KEY "
+            "(CDC envelopes identify rows by key, not by generated row id)"
+        )
+    suffix = hashlib.md5(engine.warehouse.encode()).hexdigest()[:8]
+    workers = []
+    for i, addr in enumerate(s.strip() for s in servers.split(",")):
+        host, _, port = addr.rpartition(":")
+        workers.append({
+            "host": host, "port": int(port),
+            "slot": f"rw_{t.name}_w{i}_{suffix}",
+        })
+    t.connector = {
+        "cituscdc": {
+            "workers": workers, "user": user, "pw": pw, "db": db,
+            "table": table,
+        },
+        "format": "upsert",
+    }
+    cap = opts.get("max.poll.records") or opts.get("properties.max.poll.records")
+    if cap is not None:
+        t.connector["poll_cap"] = int(cap)
+    shard_rx = _re.compile(rf"^{_re.escape(table)}_[0-9]+$")
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    cap_n = _poll_cap(t)
+    for w in workers:
+        try:
+            rc = PgReplicationClient(w["host"], w["port"], user, pw, db)
+        except (OSError, NotImplementedError):
+            continue  # worker down at replay: its slot catches up later
+        slot_fresh = True
+        try:
+            try:
+                rc.query(
+                    f"CREATE_REPLICATION_SLOT {w['slot']} LOGICAL pgoutput")
+            except OSError as e:
+                if "already exists" not in str(e):
+                    raise
+                slot_fresh = False  # re-attach: snapshot already folded
+        finally:
+            rc.close()
+        if not slot_fresh:
+            continue
+        # snapshot every shard table on this worker AFTER its slot
+        # exists (races redeliver; upsert fold dedupes by pk)
+        c = PgWireClient(w["host"], w["port"], user, pw, db)
+        try:
+            _f, tbls = c.query(
+                "SELECT table_name FROM information_schema.tables")
+            shards = sorted(r[0] for r in tbls if shard_rx.match(str(r[0])))
+            recs = []
+            for shard in shards:
+                fields, rows = c.query(f"SELECT * FROM {shard}")
+                names = [n for n, _oid in fields]
+                for r in rows:
+                    d = dict(zip(names, r))
+                    key = _json.dumps(
+                        {c_: d.get(c_) for c_ in pk_cols},
+                        sort_keys=True, default=str)
+                    recs.append((len(recs), 0, key.encode(),
+                                 _json.dumps(d, sort_keys=True,
+                                             default=str).encode()))
+        finally:
+            c.close()
+        for j in range(0, len(recs), cap_n):
+            _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    _ingest_table_cituscdc(engine, t)
+
+
+def _ingest_table_cituscdc(engine: "Engine", t) -> None:
+    """Drain every worker's slot in bounded segments, folding only
+    events whose relation matches the `{table}_[0-9]+` shard pattern
+    (other tables' changes ride the same slot). Per-worker confirmed
+    LSNs are the durable offsets — server-side, like postgres-cdc."""
+    import json as _json
+    import re as _re
+
+    from risingwave_spark.sources.pgwire import PgReplicationClient
+
+    cfg = t.connector["cituscdc"]
+    shard_rx = _re.compile(rf"^{_re.escape(cfg['table'])}_[0-9]+$")
+    from pyspark.sql.types import StructType
+
+    row_schema = StructType(
+        [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
+    )
+    pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
+    cap = _poll_cap(t)
+    for w in cfg["workers"]:
+        try:
+            rc = PgReplicationClient(
+                w["host"], w["port"], cfg["user"], cfg["pw"], cfg["db"])
+        except (OSError, NotImplementedError):
+            continue
+        try:
+            seg: list = []
+            last_lsn = 0
+
+            def flush():
+                nonlocal seg
+                if not seg:
+                    return
+                _fold_kafka_records(engine, t, row_schema, seg)
+                rc.confirm(last_lsn)
+                seg = []
+
+            for op, rel, key, new, lsn in rc.drain(w["slot"]):
+                if not shard_rx.match(str(rel)):
+                    continue
+                src = new if new is not None else key
+                kj = _json.dumps(
+                    {c_: src.get(c_) for c_ in pk_cols},
+                    sort_keys=True, default=str)
+                vj = (
+                    None if new is None
+                    else _json.dumps(new, sort_keys=True,
+                                     default=str).encode()
+                )
+                seg.append((lsn, 0, kj.encode(), vj))
+                last_lsn = lsn
+                if len(seg) >= cap:
+                    flush()
+            flush()
+            rc.finish()
+        finally:
+            rc.close()
 
 
 def _attach_table_sqlservercdc(engine: "Engine", t, opts: dict) -> None:

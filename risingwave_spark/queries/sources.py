@@ -2057,6 +2057,83 @@ def src_mysqlcdc_roundtrip(spark, sf_dir):
 
 
 @register(
+    "src_cituscdc_roundtrip",
+    oracle="""
+SELECT c_nationkey AS nk, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS ck
+FROM customer WHERE c_custkey <= 320 AND c_custkey % 9 <> 0
+GROUP BY c_nationkey ORDER BY nk
+""",
+)
+def src_cituscdc_roundtrip(spark, sf_dir):
+    """citus-cdc (reference `source/cdc/mod.rs:52` Citus + the
+    DATABASE_SERVERS worker splits): customers shard across TWO worker
+    nodes × two shard tables each (the {table}_[0-9]+ pattern); half
+    seed before the table exists (per-worker snapshot at each slot's
+    creation), the rest INSERT afterwards through the per-worker
+    replication streams, and every 9th customer DELETEs — the engine's
+    MV must equal the distributed table's logical final state."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import LoopbackPostgres, PgWireClient
+
+    t = tables(spark, sf_dir)
+    rows = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 320)
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    )
+    ws = [LoopbackPostgres().start() for _ in range(2)]
+    try:
+        # hash-place each row: worker = key % 2, shard = key % 4
+        shard_of = lambda k: (k % 2, f"cust_10200{k % 4}")  # noqa: E731
+        for w in ws:
+            for s in range(4):
+                w.seed(f"CREATE TABLE cust_10200{s} "
+                       "(ck BIGINT PRIMARY KEY, nk BIGINT)")
+        half = len(rows) // 2
+        for r in rows[:half]:
+            wi, shard = shard_of(int(r.c_custkey))
+            ws[wi].seed(f"INSERT INTO {shard} VALUES "
+                        f"({r.c_custkey}, {r.c_nationkey})")
+        servers = ",".join(f"127.0.0.1:{w.port}" for w in ws)
+        eng = Engine(spark, _tf.mkdtemp(prefix="rw_citq_"))
+        eng.sql(
+            f"""CREATE TABLE ccust (ck int8 PRIMARY KEY, nk int8) WITH (
+                connector = 'citus-cdc', hostname = '127.0.0.1',
+                port = '{ws[0].port}', username = 'fed',
+                password = 'fedpw', database.name = 'fedb',
+                table.name = 'cust', database.servers = '{servers}'
+            )"""
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW ccust_mv AS SELECT nk, "
+            "count(*) AS n, sum(ck) AS ck FROM ccust GROUP BY nk"
+        )
+        conns = [
+            PgWireClient("127.0.0.1", w.port, "fed", "fedpw", "fedb")
+            for w in ws
+        ]
+        for r in rows[half:]:
+            wi, shard = shard_of(int(r.c_custkey))
+            conns[wi].query(f"INSERT INTO {shard} VALUES "
+                            f"({r.c_custkey}, {r.c_nationkey})")
+        for r in rows:
+            if r.c_custkey % 9 == 0:
+                wi, shard = shard_of(int(r.c_custkey))
+                conns[wi].query(
+                    f"DELETE FROM {shard} WHERE ck = {r.c_custkey}")
+        for c in conns:
+            c.close()
+        eng.poll_sources()
+        return eng.sql("SELECT nk, n, ck FROM ccust_mv ORDER BY nk")
+    finally:
+        for w in ws:
+            w.stop()
+
+
+@register(
     "src_sqlservercdc_roundtrip",
     oracle="""
 SELECT p_brand AS br, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz
