@@ -1798,6 +1798,11 @@ def _attach_table_cituscdc(engine: "Engine", t, opts: dict) -> None:
     workers = []
     for i, addr in enumerate(s.strip() for s in servers.split(",")):
         host, _, port = addr.rpartition(":")
+        if not host or not port.isdigit():
+            raise ValueError(
+                f"citus-cdc database.servers entry {addr!r} must be "
+                "host:port (comma-separated worker addresses)"
+            )
         workers.append({
             "host": host, "port": int(port),
             "slot": f"rw_{t.name}_w{i}_{suffix}",

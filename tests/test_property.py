@@ -572,7 +572,8 @@ def test_grammar_accepts_round7_mv_compositions(body, name):
 # IndexError), and never a silent half-created object.
 _CONNECTORS = [
     "kafka", "kinesis", "mqtt", "nats", "google_pubsub", "posix_fs",
-    "pulsar", "postgres-cdc", "mysql-cdc", "bogus",
+    "pulsar", "postgres-cdc", "mysql-cdc", "sqlserver-cdc",
+    "mongodb-cdc", "citus-cdc", "bogus",
 ]
 _FORMATS = [None, "PLAIN", "DEBEZIUM", "UPSERT", "AVRO", "NOISE"]
 _ENCODES = [None, "JSON", "AVRO", "PROTOBUF", "CSV"]
@@ -620,6 +621,14 @@ def _connector_table_stmt(draw):
         opts.append("database.name = 'fzdb'")
     if draw(st.booleans()):
         opts.append("table.name = 'fz_tbl'")
+    if draw(st.booleans()):
+        opts.append("collection.name = "
+                    f"'{draw(st.sampled_from(['fzdb.fzcoll', 'noDot']))}'")
+    if draw(st.booleans()):
+        opts.append("schema.name = 'dbo'")
+    if draw(st.booleans()):
+        opts.append("database.servers = "
+                    f"'{draw(st.sampled_from(['127.0.0.1:1', '127.0.0.1:1,127.0.0.1:1', 'junk']))}'")
     if draw(st.booleans()):
         opts.append("path = '/tmp/rw_fuzz_nonexistent'")
     if draw(st.booleans()):
