@@ -387,6 +387,15 @@ class LoopbackMongo:
                                   dict(d))
                 return {"ok": 1.0, "n": len(doc.get("documents", []))}
 
+            @staticmethod
+            def _by_id(coll, q):
+                """O(1) fast path when the filter is exactly {_id: x}
+                (the collection dict is keyed by the _id's bson)."""
+                if set(q) == {"_id"}:
+                    d = coll.get(bson_encode({"_id": q["_id"]}))
+                    return [d] if d is not None else []
+                return None
+
             def _update(self, doc):
                 n = 0
                 with server._lock:
@@ -395,13 +404,16 @@ class LoopbackMongo:
                     for u in doc.get("updates", []):
                         q, set_doc = u["q"], u["u"].get("$set", {})
                         hit = False
-                        for key, d in list(coll.items()):
-                            if self._matches(q, d):
-                                d.update(set_doc)
-                                self._log(ns, "update",
-                                          {"_id": d.get("_id")}, dict(d))
-                                hit = True
-                                n += 1
+                        fast = self._by_id(coll, q)
+                        cands = (fast if fast is not None
+                                 else [d for d in list(coll.values())
+                                       if self._matches(q, d)])
+                        for d in cands:
+                            d.update(set_doc)
+                            self._log(ns, "update",
+                                      {"_id": d.get("_id")}, dict(d))
+                            hit = True
+                            n += 1
                         if not hit and u.get("upsert"):
                             d = dict(q)
                             d.update(set_doc)
@@ -419,6 +431,14 @@ class LoopbackMongo:
                     coll = self._coll(doc, "delete")
                     for spec in doc.get("deletes", []):
                         q = spec["q"]
+                        if set(q) == {"_id"}:  # O(1) fast path
+                            key = bson_encode({"_id": q["_id"]})
+                            d = coll.pop(key, None)
+                            if d is not None:
+                                self._log(ns, "delete",
+                                          {"_id": d.get("_id")}, None)
+                                n += 1
+                            continue
                         for key, d in list(coll.items()):
                             if self._matches(q, d):
                                 del coll[key]
