@@ -323,6 +323,9 @@ class PgWireServer:
                         got = df.collect()
                         if got:
                             tag = str(got[0][0]).replace("_", " ")
+                    # PG spells the txn-open tag BEGIN, not the verb
+                    if tag == "START TRANSACTION":
+                        tag = "BEGIN"
                     return _Results(None, [], tag)
 
             def _send_results(self, r: _Results) -> None:
@@ -430,11 +433,18 @@ class PgWireServer:
                         self._send_err(
                             f'prepared statement "{name}" does not exist')
                         return
-                    # statement-level describe: no parameter inference —
-                    # report zero params, then the row shape is unknown
-                    # until Bind (NoData here; portal Describe is exact)
-                    self.request.sendall(
-                        _msg(b"t", struct.pack(">H", 0)))
+                    # statement-level describe: parameters are bound as
+                    # text, so report one TEXT oid per distinct $N; the
+                    # row shape is unknown until Bind (NoData here —
+                    # portal Describe is exact)
+                    nps = {int(m) for m in
+                           re.findall(r"\$(\d+)", self._stmts[name])}
+                    nparams = max(nps) if nps else 0
+                    self.request.sendall(_msg(
+                        b"t",
+                        struct.pack(">H", nparams)
+                        + struct.pack(f">{nparams}I",
+                                      *([OID_TEXT] * nparams))))
                     self.request.sendall(_msg(b"n", b""))
                     return
                 if name not in self._portals:
