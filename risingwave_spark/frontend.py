@@ -2045,17 +2045,28 @@ def _ingest_table_sqlservercdc(engine: "Engine", t) -> None:
             _commit_offsets_file(meta, "lsn", last)
             seg = []
 
-        for lsn, seq, op, row in rd.changes(saved, hi):
-            # 1=delete → tombstone; 2=insert/4=update-after → upsert
-            kj = _json.dumps(
-                {c_: row.get(c_) for c_ in pk_cols},
-                sort_keys=True, default=str)
-            vj = (None if op == 1
-                  else _json.dumps(row, sort_keys=True, default=str).encode())
-            seg.append((lsn * 1000 + seq, 0, kj.encode(), vj))
-            last = lsn
-            if len(seg) >= cap:
-                flush()
+        # page the change-table read by LSN sub-windows so a deep
+        # backlog never materializes in one result set (Debezium's
+        # max.batch.size posture; each LSN is one statement's rows)
+        lo = saved
+        while lo < hi:
+            window_hi = min(lo + cap, hi)
+            for lsn, seq, op, row in rd.changes(lo, window_hi):
+                # flush BETWEEN LSNs only: committing an LSN whose
+                # remaining rows are still unfolded would skip them on
+                # crash-resume (the window restarts at committed+1)
+                if len(seg) >= cap and lsn != last:
+                    flush()
+                # 1=delete → tombstone; 2=insert/4=update-after → upsert
+                kj = _json.dumps(
+                    {c_: row.get(c_) for c_ in pk_cols},
+                    sort_keys=True, default=str)
+                vj = (None if op == 1
+                      else _json.dumps(row, sort_keys=True,
+                                       default=str).encode())
+                seg.append((lsn * 1000 + seq, 0, kj.encode(), vj))
+                last = lsn
+            lo = window_hi
         flush()
     finally:
         rd.close()
@@ -2163,33 +2174,32 @@ def _ingest_table_mongocdc(engine: "Engine", t) -> None:
         [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
     )
     cap = _poll_cap(t)
+    last = saved
     try:
-        events, _last = c.change_stream(cfg["db"], cfg["coll"], saved)
+        # cursor-batched replay: ≤ cap events per aggregate reply, the
+        # token committed only AFTER each batch folds — a deep backlog
+        # never materializes driver-side in one response
+        while True:
+            events, _t = c.change_stream(
+                cfg["db"], cfg["coll"], last, batch_size=cap)
+            if not events:
+                return
+            seg = []
+            for e in events:
+                tok = int(e["_id"]["_data"])
+                kj = _json.dumps({"_id": e["documentKey"].get("_id")},
+                                 sort_keys=True, default=str)
+                full = e.get("fullDocument")
+                vj = (None
+                      if e["operationType"] == "delete" or full is None
+                      else _json.dumps(full, sort_keys=True,
+                                       default=str).encode())
+                seg.append((tok, 0, kj.encode(), vj))
+                last = tok
+            _fold_kafka_records(engine, t, row_schema, seg)
+            _commit_offsets_file(meta, "token", last)
     finally:
         c.close()
-    seg: list = []
-    last = saved
-
-    def flush():
-        nonlocal seg
-        if not seg:
-            return
-        _fold_kafka_records(engine, t, row_schema, seg)
-        _commit_offsets_file(meta, "token", last)
-        seg = []
-
-    for e in events:
-        tok = int(e["_id"]["_data"])
-        kj = _json.dumps({"_id": e["documentKey"].get("_id")},
-                         sort_keys=True, default=str)
-        full = e.get("fullDocument")
-        vj = (None if e["operationType"] == "delete" or full is None
-              else _json.dumps(full, sort_keys=True, default=str).encode())
-        seg.append((tok, 0, kj.encode(), vj))
-        last = tok
-        if len(seg) >= cap:
-            flush()
-    flush()
 
 
 def _ingest_table_files(engine: "Engine", t) -> None:

@@ -218,17 +218,21 @@ class MongoClient:
 
     def change_stream(
         self, db: str, coll: str, resume_after: int = 0,
+        batch_size: int | None = None,
     ) -> tuple[list[dict], int]:
         """Poll the collection's change stream (aggregate with a
         $changeStream stage, resuming past the saved token) →
         (events, last_token). Each event: operationType
         insert|update|delete, documentKey, fullDocument (absent on
-        delete), _id._data the resume token."""
+        delete), _id._data the resume token. batch_size bounds one
+        reply (the cursor-batching contract) — pollers loop with the
+        returned token until the batch comes back empty."""
         pipeline = [{"$changeStream": (
             {"resumeAfter": {"_data": resume_after}} if resume_after
             else {})}]
+        cursor = {"batchSize": batch_size} if batch_size else {}
         r = self.command({"aggregate": coll, "$db": db,
-                          "pipeline": pipeline, "cursor": {}})
+                          "pipeline": pipeline, "cursor": cursor})
         events = r["cursor"]["firstBatch"]
         last = resume_after
         for e in events:
@@ -466,6 +470,10 @@ class LoopbackMongo:
                 if isinstance(tok, dict):
                     after = int(tok.get("_data", 0))
                 ns = (doc["$db"], doc["aggregate"])
+                # cursor.batchSize bounds the reply (the real API's
+                # cursor batching; pollers resume past the last token)
+                limit = int((doc.get("cursor") or {}).get(
+                    "batchSize") or 0) or None
                 with server._lock:
                     events = [
                         {
@@ -479,7 +487,7 @@ class LoopbackMongo:
                         for t, op, key, full
                         in server.oplog.get(ns, [])
                         if t > after
-                    ]
+                    ][:limit]
                 return {"ok": 1.0, "cursor": {
                     "id": 0,
                     "ns": f"{ns[0]}.{ns[1]}",

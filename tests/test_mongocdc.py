@@ -89,3 +89,34 @@ def test_mongocdc_requires_id_pk(spark, mongo):
                 port = '{mongo.port}', collection.name = 'db.up'
             )"""
         )
+
+
+def test_mongocdc_bounded_segments(spark, mongo, monkeypatch):
+    """A deep change backlog replays in cursor-batched aggregates of
+    ≤ max.poll.records events, the token committed per batch."""
+    from risingwave_spark import frontend as fe
+
+    c = MongoClient(mongo.host, mongo.port)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_mgseg_"))
+    eng.sql(
+        f"""CREATE TABLE m (_id int8 PRIMARY KEY, v int8) WITH (
+            connector = 'mongodb-cdc', hostname = '{mongo.host}',
+            port = '{mongo.port}', collection.name = 'db.up',
+            max.poll.records = '50'
+        )"""
+    )
+    c.insert("db", "up", [{"_id": i, "v": i % 7} for i in range(300)])
+    folds = []
+    real = fe._fold_kafka_records
+
+    def spy(engine, t, schema, recs):
+        folds.append(len(recs))
+        return real(engine, t, schema, recs)
+
+    monkeypatch.setattr(fe, "_fold_kafka_records", spy)
+    eng.poll_sources()
+    c.close()
+    assert sum(folds) == 300
+    assert max(folds) <= 50
+    assert len(folds) == 6
+    assert eng.sql("SELECT count(*) AS n FROM m").first().n == 300

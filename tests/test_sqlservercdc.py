@@ -95,3 +95,39 @@ def test_sqlservercdc_table_snapshot_and_stream(spark, mssql):
     w.close()
     eng2.poll_sources()
     assert tuple(eng2.sql("SELECT n, sv FROM c_sum").first()) == (3, 85)
+
+
+def test_sqlservercdc_bounded_segments(spark, mssql, monkeypatch):
+    """A deep change backlog folds in ≤ max.poll.records segments —
+    LSN sub-window paging, never one unbounded window read — and the
+    committed LSN only advances at LSN boundaries."""
+    from risingwave_spark import frontend as fe
+
+    mssql.seed("CREATE TABLE up (id BIGINT PRIMARY KEY, v BIGINT)")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_msseg_"))
+    eng.sql(
+        f"""CREATE TABLE c (id int8 PRIMARY KEY, v int8) WITH (
+            connector = 'sqlserver-cdc', hostname = '127.0.0.1',
+            port = '{mssql.port}', username = 'sa', password = 'fedpw',
+            database.name = 'fedb', table.name = 'up',
+            max.poll.records = '50'
+        )"""
+    )
+    w = TdsClient("127.0.0.1", mssql.port, "sa", "fedpw", "fedb")
+    # 300 single-row statements = 300 LSNs
+    w.query("; ".join(
+        f"INSERT INTO up VALUES ({i}, {i % 7})" for i in range(300)))
+    w.close()
+    folds = []
+    real = fe._fold_kafka_records
+
+    def spy(engine, t, schema, recs):
+        folds.append(len(recs))
+        return real(engine, t, schema, recs)
+
+    monkeypatch.setattr(fe, "_fold_kafka_records", spy)
+    eng.poll_sources()
+    assert sum(folds) == 300
+    assert max(folds) <= 50
+    assert len(folds) >= 6
+    assert eng.sql("SELECT count(*) AS n FROM c").first().n == 300
