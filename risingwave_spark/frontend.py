@@ -1536,28 +1536,34 @@ def _attach_table_pgcdc(engine: "Engine", t, opts: dict) -> None:
         # snapshot redeliver through the slot (upsert fold dedupes by pk)
         import json as _json
 
-        c = PgWireClient(host, port, user, pw, db)
-        try:
-            fields, rows = c.query(f"SELECT * FROM {table}")
-        finally:
-            c.close()
         from pyspark.sql.types import StructType
 
         row_schema = StructType(
             [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
         )
         pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
-        names = [n for n, _oid in fields]
-        recs = []
-        for i, r in enumerate(rows):
-            d = dict(zip(names, r))
-            key = _json.dumps(
-                {c_: d.get(c_) for c_ in pk_cols}, sort_keys=True, default=str)
-            recs.append((i, 0, key.encode(),
-                         _json.dumps(d, sort_keys=True, default=str).encode()))
         cap_n = _poll_cap(t)
-        for j in range(0, len(recs), cap_n):
-            _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+        c = PgWireClient(host, port, user, pw, db)
+        try:
+            # keyset-paged snapshot: <= cap rows per page, one fold per
+            # page — a huge upstream table never sits in driver memory
+            i = 0
+            for fields, rows in _snapshot_paged(
+                    c.query, table, pk_cols, cap_n):
+                names = [n for n, _oid in fields]
+                recs = []
+                for r in rows:
+                    d = dict(zip(names, r))
+                    key = _json.dumps(
+                        {c_: d.get(c_) for c_ in pk_cols},
+                        sort_keys=True, default=str)
+                    recs.append((i, 0, key.encode(),
+                                 _json.dumps(d, sort_keys=True,
+                                             default=str).encode()))
+                    i += 1
+                _fold_kafka_records(engine, t, row_schema, recs)
+        finally:
+            c.close()
     _ingest_table_pgcdc(engine, t)
 
 
@@ -1668,32 +1674,36 @@ def _attach_table_mysqlcdc(engine: "Engine", t, opts: dict) -> None:
         c = MySqlWireClient(host, port, user, pw, db)
     except OSError:
         return  # database down at replay; next poll catches up
-    try:
-        # position BEFORE the snapshot: changes racing it redeliver
-        # through the binlog (upsert fold dedupes by pk)
-        _f, rows = c.query("SHOW MASTER STATUS")
-        fname, pos = rows[0][0], int(rows[0][1])
-        fields, snap = c.query(f"SELECT * FROM {table}")
-    finally:
-        c.close()
-    _commit_offsets_file(meta, "binlog", {"file": fname, "pos": pos})
     from pyspark.sql.types import StructType
 
     row_schema = StructType(
         [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
     )
     pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
-    names = [n for n, _tc in fields]
-    recs = []
-    for i, r in enumerate(snap):
-        d = dict(zip(names, r))
-        key = _json.dumps(
-            {c_: d.get(c_) for c_ in pk_cols}, sort_keys=True, default=str)
-        recs.append((i, 0, key.encode(),
-                     _json.dumps(d, sort_keys=True, default=str).encode()))
     cap_n = _poll_cap(t)
-    for j in range(0, len(recs), cap_n):
-        _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    try:
+        # position BEFORE the snapshot: changes racing it redeliver
+        # through the binlog (upsert fold dedupes by pk)
+        _f, rows = c.query("SHOW MASTER STATUS")
+        fname, pos = rows[0][0], int(rows[0][1])
+        _commit_offsets_file(meta, "binlog", {"file": fname, "pos": pos})
+        i = 0
+        for fields, page in _snapshot_paged(
+                c.query, table, pk_cols, cap_n):
+            names = [n for n, _tc in fields]
+            recs = []
+            for r in page:
+                d = dict(zip(names, r))
+                key = _json.dumps(
+                    {c_: d.get(c_) for c_ in pk_cols},
+                    sort_keys=True, default=str)
+                recs.append((i, 0, key.encode(),
+                             _json.dumps(d, sort_keys=True,
+                                         default=str).encode()))
+                i += 1
+            _fold_kafka_records(engine, t, row_schema, recs)
+    finally:
+        c.close()
     _ingest_table_mysqlcdc(engine, t)
 
 
@@ -1756,6 +1766,56 @@ def _ingest_table_mysqlcdc(engine: "Engine", t) -> None:
         flush()
     finally:
         b.close()
+
+
+def _snap_lit(v) -> str:
+    """SQL literal for a keyset bound."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _snapshot_paged(run_query, table: str, pk_cols: list, cap: int,
+                    tsql: bool = False):
+    """Keyset-paged snapshot chunks (the reference's Debezium
+    incremental-snapshot posture: ORDER BY pk, ≤ cap rows per page,
+    resuming past the last key) — a huge upstream table never
+    materializes in one driver-side result set. Composite pks page
+    with the expanded lexicographic predicate (T-SQL has no row-value
+    comparison; the expanded form is index-sargable everywhere).
+    run_query(sql) → (fields, rows); yields (fields, rows) pages."""
+    order = ", ".join(pk_cols)
+    limit = (f" ORDER BY {order} OFFSET 0 ROWS FETCH NEXT {cap} ROWS ONLY"
+             if tsql else f" ORDER BY {order} LIMIT {cap}")
+    last = None
+    idx = None
+    while True:
+        where = ""
+        if last is not None:
+            parts = []
+            for i in range(len(pk_cols)):
+                terms = [
+                    f"{pk_cols[j]} = {_snap_lit(last[j])}"
+                    for j in range(i)
+                ] + [f"{pk_cols[i]} > {_snap_lit(last[i])}"]
+                parts.append(" AND ".join(terms))
+            where = " WHERE " + " OR ".join(f"({p})" for p in parts)
+        fields, rows = run_query(
+            f"SELECT * FROM {table}{where}{limit}")
+        if not rows:
+            return
+        if idx is None:
+            names = [f if isinstance(f, str) else f[0] for f in fields]
+            idx = [names.index(c) for c in pk_cols]
+        yield fields, rows
+        if len(rows) < cap:
+            return
+        last = [rows[-1][i] for i in idx]
 
 
 def _attach_table_cituscdc(engine: "Engine", t, opts: dict) -> None:
@@ -1850,22 +1910,25 @@ def _attach_table_cituscdc(engine: "Engine", t, opts: dict) -> None:
             _f, tbls = c.query(
                 "SELECT table_name FROM information_schema.tables")
             shards = sorted(r[0] for r in tbls if shard_rx.match(str(r[0])))
-            recs = []
+            i = 0
             for shard in shards:
-                fields, rows = c.query(f"SELECT * FROM {shard}")
-                names = [n for n, _oid in fields]
-                for r in rows:
-                    d = dict(zip(names, r))
-                    key = _json.dumps(
-                        {c_: d.get(c_) for c_ in pk_cols},
-                        sort_keys=True, default=str)
-                    recs.append((len(recs), 0, key.encode(),
-                                 _json.dumps(d, sort_keys=True,
-                                             default=str).encode()))
+                # keyset-paged per shard: <= cap rows per page
+                for fields, rows in _snapshot_paged(
+                        c.query, shard, pk_cols, cap_n):
+                    names = [n for n, _oid in fields]
+                    recs = []
+                    for r in rows:
+                        d = dict(zip(names, r))
+                        key = _json.dumps(
+                            {c_: d.get(c_) for c_ in pk_cols},
+                            sort_keys=True, default=str)
+                        recs.append((i, 0, key.encode(),
+                                     _json.dumps(d, sort_keys=True,
+                                                 default=str).encode()))
+                        i += 1
+                    _fold_kafka_records(engine, t, row_schema, recs)
         finally:
             c.close()
-        for j in range(0, len(recs), cap_n):
-            _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
     _ingest_table_cituscdc(engine, t)
 
 
@@ -1974,31 +2037,35 @@ def _attach_table_sqlservercdc(engine: "Engine", t, opts: dict) -> None:
         rd = SqlServerCdcReader(host, port, user, pw, db, schema, table)
     except OSError:
         return  # database down at replay; next poll catches up
-    try:
-        rd.enable()
-        # LSN BEFORE the snapshot: changes racing it redeliver through
-        # the change table (upsert fold dedupes by pk)
-        lsn0 = rd.max_lsn()
-        fields, snap = rd.snapshot()
-    finally:
-        rd.close()
-    _commit_offsets_file(meta, "lsn", lsn0)
     from pyspark.sql.types import StructType
 
     row_schema = StructType(
         [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
     )
     pk_cols = [t.pk] if isinstance(t.pk, str) else list(t.pk)
-    recs = []
-    for i, r in enumerate(snap):
-        d = dict(zip(fields, r))
-        key = _json.dumps(
-            {c_: d.get(c_) for c_ in pk_cols}, sort_keys=True, default=str)
-        recs.append((i, 0, key.encode(),
-                     _json.dumps(d, sort_keys=True, default=str).encode()))
     cap_n = _poll_cap(t)
-    for j in range(0, len(recs), cap_n):
-        _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    try:
+        rd.enable()
+        # LSN BEFORE the snapshot: changes racing it redeliver through
+        # the change table (upsert fold dedupes by pk)
+        lsn0 = rd.max_lsn()
+        _commit_offsets_file(meta, "lsn", lsn0)
+        i = 0
+        for fields, page in _snapshot_paged(
+                rd.client.query, table, pk_cols, cap_n, tsql=True):
+            recs = []
+            for r in page:
+                d = dict(zip(fields, r))
+                key = _json.dumps(
+                    {c_: d.get(c_) for c_ in pk_cols},
+                    sort_keys=True, default=str)
+                recs.append((i, 0, key.encode(),
+                             _json.dumps(d, sort_keys=True,
+                                         default=str).encode()))
+                i += 1
+            _fold_kafka_records(engine, t, row_schema, recs)
+    finally:
+        rd.close()
     _ingest_table_sqlservercdc(engine, t)
 
 
