@@ -2191,27 +2191,33 @@ def _attach_table_mongocdc(engine: "Engine", t, opts: dict) -> None:
         c = MongoClient(host, port, user=user, password=pw)
     except OSError:
         return  # database down at replay; next poll catches up
-    try:
-        # token BEFORE the snapshot: events racing it redeliver through
-        # the stream (upsert fold dedupes by _id)
-        _events, tok0 = c.change_stream(db, coll, 0)
-        snap = c.find(db, coll)
-    finally:
-        c.close()
-    _commit_offsets_file(meta, "token", tok0)
     from pyspark.sql.types import StructType
 
     row_schema = StructType(
         [f for f in t.snapshot().schema.fields if f.name != ROW_ID]
     )
-    recs = []
-    for i, d in enumerate(snap):
-        key = _json.dumps({"_id": d.get("_id")}, sort_keys=True, default=str)
-        recs.append((i, 0, key.encode(),
-                     _json.dumps(d, sort_keys=True, default=str).encode()))
     cap_n = _poll_cap(t)
-    for j in range(0, len(recs), cap_n):
-        _fold_kafka_records(engine, t, row_schema, recs[j:j + cap_n])
+    try:
+        # pin the resume point BEFORE the snapshot via the standard
+        # operationTime command field (events racing the snapshot
+        # redeliver through the stream; upsert fold dedupes by _id);
+        # snapshot reads in _id-keyset pages of <= cap docs
+        # (Debezium's chunked collection snapshot), one fold per page
+        tok0 = c.operation_time()
+        _commit_offsets_file(meta, "token", tok0)
+        i = 0
+        for page in c.find_paged(db, coll, cap_n):
+            recs = []
+            for d in page:
+                key = _json.dumps({"_id": d.get("_id")},
+                                  sort_keys=True, default=str)
+                recs.append((i, 0, key.encode(),
+                             _json.dumps(d, sort_keys=True,
+                                         default=str).encode()))
+                i += 1
+            _fold_kafka_records(engine, t, row_schema, recs)
+    finally:
+        c.close()
     _ingest_table_mongocdc(engine, t)
 
 

@@ -239,9 +239,41 @@ class MongoClient:
             last = max(last, int(e["_id"]["_data"]))
         return events, last
 
-    def find(self, db: str, coll: str) -> list[dict]:
-        resp = self.command({"find": coll, "$db": db})
+    def operation_time(self) -> int:
+        """Current server operation time (the standard command-reply
+        field) — what a snapshotting client pins its change-stream
+        resume point with BEFORE reading the collection."""
+        return int(self.command({"ping": 1, "$db": "admin"}).get(
+            "operationTime", 0))
+
+    def find(self, db: str, coll: str, filter: dict | None = None,
+             sort: dict | None = None,
+             limit: int | None = None) -> list[dict]:
+        cmd = {"find": coll, "$db": db}
+        if filter:
+            cmd["filter"] = filter
+        if sort:
+            cmd["sort"] = sort
+        if limit:
+            cmd["limit"] = limit
+        resp = self.command(cmd)
         return resp["cursor"]["firstBatch"]
+
+    def find_paged(self, db: str, coll: str, batch: int):
+        """_id-keyset paged scan (Debezium's chunked collection
+        snapshot): sorted by _id, ≤ batch docs per page, resuming past
+        the last _id — a huge collection never arrives in one reply."""
+        last = None
+        while True:
+            flt = {"_id": {"$gt": last}} if last is not None else None
+            page = self.find(db, coll, filter=flt, sort={"_id": 1},
+                             limit=batch)
+            if not page:
+                return
+            yield page
+            if len(page) < batch:
+                return
+            last = page[-1].get("_id")
 
     def close(self) -> None:
         try:
@@ -299,7 +331,12 @@ class LoopbackMongo:
                         elif cmd == "aggregate":
                             resp = self._aggregate(doc)
                         elif cmd in ("ping", "hello", "isMaster"):
-                            resp = {"ok": 1.0}
+                            # command replies carry operationTime (the
+                            # public field clients pin snapshots with;
+                            # here = the latest oplog optime)
+                            with server._lock:
+                                resp = {"ok": 1.0,
+                                        "operationTime": server._optime}
                         else:
                             resp = {"ok": 0.0,
                                     "errmsg": f"no such command {cmd!r}"}
@@ -494,15 +531,38 @@ class LoopbackMongo:
                     "firstBatch": events}}
 
             def _find(self, doc):
+                """find with the snapshot-pager's surface: filter
+                ({_id: {$gt: x}} or equality), sort ({_id: 1}), limit
+                — the subset Debezium's chunked collection snapshot
+                issues."""
+                flt = doc.get("filter") or {}
+                limit = int(doc.get("limit") or 0) or None
                 with server._lock:
                     coll = self._coll(doc, "find")
-                    batch = {str(i): d
-                             for i, d in enumerate(coll.values())}
+                    docs = list(coll.values())
+                if flt:
+                    def keep(d):
+                        for k, cond in flt.items():
+                            if isinstance(cond, dict):
+                                if "$gt" in cond and not (
+                                        d.get(k) is not None
+                                        and d[k] > cond["$gt"]):
+                                    return False
+                            elif d.get(k) != cond:
+                                return False
+                        return True
+                    docs = [d for d in docs if keep(d)]
+                if doc.get("sort"):
+                    for k, direction in reversed(
+                            list(doc["sort"].items())):
+                        docs.sort(key=lambda d: d.get(k),
+                                  reverse=direction < 0)
+                if limit:
+                    docs = docs[:limit]
                 return {"ok": 1.0, "cursor": {
                     "id": 0,
                     "ns": f"{doc['$db']}.{doc['find']}",
-                    "firstBatch": [batch[str(i)]
-                                   for i in range(len(batch))]}}
+                    "firstBatch": docs}}
 
         class Server(socketserver.ThreadingTCPServer):
             def process_request(self, request, client_address):
