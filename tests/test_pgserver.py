@@ -122,6 +122,31 @@ def test_extended_protocol_prepared_params(spark, eng):
     c.close()
 
 
+def test_subscription_cursor_over_the_wire(spark, eng):
+    """The reference's changelog-cursor UX through psql: DECLARE
+    SUBSCRIPTION CURSOR + FETCH over the socket streams diff rows with
+    __op; the FETCH command tag carries the row count."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    c.query("CREATE TABLE cs (k int4 PRIMARY KEY, v int4); "
+            "CREATE MATERIALIZED VIEW csm AS SELECT k, v FROM cs; "
+            "DECLARE sc SUBSCRIPTION CURSOR FOR csm")
+    c.query("INSERT INTO cs VALUES (1, 5), (2, 6)")
+    fields, rows = c.query("FETCH 10 FROM sc")
+    names = [f[0] for f in fields]
+    got = sorted(
+        (r[names.index("k")], r[names.index("v")],
+         r[names.index("__op")]) for r in rows
+    )
+    assert got == [(1, 5, 1), (2, 6, 1)]
+    c.query("DELETE FROM cs WHERE k = 1")
+    _f, rows2 = c.query("FETCH 10 FROM sc")
+    assert len(rows2) == 1 and rows2[0][names.index("__op")] == -1
+    _f, rows3 = c.query("FETCH 10 FROM sc")
+    assert rows3 == []  # drained
+    c.close()
+
+
 def test_ssl_refusal_and_terminate(spark, eng):
     """SSLRequest answers 'N' (plaintext) and the client can proceed;
     raw Terminate closes cleanly."""
