@@ -6569,6 +6569,21 @@ class _RedisSink(_CollectedSink):
             return out
         return f"{self.table}:{_json.dumps(k, sort_keys=True)}"
 
+    def _probe_alive(self) -> None:
+        from risingwave_spark.sources.redis_store import RedisClient
+
+        RedisClient(self.host, self.port).close()
+
+    def _emit_chunk(self, df) -> None:
+        # executor-side SET/DEL per task (reference redis.rs per-writer
+        # pipelines); a pk's ops stay ordered inside its task
+        self._emit_chunk_exec(
+            df, "redis",
+            {"host": self.host, "port": self.port,
+             "key_format": self.key_format,
+             "value_format": self.value_format, "table": self.table},
+            self.topic if hasattr(self, "topic") else self.table)
+
     def _produce_events(self, events: list) -> None:
         import json as _json
 
@@ -6605,11 +6620,18 @@ class _DynamoSink(_CollectedSink):
 
         self.engine = engine
         self.sub = sub
+        self._dyn_cfg = {
+            "endpoint": opts.get("endpoint") or opts.get("aws.endpoint"),
+            "region": opts.get("aws.region", "us-east-1"),
+            "access": opts.get(
+                "aws.credentials.access_key_id", "test"),
+            "secret": opts.get(
+                "aws.credentials.secret_access_key", "test"),
+        }
         self.client = DynamoClient(
-            opts.get("endpoint") or opts.get("aws.endpoint"),
-            region=opts.get("aws.region", "us-east-1"),
-            access_key=opts.get("aws.credentials.access_key_id", "test"),
-            secret_key=opts.get("aws.credentials.secret_access_key", "test"),
+            self._dyn_cfg["endpoint"], region=self._dyn_cfg["region"],
+            access_key=self._dyn_cfg["access"],
+            secret_key=self._dyn_cfg["secret"],
         )
         self.topic = table_name
         self.fmt = fmt
@@ -6617,6 +6639,20 @@ class _DynamoSink(_CollectedSink):
         self.pk = pk
         self.db, self.table = db, table
         self.avro = None
+
+    def _probe_alive(self) -> None:
+        import socket as _socket
+        import urllib.parse as _up
+
+        u = _up.urlparse(self._dyn_cfg["endpoint"])
+        _socket.create_connection(
+            (u.hostname, u.port or 80), timeout=5).close()
+
+    def _emit_chunk(self, df) -> None:
+        # executor-side PutItem/DeleteItem per task (reference
+        # dynamodb.rs per-writer requests)
+        self._emit_chunk_exec(
+            df, "dynamodb", {**self._dyn_cfg, "pk": self.pk}, self.topic)
 
     def _produce_events(self, events: list) -> None:
         for k, v in events:
@@ -7463,6 +7499,20 @@ class _MongoSink(_CollectedSink):
         if len(self.pk) == 1:
             return k[self.pk[0]]
         return {c: k[c] for c in self.pk}
+
+    def _probe_alive(self) -> None:
+        self._connect().close()
+
+    def _emit_chunk(self, df) -> None:
+        # executor-side bulk commands per task (reference mongodb.rs
+        # per-writer bulks); consecutive-run batching in the task
+        # preserves a key's delete-then-insert order inside a chunk
+        self._emit_chunk_exec(
+            df, "mongodb",
+            {"host": self.host, "port": self.port, "user": self.user,
+             "password": self.password, "mdb": self.mdb,
+             "coll": self.coll, "pk": self.pk, "fmt": self.fmt},
+            self.topic)
 
     def _produce_events(self, events: list) -> None:
         if not events:

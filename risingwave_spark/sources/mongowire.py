@@ -32,6 +32,12 @@ import socketserver
 import struct
 import threading
 
+# module-top import: _ScramClient must be a by-value global of this
+# module (sink_exec registers both modules pickle-by-value) — a
+# function-body import dies on executor workers that cannot import
+# the package at all
+from risingwave_spark.sources.pgwire import _ScramClient
+
 
 def _nodelay_connect(addr, timeout=None):
     """connect + TCP_NODELAY: every protocol here is request-
@@ -164,10 +170,6 @@ class MongoClient:
     def _auth(self, user: str, password: str) -> None:
         """SCRAM-SHA-256 SASL conversation (saslStart/saslContinue on
         $db admin — the driver handshake mongodb documents)."""
-        import base64
-
-        from risingwave_spark.sources.pgwire import _ScramClient
-
         scram = _ScramClient(user, password, n_user=True)
         r1 = self.command({
             "saslStart": 1, "mechanism": "SCRAM-SHA-256",
@@ -190,7 +192,6 @@ class MongoClient:
                 "saslContinue": 1, "conversationId": r1["conversationId"],
                 "payload": b"", "$db": "admin",
             })
-        base64  # imported for parity with other scram users
 
     def command(self, doc: dict) -> dict:
         self.conn.send_msg(doc)

@@ -36,6 +36,9 @@ import threading
 import urllib.error
 import urllib.request
 
+# module-top import: must be a by-value global for executor-side
+# credentialed publishes (sink_exec registers pickle-by-value)
+from risingwave_spark.sources.rsa_jwt import jwt_encode
 
 #: OAuth scope for Pub/Sub (public constant)
 _PUBSUB_SCOPE = "https://www.googleapis.com/auth/pubsub"
@@ -63,8 +66,6 @@ class PubSubClient:
             return self._bearer
         import time as _time
         import urllib.parse as _up
-
-        from risingwave_spark.sources.rsa_jwt import jwt_encode
 
         key = {
             "n": int(self.creds["private_key_n"]),

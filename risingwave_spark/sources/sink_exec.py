@@ -31,18 +31,22 @@ import uuid
 try:  # pragma: no cover - depends on the vendored cloudpickle version
     from pyspark import cloudpickle as _cloudpickle
 
+    import risingwave_spark.sources.dynamodb_store as _dy
     import risingwave_spark.sources.es_store as _es
     import risingwave_spark.sources.kafka_exec as _ke
     import risingwave_spark.sources.kinesis as _kin
+    import risingwave_spark.sources.mongowire as _mo
     import risingwave_spark.sources.mqtt_wire as _mq
     import risingwave_spark.sources.nats_wire as _na
     import risingwave_spark.sources.pgwire as _pg
     import risingwave_spark.sources.pubsub as _ps
     import risingwave_spark.sources.pulsar_wire as _pw
+    import risingwave_spark.sources.redis_store as _rd
+    import risingwave_spark.sources.rsa_jwt as _rj
     import risingwave_spark.sources.sink_format as _sf
 
-    for _m in (sys.modules[__name__], _es, _ke, _kin, _mq, _na, _pg,
-               _ps, _pw, _sf):
+    for _m in (sys.modules[__name__], _dy, _es, _ke, _kin, _mo, _mq,
+               _na, _pg, _ps, _pw, _rd, _rj, _sf):
         _cloudpickle.register_pickle_by_value(_m)
 except Exception:  # noqa: BLE001
     pass
@@ -51,8 +55,11 @@ except Exception:  # noqa: BLE001
 # closures (the registered modules travel inside the pickle) — a
 # function-body `from risingwave_spark...` import would fail on
 # executor workers that can't import the package at all
+from risingwave_spark.sources.dynamodb_store import DynamoClient
 from risingwave_spark.sources.es_store import EsClient
 from risingwave_spark.sources.kafka_exec import format_rows, py_val
+from risingwave_spark.sources.mongowire import MongoClient
+from risingwave_spark.sources.redis_store import RedisClient
 from risingwave_spark.sources.kinesis import KinesisClient
 from risingwave_spark.sources.mqtt_wire import MqttClient
 from risingwave_spark.sources.nats_wire import NatsClient
@@ -215,6 +222,100 @@ def _produce_jdbc(cfg: dict, topic: str, events: list) -> None:
         c.close()
 
 
+def _produce_redis(cfg: dict, topic: str, events: list) -> None:
+    """SET/DEL from the task over its own RESP connection (reference
+    sink/redis.rs pipelines per writer). Key templates mirror the
+    driver-side path byte-for-byte."""
+    c = RedisClient(cfg["host"], cfg["port"])
+    try:
+        for k, v in events:
+            if cfg["key_format"]:
+                key = cfg["key_format"]
+                src = dict(v or {})
+                src.update(k)
+                for col, val in src.items():
+                    key = key.replace("{" + col + "}", str(val))
+            else:
+                key = f"{cfg['table']}:{json.dumps(k, sort_keys=True)}"
+            if v is None:
+                c.delete(key)
+                continue
+            if cfg["value_format"]:
+                val = cfg["value_format"]
+                for col, cv in v.items():
+                    val = val.replace("{" + col + "}", str(cv))
+            else:
+                val = json.dumps(v, sort_keys=True)
+            c.set(key, val)
+    finally:
+        c.close()
+
+
+def _produce_dynamodb(cfg: dict, topic: str, events: list) -> None:
+    """PutItem/DeleteItem from the task (reference sink/dynamodb.rs:
+    each writer signs its own requests)."""
+    c = DynamoClient(cfg["endpoint"], region=cfg["region"],
+                     access_key=cfg["access"], secret_key=cfg["secret"])
+    for k, v in events:
+        if v is None:
+            c.delete_item(topic, {col: k[col] for col in cfg["pk"]})
+        else:
+            c.put_item(topic, v)
+
+
+def _produce_mongodb(cfg: dict, topic: str, events: list) -> None:
+    """Bulk update/delete/insert commands from the task (reference
+    sink/mongodb.rs per-writer bulks). CONSECUTIVE same-type runs
+    batch into one command — never regrouped across types, so a
+    key's delete-then-insert order inside a chunk is preserved."""
+    c = MongoClient(cfg["host"], cfg["port"], cfg["user"],
+                    cfg["password"])
+    mdb, coll, pk, fmt = cfg["mdb"], cfg["coll"], cfg["pk"], cfg["fmt"]
+
+    def mongo_id(k):
+        return k[pk[0]] if len(pk) == 1 else {col: k[col] for col in pk}
+
+    try:
+        run_type = None
+        run: list = []
+
+        def flush():
+            nonlocal run, run_type
+            if not run:
+                return
+            if run_type == "delete":
+                c.delete(mdb, coll, run)
+            elif run_type == "update":
+                c.update(mdb, coll, run)
+            else:
+                c.insert(mdb, coll, run)
+            run = []
+            run_type = None
+
+        for k, v in events:
+            if v is None:
+                kind, item = "delete", {"q": {"_id": mongo_id(k)},
+                                        "limit": 1}
+            elif fmt == "upsert":
+                row = dict(v)
+                row["_id"] = mongo_id(k)
+                kind, item = "update", {
+                    "q": {"_id": row["_id"]},
+                    "u": {"$set": row}, "upsert": True, "multi": False}
+            else:
+                kind, item = "insert", dict(v)
+            if kind != run_type:
+                flush()
+                run_type = kind
+            run.append(item)
+            if len(run) >= 500:
+                flush()
+                run_type = None
+        flush()
+    finally:
+        c.close()
+
+
 _PRODUCERS = {
     "kinesis": _produce_kinesis,
     "mqtt": _produce_mqtt,
@@ -223,6 +324,9 @@ _PRODUCERS = {
     "pulsar": _produce_pulsar,
     "elasticsearch": _produce_es,
     "jdbc": _produce_jdbc,
+    "redis": _produce_redis,
+    "dynamodb": _produce_dynamodb,
+    "mongodb": _produce_mongodb,
 }
 
 

@@ -240,3 +240,74 @@ def test_jdbc_sink_emits_executor_side(spark, no_collected_emit):
         assert rows == [(1, 10), (2, 16)]
     finally:
         b.stop()
+
+
+def test_redis_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.redis_store import (
+        LoopbackRedis,
+        RedisClient,
+    )
+
+    b = LoopbackRedis().start()
+    try:
+        eng = _mk_engine(spark, "rw_rexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='redis', "
+            f"redis.url='redis://{b.host}:{b.port}') "
+            "FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        c = RedisClient(b.host, b.port)
+        state = {}
+        for k in c.keys("*"):
+            state[k] = json.loads(c.get(k))["v2"]
+        c.close()
+        assert sorted(state.values()) == [10, 14]
+    finally:
+        b.stop()
+
+
+def test_dynamodb_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.dynamodb_store import (
+        DynamoClient,
+        LoopbackDynamo,
+    )
+
+    b = LoopbackDynamo().start()
+    ep = f"http://{b.host}:{b.port}"
+    try:
+        c = DynamoClient(ep)
+        c.create_table("oute", ["id"])
+        eng = _mk_engine(spark, "rw_dexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='dynamodb', "
+            f"table='oute', endpoint='{ep}') "
+            "FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        items = c.scan("oute")
+        assert sorted(i["v2"] for i in items) == [10, 14]
+    finally:
+        b.stop()
+
+
+def test_mongodb_sink_emits_executor_side(spark, no_collected_emit):
+    from risingwave_spark.sources.mongowire import LoopbackMongo
+
+    b = LoopbackMongo().start()
+    try:
+        eng = _mk_engine(spark, "rw_moexe_")
+        eng.sql(
+            f"CREATE SINK s FROM smv WITH (connector='mongodb', "
+            f"mongodb.url='mongodb://{b.host}:{b.port}', "
+            "collection.name='db.oute') FORMAT UPSERT ENCODE JSON"
+        )
+        eng.sql("INSERT INTO st VALUES (1, 5), (2, 7), (3, 9)")
+        eng.sql("UPDATE st SET v = 8 WHERE id = 2")
+        eng.sql("DELETE FROM st WHERE id = 3")
+        docs = {d["_id"]: d["v2"] for d in b.docs("db", "oute")}
+        assert docs == {1: 10, 2: 16}
+    finally:
+        b.stop()
