@@ -150,3 +150,34 @@ def test_pgcdc_segmented_poll_and_validation(spark, pg):
             "CREATE TABLE my (id int8 PRIMARY KEY) WITH "
             "(connector='mysql-cdc', table.name='t')"
         )
+
+
+def test_pgcdc_snapshot_pages_by_keyset(spark, pg, monkeypatch):
+    """The initial snapshot reads keyset pages of <= max.poll.records
+    rows (Debezium's chunked snapshot) and folds one page per batch —
+    never the whole upstream table in one result set."""
+    from risingwave_spark import frontend as fe
+
+    pg.seed("CREATE TABLE big (id BIGINT PRIMARY KEY, v BIGINT)")
+    pg.seed("INSERT INTO big SELECT range, range % 7 FROM range(300)")
+    folds = []
+    real = fe._fold_kafka_records
+
+    def spy(engine, t, schema, recs):
+        folds.append(len(recs))
+        return real(engine, t, schema, recs)
+
+    monkeypatch.setattr(fe, "_fold_kafka_records", spy)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_pgpage_"))
+    eng.sql(
+        f"""CREATE TABLE c (id int8 PRIMARY KEY, v int8) WITH (
+            connector = 'postgres-cdc', hostname = '{pg.host}',
+            port = '{pg.port}', username = 'fed', password = 'fedpw',
+            database.name = 'fedb', table.name = 'big',
+            slot.name = 'rw_page_slot', max.poll.records = '50'
+        )"""
+    )
+    assert sum(folds) == 300
+    assert max(folds) <= 50
+    assert len(folds) == 6
+    assert eng.sql("SELECT count(*) AS n FROM c").first().n == 300
