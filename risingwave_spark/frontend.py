@@ -2233,9 +2233,12 @@ def _ingest_table_mongocdc(engine: "Engine", t) -> None:
     meta = os.path.join(engine.warehouse, f"t_{t.name}", "MONGO_RESUME_TOKEN")
     try:
         with open(meta) as f:
-            saved = int(_json.load(f).get("token", 0))
+            # resume tokens are OPAQUE strings (real MongoDB tokens are
+            # hex KeyStrings) — persisted and passed through verbatim,
+            # never parsed engine-side
+            saved = str(_json.load(f).get("token", "") or "")
     except (FileNotFoundError, ValueError):
-        saved = 0
+        saved = ""
     try:
         c = MongoClient(cfg["host"], cfg["port"], user=cfg["user"],
                         password=cfg["pw"])
@@ -2253,13 +2256,12 @@ def _ingest_table_mongocdc(engine: "Engine", t) -> None:
         # token committed only AFTER each batch folds — a deep backlog
         # never materializes driver-side in one response
         while True:
-            events, _t = c.change_stream(
+            events, tok = c.change_stream(
                 cfg["db"], cfg["coll"], last, batch_size=cap)
             if not events:
                 return
             seg = []
-            for e in events:
-                tok = int(e["_id"]["_data"])
+            for i, e in enumerate(events):
                 kj = _json.dumps({"_id": e["documentKey"].get("_id")},
                                  sort_keys=True, default=str)
                 full = e.get("fullDocument")
@@ -2267,8 +2269,10 @@ def _ingest_table_mongocdc(engine: "Engine", t) -> None:
                       if e["operationType"] == "delete" or full is None
                       else _json.dumps(full, sort_keys=True,
                                        default=str).encode())
-                seg.append((tok, 0, kj.encode(), vj))
-                last = tok
+                seg.append((i, 0, kj.encode(), vj))
+            # the LAST delivered event's token (opaque, uninspected):
+            # the batch-end pin — committed only AFTER the fold
+            last = str(events[-1]["_id"]["_data"]) or tok
             _fold_kafka_records(engine, t, row_schema, seg)
             _commit_offsets_file(meta, "token", last)
     finally:

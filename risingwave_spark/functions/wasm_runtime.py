@@ -286,7 +286,9 @@ class WasmModule:
         self.memory = bytearray(self.mem_min * 65536)
         self.data_end = 0
         for off, data in data_segs:
-            if off + len(data) > len(self.memory):
+            # offsets decode via sleb (i32.const is signed): a negative
+            # offset must trap as out-of-bounds, not slice from the end
+            if off < 0 or off + len(data) > len(self.memory):
                 raise ValueError("data segment out of memory bounds")
             self.memory[off:off + len(data)] = data
             self.data_end = max(self.data_end, off + len(data))

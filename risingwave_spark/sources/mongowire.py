@@ -218,16 +218,22 @@ class MongoClient:
             "insert": coll, "ordered": True, "documents": docs, "$db": db})
 
     def change_stream(
-        self, db: str, coll: str, resume_after: int = 0,
+        self, db: str, coll: str, resume_after: str = "",
         batch_size: int | None = None,
-    ) -> tuple[list[dict], int]:
+    ) -> tuple[list[dict], str]:
         """Poll the collection's change stream (aggregate with a
         $changeStream stage, resuming past the saved token) →
-        (events, last_token). Each event: operationType
+        (events, resume_token). Each event: operationType
         insert|update|delete, documentKey, fullDocument (absent on
-        delete), _id._data the resume token. batch_size bounds one
-        reply (the cursor-batching contract) — pollers loop with the
-        returned token until the batch comes back empty."""
+        delete), _id._data the resume token — an OPAQUE string, never
+        parsed client-side (real MongoDB tokens are hex-encoded
+        KeyStrings; the only contract is that the server can resume
+        from one). The returned token is the cursor's
+        postBatchResumeToken when present (the spec's batch-end pin),
+        else the last event's token, else resume_after unchanged.
+        batch_size bounds one reply (the cursor-batching contract) —
+        pollers loop with the returned token until the batch comes
+        back empty."""
         pipeline = [{"$changeStream": (
             {"resumeAfter": {"_data": resume_after}} if resume_after
             else {})}]
@@ -235,17 +241,20 @@ class MongoClient:
         r = self.command({"aggregate": coll, "$db": db,
                           "pipeline": pipeline, "cursor": cursor})
         events = r["cursor"]["firstBatch"]
-        last = resume_after
-        for e in events:
-            last = max(last, int(e["_id"]["_data"]))
-        return events, last
+        pbrt = r["cursor"].get("postBatchResumeToken")
+        if isinstance(pbrt, dict) and pbrt.get("_data"):
+            return events, str(pbrt["_data"])
+        if events:
+            return events, str(events[-1]["_id"]["_data"])
+        return events, resume_after
 
-    def operation_time(self) -> int:
-        """Current server operation time (the standard command-reply
-        field) — what a snapshotting client pins its change-stream
-        resume point with BEFORE reading the collection."""
-        return int(self.command({"ping": 1, "$db": "admin"}).get(
-            "operationTime", 0))
+    def operation_time(self) -> str:
+        """Current server operation time as an OPAQUE resume-point
+        token (the standard command-reply field) — what a snapshotting
+        client pins its change-stream resume point with BEFORE reading
+        the collection. Never parsed client-side."""
+        return str(self.command({"ping": 1, "$db": "admin"}).get(
+            "operationTime", ""))
 
     def find(self, db: str, coll: str, filter: dict | None = None,
              sort: dict | None = None,
@@ -281,6 +290,14 @@ class MongoClient:
             self.conn.sock.close()
         except OSError:
             pass
+
+
+def _render_tok(n: int) -> str:
+    """Internal oplog sequence → wire resume token. Shaped like real
+    MongoDB tokens (hex-encoded, '82'-prefixed KeyString look, fixed
+    width so lexical order == event order); clients treat it as
+    OPAQUE — only this server ever compares or generates them."""
+    return "82%030x" % n
 
 
 class LoopbackMongo:
@@ -336,8 +353,8 @@ class LoopbackMongo:
                             # public field clients pin snapshots with;
                             # here = the latest oplog optime)
                             with server._lock:
-                                resp = {"ok": 1.0,
-                                        "operationTime": server._optime}
+                                resp = {"ok": 1.0, "operationTime":
+                                        _render_tok(server._optime)}
                         else:
                             resp = {"ok": 0.0,
                                     "errmsg": f"no such command {cmd!r}"}
@@ -503,10 +520,12 @@ class LoopbackMongo:
                     return {"ok": 0.0, "errmsg":
                             "only $changeStream aggregates are supported"}
                 cs = pipeline[0]["$changeStream"] or {}
-                after = 0
+                after = ""
                 tok = cs.get("resumeAfter")
                 if isinstance(tok, dict):
-                    after = int(tok.get("_data", 0))
+                    # tokens are opaque strings; this server generates
+                    # them fixed-width so lexical order == event order
+                    after = str(tok.get("_data", ""))
                 ns = (doc["$db"], doc["aggregate"])
                 # cursor.batchSize bounds the reply (the real API's
                 # cursor batching; pollers resume past the last token)
@@ -515,7 +534,7 @@ class LoopbackMongo:
                 with server._lock:
                     events = [
                         {
-                            "_id": {"_data": t},
+                            "_id": {"_data": _render_tok(t)},
                             "operationType": op,
                             "ns": {"db": ns[0], "coll": ns[1]},
                             "documentKey": key,
@@ -524,12 +543,26 @@ class LoopbackMongo:
                         }
                         for t, op, key, full
                         in server.oplog.get(ns, [])
-                        if t > after
+                        if _render_tok(t) > after
                     ][:limit]
+                    # postBatchResumeToken (the spec's batch-end pin):
+                    # the last delivered event's token when the batch
+                    # was truncated, else the newest token scanned for
+                    # the namespace (so an empty poll still advances
+                    # the caller's pin to "now").
+                    log = server.oplog.get(ns, [])
+                    if limit and len(events) == limit:
+                        pbrt = events[-1]["_id"]["_data"]
+                    elif log:
+                        pbrt = max(after, _render_tok(log[-1][0]))
+                    else:
+                        pbrt = after
                 return {"ok": 1.0, "cursor": {
                     "id": 0,
                     "ns": f"{ns[0]}.{ns[1]}",
-                    "firstBatch": events}}
+                    "firstBatch": events,
+                    **({"postBatchResumeToken": {"_data": pbrt}}
+                       if pbrt else {})}}
 
             def _find(self, doc):
                 """find with the snapshot-pager's surface: filter

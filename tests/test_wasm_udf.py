@@ -217,6 +217,24 @@ def test_linear_memory_opcodes():
     assert m.grow(10**6) == -1  # past max → -1, not an exception
 
 
+def test_negative_data_segment_offset_traps():
+    # i32.const offsets decode signed (sleb): a negative offset must
+    # be rejected as out-of-bounds at instantiation, not write through
+    # a negative bytearray slice into the END of linear memory
+    mod = build_module([
+        {"name": "ld", "params": ["i32"], "results": ["i32"],
+         "body": b"\x20\x00\x28\x00\x00"},
+    ], memory=1, data=[(-8, b"CORRUPTME")])
+    with pytest.raises(ValueError, match="out of memory bounds"):
+        WasmModule(mod)
+    # and the end of memory is reachable + zero via a good module
+    m = WasmModule(build_module([
+        {"name": "ld", "params": ["i32"], "results": ["i32"],
+         "body": b"\x20\x00\x28\x00\x00"},
+    ], memory=1, data=[(0, b"ok")]))
+    assert m.invoke("ld", 65532) == 0
+
+
 def test_string_abi_upper_and_growth():
     from risingwave_spark.functions.wasm_runtime import build_ascii_upper
 
