@@ -91,6 +91,22 @@ def _dtype_oid(dt: str) -> int:
     return _DTYPE_OID.get(dt, OID_TEXT)
 
 
+#: array elements that may ship unquoted: plain numeric / bool text.
+#: Everything else (strings, timestamps with spaces, bytea with
+#: backslashes, anything containing {},"\ or whitespace) gets the PG
+#: array-output quoting — wrap in double quotes, backslash-escape
+#: " and \ — or clients cannot parse the literal back.
+_ARRAY_BARE_RX = re.compile(rb"[-+0-9.eE]+|t|f")
+
+
+def _array_elem(tv: bytes) -> bytes:
+    if _ARRAY_BARE_RX.fullmatch(tv) and tv.upper() != b"NULL":
+        return tv
+    return (b'"'
+            + tv.replace(b"\\", b"\\\\").replace(b'"', b'\\"')
+            + b'"')
+
+
 def _text_value(v, dt: str) -> bytes:
     """Python value → PG text-format bytes (the wire's text encoding)."""
     if dt == "boolean":
@@ -99,11 +115,15 @@ def _text_value(v, dt: str) -> bytes:
         return b"\\x" + bytes(v).hex().encode()
     if dt.startswith("array"):
         inner = dt[6:-1]
-        return (
-            b"{" + b",".join(
-                b"NULL" if x is None else _text_value(x, inner) for x in v
-            ) + b"}"
-        )
+        parts = []
+        for x in v:
+            if x is None:
+                parts.append(b"NULL")
+            elif inner.startswith("array"):
+                parts.append(_text_value(x, inner))  # {..} self-delimits
+            else:
+                parts.append(_array_elem(_text_value(x, inner)))
+        return b"{" + b",".join(parts) + b"}"
     return str(v).encode()
 
 
@@ -113,11 +133,79 @@ def _verb(stmt: str) -> str:
     return m.group(0).lower() if m else ""
 
 
-def _bind_params(sql: str, params: list[bytes | None]) -> str:
-    """Inline $N text-format parameters as SQL literals (quoted, ''
-    escaping; None → NULL) — the simple-query engine path then runs
-    the bound text."""
+#: declared param-type OIDs that bind as bare numeric literals
+_NUMERIC_OIDS = frozenset(
+    {OID_INT2, OID_INT4, OID_INT8, OID_FLOAT4, OID_FLOAT8, OID_NUMERIC})
+_NUMERIC_TEXT_RX = re.compile(r"[-+]?\d+(\.\d+)?([eE][+-]?\d+)?")
+#: dollar-quote opener: $tag$ where tag is an identifier or empty —
+#: a digit after $ is a parameter, never a tag (PG lexer rule)
+_DOLLAR_TAG_RX = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)?\$")
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted strings / identifiers / dollar
+    quotes / comments — regions where a $N must NOT be rewritten."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # '' / "" escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        elif ch == "$":
+            m = _DOLLAR_TAG_RX.match(sql, i)
+            if m:
+                close = sql.find(m.group(0), m.end())
+                end = n if close < 0 else close + len(m.group(0))
+                spans.append((i, end))
+                i = end
+            else:
+                i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            end = n if j < 0 else j + 1
+            spans.append((i, end))
+            i = end
+        elif sql.startswith("/*", i):  # PG block comments nest
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _bind_params(sql: str, params: list[bytes | None],
+                 oids: list[int] | None = None) -> str:
+    """Inline $N text-format parameters as SQL literals — the
+    simple-query engine path then runs the bound text. $N inside
+    string literals, quoted identifiers, dollar quotes or comments is
+    left untouched (PG lexer semantics). Quoting follows the DECLARED
+    parameter-type OIDs from Parse: numeric OIDs bind bare (after a
+    syntax check), bool binds TRUE/FALSE, and everything else —
+    including undeclared/unknown — binds as a quoted text literal, so
+    a varchar '007' never collapses to the integer 7."""
+    oids = oids or []
+    spans = _literal_spans(sql)
+
     def repl(m):
+        pos = m.start()
+        if any(a <= pos < b for a, b in spans):
+            return m.group(0)
         i = int(m.group(1)) - 1
         if i < 0 or i >= len(params):
             raise ValueError(f"there is no parameter ${m.group(1)}")
@@ -125,8 +213,21 @@ def _bind_params(sql: str, params: list[bytes | None]) -> str:
         if p is None:
             return "NULL"
         s = p.decode()
-        if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        oid = oids[i] if i < len(oids) else 0
+        if oid in _NUMERIC_OIDS:
+            if not _NUMERIC_TEXT_RX.fullmatch(s):
+                raise ValueError(
+                    f"invalid input syntax for numeric parameter "
+                    f"${i + 1}: {s!r}")
             return s
+        if oid == OID_BOOL:
+            if s.lower() in ("t", "true", "1", "on", "yes"):
+                return "TRUE"
+            if s.lower() in ("f", "false", "0", "off", "no"):
+                return "FALSE"
+            raise ValueError(
+                f"invalid input syntax for boolean parameter "
+                f"${i + 1}: {s!r}")
         return "'" + s.replace("'", "''") + "'"
 
     return re.sub(r"\$(\d+)", repl, sql)
@@ -160,7 +261,7 @@ class PgWireServer:
             def handle(self):
                 self._buf = b""
                 # extended-protocol session state
-                self._stmts: dict[str, str] = {}
+                self._stmts: dict[str, tuple[str, list[int]]] = {}
                 self._portals: dict[str, str] = {}
                 self._described: dict[str, _Results] = {}
                 try:
@@ -377,16 +478,20 @@ class PgWireServer:
             def _parse(self, payload: bytes) -> None:
                 name, i = _cstr(payload, 0)
                 sql, i = _cstr(payload, i)
-                # declared parameter-type OIDs: accepted and ignored
-                # (params bind as text literals)
-                self._stmts[name] = sql
+                # declared parameter-type OIDs drive Bind's literal
+                # quoting (numeric OIDs bind bare, everything else —
+                # including undeclared — binds quoted text)
+                (noid,) = struct.unpack_from(">H", payload, i)
+                i += 2
+                oids = list(struct.unpack_from(f">{noid}I", payload, i))
+                self._stmts[name] = (sql, oids)
                 self.request.sendall(_msg(b"1", b""))
 
             def _bind(self, payload: bytes) -> None:
                 portal, i = _cstr(payload, 0)
                 stmt, i = _cstr(payload, i)
                 try:
-                    sql = self._stmts[stmt]
+                    sql, oids = self._stmts[stmt]
                 except KeyError:
                     self._send_err(
                         f'prepared statement "{stmt}" does not exist')
@@ -411,13 +516,50 @@ class PgWireServer:
                     else:
                         params.append(payload[i:i + ln])
                         i += ln
+                # trailing RESULT-format codes: this server only sends
+                # text DataRows, so a binary result request must fail
+                # loudly here, not surface as mis-decoded text later
+                (nrf,) = struct.unpack_from(">H", payload, i)
+                i += 2
+                rfmts = struct.unpack_from(f">{nrf}H", payload, i)
+                if any(f == 1 for f in rfmts):
+                    self._send_err(
+                        "binary result-column format is not supported "
+                        "(text format only)")
+                    return
                 try:
-                    self._portals[portal] = _bind_params(sql, params)
+                    self._portals[portal] = _bind_params(
+                        sql, params, oids)
                 except ValueError as e:
                     self._send_err(str(e))
                     return
                 self._described.pop(portal, None)
                 self.request.sendall(_msg(b"2", b""))
+
+            def _stmt_rowdesc(self, sql: str, nparams: int,
+                              poids: list[int]) -> bytes | None:
+                """RowDescription body for an UNBOUND statement, or
+                None (NoData). Rowset verbs only: the engine plans the
+                NULL-bound text lazily (no collect, no side effects);
+                anything unplannable falls back to NoData — the later
+                Bind/Execute reports the real error."""
+                # FETCH is rowset-producing but ADVANCES its cursor —
+                # planning it here would consume rows; NoData instead
+                if _verb(sql) not in _ROWSET_VERBS or _verb(sql) == "fetch":
+                    return None
+                try:
+                    bound = _bind_params(
+                        sql, [None] * nparams, poids)
+                    with server._lock:
+                        df = server.engine.sql(bound)
+                    cols = [(c, _dtype_oid(dt)) for c, dt in df.dtypes]
+                except Exception:  # noqa: BLE001 — shape unknown → NoData
+                    return None
+                body = struct.pack(">H", len(cols))
+                for cname, oid in cols:
+                    body += cname.encode() + b"\x00" + struct.pack(
+                        ">IHIhih", 0, 0, oid, -1, -1, 0)
+                return body
 
             def _portal_results(self, portal: str) -> _Results:
                 if portal not in self._described:
@@ -433,19 +575,34 @@ class PgWireServer:
                         self._send_err(
                             f'prepared statement "{name}" does not exist')
                         return
-                    # statement-level describe: parameters are bound as
-                    # text, so report one TEXT oid per distinct $N; the
-                    # row shape is unknown until Bind (NoData here —
-                    # portal Describe is exact)
-                    nps = {int(m) for m in
-                           re.findall(r"\$(\d+)", self._stmts[name])}
+                    sql, oids = self._stmts[name]
+                    # ParameterDescription: declared OIDs echo back;
+                    # undeclared $N slots report TEXT (how they bind)
+                    spans = _literal_spans(sql)
+                    nps = {int(m.group(1))
+                           for m in re.finditer(r"\$(\d+)", sql)
+                           if not any(a <= m.start() < b
+                                      for a, b in spans)}
                     nparams = max(nps) if nps else 0
+                    poids = [
+                        oids[j] if j < len(oids) and oids[j] else OID_TEXT
+                        for j in range(nparams)
+                    ]
                     self.request.sendall(_msg(
                         b"t",
                         struct.pack(">H", nparams)
-                        + struct.pack(f">{nparams}I",
-                                      *([OID_TEXT] * nparams))))
-                    self.request.sendall(_msg(b"n", b""))
+                        + struct.pack(f">{nparams}I", *poids)))
+                    # RowDescription from the LAZY plan of the unbound
+                    # statement (params bound as NULL — predicates
+                    # don't change the shape): drivers that Describe
+                    # statements (PgJDBC, asyncpg) need the real row
+                    # shape, not NoData. Only rowset verbs are planned
+                    # — planning DDL/DML would execute side effects.
+                    body = self._stmt_rowdesc(sql, nparams, poids)
+                    if body is None:
+                        self.request.sendall(_msg(b"n", b""))
+                    else:
+                        self.request.sendall(_msg(b"T", body))
                     return
                 if name not in self._portals:
                     self._send_err(f'portal "{name}" does not exist')

@@ -292,12 +292,20 @@ class PgWireClient:
 
     def query_prepared(
         self, sql: str, params: list | None = None,
+        param_oids: list[int] | None = None,
+        result_formats: list[int] | None = None,
     ) -> tuple[list[tuple[str, int]], list[list], str]:
         """Extended-query protocol (Parse/Bind/Describe/Execute/Sync)
         with text-format $N parameters → (fields, rows, command_tag).
-        None params ship as NULL; everything else as str(v) text."""
+        None params ship as NULL; everything else as str(v) text.
+        param_oids declares the parameter types in Parse (drives the
+        server's literal quoting); result_formats ships Bind's
+        result-column format codes (default: all text)."""
         params = params or []
-        body = b"\x00" + sql.encode() + b"\x00" + struct.pack(">H", 0)
+        oids = param_oids or []
+        body = (b"\x00" + sql.encode() + b"\x00"
+                + struct.pack(">H", len(oids))
+                + struct.pack(f">{len(oids)}I", *oids))
         out = _msg(b"P", body)
         pb = b"\x00\x00" + struct.pack(">H", 0)  # unnamed portal/stmt, fmts
         pb += struct.pack(">H", len(params))
@@ -307,7 +315,9 @@ class PgWireClient:
             else:
                 t = str(p).encode()
                 pb += struct.pack(">i", len(t)) + t
-        pb += struct.pack(">H", 0)  # result formats: all default text
+        rfs = result_formats or []
+        pb += struct.pack(">H", len(rfs)) + struct.pack(
+            f">{len(rfs)}H", *rfs)
         out += _msg(b"B", pb)
         out += _msg(b"D", b"P\x00")  # describe the unnamed portal
         out += _msg(b"E", b"\x00" + struct.pack(">i", 0))
@@ -353,6 +363,45 @@ class PgWireClient:
                     raise OSError(f"postgres error: {err}")
                 return fields, rows, cmd_tag
             # '1' ParseComplete / '2' BindComplete / 'n' NoData: skip
+
+    def describe_statement(
+        self, sql: str, param_oids: list[int] | None = None,
+    ) -> tuple[list[int], list[tuple[str, int]] | None]:
+        """Parse + Describe('S') + Sync → (parameter OIDs, row fields
+        or None for NoData) — the statement-level describe PgJDBC and
+        asyncpg issue before binding."""
+        oids = param_oids or []
+        body = (b"\x00" + sql.encode() + b"\x00"
+                + struct.pack(">H", len(oids))
+                + struct.pack(f">{len(oids)}I", *oids))
+        out = _msg(b"P", body) + _msg(b"D", b"S\x00") + _msg(b"S", b"")
+        self.sock.sendall(out)
+        poids: list[int] = []
+        fields: list[tuple[str, int]] | None = None
+        err = None
+        while True:
+            tag, payload = self._read_msg()
+            if tag == b"t":
+                (np,) = struct.unpack(">H", payload[:2])
+                poids = list(struct.unpack_from(f">{np}I", payload, 2))
+            elif tag == b"T":
+                (nf,) = struct.unpack(">H", payload[:2])
+                i = 2
+                fields = []
+                for _ in range(nf):
+                    j = payload.index(b"\x00", i)
+                    name = payload[i:j].decode()
+                    _tbl, _col, typoid, _l, _m, _f = struct.unpack(
+                        ">IHIhih", payload[j + 1:j + 19])
+                    fields.append((name, typoid))
+                    i = j + 19
+            elif tag == b"E":
+                err = self._err_text(payload)
+            elif tag == b"Z":
+                if err:
+                    raise OSError(f"postgres error: {err}")
+                return poids, fields
+            # '1' ParseComplete / 'n' NoData: skip ('n' leaves None)
 
     def close(self) -> None:
         try:

@@ -122,6 +122,80 @@ def test_extended_protocol_prepared_params(spark, eng):
     c.close()
 
 
+def test_describe_statement_rowdesc_and_param_oids(spark, eng):
+    """Describe('S') answers a REAL RowDescription from the lazy plan
+    of the unbound statement (PgJDBC/asyncpg describe-before-bind),
+    echoing declared parameter OIDs back; DML describes as NoData."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    c.query("CREATE TABLE ds (a int8 PRIMARY KEY, b varchar)")
+    OID_INT8, OID_VARCHAR, OID_TEXT = 20, 1043, 25
+    poids, fields = c.describe_statement(
+        "SELECT a, b FROM ds WHERE a > $1", param_oids=[OID_INT8])
+    assert poids == [OID_INT8]
+    assert fields == [("a", OID_INT8), ("b", OID_VARCHAR)]
+    # undeclared params report TEXT (how they bind)
+    poids, fields = c.describe_statement(
+        "SELECT count(*) AS n FROM ds WHERE b = $1")
+    assert poids == [OID_TEXT]
+    assert fields == [("n", OID_INT8)]
+    # DML: no row shape (and describing must NOT execute it)
+    poids, fields = c.describe_statement(
+        "INSERT INTO ds VALUES ($1, $2)")
+    assert fields is None and len(poids) == 2
+    _f, rows = c.query("SELECT count(*) AS n FROM ds")
+    assert rows == [[0]]  # describe planned, never ran
+    c.close()
+
+
+def test_bind_typed_quoting_and_literal_spans(spark, eng):
+    """Declared OIDs drive literal quoting: a varchar '007' stays
+    '007' (never the integer 7); $N inside string literals is data,
+    not a parameter slot; binary result formats are rejected loud."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    OID_INT8, OID_VARCHAR = 20, 1043
+    c.query("CREATE TABLE tq (a int8 PRIMARY KEY, b varchar)")
+    c.query_prepared("INSERT INTO tq VALUES ($1, $2)", [1, "007"],
+                     param_oids=[OID_INT8, OID_VARCHAR])
+    _f, rows, _t = c.query_prepared("SELECT b FROM tq WHERE a = $1",
+                                    [1], param_oids=[OID_INT8])
+    assert rows == [["007"]]  # leading zeros survive the round-trip
+    # undeclared numeric-looking param binds as TEXT too
+    c.query_prepared("INSERT INTO tq VALUES ($1, $2)", [2, "0042"])
+    _f, rows, _t = c.query_prepared(
+        "SELECT b FROM tq WHERE a = $1", [2])
+    assert rows == [["0042"]]
+    # a literal containing '$1' must pass through unrewritten
+    _f, rows, _t = c.query_prepared(
+        "SELECT '$1 costs $2' AS s, $1 AS v", ["x"])
+    assert rows == [["$1 costs $2", "x"]]
+    # declared-int8 param with non-numeric text errors loudly
+    with pytest.raises(OSError, match="invalid input"):
+        c.query_prepared("SELECT a FROM tq WHERE a = $1", ["abc"],
+                         param_oids=[OID_INT8])
+    # binary result-format codes are rejected, session stays alive
+    with pytest.raises(OSError, match="binary result"):
+        c.query_prepared("SELECT a FROM tq", result_formats=[1])
+    _f, rows = c.query("SELECT count(*) AS n FROM tq")
+    assert rows == [[2]]
+    c.close()
+
+
+def test_array_text_output_quotes_special_elements(spark, eng):
+    """Array literals quote elements containing commas/braces/quotes/
+    whitespace per PG array-output rules — clients can parse them."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    _f, rows = c.query(
+        "SELECT ARRAY['a,b', 'c\"d', 'e f', 'pl''n', NULL] AS xs, "
+        "ARRAY[1, 2, 3] AS ns")
+    (xs, ns), = rows
+    assert xs == '{"a,b","c\\"d","e f","pl\'n",NULL}'
+    assert ns == "{1,2,3}"
+    c.close()
+
+
 def test_subscription_cursor_over_the_wire(spark, eng):
     """The reference's changelog-cursor UX through psql: DECLARE
     SUBSCRIPTION CURSOR + FETCH over the socket streams diff rows with
