@@ -174,6 +174,48 @@ _AGG_FN_RX = re.compile(
 _KW_ALIAS = r"(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|JOIN\b|ON\b|WHERE\b|GROUP\b|HAVING\b|ORDER\b|LIMIT\b)"
 
 
+def _sql_literal(v, pg_returns: str) -> str:
+    """Python value → SQL literal text (for seed-query splicing)."""
+    if v is None:
+        return f"CAST(NULL AS {_map_any_type(pg_returns)})"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        return f"CAST({v} AS {_map_any_type(pg_returns)})"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _splice_udaf_empty_values(engine, masked_sel: str, lits) -> str:
+    """Replace user-defined-aggregate calls in a (string-masked)
+    select list with their empty-input values — pandas grouped-agg
+    UDFs return no row for a global aggregate over zero rows, so the
+    SimpleAgg seed query can't evaluate them directly."""
+    for fname, meta in getattr(engine, "functions", {}).items():
+        if meta.get("kind") != "AGGREGATE" or "empty_value" not in meta:
+            continue
+        lit = _sql_literal(meta["empty_value"], meta.get("returns", ""))
+        while True:
+            m = re.search(rf"\b{re.escape(fname)}\s*\(", masked_sel,
+                          re.I)
+            if m is None:
+                break
+            depth, j = 0, m.end() - 1
+            while j < len(masked_sel):
+                if masked_sel[j] == "(":
+                    depth += 1
+                elif masked_sel[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            masked_sel = masked_sel[:m.start()] + lit + masked_sel[j + 1:]
+    return masked_sel
+
+
 _UNIT_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
@@ -5516,7 +5558,15 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         missing = [k for k in keys if k not in out_names and "*" not in out_names]
         if missing:
             raise ValueError(f"GROUP BY keys {missing} must be selected for MV splice")
-    elif not has_join and _AGG_FN_RX.search(_unmask(sm.group("select"), lits)):
+    elif not has_join and (
+        _AGG_FN_RX.search(_unmask(sm.group("select"), lits))
+        or any(
+            meta.get("kind") == "AGGREGATE"
+            and re.search(rf"\b{re.escape(fname)}\s*\(",
+                          _unmask(sm.group("select"), lits), re.I)
+            for fname, meta in getattr(engine, "functions", {}).items()
+        )
+    ):
         # GLOBAL aggregate (no GROUP BY) MV — the reference SimpleAgg
         # executor (`src/stream/src/executor/simple_agg.rs`; the
         # reference's own TPC-H q6 view spelling, `views/q6.slt.part`):
@@ -5590,15 +5640,28 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
     if simple_agg:
         # the seed runs the ORIGINAL (pre-desugar) aggregate over an
         # empty base input: the one row Spark/PG return for a global
-        # aggregate over zero rows
-        seed_body = pg_to_spark_sql(
-            _unmask(
-                "SELECT {} FROM {}{}{}".format(
-                    sm.group("select"), tmp, f" {alias}" if alias else "", rest
-                ),
-                lits,
-            )
+        # aggregate over zero rows. User-defined aggregates (pandas
+        # grouped-agg UDFs) emit NO row over empty input, so their
+        # calls are spliced out as finish(create_state()) literals
+        # captured at CREATE AGGREGATE time.
+        seed_sel = _splice_udaf_empty_values(
+            engine, sm.group("select"), lits
         )
+        if _AGG_FN_RX.search(_unmask(seed_sel, lits)):
+            seed_body = pg_to_spark_sql(
+                _unmask(
+                    "SELECT {} FROM {}{}{}".format(
+                        seed_sel, tmp, f" {alias}" if alias else "", rest
+                    ),
+                    lits,
+                )
+            )
+        else:
+            # every aggregate was a UDAF (now a literal): no builtin
+            # agg remains to force the one-row contract — SELECT the
+            # literals directly
+            seed_body = pg_to_spark_sql(
+                _unmask(f"SELECT {seed_sel}", lits))
 
         def seed() -> DataFrame:
             src = (
@@ -8974,6 +9037,7 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
     from risingwave_spark.functions import create_function as _cf
 
     kind, name = ast["kind"], ast["name"]
+    fn_extra: dict = {}
     params = _cf.parse_fn_params(ast.get("params") or "")
     returns = (ast.get("returns") or "").strip()
     lang = (ast.get("language") or "").lower()
@@ -8992,14 +9056,31 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
         )
         impl = "external"
     elif kind == "AGGREGATE":
-        if lang != "python":
-            raise ValueError(
-                f"CREATE AGGREGATE supports LANGUAGE python (got {lang!r})"
+        if lang == "python":
+            spark.udf.register(
+                name,
+                _cf.python_aggregate_udf(name, body, _map_any_type(returns)),
             )
-        spark.udf.register(
-            name, _cf.python_aggregate_udf(name, body, _map_any_type(returns))
+            impl = "python-aggregate"
+        elif lang == "javascript":
+            spark.udf.register(
+                name,
+                _cf.js_aggregate_udf(
+                    name, body, _map_any_type(returns),
+                    [pt for _n, pt in params], returns,
+                ),
+            )
+            impl = "javascript-aggregate"
+        else:
+            raise ValueError(
+                "CREATE AGGREGATE supports LANGUAGE python or "
+                f"javascript (got {lang!r})"
+            )
+        # finish(create_state()) — the SimpleAgg MV seed's one-row
+        # value (pandas grouped-agg UDFs emit no row on empty input)
+        fn_extra["empty_value"] = _cf.aggregate_empty_value(
+            lang, name, body, returns
         )
-        impl = "python-aggregate"
     elif lang == "sql":
         spark.sql(
             _cf.sql_udf_spark_ddl(
@@ -9057,12 +9138,44 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
             wasm_scalar_udf(name, binary, _map_any_type(returns), ptypes),
         )
         impl = "wasm"
-    elif lang in ("javascript", "rust"):
+    elif lang == "javascript":
+        # real JavaScript through the pure-Python interpreter
+        # (functions/js_runtime.py; reference udf/quickjs.rs runs the
+        # same bodies under QuickJS — divergences documented there)
+        tm = re.match(r"^TABLE\s*\((?P<cols>.*)\)\s*$", returns, re.I | re.S)
+        ptypes = [pt for _n, pt in params]
+        pnames = [pn or f"a{i}" for i, (pn, _t) in enumerate(params)]
+
+        def _js_ret(t: str) -> str:
+            # bare decimal would land on Spark's DECIMAL(10,0) and
+            # truncate the scale; the reference's rw decimal keeps it
+            if t.strip().lower() in ("decimal", "numeric"):
+                return "DECIMAL(38,9)"
+            return _map_any_type(t)
+
+        if tm:
+            cols = _cf.parse_fn_params(tm.group("cols"))
+            ret_ddl = ", ".join(f"{pn} {_js_ret(pt)}" for pn, pt in cols)
+            spark.udtf.register(
+                name,
+                _cf.js_table_udf(name, body, cols, ret_ddl, ptypes, pnames),
+            )
+            impl = "javascript-table"
+        else:
+            fn_or_udf = _cf.js_scalar_udf(
+                name, body, _js_ret(returns), ptypes, returns, pnames
+            )
+            if not ptypes:  # zero-arg: plain scalar, no batch to size
+                spark.udf.register(name, fn_or_udf, _js_ret(returns))
+            else:
+                spark.udf.register(name, fn_or_udf)
+            impl = "javascript"
+    elif lang == "rust":
         raise NotImplementedError(
-            f"LANGUAGE {lang} UDFs need a quickjs/rustc runtime that is "
-            "not in this container — compile to wasm (LANGUAGE wasm runs "
-            "real modules in-process) or host the function externally "
-            "with CREATE FUNCTION ... USING LINK "
+            "LANGUAGE rust UDFs need rustc, which is not in this "
+            "container — compile to wasm (LANGUAGE wasm runs real "
+            "modules in-process) or host the function externally with "
+            "CREATE FUNCTION ... USING LINK "
             "(risingwave_spark.functions.udf_external)"
         )
     else:
@@ -9073,6 +9186,7 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
         "impl": impl,
         "params": [(pn, pt) for pn, pt in params],
         "returns": returns,
+        **fn_extra,
     }
     engine._record_ddl(name, ast["stmt"])
     return _status(spark, f"CREATE_{kind}")

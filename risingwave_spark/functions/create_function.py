@@ -237,6 +237,222 @@ def python_aggregate_udf(name: str, body: str, ret_spark_type: str):
     return pandas_udf(_agg, ret_spark_type, PandasUDFType.GROUPED_AGG)
 
 
+def _pkg_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _js_prepare(name: str, body: str, is_table: bool,
+                param_names: list[str]) -> str:
+    """Validate a LANGUAGE javascript body at CREATE time and return
+    the canonical (wrapped-if-legacy) module text. The reference's
+    legacy form has no ``export``/``function`` wrapper — the body IS
+    the function body (js_udf.slt int_42_legacy/series_legacy)."""
+    import re as _re
+
+    from risingwave_spark.functions.js_runtime import (
+        compile_js,
+        get_function,
+        wrap_legacy,
+    )
+
+    if not _re.search(r"\bfunction\b", body):
+        body = wrap_legacy(body, name, param_names, is_table)
+    fn = get_function(compile_js(body), name)  # loud at CREATE
+    if is_table and not fn.is_gen:
+        raise ValueError(
+            f"RETURNS TABLE LANGUAGE javascript function {name!r} "
+            "must be a generator (function* ... yield)")
+    return body
+
+
+def js_scalar_udf(name: str, body: str, ret_spark_type: str,
+                  pg_param_types: list[str], pg_returns: str,
+                  param_names: list[str] | None = None):
+    """``LANGUAGE javascript`` scalar function → Arrow-batched pandas
+    UDF running the pure-Python JS interpreter per element (reference
+    `udf/quickjs.rs` embeds QuickJS per compute node; same contract:
+    NULL in as null, decimal as exact big-decimal, bytea as byte
+    array, jsonb parsed)."""
+    from pyspark.sql.functions import pandas_udf
+
+    body = _js_prepare(
+        name, body, False,
+        param_names or [f"a{i}" for i in range(len(pg_param_types))])
+    pkg_root = _pkg_root()
+
+    def _eval(*cols):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import pandas as _pd
+
+        from risingwave_spark.functions.js_runtime import (
+            call_js,
+            compile_js,
+            get_function,
+            js_to_sql,
+            sql_to_js,
+        )
+
+        interp = compile_js(body)
+        fn = get_function(interp, name)
+        rows = zip(
+            *[[None if _pd.isna(v) else v for v in c.tolist()]
+              for c in cols]
+        )
+        out = [
+            js_to_sql(
+                call_js(interp, fn, [
+                    sql_to_js(v, t)
+                    for v, t in zip(r, pg_param_types)
+                ]),
+                pg_returns,
+            )
+            for r in rows
+        ]
+        return _pd.Series(out, dtype="object")
+
+    if not pg_param_types:
+        # zero-arg: no batch to size a pandas UDF with — plain scalar
+        from risingwave_spark.functions.js_runtime import (
+            call_js,
+            compile_js,
+            get_function,
+            js_to_sql,
+        )
+
+        interp = compile_js(body)
+        fn = get_function(interp, name)
+        return lambda: js_to_sql(call_js(interp, fn, []), pg_returns)
+    return pandas_udf(_eval, ret_spark_type)
+
+
+def js_table_udf(name: str, body: str, cols: list[tuple[str, str]],
+                 ret_ddl: str, pg_param_types: list[str],
+                 param_names: list[str] | None = None):
+    """``RETURNS TABLE (...) LANGUAGE javascript`` → Spark Python UDTF
+    whose eval drains the JS generator's collected yields (reference
+    js_udf.slt series/split: scalars for one-column tables, objects
+    keyed by the declared column names otherwise)."""
+    from pyspark.sql.functions import udtf
+
+    body = _js_prepare(
+        name, body, True,
+        param_names or [f"a{i}" for i in range(len(pg_param_types))])
+    pkg_root = _pkg_root()
+    colnames = [c for c, _t in cols]
+    coltypes = [t for _c, t in cols]
+
+    class _JsTableFn:
+        def eval(self, *args):
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from risingwave_spark.functions.js_runtime import (
+                UNDEF,
+                call_js,
+                compile_js,
+                get_function,
+                js_to_sql,
+                sql_to_js,
+            )
+
+            interp = compile_js(body)
+            fn = get_function(interp, name)
+            jsargs = [sql_to_js(v, t)
+                      for v, t in zip(args, pg_param_types)]
+            for item in call_js(interp, fn, jsargs):
+                if isinstance(item, dict):
+                    yield tuple(
+                        js_to_sql(item.get(c, UNDEF), t)
+                        for c, t in zip(colnames, coltypes))
+                elif isinstance(item, (list, tuple)):
+                    yield tuple(
+                        js_to_sql(v, t)
+                        for v, t in zip(item, coltypes))
+                else:
+                    yield (js_to_sql(item, coltypes[0]),)
+
+    return udtf(_JsTableFn, returnType=ret_ddl)
+
+
+def js_aggregate_udf(name: str, body: str, ret_spark_type: str,
+                     pg_param_types: list[str], pg_returns: str):
+    """``CREATE AGGREGATE ... LANGUAGE javascript`` → grouped-agg
+    pandas UDF folding the JS ``accumulate`` over the group (reference
+    js_udf.slt weighted_avg: create_state/accumulate/retract/finish;
+    retract is accepted but MV maintenance recomputes affected groups
+    from their full row set, same as the python-aggregate path)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from risingwave_spark.functions.js_runtime import compile_js
+
+    interp0 = compile_js(body)  # loud at CREATE
+    missing = [k for k in ("create_state", "accumulate", "finish")
+               if k not in interp0.exports]
+    if missing:
+        raise ValueError(
+            f"CREATE AGGREGATE {name}: javascript body must export "
+            f"create_state/accumulate/finish (missing {missing})")
+    pkg_root = _pkg_root()
+
+    def _agg(*cols):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import pandas as _pd
+
+        from risingwave_spark.functions.js_runtime import (
+            call_js,
+            compile_js,
+            js_to_sql,
+            sql_to_js,
+        )
+
+        interp = compile_js(body)
+        st = call_js(interp, interp.exports["create_state"], [])
+        acc = interp.exports["accumulate"]
+        for row in zip(
+            *[[None if _pd.isna(v) else v for v in c.tolist()]
+              for c in cols]
+        ):
+            st = call_js(interp, acc, [st] + [
+                sql_to_js(v, t) for v, t in zip(row, pg_param_types)])
+        return js_to_sql(
+            call_js(interp, interp.exports["finish"], [st]), pg_returns)
+
+    return pandas_udf(_agg, ret_spark_type, PandasUDFType.GROUPED_AGG)
+
+
+def aggregate_empty_value(lang: str, name: str, body: str,
+                          pg_returns: str):
+    """The UDAF's value over an EMPTY input: finish(create_state()).
+
+    Spark's grouped-agg pandas UDFs produce ZERO rows for a global
+    aggregate over empty input (builtins produce one); the SimpleAgg
+    MV seed needs the one-row value, so it's computed once at CREATE
+    and spliced into the seed query as a literal."""
+    if lang == "python":
+        ns = _exec_body(name, body)
+        return ns["finish"](ns["create_state"]())
+    from risingwave_spark.functions.js_runtime import (
+        call_js,
+        compile_js,
+        js_to_sql,
+    )
+
+    interp = compile_js(body)
+    st = call_js(interp, interp.exports["create_state"], [])
+    return js_to_sql(
+        call_js(interp, interp.exports["finish"], [st]), pg_returns)
+
+
 def unquote_body(raw: str) -> str:
     """Strip ``$tag$ ... $tag$`` dollar-quoting or ``'...'`` quoting."""
     raw = raw.strip()

@@ -54,15 +54,20 @@ _CAST_RE = re.compile(
 
 
 def _mask_strings(sql: str):
-    """Replace single-quoted literals with placeholders so rewrites never
-    touch string contents; returns (masked_sql, literals)."""
+    """Replace string literals with placeholders so rewrites never
+    touch string contents; returns (masked_sql, literals). Handles
+    both ``'...'`` and PG dollar-quoting (``$$...$$`` / ``$tag$...``,
+    tag never starting with a digit — ``$1`` params stay visible) in
+    one left-to-right pass, so a quote inside a dollar-quoted UDF
+    body can't desynchronize the masking."""
     lits: list[str] = []
 
     def repl(m):
         lits.append(m.group(0))
         return f"\x00{len(lits) - 1}\x00"
 
-    return re.sub(r"'(?:[^']|'')*'", repl, sql), lits
+    rx = r"\$(?P<dtag>[A-Za-z_][A-Za-z_0-9]*|)\$.*?\$(?P=dtag)\$|'(?:[^']|'')*'"
+    return re.sub(rx, repl, sql, flags=re.S), lits
 
 
 def _unmask(sql: str, lits: list[str]) -> str:
@@ -71,6 +76,12 @@ def _unmask(sql: str, lits: list[str]) -> str:
 
 def _map_type(t: str) -> str:
     base = t.split("(")[0].lower()
+    if base in ("decimal", "numeric"):
+        # bare PG numeric is arbitrary-precision; Spark's bare DECIMAL
+        # is (10,0) and would silently truncate the scale — default to
+        # a wide shape, keep explicit (p,s) suffixes verbatim
+        return "DECIMAL" + (t[len(base):] if len(t) > len(base)
+                            else "(38,9)")
     mapped = _TYPE_MAP.get(base)
     if mapped is None:
         return t
@@ -195,6 +206,18 @@ def _string_agg_repl(m: re.Match) -> str:
 def pg_to_spark_sql(sql: str) -> str:
     """Rewrite PG-isms; see module docstring for the covered set."""
     masked, lits = _mask_strings(sql)
+
+    # '\x...'::bytea — PG's hex bytea input syntax. CAST(string AS
+    # BINARY) would UTF-8-encode the literal characters; rewrite to a
+    # Spark X'..' hex literal instead (exact bytes).
+    def _bytea_lit(m: re.Match) -> str:
+        lit = lits[int(m.group(1))]
+        if lit.startswith(("'\\x", "'\\X")):
+            return "X'" + lit[3:-1] + "'"  # a binary literal already
+        return m.group(0)
+
+    masked = re.sub(r"\x00(\d+)\x00\s*::\s*bytea\b", _bytea_lit,
+                    masked, flags=re.I)
 
     # :: casts — innermost first; loop to handle chained casts
     prev = None

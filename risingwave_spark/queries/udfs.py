@@ -186,3 +186,133 @@ def udf_wasm_string(spark, sf_dir):
         "SELECT p_partkey AS k, wupper(p_name) AS un "
         "FROM part WHERE p_partkey < 300 ORDER BY k"
     )
+
+
+@register(
+    "udf_js_scalar",
+    oracle="""
+SELECT l_orderkey AS k,
+       CAST(sum(gcd(CAST(l_quantity AS BIGINT), CAST(l_partkey AS BIGINT))) AS BIGINT) AS s
+FROM lineitem WHERE l_orderkey < 400
+GROUP BY l_orderkey ORDER BY k
+""",
+)
+def udf_js_scalar(spark, sf_dir):
+    """LANGUAGE javascript scalar UDF (reference `src/expr/impl/src/
+    udf/quickjs.rs` + e2e_test/udf/js_udf.slt `gcd`; here a pure-
+    Python JS interpreter, functions/js_runtime.py — no quickjs in
+    this sandbox, divergences documented there): Euclid's gcd in real
+    JavaScript, registered through the SQL front door and aggregated
+    JVM-side around the Arrow-batched calls. DuckDB's gcd() is the
+    oracle."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_jsq_"))
+    eng.sql(
+        """CREATE FUNCTION jsgcd(a int8, b int8) RETURNS int8
+           LANGUAGE javascript AS $$
+        export function jsgcd(a, b) {
+            if (a == null || b == null) return null;
+            a = Math.abs(a); b = Math.abs(b);
+            while (b != 0) { let t = b; b = a % b; a = t; }
+            return a;
+        } $$"""
+    )
+    return eng.sql(
+        "SELECT l_orderkey AS k, sum(jsgcd(CAST(l_quantity AS int8), "
+        "l_partkey)) AS s FROM lineitem WHERE l_orderkey < 400 "
+        "GROUP BY l_orderkey ORDER BY k"
+    )
+
+
+@register(
+    "udf_js_table",
+    oracle="""
+SELECT w.word, CAST(length(w.word) AS INT) AS len
+FROM (SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 20) w
+WHERE w.word <> '' ORDER BY w.word, len
+""",
+)
+def udf_js_table(spark, sf_dir):
+    """LANGUAGE javascript table function (js_udf.slt `split`:
+    generator UDTF yielding objects keyed by the declared columns) —
+    tokenizes document titles; DuckDB string_split+unnest oracle."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_jstq_"))
+    eng.sql(
+        """CREATE FUNCTION jsplit(s varchar)
+           RETURNS TABLE (word varchar, len int)
+           LANGUAGE javascript AS $$
+        export function* jsplit(s) {
+            for (let w of s.split(' ')) {
+                if (w != '') yield { word: w, len: w.length };
+            }
+        } $$"""
+    )
+    return eng.sql(
+        "SELECT w.word, w.len FROM documents d, "
+        "LATERAL jsplit(d.text) w WHERE d.doc_id < 20 "
+        "ORDER BY w.word, w.len"
+    )
+
+
+@register(
+    "udf_js_agg",
+    oracle="""
+SELECT event_type,
+       round((CAST(sum(CAST(round(value*10000,0) AS BIGINT) * k) AS BIGINT) * 1.0
+              / CAST(sum(k) AS BIGINT)) / 10000.0, 6) AS wavg
+FROM (SELECT event_type, value, CAST(props->>'k' AS BIGINT) AS k FROM {EV} e) s
+GROUP BY event_type ORDER BY event_type
+""".replace("{EV}", EVENTS_US),
+)
+def udf_js_agg(spark, sf_dir):
+    """CREATE AGGREGATE ... LANGUAGE javascript (js_udf.slt
+    `weighted_avg`: create_state/accumulate/retract/finish exports) —
+    the same exact-cents weighted average as udf_grouped_agg, computed
+    by the JS interpreter folding accumulate over each group."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_jsaq_"))
+    eng.sql(
+        """CREATE AGGREGATE jswavg(value int8, weight int8)
+           RETURNS float8 LANGUAGE javascript AS $$
+        export function create_state() { return {s: 0, w: 0}; }
+        export function accumulate(st, v, w) {
+            if (v == null || w == null) return st;
+            st.s += v * w; st.w += w;
+            return st;
+        }
+        export function retract(st, v, w) {
+            if (v == null || w == null) return st;
+            st.s -= v * w; st.w -= w;
+            return st;
+        }
+        export function finish(st) {
+            if (st.w == 0) return null;
+            return st.s / st.w;
+        } $$"""
+    )
+    # exact-cents: value scaled to int64 driver-side so the JS fold is
+    # integer-exact; the JS aggregate is SESSION-registered, so it runs
+    # directly over the parquet-backed view (no engine table needed)
+    tables(spark, sf_dir)["events"].selectExpr(
+        "event_type",
+        "CAST(round(value * 10000, 0) AS BIGINT) AS scaled",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k",
+    ).createOrReplaceTempView("__jsev_src")
+    return spark.sql(
+        "SELECT event_type, round(jswavg(scaled, k) / 10000.0, 6) AS wavg "
+        "FROM __jsev_src GROUP BY event_type ORDER BY event_type"
+    )

@@ -1,0 +1,355 @@
+"""LANGUAGE javascript UDFs through the pure-Python JS interpreter
+(functions/js_runtime.py; reference `src/expr/impl/src/udf/quickjs.rs`
+runs the same bodies under QuickJS — e2e_test/udf/js_udf.slt is the
+parity surface this file mirrors)."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from decimal import Decimal
+
+import pytest
+
+from risingwave_spark.api import Engine
+from risingwave_spark.functions.js_runtime import (
+    UNDEF,
+    JSRuntimeError,
+    JSSyntaxError,
+    call_js,
+    compile_js,
+    get_function,
+    js_str,
+    wrap_legacy,
+)
+
+
+def run(body: str, name: str, *args):
+    interp = compile_js(body)
+    return call_js(interp, get_function(interp, name), list(args))
+
+
+def expr(e: str):
+    return run(f"export function f() {{ return {e}; }}", "f")
+
+
+# ------------------------------------------------------- interpreter core
+
+def test_js_arithmetic_semantics():
+    assert expr("1 + 2 * 3") == 7
+    assert expr("7 / 2") == 3.5
+    assert expr("-7 % 3") == -1          # JS remainder, not Python mod
+    assert expr("7 % -3") == 1
+    assert expr("2 ** 10") == 1024
+    assert expr("1 / 0") == math.inf
+    assert math.isnan(expr("0 / 0"))
+    assert expr("'a' + 1") == "a1"       # string concat coercion
+    assert expr("'5' - 2") == 3          # numeric coercion on -
+    assert expr("5 & 3") == 1 and expr("5 | 3") == 7
+    assert expr("-1 >>> 28") == 15       # uint32 shift
+    assert expr("~5") == -6
+
+
+def test_js_equality_and_truthiness():
+    assert expr("null == undefined") is True
+    assert expr("null === undefined") is False
+    assert expr("1 == '1'") is True and expr("1 === '1'") is False
+    assert expr("0 == false") is True
+    assert expr("'' ? 1 : 2") == 2
+    assert expr("[] ? 1 : 2") == 1       # empty array is truthy
+    assert expr("NaN == NaN") is False
+    assert expr("2 < 10") is True and expr("'2' < '10'") is False
+
+
+def test_js_control_flow_and_functions():
+    body = """
+    export function fib(n) {
+        if (n < 2) return n;
+        return fib(n - 1) + fib(n - 2);
+    }
+    """
+    assert run(body, "fib", 10) == 55
+    body = """
+    export function count() {
+        let total = 0;
+        for (let i = 0; i < 10; i++) {
+            if (i % 2 == 0) continue;
+            if (i > 7) break;
+            total += i;
+        }
+        return total;
+    }
+    """
+    assert run(body, "count") == 1 + 3 + 5 + 7
+    body = """
+    export function sw(x) {
+        switch (x) {
+            case 1: return 'one';
+            case 2: return 'two';
+            default: return 'many';
+        }
+    }
+    """
+    assert run(body, "sw", 2) == "two"
+    assert run(body, "sw", 9) == "many"
+
+
+def test_js_closures_arrows_and_array_methods():
+    body = """
+    export function pipeline(xs) {
+        const double = x => x * 2;
+        return xs.map(double).filter(x => x > 4).reduce((a, b) => a + b, 0);
+    }
+    """
+    assert run(body, "pipeline", [1, 2, 3, 4]) == 6 + 8
+    body = """
+    export function counter() {
+        let n = 0;
+        const inc = () => { n++; return n; };
+        inc(); inc();
+        return inc();
+    }
+    """
+    assert run(body, "counter") == 3
+
+
+def test_js_objects_strings_templates():
+    body = """
+    export function fmt(name, n) {
+        const o = { name, n, tag: `${name}:${n * 2}` };
+        return o.tag + '|' + Object.keys(o).join(',');
+    }
+    """
+    assert run(body, "fmt", "a", 3) == "a:6|name,n,tag"
+    assert expr("'Hello World'.toLowerCase().split(' ')[1]") == "world"
+    assert expr("'abc'.charCodeAt(1)") == 98
+    assert expr("'7'.padStart(3, '0')") == "007"
+    assert expr("JSON.stringify({key: 1})") == '{"key":1}'
+    assert expr("JSON.parse('{\"a\": [1, 2]}').a[1]") == 2
+
+
+def test_js_try_throw_typeof():
+    body = """
+    export function safe(x) {
+        try {
+            if (x < 0) throw Error('neg');
+            return 'ok';
+        } catch (e) {
+            return 'caught:' + e.message;
+        } finally {
+            // finally runs either way
+        }
+    }
+    """
+    assert run(body, "safe", 1) == "ok"
+    assert run(body, "safe", -1) == "caught:neg"
+    assert expr("typeof 1") == "number"
+    assert expr("typeof 'x'") == "string"
+    assert expr("typeof null") == "object"
+    assert expr("typeof undefined") == "undefined"
+    assert expr("typeof missing_name") == "undefined"
+
+
+def test_js_fuel_and_syntax_gates():
+    interp_src = "export function spin() { while (true) {} }"
+    with pytest.raises(JSRuntimeError, match="fuel"):
+        run(interp_src, "spin")
+    with pytest.raises(JSSyntaxError, match="class"):
+        compile_js("class A {}")
+    with pytest.raises(JSSyntaxError, match="await"):
+        compile_js("export function f() { return await g(); }")
+
+
+def test_js_generator_collects_yields():
+    body = """
+    export function* series(n) {
+        for (let i = 0; i < n; i++) yield i;
+    }
+    """
+    assert run(body, "series", 4) == [0, 1, 2, 3]
+    body = """
+    export function* tree() {
+        yield 1;
+        yield* [2, 3];
+        yield 4;
+    }
+    """
+    assert run(body, "tree") == [1, 2, 3, 4]
+
+
+def test_js_decimal_is_exact_bigdecimal():
+    body = "export function add(a, b) { return a + b; }"
+    out = run(body, "add", Decimal("1.11"), Decimal("2.22"))
+    assert out == Decimal("3.33") and js_str(out) == "3.33"
+    assert expr("typeof BigDecimal('1.5')") == "bigdecimal"
+
+
+def test_js_number_printing():
+    assert js_str(42) == "42"
+    assert js_str(4.5) == "4.5"
+    assert js_str(2.0) == "2"          # integral float prints bare
+    assert js_str(math.nan) == "NaN"
+    assert js_str(-math.inf) == "-Infinity"
+    assert js_str(UNDEF) == "undefined"
+    assert js_str(b"\x01\x02\x03") == "1,2,3"  # Uint8Array.toString
+
+
+# --------------------------------------------------------- SQL front door
+
+def test_sql_js_scalar_udfs(spark):
+    """js_udf.slt int_42 / gcd / decimal_add / to_string."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_js_"))
+    eng.sql("""CREATE FUNCTION int_42() RETURNS int LANGUAGE javascript
+               AS $$ export function int_42() { return 42; } $$""")
+    assert eng.sql("SELECT int_42() AS v").first().v == 42
+    eng.sql("""CREATE FUNCTION gcd(a int, b int) RETURNS int
+               LANGUAGE javascript AS $$
+        export function gcd(a, b) {
+            if (a == null || b == null) return null;
+            while (b != 0) { let t = b; b = a % b; a = t; }
+            return a;
+        } $$""")
+    assert eng.sql("SELECT gcd(25, 15) AS g").first().g == 5
+    assert eng.sql("SELECT gcd(25, NULL) AS g").first().g is None
+    # over a table column (batch path)
+    eng.sql("CREATE TABLE nums (a int8 PRIMARY KEY, b int8)")
+    eng.sql("INSERT INTO nums VALUES (12, 18), (7, 21), (100, 75)")
+    rows = eng.sql(
+        "SELECT a, gcd(a, b) AS g FROM nums ORDER BY a").collect()
+    assert [(r.a, r.g) for r in rows] == [(7, 7), (12, 6), (100, 25)]
+    # decimal stays exact through JS (BigDecimal parity)
+    eng.sql("""CREATE FUNCTION decimal_add(a decimal, b decimal)
+               RETURNS decimal LANGUAGE javascript AS $$
+        export function decimal_add(a, b) { return a + b; } $$""")
+    v = eng.sql(
+        "SELECT decimal_add(1.11::decimal, 2.22::decimal) AS s"
+    ).first().s
+    assert str(v).rstrip("0").rstrip(".") == "3.33"
+    # the rw_functions catalog knows the language
+    rows = eng.sql("SELECT name, language FROM rw_functions "
+                   "WHERE name = 'gcd'").collect()
+    assert rows[0].language == "javascript"
+
+
+def test_sql_js_type_bridge(spark):
+    """js_udf.slt to_string / js_typeof: the quickjs arrow bridge."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsty_"))
+    eng.sql("""CREATE FUNCTION jsty(a boolean, c int, f float,
+               g decimal, h varchar, i bytea, j jsonb)
+               RETURNS jsonb LANGUAGE javascript AS $$
+        export function jsty(a, c, f, g, h, i, j) {
+            return {
+                boolean: typeof a, int: typeof c, float: typeof f,
+                decimal: typeof g, varchar: typeof h,
+                bytea: typeof i, jsonb: typeof j,
+            };
+        } $$""")
+    import json
+    v = eng.sql(
+        "SELECT jsty(false, 2, 6.7::float8, 8.9::decimal, 'abc', "
+        "'\\x010203'::bytea, '{\"key\": 1}'::jsonb) AS t"
+    ).first().t
+    assert json.loads(v) == {
+        "boolean": "boolean", "int": "number", "float": "number",
+        "decimal": "bigdecimal", "varchar": "string",
+        "bytea": "object", "jsonb": "object",
+    }
+    eng.sql("""CREATE FUNCTION to_s(b boolean, i bytea, j jsonb)
+               RETURNS varchar LANGUAGE javascript AS $$
+        export function to_s(b, i, j) {
+            return b.toString() + i.toString() + JSON.stringify(j);
+        } $$""")
+    v = eng.sql(
+        "SELECT to_s(false, '\\x010203'::bytea, '{\"key\": 1}'::jsonb)"
+        " AS s").first().s
+    assert v == 'false1,2,3{"key":1}'
+
+
+def test_sql_js_table_functions(spark):
+    """js_udf.slt series / split: generator UDTFs."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jst_"))
+    eng.sql("""CREATE FUNCTION series(n int) RETURNS TABLE (x int)
+               LANGUAGE javascript AS $$
+        export function* series(n) {
+            for (let i = 0; i < n; i++) yield i;
+        } $$""")
+    rows = eng.sql("SELECT * FROM series(5)").collect()
+    assert [r.x for r in rows] == [0, 1, 2, 3, 4]
+    eng.sql("""CREATE FUNCTION split(s varchar)
+               RETURNS TABLE (word varchar, length int)
+               LANGUAGE javascript AS $$
+        export function* split(s) {
+            for (let word of s.split(' ')) {
+                yield { word: word, length: word.length };
+            }
+        } $$""")
+    rows = eng.sql("SELECT * FROM split('rising wave')").collect()
+    assert [(r.word, r.length) for r in rows] == [
+        ("rising", 6), ("wave", 4)]
+
+
+def test_sql_js_aggregate(spark):
+    """js_udf.slt weighted_avg: CREATE AGGREGATE ... LANGUAGE
+    javascript, batch + streaming MV with a retracting delete."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsa_"))
+    eng.sql("""CREATE AGGREGATE weighted_avg(value int, weight int)
+               RETURNS float LANGUAGE javascript AS $$
+        export function create_state() { return {sum: 0, weight: 0}; }
+        export function accumulate(state, value, weight) {
+            if (value == null || weight == null) return state;
+            state.sum += value * weight;
+            state.weight += weight;
+            return state;
+        }
+        export function retract(state, value, weight) {
+            if (value == null || weight == null) return state;
+            state.sum -= value * weight;
+            state.weight -= weight;
+            return state;
+        }
+        export function finish(state) {
+            if (state.weight == 0) return null;
+            return state.sum / state.weight;
+        } $$""")
+    eng.sql("CREATE TABLE wt (value int8, weight int8)")
+    eng.sql("CREATE MATERIALIZED VIEW wmv AS "
+            "SELECT weighted_avg(value, weight) AS wa FROM wt")
+    assert eng.sql("SELECT wa FROM wmv").first().wa is None
+    eng.sql("INSERT INTO wt VALUES (1, 1), (NULL, 2), (3, 3)")
+    assert eng.sql("SELECT wa FROM wmv").first().wa == 2.5
+    eng.sql("DELETE FROM wt WHERE value = 3")
+    assert eng.sql("SELECT wa FROM wmv").first().wa == 1.0
+    # batch call too
+    v = eng.sql("SELECT weighted_avg(value, weight) AS wa FROM wt"
+                ).first().wa
+    assert v == 1.0
+
+
+def test_sql_js_legacy_bare_bodies(spark):
+    """js_udf.slt int_42_legacy / series_legacy: the body IS the
+    function body when there's no export/function wrapper."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsl_"))
+    eng.sql("""CREATE FUNCTION int_42_legacy() RETURNS int
+               LANGUAGE javascript AS $$ return 42; $$""")
+    assert eng.sql("SELECT int_42_legacy() AS v").first().v == 42
+    eng.sql("""CREATE FUNCTION series_legacy(n int)
+               RETURNS TABLE (x int) LANGUAGE javascript AS $$
+        for (let i = 0; i < n; i++) { yield i; } $$""")
+    rows = eng.sql("SELECT * FROM series_legacy(3)").collect()
+    assert [r.x for r in rows] == [0, 1, 2]
+    assert wrap_legacy("return 1;", "one", [], False).startswith(
+        "export function one()")
+
+
+def test_sql_js_create_errors(spark):
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jse_"))
+    # missing export of the declared name fails at CREATE
+    with pytest.raises(ValueError, match="export a function"):
+        eng.sql("""CREATE FUNCTION missing(a int) RETURNS int
+                   LANGUAGE javascript AS
+                   $$ export function other(a) { return a; } $$""")
+    # syntax errors fail at CREATE, loudly
+    with pytest.raises(ValueError, match="unexpected|expected"):
+        eng.sql("""CREATE FUNCTION bad(a int) RETURNS int
+                   LANGUAGE javascript AS
+                   $$ export function bad(a) { return a + ; } $$""")

@@ -18,7 +18,7 @@ def test_cast_rewrites():
     )
     assert (
         pg_to_spark_sql("SELECT a::decimal(10,2) FROM t")
-        == "SELECT CAST(a AS decimal(10,2)) FROM t"
+        == "SELECT CAST(a AS DECIMAL(10,2)) FROM t"
     )
 
 
