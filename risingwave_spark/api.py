@@ -1970,19 +1970,22 @@ class Engine:
     # ---- pgwire front door ------------------------------------------
     def start_pg_server(self, host: str = "127.0.0.1", port: int = 0,
                         user: str = "root", password: str = "",
-                        auth: str = "trust"):
+                        auth: str = "trust", tls: bool = False):
         """Start the Postgres-wire front door (reference
         `src/utils/pgwire/src/pg_server.rs` — the frontend's primary
         UX is psql over the v3 protocol). Any PG client connects and
         every statement routes through `Engine.sql` (pg_catalog compat
         included, so `\\d`-style introspection works). port=0 binds an
         ephemeral port; returns (host, port). auth: trust | password |
-        md5 | scram-sha-256."""
+        md5 | scram-sha-256 | scram-sha-256-plus (the -plus mode needs
+        tls=True: genuine TLS with a self-signed session cert, channel
+        binding per RFC 5929 tls-server-end-point)."""
         if self._pg_server is None:
             from risingwave_spark.pgserver import PgWireServer
 
             self._pg_server = PgWireServer(
-                self, host, port, user=user, password=password, auth=auth
+                self, host, port, user=user, password=password,
+                auth=auth, tls=tls,
             ).start()
         return (self._pg_server.host, self._pg_server.port)
 

@@ -12,13 +12,17 @@ driver work exactly the way they do against the reference.
 Implemented protocol surface (PUBLIC spec —
 postgresql.org/docs/current/protocol.html):
 
-- Startup: SSLRequest (refused with 'N' — plaintext, the sandbox has
-  no TLS material), GSSENCRequest (refused), CancelRequest (no-op),
-  StartupMessage; then auth: trust, cleartext password, md5, or full
-  SCRAM-SHA-256 (RFC 5802 server side — the same verified exchange the
-  in-tree LoopbackPostgres speaks, primitives shared from
-  sources/pgwire.py); then ParameterStatus (server_version, encoding,
-  DateStyle...), BackendKeyData, ReadyForQuery.
+- Startup: SSLRequest — answered 'S' + a GENUINE TLS handshake when
+  the server was started with tls=True (self-signed session cert
+  minted via the openssl CLI), refused with 'N' otherwise;
+  GSSENCRequest (refused), CancelRequest (no-op), StartupMessage;
+  then auth: trust, cleartext password, md5, full SCRAM-SHA-256, or
+  SCRAM-SHA-256-PLUS with RFC 5929 tls-server-end-point channel
+  binding verified against the session cert (RFC 5802/7677 server
+  side — the same verified exchanges the in-tree LoopbackPostgres
+  speaks, primitives shared from sources/pgwire.py); then
+  ParameterStatus (server_version, encoding, DateStyle...),
+  BackendKeyData, ReadyForQuery.
 - Simple query ('Q'): statements split on top-level semicolons, each
   run via Engine.sql; result sets as RowDescription/DataRow with
   text-format values and real type OIDs; DDL/DML as CommandComplete
@@ -249,11 +253,30 @@ class PgWireServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  user: str = "root", password: str = "",
-                 auth: str = "trust"):
-        if auth not in ("trust", "password", "md5", "scram-sha-256"):
+                 auth: str = "trust", tls: bool = False):
+        if auth not in ("trust", "password", "md5", "scram-sha-256",
+                        "scram-sha-256-plus"):
             raise ValueError(f"unsupported auth mode {auth!r}")
+        if auth == "scram-sha-256-plus" and not tls:
+            raise ValueError("scram-sha-256-plus needs tls=True "
+                             "(channel binding hashes the session cert)")
         self.engine = engine
         self.user, self.password, self.auth = user, password, auth
+        self.tls = tls
+        self._ssl_ctx = None
+        self._cert_der = b""
+        if tls:
+            import ssl as _ssl
+
+            from risingwave_spark.sources.pgwire import (
+                make_server_ssl_context,
+                self_signed_material,
+            )
+
+            cert, key = self_signed_material()
+            self._ssl_ctx = make_server_ssl_context(cert, key)
+            with open(cert) as f:
+                self._cert_der = _ssl.PEM_cert_to_DER_cert(f.read())
         self._lock = threading.Lock()
         server = self
 
@@ -301,7 +324,16 @@ class PgWireServer:
                     (n,) = struct.unpack(">I", self._read_exact(4))
                     startup = self._read_exact(n - 4)
                     (proto,) = struct.unpack(">I", startup[:4])
-                    if proto in (80877103, 80877104):  # SSL / GSSENC
+                    if proto == 80877103:  # SSLRequest
+                        if server._ssl_ctx is not None:
+                            self.request.sendall(b"S")
+                            self.request = server._ssl_ctx.wrap_socket(
+                                self.request, server_side=True)
+                            self._buf = b""
+                        else:
+                            self.request.sendall(b"N")
+                        continue
+                    if proto == 80877104:  # GSSENC: refused
                         self.request.sendall(b"N")
                         continue
                     if proto == 80877102:  # CancelRequest: no-op close
@@ -358,21 +390,47 @@ class PgWireServer:
                         self._send_err("password authentication failed")
                         return False
                     return True
-                # scram-sha-256 server side (RFC 5802): verify the
-                # client proof by recomputing StoredKey from it
+                # scram-sha-256[-plus] server side (RFC 5802): verify
+                # the client proof by recomputing StoredKey from it;
+                # -PLUS additionally verifies the c= channel binding
+                # against THIS session's cert hash (RFC 5929)
+                from risingwave_spark.sources.pgwire import (
+                    cb_tls_server_end_point,
+                )
+
+                mechs = (b"SCRAM-SHA-256-PLUS\x00SCRAM-SHA-256\x00\x00"
+                         if server.tls else b"SCRAM-SHA-256\x00\x00")
                 self.request.sendall(_msg(
-                    b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"))
+                    b"R", struct.pack(">I", 10) + mechs))
                 tag, payload = self._read_msg()
                 if tag != b"p":
                     self._send_err("expected SASLInitialResponse")
                     return False
                 mech, rest = payload.split(b"\x00", 1)
-                if mech != b"SCRAM-SHA-256":
+                if mech not in (b"SCRAM-SHA-256", b"SCRAM-SHA-256-PLUS"):
                     self._send_err("unsupported SASL mechanism")
+                    return False
+                if (server.auth == "scram-sha-256-plus"
+                        and mech != b"SCRAM-SHA-256-PLUS"):
+                    self._send_err("channel binding is required "
+                                   "(SCRAM-SHA-256-PLUS)")
+                    return False
+                if mech == b"SCRAM-SHA-256-PLUS" and not server.tls:
+                    self._send_err(
+                        "SCRAM-SHA-256-PLUS requires an SSL connection")
                     return False
                 (n,) = struct.unpack(">I", rest[:4])
                 client_first = rest[4:4 + n].decode()
-                bare = client_first.split(",", 2)[2]
+                head, _authzid, bare = client_first.split(",", 2)
+                gs2 = f"{head},{_authzid},"
+                if mech == b"SCRAM-SHA-256-PLUS":
+                    if head != "p=tls-server-end-point":
+                        self._send_err("unsupported channel binding "
+                                       f"type {head!r}")
+                        return False
+                    expect_cb = cb_tls_server_end_point(server._cert_der)
+                else:
+                    expect_cb = b""
                 cnonce = dict(
                     kv.split("=", 1) for kv in bare.split(","))["r"]
                 salt = os.urandom(16)
@@ -387,6 +445,10 @@ class PgWireServer:
                 client_final = payload.decode()
                 attrs = dict(
                     kv.split("=", 1) for kv in client_final.split(","))
+                if attrs["c"] != base64.b64encode(
+                        gs2.encode() + expect_cb).decode():
+                    self._send_err("channel binding verification failed")
+                    return False
                 without_proof = client_final.rsplit(",p=", 1)[0]
                 auth_msg = ",".join(
                     [bare, server_first, without_proof]).encode()

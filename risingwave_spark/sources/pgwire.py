@@ -93,6 +93,56 @@ def _md5_auth_response(user: str, password: str, salt: bytes) -> bytes:
     return b"md5" + hashlib.md5(inner.encode() + salt).hexdigest().encode()
 
 
+# ------------------------------------------------------------ TLS material
+# Real TLS for the loopback fixtures and the pgserver front door: a
+# self-signed cert minted once per process via the openssl CLI (the
+# container ships OpenSSL 3.x; no python `cryptography` needed), and the
+# RFC 5929 tls-server-end-point channel-binding data SCRAM-SHA-256-PLUS
+# (RFC 7677 §1, PG protocol §SASL) hashes into the proof.
+
+_TLS_DIR: str | None = None
+
+
+def self_signed_material() -> tuple[str, str]:
+    """→ (cert_pem_path, key_pem_path), minted once per process."""
+    global _TLS_DIR
+    import os as _os
+    import subprocess
+    import tempfile
+
+    if _TLS_DIR is not None:
+        return (_os.path.join(_TLS_DIR, "cert.pem"),
+                _os.path.join(_TLS_DIR, "key.pem"))
+    d = tempfile.mkdtemp(prefix="rw_tls_")
+    cert, key = _os.path.join(d, "cert.pem"), _os.path.join(d, "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-sha256",
+         "-keyout", key, "-out", cert, "-days", "30", "-nodes",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    _TLS_DIR = d
+    return cert, key
+
+
+def make_server_ssl_context(cert: str, key: str):
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    return ctx
+
+
+def cb_tls_server_end_point(cert_der: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point: hash of the server certificate.
+    The signature hash decides the digest; MD5/SHA-1 upgrade to
+    SHA-256 — this fixture's certs are SHA-256-signed, so SHA-256
+    unconditionally."""
+    import hashlib
+
+    return hashlib.sha256(cert_der).digest()
+
+
 def _scram_keys(password: str, salt: bytes, iters: int):
     """RFC 5802 key derivation → (salted, client_key, stored_key,
     server_key)."""
@@ -114,10 +164,13 @@ def _scram_hmac(key: bytes, msg: bytes) -> bytes:
 
 
 class _ScramClient:
-    """Client side of SCRAM-SHA-256 (no channel binding: gs2 'n,,' —
-    the wire here is plaintext TCP, matching the loopback fixture)."""
+    """Client side of SCRAM-SHA-256 (gs2 'n,,' on plaintext) and
+    SCRAM-SHA-256-PLUS (RFC 5802 §6 channel binding: gs2
+    'p=tls-server-end-point,,' and c= carrying base64(gs2-header ||
+    cb-data), cb-data the RFC 5929 hash of the server cert)."""
 
-    def __init__(self, user: str, password: str, n_user: bool = False):
+    def __init__(self, user: str, password: str, n_user: bool = False,
+                 cb_data: bytes | None = None):
         import base64
         import os as _os
 
@@ -129,7 +182,10 @@ class _ScramClient:
         self.client_first_bare = (
             f"n={user if n_user else ''},r={self.nonce}"
         )
-        self.client_first = "n,," + self.client_first_bare
+        self.gs2 = ("p=tls-server-end-point,," if cb_data is not None
+                    else "n,,")
+        self.cb_data = cb_data or b""
+        self.client_first = self.gs2 + self.client_first_bare
 
     def final(self, server_first: str) -> str:
         import base64
@@ -140,7 +196,8 @@ class _ScramClient:
         salt = base64.b64decode(attrs["s"])
         iters = int(attrs["i"])
         salted, ckey, stored, skey = _scram_keys(self.password, salt, iters)
-        without_proof = f"c=biws,r={attrs['r']}"
+        c = base64.b64encode(self.gs2.encode() + self.cb_data).decode()
+        without_proof = f"c={c},r={attrs['r']}"
         auth_msg = ",".join(
             [self.client_first_bare, server_first, without_proof]
         ).encode()
@@ -160,9 +217,29 @@ class _ScramClient:
 class PgWireClient:
     def __init__(self, host: str, port: int, user: str, password: str,
                  database: str, timeout: float = 10.0,
-                 replication: bool = False):
+                 replication: bool = False, sslmode: str = "disable"):
         self.sock = _nodelay_connect((host, port), timeout=timeout)
         self._buf = b""
+        self._cb_data: bytes | None = None
+        if sslmode not in ("disable", "require"):
+            raise ValueError(f"unsupported sslmode {sslmode!r}")
+        if sslmode == "require":
+            # SSLRequest → 'S' → genuine TLS handshake; the session
+            # cert's DER feeds SCRAM-PLUS channel binding. The fixture
+            # certs are self-signed, so verification is disabled here
+            # (libpq's sslmode=require posture: encrypt, don't verify).
+            import ssl as _ssl
+
+            self.sock.sendall(struct.pack(">II", 8, 80877103))
+            r = self.sock.recv(1)
+            if r != b"S":
+                raise OSError("server refused SSL (sslmode=require)")
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
+            self._cb_data = cb_tls_server_end_point(
+                self.sock.getpeercert(binary_form=True))
         pairs = [("user", user), ("database", database)]
         if replication:
             # walsender mode (postgres protocol: replication=database
@@ -191,17 +268,25 @@ class PgWireClient:
                     continue
                 if code == 10:  # SASL — mechanism list, NUL-separated
                     mechs = payload[4:].rstrip(b"\x00").split(b"\x00")
-                    if b"SCRAM-SHA-256" not in mechs:
+                    # prefer channel binding when the session is TLS
+                    # and the server offers -PLUS (libpq's choice)
+                    if (self._cb_data is not None
+                            and b"SCRAM-SHA-256-PLUS" in mechs):
+                        mech = b"SCRAM-SHA-256-PLUS"
+                        scram = _ScramClient(user, password,
+                                             cb_data=self._cb_data)
+                    elif b"SCRAM-SHA-256" in mechs:
+                        mech = b"SCRAM-SHA-256"
+                        scram = _ScramClient(user, password)
+                    else:
                         raise NotImplementedError(
                             f"postgres SASL mechanisms {mechs} — only "
-                            "SCRAM-SHA-256 is supported (channel-binding "
-                            "-PLUS variants need TLS)"
+                            "SCRAM-SHA-256[-PLUS] are supported"
                         )
-                    scram = _ScramClient(user, password)
                     first = scram.client_first.encode()
                     self.sock.sendall(_msg(
                         b"p",
-                        b"SCRAM-SHA-256\x00"
+                        mech + b"\x00"
                         + struct.pack(">I", len(first)) + first,
                     ))
                     continue
@@ -471,13 +556,27 @@ class LoopbackPostgres:
 
     def __init__(self, user: str = "fed", password: str = "fedpw",
                  database: str = "fedb", host: str = "127.0.0.1", port: int = 0,
-                 auth: str = "password"):
+                 auth: str = "password", tls: bool = False):
         import duckdb
 
-        if auth not in ("password", "md5", "scram-sha-256"):
+        if auth not in ("password", "md5", "scram-sha-256",
+                        "scram-sha-256-plus"):
             raise ValueError(f"unsupported auth mode {auth!r}")
+        if auth == "scram-sha-256-plus" and not tls:
+            raise ValueError("scram-sha-256-plus needs tls=True "
+                             "(channel binding hashes the session cert)")
         self.user, self.password, self.database = user, password, database
         self.auth = auth
+        self.tls = tls
+        self._ssl_ctx = None
+        self._cert_der = b""
+        if tls:
+            import ssl as _ssl
+
+            cert, key = self_signed_material()
+            self._ssl_ctx = make_server_ssl_context(cert, key)
+            with open(cert) as f:
+                self._cert_der = _ssl.PEM_cert_to_DER_cert(f.read())
         self._db = duckdb.connect()
         self._dblock = threading.Lock()
         # logical replication state: the WAL is a change list
@@ -494,11 +593,24 @@ class LoopbackPostgres:
                     (n,) = struct.unpack(">I", self._read_exact(4))
                     startup = self._read_exact(n - 4)
                     (proto,) = struct.unpack(">I", startup[:4])
-                    if proto == 80877103:  # SSLRequest: refuse, plaintext
-                        self.request.sendall(b"N")
+                    if proto == 80877103:  # SSLRequest
+                        if server._ssl_ctx is not None:
+                            # genuine TLS handshake on the accepted
+                            # socket; everything after rides the
+                            # encrypted session
+                            self.request.sendall(b"S")
+                            self.request = server._ssl_ctx.wrap_socket(
+                                self.request, server_side=True)
+                            self._buf = b""
+                        else:
+                            self.request.sendall(b"N")  # plaintext
                         (n,) = struct.unpack(">I", self._read_exact(4))
                         startup = self._read_exact(n - 4)
                         (proto,) = struct.unpack(">I", startup[:4])
+                    elif server.tls:
+                        self._send_err(
+                            "this server requires SSL (tls=True)")
+                        return
                     params = dict(
                         zip(*[iter(startup[4:].rstrip(b"\x00").split(b"\x00"))] * 2)
                     )
@@ -649,18 +761,44 @@ class LoopbackPostgres:
                         self._send_err("password authentication failed")
                         return False
                     return True
-                # scram-sha-256: full RFC 5802 exchange with real proof
-                # verification (StoredKey recomputed from the client proof)
+                # scram-sha-256[-plus]: full RFC 5802 exchange with
+                # real proof verification (StoredKey recomputed from
+                # the client proof); -PLUS additionally verifies the
+                # c= channel binding against THIS session's cert hash
+                # (RFC 5929 tls-server-end-point)
+                mechs = (b"SCRAM-SHA-256-PLUS\x00SCRAM-SHA-256\x00\x00"
+                         if server.tls else b"SCRAM-SHA-256\x00\x00")
                 self.request.sendall(_msg(
-                    b"R", struct.pack(">I", 10) + b"SCRAM-SHA-256\x00\x00"))
+                    b"R", struct.pack(">I", 10) + mechs))
                 tag, payload = self._read_msg()
                 mech, rest = payload.split(b"\x00", 1)
                 (n,) = struct.unpack(">I", rest[:4])
                 client_first = rest[4:4 + n].decode()
-                if tag != b"p" or mech != b"SCRAM-SHA-256":
+                if tag != b"p" or mech not in (
+                        b"SCRAM-SHA-256", b"SCRAM-SHA-256-PLUS"):
                     self._send_err("unsupported SASL mechanism")
                     return False
-                bare = client_first.split(",", 2)[2]  # strip gs2 'n,,'
+                if (server.auth == "scram-sha-256-plus"
+                        and mech != b"SCRAM-SHA-256-PLUS"):
+                    self._send_err(
+                        "channel binding is required "
+                        "(SCRAM-SHA-256-PLUS)")
+                    return False
+                if mech == b"SCRAM-SHA-256-PLUS" and not server.tls:
+                    self._send_err(
+                        "SCRAM-SHA-256-PLUS requires an SSL connection")
+                    return False
+                head, _authzid, bare = client_first.split(",", 2)
+                gs2 = f"{head},{_authzid},"
+                if mech == b"SCRAM-SHA-256-PLUS":
+                    if head != "p=tls-server-end-point":
+                        self._send_err(
+                            "unsupported channel binding type "
+                            f"{head!r}")
+                        return False
+                    expect_cb = cb_tls_server_end_point(server._cert_der)
+                else:
+                    expect_cb = b""
                 cnonce = dict(
                     kv.split("=", 1) for kv in bare.split(","))["r"]
                 salt = _os.urandom(16)
@@ -677,6 +815,14 @@ class LoopbackPostgres:
                 client_final = payload.decode()
                 attrs = dict(
                     kv.split("=", 1) for kv in client_final.split(","))
+                # c= binds the gs2 header (and for -PLUS the session
+                # cert hash) into the signed auth message — a MITM
+                # terminating TLS presents a different cert and fails
+                # here even with a correct password
+                if attrs["c"] != base64.b64encode(
+                        gs2.encode() + expect_cb).decode():
+                    self._send_err("channel binding verification failed")
+                    return False
                 without_proof = client_final.rsplit(",p=", 1)[0]
                 auth_msg = ",".join(
                     [bare, server_first, without_proof]).encode()

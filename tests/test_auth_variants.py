@@ -152,3 +152,82 @@ def test_mysql_caching_sha2_full_auth_rsa_exchange():
             MySqlWireClient("127.0.0.1", srv.port, "fed", "WRONG", "fedb")
     finally:
         srv.stop()
+
+
+def test_pg_tls_scram_plus_channel_binding():
+    """SCRAM-SHA-256-PLUS over GENUINE TLS (RFC 7677 + RFC 5929
+    tls-server-end-point): the loopback mints a self-signed cert via
+    the openssl CLI, the client hashes the session certificate into
+    the signed auth message, and the server VERIFIES both the proof
+    and the channel binding. Closes the engine's last auth gate."""
+    srv = LoopbackPostgres(auth="scram-sha-256-plus", tls=True).start()
+    try:
+        srv.seed("CREATE TABLE t (a INT); INSERT INTO t VALUES (5), (9)")
+        c = PgWireClient("127.0.0.1", srv.port, "fed", "fedpw", "fedb",
+                         sslmode="require")
+        _fields, rows = c.query("SELECT a FROM t ORDER BY a")
+        assert rows == [[5], [9]]
+        c.close()
+        # wrong password still fails through the -PLUS exchange
+        with pytest.raises(OSError, match="authentication failed"):
+            PgWireClient("127.0.0.1", srv.port, "fed", "WRONG", "fedb",
+                         sslmode="require")
+        # a plaintext client is refused outright (server requires SSL)
+        with pytest.raises(OSError):
+            PgWireClient("127.0.0.1", srv.port, "fed", "fedpw", "fedb")
+    finally:
+        srv.stop()
+
+
+def test_pg_tls_scram_plus_requires_binding_mech():
+    """A TLS session whose client picks the NON-PLUS mechanism is
+    rejected when the server mandates channel binding — and a
+    tampered c= attribute (MITM posture: wrong cert hash) fails even
+    with the correct password."""
+    from risingwave_spark.sources import pgwire as pw
+
+    srv = LoopbackPostgres(auth="scram-sha-256-plus", tls=True).start()
+    try:
+        real = pw._ScramClient
+
+        class NoBind(real):
+            def __init__(self, user, password, n_user=False, cb_data=None):
+                super().__init__(user, password, n_user, None)
+
+        pw._ScramClient = NoBind  # client downgrades to no binding
+        try:
+            with pytest.raises(OSError,
+                               match="channel binding|binding"):
+                PgWireClient("127.0.0.1", srv.port, "fed", "fedpw",
+                             "fedb", sslmode="require")
+        finally:
+            pw._ScramClient = real
+
+        class WrongCb(real):
+            def __init__(self, user, password, n_user=False, cb_data=None):
+                super().__init__(user, password, n_user,
+                                 b"\x00" * 32 if cb_data else None)
+
+        pw._ScramClient = WrongCb  # MITM presents a different cert
+        try:
+            with pytest.raises(OSError, match="binding"):
+                PgWireClient("127.0.0.1", srv.port, "fed", "fedpw",
+                             "fedb", sslmode="require")
+        finally:
+            pw._ScramClient = real
+    finally:
+        srv.stop()
+
+
+def test_pg_tls_plain_scram_over_tls_ok():
+    """TLS with auth=scram-sha-256 (no -PLUS mandate): the client
+    prefers -PLUS when offered, and it verifies."""
+    srv = LoopbackPostgres(auth="scram-sha-256", tls=True).start()
+    try:
+        srv.seed("CREATE TABLE t (a INT); INSERT INTO t VALUES (3)")
+        c = PgWireClient("127.0.0.1", srv.port, "fed", "fedpw", "fedb",
+                         sslmode="require")
+        assert c.query("SELECT a FROM t")[1] == [[3]]
+        c.close()
+    finally:
+        srv.stop()

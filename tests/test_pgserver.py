@@ -238,3 +238,26 @@ def test_ssl_refusal_and_terminate(spark, eng):
         buf += chunk
     s.sendall(b"X" + struct.pack(">I", 4))
     s.close()
+
+
+def test_pg_server_tls_scram_plus(spark, eng):
+    """The front door over GENUINE TLS with SCRAM-SHA-256-PLUS channel
+    binding (RFC 7677 + RFC 5929): psql-equivalent clients negotiate
+    SSLRequest → TLS → SASL with the session cert hash bound into the
+    proof; DDL/queries run over the encrypted session."""
+    host, port = eng.start_pg_server(
+        user="rw", password="s3cret", auth="scram-sha-256-plus",
+        tls=True)
+    c = PgWireClient(host, port, "rw", "s3cret", "dev",
+                     sslmode="require")
+    c.query("CREATE TABLE enc (a int8 PRIMARY KEY)")
+    c.query("INSERT INTO enc VALUES (1), (2), (3)")
+    _f, rows = c.query("SELECT count(*) AS n, sum(a) AS s FROM enc")
+    assert rows == [[3, 6]]
+    c.close()
+    # wrong password fails through the -PLUS exchange
+    with pytest.raises(OSError, match="authentication failed"):
+        PgWireClient(host, port, "rw", "WRONG", "dev", sslmode="require")
+    # plaintext clients can't skip the binding mandate
+    with pytest.raises(OSError):
+        PgWireClient(host, port, "rw", "s3cret", "dev")
