@@ -9279,17 +9279,27 @@ def _handle_drop_secret(engine: "Engine", ast: dict) -> DataFrame:
 
 def _handle_drop_function(engine: "Engine", ast: dict) -> DataFrame:
     name = ast["name"]
+    verb = ast.get("drop_kind", "FUNCTION")
     if name not in engine.functions:
         if ast.get("if_exists"):
-            return _status(engine.spark, "DROP_FUNCTION")
+            return _status(engine.spark, f"DROP_{verb}")
         raise ValueError(f"unknown function {name!r}")
+    # the verb must match the object's kind (reference js_udf.slt:
+    # `drop function weighted_avg` on an aggregate is an error)
+    kind = engine.functions[name].get("kind", "FUNCTION")
+    if verb == "FUNCTION" and kind == "AGGREGATE":
+        raise ValueError(
+            f'"{name}" is an aggregate function — use DROP AGGREGATE')
+    if verb == "AGGREGATE" and kind != "AGGREGATE":
+        raise ValueError(
+            f'"{name}" is not an aggregate function — use DROP FUNCTION')
     engine.functions.pop(name)
     try:
         engine.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
     except Exception:
         pass  # python-registered UDFs may not be droppable in-place
     engine._unrecord_ddl([name])
-    return _status(engine.spark, "DROP_FUNCTION")
+    return _status(engine.spark, f"DROP_{verb}")
 
 
 #: statement kind (from the recursive-descent grammar, sqlparse.classify)

@@ -1266,7 +1266,9 @@ def _classify_p(p: _P) -> str:
             return "drop_secret"
         if p.at("FUNCTION", "AGGREGATE"):
             # reference parser.rs parse_drop_function: optional IF EXISTS
-            # and an optional argument-type signature
+            # and an optional argument-type signature; the verb is kept
+            # so DROP FUNCTION on an aggregate errors (js_udf.slt)
+            p.ast["drop_kind"] = p.peek().val.upper()
             p.eat()
             if p.at_seq("IF", "EXISTS"):
                 p.eat()

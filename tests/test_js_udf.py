@@ -353,3 +353,25 @@ def test_sql_js_create_errors(spark):
         eng.sql("""CREATE FUNCTION bad(a int) RETURNS int
                    LANGUAGE javascript AS
                    $$ export function bad(a) { return a + ; } $$""")
+
+
+def test_drop_function_vs_drop_aggregate(spark):
+    """js_udf.slt: `drop function weighted_avg` on an aggregate errors
+    ('is an aggregate function'); `drop aggregate` succeeds — and the
+    mirror case for scalar functions."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsd_"))
+    eng.sql("""CREATE AGGREGATE wavg2(v int) RETURNS float
+               LANGUAGE javascript AS $$
+        export function create_state() { return 0; }
+        export function accumulate(s, v) { return s + (v || 0); }
+        export function finish(s) { return s; } $$""")
+    with pytest.raises(ValueError, match="is an aggregate function"):
+        eng.sql("DROP FUNCTION wavg2")
+    eng.sql("DROP AGGREGATE wavg2")
+    assert "wavg2" not in eng.functions
+    eng.sql("""CREATE FUNCTION sc1() RETURNS int LANGUAGE javascript
+               AS $$ return 7; $$""")
+    with pytest.raises(ValueError, match="is not an aggregate"):
+        eng.sql("DROP AGGREGATE sc1")
+    eng.sql("DROP FUNCTION sc1")
+    assert "sc1" not in eng.functions
