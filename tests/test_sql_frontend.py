@@ -2201,15 +2201,22 @@ def test_function_tvf_drop_show_replay(spark, tmp_path):
 
 
 def test_create_function_gated_and_rejected(eng):
-    """JS/WASM languages raise loudly (no quickjs/wasmtime in container —
-    the USING LINK external runtime is the sanctioned host); grammar
-    rejects bodies that aren't strings; python aggregates must define the
+    """LANGUAGE rust raises loudly (no rustc in container — wasm or
+    USING LINK are the sanctioned hosts; javascript and wasm both run
+    in-process since rounds 9/11); grammar rejects bodies that aren't
+    strings; python aggregates must define the
     create_state/accumulate/finish contract."""
     with pytest.raises(NotImplementedError, match="USING LINK"):
         eng.sql(
-            "create function j(x int) returns int language javascript "
-            "as $$ return x $$"
+            "create function rst(x int) returns int language rust "
+            "as $$ fn rst(x: i32) -> i32 { x } $$"
         )
+    # javascript is REAL now (functions/js_runtime.py) — legacy body
+    assert eng.sql(
+        "create function j(x int) returns int language javascript "
+        "as $$ return x + 1 $$"
+    ) is not None
+    assert eng.sql("SELECT j(41) AS v").first().v == 42
     with pytest.raises(Exception, match="function body string"):
         eng.sql("create function b(x int) returns int language sql as select x")
     with pytest.raises(ValueError, match="create_state"):
