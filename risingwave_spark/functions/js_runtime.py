@@ -138,7 +138,15 @@ def _read_string(src: str, i: int, quote: str) -> tuple[str, int]:
             i += 1
     if i >= n:
         raise JSSyntaxError("unterminated string literal")
-    return "".join(out), i + 1
+    s = "".join(out)
+    if any("\ud800" <= ch <= "\udfff" for ch in s):
+        # JS strings are UTF-16: a \uD800-\uDBFF + \uDC00-\uDFFF escape
+        # pair denotes one astral code point — recombine
+        try:
+            s = s.encode("utf-16", "surrogatepass").decode("utf-16")
+        except UnicodeDecodeError:
+            pass  # lone surrogate: keep as-is (JS allows it too)
+    return s, i + 1
 
 
 def tokenize(src: str) -> list[tuple[str, object]]:

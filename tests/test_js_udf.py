@@ -375,3 +375,77 @@ def test_drop_function_vs_drop_aggregate(spark):
         eng.sql("DROP AGGREGATE sc1")
     eng.sql("DROP FUNCTION sc1")
     assert "sc1" not in eng.functions
+
+
+# ------------------------------------------------------------- fuzz arms
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _int_expr(draw, depth=0):
+    """Random arithmetic over ints where JS and Python agree exactly:
+    + - * ** (small exponents), parentheses, unary minus."""
+    if depth > 3 or draw(st.booleans()):
+        return str(draw(st.integers(min_value=-50, max_value=50)))
+    op = draw(st.sampled_from(["+", "-", "*", "**", "neg", "paren"]))
+    if op == "neg":
+        # space after the minus: "--1" is a real JS SyntaxError
+        # (decrement of a literal), which the interpreter matches
+        return f"(- {draw(_int_expr(depth + 1))})"
+    if op == "paren":
+        return f"({draw(_int_expr(depth + 1))})"
+    a, b = draw(_int_expr(depth + 1)), draw(_int_expr(depth + 1))
+    if op == "**":
+        # keep exponents small; parenthesize the base — JS rejects an
+        # unparenthesized unary minus before ** and Python binds it
+        # looser, so bare `-1 ** 0` means different things
+        return f"(({a}) ** {draw(st.integers(min_value=0, max_value=3))})"
+    return f"{a} {op} {b}"
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(e=_int_expr())
+def test_js_fuzz_arithmetic_matches_python(e):
+    """Tokenizer/parser/evaluator precedence and integer arithmetic
+    agree with Python's eval on the shared exact-int subset."""
+    expected = eval(e)  # noqa: S307 — generated arithmetic only
+    assert expr(e) == expected
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(s=st.text(
+    alphabet=st.characters(codec="utf-8",
+                           blacklist_categories=("Cs",)),
+    max_size=40))
+def test_js_fuzz_string_roundtrip(s):
+    """Arbitrary text survives the JS string path: JSON-quoted into a
+    literal, concatenated, split and re-joined — byte-identical."""
+    import json
+    lit = json.dumps(s)  # valid JS string literal
+    body = f"export function f() {{ return {lit} + ''; }}"
+    assert run(body, "f") == s
+    body2 = ("export function g(x) { "
+             "return x.split('|').join('|'); }")
+    assert run(body2, "g", s) == s
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(xs=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                   max_size=20))
+def test_js_fuzz_array_pipeline_matches_python(xs):
+    """map/filter/reduce over random int arrays match the Python
+    equivalents (closure + builtin callback interop)."""
+    body = """
+    export function p(xs) {
+        return xs.map(x => x * 3).filter(x => x % 2 == 0)
+                 .reduce((a, b) => a + b, 0);
+    }
+    """
+    py = sum(v for v in (x * 3 for x in xs)
+             if (abs(v) % 2 == 0))  # JS % keeps dividend sign; ==0 same
+    assert run(body, "p", list(xs)) == py
