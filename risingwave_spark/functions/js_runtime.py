@@ -2001,14 +2001,28 @@ class _CallableNS(dict):
 
 # ------------------------------------------------------------ public API
 
+#: worker-side compile cache: an executor evaluating a JS UDF over
+#: thousands of Arrow batches parses the module once, not per batch.
+#: Keyed by the body text; tiny (UDF bodies), unbounded on purpose —
+#: a worker only ever sees the session's registered functions.
+_COMPILE_CACHE: dict[str, "Interpreter"] = {}
+
+
 def compile_js(body: str) -> Interpreter:
     """Parse + run a UDF module body; returns the interpreter whose
     ``exports`` hold the ``export function`` entry points (every
     top-level function declaration is also reachable by name via
-    ``get_function`` — the aggregate form and legacy bodies need it)."""
+    ``get_function`` — the aggregate form and legacy bodies need it).
+    Cached per body text: scalar evaluation re-enters per Arrow batch
+    and must not re-parse. (Module state is shared across calls as a
+    consequence — same posture as quickjs's per-node runtime.)"""
+    cached = _COMPILE_CACHE.get(body)
+    if cached is not None:
+        return cached
     interp = Interpreter()
     ast = _Parser(tokenize(body)).parse_program()
     interp.run_program(ast)
+    _COMPILE_CACHE[body] = interp
     return interp
 
 
@@ -2038,6 +2052,9 @@ def get_function(interp: Interpreter, name: str) -> JSFunction:
 def call_js(interp: Interpreter, fn: JSFunction, args: list):
     """Invoke with the interpreter activated (builtin callbacks and
     nested JSFunction calls re-enter through _ACTIVE)."""
+    # fuel is per top-level invocation: a cached interpreter serving
+    # millions of rows must not exhaust its budget cumulatively
+    interp.steps = 0
     _ACTIVE.append(interp)
     try:
         return interp.call_function(fn, args)
