@@ -788,14 +788,19 @@ class Scope:
 
 
 class JSFunction:
-    __slots__ = ("name", "params", "body", "scope", "is_gen")
+    """A user JS function: `body` is COMPILED code (a Python closure
+    tree built once at parse — see Interpreter.compile_stmt), `dflts`
+    the compiled default-parameter initializers."""
 
-    def __init__(self, name, params, body, scope, is_gen):
+    __slots__ = ("name", "params", "body", "scope", "is_gen", "dflts")
+
+    def __init__(self, name, params, body, scope, is_gen, dflts=None):
         self.name = name or "anonymous"
         self.params = params
         self.body = body
         self.scope = scope
         self.is_gen = is_gen
+        self.dflts = dflts or [None] * len(params)
 
     def __call__(self, *args):
         interp = _ACTIVE[-1]
@@ -808,6 +813,13 @@ _ACTIVE: list["Interpreter"] = []
 
 
 def js_truthy(v) -> bool:
+    t = type(v)
+    if t is bool:
+        return v
+    if t is int or t is float:
+        return v != 0 and v == v
+    if t is str:
+        return len(v) > 0
     if v is None or v is UNDEF:
         return False
     if isinstance(v, bool):
@@ -857,6 +869,9 @@ def js_str(v) -> str:
 
 def js_num(v) -> float | int:
     """JS ToNumber."""
+    t = type(v)
+    if t is int or t is float:
+        return v
     if isinstance(v, bool):
         return 1 if v else 0
     if isinstance(v, (int, float)):
@@ -914,6 +929,9 @@ def _numeric_pair(a, b):
     """Coerce per JS arithmetic; Decimal propagates exactly against
     int/Decimal (the quickjs BigDecimal posture) and degrades to float
     against float."""
+    ta, tb = type(a), type(b)
+    if (ta is int or ta is float) and (tb is int or tb is float):
+        return a, b  # the hot path: numbers stay numbers
     x, y = js_num(a), js_num(b)
     if isinstance(x, Decimal) or isinstance(y, Decimal):
         if isinstance(x, float) or isinstance(y, float):
@@ -962,6 +980,11 @@ def _js_div(x, y):
 
 
 def js_strict_eq(a, b) -> bool:
+    ta, tb = type(a), type(b)
+    if (ta is int or ta is float) and (tb is int or tb is float):
+        return a == b
+    if ta is str and tb is str:
+        return a == b
     if a is UNDEF or b is UNDEF:
         return a is b
     if a is None or b is None:
@@ -980,6 +1003,11 @@ def js_strict_eq(a, b) -> bool:
 
 
 def js_loose_eq(a, b) -> bool:
+    ta, tb = type(a), type(b)
+    if (ta is int or ta is float) and (tb is int or tb is float):
+        return a == b
+    if ta is str and tb is str:
+        return a == b
     if (a is None or a is UNDEF) and (b is None or b is UNDEF):
         return True
     if (a is None or a is UNDEF) or (b is None or b is UNDEF):
@@ -1221,52 +1249,59 @@ class Interpreter:
         return items
 
     # ------------------------------------------------------------ compile
+    # The AST compiles ONCE into a tree of Python closures (fn(scope));
+    # execution never re-dispatches on node kinds — the tree-walking
+    # per-node tuple dispatch this replaced cost ~4x on loop-heavy
+    # bodies. Fuel charges per LOOP ITERATION and per FUNCTION CALL:
+    # any non-terminating execution must loop or recurse, so the
+    # budget still binds runaway bodies.
+
     def run_program(self, ast: list) -> None:
+        code = [(st, self.compile_stmt(st)) for st in ast]
         _ACTIVE.append(self)
         try:
             # hoist function declarations (the slt's aggregate bodies
             # call finish before its textual definition would bind)
-            for st in ast:
+            for st, c in code:
                 node = st[1] if st[0] == "export" else st
                 if node[0] == "funcdecl":
-                    fn = JSFunction(node[1], node[2], node[3],
-                                    self.globals, node[4])
-                    self.globals.declare(node[1], fn)
-                    if st[0] == "export":
-                        self.exports[node[1]] = fn
-            for st in ast:
-                if st[0] == "funcdecl" or (
-                        st[0] == "export" and st[1][0] == "funcdecl"):
-                    continue
-                self.exec_stmt(st, self.globals)
+                    c(self.globals)
+            for st, c in code:
+                node = st[1] if st[0] == "export" else st
+                if node[0] != "funcdecl":
+                    c(self.globals)
         finally:
             _ACTIVE.pop()
 
     # ------------------------------------------------------------- calls
     def call_function(self, fn: JSFunction, args: list):
+        self.steps += 1
+        if self.steps > self.MAX_STEPS:
+            raise JSRuntimeError("JS fuel exhausted (runaway loop?)")
         scope = Scope(fn.scope)
+        sv = scope.vars
         i = 0
-        for p in fn.params:
+        for k, p in enumerate(fn.params):
             if p[0] == "rest":
-                scope.declare(p[1], list(args[i:]))
+                sv[p[1]] = list(args[i:])
                 i = len(args)
             else:
                 v = args[i] if i < len(args) else UNDEF
-                if v is UNDEF and p[2] is not None:
-                    v = self.eval_expr(p[2], scope)
-                scope.declare(p[1], v)
+                if v is UNDEF and fn.dflts[k] is not None:
+                    v = fn.dflts[k](scope)
+                sv[p[1]] = v
                 i += 1
-        scope.declare("arguments", list(args))
+        sv["arguments"] = list(args)
         if fn.is_gen:
             yields: list = []
-            scope.declare("__yields__", yields)
+            sv["__yields__"] = yields
             try:
-                self.exec_stmt(fn.body, scope)
+                fn.body(scope)
             except _Return:
                 pass
             return yields
         try:
-            self.exec_stmt(fn.body, scope)
+            fn.body(scope)
         except _Return as r:
             return r.value
         return UNDEF
@@ -1278,146 +1313,240 @@ class Interpreter:
             return fn(*args)
         raise JSRuntimeError(f"{js_str(fn)} is not a function")
 
-    # --------------------------------------------------------- statements
-    def exec_stmt(self, node, scope: Scope) -> None:
+    def _fuel(self) -> None:
         self.steps += 1
         if self.steps > self.MAX_STEPS:
             raise JSRuntimeError("JS fuel exhausted (runaway loop?)")
+
+    def _mkfunc(self, node):
+        """Compile a func/funcdecl node into a JSFunction factory."""
+        name, params, is_gen = node[1], node[2], node[4]
+        body = self.compile_stmt(node[3])
+        dflts = [
+            self.compile_expr(p[2]) if p[0] == "p" and p[2] is not None
+            else None
+            for p in params
+        ]
+
+        def mk(scope: Scope) -> JSFunction:
+            return JSFunction(name, params, body, scope, is_gen, dflts)
+
+        return mk
+
+    # --------------------------------------------------------- statements
+    def compile_stmt(self, node):
+        """AST statement → fn(scope) executing it."""
         kind = node[0]
         if kind == "block":
-            inner = Scope(scope)
-            for st in node[1]:
-                if st[0] == "funcdecl":  # hoist within the block
-                    inner.declare(st[1], JSFunction(
-                        st[1], st[2], st[3], inner, st[4]))
-            for st in node[1]:
-                if st[0] != "funcdecl":
-                    self.exec_stmt(st, inner)
-        elif kind == "exprstmt":
-            self.eval_expr(node[1], scope)
-        elif kind == "vardecl":
-            for name, init in node[2]:
-                v = UNDEF if init is None else self.eval_expr(init, scope)
-                scope.declare(name, v)
-        elif kind == "if":
-            if js_truthy(self.eval_expr(node[1], scope)):
-                self.exec_stmt(node[2], scope)
-            elif node[3] is not None:
-                self.exec_stmt(node[3], scope)
-        elif kind == "while":
-            while js_truthy(self.eval_expr(node[1], scope)):
-                try:
-                    self.exec_stmt(node[2], scope)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
-        elif kind == "dowhile":
-            while True:
-                try:
-                    self.exec_stmt(node[2], scope)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
-                if not js_truthy(self.eval_expr(node[1], scope)):
-                    break
-        elif kind == "for":
-            inner = Scope(scope)
-            if node[1] is not None:
-                self.exec_stmt(node[1], inner)
-            while node[2] is None or js_truthy(
-                    self.eval_expr(node[2], inner)):
-                try:
-                    self.exec_stmt(node[4], inner)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
-                if node[3] is not None:
-                    self.eval_expr(node[3], inner)
-        elif kind == "forof":
-            seq = self.eval_expr(node[2], scope)
-            for v in self._iterate(seq):
+            hoist = [self.compile_stmt(st) for st in node[1]
+                     if st[0] == "funcdecl"]
+            rest = [self.compile_stmt(st) for st in node[1]
+                    if st[0] != "funcdecl"]
+
+            def run_block(scope):
                 inner = Scope(scope)
-                inner.declare(node[1], v)
-                try:
-                    self.exec_stmt(node[3], inner)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
-        elif kind == "forin":
-            seq = self.eval_expr(node[2], scope)
-            keys = (list(seq.keys()) if isinstance(seq, dict)
-                    else [js_str(i) for i in range(len(seq))]
-                    if isinstance(seq, (list, str)) else [])
-            for k in keys:
+                for c in hoist:
+                    c(inner)
+                for c in rest:
+                    c(inner)
+            return run_block
+        if kind == "exprstmt":
+            c = self.compile_expr(node[1])
+
+            def run_expr(scope):
+                c(scope)
+            return run_expr
+        if kind == "vardecl":
+            decls = [(nm, self.compile_expr(init) if init is not None
+                      else None) for nm, init in node[2]]
+
+            def run_var(scope):
+                for nm, c in decls:
+                    scope.vars[nm] = UNDEF if c is None else c(scope)
+            return run_var
+        if kind == "if":
+            cond = self.compile_expr(node[1])
+            then = self.compile_stmt(node[2])
+            alt = self.compile_stmt(node[3]) if node[3] is not None else None
+
+            def run_if(scope):
+                if js_truthy(cond(scope)):
+                    then(scope)
+                elif alt is not None:
+                    alt(scope)
+            return run_if
+        if kind == "while":
+            cond = self.compile_expr(node[1])
+            body = self.compile_stmt(node[2])
+
+            def run_while(scope):
+                while js_truthy(cond(scope)):
+                    self._fuel()
+                    try:
+                        body(scope)
+                    except _Break:
+                        break
+                    except _Continue:
+                        continue
+            return run_while
+        if kind == "dowhile":
+            cond = self.compile_expr(node[1])
+            body = self.compile_stmt(node[2])
+
+            def run_dowhile(scope):
+                while True:
+                    self._fuel()
+                    try:
+                        body(scope)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    if not js_truthy(cond(scope)):
+                        break
+            return run_dowhile
+        if kind == "for":
+            init = self.compile_stmt(node[1]) if node[1] is not None else None
+            cond = self.compile_expr(node[2]) if node[2] is not None else None
+            update = (self.compile_expr(node[3])
+                      if node[3] is not None else None)
+            body = self.compile_stmt(node[4])
+
+            def run_for(scope):
                 inner = Scope(scope)
-                inner.declare(node[1], k)
-                try:
-                    self.exec_stmt(node[3], inner)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
-        elif kind == "funcdecl":
-            scope.declare(node[1], JSFunction(
-                node[1], node[2], node[3], scope, node[4]))
-        elif kind == "export":
-            fn = JSFunction(node[1][1], node[1][2], node[1][3],
-                            scope, node[1][4])
-            scope.declare(node[1][1], fn)
-            self.exports[node[1][1]] = fn
-        elif kind == "return":
-            raise _Return(UNDEF if node[1] is None
-                          else self.eval_expr(node[1], scope))
-        elif kind == "break":
-            raise _Break()
-        elif kind == "continue":
-            raise _Continue()
-        elif kind == "throw":
-            raise JSThrow(self.eval_expr(node[1], scope))
-        elif kind == "switch":
-            disc = self.eval_expr(node[1], scope)
-            inner = Scope(scope)
-            matched = False
-            try:
-                for test, body in node[2]:
-                    if not matched and test is not None and \
-                            js_strict_eq(disc, self.eval_expr(test, inner)):
-                        matched = True
-                    if matched:
-                        for st in body:
-                            self.exec_stmt(st, inner)
-                if not matched:  # default fallthrough pass
-                    run = False
-                    for test, body in node[2]:
-                        if test is None:
-                            run = True
-                        if run:
-                            for st in body:
-                                self.exec_stmt(st, inner)
-            except _Break:
-                pass
-        elif kind == "try":
-            try:
-                self.exec_stmt(node[1], scope)
-            except JSThrow as t:
-                if node[3] is not None:
+                if init is not None:
+                    init(inner)
+                while cond is None or js_truthy(cond(inner)):
+                    self._fuel()
+                    try:
+                        body(inner)
+                    except _Break:
+                        break
+                    except _Continue:
+                        pass
+                    if update is not None:
+                        update(inner)
+            return run_for
+        if kind in ("forof", "forin"):
+            target = node[1]
+            seqc = self.compile_expr(node[2])
+            body = self.compile_stmt(node[3])
+            forin = kind == "forin"
+
+            def run_forof(scope):
+                seq = seqc(scope)
+                if forin:
+                    items = (list(seq.keys()) if isinstance(seq, dict)
+                             else [js_str(i) for i in range(len(seq))]
+                             if isinstance(seq, (list, str)) else [])
+                else:
+                    items = self._iterate(seq)
+                for v in items:
+                    self._fuel()
                     inner = Scope(scope)
-                    if node[2]:
-                        inner.declare(node[2], t.value)
-                    self.exec_stmt(node[3], inner)
-                elif node[4] is None:
-                    raise
-            finally:
-                if node[4] is not None:
-                    self.exec_stmt(node[4], scope)
-        elif kind == "empty":
-            pass
-        else:
-            raise JSRuntimeError(f"unknown statement {kind!r}")
+                    inner.vars[target] = v
+                    try:
+                        body(inner)
+                    except _Break:
+                        break
+                    except _Continue:
+                        continue
+            return run_forof
+        if kind == "funcdecl":
+            mk = self._mkfunc(node)
+            name = node[1]
+
+            def run_funcdecl(scope):
+                scope.vars[name] = mk(scope)
+            return run_funcdecl
+        if kind == "export":
+            mk = self._mkfunc(node[1])
+            name = node[1][1]
+
+            def run_export(scope):
+                fn = mk(scope)
+                scope.vars[name] = fn
+                self.exports[name] = fn
+            return run_export
+        if kind == "return":
+            c = self.compile_expr(node[1]) if node[1] is not None else None
+
+            def run_return(scope):
+                raise _Return(UNDEF if c is None else c(scope))
+            return run_return
+        if kind == "break":
+            def run_break(scope):
+                raise _Break()
+            return run_break
+        if kind == "continue":
+            def run_continue(scope):
+                raise _Continue()
+            return run_continue
+        if kind == "throw":
+            c = self.compile_expr(node[1])
+
+            def run_throw(scope):
+                raise JSThrow(c(scope))
+            return run_throw
+        if kind == "switch":
+            disc = self.compile_expr(node[1])
+            cases = [
+                (self.compile_expr(t) if t is not None else None,
+                 [self.compile_stmt(st) for st in body])
+                for t, body in node[2]
+            ]
+
+            def run_switch(scope):
+                d = disc(scope)
+                inner = Scope(scope)
+                matched = False
+                try:
+                    for test, body in cases:
+                        if not matched and test is not None and \
+                                js_strict_eq(d, test(inner)):
+                            matched = True
+                        if matched:
+                            for st in body:
+                                st(inner)
+                    if not matched:  # default fallthrough pass
+                        run = False
+                        for test, body in cases:
+                            if test is None:
+                                run = True
+                            if run:
+                                for st in body:
+                                    st(inner)
+                except _Break:
+                    pass
+            return run_switch
+        if kind == "try":
+            block = self.compile_stmt(node[1])
+            cname = node[2]
+            cblock = (self.compile_stmt(node[3])
+                      if node[3] is not None else None)
+            fblock = (self.compile_stmt(node[4])
+                      if node[4] is not None else None)
+
+            def run_try(scope):
+                try:
+                    block(scope)
+                except JSThrow as t:
+                    if cblock is not None:
+                        inner = Scope(scope)
+                        if cname:
+                            inner.vars[cname] = t.value
+                        cblock(inner)
+                    elif fblock is None:
+                        raise
+                finally:
+                    if fblock is not None:
+                        fblock(scope)
+            return run_try
+        if kind == "empty":
+            def run_empty(scope):
+                pass
+            return run_empty
+        raise JSRuntimeError(f"unknown statement {kind!r}")
 
     def _iterate(self, seq):
         if isinstance(seq, (list, tuple)):
@@ -1432,154 +1561,350 @@ class Interpreter:
         raise JSRuntimeError(f"{js_typeof(seq)} is not iterable")
 
     # -------------------------------------------------------- expressions
-    def eval_expr(self, node, scope: Scope):
-        self.steps += 1
-        if self.steps > self.MAX_STEPS:
-            raise JSRuntimeError("JS fuel exhausted (runaway loop?)")
-        kind = node[0]
-        if kind == "num" or kind == "str" or kind == "lit":
-            return node[1]
-        if kind == "ident":
-            return scope.get(node[1])
-        if kind == "tmpllit":
-            return "".join(js_str(self.eval_expr(p, scope))
-                           for p in node[1])
-        if kind == "array":
+    def _compile_target(self, target):
+        """Assignment target → (getter(scope), setter(scope, v))."""
+        if target[0] == "ident":
+            name = target[1]
+            getter = self.compile_expr(target)
+
+            def set_ident(scope, v):
+                scope.set(name, v)
+            return getter, set_ident
+        if target[0] == "member":
+            objc = self.compile_expr(target[1])
+            nm = target[2]
+
+            def get_member(scope):
+                return self.get_member(objc(scope), nm)
+
+            def set_member(scope, v):
+                self.set_member(objc(scope), nm, v)
+            return get_member, set_member
+        if target[0] == "index":
+            objc = self.compile_expr(target[1])
+            idxc = self.compile_expr(target[2])
+
+            def get_index(scope):
+                return self.get_index(objc(scope), idxc(scope))
+
+            def set_index(scope, v):
+                self.set_index(objc(scope), idxc(scope), v)
+            return get_index, set_index
+        raise JSRuntimeError("invalid assignment target")
+
+    def _compile_args(self, arg_nodes):
+        """Call/array argument list → fn(scope) -> list (spread-aware;
+        the common no-spread case stays a plain list comprehension)."""
+        if not any(a[0] == "spread" for a in arg_nodes):
+            argcs = [self.compile_expr(a) for a in arg_nodes]
+
+            def plain(scope):
+                return [c(scope) for c in argcs]
+            return plain
+        spec = [(a[0] == "spread",
+                 self.compile_expr(a[1] if a[0] == "spread" else a))
+                for a in arg_nodes]
+
+        def spread(scope):
             out = []
-            for it in node[1]:
-                if it[0] == "spread":
-                    out.extend(self._iterate(
-                        self.eval_expr(it[1], scope)))
+            for is_spread, c in spec:
+                if is_spread:
+                    out.extend(self._iterate(c(scope)))
                 else:
-                    out.append(self.eval_expr(it, scope))
+                    out.append(c(scope))
             return out
+        return spread
+
+    def compile_expr(self, node):
+        """AST expression → fn(scope) -> value."""
+        kind = node[0]
+        if kind in ("num", "str", "lit"):
+            v = node[1]
+
+            def run_const(scope):
+                return v
+            return run_const
+        if kind == "ident":
+            name = node[1]
+
+            def run_ident(scope):
+                s = scope
+                while s is not None:
+                    vs = s.vars
+                    if name in vs:
+                        return vs[name]
+                    s = s.parent
+                raise JSRuntimeError(f"{name} is not defined")
+            return run_ident
+        if kind == "tmpllit":
+            parts = [self.compile_expr(p) for p in node[1]]
+
+            def run_tmpl(scope):
+                return "".join(js_str(c(scope)) for c in parts)
+            return run_tmpl
+        if kind == "array":
+            mkargs = self._compile_args(node[1])
+            return mkargs
         if kind == "object":
-            out = {}
+            props = []
             for key, val in node[1]:
                 if key == "spread":
-                    src = self.eval_expr(val, scope)
-                    if isinstance(src, dict):
-                        out.update(src)
-                    continue
-                if isinstance(key, tuple) and key[0] == "expr":
-                    key = js_str(self.eval_expr(key[1], scope))
-                out[key] = self.eval_expr(val, scope)
-            return out
+                    props.append(("spread", self.compile_expr(val)))
+                elif isinstance(key, tuple) and key[0] == "expr":
+                    props.append(
+                        ("expr", self.compile_expr(key[1]),
+                         self.compile_expr(val)))
+                else:
+                    props.append(("k", key, self.compile_expr(val)))
+
+            def run_obj(scope):
+                out = {}
+                for p in props:
+                    if p[0] == "spread":
+                        src = p[1](scope)
+                        if isinstance(src, dict):
+                            out.update(src)
+                    elif p[0] == "expr":
+                        out[js_str(p[1](scope))] = p[2](scope)
+                    else:
+                        out[p[1]] = p[2](scope)
+                return out
+            return run_obj
         if kind == "func":
-            return JSFunction(node[1], node[2], node[3], scope, node[4])
+            mk = self._mkfunc(node)
+            return mk
         if kind == "seq":
-            v = UNDEF
-            for e in node[1]:
-                v = self.eval_expr(e, scope)
-            return v
+            codes = [self.compile_expr(e) for e in node[1]]
+
+            def run_seq(scope):
+                v = UNDEF
+                for c in codes:
+                    v = c(scope)
+                return v
+            return run_seq
         if kind == "cond":
-            return (self.eval_expr(node[2], scope)
-                    if js_truthy(self.eval_expr(node[1], scope))
-                    else self.eval_expr(node[3], scope))
+            c = self.compile_expr(node[1])
+            a = self.compile_expr(node[2])
+            b = self.compile_expr(node[3])
+
+            def run_cond(scope):
+                return a(scope) if js_truthy(c(scope)) else b(scope)
+            return run_cond
         if kind == "logic":
-            left = self.eval_expr(node[2], scope)
+            left = self.compile_expr(node[2])
+            right = self.compile_expr(node[3])
             op = node[1]
             if op == "&&":
-                return self.eval_expr(node[3], scope) \
-                    if js_truthy(left) else left
+                def run_and(scope):
+                    v = left(scope)
+                    return right(scope) if js_truthy(v) else v
+                return run_and
             if op == "||":
-                return left if js_truthy(left) \
-                    else self.eval_expr(node[3], scope)
-            return left if left is not None and left is not UNDEF \
-                else self.eval_expr(node[3], scope)
+                def run_or(scope):
+                    v = left(scope)
+                    return v if js_truthy(v) else right(scope)
+                return run_or
+
+            def run_nullish(scope):
+                v = left(scope)
+                return v if v is not None and v is not UNDEF \
+                    else right(scope)
+            return run_nullish
         if kind == "bin":
-            return self._binop(node[1],
-                               self.eval_expr(node[2], scope),
-                               self.eval_expr(node[3], scope))
+            op = node[1]
+            l = self.compile_expr(node[2])
+            r = self.compile_expr(node[3])
+            if op == "+":
+                def run_add(scope):
+                    return js_add(l(scope), r(scope))
+                return run_add
+            if op == "-":
+                def run_sub(scope):
+                    x, y = _numeric_pair(l(scope), r(scope))
+                    return x - y
+                return run_sub
+            if op == "*":
+                def run_mul(scope):
+                    x, y = _numeric_pair(l(scope), r(scope))
+                    return x * y
+                return run_mul
+            if op == "/":
+                def run_div(scope):
+                    x, y = _numeric_pair(l(scope), r(scope))
+                    return _js_div(x, y)
+                return run_div
+            if op == "%":
+                def run_mod(scope):
+                    x, y = _numeric_pair(l(scope), r(scope))
+                    return _js_mod(x, y)
+                return run_mod
+            if op == "==":
+                def run_eq(scope):
+                    return js_loose_eq(l(scope), r(scope))
+                return run_eq
+            if op == "!=":
+                def run_ne(scope):
+                    return not js_loose_eq(l(scope), r(scope))
+                return run_ne
+            if op == "===":
+                def run_seq_eq(scope):
+                    return js_strict_eq(l(scope), r(scope))
+                return run_seq_eq
+            if op == "!==":
+                def run_sne(scope):
+                    return not js_strict_eq(l(scope), r(scope))
+                return run_sne
+            if op in ("<", ">", "<=", ">="):
+                def run_cmp(scope):
+                    return _js_compare(op, l(scope), r(scope))
+                return run_cmp
+
+            def run_bin(scope):
+                return self._binop(op, l(scope), r(scope))
+            return run_bin
         if kind == "unary":
             op = node[1]
             if op == "typeof":
                 if node[2][0] == "ident":
-                    try:
-                        return js_typeof(scope.get(node[2][1]))
-                    except JSRuntimeError:
+                    nm = node[2][1]
+
+                    def run_typeof_ident(scope):
+                        s = scope
+                        while s is not None:
+                            if nm in s.vars:
+                                return js_typeof(s.vars[nm])
+                            s = s.parent
                         return "undefined"
-                return js_typeof(self.eval_expr(node[2], scope))
-            v = self.eval_expr(node[2], scope)
+                    return run_typeof_ident
+                c = self.compile_expr(node[2])
+
+                def run_typeof(scope):
+                    return js_typeof(c(scope))
+                return run_typeof
+            c = self.compile_expr(node[2])
             if op == "!":
-                return not js_truthy(v)
+                def run_not(scope):
+                    return not js_truthy(c(scope))
+                return run_not
             if op == "-":
-                n = js_num(v)
-                return -n
+                def run_neg(scope):
+                    return -js_num(c(scope))
+                return run_neg
             if op == "+":
-                n = js_num(v)
-                return float(n) if isinstance(n, Decimal) else n
+                def run_pos(scope):
+                    n = js_num(c(scope))
+                    return float(n) if isinstance(n, Decimal) else n
+                return run_pos
             if op == "~":
-                return ~_to_int32(v)
-            if op == "void":
+                def run_bnot(scope):
+                    return ~_to_int32(c(scope))
+                return run_bnot
+
+            def run_void(scope):
+                c(scope)
                 return UNDEF
+            return run_void
         if kind == "update":
             _, op, target, prefix = node
-            old = js_num(self.eval_expr(target, scope))
-            new = old + 1 if op == "++" else old - 1
-            self._assign_to(target, new, scope)
-            return new if prefix else old
+            get_t, set_t = self._compile_target(target)
+            delta = 1 if op == "++" else -1
+
+            def run_update(scope):
+                old = js_num(get_t(scope))
+                new = old + delta
+                set_t(scope, new)
+                return new if prefix else old
+            return run_update
         if kind == "assign":
             op, target, rhs = node[1], node[2], node[3]
+            get_t, set_t = self._compile_target(target)
+            rc = self.compile_expr(rhs)
             if op == "=":
-                v = self.eval_expr(rhs, scope)
-            else:
-                cur = self.eval_expr(target, scope)
-                base = op[:-1]
-                if base == "&&":
-                    if not js_truthy(cur):
+                def run_assign(scope):
+                    v = rc(scope)
+                    set_t(scope, v)
+                    return v
+                return run_assign
+            base = op[:-1]
+            if base in ("&&", "||", "??"):
+                def run_logic_assign(scope):
+                    cur = get_t(scope)
+                    if base == "&&" and not js_truthy(cur):
                         return cur
-                    v = self.eval_expr(rhs, scope)
-                elif base == "||":
-                    if js_truthy(cur):
+                    if base == "||" and js_truthy(cur):
                         return cur
-                    v = self.eval_expr(rhs, scope)
-                elif base == "??":
-                    if cur is not None and cur is not UNDEF:
+                    if base == "??" and cur is not None and cur is not UNDEF:
                         return cur
-                    v = self.eval_expr(rhs, scope)
-                else:
-                    v = self._binop(base, cur,
-                                    self.eval_expr(rhs, scope))
-            self._assign_to(target, v, scope)
-            return v
-        if kind == "member" or kind == "optmember":
-            obj = self.eval_expr(node[1], scope)
-            if kind == "optmember" and (obj is None or obj is UNDEF):
-                return UNDEF
-            return self.get_member(obj, node[2])
+                    v = rc(scope)
+                    set_t(scope, v)
+                    return v
+                return run_logic_assign
+            if base == "+":
+                def run_iadd(scope):
+                    v = js_add(get_t(scope), rc(scope))
+                    set_t(scope, v)
+                    return v
+                return run_iadd
+
+            def run_compound(scope):
+                v = self._binop(base, get_t(scope), rc(scope))
+                set_t(scope, v)
+                return v
+            return run_compound
+        if kind in ("member", "optmember"):
+            objc = self.compile_expr(node[1])
+            nm = node[2]
+            opt = kind == "optmember"
+
+            def run_member(scope):
+                obj = objc(scope)
+                if opt and (obj is None or obj is UNDEF):
+                    return UNDEF
+                return self.get_member(obj, nm)
+            return run_member
         if kind == "index":
-            obj = self.eval_expr(node[1], scope)
-            idx = self.eval_expr(node[2], scope)
-            return self.get_index(obj, idx)
+            objc = self.compile_expr(node[1])
+            idxc = self.compile_expr(node[2])
+
+            def run_index(scope):
+                return self.get_index(objc(scope), idxc(scope))
+            return run_index
         if kind == "call":
             callee = node[1]
-            args = []
-            for a in node[2]:
-                if a[0] == "spread":
-                    args.extend(self._iterate(
-                        self.eval_expr(a[1], scope)))
-                else:
-                    args.append(self.eval_expr(a, scope))
+            mkargs = self._compile_args(node[2])
             if callee[0] in ("member", "optmember"):
-                obj = self.eval_expr(callee[1], scope)
-                if callee[0] == "optmember" and (
-                        obj is None or obj is UNDEF):
-                    return UNDEF
-                meth = self.get_member(obj, callee[2])
-                return self.call_any(meth, args)
-            fn = self.eval_expr(callee, scope)
-            return self.call_any(fn, args)
+                objc = self.compile_expr(callee[1])
+                nm = callee[2]
+                opt = callee[0] == "optmember"
+
+                def run_method(scope):
+                    obj = objc(scope)
+                    if opt and (obj is None or obj is UNDEF):
+                        return UNDEF
+                    return self.call_any(
+                        self.get_member(obj, nm), mkargs(scope))
+                return run_method
+            fnc = self.compile_expr(callee)
+
+            def run_call(scope):
+                return self.call_any(fnc(scope), mkargs(scope))
+            return run_call
         if kind == "yield":
-            v = UNDEF if node[1] is None else self.eval_expr(
-                node[1], scope)
-            self._yield_into(scope, v)
-            return UNDEF
+            c = self.compile_expr(node[1]) if node[1] is not None else None
+
+            def run_yield(scope):
+                self._yield_into(scope,
+                                 UNDEF if c is None else c(scope))
+                return UNDEF
+            return run_yield
         if kind == "yieldstar":
-            seq = self.eval_expr(node[1], scope)
-            for v in self._iterate(seq):
-                self._yield_into(scope, v)
-            return UNDEF
+            c = self.compile_expr(node[1])
+
+            def run_yieldstar(scope):
+                for v in self._iterate(c(scope)):
+                    self._yield_into(scope, v)
+                return UNDEF
+            return run_yieldstar
         raise JSRuntimeError(f"unknown expression {kind!r}")
 
     def _yield_into(self, scope: Scope, v) -> None:
@@ -1590,19 +1915,6 @@ class Interpreter:
                 return
             s = s.parent
         raise JSRuntimeError("yield outside a generator function")
-
-    def _assign_to(self, target, v, scope: Scope) -> None:
-        if target[0] == "ident":
-            scope.set(target[1], v)
-        elif target[0] == "member":
-            obj = self.eval_expr(target[1], scope)
-            self.set_member(obj, target[2], v)
-        elif target[0] == "index":
-            obj = self.eval_expr(target[1], scope)
-            idx = self.eval_expr(target[2], scope)
-            self.set_index(obj, idx, v)
-        else:
-            raise JSRuntimeError("invalid assignment target")
 
     def _binop(self, op: str, a, b):
         if op == "+":
