@@ -282,6 +282,13 @@ def js_scalar_udf(name: str, body: str, ret_spark_type: str,
         name, body, False,
         param_names or [f"a{i}" for i in range(len(pg_param_types))])
     pkg_root = _pkg_root()
+    # struct field names resolve DRIVER-side (workers must not import
+    # this module — only js_runtime via the pkg_root sys.path insert)
+    struct_fields = (
+        [pn for pn, _t in parse_fn_params(
+            pg_returns.strip()[len("struct<"):-1])]
+        if pg_returns.lower().lstrip().startswith("struct") else None
+    )
 
     def _eval(*cols):
         import sys
@@ -300,10 +307,23 @@ def js_scalar_udf(name: str, body: str, ret_spark_type: str,
 
         interp = compile_js(body)
         fn = get_function(interp, name)
-        rows = zip(
-            *[[None if _pd.isna(v) else v for v in c.tolist()]
-              for c in cols]
-        )
+
+        def clean(v):
+            # containers (struct→dict, array→list) are never NA-scalar
+            if isinstance(v, (dict, list, tuple)):
+                return v
+            return None if _pd.isna(v) else v
+
+        def col_values(c):
+            if isinstance(c, _pd.DataFrame):
+                # struct columns ride as a DataFrame: one dict per row,
+                # an all-NaN row = SQL NULL struct
+                return [None if all(_pd.isna(x) for x in rec.values())
+                        else {k: clean(x) for k, x in rec.items()}
+                        for rec in c.to_dict("records")]
+            return [clean(v) for v in c.tolist()]
+
+        rows = zip(*[col_values(c) for c in cols])
         out = [
             js_to_sql(
                 call_js(interp, fn, [
@@ -314,6 +334,12 @@ def js_scalar_udf(name: str, body: str, ret_spark_type: str,
             )
             for r in rows
         ]
+        if struct_fields is not None:
+            # struct returns need a pandas DataFrame (a Series of
+            # dicts does not map to StructType through Arrow)
+            return _pd.DataFrame(
+                [{f: (None if r is None else r.get(f))
+                  for f in struct_fields} for r in out])
         return _pd.Series(out, dtype="object")
 
     if not pg_param_types:

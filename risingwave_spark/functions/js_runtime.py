@@ -2400,6 +2400,8 @@ def sql_to_js(v, pg_type: str):
         return int(v)
     if t in ("date", "timestamp", "timestamptz", "time"):
         return str(v)
+    if isinstance(v, dict):  # struct arrives as a dict via Arrow
+        return dict(v)
     if isinstance(v, tuple):  # struct (Spark Row) → plain object
         try:
             return {k: sql_to_js(x, "jsonb" if isinstance(x, (dict, list))

@@ -231,6 +231,33 @@ def pg_to_spark_sql(sql: str) -> str:
     # textually, incl. varchar(n)/char(n) truncation semantics)
     masked = _CAST_AS_RE.sub(_cast_as_repl, masked)
 
+    # CAST(x AS struct<f1 int8, ...>) — map the PG field types inside
+    # the struct (angle brackets balance-scanned; _map_any_type
+    # handles nested structs/arrays the same way)
+    pos = 0
+    while True:
+        ms = re.search(r"\bAS\s+(struct\s*<)", masked[pos:], re.I)
+        if ms is None:
+            break
+        start = pos + ms.start(1)
+        depth, k = 0, masked.index("<", start)
+        while k < len(masked):
+            if masked[k] == "<":
+                depth += 1
+            elif masked[k] == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            break  # unbalanced — leave for Spark's parser to report
+        # lazy: frontend imports this module at top (no cycle at call)
+        from risingwave_spark.frontend import _map_any_type
+
+        mapped = _map_any_type(masked[start:k + 1])
+        masked = masked[:start] + mapped + masked[k + 1:]
+        pos = start + len(mapped)
+
     # SELECT DISTINCT ON (keys) → row_number window + rn=1
     masked = _rewrite_distinct_on(masked)
 

@@ -449,3 +449,39 @@ def test_js_fuzz_array_pipeline_matches_python(xs):
     py = sum(v for v in (x * 3 for x in xs)
              if (abs(v) % 2 == 0))  # JS % keeps dividend sign; ==0 same
     assert run(body, "p", list(xs)) == py
+
+
+def test_sql_js_struct_args_and_returns(spark):
+    """js_udf.slt `return_all`-shaped subset: struct arguments arrive
+    as JS objects; RETURNS struct<...> maps the returned object's
+    fields (pandas-UDF struct output rides a DataFrame, not a Series
+    of dicts)."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsst_"))
+    eng.sql("""CREATE FUNCTION pack(a int8, b varchar,
+                                    s struct<f1 int8, f2 int8>)
+               RETURNS struct<a int8, b varchar, hi int8, lo int8>
+               LANGUAGE javascript AS $$
+        export function pack(a, b, s) {
+            return {a: a, b: b,
+                    hi: Math.max(s.f1, s.f2),
+                    lo: Math.min(s.f1, s.f2)};
+        } $$""")
+    r = eng.sql(
+        "SELECT pack(7, 'x', named_struct('f1', 9, 'f2', 3)) AS p"
+    ).first().p
+    assert (r.a, r.b, r.hi, r.lo) == (7, "x", 9, 3)
+    # NULL struct argument → null inside JS; null return field maps
+    eng.sql("""CREATE FUNCTION maybe(s struct<f1 int8, f2 int8>)
+               RETURNS struct<ok boolean, total int8>
+               LANGUAGE javascript AS $$
+        export function maybe(s) {
+            if (s == null) return {ok: false, total: null};
+            return {ok: true, total: s.f1 + s.f2};
+        } $$""")
+    r = eng.sql(
+        "SELECT maybe(named_struct('f1', 2, 'f2', 5)) AS m").first().m
+    assert (r.ok, r.total) == (True, 7)
+    r = eng.sql(
+        "SELECT maybe(CAST(NULL AS struct<f1 int8, f2 int8>)) AS m"
+    ).first().m
+    assert (r.ok, r.total) == (False, None)
