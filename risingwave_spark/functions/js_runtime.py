@@ -2331,9 +2331,14 @@ def compile_js(body: str) -> Interpreter:
     cached = _COMPILE_CACHE.get(body)
     if cached is not None:
         return cached
-    interp = Interpreter()
-    ast = _Parser(tokenize(body)).parse_program()
-    interp.run_program(ast)
+    try:
+        interp = Interpreter()
+        ast = _Parser(tokenize(body)).parse_program()
+        interp.run_program(ast)
+    except RecursionError:
+        # pathological nesting must fail as a clean JS error, not a
+        # Python stack crash through the UDF machinery
+        raise JSSyntaxError("expression nesting too deep") from None
     _COMPILE_CACHE[body] = interp
     return interp
 
@@ -2373,6 +2378,11 @@ def call_js(interp: Interpreter, fn: JSFunction, args: list):
     except (_Break, _Continue) as e:  # stray control flow = user bug
         raise JSRuntimeError(f"illegal {type(e).__name__.lower()} "
                              "outside a loop") from e
+    except RecursionError:
+        # unbounded JS recursion surfaces as a clean JS error (the
+        # quickjs analog of InternalError: too much recursion)
+        raise JSRuntimeError(
+            "maximum call stack size exceeded") from None
     finally:
         _ACTIVE.pop()
 

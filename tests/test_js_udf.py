@@ -485,3 +485,14 @@ def test_sql_js_struct_args_and_returns(spark):
         "SELECT maybe(CAST(NULL AS struct<f1 int8, f2 int8>)) AS m"
     ).first().m
     assert (r.ok, r.total) == (False, None)
+
+
+def test_js_recursion_limits_are_clean_errors():
+    """Pathological nesting and unbounded recursion raise clean JS
+    errors, never a raw Python RecursionError through the UDF path."""
+    deep = "(" * 5000 + "1" + ")" * 5000
+    with pytest.raises(JSSyntaxError, match="nesting too deep"):
+        compile_js(f"export function f() {{ return {deep}; }}")
+    body = "export function boom(n) { return boom(n + 1); }"
+    with pytest.raises(JSRuntimeError, match="call stack"):
+        run(body, "boom", 0)
