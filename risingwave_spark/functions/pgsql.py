@@ -116,7 +116,9 @@ def _cast_repl(m: re.Match) -> str:
 # truncation semantics); the trailing ')' anchors the match to a CAST
 # argument rather than a select-item alias.
 _CAST_AS_RE = re.compile(
-    r"(\bAS\s+)(" + "|".join(_TYPE_MAP) + r")(\s*\))",
+    r"(\bAS\s+)("
+    + "|".join(list(_TYPE_MAP) + ["decimal", "numeric"])
+    + r")(\s*\))",
     re.I,
 )
 
