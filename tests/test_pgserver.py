@@ -261,3 +261,21 @@ def test_pg_server_tls_scram_plus(spark, eng):
     # plaintext clients can't skip the binding mandate
     with pytest.raises(OSError):
         PgWireClient(host, port, "rw", "s3cret", "dev")
+
+
+def test_extended_protocol_over_tls(spark, eng):
+    """Parse/Bind/Describe/Execute ride the encrypted session too —
+    prepared statements with typed params over TLS + SCRAM-PLUS."""
+    host, port = eng.start_pg_server(
+        user="rw", password="pp", auth="scram-sha-256-plus", tls=True)
+    c = PgWireClient(host, port, "rw", "pp", "dev", sslmode="require")
+    c.query("CREATE TABLE tt (a int8 PRIMARY KEY, b varchar)")
+    c.query_prepared("INSERT INTO tt VALUES ($1, $2)", [1, "x"],
+                     param_oids=[20, 1043])
+    poids, fields = c.describe_statement(
+        "SELECT b FROM tt WHERE a = $1", param_oids=[20])
+    assert poids == [20] and fields == [("b", 1043)]
+    _f, rows, tag = c.query_prepared(
+        "SELECT a, b FROM tt WHERE a = $1", [1], param_oids=[20])
+    assert rows == [[1, "x"]] and tag == "SELECT 1"
+    c.close()
