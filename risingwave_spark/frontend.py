@@ -9098,11 +9098,15 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
             )
             impl = "python-table"
         else:
+            ret_ddl = ("DECIMAL(38,9)"
+                       if returns.strip().lower() in ("decimal", "numeric")
+                       else _map_any_type(returns))
             fn, udf = _cf.python_scalar_udf(
-                name, body, _map_any_type(returns), len(params)
+                name, body, ret_ddl, len(params),
+                [pt for _n, pt in params], returns,
             )
             if udf is None:  # zero-arg: plain scalar, no batch to size
-                spark.udf.register(name, fn, _map_any_type(returns))
+                spark.udf.register(name, fn, ret_ddl)
             else:
                 spark.udf.register(name, udf)
             impl = "python"

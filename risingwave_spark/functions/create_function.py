@@ -134,11 +134,16 @@ def _exec_body(name: str, body: str) -> dict:
     return ns
 
 
-def python_scalar_udf(name: str, body: str, ret_spark_type: str, n_args: int):
+def python_scalar_udf(name: str, body: str, ret_spark_type: str, n_args: int,
+                      pg_param_types: list[str] | None = None,
+                      pg_returns: str = ""):
     """``LANGUAGE python`` scalar function → Arrow-batched pandas UDF.
 
     The body must define ``def <name>(...)`` (the reference resolves the
-    entry point by the function's own name, python_udf.slt)."""
+    entry point by the function's own name, python_udf.slt). Type
+    bridge per the reference's python runtime (python_udf.slt
+    py_typeof/return_all): jsonb ↔ dict, bytea ↔ bytes, decimal ↔
+    Decimal, struct args as dicts and struct returns mapped by field."""
     from pyspark.sql.functions import pandas_udf
 
     ns = _exec_body(name, body)
@@ -155,16 +160,69 @@ def python_scalar_udf(name: str, body: str, ret_spark_type: str, n_args: int):
         # pandas UDFs need >=1 column to size the batch; a zero-arg
         # function is a plain scalar — register row-wise (constant cost)
         return fn, None
+    ptypes = [t.lower().split("(")[0].strip()
+              for t in (pg_param_types or [""] * n_args)]
+    rtype = pg_returns.lower().split("(")[0].strip()
+    struct_fields = (
+        [pn for pn, _t in parse_fn_params(
+            pg_returns.strip()[len("struct<"):-1])]
+        if rtype.startswith("struct") else None
+    )
 
     def _eval(*cols):
         # self-contained closure: no module-level references, so workers
         # never need this package importable (cloudpickle by value)
+        import json as _json
+
         import pandas as _pd
 
-        rows = zip(
-            *[[None if _pd.isna(v) else v for v in c.tolist()] for c in cols]
-        )
-        return _pd.Series([fn(*r) for r in rows], dtype="object")
+        def clean(v):
+            if isinstance(v, (dict, list, tuple)):
+                return v
+            return None if _pd.isna(v) else v
+
+        def col_values(c):
+            if isinstance(c, _pd.DataFrame):  # struct column
+                return [None if all(_pd.isna(x) for x in rec.values())
+                        else {k: clean(x) for k, x in rec.items()}
+                        for rec in c.to_dict("records")]
+            return [clean(v) for v in c.tolist()]
+
+        def arg_in(v, t):
+            if v is None:
+                return None
+            if t in ("jsonb", "json"):
+                return _json.loads(v) if isinstance(v, str) else v
+            if t == "bytea":
+                return bytes(v)
+            return v
+
+        def ret_out(v):
+            if v is None:
+                return None
+            if rtype in ("jsonb", "json"):
+                return _json.dumps(v, separators=(",", ":"))
+            if rtype == "bytea" and not isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            return v
+
+        rows = zip(*[col_values(c) for c in cols])
+        out = [ret_out(fn(*[arg_in(v, t) for v, t in zip(r, ptypes)]))
+               for r in rows]
+        if struct_fields is not None:
+            # struct returns ride a DataFrame (a Series of dicts does
+            # not map to StructType through Arrow); objects with
+            # attributes work too (python_udf.slt's class-style rows)
+            def fld(r, f):
+                if r is None:
+                    return None
+                if isinstance(r, dict):
+                    return r.get(f)
+                return getattr(r, f, None)
+
+            return _pd.DataFrame(
+                [{f: fld(r, f) for f in struct_fields} for r in out])
+        return _pd.Series(out, dtype="object")
 
     return fn, pandas_udf(_eval, ret_spark_type)
 

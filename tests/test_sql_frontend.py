@@ -3677,3 +3677,51 @@ def test_array_subscripts_one_based_null_oob(eng):
     eng.sql("insert into pst2 values (1, array[array[1,2], array[3,4]])")
     ch = eng.sql("SELECT m[2][1] AS a, m[2][9] AS b, m[0][1] AS c FROM pst2").first()
     assert (ch.a, ch.b, ch.c) == (3, None, None)
+
+
+def test_python_udf_type_bridge(eng):
+    """python_udf.slt py_typeof / decimal_add / return_all: the python
+    runtime's type bridge — jsonb arrives as dict, bytea as bytes,
+    decimal as Decimal (and stays exact), struct args as dicts, struct
+    returns mapped by field."""
+    eng.sql(
+        "create function py_typeof(g decimal, h varchar, i bytea, j jsonb) "
+        "returns jsonb language python as $$\n"
+        "def py_typeof(g, h, i, j):\n"
+        "    return {'decimal': type(g).__name__,\n"
+        "            'varchar': type(h).__name__,\n"
+        "            'bytea': type(i).__name__,\n"
+        "            'jsonb': type(j).__name__}\n"
+        "$$"
+    )
+    import json
+
+    v = eng.sql(
+        "SELECT py_typeof(8.9::decimal, 'abc', '\\x010203'::bytea, "
+        "'{\"key\": 1}'::jsonb) AS t"
+    ).first().t
+    assert json.loads(v) == {
+        "decimal": "Decimal", "varchar": "str",
+        "bytea": "bytes", "jsonb": "dict",
+    }
+    eng.sql(
+        "create function pydec_add(a decimal, b decimal) returns decimal "
+        "language python as $$\n"
+        "def pydec_add(a, b):\n"
+        "    return a + b\n"
+        "$$"
+    )
+    v = eng.sql(
+        "SELECT pydec_add(1.11::decimal, 2.22::decimal) AS s").first().s
+    assert str(v).rstrip("0").rstrip(".") == "3.33"
+    eng.sql(
+        "create function pypack(a int8, s struct<f1 int8, f2 int8>) "
+        "returns struct<a int8, hi int8> language python as $$\n"
+        "def pypack(a, s):\n"
+        "    return {'a': a, 'hi': max(s['f1'], s['f2'])}\n"
+        "$$"
+    )
+    r = eng.sql(
+        "SELECT pypack(3, named_struct('f1', 9, 'f2', 4)) AS p"
+    ).first().p
+    assert (r.a, r.hi) == (3, 9)
