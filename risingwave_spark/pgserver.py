@@ -287,6 +287,10 @@ class PgWireServer:
                 self._stmts: dict[str, tuple[str, list[int]]] = {}
                 self._portals: dict[str, str] = {}
                 self._described: dict[str, _Results] = {}
+                # PG spec: after an error in an extended-protocol
+                # message, the backend DISCARDS messages until Sync —
+                # one ErrorResponse per cycle, not one per message
+                self._skip_till_sync = False
                 try:
                     if not self._startup():
                         return
@@ -294,9 +298,15 @@ class PgWireServer:
                         tag, payload = self._read_msg()
                         if tag in (b"X", b""):
                             return
+                        if self._skip_till_sync and tag not in (
+                                b"S", b"Q"):
+                            continue
                         if tag == b"Q":
                             self._simple_query(
                                 payload.rstrip(b"\x00").decode())
+                            # Q always ends with ReadyForQuery — a
+                            # sync point even when a statement errored
+                            self._skip_till_sync = False
                         elif tag == b"P":
                             self._parse(payload)
                         elif tag == b"B":
@@ -308,6 +318,7 @@ class PgWireServer:
                         elif tag == b"C":
                             self._close_msg(payload)
                         elif tag == b"S":
+                            self._skip_till_sync = False
                             self.request.sendall(_msg(b"Z", b"I"))
                         elif tag == b"H":  # Flush — unbuffered already
                             pass
@@ -733,6 +744,10 @@ class PgWireServer:
                 body = (b"SERROR\x00CXX000\x00M"
                         + text.encode() + b"\x00\x00")
                 self.request.sendall(_msg(b"E", body))
+                # extended-protocol cycles discard messages until the
+                # next Sync (the 'Q'/'S' handlers clear the flag — the
+                # simple-query path is unaffected)
+                self._skip_till_sync = True
 
         class Srv(socketserver.ThreadingTCPServer):
             def process_request(self, request, client_address):

@@ -279,3 +279,43 @@ def test_extended_protocol_over_tls(spark, eng):
         "SELECT a, b FROM tt WHERE a = $1", [1], param_oids=[20])
     assert rows == [[1, "x"]] and tag == "SELECT 1"
     c.close()
+
+
+def test_extended_error_discards_until_sync(spark, eng):
+    """PG spec: after an error in an extended-protocol message the
+    backend discards messages until Sync — exactly ONE ErrorResponse
+    per failed cycle (a Bind error must not be followed by portal
+    errors from the discarded Describe/Execute), and the session
+    recovers at Sync."""
+    import struct as _st
+
+    from risingwave_spark.sources.pgwire import _msg
+
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    # Parse + Bind (references $2 with one param -> Bind error)
+    #   + Describe portal + Execute + Sync, all pipelined
+    sql = b"SELECT $2"
+    body = b"\x00" + sql + b"\x00" + _st.pack(">H", 0)
+    out = _msg(b"P", body)
+    pb = (b"\x00\x00" + _st.pack(">H", 0) + _st.pack(">H", 1)
+          + _st.pack(">i", 1) + b"7" + _st.pack(">H", 0))
+    out += _msg(b"B", pb)
+    out += _msg(b"D", b"P\x00")
+    out += _msg(b"E", b"\x00" + _st.pack(">i", 0))
+    out += _msg(b"S", b"")
+    c.sock.sendall(out)
+    tags = []
+    while True:
+        tag, _payload = c._read_msg()
+        tags.append(tag)
+        if tag == b"Z":
+            break
+    assert tags.count(b"E") == 1  # one error, not three
+    assert tags[-1] == b"Z"
+    # the session is healthy again
+    _f, rows = c.query("SELECT 1 AS one")
+    assert rows == [[1]]
+    _f, rows, _t = c.query_prepared("SELECT $1 AS v", ["ok"])
+    assert rows == [["ok"]]
+    c.close()
