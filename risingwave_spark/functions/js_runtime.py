@@ -1411,21 +1411,33 @@ class Interpreter:
             update = (self.compile_expr(node[3])
                       if node[3] is not None else None)
             body = self.compile_stmt(node[4])
+            # ES6: `for (let/const ...)` gives each ITERATION a fresh
+            # binding (a closure created in iteration k captures k's
+            # value, not the final one); `var` shares one binding
+            per_iter = (node[1] is not None and node[1][0] == "vardecl"
+                        and node[1][1] in ("let", "const"))
 
             def run_for(scope):
-                inner = Scope(scope)
+                cur = Scope(scope)
                 if init is not None:
-                    init(inner)
-                while cond is None or js_truthy(cond(inner)):
+                    init(cur)
+                while cond is None or js_truthy(cond(cur)):
                     self._fuel()
                     try:
-                        body(inner)
+                        body(cur)
                     except _Break:
                         break
                     except _Continue:
                         pass
+                    if per_iter:
+                        # spec ForBodyEvaluation: the NEXT iteration
+                        # gets a copy; the update mutates the copy, so
+                        # closures keep this iteration's value
+                        nxt = Scope(scope)
+                        nxt.vars.update(cur.vars)
+                        cur = nxt
                     if update is not None:
-                        update(inner)
+                        update(cur)
             return run_for
         if kind in ("forof", "forin"):
             target = node[1]

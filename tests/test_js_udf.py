@@ -496,3 +496,24 @@ def test_js_recursion_limits_are_clean_errors():
     body = "export function boom(n) { return boom(n + 1); }"
     with pytest.raises(JSRuntimeError, match="call stack"):
         run(body, "boom", 0)
+
+
+def test_js_let_binds_per_iteration_in_for():
+    """ES6 semantics: closures created in a `for (let i...)` loop
+    capture that iteration's binding; `var` shares one binding."""
+    body = """
+    export function caps() {
+        const fs = [];
+        for (let i = 0; i < 3; i++) fs.push(() => i);
+        return fs.map(f => f());
+    }
+    """
+    assert run(body, "caps") == [0, 1, 2]
+    body_var = """
+    export function caps() {
+        const fs = [];
+        for (var i = 0; i < 3; i++) fs.push(() => i);
+        return fs.map(f => f());
+    }
+    """
+    assert run(body_var, "caps") == [3, 3, 3]
