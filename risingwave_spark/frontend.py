@@ -9048,6 +9048,14 @@ def _handle_create_function(engine: "Engine", ast: dict) -> DataFrame:
         raise ValueError(f"CREATE {kind} requires RETURNS <type>")
     if name in engine.tables or name in engine.mv_handles:
         raise ValueError(f"name {name!r} already in use")
+    if name in engine.functions:
+        # reference e2e_test/udf/create_and_drop.slt: a duplicate name
+        # errors unless IF NOT EXISTS (overload-by-signature is a
+        # documented divergence — Spark registration is name-keyed)
+        if ast.get("if_not_exists"):
+            return _status(spark, f"CREATE_{kind}")
+        sig = ",".join(pt.strip().lower() for _n, pt in params)
+        raise ValueError(f"function with name {name}({sig}) exists")
     if link:
         from risingwave_spark.functions.udf_external import external_pandas_udf
 

@@ -517,3 +517,19 @@ def test_js_let_binds_per_iteration_in_for():
     }
     """
     assert run(body_var, "caps") == [3, 3, 3]
+
+
+def test_create_function_duplicate_and_if_not_exists(spark):
+    """create_and_drop.slt: duplicate CREATE FUNCTION errors with the
+    'function with name ... exists' shape; IF NOT EXISTS skips."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsdup_"))
+    eng.sql("""CREATE FUNCTION addx(a int, b int) RETURNS int
+               LANGUAGE javascript AS $$ return a + b; $$""")
+    with pytest.raises(ValueError, match=r"function with name addx"):
+        eng.sql("CREATE FUNCTION addx(int, int) RETURNS int "
+                "LANGUAGE sql AS 'select $1 + $2'")
+    eng.sql("CREATE FUNCTION IF NOT EXISTS addx(int, int) RETURNS int "
+            "LANGUAGE sql AS 'select $1 + $2'")
+    # the original implementation survived the skipped re-create
+    assert eng.sql("SELECT addx(2, 3) AS v").first().v == 5
+    assert eng.functions["addx"]["language"] == "javascript"
