@@ -533,3 +533,27 @@ def test_create_function_duplicate_and_if_not_exists(spark):
     # the original implementation survived the skipped re-create
     assert eng.sql("SELECT addx(2, 3) AS v").first().v == 5
     assert eng.functions["addx"]["language"] == "javascript"
+
+
+def test_js_scalar_udf_inside_maintained_mv(spark):
+    """A session-registered JS function works inside an incrementally
+    maintained MV body (the recompute replans per batch and must
+    resolve the UDF): inserts and deletes fold correctly."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jsmv_"))
+    eng.sql("""CREATE FUNCTION jshalf(x int8) RETURNS int8
+               LANGUAGE javascript AS
+               $$ export function jshalf(x) {
+                      return x == null ? null : Math.floor(x / 2);
+                  } $$""")
+    eng.sql("CREATE TABLE jt (k int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE MATERIALIZED VIEW jmv AS "
+            "SELECT k, jshalf(v) AS h FROM jt")
+    eng.sql("INSERT INTO jt VALUES (1, 10), (2, 7), (3, NULL)")
+    assert sorted(tuple(r) for r in
+                  eng.sql("SELECT k, h FROM jmv").collect()) == [
+        (1, 5), (2, 3), (3, None)]
+    eng.sql("DELETE FROM jt WHERE k = 2")
+    eng.sql("UPDATE jt SET v = 21 WHERE k = 1")
+    assert sorted(tuple(r) for r in
+                  eng.sql("SELECT k, h FROM jmv").collect()) == [
+        (1, 10), (3, None)]
