@@ -376,7 +376,7 @@ class _Parser:
         kind = self.eat("kw")[1]
         decls = []
         while True:
-            name = self.eat("ident")[1]
+            name = self.binding_target()
             init = None
             if self.opt("punct", "="):
                 init = self.assignment()
@@ -386,6 +386,38 @@ class _Parser:
         if eat_semi:
             self.opt("punct", ";")
         return ("vardecl", kind, decls)
+
+    def binding_target(self):
+        """A declaration binding: plain name, or a (one-level)
+        destructuring pattern — [a, b, ...rest] / {a, b: alias}."""
+        if self.at("punct", "["):
+            self.i += 1
+            names = []
+            while not self.at("punct", "]"):
+                if self.opt("punct", "..."):
+                    names.append(("rest", self.eat("ident")[1]))
+                elif self.at("punct", ","):
+                    names.append(None)  # hole: [, b]
+                else:
+                    names.append(("n", self.eat("ident")[1]))
+                if not self.opt("punct", ","):
+                    break
+            self.eat("punct", "]")
+            return ("apat", names)
+        if self.at("punct", "{"):
+            self.i += 1
+            pairs = []  # (source key, bound name)
+            while not self.at("punct", "}"):
+                key = self.eat("ident")[1]
+                if self.opt("punct", ":"):
+                    pairs.append((key, self.eat("ident")[1]))
+                else:
+                    pairs.append((key, key))
+                if not self.opt("punct", ","):
+                    break
+            self.eat("punct", "}")
+            return ("opat", pairs)
+        return self.eat("ident")[1]
 
     def if_stmt(self):
         self.eat("kw", "if")
@@ -412,7 +444,7 @@ class _Parser:
                 if init[0] == "vardecl":
                     if len(init[2]) != 1 or init[2][0][1] is not None:
                         raise JSSyntaxError("bad for-of/in binding")
-                    target = init[2][0][0]
+                    target = init[2][0][0]  # name or destructuring pat
                 elif init[0] == "exprstmt" and init[1][0] == "ident":
                     target = init[1][1]
                 else:
@@ -1362,7 +1394,8 @@ class Interpreter:
 
             def run_var(scope):
                 for nm, c in decls:
-                    scope.vars[nm] = UNDEF if c is None else c(scope)
+                    v = UNDEF if c is None else c(scope)
+                    self._bind_target(nm, v, scope.vars)
             return run_var
         if kind == "if":
             cond = self.compile_expr(node[1])
@@ -1456,7 +1489,7 @@ class Interpreter:
                 for v in items:
                     self._fuel()
                     inner = Scope(scope)
-                    inner.vars[target] = v
+                    self._bind_target(target, v, inner.vars)
                     try:
                         body(inner)
                     except _Break:
@@ -1559,6 +1592,33 @@ class Interpreter:
                 pass
             return run_empty
         raise JSRuntimeError(f"unknown statement {kind!r}")
+
+
+    def _bind_target(self, target, v, vars_dict: dict) -> None:
+        """Bind a declaration target: plain name or a (one-level)
+        destructuring pattern from binding_target()."""
+        if isinstance(target, str):
+            vars_dict[target] = v
+            return
+        if target[0] == "apat":
+            items = [] if v is None or v is UNDEF else self._iterate(v)
+            i = 0
+            for slot in target[1]:
+                if slot is None:  # hole
+                    i += 1
+                    continue
+                if slot[0] == "rest":
+                    vars_dict[slot[1]] = list(items[i:])
+                    i = len(items)
+                else:
+                    vars_dict[slot[1]] = (items[i] if i < len(items)
+                                          else UNDEF)
+                    i += 1
+            return
+        # opat: {key: boundname}
+        src = v if isinstance(v, dict) else {}
+        for key, bound in target[1]:
+            vars_dict[bound] = src.get(key, UNDEF)
 
     def _iterate(self, seq):
         if isinstance(seq, (list, tuple)):

@@ -557,3 +557,26 @@ def test_js_scalar_udf_inside_maintained_mv(spark):
     assert sorted(tuple(r) for r in
                   eng.sql("SELECT k, h FROM jmv").collect()) == [
         (1, 10), (3, None)]
+
+
+def test_js_destructuring_declarations():
+    """One-level destructuring in let/const and for-of bindings —
+    the `for (const [k, v] of Object.entries(o))` idiom."""
+    body = """
+    export function stats(o) {
+        let total = 0;
+        const parts = [];
+        for (const [k, v] of Object.entries(o)) {
+            total += v;
+            parts.push(k);
+        }
+        const [first, ...rest] = parts.sort();
+        const {a, b: bee, missing} = o;
+        return first + '|' + rest.join(',') + '|' + total +
+               '|' + a + '|' + bee + '|' + (missing === undefined);
+    }
+    """
+    out = run(body, "stats", {"a": 1, "b": 2, "c": 3})
+    assert out == "a|b,c|6|1|2|true"
+    # array pattern with a hole
+    assert expr("(() => { const [, y] = [1, 2]; return y; })()") == 2
