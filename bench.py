@@ -152,12 +152,19 @@ def main() -> None:
         if regressed:
             for q, (now, was) in regressed.items():
                 print(f"# REGRESSION {q}: {now:.3f}s vs best-round {was:.3f}s", file=sys.stderr)
-            # Warn-only by default: the JSON line above is the bench
-            # contract, and a noisy-environment false alarm must never
-            # turn a successful run into rc!=0 (BENCH_r10 recorded rc=1
-            # purely from this guardrail during a ~40%-slow window).
-            # Developers can opt back into a hard gate locally.
-            if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            # Strictness (ADVICE r11): automated CI runs keep the hard
+            # gate (any runner setting the de-facto-standard CI env var
+            # exits 1 on regression) and SPARK_GRAFT_BENCH_STRICT=1
+            # forces it anywhere; the bare driver invocation stays
+            # warn-only because a noisy-environment false alarm must
+            # never turn a successful run into rc!=0 (BENCH_r10
+            # recorded rc=1 purely from this guardrail during a
+            # ~40%-slow window). SPARK_GRAFT_BENCH_STRICT=0 relaxes a
+            # noisy CI runner explicitly.
+            strict_env = os.environ.get("SPARK_GRAFT_BENCH_STRICT")
+            if strict_env == "1" or (
+                os.environ.get("CI") and strict_env != "0"
+            ):
                 sys.exit(1)
 
 

@@ -189,18 +189,21 @@ def _sql_literal(v, pg_returns: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def _splice_udaf_empty_values(engine, masked_sel: str, lits) -> str:
+def _splice_udaf_empty_values(engine, masked_sel: str) -> str:
     """Replace user-defined-aggregate calls in a (string-masked)
     select list with their empty-input values — pandas grouped-agg
     UDFs return no row for a global aggregate over zero rows, so the
-    SimpleAgg seed query can't evaluate them directly."""
+    SimpleAgg seed query can't evaluate them directly. The search
+    resumes PAST each spliced literal so a varchar empty value that
+    happens to contain `fname(` can never re-match itself."""
     for fname, meta in getattr(engine, "functions", {}).items():
         if meta.get("kind") != "AGGREGATE" or "empty_value" not in meta:
             continue
         lit = _sql_literal(meta["empty_value"], meta.get("returns", ""))
+        rx = re.compile(rf"\b{re.escape(fname)}\s*\(", re.I)
+        pos = 0
         while True:
-            m = re.search(rf"\b{re.escape(fname)}\s*\(", masked_sel,
-                          re.I)
+            m = rx.search(masked_sel, pos)
             if m is None:
                 break
             depth, j = 0, m.end() - 1
@@ -213,6 +216,7 @@ def _splice_udaf_empty_values(engine, masked_sel: str, lits) -> str:
                         break
                 j += 1
             masked_sel = masked_sel[:m.start()] + lit + masked_sel[j + 1:]
+            pos = m.start() + len(lit)
     return masked_sel
 
 
@@ -5644,9 +5648,7 @@ def _handle_create_mv_core(engine: "Engine", ast: dict) -> DataFrame:
         # grouped-agg UDFs) emit NO row over empty input, so their
         # calls are spliced out as finish(create_state()) literals
         # captured at CREATE AGGREGATE time.
-        seed_sel = _splice_udaf_empty_values(
-            engine, sm.group("select"), lits
-        )
+        seed_sel = _splice_udaf_empty_values(engine, sm.group("select"))
         if _AGG_FN_RX.search(_unmask(seed_sel, lits)):
             seed_body = pg_to_spark_sql(
                 _unmask(

@@ -307,18 +307,29 @@ def _js_prepare(name: str, body: str, is_table: bool,
     """Validate a LANGUAGE javascript body at CREATE time and return
     the canonical (wrapped-if-legacy) module text. The reference's
     legacy form has no ``export``/``function`` wrapper — the body IS
-    the function body (js_udf.slt int_42_legacy/series_legacy)."""
-    import re as _re
-
+    the function body (js_udf.slt int_42_legacy/series_legacy).
+    Mirrors quickjs.rs: try the raw body as a module first; only when
+    that fails to compile or to expose ``name`` retry with the legacy
+    wrap — so a bare body that merely MENTIONS the word 'function' in
+    a string or comment still classifies as legacy."""
     from risingwave_spark.functions.js_runtime import (
         compile_js,
         get_function,
         wrap_legacy,
     )
 
-    if not _re.search(r"\bfunction\b", body):
-        body = wrap_legacy(body, name, param_names, is_table)
-    fn = get_function(compile_js(body), name)  # loud at CREATE
+    try:
+        fn = get_function(compile_js(body), name)
+    except Exception as module_err:
+        try:
+            wrapped = wrap_legacy(body, name, param_names, is_table)
+            fn = get_function(compile_js(wrapped), name)
+        except Exception:
+            # neither form works: the module-attempt error is the
+            # honest diagnostic (it names the missing export / the
+            # original syntax error, not the wrapper's artifacts)
+            raise module_err from None
+        body = wrapped
     if is_table and not fn.is_gen:
         raise ValueError(
             f"RETURNS TABLE LANGUAGE javascript function {name!r} "

@@ -262,6 +262,7 @@ class _Parser:
     def __init__(self, toks: list[tuple[str, object]]):
         self.toks = toks
         self.i = 0
+        self.fn_depth = 0  # export is legal only at module top level
 
     # --- token helpers
     def peek(self, k: int = 0):
@@ -302,6 +303,9 @@ class _Parser:
         if t[0] == "kw":
             w = t[1]
             if w == "export":
+                if self.fn_depth:
+                    raise JSSyntaxError(
+                        "export is only allowed at module top level")
                 self.i += 1
                 fn = self.statement()
                 if fn[0] != "funcdecl":
@@ -465,7 +469,11 @@ class _Parser:
         is_gen = self.opt("punct", "*")
         name = self.eat("ident")[1]
         params = self.param_list()
-        body = self.block()
+        self.fn_depth += 1
+        try:
+            body = self.block()
+        finally:
+            self.fn_depth -= 1
         return ("funcdecl", name, params, body, is_gen)
 
     def param_list(self):
@@ -577,11 +585,15 @@ class _Parser:
         if params is None:
             return None
         self.eat("punct", "=>")
-        if self.at("punct", "{"):
-            body = self.block()
-            return ("func", None, params, body, False)
-        expr = self.assignment()
-        return ("func", None, params, ("return", expr), False)
+        self.fn_depth += 1
+        try:
+            if self.at("punct", "{"):
+                body = self.block()
+                return ("func", None, params, body, False)
+            expr = self.assignment()
+            return ("func", None, params, ("return", expr), False)
+        finally:
+            self.fn_depth -= 1
 
     def ternary(self):
         cond = self.binary(0)
@@ -704,7 +716,11 @@ class _Parser:
                 is_gen = self.opt("punct", "*")
                 name = self.eat("ident")[1] if self.at("ident") else None
                 params = self.param_list()
-                body = self.block()
+                self.fn_depth += 1
+                try:
+                    body = self.block()
+                finally:
+                    self.fn_depth -= 1
                 return ("func", name, params, body, is_gen)
             if w in ("in", "of", "this"):
                 self.i += 1

@@ -223,7 +223,10 @@ def _bind_params(sql: str, params: list[bytes | None],
                 raise ValueError(
                     f"invalid input syntax for numeric parameter "
                     f"${i + 1}: {s!r}")
-            return s
+            # Parenthesized so a negative value pasted after an
+            # adjacent '-' can't token-paste into a '--' line comment
+            # or change operator parsing (`SELECT 1-$1`, $1=-5 → 6).
+            return f"({s})"
         if oid == OID_BOOL:
             if s.lower() in ("t", "true", "1", "on", "yes"):
                 return "TRUE"
@@ -453,9 +456,20 @@ class PgWireServer:
                 self.request.sendall(_msg(
                     b"R", struct.pack(">I", 11) + server_first.encode()))
                 tag, payload = self._read_msg()
-                client_final = payload.decode()
-                attrs = dict(
-                    kv.split("=", 1) for kv in client_final.split(","))
+                # Malformed client-final (missing attrs, stray tokens,
+                # bad base64) gets an ErrorResponse, not a torn socket.
+                try:
+                    client_final = payload.decode()
+                    attrs = dict(
+                        kv.split("=", 1)
+                        for kv in client_final.split(",") if "=" in kv)
+                except (UnicodeDecodeError, ValueError):
+                    self._send_err("malformed SASL response")
+                    return False
+                if ("c" not in attrs or "p" not in attrs
+                        or "r" not in attrs):
+                    self._send_err("malformed SASL response")
+                    return False
                 if attrs["c"] != base64.b64encode(
                         gs2.encode() + expect_cb).decode():
                     self._send_err("channel binding verification failed")
@@ -465,7 +479,11 @@ class PgWireServer:
                     [bare, server_first, without_proof]).encode()
                 _salted, _ckey, stored, skey = _scram_keys(
                     server.password, salt, iters)
-                proof = base64.b64decode(attrs["p"])
+                try:
+                    proof = base64.b64decode(attrs["p"], validate=True)
+                except Exception:
+                    self._send_err("malformed SASL response")
+                    return False
                 sig = _scram_hmac(stored, auth_msg)
                 ckey_rec = bytes(a ^ b for a, b in zip(proof, sig))
                 if (attrs["r"] != snonce

@@ -580,3 +580,22 @@ def test_js_destructuring_declarations():
     assert out == "a|b,c|6|1|2|true"
     # array pattern with a hole
     assert expr("(() => { const [, y] = [1, 2]; return y; })()") == 2
+
+
+def test_sql_js_legacy_body_mentioning_function_in_string(spark):
+    """ADVICE r11 (quickjs.rs parity): legacy-vs-module detection is
+    try-compile, not textual — a bare body whose STRING or comment
+    contains the word 'function' still classifies as legacy."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="rw_jslf_"))
+    eng.sql("""CREATE FUNCTION kindof(x int) RETURNS varchar
+               LANGUAGE javascript AS $$
+        // returns what kind of function input this is
+        let label = "function arg: ";
+        return label + (x > 0 ? "pos" : "nonpos"); $$""")
+    assert eng.sql("SELECT kindof(3) AS v").first().v == (
+        "function arg: pos")
+    # module form with the right export still resolves as module
+    eng.sql("""CREATE FUNCTION modf(x int) RETURNS int
+               LANGUAGE javascript AS
+               $$ export function modf(x) { return x * 2; } $$""")
+    assert eng.sql("SELECT modf(21) AS v").first().v == 42

@@ -319,3 +319,76 @@ def test_extended_error_discards_until_sync(spark, eng):
     _f, rows, _t = c.query_prepared("SELECT $1 AS v", ["ok"])
     assert rows == [["ok"]]
     c.close()
+
+
+def test_negative_numeric_bind_no_token_paste(spark, eng):
+    """ADVICE r11: a numeric parameter binds parenthesized, so a
+    negative value after an adjacent '-' can't form a '--' comment or
+    re-associate operators: 'SELECT 1-$1' with $1=-5 must be 6."""
+    host, port = eng.start_pg_server()
+    c = PgWireClient(host, port, "root", "", "dev")
+    OID_INT8 = 20
+    _f, rows, _t = c.query_prepared(
+        "SELECT 1-$1 AS v", [-5], param_oids=[OID_INT8])
+    assert rows == [[6]]
+    # the same paste hazard through unary minus / exponent-adjacent
+    _f, rows, _t = c.query_prepared(
+        "SELECT -$1 AS v, 2*$1 AS w", [-3], param_oids=[OID_INT8])
+    assert rows == [[3, -6]]
+    c.close()
+
+
+def test_scram_malformed_client_final_gets_error_response(spark, eng):
+    """ADVICE r11: a malformed SASL client-final (missing c=/p=, junk
+    base64) must produce an ErrorResponse, not a torn socket."""
+    import struct as _st
+
+    from risingwave_spark.sources.pgwire import _msg
+
+    host, port = eng.start_pg_server(
+        user="rw", password="pw", auth="scram-sha-256")
+
+    def handshake_then(final_payload: bytes) -> bytes:
+        s = socket.create_connection((host, port))
+        try:
+            startup = (_st.pack(">I", 196608)
+                       + b"user\x00rw\x00database\x00dev\x00\x00")
+            s.sendall(_st.pack(">I", len(startup) + 4) + startup)
+            buf = b""
+            while b"SCRAM-SHA-256" not in buf:
+                buf += s.recv(4096)
+            # SASLInitialResponse with a fresh client-first
+            cf = b"n,,n=rw,r=AAAAAAAAAAAAAAAAAAAAAAAA"
+            init = (b"SCRAM-SHA-256\x00"
+                    + _st.pack(">i", len(cf)) + cf)
+            s.sendall(_msg(b"p", init))
+            buf = b""
+            while b"r=" not in buf:
+                buf += s.recv(4096)
+            # garbage client-final
+            s.sendall(_msg(b"p", final_payload))
+            out = b""
+            s.settimeout(5)
+            try:
+                while True:
+                    chunk = s.recv(4096)
+                    if not chunk:
+                        break
+                    out += chunk
+            except TimeoutError:
+                pass
+            return out
+        finally:
+            s.close()
+
+    # missing c= attribute entirely
+    out = handshake_then(b"p=notbase64")
+    assert out[:1] == b"E" and b"malformed SASL" in out
+    # c= present but p= is invalid base64
+    out = handshake_then(b"c=biws,r=x,p=!!!!")
+    assert out[:1] == b"E" and b"malformed SASL" in out
+    # healthy login still works afterwards
+    c = PgWireClient(host, port, "rw", "pw", "dev")
+    _f, rows = c.query("SELECT 1 AS one")
+    assert rows == [[1]]
+    c.close()

@@ -3725,3 +3725,29 @@ def test_python_udf_type_bridge(eng):
         "SELECT pypack(3, named_struct('f1', 9, 'f2', 4)) AS p"
     ).first().p
     assert (r.a, r.hi) == (3, 9)
+
+
+def test_udaf_empty_value_containing_own_name_no_hang(eng):
+    """ADVICE r11: a varchar UDAF whose empty-input value contains its
+    own name followed by '(' must not make the SimpleAgg seed splice
+    loop forever — the splice scan resumes past the spliced literal."""
+    eng.sql(
+        "create aggregate tagcat(v varchar) returns varchar "
+        "language python as $$\n"
+        "def create_state():\n"
+        "    return 'tagcat(seed)'\n"
+        "def accumulate(state, v):\n"
+        "    return state if v is None else state + '|' + v\n"
+        "def retract(state, v):\n"
+        "    return state\n"
+        "def finish(state):\n"
+        "    return state\n"
+        "$$"
+    )
+    eng.sql("CREATE TABLE tcat (k int PRIMARY KEY, v varchar)")
+    # global (no GROUP BY) MV -> SimpleAgg seed path with the splice
+    eng.sql("CREATE MATERIALIZED VIEW tcmv AS "
+            "SELECT tagcat(v) AS t FROM tcat")
+    assert eng.sql("SELECT t FROM tcmv").first().t == "tagcat(seed)"
+    eng.sql("INSERT INTO tcat VALUES (1, 'a')")
+    assert eng.sql("SELECT t FROM tcmv").first().t == "tagcat(seed)|a"
