@@ -6254,6 +6254,31 @@ class _KafkaSink:
     def _probe_alive(self) -> None:  # overridden per family
         pass
 
+    def _bootstrap_snapshot(self, snap) -> None:
+        """Snapshot-then-changelog bootstrap (the reference sink's
+        snapshot phase): with a pk the snapshot emits as ONE
+        executor-side chunk through the SAME per-task path as
+        changelog chunks — a CREATE SINK backfill of a huge MV never
+        funnels through the driver. Without a pk (constant-key MVs)
+        the snapshot streams through toLocalIterator in bounded
+        slices (VERDICT r8 posture) — one state partition at a time,
+        never the whole set."""
+        if self.pk:
+            from risingwave_spark.streaming.mv import with_ops as _wo
+
+            self._emit_chunk(
+                _wo(snap, 1).withColumn("__chunk", F.lit(0)))
+            return
+        slice_rows: list = []
+        for r in snap.toLocalIterator():
+            slice_rows.append(
+                (1, {c: self._py(r[c]) for c, _t in self.fields}))
+            if len(slice_rows) >= _SINK_SNAPSHOT_SLICE:
+                self._produce_events(self._format(slice_rows))
+                slice_rows = []
+        if slice_rows:
+            self._produce_events(self._format(slice_rows))
+
     def drain(self) -> None:
         while True:
             got = self.sub.fetch()
@@ -6331,14 +6356,50 @@ class _KinesisSink(_KafkaSink):
         client.put_records(self.stream, records)
 
 
+def _http_probe(url: str | None) -> None:
+    """Cheap driver-side reachability check before an executor-side
+    emit: raises OSError while the service endpoint is down so the
+    chunk stays un-acked for redelivery (same contract as the broker
+    probes) instead of failing inside Spark tasks."""
+    import socket as _socket
+    import urllib.parse as _up
+
+    if not url:
+        return
+    u = _up.urlsplit(url if "://" in url else f"http://{url}")
+    port = u.port or (443 if u.scheme == "https" else 80)
+    _socket.create_connection((u.hostname, port), timeout=5).close()
+
+
+def _parquet_part_files(out_dir: str) -> list:
+    """(path, num_rows) for each non-empty part file Spark's tasks
+    wrote into `out_dir` — parquet FOOTER reads only (KBs of metadata
+    per file), never data: the driver's share of a staged-sink commit
+    stays O(files), not O(rows)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = []
+    for f in sorted(_os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = _os.path.join(out_dir, f)
+        nr = _pq.ParquetFile(p).metadata.num_rows
+        if nr:
+            files.append((p, nr))
+    return files
+
+
 class _CollectedSink(_KafkaSink):
-    """Base for the HTTP-batch / staged sinks (Es, Redis, Dynamo,
-    Iceberg, BigQuery, file sinks, JDBC, DeltaLake, ClickHouse,
-    StreamLoad, Mongo): the chunk — the BOUNDED changelog diff — is
-    collected driver-side and applied as the service's own batch call
-    (a _bulk body, an insertAll, one staged object, a Stream Load
-    transaction). Bounded per chunk by the chunk-granular drain;
-    posture recorded in PLANS.md."""
+    """Base for the driver-side fallback of the HTTP-batch / staged
+    sinks: the chunk — the BOUNDED changelog diff — is collected
+    driver-side and applied as the service's own batch call. Since
+    round 12 every staged family overrides `_emit_chunk` to emit
+    executor-side (per-task PutObject / insertAll / Stream Load /
+    TDS batch — sources/sink_exec.py) and this path remains ONLY for
+    pk-less chunks (constant-key MVs: one logical row); posture
+    recorded in PLANS.md."""
 
     def _emit_chunk(self, df) -> None:
         cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
@@ -6734,14 +6795,17 @@ class _DynamoSink(_CollectedSink):
 
 
 class _IcebergSink(_CollectedSink):
-    """Iceberg append-only sink against a storage catalog (reference
-    `src/connector/src/sink/iceberg/`: append-only mode commits data
-    files through fast-append snapshots): each chunk's inserts write
-    ONE parquet data file and commit ONE new snapshot — manifest +
-    manifest list + v{N+1}.metadata.json + atomic version-hint flip
-    (sources/iceberg_scan.py append_snapshot). The committed table
-    reads back through CREATE SOURCE connector='iceberg' — both ends
-    of the spec in one engine."""
+    """Iceberg append-only sink (reference `src/connector/src/sink/
+    iceberg/`: per-actor parquet writers + a meta-coordinated
+    fast-append commit — `sink/coordinate.rs`): each chunk's inserts
+    write parquet data files EXECUTOR-SIDE (Spark-native write — the
+    tasks do the IO; the chunk never collects to the driver) and the
+    driver commits ONE new snapshot listing the task-written files —
+    manifest + manifest list + v{N+1}.metadata.json + atomic
+    version-hint flip (sources/iceberg_scan.py append_snapshot), or
+    the REST/Glue/JDBC/Hive catalog's own commit protocol. The
+    committed table reads back through CREATE SOURCE
+    connector='iceberg' — both ends of the spec in one engine."""
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -6853,25 +6917,29 @@ class _IcebergSink(_CollectedSink):
             _json.dump(metadata, f)
         flip(new, prev)
 
-    def _produce_events(self, events: list) -> None:
+    def _bootstrap_snapshot(self, snap) -> None:
+        # Spark-native regardless of pk: the snapshot is just the
+        # first all-inserts chunk of the parquet data plane
+        from risingwave_spark.streaming.mv import with_ops as _wo
+
+        self._emit_chunk(_wo(snap, 1))
+
+    def _emit_chunk(self, df) -> None:
+        """Data plane: filter the chunk to inserts and write parquet
+        with Spark's native writer — the file IO happens in tasks
+        (one file per non-empty partition), never on the driver. The
+        driver's remaining role is the transactional commit: read the
+        task-written files' footer row counts (metadata-only) and
+        append one snapshot through the configured catalog."""
         import os as _os
+        import shutil as _shutil
 
-        from risingwave_spark.sources.iceberg_scan import append_snapshot
-
-        rows = [v for _k, v in events if v is not None]
-        if not rows:
-            return
-        import json as _json
-
-        spark = self.engine.spark
-        df = (
-            spark.createDataFrame(
-                [( _json.dumps(v, sort_keys=True),) for v in rows], "__v string"
-            )
-            .select(F.from_json("__v", self._schema).alias("r"))
-            .select("r.*")
-        )
-        data_dir = _os.path.join(self.warehouse, self.database, self.topic, "data")
+        names = [f.name for f in self._schema.fields]
+        ins = df.filter(F.col(OP_COL) > 0).select(
+            *[F.col(c).cast(self._schema[c].dataType).alias(c)
+              for c in names])
+        data_dir = _os.path.join(
+            self.warehouse, self.database, self.topic, "data")
         _os.makedirs(data_dir, exist_ok=True)
         # never reuse a dir name: prior snapshots reference their files
         # forever, and a re-opened sink must not clobber them
@@ -6879,12 +6947,18 @@ class _IcebergSink(_CollectedSink):
             self._n += 1
         out = _os.path.join(data_dir, f"c{self._n}")
         self._n += 1
-        df.coalesce(1).write.mode("overwrite").parquet(out)
-        parts = [
-            _os.path.join(out, f) for f in _os.listdir(out)
-            if f.endswith(".parquet")
-        ]
-        files = [(p, len(rows)) for p in parts]
+        ins.write.mode("overwrite").parquet(out)
+        files = _parquet_part_files(out)
+        if not files:
+            _shutil.rmtree(out, ignore_errors=True)
+            return
+        self._commit_files(files)
+
+    def _commit_files(self, files: list) -> None:
+        import os as _os
+
+        from risingwave_spark.sources.iceberg_scan import append_snapshot
+
         if self.catalog_type == "glue":
             # Iceberg-on-Glue commit: the WRITER owns the metadata
             # files; the catalog holds the pointer (UpdateTable with
@@ -6961,10 +7035,11 @@ class _BigQuerySink(_CollectedSink):
     `src/connector/src/sink/big_query.rs` (options bigquery.project/
     dataset/table/credentials, auto_create; the reference writes via
     the gRPC Storage Write API — transport divergence documented in
-    sources/bigquery.py). Append-only: each chunk's inserts stream as
-    one insertAll with content+position insertIds, so a replayed chunk
-    (crash between produce and cursor commit) dedupes server-side —
-    BigQuery's documented best-effort semantics."""
+    sources/bigquery.py). Append-only: each task streams its
+    partition's inserts as one insertAll (executor-side, reference
+    per-writer posture) with content+position insertIds, so a
+    replayed chunk (crash between produce and cursor commit) dedupes
+    server-side — BigQuery's documented best-effort semantics."""
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -6992,7 +7067,19 @@ class _BigQuerySink(_CollectedSink):
 
         return BigQueryClient(self.credentials, self.endpoint)
 
+    def _probe_alive(self) -> None:
+        _http_probe(self.endpoint)
+
+    def _emit_chunk(self, df) -> None:
+        self._emit_chunk_exec(
+            df, "bigquery",
+            {"creds": self.credentials, "endpoint": self.endpoint,
+             "project": self.project, "dataset": self.dataset,
+             "epoch": getattr(self, "_chunk_token", 0)},
+            self.topic)
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         import hashlib as _hashlib
         import json as _json
 
@@ -7019,9 +7106,14 @@ class _SnowflakeSink(_CollectedSink):
     file sink — Snowpipe auto-ingest reads the staged files — with
     `snowflake.*` option aliases and forced plain-JSON encode,
     `opendal_sink.rs:176-178 plain_json_for_snowflake_only`). Each
-    chunk's inserts stage as ONE JSON-lines object named
-    `{path}/{executor_id}_{epoch}.json` (opendal_sink.rs:403-418) via
-    a real SigV4-signed PutObject (sources/s3_store.py)."""
+    chunk's inserts stage EXECUTOR-SIDE: every non-empty task PUTs one
+    JSON-lines object named `{path}/{executor_id}-{pid}_{epoch}.json`
+    (opendal_sink.rs:403-418 writes `{executor_id}_{epoch}` per sink
+    actor — the partition id IS the actor identity here) via a real
+    SigV4-signed PutObject (sources/s3_store.py) from the task's own
+    client, so staging throughput scales with executors."""
+
+    FAMILY = "s3_file"
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -7064,7 +7156,22 @@ class _SnowflakeSink(_CollectedSink):
         return S3Client(self.endpoint, region=self.region,
                         access_key=self.access, secret_key=self.secret)
 
+    def _probe_alive(self) -> None:
+        _http_probe(self.endpoint)
+
+    def _task_cfg(self) -> dict:
+        return {"endpoint": self.endpoint, "region": self.region,
+                "access": self.access, "secret": self.secret,
+                "bucket": self.bucket, "path": self.path,
+                "executor_id": self.executor_id}
+
+    def _emit_chunk(self, df) -> None:
+        cfg = self._task_cfg()
+        cfg["epoch"] = getattr(self, "_chunk_token", 0)
+        self._emit_chunk_exec(df, self.FAMILY, cfg, self.topic)
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only: one driver-staged object per chunk
         import json as _json
 
         rows = [v for _k, v in events if v is not None]
@@ -7080,10 +7187,12 @@ class _SnowflakeSink(_CollectedSink):
 
 
 class _GcsFileSink(_SnowflakeSink):
-    """GCS file sink (reference `sink/file_sink/gcs.rs`): each chunk
-    stages one JSON-lines object via the GCS JSON-upload REST API
-    (sources/cloud_store.py GcsClient) — same naming/contract as the
-    S3 family."""
+    """GCS file sink (reference `sink/file_sink/gcs.rs`): every
+    non-empty task stages one JSON-lines object via the GCS
+    JSON-upload REST API (sources/cloud_store.py GcsClient) — same
+    naming/contract as the S3 family."""
+
+    FAMILY = "gcs_file"
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -7117,7 +7226,14 @@ class _GcsFileSink(_SnowflakeSink):
         return GcsClient(self.endpoint,
                          credentials=getattr(self, "credentials", None))
 
+    def _task_cfg(self) -> dict:
+        return {"endpoint": self.endpoint,
+                "creds": getattr(self, "credentials", None),
+                "bucket": self.bucket, "path": self.path,
+                "executor_id": self.executor_id}
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         import json as _json
 
         rows = [v for _k, v in events if v is not None]
@@ -7134,8 +7250,10 @@ class _GcsFileSink(_SnowflakeSink):
 
 class _AzblobFileSink(_GcsFileSink):
     """Azure Blob file sink (reference `sink/file_sink/azblob.rs`):
-    SharedKey-signed Put Blob per chunk (sources/cloud_store.py
-    AzblobClient)."""
+    SharedKey-signed Put Blob per non-empty task (sources/
+    cloud_store.py AzblobClient)."""
+
+    FAMILY = "azblob_file"
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -7164,7 +7282,13 @@ class _AzblobFileSink(_GcsFileSink):
 
         return AzblobClient(self.endpoint, self.account, self.key)
 
+    def _task_cfg(self) -> dict:
+        return {"endpoint": self.endpoint, "account": self.account,
+                "key": self.key, "bucket": self.bucket,
+                "path": self.path, "executor_id": self.executor_id}
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         import json as _json
 
         rows = [v for _k, v in events if v is not None]
@@ -7181,9 +7305,11 @@ class _AzblobFileSink(_GcsFileSink):
 
 class _WebHdfsFileSink(_GcsFileSink):
     """WebHDFS file sink (reference `sink/file_sink/webhdfs.rs`:
-    webhdfs.endpoint + webhdfs.path): each chunk stages one JSON-lines
-    file through the spec's two-step CREATE (namenode 307 → datanode
-    PUT — sources/webhdfs_store.py)."""
+    webhdfs.endpoint + webhdfs.path): every non-empty task stages one
+    JSON-lines file through the spec's two-step CREATE (namenode 307
+    → datanode PUT — sources/webhdfs_store.py)."""
+
+    FAMILY = "webhdfs_file"
 
     def __init__(self, engine, sub, opts: dict, table_name: str, fmt: str,
                  fields: list, pk: list, db: str, table: str):
@@ -7210,7 +7336,12 @@ class _WebHdfsFileSink(_GcsFileSink):
 
         return WebHdfsClient(self.endpoint)
 
+    def _task_cfg(self) -> dict:
+        return {"endpoint": self.endpoint, "path": self.path,
+                "executor_id": self.executor_id}
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         import json as _json
 
         rows = [v for _k, v in events if v is not None]
@@ -7358,9 +7489,11 @@ class _JdbcSink(_CollectedSink):
 class _DeltaLakeSink(_CollectedSink):
     """Delta Lake append-only sink (reference `sink/deltalake.rs`:
     option `location`, "only append-only delta lake sink is
-    supported" — deltalake.rs:342): each chunk's inserts write one
-    parquet data file and commit one versioned `_delta_log` entry
-    with an `add` action — the public Delta transaction-log protocol
+    supported" — deltalake.rs:342): each chunk's inserts write
+    parquet data files EXECUTOR-SIDE (Spark-native write; the chunk
+    never collects to the driver) and the driver commits one
+    versioned `_delta_log` entry whose `add` actions list the
+    task-written files — the public Delta transaction-log protocol
     (sources/deltalake.py), exclusive-create commit atomicity
     included."""
 
@@ -7378,35 +7511,35 @@ class _DeltaLakeSink(_CollectedSink):
         self._schema = engine.mv_handles[table].view.result().schema
         self._n = 0
 
-    def _produce_events(self, events: list) -> None:
-        import json as _json
+    def _bootstrap_snapshot(self, snap) -> None:
+        from risingwave_spark.streaming.mv import with_ops as _wo
+
+        self._emit_chunk(_wo(snap, 1))
+
+    def _emit_chunk(self, df) -> None:
         import os as _os
+        import shutil as _shutil
 
         from risingwave_spark.sources.deltalake import append_files
 
-        rows = [v for _k, v in events if v is not None]
-        if not rows:
-            return
-        spark = self.engine.spark
-        df = (
-            spark.createDataFrame(
-                [(_json.dumps(v, sort_keys=True),) for v in rows],
-                "__v string")
-            .select(F.from_json("__v", self._schema).alias("r"))
-            .select("r.*")
-        )
+        names = [f.name for f in self._schema.fields]
+        ins = df.filter(F.col(OP_COL) > 0).select(
+            *[F.col(c).cast(self._schema[c].dataType).alias(c)
+              for c in names])
         loc = self.location
         if loc.startswith("file://"):
             loc = loc[len("file://"):]
         while _os.path.exists(_os.path.join(loc, "data", f"c{self._n}")):
             self._n += 1
-        out = _os.path.join(loc, "data", f"c{self._n}")
+        sub = _os.path.join("data", f"c{self._n}")
+        out = _os.path.join(loc, sub)
         self._n += 1
-        df.coalesce(1).write.mode("overwrite").parquet(out)
-        rel = [
-            _os.path.join("data", f"c{self._n - 1}", f)
-            for f in _os.listdir(out) if f.endswith(".parquet")
-        ]
+        ins.write.mode("overwrite").parquet(out)
+        rel = [_os.path.join(sub, _os.path.basename(p))
+               for p, _nr in _parquet_part_files(out)]
+        if not rel:
+            _shutil.rmtree(out, ignore_errors=True)
+            return
         append_files(self.location, rel)
 
 
@@ -7441,7 +7574,22 @@ class _ClickHouseSink(_CollectedSink):
 
         return ClickHouseClient(self.url, self.user, self.password)
 
+    def _probe_alive(self) -> None:
+        _http_probe(self.url)
+
+    def _emit_chunk(self, df) -> None:
+        # executor-side JSONEachRow INSERT per task (reference
+        # clickhouse.rs per-writer inserts; the ReplacingMergeTree
+        # sign model is order-free across tasks — merge collapses)
+        self._emit_chunk_exec(
+            df, "clickhouse",
+            {"url": self.url, "user": self.user,
+             "password": self.password, "database": self.database,
+             "fmt": self.fmt, "delete_column": self.delete_column},
+            self.topic)
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         rows = []
         for k, v in events:
             if v is None:
@@ -7462,7 +7610,9 @@ class _ClickHouseSink(_CollectedSink):
 class _StreamLoadSink(_CollectedSink):
     """Doris/StarRocks sink over the public Stream Load API (reference
     `sink/doris.rs` / `sink/starrocks.rs` via
-    `doris_starrocks_connector.rs:249`): one labeled PUT per chunk,
+    `doris_starrocks_connector.rs:249`): one labeled PUT per non-empty
+    task (executor-side; the label `rw_{table}-{epoch}-p{pid}` is
+    replay-stable and 'Label Already Exists' is idempotent success),
     JSON-lines rows carrying the model's delete sign — 0 upsert /
     1 delete — applied by the primary-key table."""
 
@@ -7495,7 +7645,21 @@ class _StreamLoadSink(_CollectedSink):
                 self.url, self.user, self.password)
         return self._loader
 
+    def _probe_alive(self) -> None:
+        _http_probe(self.url)
+
+    def _emit_chunk(self, df) -> None:
+        self._emit_chunk_exec(
+            df, "streamload",
+            {"url": self.url, "user": self.user,
+             "password": self.password, "database": self.database,
+             "fmt": self.fmt, "delete_sign": self.DELETE_SIGN,
+             "table": self.table,
+             "epoch": getattr(self, "_chunk_token", 0)},
+            self.topic)
+
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         rows = []
         for k, v in events:
             if v is None:
@@ -7649,13 +7813,24 @@ class _SqlServerSink(_JdbcSink):
     #: (the reference's tiberius path pipelines the same way)
     BATCH_STATEMENTS = 500
 
+    def _probe_alive(self) -> None:
+        self._connect().close()
+
     def _emit_chunk(self, df) -> None:
-        # TDS SQLBatch applies the bounded chunk diff driver-side (the
-        # _JdbcSink exec path above speaks the PG wire, not TDS)
-        cols = [c for c in df.columns if c not in (OP_COL, "__chunk")]
-        self._emit_chunk_collected(df, cols)
+        # executor-side T-SQL batches over each task's own TDS
+        # connection (reference sqlserver.rs per-writer tiberius
+        # clients); a pk lives in one task, so no two tasks touch one
+        # remote row
+        self._emit_chunk_exec(
+            df, "sqlserver",
+            {"host": self.host, "port": self.port, "user": self.user,
+             "password": self.password, "db": self.database,
+             "cols": [c for c, _t in self.fields], "pk": self.pk,
+             "fmt": self.fmt},
+            self.topic)
 
     def _produce_events(self, events: list) -> None:
+        # pk-less fallback only
         if not events:
             return
         cols = [c for c, _t in self.fields]
@@ -8639,20 +8814,10 @@ def _finish_create_broker_sink(
                 ) from e
     engine.sinks[name] = sink
     if fresh:
-        # snapshot-then-changelog bootstrap, STREAMED: toLocalIterator
-        # pulls one state partition at a time and events produce in
-        # bounded slices — a sink over a huge MV never materializes the
-        # whole snapshot on the driver (VERDICT r8 'What's wrong' #1;
-        # the reference sink's snapshot phase reads per-vnode chunks the
-        # same way)
-        slice_rows: list = []
-        for r in h.view.result().toLocalIterator():
-            slice_rows.append((1, {c: _KafkaSink._py(r[c]) for c, _ in fields}))
-            if len(slice_rows) >= _SINK_SNAPSHOT_SLICE:
-                sink._produce_events(sink._format(slice_rows))
-                slice_rows = []
-        if slice_rows:
-            sink._produce_events(sink._format(slice_rows))
+        # snapshot-then-changelog bootstrap: executor-side as one
+        # chunk when a pk routes rows to tasks, driver-streamed
+        # bounded slices otherwise (see _KafkaSink._bootstrap_snapshot)
+        sink._bootstrap_snapshot(h.view.result())
     sink.drain()
     engine._record_ddl(name, ast["stmt"])
     return _status(engine.spark, "CREATE_SINK")

@@ -192,7 +192,11 @@ class StreamLoadClient:
         self._n = 0
 
     def load(self, database: str, table: str, rows: list[dict],
-             label_prefix: str = "rw") -> dict:
+             label_prefix: str = "rw", label: str | None = None) -> dict:
+        """An explicit ``label`` makes the load idempotent across
+        process boundaries (per-task loads name their label from the
+        durable epoch + partition id); the default counter labels are
+        only unique within one client's lifetime."""
         self._n += 1
         body = "\n".join(
             json.dumps(r, sort_keys=True) for r in rows
@@ -202,7 +206,7 @@ class StreamLoadClient:
             data=body, method="PUT",
             headers={
                 "Authorization": self.auth,
-                "label": f"{label_prefix}-{self._n}",
+                "label": label or f"{label_prefix}-{self._n}",
                 "format": "json",
                 "read_json_by_line": "true",
             })

@@ -31,6 +31,8 @@ import uuid
 try:  # pragma: no cover - depends on the vendored cloudpickle version
     from pyspark import cloudpickle as _cloudpickle
 
+    import risingwave_spark.sources.bigquery as _bq
+    import risingwave_spark.sources.cloud_store as _cs
     import risingwave_spark.sources.dynamodb_store as _dy
     import risingwave_spark.sources.es_store as _es
     import risingwave_spark.sources.kafka_exec as _ke
@@ -38,15 +40,20 @@ try:  # pragma: no cover - depends on the vendored cloudpickle version
     import risingwave_spark.sources.mongowire as _mo
     import risingwave_spark.sources.mqtt_wire as _mq
     import risingwave_spark.sources.nats_wire as _na
+    import risingwave_spark.sources.olap_http as _oh
     import risingwave_spark.sources.pgwire as _pg
     import risingwave_spark.sources.pubsub as _ps
     import risingwave_spark.sources.pulsar_wire as _pw
     import risingwave_spark.sources.redis_store as _rd
     import risingwave_spark.sources.rsa_jwt as _rj
+    import risingwave_spark.sources.s3_store as _s3
     import risingwave_spark.sources.sink_format as _sf
+    import risingwave_spark.sources.tdswire as _td
+    import risingwave_spark.sources.webhdfs_store as _wh
 
-    for _m in (sys.modules[__name__], _dy, _es, _ke, _kin, _mo, _mq,
-               _na, _pg, _ps, _pw, _rd, _rj, _sf):
+    for _m in (sys.modules[__name__], _bq, _cs, _dy, _es, _ke, _kin,
+               _mo, _mq, _na, _oh, _pg, _ps, _pw, _rd, _rj, _s3, _sf,
+               _td, _wh):
         _cloudpickle.register_pickle_by_value(_m)
 except Exception:  # noqa: BLE001
     pass
@@ -55,10 +62,16 @@ except Exception:  # noqa: BLE001
 # closures (the registered modules travel inside the pickle) — a
 # function-body `from risingwave_spark...` import would fail on
 # executor workers that can't import the package at all
+from risingwave_spark.sources.bigquery import BigQueryClient
+from risingwave_spark.sources.cloud_store import AzblobClient, GcsClient
 from risingwave_spark.sources.dynamodb_store import DynamoClient
 from risingwave_spark.sources.es_store import EsClient
 from risingwave_spark.sources.kafka_exec import format_rows, py_val
 from risingwave_spark.sources.mongowire import MongoClient
+from risingwave_spark.sources.olap_http import (
+    ClickHouseClient,
+    StreamLoadClient,
+)
 from risingwave_spark.sources.redis_store import RedisClient
 from risingwave_spark.sources.kinesis import KinesisClient
 from risingwave_spark.sources.mqtt_wire import MqttClient
@@ -66,6 +79,21 @@ from risingwave_spark.sources.nats_wire import NatsClient
 from risingwave_spark.sources.pgwire import PgWireClient
 from risingwave_spark.sources.pubsub import PubSubClient
 from risingwave_spark.sources.pulsar_wire import PulsarWireClient
+from risingwave_spark.sources.s3_store import S3Client
+from risingwave_spark.sources.tdswire import TdsClient
+from risingwave_spark.sources.webhdfs_store import WebHdfsClient
+
+
+def _task_pid() -> int:
+    """This task's Spark partition id — the per-task writer identity
+    the staged families put into object names / load labels. The
+    repartition that feeds foreachPartition hashes pk columns, so a
+    replay of the SAME chunk lands every row in the SAME pid: staged
+    object names and Stream Load labels are replay-stable."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.partitionId() if ctx is not None else 0
 
 
 def _produce_kinesis(cfg: dict, topic: str, events: list) -> None:
@@ -316,6 +344,158 @@ def _produce_mongodb(cfg: dict, topic: str, events: list) -> None:
         c.close()
 
 
+# ------------------------------------------------- staged / HTTP-batch
+# The staged families write their chunk's DATA from tasks (reference
+# posture: per-actor sink writers — `sink/file_sink/opendal_sink.rs`
+# writes one object per executor per epoch; `doris_starrocks_
+# connector.rs` one labeled load per writer). The driver keeps only
+# routing (pk-hash repartition) and, where a protocol has one, the
+# transactional commit. Object names / labels derive from
+# (executor_id, epoch, partition id) — all replay-stable — so a
+# crash-replay of the same chunk overwrites/dedupes instead of
+# duplicating.
+
+
+def _staged_lines(events: list) -> bytes | None:
+    rows = [v for _k, v in events if v is not None]
+    if not rows:
+        return None
+    return "\n".join(
+        json.dumps(v, sort_keys=True) for v in rows
+    ).encode() + b"\n"
+
+
+def _staged_key(cfg: dict) -> str:
+    base = f"{cfg['path']}/" if cfg.get("path") else ""
+    return f"{base}{cfg['executor_id']}-{_task_pid()}_{cfg['epoch']}.json"
+
+
+def _stage_s3(cfg: dict, topic: str, events: list) -> None:
+    """One SigV4 PutObject per non-empty task (s3/snowflake file
+    sinks): `{path}/{executor_id}-{pid}_{epoch}.json`."""
+    data = _staged_lines(events)
+    if data is None:
+        return
+    S3Client(cfg["endpoint"], region=cfg["region"],
+             access_key=cfg["access"], secret_key=cfg["secret"]
+             ).put_object(cfg["bucket"], _staged_key(cfg), data)
+
+
+def _stage_gcs(cfg: dict, topic: str, events: list) -> None:
+    data = _staged_lines(events)
+    if data is None:
+        return
+    GcsClient(cfg["endpoint"], credentials=cfg.get("creds")
+              ).put_object(cfg["bucket"], _staged_key(cfg), data)
+
+
+def _stage_azblob(cfg: dict, topic: str, events: list) -> None:
+    data = _staged_lines(events)
+    if data is None:
+        return
+    AzblobClient(cfg["endpoint"], cfg["account"], cfg["key"]
+                 ).put_blob(cfg["bucket"], _staged_key(cfg), data)
+
+
+def _stage_webhdfs(cfg: dict, topic: str, events: list) -> None:
+    data = _staged_lines(events)
+    if data is None:
+        return
+    key = (f"{cfg['path']}/{cfg['executor_id']}-{_task_pid()}"
+           f"_{cfg['epoch']}.json")
+    WebHdfsClient(cfg["endpoint"]).create(key, data)
+
+
+def _produce_bigquery(cfg: dict, topic: str, events: list) -> None:
+    """insertAll from the task; insertIds mix (epoch, pid, index,
+    content) so only a true replay of the same chunk dedupes."""
+    import hashlib
+
+    pid = _task_pid()
+    rows = []
+    for i, (_k, v) in enumerate(events):
+        if v is None:
+            continue  # append-only: no tombstones
+        body = json.dumps(v, sort_keys=True)
+        iid = hashlib.md5(
+            f"{cfg['epoch']}:{pid}:{i}:{body}".encode()).hexdigest()
+        rows.append((iid, v))
+    if rows:
+        BigQueryClient(cfg["creds"], cfg["endpoint"]).insert_all(
+            cfg["project"], cfg["dataset"], topic, rows)
+
+
+def _produce_clickhouse(cfg: dict, topic: str, events: list) -> None:
+    """JSONEachRow INSERT per task (ReplacingMergeTree posture:
+    upserts insert sign 0, retractions insert the pk row with sign 1
+    — the table engine collapses on merge)."""
+    rows = []
+    for k, v in events:
+        if v is None:
+            if cfg["fmt"] == "upsert":
+                row = dict(k)
+                row[cfg["delete_column"]] = 1
+                rows.append(row)
+            continue
+        row = dict(v)
+        if cfg["fmt"] == "upsert":
+            row[cfg["delete_column"]] = 0
+        rows.append(row)
+    if rows:
+        ClickHouseClient(cfg["url"], cfg["user"], cfg["password"]
+                         ).insert_json_each_row(cfg["database"], topic, rows)
+
+
+def _produce_streamload(cfg: dict, topic: str, events: list) -> None:
+    """One labeled Stream Load PUT per non-empty task; the label
+    `{prefix}-{epoch}-p{pid}` is replay-stable, and 'Label Already
+    Exists' is the success-shaped idempotent-replay outcome."""
+    rows = []
+    for k, v in events:
+        if v is None:
+            row = dict(k)
+            row[cfg["delete_sign"]] = "1"
+            rows.append(row)
+        else:
+            row = dict(v)
+            if cfg["fmt"] == "upsert":
+                row[cfg["delete_sign"]] = "0"
+            rows.append(row)
+    if rows:
+        StreamLoadClient(cfg["url"], cfg["user"], cfg["password"]).load(
+            cfg["database"], topic, rows,
+            label=f"rw_{cfg['table']}-{cfg['epoch']}-p{_task_pid()}")
+
+
+def _produce_sqlserver(cfg: dict, topic: str, events: list) -> None:
+    """T-SQL batches over the task's own TDS connection (reference
+    sink/sqlserver.rs per-writer tiberius clients): retraction →
+    DELETE, upsert → DELETE+INSERT on the pk, append-only → INSERT;
+    many statements per SQLBatch round trip. A pk lives in ONE task,
+    so no two tasks touch one remote row."""
+    cols, pk, fmt = cfg["cols"], cfg["pk"], cfg["fmt"]
+    stmts = []
+    for k, v in events:
+        where = " AND ".join(f"{col} = {_jdbc_lit(k[col])}" for col in pk)
+        if v is None:
+            stmts.append(f"DELETE FROM {topic} WHERE {where}")
+            continue
+        collist = ", ".join(cols)
+        vals = ", ".join(_jdbc_lit(v.get(col)) for col in cols)
+        if fmt == "upsert":
+            stmts.append(f"DELETE FROM {topic} WHERE {where}")
+        stmts.append(f"INSERT INTO {topic} ({collist}) VALUES ({vals})")
+    if not stmts:
+        return
+    c = TdsClient(cfg["host"], cfg["port"], cfg["user"], cfg["password"],
+                  cfg["db"])
+    try:
+        for i in range(0, len(stmts), 500):
+            c.query("; ".join(stmts[i:i + 500]))
+    finally:
+        c.close()
+
+
 _PRODUCERS = {
     "kinesis": _produce_kinesis,
     "mqtt": _produce_mqtt,
@@ -327,6 +507,14 @@ _PRODUCERS = {
     "redis": _produce_redis,
     "dynamodb": _produce_dynamodb,
     "mongodb": _produce_mongodb,
+    "s3_file": _stage_s3,
+    "gcs_file": _stage_gcs,
+    "azblob_file": _stage_azblob,
+    "webhdfs_file": _stage_webhdfs,
+    "bigquery": _produce_bigquery,
+    "clickhouse": _produce_clickhouse,
+    "streamload": _produce_streamload,
+    "sqlserver": _produce_sqlserver,
 }
 
 
