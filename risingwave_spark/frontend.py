@@ -90,7 +90,7 @@ def _status(spark: SparkSession, tag: str) -> DataFrame:
 # ---------------------------------------------------------------- regexes
 _SHOW = re.compile(
     r"^\s*SHOW\s+(TABLES|MATERIALIZED\s+VIEWS|VIEWS|SOURCES|SINKS|FUNCTIONS"
-    r"|INTERNAL\s+TABLES|SECRETS|SCHEMAS|DATABASES)\s*$",
+    r"|INTERNAL\s+TABLES|SECRETS|SCHEMAS|DATABASES|CONNECTIONS)\s*$",
     re.I,
 )
 _CREATE_FUNCTION = re.compile(
@@ -458,7 +458,8 @@ def _handle_create_table(engine: "Engine", ast: dict) -> DataFrame:
                 f"version column {version_col!r} must have an ordered "
                 "comparable type (boolean is not)"
             )
-    opts = _parse_with_options(ast["with"]) if ast.get("with") else {}
+    opts = (_resolve_secret_refs(engine, _parse_with_options(ast["with"]))
+            if ast.get("with") else {})
     retention = opts.get("retention_seconds")
     if retention is not None and not append:
         # reference e2e_test/ttl/ttl.slt: `create table t(v int) with
@@ -2862,6 +2863,147 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
         "ALTER SINK ... RENAME is not supported: the sink's durable "
         "subscription cursor is keyed by its name (drop and recreate)"
     )
+
+
+def _alter_target_exists(engine: "Engine", kind: str, name: str) -> bool:
+    """Kind-checked catalog membership for the ALTER admin verbs
+    (reference alter_owner.rs resolves through the typed catalog — an
+    MV is `not found` under ALTER TABLE)."""
+    ns = {
+        "TABLE": engine.tables,
+        "MATERIALIZED VIEW": engine.mv_handles,
+        "VIEW": engine.views,
+        "SOURCE": engine.sources,
+        "SINK": engine.sinks,
+        "SUBSCRIPTION": getattr(engine, "subscriptions", {}),
+    }.get(kind)
+    if ns is not None:
+        return name in ns
+    if kind == "SCHEMA":
+        return name == "public" or name in getattr(engine, "schemas", set())
+    return name == "dev" or name in getattr(engine, "databases", set())
+
+
+def _owner_key(kind: str, name: str) -> str:
+    """Relation owners key by engine name; schema/database owners by
+    the same sentinel keys their recorded DDL uses."""
+    if kind == "SCHEMA":
+        return f"__schema_{name}"
+    if kind == "DATABASE":
+        return f"__database_{name}"
+    return name
+
+
+def _handle_alter_owner(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER <kind> x OWNER TO user (reference `handler/alter_owner.rs:54`
+    handle_alter_owner; `e2e_test/ddl/alter_owner.slt`): the owner edit
+    is a pure catalog operation — no state or plan change. The new
+    owner must be an existing user; the session user must be a
+    superuser or the current owner (the reference additionally checks
+    role membership — single-membership model here). pg_class.relowner
+    / pg_namespace.nspowner reflect the edit."""
+    from risingwave_spark import users as _u
+
+    kind, name = ast["kind"], ast["old"]
+    if not _alter_target_exists(engine, kind, name):
+        raise ValueError(f"{kind.lower()} {name!r} not found")
+    new_owner = ast["new_owner"]
+    if _u.get_user(engine, new_owner) is None:
+        raise ValueError(f"user {new_owner!r} does not exist")
+    me = _session_user(engine)
+    key = _owner_key(kind, name)
+    if not (engine._replaying or _u.is_super(engine, me)
+            or _u.get_owner(engine, key) == me):
+        raise PermissionError(f"must be owner of {kind.lower()} {name}")
+    _u.set_owner(engine, key, new_owner)
+    return _status(engine.spark, f"ALTER_{kind.replace(' ', '_')}")
+
+
+def _handle_alter_set_schema(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER <kind> x SET SCHEMA s (reference `handler/alter_set_schema.rs:30`;
+    `e2e_test/ddl/alter_set_schema.slt`): in the engine's mangled-name
+    namespace convention a schema move IS a rename — `x` → `s__x` (or
+    back to the bare name for `public`) — so the full rename machinery
+    (catalog rewrite, state-dir move, dependent-definition rewrite)
+    carries it. A move to the schema the object is already in is a
+    no-op, like the reference."""
+    from risingwave_spark import users as _u
+
+    kind, name = ast["kind"], ast["old"]
+    if not _alter_target_exists(engine, kind, name):
+        raise ValueError(f"{kind.lower()} {name!r} not found")
+    target = ast["new_schema"]
+    if target != "public" and target not in getattr(engine, "schemas", set()):
+        raise ValueError(f"schema {target!r} does not exist")
+    base = name.split("__", 1)[1] if (
+        "__" in name and name.split("__", 1)[0]
+        in getattr(engine, "schemas", set())) else name
+    new = base if target == "public" else f"{target}__{base}"
+    if new == name:
+        return _status(engine.spark, f"ALTER_{kind.replace(' ', '_')}")
+    me = _session_user(engine)
+    if not (engine._replaying or _u.is_super(engine, me)
+            or _u.get_owner(engine, name) == me):
+        raise PermissionError(f"must be owner of {kind.lower()} {name}")
+    out = _handle_alter_rename(
+        engine, {"kind": kind, "old": name, "new": new})
+    _u.rename_object(engine, name, new)
+    return out
+
+
+def _handle_alter_swap(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER <kind> a SWAP WITH b (reference `handler/alter_swap_rename.rs:49`
+    handle_swap_rename; `e2e_test/ddl/alter_swap_rename.slt`): an
+    atomic name exchange, built on the rename machinery as
+    a→tmp, b→a, tmp→b (each leg rewrites recorded DDL + dependents and
+    moves state dirs — no data rewrite). Kind mismatches reproduce the
+    reference's errors: the named object missing from the kind's
+    catalog is `not found`; swapping with an object of another kind is
+    `Permission denied`."""
+    from risingwave_spark import users as _u
+
+    kind, a, b = ast["kind"], ast["old"], ast["other"]
+    if kind in ("SINK", "SUBSCRIPTION"):
+        raise ValueError(
+            f"ALTER {kind} ... SWAP WITH is not supported: the durable "
+            "cursor state is keyed by object name (drop and recreate)")
+    if not _alter_target_exists(engine, kind, a):
+        raise ValueError(f"{kind.lower()} {a!r} not found")
+    if not _alter_target_exists(engine, kind, b):
+        all_names = set()
+        for ns in (engine.tables, engine.mv_handles, engine.views,
+                   engine.sources, engine.sinks):
+            all_names.update(ns)
+        if b in all_names:
+            # exists, but as another kind (alter_swap_rename.slt:
+            # `ALTER TABLE t1 SWAP WITH mv1` → Permission denied)
+            raise PermissionError(f"Permission denied: {b!r} is not a "
+                                  f"{kind.lower()}")
+        raise ValueError(f"{kind.lower()} {b!r} not found")
+    if a == b:
+        return _status(engine.spark, f"ALTER_{kind.replace(' ', '_')}")
+    me = _session_user(engine)
+    for name in (a, b):
+        if not (engine._replaying or _u.is_super(engine, me)
+                or _u.get_owner(engine, name) == me):
+            raise PermissionError(f"must be owner of {kind.lower()} {name}")
+    import uuid as _uuid
+
+    tmp = f"__swap_{_uuid.uuid4().hex[:8]}"
+    _handle_alter_rename(engine, {"kind": kind, "old": a, "new": tmp})
+    try:
+        _handle_alter_rename(engine, {"kind": kind, "old": b, "new": a})
+        _handle_alter_rename(engine, {"kind": kind, "old": tmp, "new": b})
+    except Exception:
+        # roll the first leg back so a failed swap leaves `a` reachable
+        if not _alter_target_exists(engine, kind, a):
+            _handle_alter_rename(engine, {"kind": kind, "old": tmp,
+                                          "new": a})
+        raise
+    _u.rename_object(engine, a, tmp)
+    _u.rename_object(engine, b, a)
+    _u.rename_object(engine, tmp, b)
+    return _status(engine.spark, f"ALTER_{kind.replace(' ', '_')}")
 
 
 def _handle_alter_table(engine: "Engine", ast: dict) -> DataFrame:
@@ -5700,7 +5842,12 @@ def _parse_with_options(text: str) -> dict[str, str]:
 
 def _resolve_secret_refs(engine: "Engine", opts: dict) -> dict:
     """`password = secret my_secret` WITH-option values (reference
-    secret_ref binding) resolve from the engine's secret store."""
+    secret_ref binding) resolve from the engine's secret store. A
+    `connection = name` option splices the named CONNECTION's
+    properties in first (reference `handler/create_source.rs`
+    resolve_connection_ref_and_secret_ref), so its secret refs resolve
+    on the same pass."""
+    opts = _merge_connection_options(engine, opts)
     out = {}
     for k, v in opts.items():
         sm = re.match(r"^secret\s+(\w+)$", v, re.I)
@@ -5711,6 +5858,46 @@ def _resolve_secret_refs(engine: "Engine", opts: dict) -> dict:
             v = secrets[sm.group(1)]
         out[k] = v
     return out
+
+
+#: connection type → connectors it may configure (reference
+#: handler/create_source.rs check_connection_compatibility; the
+#: schema_registry type attaches to format options, not a connector)
+_CONNECTION_COMPAT = {
+    "kafka": {"kafka"},
+    "iceberg": {"iceberg"},
+    "schema_registry": set(),
+}
+
+
+def _merge_connection_options(engine: "Engine", opts: dict) -> dict:
+    """`connection = conn` WITH option → splice the named connection's
+    stored properties (reference connection/ddl.slt): a key present in
+    BOTH the WITH clause and the connection catalog is the reference's
+    `Duplicated key` error; connector/type mismatches are rejected."""
+    cname = opts.get("connection")
+    if not cname:
+        return opts
+    conns = _load_connections(engine)
+    c = conns.get(cname.strip("'"))
+    if c is None:
+        raise ValueError(f"connection {cname!r} does not exist")
+    connector = (opts.get("connector") or "").lower()
+    ctype = c["type"]
+    if connector and connector not in _CONNECTION_COMPAT.get(ctype, set()):
+        raise ValueError(
+            f"connector {connector} and connection type "
+            f"{ctype.capitalize()} are not compatible")
+    merged = dict(opts)
+    for k, v in c["props"].items():
+        if k == "type":
+            continue
+        if k in opts:
+            raise ValueError(
+                "Duplicated key in both WITH clause and Connection "
+                f"catalog: {k}")
+        merged[k] = v
+    return merged
 
 
 def _handle_create_view(engine: "Engine", ast: dict) -> DataFrame:
@@ -9071,13 +9258,93 @@ def _resolve_schema_names(engine: "Engine", stmt: str) -> str:
     is a distinct object from `x` — the reference's separate-namespace
     contract at single-catalog cost. String literals are masked first."""
     schemas = getattr(engine, "schemas", None)
-    if not schemas and "public." not in stmt.lower():
+    if (not schemas and "public." not in stmt.lower()
+            and not getattr(engine, "search_path", None)):
         return stmt
     masked, lits = _mask_strings(stmt)
     masked = re.sub(r"\bpublic\s*\.\s*(\w)", r"\1", masked, flags=re.I)
     for s in schemas or ():
         masked = re.sub(rf"\b{re.escape(s)}\s*\.\s*(\w)", rf"{s}__\1", masked)
+    masked = _apply_search_path(engine, masked)
     return _unmask(masked, lits)
+
+
+def effective_search_path(engine) -> list[str]:
+    """The VALID schemas of the session search_path, in order
+    (reference `binder/mod.rs:116,341` first_valid_schema /
+    SearchPath::real_path: `"$user"` resolves to a schema named after
+    the session user; names that aren't existing schemas are skipped,
+    exactly like PG). Default path is `"$user", public`."""
+    raw = getattr(engine, "search_path", None) or ['"$user"', "public"]
+    user = getattr(engine, "session_user", "root")
+    known = getattr(engine, "schemas", set())
+    out = []
+    for s in raw:
+        s = user if s in ('"$user"', "$user") else s
+        if (s == "public" or s in known) and s not in out:
+            out.append(s)
+    return out
+
+
+def _apply_search_path(engine, masked: str) -> str:
+    """Unqualified-name resolution through the session search_path
+    (reference `binder/mod.rs` resolve through SearchPath;
+    `e2e_test/ddl/search_path.slt`). Two rewrites on the MASKED text:
+
+    - relation references (`FROM/JOIN/INTO/UPDATE/TABLE/VIEW/SOURCE/
+      SINK <ident>`): first schema in the path that owns the name wins
+      — `public` position in the path is honored; a name found in no
+      path schema is left as written (it then resolves against public,
+      the engine's implicit trailing namespace — documented
+      divergence: PG hides public when it's not on the path).
+    - creation targets: an unqualified CREATE lands in the FIRST valid
+      schema of the path (binder first_valid_schema), mangled to the
+      engine's `s__x` convention.
+    """
+    path = effective_search_path(engine)
+    if not path or path == ["public"]:
+        return masked
+    names: set = set()
+    for ns in (engine.tables, engine.mv_handles, engine.views,
+               engine.sources, engine.sinks):
+        names.update(ns)
+
+    def resolve(tok: str) -> str | None:
+        for s in path:
+            if s == "public":
+                if tok in names:
+                    return tok
+            elif f"{s}__{tok}" in names:
+                return f"{s}__{tok}"
+        return None
+
+    target = path[0]
+    if target != "public":
+        def create_sub(m):
+            ident = m.group(2)
+            if "__" in ident:  # already schema-mangled (qualified name)
+                return m.group(0)
+            return f"{m.group(1)}{target}__{ident}"
+
+        masked = re.sub(
+            r"(\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|MATERIALIZED\s+VIEW"
+            r"|VIEW|SOURCE|SINK|SUBSCRIPTION)\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
+            r"(\w+)",
+            create_sub, masked, flags=re.I)
+
+    def ref_sub(m):
+        # a CREATE target is NOT a reference — it's handled above (and
+        # must never resolve onto an existing path object)
+        if re.search(r"\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?$",
+                     masked[: m.start()], re.I):
+            return m.group(0)
+        r = resolve(m.group(2))
+        return f"{m.group(1)}{r}" if r else m.group(0)
+
+    return re.sub(
+        r"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE|VIEW|SOURCE|SINK|SUBSCRIPTION)"
+        r"\s+(?:IF\s+EXISTS\s+)?)(\w+)",
+        ref_sub, masked, flags=re.I)
 
 
 
@@ -9451,9 +9718,521 @@ def _handle_drop_secret(engine: "Engine", ast: dict) -> DataFrame:
         if ast.get("if_exists"):
             return _status(engine.spark, "DROP_SECRET")
         raise ValueError(f"unknown secret {ast['name']!r}")
+    used = _count_secret_users(engine, ast["name"])
+    if used:
+        # reference drop_secret.rs → meta reject, verbatim shape
+        # (connection/ddl.slt `secret used by N other objects`)
+        raise PermissionError(
+            f"Permission denied: PermissionDenied: secret used by "
+            f"{used} other objects.")
     secrets.pop(ast["name"])
     _store_secrets(engine, secrets)
     return _status(engine.spark, "DROP_SECRET")
+
+
+def _count_secret_users(engine: "Engine", name: str) -> int:
+    """Objects whose recorded DDL or connection catalog reference
+    `secret <name>` (the meta store's dependency count that gates
+    DROP SECRET in the reference)."""
+    rx = re.compile(rf"\bsecret\s+{re.escape(name)}\b", re.I)
+    n = sum(1 for e in engine._read_catalog() if rx.search(e["stmt"]))
+    conns = _load_connections(engine)
+    using_conns = {cn for cn, c in conns.items()
+                   if any(rx.fullmatch(str(v)) for v in c["props"].values())}
+    n += len(using_conns)
+    # objects reaching the secret THROUGH a connection count too
+    # (connection/ddl.slt: `secret used by 2 other objects` once a
+    # table rides the connection)
+    for cn in using_conns:
+        n += _count_connection_users(engine, cn)
+    return n
+
+
+# ---------------------------------------------------------- connections
+def _connections_path(engine: "Engine") -> str:
+    return os.path.join(engine.warehouse, "CONNECTIONS.json")
+
+
+def _load_connections(engine: "Engine") -> dict:
+    import json
+
+    try:
+        with open(_connections_path(engine)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def _store_connections(engine: "Engine", conns: dict) -> None:
+    import json
+
+    os.makedirs(engine.warehouse, exist_ok=True)
+    tmp = _connections_path(engine) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(conns, f, indent=1)
+    os.replace(tmp, _connections_path(engine))
+
+
+#: per-type allowed property keys (reference create_connection.rs →
+#: with_options validation; `unknown field` is serde's deny_unknown
+#: error surfaced by connection/ddl.slt)
+_CONNECTION_FIELDS = {
+    "kafka": lambda k: k.startswith("properties.") or k in (
+        "schema.registry", "schema.registry.username",
+        "schema.registry.password"),
+    "iceberg": lambda k: k.split(".", 1)[0] in (
+        "catalog", "warehouse", "s3", "gcs", "azblob", "hosted_catalog")
+        or k in ("warehouse.path", "database.name", "table.name"),
+    "schema_registry": lambda k: k.startswith("schema.registry"),
+}
+
+
+def _handle_create_connection(engine: "Engine", ast: dict) -> DataFrame:
+    """CREATE CONNECTION name WITH (type = ..., props...) (reference
+    `handler/create_connection.rs:89` handle_create_connection;
+    `e2e_test/source_inline/connection/ddl.slt`). Properties are stored
+    UNRESOLVED (`secret x` refs stay refs, like the reference's
+    secret_refs), so SHOW never leaks values and the dependency count
+    gates DROP SECRET. Only kafka / iceberg / schema_registry types
+    exist — everything else is the reference's `not supported` error."""
+    name = ast["name"]
+    conns = _load_connections(engine)
+    if name in conns:
+        if ast.get("if_not_exists"):
+            return _status(engine.spark, "CREATE_CONNECTION")
+        raise ValueError(f"connection {name!r} already exists")
+    props = _parse_with_options(ast["with"])
+    ctype = props.pop("type", None)
+    if ctype is None:
+        raise ValueError("CREATE CONNECTION requires a type option")
+    ctype = ctype.lower()
+    if ctype == "privatelink":
+        raise ValueError(
+            "CREATE CONNECTION to Private Link is deprecated")
+    if ctype not in _CONNECTION_FIELDS:
+        raise ValueError(f'Connection type "{ctype}" is not supported')
+    allowed = _CONNECTION_FIELDS[ctype]
+    secrets = _load_secrets(engine)
+    for k, v in props.items():
+        if not allowed(k):
+            raise ValueError(f"unknown field `{k}`")
+        sm = re.match(r"^secret\s+(\w+)$", str(v), re.I)
+        if sm and sm.group(1) not in secrets:
+            raise ValueError(
+                f"unknown secret {sm.group(1)!r} in connection option "
+                f"{k!r}")
+    conns[name] = {"type": ctype, "props": props}
+    # durable in CONNECTIONS.json (the SECRETS.json pattern), NOT the
+    # replayed DDL catalog — restart loads the store directly
+    _store_connections(engine, conns)
+    return _status(engine.spark, "CREATE_CONNECTION")
+
+
+def _count_connection_users(engine: "Engine", name: str) -> int:
+    rx = re.compile(
+        rf"\bconnection\s*=\s*'?{re.escape(name)}'?(?=\s*[,)])", re.I)
+    return sum(1 for e in engine._read_catalog()
+               if not e["name"].startswith("__connection_")
+               and rx.search(e["stmt"]))
+
+
+def _handle_drop_connection(engine: "Engine", ast: dict) -> DataFrame:
+    """DROP CONNECTION (reference `handler/drop_connection.rs`):
+    refused while sources/sinks reference it (the meta dependency
+    count, connection/ddl.slt)."""
+    name = ast["name"]
+    conns = _load_connections(engine)
+    if name not in conns:
+        if ast.get("if_exists"):
+            return _status(engine.spark, "DROP_CONNECTION")
+        raise ValueError(f"connection {name!r} does not exist")
+    used = _count_connection_users(engine, name)
+    if used:
+        raise PermissionError(
+            f"Permission denied: PermissionDenied: connection used by "
+            f"{used} other objects.")
+    conns.pop(name)
+    _store_connections(engine, conns)
+    return _status(engine.spark, "DROP_CONNECTION")
+
+
+# ------------------------------------------------- users & privileges
+def _session_user(engine: "Engine") -> str:
+    from risingwave_spark import users as _u
+
+    return getattr(engine, "session_user", _u.ROOT_USER)
+
+
+def _handle_create_user(engine: "Engine", ast: dict) -> DataFrame:
+    """CREATE USER name [WITH] options (reference
+    `handler/create_user.rs:111` make_prost_user_info + handle_create_user;
+    e2e_test/ddl/privilege.slt). Passwords are stored as verifiers only
+    (md5 + SCRAM, `user_authentication.rs encrypted_password`)."""
+    from risingwave_spark import users as _u
+
+    me = _u.get_user(engine, _session_user(engine))
+    opts = dict(ast["options"])
+    if me is None or not me.get("is_super"):
+        # reference create_user.rs:38-50, verbatim error texts
+        if "SUPERUSER" in opts:
+            raise PermissionError("must be superuser to create superusers")
+        if me is None or not me.get("can_create_user"):
+            raise PermissionError("Do not have the privilege")
+    st = _u.load_state(engine)
+    name = ast["name"]
+    if name == _u.ROOT_USER or name in st["users"]:
+        raise ValueError(f"user {name!r} already exists")
+    rec = {
+        "oid": st["next_oid"],
+        "is_super": "SUPERUSER" in opts,
+        "can_create_db": "CREATEDB" in opts,
+        "can_create_user": "CREATEUSER" in opts,
+        # LOGIN is implied unless NOLOGIN is given (create_user.rs:66)
+        "can_login": "NOLOGIN" not in opts,
+        "auth": _u.build_auth(name, opts.get("PASSWORD")),
+    }
+    st["next_oid"] += 1
+    st["users"][name] = rec
+    _u.store_state(engine, st)
+    return _status(engine.spark, "CREATE_USER")
+
+
+def _handle_alter_user(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER USER name [WITH] options | RENAME TO new (reference
+    `handler/alter_user.rs`). Altering superuser status requires a
+    superuser; a user may always change their own password."""
+    from risingwave_spark import users as _u
+
+    name = ast["name"]
+    st = _u.load_state(engine)
+    if name not in st["users"]:
+        raise ValueError(f"user {name!r} does not exist")
+    whoami = _session_user(engine)
+    me = _u.get_user(engine, whoami)
+    opts = dict(ast.get("options") or ())
+    if me is None or not me.get("is_super"):
+        if "SUPERUSER" in opts or "NOSUPERUSER" in opts:
+            raise PermissionError(
+                "must be superuser to alter superuser roles")
+        own_password_only = (
+            whoami == name and set(opts) <= {"PASSWORD"}
+            and not ast.get("new_name"))
+        if not own_password_only and (
+                me is None or not me.get("can_create_user")):
+            raise PermissionError("Do not have the privilege")
+    rec = st["users"][name]
+    if ast.get("new_name"):
+        new = ast["new_name"]
+        if new == _u.ROOT_USER or new in st["users"]:
+            raise ValueError(f"user {new!r} already exists")
+        st["users"][new] = st["users"].pop(name)
+        # a rename invalidates the md5 verifier (salted with the user
+        # name, alter_user.rs clears auth on rename in the reference)
+        st["users"][new]["auth"] = None
+        for p in st["privileges"]:
+            if p["user"] == name:
+                p["user"] = new
+            if p.get("granted_by") == name:
+                p["granted_by"] = new
+        for obj, owner in list(st["owners"].items()):
+            if owner == name:
+                st["owners"][obj] = new
+        _u.store_state(engine, st)
+        return _status(engine.spark, "UPDATE_USER")
+    for opt, val in ast["options"]:
+        if opt == "SUPERUSER":
+            rec["is_super"] = True
+        elif opt == "NOSUPERUSER":
+            rec["is_super"] = False
+        elif opt == "CREATEDB":
+            rec["can_create_db"] = True
+        elif opt == "NOCREATEDB":
+            rec["can_create_db"] = False
+        elif opt == "CREATEUSER":
+            rec["can_create_user"] = True
+        elif opt == "NOCREATEUSER":
+            rec["can_create_user"] = False
+        elif opt == "LOGIN":
+            rec["can_login"] = True
+        elif opt == "NOLOGIN":
+            rec["can_login"] = False
+        elif opt == "PASSWORD":
+            rec["auth"] = _u.build_auth(name, val)
+    _u.store_state(engine, st)
+    return _status(engine.spark, "UPDATE_USER")
+
+
+def _handle_drop_user(engine: "Engine", ast: dict) -> DataFrame:
+    """DROP USER (reference `handler/drop_user.rs`): refused while the
+    user still owns objects (meta user_manager reject); the user's
+    privilege rows die with them."""
+    from risingwave_spark import users as _u
+
+    name = ast["name"]
+    st = _u.load_state(engine)
+    if name == _u.ROOT_USER:
+        raise ValueError("cannot drop the bootstrap superuser")
+    if name not in st["users"]:
+        if ast.get("if_exists"):
+            return _status(engine.spark, "DROP_USER")
+        raise ValueError(f"user {name!r} does not exist")
+    me = _u.get_user(engine, _session_user(engine))
+    if me is None or not (me.get("is_super") or me.get("can_create_user")):
+        raise PermissionError("Do not have the privilege")
+    owned = sorted(o for o, u in st["owners"].items() if u == name)
+    if owned:
+        raise ValueError(
+            f"user {name!r} cannot be dropped because they own {owned}; "
+            "drop or reassign those objects first")
+    st["users"].pop(name)
+    st["privileges"] = [p for p in st["privileges"] if p["user"] != name]
+    _u.store_state(engine, st)
+    return _status(engine.spark, "DROP_USER")
+
+
+def _schema_of(engine: "Engine", name: str) -> str:
+    """Mangled-name → schema (the `s__x` convention of
+    _resolve_schema_names)."""
+    if "__" in name:
+        prefix = name.split("__", 1)[0]
+        if prefix in getattr(engine, "schemas", set()):
+            return prefix
+    return "public"
+
+
+def _resolve_grant_objects(engine: "Engine", ast: dict) -> list[str]:
+    """GrantObjects → concrete object names, validating existence and
+    kind (reference handle_privilege.rs make_prost_privilege)."""
+    kind = ast["object_kind"]
+    ns_by_kind = {
+        "table": engine.tables,
+        "mview": engine.mv_handles,
+        "source": engine.sources,
+        "sink": engine.sinks,
+    }
+    if "in_schemas" in ast:
+        for s in ast["in_schemas"]:
+            if s != "public" and s not in getattr(engine, "schemas", set()):
+                raise ValueError(f"schema {s!r} does not exist")
+        ns = ns_by_kind[kind]
+        return [n for n in ns
+                if _schema_of(engine, n) in ast["in_schemas"]]
+    objs = ast["objects"]
+    if kind == "database":
+        known = {"dev"} | getattr(engine, "databases", set())
+        for o in objs:
+            if o not in known:
+                raise ValueError(f"database {o!r} does not exist")
+        return objs
+    if kind == "schema":
+        known = {"public"} | getattr(engine, "schemas", set())
+        for o in objs:
+            if o not in known:
+                raise ValueError(f"schema {o!r} does not exist")
+        return objs
+    for o in objs:
+        if kind == "table" and o in engine.mv_handles:
+            # handle_privilege.rs: GRANT ON TABLE of an mview errors
+            raise ValueError(f"{o} is not a table")
+        if kind == "mview" and o in engine.tables:
+            raise ValueError(f"{o} is not a materialized view")
+        if o not in ns_by_kind[kind] and not (
+                kind == "table" and o in engine.views):
+            raise ValueError(f"{kind} {o!r} does not exist")
+    return objs
+
+
+def _grant_object_kind(engine: "Engine", kind: str, obj: str) -> str:
+    # views grant under the table syntax but carry their own mode set
+    if kind == "table" and obj in engine.views:
+        return "view"
+    return kind
+
+
+def _handle_grant(engine: "Engine", ast: dict) -> DataFrame:
+    """GRANT privileges ON objects TO users (reference
+    `handler/handle_privilege.rs:201` handle_grant_privilege;
+    e2e_test/ddl/privilege.slt). The grantor must be a superuser, the
+    object's owner, or hold every action WITH GRANT OPTION."""
+    from risingwave_spark import users as _u
+
+    objs = _resolve_grant_objects(engine, ast)
+    kind = ast["object_kind"]
+    modes = _u.AVAILABLE_MODES[kind]
+    if ast["actions"] == ["ALL"]:
+        actions = sorted(modes)
+    else:
+        actions = ast["actions"]
+        bad = [a for a in actions if a not in modes]
+        if bad:
+            # reference user_privilege.rs check_privilege_type text
+            raise ValueError(
+                "Invalid privilege type for the given object.")
+    me = _session_user(engine)
+    if not _u.is_super(engine, me):
+        for obj in objs:
+            for a in actions:
+                if not _u.has_privilege(engine, me, a, obj,
+                                        with_grant_option=True):
+                    raise PermissionError(
+                        f"permission denied to grant {a} on {obj}")
+    granted_by = ast.get("granted_by") or me
+    if _u.get_user(engine, granted_by) is None:
+        raise ValueError(f"user {granted_by!r} does not exist")
+    _u.grant(engine, ast["users"], actions, kind, objs,
+             bool(ast.get("grant_option")), granted_by)
+    return _status(engine.spark, "GRANT_PRIVILEGE")
+
+
+def _handle_revoke(engine: "Engine", ast: dict) -> DataFrame:
+    """REVOKE [GRANT OPTION FOR] privileges ON objects FROM users
+    (reference `handler/handle_privilege.rs:243`)."""
+    from risingwave_spark import users as _u
+
+    objs = _resolve_grant_objects(engine, ast)
+    kind = ast["object_kind"]
+    modes = _u.AVAILABLE_MODES[kind]
+    if ast["actions"] == ["ALL"]:
+        actions = sorted(modes)
+    else:
+        actions = ast["actions"]
+        bad = [a for a in actions if a not in modes]
+        if bad:
+            raise ValueError(
+                "Invalid privilege type for the given object.")
+    me = _session_user(engine)
+    if not _u.is_super(engine, me):
+        for obj in objs:
+            for a in actions:
+                if not _u.has_privilege(engine, me, a, obj,
+                                        with_grant_option=True):
+                    raise PermissionError(
+                        f"permission denied to revoke {a} on {obj}")
+    for uname in ast["users"]:
+        if _u.get_user(engine, uname) is None:
+            raise ValueError(f"user {uname!r} does not exist")
+    _u.revoke(engine, ast["users"], actions, objs,
+              bool(ast.get("grant_option_for")))
+    return _status(engine.spark, "REVOKE_PRIVILEGE")
+
+
+#: create-statement kinds → the ast key holding the new object's name
+_OWNED_CREATE_KINDS = {
+    "create_table": "table", "create_table_as": "table",
+    "create_mv": "name", "create_view": "name", "create_source": "name",
+    "create_sink": "name", "create_subscription": "name",
+    "create_function": "name", "create_aggregate": "name",
+}
+
+#: DML / relation-creating kinds checked by _enforce_privileges; every
+#: other engine-owned kind is either admin-checked in its handler
+#: (users/grants) or superuser-gated below
+_PRIV_EXEMPT_KINDS = {
+    "declare", "fetch", "close", "comment",
+}
+
+
+def _referenced_relations(engine: "Engine", sql_text: str) -> list[str]:
+    """Catalog relations a statement's text references (string literals
+    masked first). The reference resolves privileges on the BOUND
+    relations (privilege.rs resolve_relation_privileges); scanning the
+    token stream against the catalog namespace is this engine's
+    equivalent — over-approximate (a CTE shadowing a catalog name still
+    gets checked), never under."""
+    masked, _lits = _mask_strings(sql_text)
+    words = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", masked)}
+    rels = []
+    for ns in (engine.tables, engine.mv_handles, engine.views,
+               engine.sources):
+        rels += [n for n in ns if n.lower() in words]
+    return rels
+
+
+def _enforce_privileges(engine: "Engine", kind: str, ast: dict,
+                        stmt: str) -> None:
+    """Bind-time privilege checks for a non-superuser session user
+    (reference `handler/privilege.rs` resolve_privileges +
+    check_privileges; ObjectCheckItem owner/super short-circuit lives
+    in users.has_privilege)."""
+    from risingwave_spark import users as _u
+
+    me = _session_user(engine)
+    if me == _u.ROOT_USER or engine._replaying:
+        return
+    if _u.is_super(engine, me):
+        return
+    if kind == "insert":
+        _u.check(engine, me, "INSERT", ast["table"], "table")
+        for rel in _referenced_relations(engine, ast.get("body") or ""):
+            _u.check(engine, me, "SELECT", rel, "relation")
+    elif kind == "update":
+        _u.check(engine, me, "UPDATE", ast["table"], "table")
+    elif kind == "delete":
+        _u.check(engine, me, "DELETE", ast["table"], "table")
+    elif kind in _OWNED_CREATE_KINDS:
+        name = ast.get(_OWNED_CREATE_KINDS[kind]) or ""
+        schema = _schema_of(engine, name)
+        # PG's default ACL: everyone may CREATE in public; user schemas
+        # need an explicit CREATE grant or ownership
+        if schema != "public":
+            _u.check(engine, me, "CREATE", schema, "schema")
+        # creating a derived relation reads its base (resolve_query_
+        # privileges): the body's relations need SELECT
+        if kind in ("create_mv", "create_view", "create_table_as",
+                    "create_sink"):
+            for rel in _referenced_relations(engine, ast.get("body") or ""):
+                _u.check(engine, me, "SELECT", rel, "relation")
+    elif kind in ("drop", "drop_function", "drop_secret"):
+        name = ast["name"]
+        if _u.get_owner(engine, name) != me:
+            raise PermissionError(f"must be owner of {name}")
+    elif kind in ("create_schema", "create_database", "drop_schema",
+                  "drop_database"):
+        u = _u.get_user(engine, me)
+        if kind in ("create_database", "drop_database") and not (
+                u and u.get("can_create_db")):
+            raise PermissionError("Do not have the privilege")
+        if kind == "create_schema":
+            _u.check(engine, me, "CREATE", "dev", "database")
+        if kind == "drop_schema" and _u.get_owner(
+                engine, f"__schema_{ast['name']}") != me:
+            raise PermissionError(f"must be owner of schema {ast['name']}")
+
+
+def _track_ownership(engine: "Engine", kind: str, ast: dict) -> None:
+    """Catalog-object ownership bookkeeping (reference: every catalog
+    proto carries `owner`; drops cascade grant removal in meta). Owner
+    rows are only materialized for non-root creators — a root-only
+    engine never touches USERS.json on the DDL path."""
+    from risingwave_spark import users as _u
+
+    if engine._replaying:
+        return
+    me = _session_user(engine)
+    if kind in _OWNED_CREATE_KINDS:
+        name = ast.get(_OWNED_CREATE_KINDS[kind])
+        if name and me != _u.ROOT_USER:
+            _u.set_owner(engine, name, me)
+    elif kind == "create_schema" and me != _u.ROOT_USER:
+        _u.set_owner(engine, f"__schema_{ast['name']}", me)
+    elif kind in ("drop", "drop_function"):
+        _u.drop_object(engine, ast["name"])
+    elif kind == "drop_schema":
+        _u.drop_object(engine, f"__schema_{ast['name']}")
+    elif kind == "alter_rename":
+        _u.rename_object(engine, ast["old"], ast["new"])
+
+
+def _enforce_adhoc_privileges(engine: "Engine", stmt: str) -> None:
+    """SELECT privilege on every catalog relation an ad-hoc query
+    references (reference privilege.rs resolve_query_privileges)."""
+    from risingwave_spark import users as _u
+
+    me = _session_user(engine)
+    if me == _u.ROOT_USER or engine._replaying or _u.is_super(engine, me):
+        return
+    for rel in _referenced_relations(engine, stmt):
+        _u.check(engine, me, "SELECT", rel, "relation")
 
 
 def _handle_drop_function(engine: "Engine", ast: dict) -> DataFrame:
@@ -9539,6 +10318,9 @@ _AST_DISPATCH = {
     "create_aggregate": _handle_create_function,
     "drop": _handle_drop,
     "alter_rename": _handle_alter_rename,
+    "alter_owner": _handle_alter_owner,
+    "alter_set_schema": _handle_alter_set_schema,
+    "alter_swap": _handle_alter_swap,
     "declare": _handle_declare,
     "fetch": _handle_fetch,
     "close": _handle_close,
@@ -9557,6 +10339,13 @@ _AST_DISPATCH = {
     "create_table": _handle_create_table,
     "create_table_as": _handle_create_table_as,
     "create_mv": _handle_create_mv,
+    "create_connection": _handle_create_connection,
+    "drop_connection": _handle_drop_connection,
+    "create_user": _handle_create_user,
+    "alter_user": _handle_alter_user,
+    "drop_user": _handle_drop_user,
+    "grant": _handle_grant,
+    "revoke": _handle_revoke,
 }
 
 
@@ -9767,6 +10556,7 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         )
     if kind in _AST_DISPATCH:
         handler = _AST_DISPATCH[kind]
+        _enforce_privileges(engine, kind, ast, stmt)
         if kind == "create_mv" and not engine._replaying:
             name = ast["name"]
             job = getattr(engine, "_bg_jobs", {}).get(name)
@@ -9778,7 +10568,9 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
                 raise ValueError(f"materialized view {name!r} already exists")
             if _conf_bool(engine, "BACKGROUND_DDL"):
                 return _spawn_background_ddl(engine, name, handler, ast)
-        return handler(engine, ast)
+        out = handler(engine, ast)
+        _track_ownership(engine, kind, ast)
+        return out
     m = _DESCRIBE.match(stmt)
     if m:
         # reference handler/describe.rs: name + type rows
@@ -9801,6 +10593,58 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         return engine.spark.createDataFrame(
             rows, "name string, type string, comment string"
         )
+    # EXPLAIN / SHOW / SET / ad-hoc tail (split out so _execute_one
+    # stays navigable)
+    return _execute_tail(engine, stmt)
+
+
+#: UDF impl tag → the runtime a user is opting into (surfaced by
+#: EXPLAIN like the reference names the UDF language in its plan)
+_UDF_RUNTIME_DESC = {
+    "python": "LANGUAGE python — Arrow-batched pandas UDF (ArrowEvalPython)",
+    "python-table": "LANGUAGE python UDTF — Arrow-batched (BatchEvalPythonUDTF)",
+    "python-agg": "LANGUAGE python AGGREGATE — grouped pandas UDAF (AggregateInPandas)",
+    "javascript": "LANGUAGE javascript — pure-Python JS interpreter, "
+                  "Arrow-batched (ArrowEvalPython; ~7x slower than python "
+                  "UDFs on loop-heavy bodies, see SCALING.md)",
+    "javascript-table": "LANGUAGE javascript UDTF — pure-Python JS "
+                        "interpreter (BatchEvalPythonUDTF)",
+    "javascript-agg": "LANGUAGE javascript AGGREGATE — pure-Python JS "
+                      "interpreter (AggregateInPandas)",
+    "sql": "LANGUAGE sql — Catalyst-inlined expression (whole-stage codegen)",
+    "wasm": "LANGUAGE wasm — in-process bytecode interpreter, Arrow-batched",
+    "external": "external UDF server (HTTP batch exchange)",
+}
+
+
+def _explain_udf_runtimes(engine: "Engine", sql_text: str) -> list[str]:
+    """The `== UDF Runtimes ==` EXPLAIN block: every registered UDF the
+    statement references, with the runtime it executes on (reference
+    explain.rs names the UDF language per call site; at 100x scale a
+    user must SEE that an interpreter sits in their hot path)."""
+    fns = getattr(engine, "functions", None)
+    if not fns:
+        return []
+    masked, _lits = _mask_strings(sql_text)
+    words = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", masked)}
+    rows = []
+    for name, rec in sorted(fns.items()):
+        if name.lower() not in words:
+            continue
+        impl = rec.get("impl") or rec.get("language", "?")
+        if rec.get("kind") == "AGGREGATE" and not impl.endswith("-agg"):
+            impl = f"{impl.split('-')[0]}-agg"
+        desc = _UDF_RUNTIME_DESC.get(
+            impl, f"LANGUAGE {rec.get('language', impl)}")
+        rows.append(f"  {name}: {desc}")
+    return ["== UDF Runtimes ==", *rows, ""] if rows else []
+
+
+def _execute_tail(engine: "Engine", stmt: str) -> DataFrame:
+    """The back half of _execute_one: EXPLAIN, SHOW CREATE/SHOW, SET/
+    SHOW variables, and the ad-hoc Catalyst query path. Split at the
+    EXPLAIN branch purely for navigability — `stmt` is the only state
+    carried across the boundary."""
     m = _EXPLAIN.match(stmt)
     if m and re.match(r"^\s*EXPLAIN\s+ANALYZE\b", stmt, re.I):
         # reference handler/explain.rs:294 bails the same way
@@ -9836,7 +10680,10 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
                 # TVFs) have no one-shot Catalyst twin to parse — the
                 # stream pipeline above is the whole answer
                 return engine.spark.createDataFrame(
-                    [(ln,) for ln in stream_rows[:-1]], "plan string"
+                    [(ln,) for ln in [
+                        *stream_rows[:-1],
+                        *_explain_udf_runtimes(engine, inner)]],
+                    "plan string"
                 )
         elif kind != "adhoc":
             raise ValueError(
@@ -9850,8 +10697,10 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             "formatted"
         )
         text = df._jdf.queryExecution().explainString(jmode)
+        udf_rows = _explain_udf_runtimes(engine, inner)
         return engine.spark.createDataFrame(
-            [(ln,) for ln in [*stream_rows, *text.splitlines()]], "plan string"
+            [(ln,) for ln in [*stream_rows, *udf_rows, *text.splitlines()]],
+            "plan string"
         )
     m = _SHOW_CREATE.match(stmt)
     if m:
@@ -9874,6 +10723,16 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
             # names only — values never leave the meta store (secret.slt)
             return engine.spark.createDataFrame(
                 [(n,) for n in sorted(_load_secrets(engine))] or [], "name string"
+            )
+        if kind == "CONNECTIONS":
+            # reference handler/show.rs SHOW CONNECTIONS: Name | Type |
+            # Properties (secret refs printed as refs, never values)
+            return engine.spark.createDataFrame(
+                [(n, c["type"],
+                  ", ".join(f"{k}={v}" for k, v in sorted(
+                      c["props"].items())))
+                 for n, c in sorted(_load_connections(engine).items())]
+                or [], "name string, type string, properties string"
             )
         if kind == "SCHEMAS":
             # reference `show schemas`: the builtin four plus user schemas
@@ -9977,6 +10836,21 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         )
         return _status(engine.spark, "SET_VARIABLE")
     m = _SET_VAR.match(stmt)
+    if m and m.group(1).lower() == "search_path":
+        # SET search_path TO s1, s2 (reference handler/variable.rs +
+        # session_config SearchPath; e2e_test/ddl/search_path.slt) —
+        # stored VERBATIM incl. invalid schemas (validity is decided
+        # per-lookup in effective_search_path, like PG)
+        engine.search_path = [
+            p.strip().strip("'") for p in m.group(2).split(",") if p.strip()
+        ]
+        if engine.search_path == ['"$user"', "public"]:
+            engine.search_path = None  # back to the default
+        return _status(engine.spark, "SET_VARIABLE")
+    if re.match(r"^\s*SHOW\s+search_path\s*$", stmt, re.I):
+        raw = getattr(engine, "search_path", None) or ['"$user"', "public"]
+        return engine.spark.createDataFrame(
+            [(", ".join(raw),)], "search_path string")
     if m:
         # session parameters (reference handler/variable.rs) → Spark conf.
         # Parameters with a direct Spark equivalent map onto it:
@@ -10004,7 +10878,7 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
     if "__internal_" in stmt:
         _register_internal_views(engine, stmt)
     if re.search(r"\brw_(catalog|tables|materialized_views|views|sources|sinks"
-                 r"|functions|secrets|ddl_progress)\b", stmt, re.I):
+                 r"|functions|secrets|connections|ddl_progress)\b", stmt, re.I):
         stmt = _register_rw_catalog_views(engine, stmt)
     # pg_catalog compat: the 42 pg_* system relations + the session/
     # introspection functions (reference system_catalog/pg_catalog/ and
@@ -10030,6 +10904,7 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         # separate processes the session split makes this a no-op)
         for name, df in engine._txn["views"].items():
             df.createOrReplaceTempView(name)
+    _enforce_adhoc_privileges(engine, stmt)
     return engine.spark.sql(pg_to_spark_sql(stmt))
 
 
@@ -10151,6 +11026,12 @@ def _register_rw_catalog_views(engine: "Engine", stmt: str) -> str:
         "name string, kind string, language string, return_type string",
     )
     reg("rw_secrets", [(n,) for n in sorted(_load_secrets(engine))], "name string")
+    # reference rw_catalog/rw_connections.rs (name, type_ per
+    # connection/ddl.slt: CONNECTION_TYPE_KAFKA spelling)
+    reg("rw_connections",
+        [(n, f"CONNECTION_TYPE_{c['type'].upper()}")
+         for n, c in sorted(_load_connections(engine).items())],
+        "name string, type_ string")
     if re.search(r"\brw_ddl_progress\b", stmt, re.I):
         rows = []
         for name, job in getattr(engine, "_bg_jobs", {}).items():

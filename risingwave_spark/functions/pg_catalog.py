@@ -39,6 +39,8 @@ import os
 import re
 import time
 
+from risingwave_spark import users as _users
+
 from risingwave_spark.functions.pgsql import _mask_strings, _unmask
 
 # ---------------------------------------------------------------------------
@@ -250,7 +252,32 @@ def _snapshot(engine) -> dict:
     for i, s in enumerate(sorted(getattr(engine, "schemas", set()))):
         schemas.append((16000 + i, s))
 
-    rels: list[dict] = []  # {oid,name,kind,nsp}
+    nsp_of = {s: o for o, s in schemas}
+
+    def _owning_nsp(n: str):
+        """Demangle `s__x` → (display name, schema oid): created
+        schemas are REAL namespaces in the catalog views (pg_class
+        relnamespace / pg_tables.schemaname track ALTER ... SET SCHEMA,
+        e2e_test/ddl/alter_set_schema.slt)."""
+        if "__" in n:
+            prefix, base = n.split("__", 1)
+            if prefix in nsp_of and base:
+                return base, nsp_of[prefix]
+        return n, _PUBLIC_NSP
+
+    # real owners (reference: every catalog proto carries `owner`;
+    # handler/alter_owner.rs edits it) — uid + name per engine object
+    from risingwave_spark import users as _users
+
+    _ust = _users.load_state(engine)
+    _uid_of = {n: u["oid"] for n, u in _ust["users"].items()}
+    _uid_of["root"] = _ROOT_UID
+
+    def _owner(key: str):
+        n = _ust["owners"].get(key, "root")
+        return _uid_of.get(n, _ROOT_UID), n
+
+    rels: list[dict] = []  # {oid,name(engine),disp,kind,nsp,owner,user}
     oid = _FIRST_NORMAL_OID
     for names, kind in (
         (sorted(engine.tables), "r"),
@@ -260,8 +287,9 @@ def _snapshot(engine) -> dict:
         (sorted(engine.sinks), None),
     ):
         for n in names:
-            rels.append({"oid": oid, "name": n, "kind": kind,
-                         "nsp": _PUBLIC_NSP})
+            disp, nsp = _owning_nsp(n)
+            rels.append({"oid": oid, "name": n, "disp": disp, "kind": kind,
+                         "nsp": nsp, "owner": _owner(n), "user": True})
             oid += 1
     sysnames = sorted(_EMPTY_VIEWS) + [
         "pg_attribute", "pg_class", "pg_constraint", "pg_database",
@@ -273,12 +301,14 @@ def _snapshot(engine) -> dict:
         rels.append({"oid": 13100 + i, "name": n, "kind": "r", "nsp": _PG_NSP})
     for i, n in enumerate(
         ["rw_tables", "rw_materialized_views", "rw_views", "rw_sources",
-         "rw_sinks", "rw_functions", "rw_secrets", "rw_ddl_progress"]
+         "rw_sinks", "rw_functions", "rw_secrets", "rw_connections",
+         "rw_ddl_progress"]
     ):
         rels.append({"oid": 13300 + i, "name": n, "kind": "r", "nsp": _RW_NSP})
 
     ddl = {e["name"]: e["stmt"] for e in engine._read_catalog()}
     return {"schemas": schemas, "rels": rels, "ddl": ddl,
+            "owner_of": _owner,
             "by_name": {r["name"]: r for r in rels}}
 
 
@@ -364,15 +394,19 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
     if want("pg_namespace"):
         reg(
             "pg_namespace",
-            [(o, n, _ROOT_UID, None) for o, n in snap["schemas"]],
+            [(o, n, snap["owner_of"](f"__schema_{n}")[0], None)
+             for o, n in snap["schemas"]],
             "oid int, nspname string, nspowner int, nspacl array<string>",
         )
     if want("pg_class"):
-        # column set per pg_class.rs:22-37
+        # column set per pg_class.rs:22-37; relowner is the REAL owner
+        # (handler/alter_owner.rs edits it, alter_owner.slt joins it
+        # against pg_roles)
         reg(
             "pg_class",
             [
-                (r["oid"], r["name"], r["nsp"], _ROOT_UID, "p", r["kind"],
+                (r["oid"], r.get("disp", r["name"]), r["nsp"],
+                 r.get("owner", (_ROOT_UID,))[0], "p", r["kind"],
                  0, 0, 0, [], False, None)
                 for r in snap["rels"]
             ],
@@ -384,7 +418,7 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
     if want("pg_attribute"):
         rows = []
         for r in snap["rels"]:
-            if r["nsp"] != _PUBLIC_NSP:
+            if not r.get("user"):
                 continue
             sch = _rel_schema(engine, r["name"])
             if sch is None:
@@ -445,7 +479,8 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
         reg(
             "pg_tables",
             [
-                (nsp[r["nsp"]], r["name"], "root", None)
+                (nsp[r["nsp"]], r.get("disp", r["name"]),
+                 r.get("owner", (0, "root"))[1], None)
                 for r in snap["rels"]
                 if r["kind"] == "r" and r["nsp"] != _RW_NSP
             ],
@@ -456,7 +491,10 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
         reg(
             "pg_views",
             [
-                ("public", n, "root", _definition(snap, n))
+                (dict(snap["schemas"]).get(
+                    snap["by_name"][n]["nsp"], "public"),
+                 snap["by_name"][n].get("disp", n),
+                 snap["owner_of"](n)[1], _definition(snap, n))
                 for n in sorted(engine.views)
             ],
             "schemaname string, viewname string, viewowner string,"
@@ -466,7 +504,10 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
         reg(
             "pg_matviews",
             [
-                ("public", n, _ROOT_UID, None, False, True,
+                (dict(snap["schemas"]).get(
+                    snap["by_name"][n]["nsp"], "public"),
+                 snap["by_name"][n].get("disp", n),
+                 snap["owner_of"](n)[0], None, False, True,
                  _definition(snap, n))
                 for n in sorted(engine.mv_handles)
             ],
@@ -541,41 +582,59 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
                 ("client_encoding", "UTF8", "client encoding", "user"),
                 ("standard_conforming_strings", "on", "literal syntax",
                  "internal"),
-                ("search_path", "\"$user\", public", "schema search order",
-                 "user"),
+                ("search_path",
+                 ", ".join(getattr(engine, "search_path", None)
+                           or ['"$user"', "public"]),
+                 "schema search order", "user"),
                 ("streaming_parallelism", str(par or ""),
                  "streaming job parallelism", "user"),
             ],
             "name string, setting string, short_desc string, context string",
         )
-    if want("pg_user") or want("pg_shadow"):
+    if want("pg_user") or want("pg_shadow") or want("pg_roles"):
+        # real catalog users (reference system_catalog/pg_catalog/
+        # pg_user.rs, pg_roles.rs over the meta user_info store)
+        from risingwave_spark import users as _users
+
+        ucat = [("root", {"oid": _ROOT_UID, "is_super": True,
+                          "can_create_db": True, "can_create_user": True,
+                          "can_login": True, "auth": None})]
+        ucat += sorted(_users.load_state(engine)["users"].items())
         if want("pg_user"):
             reg(
                 "pg_user",
-                [(_ROOT_UID, "root", True, True, "********")],
+                [(u["oid"], n, bool(u["can_create_db"]),
+                  bool(u["is_super"]), "********") for n, u in ucat],
                 "usesysid int, usename string, usecreatedb boolean,"
                 " usesuper boolean, passwd string",
             )
         if want("pg_shadow"):
+            # PG shows the md5 verifier in pg_shadow.passwd (never a
+            # plaintext — this engine stores verifiers only)
             reg(
                 "pg_shadow",
-                [("root", _ROOT_UID, True, True, True, False, "********",
-                  None, None)],
+                [(n, u["oid"], bool(u["can_create_db"]),
+                  bool(u["is_super"]), False, False,
+                  ("md5" + u["auth"]["md5"]) if u.get("auth") else None,
+                  None, None) for n, u in ucat],
                 "usename string, usesysid int, usecreatedb boolean,"
                 " usesuper boolean, userepl boolean, usebypassrls boolean,"
                 " passwd string, valuntil timestamp, useconfig array<string>",
             )
-    if want("pg_roles"):
-        reg(
-            "pg_roles",
-            [(_ROOT_UID, "root", True, True, True, True, True, False, -1,
-              None, False, "********")],
-            "oid int, rolname string, rolsuper boolean, rolinherit boolean,"
-            " rolcreaterole boolean, rolcreatedb boolean,"
-            " rolcanlogin boolean, rolreplication boolean, rolconnlimit int,"
-            " rolvaliduntil timestamp, rolbypassrls boolean,"
-            " rolpassword string",
-        )
+        if want("pg_roles"):
+            reg(
+                "pg_roles",
+                [(u["oid"], n, bool(u["is_super"]), True,
+                  bool(u["can_create_user"]), bool(u["can_create_db"]),
+                  bool(u["can_login"]), False, -1, None, False,
+                  "********") for n, u in ucat],
+                "oid int, rolname string, rolsuper boolean,"
+                " rolinherit boolean, rolcreaterole boolean,"
+                " rolcreatedb boolean, rolcanlogin boolean,"
+                " rolreplication boolean, rolconnlimit int,"
+                " rolvaliduntil timestamp, rolbypassrls boolean,"
+                " rolpassword string",
+            )
     # ---- information_schema (reference system_catalog/
     # information_schema/{tables,columns,views,schemata,
     # table_constraints,key_column_usage}.rs — registered under
@@ -588,9 +647,9 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
         reg(
             "information_schema_tables",
             [
-                ("dev", nsp_name[r["nsp"]], r["name"],
-                 "SYSTEM TABLE" if r["nsp"] != _PUBLIC_NSP
-                 else kind_name.get(r["kind"], "SOURCE"),
+                ("dev", nsp_name[r["nsp"]], r.get("disp", r["name"]),
+                 kind_name.get(r["kind"], "SOURCE") if r.get("user")
+                 else "SYSTEM TABLE",
                  "YES" if r["kind"] == "r" else "NO")
                 for r in snap["rels"]
                 if r["kind"] is not None
@@ -601,7 +660,7 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
     if want("information_schema_columns"):
         rows = []
         for r in snap["rels"]:
-            if r["nsp"] != _PUBLIC_NSP:
+            if not r.get("user"):
                 continue
             sch = _rel_schema(engine, r["name"])
             if sch is None:
@@ -609,7 +668,8 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
             for pos, f in enumerate(sch.fields, start=1):
                 toid, _ln, _nd = _spark_oid(f.dataType)
                 rows.append(
-                    ("dev", "public", r["name"], f.name, None, pos,
+                    ("dev", nsp_name[r["nsp"]], r.get("disp", r["name"]),
+                     f.name, None, pos,
                      "YES" if f.nullable else "NO",
                      _DISPLAY.get(toid, f.dataType.simpleString()))
                 )
@@ -796,7 +856,12 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
     # reference's bind-time resolution path for EXPLAIN/psql patterns)
     def _regclass(m: re.Match) -> str:
         name = lits[int(m.group(1))].strip("'").replace("''", "'")
-        rel = snap["by_name"].get(name.split(".")[-1])
+        if "." in name and not name.startswith("public."):
+            # 's.x'::regclass → the engine's mangled name
+            sch, base = name.split(".", 1)
+            rel = snap["by_name"].get(f"{sch}__{base}")
+        else:
+            rel = snap["by_name"].get(name.split(".")[-1])
         if rel is None:
             raise ValueError(f'relation "{name}" does not exist')
         return str(rel["oid"])
@@ -841,14 +906,65 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
             "BIGINT",
         )
 
+    def _unlit(s: str) -> str | None:
+        m = re.fullmatch(r"\s*\x00(\d+)\x00\s*", s)
+        return (lits[int(m.group(1))].strip("'").replace("''", "'")
+                if m else None)
+
+    def _has_priv(args):
+        """has_table_privilege / has_schema_privilege /
+        has_database_privilege over the REAL privilege catalog
+        (reference expr/impl has_privilege.rs resolves against
+        user_info the same way). Constant arguments only — the
+        reference binds these at frontend time too. 2-arg form
+        defaults to the session user; a trailing 'WITH GRANT OPTION'
+        in the privilege string checks the grant option bit."""
+        vals = [_unlit(x) for x in args]
+        if len(vals) == 3:
+            user, obj, priv = vals
+        elif len(vals) == 2:
+            user = getattr(engine, "session_user", "root")
+            obj, priv = vals
+        else:
+            return "NULL"
+        if obj is None or priv is None or user is None:
+            return "NULL"
+        if "." in obj:
+            sch, nm = obj.split(".", 1)
+            obj = nm if sch == "public" else f"{sch}__{nm}"
+        from risingwave_spark import users as _users
+
+        ok = False
+        for p in priv.split(","):
+            p = p.strip().upper()
+            wgo = p.endswith(" WITH GRANT OPTION")
+            if wgo:
+                p = p[: -len(" WITH GRANT OPTION")].strip()
+            if _users.has_privilege(engine, user, p, obj,
+                                    with_grant_option=wgo):
+                ok = True
+                break
+        return "TRUE" if ok else "FALSE"
+
+    # the session search_path decides current_schema/current_schemas
+    # (reference builtin_scalar.rs current_schema over SearchPath)
+    from risingwave_spark.frontend import effective_search_path
+
+    _path = effective_search_path(engine)
+
     const = {
         # builtin_scalar.rs:442-694 binds these as literals the same way
         "current_database": lambda a: "'dev'",
         "current_catalog": lambda a: "'dev'",
-        "current_schema": lambda a: "'public'",
+        "current_schema": lambda a: (
+            _sq(_path[0]) if _path else "CAST(NULL AS STRING)"),
         "current_schemas": lambda a: (
-            "array('pg_catalog', 'public')"
-            if a and a[0].strip().lower() == "true" else "array('public')"
+            "array(" + ", ".join(
+                [_sq("pg_catalog")] * bool(
+                    a and a[0].strip().lower() == "true")
+                + [_sq(s) for s in _path]) + ")"
+            if (_path or (a and a[0].strip().lower() == "true"))
+            else "array()"
         ),
         "current_setting": lambda a: "CAST(NULL AS STRING)",
         "version": lambda a: (
@@ -858,8 +974,16 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
         "pg_postmaster_start_time": lambda a: (
             f"timestamp_seconds({int(_start_time(engine))})"
         ),
+        # real user catalog (reference pg_get_userbyid.rs over user_info)
         "pg_get_userbyid": lambda a: _null_guard(
-            a[0] if a else "NULL", "'root'"
+            a[0] if a else "NULL",
+            "(CASE CAST((" + (a[0] if a else "NULL")
+            + ") AS INT) " + " ".join(
+                f"WHEN {u['oid']} THEN {_sq(n)}"
+                for n, u in sorted(
+                    _users.load_state(engine)["users"].items()))
+            + f" WHEN {_ROOT_UID} THEN 'root' ELSE 'unknown (OID=' || "
+            "CAST((" + (a[0] if a else "NULL") + ") AS STRING) || ')' END)",
         ),
         "pg_table_is_visible": lambda a: _null_guard(
             a[0] if a else "NULL", "TRUE", "BOOLEAN"
@@ -882,10 +1006,10 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
         "pg_is_in_recovery": lambda a: "FALSE",
         "pg_cancel_backend": lambda a: "FALSE",
         "pg_terminate_backend": lambda a: "FALSE",
-        "has_database_privilege": lambda a: "TRUE",
-        "has_table_privilege": lambda a: "TRUE",
-        "has_any_column_privilege": lambda a: "TRUE",
-        "has_schema_privilege": lambda a: "TRUE",
+        "has_database_privilege": _has_priv,
+        "has_table_privilege": _has_priv,
+        "has_any_column_privilege": _has_priv,
+        "has_schema_privilege": _has_priv,
         "obj_description": lambda a: "''",
         "shobj_description": lambda a: "''",
         "col_description": lambda a: "CAST(NULL AS STRING)",
@@ -896,12 +1020,15 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
 
     # parenless session keywords (PG grammar: these are keywords, not
     # calls — current_schema also parses both ways)
+    session_user = getattr(engine, "session_user", "root")
     masked = re.sub(
         r"\b(current_user|session_user|current_role)\b(?!\s*\()",
-        "'root'", masked, flags=re.I,
+        _sq(session_user), masked, flags=re.I,
     )
     masked = re.sub(
-        r"\bcurrent_schema\b(?!\s*\()", "'public'", masked, flags=re.I
+        r"\bcurrent_schema\b(?!\s*\()",
+        _sq(_path[0]) if _path else "CAST(NULL AS STRING)",
+        masked, flags=re.I,
     )
     masked = re.sub(
         r"\bcurrent_database\b(?!\s*\()", "'dev'", masked, flags=re.I

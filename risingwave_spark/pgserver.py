@@ -374,10 +374,29 @@ class PgWireServer:
                         startup[4:].rstrip(b"\x00").split(b"\x00"))] * 2)
                 )
                 who = params.get(b"user", b"").decode()
+                self._user = who
+                cred = None  # None → the bootstrap user's plaintext
                 if who != server.user:
-                    self._send_err(f'role "{who}" does not exist')
-                    return False
-                if not self._authenticate():
+                    # catalog users authenticate with their own stored
+                    # verifiers (reference user_authentication.rs;
+                    # CREATE USER ... PASSWORD); login flag honored
+                    from risingwave_spark import users as _users
+
+                    u = _users.get_user(server.engine, who)
+                    if u is None:
+                        self._send_err(f'role "{who}" does not exist')
+                        return False
+                    if not u.get("can_login"):
+                        self._send_err(
+                            f'role "{who}" is not permitted to log in')
+                        return False
+                    cred = u.get("auth")
+                    if cred is None and server.auth != "trust":
+                        self._send_err(
+                            "password authentication failed: role has "
+                            "no password")
+                        return False
+                if not self._authenticate(who, cred):
                     return False
                 self.request.sendall(_msg(b"R", struct.pack(">I", 0)))
                 for k, v in (
@@ -398,14 +417,24 @@ class PgWireServer:
                 self.request.sendall(_msg(b"Z", b"I"))
                 return True
 
-            def _authenticate(self) -> bool:
+            def _authenticate(self, who: str, cred: dict | None) -> bool:
+                """cred None → the bootstrap user (plaintext known to
+                the server); otherwise the catalog user's stored
+                verifiers (md5 hex + SCRAM keys) — the server never
+                sees a catalog password in the clear except in the
+                `password` (cleartext) mode, where it verifies against
+                the md5 verifier."""
                 if server.auth == "trust":
                     return True
+                md5hex = (hashlib.md5(
+                    (server.password + who).encode()).hexdigest()
+                    if cred is None else cred["md5"])
                 if server.auth == "password":
                     self.request.sendall(_msg(b"R", struct.pack(">I", 3)))
                     tag, payload = self._read_msg()
-                    if (tag != b"p" or payload.rstrip(b"\x00").decode()
-                            != server.password):
+                    got = payload.rstrip(b"\x00").decode()
+                    if (tag != b"p" or hashlib.md5(
+                            (got + who).encode()).hexdigest() != md5hex):
                         self._send_err("password authentication failed")
                         return False
                     return True
@@ -414,8 +443,8 @@ class PgWireServer:
                     self.request.sendall(
                         _msg(b"R", struct.pack(">I", 5) + salt))
                     tag, payload = self._read_msg()
-                    want = _md5_auth_response(
-                        server.user, server.password, salt)
+                    want = (b"md5" + hashlib.md5(
+                        md5hex.encode() + salt).hexdigest().encode())
                     if tag != b"p" or payload.rstrip(b"\x00") != want:
                         self._send_err("password authentication failed")
                         return False
@@ -463,8 +492,16 @@ class PgWireServer:
                     expect_cb = b""
                 cnonce = dict(
                     kv.split("=", 1) for kv in bare.split(","))["r"]
-                salt = os.urandom(16)
-                iters = 4096
+                if cred is None:
+                    salt = os.urandom(16)
+                    iters = 4096
+                else:
+                    # the catalog user's stored SCRAM verifier fixes
+                    # salt/iters (RFC 5802 server-first must replay
+                    # the verifier's salt or StoredKey can't match)
+                    sv = cred["scram"]
+                    salt = base64.b64decode(sv["salt"])
+                    iters = sv["iters"]
                 snonce = cnonce + base64.b64encode(os.urandom(12)).decode()
                 server_first = (
                     f"r={snonce},s={base64.b64encode(salt).decode()},"
@@ -493,8 +530,12 @@ class PgWireServer:
                 without_proof = client_final.rsplit(",p=", 1)[0]
                 auth_msg = ",".join(
                     [bare, server_first, without_proof]).encode()
-                _salted, _ckey, stored, skey = _scram_keys(
-                    server.password, salt, iters)
+                if cred is None:
+                    _salted, _ckey, stored, skey = _scram_keys(
+                        server.password, salt, iters)
+                else:
+                    stored = base64.b64decode(cred["scram"]["stored_key"])
+                    skey = base64.b64decode(cred["scram"]["server_key"])
                 try:
                     proof = base64.b64decode(attrs["p"], validate=True)
                 except Exception:
@@ -512,10 +553,34 @@ class PgWireServer:
                 return True
 
             # ------------------------------------------------- queries
+            def _engine_sql(self, stmt: str):
+                """engine.sql AS this connection's authenticated user
+                (the reference SessionImpl carries the UserId every
+                bind-time privilege check reads, privilege.rs). Must be
+                called under server._lock; the session user restores
+                after planning — privilege checks run at plan time."""
+                eng = server.engine
+                prev = getattr(eng, "session_user", "root")
+                prev_sp = getattr(eng, "search_path", None)
+                # the server's bootstrap user IS the initial superuser
+                # (reference DEFAULT_SUPER_USER): it acts as root
+                eng.session_user = (
+                    "root" if self._user == server.user else self._user)
+                # search_path is per-session state (reference
+                # SessionConfig): swap this connection's path in, and
+                # capture any SET search_path the statement performed
+                eng.search_path = getattr(self, "_search_path", None)
+                try:
+                    return eng.sql(stmt)
+                finally:
+                    self._search_path = getattr(eng, "search_path", None)
+                    eng.session_user = prev
+                    eng.search_path = prev_sp
+
             def _run(self, stmt: str) -> _Results:
                 """Engine.sql one statement → wire-ready results."""
                 with server._lock:
-                    df = server.engine.sql(stmt)
+                    df = self._engine_sql(stmt)
                     verb = _verb(stmt)
                     if verb in _ROWSET_VERBS:
                         cols = [
@@ -688,7 +753,7 @@ class PgWireServer:
                     bound = _bind_params(
                         sql, [None] * nparams, poids)
                     with server._lock:
-                        df = server.engine.sql(bound)
+                        df = self._engine_sql(bound)
                     cols = [(c, _dtype_oid(dt)) for c, dt in df.dtypes]
                 except Exception:  # noqa: BLE001 — shape unknown → NoData
                     return None

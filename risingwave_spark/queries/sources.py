@@ -721,6 +721,262 @@ def engine_pgwire_roundtrip(spark, sf_dir):
 
 
 @register(
+    "engine_privilege_cycle",
+    oracle="""
+SELECT 'q1_select_denied' AS step, 'permission denied' AS outcome
+UNION ALL
+SELECT 'q2_select_granted',
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 = 3)
+            AS VARCHAR)
+UNION ALL
+SELECT 'q3_insert_denied', 'permission denied'
+UNION ALL
+SELECT 'q4_insert_granted',
+       CAST((SELECT count(*) + 1 FROM orders WHERE o_orderkey % 7 = 3)
+            AS VARCHAR)
+UNION ALL
+SELECT 'q5_after_revoke', 'permission denied'
+ORDER BY step
+""",
+)
+def engine_privilege_cycle(spark, sf_dir):
+    """The privilege system end-to-end over the pgwire front door
+    (reference `handler/create_user.rs:111`,
+    `handler/handle_privilege.rs:201` grant / `:243` revoke, bind-time
+    checks `handler/privilege.rs`; `e2e_test/ddl/privilege.slt`): a
+    superuser session creates a table and a user over the wire; the
+    user's own authenticated session is denied, GRANTed (SELECT, then
+    INSERT), succeeds — the allowed read returning REAL aggregates
+    over TPC-H orders — then REVOKEd and denied again. Hash-matching
+    proves both the denial outcomes and the granted reads."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import PgWireClient
+
+    tables(spark, sf_dir)  # registers `orders` as a temp view
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_privq_"))
+    host, port = eng.start_pg_server(
+        user="root", password="rootpw", auth="scram-sha-256")
+    try:
+        boss = PgWireClient(host, port, "root", "rootpw", "dev")
+        boss.query(
+            "CREATE TABLE priv_orders (o_orderkey int8 PRIMARY KEY)")
+        boss.query(
+            "INSERT INTO priv_orders SELECT o_orderkey FROM orders "
+            "WHERE o_orderkey % 7 = 3")
+        boss.query("CREATE USER analyst WITH PASSWORD 'ap'")
+        emp = PgWireClient(host, port, "analyst", "ap", "dev")
+        out = []
+
+        def step(name, sql):
+            try:
+                _f, rows = emp.query(sql)
+                out.append((name, str(rows[0][0])))
+            except OSError as e:
+                msg = str(e)
+                out.append((name, "permission denied"
+                            if "permission denied" in msg else msg[:60]))
+
+        count_sql = "SELECT count(*) FROM priv_orders"
+        step("q1_select_denied", count_sql)
+        boss.query("GRANT SELECT ON priv_orders TO analyst")
+        step("q2_select_granted", count_sql)
+        step("q3_insert_denied", "INSERT INTO priv_orders VALUES (-1)")
+        boss.query("GRANT INSERT ON priv_orders TO analyst")
+        emp.query("INSERT INTO priv_orders VALUES (-1)")
+        step("q4_insert_granted", count_sql)
+        boss.query("REVOKE SELECT, INSERT ON priv_orders FROM analyst")
+        step("q5_after_revoke", count_sql)
+        emp.close()
+        boss.close()
+        return spark.createDataFrame(
+            out, "step string, outcome string").orderBy("step")
+    finally:
+        eng.stop_pg_server()
+
+
+@register(
+    "engine_connection_roundtrip",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey % 101 = 7 ORDER BY c_custkey
+""",
+)
+def engine_connection_roundtrip(spark, sf_dir):
+    """CREATE CONNECTION reused across a source AND a sink (reference
+    `handler/create_connection.rs:89`;
+    `e2e_test/source_inline/connection/ddl.slt`): a kafka connection —
+    its broker address held in a SECRET — feeds customer rows through
+    a producer, a connection-backed TABLE ingests them over the real
+    wire, and a SINK through the SAME connection writes them back out;
+    the returned rows are re-fetched from the sink topic, proving both
+    directions rode the shared connection config."""
+    import json as _json
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    t = tables(spark, sf_dir)
+    rows = [(r.c_custkey, r.c_name) for r in
+            t["customer"].filter("c_custkey % 101 = 7")
+            .select("c_custkey", "c_name").collect()]
+    br = LoopbackKafkaBroker().start()
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_connq_"))
+    try:
+        c = KafkaWireClient(br.host, br.port)
+        c.produce("conn_src", 0, [
+            (None, _json.dumps(
+                {"c_custkey": k, "c_name": n}).encode(), 1700000000000)
+            for k, n in rows])
+        c.close()
+        eng.sql("CREATE SECRET conn_sec WITH (backend = 'meta') AS "
+                f"'{br.host}:{br.port}'")
+        eng.sql("CREATE CONNECTION kconn WITH (type = 'kafka',"
+                " properties.bootstrap.server = secret conn_sec)")
+        eng.sql("CREATE TABLE conn_tbl (c_custkey int8 PRIMARY KEY,"
+                " c_name varchar) WITH (connector = 'kafka',"
+                " connection = kconn, topic = 'conn_src')"
+                " FORMAT PLAIN ENCODE JSON")
+        eng.sql("FLUSH")
+        eng.sql("CREATE MATERIALIZED VIEW conn_mv AS"
+                " SELECT c_custkey, c_name FROM conn_tbl")
+        eng.sql("CREATE SINK conn_snk FROM conn_mv WITH ("
+                " connector = 'kafka', connection = kconn,"
+                " topic = 'conn_out', force_append_only = 'true')"
+                " FORMAT PLAIN ENCODE JSON")
+        eng.sql("FLUSH")
+        c = KafkaWireClient(br.host, br.port)
+        recs, _hwm = c.fetch("conn_out", 0, 0)
+        c.close()
+        out = [_json.loads(v.decode()) for _o, _ts, _k, v in recs]
+        return spark.createDataFrame(
+            [(int(d["c_custkey"]), d["c_name"]) for d in out],
+            "c_custkey long, c_name string").orderBy("c_custkey")
+    finally:
+        br.stop()
+
+
+@register(
+    "engine_schema_admin",
+    oracle="""
+WITH n AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 5 = 1),
+     m AS (SELECT count(*) AS c FROM orders WHERE o_orderkey % 5 = 2)
+SELECT 'q1_owner' AS step, 'adm_t admin_u' AS outcome
+UNION ALL SELECT 'q2_moved', 'hr ' || CAST((SELECT c FROM n) AS VARCHAR)
+UNION ALL SELECT 'q3_swap_a', CAST((SELECT c FROM m) AS VARCHAR)
+UNION ALL SELECT 'q4_swap_b', CAST((SELECT c FROM n) AS VARCHAR)
+ORDER BY step
+""",
+)
+def engine_schema_admin(spark, sf_dir):
+    """Catalog administration end-to-end (reference
+    `handler/alter_owner.rs:54` OWNER TO, `alter_set_schema.rs:30`
+    SET SCHEMA, `alter_swap_rename.rs:49` SWAP WITH;
+    `e2e_test/ddl/alter_{owner,set_schema,swap_rename}.slt`): a table
+    seeded from TPC-H orders changes owner (verified through the
+    pg_class⋈pg_roles join of alter_owner.slt), moves into a schema
+    (verified by pg_tables + a qualified read of REAL aggregates), and
+    two seeded tables swap names (verified by their row counts trading
+    places)."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_admq_"))
+    eng.sql("CREATE USER admin_u")
+    eng.sql("CREATE SCHEMA hr")
+    eng.sql("CREATE TABLE adm_t (o_orderkey int8 PRIMARY KEY)")
+    eng.sql("INSERT INTO adm_t SELECT o_orderkey FROM orders"
+            " WHERE o_orderkey % 5 = 1")
+    eng.sql("ALTER TABLE adm_t OWNER TO admin_u")
+    owner_row = eng.sql(
+        "SELECT pg_class.relname AS r, pg_roles.rolname AS o FROM pg_class"
+        " JOIN pg_roles ON pg_roles.oid = pg_class.relowner"
+        " WHERE pg_class.relname = 'adm_t'").collect()[0]
+    out = [("q1_owner", f"{owner_row.r} {owner_row.o}")]
+    eng.sql("ALTER TABLE adm_t SET SCHEMA hr")
+    sch = eng.sql("SELECT schemaname FROM pg_tables"
+                  " WHERE tablename = 'adm_t'").collect()[0][0]
+    cnt = eng.sql("SELECT count(*) FROM hr.adm_t").collect()[0][0]
+    out.append(("q2_moved", f"{sch} {cnt}"))
+    eng.sql("CREATE TABLE swap_a (o_orderkey int8 PRIMARY KEY)")
+    eng.sql("INSERT INTO swap_a SELECT o_orderkey FROM orders"
+            " WHERE o_orderkey % 5 = 1")
+    eng.sql("CREATE TABLE swap_b (o_orderkey int8 PRIMARY KEY)")
+    eng.sql("INSERT INTO swap_b SELECT o_orderkey FROM orders"
+            " WHERE o_orderkey % 5 = 2")
+    eng.sql("ALTER TABLE swap_a SWAP WITH swap_b")
+    out.append(("q3_swap_a", str(
+        eng.sql("SELECT count(*) FROM swap_a").collect()[0][0])))
+    out.append(("q4_swap_b", str(
+        eng.sql("SELECT count(*) FROM swap_b").collect()[0][0])))
+    return spark.createDataFrame(
+        out, "step string, outcome string").orderBy("step")
+
+
+@register(
+    "engine_search_path",
+    oracle="""
+WITH a AS (SELECT count(*) AS c FROM lineitem WHERE l_orderkey % 11 = 3),
+     b AS (SELECT count(*) AS c FROM lineitem WHERE l_orderkey % 11 = 7)
+SELECT 'q1_path_b' AS step, CAST((SELECT c FROM b) AS VARCHAR) AS outcome
+UNION ALL SELECT 'q2_first_wins', CAST((SELECT c FROM a) AS VARCHAR)
+UNION ALL SELECT 'q3_created_in_path',
+    'spa ' || CAST((SELECT c FROM a) + (SELECT c FROM b) AS VARCHAR)
+UNION ALL SELECT 'q4_show', 'spa, no_such, spb'
+ORDER BY step
+""",
+)
+def engine_search_path(spark, sf_dir):
+    """search_path resolution (reference `binder/mod.rs:116,341`
+    SearchPath / first_valid_schema; `e2e_test/ddl/search_path.slt`):
+    unqualified reads resolve through the path in order (invalid
+    schemas skipped), an unqualified CREATE lands in the first valid
+    schema, SHOW search_path echoes the raw setting — all verified
+    with REAL lineitem aggregates so the hash proves the resolution
+    picked the right table."""
+    import tempfile as _tf
+
+    from risingwave_spark.api import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_spq_"))
+    eng.sql("CREATE SCHEMA spa")
+    eng.sql("CREATE SCHEMA spb")
+    eng.sql("CREATE TABLE spa.sp_t (l_orderkey int8, l_linenumber int4,"
+            " PRIMARY KEY (l_orderkey, l_linenumber))")
+    eng.sql("INSERT INTO spa.sp_t SELECT l_orderkey, l_linenumber"
+            " FROM lineitem WHERE l_orderkey % 11 = 3")
+    eng.sql("CREATE TABLE spb.sp_t (l_orderkey int8, l_linenumber int4,"
+            " PRIMARY KEY (l_orderkey, l_linenumber))")
+    eng.sql("INSERT INTO spb.sp_t SELECT l_orderkey, l_linenumber"
+            " FROM lineitem WHERE l_orderkey % 11 = 7")
+    out = []
+    eng.sql("SET search_path TO spb")
+    out.append(("q1_path_b", str(
+        eng.sql("SELECT count(*) FROM sp_t").collect()[0][0])))
+    eng.sql("SET search_path TO spa, no_such, spb")
+    out.append(("q2_first_wins", str(
+        eng.sql("SELECT count(*) FROM sp_t").collect()[0][0])))
+    # unqualified CREATE lands in spa (first valid), and a path read
+    # unions nothing — verify by inserting BOTH partitions there
+    eng.sql("CREATE TABLE sp_u (l_orderkey int8, l_linenumber int4,"
+            " PRIMARY KEY (l_orderkey, l_linenumber))")
+    eng.sql("INSERT INTO sp_u SELECT l_orderkey, l_linenumber"
+            " FROM lineitem WHERE l_orderkey % 11 IN (3, 7)")
+    where = "spa" if "spa__sp_u" in eng.tables else "NOT-spa"
+    out.append(("q3_created_in_path", f"{where} " + str(
+        eng.sql("SELECT count(*) FROM sp_u").collect()[0][0])))
+    out.append(("q4_show", eng.sql("SHOW search_path").collect()[0][0]))
+    return spark.createDataFrame(
+        out, "step string, outcome string").orderBy("step")
+
+
+@register(
     "src_kafka_upsert",
     oracle="""
 SELECT p_brand AS brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sz

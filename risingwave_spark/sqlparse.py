@@ -623,7 +623,16 @@ def _parse_with_options(p: _P) -> None:
         t = p.peek()
         if t is None or t.kind not in ("str", "num", "ident"):
             p.fail("expected option value literal")
-        p.eat()
+        if t.kind == "ident" and t.up == "SECRET":
+            # `opt = secret name [AS FILE|TEXT]` — a secret ref value
+            # (reference sqlparser with_option SecretRef)
+            p.eat()
+            p.ident("secret name")
+            if p.at("AS"):
+                p.eat()
+                p.eat()
+        else:
+            p.eat()
         if p.try_op(","):
             # trailing comma is legal (reference webhook
             # create_table.slt.part: `WITH ( connector = 'webhook', )`)
@@ -632,6 +641,117 @@ def _parse_with_options(p: _P) -> None:
             continue
         p.eat_op(")")
         return
+
+
+def _parse_user_options(p: _P) -> list:
+    """[WITH] SUPERUSER|NOSUPERUSER|CREATEDB|NOCREATEDB|CREATEUSER|
+    NOCREATEUSER|LOGIN|NOLOGIN|[ENCRYPTED] PASSWORD 'lit'|PASSWORD NULL
+    (reference parser.rs parse_[create|alter]_user / ast UserOption,
+    handler create_user.rs make_prost_user_info)."""
+    if p.at("WITH"):
+        p.eat()
+    opts: list = []
+    flags = ("SUPERUSER", "NOSUPERUSER", "CREATEDB", "NOCREATEDB",
+             "CREATEUSER", "NOCREATEUSER", "LOGIN", "NOLOGIN")
+    while p.peek() is not None and not (
+            p.peek().kind == "op" and p.peek().val == ";"):
+        if p.at(*flags):
+            opts.append((p.eat().up, None))
+            continue
+        if p.at("ENCRYPTED") or p.at("PASSWORD"):
+            if p.at("ENCRYPTED"):
+                p.eat()
+            p.eat_kw("PASSWORD")
+            t = p.peek()
+            if t is not None and t.kind == "str" and t.val.startswith("'"):
+                opts.append(("PASSWORD", p.eat().val[1:-1].replace("''", "'")))
+            elif p.at("NULL"):
+                p.eat()
+                opts.append(("PASSWORD", None))
+            else:
+                p.fail("expected a password string or NULL")
+            continue
+        if p.at("OAUTH"):
+            p.fail("OAUTH user options are not supported")
+        p.fail("unsupported user option")
+    return opts
+
+
+#: grantable actions (reference sqlparser ast Action; acl/mod.rs AclMode)
+_GRANT_ACTIONS = ("SELECT", "INSERT", "UPDATE", "DELETE", "CREATE",
+                  "CONNECT", "USAGE", "EXECUTE")
+
+
+def _parse_grant_objects(p: _P) -> None:
+    """The GrantObjects grammar (reference sqlparser parse_grant_revoke:
+    DATABASE/SCHEMA/[TABLE]/MATERIALIZED VIEW/SOURCE/SINK name lists and
+    the ALL <kind>S IN SCHEMA forms)."""
+    if p.at("ALL"):
+        p.eat()
+        if p.at_seq("MATERIALIZED", "VIEWS"):
+            p.eat(), p.eat()
+            kind = "mview"
+        elif p.at("TABLES", "SOURCES", "SINKS"):
+            kind = {"TABLES": "table", "SOURCES": "source",
+                    "SINKS": "sink"}[p.eat().up]
+        else:
+            p.fail("expected TABLES/SOURCES/SINKS/MATERIALIZED VIEWS")
+        p.eat_kw("IN")
+        p.eat_kw("SCHEMA")
+        p.ast["object_kind"] = kind
+        p.ast["in_schemas"] = [unquote_ident(p.ident("schema name"))]
+        while p.try_op(","):
+            p.ast["in_schemas"].append(unquote_ident(p.ident("schema name")))
+        return
+    if p.at("DATABASE", "SCHEMA", "SOURCE", "SINK"):
+        p.ast["object_kind"] = p.eat().up.lower()
+    elif p.at_seq("MATERIALIZED", "VIEW"):
+        p.eat(), p.eat()
+        p.ast["object_kind"] = "mview"
+    else:
+        if p.at("TABLE"):
+            p.eat()
+        p.ast["object_kind"] = "table"
+    p.ast["objects"] = [unquote_ident(p.ident("object name"))]
+    while p.try_op(","):
+        p.ast["objects"].append(unquote_ident(p.ident("object name")))
+
+
+def _parse_grant_revoke(p: _P, verb: str) -> str:
+    """GRANT privileges ON objects TO users [WITH GRANT OPTION]
+    [GRANTED BY user] / REVOKE [GRANT OPTION FOR] privileges ON objects
+    FROM users [GRANTED BY user] [CASCADE|RESTRICT] (reference
+    sqlparser parse_grant / parse_revoke; handler
+    handle_privilege.rs:201,243; e2e_test/ddl/privilege.slt)."""
+    p.eat_kw(verb)
+    if verb == "REVOKE" and p.at_seq("GRANT", "OPTION", "FOR"):
+        p.eat(), p.eat(), p.eat()
+        p.ast["grant_option_for"] = True
+    if p.at("ALL"):
+        p.eat()
+        if p.at("PRIVILEGES"):
+            p.eat()
+        p.ast["actions"] = ["ALL"]
+    else:
+        p.ast["actions"] = [p.eat_kw(*_GRANT_ACTIONS).up]
+        while p.try_op(","):
+            p.ast["actions"].append(p.eat_kw(*_GRANT_ACTIONS).up)
+    p.eat_kw("ON")
+    _parse_grant_objects(p)
+    p.eat_kw("TO" if verb == "GRANT" else "FROM")
+    p.ast["users"] = [unquote_ident(p.ident("user name"))]
+    while p.try_op(","):
+        p.ast["users"].append(unquote_ident(p.ident("user name")))
+    if verb == "GRANT" and p.at_seq("WITH", "GRANT", "OPTION"):
+        p.eat(), p.eat(), p.eat()
+        p.ast["grant_option"] = True
+    if p.at_seq("GRANTED", "BY"):
+        p.eat(), p.eat()
+        p.ast["granted_by"] = unquote_ident(p.ident("user name"))
+    if verb == "REVOKE" and p.at("CASCADE", "RESTRICT"):
+        p.ast["revoke_mode"] = p.eat().up
+    p.expect_done(verb)
+    return verb.lower()
 
 
 def _rest_is_query(p: _P, ctx: str) -> None:
@@ -663,6 +783,14 @@ def _parse_create(p: _P) -> str:
         p.eat_kw("REPLACE")
         if not p.at("VIEW"):
             p.fail("OR REPLACE is only supported for CREATE VIEW")
+    if p.at("USER"):
+        # CREATE USER name [WITH] options (reference parser.rs
+        # parse_create_user / ast UserOption; handler/create_user.rs)
+        p.eat()
+        p.ast["name"] = unquote_ident(p.ident("user name"))
+        p.ast["options"] = _parse_user_options(p)
+        p.expect_done("CREATE USER")
+        return "create_user"
     if p.at("TABLE"):
         p.eat()
         _skip_if_not_exists(p)
@@ -932,6 +1060,20 @@ def _parse_create(p: _P) -> str:
             p.ident("owner name")
         p.expect_done("CREATE SCHEMA")
         return "create_schema"
+    if p.at("CONNECTION"):
+        # CREATE CONNECTION [IF NOT EXISTS] name WITH (type = ..., ...)
+        # (reference handler/create_connection.rs:89,
+        # e2e_test/source_inline/connection/ddl.slt)
+        p.eat()
+        _skip_if_not_exists(p)
+        p.ast["name"] = unquote_ident(p.ident("connection name"))
+        if not p.at("WITH"):
+            p.fail("CREATE CONNECTION requires a WITH clause")
+        i0 = p.i
+        _parse_with_options(p)
+        p.ast["with"] = p.span(i0 + 2, p.i - 1)
+        p.expect_done("CREATE CONNECTION")
+        return "create_connection"
     if p.at("SECRET"):
         # CREATE SECRET name [WITH (...)] [AS <literal>] (reference
         # handler/create_secret.rs; sqlparser ast/statement.rs:858
@@ -1114,6 +1256,32 @@ def classify_ast(stmt: str) -> tuple[str, dict]:
     return kind, p.ast
 
 
+def _try_alter_admin_verbs(p: _P) -> str | None:
+    """The catalog-administration tails shared by every ALTER <kind> x:
+    OWNER TO user (reference `handler/alter_owner.rs:54`), SET SCHEMA s
+    (`alter_set_schema.rs:30`), SWAP WITH y (`alter_swap_rename.rs:49`;
+    e2e_test/ddl/{alter_owner,alter_set_schema,alter_swap_rename}.slt).
+    Returns the statement kind, or None when the tail is none of the
+    three (the caller continues with RENAME/ADD/DROP/SET ...)."""
+    if p.at("OWNER"):
+        p.eat()
+        p.eat_kw("TO")
+        p.ast["new_owner"] = unquote_ident(p.ident("user name"))
+        p.expect_done("ALTER ... OWNER TO")
+        return "alter_owner"
+    if p.at_seq("SET", "SCHEMA"):
+        p.eat(), p.eat()
+        p.ast["new_schema"] = unquote_ident(p.ident("schema name"))
+        p.expect_done("ALTER ... SET SCHEMA")
+        return "alter_set_schema"
+    if p.at_seq("SWAP", "WITH"):
+        p.eat(), p.eat()
+        p.ast["other"] = unquote_ident(p.ident("object name"))
+        p.expect_done("ALTER ... SWAP WITH")
+        return "alter_swap"
+    return None
+
+
 def _classify_p(p: _P) -> str:
     toks = p.toks
     head = toks[0]
@@ -1124,8 +1292,24 @@ def _classify_p(p: _P) -> str:
     h = head.up
     if h == "CREATE":
         return _parse_create(p)
+    if h in ("GRANT", "REVOKE"):
+        return _parse_grant_revoke(p, h)
     if h == "ALTER":
         p.eat()
+        if p.at("USER"):
+            # ALTER USER name [WITH] options | RENAME TO new (reference
+            # parser.rs parse_alter_user, handler/alter_user.rs)
+            p.eat()
+            p.ast["name"] = unquote_ident(p.ident("user name"))
+            if p.at("RENAME"):
+                p.eat()
+                p.eat_kw("TO")
+                p.ast["new_name"] = unquote_ident(p.ident("user name"))
+                p.expect_done("ALTER USER")
+                return "alter_user"
+            p.ast["options"] = _parse_user_options(p)
+            p.expect_done("ALTER USER")
+            return "alter_user"
         if p.at("SYSTEM"):
             # ALTER SYSTEM SET param = value (reference alter_system.rs)
             p.eat()
@@ -1160,7 +1344,18 @@ def _classify_p(p: _P) -> str:
             p.ast["value"] = p.eat().val
             p.expect_done("ALTER SECRET")
             return "alter_secret"
-        if p.at("MATERIALIZED") or p.at("VIEW", "SOURCE", "SINK"):
+        if p.at("SCHEMA", "DATABASE"):
+            # ALTER SCHEMA|DATABASE x OWNER TO user (reference
+            # handler/alter_owner.rs, e2e_test/ddl/alter_owner.slt)
+            p.ast["kind"] = p.eat().up
+            p.ast["old"] = unquote_ident(p.ident("object name"))
+            p.eat_kw("OWNER")
+            p.eat_kw("TO")
+            p.ast["new_owner"] = unquote_ident(p.ident("user name"))
+            p.expect_done("ALTER ... OWNER TO")
+            return "alter_owner"
+        if p.at("MATERIALIZED") or p.at("VIEW", "SOURCE", "SINK",
+                                        "SUBSCRIPTION"):
             # ALTER <kind> x RENAME TO y (reference alter_rename.slt)
             if p.at("MATERIALIZED"):
                 p.eat()
@@ -1169,6 +1364,9 @@ def _classify_p(p: _P) -> str:
             else:
                 p.ast["kind"] = p.eat().up
             p.ast["old"] = unquote_ident(p.ident("object name"))
+            admin = _try_alter_admin_verbs(p)
+            if admin:
+                return admin
             if p.at("SET") and p.ast["kind"] == "MATERIALIZED VIEW":
                 # ALTER MATERIALIZED VIEW m SET BACKFILL_RATE_LIMIT = N
                 # (reference rate_limit/alter_rate_limit.slt — raising a
@@ -1194,6 +1392,9 @@ def _classify_p(p: _P) -> str:
         p.eat()
         p.ast["kind"] = "TABLE"
         p.ast["old"] = p.ast["table"] = unquote_ident(p.ident("table name"))
+        admin = _try_alter_admin_verbs(p)
+        if admin:
+            return admin
         if p.at("RENAME"):
             p.eat()
             p.eat_kw("TO")
@@ -1235,6 +1436,15 @@ def _classify_p(p: _P) -> str:
         p.fail("expected ADD COLUMN or DROP COLUMN")
     if h == "DROP":
         p.eat()
+        if p.at("USER"):
+            # DROP USER [IF EXISTS] name (reference handler/drop_user.rs)
+            p.eat()
+            if p.at_seq("IF", "EXISTS"):
+                p.eat(), p.eat()
+                p.ast["if_exists"] = True
+            p.ast["name"] = unquote_ident(p.ident("user name"))
+            p.expect_done("DROP USER")
+            return "drop_user"
         if p.at("DATABASE"):
             p.eat()
             if p.at_seq("IF", "EXISTS"):
@@ -1264,6 +1474,17 @@ def _classify_p(p: _P) -> str:
             p.ast["name"] = unquote_ident(p.ident("secret name"))
             p.expect_done("DROP SECRET")
             return "drop_secret"
+        if p.at("CONNECTION"):
+            # DROP CONNECTION [IF EXISTS] name (reference
+            # handler/drop_connection.rs)
+            p.eat()
+            if p.at_seq("IF", "EXISTS"):
+                p.eat()
+                p.eat()
+                p.ast["if_exists"] = True
+            p.ast["name"] = unquote_ident(p.ident("connection name"))
+            p.expect_done("DROP CONNECTION")
+            return "drop_connection"
         if p.at("FUNCTION", "AGGREGATE"):
             # reference parser.rs parse_drop_function: optional IF EXISTS
             # and an optional argument-type signature; the verb is kept

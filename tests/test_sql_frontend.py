@@ -1271,6 +1271,30 @@ def test_explain_never_executes_ddl(eng):
     assert _rows(eng.sql("SELECT * FROM ex")) == []  # NOT executed
 
 
+def test_explain_names_udf_runtime(eng):
+    """EXPLAIN surfaces the runtime of every UDF a statement calls
+    (reference explain.rs names the UDF language per call site): a JS
+    UDF in an MV body must be VISIBLE as the interpreter the user is
+    opting into."""
+    eng.sql("CREATE TABLE exu (k int8 PRIMARY KEY, v int8)")
+    eng.sql("CREATE FUNCTION exu_js(x int) RETURNS int"
+            " LANGUAGE javascript AS $$ return x * 2; $$")
+    eng.sql("CREATE FUNCTION exu_py(x int) RETURNS int"
+            " LANGUAGE python AS $$\ndef exu_py(x):\n    return x * 2\n$$")
+    plan = "\n".join(r.plan for r in eng.sql(
+        "EXPLAIN CREATE MATERIALIZED VIEW exumv AS"
+        " SELECT k, exu_js(v) AS j, exu_py(v) AS p FROM exu"
+    ).collect())
+    assert "== UDF Runtimes ==" in plan
+    assert "exu_js: LANGUAGE javascript" in plan
+    assert "interpreter" in plan  # the cost is named, not hidden
+    assert "exu_py: LANGUAGE python" in plan
+    # statements with no UDFs get no block
+    plan2 = "\n".join(r.plan for r in eng.sql(
+        "EXPLAIN SELECT k FROM exu").collect())
+    assert "UDF Runtimes" not in plan2
+
+
 def test_distinct_mv_and_set_timezone(eng, spark):
     """SELECT DISTINCT MVs compile onto the group-agg path (DISTINCT ≡
     GROUP BY all columns); SET TIME ZONE maps to the Spark session tz."""
