@@ -2859,10 +2859,67 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
         finally:
             engine._replaying = False
         return _status(spark, "ALTER_SOURCE")
-    raise ValueError(
-        "ALTER SINK ... RENAME is not supported: the sink's durable "
-        "subscription cursor is keyed by its name (drop and recreate)"
-    )
+    if kind == "SINK":
+        # the sink's durable cursor (CURSOR___sink_<name> in the
+        # upstream changelog dir) moves WITH the rename, so delivery
+        # resumes exactly where it left off — no re-bootstrap, no
+        # duplicate emission (reference alter_rename.rs renames the
+        # sink catalog entry; the log reader state is actor-held there)
+        if old not in engine.sinks:
+            raise ValueError(f"ALTER SINK target {old!r} is not a sink")
+        if f"__sinkq_{old}" in engine.mv_handles:
+            raise ValueError(
+                "ALTER SINK ... RENAME is not supported for "
+                "sink-from-query (its internal MV state is keyed by "
+                "the sink name; drop and recreate)")
+        stmts = rewrite_catalog(
+            rf"^(\s*CREATE\s+SINK\s+(?:IF\s+NOT\s+EXISTS\s+)?){old}\b")
+        if not stmts:
+            raise ValueError(
+                f"sink {old!r} was not created through the SQL surface "
+                "— rename is only supported for recorded DDL")
+        sink = engine.sinks.pop(old)
+        sub = getattr(sink, "sub", None)
+        if sub is not None and os.path.exists(sub._cursor_file):
+            os.rename(sub._cursor_file,
+                      os.path.join(sub.dir, f"CURSOR___sink_{new}"))
+        engine._replaying = True
+        try:
+            for s in stmts:
+                _execute_one(engine, s)
+        finally:
+            engine._replaying = False
+        return _status(spark, "ALTER_SINK")
+    if kind == "SUBSCRIPTION":
+        subs = getattr(engine, "subscriptions", {})
+        if old not in subs:
+            raise ValueError(
+                f"ALTER SUBSCRIPTION target {old!r} is not a "
+                "subscription")
+        if f"__subq_{old}" in engine.mv_handles:
+            raise ValueError(
+                "ALTER SUBSCRIPTION ... RENAME is not supported for "
+                "table-backed subscriptions (the passthrough MV is "
+                "keyed by the subscription name; drop and recreate)")
+        stmts = rewrite_catalog(
+            rf"^(\s*CREATE\s+SUBSCRIPTION\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
+            rf"{old}\b")
+        if not stmts:
+            raise ValueError(
+                f"subscription {old!r} was not created through the SQL "
+                "surface — rename is only supported for recorded DDL")
+        sub = subs.pop(old)
+        if os.path.exists(sub._cursor_file):
+            os.rename(sub._cursor_file,
+                      os.path.join(sub.dir, f"CURSOR_{new}"))
+        engine._replaying = True
+        try:
+            for s in stmts:
+                _execute_one(engine, s)
+        finally:
+            engine._replaying = False
+        return _status(spark, "ALTER_SUBSCRIPTION")
+    raise ValueError(f"ALTER {kind} ... RENAME is not supported")
 
 
 def _alter_target_exists(engine: "Engine", kind: str, name: str) -> bool:
@@ -2963,16 +3020,13 @@ def _handle_alter_swap(engine: "Engine", ast: dict) -> DataFrame:
     from risingwave_spark import users as _u
 
     kind, a, b = ast["kind"], ast["old"], ast["other"]
-    if kind in ("SINK", "SUBSCRIPTION"):
-        raise ValueError(
-            f"ALTER {kind} ... SWAP WITH is not supported: the durable "
-            "cursor state is keyed by object name (drop and recreate)")
     if not _alter_target_exists(engine, kind, a):
         raise ValueError(f"{kind.lower()} {a!r} not found")
     if not _alter_target_exists(engine, kind, b):
         all_names = set()
         for ns in (engine.tables, engine.mv_handles, engine.views,
-                   engine.sources, engine.sinks):
+                   engine.sources, engine.sinks,
+                   getattr(engine, "subscriptions", {})):
             all_names.update(ns)
         if b in all_names:
             # exists, but as another kind (alter_swap_rename.slt:

@@ -155,9 +155,65 @@ def test_alter_swap_tables_mvs_views(eng):
     assert got == [1, 3]
 
 
-def test_alter_swap_sink_refused(eng):
-    with pytest.raises(ValueError, match="not supported"):
+def test_alter_swap_missing_sink(eng):
+    with pytest.raises(ValueError, match="not found"):
         eng.sql("ALTER SINK s1 SWAP WITH s2")
+
+
+# -------------------------------------------------- sink/sub rename
+def test_alter_sink_rename_keeps_cursor(eng):
+    """ALTER SINK ... RENAME moves the durable delivery cursor with the
+    name: rows emitted before the rename are NOT re-emitted after it
+    (exactly-once across the rename)."""
+    import json
+
+    from risingwave_spark.sources.kafka_broker import LoopbackKafkaBroker
+    from risingwave_spark.sources.kafka_wire import KafkaWireClient
+
+    br = LoopbackKafkaBroker().start()
+    try:
+        eng.sql("CREATE TABLE skr (a INT PRIMARY KEY)")
+        eng.sql("CREATE MATERIALIZED VIEW skr_mv AS SELECT a FROM skr")
+        eng.sql("INSERT INTO skr VALUES (1), (2)")
+        eng.sql(
+            "CREATE SINK skr_snk FROM skr_mv WITH (connector = 'kafka',"
+            f" properties.bootstrap.server = '{br.host}:{br.port}',"
+            " topic = 'skr_out', force_append_only = 'true')"
+            " FORMAT PLAIN ENCODE JSON")
+        eng.sql("FLUSH")
+        eng.sql("ALTER SINK skr_snk RENAME TO skr_snk2")
+        assert "skr_snk2" in eng.sinks and "skr_snk" not in eng.sinks
+        eng.sql("INSERT INTO skr VALUES (3)")
+        eng.sql("FLUSH")
+        c = KafkaWireClient(br.host, br.port)
+        try:
+            recs, _ = c.fetch("skr_out", 0, 0)
+        finally:
+            c.close()
+        vals = sorted(json.loads(v.decode())["a"]
+                      for _o, _t, _k, v in recs)
+        assert vals == [1, 2, 3]  # no duplicates across the rename
+    finally:
+        br.stop()
+
+
+def test_alter_subscription_rename_keeps_cursor(eng):
+    eng.sql("CREATE TABLE sbr (a INT PRIMARY KEY)")
+    eng.sql("CREATE MATERIALIZED VIEW sbr_mv AS SELECT a FROM sbr")
+    eng.sql("CREATE SUBSCRIPTION sbr_sub FROM sbr_mv"
+            " WITH (retention = '1D')")
+    eng.sql("INSERT INTO sbr VALUES (1)")
+    # consume + commit the first chunk under the OLD name
+    rows = eng.sql("DECLARE c1 SUBSCRIPTION CURSOR FOR sbr_sub").collect()
+    eng.sql("ALTER SUBSCRIPTION sbr_sub RENAME TO sbr_sub2")
+    subs = getattr(eng, "subscriptions", {})
+    assert "sbr_sub2" in subs and "sbr_sub" not in subs
+    eng.sql("INSERT INTO sbr VALUES (2)")
+    got = subs["sbr_sub2"].fetch()
+    assert got is not None
+    frame, _token = got
+    vals = sorted(r.a for r in frame.collect())
+    assert 2 in vals  # the new chunk arrives under the new name
 
 
 # ----------------------------------------------------------- search_path
