@@ -10063,6 +10063,9 @@ def _resolve_grant_objects(engine: "Engine", ast: dict) -> list[str]:
         "mview": engine.mv_handles,
         "source": engine.sources,
         "sink": engine.sinks,
+        "function": getattr(engine, "functions", {}),
+        "connection": _load_connections(engine),
+        "subscription": getattr(engine, "subscriptions", {}),
     }
     if "in_schemas" in ast:
         for s in ast["in_schemas"]:
@@ -10202,6 +10205,18 @@ def _referenced_relations(engine: "Engine", sql_text: str) -> list[str]:
     return rels
 
 
+def _referenced_functions(engine: "Engine", sql_text: str) -> list[str]:
+    """Registered UDFs a statement calls — EXECUTE is checked per call
+    site for non-superusers (reference privilege.rs resolves Function
+    objects with AclMode::Execute)."""
+    fns = getattr(engine, "functions", None)
+    if not fns:
+        return []
+    masked, _lits = _mask_strings(sql_text)
+    words = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", masked)}
+    return [n for n in fns if n.lower() in words]
+
+
 def _enforce_privileges(engine: "Engine", kind: str, ast: dict,
                         stmt: str) -> None:
     """Bind-time privilege checks for a non-superuser session user
@@ -10236,6 +10251,8 @@ def _enforce_privileges(engine: "Engine", kind: str, ast: dict,
                     "create_sink"):
             for rel in _referenced_relations(engine, ast.get("body") or ""):
                 _u.check(engine, me, "SELECT", rel, "relation")
+            for fn in _referenced_functions(engine, ast.get("body") or ""):
+                _u.check(engine, me, "EXECUTE", fn, "function")
     elif kind in ("drop", "drop_function", "drop_secret"):
         name = ast["name"]
         if _u.get_owner(engine, name) != me:
@@ -10287,6 +10304,8 @@ def _enforce_adhoc_privileges(engine: "Engine", stmt: str) -> None:
         return
     for rel in _referenced_relations(engine, stmt):
         _u.check(engine, me, "SELECT", rel, "relation")
+    for fn in _referenced_functions(engine, stmt):
+        _u.check(engine, me, "EXECUTE", fn, "function")
 
 
 def _handle_drop_function(engine: "Engine", ast: dict) -> DataFrame:

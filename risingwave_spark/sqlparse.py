@@ -703,7 +703,8 @@ def _parse_grant_objects(p: _P) -> None:
         while p.try_op(","):
             p.ast["in_schemas"].append(unquote_ident(p.ident("schema name")))
         return
-    if p.at("DATABASE", "SCHEMA", "SOURCE", "SINK"):
+    if p.at("DATABASE", "SCHEMA", "SOURCE", "SINK", "FUNCTION",
+            "CONNECTION", "SUBSCRIPTION"):
         p.ast["object_kind"] = p.eat().up.lower()
     elif p.at_seq("MATERIALIZED", "VIEW"):
         p.eat(), p.eat()

@@ -339,3 +339,29 @@ def test_pgserver_grant_over_the_wire(spark, eng):
         emp.query("SELECT * FROM t")
     boss.close()
     emp.close()
+
+
+def test_execute_privilege_on_functions(eng):
+    """EXECUTE on UDFs (reference acl: Function objects take
+    AclMode::Execute; privilege.rs checks it per call site)."""
+    eng.sql("CREATE USER runner")
+    eng.sql("CREATE TABLE ft (a int8 PRIMARY KEY)")
+    eng.sql("INSERT INTO ft VALUES (3)")
+    eng.sql("GRANT SELECT ON ft TO runner")
+    eng.sql("CREATE FUNCTION fx(x int8) RETURNS int8 LANGUAGE sql"
+            " AS 'SELECT x * 2'")
+    with pytest.raises(PermissionError, match="permission denied"):
+        _as(eng, "runner", "SELECT fx(a) FROM ft")
+    eng.sql("GRANT EXECUTE ON FUNCTION fx TO runner")
+    assert _as(eng, "runner", "SELECT fx(a) AS r FROM ft").collect()[0][0] == 6
+    eng.sql("REVOKE EXECUTE ON FUNCTION fx FROM runner")
+    with pytest.raises(PermissionError, match="permission denied"):
+        _as(eng, "runner", "SELECT fx(a) FROM ft")
+    # EXECUTE is also required to CREATE an MV over the function
+    eng.sql("GRANT CREATE ON SCHEMA public TO runner")
+    with pytest.raises(PermissionError, match="permission denied"):
+        _as(eng, "runner",
+            "CREATE MATERIALIZED VIEW fmv AS SELECT a, fx(a) AS r FROM ft")
+    # invalid mode for the object kind is the reference's error text
+    with pytest.raises(ValueError, match="Invalid privilege type"):
+        eng.sql("GRANT SELECT ON FUNCTION fx TO runner")
