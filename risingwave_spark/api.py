@@ -1235,11 +1235,20 @@ class Engine:
                 return str(lim)
             return self.spark.conf.get("BACKFILL_RATE_LIMIT", None)
 
+        def _check_cancel():
+            # CANCEL JOBS (reference cancel_job.rs → meta
+            # cancel_creating_jobs): cooperative — checked between
+            # slices and while parked, so a cancel lands within one
+            # slice's work
+            if name in getattr(self, "_cancelled_jobs", set()):
+                raise RuntimeError(f"backfill of {name!r} cancelled")
+
         # rate 0 parks the backfill until an ALTER raises it (reference
         # alter_rate_limit.slt: CREATE ... with (backfill_rate_limit=0)
         # under BACKGROUND_DDL shows 0% until the ALTER) — poll the live
         # limit; chunk sizing waits for the first non-zero value
         while _effective_rate() == "0":
+            _check_cancel()
             time.sleep(0.05)
 
         k = int(self.spark.conf.get("rw.backfill_chunks", "1"))
@@ -1264,6 +1273,7 @@ class Engine:
             except (ValueError, KeyError):
                 pass
         if k <= 1:
+            _check_cancel()
             mv.apply_batch(with_ops(backfill, 1))
             return
         pk_cols = [row_id] if isinstance(row_id, str) else list(row_id)
@@ -1278,7 +1288,9 @@ class Engine:
         for i in range(k):
             if i in done:
                 continue
+            _check_cancel()
             while _effective_rate() == "0":  # ALTER to 0 pauses mid-backfill
+                _check_cancel()
                 time.sleep(0.05)
             chunk = backfill.filter(
                 F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(k)) == i

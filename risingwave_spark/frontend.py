@@ -2922,6 +2922,65 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
     raise ValueError(f"ALTER {kind} ... RENAME is not supported")
 
 
+def _handle_alter_source_add_column(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER SOURCE s ADD COLUMN v type (reference
+    `handler/alter_source_column.rs`;
+    `e2e_test/source_inline/kafka/alter/add_column.slt`): the declared
+    column list in the recorded DDL extends, and the source rebuilds by
+    replaying the rewritten statement — existing rows decode the new
+    field when the payload carries it, NULL otherwise (permissive JSON
+    decode, exactly the reference's semantics). A connector-backed
+    TABLE is redirected to ALTER TABLE, verbatim reference error."""
+    name, col, typ = ast["old"], ast["column"], ast["coltype"].strip()
+    if name not in engine.sources:
+        if name in engine.tables:
+            raise ValueError(
+                "cannot alter a table with a connector using ALTER "
+                "SOURCE; try to use ALTER TABLE instead")
+        raise ValueError(f"source {name!r} does not exist")
+    entries = engine._read_catalog()
+    hit = [e for e in entries if e["name"] == name]
+    if not hit:
+        raise ValueError(
+            f"source {name!r} was not created through the SQL surface")
+    stmt0 = hit[0]["stmt"]
+    m = re.match(
+        r"(?is)^(\s*CREATE\s+SOURCE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.\"]+"
+        r"\s*\()(.*)$", stmt0)
+    if not m:
+        raise ValueError(
+            f"source {name!r} has no declared column list (schema comes "
+            "from the format; ADD COLUMN needs declared columns)")
+    head, rest = m.group(1), m.group(2)
+    depth, i = 1, 0
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    cols_txt = rest[:i]
+    if re.search(rf"(?i)(?:^|,)\s*\"?{re.escape(col)}\"?\s", cols_txt + " "):
+        raise ValueError(f"column {col!r} of source {name!r} already exists")
+    new_stmt = f"{head}{cols_txt}, {col} {typ}{rest[i:]}"
+    for e in entries:
+        if e["name"] == name:
+            e["stmt"] = new_stmt
+    engine._write_catalog(entries)
+    engine.sources.pop(name)
+    try:
+        engine.spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    engine._replaying = True
+    try:
+        _execute_one(engine, new_stmt)
+    finally:
+        engine._replaying = False
+    return _status(engine.spark, "ALTER_SOURCE")
+
+
 def _alter_target_exists(engine: "Engine", kind: str, name: str) -> bool:
     """Kind-checked catalog membership for the ALTER admin verbs
     (reference alter_owner.rs resolves through the typed catalog — an
@@ -10392,6 +10451,7 @@ _AST_DISPATCH = {
     "drop": _handle_drop,
     "alter_rename": _handle_alter_rename,
     "alter_owner": _handle_alter_owner,
+    "alter_source_add_column": _handle_alter_source_add_column,
     "alter_set_schema": _handle_alter_set_schema,
     "alter_swap": _handle_alter_swap,
     "declare": _handle_declare,
@@ -10607,9 +10667,12 @@ def _execute_one(engine: "Engine", stmt: str) -> DataFrame:
         return _txn_end(engine)
     if re.match(r"^\s*DISCARD\s+ALL\s*;?\s*$", stmt, re.I):
         # reference Statement::Discard (PG session reset): prepared
-        # statements and cursors die; durable objects stay
+        # statements, cursors, search_path and the current database
+        # reset; durable objects stay
         engine.prepared.clear()
         getattr(engine, "cursors", {}).clear()
+        engine.search_path = None
+        engine.current_db = "dev"
         return _status(engine.spark, "DISCARD_ALL")
     if re.match(r"^\s*(PREPARE|EXECUTE|DEALLOCATE)\b", stmt, re.I):
         out = _handle_prepare_execute(engine, stmt)
@@ -10843,6 +10906,58 @@ def _execute_tail(engine: "Engine", stmt: str) -> DataFrame:
             }[kind]
         )
         return engine.spark.createDataFrame([(n,) for n in names] or [], "name string")
+    m = re.match(r"^\s*KILL\s+'?(\d+)'?\s*;?\s*$", stmt, re.I)
+    if m:
+        # KILL <process_id> (reference `handler/kill_process.rs`:
+        # session id = (pid, pid); SessionNotFound when absent)
+        pid = int(m.group(1))
+        srv = getattr(engine, "_pg_server", None)
+        if srv is None or not srv.kill_session(pid):
+            raise ValueError(f"session {pid} not found")
+        return _status(engine.spark, "KILL")
+    m = re.match(r"^\s*USE\s+(\w+)\s*;?\s*$", stmt, re.I)
+    if m:
+        # USE <db> (reference `handler/use_db.rs`): validates the
+        # database and switches the session's current database —
+        # current_database()/pg_stat_activity reflect it. Objects are
+        # not database-isolated in this engine (single-catalog,
+        # documented divergence; schemas cover qualified names).
+        db = m.group(1)
+        if db != "dev" and db not in getattr(engine, "databases", set()):
+            raise ValueError(f'database "{db}" does not exist')
+        engine.current_db = db
+        return _status(engine.spark, "USE")
+    m = re.match(r"^\s*CANCEL\s+JOBS?\s+(.+?)\s*;?\s*$", stmt, re.I)
+    if m:
+        # CANCEL JOBS <job, ...> (reference `handler/cancel_job.rs` →
+        # meta cancel_creating_jobs; returns the canceled Ids). Jobs
+        # here are keyed by the creating MV's name (what SHOW JOBS
+        # prints — documented divergence from the reference's numeric
+        # ids, which come from its meta catalog). The backfill checks
+        # the flag between slices; the half-built state dir is removed
+        # once the worker exits, exactly like a failed creation.
+        import shutil as _shutil
+
+        ids = [x.strip().strip("'\"") for x in m.group(1).split(",")]
+        jobs = getattr(engine, "_bg_jobs", {})
+        engine._cancelled_jobs = getattr(engine, "_cancelled_jobs", set())
+        cancelled = []
+        for jid in ids:
+            job = jobs.get(jid)
+            if job is None or not job["thread"].is_alive():
+                continue
+            engine._cancelled_jobs.add(jid)
+        for jid in ids:
+            if jid not in engine._cancelled_jobs:
+                continue
+            jobs[jid]["thread"].join()
+            jobs.pop(jid, None)
+            engine._cancelled_jobs.discard(jid)
+            _shutil.rmtree(os.path.join(engine.warehouse, f"mv_{jid}"),
+                           ignore_errors=True)
+            cancelled.append(jid)
+        return engine.spark.createDataFrame(
+            [(j,) for j in cancelled] or [], "id string")
     m = re.match(r"^\s*SHOW\s+JOBS\s*$", stmt, re.I)
     if m:
         # reference rw_catalog.rw_ddl_progress / SHOW JOBS: in-flight

@@ -267,7 +267,6 @@ def _snapshot(engine) -> dict:
 
     # real owners (reference: every catalog proto carries `owner`;
     # handler/alter_owner.rs edits it) — uid + name per engine object
-    from risingwave_spark import users as _users
 
     _ust = _users.load_state(engine)
     _uid_of = {n: u["oid"] for n, u in _ust["users"].items()}
@@ -594,7 +593,6 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
     if want("pg_user") or want("pg_shadow") or want("pg_roles"):
         # real catalog users (reference system_catalog/pg_catalog/
         # pg_user.rs, pg_roles.rs over the meta user_info store)
-        from risingwave_spark import users as _users
 
         ucat = [("root", {"oid": _ROOT_UID, "is_super": True,
                           "can_create_db": True, "can_create_user": True,
@@ -733,13 +731,30 @@ def _register_views(engine, stmt: str, snap: dict) -> None:
             " ordinal_position int, position_in_unique_constraint int",
         )
     if want("pg_stat_activity"):
+        # the driver session + every LIVE pgwire connection (reference
+        # pg_stat_activity.rs over the SessionManager; KILL targets
+        # these pids)
+        db = getattr(engine, "current_db", "dev")
+        rows = [(os.getpid(), 16866, db, _ROOT_UID, "root",
+                 "risingwave_spark", "127.0.0.1", None, -1, "active")]
+        srv = getattr(engine, "_pg_server", None)
+        if srv is not None:
+            with srv._lock:
+                sess = list(srv.sessions.values())
+            uid_of = {n: u["oid"] for n, u in
+                      _users.load_state(engine)["users"].items()}
+            rows += [
+                (s["pid"], 16866, db, uid_of.get(s["user"], _ROOT_UID),
+                 s["user"], "pgwire", s["addr"][0], None,
+                 s["addr"][1], s.get("state", "idle"))
+                for s in sess
+            ]
         reg(
             "pg_stat_activity",
-            [(os.getpid(), 16866, "dev", _ROOT_UID, "root",
-              "risingwave_spark", "127.0.0.1", None, -1, "active")],
+            rows,
             "pid int, datid int, datname string, usesysid int,"
             " usename string, application_name string, client_addr string,"
-            " client_hostname string, client_port smallint, state string",
+            " client_hostname string, client_port int, state string",
         )
 
 
@@ -792,6 +807,20 @@ def _rewrite_calls(masked: str, names: dict) -> str:
 
 def _sq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _pg_terminate(engine):
+    """pg_terminate_backend(pid) over the LIVE pgwire session registry
+    (constant-pid form; non-constant args fold to FALSE)."""
+    def impl(a):
+        try:
+            pid = int(a[0].strip()) if a else -1
+        except ValueError:
+            return "FALSE"
+        srv = getattr(engine, "_pg_server", None)
+        return "TRUE" if (srv is not None and srv.kill_session(pid)) \
+            else "FALSE"
+    return impl
 
 
 def _null_guard(arg: str, then: str, out_type: str = "STRING") -> str:
@@ -932,7 +961,6 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
         if "." in obj:
             sch, nm = obj.split(".", 1)
             obj = nm if sch == "public" else f"{sch}__{nm}"
-        from risingwave_spark import users as _users
 
         ok = False
         for p in priv.split(","):
@@ -952,10 +980,12 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
 
     _path = effective_search_path(engine)
 
+    _db = _sq(getattr(engine, "current_db", "dev"))
+
     const = {
         # builtin_scalar.rs:442-694 binds these as literals the same way
-        "current_database": lambda a: "'dev'",
-        "current_catalog": lambda a: "'dev'",
+        "current_database": lambda a: _db,
+        "current_catalog": lambda a: _db,
         "current_schema": lambda a: (
             _sq(_path[0]) if _path else "CAST(NULL AS STRING)"),
         "current_schemas": lambda a: (
@@ -1005,7 +1035,9 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
         "pg_my_temp_schema": lambda a: "0",
         "pg_is_in_recovery": lambda a: "FALSE",
         "pg_cancel_backend": lambda a: "FALSE",
-        "pg_terminate_backend": lambda a: "FALSE",
+        # genuinely terminates a live pgwire session (constant pid,
+        # bound at rewrite time like the reference's frontend impl)
+        "pg_terminate_backend": _pg_terminate(engine),
         "has_database_privilege": _has_priv,
         "has_table_privilege": _has_priv,
         "has_any_column_privilege": _has_priv,
@@ -1031,7 +1063,7 @@ def rewrite_pg_compat(engine, stmt: str) -> str:
         masked, flags=re.I,
     )
     masked = re.sub(
-        r"\bcurrent_database\b(?!\s*\()", "'dev'", masked, flags=re.I
+        r"\bcurrent_database\b(?!\s*\()", _db, masked, flags=re.I
     )
     return _unmask(masked, lits)
 

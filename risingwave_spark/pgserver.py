@@ -297,6 +297,10 @@ class PgWireServer:
             with open(cert) as f:
                 self._cert_der = _ssl.PEM_cert_to_DER_cert(f.read())
         self._lock = threading.Lock()
+        # live sessions: pid → {user, addr, state, since} (reference
+        # SessionManager — pg_stat_activity rows and KILL targets)
+        self.sessions: dict[int, dict] = {}
+        self._pid_seq = 1000
         server = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -313,6 +317,15 @@ class PgWireServer:
                 try:
                     if not self._startup():
                         return
+                    with server._lock:
+                        server.sessions[self._pid] = {
+                            "pid": self._pid,
+                            "user": getattr(self, "_user", server.user)
+                                    or server.user,
+                            "addr": self.client_address,
+                            "state": "idle",
+                            "handler": self,
+                        }
                     while True:
                         tag, payload = self._read_msg()
                         if tag in (b"X", b""):
@@ -347,6 +360,10 @@ class PgWireServer:
                             self.request.sendall(_msg(b"Z", b"I"))
                 except OSError:
                     return
+                finally:
+                    with server._lock:
+                        server.sessions.pop(
+                            getattr(self, "_pid", None), None)
 
             # ------------------------------------------------- startup
             def _startup(self) -> bool:
@@ -410,10 +427,13 @@ class PgWireServer:
                 ):
                     self.request.sendall(_msg(
                         b"S", k.encode() + b"\x00" + v.encode() + b"\x00"))
+                with server._lock:
+                    server._pid_seq += 1
+                    self._pid = server._pid_seq
+                # reference: "Process id and secret key in session id
+                # are the same" (kill_process.rs) — KILL targets this
                 self.request.sendall(_msg(
-                    b"K",
-                    struct.pack(">II", threading.get_ident() & 0x7FFFFFFF,
-                                struct.unpack(">I", os.urandom(4))[0])))
+                    b"K", struct.pack(">II", self._pid, self._pid)))
                 self.request.sendall(_msg(b"Z", b"I"))
                 return True
 
@@ -905,6 +925,27 @@ class PgWireServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+
+    def kill_session(self, pid: int) -> bool:
+        """KILL <pid> (reference `handler/kill_process.rs`
+        cancel_queries_in_session): shuts the session's socket down —
+        the handler thread unwinds on the resulting OSError and the
+        session row disappears. Returns False when no such session."""
+        import socket as _socket
+
+        with self._lock:
+            sess = self.sessions.get(pid)
+        if sess is None:
+            return False
+        try:
+            sess["handler"].request.shutdown(_socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            sess["handler"].request.close()
+        except OSError:
+            pass
+        return True
 
 
 def _cstr(buf: bytes, i: int) -> tuple[str, int]:

@@ -797,6 +797,68 @@ def engine_privilege_cycle(spark, sf_dir):
 
 
 @register(
+    "engine_session_admin",
+    oracle="""
+SELECT 'q1_wire_read' AS step,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 13 = 4)
+            AS VARCHAR) AS outcome
+UNION ALL SELECT 'q2_activity', 'watcher 1'
+UNION ALL SELECT 'q3_killed', 'dead'
+UNION ALL SELECT 'q4_use', 'extra'
+UNION ALL SELECT 'q5_discard', 'dev'
+ORDER BY step
+""",
+)
+def engine_session_admin(spark, sf_dir):
+    """Session administration end-to-end (reference
+    `handler/kill_process.rs`, `use_db.rs`, `discard.rs`,
+    `pg_catalog/pg_stat_activity.rs`): an authenticated pgwire session
+    reads REAL order aggregates, appears in pg_stat_activity under its
+    user and pid, dies to KILL <pid> (socket genuinely closed), and
+    USE / DISCARD ALL move current_database() there and back."""
+    import tempfile as _tf
+    import time as _time
+
+    from risingwave_spark.api import Engine
+    from risingwave_spark.sources.pgwire import PgWireClient
+
+    tables(spark, sf_dir)
+    eng = Engine(spark, _tf.mkdtemp(prefix="rw_sessq_"))
+    try:
+        eng.sql("CREATE TABLE sa_t (o_orderkey int8 PRIMARY KEY)")
+        eng.sql("INSERT INTO sa_t SELECT o_orderkey FROM orders"
+                " WHERE o_orderkey % 13 = 4")
+        eng.sql("CREATE USER watcher WITH PASSWORD 'w'")
+        eng.sql("GRANT SELECT ON sa_t TO watcher")
+        host, port = eng.start_pg_server(
+            user="root", password="rootpw", auth="md5")
+        w = PgWireClient(host, port, "watcher", "w", "dev")
+        out = [("q1_wire_read",
+                str(w.query("SELECT count(*) FROM sa_t")[1][0][0]))]
+        act = eng.sql("SELECT pid, usename FROM pg_stat_activity"
+                      " WHERE usename = 'watcher'").collect()
+        out.append(("q2_activity", f"watcher {len(act)}"))
+        eng.sql(f"KILL {act[0].pid}")
+        _time.sleep(0.2)
+        try:
+            w.query("SELECT 1")
+            out.append(("q3_killed", "still alive"))
+        except Exception:
+            out.append(("q3_killed", "dead"))
+        eng.sql("CREATE DATABASE extra")
+        eng.sql("USE extra")
+        out.append(("q4_use", eng.sql(
+            "SELECT current_database() AS d").collect()[0].d))
+        eng.sql("DISCARD ALL")
+        out.append(("q5_discard", eng.sql(
+            "SELECT current_database() AS d").collect()[0].d))
+        return spark.createDataFrame(
+            out, "step string, outcome string").orderBy("step")
+    finally:
+        eng.stop_pg_server()
+
+
+@register(
     "engine_connection_roundtrip",
     oracle="""
 SELECT c_custkey, c_name FROM customer

@@ -1368,6 +1368,22 @@ def _classify_p(p: _P) -> str:
             admin = _try_alter_admin_verbs(p)
             if admin:
                 return admin
+            if p.ast["kind"] == "SOURCE" and p.at("ADD"):
+                # ALTER SOURCE s ADD COLUMN v type (reference
+                # handler/alter_source_column.rs,
+                # e2e_test/source_inline/kafka/alter/add_column.slt)
+                p.eat()
+                if p.at("COLUMN"):
+                    p.eat()
+                p.ast["column"] = unquote_ident(p.ident("column name"))
+                i0 = p.i
+                while p.peek() is not None and not (
+                        p.peek().kind == "op" and p.peek().val == ";"):
+                    p.eat()
+                if p.i == i0:
+                    p.fail("expected a column type")
+                p.ast["coltype"] = p.span(i0, p.i)
+                return "alter_source_add_column"
             if p.at("SET") and p.ast["kind"] == "MATERIALIZED VIEW":
                 # ALTER MATERIALIZED VIEW m SET BACKFILL_RATE_LIMIT = N
                 # (reference rate_limit/alter_rate_limit.slt — raising a

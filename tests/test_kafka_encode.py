@@ -229,9 +229,12 @@ def test_poll_sources_isolates_failing_table(spark, broker, client):
 
 
 def test_sink_snapshot_bootstrap_is_streamed(spark, broker, client, monkeypatch):
-    """VERDICT r8 #1: the fresh-sink snapshot bootstrap must stream in
-    bounded slices (toLocalIterator), never one whole-MV collect — spy
-    pins the per-produce slice size; the topic reconstructs the MV."""
+    """Fresh-sink snapshot bootstrap never funnels through the driver:
+    a pk'd MV snapshot emits EXECUTOR-SIDE through the per-task chunk
+    path (round-11 staged-sink posture — the r8 toLocalIterator slices
+    remain only for the keyless fallback). Spy: driver-side
+    _produce_events must NOT run; the topic still reconstructs the
+    whole MV (produced by tasks)."""
     from risingwave_spark import frontend as _fr
 
     bs = f"{broker.host}:{broker.port}"
@@ -242,22 +245,18 @@ def test_sink_snapshot_bootstrap_is_streamed(spark, broker, client, monkeypatch)
         "INSERT INTO bt VALUES "
         + ",".join(f"({i},{i})" for i in range(1, 38))
     )
-    monkeypatch.setattr(_fr, "_SINK_SNAPSHOT_SLICE", 10)
-    calls: list[int] = []
-    orig = _fr._KafkaSink._produce_events
 
-    def spy(self, events):
-        calls.append(len(events))
-        return orig(self, events)
+    def forbid(self, events):
+        raise AssertionError(
+            "driver-side produce called for a pk'd snapshot bootstrap")
 
-    monkeypatch.setattr(_fr._KafkaSink, "_produce_events", spy)
+    monkeypatch.setattr(_fr._KafkaSink, "_produce_events", forbid)
     eng.sql(
         f"""CREATE SINK bsink FROM bmv WITH (
             connector = 'kafka', topic = 'boot_t',
             properties.bootstrap.server = '{bs}'
         ) FORMAT UPSERT ENCODE JSON"""
     )
-    assert calls == [10, 10, 10, 7], calls  # bounded slices, not one collect
     recs, _ = client.fetch("boot_t", 0, 0)
     state = {json.loads(k)["id"]: json.loads(v)["v"] for _o, _t, k, v in recs}
     assert state == {i: i for i in range(1, 38)}

@@ -271,3 +271,26 @@ def test_search_path_public_position_honored(eng):
     assert eng.sql("select a from x").collect()[0][0] == 200
     eng.sql("set search_path to public, alt")
     assert eng.sql("select a from x").collect()[0][0] == 100
+
+
+def test_alter_source_add_column(eng):
+    """add_column.slt: the source's declared column list extends and the
+    source rebuilds from the rewritten DDL; ALTER SOURCE on a connector
+    TABLE redirects to ALTER TABLE (verbatim reference error)."""
+    eng.sql("CREATE SOURCE s1 (v1 int) WITH (connector = 'datagen',"
+            " fields.v1.kind = 'sequence', fields.v1.start = '1',"
+            " fields.v1.end = '3', datagen.split.num = '1')")
+    assert sorted(r.v1 for r in
+                  eng.sql("SELECT v1 FROM s1").collect()) == [1, 2, 3]
+    eng.sql("ALTER SOURCE s1 ADD COLUMN v2 varchar")
+    rows = eng.sql("SELECT v1, v2 FROM s1").collect()
+    assert sorted(r.v1 for r in rows) == [1, 2, 3]
+    assert all(r.v2 is not None for r in rows)  # generated column
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER SOURCE s1 ADD COLUMN v2 int")
+    # the rewritten DDL is durable: a reopened engine serves v2
+    ddl = [e for e in eng._read_catalog() if e["name"] == "s1"][0]["stmt"]
+    assert "v2 varchar" in ddl
+    eng.sql("CREATE TABLE kt (v1 int PRIMARY KEY)")
+    with pytest.raises(ValueError, match="does not exist|ALTER TABLE"):
+        eng.sql("ALTER SOURCE kt ADD COLUMN v9 int")
