@@ -2922,6 +2922,34 @@ def _handle_alter_rename(engine: "Engine", ast: dict) -> DataFrame:
     raise ValueError(f"ALTER {kind} ... RENAME is not supported")
 
 
+def _handle_alter_mv_parallelism(engine: "Engine", ast: dict) -> DataFrame:
+    """ALTER MATERIALIZED VIEW m SET PARALLELISM = N (reference
+    `handler/alter_parallelism.rs` — per-streaming-job parallelism):
+    bound to the shuffle-partition count of THIS MV's maintenance fold
+    (scoped conf swap in `streaming/mv.py apply_batch`). DEFAULT /
+    ADAPTIVE clear the override (AQE then picks partition counts at
+    runtime, the engine default). Recorded as an `#alter#` DDL entry so
+    a reopened engine replays the setting."""
+    name = ast["old"]
+    if name not in engine.mv_handles:
+        raise ValueError(f"materialized view {name!r} does not exist")
+    val = ast["parallelism"]
+    view = engine.mv_handles[name].view
+    if str(val).upper() in ("DEFAULT", "ADAPTIVE"):
+        view.parallelism = None
+    else:
+        n = int(val)
+        if n <= 0:
+            raise ValueError("PARALLELISM must be a positive number")
+        view.parallelism = n
+    if not engine._replaying:
+        import uuid as _uuid
+
+        engine._record_ddl(f"{name}#alter#{_uuid.uuid4().hex[:8]}",
+                           ast["stmt"])
+    return _status(engine.spark, "ALTER_MATERIALIZED_VIEW")
+
+
 def _handle_alter_source_add_column(engine: "Engine", ast: dict) -> DataFrame:
     """ALTER SOURCE s ADD COLUMN v type (reference
     `handler/alter_source_column.rs`;
@@ -10452,6 +10480,7 @@ _AST_DISPATCH = {
     "alter_rename": _handle_alter_rename,
     "alter_owner": _handle_alter_owner,
     "alter_source_add_column": _handle_alter_source_add_column,
+    "alter_mv_parallelism": _handle_alter_mv_parallelism,
     "alter_set_schema": _handle_alter_set_schema,
     "alter_swap": _handle_alter_swap,
     "declare": _handle_declare,

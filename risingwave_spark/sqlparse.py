@@ -1387,8 +1387,22 @@ def _classify_p(p: _P) -> str:
             if p.at("SET") and p.ast["kind"] == "MATERIALIZED VIEW":
                 # ALTER MATERIALIZED VIEW m SET BACKFILL_RATE_LIMIT = N
                 # (reference rate_limit/alter_rate_limit.slt — raising a
-                # 0 limit resumes a parked backfill)
+                # 0 limit resumes a parked backfill) | SET PARALLELISM
+                # = N (reference alter_parallelism.rs)
                 p.eat()
+                if p.at("PARALLELISM"):
+                    p.eat()
+                    p.eat_op("=")
+                    t = p.peek()
+                    if t is None or not (
+                        t.kind == "num"
+                        or (t.kind == "ident"
+                            and t.up in ("DEFAULT", "ADAPTIVE"))
+                    ):
+                        p.fail("expected a number, DEFAULT or ADAPTIVE")
+                    p.ast["parallelism"] = p.eat().val
+                    p.expect_done("ALTER MATERIALIZED VIEW ... SET")
+                    return "alter_mv_parallelism"
                 p.eat_kw("BACKFILL_RATE_LIMIT")
                 p.eat_op("=")
                 t = p.peek()

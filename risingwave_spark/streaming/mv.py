@@ -946,6 +946,27 @@ class _RetractableView:
         batch_id: int | None = None,
         batch_ns: str | None = None,
     ) -> None:
+        """Per-MV parallelism wrapper (reference
+        `handler/alter_parallelism.rs` — each streaming job carries its
+        own parallelism; Spark's analog is the shuffle-partition count
+        of this MV's maintenance fold). Statements serialize under the
+        engine lock, so the scoped conf swap cannot leak across jobs."""
+        par = getattr(self, "parallelism", None)
+        if not par:
+            return self._apply_batch_inner(batch, batch_id, batch_ns)
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(par))
+        try:
+            return self._apply_batch_inner(batch, batch_id, batch_ns)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def _apply_batch_inner(
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        batch_ns: str | None = None,
+    ) -> None:
         """Fold one changelog chunk (needs an __op column) into the MV.
 
         With `batch_id` (foreachBatch redelivery protection): a replayed

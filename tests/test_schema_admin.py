@@ -294,3 +294,32 @@ def test_alter_source_add_column(eng):
     eng.sql("CREATE TABLE kt (v1 int PRIMARY KEY)")
     with pytest.raises(ValueError, match="does not exist|ALTER TABLE"):
         eng.sql("ALTER SOURCE kt ADD COLUMN v9 int")
+
+
+def test_alter_mv_parallelism(spark):
+    """ALTER MATERIALIZED VIEW ... SET PARALLELISM binds to the MV's
+    maintenance-fold shuffle partitioning, persists across reopen, and
+    DEFAULT clears it (reference handler/alter_parallelism.rs)."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="rw_par_")
+    eng = Engine(spark, wh)
+    eng.sql("CREATE TABLE pt (k int PRIMARY KEY, v int)")
+    eng.sql("CREATE MATERIALIZED VIEW pmv AS"
+            " SELECT v, count(*) AS n FROM pt GROUP BY v")
+    eng.sql("ALTER MATERIALIZED VIEW pmv SET PARALLELISM = 3")
+    assert eng.mv_handles["pmv"].view.parallelism == 3
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("INSERT INTO pt VALUES (1, 10), (2, 10), (3, 20)")
+    # the scoped swap restored the session conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    got = sorted(tuple(r) for r in
+                 eng.sql("SELECT v, n FROM pmv").collect())
+    assert got == [(10, 2), (20, 1)]
+    # persists across reopen via the #alter# DDL record
+    eng2 = Engine.open(spark, wh)
+    assert eng2.mv_handles["pmv"].view.parallelism == 3
+    eng2.sql("ALTER MATERIALIZED VIEW pmv SET PARALLELISM = DEFAULT")
+    assert eng2.mv_handles["pmv"].view.parallelism is None
+    with pytest.raises(ValueError, match="positive"):
+        eng2.sql("ALTER MATERIALIZED VIEW pmv SET PARALLELISM = 0")
