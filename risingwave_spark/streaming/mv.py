@@ -63,6 +63,23 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def _parquet_spark_schema(path: str):
+    """Spark schema of a just-written local parquet dir, from one file's
+    footer — driver-side metadata, no Spark job (same contract as
+    `_parquet_rows`; skips the schema-inference job a bare
+    spark.read.parquet would run). None if the dir has no files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    for f in _glob.glob(os.path.join(path, "*.parquet")) + _glob.glob(
+        os.path.join(path, "*", "*.parquet")
+    ):
+        return from_arrow_schema(pq.ParquetFile(f).schema_arrow)
+    return None
+
+
 def non_strict_analysis(spark: SparkSession):
     """Context manager: plans CONSTRUCTED inside the block analyze under
     ansi=false, so compute errors (div/0, bad casts) pad NULL per
@@ -526,6 +543,13 @@ class ChunkedState:
         ]
         if ptr_seqs:
             self._seq = max(ptr_seqs) + 1
+        #: metadata of the LAST fold's chunk files (paths + footer row
+        #: counts), recorded by fold(): callers derive the batch's
+        #: affected keys / emptiness from the already-written local files
+        #: instead of re-evaluating the upstream batch plan (one fewer
+        #: Spark job + no duplicate source scan per fold). None until a
+        #: fold happens in this process (or after a replay skip).
+        self.last_fold: dict | None = None
 
     def _gen_pointer(self) -> str:
         return os.path.join(self.base, "GEN")
@@ -641,6 +665,7 @@ class ChunkedState:
         if batch_id is not None:
             last = self._read_last_batch(batch_ns)
             if last is not None and batch_id <= last[0]:
+                self.last_fold = None  # replayed batch: no fresh chunks
                 return False
         # Per-batch chunks write FLAT (one cheap parallel write, no
         # partitionBy fan-out): the LSM shape — compaction periodically
@@ -652,6 +677,12 @@ class ChunkedState:
         vchunk = os.path.join(self.values_dir, f"b{self._seq}")
         vw.write.mode("overwrite").parquet(vchunk)
         self._has_values = True
+        self.last_fold = {
+            "values": vchunk,
+            "v_rows": _parquet_rows(vchunk),
+            "tombs": None,
+            "t_rows": 0,
+        }
         schema_file = os.path.join(self.base, "SCHEMA")
         if not os.path.exists(schema_file):
             import json as _json
@@ -678,8 +709,10 @@ class ChunkedState:
             dl = deletes.select(*keep, F.lit(self._seq).alias("__del_seq"))
             tomb_chunk = os.path.join(self.tombs_dir, f"b{self._seq}")
             dl.coalesce(1).write.mode("overwrite").parquet(tomb_chunk)
-            if _parquet_rows(tomb_chunk) > 0:
+            t_rows = _parquet_rows(tomb_chunk)
+            if t_rows > 0:
                 self._has_tombs = True
+                self.last_fold.update(tombs=tomb_chunk, t_rows=t_rows)
             else:
                 shutil.rmtree(tomb_chunk, ignore_errors=True)
         import time as _time
@@ -995,22 +1028,67 @@ class _RetractableView:
         # actually-folded batch compacts (a skipped replay must not
         # re-run the O(state) rewrite).
         touched = self._touched_buckets_fast()
-        if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
+        lf = self.state.last_fold if did_fold else None
+        if lf is not None and self.mv.exists() and lf["v_rows"] + lf["t_rows"] == 0:
+            # empty batch (e.g. an upstream pushed-down filter dropped
+            # everything): the state fold is committed, and recompute /
+            # splice / downstream forward are no-ops. Emptiness comes
+            # from the just-written chunk footers — zero Spark jobs
+            # (previously a take(1) job re-evaluating the batch plan).
+            # (The FIRST apply must still run the splice to materialize
+            # the empty MV + schema.)
+            return
+        # Affected keys from the batch's just-written chunk files (tiny
+        # local parquet) instead of re-evaluating the upstream batch plan:
+        # the splice references `affected` in up to three join branches,
+        # each of which would otherwise re-run the whole upstream subtree
+        # (guide §2.4 — don't recompute what is already materialized).
+        affected = self._chunk_affected(lf)
+        will_compact = bool(
+            did_fold and self.compact_every and self.state._seq % self.compact_every == 0
+        )
+        if affected is not None and will_compact:
+            # compaction GCs the old generation's chunk files the lazy
+            # plan points at — pin the (tiny) key set first
+            affected = affected.localCheckpoint(eager=True)
+        if will_compact:
             pre = self.state._seq
             self.state.compact()
             # keep changelog chunk ids monotonic across the seq reset
             bump_chunk_base(self.changelog_dir, pre - self.state._seq)
 
-        annotate = self.key_of or (lambda d: d)
-        affected = annotate(batch).select(*self.keys).distinct()
-        if self.mv.exists() and not affected.take(1):
-            # empty batch (e.g. an upstream pushed-down filter dropped
-            # everything): the state fold is committed, and recompute /
-            # splice / downstream forward are no-ops — one take(1) job
-            # replaces the whole cascade. (The FIRST apply must still
-            # run the splice to materialize the empty MV + schema.)
-            return
+        if affected is None:
+            annotate = self.key_of or (lambda d: d)
+            affected = annotate(batch).select(*self.keys).distinct()
+            if self.mv.exists() and not affected.take(1):
+                return
         self._splice(affected, touched, batch_id=batch_id, batch_ns=batch_ns)
+
+    def _chunk_affected(self, lf: dict | None) -> DataFrame | None:
+        """The batch's affected key tuples, read from the just-written
+        state chunk files (values chunk carries every input column; the
+        tombstone chunk carries the keys via tomb_extra_cols). None when
+        the fold was skipped (replay), keys are derived (key_of), or a
+        chunk lacks a key column — callers fall back to the batch plan.
+        No distinct(): every consumer is a semi/anti join or a distinct
+        aggregation, so duplicate key rows are harmless."""
+        if lf is None or self.key_of is not None:
+            return None
+        parts = []
+        for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
+            if path and rows:
+                schema = _parquet_spark_schema(path)
+                if schema is None or not set(self.keys) <= set(schema.names):
+                    return None
+                parts.append(
+                    self.spark.read.schema(schema).parquet(path).select(*self.keys)
+                )
+        if not parts:
+            return None  # empty first batch: schema must come from the plan
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def retouch(self, affected: DataFrame) -> None:
         """Recompute + splice the given key tuples from CURRENT state
@@ -1234,17 +1312,92 @@ class AppendOnlyGroupTopN:
         return self.state.read().withColumn("rk", F.row_number().over(w))
 
 
+def _parse_duration_seconds(text: str) -> int:
+    """Seconds of a Spark interval string like '1 hour' / '10 minutes'."""
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", text, re.I)
+    if not m:
+        raise ValueError(f"unsupported window duration {text!r}")
+    n = int(m.group(1))
+    return n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        m.group(2).lower()
+    ]
+
+
+def _parquet_ts_minmax(path: str, col: str):
+    """(min, max) of a timestamp column across a just-written local
+    parquet dir — driver-side metadata/column read, no Spark job (the
+    same contract as `_parquet_rows`; this is the sink-commit statistic a
+    cluster sink would report). Falls back from footer stats to a
+    vectorized column read when stats are absent."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import datetime as _dt
+
+    mn = mx = None
+
+    def norm(v):
+        # session TZ and driver TZ are UTC: normalize any tz-aware stat
+        # to NAIVE UTC so comparisons and F.lit() round-trips match the
+        # values Spark itself returns for TimestampType
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    def fold(lo, hi):
+        nonlocal mn, mx
+        lo, hi = norm(lo), norm(hi)
+        if lo is not None and (mn is None or lo < mn):
+            mn = lo
+        if hi is not None and (mx is None or hi > mx):
+            mx = hi
+
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        if md.num_rows == 0:
+            continue
+        idx = pf.schema_arrow.names.index(col)
+        stats_ok = True
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                stats_ok = False
+                break
+            los.append(st.min)
+            his.append(st.max)
+        if stats_ok and los:
+            fold(min(los), max(his))
+        else:
+            mm = pc.min_max(pf.read(columns=[col]).column(0))
+            fold(mm["min"].as_py(), mm["max"].as_py())
+    return mn, mx
+
+
 class EowcTumbleAgg:
     """Emit-on-window-close tumbling-window aggregate (reference EOWC:
     `sort.rs:20` buffer + `over_window/eowc.rs:88`, EMIT ON WINDOW CLOSE
     MVs): rows buffer until the watermark (max event time − delay) passes
     the window end, then the window's aggregate is emitted exactly once
-    (append-only output) and its rows leave the buffer. Rows arriving for
-    an already-closed window are LATE and dropped — the reference's
-    WatermarkFilter policy (`watermark_filter.rs:34-36`).
+    (append-only output). Rows arriving for an already-closed window are
+    LATE and dropped — the reference's WatermarkFilter policy
+    (`watermark_filter.rs:34-36`).
 
-    State = open-window rows only (bounded by delay × arrival rate, the
-    same bound the reference's sort buffer has).
+    Buffer layout (round-12 optimization, guide §1.2/§2.4 — fewer jobs
+    and no O(buffer) rewrite per batch): batches append as immutable
+    chunk files; the watermark and the did-any-window-close decision come
+    from the chunks' FOOTER min/max timestamp statistics (driver-side,
+    zero Spark jobs — previously one agg job over buffer∪batch per
+    batch). Emission scans only the chunks whose ts range overlaps the
+    newly-closed window span (E, wm] — file-level pruning — and fully
+    emitted chunks are garbage-collected instead of rewriting the
+    surviving buffer every batch (previously one O(buffer) write per
+    batch). Per-batch cost: ONE O(batch) chunk write, plus one pruned
+    aggregation job only when windows actually close. State stays
+    bounded by delay × arrival rate, same as before, via chunk GC.
     """
 
     def __init__(
@@ -1258,50 +1411,98 @@ class EowcTumbleAgg:
         self.spark = spark
         self.ts_col = ts_col
         self.window_duration = window_duration
+        self._win_sec = _parse_duration_seconds(window_duration)
         self.delay_seconds = delay_seconds
-        self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
+        self.chunks_dir = os.path.join(state_dir, "buffer")
         # EOWC output is append-only by construction (each window emitted
-        # exactly once) → plain append-mode parquet, never rewritten
+        # exactly once) → one new emission dir per close, never rewritten
         self.out_path = os.path.join(state_dir, "out")
-        self._emitted_any = os.path.isdir(self.out_path)
+        self._emitted_any = os.path.isdir(self.out_path) and any(
+            os.scandir(self.out_path)
+        )
         self._watermark = None  # monotonic
+        #: highest window end already emitted (windows ending at/before
+        #: this are closed-and-emitted; late rows for them are dropped)
+        self._emit_horizon = None
+        self._chunk_stats: dict[str, tuple] = {}  # path -> (min_ts, max_ts)
+        self._n = 0
+        self._emit_n = 0
+        # explicit schemas for the chunk/output re-reads: parquet schema
+        # inference is a (small) Spark job per read — the schemas are
+        # already known driver-side, so skip those jobs entirely
+        self._in_schema = None
+        self._out_schema = None
+
+    def _window_end(self, ts):
+        """End of the tumble window containing `ts` (Spark window()
+        alignment: origin 1970-01-01 UTC)."""
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
+        off = (ts - epoch).total_seconds()
+        return epoch + datetime.timedelta(
+            seconds=(int(off // self._win_sec) + 1) * self._win_sec
+        )
 
     def apply_batch(self, batch: DataFrame) -> None:
         import datetime
 
-        buf = batch
-        if self.buffer.exists():
-            buf = self.buffer.read().unionByName(batch)
-        win = F.window(self.ts_col, self.window_duration)
-        annotated = buf.withColumn("__we", win.getField("end"))
-        # ONE scalar job per batch: the watermark source (max event time —
-        # exactly what Spark's watermark tracker computes) plus the
-        # earliest buffered window-end, which decides "did any window
-        # close?" without a separate isEmpty() probe of the aggregate
-        mx, min_we = annotated.agg(F.max(self.ts_col), F.min("__we")).first()
-        if mx is None:  # empty batch on empty buffer: nothing to do
+        chunk = os.path.join(self.chunks_dir, f"b{self._n}")
+        self._n += 1
+        if self._in_schema is None:
+            self._in_schema = batch.schema  # driver-side analysis only
+        batch.coalesce(4).write.mode("overwrite").parquet(chunk)
+        mn, mx = _parquet_ts_minmax(chunk, self.ts_col)
+        if mx is None:  # empty batch: drop the empty chunk, nothing to do
+            shutil.rmtree(chunk, ignore_errors=True)
             return
+        self._chunk_stats[chunk] = (mn, mx)
         wm = mx - datetime.timedelta(seconds=self.delay_seconds)
         if self._watermark is not None and wm < self._watermark:
             wm = self._watermark
         self._watermark = wm
+        prev_horizon = self._emit_horizon
 
-        closed = annotated.filter(F.col("__we") <= F.lit(wm))
-        still_open = annotated.filter(F.col("__we") > F.lit(wm)).drop("__we")
-
-        # late rows for already-emitted windows are never re-buffered
-        # (dropped in feed), so emitted windows here are always new —
-        # append, don't rewrite. Skip the append when no window closed
-        # (min buffered window-end is still ahead of the watermark) so a
-        # long soak doesn't accumulate one empty parquet file per batch.
-        if min_we <= wm:
+        # chunks that can hold rows of a newly-closed window (window end
+        # in (prev_horizon, wm]): footer-range pruning — a chunk whose
+        # LAST row's window already emitted, or whose FIRST row's window
+        # is still open, contributes nothing
+        cand = [
+            c
+            for c, (cmn, cmx) in self._chunk_stats.items()
+            if self._window_end(cmn) <= wm
+            and (prev_horizon is None or self._window_end(cmx) > prev_horizon)
+        ]
+        if cand:
+            win = F.window(self.ts_col, self.window_duration)
+            rows = self.spark.read.schema(self._in_schema).parquet(*cand)
+            closing = F.col("__we") <= F.lit(wm)
+            if prev_horizon is not None:
+                closing = closing & (F.col("__we") > F.lit(prev_horizon))
             emitted = (
-                closed.groupBy(win.getField("start").alias("ws"))
+                rows.withColumn("__we", win.getField("end"))
+                .filter(closing)
+                .groupBy(win.getField("start").alias("ws"))
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-            emitted.coalesce(1).write.mode("append").parquet(self.out_path)
-            self._emitted_any = True
-        self.buffer.write(still_open)
+            out_dir = os.path.join(self.out_path, f"e{self._emit_n}")
+            self._emit_n += 1
+            if self._out_schema is None:
+                self._out_schema = emitted.schema
+            emitted.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            if _parquet_rows(out_dir) > 0:
+                self._emitted_any = True
+            else:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        # every window ending at/before wm is now emitted (or had no rows)
+        self._emit_horizon = wm
+        # GC chunks whose every row's window has emitted — the buffer
+        # bound (delay × arrival rate), kept by file-level retention
+        # instead of a per-batch rewrite
+        for c, (_, cmx) in list(self._chunk_stats.items()):
+            if self._window_end(cmx) <= wm:
+                shutil.rmtree(c, ignore_errors=True)
+                del self._chunk_stats[c]
 
     def feed(self, batch: DataFrame) -> None:
         """Drop late rows (event time behind the watermark), then fold."""
@@ -1314,7 +1515,10 @@ class EowcTumbleAgg:
             # nothing emitted yet (or only empty batches so far): return an
             # empty, correctly-typed frame instead of a path-not-found error
             return self.spark.createDataFrame([], "ws timestamp, n bigint")
-        return self.spark.read.parquet(self.out_path)
+        r = self.spark.read.option("recursiveFileLookup", "true")
+        if self._out_schema is not None:
+            r = r.schema(self._out_schema)
+        return r.parquet(self.out_path)
 
 
 class EowcAggMv:
