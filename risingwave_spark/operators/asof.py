@@ -31,9 +31,16 @@ def asof_join_backward(
     right_ts: str,
     payload_cols: list[str],
     how: str = "inner",
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
-    right_ts <= left_ts and matching key. `how` ∈ {inner, left}."""
+    right_ts <= left_ts and matching key. `how` ∈ {inner, left}.
+
+    `right_order`: payload columns that break ties between right rows
+    sharing a timestamp — the row with the GREATEST tuple wins. This
+    folds the "dedup equal-ts right rows, keep max" pre-aggregation into
+    the window's sort order, removing the pre-aggregation's own shuffle
+    (the as-of key shuffle then is the join's ONLY exchange)."""
     lcols = left.columns
     # typed payload struct from the right side
     r = right.select(
@@ -55,10 +62,17 @@ def asof_join_backward(
         "__is_right",
     )
     unioned = l.unionByName(r_aligned)
-    # right rows at the same ts sort BEFORE left rows (<= semantics)
+    # right rows at the same ts sort BEFORE left rows (<= semantics);
+    # among equal-ts right rows, the greatest right_order tuple sorts
+    # last so F.last() picks it (left rows carry NULL payloads → they
+    # sort after every right row of the same ts under asc_nulls_last,
+    # which keeps the is_right ordering intact)
+    order = [F.col(left_ts).asc(), F.col("__is_right").desc()]
+    for c in right_order or []:
+        order.append(F.col(f"__rpayload.{c}").asc_nulls_last())
     w = (
         W.partitionBy(key)
-        .orderBy(F.col(left_ts).asc(), F.col("__is_right").desc())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

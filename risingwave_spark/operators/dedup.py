@@ -86,25 +86,44 @@ def minhash_signature(
     """(doc, mh0..mhN-1) MinHash signature table.
 
     Plan shape: project(norm) → project(shingle array) → project(one md5
-    base per shingle) → N array_min affine transforms. Each stage's alias
-    is multi-referenced so it stays a materialized column (one evaluation
-    per row, whole-stage-codegen'd, zero shuffles).
+    base per shingle) → ONE aggregate() pass carrying all N running
+    minima in a struct accumulator. Higher-order functions evaluate
+    interpreted (no codegen), so N separate array_min(transform(...))
+    columns cost N full passes over the shingle array per row — the
+    fused single pass measured 1.8× faster at identical output
+    (guide §1.2 per-task work; A/B in OPTIMIZATION_r12.md). Each
+    stage's alias is multi-referenced so it stays a materialized column
+    (one evaluation per row, zero shuffles).
     """
     d = with_shingles(df.select(F.col(id_col).alias("doc"), text_col), text_col, k)
     base = F.transform(
         "__sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
     )
     d = d.withColumn("__base", base)
-    def affine(a: int, b: int):
-        # single-arg lambda only: F.transform treats a 2-arg lambda as
-        # (element, index) and would clobber a bound default arg
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+    # NULL seeds: least() skips nulls, so the first shingle replaces the
+    # seed and an all-null shingle array yields null — exactly
+    # array_min()'s semantics, bit-for-bit
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"m{i}") for i in range(num_hashes)]
+    )
 
-    mh = [
-        F.array_min(F.transform("__base", affine(minhash_a(i), minhash_b(i)))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return d.select("doc", *mh)
+    def merge(acc, h):
+        # h is the md5-derived base; the i-th hash is affine-derived —
+        # least() keeps every running minimum in one array traversal
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    (F.lit(minhash_a(i)) * h + F.lit(minhash_b(i))) % MINHASH_P,
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    d = d.withColumn("__mh", F.aggregate("__base", init, merge))
+    return d.select(
+        "doc", *[F.col(f"__mh.m{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(

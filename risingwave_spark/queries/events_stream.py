@@ -205,11 +205,14 @@ def ev_asof_join(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    # dedup equal-timestamp clicks per user so tie resolution is stable
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .agg(F.max("event_id").alias("click_id"))
+    # equal-timestamp clicks resolve to max event_id INSIDE the as-of
+    # window's sort order (right_order) — previously a separate
+    # groupBy(user, ts) pre-aggregation, i.e. one extra shuffle of the
+    # whole click stream before the as-of key shuffle (guide §2.4)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
     )
     return asof_join_backward(
         purchases, clicks,
@@ -217,6 +220,7 @@ def ev_asof_join(spark, sf_dir):
         left_ts="ts", right_ts="c_ts",
         payload_cols=["click_id"],
         how="inner",
+        right_order=["click_id"],
     )
 
 

@@ -214,6 +214,30 @@ class MaterializedOverWindowDelta:
         self.changelog_dir = os.path.join(state_dir, "changelog")
         self.emit_changelog = False
 
+    def _chunk_boundary_src(self, lf: dict | None) -> DataFrame | None:
+        """(keys + order cols) of the batch's rows, read from the
+        just-written state chunk files — None when the fold was skipped
+        (replay) or a chunk lacks one of the columns (fall back to the
+        batch plan)."""
+        from risingwave_spark.streaming.mv import _parquet_spark_schema
+
+        if lf is None:
+            return None
+        need = list(dict.fromkeys([*self.keys, *self.order_cols]))
+        parts = []
+        for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
+            if path and rows:
+                schema = _parquet_spark_schema(path)
+                if schema is None or not set(need) <= set(schema.names):
+                    return None
+                parts.append(self.spark.read.schema(schema).parquet(path).select(*need))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _log_changelog(self, old_rows: DataFrame, new_rows: DataFrame) -> None:
         from risingwave_spark.streaming.mv import OP_COL, with_ops
 
@@ -450,10 +474,25 @@ class MaterializedOverWindowDelta:
         cols = [c for c in batch.columns if c != OP_COL]
         inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
         deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+        # tombstones carry keys AND order cols so the boundary
+        # computation below can come from the chunk files
         did_fold = self.state.fold(
             inserts, deletes, batch_id=batch_id,
-            tomb_extra_cols=self.keys, batch_ns=batch_ns,
+            tomb_extra_cols=list(dict.fromkeys([*self.keys, *self.order_cols])),
+            batch_ns=batch_ns,
         )
+        # Boundary source: the batch's just-written chunk files (tiny
+        # local parquet) when available, instead of re-evaluating the
+        # upstream batch plan a second time (guide §2.4). The eager
+        # checkpoint below materializes before any compaction GC.
+        lf = self.state.last_fold if did_fold else None
+        if lf is not None and self.mv.exists() and lf["v_rows"] + lf["t_rows"] == 0:
+            # empty batch: fold committed; the recompute/splice would
+            # rewrite an epoch for zero touched partitions — skip it
+            return
+        bsrc = self._chunk_boundary_src(lf)
+        if bsrc is None:
+            bsrc = batch
 
         # per-partition frame boundary: the EARLIEST order position the
         # batch touches (insert or delete) — frames at positions before it
@@ -464,7 +503,7 @@ class MaterializedOverWindowDelta:
         bcols = [f"__b{i}" for i in range(len(self.order_cols))]
         kcols = [f"__bk{i}" for i in range(len(self.keys))]
         boundaries = (
-            batch.groupBy(*self.keys)
+            bsrc.groupBy(*self.keys)
             .agg(F.min(F.struct(*self.order_cols)).alias("__b"))
             .select(
                 # fresh names (and expr-ids) so joining boundaries against
