@@ -36,6 +36,7 @@ from risingwave_spark.streaming.mv import (
     OP_COL,
     _BucketedMvTable,
     buckets_from_chunks,
+    chunk_key_frame,
     non_strict_analysis,
     nullsafe_cond,
     with_ops,
@@ -120,7 +121,20 @@ class RetractableStreamJoin:
             tomb_extra_cols=keys,
             batch_ns=batch_ns,
         )
-        return batch.select(*keys).distinct(), did
+        # affected keys from the just-written chunk files (tiny local
+        # parquet) instead of re-evaluating the upstream batch plan —
+        # same shape as _RetractableView._chunk_affected; a provably
+        # empty fold (footer row counts) returns an empty marker so
+        # apply() can skip its take(1) probe entirely
+        lf = state.last_fold if did else None
+        if lf is not None and lf["v_rows"] + lf["t_rows"] == 0 and self.mv.exists():
+            # provably empty batch (and not the first materialization):
+            # contributes no affected keys
+            return "empty", did
+        aff = chunk_key_frame(self.spark, lf, keys)
+        if aff is not None:
+            return ("chunks", aff), did
+        return ("plan", batch.select(*keys).distinct()), did
 
     def apply(
         self,
@@ -147,30 +161,42 @@ class RetractableStreamJoin:
         aff_r, did_r = self._fold_side(
             self.state_r, right, self.right_on, batch_id, batch_ns
         )
+        if aff_l is None and aff_r is None:
+            return
 
-        # affected join-key values from both sides, normalized to __jk*
-        parts = []
-        if aff_l is not None:
-            parts.append(aff_l.select(*[F.col(c).alias(j) for c, j in zip(self.left_on, self.jk)]))
-        if aff_r is not None:
-            parts.append(aff_r.select(*[F.col(c).alias(j) for c, j in zip(self.right_on, self.jk)]))
+        # affected join-key values from both sides, normalized to __jk*;
+        # "empty" sides (proved empty from the fold's chunk footers, zero
+        # Spark jobs) contribute nothing, "chunks" sides read the batch's
+        # just-written chunk files, "plan" sides fall back to the batch
+        # plan (replays / missing key columns)
+        parts, kinds = [], set()
+        for aff, on in ((aff_l, self.left_on), (aff_r, self.right_on)):
+            if aff is None or aff == "empty":
+                continue
+            kind, df = aff
+            kinds.add(kind)
+            parts.append(df.select(*[F.col(c).alias(j) for c, j in zip(on, self.jk)]))
+
+        def _compact_folded():
+            for st, did in ((self.state_l, did_l), (self.state_r, did_r)):
+                if did and self.compact_every and st._seq and st._seq % self.compact_every == 0:
+                    st.compact()
+
         if not parts:
+            # every folded side proved empty: the state folds committed —
+            # recompute, splice and the downstream forward are all no-ops
+            # (previously this still cost a take(1) probe; what stops
+            # empty changelogs from rippling down a deep chain).
+            _compact_folded()
             return
         affected = parts[0]
         for p in parts[1:]:
             affected = affected.unionByName(p)
         affected = affected.distinct()
-        if self.mv.exists() and not affected.take(1):
-            # no key of either side was touched (a pushed-down input
-            # filter dropped the whole batch, or a delete hit nothing):
-            # the state fold above already committed — recompute, splice
-            # and the downstream forward are all no-ops. One tiny take(1)
-            # job replaces the whole per-level cascade, which is what
-            # stops empty changelogs from rippling down a deep chain.
-            # (compaction cadence still runs — see the loop below.)
-            for st, did in ((self.state_l, did_l), (self.state_r, did_r)):
-                if did and self.compact_every and st._seq and st._seq % self.compact_every == 0:
-                    st.compact()
+        if "plan" in kinds and self.mv.exists() and not affected.take(1):
+            # only plan-derived sides have unknown emptiness — chunk-read
+            # sides are non-empty by their footer row counts
+            _compact_folded()
             return
 
         touched = self._touched_buckets(aff_l is not None, aff_r is not None)
@@ -182,9 +208,14 @@ class RetractableStreamJoin:
         # Only a side that ACTUALLY folded this apply compacts (a side
         # idling at a seq multiple, or a batch_id-skipped replay, must
         # not re-run the O(state) rewrite every apply).
-        for st, did in ((self.state_l, did_l), (self.state_r, did_r)):
-            if did and self.compact_every and st._seq and st._seq % self.compact_every == 0:
-                st.compact()
+        if "chunks" in kinds and any(
+            did and self.compact_every and st._seq and st._seq % self.compact_every == 0
+            for st, did in ((self.state_l, did_l), (self.state_r, did_r))
+        ):
+            # compaction GCs the chunk files the lazy affected plan
+            # points at — pin the (tiny) key set first
+            affected = affected.localCheckpoint(eager=True)
+        _compact_folded()
         # per-key re-join plans analyze non-strict (non_strict_mode.slt:
         # a poisoned residual/projection expression pads NULL instead of
         # failing the fold — the reference wraps every streaming

@@ -80,6 +80,29 @@ def _parquet_spark_schema(path: str):
     return None
 
 
+def chunk_key_frame(spark: SparkSession, lf: dict | None, cols: list[str]) -> DataFrame | None:
+    """`cols` of a just-folded batch's rows, read from the batch's chunk
+    files (`ChunkedState.last_fold`) instead of re-evaluating the
+    upstream batch plan — tiny local parquet with an explicit
+    footer-derived schema (no schema-inference job). None when there was
+    no fresh fold (replay) or a chunk lacks one of the columns."""
+    if lf is None:
+        return None
+    parts = []
+    for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
+        if path and rows:
+            schema = _parquet_spark_schema(path)
+            if schema is None or not set(cols) <= set(schema.names):
+                return None
+            parts.append(spark.read.schema(schema).parquet(path).select(*cols))
+    if not parts:
+        return None  # empty batch: schema must come from the plan
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def non_strict_analysis(spark: SparkSession):
     """Context manager: plans CONSTRUCTED inside the block analyze under
     ansi=false, so compute errors (div/0, bad casts) pad NULL per
@@ -1072,23 +1095,9 @@ class _RetractableView:
         chunk lacks a key column — callers fall back to the batch plan.
         No distinct(): every consumer is a semi/anti join or a distinct
         aggregation, so duplicate key rows are harmless."""
-        if lf is None or self.key_of is not None:
+        if self.key_of is not None:
             return None
-        parts = []
-        for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
-            if path and rows:
-                schema = _parquet_spark_schema(path)
-                if schema is None or not set(self.keys) <= set(schema.names):
-                    return None
-                parts.append(
-                    self.spark.read.schema(schema).parquet(path).select(*self.keys)
-                )
-        if not parts:
-            return None  # empty first batch: schema must come from the plan
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return chunk_key_frame(self.spark, lf, self.keys)
 
     def retouch(self, affected: DataFrame) -> None:
         """Recompute + splice the given key tuples from CURRENT state

@@ -219,24 +219,10 @@ class MaterializedOverWindowDelta:
         just-written state chunk files — None when the fold was skipped
         (replay) or a chunk lacks one of the columns (fall back to the
         batch plan)."""
-        from risingwave_spark.streaming.mv import _parquet_spark_schema
+        from risingwave_spark.streaming.mv import chunk_key_frame
 
-        if lf is None:
-            return None
         need = list(dict.fromkeys([*self.keys, *self.order_cols]))
-        parts = []
-        for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
-            if path and rows:
-                schema = _parquet_spark_schema(path)
-                if schema is None or not set(need) <= set(schema.names):
-                    return None
-                parts.append(self.spark.read.schema(schema).parquet(path).select(*need))
-        if not parts:
-            return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return chunk_key_frame(self.spark, lf, need)
 
     def _log_changelog(self, old_rows: DataFrame, new_rows: DataFrame) -> None:
         from risingwave_spark.streaming.mv import OP_COL, with_ops
