@@ -1552,6 +1552,17 @@ class EowcAggMv:
     State = open-window rows only (bounded by delay × arrival rate) plus
     one durable watermark timestamp — the reference's sort-buffer state
     shape. Per-batch work is O(batch + closed rows), never O(history).
+
+    Buffer layout (round-12, same design as EowcTumbleAgg): batches
+    append as immutable chunk files; watermark advancement and the
+    did-any-window-close decision come from the chunks' parquet footer
+    min/max ts statistics (driver-side, no Spark job — previously one
+    agg job over buffer∪batch per feed); emission reads only the chunks
+    whose ts range overlaps the newly-closed span (prev-wm, wm], and
+    fully-emitted chunks are GC'd instead of rewriting the surviving
+    buffer every feed. Restart recovery needs no extra metadata: the
+    durable WM file IS the emit horizon (everything at/before it was
+    emitted) and chunk stats rebuild from the footers.
     """
 
     def __init__(
@@ -1567,14 +1578,38 @@ class EowcAggMv:
         self.spark = spark
         self.ts_col = ts_col
         self.window_duration = window_duration
+        self._win_sec = _parse_duration_seconds(window_duration)
         self.delay_seconds = delay_seconds
         self.recompute = recompute
         self.empty_input = empty_input  # () -> empty typed input frame
-        self.buffer = _VersionedTable(spark, os.path.join(state_dir, "buffer"))
+        self.chunks_dir = os.path.join(state_dir, "buffer")
         self.out_path = os.path.join(state_dir, "out")
-        self._emitted_any = os.path.isdir(self.out_path)
+        self._emitted_any = os.path.isdir(self.out_path) and any(
+            os.scandir(self.out_path)
+        )
         self._wm_path = os.path.join(state_dir, "WM")
         self._watermark = self._read_wm()
+        # restart recovery: open-window chunks are whatever chunk files
+        # exist; their ts ranges come from the footers (no Spark job)
+        self._chunk_stats: dict[str, tuple] = {}
+        self._n = 0
+        if os.path.isdir(self.chunks_dir):
+            for d in sorted(os.listdir(self.chunks_dir)):
+                m = re.fullmatch(r"b(\d+)", d)
+                if not m:
+                    continue
+                p = os.path.join(self.chunks_dir, d)
+                mn, mx = _parquet_ts_minmax(p, ts_col)
+                if mx is None:
+                    shutil.rmtree(p, ignore_errors=True)
+                    continue
+                self._chunk_stats[p] = (mn, mx)
+                self._n = max(self._n, int(m.group(1)) + 1)
+        self._in_schema = None
+        self._out_schema = None
+        self._emit_n = sum(
+            1 for _ in os.scandir(self.out_path)
+        ) if os.path.isdir(self.out_path) else 0
         self.downstream: list = []  # EOWC MVs have no retraction changelog
         # EOWC output is append-only by construction, so its changelog is
         # insert-only chunks — one per emission (the reference's
@@ -1584,7 +1619,9 @@ class EowcAggMv:
         self.emit_changelog = False
 
     def exists(self) -> bool:
-        return self._emitted_any or self.buffer.exists() or self._watermark is not None
+        return bool(
+            self._emitted_any or self._chunk_stats or self._watermark is not None
+        )
 
     def _read_wm(self):
         import datetime
@@ -1618,30 +1655,58 @@ class EowcAggMv:
         cols = [c for c in batch.columns if c != OP_COL]
         self.feed(batch.filter(F.col(OP_COL) > 0).select(*cols))
 
+    def _window_end(self, ts):
+        """End of the tumble window containing `ts` (Spark window()
+        alignment: origin 1970-01-01 UTC)."""
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
+        off = (ts - epoch).total_seconds()
+        return epoch + datetime.timedelta(
+            seconds=(int(off // self._win_sec) + 1) * self._win_sec
+        )
+
     def feed(self, batch: DataFrame) -> None:
         import datetime
 
         if self._watermark is not None:
             # WatermarkFilter: late rows at/behind the watermark dropped
             batch = batch.filter(F.col(self.ts_col) > F.lit(self._watermark))
-        buf = batch
-        if self.buffer.exists():
-            buf = self.buffer.read().unionByName(batch)
-        annotated = self._annotate(buf)
-        mx, min_we = annotated.agg(F.max(self.ts_col), F.min("window_end")).first()
-        if mx is None:
+        chunk = os.path.join(self.chunks_dir, f"b{self._n}")
+        self._n += 1
+        if self._in_schema is None:
+            self._in_schema = batch.schema  # driver-side analysis only
+        batch.coalesce(4).write.mode("overwrite").parquet(chunk)
+        mn, mx = _parquet_ts_minmax(chunk, self.ts_col)
+        if mx is None:  # empty batch: drop the empty chunk, nothing to do
+            shutil.rmtree(chunk, ignore_errors=True)
             return
+        self._chunk_stats[chunk] = (mn, mx)
+        prev_wm = self._watermark
         wm = mx - datetime.timedelta(seconds=self.delay_seconds)
-        if self._watermark is not None and wm < self._watermark:
-            wm = self._watermark
+        if prev_wm is not None and wm < prev_wm:
+            wm = prev_wm
         self._watermark = wm
+        # WM durability order unchanged (before emission): it doubles as
+        # the emit horizon on restart — windows at/before it count as
+        # emitted, exactly the old buffer's "closed rows left the buffer"
         self._write_wm()
-        closed = annotated.filter(F.col("window_end") <= F.lit(wm))
-        still_open = annotated.filter(F.col("window_end") > F.lit(wm)).drop(
-            "window_start", "window_end"
-        )
-        if min_we is not None and min_we <= wm:
-            out = self.recompute(closed)
+
+        # chunks that can hold rows of a newly-closed window (end in
+        # (prev_wm, wm]): footer-range pruning, no Spark job
+        cand = [
+            c
+            for c, (cmn, cmx) in self._chunk_stats.items()
+            if self._window_end(cmn) <= wm
+            and (prev_wm is None or self._window_end(cmx) > prev_wm)
+        ]
+        if cand:
+            rows = self.spark.read.schema(self._in_schema).parquet(*cand)
+            annotated = self._annotate(rows)
+            closing = F.col("window_end") <= F.lit(wm)
+            if prev_wm is not None:
+                closing = closing & (F.col("window_end") > F.lit(prev_wm))
+            out = self.recompute(annotated.filter(closing))
             if self.emit_changelog:
                 # one insert-only chunk per emission; chunk index = count
                 # of existing chunks (idempotent overwrite on redelivery)
@@ -1652,15 +1717,30 @@ class EowcAggMv:
                 with_ops(out, 1).coalesce(2).write.mode("overwrite").parquet(
                     os.path.join(self.changelog_dir, f"c{k}")
                 )
-            out.coalesce(2).write.mode("append").parquet(self.out_path)
-            self._emitted_any = True
-        self.buffer.write(still_open)
+            out_dir = os.path.join(self.out_path, f"e{self._emit_n}")
+            self._emit_n += 1
+            if self._out_schema is None:
+                self._out_schema = out.schema
+            out.coalesce(2).write.mode("overwrite").parquet(out_dir)
+            if _parquet_rows(out_dir) > 0:
+                self._emitted_any = True
+            else:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        # GC chunks whose every row's window has emitted (file-level
+        # retention instead of the previous per-feed buffer rewrite)
+        for c, (_, cmx) in list(self._chunk_stats.items()):
+            if self._window_end(cmx) <= wm:
+                shutil.rmtree(c, ignore_errors=True)
+                del self._chunk_stats[c]
 
     def result(self) -> DataFrame:
         if not self._emitted_any:
             # typed empty frame: the MV body over zero input rows
             return self.recompute(self._annotate(self.empty_input())).limit(0)
-        return self.spark.read.parquet(self.out_path)
+        r = self.spark.read.option("recursiveFileLookup", "true")
+        if self._out_schema is not None:
+            r = r.schema(self._out_schema)
+        return r.parquet(self.out_path)
 
 
 def stream_to_mv(
