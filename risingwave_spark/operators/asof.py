@@ -64,12 +64,14 @@ def asof_join_backward(
     unioned = l.unionByName(r_aligned)
     # right rows at the same ts sort BEFORE left rows (<= semantics);
     # among equal-ts right rows, the greatest right_order tuple sorts
-    # last so F.last() picks it (left rows carry NULL payloads → they
-    # sort after every right row of the same ts under asc_nulls_last,
-    # which keeps the is_right ordering intact)
+    # last so F.last() picks it. nulls FIRST so a NULL tie-break value
+    # never outranks a non-null one — matching what a groupBy max()
+    # pre-aggregation (which ignores NULLs) would have selected. The
+    # is_right key already separates left from right rows, so the
+    # tie-break only ever reorders within the right group.
     order = [F.col(left_ts).asc(), F.col("__is_right").desc()]
     for c in right_order or []:
-        order.append(F.col(f"__rpayload.{c}").asc_nulls_last())
+        order.append(F.col(f"__rpayload.{c}").asc_nulls_first())
     w = (
         W.partitionBy(key)
         .orderBy(*order)

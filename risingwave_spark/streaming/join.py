@@ -193,9 +193,11 @@ class RetractableStreamJoin:
         for p in parts[1:]:
             affected = affected.unionByName(p)
         affected = affected.distinct()
-        if "plan" in kinds and self.mv.exists() and not affected.take(1):
+        if kinds == {"plan"} and self.mv.exists() and not affected.take(1):
             # only plan-derived sides have unknown emptiness — chunk-read
-            # sides are non-empty by their footer row counts
+            # sides are non-empty by their footer row counts, so any
+            # "chunks" side makes the union provably non-empty and the
+            # take(1) probe pure waste
             _compact_folded()
             return
 

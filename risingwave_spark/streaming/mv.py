@@ -1052,14 +1052,28 @@ class _RetractableView:
         # re-run the O(state) rewrite).
         touched = self._touched_buckets_fast()
         lf = self.state.last_fold if did_fold else None
+        will_compact = bool(
+            did_fold and self.compact_every and self.state._seq % self.compact_every == 0
+        )
+
+        def compact_now():
+            pre = self.state._seq
+            self.state.compact()
+            # keep changelog chunk ids monotonic across the seq reset
+            bump_chunk_base(self.changelog_dir, pre - self.state._seq)
+
         if lf is not None and self.mv.exists() and lf["v_rows"] + lf["t_rows"] == 0:
             # empty batch (e.g. an upstream pushed-down filter dropped
             # everything): the state fold is committed, and recompute /
             # splice / downstream forward are no-ops. Emptiness comes
             # from the just-written chunk footers — zero Spark jobs
             # (previously a take(1) job re-evaluating the batch plan).
+            # The compaction cadence still runs — an empty batch landing
+            # on a cadence seq must not defer the O(state) rewrite.
             # (The FIRST apply must still run the splice to materialize
             # the empty MV + schema.)
+            if will_compact:
+                compact_now()
             return
         # Affected keys from the batch's just-written chunk files (tiny
         # local parquet) instead of re-evaluating the upstream batch plan:
@@ -1067,18 +1081,12 @@ class _RetractableView:
         # each of which would otherwise re-run the whole upstream subtree
         # (guide §2.4 — don't recompute what is already materialized).
         affected = self._chunk_affected(lf)
-        will_compact = bool(
-            did_fold and self.compact_every and self.state._seq % self.compact_every == 0
-        )
         if affected is not None and will_compact:
             # compaction GCs the old generation's chunk files the lazy
             # plan points at — pin the (tiny) key set first
             affected = affected.localCheckpoint(eager=True)
         if will_compact:
-            pre = self.state._seq
-            self.state.compact()
-            # keep changelog chunk ids monotonic across the seq reset
-            bump_chunk_base(self.changelog_dir, pre - self.state._seq)
+            compact_now()
 
         if affected is None:
             annotate = self.key_of or (lambda d: d)
@@ -1321,12 +1329,26 @@ class AppendOnlyGroupTopN:
         return self.state.read().withColumn("rk", F.row_number().over(w))
 
 
-def _parse_duration_seconds(text: str) -> int:
-    """Seconds of a Spark interval string like '1 hour' / '10 minutes'."""
-    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", text, re.I)
+def _next_seq_index(path: str, prefix: str) -> int:
+    """max existing `<prefix><N>` entry + 1 (NOT the entry count: gaps
+    from GC'd zero-row emissions would otherwise make a restart reuse —
+    and overwrite — a live index)."""
+    nxt = 0
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            m = re.fullmatch(rf"{prefix}(\d+)", d)
+            if m:
+                nxt = max(nxt, int(m.group(1)) + 1)
+    return nxt
+
+
+def _parse_duration_seconds(text: str) -> float:
+    """Seconds of a Spark interval string like '1 hour' / '10 minutes'
+    (fractional values allowed — '0.5 seconds' is a legal tumble)."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(second|minute|hour|day)s?\s*", text, re.I)
     if not m:
         raise ValueError(f"unsupported window duration {text!r}")
-    n = int(m.group(1))
+    n = float(m.group(1))
     return n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
         m.group(2).lower()
     ]
@@ -1348,11 +1370,13 @@ def _parquet_ts_minmax(path: str, col: str):
     mn = mx = None
 
     def norm(v):
-        # session TZ and driver TZ are UTC: normalize any tz-aware stat
-        # to NAIVE UTC so comparisons and F.lit() round-trips match the
-        # values Spark itself returns for TimestampType
+        # keep tz-AWARE stats aware (normalized to UTC): F.lit() of an
+        # aware datetime binds the exact instant regardless of the
+        # session time zone (SET TIME ZONE must not shift watermarks);
+        # naive values come from NTZ columns, where wall-clock semantics
+        # are already session-independent
         if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.astimezone(_dt.timezone.utc)
         return v
 
     def fold(lo, hi):
@@ -1433,9 +1457,23 @@ class EowcTumbleAgg:
         #: highest window end already emitted (windows ending at/before
         #: this are closed-and-emitted; late rows for them are dropped)
         self._emit_horizon = None
+        # restart over an existing state dir: adopt surviving chunks
+        # (ts ranges from footers — no Spark job) and resume numbering
         self._chunk_stats: dict[str, tuple] = {}  # path -> (min_ts, max_ts)
         self._n = 0
-        self._emit_n = 0
+        if os.path.isdir(self.chunks_dir):
+            for d in sorted(os.listdir(self.chunks_dir)):
+                m = re.fullmatch(r"b(\d+)", d)
+                if not m:
+                    continue
+                p = os.path.join(self.chunks_dir, d)
+                mn, mx = _parquet_ts_minmax(p, ts_col)
+                self._n = max(self._n, int(m.group(1)) + 1)
+                if mx is None:
+                    shutil.rmtree(p, ignore_errors=True)
+                    continue
+                self._chunk_stats[p] = (mn, mx)
+        self._emit_n = _next_seq_index(self.out_path, "e")
         # explicit schemas for the chunk/output re-reads: parquet schema
         # inference is a (small) Spark job per read — the schemas are
         # already known driver-side, so skip those jobs entirely
@@ -1450,7 +1488,7 @@ class EowcTumbleAgg:
         epoch = datetime.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
         off = (ts - epoch).total_seconds()
         return epoch + datetime.timedelta(
-            seconds=(int(off // self._win_sec) + 1) * self._win_sec
+            seconds=((off // self._win_sec) + 1) * self._win_sec
         )
 
     def apply_batch(self, batch: DataFrame) -> None:
@@ -1475,13 +1513,18 @@ class EowcTumbleAgg:
         # chunks that can hold rows of a newly-closed window (window end
         # in (prev_horizon, wm]): footer-range pruning — a chunk whose
         # LAST row's window already emitted, or whose FIRST row's window
-        # is still open, contributes nothing
-        cand = [
-            c
-            for c, (cmn, cmx) in self._chunk_stats.items()
-            if self._window_end(cmn) <= wm
-            and (prev_horizon is None or self._window_end(cmx) > prev_horizon)
-        ]
+        # is still open, contributes nothing; a stalled watermark
+        # (wm <= horizon) closes nothing, so skip the emission job
+        cand = (
+            []
+            if prev_horizon is not None and wm <= prev_horizon
+            else [
+                c
+                for c, (cmn, cmx) in self._chunk_stats.items()
+                if self._window_end(cmn) <= wm
+                and (prev_horizon is None or self._window_end(cmx) > prev_horizon)
+            ]
+        )
         if cand:
             win = F.window(self.ts_col, self.window_duration)
             rows = self.spark.read.schema(self._in_schema).parquet(*cand)
@@ -1607,9 +1650,7 @@ class EowcAggMv:
                 self._n = max(self._n, int(m.group(1)) + 1)
         self._in_schema = None
         self._out_schema = None
-        self._emit_n = sum(
-            1 for _ in os.scandir(self.out_path)
-        ) if os.path.isdir(self.out_path) else 0
+        self._emit_n = _next_seq_index(self.out_path, "e")
         self.downstream: list = []  # EOWC MVs have no retraction changelog
         # EOWC output is append-only by construction, so its changelog is
         # insert-only chunks — one per emission (the reference's
@@ -1663,7 +1704,7 @@ class EowcAggMv:
         epoch = datetime.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
         off = (ts - epoch).total_seconds()
         return epoch + datetime.timedelta(
-            seconds=(int(off // self._win_sec) + 1) * self._win_sec
+            seconds=((off // self._win_sec) + 1) * self._win_sec
         )
 
     def feed(self, batch: DataFrame) -> None:
@@ -1687,19 +1728,20 @@ class EowcAggMv:
         if prev_wm is not None and wm < prev_wm:
             wm = prev_wm
         self._watermark = wm
-        # WM durability order unchanged (before emission): it doubles as
-        # the emit horizon on restart — windows at/before it count as
-        # emitted, exactly the old buffer's "closed rows left the buffer"
-        self._write_wm()
 
         # chunks that can hold rows of a newly-closed window (end in
-        # (prev_wm, wm]): footer-range pruning, no Spark job
-        cand = [
-            c
-            for c, (cmn, cmx) in self._chunk_stats.items()
-            if self._window_end(cmn) <= wm
-            and (prev_wm is None or self._window_end(cmx) > prev_wm)
-        ]
+        # (prev_wm, wm]): footer-range pruning, no Spark job; a stalled
+        # watermark (wm <= prev_wm) closes nothing — skip the emission
+        cand = (
+            []
+            if prev_wm is not None and wm <= prev_wm
+            else [
+                c
+                for c, (cmn, cmx) in self._chunk_stats.items()
+                if self._window_end(cmn) <= wm
+                and (prev_wm is None or self._window_end(cmx) > prev_wm)
+            ]
+        )
         if cand:
             rows = self.spark.read.schema(self._in_schema).parquet(*cand)
             annotated = self._annotate(rows)
@@ -1726,6 +1768,12 @@ class EowcAggMv:
                 self._emitted_any = True
             else:
                 shutil.rmtree(out_dir, ignore_errors=True)
+        # WM durability AFTER the emission write: the stored WM doubles
+        # as the emit horizon on restart, so a crash between the two must
+        # leave the OLD horizon in place — the un-emitted span's chunks
+        # survive (GC below also gates on it) and the next feed re-runs
+        # the emission, exactly the old buffer's at-least-once recovery.
+        self._write_wm()
         # GC chunks whose every row's window has emitted (file-level
         # retention instead of the previous per-feed buffer rewrite)
         for c, (_, cmx) in list(self._chunk_stats.items()):

@@ -474,7 +474,15 @@ class MaterializedOverWindowDelta:
         lf = self.state.last_fold if did_fold else None
         if lf is not None and self.mv.exists() and lf["v_rows"] + lf["t_rows"] == 0:
             # empty batch: fold committed; the recompute/splice would
-            # rewrite an epoch for zero touched partitions — skip it
+            # rewrite an epoch for zero touched partitions — skip it,
+            # but keep the compaction cadence (an empty batch on a
+            # cadence seq must not defer the O(state) rewrite)
+            if did_fold and self.compact_every and self.state._seq % self.compact_every == 0:
+                from risingwave_spark.streaming.mv import bump_chunk_base
+
+                pre = self.state._seq
+                self.state.compact()
+                bump_chunk_base(self.changelog_dir, pre - self.state._seq)
             return
         bsrc = self._chunk_boundary_src(lf)
         if bsrc is None:
