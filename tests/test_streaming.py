@@ -979,3 +979,84 @@ def test_eowc_over_window_bounded_rows_frames(spark):
         for i in range(10)
     ]
     assert got == exp
+
+
+def test_eowc_chunk_buffer_restart_and_gc(spark, tmp_path):
+    """Round-12 EOWC chunk buffer: the append-only buffer GCs fully
+    emitted chunks (file-level retention), a RESTART over the same state
+    dir adopts the surviving chunks and resumes chunk numbering (no
+    overwrite of live buffer files), and emissions never duplicate."""
+    import datetime
+
+    from risingwave_spark.streaming.mv import EowcTumbleAgg
+
+    sd = str(tmp_path / "eowc_state")
+    t0 = datetime.datetime(2024, 1, 1, 0, 10)
+
+    def batch(*minutes):
+        return spark.createDataFrame(
+            [(i, t0 + datetime.timedelta(minutes=m)) for i, m in enumerate(minutes)],
+            "id long, ts timestamp",
+        )
+
+    e1 = EowcTumbleAgg(spark, sd, "ts", "1 hour", delay_seconds=600)
+    e1.feed(batch(0, 20, 70))          # wm 01:20-10m=01:10 -> hour 0 closes
+    assert {(r.ws.hour, r.n) for r in e1.result().collect()} == {(0, 2)}
+    # hour-0 rows emitted; the chunk still holds an open hour-1 row -> kept
+    assert len(e1._chunk_stats) == 1
+    n_before = e1._n
+
+    # restart over the same dir: surviving chunk adopted, numbering resumes
+    e2 = EowcTumbleAgg(spark, sd, "ts", "1 hour", delay_seconds=600)
+    assert len(e2._chunk_stats) == 1 and e2._n == n_before
+    e2._watermark = e1._watermark        # class keeps wm in memory only
+    e2._emit_horizon = e1._emit_horizon
+    e2.feed(batch(130, 190))             # wm 03:10-10m=03:00 -> hours 1+2 close
+    got = sorted((r.ws.hour, r.n) for r in e2.result().collect())
+    assert got == [(0, 2), (1, 1), (2, 1)]
+    # everything emitted except the open hour-3 row's chunk
+    assert len(e2._chunk_stats) == 1
+
+
+def test_eowc_agg_mv_emission_index_skips_gaps(spark, tmp_path):
+    """Round-12 fix: the emission index resumes at max(e{N})+1 — a gap
+    left by a GC'd zero-row emission must not make a restart overwrite a
+    live emission dir."""
+    import os
+
+    from risingwave_spark.streaming.mv import EowcAggMv, _next_seq_index
+
+    out = tmp_path / "out"
+    (out / "e0").mkdir(parents=True)
+    (out / "e2").mkdir()  # gap at e1 (zero-row emission was rmtree'd)
+    assert _next_seq_index(str(out), "e") == 3
+
+    sd = str(tmp_path / "st")
+    os.makedirs(os.path.join(sd, "out", "e0"))
+    os.makedirs(os.path.join(sd, "out", "e2"))
+    mv = EowcAggMv(
+        spark, sd, "ts", "1 hour", 600,
+        recompute=lambda rows: rows,
+        empty_input=lambda: spark.createDataFrame([], "ts timestamp"),
+    )
+    assert mv._emit_n == 3
+
+
+def test_mv_empty_batch_still_compacts_on_cadence(spark, events, tmp_path):
+    """Round-12 fix: an empty batch landing exactly on the compaction
+    cadence seq must still trigger the state compaction (generation
+    bump), even though the splice is skipped."""
+    mv = MaterializedGroupAgg(
+        spark, str(tmp_path / "mvc"), ["user_id"], "event_id", "value"
+    )
+    mv.compact_every = 3
+    small = events.filter(F.col("event_id") < 200)
+    mv.apply_batch(with_ops(small.filter(F.col("event_id") % 2 == 0), 1))
+    mv.apply_batch(with_ops(small.filter(F.col("event_id") % 2 == 1), 1))
+    gen_before = mv.state._gen
+    # 3rd fold (seq hits the cadence) is EMPTY: splice skipped, but the
+    # compaction must still run
+    mv.apply_batch(with_ops(small.filter(F.lit(False)), 1))
+    assert mv.state._gen == gen_before + 1
+    # and the MV still equals the batch aggregate
+    assert _rows(mv.result()) == _rows(_batch_expected(small))
