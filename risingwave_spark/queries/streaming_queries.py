@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from risingwave_spark.queries.registry import register
-from risingwave_spark.queries.util import EVENTS_US, o_msum, tables
+from risingwave_spark.queries.util import EVENTS_US, footer_bounds, o_msum, tables
 from risingwave_spark.streaming.mv import run_changelog, with_ops
 
 
@@ -320,7 +320,9 @@ def stream_eowc_tumble(spark, sf_dir):
     from risingwave_spark.streaming.mv import EowcTumbleAgg
 
     ev = tables(spark, sf_dir)["events"]
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 4
     eowc = EowcTumbleAgg(
         spark, tempfile.mkdtemp(prefix="rw_eowc_"), "ts", "1 hour", delay_seconds=600
@@ -402,7 +404,9 @@ def stream_over_window_delta(spark, sf_dir):
     from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
 
     ev = tables(spark, sf_dir)["events"]
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 4
     mvw = MaterializedOverWindowDelta(
         spark,
@@ -791,7 +795,9 @@ def stream_eowc_over_window(spark, sf_dir):
     from risingwave_spark.streaming.over_window import EowcOverWindow
 
     ev = tables(spark, sf_dir)["events"]
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 4
     eowc = EowcOverWindow(
         spark,
@@ -857,7 +863,9 @@ def stream_over_window_delta2(spark, sf_dir):
         "ts",
         F.round(F.col("value") * 10000, 0).cast("long").alias("vc"),
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 4
     mvw = MaterializedOverWindowDelta(
         spark,
@@ -928,7 +936,9 @@ def stream_eowc_over_window_lead(spark, sf_dir):
         "ts",
         F.round(F.col("value") * 10000, 0).cast("long").alias("vc"),
     )
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 4
     eowc = EowcOverWindow(
         spark,
@@ -1350,7 +1360,9 @@ def engine_sql_eowc(spark, sf_dir):
     from risingwave_spark.api import Engine
 
     ev = tables(spark, sf_dir)["events"]
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 4
     eng = Engine(spark, tempfile.mkdtemp(prefix="rw_eowc_sql_"))
     eng.sql(
@@ -1562,7 +1574,7 @@ def stream_over_window_frames(spark, sf_dir):
         },
         payload_cols=["iv"],
     )
-    n = ev.agg(F.max("event_id")).first()[0] + 1
+    n = footer_bounds(spark, sf_dir, col="event_id")[1] + 1
     for i in range(4):
         mvw.apply_batch(
             with_ops(
@@ -1827,7 +1839,9 @@ def engine_sql_eowc_keyed(spark, sf_dir):
     from risingwave_spark.api import Engine
 
     ev = tables(spark, sf_dir)["events"]
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # events min/max ts from the parquet footer statistics — value-
+    # identical to the agg, zero Spark jobs (util.footer_bounds)
+    lo, hi = footer_bounds(spark, sf_dir)
     span = (hi - lo) / 3
     eng = Engine(spark, tempfile.mkdtemp(prefix="rw_eowck_"))
     eng.sql(

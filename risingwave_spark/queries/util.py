@@ -16,6 +16,8 @@ Cross-engine determinism notes (Spark vs DuckDB oracle):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,59 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for name, df in _CACHE[key].items():
             df.createOrReplaceTempView(name)
     return _CACHE[key]
+
+
+def footer_bounds(
+    spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts"
+):
+    """(min, max) of a column read from the table's parquet FOOTER
+    statistics — a driver-side metadata read, zero Spark jobs, and
+    value-identical to ``df.agg(F.min(col), F.max(col)).first()``
+    (guide §1.2: don't schedule a scan for what the file metadata
+    already states; the EOWC watermark path trusts the same stats).
+
+    Timestamp columns: µs footers are exact; ns footers floor to µs,
+    the same truncation the loader applies (`ts div 1000` /
+    DuckDB CAST(ts AS TIMESTAMP)); min/max commute with flooring, so
+    equality with the agg holds for every shipped variant. Any missing
+    or non-decodable statistic falls back to the aggregation job."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.names.index(col)
+        md = pf.metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("footer lacks min/max statistics")
+            los.append(st.min)
+            his.append(st.max)
+        if not los:
+            raise ValueError("no row groups")
+        lo, hi = min(los), max(his)
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(pf.schema_arrow.field(col).type):
+            if isinstance(lo, int):  # raw ns counters: floor to µs
+                epoch = datetime.datetime(1970, 1, 1)
+                lo = epoch + datetime.timedelta(microseconds=lo // 1000)
+                hi = epoch + datetime.timedelta(microseconds=hi // 1000)
+            if not isinstance(lo, datetime.datetime):
+                raise ValueError(f"undecodable timestamp statistic {lo!r}")
+            # stats of tz-aware columns come back aware; the session tz
+            # is UTC, so the agg's naive values are the same wall clock
+            if lo.tzinfo is not None:
+                lo = lo.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                hi = hi.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return lo, hi
+    except Exception:
+        df = tables(spark, sf_dir)[table]
+        return df.agg(F.min(col), F.max(col)).first()
 
 
 def msum(col: Column | str, scale: int = 100) -> Column:

@@ -36,6 +36,8 @@ seed because the suffix always runs to the partition end.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -44,6 +46,10 @@ from risingwave_spark.streaming.mv import (
     ChunkedState,
     OP_COL,
     _BucketedMvTable,
+    _next_seq_index,
+    _parquet_rows,
+    _parquet_ts_minmax,
+    _statically_empty,
     buckets_from_chunks,
     nullsafe_cond,
 )
@@ -806,7 +812,44 @@ class EowcOverWindow:
         self.seeds = _VersionedTable(spark, os.path.join(state_dir, "seeds"))
         self.tail = _VersionedTable(spark, os.path.join(state_dir, "tail"))
         self.out_path = os.path.join(state_dir, "out")
-        self._emitted_any = os.path.isdir(self.out_path)
+        # guard against an out dir left EMPTY by a GC'd zero-row emission
+        self._emitted_any = os.path.isdir(self.out_path) and any(
+            os.scandir(self.out_path)
+        )
+        # Round-12 chunk buffer (same design as EowcTumbleAgg/EowcAggMv,
+        # guide §1.2/§2.4): when no function looks FORWARD (no lead, no
+        # FOLLOWING frame end — _reaches emit reach 0), the emitted set of
+        # every feed is exactly the event-time span (prev wm, new wm], so
+        # batches can append as immutable chunk files: the watermark comes
+        # from the chunk's parquet footer max-ts (driver-side, no Spark
+        # job — previously one agg job over buffer∪batch per feed),
+        # emission reads only the chunks overlapping the newly-closed
+        # span, and fully-emitted chunks are GC'd instead of rewriting the
+        # whole surviving buffer every feed. Forward reach holds back the
+        # last `reach` CLOSED rows per partition — that breaks the
+        # "emitted iff ts <= wm" file-level invariant, so those instances
+        # (and pre-existing legacy buffer state) keep the versioned-buffer
+        # path.
+        self._chunks_dir = os.path.join(state_dir, "buffer_chunks")
+        self._use_chunks = _reaches(funcs)[0] == 0 and not self.buffer.exists()
+        self._chunk_stats: dict[str, tuple] = {}  # path -> (min_ts, max_ts)
+        self._chunk_n = 0
+        if self._use_chunks and os.path.isdir(self._chunks_dir):
+            # restart: adopt surviving chunks (ts ranges from footers),
+            # resume numbering; the durable WM below is the emit horizon
+            for d in sorted(os.listdir(self._chunks_dir)):
+                m = re.fullmatch(r"b(\d+)", d)
+                if not m:
+                    continue
+                p = os.path.join(self._chunks_dir, d)
+                mn, mx = _parquet_ts_minmax(p, ts_col)
+                self._chunk_n = max(self._chunk_n, int(m.group(1)) + 1)
+                if mx is None:
+                    shutil.rmtree(p, ignore_errors=True)
+                    continue
+                self._chunk_stats[p] = (mn, mx)
+        self._in_schema = None
+        self._emit_n = _next_seq_index(self.out_path, "e")
         # durable watermark (reference: the sort buffer's watermark rides
         # the barrier/state table): restart must keep the late-drop
         # boundary, or a post-restart late row would emit out of order
@@ -874,6 +917,109 @@ class EowcOverWindow:
         )
 
     def feed(self, batch: DataFrame) -> None:
+        if self._use_chunks:
+            return self._feed_chunks(batch)
+        return self._feed_buffered(batch)
+
+    def _feed_chunks(self, batch: DataFrame) -> None:
+        """Chunk-buffer feed (emit reach 0): one O(batch) chunk write per
+        feed; emission (only when the watermark advances) reads the
+        chunks overlapping the newly-closed span (prev wm, wm] — the
+        emitted set IS that event-time span, late rows having been
+        dropped at the door and rows <= prev wm having emitted already."""
+        import datetime
+
+        prev_wm = self._watermark
+        if prev_wm is not None:
+            # WatermarkFilter: late rows at/behind the watermark dropped
+            # (strictly `>` — a ts==wm row has already been emitted)
+            batch = batch.filter(F.col(self.ts_col) > F.lit(prev_wm))
+        chunk = os.path.join(self._chunks_dir, f"b{self._chunk_n}")
+        self._chunk_n += 1
+        if self._in_schema is None:
+            self._in_schema = batch.schema  # driver-side analysis only
+        batch.coalesce(4).write.mode("overwrite").parquet(chunk)
+        mn, mx = _parquet_ts_minmax(chunk, self.ts_col)
+        if mx is None:  # empty batch: drop the chunk, nothing to do
+            shutil.rmtree(chunk, ignore_errors=True)
+            return
+        self._chunk_stats[chunk] = (mn, mx)
+        wm = mx - datetime.timedelta(seconds=self.delay_seconds)
+        if prev_wm is not None and wm < prev_wm:
+            wm = prev_wm
+        self._watermark = wm
+
+        # chunks that can hold rows of the newly-closed span (prev_wm,
+        # wm]: footer-range pruning, no Spark job; a stalled watermark
+        # closes nothing — skip the emission entirely
+        cand = (
+            []
+            if prev_wm is not None and wm <= prev_wm
+            else [
+                c
+                for c, (cmn, cmx) in self._chunk_stats.items()
+                if cmn <= wm and (prev_wm is None or cmx > prev_wm)
+            ]
+        )
+        if cand:
+            rows = self.spark.read.schema(self._in_schema).parquet(*cand)
+            closing = F.col(self.ts_col) <= F.lit(wm)
+            if prev_wm is not None:
+                closing = closing & (F.col(self.ts_col) > F.lit(prev_wm))
+            closed = rows.filter(closing)
+            seeds = self.seeds.read() if self.seeds.exists() else None
+            delta = self._delta()
+            out = delta._window_outputs(closed, seeds)
+            if self._frame_funcs:
+                # frame context = retained tail + every unemitted row
+                # (all live chunk rows past the emit horizon — already-
+                # emitted stragglers in partially-emitted chunks are
+                # exactly the rows the tail retains)
+                buf = self.spark.read.schema(self._in_schema).parquet(
+                    *self._chunk_stats.keys()
+                )
+                if prev_wm is not None:
+                    buf = buf.filter(F.col(self.ts_col) > F.lit(prev_wm))
+                out = self._frame_outputs(out, buf)
+                out = out.localCheckpoint(eager=True)
+                self._update_tail(out, buf)
+            else:
+                out = out.localCheckpoint(eager=True)
+            out_dir = os.path.join(self.out_path, f"e{self._emit_n}")
+            self._emit_n += 1
+            if self._out_schema is None:
+                self._out_schema = out.schema
+            out.coalesce(2).write.mode("overwrite").parquet(out_dir)
+            if _parquet_rows(out_dir) > 0:
+                self._emitted_any = True
+                # carry-out: last emitted row's outputs per partition
+                # seed the next emission (merged over previous seeds)
+                new_seeds = delta._seeds(out)
+                if seeds is not None:
+                    stale = seeds.join(
+                        new_seeds.select(*self.keys), on=self.keys, how="left_anti"
+                    )
+                    new_seeds = stale.unionByName(new_seeds)
+                self.seeds.write(new_seeds)
+            else:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        # WM durability AFTER the emission write: the stored WM is the
+        # emit horizon on restart — a crash in between leaves the old
+        # horizon, the un-emitted span's chunks survive (GC below gates
+        # on wm too) and the next feed re-runs the emission (the same
+        # at-least-once recovery the buffered path has).
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self._watermark.isoformat())
+        os.replace(tmp, self._wm_path)
+        # GC chunks whose every row has emitted (file-level retention —
+        # the delay × arrival-rate buffer bound, without the rewrite)
+        for c, (_, cmx) in list(self._chunk_stats.items()):
+            if cmx <= wm:
+                shutil.rmtree(c, ignore_errors=True)
+                del self._chunk_stats[c]
+
+    def _feed_buffered(self, batch: DataFrame) -> None:
         import datetime
 
         if self._watermark is not None:
@@ -958,7 +1104,11 @@ class EowcOverWindow:
         from risingwave_spark.streaming.mv import OP_COL
 
         cols = [c for c in batch.columns if c != OP_COL]
-        if batch.filter(F.col(OP_COL) < 0).limit(1).count():
+        deletes = batch.filter(F.col(OP_COL) < 0)
+        # an insert-only chunk (with_ops(df, 1)) folds the delete branch
+        # to an empty LocalRelation at plan time — zero Spark jobs for
+        # the common case; only genuinely mixed batches pay the probe
+        if not _statically_empty(deletes) and deletes.limit(1).count():
             raise ValueError(
                 "EMIT ON WINDOW CLOSE over-window requires an append-only "
                 "source: deletes/updates cannot retract emitted rows"
@@ -966,7 +1116,12 @@ class EowcOverWindow:
         self.feed(batch.filter(F.col(OP_COL) > 0).select(*cols))
 
     def exists(self) -> bool:
-        return self._emitted_any or self.buffer.exists()
+        return (
+            self._emitted_any
+            or self.buffer.exists()
+            or bool(self._chunk_stats)
+            or self._watermark is not None
+        )
 
     def result(self) -> DataFrame:
         if not self._emitted_any:
@@ -976,7 +1131,13 @@ class EowcOverWindow:
             else:
                 raise ValueError("nothing emitted yet")
         else:
-            out = self.spark.read.parquet(self.out_path)
+            # recursive lookup spans both output layouts (legacy flat
+            # appends and the chunk path's e{N} emission dirs); the
+            # known schema skips the inference job
+            r = self.spark.read.option("recursiveFileLookup", "true")
+            if self._out_schema is not None:
+                r = r.schema(self._out_schema)
+            out = r.parquet(self.out_path)
         if self._frame_funcs and not self._emitted_any:
             out = self._frame_outputs(out, self.empty_input())
         drop = [c for c in out.columns if c.startswith("__aux_")]

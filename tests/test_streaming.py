@@ -1060,3 +1060,81 @@ def test_mv_empty_batch_still_compacts_on_cadence(spark, events, tmp_path):
     assert mv.state._gen == gen_before + 1
     # and the MV still equals the batch aggregate
     assert _rows(mv.result()) == _rows(_batch_expected(small))
+
+
+def test_eowc_over_window_chunk_buffer_gc_and_restart(spark, tmp_path):
+    """Round-12 EowcOverWindow chunk buffer (emit reach 0): batches
+    append as chunk files (no versioned-buffer rewrite), fully-emitted
+    chunks are GC'd, a restart over the same state dir adopts surviving
+    chunks + the durable watermark and never re-emits, and seeds carry
+    row_number across emissions exactly as the buffered path did."""
+    import datetime
+
+    from risingwave_spark.streaming.over_window import EowcOverWindow
+
+    sd = str(tmp_path / "eowcw")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def batch(*rows):  # (rid, k, v, minutes)
+        return spark.createDataFrame(
+            [(r, k, v, t0 + datetime.timedelta(minutes=m)) for r, k, v, m in rows],
+            "rid long, k long, v long, ts timestamp",
+        )
+
+    ew = EowcOverWindow(
+        spark, sd, ["k"], "ts", ["ts"], "rid",
+        {"rn": ("row_number",), "prev": ("lag", "v")}, ["v", "rid"],
+        delay_seconds=600,
+    )
+    assert ew._use_chunks  # backward-looking funcs take the chunk path
+    ew.feed(batch((0, 1, 10, 0), (1, 1, 11, 20), (2, 1, 12, 40)))
+    # wm = 40-10 = 30min: rids 0,1 emitted; chunk still holds rid 2 → kept
+    assert len(ew._chunk_stats) == 1 and not ew.buffer.exists()
+    got1 = _rows(ew.result().select("rid", "rn", "prev"))
+    assert got1 == [(0, 1, None), (1, 2, 10)]
+
+    # restart: surviving chunk + durable WM adopted; numbering resumes
+    ew2 = EowcOverWindow(
+        spark, sd, ["k"], "ts", ["ts"], "rid",
+        {"rn": ("row_number",), "prev": ("lag", "v")}, ["v", "rid"],
+        delay_seconds=600,
+    )
+    assert ew2._use_chunks and len(ew2._chunk_stats) == 1
+    assert ew2._watermark == ew._watermark and ew2._chunk_n == ew._chunk_n
+    # late replay of rid 0/1 (ts <= wm) must drop at the door; rid 2
+    # closes once the watermark passes it; seeds continue rn at 3
+    ew2.feed(batch((0, 1, 10, 0), (1, 1, 11, 20), (3, 1, 13, 70)))
+    got2 = _rows(ew2.result().select("rid", "rn", "prev"))
+    assert got2 == [(0, 1, None), (1, 2, 10), (2, 3, 11)]
+    # the first chunk (rids 0-2) is now fully emitted → GC'd; only the
+    # open rid-3 chunk survives
+    assert len(ew2._chunk_stats) == 1
+
+    # forward-looking reach (lead) keeps the versioned-buffer path
+    ew3 = EowcOverWindow(
+        spark, str(tmp_path / "lead"), ["k"], "ts", ["ts"], "rid",
+        {"nxt": ("lead", "v")}, ["v"], delay_seconds=600,
+    )
+    assert not ew3._use_chunks
+
+
+def test_footer_bounds_equals_agg(spark):
+    """util.footer_bounds (parquet footer statistics, zero Spark jobs)
+    must return byte-identical values to the min/max aggregation job it
+    replaces — for the ts watermark bounds AND an integer column."""
+    from risingwave_spark.queries.util import footer_bounds, tables
+
+    ev = tables(spark, SF_DIR)["events"]
+    assert footer_bounds(spark, SF_DIR) == tuple(
+        ev.agg(F.min("ts"), F.max("ts")).first()
+    )
+    assert footer_bounds(spark, SF_DIR, col="event_id") == tuple(
+        ev.agg(F.min("event_id"), F.max("event_id")).first()
+    )
+    # a column with no footer usability falls back to the agg (here: a
+    # string column still has stats, so just assert the values agree)
+    assert footer_bounds(spark, SF_DIR, table="orders", col="o_orderkey") == tuple(
+        tables(spark, SF_DIR)["orders"].agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).first()
+    )
