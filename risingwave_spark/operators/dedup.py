@@ -263,10 +263,23 @@ def jaccard_pairs(
                 pass
         g = g.persist()
         _GRAM_CACHE.append(g)
+    # Non-deterministic identity barrier on `inter` (shuffle() of a
+    # 1-element array is value-identity but flagged non-deterministic):
+    # every consumer filters on the derived jaccard, and a deterministic
+    # projection lets Catalyst push that filter INTO the b-side join
+    # condition — where size(array_intersect) is then evaluated a second
+    # time per pair (the r12 plan showed it in both the SMJ condition and
+    # the post-join Project). The barrier keeps the filter above the
+    # projection so the heaviest per-pair op runs exactly once — the same
+    # duplication fix as udf.asNondeterministic (guide §4.4), expressed
+    # for a built-in.
+    inter = F.element_at(
+        F.shuffle(F.array(F.size(F.array_intersect("ga", "gb")))), 1
+    )
     out = (
         pairs.join(g.select(F.col(id_col).alias("a"), F.col("__grams").alias("ga")), "a")
         .join(g.select(F.col(id_col).alias("b"), F.col("__grams").alias("gb")), "b")
-        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("inter", inter)
         # grams are distinct per doc → |A ∪ B| = |A| + |B| − |A ∩ B|;
         # array_union() costs the same hash pass as array_intersect()
         # (both interpreted, no codegen), so deriving the union size

@@ -80,6 +80,27 @@ def _parquet_spark_schema(path: str):
     return None
 
 
+def _parquet_tree_schema(root: str):
+    """Spark schema of the first parquet file anywhere under `root`
+    (arbitrary chunk/bucket nesting) — the recursive variant of
+    `_parquet_spark_schema`. Chunk schemas are constant within a state
+    generation (compaction rewrites into a NEW directory), so one footer
+    stands for the tree; partition-style `__bucket=N` dirs contribute no
+    column because the reads use recursiveFileLookup (which disables
+    partition discovery) — exactly what schema inference returned."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    for dirpath, dirs, files in os.walk(root):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                return from_arrow_schema(
+                    pq.ParquetFile(os.path.join(dirpath, fn)).schema_arrow
+                )
+    return None
+
+
 def chunk_key_frame(spark: SparkSession, lf: dict | None, cols: list[str]) -> DataFrame | None:
     """`cols` of a just-folded batch's rows, read from the batch's chunk
     files (`ChunkedState.last_fold`) instead of re-evaluating the
@@ -101,6 +122,69 @@ def chunk_key_frame(spark: SparkSession, lf: dict | None, cols: list[str]) -> Da
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def chunk_key_values(
+    state: "ChunkedState",
+    key: str,
+    max_rows: int = 200_000,
+    max_distinct: int = 8192,
+) -> tuple[list, bool] | None:
+    """Distinct values of a single key column of the batch `state` last
+    folded, read driver-side from the just-written local chunk files
+    (pyarrow column read — no Spark job). Returns (sorted non-null
+    values, has_null) or None when the fold was a replay, the chunk is
+    too large for driver-side work (max_rows bounds the read,
+    max_distinct bounds the literal list pushed into the plan), or the
+    dtype isn't int/string (float/timestamp literal round-trips may
+    diverge). Callers turn the values into an `isin` filter, replacing
+    the affected-keys semi/anti joins — and their broadcast-build Spark
+    jobs — with a literal InSet predicate (guide §2.4: the key set is
+    already materialized driver-side; don't re-derive it with a job)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lf = state.last_fold
+    if lf is None or lf["v_rows"] + lf["t_rows"] > max_rows:
+        return None
+    vals: set = set()
+    has_null = False
+    for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
+        if not path or not rows:
+            continue
+        for f in _glob.glob(os.path.join(path, "*.parquet")) + _glob.glob(
+            os.path.join(path, "*", "*.parquet")
+        ):
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            if key not in pf.schema_arrow.names:
+                return None
+            typ = pf.schema_arrow.field(key).type
+            if not (
+                pa.types.is_integer(typ)
+                or pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)
+            ):
+                return None
+            col = pf.read(columns=[key]).column(0)
+            if col.null_count:
+                has_null = True
+            vals.update(pc.unique(col.combine_chunks().drop_null()).to_pylist())
+            if len(vals) > max_distinct:
+                return None
+    return sorted(vals), has_null
+
+
+def key_values_filter(col, vals: list, has_null: bool):
+    """Never-NULL boolean `col ∈ vals` (null-safe: a NULL key matches iff
+    the batch carried one). Must be 2-valued — the untouched-rows branch
+    negates it, and a NULL there would silently drop MV rows."""
+    base = col.isin(vals) if vals else F.lit(False)
+    return F.when(col.isNull(), F.lit(has_null)).otherwise(base)
 
 
 def non_strict_analysis(spark: SparkSession):
@@ -522,6 +606,9 @@ class ChunkedState:
         self.last_read_paths: list[str] | None = None
         self.base = path
         os.makedirs(path, exist_ok=True)
+        #: footer-derived Spark schema per chunk-tree root (schemas are
+        #: constant within a generation; compaction uses new dir keys)
+        self._schema_cache: dict = {}
         # generation pointer: compaction writes a NEW generation directory
         # and flips this pointer last (same epoch-commit discipline as
         # _VersionedTable) — a crash mid-compaction leaves the old
@@ -584,9 +671,34 @@ class ChunkedState:
         except (FileNotFoundError, ValueError):
             return 0
 
-    def _read_dir(self, path: str) -> DataFrame:
-        # chunks live in per-batch subdirs (idempotent overwrite target)
-        return self.spark.read.option("recursiveFileLookup", "true").parquet(path)
+    def _read_dir(self, path: str, schema_root: str | None = None) -> DataFrame:
+        # chunks live in per-batch subdirs (idempotent overwrite target).
+        # Explicit footer-derived schema: a bare spark.read.parquet runs a
+        # schema-INFERENCE Spark job per read — one job per fold that the
+        # footer (driver-side, cached per generation dir) already answers.
+        r = self.spark.read.option("recursiveFileLookup", "true")
+        sch = self._tree_schema(schema_root or path)
+        if sch is not None:
+            r = r.schema(sch)
+        return r.parquet(path)
+
+    def _tree_schema(self, root: str):
+        sch = self._schema_cache.get(root)
+        if sch is None:
+            sch = _parquet_tree_schema(root)
+            if sch is not None:
+                self._schema_cache[root] = sch
+        return sch
+
+    def _read_paths(self, paths: list[str], schema_root: str) -> DataFrame:
+        """Multi-path chunk read with the same explicit-schema contract
+        as `_read_dir` (the schema of any file under `schema_root` stands
+        for all pruned leaves beneath it)."""
+        r = self.spark.read.option("recursiveFileLookup", "true")
+        sch = self._tree_schema(schema_root)
+        if sch is not None:
+            r = r.schema(sch)
+        return r.parquet(*paths)
 
     def _batch_pointer(self, ns: str | None = None) -> str:
         fn = "LAST_BATCH" if ns is None else f"LAST_BATCH_{ns}"
@@ -814,13 +926,11 @@ class ChunkedState:
         vpaths = self._bounded_chunk_dirs(self.values_dir, min_seq, max_seq)
         if not vpaths:
             return self._empty()
-        v = self.spark.read.option("recursiveFileLookup", "true").parquet(*vpaths)
+        v = self._read_paths(vpaths, self.values_dir)
         if self._has_tombs:
             tpaths = self._bounded_chunk_dirs(self.tombs_dir, min_seq, max_seq)
             if tpaths:
-                t = self.spark.read.option("recursiveFileLookup", "true").parquet(
-                    *tpaths
-                )
+                t = self._read_paths(tpaths, self.tombs_dir)
                 cond = v["__seq"] < t["__del_seq"]
                 for c in self.row_ids:
                     cond = cond & (v[c].eqNullSafe(t[c]))
@@ -847,12 +957,12 @@ class ChunkedState:
             self.last_read_paths = vpaths
             if not vpaths:
                 return self._empty()
-            v = self.spark.read.option("recursiveFileLookup", "true").parquet(*vpaths)
+            v = self._read_paths(vpaths, self.values_dir)
             if self._has_tombs:
                 tpaths = self._pruned_paths(self.tombs_dir, buckets)
                 self.last_read_paths = vpaths + tpaths
                 if tpaths:
-                    t = self.spark.read.option("recursiveFileLookup", "true").parquet(*tpaths)
+                    t = self._read_paths(tpaths, self.tombs_dir)
                     cond = v["__seq"] < t["__del_seq"]
                     for c in self.row_ids:
                         cond = cond & (v[c].eqNullSafe(t[c]))
@@ -996,6 +1106,35 @@ class _RetractableView:
             return None
         return buckets_from_chunks(self.state, self.keys, self.mv.n_buckets)
 
+    def _chunk_affected_values(self, lf: dict | None) -> tuple[list, bool] | None:
+        """The batch's affected KEY VALUES (single identity key only),
+        read driver-side from the just-written chunk files — the literal
+        form of `_chunk_affected`. When available, the splice replaces
+        its affected-keys semi/anti joins with an `isin` predicate: two
+        fewer join subtrees and no broadcast-build Spark jobs per fold.
+        None → fall back to the DataFrame/join path (replay, composite
+        or derived keys, huge batch, non-int/string dtype)."""
+        if self.key_of is not None or len(self.keys) != 1 or lf is None:
+            return None
+        return chunk_key_values(self.state, self.keys[0])
+
+    def _buckets_of_values(self, vals: list, has_null: bool) -> list[int]:
+        """Touched MV buckets of a single-key value list — the driver-side
+        crc32 identical to `key_bucket_expr` (str-cast int / utf-8 string;
+        concat_ws skips NULL, so a null key hashes the empty string)."""
+        import zlib
+
+        buckets = {
+            zlib.crc32(
+                (str(int(v)) if not isinstance(v, str) else v).encode()
+            )
+            % self.mv.n_buckets
+            for v in vals
+        }
+        if has_null:
+            buckets.add(zlib.crc32(b"") % self.mv.n_buckets)
+        return sorted(buckets)
+
     def apply_batch(
         self,
         batch: DataFrame,
@@ -1050,8 +1189,14 @@ class _RetractableView:
         # chunk spans every bucket, the batch itself does not. Only an
         # actually-folded batch compacts (a skipped replay must not
         # re-run the O(state) rewrite).
-        touched = self._touched_buckets_fast()
         lf = self.state.last_fold if did_fold else None
+        affected_vals = self._chunk_affected_values(lf)
+        if affected_vals is not None:
+            # one driver-side chunk read serves both: the literal key set
+            # AND the touched buckets derived from it (no second read)
+            touched = self._buckets_of_values(*affected_vals)
+        else:
+            touched = self._touched_buckets_fast()
         will_compact = bool(
             did_fold and self.compact_every and self.state._seq % self.compact_every == 0
         )
@@ -1080,7 +1225,10 @@ class _RetractableView:
         # the splice references `affected` in up to three join branches,
         # each of which would otherwise re-run the whole upstream subtree
         # (guide §2.4 — don't recompute what is already materialized).
-        affected = self._chunk_affected(lf)
+        # When the key VALUES fit driver-side (affected_vals), even the
+        # chunk-file read is skipped: the splice filters by a literal
+        # InSet instead of joining (no broadcast-build jobs at all).
+        affected = None if affected_vals is not None else self._chunk_affected(lf)
         if affected is not None and will_compact:
             # compaction GCs the old generation's chunk files the lazy
             # plan points at — pin the (tiny) key set first
@@ -1088,12 +1236,18 @@ class _RetractableView:
         if will_compact:
             compact_now()
 
-        if affected is None:
+        if affected is None and affected_vals is None:
             annotate = self.key_of or (lambda d: d)
             affected = annotate(batch).select(*self.keys).distinct()
             if self.mv.exists() and not affected.take(1):
                 return
-        self._splice(affected, touched, batch_id=batch_id, batch_ns=batch_ns)
+        self._splice(
+            affected,
+            touched,
+            batch_id=batch_id,
+            batch_ns=batch_ns,
+            affected_vals=affected_vals,
+        )
 
     def _chunk_affected(self, lf: dict | None) -> DataFrame | None:
         """The batch's affected key tuples, read from the just-written
@@ -1120,16 +1274,31 @@ class _RetractableView:
 
     def _splice(
         self,
-        affected: DataFrame,
+        affected: DataFrame | None,
         touched: list[int] | None,
         batch_id: int | None = None,
         batch_ns: str | None = None,
+        affected_vals: tuple[list, bool] | None = None,
     ) -> None:
         annotate = self.key_of or (lambda d: d)
         st = annotate(self.state.read(buckets=touched))
-        recomputed = self._recompute(
-            st.join(affected, nullsafe_cond(st, affected, self.keys), "left_semi")
-        )
+        if affected_vals is not None:
+            # literal key-set pushdown: the semi/anti joins (and their
+            # broadcast-build jobs) become InSet filters — the key set
+            # was already read driver-side from the batch's chunk files
+            vals, has_null = affected_vals
+            key = self.keys[0]
+            is_affected = lambda d: key_values_filter(d[key], vals, has_null)  # noqa: E731
+            semi = lambda d: d.filter(is_affected(d))  # noqa: E731
+            anti = lambda d: d.filter(~is_affected(d))  # noqa: E731
+        else:
+            semi = lambda d: d.join(  # noqa: E731
+                affected, nullsafe_cond(d, affected, self.keys), "left_semi"
+            )
+            anti = lambda d: d.join(  # noqa: E731
+                affected, nullsafe_cond(d, affected, self.keys), "left_anti"
+            )
+        recomputed = self._recompute(semi(st))
         out_changelog = None
         want_changelog = bool(self.downstream) or self.emit_changelog
         if self.mv.exists():
@@ -1137,9 +1306,7 @@ class _RetractableView:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
             if want_changelog:
-                old_affected = prev_t.join(
-                    affected, nullsafe_cond(prev_t, affected, self.keys), "left_semi"
-                )
+                old_affected = semi(prev_t)
                 out_changelog = with_ops(old_affected, -1).unionByName(
                     with_ops(recomputed, 1)
                 )
@@ -1147,9 +1314,7 @@ class _RetractableView:
                 # persist BEFORE the MV flip: on a crash in between, the
                 # redelivered batch overwrites the same chunk (idempotent)
                 self._log_changelog(out_changelog)
-            untouched_t = prev_t.join(
-                affected, nullsafe_cond(prev_t, affected, self.keys), "left_anti"
-            )
+            untouched_t = anti(prev_t)
             self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
         else:
             if want_changelog:

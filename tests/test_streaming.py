@@ -1138,3 +1138,83 @@ def test_footer_bounds_equals_agg(spark):
             F.min("o_orderkey"), F.max("o_orderkey")
         ).first()
     )
+
+
+def test_splice_literal_keys_null_and_string(spark, tmp_path):
+    """The literal key-set splice path (r12: affected-keys semi/anti joins
+    replaced by a driver-side InSet filter when the batch's distinct keys
+    fit) must match the batch aggregate exactly — including NULL group
+    keys on BOTH sides of the splice (a NULL-key MV row must survive as
+    'untouched' when the batch carries no null, and must recompute when
+    it does) and string keys."""
+    from risingwave_spark.streaming.mv import MaterializedGroupAgg
+
+    rows = [
+        (1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0),
+        (4, None, 4.0), (5, None, 5.0), (6, "c", 6.0), (7, "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, k string, value double")
+    mv = MaterializedGroupAgg(spark, str(tmp_path / "mv"), ["k"], "event_id", "value")
+    # batch 0: groups a,b + a NULL-key group (two null rows)
+    mv.apply_batch(with_ops(df.filter(F.col("event_id") <= 5), 1))
+    vals = mv._chunk_affected_values(mv.state.last_fold)
+    assert vals is not None and vals[1] is True and set(vals[0]) == {"a", "b"}
+    # batch 1: NO null key -> the NULL-key MV row must survive the anti
+    # filter (a bare ~isin() would null it out and drop the group)
+    mv.apply_batch(with_ops(df.filter(F.col("event_id").isin(6, 7)), 1))
+    vals = mv._chunk_affected_values(mv.state.last_fold)
+    assert vals is not None and vals[1] is False and set(vals[0]) == {"b", "c"}
+    # batch 2: delete one null-key row (tombstone path carries the key)
+    mv.apply_batch(with_ops(df.filter(F.col("event_id") == 4), -1))
+    vals = mv._chunk_affected_values(mv.state.last_fold)
+    assert vals is not None and vals[1] is True and vals[0] == []
+    survivors = df.filter(F.col("event_id") != 4)
+    v = F.col("value")
+    expected = survivors.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(F.round(v * 10000, 0).cast("long")) / 10000.0).alias("total"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+    nullsafe = lambda df: sorted(  # noqa: E731 — None keys aren't orderable
+        (tuple(r) for r in df.collect()), key=repr
+    )
+    assert nullsafe(mv.result()) == nullsafe(expected)
+
+
+def test_chunk_key_values_fallbacks(spark, tmp_path):
+    """chunk_key_values declines (-> join fallback) on: no fresh fold,
+    too many distinct keys, unsupported dtype; and the splice falls back
+    to the DataFrame path for composite keys."""
+    from risingwave_spark.streaming.mv import (
+        ChunkedState, MaterializedGroupAgg, chunk_key_values,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), i * 1.0) for i in range(50)],
+        "event_id int, fk double, value double",
+    )
+    st = ChunkedState(spark, str(tmp_path / "st"), "event_id")
+    st.fold(df, df.limit(0))
+    # unsupported dtype (double key) -> None
+    assert chunk_key_values(st, "fk") is None
+    # int key works and caps on max_distinct
+    assert chunk_key_values(st, "event_id", max_distinct=10) is None
+    got = chunk_key_values(st, "event_id")
+    assert got is not None and got[1] is False and len(got[0]) == 50
+    # row-count bound -> None
+    assert chunk_key_values(st, "event_id", max_rows=10) is None
+    # replay (no fresh fold) -> None
+    st.last_fold = None
+    assert chunk_key_values(st, "event_id") is None
+    # composite keys: _chunk_affected_values declines, apply_batch still OK
+    mv = MaterializedGroupAgg(
+        spark, str(tmp_path / "mv2"), ["k1", "k2"], "event_id", "value"
+    )
+    d2 = spark.createDataFrame(
+        [(1, 1, "x", 2.0), (2, 1, "y", 3.0), (3, 2, "x", 4.0)],
+        "event_id int, k1 int, k2 string, value double",
+    )
+    mv.apply_batch(with_ops(d2, 1))
+    assert mv._chunk_affected_values(mv.state.last_fold) is None
+    assert mv.result().count() == 3
