@@ -36,7 +36,10 @@ from risingwave_spark.streaming.mv import (
     OP_COL,
     _BucketedMvTable,
     buckets_from_chunks,
+    buckets_of_values,
     chunk_key_frame,
+    chunk_key_values,
+    key_values_filter,
     non_strict_analysis,
     nullsafe_cond,
     with_ops,
@@ -201,7 +204,36 @@ class RetractableStreamJoin:
             _compact_folded()
             return
 
-        touched = self._touched_buckets(aff_l is not None, aff_r is not None)
+        # Literal key-set fast path (single join key, every folded side's
+        # distinct key values fit driver-side — see
+        # _RetractableView._chunk_affected_values): the four affected-key
+        # semi/anti joins below become null-safe InSet filters, dropping
+        # their broadcast-build Spark jobs per apply. Mixed value types
+        # across sides (int vs string keys) fall back to the join path.
+        affected_vals = None
+        if kinds == {"chunks"} and len(self.jk) == 1:
+            vlists = []
+            for aff, st, on in (
+                (aff_l, self.state_l, self.left_on),
+                (aff_r, self.state_r, self.right_on),
+            ):
+                if aff is None or aff == "empty":
+                    continue
+                v3 = chunk_key_values(st, on[0])
+                if v3 is None:
+                    vlists = None
+                    break
+                vlists.append(v3)
+            if vlists:
+                vals = set().union(*[set(v) for v, _ in vlists])
+                types = {type(v) for v in vals}
+                if types <= {int} or types <= {str}:
+                    affected_vals = (sorted(vals), any(hn for _, hn in vlists))
+
+        if affected_vals is not None:
+            touched = buckets_of_values(*affected_vals, self.mv.n_buckets)
+        else:
+            touched = self._touched_buckets(aff_l is not None, aff_r is not None)
         # compaction cadence (same trade as _RetractableView): every N
         # folds a side's chunks rewrite into the BUCKETED base layer, so
         # the pruned state reads below stay O(touched buckets + recent
@@ -210,12 +242,17 @@ class RetractableStreamJoin:
         # Only a side that ACTUALLY folded this apply compacts (a side
         # idling at a seq multiple, or a batch_id-skipped replay, must
         # not re-run the O(state) rewrite every apply).
-        if "chunks" in kinds and any(
-            did and self.compact_every and st._seq and st._seq % self.compact_every == 0
-            for st, did in ((self.state_l, did_l), (self.state_r, did_r))
+        if (
+            affected_vals is None
+            and "chunks" in kinds
+            and any(
+                did and self.compact_every and st._seq and st._seq % self.compact_every == 0
+                for st, did in ((self.state_l, did_l), (self.state_r, did_r))
+            )
         ):
             # compaction GCs the chunk files the lazy affected plan
-            # points at — pin the (tiny) key set first
+            # points at — pin the (tiny) key set first (the literal path
+            # holds the keys driver-side; nothing to pin)
             affected = affected.localCheckpoint(eager=True)
         _compact_folded()
         # per-key re-join plans analyze non-strict (non_strict_mode.slt:
@@ -223,23 +260,31 @@ class RetractableStreamJoin:
         # failing the fold — the reference wraps every streaming
         # executor's expressions in NonStrictExpression)
         with non_strict_analysis(self.spark):
-            recomputed = self._join_affected(affected, buckets=touched)
+            recomputed = self._join_affected(
+                affected, buckets=touched, affected_vals=affected_vals
+            )
 
         out_changelog = None
         if self.mv.exists():
             if touched is None:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
-            if self.downstream:
-                old_affected = prev_t.join(
+            if affected_vals is not None:
+                is_aff = key_values_filter(prev_t[self.jk[0]], *affected_vals)
+                semi = lambda: prev_t.filter(is_aff)  # noqa: E731
+                anti = lambda: prev_t.filter(~is_aff)  # noqa: E731
+            else:
+                semi = lambda: prev_t.join(  # noqa: E731
                     affected, nullsafe_cond(prev_t, affected, self.jk), "left_semi"
                 )
-                out_changelog = with_ops(old_affected, -1).unionByName(
+                anti = lambda: prev_t.join(  # noqa: E731
+                    affected, nullsafe_cond(prev_t, affected, self.jk), "left_anti"
+                )
+            if self.downstream:
+                out_changelog = with_ops(semi(), -1).unionByName(
                     with_ops(recomputed, 1)
                 )
-            untouched_t = prev_t.join(
-                affected, nullsafe_cond(prev_t, affected, self.jk), "left_anti"
-            )
+            untouched_t = anti()
             self.mv.overwrite_buckets(untouched_t.unionByName(recomputed), touched)
         else:
             if self.downstream:
@@ -283,13 +328,23 @@ class RetractableStreamJoin:
             out.update(b)
         return sorted(out)
 
-    def _join_affected(self, affected: DataFrame, buckets: list[int] | None = None) -> DataFrame:
+    def _join_affected(
+        self,
+        affected: DataFrame,
+        buckets: list[int] | None = None,
+        affected_vals: tuple[list, bool] | None = None,
+    ) -> DataFrame:
         # bucket-pruned state reads (file-level superset of the affected
-        # keys' rows); the exact semi-joins below stay as the key filter
+        # keys' rows); the exact key filter is the semi-join below, or a
+        # literal InSet when the key values are known driver-side
         L = self.state_l.read(buckets=buckets)
-        L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
         R = self.state_r.read(buckets=buckets)
-        R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
+        if affected_vals is not None:
+            L = L.filter(key_values_filter(L[self.left_on[0]], *affected_vals))
+            R = R.filter(key_values_filter(R[self.right_on[0]], *affected_vals))
+        else:
+            L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
+            R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
         on = None
         for lc, rc in zip(self.left_on, self.right_on):
             c = L[lc] == R[rc]
@@ -348,13 +403,23 @@ class RetractableAsOfJoin(RetractableStreamJoin):
         self.payload_cols = payload_cols
         self.asof_how = how
 
-    def _join_affected(self, affected: DataFrame, buckets: list[int] | None = None) -> DataFrame:
+    def _join_affected(
+        self,
+        affected: DataFrame,
+        buckets: list[int] | None = None,
+        affected_vals: tuple[list, bool] | None = None,
+    ) -> DataFrame:
         from risingwave_spark.operators.asof import asof_join_backward
 
         L = self.state_l.read(buckets=buckets)
-        L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
         R = self.state_r.read(buckets=buckets)
-        R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
+        if affected_vals is not None:
+            # literal key filter (see RetractableStreamJoin._join_affected)
+            L = L.filter(key_values_filter(L[self.left_on[0]], *affected_vals))
+            R = R.filter(key_values_filter(R[self.right_on[0]], *affected_vals))
+        else:
+            L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
+            R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
         out = asof_join_backward(
             L,
             R,

@@ -187,6 +187,22 @@ def key_values_filter(col, vals: list, has_null: bool):
     return F.when(col.isNull(), F.lit(has_null)).otherwise(base)
 
 
+def buckets_of_values(vals: list, has_null: bool, n_buckets: int) -> list[int]:
+    """Touched buckets of a single-key value list — the driver-side crc32
+    identical to `key_bucket_expr` (str-cast int / utf-8 string; concat_ws
+    skips NULL, so a null key hashes the empty string)."""
+    import zlib
+
+    buckets = {
+        zlib.crc32((str(int(v)) if not isinstance(v, str) else v).encode())
+        % n_buckets
+        for v in vals
+    }
+    if has_null:
+        buckets.add(zlib.crc32(b"") % n_buckets)
+    return sorted(buckets)
+
+
 def non_strict_analysis(spark: SparkSession):
     """Context manager: plans CONSTRUCTED inside the block analyze under
     ansi=false, so compute errors (div/0, bad casts) pad NULL per
@@ -1119,21 +1135,8 @@ class _RetractableView:
         return chunk_key_values(self.state, self.keys[0])
 
     def _buckets_of_values(self, vals: list, has_null: bool) -> list[int]:
-        """Touched MV buckets of a single-key value list — the driver-side
-        crc32 identical to `key_bucket_expr` (str-cast int / utf-8 string;
-        concat_ws skips NULL, so a null key hashes the empty string)."""
-        import zlib
-
-        buckets = {
-            zlib.crc32(
-                (str(int(v)) if not isinstance(v, str) else v).encode()
-            )
-            % self.mv.n_buckets
-            for v in vals
-        }
-        if has_null:
-            buckets.add(zlib.crc32(b"") % self.mv.n_buckets)
-        return sorted(buckets)
+        """See `buckets_of_values` (module level, shared with the joins)."""
+        return buckets_of_values(vals, has_null, self.mv.n_buckets)
 
     def apply_batch(
         self,

@@ -1218,3 +1218,33 @@ def test_chunk_key_values_fallbacks(spark, tmp_path):
     mv.apply_batch(with_ops(d2, 1))
     assert mv._chunk_affected_values(mv.state.last_fold) is None
     assert mv.result().count() == 3
+
+
+def test_join_literal_key_path_null_keys(spark, tmp_path):
+    """RetractableStreamJoin's literal key-set path (r12): single-key
+    joins with driver-side key values replace the affected-key semi/anti
+    joins with InSet filters. A left-outer padded row with a NULL join
+    key must survive later batches that carry no nulls (the anti filter
+    must be null-safe), and a later null-key batch must recompute it."""
+    from risingwave_spark.streaming.join import RetractableStreamJoin
+
+    L0 = spark.createDataFrame(
+        [(1, 10, "x"), (2, None, "y")], "lid int, lk int, lval string"
+    )
+    R0 = spark.createDataFrame([(1, 10, 5.0)], "rid int, rk int, rval double")
+    jv = RetractableStreamJoin(
+        spark, str(tmp_path / "j"), ["lk"], ["rk"], "lid", "rid", how="left"
+    )
+    jv.apply(with_ops(L0, 1), with_ops(R0, 1))
+    # null-key left row is present, null-padded
+    rows = {tuple(r) for r in jv.result().select("lid", "rval").collect()}
+    assert rows == {(1, 5.0), (2, None)}
+    # batch without nulls: null-jk MV row must stay
+    L1 = spark.createDataFrame([(3, 10, "z")], "lid int, lk int, lval string")
+    jv.apply(with_ops(L1, 1), None)
+    rows = {tuple(r) for r in jv.result().select("lid", "rval").collect()}
+    assert rows == {(1, 5.0), (2, None), (3, 5.0)}
+    # delete the null-key row: its tombstone carries the null key
+    jv.apply(with_ops(spark.createDataFrame([(2, None, "y")], L0.schema), -1), None)
+    rows = {tuple(r) for r in jv.result().select("lid", "rval").collect()}
+    assert rows == {(1, 5.0), (3, 5.0)}
