@@ -230,6 +230,85 @@ class MaterializedOverWindowDelta:
         need = list(dict.fromkeys([*self.keys, *self.order_cols]))
         return chunk_key_frame(self.spark, lf, need)
 
+    def _chunk_boundaries_local(
+        self, lf: dict | None, kcols: list[str], bcols: list[str],
+        max_rows: int = 200_000,
+    ) -> DataFrame | None:
+        """Per-partition frame boundaries (earliest touched order
+        position) computed DRIVER-SIDE from the batch's just-written
+        chunk files — a pandas lexicographic-min per key over a pyarrow
+        column read. Returns a LocalRelation DataFrame shaped exactly
+        like the Spark-side boundary agg (kcols + bcols + __aff=1): the
+        per-batch boundary agg job AND its eager localCheckpoint job
+        disappear, and the downstream boundary joins broadcast a literal
+        relation (no build job). None falls back to the Spark agg:
+        replay, oversized batch (max_rows bounds driver work at scale),
+        missing columns, unsupported dtypes (only int/string keys and
+        int/string/timestamp order cols round-trip exactly),
+        any NULL key/order value (Spark's struct-min null ordering is
+        not reproduced), or key/order name overlap."""
+        if lf is None or lf["v_rows"] + lf["t_rows"] > max_rows:
+            return None
+        if set(self.keys) & set(self.order_cols):
+            return None
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        need = [*self.keys, *self.order_cols]
+        try:
+            tabs = []
+            for path, rows in ((lf["values"], lf["v_rows"]), (lf["tombs"], lf["t_rows"])):
+                if not path or not rows:
+                    continue
+                for f in _glob.glob(os.path.join(path, "*.parquet")) + _glob.glob(
+                    os.path.join(path, "*", "*.parquet")
+                ):
+                    pf = pq.ParquetFile(f)
+                    if pf.metadata.num_rows == 0:
+                        continue
+                    if not set(need) <= set(pf.schema_arrow.names):
+                        return None
+                    tabs.append(pf.read(columns=need))
+            if not tabs:
+                return None
+            tab = pa.concat_tables(tabs)
+            for fld in tab.schema:
+                # timestamps: Spark writes LTZ as INT96 (pyarrow: NAIVE
+                # ns) — under the engine's pinned UTC session the naive
+                # wall time IS the instant, so the round trip is exact
+                # for both naive and tz-aware footers
+                ok = (
+                    pa.types.is_integer(fld.type)
+                    or pa.types.is_string(fld.type)
+                    or pa.types.is_large_string(fld.type)
+                    or pa.types.is_timestamp(fld.type)
+                )
+                if not ok:
+                    return None
+            if any(c.null_count for c in tab.columns):
+                return None
+            pdf = tab.to_pandas()
+            # lexicographic min per key == first row of a stable sort on
+            # the order cols (UTF-8 byte order == code-point order, so
+            # pandas string comparison agrees with Spark's)
+            pdf = (
+                pdf.sort_values(list(self.order_cols), kind="mergesort")
+                .drop_duplicates(subset=list(self.keys), keep="first")
+                .reset_index(drop=True)
+            )
+            pdf = pdf.rename(
+                columns={
+                    **dict(zip(self.keys, kcols)),
+                    **dict(zip(self.order_cols, bcols)),
+                }
+            )
+            pdf["__aff"] = 1
+            return self.spark.createDataFrame(pdf)
+        except Exception:
+            return None
+
     def _log_changelog(self, old_rows: DataFrame, new_rows: DataFrame) -> None:
         from risingwave_spark.streaming.mv import OP_COL, with_ops
 
@@ -490,30 +569,38 @@ class MaterializedOverWindowDelta:
                 self.state.compact()
                 bump_chunk_base(self.changelog_dir, pre - self.state._seq)
             return
-        bsrc = self._chunk_boundary_src(lf)
-        if bsrc is None:
-            bsrc = batch
-
         # per-partition frame boundary: the EARLIEST order position the
         # batch touches (insert or delete) — frames at positions before it
         # cannot see the change (frame_finder's affected-range start).
-        # Checkpointed eagerly: it is tiny (one row per touched partition),
-        # is reused by three plan branches, and a materialized copy breaks
-        # the self-join lineage that trips ambiguous-column detection.
+        # Preferred source: driver-side pandas min over the chunk files
+        # (a LocalRelation — no agg job, no checkpoint job, free
+        # broadcasts). Fallback: the Spark agg, checkpointed eagerly — it
+        # is tiny (one row per touched partition), is reused by three
+        # plan branches, and a materialized copy breaks the self-join
+        # lineage that trips ambiguous-column detection.
         bcols = [f"__b{i}" for i in range(len(self.order_cols))]
         kcols = [f"__bk{i}" for i in range(len(self.keys))]
-        boundaries = (
-            bsrc.groupBy(*self.keys)
-            .agg(F.min(F.struct(*self.order_cols)).alias("__b"))
-            .select(
-                # fresh names (and expr-ids) so joining boundaries against
-                # frames that also descend from `batch` stays unambiguous
-                *[F.col(k).alias(bk) for k, bk in zip(self.keys, kcols)],
-                *[F.col(f"__b.{c}").alias(b) for c, b in zip(self.order_cols, bcols)],
+        boundaries = self._chunk_boundaries_local(lf, kcols, bcols)
+        if boundaries is None:
+            bsrc = self._chunk_boundary_src(lf)
+            if bsrc is None:
+                bsrc = batch
+            boundaries = (
+                bsrc.groupBy(*self.keys)
+                .agg(F.min(F.struct(*self.order_cols)).alias("__b"))
+                .select(
+                    # fresh names (and expr-ids) so joining boundaries
+                    # against frames that also descend from `batch` stays
+                    # unambiguous
+                    *[F.col(k).alias(bk) for k, bk in zip(self.keys, kcols)],
+                    *[
+                        F.col(f"__b.{c}").alias(b)
+                        for c, b in zip(self.order_cols, bcols)
+                    ],
+                )
+                .withColumn("__aff", F.lit(1))
+                .localCheckpoint(eager=True)
             )
-            .withColumn("__aff", F.lit(1))
-            .localCheckpoint(eager=True)
-        )
         affected = boundaries.select(
             *[F.col(bk).alias(k) for bk, k in zip(kcols, self.keys)]
         )

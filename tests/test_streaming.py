@@ -1248,3 +1248,52 @@ def test_join_literal_key_path_null_keys(spark, tmp_path):
     jv.apply(with_ops(spark.createDataFrame([(2, None, "y")], L0.schema), -1), None)
     rows = {tuple(r) for r in jv.result().select("lid", "rval").collect()}
     assert rows == {(1, 5.0), (3, 5.0)}
+
+
+def test_chunk_boundaries_local_equals_agg(spark, tmp_path):
+    """_chunk_boundaries_local (r12: driver-side pandas boundary min over
+    the chunk files) must equal the Spark boundary agg row-for-row, and
+    must decline (None) on NULL order values so the agg fallback keeps
+    Spark's struct-min null ordering."""
+    from risingwave_spark.streaming.over_window import MaterializedOverWindowDelta
+
+    mvw = MaterializedOverWindowDelta(
+        spark, str(tmp_path / "owd"), ["k"], ["ts", "eid"], "eid",
+        funcs={"rn": ("row_number",)}, payload_cols=["v"],
+    )
+    import datetime
+
+    t0 = datetime.datetime(2031, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("a", t0 + datetime.timedelta(minutes=m), i, float(i))
+        for i, m in enumerate([5, 3, 9])
+    ] + [("b", t0, 99, 1.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    mvw.apply_batch(with_ops(df, 1))
+    lf = mvw.state.last_fold
+    local = mvw._chunk_boundaries_local(lf, ["__bk0"], ["__b0", "__b1"])
+    assert local is not None
+    agg = (
+        df.groupBy("k")
+        .agg(F.min(F.struct("ts", "eid")).alias("__b"))
+        .select(
+            F.col("k").alias("__bk0"),
+            F.col("__b.ts").alias("__b0"),
+            F.col("__b.eid").alias("__b1"),
+            F.lit(1).alias("__aff"),
+        )
+    )
+    key = lambda d: sorted(map(tuple, d.select("__bk0", "__b0", "__b1").collect()))
+    assert key(local) == key(agg)
+    # NULL order value -> decline
+    df2 = spark.createDataFrame(
+        [("a", None, 1, 1.0)], "k string, ts timestamp, eid int, v double"
+    )
+    mvw2 = MaterializedOverWindowDelta(
+        spark, str(tmp_path / "owd2"), ["k"], ["ts", "eid"], "eid",
+        funcs={"rn": ("row_number",)}, payload_cols=["v"],
+    )
+    mvw2.state.fold(df2, df2.limit(0))
+    assert mvw2._chunk_boundaries_local(
+        mvw2.state.last_fold, ["__bk0"], ["__b0", "__b1"]
+    ) is None
