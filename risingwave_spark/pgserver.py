@@ -317,15 +317,8 @@ class PgWireServer:
                 try:
                     if not self._startup():
                         return
-                    with server._lock:
-                        server.sessions[self._pid] = {
-                            "pid": self._pid,
-                            "user": getattr(self, "_user", server.user)
-                                    or server.user,
-                            "addr": self.client_address,
-                            "state": "idle",
-                            "handler": self,
-                        }
+                    # session registration happens inside _startup,
+                    # before the first ReadyForQuery is sent (see there)
                     while True:
                         tag, payload = self._read_msg()
                         if tag in (b"X", b""):
@@ -430,6 +423,20 @@ class PgWireServer:
                 with server._lock:
                     server._pid_seq += 1
                     self._pid = server._pid_seq
+                    # register BEFORE ReadyForQuery goes out: a client
+                    # whose connect() has returned must already be
+                    # visible in pg_stat_activity (registering after
+                    # _startup left a window where a freshly-connected
+                    # session was invisible — caught as a race under
+                    # heavy host load)
+                    server.sessions[self._pid] = {
+                        "pid": self._pid,
+                        "user": getattr(self, "_user", server.user)
+                                or server.user,
+                        "addr": self.client_address,
+                        "state": "idle",
+                        "handler": self,
+                    }
                 # reference: "Process id and secret key in session id
                 # are the same" (kill_process.rs) — KILL targets this
                 self.request.sendall(_msg(
