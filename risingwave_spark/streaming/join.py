@@ -270,7 +270,7 @@ class RetractableStreamJoin:
                 touched = self.mv.touched_buckets(affected)
             prev_t = self.mv.read_buckets(touched)
             if affected_vals is not None:
-                is_aff = key_values_filter(prev_t[self.jk[0]], *affected_vals)
+                is_aff = key_values_filter(self.jk[0], *affected_vals)
                 semi = lambda: prev_t.filter(is_aff)  # noqa: E731
                 anti = lambda: prev_t.filter(~is_aff)  # noqa: E731
             else:
@@ -340,8 +340,8 @@ class RetractableStreamJoin:
         L = self.state_l.read(buckets=buckets)
         R = self.state_r.read(buckets=buckets)
         if affected_vals is not None:
-            L = L.filter(key_values_filter(L[self.left_on[0]], *affected_vals))
-            R = R.filter(key_values_filter(R[self.right_on[0]], *affected_vals))
+            L = L.filter(key_values_filter(self.left_on[0], *affected_vals))
+            R = R.filter(key_values_filter(self.right_on[0], *affected_vals))
         else:
             L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
             R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
@@ -415,8 +415,8 @@ class RetractableAsOfJoin(RetractableStreamJoin):
         R = self.state_r.read(buckets=buckets)
         if affected_vals is not None:
             # literal key filter (see RetractableStreamJoin._join_affected)
-            L = L.filter(key_values_filter(L[self.left_on[0]], *affected_vals))
-            R = R.filter(key_values_filter(R[self.right_on[0]], *affected_vals))
+            L = L.filter(key_values_filter(self.left_on[0], *affected_vals))
+            R = R.filter(key_values_filter(self.right_on[0], *affected_vals))
         else:
             L = L.join(affected, nullsafe_cond(L, affected, self.left_on, self.jk), "left_semi")
             R = R.join(affected, nullsafe_cond(R, affected, self.right_on, self.jk), "left_semi")
