@@ -142,9 +142,11 @@ def lsh_candidate_pairs(
     Scale design (the part that must survive 100 TB):
     - signatures are map-side only; `num_partitions` repartitions the raw
       docs first so hashing parallelizes even from a single input file;
-    - ONE shuffle: groupBy (band_idx, band_hash) buckets; pairs are
-      generated per bucket with array HOFs (no self-join, no broadcast,
-      no second signature evaluation);
+    - ONE corpus-sized shuffle: groupBy (band_idx, band_hash) buckets;
+      pairs are generated per bucket with array HOFs (no self-join, no
+      broadcast, no second signature evaluation). The final distinct()
+      is a second, candidate-set-sized shuffle on (a, b) — ≪ corpus,
+      and required because the same pair can collide in several bands;
     - degenerate buckets are the skew risk — `max_bucket` drops buckets
       with more than that many docs (standard LSH practice: a bucket
       that big is a stop-phrase collision, not near-duplication).
@@ -246,23 +248,22 @@ def jaccard_pairs(
         F.col(id_col), F.array_distinct("__sh").alias("__grams")
     )
     # g is joined twice (a-side and b-side); persist so the shingle
-    # computation runs once — measured faster than an eager
-    # localCheckpoint (whose blocking write serializes on the input's
-    # partitioning) and than recomputing per side. The cache is NOT
-    # leaked per call (ADVICE r4): the registry holds exactly ONE live
-    # gram table — a repeated call over the same corpus REUSES it (the
-    # memoization a production pipeline wants for its verify stage), a
-    # call over a different corpus unpersists the old entry first.
-    if _GRAM_CACHE and _GRAM_CACHE[-1].sameSemantics(g):
-        g = _GRAM_CACHE[-1]
-    else:
-        while _GRAM_CACHE:
-            try:
-                _GRAM_CACHE.pop().unpersist()
-            except Exception:
-                pass
-        g = g.persist()
-        _GRAM_CACHE.append(g)
+    # computation runs once WITHIN this call — measured faster than an
+    # eager localCheckpoint (whose blocking write serializes on the
+    # input's partitioning) and than recomputing per side. Lifecycle
+    # (ADVICE r4): exactly ONE gram table is ever live — the next call
+    # unpersists the previous one. There is deliberately NO cross-call
+    # reuse (r12 optimization-round contract: no module-level memo of
+    # results — every invocation recomputes from the parquet inputs;
+    # the earlier sameSemantics() memo flattered min-of-N bench reps,
+    # the exact failure bench.py's r4 re-baseline documents).
+    while _GRAM_CACHE:
+        try:
+            _GRAM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    g = g.persist()
+    _GRAM_CACHE.append(g)
     # Non-deterministic identity barrier on `inter` (shuffle() of a
     # 1-element array is value-identity but flagged non-deterministic):
     # every consumer filters on the derived jaccard, and a deterministic
@@ -291,7 +292,8 @@ def jaccard_pairs(
     return out
 
 
-#: the one live persisted gram table (see jaccard_pairs)
+#: the one live persisted gram table — lifecycle registry only (the next
+#: call evicts it; never reused across calls — see jaccard_pairs)
 _GRAM_CACHE: list = []
 
 

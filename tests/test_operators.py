@@ -376,3 +376,29 @@ def test_pack_sequences_layout_independent(spark):
     out1 = sorted(tuple(r) for r in pack_sequences(df1, "id", "txt", "grp", block=16).collect())
     out2 = sorted(tuple(r) for r in pack_sequences(df2, "id", "txt", "grp", block=16).collect())
     assert out1 == out2 and len(out1) > 3
+
+
+def test_jaccard_gram_table_not_reused_across_calls(spark):
+    """r12 measurement-honesty contract: jaccard_pairs must recompute its
+    gram table on EVERY call (no cross-call memo of intermediates — a
+    min-of-N bench rep must pay the full per-call cost), while still
+    keeping at most ONE persisted gram table live (no leak, ADVICE r4)."""
+    from risingwave_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox!"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    r1 = dedup.jaccard_pairs(pairs, docs, "doc_id", "text").collect()
+    g1 = dedup._GRAM_CACHE[-1]
+    r2 = dedup.jaccard_pairs(pairs, docs, "doc_id", "text").collect()
+    g2 = dedup._GRAM_CACHE[-1]
+    assert r1 == r2
+    # same corpus, second call: a NEW gram table was built (no reuse) ...
+    assert g1 is not g2
+    # ... and the registry holds exactly the one fresh entry (the
+    # previous persist was evicted; storageLevel can't distinguish the
+    # two here — Spark's CacheManager matches by canonicalized plan)
+    assert len(dedup._GRAM_CACHE) == 1 and dedup._GRAM_CACHE[-1] is g2
+    assert g2.storageLevel.useMemory or g2.storageLevel.useDisk
