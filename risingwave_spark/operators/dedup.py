@@ -213,6 +213,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     prune_to_candidates: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach n-gram Jaccard similarity to candidate (a, b) pairs.
 
@@ -227,6 +228,13 @@ def jaccard_pairs(
     ARE candidates (dedup-heavy corpora — measured 2.4× faster at
     bench scale, where the synthetic corpus is all near-dups) and
     costs only the one extra shingle map over non-candidates otherwise.
+
+    `num_partitions` repartitions the doc texts before the gram pass —
+    the same contract as `lsh_candidate_pairs`: the per-row shingle +
+    array_distinct work is the expensive part, and a narrow input (one
+    parquet row group → one scan task) would otherwise run it on a
+    single core (measured 11× on the gram stage, 3.5 s → 1.1 s on the
+    whole verify step at bench scale).
     """
     cand_docs = docs.select(F.col(id_col), text_col)
     if prune_to_candidates:
@@ -239,6 +247,8 @@ def jaccard_pairs(
             .distinct()
         )
         cand_docs = cand_docs.join(cand_ids, id_col, "left_semi")
+    if num_partitions:
+        cand_docs = cand_docs.repartition(num_partitions, id_col)
     # Grams stay STRINGS: A/B-measured (fresh JVM, sf0.1, min-of-4) the
     # per-element `transform(x -> xxhash64(x))` rewrite costs MORE than
     # intersecting the short strings it replaced (2.35s vs 1.67s for the

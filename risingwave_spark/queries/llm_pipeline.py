@@ -259,7 +259,10 @@ def llm_jaccard_neardup(spark, sf_dir):
         t["documents"], "doc_id", "text", num_hashes=16, bands=4, k=5,
         num_partitions=spark.sparkContext.defaultParallelism,
     )
-    scored = jaccard_pairs(cand, t["documents"], "doc_id", "text", n=3)
+    scored = jaccard_pairs(
+        cand, t["documents"], "doc_id", "text", n=3,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     return (
         scored.filter(F.col("jaccard") >= 0.3)
         .select("a", "b", F.col("inter").cast("long").alias("inter"), F.round("jaccard", 6).alias("jaccard"))
@@ -328,9 +331,19 @@ def llm_cosine_topk(spark, sf_dir):
 
     from risingwave_spark.operators.similarity import cosine_prescaled, scaled_with_sqnorm
 
+    # Spread the candidate side: the sf parquet is one row group → one
+    # scan task, so the per-row scaling and every per-pair dot after the
+    # broadcast join would run on a single core (same fix as
+    # lsh_candidate_pairs' num_partitions). Only the c side repartitions —
+    # the 5-row broadcast side would pay the shuffle without needing the
+    # parallelism (interleaved min-of-5: 0.348 orig / 0.227 both sides /
+    # 0.203 c-only).
     e = t["embeddings"]
     q = scaled_with_sqnorm(e.filter(F.col("vec_id") < 5), "vec_id", "embedding", "query")
-    c = scaled_with_sqnorm(e, "vec_id", "embedding", "neighbor")
+    c = scaled_with_sqnorm(
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id"),
+        "vec_id", "embedding", "neighbor",
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cos",
         F.round(
@@ -524,7 +537,10 @@ def llm_ann_lsh(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     planes = ann_planes(8, 64)
-    base = scaled_with_sqnorm(t["embeddings"], "vec_id", "embedding", "v")
+    # One-row-group input → single scan task: repartition so the scaling
+    # + 8 interpreted plane dots per row parallelize (A/B 0.50 → 0.38 s).
+    emb = t["embeddings"].repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    base = scaled_with_sqnorm(emb, "vec_id", "embedding", "v")
     base = base.withColumn("bucket", int_hyperplane_bucket(F.col("v_vec"), planes))
     q = base.filter(F.col("v_id") < 20).select(
         F.col("v_id").alias("query_id"),
@@ -891,7 +907,10 @@ def llm_dedup_clusters(spark, sf_dir):
         t["documents"], "doc_id", "text", num_hashes=16, bands=4, k=5,
         num_partitions=spark.sparkContext.defaultParallelism,
     )
-    pairs = jaccard_pairs(cand, t["documents"], "doc_id", "text", n=3).filter(
+    pairs = jaccard_pairs(
+        cand, t["documents"], "doc_id", "text", n=3,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).filter(
         F.col("jaccard") >= 0.3
     )
     comp = connected_components(pairs, "a", "b")
@@ -1196,7 +1215,10 @@ def llm_dedup_survivors(spark, sf_dir):
         docs, "doc_id", "text", num_hashes=16, bands=4, k=5,
         num_partitions=spark.sparkContext.defaultParallelism,
     )
-    pairs = jaccard_pairs(cand, docs, "doc_id", "text", n=3).filter(
+    pairs = jaccard_pairs(
+        cand, docs, "doc_id", "text", n=3,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).filter(
         F.col("jaccard") >= 0.3
     )
     comp = connected_components(pairs, "a", "b").withColumnRenamed("node", "doc_id")
