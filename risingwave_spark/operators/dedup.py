@@ -83,46 +83,47 @@ def with_shingles(df: DataFrame, text_col: str, k: int, out: str = "__sh") -> Da
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 5
 ) -> DataFrame:
-    """(doc, mh0..mhN-1) MinHash signature table.
+    """(doc, mh0..mhN-1) MinHash signature table. `id_col` must be unique
+    (a signature TABLE is keyed by doc): the per-doc aggregate collapses
+    duplicate ids, where the old per-row form emitted one row per input.
 
-    Plan shape: project(norm) → project(shingle array) → project(one md5
-    base per shingle) → ONE aggregate() pass carrying all N running
-    minima in a struct accumulator. Higher-order functions evaluate
-    interpreted (no codegen), so N separate array_min(transform(...))
-    columns cost N full passes over the shingle array per row — the
-    fused single pass measured 1.8× faster at identical output
-    (guide §1.2 per-task work; A/B in OPTIMIZATION_r12.md). Each
-    stage's alias is multi-referenced so it stays a materialized column
-    (one evaluation per row, zero shuffles).
+    Plan shape: project(norm) → Generate(explode positions) →
+    project(substr+md5+conv) → HashAggregate(N mins per doc). Everything
+    after the normalize runs WHOLE-STAGE CODEGEN: higher-order functions
+    (transform/aggregate over the shingle array) evaluate interpreted,
+    so the previous array-HOF form — even with all N minima fused into
+    one aggregate() struct pass (itself 1.8× over N array_min passes,
+    session-1 #4) — paid interpreted md5+affine math per element. The
+    explode is pipelined (no array materialization, rows never leave the
+    task: groupBy(doc) reuses the caller's hash partitioning on the id
+    via alias-aware output partitioning, and partial aggregation bounds
+    the agg hash table at the task's doc count), so the rewrite swaps
+    interpreted expression eval for codegen at identical shuffle shape
+    — guide §1.2 per-task work. A/B (quiet box, interleaved min-of-6,
+    full LSH pipeline, noop): 1.280 → 1.100 s, same 6 jobs / 4
+    Exchanges; signature stage alone 1.037 → 0.808 s. Output verified
+    row-identical (EQUAL on the full corpus + edge-case unit test).
     """
-    d = with_shingles(df.select(F.col(id_col).alias("doc"), text_col), text_col, k)
-    base = F.transform(
-        "__sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
+    d = df.select(
+        F.col(id_col).alias("doc"),
+        normalize_text(F.col(text_col)).alias("__norm"),
     )
-    d = d.withColumn("__base", base)
-    # NULL seeds: least() skips nulls, so the first shingle replaces the
-    # seed and an all-null shingle array yields null — exactly
-    # array_min()'s semantics, bit-for-bit
-    init = F.struct(
-        *[F.lit(None).cast("long").alias(f"m{i}") for i in range(num_hashes)]
-    )
-
-    def merge(acc, h):
-        # h is the md5-derived base; the i-th hash is affine-derived —
-        # least() keeps every running minimum in one array traversal
-        return F.struct(
-            *[
-                F.least(
-                    acc[f"m{i}"],
-                    (F.lit(minhash_a(i)) * h + F.lit(minhash_b(i))) % MINHASH_P,
-                ).alias(f"m{i}")
-                for i in range(num_hashes)
-            ]
-        )
-
-    d = d.withColumn("__mh", F.aggregate("__base", init, merge))
-    return d.select(
-        "doc", *[F.col(f"__mh.m{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    # same shingle positions as with_shingles/shingles(): 1..max(len-k+1, 1)
+    n = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
+    ex = d.select("doc", "__norm", F.explode(F.sequence(F.lit(1), n)).alias("__i"))
+    # null text → null norm → greatest(null,1)=1 → one null shingle →
+    # null h → min over {null} = null: exactly the array-HOF semantics
+    # (null-seeded least()), bit-for-bit
+    s = F.col("__norm").substr(F.col("__i"), F.lit(k))
+    h = (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P).alias("__h")
+    ex = ex.select("doc", h)
+    return ex.groupBy("doc").agg(
+        *[
+            F.min(
+                (F.lit(minhash_a(i)) * F.col("__h") + F.lit(minhash_b(i))) % MINHASH_P
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 

@@ -402,3 +402,59 @@ def test_jaccard_gram_table_not_reused_across_calls(spark):
     # two here — Spark's CacheManager matches by canonicalized plan)
     assert len(dedup._GRAM_CACHE) == 1 and dedup._GRAM_CACHE[-1] is g2
     assert g2.storageLevel.useMemory or g2.storageLevel.useDisk
+
+
+def test_minhash_signature_codegen_equals_hof(spark):
+    """r12 session-5: minhash_signature was rewritten from interpreted
+    array-HOFs (transform + fused aggregate() struct pass) to a codegen'd
+    explode → md5 → groupBy-min pipeline. Pin bit-identity against the
+    old HOF form on the edge cases the corpus doesn't cover: NULL text,
+    empty text, text shorter than k, whitespace-only text (normalizes to
+    ''), and a repeated-shingle doc."""
+    from risingwave_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_a,
+        minhash_b,
+        minhash_signature,
+        with_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "ab"),
+            (4, "   \t  "),
+            (5, "abcabcabcabc"),
+            (6, "The QUICK   brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    num_hashes, k = 8, 5
+
+    # reference: the pre-session-5 array-HOF form (array_min over
+    # transform of the shingle array), kept here as the semantic spec
+    d = with_shingles(docs.select(F.col("doc_id").alias("doc"), "text"), "text", k)
+    base = F.transform(
+        "__sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P,
+    )
+    d = d.withColumn("__base", base)
+    ref = d.select(
+        "doc",
+        *[
+            F.array_min(
+                F.transform(
+                    "__base",
+                    lambda h: (F.lit(minhash_a(i)) * h + F.lit(minhash_b(i))) % MINHASH_P,
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+    got = minhash_signature(docs, "doc_id", "text", num_hashes, k)
+    assert _rows(got) == _rows(ref)
+    # null text yields an all-null signature (min over {null})
+    null_row = [r for r in got.collect() if r["doc"] == 1][0]
+    assert all(null_row[f"mh{i}"] is None for i in range(num_hashes))
