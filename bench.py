@@ -119,13 +119,15 @@ def main() -> None:
                     base[q] = v
         if not base:
             return
-        # Honest re-baselines: r4 pinned llm_jaccard_neardup at 1.405 s,
-        # but that number was flattered by the (then-present, since-fixed)
-        # session-lifetime persist of the gram table — reps 2-4 of the
-        # min-of-4 reused rep 1's cache across CALLS. With the leak fixed
-        # the true per-call cost is ~4-5 s (candidate-pruned grams,
-        # hashed-long intersections); guard against regressions from THAT.
-        rebased = {"llm_jaccard_neardup": 4.8}
+        # Honest re-baselines: none currently. History: r4 pinned
+        # llm_jaccard_neardup at 1.405 s flattered by a cross-call gram
+        # persist; r12 removed the memo (every rep recomputes) and this
+        # dict carried a 4.8 s floor for the then-true per-call cost.
+        # r12's session-5 optimizations (gram-pass repartition + codegen
+        # MinHash signature) brought the HONEST per-call cost to 1.36 s
+        # — at the recorded cross-round best — so the override is gone
+        # and the best-round floor guards this query again.
+        rebased: dict[str, float] = {}
         # Environment-aware threshold: absolute wall-clock on this box
         # swings ±40% between sessions (measured 2026-08-14: the EXACT
         # r4 commit re-benched at 28.1 s vs its recorded 19.77 s on a
