@@ -7,7 +7,10 @@ path. Hash primitive is md5 (bit-identical across engines → oracle-able),
 not Spark's murmur `hash()`.
 
 Scale design:
-- signatures are computed map-side (per-row HOFs, no shuffle);
+- signatures are a codegen'd explode + groupBy-min keyed on the doc id
+  (`minhash_signature`); the aggregation's exchange is elided when the
+  caller pre-partitions by the id (`num_partitions` — all current
+  callers do), so the stage stays map-side in practice;
 - LSH banding turns near-dup search from O(n²) into a self-join on
   (band_idx, band_hash) — the join key is the band hash, so the shuffle
   distributes evenly unless a band is degenerate (mitigate: salt or cap
@@ -138,7 +141,10 @@ def lsh_candidate_pairs(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: docs sharing any band of the signature become a
-    candidate pair (a < b). Returns distinct (a, b).
+    candidate pair (a < b). Returns distinct (a, b). `id_col` must be
+    unique per document (forwarded to `minhash_signature`, whose per-doc
+    aggregate would silently merge rows sharing an id into one
+    signature).
 
     Scale design (the part that must survive 100 TB):
     - signatures are map-side only; `num_partitions` repartitions the raw
