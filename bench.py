@@ -147,10 +147,12 @@ def main() -> None:
             for q, ratio in ratios.items()
             if ratio > limit
         }
-        # Write the baseline table into SCALING.md (VERDICT r7 ask #10):
-        # every bench run leaves its best-round baseline + this run's
-        # ratios in-history, so drift is diffable commit-over-commit.
-        _write_baseline_table(here, timings, base, rebased, med)
+        # Write the baseline table into SCALING.md (VERDICT r7 ask #10)
+        # — opt-in since r13 (VERDICT r12 "What's wrong" #5: a bench that
+        # dirties the working tree as a side effect eventually corrupts a
+        # comparison). Set SPARK_GRAFT_BENCH_WRITE=1 to refresh the table.
+        if os.environ.get("SPARK_GRAFT_BENCH_WRITE") == "1":
+            _write_baseline_table(here, timings, base, rebased, med)
         if regressed:
             for q, (now, was) in regressed.items():
                 print(f"# REGRESSION {q}: {now:.3f}s vs best-round {was:.3f}s", file=sys.stderr)

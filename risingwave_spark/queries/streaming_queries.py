@@ -359,14 +359,18 @@ def stream_over_window(spark, sf_dir):
 
     ev = tables(spark, sf_dir)["events"]
 
+    # window Columns built once per WindowSpec, not per fold (r13 §B:
+    # Column construction is py4j round trips; the spec is cached by
+    # MaterializedOverWindow._recompute so this memo hits every fold)
+    cols_by_spec: dict = {}
+
     def project(rows, w):
-        return rows.select(
-            "user_id",
-            "event_id",
-            "value",
-            F.row_number().over(w).alias("rn"),
-            F.lag("value").over(w).alias("prev_value"),
-        )
+        if id(w) not in cols_by_spec:
+            cols_by_spec[id(w)] = [
+                F.row_number().over(w).alias("rn"),
+                F.lag("value").over(w).alias("prev_value"),
+            ]
+        return rows.select("user_id", "event_id", "value", *cols_by_spec[id(w)])
 
     mvw = MaterializedOverWindow(
         spark,

@@ -289,6 +289,17 @@ def key_bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.crc32(joined.cast("binary")), F.lit(n_buckets))
 
 
+def key_bucket_sql(keys: list[str], n_buckets: int) -> str:
+    """SQL text of `key_bucket_expr` (value-identical, pinned by
+    `test_key_bucket_sql_equals_expr`): lets hot paths render bucket
+    predicates as ONE parsed expression instead of a py4j call chain —
+    the same plan-construction economics as `key_values_filter` (r12
+    change #14: isin()/Column chains pay a py4j round trip per node;
+    F.expr parses JVM-side in one call)."""
+    cols = ",".join(f"CAST(`{k.replace('`', '``')}` AS STRING)" for k in keys)
+    return f"pmod(crc32(CAST(concat_ws('\x1f',{cols}) AS BINARY)), {n_buckets})"
+
+
 def nullsafe_cond(a: DataFrame, b: DataFrame, cols_a: list[str], cols_b: list[str] | None = None):
     """Conjunction of null-safe equalities (SQL `<=>`): group/join keys can
     legitimately be NULL (GROUP BY groups nulls together), and a plain `=`
@@ -455,6 +466,15 @@ class _BucketedMvTable:
         os.makedirs(path, exist_ok=True)
         self._json = json
         self._manifest = self._read_manifest()
+        # Plan-construction caches (r13 §B, guide §1.2 driver work):
+        # Column objects are immutable name-resolved expression trees —
+        # reusable across DataFrames — and the MV schema is fixed per
+        # manifest, so neither needs rebuilding through py4j on every
+        # read/write of the fold loop (measured: bucket_expr 68 ms and
+        # StructType.fromJson+conversion per call in the mv fold profile).
+        self._bucket_col = None
+        self._schema_struct_src: str | None = None
+        self._schema_struct = None
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "MANIFEST")
@@ -485,8 +505,12 @@ class _BucketedMvTable:
         """See `key_bucket_expr`: crc32 so the same bucket is computable
         driver-side with zero extra Spark jobs (_touched_buckets_fast).
         Collisions are harmless (buckets only co-locate); what matters is
-        that the two computations agree per key."""
-        return key_bucket_expr(self.keys, self.n_buckets)
+        that the two computations agree per key. Cached — the Column is
+        an immutable unresolved-attribute tree, valid on any frame that
+        carries the key columns."""
+        if self._bucket_col is None:
+            self._bucket_col = key_bucket_expr(self.keys, self.n_buckets)
+        return self._bucket_col
 
     def touched_buckets(self, affected_keys: DataFrame) -> list[int]:
         """Distinct buckets of an affected-keys frame — ≤ n_buckets values,
@@ -504,7 +528,11 @@ class _BucketedMvTable:
     def _read_paths(self, paths: list[str]) -> DataFrame:
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(self._json.loads(self._manifest["schema"]))
+        src = self._manifest["schema"]
+        if self._schema_struct is None or self._schema_struct_src != src:
+            self._schema_struct = StructType.fromJson(self._json.loads(src))
+            self._schema_struct_src = src
+        schema = self._schema_struct
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
@@ -533,8 +561,15 @@ class _BucketedMvTable:
                 leaf_paths.append(self._leaf(b, ep))
         out = self._read_paths(leaf_paths) if leaf_paths or not per_flat else None
         for ep, bs in per_flat.items():
+            # ONE parsed IN predicate, not Column.isin(): isin makes a
+            # py4j round trip per literal (r12 #14; measured 120 ms per
+            # flat-epoch read in the mv fold profile vs ~2 ms parsed)
+            in_sql = (
+                f"({key_bucket_sql(self.keys, self.n_buckets)}) IN "
+                f"({','.join(str(int(b)) for b in bs)})"
+            )
             flat = self._read_paths([os.path.join(self.path, f"e{ep}")]).filter(
-                self.bucket_expr().isin(bs)
+                F.expr(in_sql)
             )
             out = flat if out is None else out.unionByName(flat)
         return out
@@ -1407,15 +1442,19 @@ class MaterializedGroupAgg(_RetractableView):
     ):
         super().__init__(spark, state_dir, keys, row_id)
         self.value_col = value_col
-
-    def _recompute(self, rows: DataFrame) -> DataFrame:
-        v = F.col(self.value_col)
-        return rows.groupBy(*self.keys).agg(
+        # agg Columns built once (r13 §B): they are constant expression
+        # trees over fixed column names — rebuilding them per fold cost
+        # 180 ms/fold of py4j construction in the profile
+        v = F.col(value_col)
+        self._agg_cols = [
             F.count(F.lit(1)).alias("cnt"),
             (F.sum(F.round(v * 10000, 0).cast("long")) / 10000.0).alias("total"),
             F.min(v).alias("vmin"),
             F.max(v).alias("vmax"),
-        )
+        ]
+
+    def _recompute(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.keys).agg(*self._agg_cols)
 
 
 class MaterializedOverWindow(_RetractableView):
@@ -1443,12 +1482,19 @@ class MaterializedOverWindow(_RetractableView):
         super().__init__(spark, state_dir, keys, row_id)
         self.order_cols = order_cols
         self.project = project
+        self._wspec = None
 
     def _recompute(self, rows: DataFrame) -> DataFrame:
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*self.keys).orderBy(*[F.asc(c) for c in self.order_cols])
-        return self.project(rows, w)
+        # WindowSpec cached (r13 §B): constant over fixed key/order
+        # names, and callers may key their own Column caches on its
+        # identity (see stream_over_window's project)
+        if self._wspec is None:
+            self._wspec = W.partitionBy(*self.keys).orderBy(
+                *[F.asc(c) for c in self.order_cols]
+            )
+        return self.project(rows, self._wspec)
 
 
 def run_changelog(

@@ -1140,6 +1140,24 @@ def test_footer_bounds_equals_agg(spark):
     )
 
 
+def test_key_bucket_sql_equals_expr(spark):
+    """key_bucket_sql (the one-call parsed form used by hot read paths,
+    r13) must agree row-for-row with key_bucket_expr — including NULL
+    keys (concat_ws skips them), string keys, and composite keys."""
+    from risingwave_spark.streaming.mv import key_bucket_expr, key_bucket_sql
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b"), (None, None), (7, "x'y`z\\w")],
+        "k1 int, k2 string",
+    )
+    for keys in (["k1"], ["k2"], ["k1", "k2"]):
+        got = df.select(
+            key_bucket_expr(keys, 16).alias("e"),
+            F.expr(key_bucket_sql(keys, 16)).alias("s"),
+        ).collect()
+        assert all(r["e"] == r["s"] for r in got), (keys, got)
+
+
 def test_splice_literal_keys_null_and_string(spark, tmp_path):
     """The literal key-set splice path (r12: affected-keys semi/anti joins
     replaced by a driver-side InSet filter when the batch's distinct keys
