@@ -124,11 +124,24 @@ def chunk_key_frame(spark: SparkSession, lf: dict | None, cols: list[str]) -> Da
     return out
 
 
+def _keyset_cap(env: str, default: int) -> int:
+    """Literal key-set caps, env-overridable (SPARK_GRAFT_KEYSET_MAX_ROWS
+    / SPARK_GRAFT_KEYSET_MAX_DISTINCT): the caps decide when a fold takes
+    the driver-side literal path vs the broadcast-join path, so a cluster
+    deployment can tune them to its driver budget — and setting either to
+    0 forces the join path everywhere, which is how the scale path is
+    exercised at bench scale (plans/r13 fallback capture + test)."""
+    try:
+        return int(os.environ[env])
+    except (KeyError, ValueError):
+        return default
+
+
 def chunk_key_values(
     state: "ChunkedState",
     key: str,
-    max_rows: int = 200_000,
-    max_distinct: int = 8192,
+    max_rows: int | None = None,
+    max_distinct: int | None = None,
 ) -> tuple[list, bool] | None:
     """Distinct values of a single key column of the batch `state` last
     folded, read driver-side from the just-written local chunk files
@@ -147,6 +160,10 @@ def chunk_key_values(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if max_rows is None:
+        max_rows = _keyset_cap("SPARK_GRAFT_KEYSET_MAX_ROWS", 200_000)
+    if max_distinct is None:
+        max_distinct = _keyset_cap("SPARK_GRAFT_KEYSET_MAX_DISTINCT", 8192)
     lf = state.last_fold
     if lf is None or lf["v_rows"] + lf["t_rows"] > max_rows:
         return None
