@@ -1782,10 +1782,9 @@ class Engine:
 
     def _apply_dml_locked(self, table: str, batch: DataFrame) -> None:
         t = self.tables[table]
-        cols = [c for c in batch.columns if c != OP_COL]
         t.state.fold(
-            batch.filter(F.col(OP_COL) > 0).select(*cols),
-            batch.filter(F.col(OP_COL) < 0).select(*cols),
+            batch.where(f"`{OP_COL}` > 0").drop(OP_COL),
+            batch.where(f"`{OP_COL}` < 0").drop(OP_COL),
             commit_ts=self._now_epoch(),
         )
         t._register()

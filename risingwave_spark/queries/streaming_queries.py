@@ -133,7 +133,7 @@ def stream_mv_incremental(spark, sf_dir):
     affected-group re-agg, `risingwave_spark/streaming/mv.py`); final MV
     must equal the one-shot batch aggregate."""
     ev = tables(spark, sf_dir)["events"]
-    chunks = [with_ops(ev.filter(F.col("event_id") % 4 == i), 1) for i in range(4)]
+    chunks = [with_ops(ev.where(f"event_id % 4 = {i}"), 1) for i in range(4)]
     state_dir = tempfile.mkdtemp(prefix="rw_mv_")
     return run_changelog(spark, state_dir, chunks, ["user_id"], "event_id", "value")
 

@@ -116,10 +116,11 @@ class RetractableStreamJoin:
     ):
         if batch is None:
             return None, False
-        cols = [c for c in batch.columns if c != OP_COL]
+        # parsed-SQL one-call forms (r13 §B: Column chains pay a py4j
+        # round trip per node; where(str)+drop(str) is 2 per side)
         did = state.fold(
-            batch.filter(F.col(OP_COL) > 0).select(*cols),
-            batch.filter(F.col(OP_COL) < 0).select(*cols),
+            batch.where(f"`{OP_COL}` > 0").drop(OP_COL),
+            batch.where(f"`{OP_COL}` < 0").drop(OP_COL),
             batch_id=batch_id,
             tomb_extra_cols=keys,
             batch_ns=batch_ns,

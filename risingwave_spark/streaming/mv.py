@@ -473,6 +473,12 @@ class _BucketedMvTable:
     touches 1% of keys rewrites ~1% of files.
     """
 
+    # class-level defaults so partially-constructed instances (tests
+    # build via __new__) still take the cold path of the §B caches
+    _bucket_col = None
+    _schema_struct_src: str | None = None
+    _schema_struct = None
+
     def __init__(self, spark: SparkSession, path: str, keys: list[str], n_buckets: int = 16):
         import json
 
@@ -1248,9 +1254,10 @@ class _RetractableView:
         state commit and the MV version flip. `batch_ns` scopes the
         redelivery pointer per upstream stream (see ChunkedState.fold).
         """
-        cols = [c for c in batch.columns if c != OP_COL]
-        inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
-        deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+        # parsed-SQL one-call forms (r13 §B: Column chains pay a py4j
+        # round trip per node; where(str)+drop(str) is 2 per side)
+        inserts = batch.where(f"`{OP_COL}` > 0").drop(OP_COL)
+        deletes = batch.where(f"`{OP_COL}` < 0").drop(OP_COL)
         did_fold = self.state.fold(
             inserts,
             deletes,
@@ -1365,8 +1372,9 @@ class _RetractableView:
             # was already read driver-side from the batch's chunk files
             vals, has_null = affected_vals
             cond = key_values_filter(self.keys[0], vals, has_null)
+            neg = ~cond  # negated once per fold, not per frame (§B)
             semi = lambda d: d.filter(cond)  # noqa: E731
-            anti = lambda d: d.filter(~cond)  # noqa: E731
+            anti = lambda d: d.filter(neg)  # noqa: E731
         else:
             semi = lambda d: d.join(  # noqa: E731
                 affected, nullsafe_cond(d, affected, self.keys), "left_semi"
@@ -1938,15 +1946,14 @@ class EowcAggMv:
         )
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None, batch_ns: str | None = None) -> None:
-        deletes = batch.filter(F.col(OP_COL) < 0)
+        deletes = batch.where(f"`{OP_COL}` < 0")
         if not _statically_empty(deletes) and deletes.limit(1).count() > 0:
             raise ValueError(
                 "EMIT ON WINDOW CLOSE requires an append-only input: "
                 "DELETE/UPDATE on the base table cannot retract an "
                 "already-emitted window (reference EOWC constraint)"
             )
-        cols = [c for c in batch.columns if c != OP_COL]
-        self.feed(batch.filter(F.col(OP_COL) > 0).select(*cols))
+        self.feed(batch.where(f"`{OP_COL}` > 0").drop(OP_COL))
 
     def _window_end(self, ts):
         """End of the tumble window containing `ts` (Spark window()

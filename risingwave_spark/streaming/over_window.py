@@ -542,9 +542,10 @@ class MaterializedOverWindowDelta:
         are idempotent full recomputes from committed state, closing the
         crash window between state commit and MV flip. `batch_ns` scopes
         the pointer per upstream stream (see ChunkedState.fold)."""
-        cols = [c for c in batch.columns if c != OP_COL]
-        inserts = batch.filter(F.col(OP_COL) > 0).select(*cols)
-        deletes = batch.filter(F.col(OP_COL) < 0).select(*cols)
+        # parsed-SQL one-call forms (r13 §B: Column chains pay a py4j
+        # round trip per node; where(str)+drop(str) is 2 per side)
+        inserts = batch.where(f"`{OP_COL}` > 0").drop(OP_COL)
+        deletes = batch.where(f"`{OP_COL}` < 0").drop(OP_COL)
         # tombstones carry keys AND order cols so the boundary
         # computation below can come from the chunk files
         did_fold = self.state.fold(
@@ -1190,8 +1191,7 @@ class EowcOverWindow:
         optimizer enforces append-only upstream for EOWC plans)."""
         from risingwave_spark.streaming.mv import OP_COL
 
-        cols = [c for c in batch.columns if c != OP_COL]
-        deletes = batch.filter(F.col(OP_COL) < 0)
+        deletes = batch.where(f"`{OP_COL}` < 0")
         # an insert-only chunk (with_ops(df, 1)) folds the delete branch
         # to an empty LocalRelation at plan time — zero Spark jobs for
         # the common case; only genuinely mixed batches pay the probe
@@ -1200,7 +1200,7 @@ class EowcOverWindow:
                 "EMIT ON WINDOW CLOSE over-window requires an append-only "
                 "source: deletes/updates cannot retract emitted rows"
             )
-        self.feed(batch.filter(F.col(OP_COL) > 0).select(*cols))
+        self.feed(batch.where(f"`{OP_COL}` > 0").drop(OP_COL))
 
     def exists(self) -> bool:
         return (
